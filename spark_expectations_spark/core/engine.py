@@ -1,0 +1,223 @@
+"""DQEngine: explicit orchestration of the five DQ stages.
+
+Replaces the reference's decorator-tangle (core/expectations.py:893-1032 +
+utils/regulate_flow.py:24-158) with one readable ``run``:
+
+    source agg_dq → source query_dq → row_dq → target agg_dq → target query_dq
+
+Spark-job budget per batch run (N row rules, M agg rules, Q query rules):
+  1 summary aggregation (all counts)           — one scan
+  1 error-table write (only if errors enabled) — one scan
+  1 fused agg job for ALL source agg rules, 1 for ALL target agg rules
+  1-2 small jobs per query rule (scalar subqueries; rule-scale)
+  1 final write (optional)
+The reference runs >=4 full scans + 2 jobs per agg rule; at 100 TB the
+difference is the whole game.
+
+A thin ``with_expectations`` decorator preserves the reference's public
+API shape (core/expectations.py:893).
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Callable, Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import agg_dq, query_dq, row_dq
+from ..sinks import writer
+from .rules import AGG_DQ, QUERY_DQ, ROW_DQ, RuleSet
+from .state import DQConfig, DQResult, StageTiming, new_run_id, utcnow
+
+log = logging.getLogger("spark_expectations_spark")
+
+
+class DQEngine:
+    def __init__(self, config: DQConfig):
+        self.config = config
+
+    # ------------------------------------------------------------------ api
+    def run(self, df: DataFrame, rules: RuleSet,
+            spark: Optional[SparkSession] = None) -> DQResult:
+        cfg = self.config
+        spark = spark or df.sparkSession
+        if df.isStreaming:
+            return self._run_streaming(df, rules, spark)
+
+        result = DQResult(
+            run_id=new_run_id(cfg.product_id),
+            product_id=cfg.product_id,
+            table_name=cfg.table_name,
+        )
+        settings = rules.execution_settings()
+        query_dq.register_views(spark, dict(cfg.views))
+        if cfg.source_view:
+            df.createOrReplaceTempView(cfg.source_view)
+
+        # -- stage 1: source agg_dq (one fused job) -------------------------
+        if settings["source_agg_dq"]:
+            self._timed(result, "source_agg_dq", self._source_agg, df, rules, result)
+        else:
+            result.status["source_agg_dq"] = "Skipped"
+
+        # -- stage 2: source query_dq ---------------------------------------
+        if settings["source_query_dq"]:
+            self._timed(result, "source_query_dq", self._source_query, spark, rules, result)
+        else:
+            result.status["source_query_dq"] = "Skipped"
+
+        # -- stage 3: row_dq ------------------------------------------------
+        final_df = df
+        if settings["row_dq"]:
+            final_df = self._timed(result, "row_dq", self._row, df, rules, result, spark)
+        else:
+            result.status["row_dq"] = "Skipped"
+            result.input_count = df.count()
+            result.output_count = result.input_count
+        result.final_df = final_df
+
+        # -- stages 4/5: target agg/query on post-row-dq frame --------------
+        run_target = settings["row_dq"]
+        if settings["target_agg_dq"] and run_target:
+            self._timed(result, "target_agg_dq", self._target_agg, final_df, rules, result)
+        else:
+            result.status["target_agg_dq"] = "Skipped"
+        if settings["target_query_dq"] and run_target:
+            if cfg.target_view:
+                final_df.createOrReplaceTempView(cfg.target_view)
+            self._timed(result, "target_query_dq", self._target_query, spark, rules, result)
+        else:
+            result.status["target_query_dq"] = "Skipped"
+
+        # -- final write + stats --------------------------------------------
+        if cfg.write_target_table and cfg.target_table:
+            writer.write_batch(final_df, cfg.target_table, cfg.target_writer)
+        if cfg.write_stats_table:
+            sdf = writer.stats_df(spark, result)
+            writer.write_batch(sdf, cfg.resolved_stats_table(), cfg.stats_writer)
+            if cfg.enable_detailed_stats:
+                ddf = writer.detailed_stats_df(spark, result)
+                writer.write_batch(ddf, cfg.resolved_stats_table() + "_detailed",
+                                   cfg.stats_writer)
+                qdf = writer.querydq_output_df(spark, result)
+                if qdf.head(1):
+                    writer.write_batch(qdf, cfg.resolved_stats_table() + "_querydq_output",
+                                       cfg.stats_writer)
+        return result
+
+    # ---------------------------------------------------------------- stages
+    def _source_agg(self, df: DataFrame, rules: RuleSet, result: DQResult) -> None:
+        res = agg_dq.evaluate_agg_rules(df, rules.for_stage(AGG_DQ, target=False))
+        result.source_agg = res
+        result.status["source_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
+        if self.config.enforce_fail:
+            agg_dq.enforce_fail_action(res, "source_agg_dq")
+
+    def _target_agg(self, df: DataFrame, rules: RuleSet, result: DQResult) -> None:
+        res = agg_dq.evaluate_agg_rules(df, rules.for_stage(AGG_DQ, target=True))
+        result.target_agg = res
+        result.status["target_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
+        if self.config.enforce_fail:
+            agg_dq.enforce_fail_action(res, "target_agg_dq")
+
+    def _source_query(self, spark: SparkSession, rules: RuleSet, result: DQResult) -> None:
+        res = query_dq.evaluate_query_rules(spark, rules.for_stage(QUERY_DQ, target=False))
+        result.source_query = res
+        result.status["source_query_dq"] = "Failed" if query_dq.failed(res) else "Passed"
+        if self.config.enforce_fail:
+            query_dq.enforce_fail_action(res, "source_query_dq")
+
+    def _target_query(self, spark: SparkSession, rules: RuleSet, result: DQResult) -> None:
+        res = query_dq.evaluate_query_rules(spark, rules.for_stage(QUERY_DQ, target=True))
+        result.target_query = res
+        result.status["target_query_dq"] = "Failed" if query_dq.failed(res) else "Passed"
+        if self.config.enforce_fail:
+            query_dq.enforce_fail_action(res, "target_query_dq")
+
+    def _row(self, df: DataFrame, rules: RuleSet, result: DQResult,
+             spark: SparkSession) -> DataFrame:
+        cfg = self.config
+        stage_rules = rules.for_stage(ROW_DQ)
+        projected = row_dq.project_rules(df, stage_rules)
+        if cfg.use_local_checkpoint:
+            projected = projected.localCheckpoint(eager=False)
+        elif cfg.cache_projected:
+            projected = projected.persist()
+        summary = row_dq.summarize(projected, stage_rules)
+        result.row_summary = summary
+        result.input_count = summary.input_count
+        result.error_count = summary.error_count
+        result.output_count = summary.output_count
+
+        if cfg.write_error_table and summary.error_count > 0:
+            err = writer.stamp_run_metadata(row_dq.error_rows(projected), result.run_id)
+            writer.write_batch(err, cfg.resolved_error_table(), cfg.error_writer)
+        result.error_df = row_dq.error_rows(projected)
+
+        try:
+            final = row_dq.apply_actions(
+                projected, summary if cfg.enforce_fail else None)
+        except row_dq.DQRowFailError:
+            result.status["row_dq"] = "Failed"
+            raise
+        result.status["row_dq"] = "Failed" if summary.error_count else "Passed"
+        if cfg.cache_projected:
+            projected.unpersist()
+        return final
+
+    # ------------------------------------------------------------- streaming
+    def _run_streaming(self, df: DataFrame, rules: RuleSet,
+                       spark: SparkSession) -> DQResult:
+        """Reference-parity streaming: row rules + drop filtering only;
+        agg/query stages skipped (uncountable mid-stream), counts zero
+        (reference core/expectations.py:523-546,960). For full DQ on
+        streams use streaming.foreach_batch_dq instead.
+        """
+        cfg = self.config
+        result = DQResult(
+            run_id=new_run_id(cfg.product_id),
+            product_id=cfg.product_id,
+            table_name=cfg.table_name,
+        )
+        for s in ("source_agg_dq", "source_query_dq", "target_agg_dq", "target_query_dq"):
+            result.status[s] = "Skipped"
+        stage_rules = rules.for_stage(ROW_DQ)
+        projected = row_dq.project_rules(df, stage_rules)
+        if cfg.write_error_table:
+            err = writer.stamp_run_metadata(row_dq.error_rows(projected), result.run_id)
+            writer.write_stream(err, cfg.resolved_error_table(), cfg.error_writer)
+        final = row_dq.apply_actions(projected, None)
+        result.final_df = final
+        result.status["row_dq"] = "Passed"
+        if cfg.write_target_table and cfg.target_table:
+            result.streaming_query = writer.write_stream(
+                final, cfg.target_table, cfg.target_writer)
+        return result
+
+    # ---------------------------------------------------------------- helpers
+    def _timed(self, result: DQResult, name: str, fn, *args):
+        t0 = utcnow()
+        try:
+            return fn(*args)
+        finally:
+            result.timings.append(StageTiming(name, t0, utcnow()))
+
+
+def with_expectations(
+    rules: RuleSet,
+    config: DQConfig,
+) -> Callable[[Callable[..., DataFrame]], Callable[..., DQResult]]:
+    """API-parity sugar for ``DQEngine.run`` (reference
+    core/expectations.py:893). The wrapped function returns the DQResult;
+    ``.final_df`` is the reference's return value."""
+
+    def deco(func: Callable[..., DataFrame]) -> Callable[..., DQResult]:
+        @functools.wraps(func)
+        def wrapper(*args, **kwargs) -> DQResult:
+            df = func(*args, **kwargs)
+            return DQEngine(config).run(df, rules)
+        return wrapper
+
+    return deco

@@ -1,0 +1,192 @@
+"""Aggregate DQ: every agg rule evaluated in ONE Spark job.
+
+Re-expresses reference utils/actions.py:164-301,580-596. The reference runs
+2 extra Spark jobs PER rule when detailed stats are on (``df.agg().collect()``
+then a confirmation select). Here all rules — pass/fail booleans AND actual
+aggregate values — are fused into a single ``df.agg(*exprs)``: one scan, one
+partial+final hash aggregate, regardless of rule count.
+
+The expectation splitter is a small top-level scanner (parens/quote aware)
+instead of the reference's fragile regexes (config/user_config.py:105-115).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..core.rules import ACTION_FAIL, Rule
+
+
+class DQAggFailError(RuntimeError):
+    """Raised when a failed agg/query rule has action_if_failed='fail'."""
+
+
+_OPS = ("<=", ">=", "!=", "<>", "==", "=", "<", ">")
+_BETWEEN_RE = re.compile(r"\bbetween\b", re.IGNORECASE)
+_AND_RE = re.compile(r"\band\b", re.IGNORECASE)
+
+
+def _top_level_spans(s: str, regex: re.Pattern) -> list[re.Match]:
+    """Matches of ``regex`` at paren/quote depth 0."""
+    out = []
+    depth = 0
+    quote: Optional[str] = None
+    i = 0
+    matches = {m.start(): m for m in regex.finditer(s)}
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and i in matches:
+            out.append(matches[i])
+            i = matches[i].end()
+            continue
+        i += 1
+    return out
+
+
+def _find_top_level_op(s: str) -> Optional[tuple[int, str]]:
+    depth = 0
+    quote: Optional[str] = None
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if quote:
+            if c == quote:
+                quote = None
+        elif c in "'\"":
+            quote = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            for op in _OPS:
+                if s.startswith(op, i):
+                    # skip '=' that is part of '<=' already handled by order;
+                    # skip '<'/'>' that begin '<=' handled likewise
+                    return i, op
+        i += 1
+    return None
+
+
+@dataclass(frozen=True)
+class ParsedExpectation:
+    """``agg_expr <op> bound`` or ``agg_expr between lo and hi``."""
+
+    source_expr: str          # the measured expression (left side)
+    op: str                   # '<', '>=', 'between', ...
+    expected: str             # right side text ('20' or 'lo and hi')
+
+    def expected_repr(self) -> str:
+        return f"{self.op} {self.expected}".strip()
+
+
+def parse_expectation(expectation: str) -> Optional[ParsedExpectation]:
+    """Split an expectation into measured-expression / comparison / bound.
+
+    Returns None when no top-level comparison exists (the whole expression
+    is then treated as a boolean and no 'actual value' is extractable).
+    """
+    btw = _top_level_spans(expectation, _BETWEEN_RE)
+    if btw:
+        m = btw[0]
+        left = expectation[: m.start()].strip()
+        rest = expectation[m.end():].strip()
+        # guard against `case when ... between` on the right of a comparison
+        found = _find_top_level_op(expectation[: m.start()])
+        if not found:
+            return ParsedExpectation(left, "between", rest)
+    found = _find_top_level_op(expectation)
+    if not found:
+        return None
+    i, op = found
+    left = expectation[:i].strip()
+    right = expectation[i + len(op):].strip()
+    if not left or not right:
+        return None
+    return ParsedExpectation(left, op, right)
+
+
+@dataclass
+class AggRuleResult:
+    rule: Rule
+    status: str                      # 'pass' | 'fail'
+    actual_value: Any = None         # measured aggregate value
+    expected: Optional[str] = None   # e.g. '> 20' | 'between 18 and 25'
+
+    def result_map(self) -> dict[str, str]:
+        d = dict(self.rule.meta_items())
+        d["status"] = self.status
+        if self.actual_value is not None:
+            d["actual_value"] = _scalar_str(self.actual_value)
+        if self.expected is not None:
+            d["expected"] = self.expected
+        return d
+
+
+def _scalar_str(v: Any) -> str:
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def evaluate_agg_rules(df: DataFrame, rules: Sequence[Rule]) -> list[AggRuleResult]:
+    """All agg rules in one ``df.agg`` job.
+
+    For each rule two expressions are fused into the same aggregate:
+    the boolean expectation itself and (when parseable) the measured
+    aggregate for detailed stats. Catalyst de-duplicates the shared
+    aggregate child, so ``sum(x) > 10`` + actual ``sum(x)`` computes
+    ``sum(x)`` once.
+    """
+    if not rules:
+        return []
+    exprs: list[Column] = []
+    parsed: list[Optional[ParsedExpectation]] = []
+    for i, r in enumerate(rules):
+        exprs.append(F.expr(r.expectation).alias(f"__b{i}"))
+        p = parse_expectation(r.expectation)
+        parsed.append(p)
+        if p is not None:
+            exprs.append(F.expr(p.source_expr).alias(f"__v{i}"))
+    row = df.agg(*exprs).first()
+    out: list[AggRuleResult] = []
+    for i, r in enumerate(rules):
+        ok = row[f"__b{i}"]
+        p = parsed[i]
+        out.append(
+            AggRuleResult(
+                rule=r,
+                status="pass" if bool(ok) else "fail",
+                actual_value=row[f"__v{i}"] if p is not None else None,
+                expected=p.expected_repr() if p is not None else None,
+            )
+        )
+    return out
+
+
+def failed(results: Sequence[AggRuleResult]) -> list[AggRuleResult]:
+    return [r for r in results if r.status == "fail"]
+
+
+def enforce_fail_action(results: Sequence[AggRuleResult], stage: str) -> None:
+    hard = [r for r in failed(results) if r.rule.action_if_failed == ACTION_FAIL]
+    if hard:
+        names = [r.rule.rule for r in hard]
+        raise DQAggFailError(f"{stage}: rules {names} failed with action 'fail'")

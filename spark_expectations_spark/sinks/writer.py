@@ -1,0 +1,226 @@
+"""Table sinks: batch + streaming writes, error/stats/detailed-stats frames.
+
+Re-expresses reference sinks/utils/writer.py. Writes are thin wrappers over
+DataFrameWriter / DataStreamWriter; the interesting parts are the audit
+frame constructions (stats row, detailed stats full-outer join, querydq
+output), which all operate on rule-scale data — a handful of rows — so the
+driver-side assembly here never touches data-scale rows.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, FloatType, IntegerType, LongType, MapType,
+    StringType, StructField, StructType, TimestampType,
+)
+
+from ..core.state import DQConfig, DQResult, WriterOptions
+from ..operators.agg_dq import AggRuleResult
+from ..operators.query_dq import QueryRuleResult
+from ..operators.row_dq import META_RUN_DATETIME, META_RUN_ID
+
+
+def write_batch(df: DataFrame, table: str, opts: WriterOptions) -> None:
+    """mode/format/partitionBy/sortBy/bucketBy/options
+    (reference sinks/utils/writer.py:242-287)."""
+    w = df.write.mode(opts.mode).format(opts.format)
+    for k, v in dict(opts.options).items():
+        w = w.option(k, v)
+    if opts.partition_by:
+        w = w.partitionBy(*opts.partition_by)
+    if opts.bucket_by:
+        n, cols = opts.bucket_by
+        w = w.bucketBy(n, *cols)
+        if opts.sort_by:
+            w = w.sortBy(*opts.sort_by)
+    if opts.path:
+        w.save(opts.path.rstrip("/") + "/" + table)
+    else:
+        w.saveAsTable(table)
+
+
+def write_stream(df: DataFrame, table: str, opts: WriterOptions):
+    """writeStream with outputMode/trigger/queryName/auto-suffixed checkpoint
+    (reference sinks/utils/writer.py:168-241)."""
+    w = df.writeStream.outputMode(opts.output_mode).format(opts.format)
+    for k, v in dict(opts.options).items():
+        w = w.option(k, v)
+    if opts.trigger:
+        w = w.trigger(**dict(opts.trigger))
+    w = w.queryName(opts.query_name or f"dq_{table}")
+    ckpt = opts.checkpoint_location
+    if ckpt:
+        # per-table suffix so error + final streams don't collide
+        w = w.option("checkpointLocation", ckpt.rstrip("/") + "/" + table)
+    if opts.partition_by:
+        w = w.partitionBy(*opts.partition_by)
+    if opts.path:
+        return w.start(opts.path.rstrip("/") + "/" + table)
+    return w.toTable(table)
+
+
+def stamp_run_metadata(df: DataFrame, run_id: str) -> DataFrame:
+    """Append meta_dq_run_id / meta_dq_run_datetime (reference
+    writer.py:1051-1053)."""
+    return df.withColumn(META_RUN_ID, F.lit(run_id)).withColumn(
+        META_RUN_DATETIME, F.current_timestamp()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stats row (reference sinks/utils/writer.py:801-1009, schema :887-938)
+# ---------------------------------------------------------------------------
+
+_RESULTS_T = ArrayType(MapType(StringType(), StringType()))
+
+STATS_SCHEMA = StructType([
+    StructField("product_id", StringType()),
+    StructField("table_name", StringType()),
+    StructField("input_count", LongType()),
+    StructField("error_count", LongType()),
+    StructField("output_count", LongType()),
+    StructField("output_percentage", FloatType()),
+    StructField("success_percentage", FloatType()),
+    StructField("error_percentage", FloatType()),
+    StructField("source_agg_dq_results", _RESULTS_T, True),
+    StructField("final_agg_dq_results", _RESULTS_T, True),
+    StructField("source_query_dq_results", _RESULTS_T, True),
+    StructField("final_query_dq_results", _RESULTS_T, True),
+    StructField("row_dq_res_summary", _RESULTS_T, True),
+    StructField("row_dq_error_threshold", _RESULTS_T, True),
+    StructField("dq_status", MapType(StringType(), StringType()), True),
+    StructField("dq_run_time", MapType(StringType(), DoubleType()), True),
+    StructField("dq_rules", MapType(StringType(), MapType(StringType(), IntegerType())), True),
+    StructField("meta_dq_run_id", StringType()),
+    StructField("meta_dq_run_date", TimestampType()),
+    StructField("meta_dq_run_datetime", TimestampType()),
+])
+
+
+def stats_df(spark: SparkSession, result: DQResult) -> DataFrame:
+    rec = result.stats_record()
+    rec["output_percentage"] = float(rec["output_percentage"])
+    rec["success_percentage"] = float(rec["success_percentage"])
+    rec["error_percentage"] = float(rec["error_percentage"])
+    row = tuple(rec[f.name] for f in STATS_SCHEMA.fields)
+    return spark.createDataFrame([row], STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Detailed stats: per-rule source/target outcomes full-outer-joined
+# (reference sinks/utils/writer.py:504-622)
+# ---------------------------------------------------------------------------
+
+_DETAILED_KEY = ["run_id", "product_id", "table_name", "rule_type", "rule", "column_name"]
+
+_DETAILED_HALF_SCHEMA = StructType(
+    [StructField(c, StringType()) for c in _DETAILED_KEY]
+    + [
+        StructField("status", StringType(), True),
+        StructField("actual_value", StringType(), True),
+        StructField("expected", StringType(), True),
+        StructField("failed_row_count", LongType(), True),
+    ]
+)
+
+
+def _half_rows(result: DQResult, stage_results, row_counts: Optional[dict[str, int]] = None):
+    rows = []
+    for r in stage_results:
+        rows.append((
+            result.run_id, result.product_id, result.table_name,
+            r.rule.rule_type, r.rule.rule, r.rule.column_name,
+            r.status,
+            None if r.actual_value is None else str(r.actual_value),
+            r.expected,
+            None,
+        ))
+    for rule, cnt in (row_counts or {}).items():
+        rows.append((
+            result.run_id, result.product_id, result.table_name,
+            "row_dq", rule, "",
+            "fail" if cnt else "pass", str(cnt), "0 failed rows", int(cnt),
+        ))
+    return rows
+
+
+def detailed_stats_df(spark: SparkSession, result: DQResult) -> DataFrame:
+    """source × target per-rule outcomes, aligned by full outer join on the
+    6-column rule key (reference writer.py:608-612). Both sides are
+    rule-scale (tens of rows) — the join is trivially broadcastable and
+    Catalyst handles it; correctness of the full_outer shape is what we keep.
+    """
+    src = spark.createDataFrame(
+        _half_rows(result, result.source_agg + result.source_query,
+                   result.row_summary.rule_failed_counts if result.row_summary else {}),
+        _DETAILED_HALF_SCHEMA,
+    )
+    tgt = spark.createDataFrame(
+        _half_rows(result, result.target_agg + result.target_query),
+        _DETAILED_HALF_SCHEMA,
+    )
+    s, t = src.alias("s"), tgt.alias("t")
+    joined = s.join(t, on=_DETAILED_KEY, how="full_outer")
+    return joined.select(
+        *_DETAILED_KEY,
+        F.col("s.status").alias("source_dq_status"),
+        F.col("s.actual_value").alias("source_dq_actual_outcome"),
+        F.col("s.expected").alias("source_dq_expected_outcome"),
+        F.col("s.failed_row_count").alias("source_dq_actual_row_count"),
+        F.col("t.status").alias("target_dq_status"),
+        F.col("t.actual_value").alias("target_dq_actual_outcome"),
+        F.col("t.expected").alias("target_dq_expected_outcome"),
+        F.col("t.failed_row_count").alias("target_dq_actual_row_count"),
+        F.lit(result.run_date).alias("dq_date"),
+        F.lit(result.run_date).alias("dq_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query-dq custom output (reference sinks/utils/writer.py:455-502)
+# ---------------------------------------------------------------------------
+
+_QUERYDQ_OUTPUT_SCHEMA = StructType([
+    StructField("run_id", StringType()),
+    StructField("product_id", StringType()),
+    StructField("table_name", StringType()),
+    StructField("rule", StringType()),
+    StructField("column_name", StringType()),
+    StructField("alias", StringType()),
+    StructField("dq_type", StringType()),
+    StructField("source_output", StringType(), True),
+    StructField("dq_time", TimestampType()),
+])
+
+
+def querydq_output_df(spark: SparkSession, result: DQResult) -> DataFrame:
+    import json
+
+    rows = []
+    for prefix, results in (("_source_dq", result.source_query),
+                            ("_target_dq", result.target_query)):
+        for r in results:
+            for alias, records in r.secondary_output.items():
+                rows.append((
+                    result.run_id, result.product_id, result.table_name,
+                    r.rule.rule, r.rule.column_name, alias, prefix,
+                    json.dumps({alias: records}, default=str, sort_keys=True),
+                    result.run_date,
+                ))
+    return spark.createDataFrame(rows, _QUERYDQ_OUTPUT_SCHEMA)
+
+
+def stats_to_kafka(result_df: DataFrame, topic: str, options: dict[str, str]) -> None:
+    """Stats row → JSON → Kafka (reference sinks/plugins/kafka_writer.py:59-61).
+
+    Requires the Kafka connector on the classpath; caller gates availability.
+    """
+    out = result_df.selectExpr("to_json(struct(*)) AS value")
+    w = out.write.format("kafka").option("topic", topic)
+    for k, v in options.items():
+        w = w.option(k, v)
+    w.save()

@@ -1,0 +1,39 @@
+import os
+import pytest
+from pyspark.sql import SparkSession
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = (
+        SparkSession.builder.master("local[4]")
+        .appName("spark_expectations_spark-tests")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="session")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="session")
+def orders(spark):
+    return spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+
+@pytest.fixture(scope="session")
+def simple3(spark):
+    # canonical reference micro-fixture (tests/integration/core/conftest.py:45-54)
+    return spark.createDataFrame(
+        [(0, 1, "a", 10), (1, 2, "b", 20), (2, 3, "c", 30)],
+        "row_id int, col1 int, col2 string, col3 int",
+    )

@@ -1,0 +1,213 @@
+"""End-to-end engine slice tests on the canonical micro-fixture + lineitem."""
+
+import pytest
+
+from spark_expectations_spark import (
+    DQAggFailError,
+    DQConfig,
+    DQEngine,
+    DQRowFailError,
+    Rule,
+    RuleSet,
+)
+
+
+def _rule(**kw):
+    base = dict(product_id="p1", table_name="t", rule_type="row_dq",
+                rule="r", column_name="col1", expectation="col1 > 0")
+    base.update(kw)
+    return Rule(**base)
+
+
+def mk_engine(**cfg_kw):
+    cfg = DQConfig(product_id="p1", table_name="t", write_error_table=False, **cfg_kw)
+    return DQEngine(cfg)
+
+
+class TestRowDQ:
+    def test_counts_and_split(self, spark, simple3):
+        rules = RuleSet([
+            _rule(rule="col1_gt_1", expectation="col1 > 1"),
+            _rule(rule="col2_set", column_name="col2",
+                  expectation="col2 in ('a','b','c')"),
+        ])
+        res = mk_engine().run(simple3, rules, spark)
+        assert res.input_count == 3
+        assert res.error_count == 1          # only row_id=0 fails col1 > 1
+        assert res.output_count == 3         # action ignore: nothing dropped
+        assert res.row_summary.rule_failed_counts == {"col1_gt_1": 1, "col2_set": 0}
+        assert res.final_df.count() == 3
+        assert res.error_df.count() == 1
+        err = res.error_df.first()
+        assert err["row_id"] == 0
+        maps = err["meta_row_dq_results"]
+        assert len(maps) == 1 and maps[0]["rule"] == "col1_gt_1"
+        assert maps[0]["status"] == "fail"
+
+    def test_drop_action(self, spark, simple3):
+        rules = RuleSet([_rule(rule="gt1", expectation="col1 > 1",
+                               action_if_failed="drop")])
+        res = mk_engine().run(simple3, rules, spark)
+        assert res.output_count == 2
+        assert res.final_df.count() == 2
+        assert "meta_row_dq_results" not in res.final_df.columns
+
+    def test_fail_action(self, spark, simple3):
+        rules = RuleSet([_rule(rule="gt1", expectation="col1 > 1",
+                               action_if_failed="fail")])
+        with pytest.raises(DQRowFailError):
+            mk_engine().run(simple3, rules, spark)
+
+    def test_null_predicate_is_failure(self, spark):
+        df = spark.createDataFrame([(1,), (None,)], "col1 int")
+        rules = RuleSet([_rule(rule="gt0", expectation="col1 > 0")])
+        res = mk_engine().run(df, rules, spark)
+        assert res.error_count == 1
+
+    def test_window_rule(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x"), (1, "y"), (2, "z")], "pk int, v string")
+        rules = RuleSet([_rule(
+            rule="unique_pk", column_name="pk",
+            expectation="count(*) over (partition by pk) = 1")])
+        res = mk_engine().run(df, rules, spark)
+        assert res.error_count == 2
+        assert res.row_summary.rule_failed_counts["unique_pk"] == 2
+
+
+class TestAggDQ:
+    def test_pass_fail_and_actuals(self, spark, simple3):
+        rules = RuleSet([
+            _rule(rule="sum_gt", rule_type="agg_dq", column_name="col3",
+                  expectation="sum(col3) > 20"),
+            _rule(rule="avg_between", rule_type="agg_dq", column_name="col3",
+                  expectation="avg(col3) between 18 and 25"),
+            _rule(rule="cnt_distinct", rule_type="agg_dq", column_name="col2",
+                  expectation="count(distinct col2) > 4"),
+        ])
+        res = mk_engine().run(simple3, rules, spark)
+        by_name = {r.rule.rule: r for r in res.source_agg}
+        assert by_name["sum_gt"].status == "pass"
+        assert by_name["sum_gt"].actual_value == 60
+        assert by_name["avg_between"].status == "pass"
+        assert by_name["avg_between"].actual_value == 20.0
+        assert by_name["avg_between"].expected == "between 18 and 25"
+        assert by_name["cnt_distinct"].status == "fail"
+        assert by_name["cnt_distinct"].actual_value == 3
+        assert res.status["source_agg_dq"] == "Failed"
+
+    def test_fail_action(self, spark, simple3):
+        rules = RuleSet([_rule(rule="big", rule_type="agg_dq",
+                               expectation="sum(col3) > 1000",
+                               action_if_failed="fail")])
+        with pytest.raises(DQAggFailError):
+            mk_engine().run(simple3, rules, spark)
+
+    def test_target_stage(self, spark, simple3):
+        rules = RuleSet([
+            _rule(rule="drop_small", expectation="col1 > 1", action_if_failed="drop"),
+            _rule(rule="sum_after", rule_type="agg_dq",
+                  expectation="sum(col3) = 50",
+                  enable_for_source_dq_validation=False,
+                  enable_for_target_dq_validation=True),
+        ])
+        res = mk_engine().run(simple3, rules, spark)
+        assert not res.source_agg
+        assert res.target_agg[0].status == "pass"  # 20+30 after drop
+
+
+class TestQueryDQ:
+    def test_scalar_subquery(self, spark, simple3):
+        rules = RuleSet([
+            _rule(rule="tot", rule_type="query_dq",
+                  expectation="(select sum(col3) from src_view) > 20"),
+        ])
+        res = mk_engine(source_view="src_view").run(simple3, rules, spark)
+        assert res.source_query[0].status == "pass"
+        assert res.source_query[0].actual_value == 60
+
+    def test_composite_with_secondary_output(self, spark, simple3):
+        recs = [dict(
+            product_id="p1", table_name="t", rule_type="query_dq",
+            rule="cmp", column_name="col3",
+            expectation="({total}) > ({half}@total@(select sum(col3) from src_view)"
+                        "@half@(select sum(col3)/2 from src_view)",
+            enable_querydq_custom_output=True,
+            action_if_failed="ignore",
+        )]
+        # composite form: expr@alias@sql@alias@sql with {alias} placeholders
+        recs[0]["expectation"] = (
+            "({total}) > ({half})"
+            "@total@(select sum(col3) as s from src_view)"
+            "@half@(select sum(col3)/2 as h from src_view)"
+        )
+        rules = RuleSet.from_records(recs)
+        res = mk_engine(source_view="src_view").run(simple3, rules, spark)
+        q = res.source_query[0]
+        assert q.status == "pass"
+        assert q.secondary_output["total"] == [{"s": 60}]
+        assert q.secondary_output["half"] == [{"h": 30.0}]
+
+    def test_cross_table(self, spark, lineitem, orders):
+        rules = RuleSet([
+            _rule(rule="ref_int", rule_type="query_dq",
+                  expectation="(select count(*) from lineitem_v l where not exists "
+                              "(select 1 from orders_v o where o.o_orderkey = l.l_orderkey)) = 0"),
+        ])
+        cfg_views = {"lineitem_v": lineitem, "orders_v": orders}
+        res = mk_engine(views=cfg_views).run(lineitem, rules, spark)
+        assert res.source_query[0].status == "pass"
+
+
+class TestStats:
+    def test_stats_record(self, spark, simple3):
+        rules = RuleSet([
+            _rule(rule="gt1", expectation="col1 > 1"),
+            _rule(rule="sum_gt", rule_type="agg_dq", expectation="sum(col3) > 20"),
+        ])
+        res = mk_engine().run(simple3, rules, spark)
+        rec = res.stats_record()
+        assert rec["input_count"] == 3 and rec["error_count"] == 1
+        assert rec["error_percentage"] == pytest.approx(33.33)
+        assert rec["success_percentage"] == pytest.approx(66.67)
+        assert rec["dq_status"]["row_dq"] == "Failed"
+        assert rec["dq_rules"]["row_dq"] == {"pass": 0, "fail": 1}
+        from spark_expectations_spark.sinks.writer import stats_df
+        sdf = stats_df(spark, res)
+        assert sdf.count() == 1
+        assert sdf.first()["input_count"] == 3
+
+    def test_error_table_write(self, spark, simple3, tmp_path):
+        from spark_expectations_spark import WriterOptions
+        cfg_kw = dict(
+            write_error_table=True,
+            error_writer=WriterOptions(path=str(tmp_path), mode="overwrite"),
+        )
+        cfg = DQConfig(product_id="p1", table_name="t", **cfg_kw)
+        rules = RuleSet([_rule(rule="gt1", expectation="col1 > 1")])
+        res = DQEngine(cfg).run(simple3, rules, spark)
+        err = spark.read.parquet(str(tmp_path / "t_error"))
+        assert err.count() == 1
+        assert "meta_dq_run_id" in err.columns
+        assert err.first()["meta_dq_run_id"] == res.run_id
+
+
+class TestLineitemE2E:
+    def test_flagship(self, spark, lineitem):
+        rules = RuleSet([
+            _rule(rule="qty_range", column_name="l_quantity",
+                  expectation="l_quantity between 1 and 50"),
+            _rule(rule="disc_small", column_name="l_discount",
+                  expectation="l_discount between 0 and 0.05"),
+            _rule(rule="pk_unique", column_name="l_orderkey",
+                  expectation="count(*) over (partition by l_orderkey, l_linenumber) = 1"),
+            _rule(rule="cnt", rule_type="agg_dq", expectation="count(*) > 0"),
+        ])
+        res = mk_engine().run(lineitem, rules, spark)
+        assert res.input_count == lineitem.count()
+        assert res.error_count > 0           # dup keys + high discounts exist
+        assert res.source_agg[0].status == "pass"
+        # error rows + clean rows partition the input
+        clean = res.input_count - res.error_count
+        assert res.error_df.count() == res.error_count
+        assert clean + res.error_count == res.input_count
