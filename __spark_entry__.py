@@ -1,38 +1,65 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
+rules on sf0.001 lineitem) through DQEngine and returns the per-rule
+outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
+catalog from spark_expectations_spark.queries (25 queries, 22 with DuckDB
+oracles; minhash/simhash/ivf are xxhash64-based or approximate → rows-only).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from spark_expectations_spark import DQConfig, DQEngine, RuleSet  # noqa: E402
+from spark_expectations_spark.operators import query_dq  # noqa: E402
+from spark_expectations_spark.queries import (  # noqa: E402
+    ORACLES, QUERIES, lineitem_row_rules, load,
+)
+from spark_expectations_spark.core.rules import Rule  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full 5-stage DQ run on /root/testdata/sf0.001 lineitem."""
+    sf_dir = "/root/testdata/sf0.001"
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    query_dq.register_views(spark, {"lineitem": li, "orders": od})
+    rules = RuleSet(
+        lineitem_row_rules() + [
+            Rule("spark_graft", "lineitem", "agg_dq", "cnt_pos", "",
+                 "count(*) > 0"),
+            Rule("spark_graft", "lineitem", "agg_dq", "avg_disc", "l_discount",
+                 "avg(l_discount) between 0 and 0.1"),
+            Rule("spark_graft", "lineitem", "query_dq", "orders_cover", "",
+                 "(select count(*) from orders) >= "
+                 "(select count(distinct l_orderkey) from lineitem)"),
+        ]
+    )
+    cfg = DQConfig(product_id="spark_graft", table_name="lineitem",
+                   write_error_table=False)
+    res = DQEngine(cfg).run(li, rules, spark)
+    rows = [("row_dq", rule, "fail" if cnt else "pass", float(cnt))
+            for rule, cnt in res.row_summary.rule_failed_counts.items()]
+    rows += [("agg_dq", r.rule.rule, r.status,
+              float(r.actual_value) if r.actual_value is not None else None)
+             for r in res.source_agg]
+    rows += [("query_dq", r.rule.rule, r.status, None) for r in res.source_query]
+    rows += [("run", "counts", res.status["row_dq"],
+              float(res.input_count))]
+    return spark.createDataFrame(
+        rows, "stage string, rule string, status string, metric double")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: v for k, v in ORACLES.items() if v is not None}

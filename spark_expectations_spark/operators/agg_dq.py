@@ -181,6 +181,32 @@ def evaluate_agg_rules(df: DataFrame, rules: Sequence[Rule]) -> list[AggRuleResu
     return out
 
 
+def evaluate_agg_rules_df(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Same fused single-job evaluation, returned as a tall DataFrame
+    (rule, status, actual_value double) — stays fully lazy/distributed,
+    usable as a query result or for the detailed-stats join."""
+    exprs: list[Column] = []
+    parsed: list[Optional[ParsedExpectation]] = []
+    for i, r in enumerate(rules):
+        exprs.append(F.expr(r.expectation).alias(f"__b{i}"))
+        p = parse_expectation(r.expectation)
+        parsed.append(p)
+        exprs.append(
+            F.expr(p.source_expr).cast("double").alias(f"__v{i}")
+            if p is not None else F.lit(None).cast("double").alias(f"__v{i}")
+        )
+    agg = df.agg(*exprs)
+    structs = [
+        F.struct(
+            F.lit(r.rule).alias("rule"),
+            F.when(F.col(f"__b{i}"), F.lit("pass")).otherwise(F.lit("fail")).alias("status"),
+            F.col(f"__v{i}").alias("actual_value"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
 def failed(results: Sequence[AggRuleResult]) -> list[AggRuleResult]:
     return [r for r in results if r.status == "fail"]
 

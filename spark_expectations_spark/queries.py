@@ -1,0 +1,764 @@
+"""Query catalog: every implemented operator exposed as a (spark, sf_dir) →
+DataFrame callable plus, where SQL-expressible, a DuckDB oracle query.
+
+This is the driver-facing correctness surface (CORRECTNESS_r{N}.json): each
+entry exercises engine operators from SURVEY.md §2 or the scale extensions
+(dedup / similarity / text / multimodal / events). Column names are aligned
+1:1 between the Spark result and the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .core.rules import Rule, RuleSet
+from .operators import agg_dq, dedup, query_dq, row_dq, similarity, text
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet carries TIMESTAMP(NANOS); read ts as raw nanos
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# Fixed DQ ruleset bound to lineitem (FIXTURES.md §6)
+# ---------------------------------------------------------------------------
+
+def lineitem_row_rules() -> list[Rule]:
+    mk = lambda rule, col, exp, act="ignore": Rule(  # noqa: E731
+        "spark_graft", "lineitem", "row_dq", rule, col, exp, action_if_failed=act)
+    return [
+        mk("qty_range", "l_quantity", "l_quantity between 1 and 50"),
+        mk("disc_low", "l_discount", "l_discount between 0 and 0.05", "drop"),
+        mk("price_pos", "l_extendedprice", "l_extendedprice > 0"),
+        mk("ship_notnull", "l_shipdate", "l_shipdate is not null"),
+        mk("pk_unique", "l_orderkey",
+           "count(*) over (partition by l_orderkey, l_linenumber) = 1"),
+    ]
+
+
+_ROW_FAIL_CASES = """
+  CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL THEN 'qty_range' END,
+  CASE WHEN NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL THEN 'disc_low' END,
+  CASE WHEN NOT (l_extendedprice > 0) OR l_extendedprice IS NULL THEN 'price_pos' END,
+  CASE WHEN l_shipdate IS NULL THEN 'ship_notnull' END,
+  CASE WHEN _c <> 1 THEN 'pk_unique' END
+"""
+
+_ROW_CTE = """
+WITH t AS (
+  SELECT *, count(*) OVER (PARTITION BY l_orderkey, l_linenumber) AS _c
+  FROM lineitem
+)
+"""
+
+
+def q_dq_row_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    projected = row_dq.project_rules(li, lineitem_row_rules())
+    err = row_dq.error_rows(projected)
+    return err.select(
+        "l_orderkey", "l_linenumber",
+        F.array_join(
+            F.transform(F.col(row_dq.META_ROW_RESULTS), lambda m: m["rule"]), ","
+        ).alias("failed_rules"),
+    )
+
+
+ORACLE_DQ_ROW_ERRORS = _ROW_CTE + f"""
+SELECT l_orderkey, l_linenumber,
+       concat_ws(',', {_ROW_FAIL_CASES}) AS failed_rules
+FROM t
+WHERE NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+   OR NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
+   OR NOT (l_extendedprice > 0) OR l_extendedprice IS NULL
+   OR l_shipdate IS NULL
+   OR _c <> 1
+"""
+
+
+def q_dq_row_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    projected = row_dq.project_rules(li, lineitem_row_rules())
+    err = row_dq.error_rows(projected)
+    return (
+        err.select(F.explode(row_dq.META_ROW_RESULTS).alias("m"))
+        .groupBy(F.col("m")["rule"].alias("rule"))
+        .agg(F.count(F.lit(1)).alias("failed_count"))
+    )
+
+
+ORACLE_DQ_ROW_SUMMARY = _ROW_CTE + """
+SELECT rule, count(*) AS failed_count FROM (
+  SELECT 'qty_range' AS rule FROM t WHERE NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+  UNION ALL SELECT 'disc_low' FROM t WHERE NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
+  UNION ALL SELECT 'price_pos' FROM t WHERE NOT (l_extendedprice > 0) OR l_extendedprice IS NULL
+  UNION ALL SELECT 'ship_notnull' FROM t WHERE l_shipdate IS NULL
+  UNION ALL SELECT 'pk_unique' FROM t WHERE _c <> 1
+) GROUP BY rule
+"""
+
+
+def q_dq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    projected = row_dq.project_rules(li, lineitem_row_rules())
+    res = F.col(row_dq.META_ROW_RESULTS)
+    return projected.agg(
+        F.count(F.lit(1)).alias("input_count"),
+        F.sum((F.size(res) > 0).cast("long")).alias("error_count"),
+        (F.count(F.lit(1)) - F.sum(
+            F.exists(res, lambda m: m["action_if_failed"] == "drop").cast("long")
+        )).alias("output_count"),
+    )
+
+
+ORACLE_DQ_COUNTS = _ROW_CTE + """
+SELECT count(*) AS input_count,
+       sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+                  OR NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
+                  OR NOT (l_extendedprice > 0) OR l_extendedprice IS NULL
+                  OR l_shipdate IS NULL OR _c <> 1 THEN 1 ELSE 0 END) AS error_count,
+       count(*) - sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
+                      THEN 1 ELSE 0 END) AS output_count
+FROM t
+"""
+
+
+def q_dq_agg_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    mk = lambda rule, col, exp: Rule(  # noqa: E731
+        "spark_graft", "lineitem", "agg_dq", rule, col, exp)
+    rules = [
+        mk("cnt_pos", "", "count(*) > 0"),
+        mk("avg_disc", "l_discount", "avg(l_discount) between 0 and 0.1"),
+        mk("sum_qty", "l_quantity", "sum(l_quantity) > 0"),
+        mk("distinct_orders", "l_orderkey", "count(distinct l_orderkey) > 0"),
+        mk("max_qty", "l_quantity", "max(l_quantity) <= 50"),
+    ]
+    out = agg_dq.evaluate_agg_rules_df(li, rules)
+    return out.select("rule", "status", F.round("actual_value", 4).alias("actual_value"))
+
+
+ORACLE_DQ_AGG_RESULTS = """
+SELECT 'cnt_pos' AS rule, CASE WHEN count(*) > 0 THEN 'pass' ELSE 'fail' END AS status,
+       round(CAST(count(*) AS DOUBLE), 4) AS actual_value FROM lineitem
+UNION ALL SELECT 'avg_disc', CASE WHEN avg(l_discount) BETWEEN 0 AND 0.1 THEN 'pass' ELSE 'fail' END,
+       round(avg(l_discount), 4) FROM lineitem
+UNION ALL SELECT 'sum_qty', CASE WHEN sum(l_quantity) > 0 THEN 'pass' ELSE 'fail' END,
+       round(sum(l_quantity), 4) FROM lineitem
+UNION ALL SELECT 'distinct_orders', CASE WHEN count(DISTINCT l_orderkey) > 0 THEN 'pass' ELSE 'fail' END,
+       round(CAST(count(DISTINCT l_orderkey) AS DOUBLE), 4) FROM lineitem
+UNION ALL SELECT 'max_qty', CASE WHEN max(l_quantity) <= 50 THEN 'pass' ELSE 'fail' END,
+       round(max(l_quantity), 4) FROM lineitem
+"""
+
+
+def q_dq_query_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    query_dq.register_views(spark, {"lineitem": li, "orders": od})
+    mk = lambda rule, exp: Rule(  # noqa: E731
+        "spark_graft", "lineitem", "query_dq", rule, "", exp)
+    rules = [
+        mk("orders_cover",
+           "(select count(*) from orders) >= (select count(distinct l_orderkey) from lineitem)"),
+        mk("ref_integrity",
+           "(select count(*) from lineitem l left join orders o"
+           " on l.l_orderkey = o.o_orderkey where o.o_orderkey is null) = 0"),
+    ]
+    results = query_dq.evaluate_query_rules(spark, rules)
+    return spark.createDataFrame(
+        [(r.rule.rule, r.status) for r in results], "rule string, status string")
+
+
+ORACLE_DQ_QUERY_RESULTS = """
+SELECT 'orders_cover' AS rule,
+       CASE WHEN (SELECT count(*) FROM orders) >=
+                 (SELECT count(DISTINCT l_orderkey) FROM lineitem)
+            THEN 'pass' ELSE 'fail' END AS status
+UNION ALL
+SELECT 'ref_integrity',
+       CASE WHEN (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) = 0
+            THEN 'pass' ELSE 'fail' END
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style analytics (scan → filter → join → agg → sort/limit)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 revenue orders for one segment. customer is broadcast (small
+    dim); lineitem⋈orders is the only real shuffle; top-k goes through
+    TakeOrderedAndProject, not a global sort."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    cutoff = F.lit("1997-01-01").cast("timestamp_ntz")
+    joined = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(od.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cu.filter(F.col("c_mktsegment") == "BUILDING")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND l_shipdate > TIMESTAMP '1997-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_tpch_q5ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by customer nation within one region — dims all broadcast;
+    single shuffle joining the two fact tables."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    dims = (
+        cu.join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+              na["n_regionkey"] == re["r_regionkey"])
+        .select("c_custkey", "n_name")
+    )
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(dims), od["o_custkey"] == dims["c_custkey"])
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q5ISH = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        od.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+ORACLE_WINDOW_RANK = """
+SELECT o_custkey, o_orderkey, rnk FROM (
+  SELECT o_custkey, o_orderkey,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate ASC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return od.select(
+        "o_custkey", "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+    )
+
+
+ORACLE_WINDOW_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return dedup.dedup_exact(docs, ["text"], tie_breaker="doc_id").select("doc_id")
+
+
+ORACLE_DEDUP_EXACT = "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", text.fingerprint(F.col("text")).alias("fp"))
+    return fp.groupBy("fp").agg(
+        F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_docs"))
+
+
+ORACLE_DEDUP_FINGERPRINT = r"""
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),
+                               '\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS doc_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.15)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+ORACLE_DEDUP_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(c * 1.0 / (sa.n + sb.n - c), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+"""
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates with estimated Jaccard. xxhash64 has
+    no DuckDB twin → rows-only check; q_dedup_jaccard is the exact-oracle
+    ground truth this approximates."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.3)
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3 of 64 bits; 4-block pigeonhole
+    is exact at this radius). xxhash64-based → rows-only check."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
+    return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3, blocks=4)
+
+
+def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.near_duplicate_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_EMBED_NEAR_DUPS = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_sum(list_transform(range(1, len(a.e) + 1),
+                                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 4) AS cosine
+FROM v a JOIN v b ON a.vec_id < b.vec_id
+WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk(emb, queries, id_col="vec_id",
+                                 vec_col="embedding", k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_ANN_TOPK = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cos_raw
+  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-k (centroids from the label column).
+    Approximate by construction → rows-only check; recall vs q_ann_topk is
+    asserted in tests."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids_df(emb, vec_col="embedding", by_col="label")
+    assigned = emb.withColumn("centroid_id", F.col("label"))
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(assigned, cents, queries, id_col="vec_id",
+                              vec_col="embedding", k=5, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        text.token_count(t).alias("n_tokens"),
+        text.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        text.char_count(t).alias("n_chars_computed"),
+        F.round(text.punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(text.mean_word_length(t), 4).alias("mean_word_len"),
+    )
+
+
+ORACLE_TEXT_STATS = r"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS w
+  FROM documents
+)
+SELECT doc_id,
+       len(t) AS n_tokens,
+       list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_bpe_tokens,
+       length(text) AS n_chars_computed,
+       round(CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 1.0 / length(text)
+             ELSE 0 END, 4) AS punct_ratio,
+       round(CASE WHEN len(t) > 0
+             THEN list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)
+             ELSE 0 END, 4) AS mean_word_len
+FROM toks
+"""
+
+
+_EN_STOPWORDS_SQL = "['the','and','of','to','a','in','is','it','you','that']"
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(text.stopword_ratio(t, text.DEFAULT_LANG_MARKERS["en"]), 4)
+         .alias("stopword_ratio"),
+        F.round(text.quality_score(t), 4).alias("quality_score"),
+    )
+
+
+ORACLE_TEXT_QUALITY = rf"""
+WITH toks AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+    CASE WHEN len(t) > 0
+         THEN len(list_filter(t, x -> list_contains({_EN_STOPWORDS_SQL}, x))) * 1.0 / len(t)
+         ELSE 0 END AS sw_ratio,
+    least(len(t) / 5.0, 1.0) AS len_sig,
+    CASE WHEN (CASE WHEN length(text) > 0
+               THEN length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) * 1.0 / length(text)
+               ELSE 0 END) <= 0.3 THEN 1.0 ELSE 0.0 END AS punct_sig,
+    CASE WHEN (CASE WHEN len(t) > 0
+               THEN list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)
+               ELSE 0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END AS shape_sig
+  FROM toks
+)
+SELECT doc_id,
+       round(sw_ratio, 4) AS stopword_ratio,
+       round((len_sig + punct_sig + shape_sig + least(sw_ratio * 5.0, 1.0)) / 4.0, 4)
+         AS quality_score
+FROM sig
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", text.language_id(F.col("text")).alias("lang_detected"))
+
+
+def _lang_score_sql(words) -> str:
+    arr = "[" + ",".join(f"'{w}'" for w in words) + "]"
+    return f"len(list_filter(t, x -> list_contains({arr}, x)))"
+
+
+def _oracle_langid() -> str:
+    scores = {lang: _lang_score_sql(ws)
+              for lang, ws in sorted(text.DEFAULT_LANG_MARKERS.items())}
+    score_cols = ",\n    ".join(f"{expr} AS s_{lang}" for lang, expr in scores.items())
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in scores) + ")"
+    cases = "\n    ".join(
+        f"WHEN s_{lang} > 0 AND s_{lang} = {best} THEN '{lang}'" for lang in scores)
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+    {score_cols}
+  FROM toks
+)
+SELECT doc_id, CASE
+    {cases}
+    ELSE 'und' END AS lang_detected
+FROM scores
+"""
+
+
+ORACLE_TEXT_LANGID = _oracle_langid()
+
+
+# ---------------------------------------------------------------------------
+# Events (json / tumbling windows / sessionization)
+# ---------------------------------------------------------------------------
+
+_NS_PER_HOUR = 3600 * 1_000_000_000
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    hour = (F.expr(f"ts div {_NS_PER_HOUR}") * 3600).alias("hour_epoch_s")
+    return (
+        ev.groupBy(hour, "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+ORACLE_EVENTS_HOURLY = f"""
+SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch_s, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.round(F.avg(k), 4).alias("avg_k"), F.sum(k).alias("sum_k"))
+    )
+
+
+ORACLE_EVENTS_JSON = """
+SELECT event_type,
+       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
+       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+_SESSION_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-side sessionization over event-time gaps — the batch twin of
+    streaming session windows; one window shuffle keyed by user."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts") - F.lag("ts").over(w)
+    new_sess = F.when(gap.isNull() | (gap > _SESSION_GAP_NS), 1).otherwise(0)
+    return (
+        ev.withColumn("__new", new_sess)
+        .groupBy("user_id")
+        .agg(F.sum("__new").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+ORACLE_EVENTS_SESSIONS = f"""
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN epoch_ns(ts) - lag(epoch_ns(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)
+              > {_SESSION_GAP_NS}
+              OR lag(epoch_ns(ts)) OVER (
+                PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC) IS NULL
+         THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+FROM g GROUP BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (stub decode; Spark-side schema/batching is real)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    with_bin = multimodal.synthesize_binary_column(docs, "text")
+    feats = multimodal.extract_features(
+        with_bin, id_col="doc_id", binary_col="media_bytes", feature_dim=8)
+    return feats.select("doc_id", "n_bytes", F.size("features").alias("feature_dim"))
+
+
+ORACLE_MULTIMODAL_FEATURES = """
+SELECT doc_id, 16 AS n_bytes, 8 AS feature_dim FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dq_row_errors": q_dq_row_errors,
+    "dq_row_summary": q_dq_row_summary,
+    "dq_counts": q_dq_counts,
+    "dq_agg_results": q_dq_agg_results,
+    "dq_query_results": q_dq_query_results,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q5ish": q_tpch_q5ish,
+    "window_rank": q_window_rank,
+    "window_running_total": q_window_running_total,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embed_near_dups": q_embed_near_dups,
+    "ann_topk": q_ann_topk,
+    "ann_ivf": q_ann_ivf,
+    "text_stats": q_text_stats,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "events_sessions": q_events_sessions,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES: dict[str, Optional[str]] = {
+    "dq_row_errors": ORACLE_DQ_ROW_ERRORS,
+    "dq_row_summary": ORACLE_DQ_ROW_SUMMARY,
+    "dq_counts": ORACLE_DQ_COUNTS,
+    "dq_agg_results": ORACLE_DQ_AGG_RESULTS,
+    "dq_query_results": ORACLE_DQ_QUERY_RESULTS,
+    "tpch_q1": ORACLE_TPCH_Q1,
+    "tpch_q3": ORACLE_TPCH_Q3,
+    "tpch_q5ish": ORACLE_TPCH_Q5ISH,
+    "window_rank": ORACLE_WINDOW_RANK,
+    "window_running_total": ORACLE_WINDOW_RUNNING_TOTAL,
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
+    "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
+    # approximate-by-construction → rows-only checks (no oracle)
+    "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
+    "ann_topk": ORACLE_ANN_TOPK,
+    "text_stats": ORACLE_TEXT_STATS,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "text_langid": ORACLE_TEXT_LANGID,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_json": ORACLE_EVENTS_JSON,
+    "events_sessions": ORACLE_EVENTS_SESSIONS,
+    "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+}
