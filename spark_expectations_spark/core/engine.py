@@ -45,7 +45,22 @@ class DQEngine:
         spark = spark or df.sparkSession
         if df.isStreaming:
             return self._run_streaming(df, rules, spark)
+        hub = cfg.notifications
+        if hub is not None:
+            hub.on_start(cfg.product_id, cfg.table_name)
+        try:
+            result = self._run_batch(df, rules, spark)
+        except Exception as e:
+            if hub is not None:
+                hub.on_failure(cfg.product_id, cfg.table_name, e)
+            raise
+        if hub is not None:
+            hub.on_completion(result, list(rules))
+        return result
 
+    def _run_batch(self, df: DataFrame, rules: RuleSet,
+                   spark: SparkSession) -> DQResult:
+        cfg = self.config
         result = DQResult(
             run_id=new_run_id(cfg.product_id),
             product_id=cfg.product_id,

@@ -219,7 +219,7 @@ def looks_aggregate(expectation: str) -> bool:
     # remove window'd agg calls: any agg immediately followed by __over__
     for m in reversed(list(_AGG_FN_RE.finditer(stripped))):
         end = _matching_paren(stripped, m.end() - 1)
-        if end is not None and stripped[end:].lstrip().startswith("__over__"):
+        if end is not None and stripped[end + 1:].lstrip().startswith("__over__"):
             stripped = stripped[: m.start()] + " 1 " + stripped[end + 1:]
     return bool(_AGG_FN_RE.search(stripped))
 

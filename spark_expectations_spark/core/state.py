@@ -79,6 +79,9 @@ class DQConfig:
     #: cache the projected frame between summary and error write. Sensible at
     #: test scale; at 100 TB prefer False (two scans beat caching 100 TB).
     cache_projected: bool = False
+    #: optional NotificationHub (notifications.py); receives
+    #: start/completion/failure/threshold events
+    notifications: Any = None
 
     def resolved_error_table(self) -> str:
         return self.error_table or f"{self.table_name}_error"

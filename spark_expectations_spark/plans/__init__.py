@@ -1,0 +1,67 @@
+"""Physical-plan inspection helpers.
+
+The engine's scale posture is encoded in plan shapes: filters pushed to the
+parquet scan, small dims broadcast, one fused projection for row rules,
+partial aggregation before shuffles. These helpers read
+``explain('formatted')`` output so tests can ASSERT those shapes instead of
+hoping for them.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import re
+
+from pyspark.sql import DataFrame
+
+
+def plan_text(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True if the parquet scan carries PushedFilters (predicate pushdown)."""
+    txt = plan_text(df)
+    return bool(re.search(r"PushedFilters: \[[^\]]+\]", txt))
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Columns actually read from the scan (column pruning check)."""
+    txt = plan_text(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    if not m:
+        return []
+    return [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+
+
+def num_shuffles(df: DataFrame) -> int:
+    """Count shuffle exchanges in the physical plan (AQE-planned frames
+    report the initial plan; still a sound upper bound at plan time)."""
+    txt = plan_text(df, "simple")
+    return txt.count("Exchange hashpartitioning") + txt.count("Exchange rangepartitioning")
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_text(df, "simple")
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in plan_text(df, "simple")
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Number of WholeStageCodegen regions — wider spans = more fused
+    JVM-side execution."""
+    txt = plan_text(df, "simple")
+    return len(set(re.findall(r"\*\((\d+)\)", txt)))
+
+
+def has_partial_aggregation(df: DataFrame) -> bool:
+    """True if a HashAggregate with partial mode precedes the exchange
+    (map-side combine)."""
+    txt = plan_text(df)
+    return "partial_" in txt or bool(re.search(r"Functions \[\d+\]: partial", txt))

@@ -1,0 +1,106 @@
+"""Streaming DQ.
+
+Two tiers (SURVEY.md §2.9):
+
+* Reference parity — handled inside ``DQEngine.run`` for a streaming frame:
+  row rules + drop filtering applied statelessly; agg/query stages and the
+  fail gate skipped (uncountable mid-stream; reference
+  core/expectations.py:523-546, utils/actions.py:657-665).
+
+* The idiomatic upgrade — ``foreach_batch_dq`` runs the FULL 5-stage batch
+  engine on every micro-batch via foreachBatch, so agg/query rules and
+  fail actions are enforceable per micro-batch; plus watermark/window
+  helpers for event-time rules.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.engine import DQEngine
+from ..core.rules import RuleSet
+from ..core.state import DQConfig, DQResult
+
+
+def foreach_batch_dq(
+    stream_df: DataFrame,
+    rules: RuleSet,
+    config: DQConfig,
+    *,
+    on_result: Optional[Callable[[int, DQResult], None]] = None,
+    checkpoint_location: Optional[str] = None,
+    trigger: Optional[dict] = None,
+    query_name: str = "dq_foreach_batch",
+):
+    """Run the full batch DQ engine per micro-batch.
+
+    Returns the started StreamingQuery. Each micro-batch gets the complete
+    treatment — source agg/query dq, row dq with drop/fail actions, error
+    and stats writes per ``config`` — with batch semantics (counts are per
+    micro-batch). ``on_result(batch_id, DQResult)`` receives every
+    outcome; a raised DQ*FailError inside fails the streaming query, which
+    is exactly the 'fail' action contract.
+    """
+    engine = DQEngine(config)
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        result = engine.run(batch_df, rules, batch_df.sparkSession)
+        if on_result is not None:
+            on_result(batch_id, result)
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def with_event_time(
+    df: DataFrame, ts_col: str, *, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Attach a watermark for late-data handling on event-time rules."""
+    return df.withWatermark(ts_col, watermark)
+
+
+def tumbling_counts(
+    df: DataFrame,
+    ts_col: str,
+    *,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation — the streaming twin of the
+    batch events_hourly query; usable as a streaming agg_dq substrate."""
+    w = df.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(F.window(F.col(ts_col), window).alias("win"), *group_cols)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"),
+                F.col("win.end").alias("window_end"),
+                *group_cols, "n_events")
+    )
+
+
+def session_counts(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Session-window counts per key (F.session_window) — streaming twin of
+    the batch events_sessions query."""
+    w = df.withWatermark(ts_col, watermark)
+    return (
+        w.groupBy(F.session_window(F.col(ts_col), gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col(key_col),
+                F.col("win.start").alias("session_start"),
+                F.col("win.end").alias("session_end"), "n_events")
+    )

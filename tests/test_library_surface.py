@@ -1,0 +1,238 @@
+"""Tests for loaders, validation, notifications, streaming, and plan checks."""
+
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_expectations_spark import DQConfig, DQEngine, DQRuleError, Rule, RuleSet
+from spark_expectations_spark import plans, validation
+from spark_expectations_spark.notifications import (
+    CollectingNotifier, NotificationHub, NotificationRules,
+)
+from spark_expectations_spark.sources.loaders import load_rules, rules_from_doc
+
+
+class TestLoaders:
+    DOC = {
+        "product_id": "p1",
+        "defaults": {"table_name": "db.t", "action_if_failed": "drop"},
+        "dq_env": {"DEV": {"is_active": True}, "prod": {"is_active": False}},
+        "rules": [
+            {"rule": "r1", "rule_type": "row_dq", "column_name": "c",
+             "expectation": "c > 0"},
+            {"rule": "r2", "rule_type": "agg_dq", "column_name": "c",
+             "expectation": "sum(c) > 0", "action_if_failed": "ignore"},
+        ],
+    }
+
+    def test_doc_defaults_and_env(self):
+        rs = rules_from_doc(self.DOC, env="dev")
+        by = {r.rule: r for r in rs}
+        assert by["r1"].table_name == "db.t"
+        assert by["r1"].action_if_failed == "drop"
+        assert by["r2"].action_if_failed == "ignore"
+        assert all(r.is_active for r in rs)
+        rs_prod = rules_from_doc(self.DOC, env="PROD")
+        assert not any(r.is_active for r in rs_prod)
+
+    def test_json_file_roundtrip(self, tmp_path):
+        p = tmp_path / "rules.json"
+        p.write_text(json.dumps(self.DOC))
+        rs = load_rules(str(p), env="dev")
+        assert len(rs) == 2
+
+    def test_yaml_file(self, tmp_path):
+        yaml = pytest.importorskip("yaml")
+        p = tmp_path / "rules.yaml"
+        p.write_text(yaml.safe_dump(self.DOC))
+        assert len(load_rules(str(p))) == 2
+
+    def test_missing_product_id(self):
+        with pytest.raises(DQRuleError, match="product_id"):
+            rules_from_doc({"rules": []})
+
+    def test_to_df_roundtrip(self, spark):
+        rs = rules_from_doc(self.DOC)
+        df = rs.to_df(spark)
+        assert df.count() == 2
+        back = RuleSet.from_df(df, product_id="p1")
+        assert {r.rule for r in back} == {"r1", "r2"}
+
+
+class TestValidation:
+    def _r(self, rule_type, exp):
+        return Rule("p", "t", rule_type, "r", "c", exp)
+
+    def test_row_rule_with_agg_rejected(self, spark):
+        issues = validation.validate_rule(spark, self._r("row_dq", "sum(c) > 10"))
+        assert any(i.severity == "error" for i in issues)
+
+    def test_row_rule_with_window_ok(self, spark):
+        issues = validation.validate_rule(
+            spark, self._r("row_dq", "count(*) over (partition by c) = 1"))
+        assert not issues
+
+    def test_agg_rule_without_agg_rejected(self, spark):
+        issues = validation.validate_rule(spark, self._r("agg_dq", "c > 10"))
+        assert any("no aggregate" in i.message for i in issues)
+
+    def test_parse_error(self, spark):
+        issues = validation.validate_rule(spark, self._r("row_dq", "c >>>= 1"))
+        assert any(i.severity == "error" for i in issues)
+
+    def test_unresolved_column_against_df(self, spark):
+        df = spark.createDataFrame([(1,)], "x int")
+        issues = validation.validate_against_df(
+            spark, self._r("row_dq", "missing_col > 1"), df)
+        assert issues and issues[0].severity == "error"
+
+    def test_query_dq_needs_parens(self, spark):
+        issues = validation.validate_rule(
+            spark, self._r("query_dq", "select 1"))
+        assert any("parenthesized" in i.message for i in issues)
+
+    def test_raise_on_error(self, spark):
+        with pytest.raises(DQRuleError):
+            validation.validate_rules(
+                spark, [self._r("agg_dq", "c > 10")], raise_on_error=True)
+
+
+class TestNotifications:
+    def test_lifecycle_events(self, spark, simple3):
+        coll = CollectingNotifier()
+        hub = NotificationHub(NotificationRules(
+            notify_on_start=True, notify_on_completion=True,
+            error_threshold_pct=10.0))
+        hub.register(coll)
+        rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1")])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False, notifications=hub)
+        DQEngine(cfg).run(simple3, rules, spark)
+        events = [e for e, _ in coll.events]
+        assert events == ["start", "completion", "error_threshold"]
+        payload = dict(coll.events[2][1])
+        assert payload["error_percentage"] > 10.0
+
+    def test_failure_event(self, spark, simple3):
+        coll = CollectingNotifier()
+        hub = NotificationHub()
+        hub.register(coll)
+        rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1",
+                              action_if_failed="fail")])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False, notifications=hub)
+        with pytest.raises(Exception):
+            DQEngine(cfg).run(simple3, rules, spark)
+        assert [e for e, _ in coll.events] == ["failure"]
+
+    def test_rule_threshold_breach(self, spark, simple3):
+        coll = CollectingNotifier()
+        hub = NotificationHub(NotificationRules())
+        hub.register(coll)
+        rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1",
+                              enable_error_drop_alert=True,
+                              error_drop_threshold=10)])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False, notifications=hub)
+        DQEngine(cfg).run(simple3, rules, spark)
+        assert [e for e, _ in coll.events] == ["rule_threshold"]
+        assert coll.events[0][1]["breaches"][0]["rule"] == "gt1"
+
+
+class TestStreamingDQ:
+    def test_row_dq_on_stream(self, spark, tmp_path):
+        from spark_expectations_spark import WriterOptions
+        src = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+        df = src.selectExpr("value as id", "cast(value % 5 as int) as grade")
+        rules = RuleSet([Rule("p1", "t", "row_dq", "grade_ok", "grade",
+                              "grade < 4", action_if_failed="drop")])
+        cfg = DQConfig(
+            product_id="p1", table_name="t",
+            write_error_table=True,
+            error_writer=WriterOptions(
+                path=str(tmp_path / "err"), format="parquet",
+                checkpoint_location=str(tmp_path / "ckpt_e")),
+            write_target_table=True, target_table="t_final",
+            target_writer=WriterOptions(
+                path=str(tmp_path / "out"), format="parquet",
+                checkpoint_location=str(tmp_path / "ckpt_f")),
+        )
+        res = DQEngine(cfg).run(df, rules, spark)
+        assert res.streaming_query is not None
+        try:
+            deadline = time.time() + 60
+            target = None
+            while time.time() < deadline:
+                try:
+                    target = spark.read.parquet(str(tmp_path / "out" / "t_final"))
+                    if target.count() > 0:
+                        break
+                except Exception:
+                    pass
+                time.sleep(2)
+            assert target is not None and target.count() > 0
+            assert target.filter(F.col("grade") >= 4).count() == 0
+        finally:
+            for q in spark.streams.active:
+                q.stop()
+
+    def test_foreach_batch_full_dq(self, spark, tmp_path):
+        from spark_expectations_spark.streaming import foreach_batch_dq
+        src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
+        df = src.selectExpr("value as id", "cast(value % 10 as int) as grade")
+        rules = RuleSet([
+            Rule("p1", "t", "row_dq", "grade_ok", "grade", "grade < 8",
+                 action_if_failed="drop"),
+            Rule("p1", "t", "agg_dq", "cnt", "", "count(*) >= 0"),
+        ])
+        cfg = DQConfig(product_id="p1", table_name="t", write_error_table=False)
+        results = {}
+        q = foreach_batch_dq(
+            df, rules, cfg,
+            on_result=lambda bid, res: results.setdefault(bid, res),
+            checkpoint_location=str(tmp_path / "ckpt"))
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if any(r.input_count > 0 for r in results.values()):
+                    break
+                time.sleep(2)
+            good = [r for r in results.values() if r.input_count > 0]
+            assert good, "no non-empty micro-batch arrived"
+            r = good[0]
+            assert r.source_agg and r.source_agg[0].status == "pass"
+            assert r.output_count <= r.input_count
+        finally:
+            q.stop()
+
+
+class TestPlanShapes:
+    def test_filter_pushdown_to_scan(self, spark, lineitem):
+        df = lineitem.filter(F.col("l_quantity") > 10).select("l_orderkey")
+        assert plans.has_pushed_filters(df)
+        cols = plans.read_schema_columns(df)
+        assert "l_comment" not in cols
+        assert set(cols) <= {"l_orderkey", "l_quantity"}
+
+    def test_broadcast_join_for_small_dim(self, spark, lineitem, orders):
+        small = orders.limit(100)
+        j = lineitem.join(F.broadcast(small),
+                          lineitem["l_orderkey"] == small["o_orderkey"])
+        assert plans.has_broadcast_join(j)
+
+    def test_row_dq_single_projection_no_shuffle(self, spark, lineitem):
+        """Non-window row rules must add ZERO shuffles."""
+        from spark_expectations_spark.operators import row_dq
+        rules = [
+            Rule("p", "t", "row_dq", "q", "l_quantity", "l_quantity between 1 and 50"),
+            Rule("p", "t", "row_dq", "d", "l_discount", "l_discount >= 0"),
+            Rule("p", "t", "row_dq", "s", "l_shipdate", "l_shipdate is not null"),
+        ]
+        projected = row_dq.project_rules(lineitem, rules)
+        assert plans.num_shuffles(projected) == 0
+
+    def test_agg_partial_aggregation(self, spark, lineitem):
+        agg = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+        assert plans.has_partial_aggregation(agg)

@@ -1,0 +1,166 @@
+"""Tests for dedup / similarity / text / multimodal operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_expectations_spark.operators import dedup, multimodal, similarity, text
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+class TestDedup:
+    def test_exact_keeps_min_tiebreaker(self, spark):
+        df = spark.createDataFrame(
+            [(3, "x"), (1, "x"), (2, "y")], "id int, t string")
+        out = dedup.dedup_exact(df, ["t"], tie_breaker="id")
+        assert {r["id"] for r in out.collect()} == {1, 2}
+
+    def test_exact_no_subset(self, spark):
+        df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id int, t string")
+        assert dedup.dedup_exact(df).count() == 2
+
+    def test_shingles(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "t string")
+        row = df.select(dedup.shingles_col(F.col("t"), 3).alias("s")).first()
+        assert sorted(row["s"]) == ["a b c", "b c d"]
+        short = spark.createDataFrame([("a b",)], "t string")
+        row = short.select(dedup.shingles_col(F.col("t"), 3).alias("s")).first()
+        assert row["s"] == ["a b"]
+
+    def test_jaccard_identical_docs(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+             (3, "completely different text here now")],
+            "doc_id int, text string")
+        pairs = dedup.jaccard_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert len(pairs) == 1
+        assert (pairs[0]["id_a"], pairs[0]["id_b"]) == (1, 2)
+        assert pairs[0]["jaccard"] == 1.0
+
+    def test_minhash_agrees_with_jaccard(self, docs):
+        """LSH+minhash estimates should track exact Jaccard on real docs."""
+        exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.jaccard_pairs(docs, "doc_id", "text",
+                                              n=3, threshold=0.5).collect()}
+        est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+               for r in dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
+                                                  threshold=0.3).collect()}
+        # every strongly-similar exact pair must be recalled by LSH
+        for pair, j in exact.items():
+            assert pair in est, f"missed near-dup {pair} (jaccard={j})"
+            assert abs(est[pair] - j) < 0.35
+
+    def test_simhash_identical_docs_zero_distance(self, spark):
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+             (3, "zeta eta theta iota")],
+            "doc_id int, text string")
+        sigs = dedup.simhash_signatures(df, "doc_id", "text")
+        pairs = dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=0).collect()
+        assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
+
+
+class TestSimilarity:
+    def test_topk_matches_hof_reference(self, emb):
+        fast = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
+        slow = similarity.cosine_topk_hof(emb, emb.filter(F.col("vec_id") < 3), k=4)
+        f = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in fast.collect()}
+        s = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in slow.collect()}
+        assert f == s
+
+    def test_self_similarity_excluded(self, emb):
+        out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 5), k=3)
+        assert all(r["neighbor_id"] != 5 for r in out.collect())
+
+    def test_near_dup_symmetric_threshold(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.001]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<float>")
+        pairs = similarity.near_duplicate_pairs(df, threshold=0.99).collect()
+        assert [(p["id_a"], p["id_b"]) for p in pairs] == [(1, 2)]
+
+    def test_ivf_recall_vs_exact(self, emb):
+        """IVF with nprobe=all must equal exact brute force."""
+        cents = similarity.train_centroids_df(emb, by_col="label")
+        assigned = emb.withColumn("centroid_id", F.col("label"))
+        q = emb.filter(F.col("vec_id") < 3)
+        exact = similarity.cosine_topk(emb, q, k=3)
+        approx = similarity.ivf_topk(assigned, cents, q, k=3, nprobe=10)
+        e = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in exact.collect()}
+        a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
+        assert e == a
+
+    def test_lsh_bucket_determinism(self, emb):
+        b1 = similarity.random_hyperplane_lsh(emb, dim=64, num_planes=8)
+        b2 = similarity.random_hyperplane_lsh(emb, dim=64, num_planes=8)
+        assert (b1.select("vec_id", "lsh_bucket").collect()
+                == b2.select("vec_id", "lsh_bucket").collect())
+
+
+class TestText:
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([("hello world  foo",), ("",)], "t string")
+        rows = df.select(text.token_count(F.col("t")).alias("n")).collect()
+        assert [r["n"] for r in rows] == [3, 0]
+
+    def test_quality_monotonic(self, spark):
+        good = "the quick brown fox jumps over the lazy dog again and again"
+        bad = "!!! ??? ### $$$"
+        df = spark.createDataFrame([(good,), (bad,)], "t string")
+        rows = df.select(text.quality_score(F.col("t")).alias("q")).collect()
+        assert rows[0]["q"] > rows[1]["q"]
+
+    def test_langid_markers(self, spark):
+        df = spark.createDataFrame(
+            [("the cat and the dog",), ("el perro y la casa que",),
+             ("xyzzy plugh",)], "t string")
+        rows = df.select(text.language_id(F.col("t")).alias("l")).collect()
+        assert [r["l"] for r in rows] == ["en", "es", "und"]
+
+    def test_fingerprint_normalization(self, spark):
+        df = spark.createDataFrame(
+            [("Hello,   World!",), ("hello world",)], "t string")
+        rows = df.select(text.fingerprint(F.col("t")).alias("f")).collect()
+        assert rows[0]["f"] == rows[1]["f"]
+
+    def test_profile_columns(self, docs):
+        out = text.profile(docs.limit(10), "text")
+        expected = {"n_tokens", "n_bpe_tokens", "quality_score", "lang_detected",
+                    "fingerprint", "punct_ratio", "stopword_ratio"}
+        assert expected <= set(out.columns)
+        assert out.count() == 10
+
+
+class TestMultimodal:
+    def test_feature_extraction_deterministic(self, docs):
+        with_bin = multimodal.synthesize_binary_column(docs.limit(20), "text")
+        f1 = multimodal.extract_features(with_bin, id_col="doc_id",
+                                         binary_col="media_bytes", feature_dim=8)
+        rows1 = {r["doc_id"]: r["features"] for r in f1.collect()}
+        f2 = multimodal.extract_features(with_bin, id_col="doc_id",
+                                         binary_col="media_bytes", feature_dim=8)
+        rows2 = {r["doc_id"]: r["features"] for r in f2.collect()}
+        assert rows1 == rows2
+        assert all(len(v) == 8 for v in rows1.values())
+
+    def test_real_codec_raises(self, docs):
+        with_bin = multimodal.synthesize_binary_column(docs.limit(1), "text")
+        with pytest.raises(NotImplementedError):
+            multimodal.extract_features(with_bin, id_col="doc_id",
+                                        binary_col="media_bytes", codec="jpeg")
+
+    def test_frame_sample_plan(self, spark):
+        df = spark.createDataFrame([(1, 3500)], "vid long, duration_ms long")
+        out = multimodal.frame_sample_plan(df, id_col="vid",
+                                           duration_col="duration_ms")
+        assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
