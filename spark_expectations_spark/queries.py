@@ -686,6 +686,107 @@ FROM g GROUP BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Rollup / set ops / anti join / top-k
+# ---------------------------------------------------------------------------
+
+def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+ORACLE_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_set_ops_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    cust_nations = cu.join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"]) \
+                     .select("n_name").distinct()
+    supp_nations = su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"]) \
+                     .select("n_name").distinct()
+    ex = cust_nations.subtract(supp_nations).withColumn("op", F.lit("except"))
+    ix = cust_nations.intersect(supp_nations).withColumn("op", F.lit("intersect"))
+    return ex.unionByName(ix)
+
+
+ORACLE_SET_OPS_NATIONS = """
+SELECT n_name, 'except' AS op FROM (
+  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  EXCEPT
+  SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+UNION ALL
+SELECT n_name, 'intersect' AS op FROM (
+  SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+  INTERSECT
+  SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+"""
+
+
+def q_anti_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        od.join(li, od["o_orderkey"] == li["l_orderkey"], "left_anti")
+        .select("o_orderkey", "o_orderstatus")
+    )
+
+
+ORACLE_ANTI_JOIN_ORDERS = """
+SELECT o_orderkey, o_orderstatus FROM orders o
+WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+"""
+
+
+def q_events_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(20)
+    )
+
+
+ORACLE_EVENTS_TOPK_USERS = """
+SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY user_id
+ORDER BY n_events DESC, user_id ASC LIMIT 20
+"""
+
+
+def q_part_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pa = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    return (
+        pa.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "p_partkey", "rnk",
+                F.round("p_retailprice", 2).alias("p_retailprice"))
+    )
+
+
+ORACLE_PART_BRAND_TOPK = """
+SELECT p_brand, p_partkey, rnk, round(p_retailprice, 2) AS p_retailprice FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+  FROM part
+) WHERE rnk <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing (stub decode; Spark-side schema/batching is real)
 # ---------------------------------------------------------------------------
 
@@ -733,6 +834,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
+    "rollup_orders": q_rollup_orders,
+    "set_ops_nations": q_set_ops_nations,
+    "anti_join_orders": q_anti_join_orders,
+    "events_topk_users": q_events_topk_users,
+    "part_brand_topk": q_part_brand_topk,
     "multimodal_features": q_multimodal_features,
 }
 
@@ -760,5 +866,10 @@ ORACLES: dict[str, Optional[str]] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
+    "rollup_orders": ORACLE_ROLLUP_ORDERS,
+    "set_ops_nations": ORACLE_SET_OPS_NATIONS,
+    "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
+    "events_topk_users": ORACLE_EVENTS_TOPK_USERS,
+    "part_brand_topk": ORACLE_PART_BRAND_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

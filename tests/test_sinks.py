@@ -1,0 +1,74 @@
+"""Tests for stats/report/builder sinks."""
+
+from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
+from spark_expectations_spark.sinks.builder import WrappedDataFrameWriter
+from spark_expectations_spark.sinks.report import report_from_stats, run_summary
+from spark_expectations_spark.sinks.writer import detailed_stats_df, stats_df
+
+
+def _run(spark, simple3):
+    rules = RuleSet([
+        Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1"),
+        Rule("p1", "t", "agg_dq", "sum_ok", "col3", "sum(col3) > 20"),
+        Rule("p1", "t", "agg_dq", "avg_hi", "col3", "avg(col3) > 100",
+             enable_for_target_dq_validation=True),
+        Rule("p1", "t", "query_dq", "q1", "",
+             "(select count(*) from src_v) = 3"),
+    ])
+    cfg = DQConfig(product_id="p1", table_name="t", source_view="src_v",
+                   write_error_table=False)
+    return DQEngine(cfg).run(simple3, rules, spark)
+
+
+class TestReport:
+    def test_report_rows(self, spark, simple3):
+        res = _run(spark, simple3)
+        sdf = stats_df(spark, res)
+        rep = report_from_stats(sdf)
+        rows = {(r["rule_type"], r["stage"], r["rule"]): r for r in rep.collect()}
+        assert ("row_dq", "row", "gt1") in rows
+        assert rows[("row_dq", "row", "gt1")]["failed_row_count"] == 1
+        assert ("agg_dq", "source", "sum_ok") in rows
+        assert rows[("agg_dq", "source", "sum_ok")]["status"] == "pass"
+        assert rows[("agg_dq", "source", "sum_ok")]["actual_value"] == "60"
+        assert ("agg_dq", "target", "avg_hi") in rows
+        assert rows[("agg_dq", "target", "avg_hi")]["status"] == "fail"
+        assert ("query_dq", "source", "q1") in rows
+
+    def test_run_summary(self, spark, simple3):
+        res = _run(spark, simple3)
+        s = run_summary(stats_df(spark, res)).first()
+        assert s["input_count"] == 3 and s["error_count"] == 1
+
+    def test_detailed_stats_join(self, spark, simple3):
+        res = _run(spark, simple3)
+        d = detailed_stats_df(spark, res)
+        rows = {r["rule"]: r for r in d.collect()}
+        # source-only rule: target side null
+        assert rows["sum_ok"]["source_dq_status"] == "pass"
+        assert rows["sum_ok"]["target_dq_status"] is None
+        # target-only rule: full-outer keeps it with null source
+        assert rows["avg_hi"]["target_dq_status"] == "fail"
+
+
+class TestBuilder:
+    def test_build_options(self):
+        opts = (WrappedDataFrameWriter().mode("overwrite").format("parquet")
+                .partitionBy("dt").bucketBy(8, "id").sortBy("id")
+                .option("compression", "zstd").path("/tmp/x")
+                .outputMode("append").trigger(processingTime="5 seconds")
+                .checkpointLocation("/tmp/ck").queryName("q").build())
+        assert opts.mode == "overwrite"
+        assert opts.partition_by == ("dt",)
+        assert opts.bucket_by == (8, ("id",))
+        assert opts.options["compression"] == "zstd"
+        assert opts.trigger == {"processingTime": "5 seconds"}
+
+    def test_builder_feeds_engine(self, spark, simple3, tmp_path):
+        opts = (WrappedDataFrameWriter().mode("overwrite").format("parquet")
+                .path(str(tmp_path)).build())
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=True, error_writer=opts)
+        rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1")])
+        DQEngine(cfg).run(simple3, rules, spark)
+        assert spark.read.parquet(str(tmp_path / "t_error")).count() == 1
