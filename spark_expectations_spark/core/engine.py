@@ -154,6 +154,8 @@ class DQEngine:
     def _row(self, df: DataFrame, rules: RuleSet, result: DQResult,
              spark: SparkSession) -> DataFrame:
         cfg = self.config
+        if cfg.use_temp_table:
+            df = writer.materialize_temp_table(df, cfg.table_name, cfg.temp_writer)
         stage_rules = rules.for_stage(ROW_DQ)
         projected = row_dq.project_rules(df, stage_rules)
         if cfg.use_local_checkpoint:

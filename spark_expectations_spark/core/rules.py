@@ -254,9 +254,15 @@ class RuleSet:
         defaults: Optional[Mapping[str, Any]] = None,
         params: Optional[Mapping[str, Any]] = None,
     ) -> "RuleSet":
-        return cls(
-            parse_composite(coerce_record(r, defaults), params) for r in records
-        )
+        """``params`` are substituted {placeholder}-style into table_name
+        and expectations (reference utils/reader.py:297-331)."""
+        out = []
+        for rec in records:
+            rule = coerce_record(rec, defaults)
+            if params and "{" in rule.table_name:
+                rule = replace(rule, table_name=rule.table_name.format(**params))
+            out.append(parse_composite(rule, params))
+        return cls(out)
 
     @classmethod
     def from_df(cls, rules_df, product_id: Optional[str] = None,

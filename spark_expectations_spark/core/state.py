@@ -74,6 +74,10 @@ class DQConfig:
     #: sever lineage between stages via localCheckpoint (replaces the
     #: reference's write-to-temp-table-and-re-read, expectations.py:492-521)
     use_local_checkpoint: bool = False
+    #: reference-parity alternative: materialize the input to
+    #: {table_name}_temp via temp_writer and re-read before row_dq
+    use_temp_table: bool = False
+    temp_writer: WriterOptions = field(default_factory=WriterOptions)
     #: enforce 'fail' actions (always True in reference batch path)
     enforce_fail: bool = True
     #: cache the projected frame between summary and error write. Sensible at

@@ -55,9 +55,11 @@ def has_sort_merge_join(df: DataFrame) -> bool:
 
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions — wider spans = more fused
-    JVM-side execution."""
-    txt = plan_text(df, "simple")
-    return len(set(re.findall(r"\*\((\d+)\)", txt)))
+    JVM-side execution. Uses explain('codegen') because AQE's
+    pre-execution formatted plan omits codegen markers."""
+    txt = plan_text(df, "codegen")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)
+    return int(m.group(1)) if m else 0
 
 
 def has_partial_aggregation(df: DataFrame) -> bool:

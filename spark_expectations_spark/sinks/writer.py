@@ -214,6 +214,48 @@ def querydq_output_df(spark: SparkSession, result: DQResult) -> DataFrame:
     return spark.createDataFrame(rows, _QUERYDQ_OUTPUT_SCHEMA)
 
 
+def get_table_properties(spark: SparkSession, table: str) -> dict[str, str]:
+    """SHOW TBLPROPERTIES → dict (reference sinks/utils/writer.py:46-90)."""
+    rows = spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    return {r["key"]: r["value"] for r in rows}
+
+
+def set_table_properties(
+    spark: SparkSession, table: str, props: dict[str, str],
+    *, retries: int = 3, backoff_s: float = 1.0,
+) -> None:
+    """ALTER TABLE ... SET TBLPROPERTIES with retry/backoff — concurrent
+    streaming writers race on the metastore (reference writer.py:91-128)."""
+    import time as _time
+
+    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    last: Optional[Exception] = None
+    for attempt in range(retries):
+        try:
+            spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ({kv})")
+            return
+        except Exception as e:  # metastore contention; retry
+            last = e
+            _time.sleep(backoff_s * (2 ** attempt))
+    raise last  # type: ignore[misc]
+
+
+def materialize_temp_table(
+    df: DataFrame, table: str, opts: WriterOptions
+) -> DataFrame:
+    """Write df to ``{table}_temp`` and re-read — severs lineage so
+    downstream stages re-plan from a materialized scan (reference
+    core/expectations.py:492-521 'break the spark plan'). Prefer
+    ``df.localCheckpoint()`` (DQConfig.use_local_checkpoint) unless the
+    intermediate must survive the session."""
+    tmp = f"{table}_temp"
+    write_batch(df, tmp, opts)
+    spark = df.sparkSession
+    if opts.path:
+        return spark.read.format(opts.format).load(opts.path.rstrip("/") + "/" + tmp)
+    return spark.table(tmp)
+
+
 def stats_to_kafka(result_df: DataFrame, topic: str, options: dict[str, str]) -> None:
     """Stats row → JSON → Kafka (reference sinks/plugins/kafka_writer.py:59-61).
 

@@ -1,0 +1,64 @@
+"""Data-source conveniences (reference README.md:193-197 CSV ingestion,
+examples/scripts rate-source streams). Thin, typed wrappers over
+spark.read/readStream so user pipelines and tests share one entry point.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    header: bool = True,
+    infer_schema: bool = True,
+    schema: Optional[str] = None,
+    options: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    r = spark.read.option("header", str(header).lower())
+    if schema:
+        r = r.schema(schema)
+    elif infer_schema:
+        r = r.option("inferSchema", "true")
+    for k, v in dict(options or {}).items():
+        r = r.option(k, v)
+    return r.csv(path)
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json(spark: SparkSession, path: str,
+              schema: Optional[str] = None) -> DataFrame:
+    r = spark.read
+    if schema:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def rate_stream(
+    spark: SparkSession, *, rows_per_second: int = 100,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Synthetic stream (reference examples rate source)."""
+    r = spark.readStream.format("rate").option("rowsPerSecond", str(rows_per_second))
+    if num_partitions:
+        r = r.option("numPartitions", str(num_partitions))
+    return r.load()
+
+
+def file_stream(
+    spark: SparkSession, path: str, *, fmt: str = "parquet",
+    schema: Optional[str] = None, options: Optional[Mapping[str, str]] = None,
+) -> DataFrame:
+    r = spark.readStream.format(fmt)
+    if schema:
+        r = r.schema(schema)
+    for k, v in dict(options or {}).items():
+        r = r.option(k, v)
+    return r.load(path)

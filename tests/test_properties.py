@@ -1,0 +1,91 @@
+"""Property-based tests (hypothesis) for driver-side parsing/compile logic.
+
+Goes beyond the reference's example-based strategy (SURVEY.md §5: no
+property testing there) on the pure-python pieces where randomized inputs
+pay off most.
+"""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from spark_expectations_spark.core.rules import (
+    coerce_record, looks_aggregate, parse_composite, Rule,
+)
+from spark_expectations_spark.operators.agg_dq import parse_expectation
+
+ident = st.text(alphabet="abcdefgxyz_", min_size=1, max_size=8)
+number = st.integers(min_value=0, max_value=10**6)
+
+
+class TestParseExpectation:
+    @given(col=ident, op=st.sampled_from(["<", ">", "<=", ">=", "=", "!="]),
+           bound=number)
+    def test_simple_comparison_roundtrip(self, col, op, bound):
+        p = parse_expectation(f"sum({col}) {op} {bound}")
+        assert p is not None
+        assert p.source_expr == f"sum({col})"
+        assert p.op == op
+        assert p.expected == str(bound)
+
+    @given(col=ident, lo=number, hi=number)
+    def test_between_roundtrip(self, col, lo, hi):
+        p = parse_expectation(f"avg({col}) between {lo} and {hi}")
+        assert p is not None
+        assert p.source_expr == f"avg({col})"
+        assert p.op == "between"
+        assert p.expected == f"{lo} and {hi}"
+
+    @given(s=st.text(alphabet="'\"()<>=ab ", max_size=30))
+    def test_never_crashes_on_garbage(self, s):
+        parse_expectation(s)  # must not raise
+
+    @given(col=ident, bound=number)
+    def test_op_inside_string_literal_ignored(self, col, bound):
+        p = parse_expectation(f"count(case when {col} = 'a>b' then 1 end) > {bound}")
+        assert p is not None
+        assert p.op == ">"
+        assert p.expected == str(bound)
+
+
+class TestLooksAggregate:
+    @given(col=ident, fn=st.sampled_from(["sum", "avg", "min", "max", "count"]))
+    def test_plain_agg_detected(self, col, fn):
+        assert looks_aggregate(f"{fn}({col}) > 1")
+
+    @given(col=ident, fn=st.sampled_from(["sum", "avg", "count"]))
+    def test_windowed_agg_not_aggregate(self, col, fn):
+        assert not looks_aggregate(f"{fn}({col}) over (partition by {col}) = 1")
+
+    @given(col=ident)
+    def test_plain_predicate_not_aggregate(self, col):
+        assert not looks_aggregate(f"{col} > 1 and {col} < 100")
+
+
+class TestCoerceRecord:
+    @given(active=st.sampled_from([True, False, "true", "false", "1", "0",
+                                   "yes", "no", None]),
+           threshold=st.one_of(st.integers(0, 100), st.text("0123456789", max_size=3),
+                               st.none()))
+    @settings(max_examples=50)
+    def test_bool_int_coercion_total(self, active, threshold):
+        r = coerce_record(dict(
+            product_id="p", table_name="t", rule_type="row_dq", rule="r",
+            column_name="c", expectation="c > 0",
+            is_active=active, error_drop_threshold=threshold))
+        assert isinstance(r.is_active, bool)
+        assert isinstance(r.error_drop_threshold, int)
+
+
+class TestCompositeParsing:
+    @given(aliases=st.lists(ident, min_size=1, max_size=3, unique=True))
+    def test_composite_split(self, aliases):
+        base = " and ".join(f"({{{a}}}) > 0" for a in aliases)
+        parts = [base]
+        for a in aliases:
+            parts += [a, f"(select count(*) from t_{a})"]
+        rule = Rule("p", "t", "query_dq", "r", "c", "@".join(parts))
+        parsed = parse_composite(rule)
+        assert set(parsed.secondary_queries) == set(aliases)
+        for a in aliases:
+            assert f"(select count(*) from t_{a})" in parsed.expectation
+        assert "{" not in parsed.expectation

@@ -1,0 +1,73 @@
+"""Tests for source readers, temp-table materialization, table properties."""
+
+import pytest
+
+from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet, WriterOptions
+from spark_expectations_spark.sources import readers
+from spark_expectations_spark.sinks import writer
+
+
+class TestReaders:
+    def test_csv_roundtrip(self, spark, tmp_path):
+        p = tmp_path / "data.csv"
+        p.write_text("id,name\n1,alpha\n2,beta\n")
+        df = readers.read_csv(spark, str(p))
+        assert df.count() == 2
+        assert df.schema["id"].dataType.typeName() == "integer"
+
+    def test_csv_explicit_schema(self, spark, tmp_path):
+        p = tmp_path / "data.csv"
+        p.write_text("id,name\n1,alpha\n")
+        df = readers.read_csv(spark, str(p), schema="id long, name string")
+        assert df.schema["id"].dataType.typeName() == "long"
+
+    def test_rate_stream_is_streaming(self, spark):
+        df = readers.rate_stream(spark, rows_per_second=10)
+        assert df.isStreaming
+
+    def test_file_stream(self, spark, tmp_path):
+        src = tmp_path / "in"
+        src.mkdir()
+        spark.range(5).write.parquet(str(src / "batch0"))
+        df = readers.file_stream(spark, str(src / "*"), fmt="parquet",
+                                 schema="id long")
+        assert df.isStreaming
+
+
+class TestTempTable:
+    def test_materialize_severs_lineage(self, spark, simple3, tmp_path):
+        opts = WriterOptions(path=str(tmp_path), mode="overwrite")
+        out = writer.materialize_temp_table(simple3, "t", opts)
+        assert out.count() == 3
+        # re-read frame scans files, not the in-memory parent
+        assert "Scan parquet" in out._jdf.queryExecution().simpleString() \
+            or "FileScan" in out._jdf.queryExecution().executedPlan().toString()
+
+    def test_engine_with_temp_table(self, spark, simple3, tmp_path):
+        cfg = DQConfig(
+            product_id="p1", table_name="t", write_error_table=False,
+            use_temp_table=True,
+            temp_writer=WriterOptions(path=str(tmp_path), mode="overwrite"))
+        rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1")])
+        res = DQEngine(cfg).run(simple3, rules, spark)
+        assert res.input_count == 3 and res.error_count == 1
+        assert spark.read.parquet(str(tmp_path / "t_temp")).count() == 3
+
+
+class TestTableProperties:
+    def test_show_and_set(self, spark, tmp_path):
+        spark.sql("CREATE DATABASE IF NOT EXISTS dq_test")
+        spark.range(3).write.mode("overwrite").saveAsTable("dq_test.props_t")
+        try:
+            writer.set_table_properties(
+                spark, "dq_test.props_t", {"product_id": "p1"})
+            props = writer.get_table_properties(spark, "dq_test.props_t")
+            assert props.get("product_id") == "p1"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS dq_test.props_t")
+
+    def test_set_retries_then_raises(self, spark):
+        with pytest.raises(Exception):
+            writer.set_table_properties(
+                spark, "dq_test.missing_table", {"a": "b"},
+                retries=2, backoff_s=0.01)
