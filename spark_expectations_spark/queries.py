@@ -764,6 +764,30 @@ ORDER BY n_events DESC, user_id ASC LIMIT 20
 """
 
 
+def q_array_agg_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / array_sort / array_intersect surface (SURVEY §2.7/2.8)."""
+    od = load(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    return (
+        od.groupBy("o_custkey")
+        .agg(
+            F.array_join(statuses, ",").alias("status_set"),
+            F.size(F.array_intersect(statuses, F.array(F.lit("F"), F.lit("O"))))
+             .alias("n_terminal"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+ORACLE_ARRAY_AGG_STATUSES = """
+SELECT o_custkey,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS status_set,
+       len(list_intersect(list_sort(list(DISTINCT o_orderstatus)), ['F', 'O'])) AS n_terminal,
+       count(*) AS n_orders
+FROM orders GROUP BY o_custkey
+"""
+
+
 def q_part_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = load(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
@@ -838,6 +862,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
+    "array_agg_statuses": q_array_agg_statuses,
     "part_brand_topk": q_part_brand_topk,
     "multimodal_features": q_multimodal_features,
 }
@@ -870,6 +895,7 @@ ORACLES: dict[str, Optional[str]] = {
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,
+    "array_agg_statuses": ORACLE_ARRAY_AGG_STATUSES,
     "part_brand_topk": ORACLE_PART_BRAND_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
 }

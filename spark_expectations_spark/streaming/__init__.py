@@ -59,6 +59,42 @@ def foreach_batch_dq(
     return writer.start()
 
 
+def query_progress(query) -> dict:
+    """Last-progress metrics of a StreamingQuery (reference
+    sinks/utils/writer.py:1211-1260): rows/sec, batch duration, state."""
+    p = query.lastProgress or {}
+    return {
+        "id": str(query.id),
+        "name": query.name,
+        "is_active": query.isActive,
+        "input_rows_per_second": p.get("inputRowsPerSecond"),
+        "processed_rows_per_second": p.get("processedRowsPerSecond"),
+        "num_input_rows": p.get("numInputRows"),
+        "batch_id": p.get("batchId"),
+    }
+
+
+def stop_gracefully(query, *, timeout_s: float = 30.0) -> bool:
+    """Stop after the in-flight batch finishes; hard-stop at timeout
+    (reference writer.py:1261-1313). Returns True if stopped cleanly."""
+    import time
+
+    deadline = time.time() + timeout_s
+    try:
+        while query.isActive and time.time() < deadline:
+            status = query.status or {}
+            if not status.get("isDataAvailable") and not status.get("isTriggerActive"):
+                break
+            time.sleep(0.5)
+    finally:
+        query.stop()
+    try:
+        query.awaitTermination(max(1, int(deadline - time.time())))
+    except Exception:
+        pass
+    return not query.isActive
+
+
 def with_event_time(
     df: DataFrame, ts_col: str, *, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -1,0 +1,49 @@
+"""Tests for functions helpers over meta columns and rule builders."""
+
+from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
+from spark_expectations_spark import functions as dqf
+from spark_expectations_spark.operators import row_dq
+
+
+def _projected(spark, simple3):
+    rules = [
+        Rule("p", "t", "row_dq", "gt1", "col1", "col1 > 1", action_if_failed="drop"),
+        Rule("p", "t", "row_dq", "is_c", "col2", "col2 != 'c'"),
+    ]
+    return row_dq.project_rules(simple3, rules)
+
+
+class TestMetaHelpers:
+    def test_failed_rule_names_and_actions(self, spark, simple3):
+        p = _projected(spark, simple3)
+        err = p.filter(dqf.any_rule_failed())
+        rows = {r["row_id"]: r for r in
+                err.select("row_id", dqf.failed_rule_names().alias("names")).collect()}
+        assert rows[0]["names"] == ["gt1"]
+        assert rows[2]["names"] == ["is_c"]
+        assert p.filter(dqf.has_action("drop")).count() == 1
+        assert p.filter(dqf.failed_rule("is_c")).count() == 1
+
+    def test_builders_compile_and_run(self, spark, simple3):
+        rules = RuleSet([
+            Rule("p", "t", "row_dq", "nn", "col2", dqf.not_null("col2")),
+            Rule("p", "t", "row_dq", "rng", "col1", dqf.in_range("col1", 1, 3)),
+            Rule("p", "t", "row_dq", "set", "col2", dqf.in_set("col2", ["a", "b", "c"])),
+            Rule("p", "t", "row_dq", "rx", "col2", dqf.matches("col2", "^[a-c]$")),
+            Rule("p", "t", "row_dq", "uq", "row_id", dqf.unique("row_id")),
+        ])
+        cfg = DQConfig(product_id="p", table_name="t", write_error_table=False)
+        res = DQEngine(cfg).run(simple3, rules, spark)
+        assert res.error_count == 0
+
+    def test_castable_and_date(self, spark):
+        df = spark.createDataFrame(
+            [("1", "1/15/2024"), ("x", "not-a-date")], "n string, d string")
+        rules = RuleSet([
+            Rule("p", "t", "row_dq", "num", "n", dqf.castable("n", "int")),
+            Rule("p", "t", "row_dq", "dt", "d", dqf.date_parseable("d")),
+        ])
+        cfg = DQConfig(product_id="p", table_name="t", write_error_table=False)
+        res = DQEngine(cfg).run(df, rules, spark)
+        assert res.error_count == 1
+        assert res.row_summary.rule_failed_counts == {"num": 1, "dt": 1}
