@@ -26,6 +26,72 @@ BENCH_QUERIES = [
 ]
 
 
+def _engine_full_run(spark, sf_dir: str) -> float:
+    """Full 5-stage DQ run (row + agg + query rules, stats assembled)."""
+    from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
+    from spark_expectations_spark.operators import query_dq
+    from spark_expectations_spark.queries import lineitem_row_rules, load
+
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    query_dq.register_views(spark, {"lineitem": li, "orders": od})
+    rules = RuleSet(lineitem_row_rules() + [
+        Rule("bench", "lineitem", "agg_dq", "cnt", "", "count(*) > 0"),
+        Rule("bench", "lineitem", "agg_dq", "avg_disc", "l_discount",
+             "avg(l_discount) between 0 and 0.1"),
+        Rule("bench", "lineitem", "query_dq", "cover", "",
+             "(select count(*) from orders) >= "
+             "(select count(distinct l_orderkey) from lineitem)"),
+    ])
+    cfg = DQConfig(product_id="bench", table_name="lineitem",
+                   write_error_table=False)
+    t0 = time.time()
+    res = DQEngine(cfg).run(li, rules, spark)
+    res.final_df.write.format("noop").mode("overwrite").save()
+    res.stats_record()
+    return time.time() - t0
+
+
+def _handwritten_run(spark, sf_dir: str) -> float:
+    """The same checks written directly against the DataFrame API —
+    what a careful engineer would write without any framework."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from spark_expectations_spark.queries import load
+
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    t0 = time.time()
+    w = Window.partitionBy("l_orderkey", "l_linenumber")
+    flagged = li.select(
+        "*",
+        (~F.col("l_quantity").between(1, 50)).alias("f_qty"),
+        (~F.col("l_discount").between(0, 0.05)).alias("f_disc"),
+        (~(F.col("l_extendedprice") > 0)).alias("f_price"),
+        F.col("l_shipdate").isNull().alias("f_ship"),
+        (F.count(F.lit(1)).over(w) != 1).alias("f_uq"),
+    )
+    any_fail = (F.col("f_qty") | F.col("f_disc") | F.col("f_price")
+                | F.col("f_ship") | F.col("f_uq"))
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(any_fail.cast("long")).alias("errors"),
+        F.sum(F.col("f_disc").cast("long")).alias("drops"),
+    ).first()
+    agg_row = li.agg(
+        (F.count(F.lit(1)) > 0).alias("cnt_ok"),
+        F.avg("l_discount").between(0, 0.1).alias("avg_ok"),
+        F.count(F.lit(1)).alias("cnt"), F.avg("l_discount").alias("avg_d"),
+    ).first()
+    q_ok = (od.count() >= li.select("l_orderkey").distinct().count())
+    final = flagged.filter(~F.col("f_disc")).drop(
+        "f_qty", "f_disc", "f_price", "f_ship", "f_uq")
+    final.write.format("noop").mode("overwrite").save()
+    _ = (counts["n"], counts["errors"], counts["drops"],
+         agg_row["cnt_ok"], agg_row["avg_ok"], q_ok)
+    return time.time() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -54,6 +120,14 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    # BASELINE.md gate: full 5-stage engine run vs an equivalent
+    # hand-written PySpark pipeline (same checks, no framework)
+    timings["dq_engine_full_run"] = round(_engine_full_run(spark, sf_dir), 3)
+    timings["dq_handwritten_run"] = round(_handwritten_run(spark, sf_dir), 3)
+    print(f"# engine/hand-written ratio: "
+          f"{timings['dq_engine_full_run'] / max(timings['dq_handwritten_run'], 1e-9):.2f}x",
+          file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -157,31 +157,34 @@ class DQEngine:
         if cfg.use_temp_table:
             df = writer.materialize_temp_table(df, cfg.table_name, cfg.temp_writer)
         stage_rules = rules.for_stage(ROW_DQ)
-        projected = row_dq.project_rules(df, stage_rules)
+        # boolean-flag fast path: rule maps are only materialized for rows
+        # that actually land in the error table
+        flags = row_dq.project_flags(df, stage_rules)
         if cfg.use_local_checkpoint:
-            projected = projected.localCheckpoint(eager=False)
+            flags = flags.localCheckpoint(eager=False)
         elif cfg.cache_projected:
-            projected = projected.persist()
-        summary = row_dq.summarize(projected, stage_rules)
+            flags = flags.persist()
+        summary = row_dq.summarize_flags(flags, stage_rules)
         result.row_summary = summary
         result.input_count = summary.input_count
         result.error_count = summary.error_count
         result.output_count = summary.output_count
 
         if cfg.write_error_table and summary.error_count > 0:
-            err = writer.stamp_run_metadata(row_dq.error_rows(projected), result.run_id)
+            err = writer.stamp_run_metadata(
+                row_dq.errors_from_flags(flags, stage_rules), result.run_id)
             writer.write_batch(err, cfg.resolved_error_table(), cfg.error_writer)
-        result.error_df = row_dq.error_rows(projected)
+        result.error_df = row_dq.errors_from_flags(flags, stage_rules)
 
         try:
-            final = row_dq.apply_actions(
-                projected, summary if cfg.enforce_fail else None)
+            final = row_dq.final_from_flags(
+                flags, stage_rules, summary if cfg.enforce_fail else None)
         except row_dq.DQRowFailError:
             result.status["row_dq"] = "Failed"
             raise
         result.status["row_dq"] = "Failed" if summary.error_count else "Passed"
         if cfg.cache_projected:
-            projected.unpersist()
+            flags.unpersist()
         return final
 
     # ------------------------------------------------------------- streaming
@@ -201,11 +204,12 @@ class DQEngine:
         for s in ("source_agg_dq", "source_query_dq", "target_agg_dq", "target_query_dq"):
             result.status[s] = "Skipped"
         stage_rules = rules.for_stage(ROW_DQ)
-        projected = row_dq.project_rules(df, stage_rules)
+        flags = row_dq.project_flags(df, stage_rules)
         if cfg.write_error_table:
-            err = writer.stamp_run_metadata(row_dq.error_rows(projected), result.run_id)
+            err = writer.stamp_run_metadata(
+                row_dq.errors_from_flags(flags, stage_rules), result.run_id)
             writer.write_stream(err, cfg.resolved_error_table(), cfg.error_writer)
-        final = row_dq.apply_actions(projected, None)
+        final = row_dq.final_from_flags(flags, stage_rules, None)
         result.final_df = final
         result.status["row_dq"] = "Passed"
         if cfg.write_target_table and cfg.target_table:

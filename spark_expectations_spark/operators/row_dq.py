@@ -179,3 +179,100 @@ def run_row_dq(
     if compute_summary and not df.isStreaming:
         summary = summarize(projected, rules)
     return projected, summary
+
+
+# ---------------------------------------------------------------------------
+# Boolean-flag fast path (what DQEngine uses)
+#
+# The map-typed meta column above is the error-table CONTRACT, but building
+# map<string,string> literals per rule per row on every scan is ~3× the cost
+# of the checks themselves (measured at sf0.1: 5.6s engine vs 1.7s
+# hand-written booleans). So the engine evaluates rules as boolean fail
+# flags — as cheap as hand-written code — and attaches the meta maps only
+# AFTER filtering down to error rows, where Catalyst evaluates them on the
+# errors alone.
+# ---------------------------------------------------------------------------
+
+def _flag_name(i: int) -> str:
+    return f"__dq_f{i}"
+
+
+def flag_column(rule: Rule, i: int) -> Column:
+    """TRUE when the rule FAILS (null predicate counts as failure, matching
+    the map path's when/otherwise semantics)."""
+    return (
+        ~F.coalesce(F.expr(rule.expectation).cast("boolean"), F.lit(False))
+    ).alias(_flag_name(i))
+
+
+def project_flags(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """One fused projection appending a boolean fail-flag per rule."""
+    return df.select("*", *[flag_column(r, i) for i, r in enumerate(rules)])
+
+
+def _any_flag(rules: Sequence[Rule], pred=None) -> Column:
+    cols = [F.col(_flag_name(i)) for i, r in enumerate(rules)
+            if pred is None or pred(r)]
+    if not cols:
+        return F.lit(False)
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def summarize_flags(flags_df: DataFrame, rules: Sequence[Rule]) -> RowDQSummary:
+    """ONE aggregation job over the boolean flags — conditional sums only."""
+    aggs: list[Column] = [
+        F.count(F.lit(1)).alias("__input"),
+        F.sum(_any_flag(rules).cast("long")).alias("__errors"),
+        F.sum(_any_flag(rules, lambda r: r.action_if_failed == ACTION_DROP)
+              .cast("long")).alias("__drops"),
+        F.sum(_any_flag(rules, lambda r: r.action_if_failed == ACTION_FAIL)
+              .cast("long")).alias("__fails"),
+    ]
+    for i, _ in enumerate(rules):
+        aggs.append(F.sum(F.col(_flag_name(i)).cast("long")).alias(f"__r{i}"))
+    row = flags_df.agg(*aggs).first()
+    return RowDQSummary(
+        input_count=row["__input"] or 0,
+        error_count=row["__errors"] or 0,
+        drop_count=row["__drops"] or 0,
+        fail_count=row["__fails"] or 0,
+        rule_failed_counts={r.rule: (row[f"__r{i}"] or 0)
+                            for i, r in enumerate(rules)},
+    )
+
+
+def _meta_from_flags(rules: Sequence[Rule]) -> Column:
+    return F.array_compact(F.array(*[
+        F.when(F.col(_flag_name(i)), fail_map(r)).otherwise(F.lit(None))
+        for i, r in enumerate(rules)
+    ]))
+
+
+def errors_from_flags(flags_df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
+    """Error rows with the meta_row_dq_results contract column. The filter
+    runs on booleans; map construction happens only for surviving rows."""
+    names = [_flag_name(i) for i in range(len(rules))]
+    return (
+        flags_df.filter(_any_flag(rules))
+        .withColumn(META_ROW_RESULTS, _meta_from_flags(rules))
+        .drop(*names)
+    )
+
+
+def final_from_flags(
+    flags_df: DataFrame,
+    rules: Sequence[Rule],
+    summary: Optional[RowDQSummary],
+) -> DataFrame:
+    """Drop-filter + fail gate on the flag frame; returns the user schema."""
+    if summary is not None and summary.fail_count > 0:
+        raise DQRowFailError(
+            f"{summary.fail_count} row(s) failed rules with action_if_failed='fail'"
+        )
+    names = [_flag_name(i) for i in range(len(rules))]
+    return flags_df.filter(
+        ~_any_flag(rules, lambda r: r.action_if_failed == ACTION_DROP)
+    ).drop(*names)
