@@ -104,13 +104,28 @@ def main() -> None:
         .config("spark.driver.memory", "24g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # one BLAS thread per python worker: 32 workers x default all-core
+        # OpenBLAS oversubscribes 32x32 threads and thrashes
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm the JVM/codegen paths so per-query numbers measure the plan,
-    # not session startup
+    # warm the JVM/codegen paths and the parquet readers (file listing,
+    # footer decode, OS page cache) so per-query numbers measure the plan,
+    # not session startup / first-touch I/O
     spark.range(1000).selectExpr("sum(id)").collect()
+    from spark_expectations_spark.queries import load
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings",
+              "events", "part", "supplier", "nation", "region"):
+        load(spark, sf_dir, t).write.format("noop").mode("overwrite").save()
+    # spin up the python worker pool (32 workers importing numpy/pandas
+    # ~5s once per session) so Arrow-UDF queries measure compute
+    spark.range(0, 32, 1, 32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

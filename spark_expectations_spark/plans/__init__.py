@@ -62,6 +62,31 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     return int(m.group(1)) if m else 0
 
 
+def estimated_size_bytes(df: DataFrame) -> int:
+    """Catalyst's optimized-plan size estimate (file sizes for scans).
+    Plan-time only — no job, unlike ``df.rdd.getNumPartitions()`` which
+    costs ~1s of RDD-conversion overhead per call."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+
+
+def fan_out(df: DataFrame, min_partitions: int = 0,
+            max_bytes: int = 2 << 30) -> DataFrame:
+    """Round-robin repartition a small input up to cluster parallelism.
+
+    CPU-heavy per-row operators (shingling, BLAS matmuls in mapInPandas)
+    inherit the scan's partitioning; a small single-file parquet input
+    arrives as ONE partition (a single row group can't even be split) and
+    serializes the whole stage onto one core. The repartition fires only
+    when Catalyst estimates the input under ``max_bytes`` — at 100 TB the
+    scan has thousands of splits already and the big-data path never pays
+    the shuffle; under the bound the shuffle is small by construction.
+    """
+    if estimated_size_bytes(df) >= max_bytes:
+        return df
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True if a HashAggregate with partial mode precedes the exchange
     (map-side combine)."""
