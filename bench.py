@@ -19,7 +19,8 @@ from spark_expectations_spark.queries import QUERIES  # noqa: E402
 
 BENCH_QUERIES = [
     "dq_row_errors", "dq_counts", "dq_agg_results",
-    "tpch_q1", "tpch_q3", "tpch_q5ish",
+    "tpch_q1", "tpch_q3", "tpch_q5ish", "tpch_q6", "tpch_q10ish",
+    "tpch_q18ish",
     "window_rank", "dedup_exact", "dedup_jaccard", "dedup_minhash",
     "embed_near_dups", "ann_topk", "text_stats", "text_quality",
     "events_hourly", "events_sessions",

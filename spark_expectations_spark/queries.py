@@ -830,6 +830,262 @@ SELECT doc_id, 16 AS n_bytes, 8 AS feature_dim FROM documents
 
 
 # ---------------------------------------------------------------------------
+# TPC-H-adapted batch (continued): pushdown, semi/anti, conditional agg,
+# correlated subqueries — the SQL surface query_dq rules may contain
+# ---------------------------------------------------------------------------
+
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-revenue: the pushdown showcase — all three predicates reach
+    the parquet scan (PushedFilters) and only 3 columns are read."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24
+"""
+
+
+def q_tpch_q4ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority check: EXISTS → left-semi join (never materializes
+    the lineitem side); priorities are low-cardinality so the final agg
+    is one narrow shuffle."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    late = li.select("l_orderkey").where(
+        F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp_ntz"))
+    return (
+        od.filter(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp_ntz")))
+        .join(late, od["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+ORACLE_TPCH_Q4ISH = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+              AND l_shipdate >= TIMESTAMP '1997-06-01')
+GROUP BY o_orderpriority
+"""
+
+
+def q_tpch_q2ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost part per brand (correlated-min rewrite): the scalar
+    subquery becomes min() over a brand window — one shuffle, no
+    re-join against the aggregated side."""
+    pa = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        pa.withColumn("min_price", F.min("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") == F.col("min_price"))
+        .select("p_brand", "p_partkey", "p_name",
+                F.round("p_retailprice", 2).alias("retail_price"))
+    )
+
+
+ORACLE_TPCH_Q2ISH = """
+SELECT p_brand, p_partkey, p_name, round(p_retailprice, 2) AS retail_price
+FROM part
+WHERE p_retailprice = (SELECT min(p2.p_retailprice) FROM part p2
+                       WHERE p2.p_brand = part.p_brand)
+"""
+
+
+def q_tpch_q10ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned revenue: fact⋈fact shuffle join plus
+    two broadcast dims, TakeOrderedAndProject for the top-k."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TPCH_Q10ISH = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (q12 shape): one pass, the CASE folds into
+    the partial aggregate — no second scan for the second count."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+ORACLE_TPCH_Q12ISH = """
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+           AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+           AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY l_linestatus
+"""
+
+
+def q_tpch_q14ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share: broadcast part dim; ratio of two conditional
+    sums in the same single aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+        .agg(F.round(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)) * 100.0
+            / F.sum(rev), 4).alias("promo_revenue_pct"))
+    )
+
+
+ORACLE_TPCH_Q14ISH = """
+SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END) * 100.0
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def q_tpch_q18ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders: HAVING on a grouped fact, then join back to
+    orders/customer — the grouped side is small after the filter, so
+    Catalyst (AQE) can flip it to broadcast at runtime."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(od, big["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(cu), od["o_custkey"] == cu["c_custkey"])
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                F.round("o_totalprice", 2).alias("total_price"),
+                F.round("total_qty", 2).alias("total_qty"))
+    )
+
+
+ORACLE_TPCH_Q18ISH = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS total_price, round(total_qty, 2) AS total_qty
+FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 180) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""
+
+
+def q_tpch_q19ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunctive predicates (q19 shape): OR-of-ANDs stays one broadcast
+    join + one filter; Catalyst extracts the common p_partkey join key
+    instead of a cross product."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa), li["l_partkey"] == pa["p_partkey"])
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size").between(1, 15))
+         & (F.col("l_quantity").between(1, 11)))
+        | ((F.col("p_brand") == "Brand#2") & (F.col("p_size").between(1, 25))
+           & (F.col("l_quantity").between(10, 20)))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size").between(1, 35))
+           & (F.col("l_quantity").between(20, 30)))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("line_count"),
+    )
+
+
+ORACLE_TPCH_Q19ISH = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS line_count
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_tpch_q22ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scalar subquery + anti join (q22 shape): the avg is a 1-row
+    aggregate broadcast into the filter; customers with no urgent
+    orders via left-anti — no count(*) correlated subquery."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    pos_avg = cu.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal"))
+    rich = (
+        cu.crossJoin(F.broadcast(pos_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+    )
+    urgent = od.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        rich.join(urgent, rich["c_custkey"] == urgent["o_custkey"], "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+
+
+ORACLE_TPCH_Q22ISH = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -842,6 +1098,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5ish": q_tpch_q5ish,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q4ish": q_tpch_q4ish,
+    "tpch_q2ish": q_tpch_q2ish,
+    "tpch_q10ish": q_tpch_q10ish,
+    "tpch_q12ish": q_tpch_q12ish,
+    "tpch_q14ish": q_tpch_q14ish,
+    "tpch_q18ish": q_tpch_q18ish,
+    "tpch_q19ish": q_tpch_q19ish,
+    "tpch_q22ish": q_tpch_q22ish,
     "window_rank": q_window_rank,
     "window_running_total": q_window_running_total,
     "dedup_exact": q_dedup_exact,
@@ -876,6 +1141,15 @@ ORACLES: dict[str, Optional[str]] = {
     "tpch_q1": ORACLE_TPCH_Q1,
     "tpch_q3": ORACLE_TPCH_Q3,
     "tpch_q5ish": ORACLE_TPCH_Q5ISH,
+    "tpch_q6": ORACLE_TPCH_Q6,
+    "tpch_q4ish": ORACLE_TPCH_Q4ISH,
+    "tpch_q2ish": ORACLE_TPCH_Q2ISH,
+    "tpch_q10ish": ORACLE_TPCH_Q10ISH,
+    "tpch_q12ish": ORACLE_TPCH_Q12ISH,
+    "tpch_q14ish": ORACLE_TPCH_Q14ISH,
+    "tpch_q18ish": ORACLE_TPCH_Q18ISH,
+    "tpch_q19ish": ORACLE_TPCH_Q19ISH,
+    "tpch_q22ish": ORACLE_TPCH_Q22ISH,
     "window_rank": ORACLE_WINDOW_RANK,
     "window_running_total": ORACLE_WINDOW_RUNNING_TOTAL,
     "dedup_exact": ORACLE_DEDUP_EXACT,
