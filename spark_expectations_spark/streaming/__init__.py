@@ -122,6 +122,83 @@ def tumbling_counts(
     )
 
 
+def streaming_dedup(
+    df: DataFrame,
+    keys: tuple[str, ...],
+    *,
+    ts_col: Optional[str] = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stateful exact dedup on a stream.
+
+    With ``ts_col``, uses ``dropDuplicatesWithinWatermark`` — state for a
+    key is dropped once the watermark passes it, so state size is bounded
+    by the watermark horizon (the only deploy-safe option for unbounded
+    streams). Without a timestamp column, plain ``dropDuplicates`` keeps
+    all keys in state forever — fine for finite key domains only.
+    """
+    if ts_col is not None:
+        return df.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(list(keys))
+    return df.dropDuplicates(list(keys))
+
+
+def stateful_threshold_monitor(
+    df: DataFrame,
+    key_col: str,
+    flag_col: str,
+    *,
+    threshold: int,
+    timeout_minutes: int = 0,
+):
+    """Custom stateful operator: per-key cumulative failed-row counter
+    that emits a row whenever a key CROSSES ``threshold`` total failures
+    across micro-batches — the streaming analogue of the reference's
+    error-drop-threshold alert (notifications/push/
+    spark_expectations_notify.py:253-343), which the batch engine can
+    only evaluate per run.
+
+    Implemented with ``applyInPandasWithState``: state is one (long)
+    counter per key — O(distinct keys) — and each micro-batch group
+    arrives as Arrow-batched pandas, so the update is a vectorized sum,
+    not per-row Python. With ``timeout_minutes`` > 0, idle keys are
+    evicted via processing-time timeout to bound state.
+    """
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{key_col} long, total_failed long, "
+                  "crossed_at_batch_rows long")
+    state_schema = "total long"
+    timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes
+               else GroupStateTimeout.NoTimeout)
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch_failed = 0
+        batch_rows = 0
+        for pdf in pdfs:
+            batch_rows += len(pdf)
+            batch_failed += int(pdf[flag_col].sum())
+        (prev,) = state.get if state.exists else (0,)
+        total = prev + batch_failed
+        state.update((total,))
+        if timeout_minutes:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        if prev < threshold <= total:
+            import pandas as pd
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "total_failed": [total],
+                "crossed_at_batch_rows": [batch_rows],
+            })
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", timeout)
+
+
 def session_counts(
     df: DataFrame,
     ts_col: str,

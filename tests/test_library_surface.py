@@ -207,6 +207,57 @@ class TestStreamingDQ:
         finally:
             q.stop()
 
+    def test_streaming_dedup_within_watermark(self, spark):
+        from spark_expectations_spark.streaming import streaming_dedup
+        src = spark.readStream.format("rate").option("rowsPerSecond", "500").load()
+        # key space of 20 → every key repeats; dedup keeps one per key
+        df = src.selectExpr("value % 20 as k", "timestamp as ts")
+        deduped = streaming_dedup(df, ("k",), ts_col="ts", watermark="1 hour")
+        q = (deduped.writeStream.format("memory")
+             .queryName("dedup_sink").outputMode("append").start())
+        try:
+            deadline = time.time() + 60
+            n = 0
+            while time.time() < deadline:
+                n = spark.sql("select count(*) c from dedup_sink").first()["c"]
+                if n >= 5:
+                    break
+                time.sleep(2)
+            assert n >= 5
+            dups = spark.sql(
+                "select k, count(*) c from dedup_sink group by k having count(*) > 1"
+            ).count()
+            assert dups == 0, "watermarked dedup emitted a duplicate key"
+        finally:
+            for query in spark.streams.active:
+                query.stop()
+
+    def test_stateful_threshold_monitor(self, spark):
+        from spark_expectations_spark.streaming import stateful_threshold_monitor
+        src = spark.readStream.format("rate").option("rowsPerSecond", "400").load()
+        # every other row fails; 2 keys accumulate failures fast
+        df = src.selectExpr(
+            "value % 2 as k", "cast(value % 2 = 0 as boolean) as failed")
+        alerts = stateful_threshold_monitor(df, "k", "failed", threshold=50)
+        q = (alerts.writeStream.format("memory")
+             .queryName("alert_sink").outputMode("update").start())
+        try:
+            deadline = time.time() + 90
+            rows = []
+            while time.time() < deadline:
+                rows = spark.sql("select * from alert_sink").collect()
+                if rows:
+                    break
+                time.sleep(2)
+            assert rows, "threshold crossing never emitted"
+            # only key 0 has failed=true rows; it crosses exactly once
+            assert all(r["k"] == 0 for r in rows)
+            assert len(rows) == 1
+            assert rows[0]["total_failed"] >= 50
+        finally:
+            for query in spark.streams.active:
+                query.stop()
+
 
 class TestPlanShapes:
     def test_filter_pushdown_to_scan(self, spark, lineitem):
