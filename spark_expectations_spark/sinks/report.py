@@ -73,6 +73,79 @@ def report_from_stats(stats: DataFrame) -> DataFrame:
     return out
 
 
+_HTML_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>DQ report {run_id}</title>
+<style>
+body {{ font-family: sans-serif; margin: 24px; }}
+table {{ border-collapse: collapse; margin: 12px 0; }}
+th, td {{ border: 1px solid #999; padding: 4px 10px; text-align: left; }}
+th {{ background: #eee; }}
+.pass {{ color: #0a0; }} .fail {{ color: #c00; font-weight: bold; }}
+</style></head><body>
+<h2>Data-quality report — {product_id}.{table_name}</h2>
+<p>run <code>{run_id}</code></p>
+<table>
+<tr><th>input rows</th><th>error rows</th><th>output rows</th>
+<th>error %</th><th>success %</th></tr>
+<tr><td>{input_count}</td><td>{error_count}</td><td>{output_count}</td>
+<td>{error_pct:.2f}</td><td>{success_pct:.2f}</td></tr>
+</table>
+<h3>Stage status</h3>
+<table><tr><th>stage</th><th>status</th></tr>{stage_rows}</table>
+<h3>Rule outcomes</h3>
+<table>
+<tr><th>stage</th><th>rule</th><th>column</th><th>status</th>
+<th>actual</th><th>failed rows</th></tr>{rule_rows}</table>
+</body></html>
+"""
+
+
+def render_html_report(result) -> str:
+    """Self-contained HTML report for one run (reference
+    notifications/push/alert.py:71-155 renders the same content through
+    Jinja templates + email; here it's a pure string so any channel —
+    email plugin, webhook, file sink — can carry it). Driver-side,
+    rule-scale only."""
+    import html as _html
+
+    def esc(v) -> str:
+        return _html.escape("" if v is None else str(v))
+
+    def tr(cells, status=None) -> str:
+        cls = f' class="{status}"' if status in ("pass", "fail") else ""
+        return "<tr>" + "".join(f"<td{cls}>{esc(c)}</td>" for c in cells) + "</tr>"
+
+    stage_rows = "".join(
+        tr([s, st], "fail" if st == "Failed" else "pass")
+        for s, st in result.status.items())
+    rule_rows = []
+    if result.row_summary is not None:
+        for rule, cnt in sorted(result.row_summary.rule_failed_counts.items()):
+            rule_rows.append(tr(
+                ["row_dq", rule, "", "fail" if cnt else "pass", "", cnt],
+                "fail" if cnt else "pass"))
+    for stage, results in (("source_agg_dq", result.source_agg),
+                           ("target_agg_dq", result.target_agg),
+                           ("source_query_dq", result.source_query),
+                           ("target_query_dq", result.target_query)):
+        for r in results or []:
+            rule_rows.append(tr(
+                [stage, r.rule.rule, r.rule.column_name, r.status,
+                 r.actual_value, ""], r.status))
+    return _HTML_PAGE.format(
+        run_id=esc(result.run_id),
+        product_id=esc(result.product_id),
+        table_name=esc(result.table_name),
+        input_count=result.input_count,
+        error_count=result.error_count,
+        output_count=result.output_count,
+        error_pct=result.error_percentage,
+        success_pct=result.success_percentage,
+        stage_rows=stage_rows,
+        rule_rows="".join(rule_rows),
+    )
+
+
 def run_summary(stats: DataFrame) -> DataFrame:
     """One row per run with the headline health numbers — the report
     email/dashboard feed (reference alert.py:43-47 detail query)."""

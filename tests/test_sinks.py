@@ -40,6 +40,18 @@ class TestReport:
         s = run_summary(stats_df(spark, res)).first()
         assert s["input_count"] == 3 and s["error_count"] == 1
 
+    def test_html_report(self, spark, simple3):
+        from spark_expectations_spark.sinks.report import render_html_report
+        res = _run(spark, simple3)
+        html = render_html_report(res)
+        assert html.startswith("<!DOCTYPE html>")
+        assert res.run_id in html
+        assert ">gt1<" in html            # failing row rule listed
+        assert ">sum_ok<" in html         # agg rule listed
+        assert 'class="fail"' in html and 'class="pass"' in html
+        # escaping: no raw rule expectation injection vector
+        assert "<script" not in html.lower()
+
     def test_detailed_stats_join(self, spark, simple3):
         res = _run(spark, simple3)
         d = detailed_stats_df(spark, res)
