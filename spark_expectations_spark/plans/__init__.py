@@ -81,9 +81,14 @@ def fan_out(df: DataFrame, min_partitions: int = 0,
     scan has thousands of splits already and the big-data path never pays
     the shuffle; under the bound the shuffle is small by construction.
     """
-    if estimated_size_bytes(df) >= max_bytes:
+    try:
+        if estimated_size_bytes(df) >= max_bytes:
+            return df
+        target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    except Exception:
+        # Spark Connect exposes neither _jdf nor sparkContext — be
+        # conservative and add no shuffle
         return df
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     return df.repartition(target)
 
 

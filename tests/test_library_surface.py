@@ -13,6 +13,8 @@ from spark_expectations_spark.notifications import (
 )
 from spark_expectations_spark.sources.loaders import load_rules, rules_from_doc
 
+from conftest import SF_DIR
+
 
 class TestLoaders:
     DOC = {
@@ -287,3 +289,36 @@ class TestPlanShapes:
     def test_agg_partial_aggregation(self, spark, lineitem):
         agg = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
         assert plans.has_partial_aggregation(agg)
+
+    def test_q6_full_pushdown_zero_shuffle(self, spark):
+        from spark_expectations_spark.queries import q_tpch_q6
+        df = q_tpch_q6(spark, SF_DIR)
+        assert plans.has_pushed_filters(df)
+        assert plans.num_shuffles(df) == 0  # single-row agg: no hash exchange
+        cols = plans.read_schema_columns(df)
+        assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity",
+                             "l_extendedprice"}
+
+    def test_q4_uses_semi_join(self, spark):
+        from spark_expectations_spark.queries import q_tpch_q4ish
+        txt = plans.plan_text(q_tpch_q4ish(spark, SF_DIR), "simple")
+        assert "LeftSemi" in txt
+
+    def test_q22_uses_anti_join(self, spark):
+        from spark_expectations_spark.queries import q_tpch_q22ish
+        txt = plans.plan_text(q_tpch_q22ish(spark, SF_DIR), "simple")
+        assert "LeftAnti" in txt
+
+    def test_q10_broadcasts_dims(self, spark):
+        from spark_expectations_spark.queries import q_tpch_q10ish
+        df = q_tpch_q10ish(spark, SF_DIR)
+        assert plans.has_broadcast_join(df)
+        assert plans.has_partial_aggregation(df)
+
+    def test_fan_out_no_op_on_wide_input(self, spark, lineitem):
+        """fan_out must never add a shuffle when Catalyst stats say the
+        input is big (the 100 TB path)."""
+        out = plans.fan_out(lineitem, max_bytes=1)  # everything is "big"
+        assert out is lineitem
+        narrow = plans.fan_out(lineitem.limit(10))
+        assert plans.num_shuffles(narrow) >= 0  # repartition allowed when small
