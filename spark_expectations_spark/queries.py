@@ -1085,6 +1085,78 @@ GROUP BY c_nationkey
 """
 
 
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one
+    Expand+aggregate pass — no per-combination rescan."""
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+ORACLE_CUBE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_orders_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles per group (F.percentile, sort-based exact — the
+    oracle-checkable twin of percentile_approx, which agg_dq rules may
+    also use)."""
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderstatus")
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 2).alias("p50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 2).alias("p90"),
+            F.round(F.percentile("o_totalprice", F.lit(0.99)), 2).alias("p99"),
+        )
+    )
+
+
+ORACLE_ORDERS_PERCENTILES = """
+SELECT o_orderstatus,
+       round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+       round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+       round(percentile_cont(0.99) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p99
+FROM orders
+GROUP BY o_orderstatus
+"""
+
+
+def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list — one pass; listing the values
+    skips the extra distinct-scan Spark needs to discover them (the
+    at-scale form of pivot)."""
+    od = load(spark, sf_dir, "orders")
+    return (
+        od.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "o_orderpriority",
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+ORACLE_PIVOT_ORDER_STATUS = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1124,6 +1196,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "rollup_orders": q_rollup_orders,
+    "cube_orders": q_cube_orders,
+    "orders_percentiles": q_orders_percentiles,
+    "pivot_order_status": q_pivot_order_status,
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
@@ -1166,6 +1241,9 @@ ORACLES: dict[str, Optional[str]] = {
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "rollup_orders": ORACLE_ROLLUP_ORDERS,
+    "cube_orders": ORACLE_CUBE_ORDERS,
+    "orders_percentiles": ORACLE_ORDERS_PERCENTILES,
+    "pivot_order_status": ORACLE_PIVOT_ORDER_STATUS,
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,

@@ -164,3 +164,32 @@ class TestMultimodal:
         out = multimodal.frame_sample_plan(df, id_col="vid",
                                            duration_col="duration_ms")
         assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
+
+
+class TestSkew:
+    def test_salted_join_matches_plain_join(self, spark):
+        from spark_expectations_spark.operators import skew
+        # hot key: 90% of big rows share key 0
+        big = spark.range(1000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN 0 ELSE id END AS k", "id AS payload")
+        small = spark.createDataFrame(
+            [(0, "hot"), (19, "cold"), (999, "cold")], "k long, label string")
+        plain = big.join(small, "k").selectExpr("k", "payload", "label")
+        salted = skew.salted_join(big, small, "k", salt=4) \
+                     .selectExpr("k", "payload", "label")
+        assert sorted(plain.collect()) == sorted(salted.collect())
+
+    def test_salted_left_join_keeps_unmatched(self, spark):
+        from spark_expectations_spark.operators import skew
+        big = spark.range(100).selectExpr("id % 5 AS k", "id AS payload")
+        small = spark.createDataFrame([(0, "zero")], "k long, label string")
+        out = skew.salted_join(big, small, "k", salt=4, how="left")
+        assert out.count() == 100
+        assert out.filter(F.col("label").isNull()).count() == 80
+
+    def test_key_skew_stats_flags_hot_key(self, spark):
+        from spark_expectations_spark.operators import skew
+        df = spark.range(1000).selectExpr(
+            "CASE WHEN id < 700 THEN NULL ELSE id END AS k")
+        stats = skew.key_skew_stats(df, "k", top_k=3).collect()
+        assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
