@@ -84,3 +84,25 @@ class TestBuilder:
         rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1")])
         DQEngine(cfg).run(simple3, rules, spark)
         assert spark.read.parquet(str(tmp_path / "t_error")).count() == 1
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_shuffle(self, spark, tmp_path):
+        """bucketBy on the join key co-locates both sides: the join plans
+        with ZERO hash exchanges — the 100 TB repeated-join pattern."""
+        from spark_expectations_spark import WriterOptions, plans
+        from spark_expectations_spark.sinks.writer import write_batch
+
+        left = spark.range(1000).selectExpr("id AS k", "id * 2 AS a")
+        right = spark.range(500).selectExpr("id AS k", "id * 3 AS b")
+        opts = WriterOptions(mode="overwrite",
+                             bucket_by=(8, ["k"]), sort_by=["k"])
+        write_batch(left, "bkt_left", opts)
+        write_batch(right, "bkt_right", opts)
+        try:
+            j = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+            assert plans.num_shuffles(j) == 0
+            assert j.count() == 500
+        finally:
+            spark.sql("DROP TABLE IF EXISTS bkt_left")
+            spark.sql("DROP TABLE IF EXISTS bkt_right")
