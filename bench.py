@@ -136,6 +136,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # each query is timed standalone: drop any intra-query persists so
+        # a previous query's cache doesn't pressure the next one's memory
+        spark.catalog.clearCache()
 
     # BASELINE.md gate: full 5-stage engine run vs an equivalent
     # hand-written PySpark pipeline (same checks, no framework)

@@ -48,28 +48,35 @@ def evaluate_query_rules(
     *,
     capture_secondary: bool = True,
 ) -> list[QueryRuleResult]:
-    out: list[QueryRuleResult] = []
-    for r in rules:
-        status_row = spark.sql(f"SELECT ({r.expectation}) AS output").first()
-        ok = bool(status_row["output"])
-        p = parse_expectation(r.expectation)
-        actual = None
-        expected = None
+    """ALL rules' pass/fail bits AND actual values are fused into ONE
+    SELECT (the query-dq twin of agg_dq's single df.agg): each scalar
+    subquery is planned once and Catalyst's ReuseSubquery dedupes the
+    subqueries shared between an expectation and its extracted
+    actual-value expression — K rules cost one driver round-trip instead
+    of the reference's 2 jobs per rule (utils/actions.py:306-430)."""
+    if not rules:
+        return []
+    parsed = [parse_expectation(r.expectation) for r in rules]
+    selects = []
+    for i, (r, p) in enumerate(zip(rules, parsed)):
+        selects.append(f"({r.expectation}) AS status_{i}")
         if p is not None:
-            actual_row = spark.sql(f"SELECT ({p.source_expr}) AS output").first()
-            actual = actual_row["output"]
-            expected = p.expected_repr()
+            selects.append(f"({p.source_expr}) AS actual_{i}")
+    row = spark.sql("SELECT " + ", ".join(selects)).first()
+
+    out: list[QueryRuleResult] = []
+    for i, (r, p) in enumerate(zip(rules, parsed)):
         secondary: dict[str, list[dict]] = {}
         if capture_secondary and r.enable_querydq_custom_output and r.secondary_queries:
             for alias, sql in r.secondary_queries.items():
                 rows = spark.sql(sql).collect()
-                secondary[alias] = [row.asDict(recursive=True) for row in rows]
+                secondary[alias] = [rw.asDict(recursive=True) for rw in rows]
         out.append(
             QueryRuleResult(
                 rule=r,
-                status="pass" if ok else "fail",
-                actual_value=actual,
-                expected=expected,
+                status="pass" if bool(row[f"status_{i}"]) else "fail",
+                actual_value=row[f"actual_{i}"] if p is not None else None,
+                expected=p.expected_repr() if p is not None else None,
                 secondary_output=secondary,
             )
         )
