@@ -1157,6 +1157,63 @@ GROUP BY o_orderpriority
 """
 
 
+def q_events_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event gets the user's latest prior (or
+    simultaneous) purchase value — union + one window shuffle, no join
+    node (operators/asof.py)."""
+    from .operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", "value")
+    out = asof.asof_join(clicks, purchases, on=["user_id"], left_ts="ts",
+                         right_ts="ts", value_cols=["value"])
+    return out.select("event_id", "user_id",
+                      F.round("value", 4).alias("last_purchase"))
+
+
+ORACLE_EVENTS_ASOF_PURCHASE = """
+SELECT a.event_id, a.user_id, round(b.value, 4) AS last_purchase
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') a
+ASOF LEFT JOIN
+     (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') b
+ON a.user_id = b.user_id AND a.ts >= b.ts
+"""
+
+
+def q_orders_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: band each order's total price into literal intervals
+    via bucketized equi-join (operators/asof.py::range_join) — never a
+    |points|×|intervals| theta join."""
+    from .operators import asof
+
+    od = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("p00_100k", 0.0, 100_000.0), ("p100_250k", 100_000.0, 250_000.0),
+         ("p250_400k", 250_000.0, 400_000.0), ("p400k_up", 400_000.0, 1e9)],
+        "band string, lo double, hi double")
+    joined = asof.range_join(od, bands, point_col="o_totalprice",
+                             lo_col="lo", hi_col="hi", bucket_width=100_000.0)
+    return (
+        joined.groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+    )
+
+
+ORACLE_ORDERS_PRICE_BANDS = """
+SELECT band, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+FROM orders
+JOIN (VALUES ('p00_100k', 0.0, 100000.0), ('p100_250k', 100000.0, 250000.0),
+             ('p250_400k', 250000.0, 400000.0), ('p400k_up', 400000.0, 1e9))
+     AS bands(band, lo, hi)
+ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1199,6 +1256,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_orders": q_cube_orders,
     "orders_percentiles": q_orders_percentiles,
     "pivot_order_status": q_pivot_order_status,
+    "events_asof_purchase": q_events_asof_purchase,
+    "orders_price_bands": q_orders_price_bands,
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
@@ -1244,6 +1303,8 @@ ORACLES: dict[str, Optional[str]] = {
     "cube_orders": ORACLE_CUBE_ORDERS,
     "orders_percentiles": ORACLE_ORDERS_PERCENTILES,
     "pivot_order_status": ORACLE_PIVOT_ORDER_STATUS,
+    "events_asof_purchase": ORACLE_EVENTS_ASOF_PURCHASE,
+    "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,

@@ -193,3 +193,74 @@ class TestSkew:
             "CASE WHEN id < 700 THEN NULL ELSE id END AS k")
         stats = skew.key_skew_stats(df, "k", top_k=3).collect()
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
+
+
+class TestAsofRange:
+    def test_asof_backward_matches_merge_asof(self, spark):
+        import pandas as pd
+        from spark_expectations_spark.operators import asof
+        left = spark.createDataFrame(
+            [(1, 10, "a"), (1, 25, "b"), (1, 5, "c"), (2, 50, "d")],
+            "k long, ts long, name string")
+        right = spark.createDataFrame(
+            [(1, 10, 100.0), (1, 20, 200.0), (2, 60, 600.0)],
+            "k long, ts long, val double")
+        out = asof.asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts", value_cols=["val"])
+        got = {r["name"]: r["val"] for r in out.collect()}
+        # pandas merge_asof semantics: inclusive backward match
+        lp = pd.DataFrame({"k": [1, 1, 1, 2], "ts": [10, 25, 5, 50],
+                           "name": list("abcd")}).sort_values("ts")
+        rp = pd.DataFrame({"k": [1, 1, 2], "ts": [10, 20, 60],
+                           "val": [100.0, 200.0, 600.0]}).sort_values("ts")
+        exp = pd.merge_asof(lp, rp, on="ts", by="k")
+        exp_map = {r["name"]: (None if pd.isna(r["val"]) else r["val"])
+                   for _, r in exp.iterrows()}
+        assert got == exp_map
+
+    def test_asof_forward_and_tolerance(self, spark):
+        from spark_expectations_spark.operators import asof
+        left = spark.createDataFrame([(1, 10, "a"), (1, 100, "b")],
+                                     "k long, ts long, name string")
+        right = spark.createDataFrame([(1, 12, 1.0), (1, 300, 3.0)],
+                                      "k long, ts long, val double")
+        fwd = asof.asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts", value_cols=["val"],
+                             direction="forward")
+        got = {r["name"]: r["val"] for r in fwd.collect()}
+        assert got == {"a": 1.0, "b": 3.0}
+        tol = asof.asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts", value_cols=["val"],
+                             direction="forward", tolerance=10)
+        got = {r["name"]: r["val"] for r in tol.collect()}
+        assert got == {"a": 1.0, "b": None}  # 300-100 > 10
+
+    def test_asof_single_shuffle(self, spark):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import asof
+        left = spark.range(100).selectExpr("id % 5 AS k", "id AS ts")
+        right = spark.range(20).selectExpr("id % 5 AS k", "id * 3 AS ts",
+                                           "id * 1.0 AS val")
+        out = asof.asof_join(left, right, on=["k"], left_ts="ts",
+                             right_ts="ts", value_cols=["val"])
+        assert plans.num_shuffles(out) == 1  # the window; no join node
+
+    def test_range_join_matches_theta_join(self, spark):
+        from spark_expectations_spark.operators import asof
+        points = spark.range(200).selectExpr("id AS pid", "id * 7.0 AS v")
+        intervals = spark.createDataFrame(
+            [("low", 0.0, 300.0), ("mid", 300.0, 900.0),
+             ("hi", 900.0, 1400.0), ("empty", 2000.0, 2100.0)],
+            "band string, lo double, hi double")
+        fast = asof.range_join(points, intervals, point_col="v",
+                               lo_col="lo", hi_col="hi", bucket_width=250.0)
+        slow = points.join(intervals,
+                           (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")))
+        key = lambda r: (r["pid"], r["band"])  # noqa: E731
+        assert sorted(map(key, fast.collect())) == sorted(map(key, slow.collect()))
+        # boundary: hi is exclusive, lo inclusive (300 sits on both a band
+        # edge and a bucket edge: 300/250 -> bucket 1)
+        edge = spark.createDataFrame([(0, 300.0)], "pid long, v double")
+        hit = asof.range_join(edge, intervals, point_col="v",
+                              lo_col="lo", hi_col="hi", bucket_width=250.0)
+        assert {r["band"] for r in hit.collect()} == {"mid"}
