@@ -92,6 +92,30 @@ CASES = [
               expectation="count(*) over (partition by col2) = 1")],
         dict(input=3, errors=0, output=3, row_status="Passed"),
     ),
+    (
+        "query_fail_aborts",
+        [dict(rule_type="query_dq", rule="q1",
+              expectation="(select count(*) from gc_view) > 100",
+              action_if_failed="fail")],
+        dict(raises=DQAggFailError),
+    ),
+    (
+        "agg_between_fail_ignored",
+        [dict(rule_type="agg_dq", rule="a1",
+              expectation="avg(col3) between 100 and 200")],
+        dict(input=3, errors=0, output=3, agg_status="Failed"),
+    ),
+    (
+        "target_query_sees_post_drop_view",
+        # drop removes col1=1; target query over the post-row-dq view
+        [dict(rule_type="row_dq", rule="r1", expectation="col1 > 1",
+              action_if_failed="drop"),
+         dict(rule_type="query_dq", rule="q1",
+              expectation="(select min(col1) from gc_target) = 2",
+              enable_for_source_dq_validation=False,
+              enable_for_target_dq_validation=True)],
+        dict(input=3, errors=1, output=2, target_query_status="Passed"),
+    ),
 ]
 
 
@@ -103,7 +127,8 @@ def test_golden(spark, simple3, name, rule_kwargs, expected):
         for kw in rule_kwargs
     ])
     cfg = DQConfig(product_id="p1", table_name="t",
-                   write_error_table=False, source_view="gc_view")
+                   write_error_table=False, source_view="gc_view",
+                   target_view="gc_target")
     engine = DQEngine(cfg)
     if "raises" in expected:
         with pytest.raises(expected["raises"]):
@@ -122,3 +147,34 @@ def test_golden(spark, simple3, name, rule_kwargs, expected):
         assert res.status["target_agg_dq"] == expected["target_agg_status"]
     if "query_status" in expected:
         assert res.status["source_query_dq"] == expected["query_status"]
+    if "target_query_status" in expected:
+        assert res.status["target_query_dq"] == expected["target_query_status"]
+
+
+def test_null_predicate_counts_as_failure(spark):
+    """SQL three-valued logic: a NULL predicate result is NOT a pass —
+    the row must land in the error table (reference golden cases treat
+    null violations as failures)."""
+    df = spark.createDataFrame(
+        [(None, "a"), (2, "b"), (3, "c")], "col1 int, col2 string")
+    rules = RuleSet([Rule("p1", "t", "row_dq", "r1", "col1", "col1 > 1",
+                          action_if_failed="drop")])
+    cfg = DQConfig(product_id="p1", table_name="t", write_error_table=False)
+    res = DQEngine(cfg).run(df, rules, spark)
+    assert res.error_count == 1
+    assert res.output_count == 2
+    assert res.final_df.filter("col1 is null").count() == 0
+
+
+def test_params_substitution_in_expectation(spark, simple3):
+    rules = RuleSet.from_records(
+        [dict(product_id="p1", table_name="t_{env}", rule_type="row_dq",
+              rule="r1", column_name="col1",
+              expectation="col1 >= {min_col1}")],
+        params={"env": "prod", "min_col1": 2},
+    )
+    assert rules.rules[0].table_name == "t_prod"
+    cfg = DQConfig(product_id="p1", table_name="t_prod",
+                   write_error_table=False)
+    res = DQEngine(cfg).run(simple3, rules, spark)
+    assert res.error_count == 1  # col1=1 fails col1 >= 2
