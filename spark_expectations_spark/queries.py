@@ -62,9 +62,11 @@ WITH t AS (
 
 
 def q_dq_row_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-grade path: boolean flags filter first, the map-typed meta
+    contract is materialized only for the surviving error rows."""
     li = load(spark, sf_dir, "lineitem")
-    projected = row_dq.project_rules(li, lineitem_row_rules())
-    err = row_dq.error_rows(projected)
+    flags = row_dq.project_flags(li, lineitem_row_rules())
+    err = row_dq.errors_from_flags(flags, lineitem_row_rules())
     return err.select(
         "l_orderkey", "l_linenumber",
         F.array_join(
