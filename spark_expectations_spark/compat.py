@@ -1,0 +1,132 @@
+"""Drop-in API compatibility with the reference library's public surface.
+
+A user of Nike-Inc/spark-expectations drives it through
+``SparkExpectations(product_id, rules_df, stats_table, ...)`` and the
+``@se.with_expectations(target_table, ...)`` decorator with string-keyed
+``user_conf`` options (reference core/expectations.py:85-104,893-901,
+config/user_config.py). This module re-expresses that exact surface on
+top of DQEngine so existing call sites migrate by changing one import.
+Only the public API shape is mirrored — the execution underneath is this
+engine's (fused projections, single-job counts, fused query rules).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable, Dict, Optional, Union
+
+from pyspark.sql import DataFrame
+
+from .core.engine import DQEngine
+from .core.rules import RuleSet
+from .core.state import DQConfig, WriterOptions
+from .notifications import (NotificationHub, NotificationRules,
+                            console_notifier)
+from .sinks.builder import WrappedDataFrameWriter
+
+# user_conf keys (verbatim strings from reference config/user_config.py —
+# the public configuration contract)
+SE_NOTIFICATIONS_ON_START = "spark.expectations.notifications.on.start"
+SE_NOTIFICATIONS_ON_COMPLETION = "spark.expectations.notifications.on.completion"
+SE_NOTIFICATIONS_ON_FAIL = "spark.expectations.notifications.on.fail"
+SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD = (
+    "spark.expectations.notifications.error.drop.threshold")
+SE_ENABLE_ERROR_TABLE = "se.enable.error.table"
+SE_DQ_RULES_PARAMS = "se.dq.rules.params"
+SE_ENABLE_AGG_DQ_DETAILED_RESULT = "spark.expectations.agg.dq.detailed.stats"
+SE_ENABLE_QUERY_DQ_DETAILED_RESULT = "spark.expectations.query.dq.detailed.stats"
+
+
+@dataclass
+class SparkExpectations:
+    """Reference-shaped entry point (core/expectations.py:85-104).
+
+    ``rules_df`` is filtered by product_id/table_name and collected to
+    driver-side Rule objects at decoration time — same contract as the
+    reference's reader (utils/reader.py:261-379).
+    """
+
+    product_id: str
+    rules_df: DataFrame
+    stats_table: str
+    stats_table_writer: Optional[WrappedDataFrameWriter] = None
+    target_and_error_table_writer: Optional[WrappedDataFrameWriter] = None
+    debugger: bool = False
+    stats_streaming_options: Optional[Dict[str, Union[str, bool]]] = None
+
+    def with_expectations(
+        self,
+        target_table: str,
+        write_to_table: bool = False,
+        write_to_temp_table: bool = False,
+        user_conf: Optional[Dict[str, Any]] = None,
+        target_table_view: Optional[str] = None,
+        target_and_error_table_writer: Optional[WrappedDataFrameWriter] = None,
+    ) -> Callable:
+        """Decorator with the reference's signature
+        (core/expectations.py:893-901). The wrapped function returns the
+        final DataFrame (batch) or StreamingQuery — reference behavior —
+        not the richer DQResult (use DQEngine directly for that)."""
+        conf = dict(user_conf or {})
+        params = dict(conf.get(SE_DQ_RULES_PARAMS, {}) or {})
+
+        hub = None
+        notif = NotificationRules(
+            notify_on_start=bool(conf.get(SE_NOTIFICATIONS_ON_START, False)),
+            notify_on_completion=bool(
+                conf.get(SE_NOTIFICATIONS_ON_COMPLETION, False)),
+            notify_on_failure=bool(conf.get(SE_NOTIFICATIONS_ON_FAIL, True)),
+            error_threshold_pct=conf.get(
+                SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD),
+        )
+        if (notif.notify_on_start or notif.notify_on_completion
+                or notif.notify_on_failure
+                or notif.error_threshold_pct is not None):
+            hub = NotificationHub(notif).register(console_notifier)
+
+        writer_builder = (target_and_error_table_writer
+                          or self.target_and_error_table_writer)
+        table_writer = (writer_builder.build() if writer_builder
+                        else WriterOptions(mode="append"))
+        stats_writer = (self.stats_table_writer.build()
+                        if self.stats_table_writer
+                        else WriterOptions(mode="append"))
+        detailed = bool(conf.get(SE_ENABLE_AGG_DQ_DETAILED_RESULT, False)
+                        or conf.get(SE_ENABLE_QUERY_DQ_DETAILED_RESULT, False))
+
+        cfg = DQConfig(
+            product_id=self.product_id,
+            table_name=target_table,
+            params=params,
+            target_view=target_table_view,
+            write_error_table=bool(conf.get(SE_ENABLE_ERROR_TABLE, True)),
+            error_writer=table_writer,
+            write_stats_table=True,
+            stats_table=self.stats_table,
+            stats_writer=stats_writer,
+            enable_detailed_stats=detailed,
+            write_target_table=write_to_table,
+            target_table=target_table if write_to_table else None,
+            target_writer=table_writer,
+            use_temp_table=write_to_temp_table,
+            temp_writer=table_writer,
+            notifications=hub,
+        )
+        rules = RuleSet.from_df(
+            self.rules_df, product_id=self.product_id,
+            table_name=target_table, params=params)
+        engine = DQEngine(cfg)
+
+        def deco(func: Callable[..., DataFrame]):
+            @functools.wraps(func)
+            def wrapper(*args, **kwargs):
+                df = func(*args, **kwargs)
+                result = engine.run(df, rules, df.sparkSession)
+                if result.streaming_query is not None:
+                    return result.streaming_query
+                return result.final_df
+
+            return wrapper
+
+        return deco

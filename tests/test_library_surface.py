@@ -322,3 +322,46 @@ class TestPlanShapes:
         assert out is lineitem
         narrow = plans.fan_out(lineitem.limit(10))
         assert plans.num_shuffles(narrow) >= 0  # repartition allowed when small
+
+
+class TestReferenceCompat:
+    def test_reference_shaped_api_end_to_end(self, spark, simple3, tmp_path):
+        from spark_expectations_spark.compat import (
+            SE_DQ_RULES_PARAMS, SE_ENABLE_ERROR_TABLE, SparkExpectations,
+        )
+        from spark_expectations_spark.sinks.builder import WrappedDataFrameWriter
+
+        rules_df = RuleSet([
+            Rule("p1", "my_table", "row_dq", "gt_min", "col1",
+                 "col1 > {min_col1}", action_if_failed="drop"),
+            Rule("p1", "other_table", "row_dq", "unrelated", "col1",
+                 "col1 > 100"),                       # filtered out by table
+            Rule("p2", "my_table", "row_dq", "unrelated2", "col1",
+                 "col1 > 100"),                       # filtered out by product
+        ]).to_df(spark)
+
+        writer = (WrappedDataFrameWriter().mode("overwrite").format("parquet")
+                  .path(str(tmp_path)))
+        se = SparkExpectations(
+            product_id="p1", rules_df=rules_df,
+            stats_table="my_stats", stats_table_writer=writer,
+            target_and_error_table_writer=writer)
+
+        @se.with_expectations(
+            "my_table",
+            user_conf={SE_ENABLE_ERROR_TABLE: True,
+                       SE_DQ_RULES_PARAMS: {"min_col1": 1}})
+        def produce():
+            return simple3
+
+        out = produce()
+        # reference contract: the decorated call returns the final DataFrame
+        assert set(out.columns) == set(simple3.columns)
+        assert out.count() == 2                       # col1=1 dropped
+        err = spark.read.parquet(str(tmp_path / "my_table_error"))
+        assert err.count() == 1
+        assert "meta_row_dq_results" in err.columns
+        stats = spark.read.parquet(str(tmp_path / "my_stats"))
+        assert stats.count() == 1
+        row = stats.first()
+        assert row["input_count"] == 3 and row["error_count"] == 1
