@@ -211,3 +211,23 @@ class TestLineitemE2E:
         clean = res.input_count - res.error_count
         assert res.error_df.count() == res.error_count
         assert clean + res.error_count == res.input_count
+
+
+class TestEmptyInput:
+    def test_empty_frame_run_is_clean(self, spark):
+        from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
+        df = spark.createDataFrame([], "col1 int, col2 string")
+        rules = RuleSet([
+            Rule("p1", "t", "row_dq", "r1", "col1", "col1 > 1",
+                 action_if_failed="drop"),
+            Rule("p1", "t", "agg_dq", "a1", "col1", "count(*) >= 0"),
+        ])
+        cfg = DQConfig(product_id="p1", table_name="t", write_error_table=False)
+        res = DQEngine(cfg).run(df, rules, spark)
+        assert res.input_count == 0
+        assert res.error_count == 0 and res.output_count == 0
+        # percentages must not divide by zero
+        assert res.error_percentage == 0.0
+        assert res.success_percentage == 0.0
+        assert res.final_df.count() == 0
+        assert res.stats_record()["input_count"] == 0

@@ -264,3 +264,21 @@ class TestAsofRange:
         hit = asof.range_join(edge, intervals, point_col="v",
                               lo_col="lo", hi_col="hi", bucket_width=250.0)
         assert {r["band"] for r in hit.collect()} == {"mid"}
+
+
+class TestIVFPartitionPruning:
+    def test_centroid_partitioned_corpus_prunes(self, spark, tmp_path):
+        """The IVF scale path: corpus written partitionBy(centroid_id) →
+        a probe restricted to nprobe centroids reads only those
+        partitions (PartitionFilters in the scan, not a full scan)."""
+        from spark_expectations_spark import plans
+        emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+        assigned = emb.withColumn(
+            "centroid_id", F.pmod(F.xxhash64("vec_id"), F.lit(8)))
+        path = str(tmp_path / "ivf_corpus")
+        assigned.write.partitionBy("centroid_id").parquet(path)
+        probe = spark.read.parquet(path).filter(F.col("centroid_id").isin(1, 3))
+        txt = plans.plan_text(probe)
+        assert "PartitionFilters" in txt and "centroid_id" in txt
+        n_all = spark.read.parquet(path).count()
+        assert 0 < probe.count() < n_all
