@@ -1,0 +1,89 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+``df.sample``/``sampleBy`` are seed-based but partition-order dependent —
+re-running on re-partitioned 100 TB data silently changes the sample.
+These operators derive membership from a HASH OF THE KEY, so a row's
+split is a pure function of its content: stable across runs, cluster
+sizes, and engines (md5 is the portable choice — identical bytes in
+Spark, DuckDB, Python — which also makes the splits oracle-checkable).
+
+Everything is a narrow projection + filter: no shuffle, fully
+pushdown-friendly, and the same row never lands in two splits.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: buckets = first 4 md5 hex chars → 0..65535; plenty of resolution for
+#: pipeline split ratios while keeping the arithmetic in 32-bit range
+_BUCKETS = 65536
+
+
+def _bucket(key: Column) -> Column:
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10) \
+            .cast("long")
+
+
+def with_split(
+    df: DataFrame,
+    key_col: str,
+    splits: Mapping[str, float],
+    *,
+    out: str = "split",
+) -> DataFrame:
+    """Assign each row a split label by hashed key.
+
+    ``splits`` maps label → weight (normalized internally). Rows with
+    equal keys always get equal labels — safe for grouped entities
+    (all of a user's documents stay in one split when keyed by user).
+    """
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError("split weights must sum > 0")
+    b = _bucket(F.col(key_col))
+    expr = None
+    acc = 0.0
+    labels = list(splits.items())
+    for label, w in labels[:-1]:
+        acc += w / total
+        cond = b < int(acc * _BUCKETS)
+        expr = F.when(cond, label) if expr is None else expr.when(cond, label)
+    last = labels[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(out, expr)
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by hashed key — reproducible
+    regardless of partitioning, and a plain filter (pushdown applies)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.filter(_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
+
+
+def stratified_deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: Mapping[str, float],
+    *,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (the hash-stable version of
+    ``sampleBy``): each stratum keeps its own fraction. Salting the hash
+    with the stratum decorrelates the per-stratum samples."""
+    b = _bucket(F.concat(F.col(strata_col).cast("string"),
+                         F.lit("|"), F.col(key_col).cast("string")))
+    expr = F.lit(int(default_fraction * _BUCKETS))
+    for stratum, frac in fractions.items():
+        expr = F.when(F.col(strata_col) == stratum,
+                      F.lit(int(frac * _BUCKETS))).otherwise(expr)
+    return df.filter(b < expr)

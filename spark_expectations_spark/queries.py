@@ -1216,6 +1216,35 @@ GROUP BY band
 """
 
 
+def q_docs_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by hashed doc_id
+    (operators/sampling.py): membership is a pure function of the key —
+    stable across partitioning/engines, which is why duckdb can verify
+    it exactly (md5 is byte-identical in both)."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    split = sampling.with_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# thresholds: 0.8*65536 = 52428 = 0xcccc, 0.9*65536 = 58982 = 0xe666;
+# fixed-width lowercase hex compares lexicographically == numerically
+ORACLE_DOCS_TRAIN_SPLIT = """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+GROUP BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1260,6 +1289,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pivot_order_status": q_pivot_order_status,
     "events_asof_purchase": q_events_asof_purchase,
     "orders_price_bands": q_orders_price_bands,
+    "docs_train_split": q_docs_train_split,
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
@@ -1307,6 +1337,7 @@ ORACLES: dict[str, Optional[str]] = {
     "pivot_order_status": ORACLE_PIVOT_ORDER_STATUS,
     "events_asof_purchase": ORACLE_EVENTS_ASOF_PURCHASE,
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
+    "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,

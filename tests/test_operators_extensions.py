@@ -282,3 +282,38 @@ class TestIVFPartitionPruning:
         assert "PartitionFilters" in txt and "centroid_id" in txt
         n_all = spark.read.parquet(path).count()
         assert 0 < probe.count() < n_all
+
+
+class TestSampling:
+    def test_split_is_deterministic_and_partition_invariant(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(2000).selectExpr("id AS k")
+        s1 = sampling.with_split(df, "k", {"train": 0.8, "val": 0.1, "test": 0.1})
+        s2 = sampling.with_split(df.repartition(13), "k",
+                                 {"train": 0.8, "val": 0.1, "test": 0.1})
+        m1 = {r["k"]: r["split"] for r in s1.collect()}
+        m2 = {r["k"]: r["split"] for r in s2.collect()}
+        assert m1 == m2
+        counts = s1.groupBy("split").count().collect()
+        by = {r["split"]: r["count"] for r in counts}
+        assert set(by) == {"train", "val", "test"}
+        assert 0.75 < by["train"] / 2000 < 0.85
+
+    def test_sample_fraction_and_subset_property(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(5000).selectExpr("id AS k")
+        s10 = {r["k"] for r in sampling.deterministic_sample(df, "k", 0.1).collect()}
+        s20 = {r["k"] for r in sampling.deterministic_sample(df, "k", 0.2).collect()}
+        assert s10 <= s20          # nested samples: growing fraction only adds
+        assert 0.06 < len(s10) / 5000 < 0.14
+
+    def test_stratified_fractions(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(4000).selectExpr(
+            "id AS k", "CASE WHEN id % 2 = 0 THEN 'a' ELSE 'b' END AS s")
+        out = sampling.stratified_deterministic_sample(
+            df, "k", "s", {"a": 0.5, "b": 0.05})
+        by = {r["s"]: r["count"]
+              for r in out.groupBy("s").count().collect()}
+        assert 0.4 < by["a"] / 2000 < 0.6
+        assert 0.02 < by["b"] / 2000 < 0.09
