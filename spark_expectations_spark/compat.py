@@ -25,6 +25,11 @@ from .notifications import (NotificationHub, NotificationRules,
                             console_notifier)
 from .sinks.builder import WrappedDataFrameWriter
 
+#: The reference exposes a separate builder class for streaming sinks
+#: (core/expectations.py:80,101); here one builder carries both batch and
+#: streaming knobs, so the stream variant is an alias for API parity.
+WrappedDataFrameStreamWriter = WrappedDataFrameWriter
+
 # user_conf keys (verbatim strings from reference config/user_config.py —
 # the public configuration contract)
 SE_NOTIFICATIONS_ON_START = "spark.expectations.notifications.on.start"
