@@ -23,7 +23,7 @@ BENCH_QUERIES = [
     "tpch_q18ish",
     "window_rank", "dedup_exact", "dedup_jaccard", "dedup_minhash",
     "embed_near_dups", "ann_topk", "text_stats", "text_quality",
-    "events_hourly", "events_sessions",
+    "events_hourly", "events_sessions", "docs_clean_corpus",
 ]
 
 

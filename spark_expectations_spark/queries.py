@@ -1245,6 +1245,76 @@ GROUP BY split
 """
 
 
+def q_docs_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a full training-data prep pipeline in
+    one declarative plan: language filter → quality gate → exact dedup
+    by content fingerprint (keep lowest doc_id) → deterministic
+    train/val/test split → per-split stats. Catalyst fuses the scalar
+    stages into one scan; the only shuffles are the dedup groupBy and
+    the final 3-group aggregate."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    kept = (
+        docs.filter(F.col("lang") == "en")
+        .filter(text.quality_score(t) >= 0.7)
+        .withColumn("fp", text.fingerprint(t))
+    )
+    deduped = dedup.dedup_exact(kept, ["fp"], tie_breaker="doc_id")
+    split = sampling.with_split(
+        deduped, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        split.groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"),
+             F.min("doc_id").alias("min_doc_id"))
+    )
+
+
+_QUALITY_CTE = rf"""
+WITH toks AS (
+  SELECT *, list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                        x -> x <> '') AS t
+  FROM documents WHERE lang = 'en'
+),
+scored AS (
+  SELECT *,
+    (least(len(t) / 5.0, 1.0)
+     + CASE WHEN (CASE WHEN length(text) > 0
+              THEN length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) * 1.0 / length(text)
+              ELSE 0 END) <= 0.3 THEN 1.0 ELSE 0.0 END
+     + CASE WHEN (CASE WHEN len(t) > 0
+              THEN list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)
+              ELSE 0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+     + least((CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> list_contains({_EN_STOPWORDS_SQL}, x))) * 1.0 / len(t)
+              ELSE 0 END) * 5.0, 1.0)) / 4.0 AS q
+  FROM toks
+),
+kept AS (
+  SELECT *, md5(trim(regexp_replace(regexp_replace(lower(text),
+              '[^\p{{L}}\p{{N}}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+  FROM scored WHERE q >= 0.7
+),
+deduped AS (
+  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY fp
+                                              ORDER BY doc_id) AS rn
+                 FROM kept) WHERE rn = 1
+)
+"""
+
+ORACLE_DOCS_CLEAN_CORPUS = _QUALITY_CTE + """
+SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+            ELSE 'test' END AS split,
+       count(*) AS n_docs, sum(n_chars) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM deduped
+GROUP BY split
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1290,6 +1360,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_purchase": q_events_asof_purchase,
     "orders_price_bands": q_orders_price_bands,
     "docs_train_split": q_docs_train_split,
+    "docs_clean_corpus": q_docs_clean_corpus,
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
@@ -1338,6 +1409,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_asof_purchase": ORACLE_EVENTS_ASOF_PURCHASE,
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
+    "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,
