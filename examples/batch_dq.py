@@ -1,0 +1,64 @@
+"""End-to-end batch DQ run: YAML rules -> DQEngine -> error table, stats,
+HTML report.
+
+    python examples/batch_dq.py [sf_dir]    (default /root/testdata/sf0.001)
+"""
+
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+
+from spark_expectations_spark import DQConfig, DQEngine, WriterOptions
+from spark_expectations_spark.sinks.report import render_html_report
+from spark_expectations_spark.sources.loaders import rules_from_doc
+
+RULES_DOC = {
+    "product_id": "demo",
+    "defaults": {"table_name": "lineitem"},
+    "rules": [
+        {"rule": "qty_range", "rule_type": "row_dq", "column_name": "l_quantity",
+         "expectation": "l_quantity between 1 and 50"},
+        {"rule": "disc_low", "rule_type": "row_dq", "column_name": "l_discount",
+         "expectation": "l_discount between 0 and 0.05",
+         "action_if_failed": "drop"},
+        {"rule": "avg_disc", "rule_type": "agg_dq", "column_name": "l_discount",
+         "expectation": "avg(l_discount) between 0 and 0.1"},
+    ],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = Path(tempfile.mkdtemp(prefix="dq_demo_"))
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "4")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rules = rules_from_doc(RULES_DOC)
+    cfg = DQConfig(
+        product_id="demo", table_name="lineitem",
+        write_error_table=True,
+        error_writer=WriterOptions(mode="overwrite", path=str(out)),
+        write_stats_table=True, stats_table="lineitem_stats",
+        stats_writer=WriterOptions(mode="overwrite", path=str(out)),
+    )
+    res = DQEngine(cfg).run(li, rules, spark)
+
+    print(f"input={res.input_count} errors={res.error_count} "
+          f"output={res.output_count} status={res.status}")
+    report = out / "report.html"
+    report.write_text(render_html_report(res))
+    print(f"error table: {out}/lineitem_error")
+    print(f"stats table: {out}/lineitem_stats")
+    print(f"html report: {report}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
