@@ -89,3 +89,37 @@ class TestCompositeParsing:
         for a in aliases:
             assert f"(select count(*) from t_{a})" in parsed.expectation
         assert "{" not in parsed.expectation
+
+
+class TestAsofProperty:
+    @given(
+        left=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100)),
+                      min_size=1, max_size=25),
+        right=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 100),
+                                 st.integers(-999, 999)),
+                       min_size=0, max_size=25),
+    )
+    @settings(max_examples=12, deadline=None)
+    def test_asof_matches_bruteforce(self, spark, left, right):
+        """asof_join == 'latest right at-or-before left per key' computed
+        naively in python, for arbitrary key/ts collisions on the left.
+        Right-side ts are deduped per key (the match is otherwise
+        ambiguous — both engines may pick either)."""
+        from spark_expectations_spark.operators import asof
+        seen = set()
+        right = [r for r in right
+                 if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))]
+        ldf = spark.createDataFrame(
+            [(k, ts, i) for i, (k, ts) in enumerate(left)],
+            "k long, ts long, row_id long")
+        rdf = (spark.createDataFrame(right, "k long, ts long, val long")
+               if right else
+               spark.createDataFrame([], "k long, ts long, val long"))
+        out = {r["row_id"]: r["val"]
+               for r in asof.asof_join(ldf, rdf, on=["k"], left_ts="ts",
+                                       right_ts="ts",
+                                       value_cols=["val"]).collect()}
+        for i, (k, ts) in enumerate(left):
+            cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+            expect = max(cands)[1] if cands else None
+            assert out[i] == expect, (i, k, ts, cands)
