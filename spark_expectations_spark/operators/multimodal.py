@@ -133,6 +133,61 @@ def frame_sample_plan(
     )
 
 
+def resize_media(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    width: int,
+    height: int,
+    resize_fn: Optional[Callable[[bytes, int, int], bytes]] = None,
+    codec: str = "fake",
+) -> DataFrame:
+    """binary → resized binary via Arrow-batched mapInPandas.
+
+    Same stub contract as ``extract_features``: ``codec='fake'`` runs a
+    deterministic byte-level stand-in (md5-keyed, output size scales
+    with the target area) so schema/batching/partitioning are testable;
+    any real codec requires ``resize_fn`` (e.g. Pillow's
+    ``Image.resize``) and raises NotImplementedError otherwise.
+    """
+    if resize_fn is None:
+        if codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: real image resizing needs an image "
+                "library; pass resize_fn=... (e.g. Pillow-based)")
+
+        def resize_fn(b: bytes, w: int, h: int) -> bytes:
+            seed = (b if b is not None else b"") + w.to_bytes(4, "little") \
+                   + h.to_bytes(4, "little")
+            n = max(1, (w * h) // 64)  # fake payload ∝ target area
+            out = bytearray()
+            counter = 0
+            while len(out) < n:
+                out += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+                counter += 1
+            return bytes(out[:n])
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("resized_bytes", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "resized_bytes": [resize_fn(b, width, height)
+                                  for b in pdf[binary_col]],
+                "width": width,
+                "height": height,
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
 def synthesize_binary_column(df: DataFrame, from_col: str, out: str = "media_bytes") -> DataFrame:
     """Deterministic fake media bytes from any string column — lets the
     whole multimodal path run end-to-end in environments with no media

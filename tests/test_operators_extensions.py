@@ -317,3 +317,27 @@ class TestSampling:
               for r in out.groupBy("s").count().collect()}
         assert 0.4 < by["a"] / 2000 < 0.6
         assert 0.02 < by["b"] / 2000 < 0.09
+
+
+class TestResize:
+    def test_resize_deterministic_and_typed(self, docs):
+        with_bin = multimodal.synthesize_binary_column(docs.limit(10), "text")
+        r1 = multimodal.resize_media(with_bin, id_col="doc_id",
+                                     binary_col="media_bytes",
+                                     width=32, height=16)
+        rows = {r["doc_id"]: r for r in r1.collect()}
+        assert all(r["width"] == 32 and r["height"] == 16
+                   for r in rows.values())
+        assert all(len(r["resized_bytes"]) == 32 * 16 // 64
+                   for r in rows.values())
+        r2 = multimodal.resize_media(with_bin, id_col="doc_id",
+                                     binary_col="media_bytes",
+                                     width=32, height=16)
+        assert rows == {r["doc_id"]: r for r in r2.collect()}
+
+    def test_real_codec_requires_fn(self, docs):
+        with_bin = multimodal.synthesize_binary_column(docs.limit(1), "text")
+        with pytest.raises(NotImplementedError):
+            multimodal.resize_media(with_bin, id_col="doc_id",
+                                    binary_col="media_bytes",
+                                    width=8, height=8, codec="jpeg")
