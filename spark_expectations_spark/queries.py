@@ -1315,6 +1315,35 @@ GROUP BY split
 """
 
 
+def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram via width_bucket — one partial-agg pass; the
+    bucketing expression folds into the scan projection (profiling
+    primitive for numeric columns)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.width_bucket("l_extendedprice", F.lit(0.0),
+                                  F.lit(120_000.0), F.lit(12)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+             F.round(F.max("l_extendedprice"), 2).alias("max_price"))
+    )
+
+
+# duckdb lacks width_bucket; spelled out with the same SQL-standard
+# semantics (0 below range, n+1 at/above the upper bound)
+ORACLE_LINEITEM_PRICE_HISTOGRAM = """
+SELECT CASE WHEN l_extendedprice < 0.0 THEN 0
+            WHEN l_extendedprice >= 120000.0 THEN 13
+            ELSE CAST(floor(l_extendedprice / 10000.0) AS BIGINT) + 1 END
+         AS bucket,
+       count(*) AS n_rows,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price
+FROM lineitem
+GROUP BY bucket
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1361,6 +1390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_bands": q_orders_price_bands,
     "docs_train_split": q_docs_train_split,
     "docs_clean_corpus": q_docs_clean_corpus,
+    "lineitem_price_histogram": q_lineitem_price_histogram,
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
@@ -1410,6 +1440,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
+    "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,

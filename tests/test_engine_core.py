@@ -231,3 +231,21 @@ class TestEmptyInput:
         assert res.success_percentage == 0.0
         assert res.final_df.count() == 0
         assert res.stats_record()["input_count"] == 0
+
+
+class TestAwkwardSchemas:
+    def test_reserved_word_and_spaced_columns(self, spark):
+        """Rules over backtick-quoted reserved words / spaced column names
+        must flow through projection, summary, and action filtering."""
+        from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
+        df = spark.createDataFrame([(1, 5), (2, 0)],
+                                   "`order` int, `some col` int")
+        rules = RuleSet([
+            Rule("p", "t", "row_dq", "r1", "order", "`order` > 1",
+                 action_if_failed="drop"),
+            Rule("p", "t", "row_dq", "r2", "some col", "`some col` >= 0"),
+        ])
+        cfg = DQConfig(product_id="p", table_name="t", write_error_table=False)
+        res = DQEngine(cfg).run(df, rules, spark)
+        assert (res.input_count, res.error_count, res.output_count) == (2, 1, 1)
+        assert sorted(res.final_df.columns) == ["order", "some col"]
