@@ -146,39 +146,54 @@ def _scalar_str(v: Any) -> str:
     return str(v)
 
 
-def evaluate_agg_rules(df: DataFrame, rules: Sequence[Rule]) -> list[AggRuleResult]:
-    """All agg rules in one ``df.agg`` job.
-
-    For each rule two expressions are fused into the same aggregate:
-    the boolean expectation itself and (when parseable) the measured
-    aggregate for detailed stats. Catalyst de-duplicates the shared
-    aggregate child, so ``sum(x) > 10`` + actual ``sum(x)`` computes
-    ``sum(x)`` once.
-    """
-    if not rules:
-        return []
+def rule_agg_exprs(
+    rules: Sequence[Rule], prefix: str = "__b",
+) -> tuple[list[Column], list[Optional[ParsedExpectation]]]:
+    """The fused aggregate expressions for a rule list: per rule the
+    boolean expectation plus (when parseable) the measured aggregate.
+    Catalyst de-duplicates the shared aggregate child, so ``sum(x) > 10``
+    + actual ``sum(x)`` computes ``sum(x)`` once. Exposed so callers can
+    splice agg rules into an EXISTING aggregation job (stage fusion in
+    DQEngine) instead of paying a second scan."""
     exprs: list[Column] = []
     parsed: list[Optional[ParsedExpectation]] = []
     for i, r in enumerate(rules):
-        exprs.append(F.expr(r.expectation).alias(f"__b{i}"))
+        exprs.append(F.expr(r.expectation).alias(f"{prefix}{i}"))
         p = parse_expectation(r.expectation)
         parsed.append(p)
         if p is not None:
-            exprs.append(F.expr(p.source_expr).alias(f"__v{i}"))
-    row = df.agg(*exprs).first()
+            exprs.append(F.expr(p.source_expr).alias(f"{prefix}v{i}"))
+    return exprs, parsed
+
+
+def results_from_row(
+    rules: Sequence[Rule],
+    parsed: Sequence[Optional[ParsedExpectation]],
+    row,
+    prefix: str = "__b",
+) -> list[AggRuleResult]:
+    """Decode one collected row of ``rule_agg_exprs`` outputs."""
     out: list[AggRuleResult] = []
     for i, r in enumerate(rules):
-        ok = row[f"__b{i}"]
         p = parsed[i]
         out.append(
             AggRuleResult(
                 rule=r,
-                status="pass" if bool(ok) else "fail",
-                actual_value=row[f"__v{i}"] if p is not None else None,
+                status="pass" if bool(row[f"{prefix}{i}"]) else "fail",
+                actual_value=row[f"{prefix}v{i}"] if p is not None else None,
                 expected=p.expected_repr() if p is not None else None,
             )
         )
     return out
+
+
+def evaluate_agg_rules(df: DataFrame, rules: Sequence[Rule]) -> list[AggRuleResult]:
+    """All agg rules in one ``df.agg`` job."""
+    if not rules:
+        return []
+    exprs, parsed = rule_agg_exprs(rules)
+    row = df.agg(*exprs).first()
+    return results_from_row(rules, parsed, row)
 
 
 def evaluate_agg_rules_df(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:

@@ -221,8 +221,27 @@ def _any_flag(rules: Sequence[Rule], pred=None) -> Column:
     return out
 
 
+def summarize_flags_with(
+    flags_df: DataFrame,
+    rules: Sequence[Rule],
+    extra_exprs: Sequence[Column] = (),
+):
+    """``summarize_flags`` plus caller-supplied aggregate expressions in
+    the SAME job (stage fusion: DQEngine splices the source agg_dq rules
+    in here so agg rules + every run count share one scan). Returns
+    (RowDQSummary, collected Row) — the Row carries the extra outputs."""
+    aggs = _summary_aggs(rules) + list(extra_exprs)
+    row = flags_df.agg(*aggs).first()
+    return _summary_from_row(rules, row), row
+
+
 def summarize_flags(flags_df: DataFrame, rules: Sequence[Rule]) -> RowDQSummary:
     """ONE aggregation job over the boolean flags — conditional sums only."""
+    row = flags_df.agg(*_summary_aggs(rules)).first()
+    return _summary_from_row(rules, row)
+
+
+def _summary_aggs(rules: Sequence[Rule]) -> list[Column]:
     aggs: list[Column] = [
         F.count(F.lit(1)).alias("__input"),
         F.sum(_any_flag(rules).cast("long")).alias("__errors"),
@@ -233,7 +252,10 @@ def summarize_flags(flags_df: DataFrame, rules: Sequence[Rule]) -> RowDQSummary:
     ]
     for i, _ in enumerate(rules):
         aggs.append(F.sum(F.col(_flag_name(i)).cast("long")).alias(f"__r{i}"))
-    row = flags_df.agg(*aggs).first()
+    return aggs
+
+
+def _summary_from_row(rules: Sequence[Rule], row) -> RowDQSummary:
     return RowDQSummary(
         input_count=row["__input"] or 0,
         error_count=row["__errors"] or 0,
