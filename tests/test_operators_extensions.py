@@ -341,3 +341,24 @@ class TestResize:
             multimodal.resize_media(with_bin, id_col="doc_id",
                                     binary_col="media_bytes",
                                     width=8, height=8, codec="jpeg")
+
+
+class TestJaccardStopShingles:
+    def test_high_threshold_is_noop(self, spark):
+        df = spark.createDataFrame(
+            [(1, "the quick brown fox jumps"), (2, "the quick brown fox jumps"),
+             (3, "completely different text body here")],
+            "doc_id int, text string")
+        base = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.9).collect()
+        filt = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.9,
+                                   max_shingle_df=100).collect()
+        assert sorted(map(tuple, base)) == sorted(map(tuple, filt))
+
+    def test_stop_filter_lower_bounds_jaccard(self, spark):
+        # shingles shared by ALL docs get dropped at df<=1: identical pair
+        # loses every common shingle -> no pair survives the threshold
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c d e")], "doc_id int, text string")
+        out = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.1,
+                                  max_shingle_df=1).collect()
+        assert out == []
