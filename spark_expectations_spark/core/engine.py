@@ -50,9 +50,18 @@ class DQEngine:
         hub = cfg.notifications
         if hub is not None:
             hub.on_start(cfg.product_id, cfg.table_name)
+        result = DQResult(
+            run_id=new_run_id(cfg.product_id),
+            product_id=cfg.product_id,
+            table_name=cfg.table_name,
+        )
         try:
-            result = self._run_batch(df, rules, spark)
+            result = self._run_batch(df, rules, spark, result)
         except Exception as e:
+            # reference parity: the stats row is written on failure too
+            # (sinks/utils/collect_statistics.py:21-50), carrying whatever
+            # stage statuses/counts were reached before the abort
+            self._write_stats(spark, result, best_effort=True)
             if hub is not None:
                 hub.on_failure(cfg.product_id, cfg.table_name, e)
             raise
@@ -61,13 +70,8 @@ class DQEngine:
         return result
 
     def _run_batch(self, df: DataFrame, rules: RuleSet,
-                   spark: SparkSession) -> DQResult:
+                   spark: SparkSession, result: DQResult) -> DQResult:
         cfg = self.config
-        result = DQResult(
-            run_id=new_run_id(cfg.product_id),
-            product_id=cfg.product_id,
-            table_name=cfg.table_name,
-        )
         settings = rules.execution_settings()
         query_dq.register_views(spark, dict(cfg.views))
         if cfg.source_view:
@@ -123,7 +127,15 @@ class DQEngine:
         # -- final write + stats --------------------------------------------
         if cfg.write_target_table and cfg.target_table:
             writer.write_batch(final_df, cfg.target_table, cfg.target_writer)
-        if cfg.write_stats_table:
+        self._write_stats(spark, result)
+        return result
+
+    def _write_stats(self, spark: SparkSession, result: DQResult,
+                     best_effort: bool = False) -> None:
+        cfg = self.config
+        if not cfg.write_stats_table:
+            return
+        try:
             sdf = writer.stats_df(spark, result)
             writer.write_batch(sdf, cfg.resolved_stats_table(), cfg.stats_writer)
             if cfg.enable_detailed_stats:
@@ -134,7 +146,10 @@ class DQEngine:
                 if qdf.head(1):
                     writer.write_batch(qdf, cfg.resolved_stats_table() + "_querydq_output",
                                        cfg.stats_writer)
-        return result
+        except Exception:
+            if not best_effort:
+                raise
+            log.exception("stats write after run failure itself failed")
 
     # ---------------------------------------------------------------- stages
     def _prepare_flags(self, df: DataFrame, rules: RuleSet) -> DataFrame:

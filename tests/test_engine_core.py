@@ -249,3 +249,27 @@ class TestAwkwardSchemas:
         res = DQEngine(cfg).run(df, rules, spark)
         assert (res.input_count, res.error_count, res.output_count) == (2, 1, 1)
         assert sorted(res.final_df.columns) == ["order", "some col"]
+
+
+class TestStatsOnFailure:
+    def test_stats_written_when_run_aborts(self, spark, simple3, tmp_path):
+        """Reference parity (collect_statistics decorator): the audit
+        stats row lands even when a fail-action aborts the run, carrying
+        the statuses reached before the abort."""
+        import pytest
+        from spark_expectations_spark import (DQConfig, DQEngine,
+                                              DQRowFailError, Rule, RuleSet,
+                                              WriterOptions)
+        rules = RuleSet([Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1",
+                              action_if_failed="fail")])
+        cfg = DQConfig(
+            product_id="p1", table_name="t", write_error_table=False,
+            write_stats_table=True, stats_table="t_stats",
+            stats_writer=WriterOptions(mode="overwrite", path=str(tmp_path)))
+        with pytest.raises(DQRowFailError):
+            DQEngine(cfg).run(simple3, rules, spark)
+        stats = spark.read.parquet(str(tmp_path / "t_stats"))
+        row = stats.first()
+        assert stats.count() == 1
+        assert row["dq_status"]["row_dq"] == "Failed"
+        assert row["input_count"] == 3
