@@ -37,6 +37,8 @@ SE_NOTIFICATIONS_ON_COMPLETION = "spark.expectations.notifications.on.completion
 SE_NOTIFICATIONS_ON_FAIL = "spark.expectations.notifications.on.fail"
 SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD = (
     "spark.expectations.notifications.error.drop.threshold")
+SE_NOTIFICATIONS_ON_IGNORED_RULES = (
+    "spark.expectations.notifications.on.rules.action.if.failed.set.ignore")
 SE_ENABLE_ERROR_TABLE = "se.enable.error.table"
 SE_DQ_RULES_PARAMS = "se.dq.rules.params"
 SE_ENABLE_AGG_DQ_DETAILED_RESULT = "spark.expectations.agg.dq.detailed.stats"
@@ -84,9 +86,11 @@ class SparkExpectations:
             notify_on_failure=bool(conf.get(SE_NOTIFICATIONS_ON_FAIL, True)),
             error_threshold_pct=conf.get(
                 SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD),
+            notify_on_ignored_rules=bool(
+                conf.get(SE_NOTIFICATIONS_ON_IGNORED_RULES, False)),
         )
         if (notif.notify_on_start or notif.notify_on_completion
-                or notif.notify_on_failure
+                or notif.notify_on_failure or notif.notify_on_ignored_rules
                 or notif.error_threshold_pct is not None):
             hub = NotificationHub(notif).register(console_notifier)
 

@@ -66,6 +66,10 @@ class NotificationRules:
     notify_on_completion: bool = False
     notify_on_failure: bool = True
     error_threshold_pct: float | None = None    # error_percentage above → alert
+    #: digest of failed rules whose action is 'ignore' (silently passing
+    #: violations; reference user_config
+    #: se_notifications_on_rules_action_if_failed_set_ignore)
+    notify_on_ignored_rules: bool = False
 
 
 class NotificationHub:
@@ -109,6 +113,18 @@ class NotificationHub:
             })
         if result.row_summary is None or not result.input_count or rules is None:
             return
+        if self.rules.notify_on_ignored_rules:
+            by_name = {r.rule: r for r in rules}
+            ignored = [
+                {"rule": rule, "failed_count": cnt}
+                for rule, cnt in result.row_summary.rule_failed_counts.items()
+                if cnt and by_name.get(rule) is not None
+                and by_name[rule].action_if_failed == "ignore"
+            ]
+            if ignored:
+                self._emit("ignored_rules", {
+                    **_result_payload(result), "ignored": ignored,
+                })
         # per-rule error-drop alerts (reference notify:253-343): alert when
         # a rule's failed-row percentage crosses its own threshold
         by_name = {r.rule: r for r in rules}

@@ -365,3 +365,22 @@ class TestReferenceCompat:
         assert stats.count() == 1
         row = stats.first()
         assert row["input_count"] == 3 and row["error_count"] == 1
+
+
+class TestIgnoredRulesDigest:
+    def test_ignored_failures_digest(self, spark, simple3):
+        coll = CollectingNotifier()
+        hub = NotificationHub(NotificationRules(notify_on_ignored_rules=True))
+        hub.register(coll)
+        rules = RuleSet([
+            Rule("p1", "t", "row_dq", "ig1", "col1", "col1 > 1"),  # ignore (default)
+            Rule("p1", "t", "row_dq", "dr1", "col2", "col2 != 'c'",
+                 action_if_failed="drop"),
+        ])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False, notifications=hub)
+        DQEngine(cfg).run(simple3, rules, spark)
+        events = dict(coll.events)
+        assert "ignored_rules" in events
+        digest = events["ignored_rules"]["ignored"]
+        assert digest == [{"rule": "ig1", "failed_count": 1}]  # drop rule excluded
