@@ -1,0 +1,97 @@
+"""Table profiling: per-column statistics in ONE aggregation pass.
+
+The natural companion to declarative DQ — profile output is exactly what
+seeds rule thresholds (null ratios → null_validation, ranges →
+between-rules, distinct counts → uniqueness candidates). All columns'
+statistics are fused into a single ``df.agg`` (4 expressions per column),
+so profiling a 100-column table is still one scan with map-side partial
+aggregation; distinct counts use HyperLogLog (``approx_count_distinct``)
+to stay one-pass — exact distinct would force a shuffle per column.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
+
+
+def profile_table(
+    df: DataFrame,
+    columns: Optional[Sequence[str]] = None,
+    *,
+    approx_rsd: float = 0.05,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """One row per column: (column, n_rows, n_nulls, null_pct,
+    n_distinct, min_value, max_value) — numeric min/max as doubles,
+    others null.
+
+    ``exact_distinct=True`` switches HLL to ``count(distinct)`` — exact
+    but each column becomes an Expand branch; keep it for test-scale or
+    oracle comparisons.
+    """
+    cols = list(columns) if columns else list(df.columns)
+    types = dict(df.dtypes)
+    numeric = {f.name for f in df.schema.fields
+               if isinstance(f.dataType, NumericType)}
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        aggs.append(F.sum(col.isNull().cast("long")).alias(f"__null{i}"))
+        aggs.append(
+            (F.count_distinct(col) if exact_distinct
+             else F.approx_count_distinct(col, approx_rsd)).alias(f"__dist{i}"))
+        if c in numeric:
+            aggs.append(F.min(col).cast("double").alias(f"__min{i}"))
+            aggs.append(F.max(col).cast("double").alias(f"__max{i}"))
+
+    agg = df.agg(*aggs)
+    structs = []
+    for i, c in enumerate(cols):
+        is_num = c in numeric
+        structs.append(F.struct(
+            F.lit(c).alias("column"),
+            F.lit(types[c]).alias("dtype"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null{i}").alias("n_nulls"),
+            F.round(F.col(f"__null{i}") / F.greatest(F.col("__n"), F.lit(1))
+                    * 100, 4).alias("null_pct"),
+            F.col(f"__dist{i}").alias("n_distinct"),
+            (F.col(f"__min{i}") if is_num
+             else F.lit(None).cast("double")).alias("min_value"),
+            (F.col(f"__max{i}") if is_num
+             else F.lit(None).cast("double")).alias("max_value"),
+        ))
+    return agg.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+def suggest_rules(
+    profile: DataFrame,
+    *,
+    product_id: str,
+    table_name: str,
+    null_pct_max: float = 0.0,
+) -> list:
+    """Draft DQ rules from a profile (driver-side, rule-scale): columns
+    with null_pct <= ``null_pct_max`` get a not-null rule; numeric
+    columns get a between-rule over the observed range. Drafts carry
+    tag='suggested' so pipelines can review before activating."""
+    from ..core.rules import Rule
+
+    out = []
+    for r in profile.collect():
+        c = r["column"]
+        if r["null_pct"] is not None and r["null_pct"] <= null_pct_max:
+            out.append(Rule(product_id, table_name, "row_dq",
+                            f"{c}_not_null", c, f"{c} is not null",
+                            tag="suggested"))
+        if r["min_value"] is not None and r["max_value"] is not None:
+            out.append(Rule(product_id, table_name, "row_dq",
+                            f"{c}_range", c,
+                            f"{c} between {r['min_value']} and {r['max_value']}",
+                            tag="suggested"))
+    return out

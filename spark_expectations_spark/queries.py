@@ -1344,6 +1344,49 @@ GROUP BY bucket
 """
 
 
+def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling (operators/profiling.py): every column's null /
+    distinct / range stats from ONE aggregation pass (exact distinct here
+    so duckdb can verify; production default is one-pass HLL)."""
+    from .operators import profiling
+
+    li = load(spark, sf_dir, "lineitem")
+    prof = profiling.profile_table(
+        li, ["l_quantity", "l_discount", "l_returnflag"], exact_distinct=True)
+    return prof.select(
+        "column", "n_rows", "n_nulls", "null_pct", "n_distinct",
+        F.round("min_value", 4).alias("min_value"),
+        F.round("max_value", 4).alias("max_value"),
+    )
+
+
+ORACLE_LINEITEM_PROFILE = """
+SELECT 'l_quantity' AS column, count(*) AS n_rows,
+       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) * 100.0
+             / greatest(count(*), 1), 4) AS null_pct,
+       count(DISTINCT l_quantity) AS n_distinct,
+       round(min(l_quantity), 4) AS min_value,
+       round(max(l_quantity), 4) AS max_value
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', count(*),
+       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) * 100.0
+             / greatest(count(*), 1), 4),
+       count(DISTINCT l_discount),
+       round(min(l_discount), 4), round(max(l_discount), 4)
+FROM lineitem
+UNION ALL
+SELECT 'l_returnflag', count(*),
+       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+       round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) * 100.0
+             / greatest(count(*), 1), 4),
+       count(DISTINCT l_returnflag), NULL, NULL
+FROM lineitem
+"""
+
+
 # ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
@@ -1391,6 +1434,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_split": q_docs_train_split,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
+    "lineitem_profile": q_lineitem_profile,
     "set_ops_nations": q_set_ops_nations,
     "anti_join_orders": q_anti_join_orders,
     "events_topk_users": q_events_topk_users,
@@ -1441,6 +1485,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,
+    "lineitem_profile": ORACLE_LINEITEM_PROFILE,
     "set_ops_nations": ORACLE_SET_OPS_NATIONS,
     "anti_join_orders": ORACLE_ANTI_JOIN_ORDERS,
     "events_topk_users": ORACLE_EVENTS_TOPK_USERS,

@@ -362,3 +362,32 @@ class TestJaccardStopShingles:
         out = dedup.jaccard_pairs(df, "doc_id", "text", threshold=0.1,
                                   max_shingle_df=1).collect()
         assert out == []
+
+
+class TestProfiling:
+    def test_profile_matches_direct_queries(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(1, 2.0, "a"), (2, None, "b"), (None, 4.0, "b")],
+            "x int, y double, s string")
+        prof = {r["column"]: r for r in
+                profiling.profile_table(df, exact_distinct=True).collect()}
+        assert prof["x"]["n_nulls"] == 1 and prof["x"]["n_distinct"] == 2
+        assert prof["y"]["min_value"] == 2.0 and prof["y"]["max_value"] == 4.0
+        assert prof["s"]["n_distinct"] == 2 and prof["s"]["min_value"] is None
+        assert abs(prof["x"]["null_pct"] - 100 / 3) < 0.01
+
+    def test_suggested_rules_run_clean(self, spark):
+        """Rules drafted from a profile must pass on the data they were
+        profiled from (the range/not-null invariants hold by construction)."""
+        from spark_expectations_spark import DQConfig, DQEngine, RuleSet
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(1, 5.0), (2, 7.5)], "x int, y double")
+        prof = profiling.profile_table(df, exact_distinct=True)
+        rules = profiling.suggest_rules(prof, product_id="p", table_name="t")
+        assert {r.rule for r in rules} == {
+            "x_not_null", "x_range", "y_not_null", "y_range"}
+        res = DQEngine(DQConfig(product_id="p", table_name="t",
+                                write_error_table=False)).run(
+            df, RuleSet(rules), spark)
+        assert res.error_count == 0
