@@ -123,3 +123,35 @@ class TestAsofProperty:
             cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
             expect = max(cands)[1] if cands else None
             assert out[i] == expect, (i, k, ts, cands)
+
+
+class TestRowRuleDifferential:
+    """The core operator vs Spark itself as the oracle: for arbitrary
+    generated predicates, the engine's error/output counts must equal a
+    direct filter over the same frame (three-valued logic included)."""
+
+    _ops = st.sampled_from([">", "<", ">=", "<=", "=", "!="])
+    _vals = st.integers(-2, 5)
+
+    @given(op1=_ops, v1=_vals, op2=_ops, v2=_vals,
+           conj=st.sampled_from(["and", "or"]),
+           action=st.sampled_from(["ignore", "drop"]))
+    @settings(max_examples=10, deadline=None)
+    def test_engine_counts_match_direct_filter(self, spark, op1, v1, op2, v2,
+                                               conj, action):
+        from pyspark.sql import functions as F
+        from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
+        df = spark.createDataFrame(
+            [(1, 2), (2, None), (None, 4), (3, 3), (0, -1)],
+            "col1 int, col3 int")
+        pred = f"(col1 {op1} {v1}) {conj} (col3 {op2} {v2})"
+        rules = RuleSet([Rule("p", "t", "row_dq", "r", "col1", pred,
+                              action_if_failed=action)])
+        res = DQEngine(DQConfig(product_id="p", table_name="t",
+                                write_error_table=False)).run(df, rules, spark)
+        holds = F.coalesce(F.expr(pred).cast("boolean"), F.lit(False))
+        expect_errors = df.filter(~holds).count()
+        assert res.error_count == expect_errors
+        assert res.output_count == (
+            5 - expect_errors if action == "drop" else 5)
+        assert res.final_df.count() == res.output_count
