@@ -268,6 +268,10 @@ class DQEngine:
         if cfg.write_target_table and cfg.target_table:
             result.streaming_query = writer.write_stream(
                 final, cfg.target_table, cfg.target_writer)
+        # reference parity: one batch-mode stats row per streaming run,
+        # zero counts (SURVEY 3.3; counts are unknowable mid-stream —
+        # use streaming.foreach_batch_dq for per-micro-batch stats)
+        self._write_stats(spark, result, best_effort=True)
         return result
 
     # ---------------------------------------------------------------- helpers

@@ -384,3 +384,33 @@ class TestIgnoredRulesDigest:
         assert "ignored_rules" in events
         digest = events["ignored_rules"]["ignored"]
         assert digest == [{"rule": "ig1", "failed_count": 1}]  # drop rule excluded
+
+
+class TestStreamingStatsRow:
+    def test_streaming_run_writes_zero_count_stats(self, spark, tmp_path):
+        """Reference parity (SURVEY 3.3): a streaming run still lands ONE
+        batch-mode stats row with zero counts at setup time."""
+        from spark_expectations_spark import WriterOptions
+        src = spark.readStream.format("rate").option("rowsPerSecond", "50").load()
+        df = src.selectExpr("value as id", "cast(value % 5 as int) as grade")
+        rules = RuleSet([Rule("p1", "t", "row_dq", "g", "grade", "grade < 4",
+                              action_if_failed="drop")])
+        cfg = DQConfig(
+            product_id="p1", table_name="t", write_error_table=False,
+            write_stats_table=True, stats_table="t_stats",
+            stats_writer=WriterOptions(mode="overwrite", path=str(tmp_path)),
+            write_target_table=True, target_table="t_final",
+            target_writer=WriterOptions(
+                path=str(tmp_path / "out"), format="parquet",
+                checkpoint_location=str(tmp_path / "ckpt")),
+        )
+        res = DQEngine(cfg).run(df, rules, spark)
+        try:
+            stats = spark.read.parquet(str(tmp_path / "t_stats"))
+            row = stats.first()
+            assert stats.count() == 1
+            assert row["input_count"] == 0 and row["error_count"] == 0
+            assert row["dq_status"]["row_dq"] == "Passed"
+        finally:
+            for q in spark.streams.active:
+                q.stop()
