@@ -404,6 +404,54 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: exact jaccard pairs → connected
+    components via iterative min-label propagation (operators/dedup.py) —
+    the 'keep one per duplicate GROUP' step a pair list alone can't
+    answer. Oracle: duckdb recursive-CTE transitive closure."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.15)
+    return dedup.dedup_clusters(pairs)
+
+
+ORACLE_DEDUP_CLUSTERS = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT component AS cluster_id, count(*) AS n_members
+FROM comp GROUP BY component
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard. xxhash64 has
     no DuckDB twin → rows-only check; q_dedup_jaccard is the exact-oracle
@@ -1414,6 +1462,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embed_near_dups": q_embed_near_dups,
@@ -1466,6 +1515,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,

@@ -391,3 +391,22 @@ class TestProfiling:
                                 write_error_table=False)).run(
             df, RuleSet(rules), spark)
         assert res.error_count == 0
+
+
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        # chain 1-2-3-4 (diameter 3), pair (10,11), singleton edges absent
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+        cc = {r["node"]: r["component"]
+              for r in dedup.connected_components(pairs).collect()}
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+        clusters = {r["cluster_id"]: r["n_members"]
+                    for r in dedup.dedup_clusters(pairs).collect()}
+        assert clusters == {1: 4, 10: 2}
+
+    def test_star_converges_fast(self, spark):
+        pairs = spark.createDataFrame(
+            [(5, i) for i in range(6, 12)], "id_a long, id_b long")
+        clusters = dedup.dedup_clusters(pairs).collect()
+        assert [(r["cluster_id"], r["n_members"]) for r in clusters] == [(5, 7)]
