@@ -273,3 +273,26 @@ class TestStatsOnFailure:
         assert stats.count() == 1
         assert row["dq_status"]["row_dq"] == "Failed"
         assert row["input_count"] == 3
+
+
+class TestTempTableWithFusion:
+    def test_temp_table_materializes_on_fused_path(self, spark, simple3, tmp_path):
+        """use_temp_table + source agg rules: the lineage-severing write
+        happens once, before the fused agg+summary job, and the run's
+        counts/statuses are unchanged."""
+        from spark_expectations_spark import (DQConfig, DQEngine, Rule,
+                                              RuleSet, WriterOptions)
+        rules = RuleSet([
+            Rule("p1", "t", "row_dq", "gt1", "col1", "col1 > 1",
+                 action_if_failed="drop"),
+            Rule("p1", "t", "agg_dq", "sum_ok", "col3", "sum(col3) > 20"),
+        ])
+        cfg = DQConfig(
+            product_id="p1", table_name="t", write_error_table=False,
+            use_temp_table=True,
+            temp_writer=WriterOptions(mode="overwrite", path=str(tmp_path)))
+        res = DQEngine(cfg).run(simple3, rules, spark)
+        assert (res.input_count, res.error_count, res.output_count) == (3, 1, 2)
+        assert res.status["source_agg_dq"] == "Passed"
+        # the temp materialization landed
+        assert spark.read.parquet(str(tmp_path / "t_temp")).count() == 3
