@@ -739,6 +739,43 @@ FROM g GROUP BY user_id
 # Rollup / set ops / anti join / top-k
 # ---------------------------------------------------------------------------
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase conversion funnel: per-user first signup joined
+    against any later purchase — two filtered aggregates and one
+    broadcast-ready join, no sessionization state needed for the
+    batch formulation."""
+    ev = load(spark, sf_dir, "events")
+    signups = (ev.filter(F.col("event_type") == "signup")
+               .groupBy("user_id").agg(F.min("ts").alias("signup_ts")))
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", F.col("ts").alias("p_ts"))
+    converted = (signups.join(purchases, "user_id")
+                 .filter(F.col("p_ts") > F.col("signup_ts"))
+                 .select("user_id").distinct())
+    return signups.agg(
+        F.count(F.lit(1)).alias("n_signups"),
+    ).crossJoin(converted.agg(F.count(F.lit(1)).alias("n_converted"))) \
+     .withColumn("conversion_pct",
+                 F.round(F.col("n_converted") * 100.0 / F.col("n_signups"), 4))
+
+
+ORACLE_EVENTS_FUNNEL = """
+WITH s AS (
+  SELECT user_id, min(ts) AS signup_ts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+conv AS (
+  SELECT DISTINCT s.user_id FROM s
+  JOIN events e ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s.signup_ts
+)
+SELECT (SELECT count(*) FROM s) AS n_signups,
+       (SELECT count(*) FROM conv) AS n_converted,
+       round((SELECT count(*) FROM conv) * 100.0
+             / (SELECT count(*) FROM s), 4) AS conversion_pct
+"""
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     return (
@@ -1474,6 +1511,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
+    "events_funnel": q_events_funnel,
     "rollup_orders": q_rollup_orders,
     "cube_orders": q_cube_orders,
     "orders_percentiles": q_orders_percentiles,
@@ -1526,6 +1564,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
+    "events_funnel": ORACLE_EVENTS_FUNNEL,
     "rollup_orders": ORACLE_ROLLUP_ORDERS,
     "cube_orders": ORACLE_CUBE_ORDERS,
     "orders_percentiles": ORACLE_ORDERS_PERCENTILES,
