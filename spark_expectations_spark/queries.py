@@ -739,6 +739,48 @@ FROM g GROUP BY user_id
 # Rollup / set ops / anti join / top-k
 # ---------------------------------------------------------------------------
 
+def q_events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: hours whose event count deviates > 2σ
+    from the per-type mean — the time-series face of data quality
+    (pipeline stalls / double-feeds show up exactly here). One groupBy
+    for the hourly counts, one window over the tiny hourly frame for the
+    per-type baseline; the raw events are scanned once."""
+    ev = load(spark, sf_dir, "events")
+    hour = (F.expr(f"ts div {_NS_PER_HOUR}") * 3600).alias("hour_epoch_s")
+    hourly = ev.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type")
+    return (
+        hourly.withColumn("mean_n", F.avg("n_events").over(w))
+        .withColumn("std_n", F.stddev_samp("n_events").over(w))
+        .filter(F.abs(F.col("n_events") - F.col("mean_n"))
+                > 2 * F.col("std_n"))
+        .select("hour_epoch_s", "event_type", "n_events",
+                F.round("mean_n", 4).alias("mean_n"),
+                F.round((F.abs(F.col("n_events") - F.col("mean_n"))
+                         / F.col("std_n")), 4).alias("z_score"))
+    )
+
+
+ORACLE_EVENTS_HOURLY_ANOMALIES = f"""
+WITH hourly AS (
+  SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch_s, event_type,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT *, avg(n_events) OVER (PARTITION BY event_type) AS mean_n,
+         stddev_samp(n_events) OVER (PARTITION BY event_type) AS std_n
+  FROM hourly
+)
+SELECT hour_epoch_s, event_type, n_events,
+       round(mean_n, 4) AS mean_n,
+       round(abs(n_events - mean_n) / std_n, 4) AS z_score
+FROM scored
+WHERE abs(n_events - mean_n) > 2 * std_n
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase conversion funnel: per-user first signup joined
     against any later purchase — two filtered aggregates and one
@@ -1512,6 +1554,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
+    "events_hourly_anomalies": q_events_hourly_anomalies,
     "rollup_orders": q_rollup_orders,
     "cube_orders": q_cube_orders,
     "orders_percentiles": q_orders_percentiles,
@@ -1565,6 +1608,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
+    "events_hourly_anomalies": ORACLE_EVENTS_HOURLY_ANOMALIES,
     "rollup_orders": ORACLE_ROLLUP_ORDERS,
     "cube_orders": ORACLE_CUBE_ORDERS,
     "orders_percentiles": ORACLE_ORDERS_PERCENTILES,
