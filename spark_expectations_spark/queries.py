@@ -818,6 +818,39 @@ SELECT (SELECT count(*) FROM s) AS n_signups,
 """
 
 
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def q_events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention: users grouped by first-seen day, counted
+    per day-offset of their later activity. Two aggregates over one
+    events scan plus a broadcast-size cohort join — the classic
+    retention matrix without any per-user driver loop."""
+    ev = load(spark, sf_dir, "events")
+    day = (F.expr(f"ts div {_NS_PER_DAY}")).alias("day")
+    acts = ev.select("user_id", day).distinct()
+    cohorts = acts.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        acts.join(cohorts, "user_id")
+        .withColumn("day_offset", F.col("day") - F.col("cohort_day"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+ORACLE_EVENTS_COHORT_RETENTION = f"""
+WITH acts AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {_NS_PER_DAY} AS day FROM events
+),
+cohorts AS (
+  SELECT user_id, min(day) AS cohort_day FROM acts GROUP BY user_id
+)
+SELECT cohort_day, a.day - cohort_day AS day_offset, count(*) AS n_users
+FROM acts a JOIN cohorts USING (user_id)
+GROUP BY cohort_day, day_offset
+"""
+
+
 def q_rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     return (
@@ -1555,6 +1588,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
     "events_hourly_anomalies": q_events_hourly_anomalies,
+    "events_cohort_retention": q_events_cohort_retention,
     "rollup_orders": q_rollup_orders,
     "cube_orders": q_cube_orders,
     "orders_percentiles": q_orders_percentiles,
@@ -1609,6 +1643,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
     "events_hourly_anomalies": ORACLE_EVENTS_HOURLY_ANOMALIES,
+    "events_cohort_retention": ORACLE_EVENTS_COHORT_RETENTION,
     "rollup_orders": ORACLE_ROLLUP_ORDERS,
     "cube_orders": ORACLE_CUBE_ORDERS,
     "orders_percentiles": ORACLE_ORDERS_PERCENTILES,
