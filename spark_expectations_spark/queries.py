@@ -1247,6 +1247,399 @@ GROUP BY c_nationkey
 """
 
 
+def q_tpch_q7ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping between two nations (q7 shape). The nation superset
+    filter (IN both nations) is pushed into each dim BEFORE broadcast so the
+    hash tables stay tiny; the symmetric pair predicate lands after; the only
+    big shuffle is lineitem⋈orders."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2"))
+    supp = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    cust = (cu.join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+            .select("c_custkey", F.col("n_name").alias("cust_nation")))
+    j = (
+        li.join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), od["o_custkey"] == cust["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1")))
+    )
+    return (
+        j.groupBy("supp_nation", "cust_nation",
+                  F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+    )
+
+
+ORACLE_TPCH_Q7ISH = """
+SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q8ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (q8 shape): NATION_3's share of PROMO-part
+    revenue sold to ASIA customers, by order year. The conditional
+    numerator folds into the same partial agg as the denominator — one
+    aggregation job, no second scan."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    pa = load(spark, sf_dir, "part")
+    market_cust = (
+        cu.join(F.broadcast(na), cu["c_nationkey"] == na["n_nationkey"])
+        .join(F.broadcast(re.filter(F.col("r_name") == "ASIA")),
+              na["n_regionkey"] == re["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+            .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(pa.filter(F.col("p_type") == "PROMO")
+                            .select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .join(F.broadcast(market_cust), od["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0)))
+            / F.sum(vol), 6).alias("mkt_share"))
+    )
+
+
+ORACLE_TPCH_Q8ISH = """
+SELECT o_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region   ON n2.n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO')
+GROUP BY o_year
+"""
+
+
+def q_tpch_q9ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (q9 shape). The testdata has no partsupp table,
+    so supply cost is proxied as 60% of p_retailprice — the join/agg shape
+    (fact ⋈ 3 broadcast dims ⋈ orders, LIKE filter on part name, two-key
+    groupBy) is what's exercised."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation")
+    pa = load(spark, sf_dir, "part")
+    supp = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+            .select("s_suppkey", F.col("n_name").alias("nation")))
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    return (
+        li.join(F.broadcast(pa.filter(F.col("p_name").like("%widget%"))
+                            .select("p_partkey", "p_retailprice")),
+                li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(od, li["l_orderkey"] == od["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+    )
+
+
+ORACLE_TPCH_Q9ISH = """
+SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount)
+           - 0.6 * p_retailprice * l_quantity AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  WHERE p_name LIKE '%widget%')
+GROUP BY nation, o_year
+"""
+
+
+def q_tpch_q11ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-part value (q11 shape, lineitem-valued since there's no
+    partsupp): per-part revenue from NATION_5 suppliers, kept when above
+    0.1% of the nation total. The global total is a 1-row aggregate
+    broadcast into the HAVING filter — no rescan of the grouped side."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    supp = (su.join(F.broadcast(na), su["s_nationkey"] == na["n_nationkey"])
+            .select("s_suppkey"))
+    val = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("l_partkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("_value"))
+    )
+    thr = val.agg((F.sum("_value") * F.lit(0.001)).alias("_thr"))
+    return (
+        val.crossJoin(F.broadcast(thr))
+        .filter(F.col("_value") > F.col("_thr"))
+        .select("l_partkey", F.round("_value", 2).alias("part_value"))
+    )
+
+
+ORACLE_TPCH_Q11ISH = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(l_extendedprice * (1 - l_discount)) AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey)
+SELECT l_partkey, round(value, 2) AS part_value
+FROM val
+WHERE value > (SELECT sum(value) * 0.001 FROM val)
+"""
+
+
+def q_tpch_q13ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (q13 shape): left-outer join with
+    the priority filter applied to the RIGHT side before the join (≡ ON
+    clause), then two aggregations — per customer, then per count."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cu.join(od, cu["c_custkey"] == od["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+ORACLE_TPCH_Q13ISH = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+GROUP BY c_count
+"""
+
+
+def q_tpch_q15ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier by quarterly revenue (q15 shape): the view is a grouped
+    agg; the max is a 1-row aggregate broadcast back for the equality
+    filter (ties all kept, as in the spec)."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1997-04-01").cast("timestamp_ntz")
+    rev = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+             .alias("_rev"))
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("_rev") == F.col("_mx"))
+        .join(F.broadcast(su), rev["l_suppkey"] == su["s_suppkey"])
+        .select("s_suppkey", "s_name", F.round("_rev", 2).alias("total_revenue"))
+    )
+
+
+ORACLE_TPCH_Q15ISH = """
+WITH revenue AS (
+  SELECT l_suppkey, sum(l_extendedprice * (1 - l_discount)) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, round(total_rev, 2) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+"""
+
+
+def q_tpch_q16ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier counts per part attribute (q16 shape): NOT IN over a
+    never-null key compiles to a left-anti join; part filter broadcast;
+    count(DISTINCT) per 3-key group."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    pa = load(spark, sf_dir, "part")
+    bad = su.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    keep_part = pa.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(bad, li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .join(F.broadcast(keep_part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+ORACLE_TPCH_Q16ISH = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_size IN (1, 5, 10, 15, 20, 25)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def q_tpch_q17ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity revenue (q17 shape): the correlated per-part average
+    rewrites to ONE window over the already-filtered join — each partkey
+    has a single brand, so partitioning the brand-filtered rows by
+    l_partkey sees exactly the rows the correlated subquery would."""
+    li = load(spark, sf_dir, "lineitem")
+    pa = load(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pa.filter(F.col("p_brand") == "Brand#4")
+                            .select("p_partkey")),
+                li["l_partkey"] == F.col("p_partkey"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        j.withColumn("_avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < F.lit(0.2) * F.col("_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / F.lit(7.0), 2)
+             .alias("avg_yearly"))
+    )
+
+
+ORACLE_TPCH_Q17ISH = """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand = 'Brand#4'
+  AND l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                    FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+"""
+
+
+def q_tpch_q20ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-promotion suppliers (q20 shape, lineitem-based since there's
+    no partsupp): suppliers who shipped >50 units of 'red%' parts in 1997.
+    The nested IN subqueries become a broadcast semi-filter (parts) feeding
+    a grouped HAVING feeding an equi-join to supplier."""
+    li = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    pa = load(spark, sf_dir, "part")
+    lo = F.lit("1997-01-01").cast("timestamp_ntz")
+    hi = F.lit("1998-01-01").cast("timestamp_ntz")
+    shipped = (
+        li.filter((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi))
+        .join(F.broadcast(pa.filter(F.col("p_name").like("red%"))
+                          .select("p_partkey")),
+              li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+        .filter(F.col("_qty") > 50)
+    )
+    return (
+        shipped.join(F.broadcast(su), shipped["l_suppkey"] == su["s_suppkey"])
+        .select("s_suppkey", "s_name", F.round("_qty", 2).alias("red_qty"))
+    )
+
+
+ORACLE_TPCH_Q20ISH = """
+SELECT s_suppkey, s_name, round(red_qty, 2) AS red_qty
+FROM (
+  SELECT l_suppkey, sum(l_quantity) AS red_qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'red%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 50)
+JOIN supplier ON l_suppkey = s_suppkey
+"""
+
+
+def q_tpch_q21ish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers-at-fault (q21 shape, returnflag-based since the testdata
+    has no commit/receipt dates): a supplier's returned line in a finished
+    multi-supplier order where NO other supplier's line was returned.
+    EXISTS → left-semi, NOT EXISTS → left-anti, both on the equi key
+    l_orderkey with the suppkey inequality in the join condition."""
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    su = load(spark, sf_dir, "supplier")
+    l1 = (li.filter(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_suppkey"))
+    l2 = li.select(F.col("l_orderkey").alias("_ok2"),
+                   F.col("l_suppkey").alias("_sk2"))
+    l3 = (li.filter(F.col("l_returnflag") == "R")
+          .select(F.col("l_orderkey").alias("_ok3"),
+                  F.col("l_suppkey").alias("_sk3")))
+    fin = od.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    return (
+        l1.join(fin, l1["l_orderkey"] == fin["o_orderkey"])
+        .join(l2, (l1["l_orderkey"] == l2["_ok2"])
+              & (l1["l_suppkey"] != l2["_sk2"]), "left_semi")
+        .join(l3, (l1["l_orderkey"] == l3["_ok3"])
+              & (l1["l_suppkey"] != l3["_sk3"]), "left_anti")
+        .join(F.broadcast(su), l1["l_suppkey"] == su["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+ORACLE_TPCH_Q21ISH = """
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders   ON o_orderkey = l1.l_orderkey
+JOIN supplier ON s_suppkey = l1.l_suppkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+"""
+
+
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 4 grouping combinations in one
     Expand+aggregate pass — no per-combination rescan."""
@@ -1569,6 +1962,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18ish": q_tpch_q18ish,
     "tpch_q19ish": q_tpch_q19ish,
     "tpch_q22ish": q_tpch_q22ish,
+    "tpch_q7ish": q_tpch_q7ish,
+    "tpch_q8ish": q_tpch_q8ish,
+    "tpch_q9ish": q_tpch_q9ish,
+    "tpch_q11ish": q_tpch_q11ish,
+    "tpch_q13ish": q_tpch_q13ish,
+    "tpch_q15ish": q_tpch_q15ish,
+    "tpch_q16ish": q_tpch_q16ish,
+    "tpch_q17ish": q_tpch_q17ish,
+    "tpch_q20ish": q_tpch_q20ish,
+    "tpch_q21ish": q_tpch_q21ish,
     "window_rank": q_window_rank,
     "window_running_total": q_window_running_total,
     "dedup_exact": q_dedup_exact,
@@ -1625,6 +2028,16 @@ ORACLES: dict[str, Optional[str]] = {
     "tpch_q18ish": ORACLE_TPCH_Q18ISH,
     "tpch_q19ish": ORACLE_TPCH_Q19ISH,
     "tpch_q22ish": ORACLE_TPCH_Q22ISH,
+    "tpch_q7ish": ORACLE_TPCH_Q7ISH,
+    "tpch_q8ish": ORACLE_TPCH_Q8ISH,
+    "tpch_q9ish": ORACLE_TPCH_Q9ISH,
+    "tpch_q11ish": ORACLE_TPCH_Q11ISH,
+    "tpch_q13ish": ORACLE_TPCH_Q13ISH,
+    "tpch_q15ish": ORACLE_TPCH_Q15ISH,
+    "tpch_q16ish": ORACLE_TPCH_Q16ISH,
+    "tpch_q17ish": ORACLE_TPCH_Q17ISH,
+    "tpch_q20ish": ORACLE_TPCH_Q20ISH,
+    "tpch_q21ish": ORACLE_TPCH_Q21ISH,
     "window_rank": ORACLE_WINDOW_RANK,
     "window_running_total": ORACLE_WINDOW_RUNNING_TOTAL,
     "dedup_exact": ORACLE_DEDUP_EXACT,
