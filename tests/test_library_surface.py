@@ -315,6 +315,43 @@ class TestPlanShapes:
         assert plans.has_broadcast_join(df)
         assert plans.has_partial_aggregation(df)
 
+    def test_q21_semi_anti_hash_joins_no_nested_loop(self, spark):
+        """The suppkey inequality must ride the l_orderkey hash join
+        condition — a nested-loop/cartesian plan would be O(n²) at scale."""
+        from spark_expectations_spark.queries import q_tpch_q21ish
+        txt = plans.plan_text(q_tpch_q21ish(spark, SF_DIR), "simple")
+        assert "LeftSemi" in txt and "LeftAnti" in txt
+        assert "BroadcastNestedLoopJoin" not in txt
+        assert "CartesianProduct" not in txt
+
+    def test_q11_scalar_threshold_is_one_row_broadcast(self, spark):
+        """The HAVING threshold is a 1-row aggregate: BNLJ over a 1-row
+        broadcast is the right plan; a hash re-join of the grouped side
+        would re-shuffle it."""
+        from spark_expectations_spark.queries import q_tpch_q11ish
+        txt = plans.plan_text(q_tpch_q11ish(spark, SF_DIR), "simple")
+        assert "CartesianProduct" not in txt
+
+    def test_q7_nation_filter_pushed_before_broadcast(self, spark):
+        from spark_expectations_spark.queries import q_tpch_q7ish
+        df = q_tpch_q7ish(spark, SF_DIR)
+        assert plans.has_broadcast_join(df)
+        assert plans.has_partial_aggregation(df)
+
+    def test_q16_not_in_compiles_to_anti_join(self, spark):
+        from spark_expectations_spark.queries import q_tpch_q16ish
+        txt = plans.plan_text(q_tpch_q16ish(spark, SF_DIR), "simple")
+        assert "LeftAnti" in txt
+
+    def test_q17_single_window_no_self_join(self, spark):
+        """Correlated-avg rewrite: one window over the filtered join, not a
+        per-part aggregate re-joined to the fact (2 shuffles → 1)."""
+        from spark_expectations_spark.queries import q_tpch_q17ish
+        txt = plans.plan_text(q_tpch_q17ish(spark, SF_DIR), "simple")
+        assert txt.count("Window") >= 1
+        # exactly one join: the broadcast part filter
+        assert txt.count("Join") == 1
+
     def test_fan_out_no_op_on_wide_input(self, spark, lineitem):
         """fan_out must never add a shuffle when Catalyst stats say the
         input is big (the 100 TB path)."""
