@@ -147,6 +147,67 @@ def rolling_hash_fingerprint(text: Column, *, window: int = 8, keep_every: int =
     return F.array_sort(F.array_distinct(kept))
 
 
+def dup_word_frac(text: Column) -> Column:
+    """Fraction of tokens that are repeats of an earlier token
+    (1 − distinct/total) — the cheapest Gopher-style repetition signal.
+    Linear per row (array_distinct), stays in codegen, zero shuffle."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    return F.when(n > 0, 1.0 - F.size(F.array_distinct(toks)) / n).otherwise(F.lit(0.0))
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition filters per document: duplicate-word
+    fraction and top-word share (most frequent token's share of all
+    tokens).
+
+    Explode → two keyed aggregations, both partial-agg'd and keyed by
+    ``id_col`` — the scalable path for long documents. (A pure-Column
+    ``transform(distinct, w -> count)`` version is O(unique×len) per row:
+    fine for tweets, quadratic death for 10k-word documents — so the
+    exploded form is the default.) Rows with zero tokens are dropped,
+    matching the SQL-unnest semantics.
+    """
+    toks = df.select(F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("_w"))
+    freq = toks.groupBy(id_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    return (
+        freq.groupBy(id_col)
+        .agg(
+            F.round(1.0 - F.count(F.lit(1)) / F.sum("_c"), 4).alias("dup_word_frac"),
+            F.round(F.max("_c") / F.sum("_c"), 4).alias("top_word_share"),
+        )
+    )
+
+
+# PII patterns kept deliberately simple + identical semantics under Java
+# regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d-]{7,}\d"
+
+
+def pii_count(text: Column, *, patterns: Sequence[str] = (EMAIL_RE, PHONE_RE)) -> Column:
+    """Number of PII-looking spans (emails + phone numbers by default)."""
+    out = F.lit(0)
+    for p in patterns:
+        out = out + F.regexp_count(text, F.lit(p))
+    return out
+
+
+def redact_pii(
+    text: Column,
+    *,
+    patterns: Sequence[str] = (EMAIL_RE, PHONE_RE),
+    replacement: str = "[PII]",
+) -> Column:
+    """Mask PII-looking spans. Chained regexp_replace — one projection,
+    no UDF; order matters (emails first so their digits don't half-match
+    the phone pattern)."""
+    out = text
+    for p in patterns:
+        out = F.regexp_replace(out, p, replacement)
+    return out
+
+
 def profile(
     df: DataFrame,
     text_col: str,

@@ -622,6 +622,63 @@ FROM sig
 """
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-word fraction + top-word
+    share per document (explode → two keyed partial aggs)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, "doc_id", "text")
+
+
+ORACLE_TEXT_REPETITION = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+ex AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+freq AS (SELECT doc_id, w, count(*) AS c FROM ex GROUP BY doc_id, w)
+SELECT doc_id,
+       round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4) AS dup_word_frac,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_word_share
+FROM freq GROUP BY doc_id
+"""
+
+
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII masking plumbing: plant a synthetic email+phone per document
+    (testdata text carries none), then count and redact them — chained
+    regexp_replace in one projection, no UDF."""
+    docs = load(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id"),
+            F.lit("@example.com or +1-555-010"), F.pmod(F.col("doc_id"), F.lit(10)),
+        ).alias("_t"),
+    )
+    return planted.select(
+        "doc_id",
+        text.pii_count(F.col("_t")).alias("n_pii"),
+        F.length(text.redact_pii(F.col("_t"))).alias("redacted_len"),
+    )
+
+
+ORACLE_TEXT_PII_REDACT = r"""
+WITH planted AS (
+  SELECT doc_id,
+         concat(text, ' contact user', doc_id, '@example.com or +1-555-010',
+                doc_id % 10) AS t
+  FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+          + len(regexp_extract_all(t, '\+?\d[\d-]{7,}\d')) AS BIGINT) AS n_pii,
+       CAST(length(regexp_replace(regexp_replace(
+              t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[PII]', 'g'),
+              '\+?\d[\d-]{7,}\d', '[PII]', 'g')) AS BIGINT) AS redacted_len
+FROM planted
+"""
+
+
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     return docs.select(
@@ -1986,6 +2043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "text_repetition": q_text_repetition,
+    "text_pii_redact": q_text_pii_redact,
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
@@ -2051,6 +2110,8 @@ ORACLES: dict[str, Optional[str]] = {
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": ORACLE_TEXT_LANGID,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,

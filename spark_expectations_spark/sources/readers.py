@@ -41,6 +41,25 @@ def read_json(spark: SparkSession, path: str,
     return r.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
+def read_table(spark: SparkSession, fmt: str, path: str,
+               *, schema: Optional[str] = None,
+               options: Optional[Mapping[str, str]] = None) -> DataFrame:
+    """Format-dispatching reader — the batch twin of ``file_stream``.
+    Columnar formats (parquet/orc) get predicate pushdown + column
+    pruning for free; csv/json are row formats and should be converted
+    on ingest for anything rescanned at scale."""
+    r = spark.read.format(fmt)
+    if schema:
+        r = r.schema(schema)
+    for k, v in dict(options or {}).items():
+        r = r.option(k, v)
+    return r.load(path)
+
+
 def rate_stream(
     spark: SparkSession, *, rows_per_second: int = 100,
     num_partitions: Optional[int] = None,

@@ -133,6 +133,33 @@ class TestText:
         rows = df.select(text.fingerprint(F.col("t")).alias("f")).collect()
         assert rows[0]["f"] == rows[1]["f"]
 
+    def test_repetition_stats(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a a a b"), (2, "w x y z"), (3, "")], "id long, t string")
+        rows = {r["id"]: r for r in
+                text.repetition_stats(df, "id", "t").collect()}
+        # doc 1: 4 tokens, 2 distinct → dup 0.5; top word 'a' 3/4
+        assert rows[1]["dup_word_frac"] == 0.5
+        assert rows[1]["top_word_share"] == 0.75
+        assert rows[2]["dup_word_frac"] == 0.0
+        assert 3 not in rows  # zero-token docs drop (unnest semantics)
+
+    def test_dup_word_frac_column(self, spark):
+        df = spark.createDataFrame([("a a b",), ("",)], "t string")
+        rows = df.select(text.dup_word_frac(F.col("t")).alias("d")).collect()
+        assert abs(rows[0]["d"] - 1 / 3) < 1e-9
+        assert rows[1]["d"] == 0.0
+
+    def test_redact_pii(self, spark):
+        df = spark.createDataFrame(
+            [("mail bob.smith+x@corp.example.org or call +1-555-010-9999 ok",),
+             ("no pii here",)], "t string")
+        out = df.select(text.redact_pii(F.col("t")).alias("r"),
+                        text.pii_count(F.col("t")).alias("n")).collect()
+        assert out[0]["r"] == "mail [PII] or call [PII] ok"
+        assert out[0]["n"] == 2
+        assert out[1]["r"] == "no pii here" and out[1]["n"] == 0
+
     def test_profile_columns(self, docs):
         out = text.profile(docs.limit(10), "text")
         expected = {"n_tokens", "n_bpe_tokens", "quality_score", "lang_detected",

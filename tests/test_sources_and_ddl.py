@@ -25,6 +25,34 @@ class TestReaders:
         df = readers.rate_stream(spark, rows_per_second=10)
         assert df.isStreaming
 
+    def test_orc_roundtrip(self, spark, tmp_path):
+        src = spark.range(10).withColumnRenamed("id", "k")
+        writer.write_batch(src, "t_orc",
+                           WriterOptions(format="orc", mode="overwrite",
+                                         path=str(tmp_path)))
+        back = readers.read_orc(spark, str(tmp_path / "t_orc"))
+        assert back.count() == 10
+        assert back.schema["k"].dataType.typeName() == "long"
+
+    def test_json_roundtrip_via_read_table(self, spark, tmp_path):
+        src = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+        writer.write_batch(src, "t_json",
+                           WriterOptions(format="json", mode="overwrite",
+                                         path=str(tmp_path)))
+        back = readers.read_table(spark, "json", str(tmp_path / "t_json"),
+                                  schema="id long, name string")
+        assert sorted(r["name"] for r in back.collect()) == ["a", "b"]
+
+    def test_orc_pushdown_survives(self, spark, tmp_path):
+        """Columnar contract: a filtered 1-column projection over ORC must
+        push the predicate into the scan, same as parquet."""
+        from spark_expectations_spark import plans
+        spark.range(100).selectExpr("id AS k", "id * 2 AS v") \
+            .write.mode("overwrite").orc(str(tmp_path / "orc_t"))
+        df = readers.read_orc(spark, str(tmp_path / "orc_t")) \
+            .filter("k > 50").select("v")
+        assert plans.has_pushed_filters(df)
+
     def test_file_stream(self, spark, tmp_path):
         src = tmp_path / "in"
         src.mkdir()
