@@ -492,6 +492,32 @@ WHERE list_sum(list_transform(range(1, len(a.e) + 1),
 """
 
 
+def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: vectors whose L2 norm sits >2σ from the corpus mean
+    (degenerate/corrupt embeddings). Norms are one codegen projection
+    (double-precision HOF aggregate, no UDF); mean/σ is a 1-row aggregate
+    broadcast back — same scalar-subquery shape as tpch_q11ish."""
+    emb = load(spark, sf_dir, "embeddings")
+    norms = similarity.with_norm(emb, "embedding", out="_nrm").select("vec_id", "_nrm")
+    stats = norms.agg(F.avg("_nrm").alias("_mu"), F.stddev("_nrm").alias("_sd"))
+    return (
+        norms.crossJoin(F.broadcast(stats))
+        .filter(F.abs(F.col("_nrm") - F.col("_mu")) > 2 * F.col("_sd"))
+        .select("vec_id", F.round("_nrm", 4).alias("l2_norm"))
+    )
+
+
+ORACLE_EMBED_NORM_OUTLIERS = """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings),
+s AS (SELECT avg(nrm) AS mu, stddev(nrm) AS sd FROM n)
+SELECT vec_id, round(nrm, 4) AS l2_norm
+FROM n, s WHERE abs(nrm - mu) > 2 * sd
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -739,6 +765,40 @@ ORACLE_EVENTS_HOURLY = f"""
 SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch_s, event_type,
        count(*) AS n_events, round(sum(value), 2) AS sum_value
 FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window counts (1h window, 15m slide) via the NATIVE
+    F.window operator — the batch twin of the streaming windowed aggs in
+    `streaming/`. Spark expands each event to its ⌈width/slide⌉=4 covered
+    windows then partial-aggregates; epoch-aligned starts make the result
+    engine-checkable. Second-truncating the nanos timestamp is
+    membership-preserving because window boundaries are integer seconds."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    t = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    w = F.window(t, "1 hour", "15 minutes")
+    return (
+        ev.groupBy(w.alias("_w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.unix_timestamp(F.col("_w.start")).alias("win_start_s"),
+                "event_type", "n_events", "sum_value")
+    )
+
+
+ORACLE_EVENTS_SLIDING = """
+WITH e AS (
+  SELECT epoch_ns(ts) // 1000000000 AS t_s, event_type, value FROM events),
+ex AS (
+  SELECT event_type, value,
+         unnest(generate_series((t_s // 900) * 900 - 2700,
+                                (t_s // 900) * 900, 900)) AS win_start_s
+  FROM e)
+SELECT win_start_s, event_type, count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM ex GROUP BY win_start_s, event_type
 """
 
 
@@ -2038,6 +2098,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embed_near_dups": q_embed_near_dups,
+    "embed_norm_outliers": q_embed_norm_outliers,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
@@ -2046,6 +2107,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_pii_redact": q_text_pii_redact,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
@@ -2106,6 +2168,7 @@ ORACLES: dict[str, Optional[str]] = {
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
+    "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "ann_topk": ORACLE_ANN_TOPK,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
@@ -2113,6 +2176,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_sliding": ORACLE_EVENTS_SLIDING,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,

@@ -122,6 +122,36 @@ def tumbling_counts(
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    watermark: str = "10 minutes",
+    within: str = "10 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream equi-join with a symmetric event-time
+    range bound (|left_ts − right_ts| ≤ ``within``).
+
+    Both inputs are buffered in the state store; the watermark plus the
+    range condition is what lets Spark EVICT that state — without them an
+    inner join's state grows unboundedly and an outer join can never emit
+    its null side. State per key is bounded by watermark + within, so
+    this scales with arrival rate, not stream lifetime.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = F.expr(
+        f"l.{on} = r.{on} "
+        f"AND r.{right_ts} >= l.{left_ts} - INTERVAL {within} "
+        f"AND r.{right_ts} <= l.{left_ts} + INTERVAL {within}"
+    )
+    return lw.join(rw, cond, how)
+
+
 def streaming_dedup(
     df: DataFrame,
     keys: tuple[str, ...],

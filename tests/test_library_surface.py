@@ -234,6 +234,41 @@ class TestStreamingDQ:
             for query in spark.streams.active:
                 query.stop()
 
+    def test_stream_stream_join_with_watermark(self, spark):
+        """Inner stream-stream join emits eagerly (no watermark wait);
+        the watermark+range bound exists to let state evict."""
+        from spark_expectations_spark.streaming import stream_stream_join
+        clicks = (spark.readStream.format("rate")
+                  .option("rowsPerSecond", "200").load()
+                  .selectExpr("value as k", "timestamp as c_ts"))
+        views = (spark.readStream.format("rate")
+                 .option("rowsPerSecond", "200").load()
+                 .selectExpr("value as k", "timestamp as v_ts"))
+        joined = stream_stream_join(
+            clicks, views, on="k", left_ts="c_ts", right_ts="v_ts",
+            watermark="1 hour", within="1 hour")
+        assert joined.isStreaming
+        q = (joined.writeStream.format("memory")
+             .queryName("ssj_sink").outputMode("append").start())
+        try:
+            deadline = time.time() + 90
+            n = 0
+            while time.time() < deadline:
+                n = spark.sql("select count(*) c from ssj_sink").first()["c"]
+                if n >= 10:
+                    break
+                time.sleep(2)
+            assert n >= 10, "stream-stream join produced no matches"
+            # equi-key correctness: both sides carry the same k
+            bad = spark.sql(
+                "select count(*) c from ssj_sink "
+                "where abs(cast(c_ts as double) - cast(v_ts as double)) > 3600"
+            ).first()["c"]
+            assert bad == 0
+        finally:
+            for query in spark.streams.active:
+                query.stop()
+
     def test_stateful_threshold_monitor(self, spark):
         from spark_expectations_spark.streaming import stateful_threshold_monitor
         src = spark.readStream.format("rate").option("rowsPerSecond", "400").load()
