@@ -387,6 +387,29 @@ class TestPlanShapes:
         # exactly one join: the broadcast part filter
         assert txt.count("Join") == 1
 
+    def test_events_sliding_one_shuffle_pruned_scan(self, spark):
+        """Native F.window slide: the window expansion is a projection, so
+        the whole query is ONE hash aggregate (partial → exchange → final).
+        A generate_series-join formulation would add a join shuffle."""
+        from spark_expectations_spark.queries import q_events_sliding
+        df = q_events_sliding(spark, SF_DIR)
+        assert plans.num_shuffles(df) == 1
+        assert plans.has_partial_aggregation(df)
+        cols = plans.read_schema_columns(df)
+        assert set(cols) <= {"ts", "event_type", "value"}  # props pruned
+
+    def test_embed_norm_outliers_broadcast_stats(self, spark):
+        """Corpus-stats scalar (μ, σ) must come back as a 1-row broadcast,
+        never a shuffle of the corpus against a 1-row side; the scan reads
+        only vec_id + embedding."""
+        from spark_expectations_spark.queries import q_embed_norm_outliers
+        df = q_embed_norm_outliers(spark, SF_DIR)
+        txt = plans.plan_text(df, "simple")
+        assert "Broadcast" in txt
+        assert "SortMergeJoin" not in txt
+        cols = plans.read_schema_columns(df)
+        assert set(cols) <= {"vec_id", "embedding"}
+
     def test_fan_out_no_op_on_wide_input(self, spark, lineitem):
         """fan_out must never add a shuffle when Catalyst stats say the
         input is big (the 100 TB path)."""
