@@ -1,0 +1,79 @@
+"""Sequence packing for LLM training pipelines (concat-and-chunk).
+
+Training dataloaders concatenate documents into a token stream and cut it
+into fixed-budget sequences. Doing that assignment IN the engine — instead
+of at read time — lets a pipeline shuffle/shard packs as first-class rows.
+
+The layout here is the distributed version of concat-and-chunk:
+
+* each doc is hashed (md5 of its key — portable, partition-invariant, and
+  byte-identical in DuckDB so the assignment is oracle-checkable) into one
+  of ``n_streams`` independent streams;
+* within a stream, docs are laid out in deterministic key order and the
+  EXCLUSIVE running sum of their weights (tokens/chars) gives each doc its
+  byte offset in the stream;
+* ``pack_id = offset div budget`` — the sequence a doc's first token lands
+  in; ``pack_offset = offset mod budget`` its position inside it.
+
+Scale posture: ONE shuffle (hash-partition by stream) + one window per
+stream. Streams are the parallelism unit — at 100 TB you raise
+``n_streams`` to a multiple of the cluster's cores and every stream's
+window is an independent, memory-bounded sort. No driver-side state, no
+iterative passes; a doc's (stream, pack, offset) is a pure function of the
+table's contents, so re-runs and backfills are stable.
+
+Reference scope note: the reference engine (Nike-Inc/spark-expectations)
+has no packing operator; this is a north-star training-data extension
+(SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def pack_for_training(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    budget: int,
+    n_streams: int = 256,
+    stream_out: str = "stream",
+    pack_out: str = "pack_id",
+    offset_out: str = "pack_offset",
+) -> DataFrame:
+    """Assign every row a (stream, pack_id, pack_offset) placement.
+
+    ``weight_col`` is the row's length in whatever unit ``budget`` uses
+    (tokens, chars, bytes). Rows may straddle pack boundaries — exactly
+    like concat-and-chunk training data; ``pack_offset + weight - budget``
+    tells a consumer how much carries into the next pack.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if n_streams <= 0:
+        raise ValueError("n_streams must be positive")
+    # first 4 md5 hex chars → 0..65535, then mod n_streams (same portable
+    # hash family as operators/sampling.py so splits and packs compose)
+    stream = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 4), 16, 10)
+        .cast("long"),
+        F.lit(n_streams),
+    )
+    out = df.withColumn(stream_out, stream)
+    w = (
+        Window.partitionBy(stream_out)
+        .orderBy(key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offset = F.coalesce(F.sum(weight_col).over(w), F.lit(0)).cast("long")
+    # exact long division — float floor(x/y) loses bits once stream
+    # offsets pass 2^53 (reachable at the 100 TB design point)
+    return (
+        out.withColumn("_sg_off", offset)
+        .withColumn(pack_out, F.expr(f"_sg_off div {int(budget)}"))
+        .withColumn(offset_out, F.col("_sg_off") % budget)
+        .drop("_sg_off")
+    )

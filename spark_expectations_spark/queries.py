@@ -1985,6 +1985,87 @@ GROUP BY split
 """
 
 
+def q_docs_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (operators/packing.py): docs are
+    hashed into 64 streams, laid out in key order, and cut into
+    16 KiB-char packs via an exclusive running sum — ONE shuffle (the
+    stream partition), windows independent per stream. The per-pack
+    rollup keeps the checked result compact."""
+    from .operators import packing
+
+    docs = load(spark, sf_dir, "documents")
+    packed = packing.pack_for_training(
+        docs, "doc_id", "n_chars", budget=16384, n_streams=64)
+    return (
+        packed.groupBy("stream", "pack_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").alias("pack_chars"),
+             F.max("pack_offset").alias("last_offset"))
+    )
+
+
+ORACLE_DOCS_PACK_STREAMS = """
+WITH s AS (
+  SELECT doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           % 64 AS stream
+  FROM documents),
+o AS (
+  SELECT stream, n_chars,
+         COALESCE(SUM(n_chars) OVER (PARTITION BY stream ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM s)
+SELECT stream, off // 16384 AS pack_id, count(*) AS n_docs,
+       sum(n_chars) AS pack_chars, max(off % 16384) AS last_offset
+FROM o GROUP BY 1, 2
+"""
+
+
+def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination (Gopher/GPT-3 recipe): deterministic
+    train/test split, then flag train docs whose distinct 3-gram shingles
+    overlap the test set's shingle union by >= 50%. Shuffle carries
+    8-byte shingle hashes; the test side is pre-deduplicated."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    split = sampling.with_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    flagged = dedup.contamination(
+        train, test, "doc_id", "text", n=3, min_overlap=0.5)
+    return flagged.select(
+        "doc_id", "n_shingles", "n_shared",
+        F.round("overlap", 4).alias("overlap"))
+
+
+ORACLE_DOCS_DECONTAMINATE = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+toks AS (
+  SELECT doc_id, split, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM f WHERE split IN ('train', 'test')),
+sh AS (
+  SELECT DISTINCT doc_id, split, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh
+          WHERE split = 'train' GROUP BY 1),
+te AS (SELECT DISTINCT shingle FROM sh WHERE split = 'test'),
+shared AS (
+  SELECT a.doc_id, count(*) AS n_shared
+  FROM sh a JOIN te USING (shingle) WHERE a.split = 'train' GROUP BY 1)
+SELECT doc_id, n_shingles, n_shared,
+       round(n_shared * 1.0 / n_shingles, 4) AS overlap
+FROM shared JOIN sizes USING (doc_id)
+WHERE n_shared * 1.0 / n_shingles >= 0.5
+"""
+
+
 def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via width_bucket — one partial-agg pass; the
     bucketing expression folds into the scan projection (profiling
@@ -2120,6 +2201,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_purchase": q_events_asof_purchase,
     "orders_price_bands": q_orders_price_bands,
     "docs_train_split": q_docs_train_split,
+    "docs_pack_streams": q_docs_pack_streams,
+    "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
     "lineitem_profile": q_lineitem_profile,
@@ -2189,6 +2272,8 @@ ORACLES: dict[str, Optional[str]] = {
     "events_asof_purchase": ORACLE_EVENTS_ASOF_PURCHASE,
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
+    "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
+    "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,
     "lineitem_profile": ORACLE_LINEITEM_PROFILE,

@@ -437,3 +437,65 @@ class TestConnectedComponents:
             [(5, i) for i in range(6, 12)], "id_a long, id_b long")
         clusters = dedup.dedup_clusters(pairs).collect()
         assert [(r["cluster_id"], r["n_members"]) for r in clusters] == [(5, 7)]
+
+
+class TestPacking:
+    def test_offsets_are_exclusive_cumsum_within_budget(self, docs):
+        from spark_expectations_spark.operators.packing import pack_for_training
+        packed = pack_for_training(docs, "doc_id", "n_chars",
+                                   budget=10_000, n_streams=8)
+        rows = packed.select("stream", "doc_id", "n_chars",
+                             "pack_id", "pack_offset").collect()
+        by_stream = {}
+        for r in sorted(rows, key=lambda r: (r.stream, r.doc_id)):
+            run = by_stream.get(r.stream, 0)
+            assert r.pack_id == run // 10_000
+            assert r.pack_offset == run % 10_000
+            by_stream[r.stream] = run + r.n_chars
+        assert len(by_stream) > 1  # hashing actually spreads streams
+
+    def test_partition_invariant(self, docs):
+        from spark_expectations_spark.operators.packing import pack_for_training
+        a = pack_for_training(docs, "doc_id", "n_chars", budget=5_000,
+                              n_streams=4).select("doc_id", "pack_id", "pack_offset")
+        b = pack_for_training(docs.repartition(13), "doc_id", "n_chars",
+                              budget=5_000, n_streams=4) \
+            .select("doc_id", "pack_id", "pack_offset")
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+    def test_single_shuffle(self, docs):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators.packing import pack_for_training
+        packed = pack_for_training(docs, "doc_id", "n_chars", budget=10_000)
+        assert plans.num_shuffles(packed) == 1
+
+    def test_bad_args(self, docs):
+        from spark_expectations_spark.operators.packing import pack_for_training
+        with pytest.raises(ValueError):
+            pack_for_training(docs, "doc_id", "n_chars", budget=0)
+        with pytest.raises(ValueError):
+            pack_for_training(docs, "doc_id", "n_chars", budget=10, n_streams=0)
+
+
+class TestContamination:
+    def test_planted_near_dup_is_flagged(self, spark):
+        base = ("the quick brown fox jumps over the lazy dog and runs far "
+                "away into the deep green forest tonight")
+        train = spark.createDataFrame(
+            [(1, base + " extra tail"), (2, "completely different words "
+              "about spark engines and columnar execution plans here")],
+            ["doc_id", "text"])
+        test = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+        got = dedup.contamination(train, test, "doc_id", "text",
+                                  n=3, min_overlap=0.5).collect()
+        assert [r.doc_id for r in got] == [1]
+        r = got[0]
+        assert r.n_shared <= r.n_shingles and r.overlap >= 0.5
+
+    def test_disjoint_sets_empty(self, spark):
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+        test = spark.createDataFrame(
+            [(2, "one two three four five six seven")], ["doc_id", "text"])
+        assert dedup.contamination(train, test, "doc_id", "text",
+                                   n=3, min_overlap=0.1).count() == 0
