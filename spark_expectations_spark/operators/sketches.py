@@ -1,0 +1,106 @@
+"""Mergeable sketches — the 100 TB pre-aggregation pattern.
+
+Exact ``count(distinct)`` / exact percentiles need a full shuffle of the
+raw column every time someone asks. The scalable idiom is to aggregate
+ONCE into per-group *mergeable sketches* (Apache DataSketches, built into
+Spark SQL), store those few-KB binaries in a rollup table, and answer
+every later question — any grouping coarsening, any time range — by
+merging sketches instead of re-scanning data. Merge is associative, so
+partial aggregation applies and re-rollups touch only sketch rows.
+
+The reference engine's surface stops at ``count(distinct ...)`` /
+``percentile_approx`` inside agg_dq expectation strings (reference
+docs/configurations/rules.md:41-52); these operators are the scale path
+for the same questions.
+
+All functions are stock JVM expressions (`hll_sketch_agg`,
+`hll_union_agg`, `kll_sketch_*`, `theta_sketch_agg`) — zero Python on the
+data path.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hll_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    lgk: int = 12,
+    sketch_out: str = "hll_sketch",
+    estimate_out: Optional[str] = "approx_distinct",
+) -> DataFrame:
+    """Per-group HLL distinct-count sketch (+ estimate column).
+
+    Keep ``sketch_out`` when persisting a rollup table — it's what makes
+    later re-aggregation possible without the raw data.
+    """
+    out = df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lgk)).alias(sketch_out))
+    if estimate_out:
+        out = out.withColumn(estimate_out,
+                             F.hll_sketch_estimate(sketch_out))
+    return out
+
+
+def hll_rollup(
+    sketch_df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    sketch_col: str = "hll_sketch",
+    estimate_out: str = "approx_distinct",
+) -> DataFrame:
+    """Coarsen a sketch table to fewer grouping columns by UNIONING
+    sketches — never re-reads raw data. ``group_cols`` may be empty for a
+    grand total."""
+    agg = F.hll_union_agg(sketch_col).alias(sketch_col)
+    out = (sketch_df.groupBy(*group_cols).agg(agg)
+           if group_cols else sketch_df.agg(agg))
+    return out.withColumn(estimate_out, F.hll_sketch_estimate(sketch_col))
+
+
+def kll_quantiles_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    quantiles: Sequence[float],
+    *,
+    k: int = 200,
+    sketch_out: str = "kll_sketch",
+) -> DataFrame:
+    """Per-group KLL quantile sketch + requested quantile estimates.
+
+    Like HLL for distinct counts, KLL sketches merge (``kll_sketch_merge_
+    double``) so a persisted sketch table answers percentile questions at
+    any coarser grouping without touching raw rows."""
+    out = df.groupBy(*group_cols).agg(
+        F.kll_sketch_agg_double(F.col(value_col).cast("double"),
+                                F.lit(k)).alias(sketch_out))
+    for q in quantiles:
+        out = out.withColumn(
+            f"q{str(q).replace('0.', '').rstrip('0') or '0'}",
+            F.kll_sketch_get_quantile_double(sketch_out, F.lit(float(q))))
+    return out
+
+
+def theta_distinct_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    sketch_out: str = "theta_sketch",
+    estimate_out: str = "approx_distinct",
+) -> DataFrame:
+    """Theta-sketch variant of ``hll_by_group`` — theta additionally
+    supports set intersection/difference estimates downstream (overlap
+    between two corpora, retention between periods)."""
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.theta_sketch_agg(value_col).alias(sketch_out))
+        .withColumn(estimate_out, F.theta_sketch_estimate(sketch_out))
+    )

@@ -2066,6 +2066,27 @@ WHERE n_shared * 1.0 / n_shingles >= 0.5
 """
 
 
+def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pre-aggregation (operators/sketches.py): daily
+    per-type HLL user sketches, then rolled up to per-type totals by
+    UNIONING sketches — the coarsening never re-reads raw events. At
+    100 TB the daily sketch table is what you persist; every later
+    distinct question is a merge over KB-sized binaries. Approximate by
+    construction → rows-only check (deterministic for fixed input)."""
+    from .operators import sketches
+
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(
+        F.timestamp_seconds(F.expr("ts div 1000000000")), "yyyy-MM-dd")
+    daily = sketches.hll_by_group(
+        ev.withColumn("day", day), ["day", "event_type"], "user_id",
+        estimate_out=None)
+    return (
+        sketches.hll_rollup(daily, ["event_type"])
+        .select("event_type", "approx_distinct")
+    )
+
+
 def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via width_bucket — one partial-agg pass; the
     bucketing expression folds into the scan projection (profiling
@@ -2202,6 +2223,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_bands": q_orders_price_bands,
     "docs_train_split": q_docs_train_split,
     "docs_pack_streams": q_docs_pack_streams,
+    "events_distinct_rollup": q_events_distinct_rollup,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,

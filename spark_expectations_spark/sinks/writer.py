@@ -266,3 +266,22 @@ def stats_to_kafka(result_df: DataFrame, topic: str, options: dict[str, str]) ->
     for k, v in options.items():
         w = w.option(k, v)
     w.save()
+
+
+def stats_from_json(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Inverse of ``stats_to_kafka``'s serialization: parse a JSON stats
+    payload column back into typed columns (reference
+    sinks/plugins/kafka_writer.py:50-57 — ``from_json(schema_of_json(...))``).
+
+    The schema is inferred from ONE sample payload (a driver-side
+    ``first()``, not a scan), then applied as a literal — so the parse
+    itself is a single codegen'd projection on executors.
+    """
+    from pyspark.sql import functions as F
+
+    sample = df.select(value_col).first()
+    if sample is None or sample[0] is None:
+        raise ValueError(f"no sample payload in column {value_col!r}")
+    schema = F.schema_of_json(F.lit(sample[0]))
+    return df.select(F.from_json(F.col(value_col), schema).alias("_s")) \
+             .select("_s.*")

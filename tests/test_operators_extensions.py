@@ -499,3 +499,53 @@ class TestContamination:
             [(2, "one two three four five six seven")], ["doc_id", "text"])
         assert dedup.contamination(train, test, "doc_id", "text",
                                    n=3, min_overlap=0.1).count() == 0
+
+
+class TestSketches:
+    def test_hll_estimates_close_to_exact(self, spark):
+        from spark_expectations_spark.operators import sketches
+        from spark_expectations_spark.queries import load
+        ev = load(spark, SF, "events")
+        got = {r.event_type: r.approx_distinct
+               for r in sketches.hll_by_group(ev, ["event_type"], "user_id")
+               .collect()}
+        exact = {r.event_type: r.n for r in
+                 ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert set(got) == set(exact)
+        for k in exact:
+            assert abs(got[k] - exact[k]) <= max(0.05 * exact[k], 2), (k, got[k], exact[k])
+
+    def test_rollup_of_sketches_equals_direct_sketch(self, spark):
+        """Union of per-group sketches == sketch of the union — the
+        invariant that makes persisted sketch tables trustworthy."""
+        from spark_expectations_spark.operators import sketches
+        from spark_expectations_spark.queries import load
+        ev = load(spark, SF, "events")
+        per_type = sketches.hll_by_group(ev, ["event_type"], "user_id")
+        merged = sketches.hll_rollup(per_type, []).first().approx_distinct
+        direct = sketches.hll_by_group(
+            ev.withColumn("g", F.lit(1)), ["g"], "user_id").first().approx_distinct
+        assert merged == direct
+
+    def test_kll_quantiles_bracket_exact_percentiles(self, spark):
+        from spark_expectations_spark.operators import sketches
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        got = sketches.kll_quantiles_by_group(
+            li, ["l_returnflag"], "l_extendedprice", [0.5]).collect()
+        exact = {r.l_returnflag: r.m for r in
+                 li.groupBy("l_returnflag")
+                 .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+                 .collect()}
+        lo_hi = {r.l_returnflag: (r.l_returnflag, r.q5) for r in got}
+        for r in got:
+            ex = exact[r.l_returnflag]
+            assert abs(r.q5 - ex) / ex < 0.10, (r.l_returnflag, r.q5, ex)
+
+    def test_theta_estimate_close(self, spark):
+        from spark_expectations_spark.operators import sketches
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        est = sketches.theta_distinct_by_group(
+            docs.withColumn("g", F.lit(1)), ["g"], "doc_id").first().approx_distinct
+        exact = docs.select("doc_id").distinct().count()
+        assert abs(est - exact) <= max(0.05 * exact, 2)

@@ -106,3 +106,33 @@ class TestBucketedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS bkt_left")
             spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+class TestStatsJsonRoundTrip:
+    def test_to_json_from_json_schema_inference(self, spark):
+        """The Kafka stats payload survives serialize → parse: from_json
+        with a schema_of_json-inferred literal schema recovers every
+        column (reference kafka_writer.py round-trip)."""
+        from pyspark.sql import functions as F
+
+        from spark_expectations_spark.sinks.writer import stats_from_json
+
+        stats = spark.createDataFrame(
+            [("p1", "t1", 1500, 273, 1227, 0.182)],
+            ["product_id", "table_name", "input_count", "error_count",
+             "output_count", "error_pct"])
+        payload = stats.select(
+            F.to_json(F.struct(*stats.columns)).alias("value"))
+        back = stats_from_json(payload)
+        assert set(back.columns) == set(stats.columns)
+        row = back.first()
+        assert (row.product_id, row.input_count, row.error_count) == \
+            ("p1", 1500, 273)
+        assert abs(row.error_pct - 0.182) < 1e-9
+
+    def test_empty_payload_raises(self, spark):
+        from spark_expectations_spark.sinks.writer import stats_from_json
+        empty = spark.createDataFrame([], "value string")
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            stats_from_json(empty)
