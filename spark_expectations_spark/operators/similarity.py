@@ -359,3 +359,42 @@ def _gauss(rnd) -> float:
     u1 = max(rnd(), 1e-12)
     u2 = rnd()
     return math.sqrt(-2.0 * math.log(u1)) * math.cos(2 * math.pi * u2)
+
+
+def quantize_embedding(
+    vec: Column,
+    *,
+    scale_out: bool = False,
+) -> Column:
+    """Symmetric int8 quantization of a float vector — 4× storage cut for
+    100 TB embedding tables, with the scale kept per-vector so cosine /
+    dot products dequantize on the fly.
+
+    ``q_i = floor(x_i / scale + 0.5)`` with ``scale = max|x| / 127`` —
+    the floor(+0.5) form (round-half-toward-+inf) is used instead of
+    ``round()`` because its semantics are identical across engines,
+    which keeps the op oracle-checkable. All arithmetic is double-
+    precision JVM HOFs; no Python on the data path.
+
+    Returns the ``array<tinyint>`` codes, or the ``(codes, scale)``
+    struct when ``scale_out`` is set. Zero vectors quantize to zeros
+    with scale 0.
+    """
+    d = F.transform(vec, lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(d, F.abs))
+    scale = amax / F.lit(127.0)
+    codes = F.when(amax == 0.0, F.transform(d, lambda x: x.cast("tinyint"))) \
+        .otherwise(F.transform(
+            d, lambda x: F.floor(x / scale + F.lit(0.5)).cast("tinyint")))
+    if scale_out:
+        return F.struct(codes.alias("codes"), scale.alias("scale"))
+    return codes
+
+
+def quantization_error(vec: Column, quantized: Column, scale: Column) -> Column:
+    """Max absolute dequantization error across dimensions — the QA
+    metric to gate a quantized table rollout (expect ≤ scale/2)."""
+    d = F.transform(vec, lambda x: x.cast("double"))
+    deq = F.transform(quantized, lambda q: q.cast("double") * scale)
+    return F.array_max(F.transform(
+        F.zip_with(d, deq, lambda a, b: F.abs(a - b)), lambda e: e))

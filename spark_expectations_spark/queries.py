@@ -518,6 +518,37 @@ FROM n, s WHERE abs(nrm - mu) > 2 * sd
 """
 
 
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 embedding quantization QA (similarity.quantize_embedding):
+    per-vector scale and worst-dimension dequantization error — one
+    codegen projection, no shuffle, no Python. The error must bound at
+    scale/2 by construction; the query surfaces the actual max."""
+    emb = load(spark, sf_dir, "embeddings")
+    qs = similarity.quantize_embedding(F.col("embedding"), scale_out=True)
+    out = emb.withColumn("_q", qs)
+    err = similarity.quantization_error(
+        F.col("embedding"), F.col("_q.codes"), F.col("_q.scale"))
+    return out.select(
+        "vec_id",
+        F.round("_q.scale", 6).alias("scale"),
+        F.round(err, 6).alias("max_qerr"),
+    )
+
+
+ORACLE_EMBED_QUANTIZE = """
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+           AS scale
+  FROM embeddings)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(CASE WHEN scale = 0 THEN 0.0 ELSE
+         list_max(list_transform(v,
+           x -> abs(x - floor(x / scale + 0.5) * scale))) END, 6) AS max_qerr
+FROM d
+"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
@@ -2201,6 +2232,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash": q_dedup_simhash,
     "embed_near_dups": q_embed_near_dups,
     "embed_norm_outliers": q_embed_norm_outliers,
+    "embed_quantize": q_embed_quantize,
     "ann_topk": q_ann_topk,
     "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
@@ -2274,6 +2306,7 @@ ORACLES: dict[str, Optional[str]] = {
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
+    "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "ann_topk": ORACLE_ANN_TOPK,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,

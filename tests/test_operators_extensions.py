@@ -549,3 +549,24 @@ class TestSketches:
             docs.withColumn("g", F.lit(1)), ["g"], "doc_id").first().approx_distinct
         exact = docs.select("doc_id").distinct().count()
         assert abs(est - exact) <= max(0.05 * exact, 2)
+
+
+class TestQuantization:
+    def test_codes_bounded_and_error_within_half_scale(self, emb):
+        q = similarity.quantize_embedding(F.col("embedding"), scale_out=True)
+        df = emb.withColumn("_q", q).withColumn(
+            "err", similarity.quantization_error(
+                F.col("embedding"), F.col("_q.codes"), F.col("_q.scale")))
+        bad = df.filter(
+            (F.array_max(F.transform("_q.codes", F.abs)) > 127)
+            | (F.col("err") > F.col("_q.scale") / 2 + 1e-9)).count()
+        assert bad == 0
+        assert df.schema["_q"].dataType["codes"].dataType.simpleString() \
+            == "array<tinyint>"
+
+    def test_zero_vector_quantizes_to_zeros(self, spark):
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0, 0.0])], "vec_id long, embedding array<float>")
+        q = similarity.quantize_embedding(F.col("embedding"), scale_out=True)
+        r = df.select(q.alias("q")).first().q
+        assert list(r.codes) == [0, 0, 0] and r.scale == 0.0
