@@ -1,5 +1,6 @@
 """Training-data prep over the documents corpus: quality profiling,
-near-duplicate detection (MinHash LSH), deterministic splits.
+near-duplicate detection (MinHash LSH), deterministic splits, eval-set
+decontamination, and concat-and-chunk sequence packing.
 
     python examples/training_data_prep.py [sf_dir]
 """
@@ -12,7 +13,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from spark_expectations_spark.operators import dedup, sampling, text
+from spark_expectations_spark.operators import dedup, packing, sampling, text
 
 
 def main() -> None:
@@ -36,6 +37,20 @@ def main() -> None:
     split = sampling.with_split(deduped, "doc_id",
                                 {"train": 0.8, "val": 0.1, "test": 0.1})
     split.groupBy("split").count().orderBy("split").show()
+
+    # decontaminate: drop train docs overlapping the held-out test set
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    dirty = dedup.contamination(train, test, "doc_id", "text",
+                                n=3, min_overlap=0.5)
+    clean_train = train.join(dirty.select("doc_id"), "doc_id", "left_anti")
+    print(f"decontamination: {train.count()} -> {clean_train.count()} train docs")
+
+    # pack the clean train split into 16 KiB-char sequences
+    packed = packing.pack_for_training(clean_train, "doc_id", "n_chars",
+                                       budget=16384, n_streams=8)
+    n_packs = packed.select("stream", "pack_id").distinct().count()
+    print(f"packing: {clean_train.count()} docs -> {n_packs} packs")
     spark.stop()
 
 
