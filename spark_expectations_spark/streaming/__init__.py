@@ -247,3 +247,65 @@ def session_counts(
                 F.col("win.start").alias("session_start"),
                 F.col("win.end").alias("session_end"), "n_events")
     )
+
+
+def running_error_rate(
+    df: DataFrame,
+    key_col: str,
+    flag_col: str,
+):
+    """Per-key cumulative DQ error rate on the Spark 4 arbitrary-state
+    API (``transformWithStateInPandas`` + ``StatefulProcessor``) — the
+    successor to ``applyInPandasWithState`` used by
+    ``stateful_threshold_monitor``; both surfaces are covered so users on
+    either API have a reference implementation.
+
+    State is one (rows, errors) pair per key in a typed ValueState
+    (RocksDB-backed — the provider transformWithState requires), updates
+    are vectorized pandas sums per Arrow batch, and every micro-batch
+    emits the key's refreshed cumulative rate. O(distinct keys) state.
+
+    Runtime requires ``google.protobuf`` (the TWS state-server protocol);
+    environments without it should use ``stateful_threshold_monitor``'s
+    applyInPandasWithState surface instead.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    out_schema = StructType([
+        StructField(key_col, LongType()),
+        StructField("total_rows", LongType()),
+        StructField("total_errors", LongType()),
+        StructField("error_rate", DoubleType()),
+    ])
+
+    class _Proc(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState(
+                "counts", "rows BIGINT, errors BIGINT")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n = e = 0
+            for pdf in rows:
+                n += len(pdf)
+                e += int(pdf[flag_col].sum())
+            if self._counts.exists():
+                prev = self._counts.get()
+                n += int(prev[0])
+                e += int(prev[1])
+            self._counts.update((n, e))
+            yield pd.DataFrame({
+                key_col: [key[0]],
+                "total_rows": [n],
+                "total_errors": [e],
+                "error_rate": [e / n if n else 0.0],
+            })
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        _Proc(), outputStructType=out_schema, outputMode="Update",
+        timeMode="None")

@@ -509,3 +509,62 @@ class TestStreamingStatsRow:
         finally:
             for q in spark.streams.active:
                 q.stop()
+
+
+class TestTransformWithState:
+    def test_running_error_rate_accumulates(self, spark, tmp_path):
+        """transformWithStateInPandas (Spark 4 arbitrary state): cumulative
+        per-key (rows, errors) survives across micro-batches and the
+        emitted rate always equals errors/rows.
+
+        Requires google.protobuf (the TWS state-server protocol dep, not
+        shipped in this container) — construction is still covered below.
+        """
+        pytest.importorskip("google.protobuf")
+        from spark_expectations_spark.streaming import running_error_rate
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+        try:
+            src = (spark.readStream.format("rate")
+                   .option("rowsPerSecond", "500").load()
+                   .selectExpr("value % 4 AS k",
+                               "CAST(value % 10 = 0 AS BOOLEAN) AS is_err"))
+            out = running_error_rate(src, "k", "is_err")
+            q = (out.writeStream.format("memory").queryName("twsr")
+                 .outputMode("update")
+                 .option("checkpointLocation", str(tmp_path / "ck"))
+                 .start())
+            try:
+                deadline = time.time() + 120
+                while time.time() < deadline:
+                    rows = spark.sql(
+                        "SELECT * FROM twsr WHERE total_rows >= 50").collect()
+                    if rows:
+                        break
+                    time.sleep(2)
+                assert rows, "no state output within deadline"
+                for r in spark.sql("SELECT * FROM twsr").collect():
+                    if r.total_rows:
+                        assert abs(r.error_rate
+                                   - r.total_errors / r.total_rows) < 1e-9
+                        assert 0 <= r.total_errors <= r.total_rows
+            finally:
+                q.stop()
+        finally:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+    def test_running_error_rate_builds_streaming_plan(self, spark):
+        """Construction-level check (runnable without protobuf): the
+        operator composes on a streaming frame with the expected output
+        schema and stays streaming."""
+        from spark_expectations_spark.streaming import running_error_rate
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "10").load()
+               .selectExpr("value % 4 AS k",
+                           "CAST(value % 10 = 0 AS BOOLEAN) AS is_err"))
+        out = running_error_rate(src, "k", "is_err")
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == \
+            ["k", "total_rows", "total_errors", "error_rate"]
