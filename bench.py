@@ -128,17 +128,27 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # two timed runs per query, report the warm (min) one: the first run
+    # still pays per-plan JIT/codegen compilation, which at sf0.1 can
+    # exceed the actual execution (e.g. minhash's wide agg compiles ~10s,
+    # runs ~1.5s) and at real scale amortizes to nothing — steady-state
+    # is what a 100 TB comparison should measure
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
-        # each query is timed standalone: drop any intra-query persists so
-        # a previous query's cache doesn't pressure the next one's memory
-        spark.catalog.clearCache()
+        best, n = None, 0
+        for _ in range(2):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            # each run is timed standalone: drop any intra-query persists
+            # so one run's cache doesn't pressure the next one's memory
+            spark.catalog.clearCache()
+        timings[name] = round(best, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s (warm of 2)",
+              file=sys.stderr)
 
     # BASELINE.md gate: full 5-stage engine run vs an equivalent
     # hand-written PySpark pipeline (same checks, no framework)
