@@ -285,3 +285,67 @@ def stats_from_json(df: DataFrame, value_col: str = "value") -> DataFrame:
     schema = F.schema_of_json(F.lit(sample[0]))
     return df.select(F.from_json(F.col(value_col), schema).alias("_s")) \
              .select("_s.*")
+
+
+def upsert_partitioned(
+    spark,
+    table_path: str,
+    updates: DataFrame,
+    key_cols: Sequence[str],
+    partition_col: str,
+    *,
+    order_col: Optional[str] = None,
+) -> None:
+    """MERGE/upsert into a partitioned parquet directory WITHOUT a table
+    format (the Delta/Iceberg-less lake pattern): rewrite ONLY the
+    partitions the updates touch.
+
+    1. distinct partition values in ``updates`` (a driver-sized list);
+    2. read just those partitions (partition pruning — the 100 TB table's
+       other partitions are never opened);
+    3. anti-join existing rows against update keys, union the updates;
+    4. write back with dynamic partition overwrite, so untouched
+       partitions' files are left in place.
+
+    ``order_col`` (optional) deduplicates updates themselves, keeping the
+    highest value per key (e.g. an updated_at timestamp).
+
+    Not transactional — a concurrent reader can see a partition mid-swap;
+    table formats exist for that. The I/O shape, though, is the right
+    one: cost scales with touched partitions, not table size.
+    """
+    from pyspark.sql import functions as F
+
+    if partition_col not in updates.columns:
+        raise ValueError(f"updates must carry partition column {partition_col!r}")
+    if order_col:
+        w = _dedup_window(key_cols + [partition_col], order_col)
+        updates = (updates.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not touched:
+        return
+    existing = (
+        spark.read.parquet(table_path)
+        .filter(F.col(partition_col).isin(touched))
+    )
+    merged = (
+        existing.join(updates.select(*key_cols).distinct(), list(key_cols),
+                      "left_anti")
+        .unionByName(updates.select(*existing.columns))
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (merged.write.mode("overwrite").partitionBy(partition_col)
+         .parquet(table_path))
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def _dedup_window(partition_cols: Sequence[str], order_col: str):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    return (Window.partitionBy(*partition_cols)
+            .orderBy(F.col(order_col).desc()))

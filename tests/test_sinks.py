@@ -136,3 +136,53 @@ class TestStatsJsonRoundTrip:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             stats_from_json(empty)
+
+
+class TestUpsertPartitioned:
+    def test_merge_touches_only_affected_partitions(self, spark, tmp_path):
+        """Upsert rewrites the partitions the updates hit and leaves other
+        partitions' files physically untouched (dynamic overwrite)."""
+        import os
+
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+
+        path = str(tmp_path / "tbl")
+        base = spark.createDataFrame(
+            [(1, "a", 10), (2, "a", 20), (3, "b", 30), (4, "c", 40)],
+            ["id", "pt", "v"])
+        base.write.partitionBy("pt").parquet(path)
+
+        untouched = f"{path}/pt=c"
+        before = {f: os.path.getmtime(os.path.join(untouched, f))
+                  for f in os.listdir(untouched) if f.endswith(".parquet")}
+
+        updates = spark.createDataFrame(
+            [(2, "a", 21), (5, "b", 50)], ["id", "pt", "v"])
+        upsert_partitioned(spark, path, updates, ["id"], "pt")
+
+        got = {(r.id, r.pt, r.v)
+               for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "a", 10), (2, "a", 21), (3, "b", 30),
+                       (4, "c", 40), (5, "b", 50)}
+        after = {f: os.path.getmtime(os.path.join(untouched, f))
+                 for f in os.listdir(untouched) if f.endswith(".parquet")}
+        assert before == after  # pt=c never rewritten
+
+    def test_order_col_keeps_latest_update(self, spark, tmp_path):
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+
+        path = str(tmp_path / "tbl2")
+        spark.createDataFrame([(1, "a", 10, 0)], ["id", "pt", "v", "ts"]) \
+            .write.partitionBy("pt").parquet(path)
+        updates = spark.createDataFrame(
+            [(1, "a", 11, 1), (1, "a", 12, 2)], ["id", "pt", "v", "ts"])
+        upsert_partitioned(spark, path, updates, ["id"], "pt", order_col="ts")
+        rows = spark.read.parquet(path).collect()
+        assert len(rows) == 1 and rows[0].v == 12
+
+    def test_missing_partition_col_raises(self, spark, tmp_path):
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+        ups = spark.createDataFrame([(1, 2)], ["id", "v"])
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            upsert_partitioned(spark, str(tmp_path), ups, ["id"], "pt")
