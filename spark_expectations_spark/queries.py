@@ -2118,6 +2118,65 @@ def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level snapshot reconciliation (operators/diff.py): two
+    deterministic 'snapshots' derived from orders (keys mod-filtered,
+    prices touched for a slice) are diffed into added/removed/changed
+    rows + changed-column lists — one full-outer shuffle, output sized by
+    drift. Upgrade of the reference's boolean query_dq count compares."""
+    from .operators.diff import snapshot_diff
+
+    od = load(spark, sf_dir, "orders")
+    left = od.filter(F.col("o_orderkey") % 3 != 0)
+    right = (
+        od.filter(F.col("o_orderkey") % 5 != 0)
+        .withColumn("o_totalprice",
+                    F.when(F.col("o_orderkey") % 7 == 0,
+                           F.round(F.col("o_totalprice") * 2, 2))
+                    .otherwise(F.col("o_totalprice")))
+    )
+    d = snapshot_diff(left, right, ["o_orderkey"],
+                      compare_cols=["o_orderstatus", "o_totalprice"])
+    return d.select(
+        "o_orderkey", "change_type",
+        F.array_join("changed_cols", ",").alias("changed"),
+        F.round("old_o_totalprice", 2).alias("old_price"),
+        F.round("new_o_totalprice", 2).alias("new_price"),
+    )
+
+
+ORACLE_ORDERS_SNAPSHOT_DIFF = """
+WITH l AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderkey % 3 <> 0),
+r AS (
+  SELECT o_orderkey, o_orderstatus,
+         CASE WHEN o_orderkey % 7 = 0 THEN round(o_totalprice * 2, 2)
+              ELSE o_totalprice END AS o_totalprice
+  FROM orders WHERE o_orderkey % 5 <> 0),
+j AS (
+  SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+         l.o_orderkey IS NOT NULL AS in_l, r.o_orderkey IS NOT NULL AS in_r,
+         l.o_orderstatus AS ls, r.o_orderstatus AS rs,
+         l.o_totalprice AS lp, r.o_totalprice AS rp
+  FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey)
+SELECT o_orderkey,
+       CASE WHEN in_l AND NOT in_r THEN 'removed'
+            WHEN in_r AND NOT in_l THEN 'added'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN in_l AND in_r THEN
+         array_to_string(list_sort(list_filter(
+           [CASE WHEN ls IS DISTINCT FROM rs THEN 'o_orderstatus' END,
+            CASE WHEN lp IS DISTINCT FROM rp THEN 'o_totalprice' END],
+           x -> x IS NOT NULL)), ',')
+       ELSE '' END AS changed,
+       round(lp, 2) AS old_price, round(rp, 2) AS new_price
+FROM j
+WHERE NOT (in_l AND in_r AND ls IS NOT DISTINCT FROM rs
+           AND lp IS NOT DISTINCT FROM rp)
+"""
+
+
 def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via width_bucket — one partial-agg pass; the
     bucketing expression folds into the scan projection (profiling
@@ -2256,6 +2315,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_split": q_docs_train_split,
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
+    "orders_snapshot_diff": q_orders_snapshot_diff,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
@@ -2328,6 +2388,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
+    "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,

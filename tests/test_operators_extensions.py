@@ -570,3 +570,30 @@ class TestQuantization:
         q = similarity.quantize_embedding(F.col("embedding"), scale_out=True)
         r = df.select(q.alias("q")).first().q
         assert list(r.codes) == [0, 0, 0] and r.scale == 0.0
+
+
+class TestSnapshotDiff:
+    def test_classifies_added_removed_changed(self, spark):
+        from spark_expectations_spark.operators.diff import snapshot_diff
+        left = spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+            ["id", "s", "v"])
+        right = spark.createDataFrame(
+            [(2, "b", 21), (3, "c", 30), (4, "d", 40), (5, "e", 50)],
+            ["id", "s", "v"])
+        got = {r.id: r for r in
+               snapshot_diff(left, right, ["id"]).collect()}
+        assert got[1].change_type == "removed"
+        assert got[5].change_type == "added"
+        assert got[2].change_type == "changed" and got[2].changed_cols == ["v"]
+        # NULL -> value counts as a change (null-safe equality)
+        assert got[4].change_type == "changed" and got[4].changed_cols == ["s"]
+        assert 3 not in got  # identical rows excluded
+        assert got[2].old_v == 20 and got[2].new_v == 21
+
+    def test_compare_cols_subset(self, spark):
+        from spark_expectations_spark.operators.diff import snapshot_diff
+        left = spark.createDataFrame([(1, "a", 10)], ["id", "s", "v"])
+        right = spark.createDataFrame([(1, "a", 99)], ["id", "s", "v"])
+        assert snapshot_diff(left, right, ["id"],
+                             compare_cols=["s"]).count() == 0
