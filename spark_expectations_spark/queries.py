@@ -2177,6 +2177,42 @@ WHERE NOT (in_l AND in_r AND ls IS NOT DISTINCT FROM rs
 """
 
 
+def q_users_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history (operators/scd.py): each user's event-type
+    'state' collapsed into effective-dated intervals — consecutive
+    identical observations merge, lead() closes intervals, the open one
+    flags is_current. One key shuffle, two window passes, no self-join."""
+    from .operators import scd
+
+    ev = load(spark, sf_dir, "events")
+    obs = ev.select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("t_s"),
+        "event_type")
+    hist = scd.scd2_from_changes(obs, ["user_id"], "t_s", ["event_type"])
+    return hist.select("user_id", "event_type", "valid_from",
+                       "valid_to", "is_current")
+
+
+ORACLE_USERS_SCD2 = """
+WITH e AS (
+  SELECT user_id, epoch_ns(ts) // 1000000000 AS t_s, event_type FROM events),
+m AS (
+  SELECT *, lag(event_type) OVER
+    (PARTITION BY user_id ORDER BY t_s, event_type) AS prev
+  FROM e),
+k AS (
+  SELECT user_id, t_s, event_type FROM m
+  WHERE prev IS NULL OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type, t_s AS valid_from,
+       lead(t_s) OVER (PARTITION BY user_id ORDER BY t_s, event_type)
+         AS valid_to,
+       lead(t_s) OVER (PARTITION BY user_id ORDER BY t_s, event_type)
+         IS NULL AS is_current
+FROM k
+"""
+
+
 def q_lineitem_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width histogram via width_bucket — one partial-agg pass; the
     bucketing expression folds into the scan projection (profiling
@@ -2316,6 +2352,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
     "orders_snapshot_diff": q_orders_snapshot_diff,
+    "users_scd2": q_users_scd2,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
@@ -2389,6 +2426,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
+    "users_scd2": ORACLE_USERS_SCD2,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,

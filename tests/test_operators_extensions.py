@@ -597,3 +597,39 @@ class TestSnapshotDiff:
         right = spark.createDataFrame([(1, "a", 99)], ["id", "s", "v"])
         assert snapshot_diff(left, right, ["id"],
                              compare_cols=["s"]).count() == 0
+
+
+class TestSCD2:
+    def test_intervals_merge_and_close(self, spark):
+        from spark_expectations_spark.operators import scd
+        obs = spark.createDataFrame(
+            [(1, 10, "bronze"), (1, 20, "bronze"), (1, 30, "gold"),
+             (1, 40, "gold"), (2, 15, None), (2, 25, "silver")],
+            ["id", "t", "tier"])
+        hist = scd.scd2_from_changes(obs, ["id"], "t", ["tier"]) \
+            .orderBy("id", "valid_from").collect()
+        assert [(r.id, r.tier, r.valid_from, r.valid_to, r.is_current)
+                for r in hist] == [
+            (1, "bronze", 10, 30, False),
+            (1, "gold", 30, None, True),
+            (2, None, 15, 25, False),       # NULL state opens an interval
+            (2, "silver", 25, None, True),
+        ]
+
+    def test_point_in_time_slice(self, spark):
+        from spark_expectations_spark.operators import scd
+        obs = spark.createDataFrame(
+            [(1, 10, "a"), (1, 30, "b")], ["id", "t", "s"])
+        hist = scd.scd2_from_changes(obs, ["id"], "t", ["s"])
+        at20 = scd.scd2_point_in_time(hist, 20).collect()
+        assert len(at20) == 1 and at20[0].s == "a"
+        at30 = scd.scd2_point_in_time(hist, 30).collect()
+        assert len(at30) == 1 and at30[0].s == "b"
+
+    def test_one_shuffle(self, spark):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import scd
+        obs = spark.createDataFrame(
+            [(1, 10, "a")], ["id", "t", "s"])
+        hist = scd.scd2_from_changes(obs, ["id"], "t", ["s"])
+        assert plans.num_shuffles(hist) == 1
