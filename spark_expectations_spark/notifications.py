@@ -157,3 +157,113 @@ def _result_payload(result: DQResult) -> dict[str, Any]:
         "error_percentage": result.error_percentage,
         "status": dict(result.status),
     }
+
+
+# ---------------------------------------------------------------------------
+# Message formatting (reference notifications/push/spark_expectations_notify
+# .py builds one multi-line text block per trigger; push/alert.py renders an
+# HTML per-rule report table for mail bodies)
+# ---------------------------------------------------------------------------
+
+def format_notification_text(event: Event, payload: dict[str, Any]) -> str:
+    """The human-readable block channels post — stable field order so
+    alert routing/regexes can rely on it."""
+    head = {
+        "start": "Spark expectations run started",
+        "completion": "Spark expectations run completed",
+        "failure": "Spark expectations run FAILED",
+        "error_threshold": "Error threshold breached",
+        "rule_threshold": "Rule error-drop threshold breached",
+    }.get(event, event)
+    lines = [head]
+    for k in ("product_id", "table_name", "run_id", "input_count",
+              "error_count", "output_count", "error_percentage"):
+        if k in payload:
+            lines.append(f"{k}: {payload[k]}")
+    if "status" in payload:
+        lines.append("status: " + ", ".join(
+            f"{s}={v}" for s, v in payload["status"].items()))
+    if "breaches" in payload:
+        for b in payload["breaches"]:
+            lines.append(
+                f"breach: rule={b['rule']} failed={b['failed_count']} "
+                f"threshold={b['threshold_pct']}%")
+    if "error" in payload:
+        lines.append(f"error: {payload['error']}")
+    return "\n".join(lines)
+
+
+def html_report_table(rows: list[dict[str, Any]],
+                      columns: list[str] | None = None) -> str:
+    """Minimal dependency-free HTML table (the reference uses jinja in
+    push/alert.py; the content contract — one row per rule with status —
+    is what matters). Values are HTML-escaped."""
+    import html as _html
+
+    if not rows:
+        return "<p>no rows</p>"
+    cols = columns or list(rows[0].keys())
+    th = "".join(f"<th>{_html.escape(str(c))}</th>" for c in cols)
+    body = "".join(
+        "<tr>" + "".join(
+            f"<td>{_html.escape(str(r.get(c, '')))}</td>" for c in cols)
+        + "</tr>"
+        for r in rows)
+    return (f"<table border=1><thead><tr>{th}</tr></thead>"
+            f"<tbody>{body}</tbody></table>")
+
+
+def text_notifier(
+    send: Callable[[str, str], None],
+    *,
+    subject_prefix: str = "[spark-expectations]",
+) -> Notifier:
+    """Adapter: any (subject, body) sender — SMTP, Slack chat.postMessage,
+    a ticket API — becomes a Notifier. The engine formats; the caller
+    transports. This is the seam the reference fills with five vendor
+    plugins."""
+
+    def notify(event: Event, payload: dict[str, Any]) -> None:
+        body = format_notification_text(event, payload)
+        send(f"{subject_prefix} {event}: "
+             f"{payload.get('product_id', '?')}/{payload.get('table_name', '?')}",
+             body)
+
+    return notify
+
+
+def email_notifier(
+    host: str,
+    port: int,
+    sender: str,
+    recipients: list[str],
+    *,
+    use_html_report: bool = False,
+    report_rows: Callable[[dict[str, Any]], list[dict[str, Any]]] | None = None,
+    smtp_factory: Callable[..., Any] | None = None,
+) -> Notifier:
+    """SMTP notifier (reference notifications/plugins/email.py). The SMTP
+    client is injected via ``smtp_factory`` (defaults to
+    ``smtplib.SMTP``) so environments without a mail relay can still
+    construct and test the full message assembly."""
+    from email.mime.multipart import MIMEMultipart
+    from email.mime.text import MIMEText
+
+    def notify(event: Event, payload: dict[str, Any]) -> None:
+        msg = MIMEMultipart("alternative")
+        msg["Subject"] = (f"[spark-expectations] {event}: "
+                          f"{payload.get('product_id', '?')}/"
+                          f"{payload.get('table_name', '?')}")
+        msg["From"] = sender
+        msg["To"] = ", ".join(recipients)
+        msg.attach(MIMEText(format_notification_text(event, payload), "plain"))
+        if use_html_report and report_rows is not None:
+            msg.attach(MIMEText(html_report_table(report_rows(payload)), "html"))
+        factory = smtp_factory
+        if factory is None:
+            import smtplib
+            factory = smtplib.SMTP
+        with factory(host, port) as client:
+            client.sendmail(sender, recipients, msg.as_string())
+
+    return notify

@@ -568,3 +568,71 @@ class TestTransformWithState:
         assert out.isStreaming
         assert [f.name for f in out.schema.fields] == \
             ["k", "total_rows", "total_errors", "error_rate"]
+
+
+class TestNotificationFormatting:
+    PAYLOAD = {
+        "run_id": "r1", "product_id": "p1", "table_name": "t1",
+        "input_count": 100, "error_count": 7, "output_count": 93,
+        "error_percentage": 7.0,
+        "status": {"row_dq": "Failed"},
+    }
+
+    def test_text_block_field_order(self):
+        from spark_expectations_spark.notifications import (
+            format_notification_text,
+        )
+        txt = format_notification_text("completion", self.PAYLOAD)
+        lines = txt.splitlines()
+        assert lines[0] == "Spark expectations run completed"
+        assert "product_id: p1" in lines[1]
+        assert lines[-1] == "status: row_dq=Failed"
+
+    def test_breach_lines(self):
+        from spark_expectations_spark.notifications import (
+            format_notification_text,
+        )
+        txt = format_notification_text("rule_threshold", {
+            **self.PAYLOAD,
+            "breaches": [{"rule": "gt1", "failed_count": 9,
+                          "threshold_pct": 5}]})
+        assert "breach: rule=gt1 failed=9 threshold=5%" in txt
+
+    def test_html_table_escapes(self):
+        from spark_expectations_spark.notifications import html_report_table
+        html = html_report_table(
+            [{"rule": "a<b", "status": "pass"}], ["rule", "status"])
+        assert "a&lt;b" in html and "<th>rule</th>" in html
+
+    def test_email_notifier_assembles_mime(self):
+        from spark_expectations_spark.notifications import email_notifier
+        sent = {}
+
+        class FakeSMTP:
+            def __init__(self, host, port):
+                sent["hostport"] = (host, port)
+            def __enter__(self):
+                return self
+            def __exit__(self, *a):
+                return False
+            def sendmail(self, frm, to, body):
+                sent["frm"], sent["to"], sent["body"] = frm, to, body
+
+        n = email_notifier(
+            "mail.local", 25, "dq@local", ["ops@local"],
+            use_html_report=True,
+            report_rows=lambda p: [{"rule": "gt1", "status": "fail"}],
+            smtp_factory=FakeSMTP)
+        n("completion", self.PAYLOAD)
+        assert sent["hostport"] == ("mail.local", 25)
+        assert sent["to"] == ["ops@local"]
+        assert "run completed" in sent["body"]
+        assert "text/html" in sent["body"] and "gt1" in sent["body"]
+
+    def test_text_notifier_adapter(self):
+        from spark_expectations_spark.notifications import text_notifier
+        out = []
+        n = text_notifier(lambda subj, body: out.append((subj, body)))
+        n("failure", {**self.PAYLOAD, "error": "boom"})
+        assert out and out[0][0].endswith("failure: p1/t1")
+        assert "error: boom" in out[0][1]
