@@ -9,7 +9,7 @@ identity as map keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 _STAGES = [
@@ -156,4 +156,47 @@ def run_summary(stats: DataFrame) -> DataFrame:
         "error_percentage", "success_percentage",
         "dq_status",
         F.col("meta_dq_run_datetime").alias("run_datetime"),
+    )
+
+
+def error_rate_trend(
+    stats: DataFrame,
+    *,
+    window: int = 5,
+    sigma: float = 2.0,
+    min_history: int = 3,
+) -> DataFrame:
+    """Run-over-run regression detection on the persisted stats table:
+    flag runs whose error_percentage sits more than ``sigma`` standard
+    deviations above the mean of the preceding ``window`` runs for the
+    same (product_id, table_name).
+
+    This is the meta-DQ layer the reference leaves to dashboards: the
+    stats table it writes every run (writer.py stats sink) already holds
+    the history; one window pass turns it into alerts. Stats rows are
+    rule-scale (one per run), so this is driver-cheap at any data scale.
+    """
+    w = (
+        Window.partitionBy("product_id", "table_name")
+        .orderBy("meta_dq_run_datetime")
+        .rowsBetween(-window, -1)
+    )
+    mu = F.avg("error_percentage").over(w)
+    sd = F.stddev("error_percentage").over(w)
+    n = F.count("error_percentage").over(w)
+    return (
+        stats.select(
+            F.col("meta_dq_run_id").alias("run_id"),
+            "product_id", "table_name", "error_percentage",
+            F.col("meta_dq_run_datetime").alias("run_datetime"),
+            mu.alias("trailing_mean"),
+            sd.alias("trailing_stddev"),
+            n.alias("history_runs"),
+        )
+        .filter(
+            (F.col("history_runs") >= min_history)
+            & (F.col("trailing_stddev").isNotNull())
+            & (F.col("error_percentage")
+               > F.col("trailing_mean") + sigma * F.col("trailing_stddev"))
+        )
     )

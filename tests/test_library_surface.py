@@ -410,6 +410,15 @@ class TestPlanShapes:
         cols = plans.read_schema_columns(df)
         assert set(cols) <= {"vec_id", "embedding"}
 
+    def test_snapshot_diff_single_hash_join(self, spark):
+        """The reconciliation diff must be ONE equi hash/SMJ join — a
+        nested-loop compare would be O(n²) at snapshot scale."""
+        from spark_expectations_spark.queries import q_orders_snapshot_diff
+        txt = plans.plan_text(q_orders_snapshot_diff(spark, SF_DIR), "simple")
+        assert txt.count("Join") == 1
+        assert "BroadcastNestedLoopJoin" not in txt
+        assert "CartesianProduct" not in txt
+
     def test_fan_out_no_op_on_wide_input(self, spark, lineitem):
         """fan_out must never add a shuffle when Catalyst stats say the
         input is big (the 100 TB path)."""

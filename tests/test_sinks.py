@@ -186,3 +186,36 @@ class TestUpsertPartitioned:
         import pytest as _pytest
         with _pytest.raises(ValueError):
             upsert_partitioned(spark, str(tmp_path), ups, ["id"], "pt")
+
+
+class TestErrorRateTrend:
+    def test_flags_only_regressed_runs(self, spark):
+        from datetime import datetime
+
+        from spark_expectations_spark.sinks.report import error_rate_trend
+
+        def row(i, pct):
+            return ("r%d" % i, "p1", "t1", pct,
+                    datetime(2026, 8, 1, i))
+
+        # stable ~1% for 5 runs, then a 9% spike, then recovery
+        rows = [row(1, 1.0), row(2, 1.2), row(3, 0.9), row(4, 1.1),
+                row(5, 1.0), row(6, 9.0), row(7, 1.0)]
+        stats = spark.createDataFrame(
+            rows, ["meta_dq_run_id", "product_id", "table_name",
+                   "error_percentage", "meta_dq_run_datetime"])
+        got = error_rate_trend(stats, window=5, sigma=2.0).collect()
+        assert [r.run_id for r in got] == ["r6"]
+        assert got[0].history_runs == 5
+        assert got[0].error_percentage > got[0].trailing_mean
+
+    def test_insufficient_history_never_flags(self, spark):
+        from datetime import datetime
+
+        from spark_expectations_spark.sinks.report import error_rate_trend
+        stats = spark.createDataFrame(
+            [("r1", "p", "t", 1.0, datetime(2026, 8, 1, 1)),
+             ("r2", "p", "t", 99.0, datetime(2026, 8, 1, 2))],
+            ["meta_dq_run_id", "product_id", "table_name",
+             "error_percentage", "meta_dq_run_datetime"])
+        assert error_rate_trend(stats).count() == 0
