@@ -633,3 +633,49 @@ class TestSCD2:
             [(1, 10, "a")], ["id", "t", "s"])
         hist = scd.scd2_from_changes(obs, ["id"], "t", ["s"])
         assert plans.num_shuffles(hist) == 1
+
+
+class TestSCD2Property:
+    @staticmethod
+    def _brute(rows):
+        """Reference SCD2: per key, order by (t, attr), merge equal-run
+        states, close with next interval's start."""
+        from collections import defaultdict
+        by_key = defaultdict(list)
+        for k, t, a in rows:
+            by_key[k].append((t, a))
+        expect = []
+        for k, obs in by_key.items():
+            obs.sort(key=lambda x: (x[0], (x[1] is None, x[1])))
+            kept = []
+            for t, a in obs:
+                if not kept or kept[-1][1] != a:
+                    kept.append((t, a))
+            for i, (t, a) in enumerate(kept):
+                nxt = kept[i + 1][0] if i + 1 < len(kept) else None
+                expect.append((k, a, t, nxt, nxt is None))
+        return sorted(expect, key=lambda r: (r[0], r[2], (r[1] is None, r[1])))
+
+    def test_matches_bruteforce_on_random_logs(self, spark):
+        import random
+
+        from spark_expectations_spark.operators import scd
+        rng = random.Random(42)
+        for trial in range(4):
+            rows = [(rng.randrange(6), rng.randrange(50),
+                     rng.choice(["a", "b", "c", None]))
+                    for _ in range(120)]
+            # distinct (key, t): duplicate timestamps with different attrs
+            # have engine-defined keep-order; dedup to the spec'd domain
+            seen, uniq = set(), []
+            for k, t, a in rows:
+                if (k, t) not in seen:
+                    seen.add((k, t))
+                    uniq.append((k, t, a))
+            df = spark.createDataFrame(uniq, ["id", "t", "s"])
+            got = sorted(
+                ((r.id, r.s, r.valid_from, r.valid_to, r.is_current)
+                 for r in scd.scd2_from_changes(
+                     df, ["id"], "t", ["s"]).collect()),
+                key=lambda r: (r[0], r[2], (r[1] is None, r[1])))
+            assert got == self._brute(uniq), f"trial {trial}"
