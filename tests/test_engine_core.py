@@ -296,3 +296,55 @@ class TestTempTableWithFusion:
         assert res.status["source_agg_dq"] == "Passed"
         # the temp materialization landed
         assert spark.read.parquet(str(tmp_path / "t_temp")).count() == 3
+
+
+class TestIncrementalDQ:
+    def _mk_state_table(self, spark, name):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"CREATE TABLE {name} (dummy INT) USING parquet")
+
+    def test_only_new_rows_validated_and_mark_advances(self, spark):
+        from spark_expectations_spark.core.incremental import (
+            get_watermark, run_incremental,
+        )
+        self._mk_state_table(spark, "inc_state")
+        try:
+            rules = RuleSet([Rule("p", "t", "row_dq", "v_pos", "v", "v > 0")])
+            cfg = DQConfig(product_id="p", table_name="t",
+                           write_error_table=False)
+            day1 = spark.createDataFrame(
+                [("2026-08-01", 1), ("2026-08-01", -1)], ["dt", "v"])
+            r1 = run_incremental(cfg, rules, day1, "dt", "inc_state")
+            assert r1.input_count == 2 and r1.error_count == 1
+            assert get_watermark(spark, "inc_state") == "2026-08-01"
+
+            # second cycle: union of old + new; only new rows are validated
+            both = day1.union(spark.createDataFrame(
+                [("2026-08-02", 5), ("2026-08-02", 6)], ["dt", "v"]))
+            r2 = run_incremental(cfg, rules, both, "dt", "inc_state")
+            assert r2.input_count == 2 and r2.error_count == 0
+            assert get_watermark(spark, "inc_state") == "2026-08-02"
+
+            # third cycle: nothing new -> no run, mark untouched
+            assert run_incremental(cfg, rules, both, "dt", "inc_state") is None
+            assert get_watermark(spark, "inc_state") == "2026-08-02"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS inc_state")
+
+    def test_failed_run_leaves_mark(self, spark):
+        from spark_expectations_spark import DQRowFailError
+        from spark_expectations_spark.core.incremental import (
+            get_watermark, run_incremental,
+        )
+        self._mk_state_table(spark, "inc_state2")
+        try:
+            rules = RuleSet([Rule("p", "t", "row_dq", "v_pos", "v", "v > 0",
+                                  action_if_failed="fail")])
+            cfg = DQConfig(product_id="p", table_name="t",
+                           write_error_table=False)
+            bad = spark.createDataFrame([("2026-08-01", -1)], ["dt", "v"])
+            with pytest.raises(DQRowFailError):
+                run_incremental(cfg, rules, bad, "dt", "inc_state2")
+            assert get_watermark(spark, "inc_state2") is None  # re-validated next cycle
+        finally:
+            spark.sql("DROP TABLE IF EXISTS inc_state2")
