@@ -39,6 +39,8 @@ SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD = (
     "spark.expectations.notifications.error.drop.threshold")
 SE_NOTIFICATIONS_ON_IGNORED_RULES = (
     "spark.expectations.notifications.on.rules.action.if.failed.set.ignore")
+SE_NOTIFICATIONS_MIN_PRIORITY_SLACK = (
+    "spark.expectations.notifications.slack.min.priority")
 SE_ENABLE_ERROR_TABLE = "se.enable.error.table"
 SE_DQ_RULES_PARAMS = "se.dq.rules.params"
 SE_ENABLE_AGG_DQ_DETAILED_RESULT = "spark.expectations.agg.dq.detailed.stats"
@@ -88,6 +90,8 @@ class SparkExpectations:
                 SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD),
             notify_on_ignored_rules=bool(
                 conf.get(SE_NOTIFICATIONS_ON_IGNORED_RULES, False)),
+            min_priority=str(
+                conf.get(SE_NOTIFICATIONS_MIN_PRIORITY_SLACK, "low")),
         )
         if (notif.notify_on_start or notif.notify_on_completion
                 or notif.notify_on_failure or notif.notify_on_ignored_rules

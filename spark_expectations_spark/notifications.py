@@ -70,6 +70,17 @@ class NotificationRules:
     #: violations; reference user_config
     #: se_notifications_on_rules_action_if_failed_set_ignore)
     notify_on_ignored_rules: bool = False
+    #: minimum rule priority for per-rule alert content ('low' admits all;
+    #: reference notify.py:253-343 gates channel payloads the same way)
+    min_priority: str = "low"
+
+
+_PRIORITY_RANK = {"low": 0, "medium": 1, "high": 2}
+
+
+def _meets_priority(rule_priority: str, floor: str) -> bool:
+    return (_PRIORITY_RANK.get((rule_priority or "medium").lower(), 1)
+            >= _PRIORITY_RANK.get((floor or "low").lower(), 0))
 
 
 class NotificationHub:
@@ -116,10 +127,13 @@ class NotificationHub:
         if self.rules.notify_on_ignored_rules:
             by_name = {r.rule: r for r in rules}
             ignored = [
-                {"rule": rule, "failed_count": cnt}
+                {"rule": rule, "failed_count": cnt,
+                 "priority": by_name[rule].priority}
                 for rule, cnt in result.row_summary.rule_failed_counts.items()
                 if cnt and by_name.get(rule) is not None
                 and by_name[rule].action_if_failed == "ignore"
+                and _meets_priority(by_name[rule].priority,
+                                    self.rules.min_priority)
             ]
             if ignored:
                 self._emit("ignored_rules", {
@@ -133,12 +147,15 @@ class NotificationHub:
             r = by_name.get(rule)
             if r is None or not r.enable_error_drop_alert or not cnt:
                 continue
+            if not _meets_priority(r.priority, self.rules.min_priority):
+                continue
             pct = cnt / result.input_count * 100
             if pct >= r.error_drop_threshold:
                 breaches.append({
                     "rule": rule, "failed_count": cnt,
                     "failed_pct": round(pct, 2),
                     "threshold_pct": r.error_drop_threshold,
+                    "priority": r.priority,
                 })
         if breaches:
             self._emit("rule_threshold", {

@@ -487,7 +487,8 @@ class TestIgnoredRulesDigest:
         events = dict(coll.events)
         assert "ignored_rules" in events
         digest = events["ignored_rules"]["ignored"]
-        assert digest == [{"rule": "ig1", "failed_count": 1}]  # drop rule excluded
+        assert digest == [{"rule": "ig1", "failed_count": 1,
+                           "priority": "medium"}]  # drop rule excluded
 
 
 class TestStreamingStatsRow:
@@ -645,3 +646,39 @@ class TestNotificationFormatting:
         n("failure", {**self.PAYLOAD, "error": "boom"})
         assert out and out[0][0].endswith("failure: p1/t1")
         assert "error: boom" in out[0][1]
+
+
+class TestPriorityGating:
+    def test_low_priority_breach_suppressed_by_floor(self, spark, simple3):
+        coll = CollectingNotifier()
+        hub = NotificationHub(NotificationRules(min_priority="high"))
+        hub.register(coll)
+        rules = RuleSet([
+            Rule("p1", "t", "row_dq", "lo", "col1", "col1 > 1",
+                 enable_error_drop_alert=True, error_drop_threshold=10,
+                 priority="low"),
+            Rule("p1", "t", "row_dq", "hi", "col1", "col1 > 2",
+                 enable_error_drop_alert=True, error_drop_threshold=10,
+                 priority="high"),
+        ])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False, notifications=hub)
+        DQEngine(cfg).run(simple3, rules, spark)
+        assert [e for e, _ in coll.events] == ["rule_threshold"]
+        breaches = coll.events[0][1]["breaches"]
+        assert [b["rule"] for b in breaches] == ["hi"]
+        assert breaches[0]["priority"] == "high"
+
+    def test_default_floor_admits_all(self, spark, simple3):
+        coll = CollectingNotifier()
+        hub = NotificationHub(NotificationRules())
+        hub.register(coll)
+        rules = RuleSet([
+            Rule("p1", "t", "row_dq", "lo", "col1", "col1 > 1",
+                 enable_error_drop_alert=True, error_drop_threshold=10,
+                 priority="low"),
+        ])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False, notifications=hub)
+        DQEngine(cfg).run(simple3, rules, spark)
+        assert [e for e, _ in coll.events] == ["rule_threshold"]
