@@ -22,7 +22,8 @@ from .core.engine import DQEngine
 from .core.rules import RuleSet
 from .core.state import DQConfig, WriterOptions
 from .notifications import (NotificationHub, NotificationRules,
-                            console_notifier)
+                            console_notifier, email_notifier,
+                            webhook_notifier)
 from .sinks.builder import WrappedDataFrameWriter
 
 #: The reference exposes a separate builder class for streaming sinks
@@ -41,6 +42,27 @@ SE_NOTIFICATIONS_ON_IGNORED_RULES = (
     "spark.expectations.notifications.on.rules.action.if.failed.set.ignore")
 SE_NOTIFICATIONS_MIN_PRIORITY_SLACK = (
     "spark.expectations.notifications.slack.min.priority")
+SE_NOTIFICATIONS_ENABLE_SLACK = "spark.expectations.notifications.slack.enabled"
+SE_NOTIFICATIONS_SLACK_WEBHOOK_URL = (
+    "spark.expectations.notifications.slack.webhook.url")
+SE_NOTIFICATIONS_ENABLE_TEAMS = "spark.expectations.notifications.teams.enabled"
+SE_NOTIFICATIONS_TEAMS_WEBHOOK_URL = (
+    "spark.expectations.notifications.teams.webhook.url")
+SE_NOTIFICATIONS_ENABLE_ZOOM = "spark.expectations.notifications.zoom.enabled"
+SE_NOTIFICATIONS_ZOOM_WEBHOOK_URL = (
+    "spark.expectations.notifications.zoom.webhook.url")
+SE_NOTIFICATIONS_ENABLE_PAGERDUTY = (
+    "spark.expectations.notifications.pagerduty.enabled")
+SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL = (
+    "spark.expectations.notifications.pagerduty.webhook.url")
+SE_NOTIFICATIONS_ENABLE_EMAIL = "spark.expectations.notifications.email.enabled"
+SE_NOTIFICATIONS_EMAIL_SMTP_HOST = (
+    "spark.expectations.notifications.email.smtp.host")
+SE_NOTIFICATIONS_EMAIL_SMTP_PORT = (
+    "spark.expectations.notifications.email.smtp.port")
+SE_NOTIFICATIONS_EMAIL_FROM = "spark.expectations.notifications.email.from"
+SE_NOTIFICATIONS_EMAIL_TO = (
+    "spark.expectations.notifications.email.to.other.mail.com")
 SE_ENABLE_ERROR_TABLE = "se.enable.error.table"
 SE_DQ_RULES_PARAMS = "se.dq.rules.params"
 SE_ENABLE_AGG_DQ_DETAILED_RESULT = "spark.expectations.agg.dq.detailed.stats"
@@ -93,10 +115,35 @@ class SparkExpectations:
             min_priority=str(
                 conf.get(SE_NOTIFICATIONS_MIN_PRIORITY_SLACK, "low")),
         )
+        channels = [console_notifier]
+        # vendor channels (reference plugins/*): each is a webhook POST —
+        # the same JSON payload our webhook_notifier sends
+        for enable_key, url_key in (
+            (SE_NOTIFICATIONS_ENABLE_SLACK, SE_NOTIFICATIONS_SLACK_WEBHOOK_URL),
+            (SE_NOTIFICATIONS_ENABLE_TEAMS, SE_NOTIFICATIONS_TEAMS_WEBHOOK_URL),
+            (SE_NOTIFICATIONS_ENABLE_ZOOM, SE_NOTIFICATIONS_ZOOM_WEBHOOK_URL),
+            (SE_NOTIFICATIONS_ENABLE_PAGERDUTY,
+             SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL),
+        ):
+            if conf.get(enable_key) and conf.get(url_key):
+                channels.append(webhook_notifier(str(conf[url_key])))
+        if (conf.get(SE_NOTIFICATIONS_ENABLE_EMAIL)
+                and conf.get(SE_NOTIFICATIONS_EMAIL_SMTP_HOST)):
+            channels.append(email_notifier(
+                str(conf[SE_NOTIFICATIONS_EMAIL_SMTP_HOST]),
+                int(conf.get(SE_NOTIFICATIONS_EMAIL_SMTP_PORT, 25)),
+                str(conf.get(SE_NOTIFICATIONS_EMAIL_FROM, "spark-expectations")),
+                [a.strip() for a in
+                 str(conf.get(SE_NOTIFICATIONS_EMAIL_TO, "")).split(",")
+                 if a.strip()],
+            ))
         if (notif.notify_on_start or notif.notify_on_completion
                 or notif.notify_on_failure or notif.notify_on_ignored_rules
-                or notif.error_threshold_pct is not None):
-            hub = NotificationHub(notif).register(console_notifier)
+                or notif.error_threshold_pct is not None
+                or len(channels) > 1):
+            hub = NotificationHub(notif)
+            for ch in channels:
+                hub.register(ch)
 
         writer_builder = (target_and_error_table_writer
                           or self.target_and_error_table_writer)

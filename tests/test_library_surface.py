@@ -682,3 +682,32 @@ class TestPriorityGating:
                        write_error_table=False, notifications=hub)
         DQEngine(cfg).run(simple3, rules, spark)
         assert [e for e, _ in coll.events] == ["rule_threshold"]
+
+
+class TestCompatChannelWiring:
+    def test_enabled_channels_register_notifiers(self, spark):
+        """user_conf channel keys construct the hub with one notifier per
+        enabled channel (webhook x2 + email + console)."""
+        from spark_expectations_spark import compat as C
+        rules_df = RuleSet([
+            Rule("p1", "t1", "row_dq", "r1", "c", "c > 0")]).to_df(spark)
+        se = C.SparkExpectations(product_id="p1", rules_df=rules_df,
+                                 stats_table="s")
+        conf = {
+            C.SE_NOTIFICATIONS_ENABLE_SLACK: True,
+            C.SE_NOTIFICATIONS_SLACK_WEBHOOK_URL: "http://h/slack",
+            C.SE_NOTIFICATIONS_ENABLE_PAGERDUTY: True,
+            C.SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL: "http://h/pd",
+            C.SE_NOTIFICATIONS_ENABLE_TEAMS: True,  # url missing -> skipped
+            C.SE_NOTIFICATIONS_ENABLE_EMAIL: True,
+            C.SE_NOTIFICATIONS_EMAIL_SMTP_HOST: "mail.local",
+            C.SE_NOTIFICATIONS_EMAIL_TO: "a@x, b@y",
+        }
+        deco = se.with_expectations("t1", user_conf=conf)
+        # the decorator closes over the engine config; reach the hub
+        hub = deco.__closure__ and next(
+            (c.cell_contents for c in deco.__closure__
+             if hasattr(c.cell_contents, "config")), None)
+        assert hub is not None
+        notifiers = hub.config.notifications._notifiers
+        assert len(notifiers) == 4  # console + slack + pagerduty + email
