@@ -2242,6 +2242,43 @@ GROUP BY bucket
 """
 
 
+def q_lineitem_price_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (operators/drift.py): PSI of l_extendedprice
+    between two deterministic halves of lineitem — two histogram passes
+    (width_bucket folded into each scan) + a bucket-rows-only combine.
+    Near-identical halves ⇒ PSI ≈ 0; the query returns the exact value
+    so the oracle pins the full formula, epsilon clamp included."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    d = drift.psi(base, cur, "l_extendedprice", lo=0.0, hi=120_000.0, bins=12)
+    return d.select(F.round("psi", 8).alias("psi"), "n_buckets_compared")
+
+
+ORACLE_LINEITEM_PRICE_DRIFT = """
+WITH bkt AS (
+  SELECT l_orderkey % 2 AS side,
+         CASE WHEN l_extendedprice < 0.0 THEN 0
+              WHEN l_extendedprice >= 120000.0 THEN 13
+              ELSE CAST(floor(l_extendedprice / 10000.0) AS BIGINT) + 1 END
+           AS bucket
+  FROM lineitem),
+p AS (SELECT bucket, count(*) * 1.0 / sum(count(*)) OVER () AS p
+      FROM bkt WHERE side = 0 GROUP BY bucket),
+q AS (SELECT bucket, count(*) * 1.0 / sum(count(*)) OVER () AS q
+      FROM bkt WHERE side = 1 GROUP BY bucket),
+j AS (
+  SELECT greatest(COALESCE(p, 0.0), 1e-6) AS p,
+         greatest(COALESCE(q, 0.0), 1e-6) AS q
+  FROM p FULL OUTER JOIN q USING (bucket))
+SELECT round(sum((p - q) * ln(p / q)), 8) AS psi,
+       count(*) AS n_buckets_compared
+FROM j
+"""
+
+
 def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/profiling.py): every column's null /
     distinct / range stats from ONE aggregation pass (exact distinct here
@@ -2353,6 +2390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_distinct_rollup": q_events_distinct_rollup,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "users_scd2": q_users_scd2,
+    "lineitem_price_drift": q_lineitem_price_drift,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
@@ -2427,6 +2465,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,
+    "lineitem_price_drift": ORACLE_LINEITEM_PRICE_DRIFT,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,

@@ -679,3 +679,26 @@ class TestSCD2Property:
                      df, ["id"], "t", ["s"]).collect()),
                 key=lambda r: (r[0], r[2], (r[1] is None, r[1])))
             assert got == self._brute(uniq), f"trial {trial}"
+
+
+class TestDrift:
+    def test_identical_distributions_near_zero(self, spark):
+        from spark_expectations_spark.operators import drift
+        a = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+        r = drift.psi(a, a, "v", lo=0, hi=100, bins=10).first()
+        assert abs(r.psi) < 1e-9
+
+    def test_shifted_distribution_flags(self, spark):
+        from spark_expectations_spark.operators import drift
+        a = spark.range(0, 1000).selectExpr("CAST(id % 100 AS DOUBLE) AS v")
+        b = spark.range(0, 1000).selectExpr(
+            "CAST(id % 100 + 50 AS DOUBLE) AS v")  # half mass above hi
+        r = drift.psi(a, b, "v", lo=0, hi=100, bins=10).first()
+        assert r.psi > 0.25  # 'shifted' per the standard reading
+
+    def test_out_of_range_mass_counted(self, spark):
+        from spark_expectations_spark.operators import drift
+        inside = spark.range(100).selectExpr("CAST(50 AS DOUBLE) AS v")
+        outside = spark.range(100).selectExpr("CAST(999 AS DOUBLE) AS v")
+        r = drift.psi(inside, outside, "v", lo=0, hi=100, bins=10).first()
+        assert r.psi > 0.25 and r.n_buckets_compared == 2
