@@ -76,3 +76,64 @@ def psi(
         F.sum(term).alias("psi"),
         F.count(F.lit(1)).alias("n_buckets_compared"),
     )
+
+
+def category_proportions(
+    df: DataFrame,
+    col: str,
+    *,
+    top_n: int = 100,
+    out: str = "prop",
+) -> DataFrame:
+    """(category, proportion) for the ``top_n`` most frequent values;
+    everything else collapses into '__other__' so two snapshots always
+    compare over a bounded, aligned category set. NULL is its own
+    category ('__null__') — null-rate drift is real drift."""
+    from pyspark.sql import Window
+
+    norm = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+    counts = df.groupBy(norm.alias("category")).agg(
+        F.count(F.lit(1)).alias("_n"))
+    ranked = counts.withColumn(
+        "_rk", F.row_number().over(
+            Window.orderBy(F.col("_n").desc(), F.col("category"))))
+    bucketed = (
+        ranked.withColumn(
+            "category",
+            F.when(F.col("_rk") <= top_n, F.col("category"))
+            .otherwise(F.lit("__other__")))
+        .groupBy("category").agg(F.sum("_n").alias("_n"))
+    )
+    total = bucketed.agg(F.sum("_n").alias("_t"))
+    return (
+        bucketed.crossJoin(F.broadcast(total))
+        .select("category", (F.col("_n") / F.col("_t")).alias(out))
+    )
+
+
+def categorical_psi(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """PSI over category frequencies — same formula/thresholds as the
+    numeric ``psi``, same full-outer alignment so categories present on
+    one side only are penalized via the epsilon clamp.
+
+    Scale note: the top-N ranking runs a single-partition window over
+    the *distinct-category counts* (bounded by column cardinality, not
+    rows); for genuinely high-cardinality columns lower ``top_n`` or
+    pre-bucket upstream."""
+    p = category_proportions(baseline, col, top_n=top_n, out="p")
+    q = category_proportions(current, col, top_n=top_n, out="q")
+    j = p.join(q, "category", "full_outer").select(
+        F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(_EPS)).alias("p"),
+        F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(_EPS)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.agg(
+        F.sum(term).alias("psi"),
+        F.count(F.lit(1)).alias("n_categories_compared"),
+    )

@@ -702,3 +702,20 @@ class TestDrift:
         outside = spark.range(100).selectExpr("CAST(999 AS DOUBLE) AS v")
         r = drift.psi(inside, outside, "v", lo=0, hi=100, bins=10).first()
         assert r.psi > 0.25 and r.n_buckets_compared == 2
+
+
+class TestCategoricalDrift:
+    def test_same_distribution_zero(self, spark):
+        from spark_expectations_spark.operators import drift
+        a = spark.range(300).selectExpr("CAST(id % 3 AS STRING) AS c")
+        r = drift.categorical_psi(a, a, "c").first()
+        assert abs(r.psi) < 1e-9 and r.n_categories_compared == 3
+
+    def test_new_category_and_null_drift_flag(self, spark):
+        from spark_expectations_spark.operators import drift
+        a = spark.range(300).selectExpr("CAST(id % 3 AS STRING) AS c")
+        b = spark.range(300).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN NULL ELSE 'zzz' END AS c")
+        r = drift.categorical_psi(a, b, "c").first()
+        assert r.psi > 0.25
+        assert r.n_categories_compared == 5  # 0,1,2,__null__,zzz
