@@ -51,6 +51,9 @@ SE_NOTIFICATIONS_TEAMS_WEBHOOK_URL = (
 SE_NOTIFICATIONS_ENABLE_ZOOM = "spark.expectations.notifications.zoom.enabled"
 SE_NOTIFICATIONS_ZOOM_WEBHOOK_URL = (
     "spark.expectations.notifications.zoom.webhook.url")
+SE_NOTIFICATIONS_ZOOM_TOKEN = "spark.expectations.notifications.zoom.token"
+SE_NOTIFICATIONS_EMAIL_SUBJECT = (
+    "spark.expectations.notifications.email.subject")
 SE_NOTIFICATIONS_ENABLE_PAGERDUTY = (
     "spark.expectations.notifications.pagerduty.enabled")
 SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL = (
@@ -118,15 +121,20 @@ class SparkExpectations:
         channels = [console_notifier]
         # vendor channels (reference plugins/*): each is a webhook POST —
         # the same JSON payload our webhook_notifier sends
-        for enable_key, url_key in (
-            (SE_NOTIFICATIONS_ENABLE_SLACK, SE_NOTIFICATIONS_SLACK_WEBHOOK_URL),
-            (SE_NOTIFICATIONS_ENABLE_TEAMS, SE_NOTIFICATIONS_TEAMS_WEBHOOK_URL),
-            (SE_NOTIFICATIONS_ENABLE_ZOOM, SE_NOTIFICATIONS_ZOOM_WEBHOOK_URL),
+        for enable_key, url_key, headers in (
+            (SE_NOTIFICATIONS_ENABLE_SLACK, SE_NOTIFICATIONS_SLACK_WEBHOOK_URL,
+             None),
+            (SE_NOTIFICATIONS_ENABLE_TEAMS, SE_NOTIFICATIONS_TEAMS_WEBHOOK_URL,
+             None),
+            (SE_NOTIFICATIONS_ENABLE_ZOOM, SE_NOTIFICATIONS_ZOOM_WEBHOOK_URL,
+             {"Authorization": f"Bearer {conf.get(SE_NOTIFICATIONS_ZOOM_TOKEN)}"}
+             if conf.get(SE_NOTIFICATIONS_ZOOM_TOKEN) else None),
             (SE_NOTIFICATIONS_ENABLE_PAGERDUTY,
-             SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL),
+             SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL, None),
         ):
             if conf.get(enable_key) and conf.get(url_key):
-                channels.append(webhook_notifier(str(conf[url_key])))
+                channels.append(
+                    webhook_notifier(str(conf[url_key]), headers=headers))
         if (conf.get(SE_NOTIFICATIONS_ENABLE_EMAIL)
                 and conf.get(SE_NOTIFICATIONS_EMAIL_SMTP_HOST)):
             channels.append(email_notifier(
@@ -136,6 +144,7 @@ class SparkExpectations:
                 [a.strip() for a in
                  str(conf.get(SE_NOTIFICATIONS_EMAIL_TO, "")).split(",")
                  if a.strip()],
+                subject=conf.get(SE_NOTIFICATIONS_EMAIL_SUBJECT),
             ))
         if (notif.notify_on_start or notif.notify_on_completion
                 or notif.notify_on_failure or notif.notify_on_ignored_rules

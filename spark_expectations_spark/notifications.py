@@ -43,15 +43,19 @@ class CollectingNotifier:
         self.events.append((event, payload))
 
 
-def webhook_notifier(url: str, *, timeout: float = 10.0) -> Notifier:
-    """POST JSON to a webhook (Slack/Teams-style). Uses stdlib urllib."""
+def webhook_notifier(url: str, *, timeout: float = 10.0,
+                     headers: dict[str, str] | None = None) -> Notifier:
+    """POST JSON to a webhook (Slack/Teams-style). Uses stdlib urllib.
+    ``headers`` carries channel auth (e.g. Zoom's Authorization token —
+    reference notifications/plugins/zoom.py)."""
 
     def notify(event: Event, payload: dict[str, Any]) -> None:
         import urllib.request
 
         body = json.dumps({"event": event, **payload}, default=str).encode()
         req = urllib.request.Request(
-            url, data=body, headers={"Content-Type": "application/json"})
+            url, data=body,
+            headers={"Content-Type": "application/json", **(headers or {})})
         try:
             urllib.request.urlopen(req, timeout=timeout)
         except Exception as e:  # notification failure must not fail the run
@@ -255,6 +259,7 @@ def email_notifier(
     sender: str,
     recipients: list[str],
     *,
+    subject: str | None = None,
     use_html_report: bool = False,
     report_rows: Callable[[dict[str, Any]], list[dict[str, Any]]] | None = None,
     smtp_factory: Callable[..., Any] | None = None,
@@ -268,9 +273,10 @@ def email_notifier(
 
     def notify(event: Event, payload: dict[str, Any]) -> None:
         msg = MIMEMultipart("alternative")
-        msg["Subject"] = (f"[spark-expectations] {event}: "
-                          f"{payload.get('product_id', '?')}/"
-                          f"{payload.get('table_name', '?')}")
+        msg["Subject"] = subject or (
+            f"[spark-expectations] {event}: "
+            f"{payload.get('product_id', '?')}/"
+            f"{payload.get('table_name', '?')}")
         msg["From"] = sender
         msg["To"] = ", ".join(recipients)
         msg.attach(MIMEText(format_notification_text(event, payload), "plain"))

@@ -348,3 +348,48 @@ class TestIncrementalDQ:
             assert get_watermark(spark, "inc_state2") is None  # re-validated next cycle
         finally:
             spark.sql("DROP TABLE IF EXISTS inc_state2")
+
+
+class TestIncrementalUpsertLoop:
+    def test_validate_then_merge_cycle(self, spark, tmp_path):
+        """The lake maintenance loop end-to-end: incremental DQ validates
+        only the new partition, its surviving rows upsert into the serving
+        table, old partitions' files stay untouched."""
+        import os
+
+        from spark_expectations_spark.core.incremental import run_incremental
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+
+        spark.sql("DROP TABLE IF EXISTS loop_state")
+        spark.sql("CREATE TABLE loop_state (dummy INT) USING parquet")
+        serving = str(tmp_path / "serving")
+        try:
+            rules = RuleSet([Rule("p", "t", "row_dq", "v_pos", "v", "v > 0",
+                                  action_if_failed="drop")])
+            cfg = DQConfig(product_id="p", table_name="t",
+                           write_error_table=False)
+
+            day1 = spark.createDataFrame(
+                [(1, "2026-08-01", 10), (2, "2026-08-01", -5)],
+                ["id", "dt", "v"])
+            r1 = run_incremental(cfg, rules, day1, "dt", "loop_state")
+            r1.final_df.write.partitionBy("dt").parquet(serving)
+            assert spark.read.parquet(serving).count() == 1  # -5 dropped
+
+            d1_dir = f"{serving}/dt=2026-08-01"
+            before = sorted(os.listdir(d1_dir))
+
+            both = day1.union(spark.createDataFrame(
+                [(3, "2026-08-02", 7), (1, "2026-08-02", 11)],
+                ["id", "dt", "v"]))
+            r2 = run_incremental(cfg, rules, both, "dt", "loop_state")
+            assert r2.input_count == 2
+            upsert_partitioned(spark, serving, r2.final_df, ["id", "dt"], "dt")
+
+            got = {(r.id, str(r.dt), r.v)
+                   for r in spark.read.parquet(serving).collect()}
+            assert got == {(1, "2026-08-01", 10), (3, "2026-08-02", 7),
+                           (1, "2026-08-02", 11)}
+            assert sorted(os.listdir(d1_dir)) == before  # day1 untouched
+        finally:
+            spark.sql("DROP TABLE IF EXISTS loop_state")
