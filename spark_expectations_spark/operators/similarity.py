@@ -398,3 +398,60 @@ def quantization_error(vec: Column, quantized: Column, scale: Column) -> Column:
     deq = F.transform(quantized, lambda q: q.cast("double") * scale)
     return F.array_max(F.transform(
         F.zip_with(d, deq, lambda a, b: F.abs(a - b)), lambda e: e))
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> DataFrame:
+    """Lloyd iterations over an IVF codebook: assign → per-cell mean.
+
+    The per-cell mean is a grouped-map ``applyInPandas``: each centroid's
+    member vectors arrive as one Arrow batch and the new centroid is a
+    single numpy ``mean(axis=0)`` — the idiomatic grouped-map use-case
+    (array-of-float math that per-dimension SQL aggregates would turn
+    into dim-wide plans; train_centroids_df's sum-per-dimension is kept
+    for the UDF-free path). State per group is one vector; shuffle is
+    keyed by centroid_id, so cells balance as well as the data does.
+    """
+    import numpy as np  # noqa: F401 — imported for the worker closure
+    import pandas as pd  # noqa: F401
+
+    def _cell_mean(key, pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        m = _np.stack(pdf[vec_col].values).mean(axis=0).astype("float32")
+        return _pd.DataFrame({"centroid_id": [key[0]],
+                              "centroid": [m.tolist()]})
+
+    out = centroids
+    for _ in range(max(0, iters)):
+        assigned = assign_centroids(corpus, out, vec_col=vec_col)
+        out = assigned.select("centroid_id", vec_col).groupBy(
+            "centroid_id").applyInPandas(
+                _cell_mean, "centroid_id long, centroid array<float>")
+    return out
+
+
+def assignment_quality(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    *,
+    vec_col: str = "embedding",
+) -> float:
+    """Mean cosine similarity of each vector to its assigned centroid —
+    the objective kmeans_refine improves; exposed for codebook QA."""
+    cent = centroids.select(
+        F.col("centroid_id").alias("__cid"),
+        F.col("centroid").alias("__cvec")).withColumn(
+            "__cn", _norm(F.col("__cvec")))
+    sim = _dot(F.col(vec_col), F.col("__cvec")) / (
+        _norm(F.col(vec_col)) * F.col("__cn"))
+    best = (corpus.crossJoin(F.broadcast(cent))
+            .withColumn("__sim", sim)
+            .groupBy(*corpus.columns).agg(F.max("__sim").alias("__best")))
+    return float(best.agg(F.avg("__best")).first()[0])

@@ -719,3 +719,23 @@ class TestCategoricalDrift:
         r = drift.categorical_psi(a, b, "c").first()
         assert r.psi > 0.25
         assert r.n_categories_compared == 5  # 0,1,2,__null__,zzz
+
+
+class TestKMeansRefine:
+    def test_refinement_improves_objective(self, emb):
+        init = similarity.train_centroids_df(emb, num_centroids=8)
+        before = similarity.assignment_quality(emb, init)
+        refined = similarity.kmeans_refine(emb, init, iters=2)
+        after = similarity.assignment_quality(emb, refined)
+        assert refined.count() <= 8
+        assert after >= before - 1e-6, (before, after)
+        assert after > before + 0.01  # hash-bucket init is far from optimal
+
+    def test_centroid_schema_and_dim(self, emb):
+        init = similarity.train_centroids_df(emb, num_centroids=4)
+        refined = similarity.kmeans_refine(emb, init, iters=1)
+        row = refined.first()
+        dim = emb.select(F.size("embedding")).first()[0]
+        assert len(row.centroid) == dim
+        assert refined.schema["centroid"].dataType.simpleString() == \
+            "array<float>"
