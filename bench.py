@@ -24,6 +24,8 @@ BENCH_QUERIES = [
     "window_rank", "dedup_exact", "dedup_jaccard", "dedup_minhash",
     "embed_near_dups", "ann_topk", "text_stats", "text_quality",
     "events_hourly", "events_sessions", "docs_clean_corpus",
+    "docs_pack_streams", "users_scd2", "orders_snapshot_diff",
+    "lineitem_price_drift",
 ]
 
 
