@@ -309,3 +309,34 @@ def running_error_rate(
     return df.groupBy(key_col).transformWithStateInPandas(
         _Proc(), outputStructType=out_schema, outputMode="Update",
         timeMode="None")
+
+
+def idempotent_foreach_batch(
+    process: Callable[[DataFrame, int], None],
+    state_table: str,
+):
+    """Wrap a foreachBatch function with batch-id dedup so sink writes are
+    exactly-once across restarts.
+
+    foreachBatch gives at-least-once: after a crash between the sink
+    write and the checkpoint commit, the SAME (batch_id, data) is
+    replayed. Spark's own contract is "use batchId to deduplicate" —
+    this wrapper implements that contract once: the last fully-processed
+    batch id is persisted in ``state_table``'s TBLPROPERTIES (same
+    retry-hardened DDL slot the incremental-DQ watermark uses) and
+    replayed batches are skipped. State is one integer per stream; the
+    check is a driver-side metastore read per micro-batch.
+    """
+    from ..sinks.writer import get_table_properties, set_table_properties
+
+    prop = "spark_expectations.last_batch_id"
+
+    def wrapped(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = get_table_properties(spark, state_table).get(prop)
+        if last is not None and int(last) >= batch_id:
+            return  # replay of an already-committed batch
+        process(batch_df, batch_id)
+        set_table_properties(spark, state_table, {prop: str(batch_id)})
+
+    return wrapped

@@ -711,3 +711,44 @@ class TestCompatChannelWiring:
         assert hub is not None
         notifiers = hub.config.notifications._notifiers
         assert len(notifiers) == 4  # console + slack + pagerduty + email
+
+
+class TestIdempotentForeachBatch:
+    def test_replayed_batch_skipped(self, spark):
+        from spark_expectations_spark.streaming import idempotent_foreach_batch
+        spark.sql("DROP TABLE IF EXISTS ifb_state")
+        spark.sql("CREATE TABLE ifb_state (dummy INT) USING parquet")
+        try:
+            calls = []
+            wrapped = idempotent_foreach_batch(
+                lambda df, bid: calls.append((bid, df.count())), "ifb_state")
+            df = spark.range(5)
+            wrapped(df, 0)
+            wrapped(df, 0)   # crash-replay of batch 0
+            wrapped(df, 1)
+            wrapped(df, 0)   # stale replay after later progress
+            assert calls == [(0, 5), (1, 5)]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ifb_state")
+
+    def test_failure_keeps_batch_replayable(self, spark):
+        from spark_expectations_spark.streaming import idempotent_foreach_batch
+        spark.sql("DROP TABLE IF EXISTS ifb_state2")
+        spark.sql("CREATE TABLE ifb_state2 (dummy INT) USING parquet")
+        try:
+            calls = []
+
+            def flaky(df, bid):
+                if not calls:
+                    calls.append("fail")
+                    raise RuntimeError("sink outage")
+                calls.append(bid)
+
+            wrapped = idempotent_foreach_batch(flaky, "ifb_state2")
+            df = spark.range(3)
+            with pytest.raises(RuntimeError):
+                wrapped(df, 0)
+            wrapped(df, 0)  # replay succeeds — mark was NOT advanced
+            assert calls == ["fail", 0]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ifb_state2")
