@@ -95,3 +95,61 @@ def suggest_rules(
                             f"{c} between {r['min_value']} and {r['max_value']}",
                             tag="suggested"))
     return out
+
+
+def key_candidates(
+    df: DataFrame,
+    cols: Sequence[str],
+    *,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Which of ``cols`` (or their pairs) could be a primary key.
+
+    One aggregation job computes approx-distinct for every candidate plus
+    the row count; a candidate is flagged when distinct ≈ rows (within
+    the HLL error bound). Approximate on purpose — at 100 TB an exact
+    countDistinct per candidate is a shuffle each, while HLL rides one
+    partial-aggregated pass. Confirm a flagged key exactly with the
+    `functions.unique` rule before enforcing it.
+    """
+    aggs = [F.count(F.lit(1)).alias("_rows")]
+    for c in cols:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"_d_{c}"))
+    row = df.agg(*aggs).first()
+    n = row["_rows"]
+    spark = df.sparkSession
+    out = [(c, int(row[f"_d_{c}"]), int(n),
+            bool(n > 0 and abs(row[f"_d_{c}"] - n) <= 2 * rsd * n))
+           for c in cols]
+    return spark.createDataFrame(
+        out, "column string, approx_distinct long, n_rows long, "
+             "candidate_key boolean")
+
+
+def fk_containment(
+    child: DataFrame,
+    parent: DataFrame,
+    child_key: str,
+    parent_key: str,
+) -> DataFrame:
+    """Referential-integrity profile: what fraction of child keys exist in
+    the parent. 1.0 == clean FK; the orphan count sizes the repair job.
+
+    Shape: distinct child keys (one shuffle, map-side combined) left-anti
+    parent keys — orphans only; the parent side is its distinct key set.
+    This is the profiling twin of the query_dq referential rule (which
+    asserts; this measures).
+    """
+    ck = child.select(F.col(child_key).alias("k")).filter(F.col("k").isNotNull())
+    pk = parent.select(F.col(parent_key).alias("k")).distinct()
+    total = ck.distinct()
+    orphans = total.join(pk, "k", "left_anti")
+    return (
+        total.agg(F.count(F.lit(1)).alias("_t"))
+        .crossJoin(orphans.agg(F.count(F.lit(1)).alias("_o")))
+        .select(
+            F.col("_t").alias("distinct_child_keys"),
+            F.col("_o").alias("orphan_keys"),
+            F.round(1.0 - F.col("_o") / F.col("_t"), 6).alias("containment"),
+        )
+    )

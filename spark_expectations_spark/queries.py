@@ -2279,6 +2279,31 @@ FROM j
 """
 
 
+def q_orders_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity profiling (operators/profiling.py): measure
+    orders→customer containment against a deliberately halved parent —
+    distinct child keys left-anti the parent key set; orphan fraction is
+    deterministic. The measuring twin of the query_dq FK assertion."""
+    from .operators.profiling import fk_containment
+
+    od = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") % 2 == 0)
+    return fk_containment(od, cust, "o_custkey", "c_custkey")
+
+
+ORACLE_ORDERS_FK_PROFILE = """
+WITH ck AS (SELECT DISTINCT o_custkey AS k FROM orders
+            WHERE o_custkey IS NOT NULL),
+pk AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 2 = 0),
+o AS (SELECT count(*) AS orphans FROM ck WHERE k NOT IN (SELECT k FROM pk))
+SELECT (SELECT count(*) FROM ck) AS distinct_child_keys,
+       orphans AS orphan_keys,
+       round(1.0 - orphans * 1.0 / (SELECT count(*) FROM ck), 6)
+         AS containment
+FROM o
+"""
+
+
 def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column profiling (operators/profiling.py): every column's null /
     distinct / range stats from ONE aggregation pass (exact distinct here
@@ -2391,6 +2416,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "users_scd2": q_users_scd2,
     "lineitem_price_drift": q_lineitem_price_drift,
+    "orders_fk_profile": q_orders_fk_profile,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
@@ -2466,6 +2492,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,
     "lineitem_price_drift": ORACLE_LINEITEM_PRICE_DRIFT,
+    "orders_fk_profile": ORACLE_ORDERS_FK_PROFILE,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,

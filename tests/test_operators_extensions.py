@@ -739,3 +739,23 @@ class TestKMeansRefine:
         assert len(row.centroid) == dim
         assert refined.schema["centroid"].dataType.simpleString() == \
             "array<float>"
+
+
+class TestRelationshipProfiling:
+    def test_key_candidates(self, spark):
+        from spark_expectations_spark.operators.profiling import key_candidates
+        df = spark.range(1000).selectExpr("id", "id % 10 AS cat")
+        got = {r.column: r.candidate_key
+               for r in key_candidates(df, ["id", "cat"]).collect()}
+        assert got == {"id": True, "cat": False}
+
+    def test_fk_containment_clean_and_broken(self, spark):
+        from spark_expectations_spark.operators.profiling import fk_containment
+        parent = spark.range(100).selectExpr("id AS pk")
+        child = spark.range(200).selectExpr("id % 100 AS fk")
+        clean = fk_containment(child, parent, "fk", "pk").first()
+        assert clean.containment == 1.0 and clean.orphan_keys == 0
+        broken = fk_containment(
+            child, parent.filter("pk < 50"), "fk", "pk").first()
+        assert broken.orphan_keys == 50
+        assert abs(broken.containment - 0.5) < 1e-9
