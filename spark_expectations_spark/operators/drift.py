@@ -137,3 +137,52 @@ def categorical_psi(
         F.sum(term).alias("psi"),
         F.count(F.lit(1)).alias("n_categories_compared"),
     )
+
+
+def quantile_edges(
+    df: DataFrame,
+    col: str,
+    *,
+    bins: int = 10,
+    relative_error: float = 0.001,
+) -> list:
+    """Baseline-derived bin edges (interior quantiles, ``bins``-1 of
+    them) for PSI on skewed columns where fixed-width buckets starve:
+    equal-mass bins give every bucket ~1/bins of baseline probability,
+    the standard PSI setup. approxQuantile is one pass (Greenwald-
+    Khanna); persist the edges with the baseline so later runs compare
+    against the SAME binning."""
+    qs = [i / bins for i in range(1, bins)]
+    return df.approxQuantile(col, qs, relative_error)
+
+
+def psi_with_edges(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    edges: list,
+) -> DataFrame:
+    """PSI over explicit (e.g. quantile) edges. Bucket index = number of
+    edges ≤ value — a fold over a small literal array, pure codegen, no
+    join against an edge table."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+
+    def prop(df: DataFrame, out: str) -> DataFrame:
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) >= e, 1).otherwise(0))
+        counts = df.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias("_n"))
+        total = counts.agg(F.sum("_n").alias("_t"))
+        return counts.crossJoin(F.broadcast(total)).select(
+            "bucket", (F.col("_n") / F.col("_t")).alias(out))
+
+    p = prop(baseline, "p")
+    q = prop(current, "q")
+    j = p.join(q, "bucket", "full_outer").select(
+        F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(_EPS)).alias("p"),
+        F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(_EPS)).alias("q"),
+    )
+    term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
+    return j.agg(F.sum(term).alias("psi"),
+                 F.count(F.lit(1)).alias("n_buckets_compared"))

@@ -759,3 +759,18 @@ class TestRelationshipProfiling:
             child, parent.filter("pk < 50"), "fk", "pk").first()
         assert broken.orphan_keys == 50
         assert abs(broken.containment - 0.5) < 1e-9
+
+
+class TestQuantileDrift:
+    def test_equal_mass_bins_on_skewed_column(self, spark):
+        from spark_expectations_spark.operators import drift
+        # lognormal-ish skew: fixed-width binning would put ~all mass in
+        # bucket 1; quantile bins spread it
+        skewed = spark.range(2000).selectExpr("exp(id % 7) AS v")
+        edges = drift.quantile_edges(skewed, "v", bins=5)
+        assert len(edges) == 4 and edges == sorted(edges)
+        same = drift.psi_with_edges(skewed, skewed, "v", edges).first()
+        assert abs(same.psi) < 1e-9
+        shifted = skewed.selectExpr("v * 100 AS v")
+        moved = drift.psi_with_edges(skewed, shifted, "v", edges).first()
+        assert moved.psi > 0.25
