@@ -87,3 +87,51 @@ def stratified_deterministic_sample(
         expr = F.when(F.col(strata_col) == stratum,
                       F.lit(int(frac * _BUCKETS))).otherwise(expr)
     return df.filter(b < expr)
+
+
+def weighted_deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    *,
+    expected_fraction: float,
+    max_weight: float,
+    mean_weight: Optional[float] = None,
+) -> DataFrame:
+    """Weighted Bernoulli sampling, deterministically: row inclusion
+    probability ∝ its weight (quality score, length, upsample factor),
+    with the coin derived from md5(key) — so re-runs, repartitions, and
+    engines agree on the exact kept set (oracle-checkable like the other
+    samplers here).
+
+    Keep iff u(key) < expected_fraction · weight / mean_weight, with
+    u(key) uniform on [0,1) from the first 12 md5 hex chars. The mean
+    weight comes from a 1-row aggregate broadcast back (scalar-subquery
+    shape), or — for bit-exact cross-engine/cross-run membership at the
+    threshold boundary — pass ``mean_weight`` explicitly (summation
+    order can move a computed mean by 1 ulp). ``max_weight`` is the
+    caller's promise used to reason about saturation above 1 (those
+    rows are always kept and the realized fraction drifts below
+    target).
+
+    A filter + one tiny broadcast — no shuffle of data rows, pushdown
+    still applies to everything upstream of the weight expression.
+    """
+    if not 0.0 < expected_fraction <= 1.0:
+        raise ValueError("expected_fraction must be in (0, 1]")
+    if max_weight <= 0:
+        raise ValueError("max_weight must be positive")
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 12), 16, 10)
+        .cast("double") / float(16 ** 12)
+    )
+    if mean_weight is not None:
+        thresh = expected_fraction * F.col(weight_col) / float(mean_weight)
+        return df.filter(u < thresh)
+    mean_w = df.agg(F.avg(weight_col).alias("_mw"))
+    thresh = expected_fraction * F.col(weight_col) / F.col("_mw")
+    return (
+        df.crossJoin(F.broadcast(mean_w))
+        .filter(u < thresh)
+        .drop("_mw")
+    )

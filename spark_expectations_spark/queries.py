@@ -2016,6 +2016,34 @@ GROUP BY split
 """
 
 
+def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling (operators/sampling.py):
+    inclusion probability ∝ n_chars, coin from md5(doc_id) — a pure
+    filter, no shuffle of document rows. mean_weight pinned so DuckDB
+    reproduces the exact kept set (float-boundary safe)."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sampling.weighted_deterministic_sample(
+        docs, "doc_id", "n_chars",
+        expected_fraction=0.3, max_weight=4000.0, mean_weight=1000.0)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+ORACLE_DOCS_WEIGHTED_SAMPLE = """
+WITH u AS (
+  SELECT lang, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+           / 281474976710656.0 AS coin
+  FROM documents)
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM u WHERE coin < 0.3 * n_chars / 1000.0
+GROUP BY lang
+"""
+
+
 def q_docs_pack_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing (operators/packing.py): docs are
     hashed into 64 streams, laid out in key order, and cut into
@@ -2411,6 +2439,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_asof_purchase": q_events_asof_purchase,
     "orders_price_bands": q_orders_price_bands,
     "docs_train_split": q_docs_train_split,
+    "docs_weighted_sample": q_docs_weighted_sample,
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
     "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -2488,6 +2517,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_asof_purchase": ORACLE_EVENTS_ASOF_PURCHASE,
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
+    "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,

@@ -774,3 +774,37 @@ class TestQuantileDrift:
         shifted = skewed.selectExpr("v * 100 AS v")
         moved = drift.psi_with_edges(skewed, shifted, "v", edges).first()
         assert moved.psi > 0.25
+
+
+class TestWeightedSampling:
+    def test_inclusion_tracks_weight_and_is_partition_invariant(self, spark):
+        from spark_expectations_spark.operators.sampling import (
+            weighted_deterministic_sample,
+        )
+        df = spark.range(4000).selectExpr(
+            "id", "CASE WHEN id % 2 = 0 THEN 3.0 ELSE 1.0 END AS w")
+        kept = weighted_deterministic_sample(
+            df, "id", "w", expected_fraction=0.2, max_weight=3.0)
+        heavy = kept.filter("w = 3.0").count()
+        light = kept.filter("w = 1.0").count()
+        # heavy rows 3x more likely; allow sampling noise
+        assert 2.0 < heavy / max(light, 1) < 4.5, (heavy, light)
+        total_frac = kept.count() / 4000
+        assert 0.15 < total_frac < 0.25
+        again = weighted_deterministic_sample(
+            df.repartition(7), "id", "w",
+            expected_fraction=0.2, max_weight=3.0)
+        assert sorted(r.id for r in kept.collect()) == \
+            sorted(r.id for r in again.collect())
+
+    def test_bad_args(self, spark):
+        from spark_expectations_spark.operators.sampling import (
+            weighted_deterministic_sample,
+        )
+        df = spark.range(10).selectExpr("id", "1.0 AS w")
+        with pytest.raises(ValueError):
+            weighted_deterministic_sample(df, "id", "w",
+                                          expected_fraction=0.0, max_weight=1)
+        with pytest.raises(ValueError):
+            weighted_deterministic_sample(df, "id", "w",
+                                          expected_fraction=0.5, max_weight=0)
