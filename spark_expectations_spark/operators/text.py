@@ -229,3 +229,51 @@ def profile(
         language_id(t, markers).alias("lang_detected"),
         fingerprint(t).alias("fingerprint"),
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram model — the cheap stand-in for CCNet-style LM-perplexity
+    filtering: documents whose tokens are globally rare (gibberish,
+    boilerplate soup, wrong-language) score low; fluent common prose
+    scores high.
+
+    Two aggregations: (1) corpus token counts (the unigram model — its
+    size is the vocabulary, not the corpus; map-side combine does the
+    heavy lifting), (2) per-doc mean of log((count+s)/(total+s·V)) via an
+    explode + join keyed on the token. At 100 TB the vocab side is
+    usually broadcastable after a min-count cut; here it stays a plain
+    equi-join so AQE decides. Add-``smoothing`` keeps unseen-at-join
+    impossible (every token is in the model by construction).
+
+    Returns (id, n_tokens, avg_logprob).
+    """
+    from .dedup import tokens_col
+    from ..plans import fan_out
+
+    toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    toks = toks.persist()
+    model = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_c"))
+    totals = model.agg(F.sum("_c").alias("_n"),
+                       F.count(F.lit(1)).alias("_v"))
+    scored = (
+        toks.join(model, "tok")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log((F.col("_c") + F.lit(smoothing))
+                  / (F.col("_n") + F.lit(smoothing) * F.col("_v")))
+            .alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lp").alias("avg_logprob"),
+    )

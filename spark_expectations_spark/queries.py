@@ -2016,6 +2016,31 @@ GROUP BY split
 """
 
 
+def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM scoring (operators/text.py::unigram_logprob) —
+    the CCNet-style perplexity-proxy filter. Model = one map-side-
+    combined token count; scoring = explode + token-keyed join. Rounded
+    to 6 dp for cross-engine double parity."""
+    docs = load(spark, sf_dir, "documents")
+    scored = text.unigram_logprob(docs, "doc_id", "text")
+    return scored.select(
+        "doc_id", "n_tokens",
+        F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+ORACLE_DOCS_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+model AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM model)
+SELECT doc_id, count(*) AS n_tokens,
+       round(avg(ln((c + 0.5) / (n + 0.5 * v))), 6) AS avg_logprob
+FROM toks JOIN model USING (tok), tot
+GROUP BY doc_id
+"""
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling (operators/sampling.py):
     inclusion probability ∝ n_chars, coin from md5(doc_id) — a pure
@@ -2440,6 +2465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_price_bands": q_orders_price_bands,
     "docs_train_split": q_docs_train_split,
     "docs_weighted_sample": q_docs_weighted_sample,
+    "docs_lm_score": q_docs_lm_score,
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
     "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -2518,6 +2544,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_price_bands": ORACLE_ORDERS_PRICE_BANDS,
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
+    "docs_lm_score": ORACLE_DOCS_LM_SCORE,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,

@@ -808,3 +808,21 @@ class TestWeightedSampling:
         with pytest.raises(ValueError):
             weighted_deterministic_sample(df, "id", "w",
                                           expected_fraction=0.5, max_weight=0)
+
+
+class TestUnigramLM:
+    def test_rare_token_doc_scores_lower(self, spark):
+        common = "the cat sat on the mat " * 10
+        df = spark.createDataFrame(
+            [(1, common), (2, common), (3, common),
+             (4, "zyxgibberish qwertyraresmush blorptok unseenish")],
+            ["doc_id", "text"])
+        got = {r.doc_id: r.avg_logprob
+               for r in text.unigram_logprob(df, "doc_id", "text").collect()}
+        assert got[4] < got[1]  # rare-vocab doc is less probable
+        assert got[1] == got[2] == got[3]
+
+    def test_token_counts(self, spark):
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        r = text.unigram_logprob(df, "doc_id", "text").first()
+        assert r.n_tokens == 3
