@@ -419,6 +419,19 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in txt
         assert "CartesianProduct" not in txt
 
+    def test_weighted_sample_membership_is_pure_filter(self, spark):
+        """With mean_weight pinned, weighted sampling must add ZERO
+        shuffles before the caller's own aggregation — membership is a
+        scan-level filter at any scale."""
+        from spark_expectations_spark.operators.sampling import (
+            weighted_deterministic_sample,
+        )
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        kept = weighted_deterministic_sample(
+            docs, "doc_id", "n_chars", expected_fraction=0.3,
+            max_weight=4000.0, mean_weight=1000.0)
+        assert plans.num_shuffles(kept) == 0
+
     def test_fan_out_no_op_on_wide_input(self, spark, lineitem):
         """fan_out must never add a shuffle when Catalyst stats say the
         input is big (the 100 TB path)."""
