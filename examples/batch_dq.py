@@ -57,6 +57,14 @@ def main() -> None:
     print(f"error table: {out}/lineitem_error")
     print(f"stats table: {out}/lineitem_stats")
     print(f"html report: {report}")
+
+    # did the drop rules shift what survives? PSI input vs final
+    from spark_expectations_spark.operators import drift
+    d = drift.psi(li, res.final_df, "l_extendedprice",
+                  lo=0.0, hi=120_000.0, bins=12).first()
+    verdict = ("stable" if d.psi < 0.1
+               else "drifting" if d.psi < 0.25 else "shifted")
+    print(f"price-distribution PSI input→output: {d.psi:.4f} ({verdict})")
     spark.stop()
 
 
