@@ -340,3 +340,55 @@ def idempotent_foreach_batch(
         set_table_properties(spark, state_table, {prop: str(batch_id)})
 
     return wrapped
+
+
+def drift_monitor(
+    stream_df: DataFrame,
+    col: str,
+    baseline_edges: list,
+    baseline_props: dict,
+    *,
+    threshold: float = 0.25,
+    on_drift: Optional[Callable[[int, float], None]] = None,
+    checkpoint_location: Optional[str] = None,
+    query_name: str = "dq_drift_monitor",
+):
+    """Per-micro-batch PSI of ``col`` against a FROZEN baseline histogram
+    (operators/drift.py semantics on a stream).
+
+    ``baseline_edges``/``baseline_props`` come from a batch profiling
+    pass (`drift.quantile_edges` + bucket proportions collected once) —
+    the baseline is driver-held constants, so each micro-batch adds one
+    small aggregation, no stream-stream state. ``on_drift(batch_id,
+    psi)`` fires when PSI crosses ``threshold``; wire it to a
+    NotificationHub channel for alerting.
+    """
+    from ..operators.drift import _EPS
+
+    edges = [float(e) for e in baseline_edges]
+    base = {int(k): float(v) for k, v in baseline_props.items()}
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        arr = F.array(*[F.lit(e) for e in edges])
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) >= e, 1).otherwise(0))
+        rows = (batch_df.groupBy(b.alias("bucket"))
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        total = sum(r.n for r in rows)
+        if not total:
+            return
+        cur = {r.bucket: r.n / total for r in rows}
+        import math
+        psi = 0.0
+        for bucket in set(base) | set(cur):
+            p = max(base.get(bucket, 0.0), _EPS)
+            q = max(cur.get(bucket, 0.0), _EPS)
+            psi += (p - q) * math.log(p / q)
+        if psi > threshold and on_drift is not None:
+            on_drift(batch_id, psi)
+
+    writer = stream_df.writeStream.foreachBatch(process).queryName(query_name)
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    return writer.start()

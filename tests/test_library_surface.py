@@ -765,3 +765,30 @@ class TestIdempotentForeachBatch:
             assert calls == ["fail", 0]
         finally:
             spark.sql("DROP TABLE IF EXISTS ifb_state2")
+
+
+class TestStreamingDriftMonitor:
+    def test_drift_callback_fires_on_shifted_stream(self, spark, tmp_path):
+        """Baseline expects uniform 0..99; the stream emits constant 999 —
+        every batch should breach the PSI threshold."""
+        from spark_expectations_spark.streaming import drift_monitor
+
+        # baseline: uniform over [0, 100) in 4 equal-mass buckets
+        edges = [25.0, 50.0, 75.0]
+        props = {0: 0.25, 1: 0.25, 2: 0.25, 3: 0.25}
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "200").load()
+               .selectExpr("CAST(999 AS DOUBLE) AS v"))
+        hits = []
+        q = drift_monitor(
+            src, "v", edges, props, threshold=0.25,
+            on_drift=lambda bid, psi: hits.append((bid, psi)),
+            checkpoint_location=str(tmp_path / "ck"))
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline and not hits:
+                time.sleep(2)
+            assert hits, "no drift alert within deadline"
+            assert hits[0][1] > 0.25
+        finally:
+            q.stop()
