@@ -136,3 +136,47 @@ class TestDocumentedQueryPatterns:
         cfg = DQConfig(product_id="p", table_name="t", write_error_table=False)
         res = DQEngine(cfg).run(li, rules, spark)
         assert all(r.status == "pass" for r in res.source_query)
+
+
+class TestRulesDocExamples:
+    """Every ```text example in RULES.md must be a parseable expectation
+    of its section's rule type — the doc can't drift from the engine."""
+
+    def _blocks(self):
+        import re
+        from pathlib import Path
+        md = Path(__file__).resolve().parents[1] / "RULES.md"
+        section = None
+        out = []
+        in_block = False
+        for line in md.read_text().splitlines():
+            if line.startswith("## "):
+                m = re.match(r"## (row_dq|agg_dq|query_dq)", line)
+                section = m.group(1) if m else None
+            elif line.strip() == "```text":
+                in_block = True
+            elif line.strip() == "```":
+                in_block = False
+            elif in_block and section and line.strip():
+                part = line.split("--")[0].strip()
+                if not part:
+                    continue
+                if out and out[-1][0] == section and \
+                        out[-1][1].count("(") > out[-1][1].count(")"):
+                    out[-1] = (section, out[-1][1] + " " + part)
+                else:
+                    out.append((section, part))
+        return [(t, e) for t, e in out if "@" not in e and "{" not in e]
+
+    def test_examples_validate(self, spark):
+        from spark_expectations_spark import validation
+        blocks = self._blocks()
+        assert len(blocks) >= 12  # the doc actually has examples
+        bad = []
+        for rule_type, expr in blocks:
+            issues = validation.validate_rule(
+                spark, Rule("p", "t", rule_type, "doc_ex", "c", expr))
+            errors = [i for i in issues if i.severity == "error"]
+            if errors:
+                bad.append((rule_type, expr, errors[0].message))
+        assert not bad, bad
