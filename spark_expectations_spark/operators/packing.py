@@ -77,3 +77,41 @@ def pack_for_training(
         .withColumn(offset_out, F.col("_sg_off") % budget)
         .drop("_sg_off")
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    n_shards: int,
+    key_col: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write a prepared corpus as exactly ``n_shards`` balanced files and
+    return the shard manifest (shard_id, n_rows).
+
+    Dataloaders want uniform shards they can assign to workers; a plain
+    ``coalesce``/default write gives however many part-files the last
+    stage had, sized however the data fell. Here each row's shard is
+    md5(key) mod n_shards — deterministic (re-runs land rows in the SAME
+    shard, so resumable downloads/caches stay valid), balanced by the
+    hash, and written via partitionBy(shard_id) so shard N is a stable
+    directory. One shuffle. The manifest is computed from the written
+    data — it reports what's on disk, not what was intended.
+    """
+    if n_shards <= 0:
+        raise ValueError("n_shards must be positive")
+    shard = F.pmod(
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+        F.lit(n_shards),
+    ).alias("shard_id")
+    (df.select(shard, "*")
+       .repartition("shard_id")
+       .write.mode(mode).partitionBy("shard_id").format(format).save(path))
+    spark = df.sparkSession
+    return (
+        spark.read.format(format).load(path)
+        .groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    )

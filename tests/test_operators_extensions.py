@@ -826,3 +826,34 @@ class TestUnigramLM:
         df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
         r = text.unigram_logprob(df, "doc_id", "text").first()
         assert r.n_tokens == 3
+
+
+class TestTrainingShards:
+    def test_shards_balanced_deterministic_and_complete(self, docs, tmp_path):
+        from spark_expectations_spark.operators.packing import (
+            write_training_shards,
+        )
+        path = str(tmp_path / "shards")
+        manifest = write_training_shards(
+            docs, path, n_shards=8, key_col="doc_id").collect()
+        total = sum(r.n_rows for r in manifest)
+        assert total == docs.count()
+        assert len(manifest) == 8
+        sizes = [r.n_rows for r in manifest]
+        assert max(sizes) < 2.5 * min(sizes)  # hash-balanced
+        # deterministic membership: rewrite reproduces identical shards
+        spark = docs.sparkSession
+        first = {(r.shard_id, r.doc_id) for r in
+                 spark.read.parquet(path).select("shard_id", "doc_id").collect()}
+        write_training_shards(docs, path, n_shards=8, key_col="doc_id")
+        second = {(r.shard_id, r.doc_id) for r in
+                  spark.read.parquet(path).select("shard_id", "doc_id").collect()}
+        assert first == second
+
+    def test_bad_args(self, docs, tmp_path):
+        from spark_expectations_spark.operators.packing import (
+            write_training_shards,
+        )
+        with pytest.raises(ValueError):
+            write_training_shards(docs, str(tmp_path), n_shards=0,
+                                  key_col="doc_id")
