@@ -419,6 +419,15 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in txt
         assert "CartesianProduct" not in txt
 
+    def test_embed_quantize_zero_shuffle_projection(self, spark):
+        """int8 quantization must stay a single codegen projection over
+        the scan — no exchange, no Python."""
+        from spark_expectations_spark.queries import q_embed_quantize
+        df = q_embed_quantize(spark, SF_DIR)
+        assert plans.num_shuffles(df) == 0
+        txt = plans.plan_text(df, "simple")
+        assert "Exchange" not in txt and "Python" not in txt
+
     def test_weighted_sample_membership_is_pure_filter(self, spark):
         """With mean_weight pinned, weighted sampling must add ZERO
         shuffles before the caller's own aggregation — membership is a
