@@ -2332,6 +2332,47 @@ FROM j
 """
 
 
+def q_orders_status_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical PSI (operators/drift.py::categorical_psi) between two
+    deterministic halves of orders, with one half's priority column
+    blanked to NULL for a slice — exercises the NULL-as-category and
+    full-outer alignment paths against an exact duckdb twin."""
+    from .operators import drift
+
+    od = load(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderkey") % 2 == 0)
+    cur = (
+        od.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("o_orderpriority",
+                    F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+                    .otherwise(F.col("o_orderpriority")))
+    )
+    d = drift.categorical_psi(base, cur, "o_orderpriority", top_n=10)
+    return d.select(F.round("psi", 8).alias("psi"), "n_categories_compared")
+
+
+ORACLE_ORDERS_STATUS_DRIFT = """
+WITH b AS (
+  SELECT COALESCE(o_orderpriority, '__null__') AS category FROM orders
+  WHERE o_orderkey % 2 = 0),
+c AS (
+  SELECT COALESCE(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                       ELSE o_orderpriority END, '__null__') AS category
+  FROM orders WHERE o_orderkey % 2 = 1),
+p AS (SELECT category, count(*) * 1.0 / sum(count(*)) OVER () AS p
+      FROM b GROUP BY category),
+q AS (SELECT category, count(*) * 1.0 / sum(count(*)) OVER () AS q
+      FROM c GROUP BY category),
+j AS (
+  SELECT greatest(COALESCE(p, 0.0), 1e-6) AS p,
+         greatest(COALESCE(q, 0.0), 1e-6) AS q
+  FROM p FULL OUTER JOIN q USING (category))
+SELECT round(sum((p - q) * ln(p / q)), 8) AS psi,
+       count(*) AS n_categories_compared
+FROM j
+"""
+
+
 def q_orders_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profiling (operators/profiling.py): measure
     orders→customer containment against a deliberately halved parent —
@@ -2472,6 +2513,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "users_scd2": q_users_scd2,
     "lineitem_price_drift": q_lineitem_price_drift,
     "orders_fk_profile": q_orders_fk_profile,
+    "orders_status_drift": q_orders_status_drift,
     "docs_decontaminate": q_docs_decontaminate,
     "docs_clean_corpus": q_docs_clean_corpus,
     "lineitem_price_histogram": q_lineitem_price_histogram,
@@ -2550,6 +2592,7 @@ ORACLES: dict[str, Optional[str]] = {
     "users_scd2": ORACLE_USERS_SCD2,
     "lineitem_price_drift": ORACLE_LINEITEM_PRICE_DRIFT,
     "orders_fk_profile": ORACLE_ORDERS_FK_PROFILE,
+    "orders_status_drift": ORACLE_ORDERS_STATUS_DRIFT,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,
