@@ -833,6 +833,55 @@ FROM ex GROUP BY win_start_s, event_type
 """
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap fill: every (event_type, hour) cell
+    of the full time grid, zero-filled where no events landed. The grid
+    is sequence()+explode over the GLOBAL min/max hour (a 1-row agg
+    broadcast — grid size is hours × types, rule-of-thumb tiny next to
+    the fact table) left-joined to the hourly partial agg. Downsampling
+    the 100 TB side happens before the join; the join itself is
+    grid-sized."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    hour_s = F.expr("ts div 1000000000 div 3600 * 3600")
+    counts = (
+        ev.groupBy(hour_s.alias("hour_s"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = ev.agg(F.min(hour_s).alias("_lo"), F.max(hour_s).alias("_hi"))
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select("event_type",
+                F.explode(F.sequence("_lo", "_hi", F.lit(3600)))
+                .alias("hour_s"))
+    )
+    return (
+        grid.join(counts, ["event_type", "hour_s"], "left")
+        .select("event_type", "hour_s",
+                F.coalesce("n_events", F.lit(0)).alias("n_events"))
+    )
+
+
+ORACLE_EVENTS_GAPFILL = """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 * 3600 AS hour_s
+  FROM events),
+counts AS (
+  SELECT event_type, hour_s, count(*) AS n FROM e GROUP BY 1, 2),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+grid AS (
+  SELECT t.event_type, g.hour_s
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s
+        FROM bounds) g)
+SELECT grid.event_type, grid.hour_s,
+       COALESCE(counts.n, 0) AS n_events
+FROM grid LEFT JOIN counts
+  ON grid.event_type = counts.event_type AND grid.hour_s = counts.hour_s
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2493,6 +2542,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_pii_redact": q_text_pii_redact,
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
+    "events_gapfill": q_events_gapfill,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
@@ -2573,6 +2623,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sliding": ORACLE_EVENTS_SLIDING,
+    "events_gapfill": ORACLE_EVENTS_GAPFILL,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
