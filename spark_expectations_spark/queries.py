@@ -882,6 +882,66 @@ FROM grid LEFT JOIN counts
 """
 
 
+def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample + forward-fill: hourly mean value per event type on the
+    full zero-gap grid, empty hours carrying the last observed mean
+    (`last(..., ignorenulls)` over an unbounded-preceding frame — the
+    classic ffill window; one shuffle keyed by type). Pairs with
+    events_gapfill as the interpolation half of time-series repair."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    hour_s = F.expr("ts div 1000000000 div 3600 * 3600")
+    hourly = (
+        ev.groupBy(hour_s.alias("hour_s"), "event_type")
+        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+    bounds = ev.agg(F.min(hour_s).alias("_lo"), F.max(hour_s).alias("_hi"))
+    grid = (
+        ev.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type",
+                F.explode(F.sequence("_lo", "_hi", F.lit(3600)))
+                .alias("hour_s"))
+    )
+    joined = grid.join(hourly, ["event_type", "hour_s"], "left")
+    w = (Window.partitionBy("event_type").orderBy("hour_s")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = F.last("avg_value", ignorenulls=True).over(w)
+    return joined.select(
+        "event_type", "hour_s",
+        F.round(filled, 4).alias("avg_value_ffill"),
+        F.col("avg_value").isNull().alias("was_gap"))
+
+
+ORACLE_EVENTS_FFILL = """
+WITH e AS (
+  SELECT event_type, epoch_ns(ts) // 1000000000 // 3600 * 3600 AS hour_s,
+         value
+  FROM events),
+hourly AS (
+  SELECT event_type, hour_s, round(avg(value), 4) AS avg_value
+  FROM e GROUP BY 1, 2),
+bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
+grid AS (
+  SELECT t.event_type, g.hour_s
+  FROM (SELECT DISTINCT event_type FROM e) t,
+       (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s
+        FROM bounds) g),
+j AS (
+  SELECT grid.event_type, grid.hour_s, hourly.avg_value
+  FROM grid LEFT JOIN hourly
+    ON grid.event_type = hourly.event_type
+   AND grid.hour_s = hourly.hour_s)
+SELECT event_type, hour_s,
+       round(last_value(avg_value IGNORE NULLS) OVER
+         (PARTITION BY event_type ORDER BY hour_s
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS avg_value_ffill,
+       avg_value IS NULL AS was_gap
+FROM j
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2543,6 +2603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
     "events_gapfill": q_events_gapfill,
+    "events_ffill": q_events_ffill,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
@@ -2624,6 +2685,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "events_sliding": ORACLE_EVENTS_SLIDING,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
+    "events_ffill": ORACLE_EVENTS_FFILL,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
