@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (80 queries, 76 with DuckDB
+catalog from spark_expectations_spark.queries (81 queries, 77 with DuckDB
 oracles; minhash/simhash/ivf are xxhash64-based or approximate → rows-only).
 """
 

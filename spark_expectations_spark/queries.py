@@ -942,6 +942,29 @@ FROM j
 """
 
 
+def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonality profile: event volume by (day-of-week,
+    hour-of-day) — one partial-aggregated pass; the calendar decode
+    (dayofweek/hour off timestamp_seconds) folds into the scan
+    projection. The §2.8 date-function family as a catalog query."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    t = F.timestamp_seconds(F.expr("ts div 1000000000"))
+    return (
+        ev.groupBy(F.dayofweek(t).alias("dow"), F.hour(t).alias("hod"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 4).alias("avg_value"))
+    )
+
+
+ORACLE_EVENTS_SEASONALITY = """
+SELECT dayofweek(to_timestamp(epoch_ns(ts) // 1000000000)) + 1 AS dow,
+       hour(to_timestamp(epoch_ns(ts) // 1000000000)) AS hod,
+       count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
@@ -2604,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sliding": q_events_sliding,
     "events_gapfill": q_events_gapfill,
     "events_ffill": q_events_ffill,
+    "events_seasonality": q_events_seasonality,
     "events_json": q_events_json,
     "events_sessions": q_events_sessions,
     "events_funnel": q_events_funnel,
@@ -2686,6 +2710,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_sliding": ORACLE_EVENTS_SLIDING,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
     "events_ffill": ORACLE_EVENTS_FFILL,
+    "events_seasonality": ORACLE_EVENTS_SEASONALITY,
     "events_json": ORACLE_EVENTS_JSON,
     "events_sessions": ORACLE_EVENTS_SESSIONS,
     "events_funnel": ORACLE_EVENTS_FUNNEL,
