@@ -857,3 +857,23 @@ class TestTrainingShards:
         with pytest.raises(ValueError):
             write_training_shards(docs, str(tmp_path), n_shards=0,
                                   key_col="doc_id")
+
+
+class TestPackingHugeOffsets:
+    def test_exact_past_double_precision(self, spark):
+        """Offsets beyond 2^53: float floor(x/y) would misplace packs;
+        the div-based long math must stay exact."""
+        big = 1 << 54  # 18 petatokens per row — offsets leave double range
+        df = spark.createDataFrame(
+            [(i, big) for i in range(6)], ["id", "w"])
+        from spark_expectations_spark.operators.packing import (
+            pack_for_training,
+        )
+        rows = pack_for_training(df, "id", "w", budget=big + 1,
+                                 n_streams=1).collect()
+        got = {r.id: (r.pack_id, r.pack_offset)
+               for r in rows}
+        run = 0
+        for i in sorted(got):
+            assert got[i] == (run // (big + 1), run % (big + 1)), (i, got[i])
+            run += big
