@@ -419,6 +419,17 @@ class TestPlanShapes:
         assert "BroadcastNestedLoopJoin" not in txt
         assert "CartesianProduct" not in txt
 
+    def test_text_family_zero_shuffle_projections(self, spark):
+        """Scalar text ops (stats/quality/langid/redaction) must remain
+        pure scan projections — any Exchange here multiplies a 100 TB
+        corpus pass."""
+        from spark_expectations_spark.queries import (
+            q_text_langid, q_text_pii_redact, q_text_quality, q_text_stats,
+        )
+        for fn in (q_text_stats, q_text_quality, q_text_langid,
+                   q_text_pii_redact):
+            assert plans.num_shuffles(fn(spark, SF_DIR)) == 0, fn.__name__
+
     def test_embed_quantize_zero_shuffle_projection(self, spark):
         """int8 quantization must stay a single codegen projection over
         the scan — no exchange, no Python."""
