@@ -226,6 +226,158 @@ def near_duplicate_pairs(
     return fan_out(df.select(id_col, vec_col)).mapInPandas(part, out_schema)
 
 
+def blocked_near_duplicate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    num_blocks: int = 8,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold with NO driver collect and no
+    corpus-size cap — the drop-in scale replacement for
+    ``near_duplicate_pairs``'s broadcast design.
+
+    Block nested-loop join: rows hash into ``num_blocks`` blocks; each
+    row is replicated to the ``num_blocks`` unordered block pairs it
+    participates in (one explode — shuffle volume O(n · num_blocks)),
+    and each (i, j) group computes its cross-block BLAS product inside
+    grouped ``applyInPandas``, chunked so no sims matrix exceeds
+    ``chunk²`` doubles. Same-block pairs are emitted only by the
+    diagonal group (i, i), cross-block pairs only by (i, j), i < j — so
+    every pair is produced exactly once and no dedup pass is needed.
+
+    Exact (identical output to ``near_duplicate_pairs``; asserted in
+    tests), so compute is still O(n²) overall — for subquadratic
+    candidate generation at extreme n use
+    ``bucketed_near_duplicate_pairs``. Group size is ~2n/num_blocks
+    rows; raise ``num_blocks`` (∝ √tasks) to bound executor memory as n
+    grows.
+    """
+    import numpy as np
+    import pandas as pd
+
+    B = max(1, num_blocks)
+    blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("__blk")
+    base = df.select(F.col(id_col), F.col(vec_col), blk)
+    others = F.array(*[F.lit(o) for o in range(B)])
+    pair_id = F.explode(F.transform(
+        others,
+        lambda o: F.least(F.col("__blk"), o) * B + F.greatest(F.col("__blk"), o),
+    )).alias("__pair")
+    cand = base.select(id_col, vec_col, "__blk", pair_id).dropDuplicates(
+        [id_col, "__pair"])
+
+    def _pair_block(key, pdf):
+        gi, gj = divmod(int(key[0]), B)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        blks = pdf["__blk"].to_numpy()
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b, out_c = [], [], []
+        n = len(ids)
+        for lo_i in range(0, n, chunk):
+            hi_i = min(lo_i + chunk, n)
+            for lo_j in range(0, n, chunk):
+                hi_j = min(lo_j + chunk, n)
+                sims = m_n[lo_i:hi_i] @ m_n[lo_j:hi_j].T
+                ia, ib = np.nonzero(
+                    (sims >= threshold)
+                    & (ids[lo_i:hi_i, None] < ids[None, lo_j:hi_j]))
+                if not len(ia):
+                    continue
+                ga, gb, cos = ia + lo_i, ib + lo_j, sims[ia, ib]
+                if gi != gj:  # off-diagonal group: cross-block pairs only
+                    keep = blks[ga] != blks[gb]
+                    ga, gb, cos = ga[keep], gb[keep], cos[keep]
+                if not len(ga):
+                    continue
+                out_a.append(ids[ga])
+                out_b.append(ids[gb])
+                out_c.append(cos)
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c),
+        })
+
+    return cand.groupBy("__pair").applyInPandas(
+        _pair_block, "id_a long, id_b long, cosine double")
+
+
+def bucketed_near_duplicate_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int,
+    threshold: float = 0.95,
+    num_tables: int = 8,
+    planes_per_table: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """near_duplicate_pairs without the driver-memory ceiling.
+
+    The 100 TB path promised by ``near_duplicate_pairs``'s docstring,
+    packaged: each row is bucketed by ``num_tables`` independent
+    random-hyperplane LSH tables (pure column expressions, one scan),
+    then each (table, bucket) group runs an all-pairs block BLAS product
+    via grouped ``applyInPandas`` and emits only pairs over threshold;
+    a final groupBy dedups pairs found by several tables. Nothing is
+    collected to the driver and no broadcast grows with the corpus —
+    shuffle volume is O(n · num_tables) rows, compute is O(Σ bucket²).
+
+    Recall: a pair is found iff some table puts both rows in the same
+    bucket — P(hit one table) = (1 - θ/π)^planes, so more tables with
+    fewer planes each raises recall at the cost of bigger buckets. The
+    defaults give recall 1.0 vs the exact operator on the sf0.01/sf0.1
+    test embeddings (asserted in tests); cosine values are exact (the
+    verify step recomputes the true dot product, LSH only selects
+    candidates).
+
+    Skew note: one pathological bucket (e.g. a mass of near-zero
+    vectors) serializes into one task; raise ``planes_per_table`` to
+    split buckets before reaching that regime.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — worker closure
+
+    tables = []
+    for t in range(num_tables):
+        tables.append(
+            random_hyperplane_lsh(
+                df.select(id_col, vec_col), vec_col=vec_col, dim=dim,
+                num_planes=planes_per_table, seed=seed + 7919 * t,
+                out="__bucket",
+            ).withColumn("__table", F.lit(t))
+        )
+    cand = tables[0]
+    for t in tables[1:]:
+        cand = cand.unionByName(t)
+
+    def _bucket_pairs(pdf):
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        sims = m_n @ m_n.T
+        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        return pd.DataFrame({
+            "id_a": ids[ai], "id_b": ids[bi], "cosine": sims[ai, bi]})
+
+    pairs = cand.groupBy("__table", "__bucket").applyInPandas(
+        _bucket_pairs, "id_a long, id_b long, cosine double")
+    # same pair may surface from several tables; cosine is identical
+    # (recomputed exactly) so any aggregate works — max is deterministic
+    return pairs.groupBy("id_a", "id_b").agg(F.max("cosine").alias("cosine"))
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) pruned search
 # ---------------------------------------------------------------------------

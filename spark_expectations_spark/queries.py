@@ -124,12 +124,12 @@ def q_dq_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DQ_COUNTS = _ROW_CTE + """
 SELECT count(*) AS input_count,
-       sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
+       CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) OR l_quantity IS NULL
                   OR NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
                   OR NOT (l_extendedprice > 0) OR l_extendedprice IS NULL
-                  OR l_shipdate IS NULL OR _c <> 1 THEN 1 ELSE 0 END) AS error_count,
-       count(*) - sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
-                      THEN 1 ELSE 0 END) AS output_count
+                  OR l_shipdate IS NULL OR _c <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
+       CAST(count(*) - sum(CASE WHEN NOT (l_discount BETWEEN 0 AND 0.05) OR l_discount IS NULL
+                      THEN 1 ELSE 0 END) AS BIGINT) AS output_count
 FROM t
 """
 
@@ -625,7 +625,7 @@ WITH toks AS (
 )
 SELECT doc_id,
        len(t) AS n_tokens,
-       list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS n_bpe_tokens,
+       CAST(list_sum(list_transform(w, x -> CAST(ceil(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens,
        length(text) AS n_chars_computed,
        round(CASE WHEN length(text) > 0
              THEN length(regexp_replace(text, '[\p{L}\p{N}\s]', '', 'g')) * 1.0 / length(text)
@@ -1402,10 +1402,10 @@ def q_tpch_q12ish(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TPCH_Q12ISH = """
 SELECT l_linestatus,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-           AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
-           AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+           AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+           AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY l_linestatus
 """
