@@ -22,10 +22,16 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        # events.parquet carries TIMESTAMP(NANOS); read ts as raw nanos
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and str(df.schema["ts"].dataType).startswith("Timestamp"):
+        # events.ts is a (NTZ) timestamp; the catalog's time arithmetic and
+        # the DuckDB oracles (`epoch_ns(ts)`) agree on epoch nanoseconds, so
+        # normalize at the source boundary. unix_micros stays inside the scan
+        # projection (whole-stage codegen) — no extra pass, exact to the µs.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -977,7 +983,7 @@ def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_JSON = """
 SELECT event_type,
        round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
-       sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k
+       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -1010,7 +1016,7 @@ WITH g AS (
          THEN 1 ELSE 0 END AS new_sess
   FROM events
 )
-SELECT user_id, sum(new_sess) AS n_sessions, count(*) AS n_events
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions, count(*) AS n_events
 FROM g GROUP BY user_id
 """
 
@@ -1984,9 +1990,9 @@ def q_pivot_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PIVOT_ORDER_STATUS = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
 FROM orders
 GROUP BY o_orderpriority
 """
@@ -2072,7 +2078,7 @@ ORACLE_DOCS_TRAIN_SPLIT = """
 SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY split
 """
@@ -2141,7 +2147,7 @@ ORACLE_DOCS_CLEAN_CORPUS = _QUALITY_CTE + """
 SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
             ELSE 'test' END AS split,
-       count(*) AS n_docs, sum(n_chars) AS total_chars,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
        min(doc_id) AS min_doc_id
 FROM deduped
 GROUP BY split
@@ -2195,7 +2201,7 @@ WITH u AS (
          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
            / 281474976710656.0 AS coin
   FROM documents)
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM u WHERE coin < 0.3 * n_chars / 1000.0
 GROUP BY lang
 """
@@ -2231,8 +2237,8 @@ o AS (
          COALESCE(SUM(n_chars) OVER (PARTITION BY stream ORDER BY doc_id
                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
   FROM s)
-SELECT stream, off // 16384 AS pack_id, count(*) AS n_docs,
-       sum(n_chars) AS pack_chars, max(off % 16384) AS last_offset
+SELECT stream, CAST(off // 16384 AS BIGINT) AS pack_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS pack_chars, CAST(max(off % 16384) AS BIGINT) AS last_offset
 FROM o GROUP BY 1, 2
 """
 
@@ -2548,7 +2554,7 @@ def q_lineitem_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_LINEITEM_PROFILE = """
 SELECT 'l_quantity' AS column, count(*) AS n_rows,
-       sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        round(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) * 100.0
              / greatest(count(*), 1), 4) AS null_pct,
        count(DISTINCT l_quantity) AS n_distinct,
@@ -2557,7 +2563,7 @@ SELECT 'l_quantity' AS column, count(*) AS n_rows,
 FROM lineitem
 UNION ALL
 SELECT 'l_discount', count(*),
-       sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        round(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) * 100.0
              / greatest(count(*), 1), 4),
        count(DISTINCT l_discount),
@@ -2565,7 +2571,7 @@ SELECT 'l_discount', count(*),
 FROM lineitem
 UNION ALL
 SELECT 'l_returnflag', count(*),
-       sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END),
+       CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        round(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) * 100.0
              / greatest(count(*), 1), 4),
        count(DISTINCT l_returnflag), NULL, NULL
