@@ -168,6 +168,27 @@ def cosine_topk_hof(
     )
 
 
+def _iter_threshold_tiles(ids, m_n, threshold: float, chunk: int):
+    """Yield (idx_a, idx_b, cosine) arrays for all pairs with
+    ``cosine >= threshold`` and ``ids[a] < ids[b]``, computed as
+    ``chunk × chunk`` BLAS tiles so no sims matrix exceeds chunk²
+    doubles regardless of group size. Shared by the blocked and
+    LSH-bucketed pair operators."""
+    import numpy as np
+
+    n = len(ids)
+    for lo_i in range(0, n, chunk):
+        hi_i = min(lo_i + chunk, n)
+        for lo_j in range(0, n, chunk):
+            hi_j = min(lo_j + chunk, n)
+            sims = m_n[lo_i:hi_i] @ m_n[lo_j:hi_j].T
+            ia, ib = np.nonzero(
+                (sims >= threshold)
+                & (ids[lo_i:hi_i, None] < ids[None, lo_j:hi_j]))
+            if len(ia):
+                yield ia + lo_i, ib + lo_j, sims[ia, ib]
+
+
 def near_duplicate_pairs(
     df: DataFrame,
     *,
@@ -248,10 +269,13 @@ def blocked_near_duplicate_pairs(
     diagonal group (i, i), cross-block pairs only by (i, j), i < j — so
     every pair is produced exactly once and no dedup pass is needed.
 
-    Exact (identical output to ``near_duplicate_pairs``; asserted in
-    tests), so compute is still O(n²) overall — for subquadratic
+    Exact: identical output to ``near_duplicate_pairs`` for unique ids
+    (asserted in tests, including chunk sizes that don't divide the
+    group), so compute is still O(n²) overall — for subquadratic
     candidate generation at extreme n use
-    ``bucketed_near_duplicate_pairs``. Group size is ~2n/num_blocks
+    ``bucketed_near_duplicate_pairs``. Ids must be unique: the
+    ``id_a < id_b`` pairing (like the exact operator's) never emits a
+    pair for two rows sharing an id. Group size is ~2n/num_blocks
     rows; raise ``num_blocks`` (∝ √tasks) to bound executor memory as n
     grows.
     """
@@ -262,12 +286,13 @@ def blocked_near_duplicate_pairs(
     blk = F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).alias("__blk")
     base = df.select(F.col(id_col), F.col(vec_col), blk)
     others = F.array(*[F.lit(o) for o in range(B)])
+    # the B generated pair-ids are pairwise distinct for one row (the
+    # unordered pair {blk, o} is unique per o), so no dedup pass is needed
     pair_id = F.explode(F.transform(
         others,
         lambda o: F.least(F.col("__blk"), o) * B + F.greatest(F.col("__blk"), o),
     )).alias("__pair")
-    cand = base.select(id_col, vec_col, "__blk", pair_id).dropDuplicates(
-        [id_col, "__pair"])
+    cand = base.select(id_col, vec_col, "__blk", pair_id)
 
     def _pair_block(key, pdf):
         gi, gj = divmod(int(key[0]), B)
@@ -276,26 +301,15 @@ def blocked_near_duplicate_pairs(
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
         out_a, out_b, out_c = [], [], []
-        n = len(ids)
-        for lo_i in range(0, n, chunk):
-            hi_i = min(lo_i + chunk, n)
-            for lo_j in range(0, n, chunk):
-                hi_j = min(lo_j + chunk, n)
-                sims = m_n[lo_i:hi_i] @ m_n[lo_j:hi_j].T
-                ia, ib = np.nonzero(
-                    (sims >= threshold)
-                    & (ids[lo_i:hi_i, None] < ids[None, lo_j:hi_j]))
-                if not len(ia):
-                    continue
-                ga, gb, cos = ia + lo_i, ib + lo_j, sims[ia, ib]
-                if gi != gj:  # off-diagonal group: cross-block pairs only
-                    keep = blks[ga] != blks[gb]
-                    ga, gb, cos = ga[keep], gb[keep], cos[keep]
-                if not len(ga):
-                    continue
-                out_a.append(ids[ga])
-                out_b.append(ids[gb])
-                out_c.append(cos)
+        for ga, gb, cos in _iter_threshold_tiles(ids, m_n, threshold, chunk):
+            if gi != gj:  # off-diagonal group: cross-block pairs only
+                keep = blks[ga] != blks[gb]
+                ga, gb, cos = ga[keep], gb[keep], cos[keep]
+            if not len(ga):
+                continue
+            out_a.append(ids[ga])
+            out_b.append(ids[gb])
+            out_c.append(cos)
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
@@ -319,6 +333,7 @@ def bucketed_near_duplicate_pairs(
     num_tables: int = 8,
     planes_per_table: int = 8,
     seed: int = 42,
+    chunk: int = 4096,
 ) -> DataFrame:
     """near_duplicate_pairs without the driver-memory ceiling.
 
@@ -341,7 +356,12 @@ def bucketed_near_duplicate_pairs(
 
     Skew note: one pathological bucket (e.g. a mass of near-zero
     vectors) serializes into one task; raise ``planes_per_table`` to
-    split buckets before reaching that regime.
+    split buckets before reaching that regime. More generally
+    ``planes_per_table`` must grow with log2(n): 2^planes buckets per
+    table means an average bucket of n/2^planes rows, and the per-bucket
+    BLAS is quadratic in that — at 10⁹ vectors use ~20 planes, not 8.
+    Within a bucket the product is tiled to ``chunk²`` doubles so a
+    large bucket degrades to more tile iterations, not an OOM.
     """
     import numpy as np
     import pandas as pd  # noqa: F401 — worker closure
@@ -360,16 +380,24 @@ def bucketed_near_duplicate_pairs(
         cand = cand.unionByName(t)
 
     def _bucket_pairs(pdf):
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
         if len(pdf) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
-                {"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+            return empty
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
         ids = pdf[id_col].to_numpy(dtype=np.int64)
-        sims = m_n @ m_n.T
-        ai, bi = np.nonzero((sims >= threshold) & (ids[:, None] < ids[None, :]))
+        out_a, out_b, out_c = [], [], []
+        for ga, gb, cos in _iter_threshold_tiles(ids, m_n, threshold, chunk):
+            out_a.append(ids[ga])
+            out_b.append(ids[gb])
+            out_c.append(cos)
+        if not out_a:
+            return empty
         return pd.DataFrame({
-            "id_a": ids[ai], "id_b": ids[bi], "cosine": sims[ai, bi]})
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cosine": np.concatenate(out_c)})
 
     pairs = cand.groupBy("__table", "__bucket").applyInPandas(
         _bucket_pairs, "id_a long, id_b long, cosine double")

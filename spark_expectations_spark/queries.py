@@ -498,6 +498,17 @@ WHERE list_sum(list_transform(range(1, len(a.e) + 1),
 """
 
 
+def q_embed_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The no-driver-collect twin of embed_near_dups
+    (similarity.blocked_near_duplicate_pairs): block nested-loop via one
+    explode + grouped applyInPandas, no corpus-size cap — exact, so it
+    shares embed_near_dups' oracle verbatim."""
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = similarity.blocked_near_duplicate_pairs(
+        emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
+    return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+
+
 def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding QA: vectors whose L2 norm sits >2σ from the corpus mean
     (degenerate/corrupt embeddings). Norms are one codegen projection
@@ -2620,6 +2631,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embed_near_dups": q_embed_near_dups,
+    "embed_near_dups_blocked": q_embed_near_dups_blocked,
     "embed_norm_outliers": q_embed_norm_outliers,
     "embed_quantize": q_embed_quantize,
     "ann_topk": q_ann_topk,
@@ -2704,6 +2716,7 @@ ORACLES: dict[str, Optional[str]] = {
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
+    "embed_near_dups_blocked": ORACLE_EMBED_NEAR_DUPS,
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "ann_topk": ORACLE_ANN_TOPK,

@@ -334,6 +334,30 @@ class TestPlanShapes:
         assert set(cols) <= {"l_shipdate", "l_discount", "l_quantity",
                              "l_extendedprice"}
 
+    def test_blocked_near_dups_distributed_single_shuffle(self, spark):
+        """The scale near-dup path never materializes the corpus on the
+        driver: the plan is scan → one hash exchange (groupBy __pair) →
+        grouped-map pandas, so it reads the parquet source directly
+        (a driver collect would show a LocalTableScan/parallelize)."""
+        from spark_expectations_spark.operators import similarity
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        df = similarity.blocked_near_duplicate_pairs(emb, threshold=0.9)
+        txt = plans.plan_text(df, "simple")
+        assert "FlatMapGroupsInPandas" in txt
+        assert "LocalTableScan" not in txt
+        assert plans.num_shuffles(df) == 1
+
+    def test_bucketed_near_dups_distributed(self, spark):
+        """LSH-bucketed pairs: per-table bucket groups + final pair dedup
+        = 2 shuffles, scan-fed (no driver matrix)."""
+        from spark_expectations_spark.operators import similarity
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        df = similarity.bucketed_near_duplicate_pairs(emb, dim=64, threshold=0.9)
+        txt = plans.plan_text(df, "simple")
+        assert "FlatMapGroupsInPandas" in txt
+        assert "LocalTableScan" not in txt
+        assert plans.num_shuffles(df) <= 2
+
     def test_q4_uses_semi_join(self, spark):
         from spark_expectations_spark.queries import q_tpch_q4ish
         txt = plans.plan_text(q_tpch_q4ish(spark, SF_DIR), "simple")

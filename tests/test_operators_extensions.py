@@ -100,6 +100,34 @@ class TestSimilarity:
         a = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in approx.collect()}
         assert e == a
 
+    def test_blocked_pairs_match_exact(self, emb):
+        """blocked_near_duplicate_pairs is exact: identical pair set and
+        cosines to the broadcast operator, including a chunk size that
+        doesn't divide the group and a num_blocks that doesn't divide n."""
+        exact = sorted(
+            (r["id_a"], r["id_b"], round(r["cosine"], 9))
+            for r in similarity.near_duplicate_pairs(emb, threshold=0.9).collect())
+        for blocks, chunk in ((4, 37), (3, 4096)):
+            blocked = sorted(
+                (r["id_a"], r["id_b"], round(r["cosine"], 9))
+                for r in similarity.blocked_near_duplicate_pairs(
+                    emb, threshold=0.9, num_blocks=blocks, chunk=chunk).collect())
+            assert blocked == exact
+
+    def test_bucketed_pairs_recall_vs_exact(self, emb):
+        """LSH-bucketed pairs: cosines exact where found; defaults reach
+        recall 1.0 on the clustered test embeddings (docstring claim)."""
+        exact = {
+            (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+            for r in similarity.near_duplicate_pairs(emb, threshold=0.9).collect()}
+        bucketed = {
+            (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+            for r in similarity.bucketed_near_duplicate_pairs(
+                emb, dim=64, threshold=0.9, chunk=37).collect()}
+        assert set(bucketed) <= set(exact)          # no false positives
+        assert bucketed == {k: exact[k] for k in bucketed}  # exact cosines
+        assert len(bucketed) == len(exact)          # recall 1.0 here
+
     def test_lsh_bucket_determinism(self, emb):
         b1 = similarity.random_hyperplane_lsh(emb, dim=64, num_planes=8)
         b2 = similarity.random_hyperplane_lsh(emb, dim=64, num_planes=8)
