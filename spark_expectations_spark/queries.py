@@ -461,7 +461,8 @@ FROM comp GROUP BY component
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard. xxhash64 has
     no DuckDB twin → rows-only check; q_dedup_jaccard is the exact-oracle
-    ground truth this approximates."""
+    ground truth this approximates, and q_dedup_minhash_md5 runs the same
+    pipeline under a portable hash family with a full value oracle."""
     docs = load(spark, sf_dir, "documents")
     pairs = dedup.minhash_dedup_pairs(
         docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.3)
@@ -470,10 +471,119 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3 of 64 bits; 4-block pigeonhole
-    is exact at this radius). xxhash64-based → rows-only check."""
+    is exact at this radius). xxhash64-based → rows-only check;
+    q_dedup_simhash_md5 is the oracle-checked portable-hash twin."""
     docs = load(spark, sf_dir, "documents")
     sigs = dedup.simhash_signatures(docs, "doc_id", "text")
     return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3, blocks=4)
+
+
+def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH with the portable md5_48 hash family: same pipeline as
+    dedup_minhash but every hash (shingle → long, the K min-hash functions,
+    the band bucket) is first-12-hex-of-md5 — reproducible in DuckDB, so
+    this variant carries a REAL value oracle where xxhash64 cannot
+    (VERDICT r01 item 4). K=16/bands=4 keeps the generated oracle SQL
+    tractable; the est_jaccard granularity is 1/16."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.25,
+        hash_family="md5_48")
+    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _oracle_minhash_md5(num_hashes: int = 16, bands: int = 4,
+                        threshold: float = 0.25) -> str:
+    """DuckDB twin of minhash_dedup_pairs(hash_family='md5_48'): identical
+    shingling (dedup_jaccard's CTE), identical 48-bit md5 hashes, identical
+    banded candidate generation, identical signature-agreement estimate."""
+    h48 = "CAST(('0x' || substr(md5({x}), 1, 12)) AS BIGINT)"
+    mins = ",\n         ".join(
+        "min(" + h48.format(x=f"'{i}:' || CAST(sh AS VARCHAR)") + f") AS h{i}"
+        for i in range(num_hashes))
+    rows = num_hashes // bands
+    def band(side: str, b: int) -> str:
+        tup = " || ':' || ".join(
+            f"CAST({side}.h{b * rows + r} AS VARCHAR)" for r in range(rows))
+        return h48.format(x=tup)
+    band_match = "\n   OR ".join(
+        f"{band('a', b)} = {band('b', b)}" for b in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, {h48.format(x='shingle')} AS sh FROM sh0
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(({agree}) / {float(num_hashes)}, 4) AS est_jaccard
+FROM sigs a JOIN sigs b
+  ON a.doc_id < b.doc_id
+ AND ({band_match})
+WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+"""
+
+
+ORACLE_DEDUP_MINHASH_MD5 = _oracle_minhash_md5()
+
+
+def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs with the portable md5_48 token hash (48-bit
+    signature, 4-block pigeonhole — still exact at hamming<=3). The oracle
+    skips the blocking and verifies all pairs directly: pigeonhole at
+    radius 3 with 4 blocks is provably lossless, so the result sets are
+    identical by construction."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = dedup.simhash_signatures(docs, "doc_id", "text", bits=48,
+                                    hash_family="md5_48")
+    return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3, bits=48,
+                                    blocks=4)
+
+
+def _oracle_simhash_md5(bits: int = 48, max_hamming: int = 3) -> str:
+    bitsums = ",\n         ".join(
+        f"sum(CASE WHEN (th >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(bits))
+    pack = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_distinct(string_split_regex(trim(lower(text)), '\s+'))) AS tok
+  FROM documents
+),
+th AS (
+  SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) AS th
+  FROM toks
+),
+bitsums AS (
+  SELECT doc_id,
+         {bitsums}
+  FROM th GROUP BY doc_id
+),
+sig AS (
+  SELECT doc_id, {pack} AS simhash FROM bitsums
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+"""
+
+
+ORACLE_DEDUP_SIMHASH_MD5 = _oracle_simhash_md5()
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,8 +714,12 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate top-k (centroids from the label column).
-    Approximate by construction → rows-only check; recall vs q_ann_topk is
-    asserted in tests."""
+    Deterministic end-to-end — centroids are per-label elementwise means,
+    probe selection and in-cell ranking are pure functions of the data —
+    so despite being "approximate" relative to exhaustive search it
+    carries a full value oracle: DuckDB reproduces the centroid float32
+    rounding (CAST AS FLOAT), the nprobe probe choice, and the exact
+    in-cell cosine top-k (VERDICT r01 item 5)."""
     emb = load(spark, sf_dir, "embeddings")
     cents = similarity.train_centroids_df(emb, vec_col="embedding", by_col="label")
     assigned = emb.withColumn("centroid_id", F.col("label"))
@@ -614,6 +728,56 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                               vec_col="embedding", k=5, nprobe=4)
     return out.select("query_id", "neighbor_id", "rank",
                       F.round("cosine", 4).alias("cosine"))
+
+
+# centroid elements go through CAST(.. AS FLOAT) to mirror Spark's
+# array<float> centroids; dot products and norms are all-double, like
+# ORACLE_ANN_TOPK (the proven-hash-exact float-math formulation)
+ORACLE_ANN_IVF = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cel AS (
+  SELECT label AS cid, i, CAST(CAST(sum(e[i]) / count(*) AS FLOAT) AS DOUBLE) AS c
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(i)
+  GROUP BY label, i
+),
+cvec AS (
+  SELECT cid, list(c ORDER BY i) AS cv FROM cel GROUP BY cid
+),
+cn AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cvec
+),
+qc AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.cv[i])) / (q.nrm * c.cnrm) AS csim
+  FROM v q, cn c WHERE q.vec_id < 10
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY csim DESC, cid ASC) AS pr
+    FROM qc) WHERE pr <= 4
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(c.e) + 1),
+                                 i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cos_raw
+  FROM probes p
+  JOIN v c ON c.label = p.cid
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM cand) WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -2630,6 +2794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
+    "dedup_minhash_md5": q_dedup_minhash_md5,
+    "dedup_simhash_md5": q_dedup_simhash_md5,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_blocked": q_embed_near_dups_blocked,
     "embed_norm_outliers": q_embed_norm_outliers,
@@ -2712,6 +2878,8 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
+    "dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
@@ -2720,6 +2888,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "ann_topk": ORACLE_ANN_TOPK,
+    "ann_ivf": ORACLE_ANN_IVF,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
     "text_langid": ORACLE_TEXT_LANGID,
