@@ -358,6 +358,21 @@ class TestPlanShapes:
         assert "LocalTableScan" not in txt
         assert plans.num_shuffles(df) <= 2
 
+    def test_minhash_banding_single_exchange_no_self_join(self, spark):
+        """Banding is one groupBy + in-bucket pair explode, not a stacked
+        self-join: total Exchange count (including the cached signature
+        build, counted once per branch by EXPLAIN) dropped 7 → 5, and no
+        join on (band_idx, band_hash) remains in the plan."""
+        from spark_expectations_spark.operators import dedup
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
+                                          num_hashes=16, bands=4)
+        assert plans.num_shuffles(pairs) <= 5
+        txt = plans.plan_text(pairs, "simple")
+        assert not any("Join" in line and "band_" in line
+                       for line in txt.splitlines())
+        assert "CartesianProduct" not in txt
+
     def test_q4_uses_semi_join(self, spark):
         from spark_expectations_spark.queries import q_tpch_q4ish
         txt = plans.plan_text(q_tpch_q4ish(spark, SF_DIR), "simple")
