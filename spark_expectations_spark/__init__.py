@@ -23,6 +23,12 @@ from .core.rules import (
 from .core.state import DQConfig, DQResult, WriterOptions
 from .operators.agg_dq import DQAggFailError
 from .operators.row_dq import DQRowFailError
+from .secrets import (
+    ChainSecretResolver,
+    DictSecretResolver,
+    EnvSecretResolver,
+    SecretResolver,
+)
 
 __version__ = "0.1.0"
 
@@ -31,4 +37,6 @@ __all__ = [
     "WriterOptions", "DQRuleError", "DQRowFailError", "DQAggFailError",
     "ROW_DQ", "AGG_DQ", "QUERY_DQ", "ACTION_IGNORE", "ACTION_DROP",
     "ACTION_FAIL", "RULE_COLUMNS",
+    "SecretResolver", "EnvSecretResolver", "DictSecretResolver",
+    "ChainSecretResolver",
 ]

@@ -44,18 +44,25 @@ class CollectingNotifier:
 
 
 def webhook_notifier(url: str, *, timeout: float = 10.0,
-                     headers: dict[str, str] | None = None) -> Notifier:
+                     headers: dict[str, str] | None = None,
+                     secret_resolver: Any = None) -> Notifier:
     """POST JSON to a webhook (Slack/Teams-style). Uses stdlib urllib.
     ``headers`` carries channel auth (e.g. Zoom's Authorization token —
-    reference notifications/plugins/zoom.py)."""
+    reference notifications/plugins/zoom.py). ``url`` and header values
+    may be ``secret://`` refs resolved through ``secret_resolver``
+    (secrets.py seam) at send time, so plaintext tokens never sit in
+    config."""
 
     def notify(event: Event, payload: dict[str, Any]) -> None:
         import urllib.request
 
+        from .secrets import resolve_options, resolve_value
+
         body = json.dumps({"event": event, **payload}, default=str).encode()
         req = urllib.request.Request(
-            url, data=body,
-            headers={"Content-Type": "application/json", **(headers or {})})
+            resolve_value(url, secret_resolver), data=body,
+            headers={"Content-Type": "application/json",
+                     **resolve_options(headers or {}, secret_resolver)})
         try:
             urllib.request.urlopen(req, timeout=timeout)
         except Exception as e:  # notification failure must not fail the run
@@ -263,11 +270,16 @@ def email_notifier(
     use_html_report: bool = False,
     report_rows: Callable[[dict[str, Any]], list[dict[str, Any]]] | None = None,
     smtp_factory: Callable[..., Any] | None = None,
+    smtp_password: str | None = None,
+    secret_resolver: Any = None,
 ) -> Notifier:
     """SMTP notifier (reference notifications/plugins/email.py). The SMTP
     client is injected via ``smtp_factory`` (defaults to
     ``smtplib.SMTP``) so environments without a mail relay can still
-    construct and test the full message assembly."""
+    construct and test the full message assembly. ``smtp_password`` (a
+    literal or a ``secret://`` ref resolved through ``secret_resolver``)
+    triggers a ``login(sender, password)`` before send — the reference's
+    smtp-auth path with the credential routed through the secrets seam."""
     from email.mime.multipart import MIMEMultipart
     from email.mime.text import MIMEText
 
@@ -287,6 +299,9 @@ def email_notifier(
             import smtplib
             factory = smtplib.SMTP
         with factory(host, port) as client:
+            if smtp_password is not None:
+                from .secrets import resolve_value
+                client.login(sender, resolve_value(smtp_password, secret_resolver))
             client.sendmail(sender, recipients, msg.as_string())
 
     return notify

@@ -256,14 +256,21 @@ def materialize_temp_table(
     return spark.table(tmp)
 
 
-def stats_to_kafka(result_df: DataFrame, topic: str, options: dict[str, str]) -> None:
+def stats_to_kafka(result_df: DataFrame, topic: str, options: dict[str, str],
+                   secret_resolver=None) -> None:
     """Stats row → JSON → Kafka (reference sinks/plugins/kafka_writer.py:59-61).
 
-    Requires the Kafka connector on the classpath; caller gates availability.
+    Requires the Kafka connector on the classpath; caller gates
+    availability. Option values may be ``secret://`` refs (secrets.py
+    seam), resolved only here at write time — the config dicts built by
+    ``sinks/kafka.py`` and stored in user conf never need plaintext
+    credentials.
     """
+    from ..secrets import resolve_options
+
     out = result_df.selectExpr("to_json(struct(*)) AS value")
     w = out.write.format("kafka").option("topic", topic)
-    for k, v in options.items():
+    for k, v in resolve_options(options, secret_resolver).items():
         w = w.option(k, v)
     w.save()
 
