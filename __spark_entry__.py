@@ -3,8 +3,9 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (81 queries, 77 with DuckDB
-oracles; minhash/simhash/ivf are xxhash64-based or approximate → rows-only).
+catalog from spark_expectations_spark.queries (86 queries, 84 with DuckDB
+oracles; only the xxhash64-based dedup_minhash/dedup_simhash stay
+rows-only — their md5_48 twins and ann_ivf carry full value oracles).
 """
 
 from __future__ import annotations

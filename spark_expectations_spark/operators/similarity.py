@@ -46,6 +46,20 @@ def _collect_matrix(df: DataFrame, id_col: str, vec_col: str):
     return ids, m / np.linalg.norm(m, axis=1, keepdims=True)
 
 
+def _broadcast_or_capture(spark, payload):
+    """Ship a driver-side payload to executors: TorrentBroadcast when the
+    classic sparkContext exists, plain closure capture under Spark
+    Connect (no sparkContext there — the payload then rides the
+    serialized task; same semantics, loses only the torrent distribution
+    optimization). Returns a zero-arg accessor usable inside the worker
+    closure."""
+    try:
+        b = spark.sparkContext.broadcast(payload)
+    except Exception:  # Spark Connect / no JVM-side context
+        return lambda: payload
+    return lambda: b.value
+
+
 def _dot(a: Column, b: Column) -> Column:
     """Σ aᵢbᵢ in double precision, computed with higher-order functions
     (whole-stage codegen; no Python)."""
@@ -92,7 +106,7 @@ def cosine_topk(
 
     q_ids, qm_n = _collect_matrix(queries, id_col, vec_col)  # query side: small by contract
     spark = corpus.sparkSession
-    b_q = spark.sparkContext.broadcast((q_ids, qm_n))
+    get_q = _broadcast_or_capture(spark, (q_ids, qm_n))
 
     out_schema = StructType([
         StructField("query_id", LongType()),
@@ -101,7 +115,7 @@ def cosine_topk(
     ])
 
     def part(it):
-        ids, qn = b_q.value
+        ids, qn = get_q()
         for pdf in it:
             if not len(pdf):
                 continue
@@ -216,7 +230,7 @@ def near_duplicate_pairs(
             f"corpus has {len(ids)} vectors > broadcast limit; "
             "bucket with random_hyperplane_lsh first")
     spark = df.sparkSession
-    b_all = spark.sparkContext.broadcast((ids, m_n))
+    get_all = _broadcast_or_capture(spark, (ids, m_n))
 
     out_schema = StructType([
         StructField("id_a", LongType()),
@@ -225,7 +239,7 @@ def near_duplicate_pairs(
     ])
 
     def part(it):
-        all_ids, all_m = b_all.value
+        all_ids, all_m = get_all()
         for pdf in it:
             if not len(pdf):
                 continue

@@ -1068,13 +1068,22 @@ def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     full zero-gap grid, empty hours carrying the last observed mean
     (`last(..., ignorenulls)` over an unbounded-preceding frame — the
     classic ffill window; one shuffle keyed by type). Pairs with
-    events_gapfill as the interpolation half of time-series repair."""
+    events_gapfill as the interpolation half of time-series repair.
+
+    The 4-decimal mean is computed in EXACT integer arithmetic (value is
+    2-decimal by contract → per-hour cent sums are exact longs; half-up
+    round of avg·10⁴ = (cents·200 + n) div (2n)): `round(avg(double))`
+    lands on decimal ties (e.g. 1236.27/24 = 51.51125 exactly) where
+    Spark's HALF_UP and DuckDB's binary-double rounding disagree — this
+    bit the sf0.1 gate with 3 cells out of 3600."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events")
     hour_s = F.expr("ts div 1000000000 div 3600 * 3600")
     hourly = (
         ev.groupBy(hour_s.alias("hour_s"), "event_type")
-        .agg(F.round(F.avg("value"), 4).alias("avg_value"))
+        .agg(F.expr(
+            "(sum(cast(round(value * 100) as bigint)) * 200 + count(*))"
+            " div (count(*) * 2)").alias("avg4"))
     )
     bounds = ev.agg(F.min(hour_s).alias("_lo"), F.max(hour_s).alias("_hi"))
     grid = (
@@ -1087,11 +1096,11 @@ def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = grid.join(hourly, ["event_type", "hour_s"], "left")
     w = (Window.partitionBy("event_type").orderBy("hour_s")
          .rowsBetween(Window.unboundedPreceding, 0))
-    filled = F.last("avg_value", ignorenulls=True).over(w)
+    filled = F.last("avg4", ignorenulls=True).over(w)
     return joined.select(
         "event_type", "hour_s",
-        F.round(filled, 4).alias("avg_value_ffill"),
-        F.col("avg_value").isNull().alias("was_gap"))
+        (filled / F.lit(10000.0)).alias("avg_value_ffill"),
+        F.col("avg4").isNull().alias("was_gap"))
 
 
 ORACLE_EVENTS_FFILL = """
@@ -1100,7 +1109,9 @@ WITH e AS (
          value
   FROM events),
 hourly AS (
-  SELECT event_type, hour_s, round(avg(value), 4) AS avg_value
+  SELECT event_type, hour_s,
+         (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200
+          + count(*)) // (count(*) * 2) AS avg4
   FROM e GROUP BY 1, 2),
 bounds AS (SELECT min(hour_s) AS lo, max(hour_s) AS hi FROM e),
 grid AS (
@@ -1109,16 +1120,16 @@ grid AS (
        (SELECT unnest(generate_series(lo, hi, 3600)) AS hour_s
         FROM bounds) g),
 j AS (
-  SELECT grid.event_type, grid.hour_s, hourly.avg_value
+  SELECT grid.event_type, grid.hour_s, hourly.avg4
   FROM grid LEFT JOIN hourly
     ON grid.event_type = hourly.event_type
    AND grid.hour_s = hourly.hour_s)
 SELECT event_type, hour_s,
-       round(last_value(avg_value IGNORE NULLS) OVER
+       last_value(avg4 IGNORE NULLS) OVER
          (PARTITION BY event_type ORDER BY hour_s
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 10000.0
          AS avg_value_ffill,
-       avg_value IS NULL AS was_gap
+       avg4 IS NULL AS was_gap
 FROM j
 """
 

@@ -296,6 +296,46 @@ class TestStreamingDQ:
                 query.stop()
 
 
+class TestSparkConnectStyle:
+    """The reference supports Spark Connect via a type-alias union
+    (core/expectations.py:43-72) and isinstance-free code. Our engine's
+    equivalent guarantee: JVM-internal escapes (_jdf/_jvm/_jsc/
+    sparkContext) appear ONLY in the allowlisted spots below, each of
+    which carries a documented Connect fallback (fan_out degrades to
+    no-repartition; similarity broadcasts degrade to closure capture)."""
+
+    ALLOWED = {
+        "plans/__init__.py",        # estimated_size_bytes + fan_out (guarded try/except)
+        "operators/similarity.py",  # _broadcast_or_capture (guarded try/except)
+    }
+
+    def test_jvm_internals_only_in_guarded_spots(self):
+        import pathlib
+        import re
+        root = pathlib.Path("spark_expectations_spark")
+        pat = re.compile(r"\b_jdf\b|\b_jvm\b|\b_jsc\b|\bsparkContext\b|\._sc\b")
+        offenders = []
+        for p in root.rglob("*.py"):
+            rel = str(p.relative_to(root))
+            hits = [ln for ln in p.read_text().splitlines()
+                    if pat.search(ln) and not ln.lstrip().startswith("#")]
+            if hits and rel not in self.ALLOWED:
+                offenders.append((rel, hits[:2]))
+        assert not offenders, offenders
+
+    def test_no_isinstance_on_dataframe_types(self):
+        """No isinstance checks against classic DataFrame/SparkSession
+        classes — the Connect incompatibility the reference solved with
+        union type aliases; we just never type-switch."""
+        import pathlib
+        import re
+        root = pathlib.Path("spark_expectations_spark")
+        pat = re.compile(r"isinstance\([^)]*(DataFrame|SparkSession)")
+        offenders = [str(p) for p in root.rglob("*.py")
+                     if pat.search(p.read_text())]
+        assert not offenders, offenders
+
+
 class TestPlanShapes:
     def test_filter_pushdown_to_scan(self, spark, lineitem):
         df = lineitem.filter(F.col("l_quantity") > 10).select("l_orderkey")
