@@ -1145,32 +1145,49 @@ def q_events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy(F.dayofweek(t).alias("dow"), F.hour(t).alias("hod"))
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.round(F.avg("value"), 4).alias("avg_value"))
+             (F.expr(
+                 "(sum(cast(round(value * 100) as bigint)) * 200 + count(*))"
+                 " div (count(*) * 2)") / F.lit(10000.0)).alias("avg_value"))
     )
 
 
+# avg in exact integer cents (half-up at 4 decimals) — same decimal-tie
+# hardening as events_ffill; round(avg(double), 4) diverges cross-engine
+# when the mean lands exactly on a 5e-5 boundary
 ORACLE_EVENTS_SEASONALITY = """
 SELECT dayofweek(to_timestamp(epoch_ns(ts) // 1000000000)) + 1 AS dow,
        hour(to_timestamp(epoch_ns(ts) // 1000000000)) AS hod,
-       count(*) AS n_events, round(avg(value), 4) AS avg_value
+       count(*) AS n_events,
+       (CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 200
+        + count(*)) // (count(*) * 2) / 10000.0 AS avg_value
 FROM events GROUP BY 1, 2
 """
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    ev = ev.withColumn(
+        "__k", F.get_json_object(F.col("props"), "$.k").cast("long"))
     return (
         ev.groupBy("event_type")
-        .agg(F.round(F.avg(k), 4).alias("avg_k"), F.sum(k).alias("sum_k"))
+        .agg((F.expr("(sum(__k) * 20000 + count(__k)) div (count(__k) * 2)")
+              / F.lit(10000.0)).alias("avg_k"),
+             F.sum("__k").alias("sum_k"))
     )
 
 
+# integer-exact 4-decimal mean of an integer column (decimal-tie
+# hardening, see events_ffill); counts are of the extracted value so
+# null-k rows drop from numerator AND denominator, like Spark's count(__k)
 ORACLE_EVENTS_JSON = """
+WITH e AS (
+  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events)
 SELECT event_type,
-       round(avg(json_extract_string(props, '$.k')::BIGINT), 4) AS avg_k,
-       CAST(sum(json_extract_string(props, '$.k')::BIGINT) AS BIGINT) AS sum_k
-FROM events GROUP BY event_type
+       (CAST(sum(k) AS BIGINT) * 20000 + count(k)) // (count(k) * 2)
+         / 10000.0 AS avg_k,
+       CAST(sum(k) AS BIGINT) AS sum_k
+FROM e GROUP BY event_type
 """
 
 
