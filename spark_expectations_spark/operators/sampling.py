@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from typing import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: buckets = first 4 md5 hex chars → 0..65535; plenty of resolution for
@@ -134,4 +134,30 @@ def weighted_deterministic_sample(
         df.crossJoin(F.broadcast(mean_w))
         .filter(u < thresh)
         .drop("_mw")
+    )
+
+
+def sample_per_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    key_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic n-per-group sample: within each group, keep the n
+    rows with the smallest md5-bucketed key (ties broken by the key
+    itself). The hash ordering makes the pick a pure function of group
+    membership — re-partitioning, engine, or insertion order never
+    changes it, unlike ``Window.orderBy(rand(seed))``.
+
+    The workhorse for balanced eval-set construction (n docs per
+    language/source) and per-class caps before training. One shuffle
+    (the group window); at 100 TB pre-aggregate nothing — the window's
+    rank short-circuits row emission past n per group.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(
+        _bucket(F.col(key_col)).asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__rn")
     )

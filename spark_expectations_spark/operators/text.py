@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from typing import Mapping, Optional, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Default per-language stopword marker lists for the n-gram/stopword
@@ -276,4 +276,78 @@ def unigram_logprob(
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
         F.avg("_lp").alias("avg_logprob"),
+    )
+
+
+def term_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    scheme: str = "tfidf",
+    min_df: int = 1,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-(document, term) relevance weights over the corpus's own
+    vocabulary — TF-IDF (sklearn-style smooth idf: ``ln((N+1)/(df+1))+1``)
+    or BM25 (Robertson k1/b with corpus average length). The static-index
+    half of retrieval-based data curation: near-dup clustering by top
+    terms, topic-balanced sampling, query-relevance filtering.
+
+    Scale shape (all map-combined aggregations + one vocab-keyed join):
+    (doc, term, tf) from one explode+groupBy; document frequency from one
+    groupBy over that frame (output is vocabulary-sized, NOT corpus-
+    sized); corpus totals ride a 1-row broadcast. ``min_df`` cuts the
+    hapax tail before the join — at 100 TB that's what makes the df side
+    broadcastable. No UDFs anywhere.
+
+    Returns (id, term, tf, weight).
+    """
+    from ..plans import fan_out
+    from .dedup import tokens_col
+
+    toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+             .filter(F.col("_df") >= min_df))
+    totals = tf.agg(
+        F.count_distinct(F.col(id_col)).alias("_n_docs"),
+        (F.sum("tf") / F.count_distinct(F.col(id_col))).alias("_avgdl"))
+    idf = F.log((F.col("_n_docs") + 1) / (F.col("_df") + 1)) + F.lit(1.0)
+    if scheme == "bm25":
+        # document length includes min_df-cut terms — compute on the
+        # pre-filter frame (reuses the (doc, term) partitioning)
+        tf = tf.withColumn("_dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    joined = tf.join(dfreq, "term").crossJoin(F.broadcast(totals))
+    if scheme == "tfidf":
+        weight = F.col("tf") * idf
+    elif scheme == "bm25":
+        norm = F.lit(k1) * (F.lit(1 - b)
+                            + F.lit(b) * F.col("_dl") / F.col("_avgdl"))
+        weight = idf * (F.col("tf") * F.lit(k1 + 1)) / (F.col("tf") + norm)
+    else:
+        raise ValueError(f"unknown scheme {scheme!r}")
+    return joined.select(F.col(id_col), "term", "tf", weight.alias("weight"))
+
+
+def top_terms(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    top_k: int = 3,
+    scheme: str = "tfidf",
+    min_df: int = 1,
+) -> DataFrame:
+    """Top-``top_k`` terms per document by :func:`term_weights` score
+    (ties broken by term asc — deterministic across engines). One extra
+    doc-keyed window over the weights frame."""
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("weight").desc(), F.col("term").asc())
+    return (
+        term_weights(df, id_col, text_col, scheme=scheme, min_df=min_df)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
     )

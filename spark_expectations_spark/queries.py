@@ -2357,6 +2357,148 @@ GROUP BY split
 """
 
 
+def q_docs_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF terms (text.term_weights/top_terms): one
+    explode+groupBy for tf, a vocabulary-sized df aggregation, a 1-row
+    totals broadcast, one doc-keyed rank window. Scores are products of
+    ln of integer ratios — cross-engine double-stable (same class as
+    docs_lm_score); within-doc rank ties break on term asc."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    out = text_ops.top_terms(docs, "doc_id", "text", top_k=3, min_df=2)
+    return out.select("doc_id", "term", "tf", "rank",
+                      F.round("weight", 6).alias("weight"))
+
+
+ORACLE_DOCS_TFIDF_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 2),
+totals AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         tf.tf * (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0) AS weight
+  FROM tf JOIN dfreq USING (term), totals),
+ranked AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS rank,
+         round(weight, 6) AS weight
+  FROM scored)
+SELECT doc_id, term, tf, rank, weight FROM ranked WHERE rank <= 3
+"""
+
+
+def q_docs_bm25_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 BM25 term weights (k1=1.2, b=0.75) — the static
+    retrieval-index weighting; doc length computed before the min_df cut,
+    average length from the corpus totals broadcast."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    out = text_ops.top_terms(docs, "doc_id", "text", top_k=3, min_df=2,
+                             scheme="bm25")
+    return out.select("doc_id", "term", "tf", "rank",
+                      F.round("weight", 6).alias("weight"))
+
+
+ORACLE_DOCS_BM25_TERMS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+dl AS (
+  SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+dfreq AS (
+  SELECT term, count(*) AS df FROM tf GROUP BY term HAVING count(*) >= 2),
+totals AS (
+  SELECT count(DISTINCT doc_id) AS n_docs,
+         sum(tf) * 1.0 / count(DISTINCT doc_id) AS avgdl
+  FROM tf),
+scored AS (
+  SELECT d.doc_id, d.term, d.tf,
+         (ln((n_docs + 1) * 1.0 / (df + 1)) + 1.0)
+         * (d.tf * (1.2 + 1)) / (d.tf + 1.2 * ((1 - 0.75)
+                                               + 0.75 * d.dl / avgdl)) AS weight
+  FROM dl d JOIN dfreq USING (term), totals),
+ranked AS (
+  SELECT doc_id, term, tf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY weight DESC, term ASC) AS rank,
+         round(weight, 6) AS weight
+  FROM scored)
+SELECT doc_id, term, tf, rank, weight FROM ranked WHERE rank <= 3
+"""
+
+
+def q_docs_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-per-language sample (sampling.sample_per_group):
+    smallest md5-bucket-of-key wins, so the pick is partition- and
+    engine-invariant — DuckDB reproduces it exactly."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.sample_per_group(docs, ["lang"], "doc_id", 3)
+    return out.select("lang", "doc_id", "n_chars")
+
+
+ORACLE_DOCS_GROUP_SAMPLE = """
+WITH b AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           AS bkt
+  FROM documents),
+r AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY bkt ASC, doc_id ASC) AS rn
+  FROM b)
+SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
+"""
+
+
+def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-append dedup (dedup.incremental_dedup): docs >= id 250 are
+    the new batch, the 3-token prefix fingerprint of docs < 250 is the
+    standing corpus index; admit batch rows whose prefix key is neither
+    indexed nor duplicated earlier in the batch. Anti join + one
+    fingerprint-keyed window — the index is never rescanned."""
+    from .operators import dedup as dd
+
+    docs = load(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.slice(dd.tokens_col(F.col("text")), 1, 3)))
+    docs = docs.withColumn("fingerprint", fp)
+    corpus_index = docs.filter(F.col("doc_id") < 250).select("fingerprint")
+    batch = docs.filter(F.col("doc_id") >= 250)
+    out = dd.incremental_dedup(batch, corpus_index, "doc_id")
+    return out.select("doc_id", "fingerprint")
+
+
+ORACLE_DOCS_INCREMENTAL_DEDUP = r"""
+WITH f AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split_regex(trim(lower(text)), '\s+')[1:3],
+                             ' ')) AS fingerprint
+  FROM documents),
+corpus AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id < 250),
+batch AS (SELECT * FROM f WHERE doc_id >= 250),
+fresh AS (
+  SELECT b.* FROM batch b ANTI JOIN corpus c USING (fingerprint)),
+r AS (
+  SELECT doc_id, fingerprint,
+         row_number() OVER (PARTITION BY fingerprint
+                            ORDER BY doc_id ASC) AS rn
+  FROM fresh)
+SELECT doc_id, fingerprint FROM r WHERE rn = 1
+"""
+
+
 def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM scoring (operators/text.py::unigram_logprob) —
     the CCNet-style perplexity-proxy filter. Model = one map-side-
@@ -2854,6 +2996,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_split": q_docs_train_split,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lm_score": q_docs_lm_score,
+    "docs_group_sample": q_docs_group_sample,
+    "docs_incremental_dedup": q_docs_incremental_dedup,
+    "docs_tfidf_terms": q_docs_tfidf_terms,
+    "docs_bm25_terms": q_docs_bm25_terms,
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
     "orders_snapshot_diff": q_orders_snapshot_diff,
@@ -2941,6 +3087,10 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
+    "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
+    "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,
+    "docs_tfidf_terms": ORACLE_DOCS_TFIDF_TERMS,
+    "docs_bm25_terms": ORACLE_DOCS_BM25_TERMS,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,

@@ -155,6 +155,35 @@ class TestText:
         rows = df.select(text.language_id(F.col("t")).alias("l")).collect()
         assert [r["l"] for r in rows] == ["en", "es", "und"]
 
+    def test_tfidf_rare_term_wins(self, spark):
+        """A term unique to one doc must outrank corpus-wide terms."""
+        df = spark.createDataFrame(
+            [(1, "common zebra"), (2, "common filler"),
+             (3, "common filler")],
+            "doc_id long, text string")
+        top = text.top_terms(df, "doc_id", "text", top_k=1, min_df=1)
+        got = {r["doc_id"]: r["term"] for r in top.collect()}
+        assert got[1] == "zebra"
+
+    def test_bm25_doc_length_includes_cut_terms(self, spark):
+        """min_df cuts terms from the OUTPUT but not from the BM25 length
+        normalization: a doc padded with hapax terms must score its
+        common term lower than an unpadded doc's same term."""
+        df = spark.createDataFrame(
+            [(1, "shared " + " ".join(f"pad{i}" for i in range(20))),
+             (2, "shared"),
+             (3, "shared")],
+            "doc_id long, text string")
+        w = text.term_weights(df, "doc_id", "text", scheme="bm25", min_df=2)
+        by_doc = {r["doc_id"]: r["weight"] for r in w.collect()
+                  if r["term"] == "shared"}
+        assert by_doc[1] < by_doc[2]
+
+    def test_term_weights_unknown_scheme(self, spark):
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="scheme"):
+            text.term_weights(df, "doc_id", "text", scheme="nope")
+
     def test_fingerprint_normalization(self, spark):
         df = spark.createDataFrame(
             [("Hello,   World!",), ("hello world",)], "t string")
@@ -194,6 +223,40 @@ class TestText:
                     "fingerprint", "punct_ratio", "stopword_ratio"}
         assert expected <= set(out.columns)
         assert out.count() == 10
+
+
+class TestSamplePerGroup:
+    def test_partition_invariant_and_capped(self, docs):
+        from spark_expectations_spark.operators import sampling
+        a = sampling.sample_per_group(docs, ["lang"], "doc_id", 5)
+        b = sampling.sample_per_group(docs.repartition(13), ["lang"], "doc_id", 5)
+        ka = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+        kb = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+        assert ka == kb
+        per = {r["lang"]: r["n"] for r in
+               a.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert all(n <= 5 for n in per.values())
+
+
+class TestIncrementalDedup:
+    def test_admits_only_unindexed_unique(self, spark):
+        from spark_expectations_spark.operators import dedup as dd
+        batch = spark.createDataFrame(
+            [(10, "a"), (11, "a"), (12, "b"), (13, "c")],
+            "doc_id long, fingerprint string")
+        index = spark.createDataFrame([("c",)], "fingerprint string")
+        out = sorted(r["doc_id"] for r in
+                     dd.incremental_dedup(batch, index, "doc_id").collect())
+        # "c" indexed -> 13 dropped; "a" duplicated -> min id 10 kept
+        assert out == [10, 12]
+
+    def test_empty_index_passthrough_dedup(self, spark):
+        from spark_expectations_spark.operators import dedup as dd
+        batch = spark.createDataFrame(
+            [(2, "x"), (1, "x")], "doc_id long, fingerprint string")
+        index = spark.createDataFrame([], "fingerprint string")
+        out = dd.incremental_dedup(batch, index, "doc_id").collect()
+        assert [(r["doc_id"], r["fingerprint"]) for r in out] == [(1, "x")]
 
 
 class TestMultimodal:
