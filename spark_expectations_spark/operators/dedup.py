@@ -108,23 +108,26 @@ def jaccard_pairs(
 ) -> DataFrame:
     """All pairs with n-gram Jaccard >= threshold.
 
-    Inverted-index join: pairs sharing >=1 shingle are generated by a
-    self-equi-join on shingle (shuffle keyed by shingle — never a cross
-    join), intersection sizes by one groupBy, union by |A|+|B|-|A∩B|.
+    Inverted index via ONE groupBy(shingle): each shingle's posting list
+    (its sorted doc ids) explodes into its in-bucket pairs with
+    higher-order functions — half the exchanges of the equivalent
+    self-equi-join, with the same k² per-bucket pair count; intersection
+    sizes by one groupBy, union by |A|+|B|-|A∩B|.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
 
     Scale notes: stop-shingle skew (a shingle shared by k docs produces
-    k² pair rows) is the known hot spot; AQE skew-join handles moderate
-    skew, and callers can pre-filter ultra-common shingles. The join key
-    is xxhash64(shingle) — an 8-byte long instead of the raw n-gram
-    string — so the shuffle carries fixed-width keys (64-bit collisions
-    are negligible at any realistic shingle cardinality).
+    k² pair rows) is the known hot spot; with the posting-list
+    formulation the ``max_shingle_df`` cut is free — the list length IS
+    the document frequency, so ultra-common shingles are dropped by a
+    filter on the aggregated frame, no extra join or count pass. The
+    grouping key is xxhash64(shingle) — an 8-byte long instead of the
+    raw n-gram string — so the shuffle carries fixed-width keys (64-bit
+    collisions are negligible at any realistic shingle cardinality).
 
     The (id, shingle_hash) index is persisted MEMORY_AND_DISK: it feeds
-    four plan branches (both sides of the self-join and both size
-    lookups), and recomputing the shingling per branch costs more than
-    spilling the fixed-width index — the standard shape for multi-pass
-    dedup pipelines.
+    the posting-list aggregation and the per-doc size lookup, and
+    recomputing the shingling per branch costs more than spilling the
+    fixed-width index.
     """
     from pyspark.storagelevel import StorageLevel
 
@@ -136,27 +139,28 @@ def jaccard_pairs(
     # computed BEFORE any stop-shingle filter so the Jaccard denominator
     # stays exact.
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    postings = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     if max_shingle_df is not None:
-        # stop-shingle pre-filter: a shingle appearing in k docs emits
-        # k² candidate rows — dropping ultra-common shingles bounds the
-        # quadratic blowup at the price of slightly UNDER-counting the
-        # intersection (estimated jaccard becomes a lower bound). The
-        # 100 TB knob promised in SCALE.md.
-        rare = (ex.groupBy("shingle").agg(F.count("*").alias("__df"))
-                .filter(F.col("__df") <= max_shingle_df)
-                .select("shingle"))
-        ex = ex.join(rare.hint("shuffle_hash"), "shingle")
-    a = ex.alias("a")
-    # pin the self-join to shuffle-hash: both sides are the same cached
-    # index, so a broadcast build only adds driver collect+serialize time
-    # (and GC-pause variance) without saving the exchange
-    b = ex.alias("b").hint("shuffle_hash")
+        # stop-shingle cut: a shingle in k docs emits k² pair rows;
+        # dropping ultra-common shingles bounds the quadratic blowup at
+        # the price of slightly UNDER-counting the intersection
+        # (estimated jaccard becomes a lower bound). The 100 TB knob
+        # promised in SCALE.md — free here: len(posting list) == df.
+        postings = postings.filter(F.size("ids") <= max_shingle_df)
+    pair = F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+        ),
+    ))).alias("p")
     inter = (
-        a.join(b, on="shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        postings.select(pair).select("p.id_a", "p.id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))

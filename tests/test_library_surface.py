@@ -398,6 +398,19 @@ class TestPlanShapes:
         assert "LocalTableScan" not in txt
         assert plans.num_shuffles(df) <= 2
 
+    def test_jaccard_posting_lists_no_self_join(self, spark):
+        """The inverted index is one groupBy(shingle) + pair explode —
+        no shingle-keyed join node anywhere in the plan."""
+        from spark_expectations_spark.operators import dedup
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.15)
+        txt = plans.plan_text(pairs, "simple")
+        assert not any("Join" in line and "shingle" in line
+                       for line in txt.splitlines())
+        assert plans.num_shuffles(pairs) <= 4
+        assert "CartesianProduct" not in txt
+
     def test_minhash_banding_single_exchange_no_self_join(self, spark):
         """Banding is one groupBy + in-bucket pair explode, not a stacked
         self-join: total Exchange count (including the cached signature
