@@ -51,6 +51,24 @@ def main() -> None:
                                        budget=16384, n_streams=8)
     n_packs = packed.select("stream", "pack_id").distinct().count()
     print(f"packing: {clean_train.count()} docs -> {n_packs} packs")
+
+    # balanced eval set: 5 docs per language, deterministic across runs
+    eval_set = sampling.sample_per_group(
+        split.filter(F.col("split") == "val"), ["lang"], "doc_id", 5)
+    print(f"balanced eval set: {eval_set.count()} docs")
+
+    # topic fingerprint of the kept corpus: top TF-IDF terms per doc
+    terms = text.top_terms(clean_train, "doc_id", "text", top_k=3, min_df=2)
+    terms.groupBy("term").count().orderBy(F.desc("count")).limit(5).show()
+
+    # day-2 operation: append a new batch without rescanning the corpus
+    index = clean_train.select(text.fingerprint(F.col("text"))
+                               .alias("fingerprint")).distinct()
+    batch = docs.limit(50).withColumn(
+        "fingerprint", text.fingerprint(F.col("text")))
+    admitted = dedup.incremental_dedup(batch, index, "doc_id")
+    print(f"incremental append: {batch.count()} batch -> "
+          f"{admitted.count()} admitted")
     spark.stop()
 
 
