@@ -155,3 +155,57 @@ class TestRowRuleDifferential:
         assert res.output_count == (
             5 - expect_errors if action == "drop" else 5)
         assert res.final_df.count() == res.output_count
+
+
+class TestIncrementalDedupProperty:
+    """incremental_dedup == (batch minus indexed fps, then exact dedup):
+    the admitted set must have unique fingerprints, none in the index,
+    and cover every non-indexed fingerprint with its min-id row."""
+
+    @given(
+        batch=st.lists(st.tuples(st.integers(0, 30), st.integers(0, 5)),
+                       min_size=1, max_size=25, unique_by=lambda t: t[0]),
+        index=st.lists(st.integers(0, 5), max_size=4),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_reference_semantics(self, spark, batch, index):
+        from spark_expectations_spark.operators import dedup as dd
+        bdf = spark.createDataFrame(
+            [(i, f"fp{f}") for i, f in batch], "doc_id long, fingerprint string")
+        idf = spark.createDataFrame(
+            [(f"fp{f}",) for f in index] or [], "fingerprint string")
+        got = {(r["doc_id"], r["fingerprint"])
+               for r in dd.incremental_dedup(bdf, idf, "doc_id").collect()}
+        indexed = {f"fp{f}" for f in index}
+        expect = {}
+        for i, f in sorted(batch):
+            fp = f"fp{f}"
+            if fp not in indexed and fp not in expect:
+                expect[fp] = i
+        assert got == {(i, fp) for fp, i in expect.items()}
+
+
+class TestSamplePerGroupProperty:
+    """The n-per-group pick is a pure function of the group's member
+    set: invariant under row order and partitioning, always a subset,
+    capped at n per group."""
+
+    @given(
+        rows=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 50)),
+                      min_size=1, max_size=30, unique_by=lambda t: t[1]),
+        n=st.integers(1, 4),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_invariance_subset_cap(self, spark, rows, n):
+        from spark_expectations_spark.operators import sampling
+        df1 = spark.createDataFrame(rows, "grp long, key long")
+        df2 = spark.createDataFrame(list(reversed(rows)), "grp long, key long") \
+                   .repartition(7)
+        pick = lambda df: sorted(  # noqa: E731
+            (r["grp"], r["key"])
+            for r in sampling.sample_per_group(df, ["grp"], "key", n).collect())
+        p1, p2 = pick(df1), pick(df2)
+        assert p1 == p2
+        assert set(p1) <= {(g, k) for g, k in rows}
+        from collections import Counter
+        assert all(c <= n for c in Counter(g for g, _ in p1).values())
