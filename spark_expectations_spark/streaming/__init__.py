@@ -392,3 +392,44 @@ def drift_monitor(
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
     return writer.start()
+
+
+def corpus_append_dedup(
+    index_path: str,
+    id_col: str,
+    *,
+    fp_col: str = "fingerprint",
+    out_path: Optional[str] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step: admit only rows whose fingerprint has never been
+    seen in ANY previous batch, with the dedup state as a parquet
+    fingerprint index instead of streaming state-store memory.
+
+    ``streaming_dedup`` (dropDuplicatesWithinWatermark) bounds state by a
+    time horizon — right for event streams, wrong for corpus building
+    where "duplicate" means *ever seen*. Here the horizon is unbounded
+    but the state lives on disk: each micro-batch anti-joins the index
+    (operators/dedup.incremental_dedup — co-located at scale when both
+    sides bucket by fingerprint), appends the admitted rows to
+    ``out_path``, and appends exactly their fingerprints to the index.
+    Index growth per batch == admitted rows; the corpus is never
+    rescanned. Compose with ``idempotent_foreach_batch`` for
+    exactly-once across restarts.
+    """
+    from ..operators.dedup import incremental_dedup
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path).select(fp_col)
+        except Exception:  # first batch: no index yet
+            index = spark.createDataFrame([], f"{fp_col} string")
+        admitted = incremental_dedup(batch_df, index, id_col, fp_col=fp_col)
+        # admitted is computed lazily twice below — tiny frames per batch;
+        # localCheckpoint would sever lineage but costs a job either way
+        admitted = admitted.localCheckpoint(eager=True)
+        if out_path is not None:
+            admitted.write.mode("append").parquet(out_path)
+        admitted.select(fp_col).write.mode("append").parquet(index_path)
+
+    return step

@@ -180,6 +180,27 @@ class TestStreamingDQ:
             for q in spark.streams.active:
                 q.stop()
 
+    def test_corpus_append_dedup_across_batches(self, spark, tmp_path):
+        """Disk-indexed exact dedup: duplicates are rejected across batch
+        boundaries and within a batch; the index grows by exactly the
+        admitted fingerprints."""
+        from spark_expectations_spark import streaming as st
+        idx = str(tmp_path / "fp_index")
+        out = str(tmp_path / "corpus")
+        step = st.corpus_append_dedup(idx, "doc_id", out_path=out)
+        b1 = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "doc_id long, fingerprint string")
+        b2 = spark.createDataFrame(
+            [(4, "b"), (5, "c"), (6, "c")], "doc_id long, fingerprint string")
+        step(b1, 0)
+        step(b2, 1)
+        corpus = sorted(r["doc_id"]
+                        for r in spark.read.parquet(out).collect())
+        assert corpus == [1, 2, 5]  # 3 dup-in-batch, 4 dup-cross-batch, 6 dup-in-batch
+        fps = sorted(r["fingerprint"]
+                     for r in spark.read.parquet(idx).collect())
+        assert fps == ["a", "b", "c"]
+
     def test_foreach_batch_full_dq(self, spark, tmp_path):
         from spark_expectations_spark.streaming import foreach_batch_dq
         src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
