@@ -351,3 +351,41 @@ def top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into fixed-size character windows with overlap —
+    the embedding/RAG ingestion primitive. Emits
+    (id, chunk_idx, start, chunk_text) where ``start`` is the 0-based
+    char offset and consecutive chunks share ``overlap`` chars.
+
+    Pure JVM: one ``sequence`` + ``explode`` + ``substring`` projection —
+    no shuffle at all (chunking inherits the scan's partitioning), no
+    UDF; at 100 TB this is a map-only stage. Stride is
+    ``chunk_chars - overlap``; the final partial chunk is kept (min
+    length 1). Empty/null docs emit nothing.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be < chunk_chars")
+    stride = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap))
+               / F.lit(stride)).cast("int"),
+        F.lit(1))
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx")
+    out = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .select(F.col(id_col), F.col(text_col), idx)
+        .withColumn("start", F.col("chunk_idx") * stride)
+        .withColumn("chunk_text",
+                    F.substring(F.col(text_col), F.col("start") + 1,
+                                chunk_chars))
+    )
+    return out.select(id_col, "chunk_idx", "start", "chunk_text")

@@ -2499,6 +2499,35 @@ SELECT doc_id, fingerprint FROM r WHERE rn = 1
 """
 
 
+def q_docs_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping char-window chunking (text.chunk_documents, 256/32):
+    zero-shuffle map-only projection; the chunk count and offsets are a
+    pure function of doc length so DuckDB reproduces them exactly."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    out = text_ops.chunk_documents(docs, "doc_id", "text",
+                                   chunk_chars=256, overlap=32)
+    return out.select("doc_id", "chunk_idx", "start",
+                      F.length("chunk_text").alias("chunk_len"),
+                      F.md5("chunk_text").alias("chunk_md5"))
+
+
+ORACLE_DOCS_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text,
+         greatest(CAST(ceil((length(text) - 32) / 224.0) AS INT), 1) AS nc
+  FROM documents WHERE length(text) > 0),
+x AS (
+  SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM d)
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(chunk_idx * 224 AS INT) AS start,
+       length(substr(text, CAST(chunk_idx * 224 AS INT) + 1, 256)) AS chunk_len,
+       md5(substr(text, CAST(chunk_idx * 224 AS INT) + 1, 256)) AS chunk_md5
+FROM x
+"""
+
+
 def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM scoring (operators/text.py::unigram_logprob) —
     the CCNet-style perplexity-proxy filter. Model = one map-side-
@@ -2996,6 +3025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_split": q_docs_train_split,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lm_score": q_docs_lm_score,
+    "docs_chunks": q_docs_chunks,
     "docs_group_sample": q_docs_group_sample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_tfidf_terms": q_docs_tfidf_terms,
@@ -3087,6 +3117,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
+    "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,
     "docs_tfidf_terms": ORACLE_DOCS_TFIDF_TERMS,

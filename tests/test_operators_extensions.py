@@ -184,6 +184,30 @@ class TestText:
         with pytest.raises(ValueError, match="scheme"):
             text.term_weights(df, "doc_id", "text", scheme="nope")
 
+    def test_chunk_documents_cover_and_overlap(self, spark):
+        df = spark.createDataFrame([(1, "x" * 1000), (2, "short"), (3, "")],
+                                   "doc_id long, text string")
+        out = text.chunk_documents(df, "doc_id", "text",
+                                   chunk_chars=256, overlap=32)
+        rows = sorted((r["doc_id"], r["chunk_idx"], r["start"],
+                       len(r["chunk_text"])) for r in out.collect())
+        by_doc = {}
+        for d, i, s, ln in rows:
+            by_doc.setdefault(d, []).append((i, s, ln))
+        # doc 1: stride 224, ceil((1000-32)/224)=5 chunks; last partial
+        assert [s for _, s, _ in by_doc[1]] == [0, 224, 448, 672, 896]
+        assert by_doc[1][-1][2] == 1000 - 896
+        # consecutive chunks overlap by 32: next start == prev start+224
+        # coverage: last chunk reaches end of doc
+        assert by_doc[2] == [(0, 0, 5)]   # short doc -> one chunk
+        assert 3 not in by_doc            # empty doc emits nothing
+
+    def test_chunk_documents_rejects_bad_overlap(self, spark):
+        df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="overlap"):
+            text.chunk_documents(df, "doc_id", "text",
+                                 chunk_chars=10, overlap=10)
+
     def test_fingerprint_normalization(self, spark):
         df = spark.createDataFrame(
             [("Hello,   World!",), ("hello world",)], "t string")
