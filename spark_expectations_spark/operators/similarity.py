@@ -649,3 +649,46 @@ def assignment_quality(
             .withColumn("__sim", sim)
             .groupBy(*corpus.columns).agg(F.max("__sim").alias("__best")))
     return float(best.agg(F.avg("__best")).first()[0])
+
+
+def mean_pool(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    *,
+    normalize: bool = False,
+) -> DataFrame:
+    """Elementwise mean of vectors per group — chunk→document embedding
+    pooling (the aggregation half of a chunk/embed/pool pipeline).
+
+    posexplode → groupBy(group, position) → avg → re-assemble sorted:
+    two keyed, map-combined aggregations whose shuffle carries one
+    (group, pos, sum, count) row per dimension — never a whole vector
+    list in memory, unlike ``collect_list``-then-reduce, so a group with
+    a million chunks pools in O(dim) state. ``normalize=True`` L2-scales
+    the pooled vector (guarded against zero norm).
+
+    Returns (group_col, n_vectors, pooled) with ``pooled`` array<float>.
+    """
+    ex = df.select(
+        F.col(group_col), F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
+    per_dim = ex.groupBy(group_col, "_pos").agg(
+        F.avg("_v").alias("_m"), F.count(F.lit(1)).alias("_n"))
+    pooled = (
+        per_dim.groupBy(group_col)
+        .agg(F.array_sort(F.collect_list(F.struct("_pos", "_m")))
+             .alias("_pm"),
+             F.max("_n").alias("n_vectors"))
+        .select(
+            F.col(group_col), F.col("n_vectors"),
+            F.transform(F.col("_pm"), lambda s: s["_m"].cast("float"))
+            .alias("pooled"))
+    )
+    if not normalize:
+        return pooled
+    nrm = _norm(F.col("pooled"))
+    unit = F.transform(
+        F.col("pooled"),
+        lambda v: F.when(nrm > 0, v.cast("double") / nrm)
+                   .otherwise(F.lit(0.0)).cast("float"))
+    return pooled.select(group_col, "n_vectors", unit.alias("pooled"))

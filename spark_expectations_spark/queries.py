@@ -619,6 +619,41 @@ def q_embed_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
 
+def q_embed_mean_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean-pooled embedding (similarity.mean_pool): posexplode
+    → per-dimension avg → reassemble; compared via scalar projections
+    (norm and element sum) of the pooled float32 vector — DuckDB
+    reproduces the float rounding exactly like the ann_ivf centroids."""
+    from .operators import similarity as sim
+
+    emb = load(spark, sf_dir, "embeddings")
+    pooled = sim.mean_pool(emb, "label", "embedding")
+    total = F.aggregate("pooled", F.lit(0.0),
+                        lambda a, v: a + v.cast("double"))
+    return pooled.select(
+        F.col("label").cast("long").alias("label"),
+        "n_vectors",
+        F.round(sim._norm(F.col("pooled")), 6).alias("pooled_norm"),
+        F.round(total, 6).alias("pooled_sum"),
+    )
+
+
+ORACLE_EMBED_MEAN_POOL = """
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS e FROM embeddings),
+per AS (
+  SELECT label, i,
+         CAST(CAST(sum(e[i]) / count(*) AS FLOAT) AS DOUBLE) AS m,
+         count(*) AS n
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(i)
+  GROUP BY label, i)
+SELECT CAST(label AS BIGINT) AS label, CAST(max(n) AS BIGINT) AS n_vectors,
+       round(sqrt(sum(m * m)), 6) AS pooled_norm,
+       round(sum(m), 6) AS pooled_sum
+FROM per GROUP BY label
+"""
+
+
 def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding QA: vectors whose L2 norm sits >2σ from the corpus mean
     (degenerate/corrupt embeddings). Norms are one codegen projection
@@ -2997,6 +3032,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_blocked": q_embed_near_dups_blocked,
+    "embed_mean_pool": q_embed_mean_pool,
     "embed_norm_outliers": q_embed_norm_outliers,
     "embed_quantize": q_embed_quantize,
     "ann_topk": q_ann_topk,
@@ -3089,6 +3125,7 @@ ORACLES: dict[str, Optional[str]] = {
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
     "embed_near_dups_blocked": ORACLE_EMBED_NEAR_DUPS,
+    "embed_mean_pool": ORACLE_EMBED_MEAN_POOL,
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "ann_topk": ORACLE_ANN_TOPK,

@@ -128,6 +128,23 @@ class TestSimilarity:
         assert bucketed == {k: exact[k] for k in bucketed}  # exact cosines
         assert len(bucketed) == len(exact)          # recall 1.0 here
 
+    def test_mean_pool_known_values(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (1, [3.0, 2.0]), (2, [5.0, 5.0])],
+            "g long, embedding array<float>")
+        out = {r["g"]: (r["n_vectors"], r["pooled"])
+               for r in similarity.mean_pool(df, "g").collect()}
+        assert out[1][0] == 2 and out[1][1] == [2.0, 1.0]
+        assert out[2] == (1, [5.0, 5.0])
+
+    def test_mean_pool_normalized_unit_norm(self, spark):
+        import math
+        df = spark.createDataFrame(
+            [(1, [3.0, 4.0])], "g long, embedding array<float>")
+        v = similarity.mean_pool(df, "g", normalize=True).first()["pooled"]
+        assert abs(math.sqrt(sum(x * x for x in v)) - 1.0) < 1e-6
+        assert abs(v[0] - 0.6) < 1e-6 and abs(v[1] - 0.8) < 1e-6
+
     def test_lsh_bucket_determinism(self, emb):
         b1 = similarity.random_hyperplane_lsh(emb, dim=64, num_planes=8)
         b2 = similarity.random_hyperplane_lsh(emb, dim=64, num_planes=8)
