@@ -3,9 +3,10 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (86 queries, 84 with DuckDB
-oracles; only the xxhash64-based dedup_minhash/dedup_simhash stay
-rows-only — their md5_48 twins and ann_ivf carry full value oracles).
+catalog from spark_expectations_spark.queries (90 queries, 87 with DuckDB
+oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
+whose md5_48 twins carry full value oracles — and the HLL-sketch
+events_distinct_rollup, approximate by construction).
 """
 
 from __future__ import annotations
