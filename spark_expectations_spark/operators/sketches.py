@@ -104,3 +104,45 @@ def theta_distinct_by_group(
         .agg(F.theta_sketch_agg(value_col).alias(sketch_out))
         .withColumn(estimate_out, F.theta_sketch_estimate(sketch_out))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    *,
+    min_share: float = 0.01,
+) -> DataFrame:
+    """Exact heavy hitters via the two-phase sketch-then-confirm pattern.
+
+    Phase 1: ``df.stat.freqItems`` (Spark's JVM-side Karp/Misra-Gries
+    family) returns a candidate set of at most ~1/min_share items in ONE
+    pass with NO shuffle of raw rows — guaranteed a superset of every
+    value with share > min_share. Phase 2 confirms with exact counts
+    over only the candidate-filtered rows (shuffle ∝ candidate
+    occurrences, not distinct values) against a 1-row total broadcast.
+    The output is therefore EXACT — the sketch only prunes — which is
+    what makes it oracle-checkable; share_ppm is computed in integer
+    half-up arithmetic to dodge cross-engine double-rounding ties.
+
+    Returns (col, cnt, share_ppm) for values with share STRICTLY above
+    min_share — the sketch's superset guarantee only covers
+    share > support, so the confirm filter is strict to stay exact at
+    the boundary.
+    """
+    cand = df.stat.freqItems([col], min_share).first()[0]
+    if not cand:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], f"{col} string, cnt long, share_ppm long")
+    total = df.agg(F.count(F.lit(1)).alias("_total"))
+    counts = (
+        df.filter(F.col(col).isin([v for v in cand]))
+        .groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+    )
+    share_ppm = F.expr("(cnt * 2000000 + _total) div (_total * 2)")
+    return (
+        counts.withColumn("share_ppm", share_ppm)
+        .filter(F.col("cnt") * F.lit(1.0) / F.col("_total") > min_share)
+        .select(col, "cnt", "share_ppm")
+    )

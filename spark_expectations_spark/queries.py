@@ -2563,6 +2563,32 @@ FROM x
 """
 
 
+def q_docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy-hitter tokens (sketches.heavy_hitters): one-pass
+    JVM Misra-Gries candidates (df.stat.freqItems, no shuffle of raw
+    rows) confirmed by exact counts over candidate-filtered rows — the
+    output is exact, so it oracle-checks; share in integer half-up ppm."""
+    from .operators import dedup as dd
+    from .operators import sketches
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens_col(F.col("text"))).alias("tok"))
+    return sketches.heavy_hitters(toks, "tok", min_share=0.005)
+
+
+ORACLE_DOCS_HEAVY_TOKENS = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+t AS (SELECT count(*) AS total FROM toks),
+c AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+SELECT tok, cnt,
+       (cnt * 2000000 + total) // (total * 2) AS share_ppm
+FROM c, t
+WHERE cnt * 1.0 / total > 0.005
+"""
+
+
 def q_docs_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM scoring (operators/text.py::unigram_logprob) —
     the CCNet-style perplexity-proxy filter. Model = one map-side-
@@ -3061,6 +3087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_split": q_docs_train_split,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lm_score": q_docs_lm_score,
+    "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_group_sample": q_docs_group_sample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -3154,6 +3181,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
+    "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,

@@ -266,6 +266,21 @@ class TestText:
         assert out.count() == 10
 
 
+class TestHeavyHitters:
+    def test_exact_and_prunes(self, spark):
+        from spark_expectations_spark.operators import sketches
+        rows = [("hot",)] * 60 + [("warm",)] * 30 + [("c1",), ("c2",)] * 5
+        df = spark.createDataFrame(rows, "v string")
+        out = {r["v"]: (r["cnt"], r["share_ppm"])
+               for r in sketches.heavy_hitters(df, "v", min_share=0.2).collect()}
+        assert out == {"hot": (60, 600000), "warm": (30, 300000)}
+
+    def test_no_hitters_empty_result(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame([(str(i),) for i in range(50)], "v string")
+        assert sketches.heavy_hitters(df, "v", min_share=0.5).count() == 0
+
+
 class TestSamplePerGroup:
     def test_partition_invariant_and_capped(self, docs):
         from spark_expectations_spark.operators import sampling
