@@ -163,11 +163,15 @@ def jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
+    # NOTE: no broadcast hint on the sizes joins — `sizes` has one row per
+    # document (corpus-sized), so a forced broadcast would collect the whole
+    # corpus to the driver at scale. Both joins are keyed on the doc id; AQE
+    # picks a broadcast only when the sizes frame is actually small.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
     return (
-        inter.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -88,20 +88,30 @@ def category_proportions(
     """(category, proportion) for the ``top_n`` most frequent values;
     everything else collapses into '__other__' so two snapshots always
     compare over a bounded, aligned category set. NULL is its own
-    category ('__null__') — null-rate drift is real drift."""
-    from pyspark.sql import Window
+    category ('__null__') — null-rate drift is real drift.
+
+    Scale shape: the top-N cut is ``orderBy().limit()`` —
+    TakeOrderedAndProject, a per-partition partial top-N merged on the
+    driver, NOT a global single-partition window sort (row_number with
+    no partitionBy funnels every distinct category through one task; for
+    an id/URL-cardinality column that's the whole corpus in one sort).
+    The winners (≤ top_n rows, bounded by contract) broadcast back onto
+    the counts to fold the tail into '__other__'. Counts are persisted
+    so the source is scanned once for both the cut and the fold."""
+    from pyspark.storagelevel import StorageLevel
 
     norm = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
     counts = df.groupBy(norm.alias("category")).agg(
-        F.count(F.lit(1)).alias("_n"))
-    ranked = counts.withColumn(
-        "_rk", F.row_number().over(
-            Window.orderBy(F.col("_n").desc(), F.col("category"))))
+        F.count(F.lit(1)).alias("_n")).persist(StorageLevel.MEMORY_AND_DISK)
+    top = (counts.orderBy(F.col("_n").desc(), F.col("category"))
+           .limit(int(top_n)))
+    marks = top.select("category", F.lit(True).alias("_keep"))
     bucketed = (
-        ranked.withColumn(
-            "category",
-            F.when(F.col("_rk") <= top_n, F.col("category"))
-            .otherwise(F.lit("__other__")))
+        counts.join(F.broadcast(marks), "category", "left")
+        .select(
+            F.when(F.col("_keep"), F.col("category"))
+            .otherwise(F.lit("__other__")).alias("category"),
+            "_n")
         .groupBy("category").agg(F.sum("_n").alias("_n"))
     )
     total = bucketed.agg(F.sum("_n").alias("_t"))
@@ -122,10 +132,10 @@ def categorical_psi(
     numeric ``psi``, same full-outer alignment so categories present on
     one side only are penalized via the epsilon clamp.
 
-    Scale note: the top-N ranking runs a single-partition window over
-    the *distinct-category counts* (bounded by column cardinality, not
-    rows); for genuinely high-cardinality columns lower ``top_n`` or
-    pre-bucket upstream."""
+    Scale note: the top-N cut is TakeOrderedAndProject over the
+    distinct-category counts (per-partition partial top-N, no global
+    sort), so high-cardinality columns are safe; only ``top_n`` + 2
+    category rows ever converge anywhere."""
     p = category_proportions(baseline, col, top_n=top_n, out="p")
     q = category_proportions(current, col, top_n=top_n, out="q")
     j = p.join(q, "category", "full_outer").select(

@@ -53,6 +53,18 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in plan_text(df, "simple")
 
 
+def has_broadcast_hint(df: DataFrame) -> bool:
+    """True if the LOGICAL plan carries a broadcast hint (``F.broadcast``
+    / ``/*+ BROADCAST */``). Distinct from ``has_broadcast_join``: a
+    stats-driven BroadcastHashJoin picked by the planner on genuinely
+    small data is fine; a *hint* forces the collect regardless of size
+    and is what scale pins must ban on corpus-sized frames."""
+    txt = plan_text(df, "extended")
+    logical = txt.split("== Physical Plan ==")[0]
+    return bool(re.search(r"ResolvedHint|UnresolvedHint|hint=\[[^\]]*broadcast",
+                          logical, re.IGNORECASE))
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen regions — wider spans = more fused
     JVM-side execution. Uses explain('codegen') because AQE's

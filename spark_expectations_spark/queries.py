@@ -587,8 +587,14 @@ ORACLE_DEDUP_SIMHASH_MD5 = _oracle_simhash_md5()
 
 
 def q_embed_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline near-dup pairs — routes through the scale-safe
+    similarity.blocked_near_duplicate_pairs tier (scan-fed, chunk-tiled,
+    no driver collect, no corpus-size cap). The broadcast tier
+    (similarity.near_duplicate_pairs, ≤2M-row cap) remains available as a
+    documented small-corpus opt-in and is exercised by
+    embed_near_dups_bcast below."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity.near_duplicate_pairs(
+    pairs = similarity.blocked_near_duplicate_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
@@ -608,13 +614,14 @@ WHERE list_sum(list_transform(range(1, len(a.e) + 1),
 """
 
 
-def q_embed_near_dups_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The no-driver-collect twin of embed_near_dups
-    (similarity.blocked_near_duplicate_pairs): block nested-loop via one
-    explode + grouped applyInPandas, no corpus-size cap — exact, so it
-    shares embed_near_dups' oracle verbatim."""
+def q_embed_near_dups_bcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-corpus opt-in tier (similarity.near_duplicate_pairs):
+    collects the matrix to the driver and broadcasts it — fastest under
+    the hard 2M-row cap, never the default. Exact, so it shares
+    embed_near_dups' oracle verbatim; keeping it in the catalog pins the
+    tiers' parity every round."""
     emb = load(spark, sf_dir, "embeddings")
-    pairs = similarity.blocked_near_duplicate_pairs(
+    pairs = similarity.near_duplicate_pairs(
         emb, id_col="vec_id", vec_col="embedding", threshold=0.4)
     return pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
 
@@ -3057,7 +3064,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "embed_near_dups": q_embed_near_dups,
-    "embed_near_dups_blocked": q_embed_near_dups_blocked,
+    "embed_near_dups_bcast": q_embed_near_dups_bcast,
     "embed_mean_pool": q_embed_mean_pool,
     "embed_norm_outliers": q_embed_norm_outliers,
     "embed_quantize": q_embed_quantize,
@@ -3151,7 +3158,7 @@ ORACLES: dict[str, Optional[str]] = {
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
-    "embed_near_dups_blocked": ORACLE_EMBED_NEAR_DUPS,
+    "embed_near_dups_bcast": ORACLE_EMBED_NEAR_DUPS,
     "embed_mean_pool": ORACLE_EMBED_MEAN_POOL,
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,

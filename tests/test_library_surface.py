@@ -432,6 +432,22 @@ class TestPlanShapes:
         assert plans.num_shuffles(pairs) <= 4
         assert "CartesianProduct" not in txt
 
+    def test_jaccard_no_forced_broadcast_of_sizes(self, spark):
+        """The per-doc sizes frame is corpus-sized (one row per document):
+        a hinted broadcast of it driver-OOMs at 100 TB. The logical plan
+        must carry NO broadcast hint — a stats-driven broadcast picked by
+        the planner when sizes is actually small remains allowed (and
+        happens at sf0.001); the *forced* collect is what's banned."""
+        from spark_expectations_spark.operators import dedup
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3,
+                                    threshold=0.15)
+        assert not plans.has_broadcast_hint(pairs)
+        # sanity: the helper does flag a hinted frame
+        sized = pairs.limit(5)
+        hinted = pairs.join(F.broadcast(sized), ["id_a"], "left_semi")
+        assert plans.has_broadcast_hint(hinted)
+
     def test_minhash_banding_single_exchange_no_self_join(self, spark):
         """Banding is one groupBy + in-bucket pair explode, not a stacked
         self-join: total Exchange count (including the cached signature

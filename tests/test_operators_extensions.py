@@ -867,6 +867,36 @@ class TestCategoricalDrift:
         assert r.psi > 0.25
         assert r.n_categories_compared == 5  # 0,1,2,__null__,zzz
 
+    def test_tail_folds_into_other(self, spark):
+        """Cardinality above top_n: the tail must collapse to __other__
+        with its mass summed, not dropped."""
+        from spark_expectations_spark.operators import drift
+        # values 0..9, value k appears (10-k)*10 times -> top 3: 0,1,2
+        a = spark.createDataFrame(
+            [(str(k),) for k in range(10) for _ in range((10 - k) * 10)],
+            "c string")
+        props = {r.category: r.prop
+                 for r in drift.category_proportions(a, "c", top_n=3).collect()}
+        assert set(props) == {"0", "1", "2", "__other__"}
+        total_rows = sum((10 - k) * 10 for k in range(10))  # 550
+        assert abs(props["0"] - 100 / total_rows) < 1e-12
+        assert abs(props["__other__"]
+                   - sum((10 - k) * 10 for k in range(3, 10)) / total_rows) < 1e-12
+        assert abs(sum(props.values()) - 1.0) < 1e-12
+
+    def test_top_n_cut_is_take_ordered_not_global_window(self, spark):
+        """Plan pin: the top-N cut compiles to TakeOrderedAndProject
+        (per-partition partial top-N), with NO window operator — the
+        unpartitioned row_number sort funneled every distinct category
+        through a single task."""
+        from spark_expectations_spark.operators import drift
+        from spark_expectations_spark import plans
+        a = spark.range(1000).selectExpr("CAST(id % 97 AS STRING) AS c")
+        df = drift.category_proportions(a, "c", top_n=5)
+        txt = plans.plan_text(df, "simple")
+        assert "TakeOrderedAndProject" in txt
+        assert "Window" not in txt
+
 
 class TestKMeansRefine:
     def test_refinement_improves_objective(self, emb):
