@@ -26,6 +26,9 @@ BENCH_QUERIES = [
     "events_hourly", "events_sessions", "docs_clean_corpus",
     "docs_pack_streams", "users_scd2", "orders_snapshot_diff",
     "lineitem_price_drift",
+    # round-3 operators (VERDICT r03 item 6)
+    "docs_tfidf_terms", "docs_heavy_tokens", "docs_chunks",
+    "docs_group_sample", "embed_near_dups_bcast",
 ]
 
 

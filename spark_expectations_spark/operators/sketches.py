@@ -131,9 +131,16 @@ def heavy_hitters(
     """
     cand = df.stat.freqItems([col], min_share).first()[0]
     if not cand:
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            [], f"{col} string, cnt long, share_ppm long")
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        # derive the value column's type from the input so the empty
+        # frame unions cleanly with the non-empty path for any col type
+        schema = StructType([
+            StructField(col, df.schema[col].dataType),
+            StructField("cnt", LongType()),
+            StructField("share_ppm", LongType()),
+        ])
+        return df.sparkSession.createDataFrame([], schema)
     total = df.agg(F.count(F.lit(1)).alias("_total"))
     counts = (
         df.filter(F.col(col).isin([v for v in cand]))

@@ -1117,7 +1117,13 @@ def q_events_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     round of avg·10⁴ = (cents·200 + n) div (2n)): `round(avg(double))`
     lands on decimal ties (e.g. 1236.27/24 = 51.51125 exactly) where
     Spark's HALF_UP and DuckDB's binary-double rounding disagree — this
-    bit the sf0.1 gate with 3 cells out of 3600."""
+    bit the sf0.1 gate with 3 cells out of 3600.
+
+    DATA CONTRACT: the identity requires a NONNEGATIVE sum — Spark's
+    `div` truncates toward zero while DuckDB's `//` floors, so a
+    negative numerator rounds differently per engine. events.value >= 0
+    by the generator's contract (prices); reuse elsewhere needs a
+    sign-aware shift (add n·sign(sum) before the div) first."""
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events")
     hour_s = F.expr("ts div 1000000000 div 3600 * 3600")
@@ -1207,6 +1213,11 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer half-up mean requires sum(__k) >= 0 (div truncates toward
+    # zero, DuckDB // floors — they differ on negatives) and count > 0
+    # per group; props.$.k is a nonnegative int by the generator's
+    # contract and a group exists only where a row (hence a k) does.
+    # See q_events_ffill's DATA CONTRACT note for the sign-aware fix.
     ev = load(spark, sf_dir, "events")
     ev = ev.withColumn(
         "__k", F.get_json_object(F.col("props"), "$.k").cast("long"))
@@ -2751,6 +2762,36 @@ def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_distinct_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT twin of events_distinct_rollup (VERDICT r03 item 4): the
+    same rollup lattice — (event_type, day), (event_type), grand total —
+    with exact count(distinct user_id) per cell instead of HLL unions,
+    which makes it fully value-oracle-checkable. At 100 TB this is the
+    expensive-but-exact variant (countDistinct expands + shuffles raw
+    (key, user) pairs once); the HLL twin is the persistable scale path.
+    Day is derived in UTC from epoch nanos, matching the oracle's
+    epoch_ns arithmetic."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(
+        F.timestamp_seconds(F.expr("ts div 1000000000")), "yyyy-MM-dd")
+    return (
+        ev.withColumn("day", day)
+        .rollup("event_type", "day")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select("event_type", "day", "n_users")
+    )
+
+
+ORACLE_EVENTS_DISTINCT_ROLLUP_EXACT = """
+SELECT event_type,
+       strftime(to_timestamp(epoch_ns(ts) // 1000000000), '%Y-%m-%d') AS day,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY ROLLUP(event_type, day)
+"""
+
+
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot reconciliation (operators/diff.py): two
     deterministic 'snapshots' derived from orders (keys mod-filtered,
@@ -3102,6 +3143,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bm25_terms": q_docs_bm25_terms,
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
+    "events_distinct_rollup_exact": q_events_distinct_rollup_exact,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "users_scd2": q_users_scd2,
     "lineitem_price_drift": q_lineitem_price_drift,
@@ -3195,6 +3237,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_tfidf_terms": ORACLE_DOCS_TFIDF_TERMS,
     "docs_bm25_terms": ORACLE_DOCS_BM25_TERMS,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
+    "events_distinct_rollup_exact": ORACLE_EVENTS_DISTINCT_ROLLUP_EXACT,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,
     "lineitem_price_drift": ORACLE_LINEITEM_PRICE_DRIFT,

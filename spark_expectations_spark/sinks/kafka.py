@@ -33,6 +33,25 @@ _OAUTH_CALLBACK = (
 _STRIMZI_CALLBACK = "io.strimzi.kafka.oauth.client.JaasClientOauthLoginCallbackHandler"
 
 
+def _jaas_dquote(value: str) -> str:
+    """Double-quote a JAAS option value, escaping backslashes and quotes —
+    a secret containing ``"`` or ``\\`` must not terminate the string or
+    inject extra JAAS options."""
+    return '"' + value.replace("\\", "\\\\").replace('"', '\\"') + '"'
+
+
+def _jaas_squote(value: str) -> str:
+    """Single-quote a value for the legacy Strimzi JAAS shape. Escaping
+    inside single quotes is not portably defined across JAAS parsers, so
+    metacharacters are rejected outright rather than smuggled through."""
+    if any(c in value for c in ("'", ";", "\n", "\r", "\0")):
+        raise ValueError(
+            "secret/endpoint contains a JAAS metacharacter (' ; or a "
+            "control char) unsupported in the legacy single-quoted shape; "
+            "use the modern OAuth shape or rotate the credential")
+    return "'" + value + "'"
+
+
 def local_kafka_options(
     topic: str, *, bootstrap_servers: str = "localhost:9092"
 ) -> dict[str, str]:
@@ -85,9 +104,9 @@ def oauth_kafka_options(
             raise ValueError("legacy_strimzi OAuth requires token_endpoint")
         jaas = (
             f"{shaded_prefix}{_OAUTH_MODULE} required "
-            f"oauth.client.id='{cid}' "
-            f"oauth.client.secret='{csec}' "
-            f"oauth.token.endpoint.uri='{tep}';"
+            f"oauth.client.id={_jaas_squote(cid)} "
+            f"oauth.client.secret={_jaas_squote(csec)} "
+            f"oauth.token.endpoint.uri={_jaas_squote(tep)};"
         )
         base["kafka.sasl.jaas.config"] = jaas
         base["kafka.sasl.login.callback.handler.class"] = _STRIMZI_CALLBACK
@@ -95,7 +114,7 @@ def oauth_kafka_options(
 
     jaas = (
         f'{shaded_prefix}{_OAUTH_MODULE} required '
-        f'clientId="{cid}" clientSecret="{csec}";'
+        f'clientId={_jaas_dquote(cid)} clientSecret={_jaas_dquote(csec)};'
     )
     base["kafka.sasl.jaas.config"] = jaas
     if tep is not None:

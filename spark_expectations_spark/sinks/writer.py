@@ -256,6 +256,25 @@ def materialize_temp_table(
     return spark.table(tmp)
 
 
+def kafka_connector_available(spark) -> bool:
+    """True when the spark-sql-kafka connector is on the classpath.
+
+    Probes the DataSource registry by asking the ``kafka`` format to
+    validate (empty) options: a missing connector fails lookup with
+    DATA_SOURCE_NOT_FOUND / "Failed to find data source", while a
+    present connector raises an option-validation error instead. Lets
+    ``stats_to_kafka`` callers and the jar-gated smoke test skip cleanly
+    in connector-less environments instead of dying on ClassNotFound."""
+    try:
+        spark.read.format("kafka").load()
+    except Exception as exc:  # noqa: BLE001 - classifying, not handling
+        msg = str(exc)
+        if "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find data source" in msg:
+            return False
+        return True  # connector resolved; it complained about options
+    return True
+
+
 def stats_to_kafka(result_df: DataFrame, topic: str, options: dict[str, str],
                    secret_resolver=None) -> None:
     """Stats row → JSON → Kafka (reference sinks/plugins/kafka_writer.py:59-61).

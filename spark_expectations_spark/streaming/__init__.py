@@ -410,26 +410,53 @@ def corpus_append_dedup(
     where "duplicate" means *ever seen*. Here the horizon is unbounded
     but the state lives on disk: each micro-batch anti-joins the index
     (operators/dedup.incremental_dedup — co-located at scale when both
-    sides bucket by fingerprint), appends the admitted rows to
-    ``out_path``, and appends exactly their fingerprints to the index.
-    Index growth per batch == admitted rows; the corpus is never
-    rescanned. Compose with ``idempotent_foreach_batch`` for
-    exactly-once across restarts.
+    sides bucket by fingerprint) and writes the admitted rows to
+    ``out_path`` and their fingerprints to the index. Index growth per
+    batch == admitted rows; the corpus is never rescanned.
+
+    Exactly-once across mid-batch failures: both sinks are partitioned
+    by ``_batch_id`` and written with DYNAMIC partition overwrite, so a
+    retried batch *replaces* its own partition instead of appending a
+    second copy. The admitted set is deterministic under retry because
+    the dedup excludes index entries stamped with the current batch_id
+    (a failed prior attempt's half-written state), and foreachBatch
+    replays the same source offsets. Readers of ``out_path`` see the
+    extra ``_batch_id`` partition column.
     """
+    from pyspark.errors import AnalysisException
+
     from ..operators.dedup import incremental_dedup
 
     def step(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         try:
-            index = spark.read.parquet(index_path).select(fp_col)
-        except Exception:  # first batch: no index yet
-            index = spark.createDataFrame([], f"{fp_col} string")
-        admitted = incremental_dedup(batch_df, index, id_col, fp_col=fp_col)
+            index = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet (path
+            # missing / empty dir). Anything else — corruption, perms —
+            # must propagate: treating it as "empty index" would silently
+            # re-admit every duplicate.
+            index = spark.createDataFrame([], f"{fp_col} string, _batch_id long")
+        if "_batch_id" in index.columns:
+            # a failed attempt of THIS batch may have committed its index
+            # partition; exclude it so the admitted set is identical on
+            # retry (the overwrite below then replaces, not duplicates)
+            prior = index.filter(F.col("_batch_id") != batch_id)
+        else:  # pre-stamping index layout
+            prior = index
+        admitted = incremental_dedup(
+            batch_df, prior.select(fp_col), id_col, fp_col=fp_col)
         # admitted is computed lazily twice below — tiny frames per batch;
         # localCheckpoint would sever lineage but costs a job either way
         admitted = admitted.localCheckpoint(eager=True)
+        stamped = admitted.withColumn("_batch_id", F.lit(batch_id))
         if out_path is not None:
-            admitted.write.mode("append").parquet(out_path)
-        admitted.select(fp_col).write.mode("append").parquet(index_path)
+            (stamped.write.mode("overwrite")
+             .partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(out_path))
+        (stamped.select(fp_col, "_batch_id").write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(index_path))
 
     return step

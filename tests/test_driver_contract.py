@@ -1,0 +1,55 @@
+"""Driver-contract consistency: __spark_entry__'s docstring counts, the
+QUERIES/ORACLES registries, and the declared rows-only set must agree —
+the counts drifted twice across rounds (VERDICT r03 item 7), so they are
+asserted, not documented.
+"""
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _entry_module():
+    import importlib
+    return importlib.import_module("__spark_entry__")
+
+
+class TestDriverContract:
+    def test_docstring_counts_match_registries(self):
+        mod = _entry_module()
+        m = re.search(r"\((\d+) queries, (\d+) with DuckDB\s*\noracles",
+                      mod.__doc__)
+        assert m, "docstring must state '(N queries, M with DuckDB oracles'"
+        n_queries, n_oracles = int(m.group(1)), int(m.group(2))
+        assert n_queries == len(mod.queries()), (
+            f"docstring says {n_queries} queries, registry has "
+            f"{len(mod.queries())} — update __spark_entry__.py")
+        assert n_oracles == len(mod.oracle_sql()), (
+            f"docstring says {n_oracles} oracles, registry has "
+            f"{len(mod.oracle_sql())} — update __spark_entry__.py")
+
+    def test_every_query_has_oracle_or_is_declared_rows_only(self):
+        """The no-oracle set is a deliberate, named list — a new catalog
+        entry silently lacking an oracle is a gate hole, not a choice."""
+        mod = _entry_module()
+        declared_rows_only = {
+            "dedup_minhash",            # xxhash64 — no DuckDB twin; md5 twin checked
+            "dedup_simhash",            # xxhash64 — same
+            "events_distinct_rollup",   # HLL approximate; exact twin checked
+        }
+        missing = set(mod.queries()) - set(mod.oracle_sql())
+        assert missing == declared_rows_only, (
+            f"undeclared no-oracle queries: {missing - declared_rows_only}; "
+            f"stale declarations: {declared_rows_only - missing}")
+
+    def test_oracles_reference_no_unknown_queries(self):
+        mod = _entry_module()
+        assert set(mod.oracle_sql()) <= set(mod.queries())
+
+    def test_bench_queries_exist_in_catalog(self):
+        import bench
+        mod = _entry_module()
+        missing = [q for q in bench.BENCH_QUERIES if q not in mod.queries()]
+        assert not missing, missing

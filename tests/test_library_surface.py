@@ -201,6 +201,35 @@ class TestStreamingDQ:
                      for r in spark.read.parquet(idx).collect())
         assert fps == ["a", "b", "c"]
 
+    def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
+        """A replayed batch (foreachBatch retry after a mid-batch failure)
+        must REPLACE its own output, not append a second copy — the
+        dynamic-partition-overwrite exactly-once contract. Covers both
+        retry orders: index committed but out_path not (worst case: the
+        naive append design re-admits nothing and LOSES rows; ours
+        re-admits deterministically), and full replay after success."""
+        from spark_expectations_spark import streaming as st
+        idx = str(tmp_path / "fp_index")
+        out = str(tmp_path / "corpus")
+        step = st.corpus_append_dedup(idx, "doc_id", out_path=out)
+        b1 = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, fingerprint string")
+        b2 = spark.createDataFrame(
+            [(4, "b"), (5, "c")], "doc_id long, fingerprint string")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)  # replay batch 1 (e.g. failure after commit, retry)
+        corpus = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert corpus == [1, 2, 5]  # no duplicate 5, no lost row
+        fps = sorted(r["fingerprint"] for r in spark.read.parquet(idx).collect())
+        assert fps == ["a", "b", "c"]
+        # next batch still dedups against the full index
+        b3 = spark.createDataFrame(
+            [(7, "c"), (8, "d")], "doc_id long, fingerprint string")
+        step(b3, 2)
+        corpus = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+        assert corpus == [1, 2, 5, 8]
+
     def test_foreach_batch_full_dq(self, spark, tmp_path):
         from spark_expectations_spark.streaming import foreach_batch_dq
         src = spark.readStream.format("rate").option("rowsPerSecond", "200").load()
@@ -331,15 +360,37 @@ class TestSparkConnectStyle:
     }
 
     def test_jvm_internals_only_in_guarded_spots(self):
+        """Connect-safety enforcement (VERDICT r03 item 5): a bare
+        ``df.rdd`` / ``spark.sparkContext`` / py4j ``_jvm`` access added
+        outside the two guarded fallbacks fails this test — the
+        "Connect-safe" claim is a scan, not a docstring. Docstring/comment
+        mentions are exempt (code lines only)."""
         import pathlib
         import re
         root = pathlib.Path("spark_expectations_spark")
-        pat = re.compile(r"\b_jdf\b|\b_jvm\b|\b_jsc\b|\bsparkContext\b|\._sc\b")
+        pat = re.compile(
+            r"\b_jdf\b|\b_jvm\b|\b_jsc\b|\bsparkContext\b|\._sc\b|\.rdd\b")
         offenders = []
         for p in root.rglob("*.py"):
             rel = str(p.relative_to(root))
-            hits = [ln for ln in p.read_text().splitlines()
-                    if pat.search(ln) and not ln.lstrip().startswith("#")]
+            hits = []
+            in_doc = False
+            for ln in p.read_text().splitlines():
+                stripped = ln.strip()
+                # crude but sufficient docstring tracker: our files use
+                # triple-double quotes exclusively
+                quotes = stripped.count('"""')
+                if in_doc:
+                    if quotes:
+                        in_doc = False
+                    continue
+                if quotes == 1:
+                    in_doc = True
+                    continue
+                if quotes >= 2:  # one-line docstring
+                    continue
+                if pat.search(ln) and not stripped.startswith("#"):
+                    hits.append(ln)
             if hits and rel not in self.ALLOWED:
                 offenders.append((rel, hits[:2]))
         assert not offenders, offenders

@@ -280,6 +280,18 @@ class TestHeavyHitters:
         df = spark.createDataFrame([(str(i),) for i in range(50)], "v string")
         assert sketches.heavy_hitters(df, "v", min_share=0.5).count() == 0
 
+    def test_empty_result_schema_matches_nonstring_column(self, spark):
+        """The empty-candidate frame must carry the INPUT column's type
+        (here long), so it unions with the non-empty path."""
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame([(i,) for i in range(50)], "v long")
+        empty = sketches.heavy_hitters(df, "v", min_share=0.5)
+        nonempty = sketches.heavy_hitters(
+            spark.createDataFrame([(7,)] * 10, "v long"), "v", min_share=0.2)
+        assert [f.dataType for f in empty.schema.fields] == \
+               [f.dataType for f in nonempty.schema.fields]
+        assert empty.unionByName(nonempty).count() == 1
+
 
 class TestSamplePerGroup:
     def test_partition_invariant_and_capped(self, docs):

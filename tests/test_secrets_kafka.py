@@ -116,6 +116,25 @@ class TestKafkaOptionSynthesis:
         assert opts["kafka.sasl.login.callback.handler.class"].startswith(
             "kafkashaded.org.apache.kafka")
 
+    def test_modern_jaas_escapes_quotes_and_backslashes(self):
+        """A secret containing '"' or '\\' must not terminate the JAAS
+        string or inject extra options."""
+        opts = oauth_kafka_options(
+            topic="t", bootstrap_servers="b", client_id='c"x',
+            client_secret='p\\q" sasl.evil="1')
+        jaas = opts["kafka.sasl.jaas.config"]
+        assert 'clientId="c\\"x"' in jaas
+        assert 'clientSecret="p\\\\q\\" sasl.evil=\\"1";' in jaas
+        # exactly one unescaped terminator, at the end
+        assert jaas.endswith(";") and jaas.count(";") == 1
+
+    def test_legacy_rejects_jaas_metacharacters(self):
+        with pytest.raises(ValueError, match="metacharacter"):
+            oauth_kafka_options(
+                topic="t", bootstrap_servers="b", client_id="c",
+                client_secret="s'; oauth.evil='1",
+                token_endpoint="https://auth/token", legacy_strimzi=True)
+
     def test_env_dispatch_local(self):
         opts = kafka_write_options(env="local", topic="t")
         assert opts["failOnDataLoss"] == "true"

@@ -219,3 +219,47 @@ class TestErrorRateTrend:
             ["meta_dq_run_id", "product_id", "table_name",
              "error_percentage", "meta_dq_run_datetime"])
         assert error_rate_trend(stats).count() == 0
+
+
+class TestKafkaJarGatedSmoke:
+    """VERDICT r03 item 8: if the env ever grows the spark-sql-kafka
+    connector jar, exercise stats_to_kafka end-to-end; otherwise skip
+    with a clear message (no broker/jar in the default container)."""
+
+    def test_stats_to_kafka_when_connector_present(self, spark):
+        import os
+
+        import pytest
+
+        from spark_expectations_spark.sinks import writer
+        from spark_expectations_spark.sinks.kafka import local_kafka_options
+
+        if not writer.kafka_connector_available(spark):
+            pytest.skip("spark-sql-kafka connector jar not on the "
+                        "classpath in this environment")
+        stats = spark.createDataFrame(
+            [("p1", "t", 100, 3)],
+            "product_id string, table_name string, input_count long, "
+            "error_count long")
+        boot = os.environ.get("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+        if boot:
+            # real broker provided: full write must succeed
+            opts = local_kafka_options("dq-stats-smoke",
+                                       bootstrap_servers=boot)
+            writer.stats_to_kafka(stats, "dq-stats-smoke", opts)
+        else:
+            # jar but no broker: the write must fail with a Kafka client
+            # error (timeout/connect), proving the connector classpath
+            # works — NOT a ClassNotFound/data-source-missing error
+            opts = local_kafka_options(
+                "dq-stats-smoke", bootstrap_servers="localhost:1")
+            opts["kafka.max.block.ms"] = "2000"
+            with pytest.raises(Exception) as ei:
+                writer.stats_to_kafka(stats, "dq-stats-smoke", opts)
+            assert "Failed to find data source" not in str(ei.value)
+            assert "ClassNotFound" not in str(ei.value)
+
+    def test_connector_absence_detected_cleanly(self, spark):
+        """The availability probe itself must never raise."""
+        from spark_expectations_spark.sinks import writer
+        assert writer.kafka_connector_available(spark) in (True, False)
