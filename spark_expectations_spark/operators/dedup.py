@@ -246,6 +246,33 @@ def minhash_signatures(
     return ex.groupBy(id_col).agg(*aggs)
 
 
+def _band_stack(
+    signatures: DataFrame,
+    id_col: str,
+    *,
+    num_hashes: int,
+    bands: int,
+    hash_family: str,
+) -> DataFrame:
+    """(id, band_idx, band_hash) — one row per (doc, band); the shared
+    banding step of both the all-pairs LSH and the index-query path."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(_combine_hash(cols, hash_family).alias(f"band{b}"))
+    banded = signatures.select(F.col(id_col), *band_cols)
+    return banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, "bb.band_idx", "bb.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -266,21 +293,8 @@ def lsh_candidate_pairs(
     behavior. A pair found by several bands is deduped by the final
     ``distinct``.
     """
-    rows_per_band = num_hashes // bands
-    band_cols = []
-    for b in range(bands):
-        cols = [F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)]
-        band_cols.append(_combine_hash(cols, hash_family).alias(f"band{b}"))
-    banded = signatures.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band_idx"), F.col(f"band{b}").alias("band_hash"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, "bb.band_idx", "bb.band_hash")
+    stacked = _band_stack(signatures, id_col, num_hashes=num_hashes,
+                          bands=bands, hash_family=hash_family)
     buckets = (
         stacked.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
@@ -351,6 +365,67 @@ def minhash_dedup_pairs(
     )
 
 
+def minhash_index_query(
+    batch_df: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Query a NEW batch against a standing MinHash signature index —
+    the incremental form of ``minhash_dedup_pairs``: the corpus is
+    touched only through its persisted ``(id, h0..h{K-1})`` signature
+    table (built once by ``minhash_signatures`` and appended per batch),
+    never re-shingled or re-hashed.
+
+    Returns (batch_id, index_id, est_jaccard) for batch docs whose
+    signature agrees with an indexed doc on >= ``threshold`` of the K
+    hashes, candidates generated by banded LSH exactly as in the
+    all-pairs path (same bands ⇒ same recall curve).
+
+    Scale shape: the index side shuffles once on (band_idx, band_hash)
+    — at a steady state, write the index PRE-BUCKETED by band hash and
+    even that exchange disappears; the batch side is small by contract
+    and AQE broadcasts it. The signature-agreement refine joins
+    id-keyed signature rows for the candidate ids only.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    batch_sigs = minhash_signatures(
+        batch_df, id_col, text_col, n=n, num_hashes=num_hashes,
+        hash_family=hash_family,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ib = _band_stack(index_sigs, id_col, num_hashes=num_hashes,
+                     bands=bands, hash_family=hash_family) \
+        .withColumnRenamed(id_col, "index_id")
+    bb = _band_stack(batch_sigs, id_col, num_hashes=num_hashes,
+                     bands=bands, hash_family=hash_family) \
+        .withColumnRenamed(id_col, "batch_id")
+    cand = (
+        ib.join(bb, ["band_idx", "band_hash"])
+        .select("batch_id", "index_id").distinct()
+    )
+    sig_arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    si = index_sigs.select(F.col(id_col).alias("index_id"),
+                           sig_arr.alias("sig_i"))
+    sb = batch_sigs.select(F.col(id_col).alias("batch_id"),
+                           sig_arr.alias("sig_b"))
+    agree = F.size(F.filter(F.zip_with("sig_i", "sig_b", lambda x, y: x == y),
+                            lambda v: v))
+    return (
+        cand.join(si, "index_id")
+        .join(sb, "batch_id")
+        .withColumn("est_jaccard", agree / F.lit(num_hashes))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("batch_id", "index_id", "est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Duplicate-cluster resolution (connected components over pair edges)
 # ---------------------------------------------------------------------------
@@ -417,6 +492,57 @@ def dedup_clusters(
     cc = connected_components(pairs, id_a=id_a, id_b=id_b)
     return cc.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members"))
+
+
+def canonical_per_cluster(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    score_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    keep_singletons: bool = True,
+) -> DataFrame:
+    """Keep ONE canonical document per duplicate cluster — the step a
+    training pipeline actually runs after near-dup detection: not "list
+    the clusters" but "emit the corpus with each duplicate group reduced
+    to its best representative".
+
+    Representative = highest ``score_col`` (ties broken by lowest id, so
+    the choice is deterministic and backfill-stable). Rows that appear in
+    no pair survive untouched (``keep_singletons``); output adds
+    ``cluster_id`` (min member id for clustered rows, own id for
+    singletons) and ``n_members``.
+
+    Scale shape: the transitive closure runs over the PAIR LIST (sized
+    by duplication, not the corpus); the corpus-sized work is one left
+    join against the labels (id-keyed; AQE broadcasts labels when small)
+    plus one window partitioned BY CLUSTER — thousands of small
+    partitions, never a global sort. The reference engine has no
+    analogue (its dedup stops at row_dq uniqueness counts).
+    """
+    from pyspark.sql import Window
+
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    joined = df.join(
+        labels.select(F.col("node").alias(id_col), "component"),
+        id_col, "left")
+    clustered = joined.withColumn(
+        "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = clustered.select(
+        "*",
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("cluster_id")).alias("n_members"),
+    )
+    out = ranked.filter(F.col("__rk") == 1).drop("__rk")
+    if not keep_singletons:
+        out = out.filter(F.col("n_members") > 1)
+    return out
 
 
 # ---------------------------------------------------------------------------

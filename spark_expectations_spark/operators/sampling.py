@@ -13,7 +13,7 @@ pushdown-friendly, and the same row never lands in two splits.
 
 from __future__ import annotations
 
-from typing import Mapping, Sequence
+from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -134,6 +134,71 @@ def weighted_deterministic_sample(
         df.crossJoin(F.broadcast(mean_w))
         .filter(u < thresh)
         .drop("_mw")
+    )
+
+
+def mixture_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights_ppm: Mapping[str, int],
+) -> DataFrame:
+    """Domain-mixture resampling: down-sample each source so the output
+    matches target mixture proportions at the LARGEST total the corpus
+    can support — the "mix web/books/code at 50/30/20" step of training-
+    data assembly.
+
+    With integer weights ``weights_ppm`` (parts-per-million; need not
+    sum to 1M — only ratios matter) and per-source counts n_s, the
+    binding source b minimizes n_s/w_s; every source then keeps
+
+        quota_s = floor(n_b * w_s / w_b)
+
+    computed in INTEGER arithmetic (one bigint mul + div), so the kept
+    set is bit-identical across engines — no float T·w rounding at
+    quota boundaries. Within a source, kept rows are the quota_s with
+    the smallest md5 bucket of the key (ties → key): deterministic,
+    partition-invariant, and nested — raising a weight only ever ADDS
+    rows from that source. Sources absent from ``weights_ppm`` are
+    dropped (weight 0).
+
+    Scale shape: per-source counts and quotas live on frames bounded by
+    the source-domain cardinality (broadcast back); the corpus-sized
+    work is one window partitioned by source. A heavily-skewed hot
+    source makes that source's partition the straggler — acceptable
+    because rank ordering short-circuits emission past quota_s; for a
+    single source holding most of 100 TB, pre-filter with
+    ``deterministic_sample`` first.
+    """
+    if not weights_ppm:
+        raise ValueError("weights_ppm must be non-empty")
+    if any(w <= 0 for w in weights_ppm.values()):
+        raise ValueError("weights must be positive (omit zero-weight sources)")
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        [(s, int(w)) for s, w in weights_ppm.items()],
+        f"{source_col} string, __w long")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    joined = counts.join(F.broadcast(wdf), source_col)
+    binding = joined.select(
+        F.min_by(
+            F.struct(F.col("__n").alias("n_b"), F.col("__w").alias("w_b")),
+            F.struct((F.col("__n") / F.col("__w")).alias("r"),
+                     F.col(source_col)),
+        ).alias("__b")
+    ).select("__b.n_b", "__b.w_b")
+    quotas = (
+        joined.crossJoin(F.broadcast(binding))
+        .select(source_col,
+                F.expr("(n_b * __w) div w_b").alias("__quota"))
+    )
+    w = Window.partitionBy(source_col).orderBy(
+        _bucket(F.col(key_col)).asc(), F.col(key_col).asc())
+    return (
+        df.join(F.broadcast(quotas), source_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
     )
 
 

@@ -458,6 +458,69 @@ FROM comp GROUP BY component
 """
 
 
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection (operators/dedup.py::
+    canonical_per_cluster): exact jaccard pairs → connected components →
+    keep the highest-n_chars member per cluster (ties → lowest id),
+    singletons pass through. This is the emit-the-deduped-corpus step a
+    training pipeline runs after near-dup detection. Oracle: the
+    dedup_clusters recursive CTE + a per-cluster window."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.15)
+    kept = dedup.canonical_per_cluster(
+        docs, pairs, "doc_id", score_col="n_chars")
+    return kept.select("doc_id", "cluster_id", "n_members", "n_chars")
+
+
+ORACLE_DEDUP_CANONICAL = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM lab
+)
+SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, n_chars
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard. xxhash64 has
     no DuckDB twin → rows-only check; q_dedup_jaccard is the exact-oracle
@@ -536,6 +599,73 @@ WHERE ({agree}) / {float(num_hashes)} >= {threshold}
 
 
 ORACLE_DEDUP_MINHASH_MD5 = _oracle_minhash_md5()
+
+
+def q_docs_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash: docs < 250 are the standing corpus, reduced
+    to their signature table ONCE (dedup.minhash_signatures); docs >=
+    250 are the new batch queried against that index
+    (dedup.minhash_index_query) — banded candidates + signature-
+    agreement refine, corpus text never re-read. md5_48 family ⇒ the
+    whole pipeline has an exact DuckDB twin."""
+    docs = load(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < 250)
+    batch = docs.filter(F.col("doc_id") >= 250)
+    index_sigs = dedup.minhash_signatures(
+        corpus, "doc_id", "text", n=3, num_hashes=16, hash_family="md5_48")
+    out = dedup.minhash_index_query(
+        batch, index_sigs, "doc_id", "text", n=3, num_hashes=16, bands=4,
+        threshold=0.25, hash_family="md5_48")
+    return out.select("batch_id", "index_id",
+                      F.round("est_jaccard", 4).alias("est_jaccard"))
+
+
+def _oracle_minhash_index_md5(num_hashes: int = 16, bands: int = 4,
+                              threshold: float = 0.25,
+                              split_id: int = 250) -> str:
+    """DuckDB twin of q_docs_minhash_index: same signature CTE as
+    _oracle_minhash_md5, with the pair join split corpus-vs-batch."""
+    h48 = "CAST(('0x' || substr(md5({x}), 1, 12)) AS BIGINT)"
+    mins = ",\n         ".join(
+        "min(" + h48.format(x=f"'{i}:' || CAST(sh AS VARCHAR)") + f") AS h{i}"
+        for i in range(num_hashes))
+    rows = num_hashes // bands
+
+    def band(side: str, b: int) -> str:
+        tup = " || ':' || ".join(
+            f"CAST({side}.h{b * rows + r} AS VARCHAR)" for r in range(rows))
+        return h48.format(x=tup)
+
+    band_match = "\n   OR ".join(
+        f"{band('a', b)} = {band('b', b)}" for b in range(bands))
+    agree = " + ".join(
+        f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(num_hashes))
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh0 AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+hashed AS (
+  SELECT doc_id, {h48.format(x='shingle')} AS sh FROM sh0
+),
+sigs AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed GROUP BY doc_id
+)
+SELECT b.doc_id AS batch_id, a.doc_id AS index_id,
+       round(({agree}) / {float(num_hashes)}, 4) AS est_jaccard
+FROM sigs a JOIN sigs b
+  ON a.doc_id < {split_id} AND b.doc_id >= {split_id}
+ AND ({band_match})
+WHERE ({agree}) / {float(num_hashes)} >= {threshold}
+"""
+
+
+ORACLE_DOCS_MINHASH_INDEX = _oracle_minhash_index_md5()
 
 
 def q_dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2516,6 +2646,43 @@ SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
 """
 
 
+def q_docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling (sampling.mixture_resample): hit a
+    40/30/20/10 target mix over four sources at the largest total the
+    corpus supports. Integer quota arithmetic (floor(n_b·w_s/w_b)) and
+    md5-bucket rank selection make the kept set bit-identical in DuckDB.
+    With 25 docs/source the binding source is src0 (25/0.4): quotas
+    25/18/12/6 → 61 rows."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.mixture_resample(
+        docs, "doc_id", "source",
+        {"src0": 400000, "src1": 300000, "src2": 200000, "src3": 100000})
+    return out.select("source", "doc_id", "n_chars")
+
+
+ORACLE_DOCS_MIXTURE_RESAMPLE = """
+WITH w(source, w_ppm) AS (
+  VALUES ('src0', 400000), ('src1', 300000), ('src2', 200000),
+         ('src3', 100000)),
+c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+j AS (SELECT c.source, n, w_ppm FROM c JOIN w USING (source)),
+b AS (SELECT n AS n_b, w_ppm AS w_b FROM j
+      ORDER BY n * 1.0 / w_ppm, source LIMIT 1),
+q AS (SELECT source, (n_b * w_ppm) // w_b AS quota FROM j, b),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT r.source, r.doc_id, r.n_chars
+FROM r JOIN q USING (source) WHERE rn <= quota
+"""
+
+
 def q_docs_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-append dedup (dedup.incremental_dedup): docs >= id 250 are
     the new batch, the 3-token prefix fingerprint of docs < 250 is the
@@ -3100,9 +3267,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_canonical": q_dedup_canonical,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_md5": q_dedup_minhash_md5,
+    "docs_minhash_index": q_docs_minhash_index,
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_bcast": q_embed_near_dups_bcast,
@@ -3138,6 +3307,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_group_sample": q_docs_group_sample,
+    "docs_mixture_resample": q_docs_mixture_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_tfidf_terms": q_docs_tfidf_terms,
     "docs_bm25_terms": q_docs_bm25_terms,
@@ -3195,8 +3365,10 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
+    "docs_minhash_index": ORACLE_DOCS_MINHASH_INDEX,
     "dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
+    "dedup_canonical": ORACLE_DEDUP_CANONICAL,
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
@@ -3233,6 +3405,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
+    "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,
     "docs_tfidf_terms": ORACLE_DOCS_TFIDF_TERMS,
     "docs_bm25_terms": ORACLE_DOCS_BM25_TERMS,

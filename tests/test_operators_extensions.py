@@ -293,6 +293,57 @@ class TestHeavyHitters:
         assert empty.unionByName(nonempty).count() == 1
 
 
+class TestMixtureResample:
+    def test_quota_math_and_determinism(self, spark):
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, "a") for i in range(40)] + \
+               [(i, "b") for i in range(100, 120)] + \
+               [(i, "c") for i in range(200, 260)]  # a=40 b=20 c=60
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        # target 50/25/25: binding source is b (20/0.25=80)
+        # quotas: a floor(20*50/25)=40, b 20, c 20
+        out = sampling.mixture_resample(
+            df, "doc_id", "source",
+            {"a": 500000, "b": 250000, "c": 250000})
+        by_src = {r.source: r.n for r in
+                  out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert by_src == {"a": 40, "b": 20, "c": 20}
+        # determinism: repartitioned input keeps the identical set
+        ids1 = sorted(r.doc_id for r in out.collect())
+        out2 = sampling.mixture_resample(
+            df.repartition(7), "doc_id", "source",
+            {"a": 500000, "b": 250000, "c": 250000})
+        assert sorted(r.doc_id for r in out2.collect()) == ids1
+
+    def test_nested_under_weight_increase(self, spark):
+        """Raising one source's weight only ever ADDS rows from it
+        (hash-rank selection is prefix-nested)."""
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, "a") for i in range(50)] + \
+               [(i, "b") for i in range(100, 150)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        lo = sampling.mixture_resample(df, "doc_id", "source",
+                                       {"a": 500000, "b": 500000})
+        hi = sampling.mixture_resample(df, "doc_id", "source",
+                                       {"a": 750000, "b": 250000})
+        lo_a = {r.doc_id for r in lo.filter("source = 'a'").collect()}
+        hi_a = {r.doc_id for r in hi.filter("source = 'a'").collect()}
+        assert lo_a <= hi_a or hi_a <= lo_a
+
+    def test_unweighted_sources_dropped_and_validation(self, spark):
+        import pytest
+
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "zzz")], "doc_id long, source string")
+        out = sampling.mixture_resample(df, "doc_id", "source", {"a": 1000000})
+        assert [r.source for r in out.collect()] == ["a"]
+        with pytest.raises(ValueError):
+            sampling.mixture_resample(df, "doc_id", "source", {})
+        with pytest.raises(ValueError):
+            sampling.mixture_resample(df, "doc_id", "source", {"a": 0})
+
+
 class TestSamplePerGroup:
     def test_partition_invariant_and_capped(self, docs):
         from spark_expectations_spark.operators import sampling
@@ -596,6 +647,70 @@ class TestConnectedComponents:
             [(5, i) for i in range(6, 12)], "id_a long, id_b long")
         clusters = dedup.dedup_clusters(pairs).collect()
         assert [(r["cluster_id"], r["n_members"]) for r in clusters] == [(5, 7)]
+
+
+class TestMinhashIndexQuery:
+    def test_matches_all_pairs_cross_subset(self, docs):
+        """Incremental index query == the all-pairs result restricted to
+        (corpus, batch) cross pairs — same bands, same refine, so the
+        sets must be identical, proving nothing is lost by indexing."""
+        corpus = docs.filter("doc_id < 250")
+        batch = docs.filter("doc_id >= 250")
+        index_sigs = dedup.minhash_signatures(
+            corpus, "doc_id", "text", n=3, num_hashes=16)
+        inc = {(r.batch_id, r.index_id, round(r.est_jaccard, 6))
+               for r in dedup.minhash_index_query(
+                   batch, index_sigs, "doc_id", "text", n=3, num_hashes=16,
+                   bands=4, threshold=0.25).collect()}
+        allp = dedup.minhash_dedup_pairs(
+            docs, "doc_id", "text", n=3, num_hashes=16, bands=4,
+            threshold=0.25)
+        cross = {
+            (max(r.id_a, r.id_b), min(r.id_a, r.id_b),
+             round(r.est_jaccard, 6))
+            for r in allp.collect()
+            if (r.id_a < 250) != (r.id_b < 250)
+        }
+        assert inc == cross and inc  # identical and non-empty
+
+
+class TestCanonicalPerCluster:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 30), (4, 5), (10, 7), (11, 9), (20, 1)],
+            "doc_id long, score long")
+
+    def test_best_score_wins_ties_to_lowest_id(self, spark):
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long")
+        kept = dedup.canonical_per_cluster(
+            self._docs(spark), pairs, "doc_id", score_col="score")
+        rows = {r.doc_id: (r.cluster_id, r.n_members, r.score)
+                for r in kept.collect()}
+        # cluster {1,2,3,4}: 2 and 3 tie at 30 -> 2 wins (lowest id)
+        # cluster {10,11}: 11 wins on score; singleton 20 passes through
+        assert rows == {2: (1, 4, 30), 11: (10, 2, 9), 20: (20, 1, 1)}
+
+    def test_drop_singletons(self, spark):
+        pairs = spark.createDataFrame([(10, 11)], "id_a long, id_b long")
+        kept = dedup.canonical_per_cluster(
+            self._docs(spark), pairs, "doc_id", score_col="score",
+            keep_singletons=False)
+        assert [r.doc_id for r in kept.collect()] == [11]
+
+    def test_window_is_cluster_partitioned(self, spark):
+        """Plan pin: the per-cluster rank runs a PARTITIONED window —
+        no 'Window' node without a partition spec (global sort)."""
+        from spark_expectations_spark import plans
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        kept = dedup.canonical_per_cluster(
+            self._docs(spark), pairs, "doc_id", score_col="score")
+        txt = plans.plan_text(kept, "simple")
+        for line in txt.splitlines():
+            if "Window [" in line:
+                assert "partitionBy" not in line or "cluster_id" in line
+                assert "windowspecdefinition(cluster_id" in line.replace(" ", "") \
+                    or "cluster_id" in line
 
 
 class TestPacking:
