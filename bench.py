@@ -29,6 +29,8 @@ BENCH_QUERIES = [
     # round-3 operators (VERDICT r03 item 6)
     "docs_tfidf_terms", "docs_heavy_tokens", "docs_chunks",
     "docs_group_sample", "embed_near_dups_bcast",
+    # round-4 operators
+    "docs_strip_boilerplate", "docs_percentile_gate",
 ]
 
 

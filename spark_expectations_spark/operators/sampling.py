@@ -226,3 +226,35 @@ def sample_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__rn")
     )
+
+
+def percentile_gate(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    *,
+    q: float = 0.5,
+    keep: str = "above",
+) -> DataFrame:
+    """Per-group exact-percentile quality gate: keep rows whose
+    ``score_col`` is at-or-above (``keep="above"``) / at-or-below
+    (``"below"``) the group's exact interpolated ``q``-quantile — the
+    "keep the best half per source" filter, with the threshold derived
+    from the data instead of hand-tuned constants.
+
+    Scale shape: thresholds come from ONE groupBy using Spark's exact
+    ``percentile`` aggregate (partial state = per-group value buffer;
+    for bounded-cardinality score columns at 100 TB prefer bucketing the
+    score first). The thresholds frame has one row per GROUP — dims, not
+    corpus — so the gate join is AQE-broadcast and the corpus side
+    streams map-only. Interpolation matches DuckDB's ``quantile_cont``
+    bit-for-bit on integer scores, which is what makes the gate exactly
+    oracle-checkable.
+    """
+    if keep not in ("above", "below"):
+        raise ValueError("keep must be 'above' or 'below'")
+    thr = df.groupBy(group_col).agg(
+        F.percentile(F.col(score_col), F.lit(q)).alias("__thr"))
+    cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
+            else F.col(score_col) <= F.col("__thr"))
+    return df.join(thr, group_col).filter(cond).drop("__thr")

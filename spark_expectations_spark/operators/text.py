@@ -353,6 +353,67 @@ def top_terms(
     )
 
 
+def strip_common_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n",
+    min_df: Optional[int] = None,
+    min_df_frac: Optional[float] = None,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Cross-document boilerplate removal: delete every ``sep``-delimited
+    line that occurs in at least ``min_df`` distinct documents (or
+    ``min_df_frac`` of the corpus) — the RefinedWeb / CCNet line-level
+    dedup recipe (headers, footers, cookie banners repeat across pages;
+    the prose does not). Returns the input rows with ``out_col`` holding
+    the text rebuilt from the surviving lines in original order (empty
+    string when every line was boilerplate).
+
+    Scale shape: lines explode once; the document-frequency groupBy and
+    the anti join are keyed on ``xxhash64(line)`` — fixed 8-byte shuffle
+    keys, the line strings never shuffle twice. The common-line frame is
+    tiny by construction (only lines crossing the threshold survive the
+    HAVING cut) so AQE broadcasts the anti join's right side; the corpus
+    side streams. The rebuild is one id-keyed groupBy whose state is the
+    document's own surviving lines — O(doc) per group, no global sort.
+    With ``min_df_frac`` the corpus size is a 1-row aggregate broadcast.
+    """
+    import re as _re
+
+    if (min_df is None) == (min_df_frac is None):
+        raise ValueError("exactly one of min_df / min_df_frac required")
+    pat = _re.escape(sep)
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat, -1)).alias("pos", "line"),
+    ).withColumn("_h", F.xxhash64("line"))
+    dfc = lines.groupBy("_h").agg(
+        F.count_distinct(F.col(id_col)).alias("line_df"))
+    if min_df is not None:
+        common = dfc.filter(F.col("line_df") >= F.lit(min_df))
+    else:
+        total = df.select(
+            F.count_distinct(F.col(id_col)).alias("_total"))
+        common = (dfc.crossJoin(F.broadcast(total))
+                  .filter(F.col("line_df") >= F.col("_total") * min_df_frac))
+    kept = lines.join(common.select("_h"), "_h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias(out_col)
+    )
+    return (
+        df.join(rebuilt, id_col, "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit("")))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

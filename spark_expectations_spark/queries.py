@@ -2748,6 +2748,67 @@ FROM x
 """
 
 
+def q_docs_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (text.strip_common_lines):
+    drop every line shared by >= 80% of documents, rebuild the text from
+    the survivors in order. Here the documents table is single-line so
+    the separator is a space (word granularity — same machinery); on a
+    real corpus it's "\\n". df-count groupBy + anti join on xxhash64(line),
+    positional rebuild in one id-keyed groupBy."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.strip_common_lines(docs, "doc_id", "text",
+                                  sep=" ", min_df_frac=0.8)
+    return out.select(
+        "doc_id",
+        F.length("clean_text").alias("clean_len"),
+        F.md5("clean_text").alias("clean_md5"))
+
+
+ORACLE_DOCS_STRIP_BOILERPLATE = """
+WITH lines AS (
+  SELECT doc_id, t.line, t.ord
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS line,
+                       generate_subscripts(string_split(text, ' '), 1) AS ord) t),
+total AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+common AS (
+  SELECT line FROM lines, total GROUP BY line, n
+  HAVING count(DISTINCT doc_id) >= n * 0.8),
+kept AS (SELECT l.* FROM lines l ANTI JOIN common c USING (line)),
+r AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(k.line, ' ' ORDER BY k.ord), '') AS clean_text
+  FROM documents d LEFT JOIN kept k USING (doc_id)
+  GROUP BY d.doc_id)
+SELECT doc_id, length(clean_text) AS clean_len, md5(clean_text) AS clean_md5
+FROM r
+"""
+
+
+def q_docs_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-median quality gate (sampling.percentile_gate):
+    keep documents at-or-above their source's median n_chars. Thresholds
+    from ONE exact-percentile groupBy (one row per source — dims, not
+    corpus), gate join AQE-broadcast; interpolation matches DuckDB
+    quantile_cont exactly on integer scores."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.percentile_gate(docs, "source", "n_chars",
+                                   q=0.5, keep="above")
+    return out.select("doc_id", "source", "n_chars")
+
+
+ORACLE_DOCS_PERCENTILE_GATE = """
+WITH thr AS (
+  SELECT source, quantile_cont(n_chars, 0.5) AS t
+  FROM documents GROUP BY source)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d JOIN thr USING (source)
+WHERE d.n_chars >= t
+"""
+
+
 def q_docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy-hitter tokens (sketches.heavy_hitters): one-pass
     JVM Misra-Gries candidates (df.stat.freqItems, no shuffle of raw
@@ -3306,6 +3367,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lm_score": q_docs_lm_score,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
+    "docs_strip_boilerplate": q_docs_strip_boilerplate,
+    "docs_percentile_gate": q_docs_percentile_gate,
     "docs_group_sample": q_docs_group_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -3404,6 +3467,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
+    "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,
+    "docs_percentile_gate": ORACLE_DOCS_PERCENTILE_GATE,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,

@@ -1181,3 +1181,73 @@ class TestPackingHugeOffsets:
         for i in sorted(got):
             assert got[i] == (run // (big + 1), run % (big + 1)), (i, got[i])
             run += big
+
+
+class TestStripCommonLines:
+    def _df(self, spark):
+        return spark.createDataFrame(
+            [(1, "COOKIE BANNER\nreal prose one\nFOOTER"),
+             (2, "COOKIE BANNER\nother words here\nFOOTER"),
+             (3, "COOKIE BANNER\nunique text three\nFOOTER"),
+             (4, "completely original document")],
+            "id int, text string")
+
+    def test_removes_shared_lines_keeps_order(self, spark):
+        out = text.strip_common_lines(
+            self._df(spark), "id", "text", min_df=3)
+        got = {r["id"]: r["clean_text"] for r in out.collect()}
+        assert got[1] == "real prose one"
+        assert got[2] == "other words here"
+        assert got[3] == "unique text three"
+        assert got[4] == "completely original document"
+
+    def test_frac_threshold_and_all_boilerplate_doc(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a\nb"), (2, "a\nc"), (3, "a"), (4, "a")],
+            "id int, text string")
+        out = text.strip_common_lines(df, "id", "text", min_df_frac=0.75)
+        got = {r["id"]: r["clean_text"] for r in out.collect()}
+        # "a" is in 4/4 docs -> removed everywhere; docs 3/4 become empty
+        assert got == {1: "b", 2: "c", 3: "", 4: ""}
+
+    def test_threshold_args_exclusive(self, spark):
+        df = self._df(spark)
+        with pytest.raises(ValueError):
+            text.strip_common_lines(df, "id", "text")
+        with pytest.raises(ValueError):
+            text.strip_common_lines(df, "id", "text",
+                                    min_df=2, min_df_frac=0.5)
+
+    def test_within_doc_repeats_need_distinct_docs(self, spark):
+        # a line repeated 3x inside ONE doc must not count as df=3
+        df = spark.createDataFrame(
+            [(1, "x\nx\nx"), (2, "y")], "id int, text string")
+        out = text.strip_common_lines(df, "id", "text", min_df=3)
+        got = {r["id"]: r["clean_text"] for r in out.collect()}
+        assert got == {1: "x\nx\nx", 2: "y"}
+
+
+class TestPercentileGate:
+    def test_median_gate_above(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", i) for i in (1, 2, 3, 4, 5)] +
+            [("b", i) for i in (10, 20, 30)],
+            "g string, s int")
+        out = sampling.percentile_gate(df, "g", "s", q=0.5)
+        got = sorted((r["g"], r["s"]) for r in out.collect())
+        assert got == [("a", 3), ("a", 4), ("a", 5), ("b", 20), ("b", 30)]
+
+    def test_below_and_interpolated_threshold(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3), ("a", 4)], "g string, s int")
+        # q=0.5 over 4 values interpolates to 2.5: "below" keeps {1, 2}
+        out = sampling.percentile_gate(df, "g", "s", q=0.5, keep="below")
+        assert sorted(r["s"] for r in out.collect()) == [1, 2]
+
+    def test_bad_keep_rejected(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([("a", 1)], "g string, s int")
+        with pytest.raises(ValueError):
+            sampling.percentile_gate(df, "g", "s", keep="middle")
