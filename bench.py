@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "docs_group_sample", "embed_near_dups_bcast",
     # round-4 operators
     "docs_strip_boilerplate", "docs_percentile_gate",
+    "docs_classifier_score", "ann_ivf_recall",
 ]
 
 

@@ -692,3 +692,42 @@ def mean_pool(
         lambda v: F.when(nrm > 0, v.cast("double") / nrm)
                    .otherwise(F.lit(0.0)).cast("float"))
     return pooled.select(group_col, "n_vectors", unit.alias("pooled"))
+
+
+def recall_at_k(
+    exact: DataFrame,
+    approx: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate neighbor result against the
+    exact ground truth: |approx ∩ exact| / |exact| for each query — the
+    standard ANN quality gate (run on a sampled query set before
+    trusting an IVF/LSH index for corpus-scale retrieval). Both inputs
+    are (query, neighbor) frames, e.g. :func:`cosine_topk` (exact) vs
+    :func:`ivf_topk` / :func:`lsh_topk` (approximate).
+
+    Emits (query, n_exact, n_matched, recall). Scale shape: every frame
+    here is (queries x k)-sized — evaluation-sized, never corpus-sized —
+    so the intersection join and both groupBys ride one small shuffle;
+    queries with zero approximate hits still appear (left join, 0-fill).
+    """
+    e = exact.select(query_col, neighbor_col)
+    a = approx.select(query_col, neighbor_col)
+    totals = e.groupBy(query_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    matched = (
+        e.join(a, [query_col, neighbor_col])
+        .groupBy(query_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return (
+        totals.join(matched, query_col, "left")
+        .select(
+            F.col(query_col),
+            F.col("n_exact"),
+            F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+            (F.coalesce(F.col("n_matched"), F.lit(0)) * F.lit(1.0)
+             / F.col("n_exact")).alias("recall"),
+        )
+    )

@@ -304,12 +304,21 @@ def term_weights(
 
     Returns (id, term, tf, weight).
     """
+    from pyspark.storagelevel import StorageLevel
+
     from ..plans import fan_out
     from .dedup import tokens_col
 
     toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # (doc, term, tf) feeds THREE subtrees (document frequency, corpus
+    # totals, the weight join) and the planner does not reuse the
+    # exchange across them — without a persist the tokenize+explode+
+    # groupBy runs three times. The frame is corpus-term-sized but
+    # fixed-width and disk-spillable; one materialization wins at any
+    # scale where tokenization dominates (always).
+    tf = (toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     dfreq = (tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
              .filter(F.col("_df") >= min_df))
     totals = tf.agg(
@@ -351,6 +360,63 @@ def top_terms(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: DataFrame,
+    *,
+    dim: int = 1 << 18,
+    bias: float = 0.0,
+    normalize: bool = True,
+    out_col: str = "score",
+) -> DataFrame:
+    """Linear-classifier document scoring over hashed bag-of-words
+    features — the fasttext-style "model-based quality filter" of
+    GPT-3/LLaMA-class pipelines, expressed as pure DataFrame ops.
+    ``weights`` is the trained model: (bucket int, weight double) with
+    ``bucket`` = ``hash48_md5(token) % dim`` (the md5-derived 48-bit
+    hash, portable across engines). Emits the input rows plus
+    ``out_col`` = sigmoid(bias + Σ w[bucket(tok)] / n_tokens) (mean
+    pooling when ``normalize``, sum otherwise). Empty docs score
+    sigmoid(bias).
+
+    Scale shape: inference is one explode + a bucket-keyed join against
+    the model + one id-keyed groupBy. The model frame is at most
+    ``dim`` rows — model-sized, never corpus-sized — so the join is
+    AQE-broadcast and the corpus side streams; unseen buckets coalesce
+    to 0. No UDF, no driver-side model object: the same weights table
+    serves any number of scoring runs.
+    """
+    from .dedup import hash48_md5
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode_outer(_tokens(F.col(text_col))).alias("_tok"))
+    bucketed = toks.withColumn(
+        "bucket", (hash48_md5(F.col("_tok")) % F.lit(dim)).cast("int"))
+    w = weights.select(
+        F.col("bucket").cast("int").alias("bucket"),
+        F.col("weight").cast("double").alias("_w"))
+    scored = (
+        bucketed.join(w, "bucket", "left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.when(F.col("_tok").isNotNull(),
+                         F.coalesce(F.col("_w"), F.lit(0.0)))).alias("_s"),
+            F.count(F.col("_tok")).alias("_n"),
+        )
+    )
+    logit = F.lit(bias) + F.when(
+        F.col("_n") > 0,
+        F.coalesce(F.col("_s"), F.lit(0.0))
+        / (F.col("_n") if normalize else F.lit(1)),
+    ).otherwise(F.lit(0.0))
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return df.join(
+        scored.select(F.col(id_col), score.alias(out_col)), id_col)
 
 
 def strip_common_lines(

@@ -952,6 +952,95 @@ SELECT query_id, neighbor_id, rank, cosine FROM (
 """
 
 
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QA (similarity.recall_at_k): per-query recall@5 of the
+    IVF-pruned search vs exhaustive cosine top-k — the evaluation gate
+    you run on a sampled query set before trusting an index at corpus
+    scale. Every frame is (queries x k)-sized; the oracle recomputes
+    both result sets (the two proven formulations composed) and their
+    intersection."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk(emb, queries, id_col="vec_id",
+                                   vec_col="embedding", k=5)
+    cents = similarity.train_centroids_df(emb, vec_col="embedding",
+                                          by_col="label")
+    assigned = emb.withColumn("centroid_id", F.col("label"))
+    approx = similarity.ivf_topk(assigned, cents, queries, id_col="vec_id",
+                                 vec_col="embedding", k=5, nprobe=4)
+    return similarity.recall_at_k(exact, approx)
+
+
+ORACLE_ANN_IVF_RECALL = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cos_raw
+  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+),
+exact_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+    FROM scored) WHERE rank <= 5
+),
+cel AS (
+  SELECT label AS cid, i, CAST(CAST(sum(e[i]) / count(*) AS FLOAT) AS DOUBLE) AS c
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(i)
+  GROUP BY label, i
+),
+cvec AS (
+  SELECT cid, list(c ORDER BY i) AS cv FROM cel GROUP BY cid
+),
+cn AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm FROM cvec
+),
+qc AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.cv[i])) / (q.nrm * c.cnrm) AS csim
+  FROM v q, cn c WHERE q.vec_id < 10
+),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY csim DESC, cid ASC) AS pr
+    FROM qc) WHERE pr <= 4
+),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(c.e) + 1),
+                                 i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS cos_raw
+  FROM probes p
+  JOIN v c ON c.label = p.cid
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE c.vec_id <> p.query_id
+),
+approx_k AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cos_raw DESC, neighbor_id ASC) AS rank
+    FROM cand) WHERE rank <= 5
+),
+t AS (SELECT query_id, count(*) AS n_exact FROM exact_k GROUP BY query_id),
+m AS (
+  SELECT e.query_id, count(*) AS n_matched
+  FROM exact_k e JOIN approx_k a USING (query_id, neighbor_id)
+  GROUP BY e.query_id)
+SELECT t.query_id, t.n_exact,
+       coalesce(m.n_matched, 0) AS n_matched,
+       coalesce(m.n_matched, 0) * 1.0 / t.n_exact AS recall
+FROM t LEFT JOIN m USING (query_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Text analysis
 # ---------------------------------------------------------------------------
@@ -2809,6 +2898,47 @@ WHERE d.n_chars >= t
 """
 
 
+def q_docs_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring (text.hashed_linear_score): a linear
+    classifier over hashed bag-of-words features — the fasttext-style
+    filter of GPT-3/LLaMA pipelines. The "model" here is a synthetic
+    1024-bucket weight table (weight = ((bucket % 7) - 3) / 10.0 —
+    deterministic, engine-portable); inference is one explode + a
+    model-sized broadcast join + one id-keyed groupBy, no UDF. Scores
+    rounded to 6 dp for cross-engine double parity (same class as
+    docs_lm_score)."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    dim = 1024
+    weights = spark.range(dim).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((F.col("id") % 7) - 3) / 10.0).alias("weight"))
+    out = text_ops.hashed_linear_score(docs, "doc_id", "text", weights,
+                                       dim=dim)
+    return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+ORACLE_DOCS_CLASSIFIER_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % 1024 AS bucket
+  FROM toks WHERE tok <> ''),
+s AS (
+  SELECT doc_id,
+         sum(((bucket % 7) - 3) / 10.0) AS sc,
+         count(*) AS n
+  FROM b GROUP BY doc_id)
+SELECT d.doc_id,
+       round(1.0 / (1.0 + exp(-(coalesce(sc / n, 0.0)))), 6) AS score
+FROM documents d LEFT JOIN s USING (doc_id)
+"""
+
+
 def q_docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy-hitter tokens (sketches.heavy_hitters): one-pass
     JVM Misra-Gries candidates (df.stat.freqItems, no shuffle of raw
@@ -3369,6 +3499,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunks": q_docs_chunks,
     "docs_strip_boilerplate": q_docs_strip_boilerplate,
     "docs_percentile_gate": q_docs_percentile_gate,
+    "docs_classifier_score": q_docs_classifier_score,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "docs_group_sample": q_docs_group_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -3469,6 +3601,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,
     "docs_percentile_gate": ORACLE_DOCS_PERCENTILE_GATE,
+    "docs_classifier_score": ORACLE_DOCS_CLASSIFIER_SCORE,
+    "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,

@@ -1251,3 +1251,48 @@ class TestPercentileGate:
         df = spark.createDataFrame([("a", 1)], "g string, s int")
         with pytest.raises(ValueError):
             sampling.percentile_gate(df, "g", "s", keep="middle")
+
+
+class TestHashedLinearScore:
+    def test_known_weights(self, spark):
+        import math
+        from spark_expectations_spark.operators.dedup import hash48_md5
+        df = spark.createDataFrame([(1, "aa bb"), (2, "aa"), (3, "")],
+                                   "id int, text string")
+        dim = 16
+        toks = spark.createDataFrame([("aa",), ("bb",)], "t string")
+        bmap = {r["t"]: r["b"] for r in toks.select(
+            "t", (hash48_md5(F.col("t")) % dim).cast("int").alias("b")
+        ).collect()}
+        weights = spark.createDataFrame(
+            [(bmap["aa"], 0.4), (bmap["bb"], -0.2)], "bucket int, weight double")
+        out = text.hashed_linear_score(df, "id", "text", weights, dim=dim)
+        got = {r["id"]: r["score"] for r in out.collect()}
+        sig = lambda x: 1.0 / (1.0 + math.exp(-x))
+        assert got[1] == pytest.approx(sig((0.4 - 0.2) / 2))
+        assert got[2] == pytest.approx(sig(0.4))
+        assert got[3] == pytest.approx(sig(0.0))  # empty doc -> bias only
+
+    def test_unseen_tokens_zero_weight_and_bias(self, spark):
+        import math
+        df = spark.createDataFrame([(1, "zz yy")], "id int, text string")
+        weights = spark.createDataFrame([], "bucket int, weight double")
+        out = text.hashed_linear_score(df, "id", "text", weights,
+                                       dim=8, bias=1.5)
+        assert out.first()["score"] == pytest.approx(
+            1.0 / (1.0 + math.exp(-1.5)))
+
+
+class TestRecallAtK:
+    def test_partial_and_zero_overlap(self, spark):
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)],
+            "query_id int, neighbor_id int")
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 99), (2, 98), (2, 99)],
+            "query_id int, neighbor_id int")
+        out = similarity.recall_at_k(exact, approx)
+        got = {r["query_id"]: (r["n_exact"], r["n_matched"], r["recall"])
+               for r in out.collect()}
+        assert got[1] == (2, 1, 0.5)
+        assert got[2] == (2, 0, 0.0)  # zero-hit query still present
