@@ -129,6 +129,27 @@ def jaccard_pairs(
     recomputing the shingling per branch costs more than spilling the
     fixed-width index.
     """
+    sized = _pair_intersections(df, id_col, text_col, n, max_shingle_df)
+    return (
+        sized.withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _pair_intersections(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_shingle_df: Optional[int],
+) -> DataFrame:
+    """Shared machinery of :func:`jaccard_pairs` / :func:`containment_pairs`:
+    (id_a, id_b, n_common, n_a, n_b) for every pair with >= 1 shared
+    shingle, id_a < id_b. See jaccard_pairs for the scale notes."""
     from pyspark.storagelevel import StorageLevel
 
     ex = explode_shingles(df, id_col, text_col, n).select(
@@ -136,8 +157,8 @@ def jaccard_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     # per-doc shingle counts from the cached index (shingles are distinct
     # per doc by construction) — no second shingling pass. Sizes are
-    # computed BEFORE any stop-shingle filter so the Jaccard denominator
-    # stays exact.
+    # computed BEFORE any stop-shingle filter so the denominators stay
+    # exact.
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
     postings = (
         ex.groupBy("shingle")
@@ -169,15 +190,71 @@ def jaccard_pairs(
     # picks a broadcast only when the sizes frame is actually small.
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"))
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """All pairs where the smaller document's shingle set is at least
+    ``threshold``-contained in the other's: containment =
+    |A∩B| / min(|A|, |B|), id_a < id_b. Catches subset/quote inclusion
+    that symmetric Jaccard misses — a short doc fully embedded in a long
+    one has near-zero Jaccard (union is dominated by the long doc) but
+    containment 1.0. Same posting-list machinery, plan, and
+    ``max_shingle_df`` stop-shingle knob as :func:`jaccard_pairs`;
+    returns (id_a, id_b, n_common, containment).
+    """
+    sized = _pair_intersections(df, id_col, text_col, n, max_shingle_df)
+    containment = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
     return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        sized.withColumn("containment", containment)
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "n_common", "containment")
+    )
+
+
+def dup_shingle_fraction(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document fraction of its distinct word ``n``-gram shingles
+    that also occur in at least ``min_df`` documents — the RefinedWeb
+    "duplicate n-gram fraction" filter signal (docs made mostly of
+    corpus-repeated n-grams are templates/mirrors even when no single
+    pair crosses a Jaccard threshold). Returns
+    (id, n_shingles, n_dup, dup_frac).
+
+    Scale shape: one explode feeding (a) the shingle document-frequency
+    groupBy and (b) the frequency join back — both keyed on the 8-byte
+    xxhash64(shingle) — then one id-keyed groupBy. The shingle index is
+    persisted once, like jaccard_pairs; no pair blowup anywhere (this is
+    the linear-cost screen you run BEFORE the quadratic pair search).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    ex = explode_shingles(df, id_col, text_col, n).select(
+        id_col, F.xxhash64("shingle").alias("_h")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        ex.join(dfreq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("_df") >= min_df).cast("long")).alias("n_dup"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("dup_frac", F.col("n_dup") / F.col("n_shingles"))
     )
 
 

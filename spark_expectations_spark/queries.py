@@ -410,6 +410,72 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
 """
 
 
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (dedup.containment_pairs):
+    |A∩B| / min(|A|,|B|) — flags subset/quote inclusion that symmetric
+    Jaccard misses. Same posting-list plan as dedup_jaccard (shared
+    _pair_intersections machinery, unhinted sizes joins)."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.containment_pairs(docs, "doc_id", "text",
+                                    n=3, threshold=0.6)
+    return pairs.select("id_a", "id_b", "n_common",
+                        F.round("containment", 4).alias("containment"))
+
+
+ORACLE_DEDUP_CONTAINMENT = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c AS n_common,
+       round(c * 1.0 / least(sa.n, sb.n), 4) AS containment
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / least(sa.n, sb.n) >= 0.6
+"""
+
+
+def q_docs_dup_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus duplicate n-gram fraction (dedup.dup_shingle_fraction):
+    per doc, the share of its distinct 3-gram shingles occurring in >= 2
+    documents — the RefinedWeb template/mirror filter signal. Linear
+    cost (no pair blowup): one shingle-df groupBy + frequency join back
+    + id-keyed agg, all on xxhash64 keys."""
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.dup_shingle_fraction(docs, "doc_id", "text", n=3, min_df=2)
+    return out.select("doc_id", "n_shingles", "n_dup",
+                      F.round("dup_frac", 4).alias("dup_frac"))
+
+
+ORACLE_DOCS_DUP_SHINGLES = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+dfreq AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle)
+SELECT s.doc_id,
+       count(*) AS n_shingles,
+       CAST(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       round(sum(CASE WHEN d.c >= 2 THEN 1 ELSE 0 END) * 1.0 / count(*), 4)
+         AS dup_frac
+FROM sh s JOIN dfreq d USING (shingle)
+GROUP BY s.doc_id
+"""
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: exact jaccard pairs → connected
     components via iterative min-label propagation (operators/dedup.py) —
@@ -3501,6 +3567,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_percentile_gate": q_docs_percentile_gate,
     "docs_classifier_score": q_docs_classifier_score,
     "ann_ivf_recall": q_ann_ivf_recall,
+    "dedup_containment": q_dedup_containment,
+    "docs_dup_shingles": q_docs_dup_shingles,
     "docs_group_sample": q_docs_group_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -3603,6 +3671,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_percentile_gate": ORACLE_DOCS_PERCENTILE_GATE,
     "docs_classifier_score": ORACLE_DOCS_CLASSIFIER_SCORE,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
+    "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,

@@ -1296,3 +1296,58 @@ class TestRecallAtK:
                for r in out.collect()}
         assert got[1] == (2, 1, 0.5)
         assert got[2] == (2, 0, 0.0)  # zero-hit query still present
+
+
+class TestContainmentPairs:
+    def test_subset_inclusion_found_where_jaccard_misses(self, spark):
+        short = "alpha beta gamma delta"
+        long = short + " " + " ".join(f"w{i} x{i} y{i}" for i in range(30))
+        df = spark.createDataFrame([(1, short), (2, long)], "id int, text string")
+        cont = dedup.containment_pairs(df, "id", "text", n=3, threshold=0.9)
+        rows = cont.collect()
+        assert len(rows) == 1 and rows[0]["containment"] == 1.0
+        # symmetric jaccard stays tiny for the same pair
+        jac = dedup.jaccard_pairs(df, "id", "text", n=3, threshold=0.5)
+        assert jac.count() == 0
+
+    def test_threshold_filters(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "a b c x y"), (3, "p q r s t")],
+            "id int, text string")
+        # docs 1/2 share shingle "a b c" only: containment 1/3
+        assert dedup.containment_pairs(
+            df, "id", "text", n=3, threshold=0.5).count() == 0
+        got = dedup.containment_pairs(
+            df, "id", "text", n=3, threshold=0.3).collect()
+        assert len(got) == 1 and got[0]["id_a"] == 1 and got[0]["id_b"] == 2
+
+    def test_jaccard_unchanged_by_refactor(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d e g"), (3, "z z2 z3 z4")],
+            "id int, text string")
+        rows = dedup.jaccard_pairs(df, "id", "text", n=3, threshold=0.3).collect()
+        assert len(rows) == 1
+        # 4 shingles each, 3 common -> jaccard 3/5
+        assert rows[0]["jaccard"] == pytest.approx(0.6)
+
+
+class TestDupShingleFraction:
+    def test_fractions(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c x"), (3, "p q r s")],
+            "id int, text string")
+        # shingles: d1 {abc, bcd}, d2 {abc, bcx}, d3 {pqr, qrs};
+        # only "abc" occurs in >= 2 docs
+        got = {r["id"]: (r["n_shingles"], r["n_dup"],
+                         pytest.approx(r["dup_frac"]))
+               for r in dedup.dup_shingle_fraction(
+                   df, "id", "text", n=3).collect()}
+        assert got[1] == (2, 1, pytest.approx(0.5))
+        assert got[2] == (2, 1, pytest.approx(0.5))
+        assert got[3] == (2, 0, pytest.approx(0.0))
+
+    def test_min_df_raises_bar(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c"), (3, "a b c")], "id int, text string")
+        out = dedup.dup_shingle_fraction(df, "id", "text", n=3, min_df=4)
+        assert all(r["dup_frac"] == 0.0 for r in out.collect())
