@@ -32,7 +32,7 @@ BENCH_QUERIES = [
     # round-4 operators
     "docs_strip_boilerplate", "docs_percentile_gate",
     "docs_classifier_score", "ann_ivf_recall",
-    "dedup_containment", "docs_dup_shingles",
+    "dedup_containment", "docs_dup_shingles", "docs_token_budget",
 ]
 
 

@@ -258,3 +258,53 @@ def percentile_gate(
     cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
             else F.col(score_col) <= F.col("__thr"))
     return df.join(thr, group_col).filter(cond).drop("__thr")
+
+
+def token_budget_sample(
+    df: DataFrame,
+    group_col: str,
+    key_col: str,
+    weight_col: str,
+    budget: Optional[int] = None,
+    *,
+    budgets: Optional[Mapping[str, int]] = None,
+) -> DataFrame:
+    """Sample each group down to a TOKEN budget instead of a document
+    count — "2B tokens of web, 500M of code" is how training mixtures
+    are actually specified. Rows are taken in md5-bucket order of
+    ``key_col`` (deterministic, partition/engine-invariant, nested under
+    budget increases); a row is kept while the EXCLUSIVE running sum of
+    ``weight_col`` over the already-kept rows is still below the
+    group's budget, so every nonempty group with a positive budget
+    yields at least one row and the kept set is a pure integer function
+    of group membership. ``budget`` applies to every group; ``budgets``
+    maps group -> budget (groups absent from the map are dropped).
+
+    Scale shape: one window partitioned by group (the same single
+    shuffle as :func:`mixture_resample`); per-group budgets ride a
+    group-cardinality broadcast. The cumulative sum short-circuits
+    nothing by itself — for a group holding most of the corpus,
+    pre-filter with :func:`deterministic_sample` first (same caveat as
+    mixture_resample's hot-source note).
+    """
+    if (budget is None) == (budgets is None):
+        raise ValueError("exactly one of budget / budgets required")
+    if budgets is not None:
+        spark = df.sparkSession
+        bdf = spark.createDataFrame(
+            [(g, int(b)) for g, b in budgets.items()],
+            f"{group_col} string, __budget long")
+        df = df.join(F.broadcast(bdf), group_col)
+        budget_col = F.col("__budget")
+    else:
+        budget_col = F.lit(int(budget))
+    w = (Window.partitionBy(group_col)
+         .orderBy(_bucket(F.col(key_col)).asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_excl = F.coalesce(
+        F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0))
+    return (
+        df.withColumn("__cum", cum_excl)
+        .filter(F.col("__cum") < budget_col)
+        .drop("__cum", "__budget")
+    )

@@ -2801,6 +2801,36 @@ SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
 """
 
 
+def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (sampling.token_budget_sample): keep docs
+    per language, in md5-bucket order, while the exclusive running sum
+    of n_chars stays under 5000 — training mixtures are specified in
+    tokens, not document counts. One group-partitioned window; kept set
+    is a pure integer function of group membership."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.token_budget_sample(docs, "lang", "doc_id", "n_chars",
+                                       budget=5000)
+    return out.select("lang", "doc_id", "n_chars")
+
+
+ORACLE_DOCS_TOKEN_BUDGET = """
+WITH b AS (
+  SELECT lang, doc_id, n_chars,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           AS bkt
+  FROM documents),
+c AS (
+  SELECT lang, doc_id, n_chars,
+         coalesce(sum(n_chars) OVER (
+             PARTITION BY lang ORDER BY bkt ASC, doc_id ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+  FROM b)
+SELECT lang, doc_id, n_chars FROM c WHERE cum < 5000
+"""
+
+
 def q_docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture resampling (sampling.mixture_resample): hit a
     40/30/20/10 target mix over four sources at the largest total the
@@ -3569,6 +3599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
+    "docs_token_budget": q_docs_token_budget,
     "docs_group_sample": q_docs_group_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -3673,6 +3704,7 @@ ORACLES: dict[str, Optional[str]] = {
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,
+    "docs_token_budget": ORACLE_DOCS_TOKEN_BUDGET,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,

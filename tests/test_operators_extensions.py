@@ -1351,3 +1351,88 @@ class TestDupShingleFraction:
             [(1, "a b c"), (2, "a b c"), (3, "a b c")], "id int, text string")
         out = dedup.dup_shingle_fraction(df, "id", "text", n=3, min_df=4)
         assert all(r["dup_frac"] == 0.0 for r in out.collect())
+
+
+class TestTokenBudgetSample:
+    def test_budget_and_md5_order(self, spark):
+        import hashlib
+        from spark_expectations_spark.operators import sampling
+        rows = [("a", i, 30) for i in range(10)] + [("b", i, 200) for i in range(10, 14)]
+        df = spark.createDataFrame(rows, "g string, id int, tok int")
+        out = sampling.token_budget_sample(df, "g", "id", "tok", budget=100)
+        got = {r["g"]: sorted(r2["id"] for r2 in out.filter(F.col("g") == r["g"]).collect())
+               for r in out.select("g").distinct().collect()}
+        # brute-force reference: md5-bucket order, exclusive cumsum < budget
+        def brute(group):
+            mem = sorted((int(hashlib.md5(str(i).encode()).hexdigest()[:4], 16), i)
+                         for g, i, t in rows if g == group)
+            kept, cum = [], 0
+            for _, i in mem:
+                tok = next(t for g2, i2, t in rows if g2 == group and i2 == i)
+                if cum < 100:
+                    kept.append(i)
+                cum += tok
+            return sorted(kept)
+        assert got["a"] == brute("a")   # 4 docs of 30 (cum 0,30,60,90 < 100)
+        assert got["b"] == brute("b")   # first 200-token doc only
+        assert len(got["a"]) == 4 and len(got["b"]) == 1
+
+    def test_per_group_budgets_and_absent_group_dropped(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 10), ("b", 3, 10), ("c", 4, 10)],
+            "g string, id int, tok int")
+        out = sampling.token_budget_sample(
+            df, "g", "id", "tok", budgets={"a": 15, "b": 5})
+        got = sorted((r["g"], r["id"]) for r in out.collect())
+        gs = [g for g, _ in got]
+        assert "c" not in gs and gs.count("a") == 2 and gs.count("b") == 1
+
+    def test_nested_under_budget_increase(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", i, 17) for i in range(20)], "g string, id int, tok int")
+        small = {r["id"] for r in sampling.token_budget_sample(
+            df, "g", "id", "tok", budget=60).collect()}
+        big = {r["id"] for r in sampling.token_budget_sample(
+            df, "g", "id", "tok", budget=150).collect()}
+        assert small < big
+
+    def test_args_exclusive(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([("a", 1, 1)], "g string, id int, tok int")
+        with pytest.raises(ValueError):
+            sampling.token_budget_sample(df, "g", "id", "tok")
+        with pytest.raises(ValueError):
+            sampling.token_budget_sample(df, "g", "id", "tok",
+                                         budget=1, budgets={"a": 1})
+
+
+class TestStripCommonLinesProperty:
+    @staticmethod
+    def _brute(rows, min_df):
+        from collections import Counter
+        df_count = Counter()
+        for _id, txt in rows:
+            for line in set(txt.split("|")):
+                df_count[line] += 1
+        common = {l for l, c in df_count.items() if c >= min_df}
+        return {
+            _id: "|".join(l for l in txt.split("|") if l not in common)
+            for _id, txt in rows
+        }
+
+    def test_matches_bruteforce_on_random_corpora(self, spark):
+        import random
+        rng = random.Random(7)
+        vocab = [f"line{i}" for i in range(12)]
+        for trial in range(3):
+            rows = [(i, "|".join(rng.choice(vocab)
+                                 for _ in range(rng.randrange(1, 8))))
+                    for i in range(25)]
+            min_df = rng.choice([2, 5, 10])
+            df = spark.createDataFrame(rows, "id int, text string")
+            out = text.strip_common_lines(df, "id", "text",
+                                          sep="|", min_df=min_df)
+            got = {r["id"]: r["clean_text"] for r in out.collect()}
+            assert got == self._brute(rows, min_df), f"trial {trial}"
