@@ -1187,6 +1187,60 @@ FROM sig
 """
 
 
+def q_docs_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup: doc/token counts, mean quality
+    score, and normalization-fingerprint duplicate rate — the corpus
+    health report, composed from three text operators in ONE declarative
+    plan (the per-doc enrichment folds into the scan projection; the
+    report is a single source-keyed agg with a distinct count)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    enriched = docs.select(
+        "source",
+        text.token_count(t).alias("_n_tok"),
+        text.quality_score(t).alias("_q"),
+        text.fingerprint(t).alias("_fp"))
+    return enriched.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_n_tok").cast("long").alias("n_tokens"),
+        F.round(F.avg("_q"), 4).alias("mean_quality"),
+        F.round(F.lit(1.0)
+                - F.count_distinct(F.col("_fp")) / F.count(F.lit(1)), 4)
+         .alias("dup_rate"))
+
+
+ORACLE_DOCS_CORPUS_REPORT = rf"""
+WITH toks AS (
+  SELECT source, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '') AS t
+  FROM documents
+),
+per_doc AS (
+  SELECT source,
+    len(t) AS n_tok,
+    (least(len(t) / 5.0, 1.0)
+     + CASE WHEN (CASE WHEN length(text) > 0
+                  THEN length(regexp_replace(text, '[\p{{L}}\p{{N}}\s]', '', 'g')) * 1.0 / length(text)
+                  ELSE 0 END) <= 0.3 THEN 1.0 ELSE 0.0 END
+     + CASE WHEN (CASE WHEN len(t) > 0
+                  THEN list_sum(list_transform(t, x -> CAST(length(x) AS DOUBLE))) / len(t)
+                  ELSE 0 END) BETWEEN 3.0 AND 10.0 THEN 1.0 ELSE 0.0 END
+     + least((CASE WHEN len(t) > 0
+              THEN len(list_filter(t, x -> list_contains({_EN_STOPWORDS_SQL}, x))) * 1.0 / len(t)
+              ELSE 0 END) * 5.0, 1.0)) / 4.0 AS q,
+    md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{{L}}\p{{N}}\s]', '', 'g'),
+                            '\s+', ' ', 'g'))) AS fp
+  FROM toks
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(avg(q), 4) AS mean_quality,
+       round(1.0 - count(DISTINCT fp) * 1.0 / count(*), 4) AS dup_rate
+FROM per_doc GROUP BY source
+"""
+
+
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition filters: duplicate-word fraction + top-word
     share per document (explode → two keyed partial aggs)."""
@@ -3600,6 +3654,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
     "docs_token_budget": q_docs_token_budget,
+    "docs_corpus_report": q_docs_corpus_report,
     "docs_group_sample": q_docs_group_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
@@ -3705,6 +3760,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,
     "docs_token_budget": ORACLE_DOCS_TOKEN_BUDGET,
+    "docs_corpus_report": ORACLE_DOCS_CORPUS_REPORT,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,
