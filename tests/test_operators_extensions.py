@@ -1436,3 +1436,53 @@ class TestStripCommonLinesProperty:
                                           sep="|", min_df=min_df)
             got = {r["id"]: r["clean_text"] for r in out.collect()}
             assert got == self._brute(rows, min_df), f"trial {trial}"
+
+
+class TestWinnowingFingerprint:
+    def test_shared_sketch_between_near_identical_docs(self, spark):
+        base = " ".join(f"tok{i}" for i in range(120))
+        edited = base.replace("tok60", "CHANGED")
+        other = " ".join(f"zzz{i}" for i in range(120))
+        df = spark.createDataFrame(
+            [(1, base), (2, edited), (3, other)], "id int, text string")
+        out = df.select("id", text.rolling_hash_fingerprint(
+            F.col("text"), window=8, keep_every=4).alias("fp"))
+        got = {r["id"]: set(r["fp"]) for r in out.collect()}
+        # a 1-token edit perturbs only the windows covering it; most
+        # sketch hashes survive, and an unrelated doc shares none
+        inter = got[1] & got[2]
+        assert len(got[1]) > 0
+        assert len(inter) >= len(got[1]) * 0.7
+        assert not (got[1] & got[3])
+
+    def test_deterministic_and_sorted(self, spark):
+        df = spark.createDataFrame([(1, "a b c d e f g h i j")],
+                                   "id int, text string")
+        col = text.rolling_hash_fingerprint(F.col("text"),
+                                            window=3, keep_every=2)
+        a = df.select(col.alias("fp")).first()["fp"]
+        b = df.repartition(4).select(col.alias("fp")).first()["fp"]
+        assert a == b == sorted(set(a))
+
+
+class TestUpperRatio:
+    def test_ratios(self, spark):
+        df = spark.createDataFrame(
+            [(1, "ABCD"), (2, "AbCd"), (3, "abcd"), (4, "")],
+            "id int, text string")
+        got = {r["id"]: r["r"] for r in df.select(
+            "id", text.upper_ratio(F.col("text")).alias("r")).collect()}
+        assert got[1] == 1.0 and got[2] == 0.5
+        assert got[3] == 0.0 and got[4] == 0.0
+
+
+class TestAttachMediaMetadata:
+    def test_struct_shape_and_size(self, spark):
+        df = spark.createDataFrame(
+            [(1, bytearray(b"\x00\x01\x02"))], "id int, data binary")
+        out = multimodal.attach_media_metadata(df, "data", "image/png")
+        row = out.first()
+        assert row["media_meta"]["mime"] == "image/png"
+        assert row["media_meta"]["width"] is None
+        assert row["media_size_bytes"] == 3
+        assert dict(out.dtypes)["media_meta"].startswith("struct<mime:string")
