@@ -65,12 +65,22 @@ def has_broadcast_hint(df: DataFrame) -> bool:
                           logical, re.IGNORECASE))
 
 
-def whole_stage_codegen_spans(df: DataFrame) -> int:
+def whole_stage_codegen_spans(df: DataFrame, *, execute: bool = True) -> int:
     """Number of WholeStageCodegen regions — wider spans = more fused
-    JVM-side execution. Uses explain('codegen') because AQE's
-    pre-execution formatted plan omits codegen markers."""
-    txt = plan_text(df, "codegen")
-    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", txt)
+    JVM-side execution. Under AQE the pre-execution plan (and
+    ``explain('codegen')``) reports 0 subtrees because codegen stages
+    only materialize at runtime, so by default this runs the frame once
+    (noop sink) and counts distinct codegen ids in the executed plan."""
+    if execute:
+        # must run THIS frame's own QueryExecution (a noop .write wraps
+        # the plan in a fresh one and leaves this one un-finalized)
+        df.collect()
+    txt = df._jdf.queryExecution().executedPlan().toString()
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", txt))
+    if ids:
+        return len(ids)
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
+                  plan_text(df, "codegen"))
     return int(m.group(1)) if m else 0
 
 

@@ -992,3 +992,13 @@ class TestStreamingDriftMonitor:
             assert hits[0][1] > 0.25
         finally:
             q.stop()
+
+
+class TestCodegenSpanCounter:
+    def test_counts_executed_codegen_regions(self, spark):
+        from spark_expectations_spark import plans
+        df = (spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+              .groupBy("l_returnflag").count())
+        # under AQE the pre-execution plan reports 0 subtrees; the
+        # counter must execute the frame and read the FINAL plan
+        assert plans.whole_stage_codegen_spans(df) >= 1
