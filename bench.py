@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "docs_strip_boilerplate", "docs_percentile_gate",
     "docs_classifier_score", "ann_ivf_recall",
     "dedup_containment", "docs_dup_shingles", "docs_token_budget",
-    "docs_corpus_report",
+    "docs_corpus_report", "embed_semdedup", "docs_ccnet_buckets",
 ]
 
 

@@ -260,6 +260,48 @@ def percentile_gate(
     return df.join(thr, group_col).filter(cond).drop("__thr")
 
 
+def quantile_buckets(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    *,
+    qs: Sequence[float] = (0.25, 0.75),
+    labels: Sequence[str] = ("tail", "middle", "head"),
+    out: str = "bucket",
+) -> DataFrame:
+    """Per-group quantile bucketing — the CCNet recipe (Wenzek et al.
+    2019, arXiv:1911.00359): split each language's documents into
+    head/middle/tail by LM-score quantiles, so downstream sampling can
+    prefer the head without a hand-tuned absolute threshold per group.
+
+    ``len(labels) == len(qs) + 1``; a row lands in ``labels[i+1]`` when
+    its score is at-or-above the group's ``qs[i]`` exact interpolated
+    quantile (highest matching threshold wins), else ``labels[0]``.
+
+    Scale shape: one groupBy computes ALL thresholds (Spark's exact
+    ``percentile``, one pass, map-side partials); the thresholds frame
+    is group-cardinality — dims, not corpus — so the bucket join is
+    AQE-broadcast and the corpus side streams map-only, exactly like
+    :func:`percentile_gate`. Integer scores + exact-binary ``qs``
+    (quarters, eighths) make the interpolation bit-identical to DuckDB's
+    ``quantile_cont``, hence fully value-oracle-checkable.
+    """
+    if len(labels) != len(qs) + 1:
+        raise ValueError("need len(labels) == len(qs) + 1")
+    if list(qs) != sorted(qs):
+        raise ValueError("qs must be ascending")
+    thr = df.groupBy(group_col).agg(
+        *[F.percentile(F.col(score_col), F.lit(q)).alias(f"__q{i}")
+          for i, q in enumerate(qs)])
+    col = F.lit(labels[0])
+    for i in range(len(qs)):  # outermost when = highest threshold
+        col = F.when(F.col(score_col) >= F.col(f"__q{i}"),
+                     F.lit(labels[i + 1])).otherwise(col)
+    return (df.join(thr, group_col)
+            .withColumn(out, col)
+            .drop(*[f"__q{i}" for i in range(len(qs))]))
+
+
 def token_budget_sample(
     df: DataFrame,
     group_col: str,

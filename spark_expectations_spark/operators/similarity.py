@@ -452,22 +452,34 @@ def assign_centroids(
     *,
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Tag each vector with its nearest centroid (cosine). Centroids are
-    broadcast; assignment is a single scan. At scale, write the result
-    partitioned by centroid_id so probe queries prune partitions."""
-    cent = centroids.select(
-        F.col("centroid_id").alias("__cid"), F.col("centroid").alias("__cvec")
-    ).withColumn("__cn", _norm(F.col("__cvec")))
-    sim = _dot(F.col(vec_col), F.col("__cvec")) / (_norm(F.col(vec_col)) * F.col("__cn"))
-    scored = corpus.crossJoin(F.broadcast(cent)).withColumn("__sim", sim)
-    w = Window.partitionBy(*[F.col(c) for c in corpus.columns]).orderBy(
-        F.col("__sim").desc(), F.col("__cid").asc()
-    )
-    # rank centroids per row; cheaper: max_by over groupBy id when id exists
+    """Tag each vector with its nearest centroid (cosine; ties → lowest
+    centroid_id). At scale, write the result partitioned by centroid_id
+    so probe queries prune partitions.
+
+    Plan shape: the k-row codebook is collapsed to ONE array-of-structs
+    row and broadcast, and the argmax is a codegen ``aggregate`` fold
+    over that array — a map-only stage with no row multiplication, no
+    sort, and no window (the previous crossJoin × window form cost a
+    k× row blowup plus a per-row WindowExec sort). Cost O(n·k·dim),
+    shuffle zero.
+    """
+    cents_row = centroids.agg(F.collect_list(F.struct(
+        F.col("centroid_id").alias("cid"),
+        F.col("centroid").alias("cvec"),
+        _norm(F.col("centroid")).alias("cn"))).alias("__cents"))
+    vec = F.col(vec_col)
+    vn = _norm(vec)
+    # each cosine evaluated exactly once (transform), then a struct-max
+    # scan; (sim, -cid) ordering = highest sim, ties to LOWEST cid
+    sims = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            (_dot(vec, c["cvec"]) / (vn * c["cn"])).alias("s"),
+            (-c["cid"]).alias("nc")))
+    best = F.array_max(sims)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(*corpus.columns, F.col("__cid").alias("centroid_id"))
+        corpus.crossJoin(F.broadcast(cents_row))
+        .select(*corpus.columns, (-best["nc"]).alias("centroid_id"))
     )
 
 
@@ -692,6 +704,108 @@ def mean_pool(
         lambda v: F.when(nrm > 0, v.cast("double") / nrm)
                    .otherwise(F.lit(0.0)).cast("float"))
     return pooled.select(group_col, "n_vectors", unit.alias("pooled"))
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Within-cluster near-duplicate pairs — the candidate step of
+    SemDeDup (Abbas et al. 2023, arXiv:2303.09540): assign every vector
+    to its nearest centroid, then compare ONLY vectors sharing a cell.
+
+    Scale shape: assignment is a single scan against a broadcast
+    centroid table (:func:`assign_centroids`); the pair search is one
+    groupBy(centroid_id) feeding a grouped ``applyInPandas`` BLAS block
+    product, tiled to ``chunk``² doubles — compute O(Σ cell²) instead of
+    the O(n²) of exact all-pairs, shuffle O(n) rows, nothing collected
+    to the driver. Cell sizes must stay task-sized: grow
+    ``num_centroids`` with the corpus (n/k rows per cell on average),
+    exactly like ``planes_per_table`` in
+    :func:`bucketed_near_duplicate_pairs`. Cosine values are exact
+    (recomputed in float64); only candidate *selection* is clustered, so
+    cross-cluster near-dups are invisible by design — that is the
+    SemDeDup trade.
+
+    Returns (id_a, id_b, centroid_id, cosine), id_a < id_b. If ``df``
+    already carries a ``centroid_id`` column the assignment scan is
+    skipped (how :func:`semdedup` avoids assigning twice).
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401 — worker closure
+
+    if "centroid_id" in df.columns:
+        assigned = df.select(id_col, vec_col, "centroid_id")
+    else:
+        assigned = assign_centroids(
+            df.select(id_col, vec_col), centroids, vec_col=vec_col)
+
+    def _cell_pairs(pdf):
+        empty = pd.DataFrame(
+            {"id_a": [], "id_b": [], "centroid_id": [], "cosine": []}
+        ).astype({"id_a": "int64", "id_b": "int64",
+                  "centroid_id": "int64", "cosine": "float64"})
+        if len(pdf) < 2:
+            return empty
+        m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        cid = int(pdf["centroid_id"].iloc[0])
+        out_a, out_b, out_c = [], [], []
+        for ga, gb, cos in _iter_threshold_tiles(ids, m_n, threshold, chunk):
+            out_a.append(ids[ga])
+            out_b.append(ids[gb])
+            out_c.append(cos)
+        if not out_a:
+            return empty
+        a = np.concatenate(out_a)
+        return pd.DataFrame({
+            "id_a": a, "id_b": np.concatenate(out_b),
+            "centroid_id": np.full(len(a), cid, dtype=np.int64),
+            "cosine": np.concatenate(out_c)})
+
+    return assigned.groupBy("centroid_id").applyInPandas(
+        _cell_pairs, "id_a long, id_b long, centroid_id long, cosine double")
+
+
+def semdedup(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    centroids: Optional[DataFrame] = None,
+    num_centroids: int = 16,
+    by_col: Optional[str] = None,
+    chunk: int = 4096,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, arXiv:2303.09540): cluster the
+    embedding space, then drop every vector that has a LOWER-id neighbor
+    at cosine >= ``threshold`` inside its own cluster — the deterministic
+    keep-one rule the released SemDeDup recipe uses (keep the first
+    example of each ε-similar group; lowest id stands in for "first").
+
+    Deterministic end-to-end when ``centroids``/``by_col`` are
+    deterministic (e.g. :func:`train_centroids_df` per-label means), so
+    the whole pipeline carries a full value oracle despite being an
+    approximation of exact near-dup removal. Pass a refined codebook
+    from :func:`kmeans_refine` for better cells at the same cost.
+
+    Returns the kept rows: all original columns + ``centroid_id``.
+    """
+    cents = centroids if centroids is not None else train_centroids_df(
+        df, vec_col=vec_col, by_col=by_col, num_centroids=num_centroids)
+    assigned = assign_centroids(df, cents, vec_col=vec_col)
+    pairs = semdedup_pairs(
+        assigned, cents, id_col=id_col, vec_col=vec_col,
+        threshold=threshold, chunk=chunk)
+    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return assigned.join(removed, id_col, "left_anti")
 
 
 def recall_at_k(

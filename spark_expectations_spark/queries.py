@@ -857,6 +857,64 @@ FROM per GROUP BY label
 """
 
 
+def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup (similarity.semdedup, arXiv:2303.09540):
+    per-label-mean centroids → nearest-centroid assignment → per-cell
+    BLAS pair search → drop vectors with a lower-id ε-neighbor in their
+    cell. Deterministic end-to-end (centroids are per-label means, tie
+    order pinned), so the "approximate" pipeline carries a full value
+    oracle: DuckDB reproduces centroid float32 rounding, the nearest-
+    centroid argmax, and the within-cell cosine threshold."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = similarity.train_centroids_df(emb, vec_col="embedding", by_col="label")
+    kept = similarity.semdedup(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=0.4, centroids=cents)
+    return kept.select(
+        "vec_id", F.col("label").cast("long").alias("label"),
+        F.col("centroid_id").cast("long").alias("centroid_id"))
+
+
+ORACLE_EMBED_SEMDEDUP = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS nrm
+  FROM embeddings
+),
+cel AS (
+  SELECT label AS cid, i, CAST(CAST(sum(e[i]) / count(*) AS FLOAT) AS DOUBLE) AS c
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(i)
+  GROUP BY label, i
+),
+cn AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+  FROM (SELECT cid, list(c ORDER BY i) AS cv FROM cel GROUP BY cid)
+),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             (list_sum(list_transform(range(1, len(v.e) + 1),
+                                      i -> v.e[i] * c.cv[i]))
+              / (v.nrm * c.cnrm)) DESC, c.cid ASC) AS rn
+    FROM v, cn c) WHERE rn = 1
+),
+rem AS (
+  SELECT DISTINCT ab.vec_id AS vid
+  FROM asn aa
+  JOIN asn ab ON ab.cid = aa.cid AND ab.vec_id > aa.vec_id
+  JOIN v a ON a.vec_id = aa.vec_id
+  JOIN v b ON b.vec_id = ab.vec_id
+  WHERE list_sum(list_transform(range(1, len(a.e) + 1),
+                                i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+)
+SELECT v.vec_id, CAST(v.label AS BIGINT) AS label,
+       CAST(a.cid AS BIGINT) AS centroid_id
+FROM v JOIN asn a ON a.vec_id = v.vec_id
+WHERE v.vec_id NOT IN (SELECT vid FROM rem)
+"""
+
+
 def q_embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding QA: vectors whose L2 norm sits >2σ from the corpus mean
     (degenerate/corrupt embeddings). Norms are one codegen projection
@@ -3140,6 +3198,54 @@ GROUP BY doc_id
 """
 
 
+def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail bucketing (arXiv:1911.00359): per-language
+    LM-score quartiles → bucket label (sampling.quantile_buckets over
+    text.unigram_logprob). Scores integer-ized at 1e-6 resolution so the
+    exact-percentile interpolation is bit-identical to DuckDB's
+    quantile_cont (integer inputs + exact-binary q, like
+    docs_percentile_gate); thresholds are one row per language, so the
+    bucket join is AQE-broadcast and the corpus side streams map-only."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    scored = (
+        text.unigram_logprob(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .withColumn("score",
+                    F.round(F.col("avg_logprob") * 1e6).cast("long"))
+    )
+    b = sampling.quantile_buckets(
+        scored, "lang", "score",
+        qs=(0.25, 0.75), labels=("tail", "middle", "head"))
+    return b.select("doc_id", "lang", "score", "bucket")
+
+
+ORACLE_DOCS_CCNET_BUCKETS = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+model AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM model),
+scored AS (
+  SELECT doc_id,
+         CAST(round(avg(ln((c + 0.5) / (n + 0.5 * v))) * 1000000) AS BIGINT)
+           AS score
+  FROM toks JOIN model USING (tok), tot GROUP BY doc_id),
+sl AS (
+  SELECT s.doc_id, d.lang, s.score
+  FROM scored s JOIN documents d USING (doc_id)),
+thr AS (
+  SELECT lang, quantile_cont(score, 0.25) AS q0, quantile_cont(score, 0.75) AS q1
+  FROM sl GROUP BY lang)
+SELECT doc_id, lang, score,
+       CASE WHEN score >= q1 THEN 'head'
+            WHEN score >= q0 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM sl JOIN thr USING (lang)
+"""
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling (operators/sampling.py):
     inclusion probability ∝ n_chars, coin from md5(doc_id) — a pure
@@ -3617,6 +3723,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_near_dups": q_embed_near_dups,
     "embed_near_dups_bcast": q_embed_near_dups_bcast,
     "embed_mean_pool": q_embed_mean_pool,
+    "embed_semdedup": q_embed_semdedup,
     "embed_norm_outliers": q_embed_norm_outliers,
     "embed_quantize": q_embed_quantize,
     "ann_topk": q_ann_topk,
@@ -3645,6 +3752,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_train_split": q_docs_train_split,
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lm_score": q_docs_lm_score,
+    "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_strip_boilerplate": q_docs_strip_boilerplate,
@@ -3723,6 +3831,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
     "embed_near_dups_bcast": ORACLE_EMBED_NEAR_DUPS,
     "embed_mean_pool": ORACLE_EMBED_MEAN_POOL,
+    "embed_semdedup": ORACLE_EMBED_SEMDEDUP,
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "ann_topk": ORACLE_ANN_TOPK,
@@ -3751,6 +3860,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_train_split": ORACLE_DOCS_TRAIN_SPLIT,
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
+    "docs_ccnet_buckets": ORACLE_DOCS_CCNET_BUCKETS,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,

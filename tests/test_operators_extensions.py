@@ -114,6 +114,34 @@ class TestSimilarity:
                     emb, threshold=0.9, num_blocks=blocks, chunk=chunk).collect())
             assert blocked == exact
 
+    def test_semdedup_keep_rule_and_cluster_blindness(self, spark):
+        """SemDeDup keeps the lowest-id member of each within-cell
+        ε-group and — by design — cannot see near-dups that straddle
+        cells (4 and 6 are ε-close but assigned to different centroids)."""
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+            "centroid_id long, centroid array<float>")
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.999, 0.01]), (4, [0.71, 0.704]),
+             (5, [0.0, 1.0]), (6, [0.704, 0.71]), (7, [0.01, 0.999])],
+            "vec_id long, embedding array<float>")
+        kept = similarity.semdedup(df, threshold=0.999, centroids=cents)
+        rows = {r["vec_id"]: r["centroid_id"] for r in kept.collect()}
+        assert set(rows) == {1, 4, 5, 6}
+        assert rows[1] == 0 and rows[4] == 0 and rows[5] == 1 and rows[6] == 1
+
+    def test_semdedup_consistent_with_pairs(self, emb):
+        """kept == corpus minus the distinct id_b side of semdedup_pairs
+        (the removal rule is exactly 'has a lower-id in-cell neighbor')."""
+        cents = similarity.train_centroids_df(emb, by_col="label")
+        pairs = similarity.semdedup_pairs(emb, cents, threshold=0.4)
+        removed = {r["id_b"] for r in pairs.select("id_b").distinct().collect()}
+        kept = {r["vec_id"] for r in
+                similarity.semdedup(emb, threshold=0.4, centroids=cents).collect()}
+        all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+        assert kept == all_ids - removed
+        assert removed  # nontrivial on the test embeddings
+
     def test_bucketed_pairs_recall_vs_exact(self, emb):
         """LSH-bucketed pairs: cosines exact where found; defaults reach
         recall 1.0 on the clustered test embeddings (docstring claim)."""
@@ -1251,6 +1279,40 @@ class TestPercentileGate:
         df = spark.createDataFrame([("a", 1)], "g string, s int")
         with pytest.raises(ValueError):
             sampling.percentile_gate(df, "g", "s", keep="middle")
+
+
+class TestQuantileBuckets:
+    def test_quartile_labels_and_boundary(self, spark):
+        """8 scores per group: q25=2.75, q75=6.25 for 1..8. A score
+        exactly at a threshold takes the UPPER bucket (>= comparison);
+        groups get independent thresholds."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", i) for i in range(1, 9)] + [("b", 100), ("b", 200)],
+            "g string, s int")
+        out = sampling.quantile_buckets(df, "g", "s")
+        got = {(r["g"], r["s"]): r["bucket"] for r in out.collect()}
+        assert got[("a", 1)] == "tail" and got[("a", 2)] == "tail"
+        assert got[("a", 3)] == "middle" and got[("a", 6)] == "middle"
+        assert got[("a", 7)] == "head" and got[("a", 8)] == "head"
+        # b: q25=125, q75=175 → 100 tail, 200 head
+        assert got[("b", 100)] == "tail" and got[("b", 200)] == "head"
+        # exact-boundary: 5 values 0,25,50,75,100 → q75 == 75 → 'head'
+        df2 = spark.createDataFrame(
+            [("c", v) for v in (0, 25, 50, 75, 100)], "g string, s int")
+        got2 = {r["s"]: r["bucket"]
+                for r in sampling.quantile_buckets(df2, "g", "s").collect()}
+        assert got2[75] == "head" and got2[25] == "middle"
+
+    def test_label_arity_validated(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([("a", 1)], "g string, s int")
+        with pytest.raises(ValueError):
+            sampling.quantile_buckets(df, "g", "s", qs=(0.5,),
+                                      labels=("x", "y", "z"))
+        with pytest.raises(ValueError):
+            sampling.quantile_buckets(df, "g", "s", qs=(0.75, 0.25),
+                                      labels=("x", "y", "z"))
 
 
 class TestHashedLinearScore:
