@@ -516,3 +516,98 @@ def chunk_documents(
                                 chunk_chars))
     )
     return out.select(id_col, "chunk_idx", "start", "chunk_text")
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str,
+    *,
+    min_count: int = 1,
+    max_size: Optional[int] = None,
+    specials: Sequence[str] = ("<unk>",),
+) -> DataFrame:
+    """Frequency vocabulary with contiguous ids — the tokenizer-prep
+    step of a training pipeline. ``specials`` take ids 0..len-1 (count
+    0); corpus tokens are ranked by (count desc, token asc) and take the
+    next ids, after a ``min_count`` cut and an optional ``max_size``
+    total cap. Returns (token, count, token_id).
+
+    Scale shape: ONE map-combined groupBy builds the counts (shuffle is
+    vocab-sized, not corpus-sized). The id assignment is a row_number
+    over a single global ordering — a one-partition sort, safe ONLY
+    because the frame is vocabulary-sized and bounded: set ``max_size``
+    (the cap runs through ``orderBy().limit()`` = TakeOrderedAndProject,
+    so the sort never materializes the uncut vocab either) or a real
+    ``min_count`` on open-vocabulary corpora. Deterministic: the
+    ordering is total (token asc breaks count ties), so ids are stable
+    across runs/partitionings/engines.
+    """
+    counts = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
+        .groupBy("token").agg(F.count(F.lit(1)).alias("count"))
+    )
+    if min_count > 1:
+        counts = counts.filter(F.col("count") >= min_count)
+    order = [F.col("count").desc(), F.col("token").asc()]
+    if max_size is not None:
+        room = max_size - len(specials)
+        if room <= 0:
+            raise ValueError("max_size must exceed len(specials)")
+        counts = counts.orderBy(*order).limit(room)
+    ranked = counts.withColumn(
+        "token_id",
+        F.row_number().over(Window.orderBy(*order)) + len(specials) - 1)
+    if not specials:
+        return ranked.select("token", "count", "token_id")
+    spec = df.sparkSession.createDataFrame(
+        [(s, 0, i) for i, s in enumerate(specials)],
+        "token string, count bigint, token_id int")
+    return spec.unionByName(ranked.select("token", "count", "token_id"))
+
+
+def encode_tokens(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    unk_id: int = 0,
+    out: str = "token_ids",
+) -> DataFrame:
+    """Encode documents to integer token-id sequences under a
+    :func:`build_vocab` table (out-of-vocabulary → ``unk_id``). Returns
+    (id, n_tokens, token_ids) with order preserved; empty docs get an
+    empty array.
+
+    Scale shape: posexplode → token-keyed equi-join against the vocab →
+    one id-keyed groupBy reassembling via ``array_sort(collect_list(
+    struct(pos, id)))``. The vocab side is bounded by construction
+    (min_count/max_size), so AQE broadcasts it and the corpus side
+    never shuffles for the lookup; the only corpus shuffle is the
+    per-document regroup, carrying int pairs instead of text.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(_tokens(F.col(text_col))).alias("__pos", "token"))
+    encoded = (
+        toks.join(vocab.select("token", "token_id"), "token", "left")
+        .select(
+            F.col(id_col),
+            F.col("__pos"),
+            F.coalesce(F.col("token_id"), F.lit(unk_id)).alias("__tid"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__pos", "__tid")))
+             .alias("__pt"))
+        .select(
+            F.col(id_col),
+            F.size("__pt").alias("n_tokens"),
+            F.transform(F.col("__pt"), lambda s: s["__tid"]).alias(out))
+    )
+    return (
+        df.select(id_col)
+        .join(encoded, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col(out), F.array().cast("array<int>")).alias(out))
+    )

@@ -3246,6 +3246,41 @@ FROM sl JOIN thr USING (lang)
 """
 
 
+def q_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary build + token-id encoding (text.build_vocab /
+    encode_tokens): top-31 tokens by (count desc, token asc) take ids
+    1..31 after <unk>=0; every document becomes its id sequence
+    (OOV → 0). Ordering is total, so ids and sequences are engine-
+    stable; the sequence is compared as a CSV projection."""
+    docs = load(spark, sf_dir, "documents")
+    vocab = text.build_vocab(docs, "text", max_size=32)
+    enc = text.encode_tokens(docs, vocab, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.array_join("token_ids", ",").alias("ids_csv"))
+
+
+ORACLE_DOCS_TOKEN_IDS = r"""
+WITH sp AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents),
+toks AS (
+  SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
+  FROM sp),
+counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+ranked AS (
+  SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rid
+  FROM counts QUALIFY rid <= 31),
+enc AS (
+  SELECT t.doc_id, t.pos, COALESCE(r.rid, 0) AS tid
+  FROM toks t LEFT JOIN ranked r USING (tok))
+SELECT doc_id, count(*) AS n_tokens,
+       array_to_string(list(tid ORDER BY pos), ',') AS ids_csv
+FROM enc GROUP BY doc_id
+"""
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling (operators/sampling.py):
     inclusion probability ∝ n_chars, coin from md5(doc_id) — a pure
@@ -3753,6 +3788,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lm_score": q_docs_lm_score,
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
+    "docs_token_ids": q_docs_token_ids,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_strip_boilerplate": q_docs_strip_boilerplate,
@@ -3861,6 +3897,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
     "docs_ccnet_buckets": ORACLE_DOCS_CCNET_BUCKETS,
+    "docs_token_ids": ORACLE_DOCS_TOKEN_IDS,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,

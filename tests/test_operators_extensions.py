@@ -1281,6 +1281,38 @@ class TestPercentileGate:
             sampling.percentile_gate(df, "g", "s", keep="middle")
 
 
+class TestVocabEncode:
+    def test_vocab_ids_and_encoding(self, spark):
+        """Ids: specials first, then (count desc, token asc); encoding
+        preserves order and maps OOV to unk_id."""
+        df = spark.createDataFrame(
+            [(1, "b a a"), (2, "c a b"), (3, "")], "id long, text string")
+        vocab = text.build_vocab(df, "text")
+        got = {r["token"]: (r["token_id"], r["count"])
+               for r in vocab.collect()}
+        assert got == {"<unk>": (0, 0), "a": (1, 3), "b": (2, 2),
+                       "c": (3, 1)}
+        enc = {r["id"]: (r["n_tokens"], r["token_ids"])
+               for r in text.encode_tokens(df, vocab, "id", "text").collect()}
+        assert enc[1] == (3, [2, 1, 1])
+        assert enc[2] == (3, [3, 1, 2])
+        assert enc[3] == (0, [])
+
+    def test_max_size_cut_maps_tail_to_unk(self, spark):
+        df = spark.createDataFrame(
+            [(1, "b a a"), (2, "c a b")], "id long, text string")
+        vocab = text.build_vocab(df, "text", max_size=3)  # room for a, b
+        assert {r["token"] for r in vocab.collect()} == {"<unk>", "a", "b"}
+        enc = {r["id"]: r["token_ids"]
+               for r in text.encode_tokens(df, vocab, "id", "text").collect()}
+        assert enc[2] == [0, 1, 2]  # c fell out of the vocab
+
+    def test_max_size_must_fit_specials(self, spark):
+        df = spark.createDataFrame([(1, "a")], "id long, text string")
+        with pytest.raises(ValueError):
+            text.build_vocab(df, "text", max_size=1)
+
+
 class TestQuantileBuckets:
     def test_quartile_labels_and_boundary(self, spark):
         """8 scores per group: q25=2.75, q75=6.25 for 1..8. A score
