@@ -258,6 +258,64 @@ def dup_shingle_fraction(
     )
 
 
+def cross_source_dup_matrix(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    *,
+    key: Optional[Column] = None,
+) -> DataFrame:
+    """Pairwise exact-duplicate mass between corpus sources — the
+    "which crawls mirror each other" diagnostic run before choosing
+    mixture weights. For every (source_a <= source_b) pair, counts the
+    duplicate doc pairs sharing a normalization fingerprint
+    (:func:`~.text.fingerprint` by default; pass ``key`` for a coarser
+    collision key, e.g. :func:`~.text.token_set_fingerprint`): within a
+    source C(cnt,2), across sources cnt_a·cnt_b. Returns
+    (source_a, source_b, n_dup_pairs, n_shared_fps) with zero rows
+    suppressed; n_shared_fps = #distinct fingerprints contributing.
+
+    Scale shape: one (fingerprint, source) groupBy, then ONE
+    fingerprint groupBy whose per-group state is the source-count list —
+    bounded by #sources, never by docs — with in-group pair counts
+    exploded from the sorted list (the posting-list trick of
+    :func:`jaccard_pairs`: no self-join on the corpus-sized frame). The
+    final matrix agg is #sources²-bounded. Counts multiply instead of
+    materializing pair rows, so a fingerprint shared a million times
+    costs one long, not 10¹² rows.
+    """
+    from .text import fingerprint
+
+    fp_col = key if key is not None else fingerprint(F.col(text_col))
+    per = (
+        df.select(F.col(source_col).alias("source"), fp_col.alias("fp"))
+        .groupBy("fp", "source").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    grouped = per.groupBy("fp").agg(
+        F.array_sort(F.collect_list(F.struct("source", "cnt"))).alias("sc"))
+    pair = F.explode(F.flatten(F.transform(
+        F.col("sc"),
+        lambda a, i: F.transform(
+            F.slice(F.col("sc"), i + 1, F.size(F.col("sc"))),
+            lambda b: F.struct(
+                a["source"].alias("source_a"),
+                b["source"].alias("source_b"),
+                F.when(a["source"] == b["source"],
+                       (a["cnt"] * (a["cnt"] - F.lit(1))) / F.lit(2))
+                 .otherwise(a["cnt"] * b["cnt"])
+                 .cast("long").alias("pairs"),
+            ),
+        ),
+    ))).alias("p")
+    return (
+        grouped.select(pair).select("p.*")
+        .groupBy("source_a", "source_b")
+        .agg(F.sum("pairs").alias("n_dup_pairs"),
+             F.sum((F.col("pairs") > 0).cast("long")).alias("n_shared_fps"))
+        .filter(F.col("n_dup_pairs") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------

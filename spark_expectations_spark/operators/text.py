@@ -136,6 +136,14 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def token_set_fingerprint(text: Column) -> Column:
+    """md5 of the sorted distinct token set (bag-of-words fingerprint):
+    documents that differ only in token order or repetition collide —
+    a coarser duplicate key than :func:`fingerprint` for template/
+    shuffle-style mirrors."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_tokens(text)))))
+
+
 def rolling_hash_fingerprint(text: Column, *, window: int = 8, keep_every: int = 16) -> Column:
     """Winnowing-style document sketch: xxhash64 of each ``window``-token
     shingle, keep hashes ≡ 0 (mod keep_every), sorted — a compact

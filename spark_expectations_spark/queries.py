@@ -3281,6 +3281,40 @@ FROM enc GROUP BY doc_id
 """
 
 
+def q_docs_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplicate matrix (dedup.cross_source_dup_matrix):
+    duplicate-pair mass per source pair from token-set (bag-of-words)
+    fingerprints — order/repetition-insensitive mirrors collide; counts
+    multiplied per fingerprint instead of materializing pair rows (one
+    fp-source groupBy + one fp groupBy, no corpus self-join)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.cross_source_dup_matrix(
+        docs, "source", "text",
+        key=text.token_set_fingerprint(F.col("text")))
+
+
+ORACLE_DOCS_SOURCE_DUP_MATRIX = r"""
+WITH fp AS (
+  SELECT source,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> ''))), ' ')) AS f
+  FROM documents),
+per AS (SELECT f, source, count(*) AS cnt FROM fp GROUP BY f, source),
+pr AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CASE WHEN a.source = b.source THEN a.cnt * (a.cnt - 1) // 2
+              ELSE a.cnt * b.cnt END AS pairs
+  FROM per a JOIN per b ON a.f = b.f AND a.source <= b.source)
+SELECT source_a, source_b,
+       CAST(sum(pairs) AS BIGINT) AS n_dup_pairs,
+       CAST(sum(CASE WHEN pairs > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_shared_fps
+FROM pr GROUP BY source_a, source_b
+HAVING sum(pairs) > 0
+"""
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling (operators/sampling.py):
     inclusion probability ∝ n_chars, coin from md5(doc_id) — a pure
@@ -3789,6 +3823,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_lm_score": q_docs_lm_score,
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "docs_token_ids": q_docs_token_ids,
+    "docs_source_dup_matrix": q_docs_source_dup_matrix,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_strip_boilerplate": q_docs_strip_boilerplate,
@@ -3898,6 +3933,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
     "docs_ccnet_buckets": ORACLE_DOCS_CCNET_BUCKETS,
     "docs_token_ids": ORACLE_DOCS_TOKEN_IDS,
+    "docs_source_dup_matrix": ORACLE_DOCS_SOURCE_DUP_MATRIX,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,

@@ -459,6 +459,41 @@ class TestPlanShapes:
         assert "LocalTableScan" not in txt
         assert plans.num_shuffles(df) == 1
 
+    def test_assign_centroids_no_window_no_blowup(self, spark):
+        """Centroid assignment is a map-only argmax fold: no WindowExec,
+        no per-row sort; the only join is the broadcast of the ONE-row
+        collapsed codebook (the r03-era crossJoin × row_number form cost
+        a k× row multiplication plus a window sort per row)."""
+        from spark_expectations_spark.operators import similarity
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = similarity.train_centroids_df(emb, by_col="label")
+        df = similarity.assign_centroids(emb, cents)
+        txt = plans.plan_text(df, "simple")
+        assert "Window" not in txt
+        assert plans.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in txt
+
+    def test_semdedup_scan_fed_grouped_map(self, spark):
+        """semdedup never collects the corpus: per-cell pair search is a
+        grouped-map over the parquet scan (no LocalTableScan), and the
+        removal is an anti join."""
+        from spark_expectations_spark.operators import similarity
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = similarity.train_centroids_df(emb, by_col="label")
+        df = similarity.semdedup(emb, threshold=0.4, centroids=cents)
+        txt = plans.plan_text(df, "simple")
+        assert "FlatMapGroupsInPandas" in txt
+        assert "LocalTableScan" not in txt
+
+    def test_quantile_buckets_threshold_join_broadcast(self, spark):
+        """The per-group threshold frame is group-cardinality, so the
+        bucket join must resolve to a broadcast under AQE (corpus side
+        streams map-only)."""
+        from spark_expectations_spark.operators import sampling
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = sampling.quantile_buckets(docs, "lang", "n_chars")
+        df.write.format("noop").mode("overwrite").save()
+        assert plans.has_broadcast_join(df)
+
     def test_bucketed_near_dups_distributed(self, spark):
         """LSH-bucketed pairs: per-table bucket groups + final pair dedup
         = 2 shuffles, scan-fed (no driver matrix)."""

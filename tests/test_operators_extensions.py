@@ -1425,6 +1425,36 @@ class TestContainmentPairs:
         assert rows[0]["jaccard"] == pytest.approx(0.6)
 
 
+class TestCrossSourceDupMatrix:
+    def test_pair_counts_within_and_across(self, spark):
+        """'x y' and 'y x' share a token-set fingerprint: A has two such
+        docs (1 within-source pair), B one, giving A×B = 2·1 = 2 pairs;
+        B's 'z' doc collides with nothing and zero-mass rows (B,B) are
+        suppressed."""
+        from spark_expectations_spark.operators import dedup, text
+        df = spark.createDataFrame(
+            [("A", "x y"), ("A", "y x"), ("B", "x y"), ("B", "z")],
+            "source string, text string")
+        out = dedup.cross_source_dup_matrix(
+            df, "source", "text",
+            key=text.token_set_fingerprint(F.col("text")))
+        got = {(r["source_a"], r["source_b"]): (r["n_dup_pairs"], r["n_shared_fps"])
+               for r in out.collect()}
+        assert got == {("A", "A"): (1, 1), ("A", "B"): (2, 1)}
+
+    def test_default_key_is_exact_fingerprint(self, spark):
+        """Default key = normalization fingerprint: token order matters,
+        so 'x y' vs 'y x' do NOT collide but case/punct variants do."""
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [("A", "x y"), ("A", "y x"), ("B", "X  y!")],
+            "source string, text string")
+        out = dedup.cross_source_dup_matrix(df, "source", "text")
+        got = {(r["source_a"], r["source_b"]): r["n_dup_pairs"]
+               for r in out.collect()}
+        assert got == {("A", "B"): 1}
+
+
 class TestDupShingleFraction:
     def test_fractions(self, spark):
         df = spark.createDataFrame(
