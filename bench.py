@@ -34,7 +34,8 @@ BENCH_QUERIES = [
     "docs_classifier_score", "ann_ivf_recall",
     "dedup_containment", "docs_dup_shingles", "docs_token_budget",
     "docs_corpus_report", "embed_semdedup", "docs_ccnet_buckets",
-    "docs_token_ids", "docs_source_dup_matrix",
+    "docs_token_ids", "docs_source_dup_matrix", "docs_dedup_pipeline",
+    "docs_epoch_shuffle",
 ]
 
 

@@ -260,6 +260,40 @@ def percentile_gate(
     return df.join(thr, group_col).filter(cond).drop("__thr")
 
 
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    *,
+    seed: int = 0,
+    num_shards: int = 64,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Deterministic epoch permutation for training dataloaders: every
+    row gets a (shard, position) address that is a pure function of
+    (seed, key) — re-running on re-partitioned data, a different cluster
+    or a different engine yields the SAME order, and each epoch's
+    ``seed`` yields an independent permutation (``df.orderBy(rand())``
+    gives neither). A loader streams shard files in any order and reads
+    rows by position; resume-after-crash is a (shard, pos) bookmark.
+
+    Scale shape: shard = md5 bucket of (seed, key) → ONE hash-partition
+    shuffle; positions are a per-shard ``row_number`` over the same md5
+    key, so no global sort and no single-partition window — each shard
+    sorts independently (n/num_shards rows). Raise ``num_shards`` with
+    the corpus to keep per-shard sorts task-sized.
+    """
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
+    d = df.withColumn("__k", key).withColumn(
+        shard_col,
+        F.pmod(F.conv(F.substring(F.col("__k"), 1, 4), 16, 10).cast("long"),
+               F.lit(num_shards)))
+    w = Window.partitionBy(shard_col).orderBy(F.col("__k"), F.col(id_col))
+    return (d.withColumn(pos_col, F.row_number().over(w) - 1)
+            .drop("__k"))
+
+
 def quantile_buckets(
     df: DataFrame,
     group_col: str,

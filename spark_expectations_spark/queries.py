@@ -587,6 +587,102 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end ensemble dedup — the full corpus-dedup pipeline a
+    training-data job actually runs, as ONE declarative plan: near-dup
+    pairs from THREE independent signals (symmetric Jaccard >= 0.15,
+    asymmetric containment >= 0.6, token-set fingerprint equality) are
+    unioned, resolved to connected components, and collapsed to one
+    canonical doc per duplicate group (highest n_chars, ties -> lowest
+    id). The pair sources share one persisted shingle index
+    (_pair_intersections), fingerprint pairs come from a posting-list
+    groupBy (no corpus self-join), and component resolution is the
+    bounded min-label propagation of dedup_clusters."""
+    docs = load(spark, sf_dir, "documents")
+    jac = dedup.jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.15).select("id_a", "id_b")
+    cont = dedup.containment_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.6).select("id_a", "id_b")
+    fps = (
+        docs.select("doc_id",
+                    text.token_set_fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(F.flatten(F.transform(
+            F.col("ids"),
+            lambda a, i: F.transform(
+                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        ))).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    pairs = jac.unionByName(cont).unionByName(fps).distinct()
+    kept = dedup.canonical_per_cluster(docs, pairs, "doc_id",
+                                       score_col="n_chars")
+    return kept.select("doc_id", "cluster_id", "n_members", "n_chars")
+
+
+ORACLE_DOCS_DEDUP_PIPELINE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+fpk AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> ''))), ' ')) AS f
+  FROM documents),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+     OR c * 1.0 / least(sa.n, sb.n) >= 0.6
+  UNION
+  SELECT a.doc_id, b.doc_id FROM fpk a
+  JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id, d.n_chars
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM lab
+)
+SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members, n_chars
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated Jaccard. xxhash64 has
     no DuckDB twin → rows-only check; q_dedup_jaccard is the exact-oracle
@@ -3315,6 +3411,33 @@ HAVING sum(pairs) > 0
 """
 
 
+def q_docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (sampling.epoch_shuffle): every doc
+    gets a (shard, pos) dataloader address from md5(seed:doc_id) — one
+    hash-partition shuffle, per-shard sorts (no global sort). DuckDB
+    reproduces the addresses byte-for-byte from the same md5 math."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.epoch_shuffle(docs, "doc_id", seed=1, num_shards=8)
+    return out.select("doc_id", "shard", "pos")
+
+
+ORACLE_DOCS_EPOCH_SHUFFLE = """
+WITH k AS (
+  SELECT doc_id, md5('1:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents),
+s AS (
+  SELECT doc_id, h,
+         CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard
+  FROM k)
+SELECT doc_id, shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1
+            AS INT) AS pos
+FROM s
+"""
+
+
 def q_docs_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-weighted deterministic sampling (operators/sampling.py):
     inclusion probability ∝ n_chars, coin from md5(doc_id) — a pure
@@ -3784,6 +3907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
+    "docs_dedup_pipeline": q_docs_dedup_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_md5": q_dedup_minhash_md5,
@@ -3824,6 +3948,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "docs_token_ids": q_docs_token_ids,
     "docs_source_dup_matrix": q_docs_source_dup_matrix,
+    "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
     "docs_strip_boilerplate": q_docs_strip_boilerplate,
@@ -3897,6 +4022,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_canonical": ORACLE_DEDUP_CANONICAL,
+    "docs_dedup_pipeline": ORACLE_DOCS_DEDUP_PIPELINE,
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
     "embed_near_dups": ORACLE_EMBED_NEAR_DUPS,
@@ -3934,6 +4060,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_ccnet_buckets": ORACLE_DOCS_CCNET_BUCKETS,
     "docs_token_ids": ORACLE_DOCS_TOKEN_IDS,
     "docs_source_dup_matrix": ORACLE_DOCS_SOURCE_DUP_MATRIX,
+    "docs_epoch_shuffle": ORACLE_DOCS_EPOCH_SHUFFLE,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,
     "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,

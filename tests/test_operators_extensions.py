@@ -1313,6 +1313,35 @@ class TestVocabEncode:
             text.build_vocab(df, "text", max_size=1)
 
 
+class TestEpochShuffle:
+    def test_partition_invariant_and_complete(self, spark):
+        """Addresses are a pure function of (seed, id): identical under
+        repartitioning; positions are contiguous 0..n_i-1 per shard."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(0, 200).withColumnRenamed("id", "k")
+        a = {(r["k"]): (r["shard"], r["pos"])
+             for r in sampling.epoch_shuffle(df, "k", seed=3,
+                                             num_shards=4).collect()}
+        b = {(r["k"]): (r["shard"], r["pos"])
+             for r in sampling.epoch_shuffle(df.repartition(13), "k", seed=3,
+                                             num_shards=4).collect()}
+        assert a == b and len(a) == 200
+        by_shard = {}
+        for shard, pos in a.values():
+            by_shard.setdefault(shard, []).append(pos)
+        for shard, poss in by_shard.items():
+            assert sorted(poss) == list(range(len(poss)))
+
+    def test_seed_changes_permutation(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(0, 100).withColumnRenamed("id", "k")
+        a = {r["k"]: (r["shard"], r["pos"])
+             for r in sampling.epoch_shuffle(df, "k", seed=0).collect()}
+        b = {r["k"]: (r["shard"], r["pos"])
+             for r in sampling.epoch_shuffle(df, "k", seed=1).collect()}
+        assert a != b
+
+
 class TestQuantileBuckets:
     def test_quartile_labels_and_boundary(self, spark):
         """8 scores per group: q25=2.75, q75=6.25 for 1..8. A score
