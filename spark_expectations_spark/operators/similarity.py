@@ -804,7 +804,9 @@ def semdedup(
     pairs = semdedup_pairs(
         assigned, cents, id_col=id_col, vec_col=vec_col,
         threshold=threshold, chunk=chunk)
-    removed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    # no .distinct() on the removal side: left_anti ignores right-side
+    # duplicates, so deduping first would only add a shuffle
+    removed = pairs.select(F.col("id_b").alias(id_col))
     return assigned.join(removed, id_col, "left_anti")
 
 

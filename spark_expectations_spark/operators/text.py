@@ -581,6 +581,7 @@ def encode_tokens(
     *,
     unk_id: int = 0,
     out: str = "token_ids",
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Encode documents to integer token-id sequences under a
     :func:`build_vocab` table (out-of-vocabulary → ``unk_id``). Returns
@@ -589,16 +590,21 @@ def encode_tokens(
 
     Scale shape: posexplode → token-keyed equi-join against the vocab →
     one id-keyed groupBy reassembling via ``array_sort(collect_list(
-    struct(pos, id)))``. The vocab side is bounded by construction
-    (min_count/max_size), so AQE broadcasts it and the corpus side
-    never shuffles for the lookup; the only corpus shuffle is the
-    per-document regroup, carrying int pairs instead of text.
+    struct(pos, id)))``. The vocab is dims-sized BY CONTRACT
+    (build_vocab's min_count/max_size cuts), so the lookup join is
+    broadcast-hinted by default and the corpus side never shuffles for
+    it — pass ``broadcast_vocab=False`` for a deliberately unbounded
+    vocabulary and let AQE pick the join. The only corpus shuffle is
+    the per-document regroup, carrying int pairs instead of text.
     """
+    lookup = vocab.select("token", "token_id")
+    if broadcast_vocab:
+        lookup = F.broadcast(lookup)
     toks = df.select(
         F.col(id_col),
         F.posexplode(_tokens(F.col(text_col))).alias("__pos", "token"))
     encoded = (
-        toks.join(vocab.select("token", "token_id"), "token", "left")
+        toks.join(lookup, "token", "left")
         .select(
             F.col(id_col),
             F.col("__pos"),
