@@ -1,0 +1,135 @@
+"""Parquet file-layout maintenance: compaction and Z-order clustering.
+
+The two layout levers that matter at 100 TB and that no query-side knob
+fixes after the fact: (1) thousands of KB-sized files from streaming /
+incremental appends destroy scan throughput (per-file open + footer
+costs dominate), and (2) row order decides whether min/max file
+statistics can prune scans on more than one column. Both operators
+write to a NEW directory — the at-scale pattern is write-new-then-flip
+(a view, symlink manifest, or table-format pointer), never an in-place
+overwrite of a directory being read.
+
+Net-new relative to the reference (its sinks stop at table writes,
+sinks/utils/writer.py:242-287); layout maintenance is what a lake needs
+once those writes accumulate.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Mapping, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import estimated_size_bytes
+
+__all__ = ["compact_small_files", "interleave_bits", "zorder_write"]
+
+
+def compact_small_files(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    sort_by: Sequence[str] = (),
+) -> Mapping[str, int]:
+    """Rewrite a parquet directory into ~``target_file_bytes`` files.
+
+    File count comes from Catalyst's plan-time size estimate (sum of
+    source file sizes — no job). Without ``sort_by`` the rewrite is one
+    round-robin repartition; with it, a range partition + in-file sort,
+    so the compacted files also carry useful min/max pruning stats on
+    the sort key. Returns {files_before, files_after, estimated_bytes,
+    target_files}.
+
+    Scale notes: cost is one full read + write of ``src_path`` — run it
+    per partition directory, not per table, and flip readers to
+    ``dest_path`` afterwards. The estimate is the *compressed* source
+    size, so output files land near the target without sampling.
+    """
+    df = spark.read.parquet(src_path)
+    total = max(estimated_size_bytes(df), 1)
+    n = max(1, math.ceil(total / target_file_bytes))
+    if sort_by:
+        out = df.repartitionByRange(n, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        out = df.repartition(n)
+    out.write.mode("overwrite").parquet(dest_path)
+    return {
+        "files_before": len(df.inputFiles()),
+        "files_after": len(spark.read.parquet(dest_path).inputFiles()),
+        "estimated_bytes": total,
+        "target_files": n,
+    }
+
+
+def interleave_bits(cols: Sequence[Column], *, bits: int = 16) -> Column:
+    """Morton (Z-order) code: interleave the low ``bits`` bits of each
+    already-normalized non-negative integer column. Pure codegen
+    arithmetic (shift/and/or folds), no UDF. With k columns the result
+    uses k·bits bits — keep k·bits <= 62."""
+    if not cols:
+        raise ValueError("need at least one column")
+    if len(cols) * bits > 62:
+        raise ValueError("k*bits must fit in a signed 64-bit long")
+    k = len(cols)
+    code = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(c.cast("long"), i).bitwiseAND(F.lit(1))
+            code = code.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return code
+
+
+def zorder_write(
+    df: DataFrame,
+    dest_path: str,
+    zorder_by: Sequence[str],
+    *,
+    num_files: Optional[int] = None,
+    target_file_bytes: int = 128 << 20,
+    bits: int = 16,
+) -> Mapping[str, int]:
+    """Write ``df`` as parquet clustered on a Z-order curve over
+    ``zorder_by`` — after this, min/max file statistics prune scans on
+    ANY of the curve columns, not just a single sort leader (the
+    locality trade linear sort can't make).
+
+    Each column is normalized to a ``bits``-bit grid by its (min, max)
+    range — ONE 1-row aggregate, broadcast — then rows are range-
+    partitioned and sorted by the interleaved Morton code. Numeric and
+    date/timestamp columns work (anything castable to double). NULLs
+    map to grid 0 (they sort first, like NULLS FIRST).
+
+    Scale notes: the only corpus shuffle is the range partition on the
+    code (plus Spark's internal range sampling); the stats frame is one
+    row. File count = plan-size estimate / target, like
+    :func:`compact_small_files`.
+    """
+    if not zorder_by:
+        raise ValueError("zorder_by must name at least one column")
+    stats = df.agg(*[f(F.col(c).cast("double")).alias(f"__{agg}_{c}")
+                     for c in zorder_by
+                     for agg, f in (("min", F.min), ("max", F.max))])
+    grid_max = (1 << bits) - 1
+    z_cols = []
+    for c in zorder_by:
+        lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+        span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
+        norm = ((F.col(c).cast("double") - lo) / span * grid_max)
+        z_cols.append(F.coalesce(norm, F.lit(0.0)).cast("long"))
+    coded = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__z", interleave_bits(z_cols, bits=bits))
+        .select(*df.columns, "__z")
+    )
+    if num_files is None:
+        num_files = max(1, math.ceil(
+            max(estimated_size_bytes(df), 1) / target_file_bytes))
+    (coded.repartitionByRange(num_files, "__z")
+     .sortWithinPartitions("__z")
+     .drop("__z")
+     .write.mode("overwrite").parquet(dest_path))
+    return {"num_files": num_files, "bits": bits}

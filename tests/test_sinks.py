@@ -1,5 +1,8 @@
 """Tests for stats/report/builder sinks."""
 
+import pytest
+from pyspark.sql import functions as F
+
 from spark_expectations_spark import DQConfig, DQEngine, Rule, RuleSet
 from spark_expectations_spark.sinks.builder import WrappedDataFrameWriter
 from spark_expectations_spark.sinks.report import report_from_stats, run_summary
@@ -263,3 +266,66 @@ class TestKafkaJarGatedSmoke:
         """The availability probe itself must never raise."""
         from spark_expectations_spark.sinks import writer
         assert writer.kafka_connector_available(spark) in (True, False)
+
+
+class TestLayout:
+    def test_compact_small_files(self, spark, tmp_path):
+        from spark_expectations_spark.sinks import layout
+        src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+        df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+        df.repartition(40).write.parquet(src)
+        stats = layout.compact_small_files(spark, src, dst,
+                                           target_file_bytes=1 << 30)
+        assert stats["files_before"] >= 40
+        assert stats["files_after"] == 1
+        a = sorted(r["id"] for r in spark.read.parquet(dst).collect())
+        assert a == list(range(1000))
+
+    def test_compact_sorted_carries_pruning_stats(self, spark, tmp_path):
+        """sort_by compaction range-partitions: each output file holds a
+        disjoint id range (min/max pruning actually works)."""
+        from spark_expectations_spark.sinks import layout
+        src, dst = str(tmp_path / "s2"), str(tmp_path / "d2")
+        spark.range(0, 1000).repartition(20).write.parquet(src)
+        layout.compact_small_files(spark, src, dst,
+                                   target_file_bytes=1, sort_by=["id"])
+        per_file = (
+            spark.read.parquet(dst)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("id").alias("lo"), F.max("id").alias("hi"))
+            .collect())
+        assert len(per_file) > 1
+        spans = sorted((r["lo"], r["hi"]) for r in per_file)
+        for (_, hi_prev), (lo_next, _) in zip(spans, spans[1:]):
+            assert hi_prev < lo_next
+
+    def test_interleave_bits_known_value(self, spark):
+        from spark_expectations_spark.sinks import layout
+        df = spark.createDataFrame([(3, 1)], "x long, y long")
+        code = df.select(layout.interleave_bits(
+            [F.col("x"), F.col("y")], bits=2).alias("z")).first()["z"]
+        # x=0b11 -> bit positions 0,2 ; y=0b01 -> bit position 1 -> 0b0111
+        assert code == 7
+        with pytest.raises(ValueError):
+            layout.interleave_bits([F.col("x")] * 4, bits=16)
+
+    def test_zorder_files_prune_on_both_columns(self, spark, tmp_path):
+        """Z-order clustering: per-file min/max ranges are narrow on BOTH
+        curve columns, where a linear sort on `a` leaves `b` unpruned."""
+        from spark_expectations_spark.sinks import layout
+        dst = str(tmp_path / "z")
+        rows = [(a, b) for a in range(32) for b in range(32)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        layout.zorder_write(df, dst, ["a", "b"], num_files=16, bits=5)
+        per_file = (
+            spark.read.parquet(dst)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg((F.max("a") - F.min("a")).alias("ra"),
+                 (F.max("b") - F.min("b")).alias("rb"))
+            .collect())
+        assert len(per_file) == 16
+        mean_ra = sum(r["ra"] for r in per_file) / len(per_file)
+        mean_rb = sum(r["rb"] for r in per_file) / len(per_file)
+        # 1024 rows / 16 files = 64-row z-blocks: ideal range 7 on each
+        # axis; a linear sort on `a` would give mean_rb ~= 31
+        assert mean_ra <= 16 and mean_rb <= 16
