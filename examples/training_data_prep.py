@@ -1,6 +1,8 @@
 """Training-data prep over the documents corpus: quality profiling,
 near-duplicate detection (MinHash LSH), deterministic splits, eval-set
-decontamination, and concat-and-chunk sequence packing.
+decontamination, concat-and-chunk sequence packing, CCNet quantile
+buckets, SemDeDup semantic dedup, vocab/token-id encoding, and a
+deterministic epoch shuffle.
 
     python examples/training_data_prep.py [sf_dir]
 """
@@ -69,6 +71,31 @@ def main() -> None:
     admitted = dedup.incremental_dedup(batch, index, "doc_id")
     print(f"incremental append: {batch.count()} batch -> "
           f"{admitted.count()} admitted")
+
+    # CCNet-style head/middle/tail buckets per language (LM-score quartiles)
+    scored = (text.unigram_logprob(docs, "doc_id", "text")
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .withColumn("score",
+                          F.round(F.col("avg_logprob") * 1e6).cast("long")))
+    buckets = sampling.quantile_buckets(scored, "lang", "score")
+    buckets.groupBy("lang", "bucket").count().orderBy("lang", "bucket").show(9)
+
+    # semantic dedup over embeddings (SemDeDup: per-cluster near-dup drop)
+    from spark_expectations_spark.operators import similarity
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sem_kept = similarity.semdedup(emb, threshold=0.4, by_col="label")
+    print(f"semdedup: {emb.count()} -> {sem_kept.count()} vectors")
+
+    # tokenizer prep: frequency vocab + id-encoded corpus
+    vocab = text.build_vocab(clean_train, "text", max_size=512)
+    encoded = text.encode_tokens(clean_train, vocab, "doc_id", "text")
+    print(f"vocab: {vocab.count()} entries; "
+          f"encoded docs: {encoded.count()}")
+
+    # deterministic epoch shuffle: (shard, pos) dataloader addresses
+    addressed = sampling.epoch_shuffle(clean_train, "doc_id",
+                                       seed=0, num_shards=8)
+    addressed.groupBy("shard").count().orderBy("shard").show(8)
     spark.stop()
 
 

@@ -209,3 +209,66 @@ class TestSamplePerGroupProperty:
         assert set(p1) <= {(g, k) for g, k in rows}
         from collections import Counter
         assert all(c <= n for c in Counter(g for g, _ in p1).values())
+
+
+class TestQuantileBucketsProperty:
+    @given(scores=st.lists(st.integers(-1000, 1000), min_size=4, max_size=40))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_numpy_linear_interpolation(self, spark, scores):
+        """Bucket labels == the numpy 'linear' (interpolated) percentile
+        reference for arbitrary integer scores in one group."""
+        import numpy as np
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([("g", i, s) for i, s in enumerate(scores)],
+                                   "g string, i long, s long")
+        out = {r["i"]: r["bucket"]
+               for r in sampling.quantile_buckets(df, "g", "s").collect()}
+        q25 = np.percentile(scores, 25, method="linear")
+        q75 = np.percentile(scores, 75, method="linear")
+        for i, s in enumerate(scores):
+            expect = "head" if s >= q75 else ("middle" if s >= q25 else "tail")
+            assert out[i] == expect, (i, s, q25, q75)
+
+
+class TestEpochShuffleProperty:
+    @given(ids=st.lists(st.integers(0, 10 ** 9), min_size=1, max_size=60,
+                        unique=True),
+           seed=st.integers(0, 3), shards=st.integers(1, 5))
+    @settings(max_examples=10, deadline=None)
+    def test_addresses_form_a_partitioned_permutation(self, spark, ids,
+                                                      seed, shards):
+        """Every row gets a unique (shard, pos); per-shard positions are
+        0..n_i-1; shard ids stay within range."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(i,) for i in ids], "k long")
+        rows = sampling.epoch_shuffle(df, "k", seed=seed,
+                                      num_shards=shards).collect()
+        addrs = [(r["shard"], r["pos"]) for r in rows]
+        assert len(set(addrs)) == len(ids)
+        by_shard = {}
+        for s, p in addrs:
+            assert 0 <= s < shards
+            by_shard.setdefault(s, []).append(p)
+        for poss in by_shard.values():
+            assert sorted(poss) == list(range(len(poss)))
+
+
+class TestVocabRoundTripProperty:
+    @given(docs=st.lists(
+        st.lists(st.sampled_from("abcdef"), min_size=0, max_size=8),
+        min_size=1, max_size=10))
+    @settings(max_examples=10, deadline=None)
+    def test_encode_then_decode_is_identity(self, spark, docs):
+        """With an uncut vocab there is no OOV: decoding the id sequence
+        through the vocab reproduces every document's token sequence."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import text as t
+        df = spark.createDataFrame(
+            [(i, " ".join(d)) for i, d in enumerate(docs)],
+            "id long, text string")
+        vocab = t.build_vocab(df, "text")
+        id2tok = {r["token_id"]: r["token"] for r in vocab.collect()}
+        enc = t.encode_tokens(df, vocab, "id", "text").collect()
+        got = {r["id"]: [id2tok[i] for i in r["token_ids"]] for r in enc}
+        for i, d in enumerate(docs):
+            assert got[i] == d, (i, d, got[i])
