@@ -220,6 +220,41 @@ def containment_pairs(
     )
 
 
+def similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    jaccard_threshold: Optional[float] = None,
+    containment_threshold: Optional[float] = None,
+    max_shingle_df: Optional[int] = None,
+) -> DataFrame:
+    """Pairs passing EITHER the symmetric Jaccard OR the asymmetric
+    containment threshold, from ONE shared shingle pass — what an
+    ensemble dedup pipeline wants instead of running
+    :func:`jaccard_pairs` and :func:`containment_pairs` separately and
+    shingling/grouping the corpus twice. At least one threshold is
+    required; returns (id_a, id_b, n_common, jaccard, containment) for
+    pairs where any enabled signal fires.
+    """
+    if jaccard_threshold is None and containment_threshold is None:
+        raise ValueError("enable at least one threshold")
+    sized = _pair_intersections(df, id_col, text_col, n, max_shingle_df)
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    cont = F.col("n_common") / F.least(F.col("n_a"), F.col("n_b"))
+    keep = F.lit(False)
+    if jaccard_threshold is not None:
+        keep = keep | (jac >= jaccard_threshold)
+    if containment_threshold is not None:
+        keep = keep | (cont >= containment_threshold)
+    return (
+        sized.withColumn("jaccard", jac).withColumn("containment", cont)
+        .filter(keep)
+        .select("id_a", "id_b", "n_common", "jaccard", "containment")
+    )
+
+
 def dup_shingle_fraction(
     df: DataFrame,
     id_col: str,

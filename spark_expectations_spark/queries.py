@@ -594,15 +594,16 @@ def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     asymmetric containment >= 0.6, token-set fingerprint equality) are
     unioned, resolved to connected components, and collapsed to one
     canonical doc per duplicate group (highest n_chars, ties -> lowest
-    id). The pair sources share one persisted shingle index
-    (_pair_intersections), fingerprint pairs come from a posting-list
-    groupBy (no corpus self-join), and component resolution is the
-    bounded min-label propagation of dedup_clusters."""
+    id). Jaccard and containment come from ONE shingle pass
+    (dedup.similarity_pairs — the corpus is shingled and grouped once,
+    not per signal), fingerprint pairs from a posting-list groupBy (no
+    corpus self-join), and component resolution is the bounded
+    min-label propagation of dedup_clusters."""
     docs = load(spark, sf_dir, "documents")
-    jac = dedup.jaccard_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.15).select("id_a", "id_b")
-    cont = dedup.containment_pairs(
-        docs, "doc_id", "text", n=3, threshold=0.6).select("id_a", "id_b")
+    sim = dedup.similarity_pairs(
+        docs, "doc_id", "text", n=3,
+        jaccard_threshold=0.15, containment_threshold=0.6,
+    ).select("id_a", "id_b")
     fps = (
         docs.select("doc_id",
                     text.token_set_fingerprint(F.col("text")).alias("fp"))
@@ -618,7 +619,7 @@ def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         ))).alias("p"))
         .select("p.id_a", "p.id_b")
     )
-    pairs = jac.unionByName(cont).unionByName(fps).distinct()
+    pairs = sim.unionByName(fps).distinct()
     kept = dedup.canonical_per_cluster(docs, pairs, "doc_id",
                                        score_col="n_chars")
     return kept.select("doc_id", "cluster_id", "n_members", "n_chars")

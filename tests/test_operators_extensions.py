@@ -1454,6 +1454,27 @@ class TestContainmentPairs:
         assert rows[0]["jaccard"] == pytest.approx(0.6)
 
 
+class TestSimilarityPairs:
+    def test_union_parity_with_single_signal_operators(self, docs, spark):
+        """similarity_pairs == jaccard_pairs ∪ containment_pairs on the
+        pair-id level, from one shingle pass instead of two."""
+        from spark_expectations_spark.operators import dedup
+        jac = {(r["id_a"], r["id_b"]) for r in dedup.jaccard_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.15).collect()}
+        cont = {(r["id_a"], r["id_b"]) for r in dedup.containment_pairs(
+            docs, "doc_id", "text", n=3, threshold=0.6).collect()}
+        both = {(r["id_a"], r["id_b"]) for r in dedup.similarity_pairs(
+            docs, "doc_id", "text", n=3,
+            jaccard_threshold=0.15, containment_threshold=0.6).collect()}
+        assert both == jac | cont
+        assert jac and cont  # both signals non-trivial on the corpus
+
+    def test_requires_a_threshold(self, docs):
+        from spark_expectations_spark.operators import dedup
+        with pytest.raises(ValueError):
+            dedup.similarity_pairs(docs, "doc_id", "text")
+
+
 class TestCrossSourceDupMatrix:
     def test_pair_counts_within_and_across(self, spark):
         """'x y' and 'y x' share a token-set fingerprint: A has two such
