@@ -336,7 +336,7 @@ def cross_source_dup_matrix(
                 a["source"].alias("source_a"),
                 b["source"].alias("source_b"),
                 F.when(a["source"] == b["source"],
-                       (a["cnt"] * (a["cnt"] - F.lit(1))) / F.lit(2))
+                       F.shiftright(a["cnt"] * (a["cnt"] - F.lit(1)), 1))
                  .otherwise(a["cnt"] * b["cnt"])
                  .cast("long").alias("pairs"),
             ),

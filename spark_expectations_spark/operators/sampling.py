@@ -285,9 +285,11 @@ def epoch_shuffle(
     """
     key = F.md5(F.concat_ws(":", F.lit(str(seed)),
                             F.col(id_col).cast("string")))
+    # 8 hex chars = 32 bits of shard entropy: num_shards is honest up to
+    # ~4e9 (4 chars would silently cap it at 65536)
     d = df.withColumn("__k", key).withColumn(
         shard_col,
-        F.pmod(F.conv(F.substring(F.col("__k"), 1, 4), 16, 10).cast("long"),
+        F.pmod(F.conv(F.substring(F.col("__k"), 1, 8), 16, 10).cast("long"),
                F.lit(num_shards)))
     w = Window.partitionBy(shard_col).orderBy(F.col("__k"), F.col(id_col))
     return (d.withColumn(pos_col, F.row_number().over(w) - 1)

@@ -469,17 +469,25 @@ def assign_centroids(
         _norm(F.col("centroid")).alias("cn"))).alias("__cents"))
     vec = F.col(vec_col)
     vn = _norm(vec)
-    # each cosine evaluated exactly once (transform), then a struct-max
-    # scan; (sim, -cid) ordering = highest sim, ties to LOWEST cid
+    # each cosine evaluated exactly once (transform), then an argmax
+    # fold over the precomputed (sim, cid) structs — comparison-based,
+    # so centroid ids of ANY orderable type work (string labels
+    # included, unlike a negate-the-id struct-max trick)
     sims = F.transform(
         F.col("__cents"),
         lambda c: F.struct(
             (_dot(vec, c["cvec"]) / (vn * c["cn"])).alias("s"),
-            (-c["cid"]).alias("nc")))
-    best = F.array_max(sims)
+            c["cid"].alias("cid")))
+    best = F.aggregate(
+        F.slice(sims, 2, F.greatest(F.size(sims) - 1, F.lit(0))),
+        F.element_at(sims, 1),
+        lambda acc, x: F.when(
+            (x["s"] > acc["s"])
+            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
+            x).otherwise(acc))
     return (
         corpus.crossJoin(F.broadcast(cents_row))
-        .select(*corpus.columns, (-best["nc"]).alias("centroid_id"))
+        .select(*corpus.columns, best["cid"].alias("centroid_id"))
     )
 
 

@@ -554,6 +554,11 @@ def build_vocab(
         df.select(F.explode(_tokens(F.col(text_col))).alias("token"))
         .groupBy("token").agg(F.count(F.lit(1)).alias("count"))
     )
+    if specials:
+        # specials are RESERVED: a corpus token colliding with one (a
+        # web doc containing a literal "<unk>") must not create a second
+        # vocab entry — the duplicate would fan out the encode join
+        counts = counts.filter(~F.col("token").isin(list(specials)))
     if min_count > 1:
         counts = counts.filter(F.col("count") >= min_count)
     order = [F.col("count").desc(), F.col("token").asc()]

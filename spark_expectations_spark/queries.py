@@ -3360,7 +3360,9 @@ def q_docs_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOCS_TOKEN_IDS = r"""
 WITH sp AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS l
   FROM documents),
 toks AS (
   SELECT doc_id, unnest(l) AS tok, generate_subscripts(l, 1) AS pos
@@ -3370,11 +3372,14 @@ ranked AS (
   SELECT tok, row_number() OVER (ORDER BY c DESC, tok ASC) AS rid
   FROM counts QUALIFY rid <= 31),
 enc AS (
-  SELECT t.doc_id, t.pos, COALESCE(r.rid, 0) AS tid
-  FROM toks t LEFT JOIN ranked r USING (tok))
-SELECT doc_id, count(*) AS n_tokens,
-       array_to_string(list(tid ORDER BY pos), ',') AS ids_csv
-FROM enc GROUP BY doc_id
+  SELECT t.doc_id, count(*) AS n_tokens,
+         array_to_string(list(COALESCE(r.rid, 0) ORDER BY t.pos), ',')
+           AS ids_csv
+  FROM toks t LEFT JOIN ranked r USING (tok)
+  GROUP BY t.doc_id)
+SELECT d.doc_id, COALESCE(e.n_tokens, 0) AS n_tokens,
+       COALESCE(e.ids_csv, '') AS ids_csv
+FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
@@ -3430,7 +3435,7 @@ WITH k AS (
   FROM documents),
 s AS (
   SELECT doc_id, h,
-         CAST(('0x' || substr(h, 1, 4)) AS BIGINT) % 8 AS shard
+         CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard
   FROM k)
 SELECT doc_id, shard,
        CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1

@@ -130,6 +130,21 @@ class TestSimilarity:
         assert set(rows) == {1, 4, 5, 6}
         assert rows[1] == 0 and rows[4] == 0 and rows[5] == 1 and rows[6] == 1
 
+    def test_assign_centroids_string_ids(self, spark):
+        """Centroid ids of any orderable type work — the argmax fold is
+        comparison-based, not arithmetic (a negate-the-id trick would
+        crash or null out string labels)."""
+        cents = spark.createDataFrame(
+            [("en", [1.0, 0.0]), ("fr", [0.0, 1.0])],
+            "centroid_id string, centroid array<float>")
+        df = spark.createDataFrame(
+            [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.7, 0.7])],
+            "vec_id long, embedding array<float>")
+        got = {r["vec_id"]: r["centroid_id"]
+               for r in similarity.assign_centroids(df, cents).collect()}
+        # vec 3 ties exactly (0.7, 0.7): lowest id 'en' wins
+        assert got == {1: "en", 2: "fr", 3: "en"}
+
     def test_semdedup_consistent_with_pairs(self, emb):
         """kept == corpus minus the distinct id_b side of semdedup_pairs
         (the removal rule is exactly 'has a lower-id in-cell neighbor')."""
@@ -1312,6 +1327,20 @@ class TestVocabEncode:
         with pytest.raises(ValueError):
             text.build_vocab(df, "text", max_size=1)
 
+    def test_literal_special_in_corpus_stays_reserved(self, spark):
+        """A document containing the literal token '<unk>' must not
+        create a second vocab entry (which would fan out the encode
+        join and corrupt sequence lengths)."""
+        df = spark.createDataFrame(
+            [(1, "foo <unk> bar"), (2, "foo foo")], "id long, text string")
+        vocab = text.build_vocab(df, "text")
+        rows = vocab.filter(F.col("token") == "<unk>").collect()
+        assert len(rows) == 1 and rows[0]["token_id"] == 0
+        enc = {r["id"]: (r["n_tokens"], r["token_ids"])
+               for r in text.encode_tokens(df, vocab, "id", "text").collect()}
+        assert enc[1][0] == 3          # not duplicated to 4
+        assert enc[1][1][1] == 0       # the literal '<unk>' encodes to unk_id
+
 
 class TestEpochShuffle:
     def test_partition_invariant_and_complete(self, spark):
@@ -1340,6 +1369,22 @@ class TestEpochShuffle:
         b = {r["k"]: (r["shard"], r["pos"])
              for r in sampling.epoch_shuffle(df, "k", seed=1).collect()}
         assert a != b
+
+    def test_shard_entropy_beyond_16_bits(self, spark):
+        """num_shards above 65536 must actually be reachable (4 hex
+        chars of md5 would silently cap the shard id at 65535); shard
+        ids match the 32-bit reference computed with hashlib."""
+        import hashlib
+        from spark_expectations_spark.operators import sampling
+        n = 1_000_000
+        df = spark.range(0, 300).withColumnRenamed("id", "k")
+        got = {r["k"]: r["shard"]
+               for r in sampling.epoch_shuffle(df, "k", seed=2,
+                                               num_shards=n).collect()}
+        expect = {k: int(hashlib.md5(f"2:{k}".encode()).hexdigest()[:8], 16) % n
+                  for k in range(300)}
+        assert got == expect
+        assert any(s > 65535 for s in got.values())
 
 
 class TestQuantileBuckets:
