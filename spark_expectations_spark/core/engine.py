@@ -299,3 +299,41 @@ def with_expectations(
         return wrapper
 
     return deco
+
+
+def reprocess_quarantine(
+    error_df: DataFrame,
+    rules,
+) -> tuple[DataFrame, DataFrame]:
+    """Re-validate quarantined rows — the day-2 half of the error table
+    the reference leaves to the user: after a rule fix or an upstream
+    backfill, run the (new) row rules over the error table and split it
+    into rows that now pass vs rows still failing.
+
+    Returns ``(recovered, still_failing)``: ``recovered`` carries the
+    user schema (meta columns stripped), ready to union back into the
+    target table; ``still_failing`` is a refreshed error-table frame
+    with ``meta_row_dq_results`` rebuilt under the CURRENT rules, ready
+    to overwrite the quarantine.
+
+    Scale shape: same as the engine's row stage — one fused boolean-flag
+    projection over the error table (quarantine-sized, not table-sized),
+    one filter each way; meta maps are built only for still-failing
+    rows. Accepts a ``RuleSet`` or a plain rule sequence; only row_dq
+    rules apply (agg/query rules need the full table's context — run
+    the engine for those).
+    """
+    row_rules = (rules.of_type(ROW_DQ) if isinstance(rules, RuleSet)
+                 else [r for r in rules if r.rule_type == ROW_DQ])
+    if not row_rules:
+        raise ValueError("reprocess_quarantine needs at least one row_dq rule")
+    data = error_df.drop(row_dq.META_ROW_RESULTS, row_dq.META_RUN_ID,
+                         row_dq.META_RUN_DATETIME)
+    flags = row_dq.project_flags(data, row_rules)
+    names = [row_dq._flag_name(i) for i in range(len(row_rules))]
+    # recovered = fails NO rule at all (an ignore-action failure keeps a
+    # row quarantined — it is still an error, unlike the engine's final
+    # output which only removes drop-action failures)
+    recovered = flags.filter(~row_dq._any_flag(row_rules)).drop(*names)
+    still = row_dq.errors_from_flags(flags, row_rules)
+    return recovered, still

@@ -393,3 +393,50 @@ class TestIncrementalUpsertLoop:
             assert sorted(os.listdir(d1_dir)) == before  # day1 untouched
         finally:
             spark.sql("DROP TABLE IF EXISTS loop_state")
+
+
+class TestReprocessQuarantine:
+    def test_relaxed_rules_recover_rows(self, spark, lineitem):
+        """Quarantine rows under a tight rule, relax it, reprocess: rows
+        passing the new rules recover with the USER schema; rows still
+        failing come back in error-table shape with refreshed meta."""
+        from spark_expectations_spark import reprocess_quarantine
+        from spark_expectations_spark.operators import row_dq
+        tight = [Rule("p", "t", "row_dq", "qty", "l_quantity",
+                      "l_quantity < 30", action_if_failed="drop")]
+        flags = row_dq.project_flags(lineitem, tight)
+        quarantined = row_dq.errors_from_flags(flags, tight)
+        n_q = quarantined.count()
+        assert n_q > 0
+        relaxed = RuleSet([Rule("p", "t", "row_dq", "qty", "l_quantity",
+                                "l_quantity < 45", action_if_failed="drop")])
+        recovered, still = reprocess_quarantine(quarantined, relaxed)
+        n_rec, n_still = recovered.count(), still.count()
+        assert n_rec > 0 and n_still > 0
+        assert n_rec + n_still == n_q
+        assert row_dq.META_ROW_RESULTS not in recovered.columns
+        assert row_dq.META_ROW_RESULTS in still.columns
+        # recovered rows genuinely pass: quantities in [30, 45)
+        from pyspark.sql import functions as F
+        mm = recovered.agg(F.min("l_quantity"), F.max("l_quantity")).first()
+        assert mm[0] >= 30 and mm[1] < 45
+
+    def test_ignore_failures_stay_quarantined(self, spark):
+        """A row failing only an ignore-action rule is still an error —
+        it must NOT count as recovered."""
+        from spark_expectations_spark import reprocess_quarantine
+        from spark_expectations_spark.operators import row_dq
+        rules = [Rule("p", "t", "row_dq", "pos", "v", "v > 0",
+                      action_if_failed="ignore")]
+        df = spark.createDataFrame([(1, -5), (2, 7)], "id long, v long")
+        flags = row_dq.project_flags(df, rules)
+        q = row_dq.errors_from_flags(flags, rules)
+        recovered, still = reprocess_quarantine(q, rules)
+        assert recovered.count() == 0 and still.count() == 1
+
+    def test_requires_row_rules(self, spark):
+        from spark_expectations_spark import reprocess_quarantine
+        df = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError):
+            reprocess_quarantine(
+                df, [Rule("p", "t", "agg_dq", "c", "", "count(*) > 0")])
