@@ -24,7 +24,8 @@ from pyspark.sql import functions as F
 
 from ..plans import estimated_size_bytes
 
-__all__ = ["compact_small_files", "interleave_bits", "zorder_write"]
+__all__ = ["compact_small_files", "interleave_bits", "zorder_write",
+           "clustering_report"]
 
 
 def compact_small_files(
@@ -133,3 +134,58 @@ def zorder_write(
      .drop("__z")
      .write.mode("overwrite").parquet(dest_path))
     return {"num_files": num_files, "bits": bits}
+
+
+def clustering_report(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str],
+) -> DataFrame:
+    """Measure how well a parquet directory's files cluster each column —
+    the acceptance check after :func:`zorder_write` / sorted compaction,
+    and the monitor that tells you when accumulated appends have decayed
+    the layout enough to re-cluster.
+
+    Per column: ``clustering_factor`` = mean over files of
+    (file_max − file_min) / (global_max − global_min) — 1.0 means every
+    file spans the whole value range (min/max pruning skips nothing),
+    1/n_files is perfect disjoint clustering. ``avg_files_hit`` estimates
+    how many files a random point lookup on that column must open
+    (Σ per-file span overlap). Returns one row per column:
+    (column, n_files, clustering_factor, avg_files_hit).
+
+    Scale shape: one scan aggregating min/max per (file, column) — the
+    same stats the parquet footers hold, derived engine-side so the
+    report needs no filesystem access — then a files-×-columns-sized
+    driver-light rollup. Constant columns report factor 0.
+    """
+    if not columns:
+        raise ValueError("columns must be non-empty")
+    df = spark.read.parquet(path)
+    per_file = (
+        df.groupBy(F.input_file_name().alias("__f"))
+        .agg(*[f(F.col(c).cast("double")).alias(f"__{agg}_{c}")
+               for c in columns
+               for agg, f in (("min", F.min), ("max", F.max))])
+    )
+    reports = []
+    for c in columns:
+        lo, hi = F.min(f"__min_{c}"), F.max(f"__max_{c}")
+        span = F.col("__glob_hi") - F.col("__glob_lo")
+        frac = F.when(span > 0,
+                      (F.col(f"__max_{c}") - F.col(f"__min_{c}")) / span
+                      ).otherwise(F.lit(0.0))
+        stats = (
+            per_file.crossJoin(F.broadcast(
+                per_file.agg(lo.alias("__glob_lo"), hi.alias("__glob_hi"))))
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.round(F.avg(frac), 4).alias("clustering_factor"),
+                 F.round(F.sum(frac), 2).alias("avg_files_hit"))
+            .select(F.lit(c).alias("column"), "n_files",
+                    "clustering_factor", "avg_files_hit")
+        )
+        reports.append(stats)
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionByName(r)
+    return out

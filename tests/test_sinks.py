@@ -329,3 +329,25 @@ class TestLayout:
         # 1024 rows / 16 files = 64-row z-blocks: ideal range 7 on each
         # axis; a linear sort on `a` would give mean_rb ~= 31
         assert mean_ra <= 16 and mean_rb <= 16
+
+    def test_clustering_report_ranks_layouts(self, spark, tmp_path):
+        """zorder layout clusters BOTH columns; a linear sort on `a`
+        clusters only `a` (factor ~1.0 on `b`); the report tells them
+        apart."""
+        from spark_expectations_spark.sinks import layout
+        rows = [(a, b) for a in range(32) for b in range(32)]
+        df = spark.createDataFrame(rows, "a long, b long")
+        zdir, sdir = str(tmp_path / "zz"), str(tmp_path / "ss")
+        layout.zorder_write(df, zdir, ["a", "b"], num_files=16, bits=5)
+        (df.repartitionByRange(16, "a").sortWithinPartitions("a")
+           .write.parquet(sdir))
+        zrep = {r["column"]: r["clustering_factor"]
+                for r in layout.clustering_report(spark, zdir, ["a", "b"]).collect()}
+        srep = {r["column"]: r["clustering_factor"]
+                for r in layout.clustering_report(spark, sdir, ["a", "b"]).collect()}
+        assert zrep["a"] <= 0.5 and zrep["b"] <= 0.5
+        assert srep["a"] <= 0.2          # linear sort: a clustered tightly
+        assert srep["b"] >= 0.9          # ...but b unpruned
+        assert zrep["b"] < srep["b"]
+        with pytest.raises(ValueError):
+            layout.clustering_report(spark, zdir, [])
