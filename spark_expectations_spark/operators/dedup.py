@@ -293,6 +293,57 @@ def dup_shingle_fraction(
     )
 
 
+def lsh_quality_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.25,
+    num_hashes: int = 16,
+    bands: int = 4,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Precision/recall/error of the MinHash+LSH pipeline against the
+    exact Jaccard ground truth at the same threshold — the calibration
+    check you run on a SAMPLE before trusting a (num_hashes, bands)
+    configuration on the full corpus ("measure, don't guess": banding
+    theory gives the candidate probability, not the end-to-end quality
+    after estimation error).
+
+    Returns ONE row: (n_exact, n_approx, n_hit, precision, recall,
+    mean_abs_err) where mean_abs_err averages |est − true| over hits.
+
+    Scale note: the exact side is the quadratic posting-list operator —
+    run this on a deterministic sample (:func:`~.sampling.
+    deterministic_sample`), not 100 TB; the verdict transfers because
+    both sides see the same shingle distribution.
+    """
+    exact = jaccard_pairs(
+        df, id_col, text_col, n=n, threshold=threshold)
+    approx = minhash_dedup_pairs(
+        df, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, hash_family=hash_family,
+    ).select("id_a", "id_b", "est_jaccard")
+    j = exact.join(approx, ["id_a", "id_b"], "full_outer")
+    hit = F.col("jaccard").isNotNull() & F.col("est_jaccard").isNotNull()
+    agg = j.agg(
+        F.sum(F.col("jaccard").isNotNull().cast("long")).alias("n_exact"),
+        F.sum(F.col("est_jaccard").isNotNull().cast("long")).alias("n_approx"),
+        F.sum(hit.cast("long")).alias("n_hit"),
+        F.avg(F.when(hit, F.abs(F.col("est_jaccard") - F.col("jaccard"))))
+        .alias("__mae"),
+    )
+    return agg.select(
+        "n_exact", "n_approx", "n_hit",
+        F.round(F.col("n_hit") / F.nullif(F.col("n_approx"), F.lit(0)), 4)
+        .alias("precision"),
+        F.round(F.col("n_hit") / F.nullif(F.col("n_exact"), F.lit(0)), 4)
+        .alias("recall"),
+        F.round("__mae", 4).alias("mean_abs_err"),
+    )
+
+
 def cross_source_dup_matrix(
     df: DataFrame,
     source_col: str,

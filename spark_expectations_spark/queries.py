@@ -764,6 +764,68 @@ WHERE ({agree}) / {float(num_hashes)} >= {threshold}
 ORACLE_DEDUP_MINHASH_MD5 = _oracle_minhash_md5()
 
 
+def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH calibration report (dedup.lsh_quality_report): precision /
+    recall / mean estimation error of the md5_48 MinHash pipeline vs the
+    exact Jaccard ground truth at the same 0.25 threshold — the
+    measure-don't-guess check for a (num_hashes, bands) choice. Both
+    sides are independently value-oracled operators; the report composes
+    them with a full-outer pair join."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.lsh_quality_report(
+        docs, "doc_id", "text", n=3, threshold=0.25,
+        num_hashes=16, bands=4, hash_family="md5_48")
+
+
+def _oracle_lsh_quality(threshold: float = 0.25) -> str:
+    """Compose the exact-jaccard CTE (parametrized threshold) with the
+    generated md5_48 minhash SQL into the quality-report rollup."""
+    exact = rf"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE c * 1.0 / (sa.n + sb.n - c) >= {threshold}"""
+    approx = _oracle_minhash_md5(threshold=threshold)
+    return f"""
+WITH ex AS ({exact}),
+ap AS ({approx}),
+j AS (
+  SELECT ex.jaccard, ap.est_jaccard
+  FROM ex FULL OUTER JOIN ap
+    ON ex.id_a = ap.id_a AND ex.id_b = ap.id_b)
+SELECT count(jaccard) AS n_exact,
+       count(est_jaccard) AS n_approx,
+       count(CASE WHEN jaccard IS NOT NULL AND est_jaccard IS NOT NULL
+                  THEN 1 END) AS n_hit,
+       round(count(CASE WHEN jaccard IS NOT NULL AND est_jaccard IS NOT NULL
+                        THEN 1 END)
+             * 1.0 / nullif(count(est_jaccard), 0), 4) AS precision,
+       round(count(CASE WHEN jaccard IS NOT NULL AND est_jaccard IS NOT NULL
+                        THEN 1 END)
+             * 1.0 / nullif(count(jaccard), 0), 4) AS recall,
+       round(avg(CASE WHEN jaccard IS NOT NULL AND est_jaccard IS NOT NULL
+                 THEN abs(est_jaccard - jaccard) END), 4) AS mean_abs_err
+FROM j
+"""
+
+
+ORACLE_DEDUP_LSH_QUALITY = _oracle_lsh_quality()
+
+
 def q_docs_minhash_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental MinHash: docs < 250 are the standing corpus, reduced
     to their signature table ONCE (dedup.minhash_signatures); docs >=
@@ -3917,6 +3979,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_md5": q_dedup_minhash_md5,
+    "dedup_lsh_quality": q_dedup_lsh_quality,
     "docs_minhash_index": q_docs_minhash_index,
     "dedup_simhash_md5": q_dedup_simhash_md5,
     "embed_near_dups": q_embed_near_dups,
@@ -4024,6 +4087,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
     "dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
+    "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,
     "docs_minhash_index": ORACLE_DOCS_MINHASH_INDEX,
     "dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,

@@ -1520,6 +1520,21 @@ class TestSimilarityPairs:
             dedup.similarity_pairs(docs, "doc_id", "text")
 
 
+class TestLSHQualityReport:
+    def test_report_invariants(self, docs):
+        """Counts are consistent (hits bounded by both sides), quality
+        in (0,1], and the LSH config used in the catalog achieves
+        reasonable recall on the corpus fixture."""
+        from spark_expectations_spark.operators import dedup
+        row = dedup.lsh_quality_report(
+            docs, "doc_id", "text", n=3, threshold=0.25,
+            num_hashes=16, bands=4, hash_family="md5_48").first()
+        assert row["n_exact"] > 0 and row["n_approx"] > 0
+        assert row["n_hit"] <= min(row["n_exact"], row["n_approx"])
+        assert 0 < row["precision"] <= 1 and 0 < row["recall"] <= 1
+        assert row["mean_abs_err"] is not None and row["mean_abs_err"] < 0.5
+
+
 class TestCrossSourceDupMatrix:
     def test_pair_counts_within_and_across(self, spark):
         """'x y' and 'y x' share a token-set fingerprint: A has two such
