@@ -1578,6 +1578,35 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per event-time hour — the windowed-top-k shape
+    every streaming dashboard needs (batch twin; on a stream the same
+    rank runs per micro-batch via streaming.foreach_batch_dq since rank
+    windows aren't stream-native). One partial-agg groupBy + one
+    hour-partitioned rank window, ties broken by event_type for
+    engine-stable results."""
+    ev = load(spark, sf_dir, "events")
+    hour = (F.expr(f"ts div {_NS_PER_HOUR}") * 3600).alias("hour_epoch_s")
+    counts = ev.groupBy(hour, "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("hour_epoch_s").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc())
+    return (counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 3))
+
+
+ORACLE_EVENTS_WINDOW_TOPK = f"""
+WITH c AS (
+  SELECT (epoch_ns(ts) // {_NS_PER_HOUR}) * 3600 AS hour_epoch_s,
+         event_type, count(*) AS n_events
+  FROM events GROUP BY 1, 2)
+SELECT hour_epoch_s, event_type, n_events, rk FROM (
+  SELECT *, row_number() OVER (PARTITION BY hour_epoch_s
+                               ORDER BY n_events DESC, event_type ASC) AS rk
+  FROM c) WHERE rk <= 3
+"""
+
+
 def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window counts (1h window, 15m slide) via the NATIVE
     F.window operator — the batch twin of the streaming windowed aggs in
@@ -3996,6 +4025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_pii_redact": q_text_pii_redact,
     "events_hourly": q_events_hourly,
+    "events_window_topk": q_events_window_topk,
     "events_sliding": q_events_sliding,
     "events_gapfill": q_events_gapfill,
     "events_ffill": q_events_ffill,
@@ -4109,6 +4139,7 @@ ORACLES: dict[str, Optional[str]] = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "events_window_topk": ORACLE_EVENTS_WINDOW_TOPK,
     "events_sliding": ORACLE_EVENTS_SLIDING,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,
     "events_ffill": ORACLE_EVENTS_FFILL,

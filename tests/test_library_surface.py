@@ -494,6 +494,16 @@ class TestPlanShapes:
         df.write.format("noop").mode("overwrite").save()
         assert plans.has_broadcast_join(df)
 
+    def test_epoch_shuffle_single_shuffle(self, spark):
+        """The epoch permutation costs exactly ONE exchange (the shard
+        hash partition); positions come from per-shard windows, so no
+        global sort sneaks in."""
+        from spark_expectations_spark.operators import sampling
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        df = sampling.epoch_shuffle(docs, "doc_id", seed=1, num_shards=8)
+        assert plans.num_shuffles(df) == 1
+        assert "No Partition Defined" not in plans.plan_text(df, "simple")
+
     def test_bucketed_near_dups_distributed(self, spark):
         """LSH-bucketed pairs: per-table bucket groups + final pair dedup
         = 2 shuffles, scan-fed (no driver matrix)."""
