@@ -35,7 +35,8 @@ BENCH_QUERIES = [
     "dedup_containment", "docs_dup_shingles", "docs_token_budget",
     "docs_corpus_report", "embed_semdedup", "docs_ccnet_buckets",
     "docs_token_ids", "docs_source_dup_matrix", "docs_dedup_pipeline",
-    "docs_epoch_shuffle", "dedup_lsh_quality",
+    "docs_epoch_shuffle", "dedup_lsh_quality", "events_window_topk",
+    "docs_line_stats",
 ]
 
 

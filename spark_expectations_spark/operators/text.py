@@ -136,6 +136,45 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
+def line_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Within-document line-level quality stats — the FineWeb/Gopher
+    line-filter family (distinct from :func:`strip_common_lines`, which
+    is CROSS-document): per doc, the duplicate-line fraction (Gopher
+    repetition), the fraction of lines ending in terminal punctuation
+    (FineWeb keeps prose, drops nav/menu soup), the bullet-line
+    fraction, and the mean line length. Zero shuffle — one split +
+    higher-order-function projection folded into the scan; a doc with
+    no newlines is one line.
+
+    Returns (id, n_lines, dup_line_frac, terminal_punct_frac,
+    bullet_frac, mean_line_len).
+    """
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "")
+    n = F.size(lines)
+    n_distinct = F.size(F.array_distinct(lines))
+    terminal = F.size(F.filter(
+        lines, lambda l: l.rlike(r"[.!?。！？][\"')\]]*$")))
+    bullet = F.size(F.filter(
+        lines, lambda l: l.rlike(r"^([-*•]|\d+[.)])\s")))
+    total_len = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l))
+    safe_n = F.when(n > 0, n)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_lines"),
+        F.round((n - n_distinct) / safe_n, 4).alias("dup_line_frac"),
+        F.round(terminal / safe_n, 4).alias("terminal_punct_frac"),
+        F.round(bullet / safe_n, 4).alias("bullet_frac"),
+        F.round(total_len / safe_n, 4).alias("mean_line_len"),
+    )
+
+
 def token_set_fingerprint(text: Column) -> Column:
     """md5 of the sorted distinct token set (bag-of-words fingerprint):
     documents that differ only in token order or repetition collide —

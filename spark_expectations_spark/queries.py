@@ -3474,6 +3474,37 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
+def q_docs_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document line-quality stats (text.line_stats): Gopher
+    duplicate-line fraction + FineWeb terminal-punctuation / bullet
+    fractions + mean line length — a zero-shuffle scan projection."""
+    docs = load(spark, sf_dir, "documents")
+    return text.line_stats(docs, "doc_id", "text")
+
+
+ORACLE_DOCS_LINE_STATS = r"""
+WITH l AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)),
+                     x -> x <> '') AS ls
+  FROM documents)
+SELECT doc_id,
+       len(ls) AS n_lines,
+       round((len(ls) - len(list_distinct(ls))) * 1.0
+             / nullif(len(ls), 0), 4) AS dup_line_frac,
+       round(len(list_filter(ls,
+             x -> regexp_matches(x, '[.!?。！？]["'')\]]*$'))) * 1.0
+             / nullif(len(ls), 0), 4) AS terminal_punct_frac,
+       round(len(list_filter(ls,
+             x -> regexp_matches(x, '^([-*•]|\d+[.)])\s'))) * 1.0
+             / nullif(len(ls), 0), 4) AS bullet_frac,
+       round(list_sum(list_transform(ls, x -> CAST(length(x) AS BIGINT)))
+             * 1.0 / nullif(len(ls), 0), 4) AS mean_line_len
+FROM l
+"""
+
+
 def q_docs_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-source duplicate matrix (dedup.cross_source_dup_matrix):
     duplicate-pair mass per source pair from token-set (bag-of-words)
@@ -4047,6 +4078,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
     "docs_token_ids": q_docs_token_ids,
     "docs_source_dup_matrix": q_docs_source_dup_matrix,
+    "docs_line_stats": q_docs_line_stats,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
@@ -4161,6 +4193,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_ccnet_buckets": ORACLE_DOCS_CCNET_BUCKETS,
     "docs_token_ids": ORACLE_DOCS_TOKEN_IDS,
     "docs_source_dup_matrix": ORACLE_DOCS_SOURCE_DUP_MATRIX,
+    "docs_line_stats": ORACLE_DOCS_LINE_STATS,
     "docs_epoch_shuffle": ORACLE_DOCS_EPOCH_SHUFFLE,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,

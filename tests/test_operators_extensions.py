@@ -1296,6 +1296,25 @@ class TestPercentileGate:
             sampling.percentile_gate(df, "g", "s", keep="middle")
 
 
+class TestLineStats:
+    def test_multiline_fractions(self, spark):
+        """The synthetic corpus is single-line, so the interesting paths
+        are pinned here: dup lines, terminal punctuation (incl. closing
+        quote), bullets, blank-line removal."""
+        doc = "Real prose ends here.\n- a bullet\n- a bullet\n\nshe said \"Stop.\"\nno punct"
+        df = spark.createDataFrame([(1, doc), (2, "one line")],
+                                   "id long, text string")
+        got = {r["id"]: r for r in text.line_stats(df, "id", "text").collect()}
+        r = got[1]
+        # 5 non-blank lines; '- a bullet' repeated once
+        assert r["n_lines"] == 5
+        assert r["dup_line_frac"] == 0.2
+        # terminal: 'Real prose ends here.' and 'she said "Stop."'
+        assert r["terminal_punct_frac"] == 0.4
+        assert r["bullet_frac"] == 0.4
+        assert got[2]["n_lines"] == 1 and got[2]["dup_line_frac"] == 0.0
+
+
 class TestVocabEncode:
     def test_vocab_ids_and_encoding(self, spark):
         """Ids: specials first, then (count desc, token asc); encoding
