@@ -98,6 +98,18 @@ def category_proportions(
     The winners (≤ top_n rows, bounded by contract) broadcast back onto
     the counts to fold the tail into '__other__'. Counts are persisted
     so the source is scanned once for both the cut and the fold."""
+    bucketed = _category_counts(df, col, top_n)
+    total = bucketed.agg(F.sum("_n").alias("_t"))
+    return (
+        bucketed.crossJoin(F.broadcast(total))
+        .select("category", (F.col("_n") / F.col("_t")).alias(out))
+    )
+
+
+def _category_counts(df: DataFrame, col: str, top_n: int) -> DataFrame:
+    """(category, _n) counts with the top-N cut + '__other__' tail fold —
+    shared by :func:`category_proportions` and :func:`chi2_categorical`
+    (see category_proportions for the plan-shape rationale)."""
     from pyspark.storagelevel import StorageLevel
 
     norm = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
@@ -106,18 +118,13 @@ def category_proportions(
     top = (counts.orderBy(F.col("_n").desc(), F.col("category"))
            .limit(int(top_n)))
     marks = top.select("category", F.lit(True).alias("_keep"))
-    bucketed = (
+    return (
         counts.join(F.broadcast(marks), "category", "left")
         .select(
             F.when(F.col("_keep"), F.col("category"))
             .otherwise(F.lit("__other__")).alias("category"),
             "_n")
         .groupBy("category").agg(F.sum("_n").alias("_n"))
-    )
-    total = bucketed.agg(F.sum("_n").alias("_t"))
-    return (
-        bucketed.crossJoin(F.broadcast(total))
-        .select("category", (F.col("_n") / F.col("_t")).alias(out))
     )
 
 
@@ -146,6 +153,48 @@ def categorical_psi(
     return j.agg(
         F.sum(term).alias("psi"),
         F.count(F.lit(1)).alias("n_categories_compared"),
+    )
+
+
+def chi2_categorical(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """Two-sample chi-square homogeneity statistic over aligned category
+    counts — the significance-test companion to :func:`categorical_psi`
+    (PSI is a magnitude heuristic with rule-of-thumb thresholds; chi²
+    against a χ²(dof) table answers "is this shift explainable by
+    sampling noise at my row counts"). Returns ONE row:
+    (chi2, dof, n_baseline, n_current, n_categories) with
+    dof = categories − 1.
+
+    Same scale shape as categorical_psi: per-side distinct-category
+    counts with the TakeOrderedAndProject top-N cut and '__other__'
+    tail fold, full-outer aligned (0-fill), totals broadcast. Zero-count
+    expected cells contribute 0 (both observed are then 0 too).
+    """
+    b = _category_counts(baseline, col, top_n).withColumnRenamed("_n", "nb")
+    c = _category_counts(current, col, top_n).withColumnRenamed("_n", "nc")
+    j = (b.join(c, "category", "full_outer")
+         .select(F.coalesce("nb", F.lit(0)).alias("nb"),
+                 F.coalesce("nc", F.lit(0)).alias("nc")))
+    tots = j.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"),
+                 F.count(F.lit(1)).alias("k"))
+    e_b = (F.col("nb") + F.col("nc")) * F.col("tb") / (F.col("tb") + F.col("tc"))
+    e_c = (F.col("nb") + F.col("nc")) * F.col("tc") / (F.col("tb") + F.col("tc"))
+    term = (
+        F.when(e_b > 0, F.pow(F.col("nb") - e_b, 2) / e_b).otherwise(0.0)
+        + F.when(e_c > 0, F.pow(F.col("nc") - e_c, 2) / e_c).otherwise(0.0))
+    return (
+        j.crossJoin(F.broadcast(tots))
+        .agg(F.round(F.sum(term), 4).alias("chi2"),
+             (F.max("k") - 1).alias("dof"),
+             F.max("tb").alias("n_baseline"),
+             F.max("tc").alias("n_current"),
+             F.max("k").alias("n_categories"))
     )
 
 

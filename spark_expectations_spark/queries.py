@@ -3887,6 +3887,55 @@ FROM j
 """
 
 
+def q_orders_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample chi-square homogeneity test (drift.chi2_categorical)
+    over o_orderpriority between the same deterministic halves as
+    orders_status_drift (one half's priority blanked for a slice) — the
+    significance companion to the PSI magnitude: same aligned category
+    counts, exact χ² statistic + dof vs a DuckDB twin."""
+    from .operators import drift
+
+    od = load(spark, sf_dir, "orders")
+    base = od.filter(F.col("o_orderkey") % 2 == 0)
+    cur = (
+        od.filter(F.col("o_orderkey") % 2 == 1)
+        .withColumn("o_orderpriority",
+                    F.when(F.col("o_orderkey") % 11 == 0, F.lit(None))
+                    .otherwise(F.col("o_orderpriority")))
+    )
+    return drift.chi2_categorical(base, cur, "o_orderpriority", top_n=100)
+
+
+ORACLE_ORDERS_STATUS_CHI2 = """
+WITH b AS (
+  SELECT COALESCE(o_orderpriority, '__null__') AS category,
+         count(*) AS nb
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1),
+c AS (
+  SELECT COALESCE(CASE WHEN o_orderkey % 11 = 0 THEN NULL
+                       ELSE o_orderpriority END, '__null__') AS category,
+         count(*) AS nc
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(b.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+  FROM b FULL OUTER JOIN c USING (category)),
+t AS (SELECT sum(nb) AS tb, sum(nc) AS tc, count(*) AS k FROM j)
+SELECT round(sum(
+         CASE WHEN (nb + nc) * tb > 0
+              THEN pow(nb - (nb + nc) * tb * 1.0 / (tb + tc), 2)
+                   / ((nb + nc) * tb * 1.0 / (tb + tc)) ELSE 0 END
+       + CASE WHEN (nb + nc) * tc > 0
+              THEN pow(nc - (nb + nc) * tc * 1.0 / (tb + tc), 2)
+                   / ((nb + nc) * tc * 1.0 / (tb + tc)) ELSE 0 END), 4)
+         AS chi2,
+       CAST(max(k) - 1 AS BIGINT) AS dof,
+       CAST(max(tb) AS BIGINT) AS n_baseline,
+       CAST(max(tc) AS BIGINT) AS n_current,
+       CAST(max(k) AS BIGINT) AS n_categories
+FROM j, t
+"""
+
+
 def q_orders_status_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Categorical PSI (operators/drift.py::categorical_psi) between two
     deterministic halves of orders, with one half's priority column
@@ -4098,6 +4147,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_pack_streams": q_docs_pack_streams,
     "events_distinct_rollup": q_events_distinct_rollup,
     "events_distinct_rollup_exact": q_events_distinct_rollup_exact,
+    "orders_status_chi2": q_orders_status_chi2,
     "orders_snapshot_diff": q_orders_snapshot_diff,
     "users_scd2": q_users_scd2,
     "lineitem_price_drift": q_lineitem_price_drift,
@@ -4217,6 +4267,7 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_price_drift": ORACLE_LINEITEM_PRICE_DRIFT,
     "orders_fk_profile": ORACLE_ORDERS_FK_PROFILE,
     "orders_status_drift": ORACLE_ORDERS_STATUS_DRIFT,
+    "orders_status_chi2": ORACLE_ORDERS_STATUS_CHI2,
     "docs_decontaminate": ORACLE_DOCS_DECONTAMINATE,
     "docs_clean_corpus": ORACLE_DOCS_CLEAN_CORPUS,
     "lineitem_price_histogram": ORACLE_LINEITEM_PRICE_HISTOGRAM,

@@ -1037,6 +1037,20 @@ class TestCategoricalDrift:
         assert r.psi > 0.25
         assert r.n_categories_compared == 5  # 0,1,2,__null__,zzz
 
+    def test_chi2_zero_on_identical_grows_with_shift(self, spark):
+        """chi² == 0 for identical distributions; a planted shift yields
+        a statistic far above the χ²(dof) noise floor; dof = k − 1."""
+        from spark_expectations_spark.operators import drift
+        a = spark.range(600).selectExpr("CAST(id % 3 AS STRING) AS c")
+        same = drift.chi2_categorical(a, a, "c").first()
+        assert same["chi2"] == 0.0 and same["dof"] == 2
+        assert same["n_baseline"] == 600 and same["n_current"] == 600
+        b = spark.range(600).selectExpr(
+            "CAST(CASE WHEN id % 2 = 0 THEN 0 ELSE id % 3 END AS STRING) AS c")
+        shifted = drift.chi2_categorical(a, b, "c").first()
+        assert shifted["chi2"] > 20  # χ²(2) 99.9th pct ≈ 13.8
+        assert shifted["dof"] == 2
+
     def test_tail_folds_into_other(self, spark):
         """Cardinality above top_n: the tail must collapse to __other__
         with its mass summed, not dropped."""
