@@ -565,6 +565,61 @@ def chunk_documents(
     return out.select(id_col, "chunk_idx", "start", "chunk_text")
 
 
+def top_collocations(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_k: int = 50,
+    min_count: int = 5,
+) -> DataFrame:
+    """Corpus-level PMI-ranked bigram collocations — the lexical-analysis
+    pass behind multi-word-token vocabularies and boilerplate phrase
+    discovery. PMI = ln( P(w1,w2) / (P(w1)·P(w2)) ) with bigram
+    probability over the bigram total and unigram probabilities over
+    the token total; ``min_count`` cuts the unstable rare-pair tail
+    (PMI's classic failure mode) BEFORE ranking.
+
+    Returns the ``top_k`` rows (w1, w2, n_pair, pmi), ranked
+    (pmi desc, w1, w2) via orderBy().limit() — TakeOrderedAndProject,
+    no global sort. Scale shape: one explode each for bigram and
+    unigram counts (map-side combined; both frames vocabulary-sized),
+    two token-keyed joins of the vocab-sized frames, 1-row totals
+    broadcast.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    big = (df.select(F.explode(pairs).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+           .filter(F.col("n_pair") >= min_count))
+    uni = (df.select(F.explode(toks).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("n_w")))
+    totals = uni.agg(F.sum("n_w").alias("n_tok"))
+    n_big = df.select(
+        F.sum(F.greatest(F.size(_tokens(F.col(text_col))) - 1, F.lit(0)))
+        .alias("n_big"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("n_w2"))
+    scored = (
+        big.join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(n_big))
+        .withColumn(
+            "pmi",
+            F.round(F.log(
+                (F.col("n_pair") / F.col("n_big"))
+                / ((F.col("n_w1") / F.col("n_tok"))
+                   * (F.col("n_w2") / F.col("n_tok")))), 4))
+    )
+    return (scored.select("w1", "w2", "n_pair", "pmi")
+            .orderBy(F.col("pmi").desc(), "w1", "w2")
+            .limit(top_k))
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str,

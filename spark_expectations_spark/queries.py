@@ -3474,6 +3474,40 @@ FROM documents d LEFT JOIN enc e USING (doc_id)
 """
 
 
+def q_docs_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI-ranked bigram collocations (text.top_collocations): bigram
+    and unigram counts (vocab-sized frames), 1-row totals broadcast,
+    min_count tail cut before ranking, TakeOrderedAndProject top-k."""
+    docs = load(spark, sf_dir, "documents")
+    return text.top_collocations(docs, "text", top_k=30, min_count=5)
+
+
+ORACLE_DOCS_COLLOCATIONS = r"""
+WITH sp AS (
+  SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+big AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2, count(*) AS n_pair
+  FROM sp, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+  GROUP BY 1, 2 HAVING count(*) >= 5),
+uni AS (
+  SELECT unnest(t) AS w FROM sp),
+uc AS (SELECT w, count(*) AS n_w FROM uni GROUP BY w),
+tot AS (SELECT sum(n_w) AS n_tok FROM uc),
+nb AS (
+  SELECT sum(greatest(len(t) - 1, 0)) AS n_big FROM sp)
+SELECT w1, w2, n_pair,
+       round(ln((n_pair * 1.0 / n_big)
+                / ((u1.n_w * 1.0 / n_tok) * (u2.n_w * 1.0 / n_tok))), 4)
+         AS pmi
+FROM big
+JOIN uc u1 ON u1.w = big.w1
+JOIN uc u2 ON u2.w = big.w2, tot, nb
+ORDER BY pmi DESC, w1, w2 LIMIT 30
+"""
+
+
 def q_docs_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document line-quality stats (text.line_stats): Gopher
     duplicate-line fraction + FineWeb terminal-punctuation / bullet
@@ -4128,6 +4162,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_ids": q_docs_token_ids,
     "docs_source_dup_matrix": q_docs_source_dup_matrix,
     "docs_line_stats": q_docs_line_stats,
+    "docs_collocations": q_docs_collocations,
     "docs_epoch_shuffle": q_docs_epoch_shuffle,
     "docs_heavy_tokens": q_docs_heavy_tokens,
     "docs_chunks": q_docs_chunks,
@@ -4244,6 +4279,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_token_ids": ORACLE_DOCS_TOKEN_IDS,
     "docs_source_dup_matrix": ORACLE_DOCS_SOURCE_DUP_MATRIX,
     "docs_line_stats": ORACLE_DOCS_LINE_STATS,
+    "docs_collocations": ORACLE_DOCS_COLLOCATIONS,
     "docs_epoch_shuffle": ORACLE_DOCS_EPOCH_SHUFFLE,
     "docs_heavy_tokens": ORACLE_DOCS_HEAVY_TOKENS,
     "docs_chunks": ORACLE_DOCS_CHUNKS,

@@ -1310,6 +1310,23 @@ class TestPercentileGate:
             sampling.percentile_gate(df, "g", "s", keep="middle")
 
 
+class TestCollocations:
+    def test_pmi_ranks_exclusive_pair_first(self, spark):
+        """'alpha beta' always co-occur and never appear elsewhere →
+        maximal PMI; 'x y' occur together but both words are common
+        elsewhere → lower PMI; min_count cuts singletons."""
+        rows = [(i, "alpha beta") for i in range(5)]
+        rows += [(100 + i, "x y") for i in range(5)]
+        rows += [(200 + i, "x q y r") for i in range(10)]
+        rows += [(300, "rare once")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = text.top_collocations(df, "text", top_k=10, min_count=5).collect()
+        assert got[0]["w1"] == "alpha" and got[0]["w2"] == "beta"
+        pmis = {(r["w1"], r["w2"]): r["pmi"] for r in got}
+        assert pmis[("alpha", "beta")] > pmis[("x", "y")]
+        assert ("rare", "once") not in pmis  # min_count cut
+
+
 class TestLineStats:
     def test_multiline_fractions(self, spark):
         """The synthetic corpus is single-line, so the interesting paths
