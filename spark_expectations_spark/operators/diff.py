@@ -82,3 +82,21 @@ def snapshot_diff(
         + [F.col(f"r.{c}").alias(f"new_{c}") for c in cmp_cols]
     )
     return j.select(*out_cols).filter(F.col(change_type_out).isNotNull())
+
+
+def schema_diff(left: DataFrame, right: DataFrame):
+    """Driver-side schema reconciliation between two frames — the check
+    run before snapshot_diff/union on frames from different pipeline
+    versions. Returns a dict with ``added`` (in right only), ``removed``
+    (in left only), ``type_changed`` ({name: (left_type, right_type)}),
+    and ``common`` — all by column name, types as simpleString.
+    Purely metadata: no job, no scan."""
+    lt = {f.name: f.dataType.simpleString() for f in left.schema.fields}
+    rt = {f.name: f.dataType.simpleString() for f in right.schema.fields}
+    return {
+        "added": sorted(set(rt) - set(lt)),
+        "removed": sorted(set(lt) - set(rt)),
+        "type_changed": {n: (lt[n], rt[n])
+                         for n in sorted(set(lt) & set(rt)) if lt[n] != rt[n]},
+        "common": sorted(set(lt) & set(rt)),
+    }

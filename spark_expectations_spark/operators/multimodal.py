@@ -25,7 +25,7 @@ from typing import Callable, Iterator, Optional
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
@@ -193,3 +193,48 @@ def synthesize_binary_column(df: DataFrame, from_col: str, out: str = "media_byt
     whole multimodal path run end-to-end in environments with no media
     files (driver testdata has none)."""
     return df.withColumn(out, F.to_binary(F.md5(F.col(from_col).cast("string")), F.lit("hex")))
+
+
+# magic-byte prefixes for container sniffing (hex of the leading bytes;
+# mp4 matches at offset 4 on the 'ftyp' box marker)
+_MAGIC = (
+    ("jpeg", "ffd8ff", 0),
+    ("png", "89504e47", 0),
+    ("gif", "47494638", 0),
+    ("riff", "52494646", 0),   # wav/webp/avi container — see riff_kind
+    ("pdf", "25504446", 0),
+    ("mp4", "66747970", 4),
+)
+
+
+def detect_format(binary: Column) -> Column:
+    """Container-format sniffing from magic bytes — REAL executable
+    logic (unlike the env-gated codec stubs): pure ``substring``/``hex``
+    column expressions over the binary prefix, no library, no UDF, so
+    it runs inside codegen at scan speed. Unknowns → 'unknown'.
+
+    Use it to route heterogeneous media lakes (partition by detected
+    format before per-format decode stages) and as a row_dq rule
+    (``detected == claimed mime``) catching mislabeled uploads.
+    """
+    prefix = F.lower(F.hex(F.substring(binary, 1, 16)))
+    out = F.lit("unknown")
+    for name, magic, off in reversed(_MAGIC):
+        cond = F.substring(prefix, off * 2 + 1, len(magic)) == magic
+        out = F.when(cond, F.lit(name)).otherwise(out)
+    return out
+
+
+def riff_kind(binary: Column) -> Column:
+    """Disambiguate RIFF containers (bytes 8-11: WAVE/WEBP/AVI );
+    NULL when not RIFF."""
+    prefix = F.lower(F.hex(F.substring(binary, 1, 16)))
+    is_riff = F.substring(prefix, 1, 8) == "52494646"
+    kind_hex = F.substring(prefix, 17, 8)
+    return F.when(
+        is_riff,
+        F.when(kind_hex == "57415645", F.lit("wav"))
+        .when(kind_hex == "57454250", F.lit("webp"))
+        .when(kind_hex == "41564920", F.lit("avi"))
+        .otherwise(F.lit("riff-other"))
+    ).otherwise(F.lit(None))

@@ -1770,3 +1770,45 @@ class TestAttachMediaMetadata:
         assert row["media_meta"]["width"] is None
         assert row["media_size_bytes"] == 3
         assert dict(out.dtypes)["media_meta"].startswith("struct<mime:string")
+
+
+class TestSchemaDiff:
+    def test_added_removed_type_changed(self, spark):
+        from spark_expectations_spark.operators import diff
+        a = spark.createDataFrame([], "id long, x int, y string")
+        b = spark.createDataFrame([], "id long, x double, z string")
+        d = diff.schema_diff(a, b)
+        assert d["added"] == ["z"] and d["removed"] == ["y"]
+        assert d["type_changed"] == {"x": ("int", "double")}
+        assert d["common"] == ["id", "x"]
+
+
+class TestFormatSniffing:
+    def test_magic_bytes_detected(self, spark):
+        from spark_expectations_spark.operators import multimodal as mm
+        rows = [
+            (1, b"\xff\xd8\xff\xe0" + b"\x00" * 12, "jpeg"),
+            (2, b"\x89PNG\r\n\x1a\n" + b"\x00" * 8, "png"),
+            (3, b"GIF89a" + b"\x00" * 10, "gif"),
+            (4, b"RIFF\x24\x08\x00\x00WAVEfmt ", "riff"),
+            (5, b"\x00\x00\x00\x18ftypisom" + b"\x00" * 4, "mp4"),
+            (6, b"%PDF-1.7" + b"\x00" * 8, "pdf"),
+            (7, b"plain text bytes", "unknown"),
+        ]
+        df = spark.createDataFrame(
+            [(i, d) for i, d, _ in rows], "id long, data binary")
+        got = {r["id"]: r["fmt"] for r in df.select(
+            "id", mm.detect_format(F.col("data")).alias("fmt")).collect()}
+        for i, _, want in rows:
+            assert got[i] == want, (i, want, got[i])
+
+    def test_riff_disambiguation(self, spark):
+        from spark_expectations_spark.operators import multimodal as mm
+        df = spark.createDataFrame(
+            [(1, b"RIFF\x00\x00\x00\x00WAVEfmt "),
+             (2, b"RIFF\x00\x00\x00\x00WEBPVP8 "),
+             (3, b"not riff at all!")],
+            "id long, data binary")
+        got = {r["id"]: r["k"] for r in df.select(
+            "id", mm.riff_kind(F.col("data")).alias("k")).collect()}
+        assert got[1] == "wav" and got[2] == "webp" and got[3] is None
