@@ -1077,3 +1077,34 @@ class TestCodegenSpanCounter:
         # under AQE the pre-execution plan reports 0 subtrees; the
         # counter must execute the frame and read the FINAL plan
         assert plans.whole_stage_codegen_spans(df) >= 1
+
+
+class TestBucketedColocatedJoin:
+    def test_bucketed_join_has_no_shuffle(self, spark, tmp_path):
+        """The payoff of bucketBy writes: two tables bucketed on the join
+        key by the same bucket count join WITHOUT a shuffle on either
+        side — at 100 TB this is the difference between an exchange of
+        the whole fact table and none. Pin: no ShuffleExchange feeds the
+        join when bucketing lines up."""
+        spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        for name, df, key in (("li_b", li, "l_orderkey"),
+                              ("od_b", od, "o_orderkey")):
+            (df.write.mode("overwrite")
+               .bucketBy(8, key).sortBy(key)
+               .option("path", str(tmp_path / name))
+               .saveAsTable(name))
+        try:
+            j = (spark.table("li_b")
+                 .join(spark.table("od_b"),
+                       F.col("l_orderkey") == F.col("o_orderkey"))
+                 .select("l_orderkey", "o_totalprice"))
+            assert plans.num_shuffles(j) == 0, plans.plan_text(j, "simple")
+            assert j.count() > 0
+        finally:
+            spark.sql("DROP TABLE IF EXISTS li_b")
+            spark.sql("DROP TABLE IF EXISTS od_b")
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                           str(10 * 1024 * 1024))
