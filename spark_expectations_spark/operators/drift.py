@@ -171,16 +171,37 @@ def chi2_categorical(
     (chi2, dof, n_baseline, n_current, n_categories) with
     dof = categories − 1.
 
-    Same scale shape as categorical_psi: per-side distinct-category
-    counts with the TakeOrderedAndProject top-N cut and '__other__'
-    tail fold, full-outer aligned (0-fill), totals broadcast. Zero-count
-    expected cells contribute 0 (both observed are then 0 too).
+    Same scale shape as categorical_psi, with one critical difference:
+    the top-N cut is taken on the COMBINED (baseline + current) counts
+    and the same winner set folds BOTH sides' tails. Per-side cuts
+    (what the PSI heuristic tolerates via its epsilon clamp) corrupt a
+    significance test: a category ranked N on one side and N+1 on the
+    other would appear under its own name in one column and inside
+    '__other__' in the other — a phantom shift chi² would flag as
+    drift on identically-distributed samples. Zero-count expected
+    cells contribute 0 (both observed are then 0 too).
     """
-    b = _category_counts(baseline, col, top_n).withColumnRenamed("_n", "nb")
-    c = _category_counts(current, col, top_n).withColumnRenamed("_n", "nc")
-    j = (b.join(c, "category", "full_outer")
-         .select(F.coalesce("nb", F.lit(0)).alias("nb"),
-                 F.coalesce("nc", F.lit(0)).alias("nc")))
+    norm = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+
+    def raw(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(norm.alias("category")).agg(
+            F.count(F.lit(1)).alias(out))
+
+    both = (raw(baseline, "nb").join(raw(current, "nc"), "category",
+                                     "full_outer")
+            .select("category",
+                    F.coalesce("nb", F.lit(0)).alias("nb"),
+                    F.coalesce("nc", F.lit(0)).alias("nc"))
+            .persist())
+    top = (both.orderBy((F.col("nb") + F.col("nc")).desc(), "category")
+           .limit(int(top_n))
+           .select("category", F.lit(True).alias("_keep")))
+    j = (both.join(F.broadcast(top), "category", "left")
+         .select(F.when(F.col("_keep"), F.col("category"))
+                 .otherwise(F.lit("__other__")).alias("category"),
+                 "nb", "nc")
+         .groupBy("category")
+         .agg(F.sum("nb").alias("nb"), F.sum("nc").alias("nc")))
     tots = j.agg(F.sum("nb").alias("tb"), F.sum("nc").alias("tc"),
                  F.count(F.lit(1)).alias("k"))
     e_b = (F.col("nb") + F.col("nc")) * F.col("tb") / (F.col("tb") + F.col("tc"))

@@ -153,8 +153,11 @@ def line_stats(
     Returns (id, n_lines, dup_line_frac, terminal_punct_frac,
     bullet_frac, mean_line_len).
     """
+    # \r?\n: CRLF documents must not keep a trailing \r on every line
+    # (it would defeat dup-line detection, pad mean_line_len, and
+    # diverge from the oracle's RE2 '$' semantics on terminal punct)
     lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda l: F.trim(l)),
+        F.transform(F.split(F.col(text_col), r"\r?\n"), lambda l: F.trim(l)),
         lambda l: l != "")
     n = F.size(lines)
     n_distinct = F.size(F.array_distinct(lines))

@@ -3519,7 +3519,7 @@ def q_docs_line_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOCS_LINE_STATS = r"""
 WITH l AS (
   SELECT doc_id,
-         list_filter(list_transform(string_split(text, chr(10)),
+         list_filter(list_transform(string_split_regex(text, '\r?\n'),
                                     x -> trim(x)),
                      x -> x <> '') AS ls
   FROM documents)

@@ -154,38 +154,51 @@ def clustering_report(
     (Σ per-file span overlap). Returns one row per column:
     (column, n_files, clustering_factor, avg_files_hit).
 
-    Scale shape: one scan aggregating min/max per (file, column) — the
+    Scale shape: ONE scan aggregating min/max per (file, column) — the
     same stats the parquet footers hold, derived engine-side so the
-    report needs no filesystem access — then a files-×-columns-sized
-    driver-light rollup. Constant columns report factor 0.
+    report needs no filesystem access — then one rollup over that
+    files-sized frame covering every column at once (per-file stats are
+    persisted; nothing re-scans the directory per column). Constant
+    columns report factor 0; an all-null column reports NULL factors —
+    never the 0.0 a "layout is perfect, skip re-clustering" monitor
+    would silently trust. Columns must be numeric/date/timestamp
+    (orderable under a double cast); strings are rejected up front for
+    the same reason.
     """
     if not columns:
         raise ValueError("columns must be non-empty")
     df = spark.read.parquet(path)
+    ok = ("byte", "short", "int", "integer", "long", "bigint", "float",
+          "double", "decimal", "date", "timestamp", "timestamp_ntz")
+    for c in columns:
+        t = df.schema[c].dataType.simpleString()
+        if not t.startswith(ok):
+            raise ValueError(
+                f"column {c!r} has non-numeric type {t}; min/max spans "
+                "are meaningless under a double cast")
     per_file = (
         df.groupBy(F.input_file_name().alias("__f"))
         .agg(*[f(F.col(c).cast("double")).alias(f"__{agg}_{c}")
                for c in columns
                for agg, f in (("min", F.min), ("max", F.max))])
+        .persist()
     )
-    reports = []
+    glob = per_file.agg(*[
+        f(F.col(f"__{agg}_{c}")).alias(f"__g{agg}_{c}")
+        for c in columns
+        for agg, f in (("min", F.min), ("max", F.max))])
+    aggs = [F.count(F.lit(1)).alias("n_files")]
     for c in columns:
-        lo, hi = F.min(f"__min_{c}"), F.max(f"__max_{c}")
-        span = F.col("__glob_hi") - F.col("__glob_lo")
-        frac = F.when(span > 0,
-                      (F.col(f"__max_{c}") - F.col(f"__min_{c}")) / span
-                      ).otherwise(F.lit(0.0))
-        stats = (
-            per_file.crossJoin(F.broadcast(
-                per_file.agg(lo.alias("__glob_lo"), hi.alias("__glob_hi"))))
-            .agg(F.count(F.lit(1)).alias("n_files"),
-                 F.round(F.avg(frac), 4).alias("clustering_factor"),
-                 F.round(F.sum(frac), 2).alias("avg_files_hit"))
-            .select(F.lit(c).alias("column"), "n_files",
-                    "clustering_factor", "avg_files_hit")
-        )
-        reports.append(stats)
-    out = reports[0]
-    for r in reports[1:]:
-        out = out.unionByName(r)
-    return out
+        span = F.col(f"__gmax_{c}") - F.col(f"__gmin_{c}")
+        frac = (F.when(span > 0,
+                       (F.col(f"__max_{c}") - F.col(f"__min_{c}")) / span)
+                .when(F.col(f"__gmin_{c}").isNotNull(), F.lit(0.0)))
+        aggs.append(F.round(F.avg(frac), 4).alias(f"__cf_{c}"))
+        aggs.append(F.round(F.sum(frac), 2).alias(f"__fh_{c}"))
+    row = per_file.crossJoin(F.broadcast(glob)).agg(*aggs).first()
+    out = [(c, row["n_files"], row[f"__cf_{c}"], row[f"__fh_{c}"])
+           for c in columns]
+    per_file.unpersist()
+    return spark.createDataFrame(
+        out, "column string, n_files bigint, clustering_factor double, "
+             "avg_files_hit double")

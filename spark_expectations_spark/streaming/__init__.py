@@ -140,11 +140,17 @@ def windowed_topk(
 
     Rank windows aren't stream-native (no row_number over an unbounded
     stream), so the standard decomposition applies: the STATEFUL half
-    (watermarked tumbling counts — bounded state, incremental) runs on
-    the stream, and the rank runs per micro-batch inside foreachBatch
-    over that already-aggregated, windows×keys-sized frame. ``sink``
-    receives the ranked micro-batch (update-mode semantics: a window's
-    top-k refines until its watermark passes). Returns the started
+    (tumbling counts) runs on the stream, and the rank runs per
+    micro-batch inside foreachBatch over that already-aggregated,
+    windows×keys-sized frame. The aggregation runs in COMPLETE output
+    mode — ranking needs every window's FULL current key set each
+    trigger; update mode would deliver only the keys that changed,
+    and a rank over that partial frame can crown a non-top key (rk=1
+    for whatever happened to update). The trade, documented: complete
+    mode keeps all windows' counts in state (the watermark can't evict)
+    — right for dashboard-sized windows×keys cardinality, wrong for
+    unbounded keys; for those, maintain a merged count table downstream
+    of an update-mode stream and rank there. Returns the started
     StreamingQuery.
     """
     counts = tumbling_counts(
@@ -159,7 +165,7 @@ def windowed_topk(
         if sink is not None:
             sink(ranked, batch_id)
 
-    writer = (counts.writeStream.outputMode("update")
+    writer = (counts.writeStream.outputMode("complete")
               .foreachBatch(process).queryName(query_name))
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)

@@ -296,7 +296,7 @@ class TestStreamingDQ:
         seen = []
 
         def sink(ranked, batch_id):
-            seen.extend(ranked.collect())
+            seen.extend((batch_id, r) for r in ranked.collect())
 
         q = windowed_topk(
             src, "ts", "key", k=2, window="2 seconds",
@@ -307,10 +307,14 @@ class TestStreamingDQ:
             while time.time() < deadline and not seen:
                 time.sleep(2)
             assert seen, "no ranked micro-batch output"
-            by_win = {}
-            for r in seen:
+            # complete mode: every batch carries each window's FULL
+            # ranking, so per (batch, window) ranks are contiguous 1..n
+            by_bw = {}
+            for bi, r in seen:
                 assert 1 <= r["rk"] <= 2
-                by_win.setdefault(r["window_start"], set()).add(r["rk"])
+                by_bw.setdefault((bi, r["window_start"]), set()).add(r["rk"])
+            for rks in by_bw.values():
+                assert rks == set(range(1, len(rks) + 1))
         finally:
             q.stop()
 
@@ -1086,6 +1090,8 @@ class TestBucketedColocatedJoin:
         side — at 100 TB this is the difference between an exchange of
         the whole fact table and none. Pin: no ShuffleExchange feeds the
         join when bucketing lines up."""
+        prev_bucketing = spark.conf.get("spark.sql.sources.bucketing.enabled")
+        prev_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
         spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -1106,5 +1112,6 @@ class TestBucketedColocatedJoin:
         finally:
             spark.sql("DROP TABLE IF EXISTS li_b")
             spark.sql("DROP TABLE IF EXISTS od_b")
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                           str(10 * 1024 * 1024))
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
+            spark.conf.set("spark.sql.sources.bucketing.enabled",
+                           prev_bucketing)

@@ -1051,6 +1051,16 @@ class TestCategoricalDrift:
         assert shifted["chi2"] > 20  # χ²(2) 99.9th pct ≈ 13.8
         assert shifted["dof"] == 2
 
+    def test_chi2_aligned_cut_no_phantom_drift(self, spark):
+        """The top-N cut must come from the COMBINED counts: two samples
+        of the SAME distribution with cardinality above top_n must give
+        chi2 == 0, not a phantom shift from per-side fold disagreement."""
+        from spark_expectations_spark.operators import drift
+        a = spark.range(1000).selectExpr("CAST(id % 20 AS STRING) AS c")
+        r = drift.chi2_categorical(a, a, "c", top_n=5).first()
+        assert r["chi2"] == 0.0
+        assert r["n_categories"] == 6  # top-5 + __other__
+
     def test_tail_folds_into_other(self, spark):
         """Cardinality above top_n: the tail must collapse to __other__
         with its mass summed, not dropped."""
@@ -1344,6 +1354,17 @@ class TestLineStats:
         assert r["terminal_punct_frac"] == 0.4
         assert r["bullet_frac"] == 0.4
         assert got[2]["n_lines"] == 1 and got[2]["dup_line_frac"] == 0.0
+
+    def test_crlf_lines_normalized(self, spark):
+        """CRLF documents: the trailing \\r must not defeat dup-line
+        detection, pad mean_line_len, or hide terminal punctuation."""
+        df = spark.createDataFrame(
+            [(1, "a line.\r\na line.\r\nother\r\n")], "id long, text string")
+        r = text.line_stats(df, "id", "text").first()
+        assert r["n_lines"] == 3
+        assert r["dup_line_frac"] == round(1 / 3, 4)
+        assert r["terminal_punct_frac"] == round(2 / 3, 4)
+        assert r["mean_line_len"] == round((7 + 7 + 5) / 3, 4)
 
 
 class TestVocabEncode:

@@ -351,3 +351,22 @@ class TestLayout:
         assert zrep["b"] < srep["b"]
         with pytest.raises(ValueError):
             layout.clustering_report(spark, zdir, [])
+
+    def test_clustering_report_rejects_strings_nulls_honest(self, spark, tmp_path):
+        """Non-numeric columns are rejected (their min/max spans are
+        meaningless under a double cast — silently reporting 0.0 would
+        read as 'perfectly clustered'); an all-null numeric column
+        reports NULL factors, not 0.0."""
+        from spark_expectations_spark.sinks import layout
+        p = str(tmp_path / "mixed")
+        (spark.range(100)
+         .selectExpr("id", "CAST(NULL AS DOUBLE) AS dead",
+                     "CAST(id AS STRING) AS s")
+         .repartition(4).write.parquet(p))
+        with pytest.raises(ValueError, match="non-numeric"):
+            layout.clustering_report(spark, p, ["s"])
+        rep = {r["column"]: r for r in
+               layout.clustering_report(spark, p, ["id", "dead"]).collect()}
+        assert rep["id"]["clustering_factor"] is not None
+        assert rep["dead"]["clustering_factor"] is None
+        assert rep["dead"]["avg_files_hit"] is None
