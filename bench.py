@@ -36,7 +36,8 @@ BENCH_QUERIES = [
     "docs_corpus_report", "embed_semdedup", "docs_ccnet_buckets",
     "docs_token_ids", "docs_source_dup_matrix", "docs_dedup_pipeline",
     "docs_epoch_shuffle", "dedup_lsh_quality", "events_window_topk",
-    "docs_line_stats",
+    "docs_line_stats", "docs_collocations", "docs_bigram_lm",
+    "orders_status_chi2",
 ]
 
 

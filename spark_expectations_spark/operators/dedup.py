@@ -293,6 +293,38 @@ def dup_shingle_fraction(
     )
 
 
+def plan_lsh_bands(threshold: float, num_hashes: int) -> dict:
+    """Pick the (bands, rows) banding for a MinHash signature so the
+    candidate S-curve's inflection point ``(1/b)^(1/r)`` lands nearest
+    the target Jaccard ``threshold`` — the analytic half of LSH tuning
+    (:func:`lsh_quality_report` is the empirical half: plan here,
+    verify there on a sample).
+
+    Driver-side arithmetic only. Returns {bands, rows, inflection,
+    p_at_threshold} where p_at_threshold = 1−(1−t^r)^b is the
+    probability a true threshold-similarity pair becomes a candidate
+    under the chosen banding.
+    """
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if num_hashes < 2:
+        raise ValueError("num_hashes must be >= 2")
+    best = None
+    for bands in range(1, num_hashes + 1):
+        if num_hashes % bands:
+            continue
+        rows = num_hashes // bands
+        inflection = (1.0 / bands) ** (1.0 / rows)
+        gap = abs(inflection - threshold)
+        if best is None or gap < best[0]:
+            best = (gap, bands, rows, inflection)
+    _, bands, rows, inflection = best
+    p = 1.0 - (1.0 - threshold ** rows) ** bands
+    return {"bands": bands, "rows": rows,
+            "inflection": round(inflection, 4),
+            "p_at_threshold": round(p, 4)}
+
+
 def lsh_quality_report(
     df: DataFrame,
     id_col: str,

@@ -329,6 +329,63 @@ def unigram_logprob(
     )
 
 
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    smoothing: float = 0.5,
+    interp: float = 0.7,
+) -> DataFrame:
+    """Per-document mean interpolated-bigram log-probability under the
+    corpus's own LM — one order up from :func:`unigram_logprob` and a
+    sharper CCNet-style fluency proxy: word-order soup that unigram
+    scoring can't see (right words, wrong order) scores low here.
+
+    P(w2|w1) = interp·(c12+s)/(c1+s·V) + (1−interp)·(c2+s)/(N+s·V),
+    averaged as ln P over the doc's bigram positions. Docs with < 2
+    tokens return n_bigrams = 0 and a NULL score.
+
+    Scale shape: like the unigram scorer — the models are ONE bigram
+    and ONE unigram map-combined count each (vocabulary-sized, not
+    corpus-sized); scoring is an explode + three token-keyed joins of
+    vocab-sized sides + one per-doc agg, totals broadcast as a 1-row
+    frame.
+    """
+    toks = _tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    doc_pairs = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
+                 .select(id_col, "p.w1", "p.w2").persist())
+    big = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    uni = (df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    totals = uni.agg(F.sum("c").alias("n_tok"), F.count(F.lit(1)).alias("v"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    s = F.lit(smoothing)
+    lam = F.lit(interp)
+    scored = (
+        doc_pairs.join(big, ["w1", "w2"]).join(u1, "w1").join(u2, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(lam * (F.col("c12") + s) / (F.col("c1") + s * F.col("v"))
+                  + (F.lit(1.0) - lam) * (F.col("c2") + s)
+                  / (F.col("n_tok") + s * F.col("v"))).alias("_lp"))
+    )
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_lp").alias("avg_logprob"))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.col("avg_logprob")))
+
+
 def term_weights(
     df: DataFrame,
     id_col: str,

@@ -3386,6 +3386,45 @@ GROUP BY doc_id
 """
 
 
+def q_docs_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM scoring (text.bigram_logprob) — the
+    word-order-sensitive fluency proxy one order above docs_lm_score;
+    models stay vocabulary-sized, totals broadcast. 6-dp round for
+    cross-engine double parity."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.bigram_logprob(docs, "doc_id", "text")
+    return out.select("doc_id", "n_bigrams",
+                      F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+ORACLE_DOCS_BIGRAM_LM = r"""
+WITH sp AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents),
+dp AS (
+  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+  FROM sp, UNNEST(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)),
+big AS (SELECT w1, w2, count(*) AS c12 FROM dp GROUP BY 1, 2),
+uni AS (SELECT unnest(t) AS w FROM sp),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+tot AS (SELECT sum(c) AS n_tok, count(*) AS v FROM uc),
+sc AS (
+  SELECT dp.doc_id,
+         ln(0.7 * (c12 + 0.5) / (u1.c + 0.5 * v)
+            + 0.3 * (u2.c + 0.5) / (n_tok + 0.5 * v)) AS lp
+  FROM dp JOIN big USING (w1, w2)
+  JOIN uc u1 ON u1.w = dp.w1
+  JOIN uc u2 ON u2.w = dp.w2, tot),
+per AS (
+  SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_logprob
+  FROM sc GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(p.n_bigrams, 0) AS n_bigrams, p.avg_logprob
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
 def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail bucketing (arXiv:1911.00359): per-language
     LM-score quartiles → bucket label (sampling.quantile_buckets over
@@ -4159,6 +4198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_weighted_sample": q_docs_weighted_sample,
     "docs_lm_score": q_docs_lm_score,
     "docs_ccnet_buckets": q_docs_ccnet_buckets,
+    "docs_bigram_lm": q_docs_bigram_lm,
     "docs_token_ids": q_docs_token_ids,
     "docs_source_dup_matrix": q_docs_source_dup_matrix,
     "docs_line_stats": q_docs_line_stats,
@@ -4276,6 +4316,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_weighted_sample": ORACLE_DOCS_WEIGHTED_SAMPLE,
     "docs_lm_score": ORACLE_DOCS_LM_SCORE,
     "docs_ccnet_buckets": ORACLE_DOCS_CCNET_BUCKETS,
+    "docs_bigram_lm": ORACLE_DOCS_BIGRAM_LM,
     "docs_token_ids": ORACLE_DOCS_TOKEN_IDS,
     "docs_source_dup_matrix": ORACLE_DOCS_SOURCE_DUP_MATRIX,
     "docs_line_stats": ORACLE_DOCS_LINE_STATS,

@@ -1591,6 +1591,29 @@ class TestSimilarityPairs:
             dedup.similarity_pairs(docs, "doc_id", "text")
 
 
+class TestPlanLSHBands:
+    def test_inflection_tracks_threshold(self):
+        from spark_expectations_spark.operators import dedup
+        lo = dedup.plan_lsh_bands(0.2, 64)
+        hi = dedup.plan_lsh_bands(0.9, 64)
+        assert lo["bands"] * lo["rows"] == 64
+        assert hi["bands"] * hi["rows"] == 64
+        # low thresholds want many bands (few rows); high want few bands
+        assert lo["bands"] > hi["bands"]
+        assert abs(lo["inflection"] - 0.2) < 0.15
+        assert abs(hi["inflection"] - 0.9) < 0.1
+        # candidate probability at the target similarity is meaningful
+        assert 0.3 < lo["p_at_threshold"] <= 1.0
+
+    def test_validation(self):
+        from spark_expectations_spark.operators import dedup
+        import pytest as _pt
+        with _pt.raises(ValueError):
+            dedup.plan_lsh_bands(1.5, 64)
+        with _pt.raises(ValueError):
+            dedup.plan_lsh_bands(0.5, 1)
+
+
 class TestLSHQualityReport:
     def test_report_invariants(self, docs):
         """Counts are consistent (hits bounded by both sides), quality
