@@ -153,3 +153,25 @@ def fk_containment(
             F.round(1.0 - F.col("_o") / F.col("_t"), 6).alias("containment"),
         )
     )
+
+
+def correlation_matrix(df, cols):
+    """Pairwise Pearson correlations over numeric columns in ONE
+    aggregation job — k·(k−1)/2 ``corr`` aggregates ride a single scan
+    (map-side partial moments), so profiling 10 columns costs one pass,
+    not 45. Returns a (col_a, col_b, corr) frame, col_a < col_b by
+    position; the result is pairs-sized (driver-assembled, like the
+    rest of the profiling reports)."""
+    from pyspark.sql import functions as F
+
+    if len(cols) < 2:
+        raise ValueError("need at least two columns")
+    aggs = [F.corr(a, b).alias(f"__c_{i}_{j}")
+            for i, a in enumerate(cols)
+            for j, b in enumerate(cols) if i < j]
+    row = df.agg(*aggs).first()
+    out = [(a, b, row[f"__c_{i}_{j}"])
+           for i, a in enumerate(cols)
+           for j, b in enumerate(cols) if i < j]
+    return df.sparkSession.createDataFrame(
+        out, "col_a string, col_b string, corr double")

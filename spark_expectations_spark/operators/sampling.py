@@ -386,3 +386,25 @@ def token_budget_sample(
         .filter(F.col("__cum") < budget_col)
         .drop("__cum", "__budget")
     )
+
+
+def split_by_time(
+    df: DataFrame,
+    ts_col: str,
+    boundary,
+    *,
+    embargo=0,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-aware temporal split: 'train' strictly before
+    ``boundary − embargo``, 'test' at-or-after ``boundary``, and the
+    gap labeled 'embargo' (discarded by convention — it absorbs
+    lookahead features/label windows that would otherwise leak across
+    the cut; embargo=0 yields a plain two-way split). A pure map-side
+    projection — zero shuffle, works on any orderable ts type with
+    boundary/embargo in the column's own units."""
+    t = F.col(ts_col)
+    col = (F.when(t >= F.lit(boundary), F.lit("test"))
+           .when(t >= F.lit(boundary) - F.lit(embargo), F.lit("embargo"))
+           .otherwise(F.lit("train")))
+    return df.withColumn(out, col)

@@ -1578,6 +1578,66 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_lineitem_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (profiling.correlation_matrix)
+    over four lineitem numerics — all 6 corr aggregates in ONE scan;
+    6-dp round for cross-engine double parity."""
+    from .operators import profiling
+
+    li = load(spark, sf_dir, "lineitem")
+    out = profiling.correlation_matrix(
+        li, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"])
+    return out.select("col_a", "col_b", F.round("corr", 6).alias("corr"))
+
+
+ORACLE_LINEITEM_CORRELATIONS = """
+SELECT * FROM (
+  SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+         round(corr(l_quantity, l_extendedprice), 6) AS corr FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_discount',
+         round(corr(l_quantity, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_quantity', 'l_tax',
+         round(corr(l_quantity, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_discount',
+         round(corr(l_extendedprice, l_discount), 6) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', 'l_tax',
+         round(corr(l_extendedprice, l_tax), 6) FROM lineitem
+  UNION ALL SELECT 'l_discount', 'l_tax',
+         round(corr(l_discount, l_tax), 6) FROM lineitem)
+"""
+
+
+def q_events_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-aware temporal split (sampling.split_by_time): boundary at
+    the exact 0.75-quantile of ts (integer nanos → interpolation is
+    bit-identical to quantile_cont), embargo of 1 day before it; rollup
+    = per-split row counts + ts range."""
+    from .operators import sampling
+
+    ev = load(spark, sf_dir, "events")
+    boundary = ev.agg(F.percentile(F.col("ts"), F.lit(0.75))).first()[0]
+    day_ns = 86400 * 1_000_000_000
+    split = sampling.split_by_time(ev, "ts", boundary, embargo=day_ns)
+    return (split.groupBy("split")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.min("ts").alias("min_ts"), F.max("ts").alias("max_ts")))
+
+
+ORACLE_EVENTS_TIME_SPLIT = """
+WITH b AS (
+  SELECT quantile_cont(epoch_ns(ts), 0.75) AS q FROM events),
+lab AS (
+  SELECT CASE WHEN epoch_ns(ts) >= q THEN 'test'
+              WHEN epoch_ns(ts) >= q - 86400000000000 THEN 'embargo'
+              ELSE 'train' END AS split,
+         epoch_ns(ts) AS tns
+  FROM events, b)
+SELECT split, count(*) AS n_events,
+       min(tns) AS min_ts, max(tns) AS max_ts
+FROM lab GROUP BY split
+"""
+
+
 def q_events_window_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 event types per event-time hour — the windowed-top-k shape
     every streaming dashboard needs (batch twin; on a stream the same
@@ -4178,6 +4238,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_repetition": q_text_repetition,
     "text_pii_redact": q_text_pii_redact,
     "events_hourly": q_events_hourly,
+    "lineitem_correlations": q_lineitem_correlations,
+    "events_time_split": q_events_time_split,
     "events_window_topk": q_events_window_topk,
     "events_sliding": q_events_sliding,
     "events_gapfill": q_events_gapfill,
@@ -4296,6 +4358,8 @@ ORACLES: dict[str, Optional[str]] = {
     "text_repetition": ORACLE_TEXT_REPETITION,
     "text_pii_redact": ORACLE_TEXT_PII_REDACT,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "lineitem_correlations": ORACLE_LINEITEM_CORRELATIONS,
+    "events_time_split": ORACLE_EVENTS_TIME_SPLIT,
     "events_window_topk": ORACLE_EVENTS_WINDOW_TOPK,
     "events_sliding": ORACLE_EVENTS_SLIDING,
     "events_gapfill": ORACLE_EVENTS_GAPFILL,

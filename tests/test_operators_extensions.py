@@ -1413,6 +1413,39 @@ class TestVocabEncode:
         assert enc[1][1][1] == 0       # the literal '<unk>' encodes to unk_id
 
 
+class TestSplitByTime:
+    def test_three_way_split_with_embargo(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(i,) for i in range(100)], "ts long")
+        got = {r["ts"]: r["split"] for r in
+               sampling.split_by_time(df, "ts", 80, embargo=10).collect()}
+        assert got[69] == "train" and got[70] == "embargo"
+        assert got[79] == "embargo" and got[80] == "test"
+
+    def test_zero_embargo_two_way(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(i,) for i in range(10)], "ts long")
+        labels = {r["split"] for r in
+                  sampling.split_by_time(df, "ts", 5).collect()}
+        assert labels == {"train", "test"}
+
+
+class TestCorrelationMatrix:
+    def test_known_correlations(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(float(i), 2.0 * i, float(-i), float(i % 2)) for i in range(50)],
+            "a double, b double, c double, d double")
+        got = {(r["col_a"], r["col_b"]): r["corr"]
+               for r in profiling.correlation_matrix(
+                   df, ["a", "b", "c"]).collect()}
+        assert abs(got[("a", "b")] - 1.0) < 1e-12
+        assert abs(got[("a", "c")] + 1.0) < 1e-12
+        assert abs(got[("b", "c")] + 1.0) < 1e-12
+        with pytest.raises(ValueError):
+            profiling.correlation_matrix(df, ["a"])
+
+
 class TestEpochShuffle:
     def test_partition_invariant_and_complete(self, spark):
         """Addresses are a pure function of (seed, id): identical under
