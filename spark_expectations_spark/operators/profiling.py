@@ -155,15 +155,13 @@ def fk_containment(
     )
 
 
-def correlation_matrix(df, cols):
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     """Pairwise Pearson correlations over numeric columns in ONE
     aggregation job — k·(k−1)/2 ``corr`` aggregates ride a single scan
     (map-side partial moments), so profiling 10 columns costs one pass,
     not 45. Returns a (col_a, col_b, corr) frame, col_a < col_b by
     position; the result is pairs-sized (driver-assembled, like the
     rest of the profiling reports)."""
-    from pyspark.sql import functions as F
-
     if len(cols) < 2:
         raise ValueError("need at least two columns")
     aggs = [F.corr(a, b).alias(f"__c_{i}_{j}")

@@ -401,10 +401,18 @@ def split_by_time(
     gap labeled 'embargo' (discarded by convention — it absorbs
     lookahead features/label windows that would otherwise leak across
     the cut; embargo=0 yields a plain two-way split). A pure map-side
-    projection — zero shuffle, works on any orderable ts type with
-    boundary/embargo in the column's own units."""
+    projection — zero shuffle. Works on any orderable ts type:
+    the embargo lower bound ``boundary − embargo`` is computed DRIVER-
+    side in Python, so numeric columns take a numeric embargo and
+    timestamp columns take a ``datetime.timedelta`` (a column-side
+    subtraction would be a type error for timestamp − int)."""
     t = F.col(ts_col)
-    col = (F.when(t >= F.lit(boundary), F.lit("test"))
-           .when(t >= F.lit(boundary) - F.lit(embargo), F.lit("embargo"))
-           .otherwise(F.lit("train")))
+    if embargo:
+        lower = boundary - embargo
+        col = (F.when(t >= F.lit(boundary), F.lit("test"))
+               .when(t >= F.lit(lower), F.lit("embargo"))
+               .otherwise(F.lit("train")))
+    else:
+        col = (F.when(t >= F.lit(boundary), F.lit("test"))
+               .otherwise(F.lit("train")))
     return df.withColumn(out, col)

@@ -358,8 +358,14 @@ def bigram_logprob(
         F.slice(toks, 1, F.greatest(n - 1, F.lit(0))),
         F.slice(toks, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))
+    # MEMORY_AND_DISK like the shingle index in dedup: the exploded
+    # pair frame feeds both the model build and the scoring join, and
+    # eviction can spill it rather than OOM; released with the session
+    # (or spark.catalog.clearCache()) like the module's other caches
+    from pyspark.storagelevel import StorageLevel
     doc_pairs = (df.select(F.col(id_col), F.explode(pairs).alias("p"))
-                 .select(id_col, "p.w1", "p.w2").persist())
+                 .select(id_col, "p.w1", "p.w2")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
     big = doc_pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     uni = (df.select(F.explode(_tokens(F.col(text_col))).alias("w"))
            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))

@@ -1889,3 +1889,23 @@ class TestFormatSniffing:
         got = {r["id"]: r["k"] for r in df.select(
             "id", mm.riff_kind(F.col("data")).alias("k")).collect()}
         assert got[1] == "wav" and got[2] == "webp" and got[3] is None
+
+
+class TestSplitByTimeTimestamp:
+    def test_timestamp_column_with_timedelta_embargo(self, spark):
+        """Timestamp ts columns work: the embargo lower bound is
+        computed driver-side, so datetime boundary + timedelta embargo
+        never hits a timestamp-minus-int type error."""
+        from datetime import datetime, timedelta
+        from spark_expectations_spark.operators import sampling
+        rows = [(datetime(2024, 3, d, 12, 0, 0),) for d in range(1, 11)]
+        df = spark.createDataFrame(rows, "ts timestamp")
+        got = {r["ts"].day: r["split"] for r in sampling.split_by_time(
+            df, "ts", datetime(2024, 3, 8),
+            embargo=timedelta(days=2)).collect()}
+        assert got[5] == "train" and got[6] == "embargo"
+        assert got[7] == "embargo" and got[8] == "test"
+        # embargo=0 two-way split also type-checks on timestamps
+        two = {r["split"] for r in sampling.split_by_time(
+            df, "ts", datetime(2024, 3, 8)).collect()}
+        assert two == {"train", "test"}
