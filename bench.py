@@ -37,7 +37,8 @@ BENCH_QUERIES = [
     "docs_token_ids", "docs_source_dup_matrix", "docs_dedup_pipeline",
     "docs_epoch_shuffle", "dedup_lsh_quality", "events_window_topk",
     "docs_line_stats", "docs_collocations", "docs_bigram_lm",
-    "orders_status_chi2",
+    "orders_status_chi2", "lineitem_correlations", "events_time_split",
+    "docs_temperature_resample",
 ]
 
 

@@ -416,3 +416,44 @@ def split_by_time(
         col = (F.when(t >= F.lit(boundary), F.lit("test"))
                .otherwise(F.lit("train")))
     return df.withColumn(out, col)
+
+
+def temperature_resample(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    *,
+    alpha: float = 0.5,
+    scale: int = 1000,
+) -> DataFrame:
+    """Temperature-based source resampling (the mT5/mC4 recipe,
+    arXiv:2010.11934): output shares ∝ n_source^alpha, flattening the
+    head so low-resource sources aren't drowned (alpha=1 keeps natural
+    proportions, alpha→0 approaches uniform). Implemented as integer
+    weights ``floor(scale·n^alpha)`` fed to :func:`mixture_resample`,
+    which realizes the ratios at the largest feasible total with
+    deterministic md5-ranked membership.
+
+    Determinism note: with the default ``alpha=0.5`` the weight uses
+    ``math.sqrt`` — correctly rounded by IEEE 754, so the integer
+    weights (and hence the exact kept set) are reproducible across
+    engines/platforms and the operator carries a full value oracle.
+    Other alphas go through ``pow``, whose last-ulp behavior is libm-
+    specific — fine in practice, but boundary documents at a quota edge
+    may differ across platforms.
+
+    Scale shape: ONE group-cardinality count collected to the driver
+    (sources are dims), then mixture_resample's single source-
+    partitioned window.
+    """
+    import math
+
+    if alpha <= 0:
+        raise ValueError("alpha must be positive")
+    counts = {r["__s"]: r["__n"] for r in
+              df.groupBy(F.col(source_col).alias("__s"))
+                .agg(F.count(F.lit(1)).alias("__n")).collect()}
+    powf = math.sqrt if alpha == 0.5 else (lambda n: float(n) ** alpha)
+    weights = {s: max(1, math.floor(scale * powf(n)))
+               for s, n in counts.items()}
+    return mixture_resample(df, key_col, source_col, weights)

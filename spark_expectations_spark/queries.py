@@ -3207,6 +3207,45 @@ def q_docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "doc_id", "n_chars")
 
 
+def q_docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mT5-style temperature resampling (sampling.temperature_resample,
+    alpha=0.5): output shares ∝ sqrt(n_source) — head flattened so small
+    sources survive. Integer weights floor(1000·sqrt(n)) (sqrt is
+    IEEE-correctly-rounded in both engines, so the exact kept set
+    oracle-checks); membership via mixture_resample's md5 ranking."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    kept = sampling.temperature_resample(docs, "doc_id", "source",
+                                         alpha=0.5, scale=1000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"))
+
+
+ORACLE_DOCS_TEMPERATURE_RESAMPLE = """
+WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+w AS (
+  SELECT source, n,
+         greatest(CAST(floor(1000 * sqrt(n)) AS BIGINT), 1) AS w_ppm
+  FROM c),
+b AS (SELECT n AS n_b, w_ppm AS w_b FROM w
+      ORDER BY n * 1.0 / w_ppm, source LIMIT 1),
+q AS (SELECT source, (n_b * w_ppm) // w_b AS quota FROM w, b),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                         AS BIGINT) ASC, doc_id ASC) AS rn
+  FROM documents)
+SELECT r.source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM r JOIN q USING (source) WHERE rn <= quota
+GROUP BY r.source
+"""
+
+
 ORACLE_DOCS_MIXTURE_RESAMPLE = """
 WITH w(source, w_ppm) AS (
   VALUES ('src0', 400000), ('src1', 300000), ('src2', 200000),
@@ -4278,6 +4317,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_corpus_report": q_docs_corpus_report,
     "docs_group_sample": q_docs_group_sample,
     "docs_mixture_resample": q_docs_mixture_resample,
+    "docs_temperature_resample": q_docs_temperature_resample,
     "docs_incremental_dedup": q_docs_incremental_dedup,
     "docs_tfidf_terms": q_docs_tfidf_terms,
     "docs_bm25_terms": q_docs_bm25_terms,
@@ -4398,6 +4438,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_corpus_report": ORACLE_DOCS_CORPUS_REPORT,
     "docs_group_sample": ORACLE_DOCS_GROUP_SAMPLE,
     "docs_mixture_resample": ORACLE_DOCS_MIXTURE_RESAMPLE,
+    "docs_temperature_resample": ORACLE_DOCS_TEMPERATURE_RESAMPLE,
     "docs_incremental_dedup": ORACLE_DOCS_INCREMENTAL_DEDUP,
     "docs_tfidf_terms": ORACLE_DOCS_TFIDF_TERMS,
     "docs_bm25_terms": ORACLE_DOCS_BM25_TERMS,

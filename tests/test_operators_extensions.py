@@ -1413,6 +1413,39 @@ class TestVocabEncode:
         assert enc[1][1][1] == 0       # the literal '<unk>' encodes to unk_id
 
 
+class TestTemperatureResample:
+    def test_alpha_half_flattens_head(self, spark):
+        """900-vs-100 corpus at alpha=0.5: the binding source is the big
+        one, the small source keeps a HIGHER fraction — shares move from
+        9:1 toward sqrt ratio 3:1 — and the small side stays complete
+        (quota ratio realized at max feasible total means the non-binding
+        small source is never cut harder than the target share)."""
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, "big") for i in range(900)] + \
+               [(1000 + i, "small") for i in range(100)]
+        df = spark.createDataFrame(rows, "k long, source string")
+        kept = sampling.temperature_resample(df, "k", "source", alpha=0.5)
+        by = {r["source"]: r["n"] for r in
+              kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+        frac_big, frac_small = by["big"] / 900, by["small"] / 100
+        assert frac_small > frac_big
+        ratio = by["big"] / by["small"]
+        assert 2.5 < ratio < 3.5  # ~sqrt(900)/sqrt(100) = 3
+
+    def test_alpha_one_is_identity_up_to_floor(self, spark):
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, "a") for i in range(50)] + [(100 + i, "b") for i in range(25)]
+        df = spark.createDataFrame(rows, "k long, source string")
+        kept = sampling.temperature_resample(df, "k", "source", alpha=1.0)
+        assert kept.count() >= 73  # floors may shave at most ~1 per source
+
+    def test_alpha_validated(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(1, "a")], "k long, source string")
+        with pytest.raises(ValueError):
+            sampling.temperature_resample(df, "k", "source", alpha=0)
+
+
 class TestSplitByTime:
     def test_three_way_split_with_embargo(self, spark):
         from spark_expectations_spark.operators import sampling
