@@ -335,6 +335,7 @@ def lsh_quality_report(
     num_hashes: int = 16,
     bands: int = 4,
     hash_family: str = "xxhash64",
+    sample_fraction: float = 1.0,
 ) -> DataFrame:
     """Precision/recall/error of the MinHash+LSH pipeline against the
     exact Jaccard ground truth at the same threshold — the calibration
@@ -347,10 +348,15 @@ def lsh_quality_report(
     mean_abs_err) where mean_abs_err averages |est − true| over hits.
 
     Scale note: the exact side is the quadratic posting-list operator —
-    run this on a deterministic sample (:func:`~.sampling.
-    deterministic_sample`), not 100 TB; the verdict transfers because
-    both sides see the same shingle distribution.
+    NEVER run it corpus-wide. ``sample_fraction < 1`` applies
+    :func:`~.sampling.deterministic_sample` on ``id_col`` to BOTH sides
+    before comparing (hash-stable, so reruns score the same subset);
+    the verdict transfers because the sample sees the same shingle
+    distribution. The default 1.0 is for test-sized frames only.
     """
+    if sample_fraction < 1.0:
+        from .sampling import deterministic_sample
+        df = deterministic_sample(df, id_col, sample_fraction)
     exact = jaccard_pairs(
         df, id_col, text_col, n=n, threshold=threshold)
     approx = minhash_dedup_pairs(

@@ -149,12 +149,17 @@ def mixture_resample(
     data assembly.
 
     With integer weights ``weights_ppm`` (parts-per-million; need not
-    sum to 1M — only ratios matter) and per-source counts n_s, the
-    binding source b minimizes n_s/w_s; every source then keeps
+    sum to 1M — only ratios matter, and they are gcd-reduced internally)
+    and per-source counts n_s, the binding source b minimizes n_s/w_s;
+    every source then keeps
 
         quota_s = floor(n_b * w_s / w_b)
 
-    computed in INTEGER arithmetic (one bigint mul + div), so the kept
+    computed in INTEGER arithmetic split as
+    ``(n_b div w_b)·w_s + ((n_b mod w_b)·w_s) div w_b`` — exact and
+    overflow-free for any corpus size as long as w_s·w_b < 2^63 after
+    gcd reduction (guarded up front; the naive ``n_b·w_s`` product
+    would overflow int64 near 1e12 rows × 1e9-scale weights). The kept
     set is bit-identical across engines — no float T·w rounding at
     quota boundaries. Within a source, kept rows are the quota_s with
     the smallest md5 bucket of the key (ties → key): deterministic,
@@ -162,44 +167,99 @@ def mixture_resample(
     rows from that source. Sources absent from ``weights_ppm`` are
     dropped (weight 0).
 
-    Scale shape: per-source counts and quotas live on frames bounded by
-    the source-domain cardinality (broadcast back); the corpus-sized
-    work is one window partitioned by source. A heavily-skewed hot
-    source makes that source's partition the straggler — acceptable
-    because rank ordering short-circuits emission past quota_s; for a
-    single source holding most of 100 TB, pre-filter with
-    ``deterministic_sample`` first.
+    Scale shape — two-phase bucket quota selection, no per-source
+    window over the corpus:
+
+    1. count rows per (source, md5-bucket) — one groupBy whose output
+       is at most |sources|·65536 rows (dims, not corpus); a running
+       sum over that frame locates each source's BOUNDARY bucket (the
+       one where the quota falls) and how many rows of it survive.
+    2. rows in buckets strictly below the boundary are kept by a plain
+       broadcast-join filter (map-only, no shuffle, no sort); ONLY the
+       boundary bucket's rows — ~n_s/65536 of each source — go through
+       a row_number window to pick the smallest keys for the remaining
+       slots.
+
+    The largest sorted partition is therefore corpus/65536-sized
+    regardless of source skew (the old single window put a whole
+    source's rows in ONE task — terabytes at 100 TB). ``df`` is
+    evaluated once for the counts and twice for the two kept branches;
+    persist upstream first if it is expensive to recompute.
     """
+    import math as _math
+
     if not weights_ppm:
         raise ValueError("weights_ppm must be non-empty")
     if any(w <= 0 for w in weights_ppm.values()):
         raise ValueError("weights must be positive (omit zero-weight sources)")
+    wvals = [int(w) for w in weights_ppm.values()]
+    g = 0
+    for w in wvals:
+        g = _math.gcd(g, w)
+    weights = {s: int(w) // g for s, w in weights_ppm.items()}
+    wmax = max(weights.values())
+    if wmax * wmax >= 2 ** 63:
+        raise ValueError(
+            "weight ratios too large for exact int64 quota arithmetic "
+            f"(max reduced weight {wmax}); rescale weights_ppm")
     spark = df.sparkSession
     wdf = spark.createDataFrame(
-        [(s, int(w)) for s, w in weights_ppm.items()],
+        [(s, int(w)) for s, w in weights.items()],
         f"{source_col} string, __w long")
-    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n"))
+    b = _bucket(F.col(key_col))
+    dfb = df.withColumn("__b", b)
+
+    # phase 1 (dims-sized): per-(source, bucket) counts -> boundary.
+    # localCheckpoint pins the <=|sources|*65536-row frame so the three
+    # derivations below (totals, cumulative, boundary) cost ONE corpus
+    # scan, not one each (RDD identity dedups it within the final job)
+    bcounts = dfb.groupBy(source_col, "__b").agg(
+        F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=False)
+    counts = bcounts.groupBy(source_col).agg(F.sum("__c").alias("__n"))
     joined = counts.join(F.broadcast(wdf), source_col)
     binding = joined.select(
         F.min_by(
             F.struct(F.col("__n").alias("n_b"), F.col("__w").alias("w_b")),
             F.struct((F.col("__n") / F.col("__w")).alias("r"),
                      F.col(source_col)),
-        ).alias("__b")
-    ).select("__b.n_b", "__b.w_b")
+        ).alias("__bind")
+    ).select("__bind.n_b", "__bind.w_b")
     quotas = (
         joined.crossJoin(F.broadcast(binding))
         .select(source_col,
-                F.expr("(n_b * __w) div w_b").alias("__quota"))
+                F.expr("(n_b div w_b) * __w + ((n_b % w_b) * __w) div w_b")
+                .alias("__quota"))
     )
-    w = Window.partitionBy(source_col).orderBy(
-        _bucket(F.col(key_col)).asc(), F.col(key_col).asc())
-    return (
-        df.join(F.broadcast(quotas), source_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("__quota"))
-        .drop("__rn", "__quota")
-    )
+    wcum = (Window.partitionBy(source_col).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (bcounts.withColumn(
+        "__before", F.coalesce(F.sum("__c").over(wcum), F.lit(0)))
+        .join(quotas, source_col))
+    # boundary bucket = first whose inclusive cumulative count exceeds
+    # the quota; buckets before it are wholly kept, after it wholly
+    # dropped, and __rem rows of it survive (smallest keys first)
+    bdry = (cum.filter(F.col("__before") + F.col("__c") > F.col("__quota"))
+            .groupBy(source_col)
+            .agg(F.min_by(F.struct("__b", "__before"), "__b").alias("__t"))
+            .select(source_col, F.col("__t.__b").alias("__tb"),
+                    F.col("__t.__before").alias("__tbefore")))
+    plan = (quotas.join(bdry, source_col, "left")
+            .select(source_col,
+                    F.coalesce("__tb", F.lit(_BUCKETS)).alias("__tb"),
+                    F.greatest(
+                        F.col("__quota") - F.coalesce("__tbefore", F.lit(0)),
+                        F.lit(0)).alias("__rem")))
+
+    # phase 2: whole buckets below the boundary — a broadcast-join
+    # filter, zero shuffle; boundary-bucket rows — tiny window
+    tagged = dfb.join(F.broadcast(plan), source_col)
+    full = tagged.filter(F.col("__b") < F.col("__tb"))
+    wb = Window.partitionBy(source_col).orderBy(F.col(key_col).asc())
+    bnd = (tagged.filter(F.col("__b") == F.col("__tb"))
+           .withColumn("__rn", F.row_number().over(wb))
+           .filter(F.col("__rn") <= F.col("__rem"))
+           .drop("__rn"))
+    return full.unionByName(bnd).drop("__b", "__tb", "__rem")
 
 
 def sample_per_group(
@@ -235,26 +295,39 @@ def percentile_gate(
     *,
     q: float = 0.5,
     keep: str = "above",
+    exact: bool = True,
+    relative_error: float = 1e-4,
 ) -> DataFrame:
     """Per-group exact-percentile quality gate: keep rows whose
     ``score_col`` is at-or-above (``keep="above"``) / at-or-below
-    (``"below"``) the group's exact interpolated ``q``-quantile — the
-    "keep the best half per source" filter, with the threshold derived
-    from the data instead of hand-tuned constants.
+    (``"below"``) the group's ``q``-quantile — the "keep the best half
+    per source" filter, with the threshold derived from the data
+    instead of hand-tuned constants.
 
-    Scale shape: thresholds come from ONE groupBy using Spark's exact
-    ``percentile`` aggregate (partial state = per-group value buffer;
-    for bounded-cardinality score columns at 100 TB prefer bucketing the
-    score first). The thresholds frame has one row per GROUP — dims, not
-    corpus — so the gate join is AQE-broadcast and the corpus side
-    streams map-only. Interpolation matches DuckDB's ``quantile_cont``
+    ``exact=True`` (default) uses Spark's exact ``percentile``
+    aggregate: interpolation matches DuckDB's ``quantile_cont``
     bit-for-bit on integer scores, which is what makes the gate exactly
-    oracle-checkable.
+    oracle-checkable — but its aggregation buffer holds one (value,
+    count) pair per DISTINCT score per group, unbounded for continuous
+    double scores. At 100 TB on continuous scores pass ``exact=False``:
+    ``approx_percentile`` (Greenwald-Khanna, bounded
+    ~O(1/relative_error) state per group) picks an actual data value
+    within ``relative_error`` rank error — the gate keeps ~the same
+    fraction, just not the bit-identical set.
+
+    Scale shape: thresholds come from ONE groupBy; the thresholds frame
+    has one row per GROUP — dims, not corpus — so the gate join is
+    AQE-broadcast and the corpus side streams map-only.
     """
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
-    thr = df.groupBy(group_col).agg(
-        F.percentile(F.col(score_col), F.lit(q)).alias("__thr"))
+    if exact:
+        thr_agg = F.percentile(F.col(score_col), F.lit(q))
+    else:
+        thr_agg = F.approx_percentile(
+            F.col(score_col), F.lit(q),
+            F.lit(max(100, int(1.0 / relative_error))))
+    thr = df.groupBy(group_col).agg(thr_agg.alias("__thr"))
     cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
             else F.col(score_col) <= F.col("__thr"))
     return df.join(thr, group_col).filter(cond).drop("__thr")
@@ -304,6 +377,8 @@ def quantile_buckets(
     qs: Sequence[float] = (0.25, 0.75),
     labels: Sequence[str] = ("tail", "middle", "head"),
     out: str = "bucket",
+    exact: bool = True,
+    relative_error: float = 1e-4,
 ) -> DataFrame:
     """Per-group quantile bucketing — the CCNet recipe (Wenzek et al.
     2019, arXiv:1911.00359): split each language's documents into
@@ -314,21 +389,31 @@ def quantile_buckets(
     its score is at-or-above the group's ``qs[i]`` exact interpolated
     quantile (highest matching threshold wins), else ``labels[0]``.
 
-    Scale shape: one groupBy computes ALL thresholds (Spark's exact
-    ``percentile``, one pass, map-side partials); the thresholds frame
-    is group-cardinality — dims, not corpus — so the bucket join is
-    AQE-broadcast and the corpus side streams map-only, exactly like
-    :func:`percentile_gate`. Integer scores + exact-binary ``qs``
+    Scale shape: one groupBy computes ALL thresholds (one pass,
+    map-side partials); the thresholds frame is group-cardinality —
+    dims, not corpus — so the bucket join is AQE-broadcast and the
+    corpus side streams map-only, exactly like :func:`percentile_gate`.
+    With ``exact=True`` (default), integer scores + exact-binary ``qs``
     (quarters, eighths) make the interpolation bit-identical to DuckDB's
-    ``quantile_cont``, hence fully value-oracle-checkable.
+    ``quantile_cont``, hence fully value-oracle-checkable — but the
+    exact aggregate buffers every distinct score per group; for
+    continuous double scores at 100 TB pass ``exact=False`` to use
+    ``approx_percentile`` (bounded state, thresholds within
+    ``relative_error`` rank error — bucket shares shift by at most
+    that).
     """
     if len(labels) != len(qs) + 1:
         raise ValueError("need len(labels) == len(qs) + 1")
     if list(qs) != sorted(qs):
         raise ValueError("qs must be ascending")
-    thr = df.groupBy(group_col).agg(
-        *[F.percentile(F.col(score_col), F.lit(q)).alias(f"__q{i}")
-          for i, q in enumerate(qs)])
+    if exact:
+        aggs = [F.percentile(F.col(score_col), F.lit(q)).alias(f"__q{i}")
+                for i, q in enumerate(qs)]
+    else:
+        acc = F.lit(max(100, int(1.0 / relative_error)))
+        aggs = [F.approx_percentile(F.col(score_col), F.lit(q), acc)
+                .alias(f"__q{i}") for i, q in enumerate(qs)]
+    thr = df.groupBy(group_col).agg(*aggs)
     col = F.lit(labels[0])
     for i in range(len(qs)):  # outermost when = highest threshold
         col = F.when(F.col(score_col) >= F.col(f"__q{i}"),
@@ -358,12 +443,20 @@ def token_budget_sample(
     of group membership. ``budget`` applies to every group; ``budgets``
     maps group -> budget (groups absent from the map are dropped).
 
-    Scale shape: one window partitioned by group (the same single
-    shuffle as :func:`mixture_resample`); per-group budgets ride a
-    group-cardinality broadcast. The cumulative sum short-circuits
-    nothing by itself — for a group holding most of the corpus,
-    pre-filter with :func:`deterministic_sample` first (same caveat as
-    mixture_resample's hot-source note).
+    Weights must be NON-NEGATIVE (they are token counts); a negative
+    weight would let the running sum dip back under budget after
+    crossing it, which the bucketed evaluation below does not model.
+
+    Scale shape — the same two-phase bucket selection as
+    :func:`mixture_resample`: per-(group, md5-bucket) weight sums (at
+    most |groups|·65536 rows — dims, not corpus) locate each group's
+    BOUNDARY bucket; buckets strictly below it are kept by a broadcast-
+    join filter (map-only, no sort), and only the boundary bucket's
+    ~n/65536 rows run the exclusive-running-sum window (offset by the
+    weight already spent in earlier buckets). No group ever funnels
+    through a single task, so a group holding most of 100 TB no longer
+    needs pre-filtering. ``df`` is evaluated once for the sums and
+    twice for the kept branches; persist upstream if it is expensive.
     """
     if (budget is None) == (budgets is None):
         raise ValueError("exactly one of budget / budgets required")
@@ -376,16 +469,48 @@ def token_budget_sample(
         budget_col = F.col("__budget")
     else:
         budget_col = F.lit(int(budget))
-    w = (Window.partitionBy(group_col)
-         .orderBy(_bucket(F.col(key_col)).asc(), F.col(key_col).asc())
-         .rowsBetween(Window.unboundedPreceding, -1))
+    dfb = df.withColumn("__b", _bucket(F.col(key_col)))
+
+    # phase 1 (dims-sized): per-(group, bucket) weight sums -> boundary
+    # (localCheckpoint: one corpus scan feeds both derivations below)
+    bsums = dfb.groupBy(group_col, "__b").agg(
+        F.sum(F.col(weight_col).cast("long")).alias("__bw"),
+        F.first(budget_col).alias("__bud")).localCheckpoint(eager=False)
+    wcum = (Window.partitionBy(group_col).orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    cum = bsums.withColumn(
+        "__before", F.coalesce(F.sum("__bw").over(wcum), F.lit(0)))
+    # boundary bucket = first whose inclusive cumulative weight reaches
+    # the budget; earlier buckets are wholly kept (every exclusive
+    # running sum there is < budget), later ones wholly dropped
+    bdry = (cum.filter(F.col("__before") + F.col("__bw") >= F.col("__bud"))
+            .groupBy(group_col)
+            .agg(F.min_by(F.struct("__b", "__before"), "__b").alias("__t"))
+            .select(group_col, F.col("__t.__b").alias("__tb"),
+                    F.col("__t.__before").alias("__off")))
+    groups = bsums.groupBy(group_col).agg(F.first("__bud").alias("__bud"))
+    plan = (groups.join(bdry, group_col, "left")
+            .select(group_col, "__bud",
+                    F.coalesce("__tb", F.lit(_BUCKETS)).alias("__tb"),
+                    F.coalesce("__off", F.lit(0)).alias("__off")))
+
+    # phase 2: whole buckets below the boundary (no shuffle), then the
+    # original exclusive-cumsum rule inside the boundary bucket only,
+    # offset by the weight consumed before it
+    tagged = dfb.join(F.broadcast(plan), group_col)
+    full = tagged.filter(F.col("__b") < F.col("__tb"))
+    wb = (Window.partitionBy(group_col).orderBy(F.col(key_col).asc())
+          .rowsBetween(Window.unboundedPreceding, -1))
     cum_excl = F.coalesce(
-        F.sum(F.col(weight_col).cast("long")).over(w), F.lit(0))
-    return (
-        df.withColumn("__cum", cum_excl)
-        .filter(F.col("__cum") < budget_col)
-        .drop("__cum", "__budget")
-    )
+        F.sum(F.col(weight_col).cast("long")).over(wb), F.lit(0))
+    bnd = (tagged.filter(F.col("__b") == F.col("__tb"))
+           .withColumn("__cum", cum_excl + F.col("__off"))
+           .filter(F.col("__cum") < F.col("__bud"))
+           .drop("__cum"))
+    drop_cols = ["__b", "__tb", "__off", "__bud"]
+    if budgets is not None:
+        drop_cols.append("__budget")
+    return full.unionByName(bnd).drop(*drop_cols)
 
 
 def split_by_time(
@@ -443,8 +568,9 @@ def temperature_resample(
     may differ across platforms.
 
     Scale shape: ONE group-cardinality count collected to the driver
-    (sources are dims), then mixture_resample's single source-
-    partitioned window.
+    (sources are dims), then mixture_resample's two-phase bucket
+    selection (no per-source single-task window; the big weights this
+    recipe produces are gcd-reduced and overflow-guarded there).
     """
     import math
 

@@ -387,6 +387,192 @@ class TestMixtureResample:
             sampling.mixture_resample(df, "doc_id", "source", {"a": 0})
 
 
+class TestTwoPhaseQuotaSelection:
+    """Round-5 scale fix: mixture_resample / token_budget_sample pick
+    their kept sets via two-phase bucket counting instead of a
+    per-source single-task window. Parity with the straightforward
+    window reference must be exact (the boundary-bucket window
+    reproduces the old ordering inside the only bucket that matters)."""
+
+    @staticmethod
+    def _reference_mixture(df, key_col, source_col, weights):
+        """The pre-round-5 single-window implementation, as the parity
+        oracle (plus driver-side exact quota math)."""
+        import math
+        from pyspark.sql import Window
+        from spark_expectations_spark.operators.sampling import _bucket
+        counts = {r["s"]: r["n"] for r in
+                  df.groupBy(F.col(source_col).alias("s"))
+                    .agg(F.count(F.lit(1)).alias("n")).collect()}
+        present = {s: w for s, w in weights.items() if s in counts}
+        n_b, w_b = min(((counts[s], w) for s, w in present.items()),
+                       key=lambda t: (t[0] / t[1],))
+        quotas = {s: math.floor(n_b * w / w_b) for s, w in present.items()}
+        spark = df.sparkSession
+        qdf = spark.createDataFrame(
+            [(s, q) for s, q in quotas.items()],
+            f"{source_col} string, __quota long")
+        w = Window.partitionBy(source_col).orderBy(
+            _bucket(F.col(key_col)).asc(), F.col(key_col).asc())
+        return (df.join(F.broadcast(qdf), source_col)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") <= F.col("__quota"))
+                .drop("__rn", "__quota"))
+
+    def test_mixture_parity_with_reference_window(self, spark):
+        import random
+        from spark_expectations_spark.operators import sampling
+        rng = random.Random(5)
+        rows = [(rng.randrange(10 ** 9), s)
+                for s, n in (("web", 700), ("books", 60), ("code", 241))
+                for _ in range(n)]
+        df = spark.createDataFrame(
+            list(set(rows)), "doc_id long, source string")
+        weights = {"web": 500000, "books": 300000, "code": 200000}
+        got = sorted((r["source"], r["doc_id"]) for r in
+                     sampling.mixture_resample(
+                         df, "doc_id", "source", weights).collect())
+        want = sorted((r["source"], r["doc_id"]) for r in
+                      self._reference_mixture(
+                          df, "doc_id", "source", weights).collect())
+        assert got == want and len(got) > 0
+
+    def test_mixture_skew_no_corpus_window(self, spark):
+        """Plan pin: the only row_number window runs on the boundary
+        bucket (filter `__b = __tb` feeds it); whole kept buckets go
+        through a windowless `__b < __tb` join branch. A 99%-skewed
+        source therefore never sorts in one task."""
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, "hot") for i in range(5000)] + \
+               [(i, "cold") for i in range(10 ** 6, 10 ** 6 + 50)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sampling.mixture_resample(
+            df, "doc_id", "source", {"hot": 990000, "cold": 10000})
+        txt = plans.plan_text(out, "simple")
+        assert txt.count("row_number") == 1
+        # boundary branch: the `__b = __tb` restriction feeds the window
+        # (Catalyst turns it into an equi-join key on __tb)
+        assert "= __tb" in txt or "[__tb" in txt
+        assert "< __tb" in txt      # bulk branch: plain join filter
+        # and the kept set is still the reference one
+        want = {(r["source"], r["doc_id"]) for r in self._reference_mixture(
+            df, "doc_id", "source",
+            {"hot": 990000, "cold": 10000}).collect()}
+        assert {(r["source"], r["doc_id"]) for r in out.collect()} == want
+
+    def test_mixture_weight_overflow_guard(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b")], "doc_id long, source string")
+        # gcd-reducible huge weights are fine ...
+        out = sampling.mixture_resample(
+            df, "doc_id", "source", {"a": 10 ** 12, "b": 2 * 10 ** 12})
+        assert out.count() > 0
+        # ... coprime ones past the int64-exactness bound raise
+        with pytest.raises(ValueError, match="weight ratios"):
+            sampling.mixture_resample(
+                df, "doc_id", "source",
+                {"a": 2 ** 33 + 1, "b": 2 ** 33 - 1})
+
+    def test_token_budget_parity_with_reference_window(self, spark):
+        import random
+        from pyspark.sql import Window
+        from spark_expectations_spark.operators import sampling
+        from spark_expectations_spark.operators.sampling import _bucket
+        rng = random.Random(7)
+        rows = list({(rng.randrange(10 ** 9),
+                      rng.choice(["a", "b", "c"]),
+                      rng.choice([0, 1, 5, 40, 200]))
+                     for _ in range(900)})
+        df = spark.createDataFrame(rows, "id long, g string, tok int")
+        for budget in (1, 137, 1000):
+            got = sorted((r["g"], r["id"]) for r in
+                         sampling.token_budget_sample(
+                             df, "g", "id", "tok", budget=budget).collect())
+            w = (Window.partitionBy("g")
+                 .orderBy(_bucket(F.col("id")).asc(), F.col("id").asc())
+                 .rowsBetween(Window.unboundedPreceding, -1))
+            ref = (df.withColumn(
+                "__cum",
+                F.coalesce(F.sum(F.col("tok").cast("long")).over(w),
+                           F.lit(0)))
+                .filter(F.col("__cum") < budget))
+            want = sorted((r["g"], r["id"]) for r in ref.collect())
+            assert got == want, f"budget={budget}"
+
+    def test_token_budget_exact_boundary_and_zero_weights(self, spark):
+        """Budget landing exactly on a bucket-prefix edge, with
+        zero-weight rows straddling it — the strictness edge case the
+        bucketed evaluation must delegate to the boundary window."""
+        from pyspark.sql import Window
+        from spark_expectations_spark.operators import sampling
+        from spark_expectations_spark.operators.sampling import _bucket
+        rows = [("g", i, wgt) for i, wgt in
+                [(1, 0), (2, 10), (3, 0), (4, 10), (5, 0), (6, 10),
+                 (7, 0), (8, 10)]]
+        df = spark.createDataFrame(rows, "g string, id int, tok int")
+        for budget in (10, 20, 30, 40):
+            got = sorted(r["id"] for r in sampling.token_budget_sample(
+                df, "g", "id", "tok", budget=budget).collect())
+            w = (Window.partitionBy("g")
+                 .orderBy(_bucket(F.col("id")).asc(), F.col("id").asc())
+                 .rowsBetween(Window.unboundedPreceding, -1))
+            ref = (df.withColumn(
+                "__cum",
+                F.coalesce(F.sum(F.col("tok").cast("long")).over(w),
+                           F.lit(0)))
+                .filter(F.col("__cum") < budget))
+            assert got == sorted(r["id"] for r in ref.collect()), \
+                f"budget={budget}"
+
+
+class TestApproxPercentileTier:
+    def test_percentile_gate_approx_on_doubles(self, spark):
+        """exact=False routes to approx_percentile: threshold is a real
+        data value, kept fraction lands near q, and the aggregation
+        state is bounded (the reason the tier exists)."""
+        import random
+        from spark_expectations_spark.operators import sampling
+        rng = random.Random(11)
+        df = spark.createDataFrame(
+            [("g", i, rng.random()) for i in range(2000)],
+            "g string, id int, score double")
+        out = sampling.percentile_gate(
+            df, "g", "score", q=0.5, exact=False)
+        n = out.count()
+        assert abs(n - 1000) < 50  # within rank error of the median
+        # the approx threshold is an actual score value -> the gate's
+        # min kept score exists in the data
+        min_kept = out.agg(F.min("score")).first()[0]
+        assert df.filter(F.col("score") == min_kept).count() >= 1
+
+    def test_quantile_buckets_approx_on_doubles(self, spark):
+        import random
+        from spark_expectations_spark.operators import sampling
+        rng = random.Random(13)
+        df = spark.createDataFrame(
+            [("g", i, rng.random()) for i in range(2000)],
+            "g string, id int, score double")
+        out = sampling.quantile_buckets(
+            df, "g", "score", qs=(0.25, 0.75), exact=False)
+        shares = {r["bucket"]: r["n"] for r in
+                  out.groupBy("bucket").agg(F.count("*").alias("n"))
+                  .collect()}
+        assert set(shares) == {"tail", "middle", "head"}
+        assert abs(shares["tail"] - 500) < 60
+        assert abs(shares["head"] - 500) < 60
+
+    def test_exact_default_unchanged(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("g", i, i) for i in range(1, 101)],
+            "g string, id int, score int")
+        kept = sampling.percentile_gate(df, "g", "score", q=0.5)
+        # exact interpolated median of 1..100 = 50.5 -> keeps 51..100
+        assert sorted(r["id"] for r in kept.collect()) == list(range(51, 101))
+
+
 class TestSamplePerGroup:
     def test_partition_invariant_and_capped(self, docs):
         from spark_expectations_spark.operators import sampling
@@ -1693,6 +1879,25 @@ class TestLSHQualityReport:
         assert row["n_hit"] <= min(row["n_exact"], row["n_approx"])
         assert 0 < row["precision"] <= 1 and 0 < row["recall"] <= 1
         assert row["mean_abs_err"] is not None and row["mean_abs_err"] < 0.5
+
+    def test_sample_fraction_bounds_quadratic_side(self, docs):
+        """sample_fraction shrinks BOTH sides deterministically (hash-
+        stable subset): the sampled report's pair counts are bounded by
+        the full run's, and its precision/recall approximate the full
+        verdict — the built-in guard against an accidental corpus-wide
+        all-pairs job (round-4 verdict item 3)."""
+        from spark_expectations_spark.operators import dedup
+        full = dedup.lsh_quality_report(
+            docs, "doc_id", "text", n=3, threshold=0.25,
+            num_hashes=16, bands=4, hash_family="md5_48").first()
+        samp = dedup.lsh_quality_report(
+            docs, "doc_id", "text", n=3, threshold=0.25,
+            num_hashes=16, bands=4, hash_family="md5_48",
+            sample_fraction=0.5).first()
+        assert 0 < samp["n_exact"] < full["n_exact"]
+        assert samp["n_approx"] < full["n_approx"]
+        if samp["recall"] is not None and full["recall"] is not None:
+            assert abs(samp["recall"] - full["recall"]) < 0.4
 
 
 class TestCrossSourceDupMatrix:
