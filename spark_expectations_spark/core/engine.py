@@ -304,6 +304,8 @@ def with_expectations(
 def reprocess_quarantine(
     error_df: DataFrame,
     rules,
+    *,
+    run_id: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Re-validate quarantined rows — the day-2 half of the error table
     the reference leaves to the user: after a rule fix or an upstream
@@ -313,8 +315,12 @@ def reprocess_quarantine(
     Returns ``(recovered, still_failing)``: ``recovered`` carries the
     user schema (meta columns stripped), ready to union back into the
     target table; ``still_failing`` is a refreshed error-table frame
-    with ``meta_row_dq_results`` rebuilt under the CURRENT rules, ready
-    to overwrite the quarantine.
+    with ``meta_row_dq_results`` rebuilt under the CURRENT rules AND
+    fresh ``meta_dq_run_id`` / ``meta_dq_run_datetime`` stamps (the
+    same columns the engine-written error table carries — overwriting
+    the quarantine keeps the stored schema identical). Pass ``run_id``
+    to tie the reprocess to an engine run; default mints a
+    ``reprocess_<uuid>`` id.
 
     Scale shape: same as the engine's row stage — one fused boolean-flag
     projection over the error table (quarantine-sized, not table-sized),
@@ -335,5 +341,7 @@ def reprocess_quarantine(
     # row quarantined — it is still an error, unlike the engine's final
     # output which only removes drop-action failures)
     recovered = flags.filter(~row_dq._any_flag(row_rules)).drop(*names)
-    still = row_dq.errors_from_flags(flags, row_rules)
+    still = writer.stamp_run_metadata(
+        row_dq.errors_from_flags(flags, row_rules),
+        run_id if run_id is not None else new_run_id("reprocess"))
     return recovered, still

@@ -209,14 +209,21 @@ def chi2_categorical(
     term = (
         F.when(e_b > 0, F.pow(F.col("nb") - e_b, 2) / e_b).otherwise(0.0)
         + F.when(e_c > 0, F.pow(F.col("nc") - e_c, 2) / e_c).otherwise(0.0))
-    return (
+    # materialize the 1-row result so the persisted counts frame can be
+    # released HERE instead of leaking a cache entry per call (the same
+    # collect-then-unpersist pattern as clustering_report)
+    row = (
         j.crossJoin(F.broadcast(tots))
         .agg(F.round(F.sum(term), 4).alias("chi2"),
              (F.max("k") - 1).alias("dof"),
              F.max("tb").alias("n_baseline"),
              F.max("tc").alias("n_current"),
              F.max("k").alias("n_categories"))
-    )
+    ).first()
+    both.unpersist()
+    return baseline.sparkSession.createDataFrame(
+        [row], "chi2 double, dof bigint, n_baseline bigint, "
+               "n_current bigint, n_categories bigint")
 
 
 def quantile_edges(

@@ -740,9 +740,12 @@ def semdedup_pairs(
     cross-cluster near-dups are invisible by design — that is the
     SemDeDup trade.
 
-    Returns (id_a, id_b, centroid_id, cosine), id_a < id_b. If ``df``
-    already carries a ``centroid_id`` column the assignment scan is
-    skipped (how :func:`semdedup` avoids assigning twice).
+    Returns (id_a, id_b, centroid_id, cosine), id_a < id_b — the id and
+    centroid_id types MIRROR the inputs (string-labeled codebooks from
+    e.g. ``train_centroids_df`` over string labels work; the output
+    schema is derived, not hardcoded to long). If ``df`` already
+    carries a ``centroid_id`` column the assignment scan is skipped
+    (how :func:`semdedup` avoids assigning twice).
     """
     import numpy as np
     import pandas as pd  # noqa: F401 — worker closure
@@ -752,18 +755,25 @@ def semdedup_pairs(
     else:
         assigned = assign_centroids(
             df.select(id_col, vec_col), centroids, vec_col=vec_col)
+    id_t = assigned.schema[id_col].dataType.simpleString()
+    cid_t = assigned.schema["centroid_id"].dataType.simpleString()
+    id_np = "int64" if id_t in ("bigint", "int", "smallint", "tinyint") \
+        else "object"
 
     def _cell_pairs(pdf):
         empty = pd.DataFrame(
             {"id_a": [], "id_b": [], "centroid_id": [], "cosine": []}
-        ).astype({"id_a": "int64", "id_b": "int64",
-                  "centroid_id": "int64", "cosine": "float64"})
+        ).astype({"id_a": id_np, "id_b": id_np,
+                  "centroid_id": pdf["centroid_id"].dtype
+                  if len(pdf) else "object",
+                  "cosine": "float64"})
         if len(pdf) < 2:
             return empty
         m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
         m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
-        ids = pdf[id_col].to_numpy(dtype=np.int64)
-        cid = int(pdf["centroid_id"].iloc[0])
+        ids = pdf[id_col].to_numpy() if id_np == "object" \
+            else pdf[id_col].to_numpy(dtype=np.int64)
+        cid = pdf["centroid_id"].iloc[0]
         out_a, out_b, out_c = [], [], []
         for ga, gb, cos in _iter_threshold_tiles(ids, m_n, threshold, chunk):
             out_a.append(ids[ga])
@@ -774,11 +784,12 @@ def semdedup_pairs(
         a = np.concatenate(out_a)
         return pd.DataFrame({
             "id_a": a, "id_b": np.concatenate(out_b),
-            "centroid_id": np.full(len(a), cid, dtype=np.int64),
+            "centroid_id": [cid] * len(a),
             "cosine": np.concatenate(out_c)})
 
     return assigned.groupBy("centroid_id").applyInPandas(
-        _cell_pairs, "id_a long, id_b long, centroid_id long, cosine double")
+        _cell_pairs,
+        f"id_a {id_t}, id_b {id_t}, centroid_id {cid_t}, cosine double")
 
 
 def semdedup(

@@ -66,6 +66,40 @@ def compact_small_files(
     }
 
 
+#: exact simpleString() names accepted by the layout operators; decimal
+#: is matched by prefix "decimal(" separately. Exact matching matters:
+#: a startswith check on "int" would silently admit interval types, and
+#: "date"/"timestamp_ntz" need a pre-conversion because Spark rejects
+#: cast(DATE AS DOUBLE) / cast(TIMESTAMP_NTZ AS DOUBLE) at analysis
+_ORDERABLE_TYPES = frozenset({
+    "tinyint", "smallint", "int", "bigint", "float", "double",
+    "date", "timestamp", "timestamp_ntz",
+})
+
+
+def _check_orderable(df: DataFrame, columns: Sequence[str]) -> None:
+    for c in columns:
+        t = df.schema[c].dataType.simpleString()
+        if t not in _ORDERABLE_TYPES and not t.startswith("decimal("):
+            raise ValueError(
+                f"column {c!r} has non-orderable type {t}; min/max spans "
+                "are meaningless under a numeric cast")
+
+
+def _as_double(df: DataFrame, c: str) -> Column:
+    """Numeric projection of an orderable column. DATE and TIMESTAMP_NTZ
+    cannot be cast to double directly (DATATYPE_MISMATCH), so they go
+    through unix_date / an ntz->ltz cast first — monotone conversions,
+    which is all min/max spans and grid normalization need."""
+    t = df.schema[c].dataType.simpleString()
+    col = F.col(c)
+    if t == "date":
+        return F.unix_date(col).cast("double")
+    if t == "timestamp_ntz":
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
+
+
 def interleave_bits(cols: Sequence[Column], *, bits: int = 16) -> Column:
     """Morton (Z-order) code: interleave the low ``bits`` bits of each
     already-normalized non-negative integer column. Pure codegen
@@ -111,7 +145,8 @@ def zorder_write(
     """
     if not zorder_by:
         raise ValueError("zorder_by must name at least one column")
-    stats = df.agg(*[f(F.col(c).cast("double")).alias(f"__{agg}_{c}")
+    _check_orderable(df, zorder_by)
+    stats = df.agg(*[f(_as_double(df, c)).alias(f"__{agg}_{c}")
                      for c in zorder_by
                      for agg, f in (("min", F.min), ("max", F.max))])
     grid_max = (1 << bits) - 1
@@ -119,7 +154,7 @@ def zorder_write(
     for c in zorder_by:
         lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
         span = F.when(hi > lo, hi - lo).otherwise(F.lit(1.0))
-        norm = ((F.col(c).cast("double") - lo) / span * grid_max)
+        norm = ((_as_double(df, c) - lo) / span * grid_max)
         z_cols.append(F.coalesce(norm, F.lit(0.0)).cast("long"))
     coded = (
         df.crossJoin(F.broadcast(stats))
@@ -168,17 +203,10 @@ def clustering_report(
     if not columns:
         raise ValueError("columns must be non-empty")
     df = spark.read.parquet(path)
-    ok = ("byte", "short", "int", "integer", "long", "bigint", "float",
-          "double", "decimal", "date", "timestamp", "timestamp_ntz")
-    for c in columns:
-        t = df.schema[c].dataType.simpleString()
-        if not t.startswith(ok):
-            raise ValueError(
-                f"column {c!r} has non-numeric type {t}; min/max spans "
-                "are meaningless under a double cast")
+    _check_orderable(df, columns)
     per_file = (
         df.groupBy(F.input_file_name().alias("__f"))
-        .agg(*[f(F.col(c).cast("double")).alias(f"__{agg}_{c}")
+        .agg(*[f(_as_double(df, c)).alias(f"__{agg}_{c}")
                for c in columns
                for agg, f in (("min", F.min), ("max", F.max))])
         .persist()

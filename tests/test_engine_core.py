@@ -416,6 +416,17 @@ class TestReprocessQuarantine:
         assert n_rec + n_still == n_q
         assert row_dq.META_ROW_RESULTS not in recovered.columns
         assert row_dq.META_ROW_RESULTS in still.columns
+        # round-5 ADVICE fix: still_failing carries the same run-meta
+        # columns the engine-written error table has, so overwriting the
+        # quarantine keeps the stored schema identical
+        assert row_dq.META_RUN_ID in still.columns
+        assert row_dq.META_RUN_DATETIME in still.columns
+        assert row_dq.META_RUN_ID not in recovered.columns
+        rid = still.select(row_dq.META_RUN_ID).first()[0]
+        assert rid.startswith("reprocess_")
+        _, still2 = reprocess_quarantine(quarantined, relaxed,
+                                         run_id="custom_run")
+        assert still2.select(row_dq.META_RUN_ID).first()[0] == "custom_run"
         # recovered rows genuinely pass: quantities in [30, 45)
         from pyspark.sql import functions as F
         mm = recovered.agg(F.min("l_quantity"), F.max("l_quantity")).first()

@@ -145,6 +145,24 @@ class TestSimilarity:
         # vec 3 ties exactly (0.7, 0.7): lowest id 'en' wins
         assert got == {1: "en", 2: "fr", 3: "en"}
 
+    def test_semdedup_string_ids_and_centroids(self, spark):
+        """Round-5 ADVICE fix: semdedup_pairs derives its output schema
+        from the input id/centroid types instead of hardcoding longs —
+        a string-labeled codebook plus string doc ids runs end-to-end."""
+        cents = spark.createDataFrame(
+            [("en", [1.0, 0.0]), ("fr", [0.0, 1.0])],
+            "centroid_id string, centroid array<float>")
+        df = spark.createDataFrame(
+            [("doc-a", [1.0, 0.0]), ("doc-b", [0.999, 0.01]),
+             ("doc-c", [0.0, 1.0]), ("doc-d", [0.01, 0.999])],
+            "vec_id string, embedding array<float>")
+        pairs = similarity.semdedup_pairs(
+            df, cents, threshold=0.99).collect()
+        got = {(r["id_a"], r["id_b"], r["centroid_id"]) for r in pairs}
+        assert got == {("doc-a", "doc-b", "en"), ("doc-c", "doc-d", "fr")}
+        kept = similarity.semdedup(df, threshold=0.99, centroids=cents)
+        assert {r["vec_id"] for r in kept.collect()} == {"doc-a", "doc-c"}
+
     def test_semdedup_consistent_with_pairs(self, emb):
         """kept == corpus minus the distinct id_b side of semdedup_pairs
         (the removal rule is exactly 'has a lower-id in-cell neighbor')."""
@@ -1246,6 +1264,19 @@ class TestCategoricalDrift:
         r = drift.chi2_categorical(a, a, "c", top_n=5).first()
         assert r["chi2"] == 0.0
         assert r["n_categories"] == 6  # top-5 + __other__
+
+    def test_chi2_releases_its_cache(self, spark):
+        """Round-5 ADVICE fix: chi2_categorical must not leak a
+        persisted frame per call — the combined-counts cache is
+        released before returning (collect-then-unpersist, like
+        clustering_report)."""
+        from spark_expectations_spark.operators import drift
+        jsc = spark.sparkContext._jsc.sc()
+        before = jsc.getPersistentRDDs().size()
+        a = spark.range(500).selectExpr("CAST(id % 7 AS STRING) AS c")
+        r = drift.chi2_categorical(a, a, "c").first()
+        assert r["chi2"] == 0.0 and r["n_baseline"] == 500
+        assert jsc.getPersistentRDDs().size() == before
 
     def test_tail_folds_into_other(self, spark):
         """Cardinality above top_n: the tail must collapse to __other__

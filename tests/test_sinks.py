@@ -352,6 +352,27 @@ class TestLayout:
         with pytest.raises(ValueError):
             layout.clustering_report(spark, zdir, [])
 
+    def test_layout_date_timestamp_columns_work(self, spark, tmp_path):
+        """Round-5 ADVICE fix: DATE (and timestamp_ntz) columns pass
+        validation AND execute — they are pre-converted via
+        unix_date / an ntz cast instead of the illegal
+        cast(DATE AS DOUBLE); intervals are rejected up front (the old
+        startswith('int') check silently admitted them)."""
+        from spark_expectations_spark.sinks import layout
+        dst = str(tmp_path / "zd")
+        df = spark.range(256).selectExpr(
+            "id", "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d",
+            "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS tn")
+        layout.zorder_write(df, dst, ["d", "tn"], num_files=4, bits=5)
+        rep = {r["column"]: r["clustering_factor"] for r in
+               layout.clustering_report(spark, dst, ["d", "tn"]).collect()}
+        assert rep["d"] is not None and 0 <= rep["d"] <= 1
+        assert rep["tn"] is not None
+        with pytest.raises(ValueError, match="non-orderable"):
+            layout.zorder_write(
+                df.selectExpr("id", "make_interval(0,0,0,0,0,0,id) AS iv"),
+                dst, ["iv"])
+
     def test_clustering_report_rejects_strings_nulls_honest(self, spark, tmp_path):
         """Non-numeric columns are rejected (their min/max spans are
         meaningless under a double cast — silently reporting 0.0 would
@@ -363,7 +384,7 @@ class TestLayout:
          .selectExpr("id", "CAST(NULL AS DOUBLE) AS dead",
                      "CAST(id AS STRING) AS s")
          .repartition(4).write.parquet(p))
-        with pytest.raises(ValueError, match="non-numeric"):
+        with pytest.raises(ValueError, match="non-orderable"):
             layout.clustering_report(spark, p, ["s"])
         rep = {r["column"]: r for r in
                layout.clustering_report(spark, p, ["id", "dead"]).collect()}
