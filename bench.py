@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "docs_line_stats", "docs_collocations", "docs_bigram_lm",
     "orders_status_chi2", "lineitem_correlations", "events_time_split",
     "docs_temperature_resample",
+    # round-5 operators (two-phase quota selection)
+    "docs_mixture_resample",
 ]
 
 
@@ -152,10 +154,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
         best, n, runs = None, 0, 0
-        # min of 2 runs, plus a 3rd for queries over ~0.8s — the shared
-        # host shows ±50% noise spikes and long queries dominate the
-        # total, so they get one extra sample to land a quiet run
-        while runs < 2 or (runs < 3 and best is not None and best > 0.8):
+        # min of 3 runs for EVERY query: the shared host shows ±50%
+        # noise spikes, and round-over-round comparisons on sub-second
+        # queries were dominated by that noise (three phantom
+        # regressions flagged in round 4) — a third sample stabilizes
+        # them for a few seconds of extra wall-clock
+        while runs < 3:
             t0 = time.time()
             df = fn(spark, sf_dir)
             n = df.count()

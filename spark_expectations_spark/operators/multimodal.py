@@ -72,6 +72,32 @@ def _fake_decode(data: bytes, feature_dim: int) -> list[float]:
     return out
 
 
+def probe_image_decoder(feature_dim: int) -> Optional[Callable]:
+    """Return a Pillow-backed ``decode_fn`` (bytes → ``feature_dim``
+    grayscale features in [-1, 1]), or None when Pillow is absent — the
+    probe half of the probe-and-prefer codec path (round-4 verdict item
+    7; same availability-gating pattern as the Kafka connector jar).
+    The real path and the deterministic fake share signature, output
+    dtype, and range, so swapping them changes feature VALUES only —
+    every Spark-side shape (schema, batching, partitioning) is
+    identical and stays exercised in environments without media libs.
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError:
+        return None
+    import io
+
+    from PIL import Image as _Image
+
+    def decode(b: bytes) -> list:
+        img = _Image.open(io.BytesIO(b)).convert("L")
+        img = img.resize((feature_dim, 1))
+        return [round(p / 255.0 * 2 - 1, 6) for p in img.getdata()]
+
+    return decode
+
+
 def extract_features(
     df: DataFrame,
     *,
@@ -83,17 +109,27 @@ def extract_features(
 ) -> DataFrame:
     """binary → feature vector via Arrow-batched mapInPandas.
 
-    ``codec='fake'`` uses the deterministic stub; any other codec without a
-    user-supplied ``decode_fn`` raises NotImplementedError (media libs are
-    not available here).
+    Codec resolution (probe-and-prefer):
+
+    * explicit ``decode_fn`` always wins;
+    * ``codec='image'`` probes for Pillow and uses it when importable,
+      falling back to the deterministic fake otherwise (the fallback is
+      what keeps this operator testable in codec-less environments —
+      the Spark-side plumbing is identical either way);
+    * ``codec='fake'`` always uses the deterministic stub;
+    * any other codec raises NotImplementedError (no audio/video
+      library to probe for here; pass ``decode_fn``).
     """
     if decode_fn is None:
-        if codec != "fake":
+        if codec == "image":
+            decode_fn = probe_image_decoder(feature_dim)
+        elif codec != "fake":
             raise NotImplementedError(
                 f"codec {codec!r}: real media decoding needs an image/audio "
                 "library; pass decode_fn=... (e.g. Pillow-based)"
             )
-        decode_fn = lambda b: _fake_decode(b, feature_dim)  # noqa: E731
+        if decode_fn is None:
+            decode_fn = lambda b: _fake_decode(b, feature_dim)  # noqa: E731
 
     out_schema = StructType([
         StructField(id_col, LongType()),

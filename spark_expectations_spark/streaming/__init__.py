@@ -148,10 +148,11 @@ def windowed_topk(
     and a rank over that partial frame can crown a non-top key (rk=1
     for whatever happened to update). The trade, documented: complete
     mode keeps all windows' counts in state (the watermark can't evict)
-    — right for dashboard-sized windows×keys cardinality, wrong for
-    unbounded keys; for those, maintain a merged count table downstream
-    of an update-mode stream and rank there. Returns the started
-    StreamingQuery.
+    — right for dashboard-sized windows×keys cardinality and live
+    always-current rankings, wrong for long-running streams; for those
+    use :func:`windowed_topk_append`, whose state is watermark-bounded
+    (each window's top-k lands once, at finalization). Returns the
+    started StreamingQuery.
     """
     counts = tumbling_counts(
         df, ts_col, window=window, watermark=watermark,
@@ -166,6 +167,62 @@ def windowed_topk(
             sink(ranked, batch_id)
 
     writer = (counts.writeStream.outputMode("complete")
+              .foreachBatch(process).queryName(query_name))
+    if checkpoint_location:
+        writer = writer.option("checkpointLocation", checkpoint_location)
+    if trigger:
+        writer = writer.trigger(**trigger)
+    return writer.start()
+
+
+def windowed_topk_append(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    *,
+    k: int = 3,
+    window: str = "1 hour",
+    watermark: str = "10 minutes",
+    sink: Optional[Callable[[DataFrame, int], None]] = None,
+    checkpoint_location: Optional[str] = None,
+    query_name: str = "windowed_topk_append",
+    trigger: Optional[dict] = None,
+):
+    """Bounded-state streaming top-k: per-window FINALIZED rankings in
+    APPEND output mode — the long-running-stream twin of
+    :func:`windowed_topk` (round-4 verdict item 5).
+
+    The tumbling counts run in append mode, so a (window, key) count
+    row is emitted exactly once — when the watermark passes the window
+    end — and the window's state is evicted right after. Total state is
+    bounded by the in-flight windows inside the watermark horizon, not
+    by every window the stream has ever seen (complete mode's unbounded
+    growth). Correctness of the per-batch rank follows from append
+    semantics: the micro-batch in which a window finalizes carries that
+    window's COMPLETE key set (all its groups expire together when the
+    watermark crosses), so ``row_number`` inside foreachBatch ranks a
+    full frame — the partial-frame hazard that rules update mode out
+    does not arise.
+
+    The trade vs complete mode: results arrive one watermark-delay
+    late, once per window (no live-updating leaderboard). That is the
+    right contract for feeding a downstream table/alert pipeline;
+    complete mode remains the right one for a small always-current
+    dashboard. Returns the started StreamingQuery.
+    """
+    counts = tumbling_counts(
+        df, ts_col, window=window, watermark=watermark,
+        group_cols=(key_col,))
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        w = Window.partitionBy("window_start").orderBy(
+            F.col("n_events").desc(), F.col(key_col).asc())
+        ranked = (batch_df.withColumn("rk", F.row_number().over(w))
+                  .filter(F.col("rk") <= k))
+        if sink is not None:
+            sink(ranked, batch_id)
+
+    writer = (counts.writeStream.outputMode("append")
               .foreachBatch(process).queryName(query_name))
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)

@@ -53,3 +53,35 @@ class TestDriverContract:
         mod = _entry_module()
         missing = [q for q in bench.BENCH_QUERIES if q not in mod.queries()]
         assert not missing, missing
+
+    def test_driver_priority_leads_and_is_fully_value_oracled(self):
+        """The harness hard-gates the FIRST 50 queries() entries; the
+        curated DRIVER_PRIORITY list must (a) be exactly 50 names, (b)
+        lead the iteration order, (c) consist solely of queries with
+        full value oracles — rows-only entries would waste gate slots."""
+        from spark_expectations_spark.queries import DRIVER_PRIORITY
+        mod = _entry_module()
+        assert len(DRIVER_PRIORITY) == 50
+        assert len(set(DRIVER_PRIORITY)) == 50
+        assert list(mod.queries())[:50] == DRIVER_PRIORITY
+        oracles = mod.oracle_sql()
+        missing = [q for q in DRIVER_PRIORITY if q not in oracles]
+        assert not missing, f"priority entries without oracles: {missing}"
+
+    def test_readme_counts_match_registries(self):
+        """Round-4 verdict item 6: the README's catalog counts drifted
+        twice; assert them like the docstring counts."""
+        mod = _entry_module()
+        readme = (Path(__file__).resolve().parent.parent
+                  / "README.md").read_text()
+        nums = re.findall(r"(\d+)-query catalog", readme)
+        assert nums, "README must mention the 'N-query catalog'"
+        for n in nums:
+            assert int(n) == len(mod.queries()), (
+                f"README says {n}-query catalog, registry has "
+                f"{len(mod.queries())}")
+        m = re.search(r"\((\d+) SQL-checked", readme)
+        assert m, "README must state '(M SQL-checked'"
+        assert int(m.group(1)) == len(mod.oracle_sql()), (
+            f"README says {m.group(1)} SQL-checked, registry has "
+            f"{len(mod.oracle_sql())}")

@@ -318,6 +318,61 @@ class TestStreamingDQ:
         finally:
             q.stop()
 
+    def test_windowed_topk_append_bounded_state(self, spark, tmp_path):
+        """Append-mode twin (round-4 verdict item 5): each window's
+        top-k is emitted exactly ONCE (at watermark finalization) with
+        contiguous ranks, and the state store provably EVICTS expired
+        windows (numRowsRemoved > 0; total state stays bounded by the
+        in-flight horizon instead of growing with every window seen)."""
+        from spark_expectations_spark.streaming import windowed_topk_append
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "500").load()
+               .selectExpr("timestamp as ts",
+                           "cast(value % 5 as string) as key"))
+        seen = []
+
+        def sink(ranked, batch_id):
+            seen.extend((batch_id, r) for r in ranked.collect())
+
+        q = windowed_topk_append(
+            src, "ts", "key", k=2, window="2 seconds",
+            watermark="0 seconds", sink=sink,
+            checkpoint_location=str(tmp_path / "ck_topk_app"))
+        try:
+            # generous deadline: under full-suite load the first windows
+            # can take a couple of minutes to finalize on local[4]
+            deadline = time.time() + 240
+            removed = 0
+            while time.time() < deadline:
+                windows = {r["window_start"] for _, r in seen}
+                p = q.lastProgress
+                if p and p.get("stateOperators"):
+                    removed = max(removed,
+                                  p["stateOperators"][0]["numRowsRemoved"])
+                if len(windows) >= 3 and removed > 0:
+                    break
+                time.sleep(2)
+            assert len({r["window_start"] for _, r in seen}) >= 3
+            # eviction actually happened — the long-running-stream claim
+            assert removed > 0, "no state rows evicted"
+            # append semantics: a window finalizes in exactly one batch,
+            # with a complete contiguous ranking
+            win_batches, by_w = {}, {}
+            for bi, r in seen:
+                assert 1 <= r["rk"] <= 2
+                win_batches.setdefault(r["window_start"], set()).add(bi)
+                by_w.setdefault(r["window_start"], set()).add(r["rk"])
+            assert all(len(b) == 1 for b in win_batches.values()), \
+                "a window's ranking spanned micro-batches"
+            for rks in by_w.values():
+                assert rks == set(range(1, len(rks) + 1))
+            # bounded state: far fewer rows than (windows ever seen × keys)
+            p = q.lastProgress
+            total = p["stateOperators"][0]["numRowsTotal"]
+            assert total <= 5 * (len(win_batches) + 2)
+        finally:
+            q.stop()
+
     def test_stream_stream_join_with_watermark(self, spark):
         """Inner stream-stream join emits eagerly (no watermark wait);
         the watermark+range bound exists to let state evict."""
