@@ -39,8 +39,9 @@ BENCH_QUERIES = [
     "docs_line_stats", "docs_collocations", "docs_bigram_lm",
     "orders_status_chi2", "lineitem_correlations", "events_time_split",
     "docs_temperature_resample",
-    # round-5 operators (two-phase quota selection)
-    "docs_mixture_resample",
+    # round-5 operators
+    "docs_mixture_resample", "docs_gopher_gate", "docs_ngram_novelty",
+    "embed_standardize", "docs_dsir_weights",
 ]
 
 

@@ -958,3 +958,41 @@ def incremental_dedup(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY: the fraction of a doc's distinct
+    n-gram shingles whose global first occurrence (minimum ``id_col``
+    among all docs containing the shingle) is this document — a
+    contribution score for dedup-aware curation: near-1 docs bring
+    fresh content, near-0 docs are recombinations of text the corpus
+    already has (they'd survive exact AND pairwise near-dup removal,
+    which only see whole-doc similarity). The id-order convention
+    matches the module's keep-lowest-id canonicalization.
+
+    Returns (id, n_shingles, n_novel, novelty).
+
+    Scale shape: the linear posting-list pattern — explode shingles,
+    ONE groupBy(shingle) for first-owners, join back on the shingle key
+    (exchange-reusable: both sides hash-partitioned on shingle), one
+    per-doc agg. No pair materialization, no self-join — this is the
+    O(corpus) screen, not a quadratic search.
+    """
+    pairs = explode_shingles(df, id_col, text_col, n=n)
+    firsts = pairs.groupBy("shingle").agg(F.min(id_col).alias("__first"))
+    return (
+        pairs.join(firsts, "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum((F.col(id_col) == F.col("__first")).cast("long"))
+             .alias("n_novel"))
+        .select(F.col(id_col), "n_shingles", "n_novel",
+                F.round(F.col("n_novel") / F.col("n_shingles"), 4)
+                .alias("novelty"))
+    )

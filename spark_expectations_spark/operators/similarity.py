@@ -866,3 +866,42 @@ def recall_at_k(
              / F.col("n_exact")).alias("recall"),
         )
     )
+
+
+def standardize(
+    df: DataFrame,
+    *,
+    vec_col: str = "embedding",
+    out_col: str = "standardized",
+) -> DataFrame:
+    """Per-DIMENSION z-score normalization of an embedding column —
+    (v[i] − μ_i) / σ_i with population σ — the feature-scaling step
+    before distance-based work (kmeans codebooks, norm-outlier
+    screens) when dimensions carry wildly different scales; constant
+    dimensions (σ_i = 0) map to 0.0 instead of NaN.
+
+    Scale shape: the corpus-wide per-dimension moments come from ONE
+    posexplode + groupBy(position) aggregate — map-side combined, dim
+    rows of state, never a vector list — then collapse to a single
+    (μ[], σ[]) row broadcast back, and the normalization itself is a
+    zero-shuffle arrays_zip/transform codegen projection (same
+    broadcast-stats shape as ``zorder_write``'s grid normalization).
+
+    Returns ``df`` + ``out_col`` (array<double>).
+    """
+    ex = df.select(F.posexplode(F.col(vec_col)).alias("_pos", "_v"))
+    per_dim = ex.groupBy("_pos").agg(
+        F.avg("_v").alias("_mu"), F.stddev_pop("_v").alias("_sd"))
+    stats = per_dim.agg(
+        F.array_sort(F.collect_list(F.struct("_pos", "_mu", "_sd")))
+        .alias("_st")).select(
+            F.transform("_st", lambda s: s["_mu"]).alias("__mu"),
+            F.transform("_st", lambda s: s["_sd"]).alias("__sd"))
+    z = F.transform(
+        F.arrays_zip(F.col(vec_col).cast("array<double>").alias("v"),
+                     F.col("__mu").alias("m"), F.col("__sd").alias("s")),
+        lambda x: F.when(x["s"] > 0, (x["v"] - x["m"]) / x["s"])
+                   .otherwise(F.lit(0.0)))
+    return (df.crossJoin(F.broadcast(stats))
+            .withColumn(out_col, z)
+            .drop("__mu", "__sd"))

@@ -790,3 +790,156 @@ def encode_tokens(
             F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
             F.coalesce(F.col(out), F.array().cast("array<int>")).alias(out))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality gate (round 5)
+# ---------------------------------------------------------------------------
+
+#: the Gopher "required words" — a doc passing the gate must contain at
+#: least ``min_stop_hits`` distinct entries (Rae et al. 2021, A1.1)
+GOPHER_STOP_WORDS: Sequence[str] = (
+    "the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021,
+    arXiv:2112.11446 Appendix A1.1) as ONE fused projection: word-count
+    bounds, mean word length, symbol-to-word ratio (# and ellipses),
+    bullet-started / ellipsis-ended line fractions, alphabetic-word
+    fraction, and required-stop-word hits — the standard web-scale
+    heuristic gate, with every sub-signal emitted alongside the final
+    verdict so downstream analysis can see WHY a document failed
+    (aggregate the booleans for a per-rule rejection report).
+
+    Returns (id, n_words, mean_word_len, symbol_ratio,
+    bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+    stopword_hits, passes).
+
+    Scale shape: zero shuffle — everything is higher-order-function
+    arithmetic over the token/line arrays inside one codegen scan
+    projection, exactly like :func:`quality_score`. Ratios for empty
+    documents are 0 and ``passes`` is false (min_words bound).
+    """
+    words = _tokens(F.col(text_col))
+    n_words = F.size(words)
+    nz = F.greatest(n_words, F.lit(1))
+    mean_word_len = (
+        F.aggregate(words, F.lit(0).cast("long"),
+                    lambda a, w: a + F.length(w))
+        / nz)
+    symbol_ratio = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…")) / nz
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.greatest(F.size(lines), F.lit(1))
+    bullet_frac = (
+        F.size(F.filter(
+            lines, lambda l: F.ltrim(l).rlike(r"^[-*•]")))
+        / n_lines)
+    ellipsis_frac = (
+        F.size(F.filter(
+            lines, lambda l: F.rtrim(l).rlike(r"(\.\.\.|…)$")))
+        / n_lines)
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[a-z]"))) / nz)
+    stop_hits = F.size(F.filter(
+        F.array(*[F.lit(s) for s in GOPHER_STOP_WORDS]),
+        lambda s: F.array_contains(words, s)))
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_word_len.between(min_mean_word_len, max_mean_word_len)
+        & (symbol_ratio < max_symbol_ratio)
+        & (bullet_frac < max_bullet_line_frac)
+        & (ellipsis_frac < max_ellipsis_line_frac)
+        & (alpha_frac > min_alpha_word_frac)
+        & (stop_hits >= min_stop_hits))
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(symbol_ratio, 4).alias("symbol_ratio"),
+        F.round(bullet_frac, 4).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 4).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 4).alias("alpha_word_frac"),
+        stop_hits.alias("stopword_hits"),
+        passes.alias("passes"),
+    )
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_df: DataFrame,
+    target_text_col: Optional[str] = None,
+    *,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every raw document by how much more likely its tokens are
+    under a TARGET-domain unigram LM than under the raw-corpus LM —
+    ``log w(x) = Σ_tok [ln P_target(tok) − ln P_raw(tok)]`` — the
+    data-selection signal for "make my 100 TB crawl look like
+    Wikipedia/books": sample raw docs with probability ∝ exp(log w)
+    (e.g. feed ``avg_logratio`` to :func:`~.sampling.percentile_gate`
+    or use it as a :func:`~.sampling.weighted_deterministic_sample`
+    weight after exponentiation).
+
+    Both LMs share one vocabulary (the union of both corpora's tokens,
+    add-``smoothing`` smoothed), so the per-token ratio is defined
+    everywhere and unseen-in-target tokens get a finite penalty rather
+    than -inf. Returns (id, n_tokens, sum_logratio, avg_logratio);
+    docs with no tokens keep n_tokens = 0 and NULL scores.
+
+    Scale shape: two vocabulary-sized count aggregates (map-side
+    combined) + one full-outer vocab join + 1-row totals broadcast;
+    scoring is ONE explode + token-keyed join of the vocab-sized
+    ratio table (AQE-broadcast after a min-count cut at real scale) +
+    one per-doc agg — the same shape as :func:`unigram_logprob` with a
+    second, dims-sized model.
+    """
+    from .dedup import tokens_col
+    from ..plans import fan_out
+
+    tcol = target_text_col or text_col
+    raw_toks = fan_out(df.select(id_col, text_col)).select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    raw_counts = raw_toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("_cr"))
+    tgt_counts = (fan_out(target_df.select(tcol))
+                  .select(F.explode(tokens_col(F.col(tcol))).alias("tok"))
+                  .groupBy("tok").agg(F.count(F.lit(1)).alias("_ct")))
+    vocab = (raw_counts.join(tgt_counts, "tok", "full_outer")
+             .select("tok",
+                     F.coalesce("_cr", F.lit(0)).alias("_cr"),
+                     F.coalesce("_ct", F.lit(0)).alias("_ct")))
+    totals = vocab.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"),
+                       F.count(F.lit(1)).alias("_v"))
+    s = F.lit(smoothing)
+    ratio = (vocab.crossJoin(F.broadcast(totals))
+             .select("tok",
+                     (F.log((F.col("_ct") + s) / (F.col("_nt") + s * F.col("_v")))
+                      - F.log((F.col("_cr") + s) / (F.col("_nr") + s * F.col("_v"))))
+                     .alias("_lr")))
+    per_doc = (raw_toks.join(ratio, "tok")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("_lr").alias("sum_logratio"),
+                    F.avg("_lr").alias("avg_logratio")))
+    return (df.select(id_col).join(per_doc, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.col("sum_logratio"), F.col("avg_logratio")))

@@ -4221,6 +4221,159 @@ FROM lineitem
 # Registry
 # ---------------------------------------------------------------------------
 
+def q_docs_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher composite quality gate (text.gopher_quality_flags,
+    arXiv:2112.11446 A1.1) — all seven sub-signals + verdict from ONE
+    zero-shuffle codegen projection (min_words/min_stop_hits lowered to
+    20/1 for the synthetic corpus's short, stopword-sparse documents so
+    the verdict column splits the corpus instead of failing it
+    wholesale)."""
+    docs = load(spark, sf_dir, "documents")
+    return text.gopher_quality_flags(docs, "doc_id", "text",
+                                     min_words=20, min_stop_hits=1)
+
+
+ORACLE_DOCS_GOPHER_GATE = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     x -> x <> '') AS w,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         greatest(len(w), 1) AS nz,
+         greatest(len(lines), 1) AS nl,
+         coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS wlen,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) AS syms,
+         len(list_filter(lines,
+             l -> regexp_matches(ltrim(l), '^[-*•]'))) AS bullets,
+         len(list_filter(lines,
+             l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS ells,
+         len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS alphas,
+         len(list_filter(['the','be','to','of','and','that','have','with'],
+             s -> list_contains(w, s))) AS hits
+  FROM base)
+SELECT doc_id, n_words,
+       round(wlen * 1.0 / nz, 4) AS mean_word_len,
+       round(syms * 1.0 / nz, 4) AS symbol_ratio,
+       round(bullets * 1.0 / nl, 4) AS bullet_line_frac,
+       round(ells * 1.0 / nl, 4) AS ellipsis_line_frac,
+       round(alphas * 1.0 / nz, 4) AS alpha_word_frac,
+       hits AS stopword_hits,
+       (n_words BETWEEN 20 AND 100000
+        AND (wlen * 1.0 / nz) BETWEEN 3.0 AND 10.0
+        AND syms * 1.0 / nz < 0.1
+        AND bullets * 1.0 / nl < 0.9
+        AND ells * 1.0 / nl < 0.3
+        AND alphas * 1.0 / nz > 0.8
+        AND hits >= 1) AS passes
+FROM m
+"""
+
+
+def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty (dedup.ngram_novelty): fraction of a
+    doc's shingles first seen in it — linear posting-list shape (one
+    shingle groupBy + join back + per-doc agg, no pairs)."""
+    docs = load(spark, sf_dir, "documents")
+    return dedup.ngram_novelty(docs, "doc_id", "text", n=3)
+
+
+ORACLE_DOCS_NGRAM_NOVELTY = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+firsts AS (SELECT shingle, min(doc_id) AS f FROM sh GROUP BY shingle)
+SELECT doc_id, count(*) AS n_shingles,
+       CAST(sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       round(sum(CASE WHEN doc_id = f THEN 1 ELSE 0 END) * 1.0 / count(*),
+             4) AS novelty
+FROM sh JOIN firsts USING (shingle)
+GROUP BY doc_id
+"""
+
+
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score normalization (similarity.standardize):
+    ONE posexplode moment aggregate collapsed to a broadcast (mu[],
+    sigma[]) row; the normalization itself is zero-shuffle codegen.
+    4-dp rounds for cross-engine double parity on the array values."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.standardize(emb, vec_col="embedding")
+    return out.select(
+        "vec_id",
+        # + 0.0 folds IEEE -0.0 to 0.0 (a rounded tiny negative is -0.0
+        # in one engine and 0.0 in the other — hash poison)
+        F.transform("standardized", lambda v: F.round(v, 4) + F.lit(0.0))
+        .alias("standardized"))
+
+
+ORACLE_EMBED_STANDARDIZE = r"""
+WITH ex AS (
+  SELECT vec_id, i AS pos, embedding[i] AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+stats AS (
+  SELECT pos, avg(v) AS mu, stddev_pop(v) AS sd FROM ex GROUP BY pos),
+z AS (
+  SELECT vec_id, pos,
+         CASE WHEN sd > 0 THEN round((v - mu) / sd, 4) + 0.0
+              ELSE 0.0 END AS zv
+  FROM ex JOIN stats USING (pos))
+SELECT vec_id, array_agg(zv ORDER BY pos) AS standardized
+FROM z GROUP BY vec_id
+"""
+
+
+def q_docs_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.dsir_log_weights,
+    arXiv:2302.03169): per-doc log-likelihood ratio of an 'en'-target
+    unigram LM vs the raw-corpus LM — two vocab-sized models, shared
+    union vocabulary, 1-row totals broadcast, one scoring join."""
+    docs = load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = text.dsir_log_weights(docs, "doc_id", "text", target)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("sum_logratio", 4).alias("sum_logratio"),
+        F.round("avg_logratio", 6).alias("avg_logratio"))
+
+
+ORACLE_DOCS_DSIR_WEIGHTS = r"""
+WITH rawt AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+tgtt AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents WHERE lang = 'en'),
+rc AS (SELECT tok, count(*) AS cr FROM rawt GROUP BY tok),
+tc AS (SELECT tok, count(*) AS ct FROM tgtt GROUP BY tok),
+vocab AS (
+  SELECT coalesce(rc.tok, tc.tok) AS tok,
+         coalesce(cr, 0) AS cr, coalesce(ct, 0) AS ct
+  FROM rc FULL OUTER JOIN tc ON rc.tok = tc.tok),
+tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM vocab),
+ratio AS (
+  SELECT tok,
+         ln((ct + 0.5) / (nt + 0.5 * v)) - ln((cr + 0.5) / (nr + 0.5 * v))
+         AS lr
+  FROM vocab, tot),
+scored AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         round(sum(lr), 4) AS sum_logratio,
+         round(avg(lr), 6) AS avg_logratio
+  FROM rawt JOIN ratio USING (tok) GROUP BY doc_id)
+SELECT d.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       s.sum_logratio, s.avg_logratio
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -4238,10 +4391,12 @@ DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-5 touched implementations
+    # round-5 touched or new implementations
     "docs_mixture_resample", "docs_temperature_resample",
     "docs_token_budget", "docs_percentile_gate", "docs_ccnet_buckets",
     "dedup_lsh_quality", "orders_status_chi2",
+    "docs_gopher_gate", "docs_ngram_novelty", "embed_standardize",
+    "docs_dsir_weights",
     # never driver-checked, riskiest first
     "users_scd2", "events_asof_purchase", "orders_snapshot_diff",
     "docs_incremental_dedup", "docs_pack_streams",
@@ -4255,8 +4410,6 @@ DRIVER_PRIORITY: list[str] = [
     "docs_dup_shingles", "dedup_containment", "ann_ivf_recall",
     "orders_status_drift", "lineitem_price_drift", "orders_fk_profile",
     "lineitem_profile", "lineitem_correlations", "events_sessions",
-    "events_funnel", "events_sliding", "events_window_topk",
-    "events_gapfill",
 ]
 
 
@@ -4387,6 +4540,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "array_agg_statuses": q_array_agg_statuses,
     "part_brand_topk": q_part_brand_topk,
     "multimodal_features": q_multimodal_features,
+    "docs_gopher_gate": q_docs_gopher_gate,
+    "docs_ngram_novelty": q_docs_ngram_novelty,
+    "embed_standardize": q_embed_standardize,
+    "docs_dsir_weights": q_docs_dsir_weights,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -4507,4 +4664,8 @@ ORACLES: dict[str, Optional[str]] = {
     "array_agg_statuses": ORACLE_ARRAY_AGG_STATUSES,
     "part_brand_topk": ORACLE_PART_BRAND_TOPK,
     "multimodal_features": ORACLE_MULTIMODAL_FEATURES,
+    "docs_gopher_gate": ORACLE_DOCS_GOPHER_GATE,
+    "docs_ngram_novelty": ORACLE_DOCS_NGRAM_NOVELTY,
+    "embed_standardize": ORACLE_EMBED_STANDARDIZE,
+    "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
 }

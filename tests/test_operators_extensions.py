@@ -2231,3 +2231,131 @@ class TestSplitByTimeTimestamp:
         two = {r["split"] for r in sampling.split_by_time(
             df, "ts", datetime(2024, 3, 8)).collect()}
         assert two == {"train", "test"}
+
+
+class TestGopherGate:
+    def test_flags_fire_individually(self, spark):
+        from spark_expectations_spark.operators import text as T
+        good = ("the quick brown fox jumps over the lazy dog and then "
+                "rests with some of that fine grass to have a calm day "
+                "while birds that sing fly over the meadow and everyone "
+                "is happy to be here with friends of the forest today "
+                "because life is good and the sun shines bright above")
+        bullets = "\n".join(f"- item {i}" for i in range(10))
+        dots = "\n".join(f"line {i}..." for i in range(10))
+        symbols = "# " * 60
+        df = spark.createDataFrame(
+            [(1, good), (2, bullets), (3, dots), (4, symbols), (5, "")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r for r in T.gopher_quality_flags(
+            df, "doc_id", "text", min_words=20).collect()}
+        assert out[1]["passes"] is True
+        assert out[1]["stopword_hits"] >= 2
+        assert out[2]["bullet_line_frac"] == 1.0 and not out[2]["passes"]
+        assert out[3]["ellipsis_line_frac"] == 1.0 and not out[3]["passes"]
+        assert out[4]["symbol_ratio"] >= 0.5 and not out[4]["passes"]
+        assert out[5]["n_words"] == 0 and not out[5]["passes"]
+
+    def test_zero_shuffle_projection(self, docs):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import text as T
+        out = T.gopher_quality_flags(docs, "doc_id", "text")
+        assert plans.num_shuffles(out) == 0
+
+    def test_mean_word_len_and_alpha(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(1, "aa bbbb cc 1234")], "doc_id long, text string")
+        r = T.gopher_quality_flags(df, "doc_id", "text").first()
+        assert r["n_words"] == 4
+        assert r["mean_word_len"] == 3.0   # (2+4+2+4)/4
+        assert r["alpha_word_frac"] == 0.75
+
+
+class TestNgramNovelty:
+    def test_known_fractions(self, spark):
+        from spark_expectations_spark.operators import dedup as dd
+        # doc1 introduces 'a b c', 'b c d' (novel); doc2 repeats both and
+        # adds 'c d e'; doc3 is all doc1 shingles
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "b c d e"), (3, "a b c")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_shingles"], r["n_novel"], r["novelty"])
+               for r in dd.ngram_novelty(df, "doc_id", "text", n=3).collect()}
+        # doc1 shingles: 'a b c','b c d' both first -> 1.0
+        assert got[1] == (2, 2, 1.0)
+        # doc2: 'b c d' (seen), 'c d e' (novel) -> 0.5
+        assert got[2] == (2, 1, 0.5)
+        # doc3: 'a b c' seen -> 0.0
+        assert got[3] == (1, 0, 0.0)
+
+    def test_linear_no_pair_blowup(self, docs):
+        """Plan pin: posting-list novelty never materializes pairs — no
+        join of the corpus with itself, row counts stay O(shingles)."""
+        from spark_expectations_spark.operators import dedup as dd
+        out = dd.ngram_novelty(docs, "doc_id", "text", n=3)
+        assert out.count() == docs.count()
+        tot = out.agg(F.sum("n_novel"), F.sum("n_shingles")).first()
+        assert 0 < tot[0] <= tot[1]
+
+
+class TestStandardize:
+    def test_known_values_and_constant_dim(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, [0.0, 5.0]), (2, [2.0, 5.0]), (3, [4.0, 5.0])],
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r["standardized"]
+               for r in sim.standardize(df).collect()}
+        # dim0: mean 2, std_pop sqrt(8/3); dim1 constant -> 0.0
+        import math
+        sd = math.sqrt(8.0 / 3.0)
+        assert got[1][0] == pytest.approx(-2 / sd)
+        assert got[2][0] == pytest.approx(0.0)
+        assert got[3][0] == pytest.approx(2 / sd)
+        assert all(got[i][1] == 0.0 for i in (1, 2, 3))
+
+    def test_result_is_zero_mean_unit_var(self, emb):
+        from spark_expectations_spark.operators import similarity as sim
+        out = sim.standardize(emb)
+        stats = (out.select(F.posexplode("standardized").alias("p", "v"))
+                 .groupBy("p").agg(F.avg("v").alias("m"),
+                                   F.stddev_pop("v").alias("s"))
+                 .agg(F.max(F.abs(F.col("m"))).alias("max_m"),
+                      F.max(F.abs(F.col("s") - 1)).alias("max_s"))
+                 .first())
+        assert stats["max_m"] < 1e-9 and stats["max_s"] < 1e-9
+
+
+class TestDsirWeights:
+    def test_identical_target_scores_zero(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "beta gamma delta")],
+            "doc_id long, text string")
+        out = T.dsir_log_weights(df, "doc_id", "text", df).collect()
+        assert all(r["sum_logratio"] == 0.0 for r in out)
+        assert all(r["avg_logratio"] == 0.0 for r in out)
+
+    def test_target_like_docs_score_higher(self, spark):
+        from spark_expectations_spark.operators import text as T
+        raw = spark.createDataFrame(
+            [(1, "physics energy quantum field theory"),
+             (2, "buy cheap pills now click here"),
+             (3, "quantum field energy states physics")],
+            "doc_id long, text string")
+        target = spark.createDataFrame(
+            [("physics of the quantum field and energy",)], "text string")
+        got = {r["doc_id"]: r["avg_logratio"]
+               for r in T.dsir_log_weights(
+                   raw, "doc_id", "text", target).collect()}
+        assert got[1] > got[2] and got[3] > got[2]
+
+    def test_empty_doc_null_scores(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, None)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in
+               T.dsir_log_weights(df, "doc_id", "text", df).collect()}
+        assert got[2]["n_tokens"] == 0
+        assert got[2]["sum_logratio"] is None
