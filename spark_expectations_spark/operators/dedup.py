@@ -354,6 +354,10 @@ def lsh_quality_report(
     the verdict transfers because the sample sees the same shingle
     distribution. The default 1.0 is for test-sized frames only.
     """
+    if not 0.0 < sample_fraction <= 1.0:
+        # a "50"-meaning-50% typo must not silently run the quadratic
+        # exact side corpus-wide — the accident this param prevents
+        raise ValueError("sample_fraction must be in (0, 1]")
     if sample_fraction < 1.0:
         from .sampling import deterministic_sample
         df = deterministic_sample(df, id_col, sample_fraction)

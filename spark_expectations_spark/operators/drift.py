@@ -211,16 +211,19 @@ def chi2_categorical(
         + F.when(e_c > 0, F.pow(F.col("nc") - e_c, 2) / e_c).otherwise(0.0))
     # materialize the 1-row result so the persisted counts frame can be
     # released HERE instead of leaking a cache entry per call (the same
-    # collect-then-unpersist pattern as clustering_report)
-    row = (
-        j.crossJoin(F.broadcast(tots))
-        .agg(F.round(F.sum(term), 4).alias("chi2"),
-             (F.max("k") - 1).alias("dof"),
-             F.max("tb").alias("n_baseline"),
-             F.max("tc").alias("n_current"),
-             F.max("k").alias("n_categories"))
-    ).first()
-    both.unpersist()
+    # collect-then-unpersist pattern as clustering_report); finally:
+    # a failed/cancelled action must release it too
+    try:
+        row = (
+            j.crossJoin(F.broadcast(tots))
+            .agg(F.round(F.sum(term), 4).alias("chi2"),
+                 (F.max("k") - 1).alias("dof"),
+                 F.max("tb").alias("n_baseline"),
+                 F.max("tc").alias("n_current"),
+                 F.max("k").alias("n_categories"))
+        ).first()
+    finally:
+        both.unpersist()
     return baseline.sparkSession.createDataFrame(
         [row], "chi2 double, dof bigint, n_baseline bigint, "
                "n_current bigint, n_categories bigint")

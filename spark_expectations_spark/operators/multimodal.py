@@ -83,12 +83,10 @@ def probe_image_decoder(feature_dim: int) -> Optional[Callable]:
     identical and stays exercised in environments without media libs.
     """
     try:
-        from PIL import Image  # noqa: F401
+        from PIL import Image as _Image
     except ImportError:
         return None
     import io
-
-    from PIL import Image as _Image
 
     def decode(b: bytes) -> list:
         img = _Image.open(io.BytesIO(b)).convert("L")

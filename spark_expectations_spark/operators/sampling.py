@@ -182,9 +182,13 @@ def mixture_resample(
 
     The largest sorted partition is therefore corpus/65536-sized
     regardless of source skew (the old single window put a whole
-    source's rows in ONE task — terabytes at 100 TB). ``df`` is
-    evaluated once for the counts and twice for the two kept branches;
-    persist upstream first if it is expensive to recompute.
+    source's rows in ONE task — terabytes at 100 TB). Phase 1 runs
+    EAGERLY at call time (one job; its per-source plan — one row per
+    source — is collected to the driver and broadcast back, so nothing
+    stays persisted); the kept branches then evaluate ``df`` twice —
+    persist upstream first if it is expensive to recompute. NULL keys
+    hash to a sentinel bucket that sorts first, preserving the
+    reference window's NULLS FIRST ranking.
     """
     import math as _math
 
@@ -206,15 +210,19 @@ def mixture_resample(
     wdf = spark.createDataFrame(
         [(s, int(w)) for s, w in weights.items()],
         f"{source_col} string, __w long")
-    b = _bucket(F.col(key_col))
+    # NULL keys hash to bucket -1: they sorted FIRST in the reference
+    # window (ASC NULLS FIRST), and a raw null bucket would fall out of
+    # both phase-2 comparisons — silently under-filling the quota
+    b = F.coalesce(_bucket(F.col(key_col)), F.lit(-1))
     dfb = df.withColumn("__b", b)
 
-    # phase 1 (dims-sized): per-(source, bucket) counts -> boundary.
-    # localCheckpoint pins the <=|sources|*65536-row frame so the three
-    # derivations below (totals, cumulative, boundary) cost ONE corpus
-    # scan, not one each (RDD identity dedups it within the final job)
+    # phase 1 (dims-sized, ONE eager job): per-(source, bucket) counts
+    # -> per-source boundary plan, collected to the driver (one row per
+    # source — dims by the same contract as the weights mapping) and
+    # broadcast back. Collecting beats checkpointing here: nothing
+    # stays persisted, and the whole derivation is one corpus scan.
     bcounts = dfb.groupBy(source_col, "__b").agg(
-        F.count(F.lit(1)).alias("__c")).localCheckpoint(eager=False)
+        F.count(F.lit(1)).alias("__c"))
     counts = bcounts.groupBy(source_col).agg(F.sum("__c").alias("__n"))
     joined = counts.join(F.broadcast(wdf), source_col)
     binding = joined.select(
@@ -243,12 +251,18 @@ def mixture_resample(
             .agg(F.min_by(F.struct("__b", "__before"), "__b").alias("__t"))
             .select(source_col, F.col("__t.__b").alias("__tb"),
                     F.col("__t.__before").alias("__tbefore")))
-    plan = (quotas.join(bdry, source_col, "left")
-            .select(source_col,
-                    F.coalesce("__tb", F.lit(_BUCKETS)).alias("__tb"),
-                    F.greatest(
-                        F.col("__quota") - F.coalesce("__tbefore", F.lit(0)),
-                        F.lit(0)).alias("__rem")))
+    plan_rows = (quotas.join(bdry, source_col, "left")
+                 .select(source_col,
+                         F.coalesce("__tb", F.lit(_BUCKETS)).alias("__tb"),
+                         F.greatest(
+                             F.col("__quota")
+                             - F.coalesce("__tbefore", F.lit(0)),
+                             F.lit(0)).alias("__rem"))).collect()
+    from pyspark.sql.types import LongType, StructField, StructType
+    plan = spark.createDataFrame(plan_rows, StructType([
+        StructField(source_col, df.schema[source_col].dataType),
+        StructField("__tb", LongType()),
+        StructField("__rem", LongType())]))
 
     # phase 2: whole buckets below the boundary — a broadcast-join
     # filter, zero shuffle; boundary-bucket rows — tiny window
@@ -455,8 +469,11 @@ def token_budget_sample(
     ~n/65536 rows run the exclusive-running-sum window (offset by the
     weight already spent in earlier buckets). No group ever funnels
     through a single task, so a group holding most of 100 TB no longer
-    needs pre-filtering. ``df`` is evaluated once for the sums and
-    twice for the kept branches; persist upstream if it is expensive.
+    needs pre-filtering. Phase 1 runs EAGERLY at call time (one job;
+    the per-group plan is driver-collected and broadcast back, nothing
+    stays persisted); the kept branches then evaluate ``df`` twice —
+    persist upstream if it is expensive. NULL keys bucket to a
+    sentinel that sorts first (reference-window NULLS FIRST parity).
     """
     if (budget is None) == (budgets is None):
         raise ValueError("exactly one of budget / budgets required")
@@ -469,13 +486,15 @@ def token_budget_sample(
         budget_col = F.col("__budget")
     else:
         budget_col = F.lit(int(budget))
-    dfb = df.withColumn("__b", _bucket(F.col(key_col)))
+    dfb = df.withColumn(
+        "__b", F.coalesce(_bucket(F.col(key_col)), F.lit(-1)))
 
-    # phase 1 (dims-sized): per-(group, bucket) weight sums -> boundary
-    # (localCheckpoint: one corpus scan feeds both derivations below)
+    # phase 1 (dims-sized, ONE eager job): per-(group, bucket) weight
+    # sums -> per-group boundary plan, driver-collected (one row per
+    # group) and broadcast back — nothing stays persisted
     bsums = dfb.groupBy(group_col, "__b").agg(
         F.sum(F.col(weight_col).cast("long")).alias("__bw"),
-        F.first(budget_col).alias("__bud")).localCheckpoint(eager=False)
+        F.first(budget_col).alias("__bud"))
     wcum = (Window.partitionBy(group_col).orderBy("__b")
             .rowsBetween(Window.unboundedPreceding, -1))
     cum = bsums.withColumn(
@@ -489,10 +508,17 @@ def token_budget_sample(
             .select(group_col, F.col("__t.__b").alias("__tb"),
                     F.col("__t.__before").alias("__off")))
     groups = bsums.groupBy(group_col).agg(F.first("__bud").alias("__bud"))
-    plan = (groups.join(bdry, group_col, "left")
-            .select(group_col, "__bud",
-                    F.coalesce("__tb", F.lit(_BUCKETS)).alias("__tb"),
-                    F.coalesce("__off", F.lit(0)).alias("__off")))
+    plan_rows = (groups.join(bdry, group_col, "left")
+                 .select(group_col, "__bud",
+                         F.coalesce("__tb", F.lit(_BUCKETS)).alias("__tb"),
+                         F.coalesce("__off", F.lit(0)).alias("__off"))
+                 ).collect()
+    from pyspark.sql.types import LongType, StructField, StructType
+    plan = df.sparkSession.createDataFrame(plan_rows, StructType([
+        StructField(group_col, df.schema[group_col].dataType),
+        StructField("__bud", LongType()),
+        StructField("__tb", LongType()),
+        StructField("__off", LongType())]))
 
     # phase 2: whole buckets below the boundary (no shuffle), then the
     # original exclusive-cumsum rule inside the boundary bucket only,

@@ -902,6 +902,12 @@ def standardize(
                      F.col("__mu").alias("m"), F.col("__sd").alias("s")),
         lambda x: F.when(x["s"] > 0, (x["v"] - x["m"]) / x["s"])
                    .otherwise(F.lit(0.0)))
+    # ragged guard: arrays_zip would silently NULL-pad a short vector
+    # against the corpus-max-dim stats — fail loudly instead of handing
+    # downstream BLAS a wrong-length array
+    guarded = F.when(F.size(F.col(vec_col)) == F.size("__mu"), z).otherwise(
+        F.expr("raise_error('standardize: embedding length differs from "
+               "the corpus dimension (ragged vectors)')"))
     return (df.crossJoin(F.broadcast(stats))
-            .withColumn(out_col, z)
+            .withColumn(out_col, guarded)
             .drop("__mu", "__sd"))

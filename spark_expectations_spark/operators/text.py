@@ -832,18 +832,21 @@ def gopher_quality_flags(
 
     Scale shape: zero shuffle — everything is higher-order-function
     arithmetic over the token/line arrays inside one codegen scan
-    projection, exactly like :func:`quality_score`. Ratios for empty
-    documents are 0 and ``passes`` is false (min_words bound).
+    projection, exactly like :func:`quality_score`. Empty AND NULL
+    documents get 0 ratios and ``passes`` = false (min_words bound) —
+    NULL text is folded to '' up front so no metric goes NULL and a
+    boolean rejection rollup counts every document.
     """
-    words = _tokens(F.col(text_col))
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    words = _tokens(txt)
     n_words = F.size(words)
     nz = F.greatest(n_words, F.lit(1))
     mean_word_len = (
         F.aggregate(words, F.lit(0).cast("long"),
                     lambda a, w: a + F.length(w))
         / nz)
-    symbol_ratio = F.regexp_count(F.col(text_col), F.lit(r"#|\.\.\.|…")) / nz
-    lines = F.split(F.col(text_col), "\n")
+    symbol_ratio = F.regexp_count(txt, F.lit(r"#|\.\.\.|…")) / nz
+    lines = F.split(txt, "\n")
     n_lines = F.greatest(F.size(lines), F.lit(1))
     bullet_frac = (
         F.size(F.filter(

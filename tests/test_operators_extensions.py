@@ -444,16 +444,24 @@ class TestTwoPhaseQuotaSelection:
         rows = [(rng.randrange(10 ** 9), s)
                 for s, n in (("web", 700), ("books", 60), ("code", 241))
                 for _ in range(n)]
+        # a NULL key per source: the reference window ranks them FIRST
+        # (ASC NULLS FIRST) — the sentinel bucket must reproduce that
+        rows += [(None, "web"), (None, "books")]
         df = spark.createDataFrame(
             list(set(rows)), "doc_id long, source string")
         weights = {"web": 500000, "books": 300000, "code": 200000}
-        got = sorted((r["source"], r["doc_id"]) for r in
-                     sampling.mixture_resample(
-                         df, "doc_id", "source", weights).collect())
-        want = sorted((r["source"], r["doc_id"]) for r in
-                      self._reference_mixture(
-                          df, "doc_id", "source", weights).collect())
-        assert got == want and len(got) > 0
+
+        def key(r):
+            return (r["source"], r["doc_id"] is not None, r["doc_id"] or 0)
+
+        got = sorted(sampling.mixture_resample(
+            df, "doc_id", "source", weights).collect(), key=key)
+        want = sorted(self._reference_mixture(
+            df, "doc_id", "source", weights).collect(), key=key)
+        assert [key(r) for r in got] == [key(r) for r in want]
+        assert len(got) > 0
+        # the NULL-key rows themselves survived (they rank first)
+        assert any(r["doc_id"] is None for r in got)
 
     def test_mixture_skew_no_corpus_window(self, spark):
         """Plan pin: the only row_number window runs on the boundary
@@ -503,11 +511,14 @@ class TestTwoPhaseQuotaSelection:
                       rng.choice(["a", "b", "c"]),
                       rng.choice([0, 1, 5, 40, 200]))
                      for _ in range(900)})
+        rows += [(None, "a", 3), (None, "b", 7)]  # NULLS FIRST parity
         df = spark.createDataFrame(rows, "id long, g string, tok int")
+        def key(r):
+            return (r["g"], r["id"] is not None, r["id"] or 0)
+
         for budget in (1, 137, 1000):
-            got = sorted((r["g"], r["id"]) for r in
-                         sampling.token_budget_sample(
-                             df, "g", "id", "tok", budget=budget).collect())
+            got = sorted(sampling.token_budget_sample(
+                df, "g", "id", "tok", budget=budget).collect(), key=key)
             w = (Window.partitionBy("g")
                  .orderBy(_bucket(F.col("id")).asc(), F.col("id").asc())
                  .rowsBetween(Window.unboundedPreceding, -1))
@@ -516,8 +527,9 @@ class TestTwoPhaseQuotaSelection:
                 F.coalesce(F.sum(F.col("tok").cast("long")).over(w),
                            F.lit(0)))
                 .filter(F.col("__cum") < budget))
-            want = sorted((r["g"], r["id"]) for r in ref.collect())
-            assert got == want, f"budget={budget}"
+            want = sorted(ref.collect(), key=key)
+            assert [key(r) for r in got] == [key(r) for r in want], \
+                f"budget={budget}"
 
     def test_token_budget_exact_boundary_and_zero_weights(self, spark):
         """Budget landing exactly on a bucket-prefix edge, with
@@ -1982,6 +1994,10 @@ class TestLSHQualityReport:
         assert samp["n_approx"] < full["n_approx"]
         if samp["recall"] is not None and full["recall"] is not None:
             assert abs(samp["recall"] - full["recall"]) < 0.4
+        # a '50'-meaning-50% typo must raise, not run corpus-wide
+        with pytest.raises(ValueError, match="sample_fraction"):
+            dedup.lsh_quality_report(docs, "doc_id", "text",
+                                     sample_fraction=50)
 
 
 class TestCrossSourceDupMatrix:
@@ -2245,10 +2261,14 @@ class TestGopherGate:
         dots = "\n".join(f"line {i}..." for i in range(10))
         symbols = "# " * 60
         df = spark.createDataFrame(
-            [(1, good), (2, bullets), (3, dots), (4, symbols), (5, "")],
+            [(1, good), (2, bullets), (3, dots), (4, symbols), (5, ""),
+             (6, None)],
             "doc_id long, text string")
         out = {r["doc_id"]: r for r in T.gopher_quality_flags(
             df, "doc_id", "text", min_words=20).collect()}
+        # NULL text folds to '': metrics are 0/false, never NULL
+        assert out[6]["n_words"] == 0 and out[6]["passes"] is False
+        assert out[6]["symbol_ratio"] == 0.0
         assert out[1]["passes"] is True
         assert out[1]["stopword_hits"] >= 2
         assert out[2]["bullet_line_frac"] == 1.0 and not out[2]["passes"]
@@ -2314,6 +2334,18 @@ class TestStandardize:
         assert got[2][0] == pytest.approx(0.0)
         assert got[3][0] == pytest.approx(2 / sd)
         assert all(got[i][1] == 0.0 for i in (1, 2, 3))
+
+    def test_ragged_vectors_raise(self, spark):
+        """arrays_zip would silently NULL-pad a short vector against the
+        corpus stats — the guard turns that into a loud error."""
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0])],
+            "vec_id long, embedding array<double>")
+        with pytest.raises((SparkRuntimeException, Exception),
+                           match="ragged"):
+            sim.standardize(df).collect()
 
     def test_result_is_zero_mean_unit_var(self, emb):
         from spark_expectations_spark.operators import similarity as sim
