@@ -41,7 +41,7 @@ BENCH_QUERIES = [
     "docs_temperature_resample",
     # round-5 operators
     "docs_mixture_resample", "docs_gopher_gate", "docs_ngram_novelty",
-    "embed_standardize", "docs_dsir_weights",
+    "embed_standardize", "docs_dsir_weights", "docs_winsorize",
 ]
 
 

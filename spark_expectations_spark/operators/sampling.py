@@ -609,3 +609,52 @@ def temperature_resample(
     weights = {s: max(1, math.floor(scale * powf(n)))
                for s, n in counts.items()}
     return mixture_resample(df, key_col, source_col, weights)
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    *,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    out: Optional[str] = None,
+    exact: bool = True,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Per-group winsorization: clip ``score_col`` into the group's
+    [``lower``, ``upper``] quantile fences — the outlier treatment that
+    keeps rows (unlike :func:`percentile_gate`, which drops them):
+    heavy-tailed quality/length/weight features get their tails pinned
+    to the fence values so a handful of extreme documents can't
+    dominate downstream weighted sampling or normalization.
+
+    Returns ``df`` plus ``out`` (default ``{score_col}_winsorized``,
+    double — quantile fences interpolate). Same exact/approx contract
+    as :func:`percentile_gate`: ``exact=True`` matches DuckDB's
+    ``quantile_cont`` bit-for-bit on integer scores (oracle-checkable),
+    ``exact=False`` bounds aggregation state for continuous scores.
+
+    Scale shape: ONE groupBy computes both fences (map-side partials,
+    one row per group — dims), the clip join is AQE-broadcast, and the
+    clip itself is codegen ``greatest``/``least`` — corpus streams
+    map-only.
+    """
+    if not 0.0 <= lower < upper <= 1.0:
+        raise ValueError("need 0 <= lower < upper <= 1")
+    if exact:
+        lo_agg = F.percentile(F.col(score_col), F.lit(lower))
+        hi_agg = F.percentile(F.col(score_col), F.lit(upper))
+    else:
+        acc = F.lit(max(100, int(1.0 / relative_error)))
+        lo_agg = F.approx_percentile(F.col(score_col), F.lit(lower), acc)
+        hi_agg = F.approx_percentile(F.col(score_col), F.lit(upper), acc)
+    fences = df.groupBy(group_col).agg(
+        lo_agg.alias("__lo"), hi_agg.alias("__hi"))
+    clipped = F.greatest(
+        F.col("__lo").cast("double"),
+        F.least(F.col("__hi").cast("double"),
+                F.col(score_col).cast("double")))
+    return (df.join(fences, group_col)
+            .withColumn(out or f"{score_col}_winsorized", clipped)
+            .drop("__lo", "__hi"))

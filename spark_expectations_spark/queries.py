@@ -4374,6 +4374,33 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_docs_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language winsorization of document length
+    (sampling.winsorize): clip n_chars into the [0.25, 0.75] quantile
+    fences — one dims-sized fence agg, AQE-broadcast clip join,
+    codegen greatest/least. Exact-binary quantiles on integer scores
+    -> quantile_cont bit parity."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.winsorize(docs, "lang", "n_chars",
+                             lower=0.25, upper=0.75)
+    return out.select("doc_id", "lang", "n_chars",
+                      F.col("n_chars_winsorized").alias("clipped"))
+
+
+ORACLE_DOCS_WINSORIZE = r"""
+WITH fences AS (
+  SELECT lang,
+         quantile_cont(n_chars, 0.25) AS lo,
+         quantile_cont(n_chars, 0.75) AS hi
+  FROM documents GROUP BY lang)
+SELECT doc_id, d.lang, n_chars,
+       greatest(lo, least(hi, CAST(n_chars AS DOUBLE))) AS clipped
+FROM documents d JOIN fences USING (lang)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -4396,7 +4423,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_token_budget", "docs_percentile_gate", "docs_ccnet_buckets",
     "dedup_lsh_quality", "orders_status_chi2",
     "docs_gopher_gate", "docs_ngram_novelty", "embed_standardize",
-    "docs_dsir_weights",
+    "docs_dsir_weights", "docs_winsorize",
     # never driver-checked, riskiest first
     "users_scd2", "events_asof_purchase", "orders_snapshot_diff",
     "docs_incremental_dedup", "docs_pack_streams",
@@ -4409,7 +4436,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_decontaminate", "docs_clean_corpus", "docs_source_dup_matrix",
     "docs_dup_shingles", "dedup_containment", "ann_ivf_recall",
     "orders_status_drift", "lineitem_price_drift", "orders_fk_profile",
-    "lineitem_profile", "lineitem_correlations", "events_sessions",
+    "lineitem_profile", "lineitem_correlations",
 ]
 
 
@@ -4544,6 +4571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_ngram_novelty": q_docs_ngram_novelty,
     "embed_standardize": q_embed_standardize,
     "docs_dsir_weights": q_docs_dsir_weights,
+    "docs_winsorize": q_docs_winsorize,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -4668,4 +4696,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_ngram_novelty": ORACLE_DOCS_NGRAM_NOVELTY,
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
+    "docs_winsorize": ORACLE_DOCS_WINSORIZE,
 }

@@ -2391,3 +2391,44 @@ class TestDsirWeights:
                T.dsir_log_weights(df, "doc_id", "text", df).collect()}
         assert got[2]["n_tokens"] == 0
         assert got[2]["sum_logratio"] is None
+
+
+class TestWinsorize:
+    def test_clips_to_group_fences(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate([0, 10, 20, 30, 40, 1000])],
+            "g string, id int, s int")
+        out = {r["id"]: r["s_winsorized"] for r in
+               sampling.winsorize(df, "g", "s",
+                                  lower=0.25, upper=0.75).collect()}
+        # quantile_cont fences of [0,10,20,30,40,1000]: q25=12.5, q75=37.5
+        assert out[0] == 12.5 and out[1] == 12.5
+        assert out[2] == 20.0 and out[3] == 30.0
+        assert out[5] == 37.5  # the outlier is pinned, not dropped
+        assert len(out) == 6   # winsorize keeps every row
+
+    def test_per_group_and_validation(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", 1, 0), ("a", 2, 100), ("b", 3, 0), ("b", 4, 10)],
+            "g string, id int, s int")
+        out = {r["id"]: r["s_winsorized"] for r in
+               sampling.winsorize(df, "g", "s",
+                                  lower=0.0, upper=1.0).collect()}
+        assert out[2] == 100.0 and out[3] == 0.0  # identity at full range
+        with pytest.raises(ValueError):
+            sampling.winsorize(df, "g", "s", lower=0.9, upper=0.5)
+
+    def test_approx_tier_on_doubles(self, spark):
+        import random
+        from spark_expectations_spark.operators import sampling
+        rng = random.Random(17)
+        df = spark.createDataFrame(
+            [("g", i, rng.random()) for i in range(2000)],
+            "g string, id int, s double")
+        out = sampling.winsorize(df, "g", "s", lower=0.1, upper=0.9,
+                                 exact=False)
+        mm = out.agg(F.min("s_winsorized"), F.max("s_winsorized")).first()
+        assert 0.05 < mm[0] < 0.15 and 0.85 < mm[1] < 0.95
+        assert out.count() == 2000

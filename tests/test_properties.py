@@ -272,3 +272,68 @@ class TestVocabRoundTripProperty:
         got = {r["id"]: [id2tok[i] for i in r["token_ids"]] for r in enc}
         for i, d in enumerate(docs):
             assert got[i] == d, (i, d, got[i])
+
+
+class TestTwoPhaseSamplerProperties:
+    """Round-5 two-phase bucket selection vs a brute-force python
+    reference over arbitrary corpora — the kept set must be a pure
+    function of (keys, weights/budgets), bit-identical to the old
+    single-window ordering (md5 bucket asc, key asc)."""
+
+    @staticmethod
+    def _bucket(key) -> int:
+        import hashlib
+        return int(hashlib.md5(str(key).encode()).hexdigest()[:4], 16)
+
+    @given(
+        counts=st.tuples(st.integers(1, 40), st.integers(1, 40),
+                         st.integers(0, 40)),
+        weights=st.tuples(st.integers(1, 1000), st.integers(1, 1000),
+                          st.integers(1, 1000)),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_mixture_matches_bruteforce(self, spark, counts, weights):
+        import math
+        rows = [(s * 1000 + i, f"s{s}")
+                for s, n in enumerate(counts) for i in range(n)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        wm = {f"s{i}": w for i, w in enumerate(weights)}
+        from spark_expectations_spark.operators import sampling
+        got = sorted((r["source"], r["doc_id"]) for r in
+                     sampling.mixture_resample(
+                         df, "doc_id", "source", wm).collect())
+        # brute force: exact integer quotas + md5-rank selection
+        present = {s: sum(1 for _, src in rows if src == s)
+                   for s in wm if any(src == s for _, src in rows)}
+        want = []
+        if present:
+            n_b, w_b = min(((n, wm[s]) for s, n in present.items()),
+                           key=lambda t: t[0] / t[1])
+            for s, n in present.items():
+                quota = math.floor(n_b * wm[s] / w_b)
+                members = sorted(
+                    ((self._bucket(i), i) for i, src in rows if src == s))
+                want += [(s, i) for _, i in members[:quota]]
+        assert got == sorted(want)
+
+    @given(
+        toks=st.lists(st.integers(0, 50), min_size=0, max_size=30),
+        budget=st.integers(0, 400),
+    )
+    @settings(max_examples=8, deadline=None)
+    def test_token_budget_matches_bruteforce(self, spark, toks, budget):
+        rows = [(i, "g", t) for i, t in enumerate(toks)]
+        if not rows:
+            return
+        df = spark.createDataFrame(rows, "id long, g string, tok int")
+        from spark_expectations_spark.operators import sampling
+        got = sorted(r["id"] for r in sampling.token_budget_sample(
+            df, "g", "id", "tok", budget=budget).collect())
+        members = sorted((self._bucket(i), i) for i, _, _ in rows)
+        kept, cum = [], 0
+        tok_of = dict((i, t) for i, _, t in rows)
+        for _, i in members:
+            if cum < budget:
+                kept.append(i)
+            cum += tok_of[i]
+        assert got == sorted(kept)
