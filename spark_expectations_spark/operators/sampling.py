@@ -302,6 +302,25 @@ def sample_per_group(
     )
 
 
+def _quantile_agg(score_col: str, qs: Sequence[float], exact: bool,
+                  relative_error: float) -> Column:
+    """Shared quantile-threshold aggregate for percentile_gate /
+    quantile_buckets / winsorize: ALL requested quantiles from ONE
+    aggregation buffer (array-valued percentile), returned as an
+    array<double> in ``qs`` order. ``exact=True`` = Spark's exact
+    ``percentile`` (quantile_cont-interpolating; unbounded buffer on
+    continuous scores), ``exact=False`` = ``approx_percentile``
+    (Greenwald-Khanna, ~O(1/relative_error) state, picks actual data
+    values)."""
+    if relative_error <= 0:
+        raise ValueError("relative_error must be positive")
+    pct = F.lit(list(qs))
+    if exact:
+        return F.percentile(F.col(score_col), pct)
+    return F.approx_percentile(
+        F.col(score_col), pct, F.lit(max(100, int(1.0 / relative_error))))
+
+
 def percentile_gate(
     df: DataFrame,
     group_col: str,
@@ -335,13 +354,10 @@ def percentile_gate(
     """
     if keep not in ("above", "below"):
         raise ValueError("keep must be 'above' or 'below'")
-    if exact:
-        thr_agg = F.percentile(F.col(score_col), F.lit(q))
-    else:
-        thr_agg = F.approx_percentile(
-            F.col(score_col), F.lit(q),
-            F.lit(max(100, int(1.0 / relative_error))))
-    thr = df.groupBy(group_col).agg(thr_agg.alias("__thr"))
+    thr = df.groupBy(group_col).agg(
+        F.element_at(
+            _quantile_agg(score_col, [q], exact, relative_error), 1)
+        .alias("__thr"))
     cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
             else F.col(score_col) <= F.col("__thr"))
     return df.join(thr, group_col).filter(cond).drop("__thr")
@@ -420,14 +436,14 @@ def quantile_buckets(
         raise ValueError("need len(labels) == len(qs) + 1")
     if list(qs) != sorted(qs):
         raise ValueError("qs must be ascending")
-    if exact:
-        aggs = [F.percentile(F.col(score_col), F.lit(q)).alias(f"__q{i}")
-                for i, q in enumerate(qs)]
-    else:
-        acc = F.lit(max(100, int(1.0 / relative_error)))
-        aggs = [F.approx_percentile(F.col(score_col), F.lit(q), acc)
-                .alias(f"__q{i}") for i, q in enumerate(qs)]
-    thr = df.groupBy(group_col).agg(*aggs)
+    # one array-valued percentile: ALL thresholds from a single
+    # aggregation buffer instead of len(qs) independent ones
+    thr = (df.groupBy(group_col)
+           .agg(_quantile_agg(score_col, qs, exact, relative_error)
+                .alias("__qs"))
+           .select(group_col,
+                   *[F.element_at("__qs", i + 1).alias(f"__q{i}")
+                     for i in range(len(qs))]))
     col = F.lit(labels[0])
     for i in range(len(qs)):  # outermost when = highest threshold
         col = F.when(F.col(score_col) >= F.col(f"__q{i}"),
@@ -630,31 +646,37 @@ def winsorize(
     dominate downstream weighted sampling or normalization.
 
     Returns ``df`` plus ``out`` (default ``{score_col}_winsorized``,
-    double — quantile fences interpolate). Same exact/approx contract
-    as :func:`percentile_gate`: ``exact=True`` matches DuckDB's
-    ``quantile_cont`` bit-for-bit on integer scores (oracle-checkable),
-    ``exact=False`` bounds aggregation state for continuous scores.
+    double — quantile fences interpolate). NULL scores stay NULL (a
+    missing score must not come out pinned to a fence — Spark's
+    least/greatest would otherwise skip the NULL and fabricate the
+    upper fence), and NULL groups keep their rows (null-safe fence
+    join) with fences computed over the NULL group itself. Same
+    exact/approx contract as :func:`percentile_gate`; the exact tier's
+    interpolation matches DuckDB's ``quantile_cont`` bit-for-bit for
+    INTEGER scores at exact-binary quantiles (quarters, eighths — what
+    the catalog oracle uses); the 0.05/0.95 defaults are production
+    fences, not oracle-parity ones (last-ulp rounding of (n-1)·q may
+    differ across engines there).
 
-    Scale shape: ONE groupBy computes both fences (map-side partials,
-    one row per group — dims), the clip join is AQE-broadcast, and the
-    clip itself is codegen ``greatest``/``least`` — corpus streams
-    map-only.
+    Scale shape: ONE groupBy computes both fences from a SINGLE
+    array-percentile buffer (map-side partials, one row per group —
+    dims), the clip join is AQE-broadcast, and the clip itself is
+    codegen ``greatest``/``least`` — corpus streams map-only.
     """
     if not 0.0 <= lower < upper <= 1.0:
         raise ValueError("need 0 <= lower < upper <= 1")
-    if exact:
-        lo_agg = F.percentile(F.col(score_col), F.lit(lower))
-        hi_agg = F.percentile(F.col(score_col), F.lit(upper))
-    else:
-        acc = F.lit(max(100, int(1.0 / relative_error)))
-        lo_agg = F.approx_percentile(F.col(score_col), F.lit(lower), acc)
-        hi_agg = F.approx_percentile(F.col(score_col), F.lit(upper), acc)
-    fences = df.groupBy(group_col).agg(
-        lo_agg.alias("__lo"), hi_agg.alias("__hi"))
-    clipped = F.greatest(
-        F.col("__lo").cast("double"),
-        F.least(F.col("__hi").cast("double"),
-                F.col(score_col).cast("double")))
-    return (df.join(fences, group_col)
+    fences = (df.groupBy(group_col)
+              .agg(_quantile_agg(score_col, [lower, upper], exact,
+                                 relative_error).alias("__f"))
+              .select(F.col(group_col).alias("__g"),
+                      F.element_at("__f", 1).cast("double").alias("__lo"),
+                      F.element_at("__f", 2).cast("double").alias("__hi")))
+    clipped = F.when(
+        F.col(score_col).isNull(), F.lit(None).cast("double")
+    ).otherwise(
+        F.greatest(F.col("__lo"),
+                   F.least(F.col("__hi"), F.col(score_col).cast("double"))))
+    return (df.join(F.broadcast(fences),
+                    F.col(group_col).eqNullSafe(F.col("__g")))
             .withColumn(out or f"{score_col}_winsorized", clipped)
-            .drop("__lo", "__hi"))
+            .drop("__g", "__lo", "__hi"))

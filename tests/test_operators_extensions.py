@@ -2432,3 +2432,24 @@ class TestWinsorize:
         mm = out.agg(F.min("s_winsorized"), F.max("s_winsorized")).first()
         assert 0.05 < mm[0] < 0.15 and 0.85 < mm[1] < 0.95
         assert out.count() == 2000
+        with pytest.raises(ValueError, match="relative_error"):
+            sampling.winsorize(df, "g", "s", exact=False,
+                               relative_error=0.0)
+
+    def test_null_score_and_null_group_preserved(self, spark):
+        """Review findings: a NULL score must stay NULL (least/greatest
+        skip NULLs and would pin it to the upper fence), and NULL-group
+        rows must survive the fence join (null-safe equality) with
+        fences computed over the NULL group itself."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", 1, 0), ("a", 2, 100), ("a", 3, None),
+             (None, 4, 7), (None, 5, 9)],
+            "g string, id int, s int")
+        out = {r["id"]: (r["g"], r["s_winsorized"]) for r in
+               sampling.winsorize(df, "g", "s",
+                                  lower=0.0, upper=1.0).collect()}
+        assert len(out) == 5                      # nothing dropped
+        assert out[3] == ("a", None)              # NULL score preserved
+        assert out[4] == (None, 7.0)              # NULL group clipped
+        assert out[5] == (None, 9.0)              # within its own fences
