@@ -44,9 +44,12 @@ def _jaas_squote(value: str) -> str:
     """Single-quote a value for the legacy Strimzi JAAS shape. Escaping
     inside single quotes is not portably defined across JAAS parsers, so
     metacharacters are rejected outright rather than smuggled through."""
-    if any(c in value for c in ("'", ";", "\n", "\r", "\0")):
+    if any(c in value for c in ("'", "\\", ";", "\n", "\r", "\0")):
+        # backslash included: Kafka's StreamTokenizer-based JAAS parser
+        # processes \-escapes even inside single quotes, so a trailing
+        # backslash would swallow the closing quote
         raise ValueError(
-            "secret/endpoint contains a JAAS metacharacter (' ; or a "
+            "secret/endpoint contains a JAAS metacharacter (' \\ ; or a "
             "control char) unsupported in the legacy single-quoted shape; "
             "use the modern OAuth shape or rotate the credential")
     return "'" + value + "'"

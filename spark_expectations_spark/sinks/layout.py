@@ -162,8 +162,15 @@ def zorder_write(
         .select(*df.columns, "__z")
     )
     if num_files is None:
-        num_files = max(1, math.ceil(
-            max(estimated_size_bytes(df), 1) / target_file_bytes))
+        est = max(estimated_size_bytes(df), 1)
+        if est >= 1 << 60:
+            # Catalyst's no-stats fallback (defaultSizeInBytes ~ Long.MAX)
+            # would yield billions of range partitions and kill the
+            # driver — demand an explicit file count instead
+            raise ValueError(
+                "size estimate unavailable for this plan (no source "
+                "statistics); pass num_files explicitly")
+        num_files = max(1, math.ceil(est / target_file_bytes))
     (coded.repartitionByRange(num_files, "__z")
      .sortWithinPartitions("__z")
      .drop("__z")

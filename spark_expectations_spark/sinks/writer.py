@@ -228,7 +228,12 @@ def set_table_properties(
     streaming writers race on the metastore (reference writer.py:91-128)."""
     import time as _time
 
-    kv = ", ".join(f"'{k}'='{v}'" for k, v in props.items())
+    def q(s) -> str:
+        # double embedded quotes: a value like "it's v2" must not break
+        # the statement (or smuggle SQL into it)
+        return str(s).replace("'", "''")
+
+    kv = ", ".join(f"'{q(k)}'='{q(v)}'" for k, v in props.items())
     last: Optional[Exception] = None
     for attempt in range(retries):
         try:
@@ -247,9 +252,16 @@ def materialize_temp_table(
     downstream stages re-plan from a materialized scan (reference
     core/expectations.py:492-521 'break the spark plan'). Prefer
     ``df.localCheckpoint()`` (DQConfig.use_local_checkpoint) unless the
-    intermediate must survive the session."""
+    intermediate must survive the session.
+
+    The temp write always OVERWRITES: it is a per-run plan break, and
+    honoring a caller's default append mode would accumulate every
+    prior run's rows in ``{table}_temp`` and feed them back into this
+    run's input."""
+    import dataclasses
+
     tmp = f"{table}_temp"
-    write_batch(df, tmp, opts)
+    write_batch(df, tmp, dataclasses.replace(opts, mode="overwrite"))
     spark = df.sparkSession
     if opts.path:
         return spark.read.format(opts.format).load(opts.path.rstrip("/") + "/" + tmp)
@@ -333,33 +345,59 @@ def upsert_partitioned(
     4. write back with dynamic partition overwrite, so untouched
        partitions' files are left in place.
 
-    ``order_col`` (optional) deduplicates updates themselves, keeping the
-    highest value per key (e.g. an updated_at timestamp).
+    ``order_col`` (optional) deduplicates updates themselves, keeping
+    the highest value per KEY — across partitions too: a key whose
+    latest update moved it to a new partition value keeps only the
+    winner, and the partitions its LOSING rows pointed at are still
+    rewritten (so the key's old on-disk row is removed rather than
+    left as a duplicate).
+
+    Partition-move contract: moves are resolved WITHIN one ``updates``
+    batch. A key that moved in an EARLIER call keeps its old on-disk
+    row unless this batch also touches that partition — only touched
+    partitions are ever read or rewritten (that pruning is the whole
+    point at 100 TB; the table cannot be scanned for stale keys). For
+    cross-call moves, include the key's before-image row (old
+    partition value) in ``updates`` — the CDC delete+insert shape —
+    so both partitions land in the touched set.
+
+    First run bootstraps: a missing ``table_path`` is created from the
+    updates alone (same first-batch behavior as the streaming corpus
+    sink).
 
     Not transactional — a concurrent reader can see a partition mid-swap;
     table formats exist for that. The I/O shape, though, is the right
     one: cost scales with touched partitions, not table size.
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
 
     if partition_col not in updates.columns:
         raise ValueError(f"updates must carry partition column {partition_col!r}")
-    if order_col:
-        w = _dedup_window(key_cols + [partition_col], order_col)
-        updates = (updates.withColumn("_rn", F.row_number().over(w))
-                   .filter(F.col("_rn") == 1).drop("_rn"))
+    # touched partitions come from the PRE-dedup updates: a key that
+    # moved partitions must rewrite its old partition too
     touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
     if not touched:
         return
-    existing = (
-        spark.read.parquet(table_path)
-        .filter(F.col(partition_col).isin(touched))
-    )
-    merged = (
-        existing.join(updates.select(*key_cols).distinct(), list(key_cols),
-                      "left_anti")
-        .unionByName(updates.select(*existing.columns))
-    )
+    if order_col:
+        # tie-break on the partition value so equal order_col rows of a
+        # key pick a deterministic winner
+        w = _dedup_window(list(key_cols), order_col,
+                          tie_breaker=partition_col)
+        updates = (updates.withColumn("_rn", F.row_number().over(w))
+                   .filter(F.col("_rn") == 1).drop("_rn"))
+    try:
+        existing = (
+            spark.read.parquet(table_path)
+            .filter(F.col(partition_col).isin(touched))
+        )
+        merged = (
+            existing.join(updates.select(*key_cols).distinct(),
+                          list(key_cols), "left_anti")
+            .unionByName(updates.select(*existing.columns))
+        )
+    except AnalysisException:  # first run: no table yet — bootstrap
+        merged = updates
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
@@ -369,9 +407,12 @@ def upsert_partitioned(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
-def _dedup_window(partition_cols: Sequence[str], order_col: str):
+def _dedup_window(partition_cols: Sequence[str], order_col: str,
+                  *, tie_breaker: Optional[str] = None):
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    return (Window.partitionBy(*partition_cols)
-            .orderBy(F.col(order_col).desc()))
+    order = [F.col(order_col).desc()]
+    if tie_breaker:
+        order.append(F.col(tie_breaker).asc())
+    return Window.partitionBy(*partition_cols).orderBy(*order)

@@ -154,6 +154,19 @@ def windowed_topk(
     (each window's top-k lands once, at finalization). Returns the
     started StreamingQuery.
     """
+    return _start_windowed_topk(
+        df, ts_col, key_col, k=k, window=window, watermark=watermark,
+        sink=sink, checkpoint_location=checkpoint_location,
+        query_name=query_name, trigger=trigger, output_mode="complete")
+
+
+def _start_windowed_topk(df, ts_col, key_col, *, k, window, watermark,
+                         sink, checkpoint_location, query_name, trigger,
+                         output_mode):
+    """Shared body of windowed_topk / windowed_topk_append — identical
+    counts + per-batch rank + writer plumbing; only outputMode differs
+    (complete = live full rankings & unbounded state, append =
+    finalized-once rankings & watermark-bounded state)."""
     counts = tumbling_counts(
         df, ts_col, window=window, watermark=watermark,
         group_cols=(key_col,))
@@ -166,7 +179,7 @@ def windowed_topk(
         if sink is not None:
             sink(ranked, batch_id)
 
-    writer = (counts.writeStream.outputMode("complete")
+    writer = (counts.writeStream.outputMode(output_mode)
               .foreachBatch(process).queryName(query_name))
     if checkpoint_location:
         writer = writer.option("checkpointLocation", checkpoint_location)
@@ -210,25 +223,10 @@ def windowed_topk_append(
     complete mode remains the right one for a small always-current
     dashboard. Returns the started StreamingQuery.
     """
-    counts = tumbling_counts(
-        df, ts_col, window=window, watermark=watermark,
-        group_cols=(key_col,))
-
-    def process(batch_df: DataFrame, batch_id: int) -> None:
-        w = Window.partitionBy("window_start").orderBy(
-            F.col("n_events").desc(), F.col(key_col).asc())
-        ranked = (batch_df.withColumn("rk", F.row_number().over(w))
-                  .filter(F.col("rk") <= k))
-        if sink is not None:
-            sink(ranked, batch_id)
-
-    writer = (counts.writeStream.outputMode("append")
-              .foreachBatch(process).queryName(query_name))
-    if checkpoint_location:
-        writer = writer.option("checkpointLocation", checkpoint_location)
-    if trigger:
-        writer = writer.trigger(**trigger)
-    return writer.start()
+    return _start_windowed_topk(
+        df, ts_col, key_col, k=k, window=window, watermark=watermark,
+        sink=sink, checkpoint_location=checkpoint_location,
+        query_name=query_name, trigger=trigger, output_mode="append")
 
 
 def stream_stream_join(
@@ -306,7 +304,10 @@ def stateful_threshold_monitor(
     import pandas as pd  # noqa: F401
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    out_schema = (f"{key_col} long, total_failed long, "
+    # key type mirrors the input (string product ids are the norm for
+    # DQ grouping — a hardcoded long would die in Arrow conversion)
+    key_t = df.schema[key_col].dataType.simpleString()
+    out_schema = (f"{key_col} {key_t}, total_failed long, "
                   "crossed_at_batch_rows long")
     state_schema = "total long"
     timeout = (GroupStateTimeout.ProcessingTimeTimeout if timeout_minutes
@@ -384,7 +385,7 @@ def running_error_rate(
                                    StructType)
 
     out_schema = StructType([
-        StructField(key_col, LongType()),
+        StructField(key_col, df.schema[key_col].dataType),
         StructField("total_rows", LongType()),
         StructField("total_errors", LongType()),
         StructField("error_rate", DoubleType()),
@@ -423,6 +424,8 @@ def running_error_rate(
 def idempotent_foreach_batch(
     process: Callable[[DataFrame, int], None],
     state_table: str,
+    *,
+    stream_id: str = "default",
 ):
     """Wrap a foreachBatch function with batch-id dedup so sink writes are
     exactly-once across restarts.
@@ -435,10 +438,18 @@ def idempotent_foreach_batch(
     retry-hardened DDL slot the incremental-DQ watermark uses) and
     replayed batches are skipped. State is one integer per stream; the
     check is a driver-side metastore read per micro-batch.
+
+    ``stream_id`` names the CHECKPOINT LINEAGE the batch ids belong to
+    and is part of the property key. Batch ids are only monotonic
+    within one checkpoint: deleting/moving the checkpoint restarts them
+    at 0, and a stale stored id would then silently skip every batch
+    until the old maximum is exceeded. Starting over with a fresh
+    checkpoint ⇒ pass a fresh ``stream_id`` (e.g. derive it from the
+    checkpoint path).
     """
     from ..sinks.writer import get_table_properties, set_table_properties
 
-    prop = "spark_expectations.last_batch_id"
+    prop = f"spark_expectations.last_batch_id.{stream_id}"
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession

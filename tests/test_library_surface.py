@@ -421,9 +421,12 @@ class TestStreamingDQ:
     def test_stateful_threshold_monitor(self, spark):
         from spark_expectations_spark.streaming import stateful_threshold_monitor
         src = spark.readStream.format("rate").option("rowsPerSecond", "400").load()
-        # every other row fails; 2 keys accumulate failures fast
+        # every other row fails; 2 keys accumulate failures fast.
+        # STRING keys: the DQ-typical grouping column — the output schema
+        # must mirror the input key type, not assume long (r5 review fix)
         df = src.selectExpr(
-            "value % 2 as k", "cast(value % 2 = 0 as boolean) as failed")
+            "cast(value % 2 as string) as k",
+            "cast(value % 2 = 0 as boolean) as failed")
         alerts = stateful_threshold_monitor(df, "k", "failed", threshold=50)
         q = (alerts.writeStream.format("memory")
              .queryName("alert_sink").outputMode("update").start())
@@ -436,8 +439,8 @@ class TestStreamingDQ:
                     break
                 time.sleep(2)
             assert rows, "threshold crossing never emitted"
-            # only key 0 has failed=true rows; it crosses exactly once
-            assert all(r["k"] == 0 for r in rows)
+            # only key "0" has failed=true rows; it crosses exactly once
+            assert all(r["k"] == "0" for r in rows)
             assert len(rows) == 1
             assert rows[0]["total_failed"] >= 50
         finally:
@@ -1109,6 +1112,29 @@ class TestIdempotentForeachBatch:
             assert calls == ["fail", 0]
         finally:
             spark.sql("DROP TABLE IF EXISTS ifb_state2")
+
+    def test_stream_id_isolates_checkpoint_lineages(self, spark):
+        """r5 review fix: batch ids are monotonic only within one
+        checkpoint — a fresh checkpoint (ids restart at 0) must use a
+        fresh stream_id so the stale stored id doesn't swallow every
+        batch until the old max is exceeded."""
+        from spark_expectations_spark.streaming import idempotent_foreach_batch
+        spark.sql("DROP TABLE IF EXISTS ifb_state3")
+        spark.sql("CREATE TABLE ifb_state3 (dummy INT) USING parquet")
+        try:
+            calls = []
+            old = idempotent_foreach_batch(
+                lambda df, bid: calls.append(("old", bid)), "ifb_state3",
+                stream_id="ck_v1")
+            df = spark.range(2)
+            old(df, 5000)                      # long-running stream
+            fresh = idempotent_foreach_batch(
+                lambda df, bid: calls.append(("new", bid)), "ifb_state3",
+                stream_id="ck_v2")
+            fresh(df, 0)                       # new checkpoint, id reset
+            assert calls == [("old", 5000), ("new", 0)]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ifb_state3")
 
 
 class TestStreamingDriftMonitor:

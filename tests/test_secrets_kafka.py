@@ -135,6 +135,16 @@ class TestKafkaOptionSynthesis:
                 client_secret="s'; oauth.evil='1",
                 token_endpoint="https://auth/token", legacy_strimzi=True)
 
+    def test_legacy_rejects_backslash(self):
+        """r5 review fix: Kafka's StreamTokenizer JAAS parser processes
+        backslash escapes even inside single quotes — a trailing
+        backslash would swallow the closing quote."""
+        with pytest.raises(ValueError, match="metacharacter"):
+            oauth_kafka_options(
+                topic="t", bootstrap_servers="b", client_id="c",
+                client_secret="secret-ending-in\\",
+                token_endpoint="https://auth/token", legacy_strimzi=True)
+
     def test_env_dispatch_local(self):
         opts = kafka_write_options(env="local", topic="t")
         assert opts["failOnDataLoss"] == "true"

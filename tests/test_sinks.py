@@ -190,6 +190,34 @@ class TestUpsertPartitioned:
         with _pytest.raises(ValueError):
             upsert_partitioned(spark, str(tmp_path), ups, ["id"], "pt")
 
+    def test_key_moving_partitions_keeps_single_winner(self, spark, tmp_path):
+        """r5 review fix: a key whose latest update lands in a NEW
+        partition must end with exactly one live row — the loser's
+        partition is rewritten too (touched comes from pre-dedup
+        updates) and dedup runs per KEY, not per (key, partition).
+        Also: key_cols as a tuple (any Sequence[str]) must work."""
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+        path = str(tmp_path / "tbl3")
+        spark.createDataFrame([(1, "a", 10, 0), (2, "a", 20, 0)],
+                              ["id", "pt", "v", "ts"]) \
+            .write.partitionBy("pt").parquet(path)
+        updates = spark.createDataFrame(
+            [(1, "a", 11, 1), (1, "b", 12, 2)],  # key 1 moves a -> b
+            ["id", "pt", "v", "ts"])
+        upsert_partitioned(spark, path, updates, ("id",), "pt",
+                           order_col="ts")
+        got = {(r.id, r.pt, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "b", 12), (2, "a", 20)}
+
+    def test_bootstrap_creates_table(self, spark, tmp_path):
+        """First-ever run: no table on disk — the upsert bootstraps it
+        from the updates instead of failing on the read."""
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+        path = str(tmp_path / "fresh_tbl")
+        ups = spark.createDataFrame([(1, "a", 10)], ["id", "pt", "v"])
+        upsert_partitioned(spark, path, ups, ["id"], "pt")
+        assert spark.read.parquet(path).count() == 1
+
 
 class TestErrorRateTrend:
     def test_flags_only_regressed_runs(self, spark):
@@ -372,6 +400,22 @@ class TestLayout:
             layout.zorder_write(
                 df.selectExpr("id", "make_interval(0,0,0,0,0,0,id) AS iv"),
                 dst, ["iv"])
+
+    def test_zorder_refuses_unknown_size_estimate(self, spark, tmp_path,
+                                                  monkeypatch):
+        """r5 review fix: Catalyst's no-stats fallback (~Long.MAX) would
+        become billions of range partitions — zorder_write must demand
+        an explicit num_files instead of killing the driver."""
+        from spark_expectations_spark.sinks import layout
+        monkeypatch.setattr(layout, "estimated_size_bytes",
+                            lambda df: 1 << 62)
+        df = spark.createDataFrame([(1, 2)], "a long, b long")
+        with pytest.raises(ValueError, match="num_files"):
+            layout.zorder_write(df, str(tmp_path / "zu"), ["a", "b"])
+        # explicit num_files still works regardless of the estimate
+        layout.zorder_write(df, str(tmp_path / "zu"), ["a", "b"],
+                            num_files=1, bits=4)
+        assert spark.read.parquet(str(tmp_path / "zu")).count() == 1
 
     def test_clustering_report_rejects_strings_nulls_honest(self, spark, tmp_path):
         """Non-numeric columns are rejected (their min/max spans are

@@ -71,6 +71,14 @@ class TestTempTable:
         assert "Scan parquet" in out._jdf.queryExecution().simpleString() \
             or "FileScan" in out._jdf.queryExecution().executedPlan().toString()
 
+    def test_temp_write_always_overwrites(self, spark, simple3, tmp_path):
+        """r5 review fix: the temp write is a per-run plan break — a
+        caller's default append mode must not accumulate prior runs'
+        rows in {table}_temp and feed them back."""
+        opts = WriterOptions(path=str(tmp_path))  # default mode='append'
+        assert writer.materialize_temp_table(simple3, "t", opts).count() == 3
+        assert writer.materialize_temp_table(simple3, "t", opts).count() == 3
+
     def test_engine_with_temp_table(self, spark, simple3, tmp_path):
         cfg = DQConfig(
             product_id="p1", table_name="t", write_error_table=False,
@@ -93,6 +101,20 @@ class TestTableProperties:
             assert props.get("product_id") == "p1"
         finally:
             spark.sql("DROP TABLE IF EXISTS dq_test.props_t")
+
+    def test_quote_in_value_round_trips(self, spark):
+        """r5 review fix: a value containing a single quote must not
+        break (or inject into) the ALTER TABLE statement."""
+        spark.sql("CREATE DATABASE IF NOT EXISTS dq_test")
+        spark.range(1).write.mode("overwrite").saveAsTable("dq_test.props_q")
+        try:
+            writer.set_table_properties(
+                spark, "dq_test.props_q", {"note": "it's v2"},
+                retries=1, backoff_s=0.01)
+            props = writer.get_table_properties(spark, "dq_test.props_q")
+            assert props.get("note") == "it's v2"
+        finally:
+            spark.sql("DROP TABLE IF EXISTS dq_test.props_q")
 
     def test_set_retries_then_raises(self, spark):
         with pytest.raises(Exception):
