@@ -45,11 +45,21 @@ class DQEngine:
             spark: Optional[SparkSession] = None) -> DQResult:
         cfg = self.config
         spark = spark or df.sparkSession
-        if df.isStreaming:
-            return self._run_streaming(df, rules, spark)
         hub = cfg.notifications
         if hub is not None:
             hub.on_start(cfg.product_id, cfg.table_name)
+        if df.isStreaming:
+            # streaming gets the same alerting lifecycle as batch — a
+            # failed stream SETUP must page like a failed batch run
+            try:
+                result = self._run_streaming(df, rules, spark)
+            except Exception as e:
+                if hub is not None:
+                    hub.on_failure(cfg.product_id, cfg.table_name, e)
+                raise
+            if hub is not None:
+                hub.on_completion(result, list(rules))
+            return result
         result = DQResult(
             run_id=new_run_id(cfg.product_id),
             product_id=cfg.product_id,
@@ -107,7 +117,10 @@ class DQEngine:
                                    result, spark, fused_state)
         else:
             result.status["row_dq"] = "Skipped"
-            result.input_count = df.count()
+            if not result.input_count:
+                # not already fused into the source-agg job (query-only
+                # runs): one count job for the stats row
+                result.input_count = df.count()
             result.output_count = result.input_count
         result.final_df = final_df
 
@@ -176,11 +189,23 @@ class DQEngine:
         result.source_agg = res
         result.status["source_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
         if self.config.enforce_fail:
-            agg_dq.enforce_fail_action(res, "source_agg_dq")
+            try:
+                agg_dq.enforce_fail_action(res, "source_agg_dq")
+            except Exception:
+                # the run aborts before _row can release the cache
+                if self.config.cache_projected:
+                    flags.unpersist()
+                raise
         return flags, summary
 
     def _source_agg(self, df: DataFrame, rules: RuleSet, result: DQResult) -> None:
-        res = agg_dq.evaluate_agg_rules(df, rules.for_stage(AGG_DQ, target=False))
+        # with_count: this path only runs when row_dq is OFF (otherwise
+        # the fused variant handles both), so the input count rides the
+        # same aggregation job instead of a second full-table scan
+        res, n = agg_dq.evaluate_agg_rules(
+            df, rules.for_stage(AGG_DQ, target=False), with_count=True)
+        if n is not None:
+            result.input_count = int(n)
         result.source_agg = res
         result.status["source_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
         if self.config.enforce_fail:
@@ -223,21 +248,29 @@ class DQEngine:
         result.error_count = summary.error_count
         result.output_count = summary.output_count
 
-        if cfg.write_error_table and summary.error_count > 0:
-            err = writer.stamp_run_metadata(
-                row_dq.errors_from_flags(flags, stage_rules), result.run_id)
-            writer.write_batch(err, cfg.resolved_error_table(), cfg.error_writer)
-        result.error_df = row_dq.errors_from_flags(flags, stage_rules)
-
         try:
-            final = row_dq.final_from_flags(
-                flags, stage_rules, summary if cfg.enforce_fail else None)
-        except row_dq.DQRowFailError:
-            result.status["row_dq"] = "Failed"
-            raise
+            if cfg.write_error_table and summary.error_count > 0:
+                err = writer.stamp_run_metadata(
+                    row_dq.errors_from_flags(flags, stage_rules),
+                    result.run_id)
+                writer.write_batch(err, cfg.resolved_error_table(),
+                                   cfg.error_writer)
+            result.error_df = row_dq.errors_from_flags(flags, stage_rules)
+            try:
+                final = row_dq.final_from_flags(
+                    flags, stage_rules, summary if cfg.enforce_fail else None)
+            except row_dq.DQRowFailError:
+                result.status["row_dq"] = "Failed"
+                raise
+        finally:
+            # release on EVERY exit — a fail-action abort or a sink error
+            # must not leak the persisted flag frame for the driver's
+            # lifetime (NOTE: the final_df's lineage re-reads flags, but
+            # the error-table write above already consumed the cache; at
+            # test scale recomputing the projection is one fused scan)
+            if cfg.cache_projected:
+                flags.unpersist()
         result.status["row_dq"] = "Failed" if summary.error_count else "Passed"
-        if cfg.cache_projected:
-            flags.unpersist()
         return final
 
     # ------------------------------------------------------------- streaming
@@ -330,7 +363,8 @@ def reprocess_quarantine(
     the engine for those).
     """
     row_rules = (rules.of_type(ROW_DQ) if isinstance(rules, RuleSet)
-                 else [r for r in rules if r.rule_type == ROW_DQ])
+                 else [r for r in rules
+                       if r.rule_type == ROW_DQ and r.is_active])
     if not row_rules:
         raise ValueError("reprocess_quarantine needs at least one row_dq rule")
     data = error_df.drop(row_dq.META_ROW_RESULTS, row_dq.META_RUN_ID,

@@ -31,9 +31,18 @@ WATERMARK_PROP = "spark_expectations.dq_watermark"
 
 
 def get_watermark(spark: SparkSession, state_table: str) -> Optional[str]:
+    """Stored watermark, or None when there is none — INCLUDING when the
+    state table itself does not exist yet (the documented pattern keys
+    state off the stats table, which the FIRST engine run creates; a
+    missing table must mean 'full pass', not a crash)."""
     from ..sinks.writer import get_table_properties
 
-    return get_table_properties(spark, state_table).get(WATERMARK_PROP)
+    try:
+        return get_table_properties(spark, state_table).get(WATERMARK_PROP)
+    except Exception:  # TABLE_OR_VIEW_NOT_FOUND on bootstrap
+        if spark.catalog.tableExists(state_table):
+            raise
+        return None
 
 
 def set_watermark(spark: SparkSession, state_table: str, value: str) -> None:

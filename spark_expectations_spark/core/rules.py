@@ -171,24 +171,73 @@ def coerce_record(rec: Mapping[str, Any], defaults: Optional[Mapping[str, Any]] 
     return Rule(**d)
 
 
+_PLACEHOLDER_RE = re.compile(r"\{([A-Za-z_][A-Za-z0-9_]*)\}")
+
+
+def substitute_params(text: str, mapping: Mapping[str, Any]) -> str:
+    """Replace ``{name}`` placeholders for KNOWN names only. str.format
+    would crash on any literal brace — a regex quantifier ``{5}`` or map
+    literal in an otherwise param-free expectation must pass through
+    untouched (and an unknown ``{name}`` stays literal, surfacing later
+    in the SQL error with its name intact)."""
+    if not mapping:
+        return text
+    return _PLACEHOLDER_RE.sub(
+        lambda m: str(mapping[m.group(1)]) if m.group(1) in mapping
+        else m.group(0), text)
+
+
+def _split_outside_quotes(s: str, delim: str) -> list[str]:
+    """Split on ``delim`` occurrences OUTSIDE single/double-quoted SQL
+    strings — a literal '@' inside e.g. ``like '%@corp.com'`` is part of
+    the query, not a composite separator."""
+    parts: list[str] = []
+    cur: list[str] = []
+    q: Optional[str] = None
+    i, n, dn = 0, len(s), len(delim)
+    while i < n:
+        ch = s[i]
+        if q:
+            cur.append(ch)
+            if ch == q:
+                q = None
+            i += 1
+        elif ch in ("'", '"'):
+            q = ch
+            cur.append(ch)
+            i += 1
+        elif s.startswith(delim, i):
+            parts.append("".join(cur))
+            cur = []
+            i += dn
+        else:
+            cur.append(ch)
+            i += 1
+    parts.append("".join(cur))
+    return parts
+
+
 def parse_composite(rule: Rule, params: Optional[Mapping[str, Any]] = None) -> Rule:
     """Split a composite query_dq expectation.
 
     ``expr@alias1@sql1@alias2@sql2`` (delimiter configurable) becomes the
     base expectation with ``{alias}`` placeholders substituted by the
     subquery text, plus ``secondary_queries={alias: sql}`` retained for
-    custom-output capture. Mirrors reference utils/reader.py:227-257.
+    custom-output capture. The delimiter split is quote-aware (a literal
+    delimiter character inside a SQL string does not split). Mirrors
+    reference utils/reader.py:227-257.
     """
     params = dict(params or {})
     if rule.rule_type != QUERY_DQ:
         if params:
-            return replace(rule, expectation=rule.expectation.format(**params))
+            return replace(
+                rule, expectation=substitute_params(rule.expectation, params))
         return rule
     delim = rule.query_dq_delimiter or "@"
-    parts = rule.expectation.split(delim)
+    parts = _split_outside_quotes(rule.expectation, delim)
     if len(parts) == 1:
-        expectation = rule.expectation.format(**params) if params else rule.expectation
-        return replace(rule, expectation=expectation)
+        return replace(
+            rule, expectation=substitute_params(rule.expectation, params))
     if len(parts) % 2 == 0:
         raise DQRuleError(
             f"rule {rule.rule!r}: composite expectation needs alias/query pairs"
@@ -197,15 +246,19 @@ def parse_composite(rule: Rule, params: Optional[Mapping[str, Any]] = None) -> R
     secondary: dict[str, str] = {}
     for i in range(1, len(parts), 2):
         alias, sql = parts[i].strip(), parts[i + 1]
-        secondary[alias] = sql.format(**params) if params else sql
-    expectation = base.format(**{**secondary, **params})
+        secondary[alias] = substitute_params(sql, params)
+    expectation = substitute_params(base, {**secondary, **params})
     return replace(rule, expectation=expectation, secondary_queries=secondary)
 
 
 _AGG_FN_RE = re.compile(
-    r"\b(sum|avg|mean|min|max|count|stddev|stddev_pop|stddev_samp|variance|"
-    r"var_pop|var_samp|percentile_approx|approx_percentile|collect_list|"
-    r"collect_set|first|last|corr|covar_pop|covar_samp|median|mode|any_value)"
+    r"\b(sum|sum_distinct|avg|mean|min|max|min_by|max_by|count|count_if|"
+    r"count_distinct|approx_count_distinct|stddev|stddev_pop|stddev_samp|"
+    r"variance|var_pop|var_samp|skewness|kurtosis|percentile|"
+    r"percentile_approx|percentile_cont|percentile_disc|approx_percentile|"
+    r"collect_list|collect_set|first|last|corr|covar_pop|covar_samp|"
+    r"median|mode|any_value|bool_and|bool_or|every|some|any|"
+    r"bit_and|bit_or|bit_xor)"
     r"\s*\(",
     re.IGNORECASE,
 )
@@ -260,7 +313,8 @@ class RuleSet:
         for rec in records:
             rule = coerce_record(rec, defaults)
             if params and "{" in rule.table_name:
-                rule = replace(rule, table_name=rule.table_name.format(**params))
+                rule = replace(rule, table_name=substitute_params(
+                    rule.table_name, params))
             out.append(parse_composite(rule, params))
         return cls(out)
 

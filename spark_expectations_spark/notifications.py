@@ -202,6 +202,7 @@ def format_notification_text(event: Event, payload: dict[str, Any]) -> str:
         "failure": "Spark expectations run FAILED",
         "error_threshold": "Error threshold breached",
         "rule_threshold": "Rule error-drop threshold breached",
+        "ignored_rules": "Ignore-action rules failed silently",
     }.get(event, event)
     lines = [head]
     for k in ("product_id", "table_name", "run_id", "input_count",
@@ -216,6 +217,11 @@ def format_notification_text(event: Event, payload: dict[str, Any]) -> str:
             lines.append(
                 f"breach: rule={b['rule']} failed={b['failed_count']} "
                 f"threshold={b['threshold_pct']}%")
+    if "ignored" in payload:
+        for g in payload["ignored"]:
+            lines.append(
+                f"ignored: rule={g['rule']} failed={g['failed_count']} "
+                f"priority={g['priority']}")
     if "error" in payload:
         lines.append(f"error: {payload['error']}")
     return "\n".join(lines)

@@ -109,6 +109,13 @@ def parse_expectation(expectation: str) -> Optional[ParsedExpectation]:
         # guard against `case when ... between` on the right of a comparison
         found = _find_top_level_op(expectation[: m.start()])
         if not found:
+            # 'x NOT between lo and hi': the NOT belongs to the operator,
+            # not the measured expression (F.expr('avg(age) not') would
+            # crash the whole agg stage)
+            neg = re.search(r"(?i)\bnot\s*$", left)
+            if neg:
+                return ParsedExpectation(left[: neg.start()].strip(),
+                                         "not between", rest)
             return ParsedExpectation(left, "between", rest)
     found = _find_top_level_op(expectation)
     if not found:
@@ -187,13 +194,21 @@ def results_from_row(
     return out
 
 
-def evaluate_agg_rules(df: DataFrame, rules: Sequence[Rule]) -> list[AggRuleResult]:
-    """All agg rules in one ``df.agg`` job."""
+def evaluate_agg_rules(
+    df: DataFrame, rules: Sequence[Rule], *, with_count: bool = False,
+):
+    """All agg rules in one ``df.agg`` job. With ``with_count`` the same
+    job also returns the table row count (``(results, n_rows)``) — the
+    engine fuses its input_count here when the row stage is skipped, so
+    an agg-only run still costs ONE scan."""
     if not rules:
-        return []
+        return ([], None) if with_count else []
     exprs, parsed = rule_agg_exprs(rules)
+    if with_count:
+        exprs = [F.count(F.lit(1)).alias("__n_rows")] + exprs
     row = df.agg(*exprs).first()
-    return results_from_row(rules, parsed, row)
+    res = results_from_row(rules, parsed, row)
+    return (res, row["__n_rows"]) if with_count else res
 
 
 def evaluate_agg_rules_df(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:

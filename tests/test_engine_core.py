@@ -451,3 +451,143 @@ class TestReprocessQuarantine:
         with pytest.raises(ValueError):
             reprocess_quarantine(
                 df, [Rule("p", "t", "agg_dq", "c", "", "count(*) > 0")])
+
+
+class TestRound5ReviewFixes:
+    """Regressions for the round-5 core/notifications review findings."""
+
+    def test_not_between_agg_rule_runs(self, spark, lineitem):
+        """'x NOT between lo and hi' must evaluate (the NOT belongs to
+        the operator — F.expr('avg(x) not') crashed the whole stage)."""
+        from spark_expectations_spark.operators.agg_dq import (
+            evaluate_agg_rules, parse_expectation)
+        p = parse_expectation("avg(l_quantity) not between 100 and 200")
+        assert p.source_expr == "avg(l_quantity)"
+        assert p.op == "not between"
+        res = evaluate_agg_rules(lineitem, [Rule(
+            "p", "t", "agg_dq", "nb", "l_quantity",
+            "avg(l_quantity) not between 100 and 200")])
+        assert res[0].status == "pass"          # avg ~25, outside [100,200]
+        assert res[0].actual_value is not None  # measured value extracted
+
+    def test_params_leave_literal_braces_alone(self, spark):
+        """A regex quantifier {5} in an expectation must survive params
+        substitution (str.format crashed on it)."""
+        from spark_expectations_spark import RuleSet
+        rs = RuleSet.from_records(
+            [{"product_id": "p", "table_name": "t_{env}",
+              "rule_type": "row_dq", "rule": "zip",
+              "column_name": "z", "expectation": r"z rlike '^[0-9]{5}$'"}],
+            params={"env": "prod"})
+        assert rs.rules[0].table_name == "t_prod"
+        assert rs.rules[0].expectation == r"z rlike '^[0-9]{5}$'"
+        df = spark.createDataFrame([("12345",), ("abc",)], "z string")
+        from spark_expectations_spark.operators import row_dq
+        flags = row_dq.project_flags(df, rs.rules)
+        assert flags.filter(row_dq._any_flag(rs.rules)).count() == 1
+
+    def test_composite_delimiter_inside_quotes(self):
+        """A literal '@' inside a SQL string is not a composite split."""
+        from spark_expectations_spark.core.rules import parse_composite
+        r = Rule("p", "t", "query_dq", "corp", "",
+                 "(select count(*) from users where email like '%@corp.com') = 0")
+        out = parse_composite(r)
+        assert out.expectation == r.expectation
+        assert not out.secondary_queries
+        # real composites still split
+        r2 = Rule("p", "t", "query_dq", "c2", "",
+                  "{a} = 0@a@select count(*) from t where s like '%@x%'")
+        out2 = parse_composite(r2)
+        assert out2.secondary_queries == {
+            "a": "select count(*) from t where s like '%@x%'"}
+        assert out2.expectation == \
+            "select count(*) from t where s like '%@x%' = 0"
+
+    def test_looks_aggregate_modern_functions(self):
+        from spark_expectations_spark.core.rules import looks_aggregate
+        for e in ("count_if(l_quantity < 0) = 0",
+                  "approx_count_distinct(id) > 1000",
+                  "percentile(x, 0.5) < 10",
+                  "bool_and(ok)", "max_by(a, b) = 1", "skewness(v) < 2"):
+            assert looks_aggregate(e), e
+        assert not looks_aggregate("col1 > 5")
+
+    def test_incremental_bootstraps_without_state_table(self, spark, lineitem):
+        """First incremental run: the state table (the stats table the
+        engine itself creates) does not exist yet — must mean 'no mark,
+        full pass', not TABLE_OR_VIEW_NOT_FOUND."""
+        from spark_expectations_spark.core.incremental import get_watermark
+        spark.sql("DROP TABLE IF EXISTS nonexistent_state_tbl")
+        assert get_watermark(spark, "nonexistent_state_tbl") is None
+
+    def test_streaming_run_fires_notifications(self, spark, tmp_path):
+        from spark_expectations_spark.notifications import (
+            NotificationHub, NotificationRules)
+        events = []
+        hub = NotificationHub(NotificationRules(notify_on_start=True, notify_on_completion=True))
+        hub.register(lambda ev, payload: events.append(ev))
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "10").load()
+               .selectExpr("value as col1"))
+        cfg = DQConfig(product_id="p", table_name="t",
+                       write_error_table=False, notifications=hub)
+        rules = RuleSet([Rule("p", "t", "row_dq", "pos", "col1",
+                              "col1 >= 0", action_if_failed="drop")])
+        res = DQEngine(cfg).run(src, rules, spark)
+        assert res.final_df.isStreaming
+        assert "start" in events and "completion" in events
+
+    def test_ignored_digest_text_renders_rules(self):
+        from spark_expectations_spark.notifications import (
+            format_notification_text)
+        txt = format_notification_text("ignored_rules", {
+            "product_id": "p", "ignored": [
+                {"rule": "qty", "failed_count": 7, "priority": "high"}]})
+        assert "Ignore-action rules failed silently" in txt
+        assert "rule=qty" in txt and "failed=7" in txt
+
+    def test_cache_projected_released_on_fail_action(self, spark, simple3):
+        from spark_expectations_spark.operators.row_dq import DQRowFailError
+        jsc = spark.sparkContext._jsc.sc()
+
+        def ids():
+            it = jsc.getPersistentRDDs().keys().iterator()
+            s = set()
+            while it.hasNext():
+                s.add(it.next())
+            return s
+
+        before = ids()
+        cfg = DQConfig(product_id="p", table_name="t",
+                       write_error_table=False, cache_projected=True)
+        rules = RuleSet([Rule("p", "t", "row_dq", "big", "col1",
+                              "col1 > 100", action_if_failed="fail")])
+        with pytest.raises(DQRowFailError):
+            DQEngine(cfg).run(simple3, rules, spark)
+        assert not (ids() - before), "flag cache leaked on fail action"
+
+    def test_reprocess_list_skips_inactive_rules(self, spark):
+        from spark_expectations_spark import reprocess_quarantine
+        from spark_expectations_spark.operators import row_dq
+        active = Rule("p", "t", "row_dq", "pos", "v", "v > 0",
+                      action_if_failed="drop")
+        disabled = Rule("p", "t", "row_dq", "old", "v", "v > 100",
+                        action_if_failed="drop", is_active=False)
+        df = spark.createDataFrame([(1, 50), (2, -5)], "id long, v long")
+        flags = row_dq.project_flags(df, [active, disabled])
+        q = row_dq.errors_from_flags(flags, [active, disabled])
+        # plain list: the disabled rule must not keep row id=1 quarantined
+        rec, still = reprocess_quarantine(q, [active, disabled])
+        assert {r["id"] for r in rec.collect()} == {1}
+        assert {r["id"] for r in still.collect()} == {2}
+
+    def test_agg_only_run_counts_without_extra_scan(self, spark, lineitem):
+        """Agg-only rule set: input_count rides the agg job (fused
+        count) and matches the table size."""
+        cfg = DQConfig(product_id="p", table_name="t",
+                       write_error_table=False)
+        rules = RuleSet([Rule("p", "t", "agg_dq", "cnt", "",
+                              "count(*) > 0")])
+        res = DQEngine(cfg).run(lineitem, rules, spark)
+        assert res.input_count == lineitem.count()
+        assert res.status["row_dq"] == "Skipped"
