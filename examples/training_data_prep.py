@@ -1,8 +1,10 @@
 """Training-data prep over the documents corpus: quality profiling,
 near-duplicate detection (MinHash LSH), deterministic splits, eval-set
 decontamination, concat-and-chunk sequence packing, CCNet quantile
-buckets, SemDeDup semantic dedup, vocab/token-id encoding, and a
-deterministic epoch shuffle.
+buckets, SemDeDup semantic dedup, vocab/token-id encoding, a
+deterministic epoch shuffle, the Gopher composite gate, DSIR
+target-domain reweighting, domain-mixture resampling, per-language
+winsorization, and n-gram novelty scoring.
 
     python examples/training_data_prep.py [sf_dir]
 """
@@ -96,6 +98,36 @@ def main() -> None:
     addressed = sampling.epoch_shuffle(clean_train, "doc_id",
                                        seed=0, num_shards=8)
     addressed.groupBy("shard").count().orderBy("shard").show(8)
+
+    # ---- round-5 additions ------------------------------------------------
+    # Gopher composite gate: every sub-signal + verdict in one projection
+    gate = text.gopher_quality_flags(docs, "doc_id", "text",
+                                     min_words=20, min_stop_hits=1)
+    n_pass = gate.filter("passes").count()
+    print(f"gopher gate: {docs.count()} docs -> {n_pass} pass")
+
+    # DSIR: reweight the crawl toward an English 'target domain'
+    target = docs.filter(F.col("lang") == "en")
+    dsir = text.dsir_log_weights(docs, "doc_id", "text", target)
+    top = dsir.orderBy(F.desc("avg_logratio")).limit(3).collect()
+    print("dsir most-target-like:", [r["doc_id"] for r in top])
+
+    # domain mixture at 60/30/10 with two-phase quota selection
+    mix = sampling.mixture_resample(
+        docs, "doc_id", "source",
+        {"src0": 600000, "src1": 300000, "src2": 100000})
+    mix.groupBy("source").count().orderBy("source").show()
+
+    # winsorize per-language document length before weighted sampling
+    capped = sampling.winsorize(docs, "lang", "n_chars",
+                                lower=0.05, upper=0.95)
+    stats = capped.agg(F.max("n_chars"), F.max("n_chars_winsorized")).first()
+    print(f"winsorize: raw max {stats[0]} -> capped max {stats[1]}")
+
+    # novelty: how much fresh content does each doc contribute?
+    nov = dedup.ngram_novelty(docs, "doc_id", "text")
+    print("mean novelty:",
+          round(nov.agg(F.avg("novelty")).first()[0], 3))
     spark.stop()
 
 
