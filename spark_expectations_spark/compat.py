@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Optional, Union
 from pyspark.sql import DataFrame
 
 from .core.engine import DQEngine
-from .core.rules import RuleSet
+from .core.rules import RuleSet, _as_bool
 from .core.state import DQConfig, WriterOptions
 from .notifications import (NotificationHub, NotificationRules,
                             console_notifier, email_notifier,
@@ -105,16 +105,22 @@ class SparkExpectations:
         conf = dict(user_conf or {})
         params = dict(conf.get(SE_DQ_RULES_PARAMS, {}) or {})
 
+        # user_conf values arrive as STRINGS from JSON/properties/
+        # spark-submit --conf — bool('false') is True, so every boolean
+        # key goes through the same lenient coercion the rule loader
+        # uses, and the threshold through float()
+        def b(key: str, default: bool) -> bool:
+            return _as_bool(conf.get(key), default)
+
+        thr = conf.get(SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD)
         hub = None
         notif = NotificationRules(
-            notify_on_start=bool(conf.get(SE_NOTIFICATIONS_ON_START, False)),
-            notify_on_completion=bool(
-                conf.get(SE_NOTIFICATIONS_ON_COMPLETION, False)),
-            notify_on_failure=bool(conf.get(SE_NOTIFICATIONS_ON_FAIL, True)),
-            error_threshold_pct=conf.get(
-                SE_NOTIFICATIONS_ON_ERROR_DROP_THRESHOLD),
-            notify_on_ignored_rules=bool(
-                conf.get(SE_NOTIFICATIONS_ON_IGNORED_RULES, False)),
+            notify_on_start=b(SE_NOTIFICATIONS_ON_START, False),
+            notify_on_completion=b(SE_NOTIFICATIONS_ON_COMPLETION, False),
+            notify_on_failure=b(SE_NOTIFICATIONS_ON_FAIL, True),
+            error_threshold_pct=float(thr) if thr is not None else None,
+            notify_on_ignored_rules=b(SE_NOTIFICATIONS_ON_IGNORED_RULES,
+                                      False),
             min_priority=str(
                 conf.get(SE_NOTIFICATIONS_MIN_PRIORITY_SLACK, "low")),
         )
@@ -132,10 +138,10 @@ class SparkExpectations:
             (SE_NOTIFICATIONS_ENABLE_PAGERDUTY,
              SE_NOTIFICATIONS_PAGERDUTY_WEBHOOK_URL, None),
         ):
-            if conf.get(enable_key) and conf.get(url_key):
+            if b(enable_key, False) and conf.get(url_key):
                 channels.append(
                     webhook_notifier(str(conf[url_key]), headers=headers))
-        if (conf.get(SE_NOTIFICATIONS_ENABLE_EMAIL)
+        if (b(SE_NOTIFICATIONS_ENABLE_EMAIL, False)
                 and conf.get(SE_NOTIFICATIONS_EMAIL_SMTP_HOST)):
             channels.append(email_notifier(
                 str(conf[SE_NOTIFICATIONS_EMAIL_SMTP_HOST]),
@@ -161,15 +167,15 @@ class SparkExpectations:
         stats_writer = (self.stats_table_writer.build()
                         if self.stats_table_writer
                         else WriterOptions(mode="append"))
-        detailed = bool(conf.get(SE_ENABLE_AGG_DQ_DETAILED_RESULT, False)
-                        or conf.get(SE_ENABLE_QUERY_DQ_DETAILED_RESULT, False))
+        detailed = (b(SE_ENABLE_AGG_DQ_DETAILED_RESULT, False)
+                    or b(SE_ENABLE_QUERY_DQ_DETAILED_RESULT, False))
 
         cfg = DQConfig(
             product_id=self.product_id,
             table_name=target_table,
             params=params,
             target_view=target_table_view,
-            write_error_table=bool(conf.get(SE_ENABLE_ERROR_TABLE, True)),
+            write_error_table=b(SE_ENABLE_ERROR_TABLE, True),
             error_writer=table_writer,
             write_stats_table=True,
             stats_table=self.stats_table,

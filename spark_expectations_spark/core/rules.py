@@ -265,10 +265,46 @@ _AGG_FN_RE = re.compile(
 _OVER_RE = re.compile(r"\)\s*over\s*\(", re.IGNORECASE)
 
 
+def _blank_string_literals(s: str) -> str:
+    """Replace the CONTENTS of single/double-quoted literals with spaces
+    (length-preserving) so regex probes don't match text inside them —
+    ``col rlike 'sum(.*'`` contains no aggregate."""
+    out, q = [], None
+    for ch in s:
+        if q:
+            if ch == q:
+                q = None
+                out.append(ch)
+            else:
+                out.append(" ")
+        elif ch in ("'", '"'):
+            q = ch
+            out.append(ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def strip_scalar_subqueries(s: str) -> str:
+    """Remove balanced ``(select ...)`` spans: an aggregate INSIDE a
+    scalar subquery is not a top-level aggregate (``amount <= (select
+    max(cap) from limits)`` is a legitimate row_dq predicate)."""
+    res = s
+    while True:
+        m = re.search(r"\(\s*select\b", res, re.IGNORECASE)
+        if not m:
+            return res
+        end = _matching_paren(res, m.start())
+        if end is None:
+            return res
+        res = res[: m.start()] + " __subq__ " + res[end + 1:]
+
+
 def looks_aggregate(expectation: str) -> bool:
     """True if the expression contains a top-level aggregate function call
-    (window-function ``over(...)`` uses do not count)."""
-    stripped = _OVER_RE.sub(") __over__ (", expectation)
+    (window-function ``over(...)`` uses and text inside string literals
+    do not count)."""
+    stripped = _OVER_RE.sub(") __over__ (", _blank_string_literals(expectation))
     # remove window'd agg calls: any agg immediately followed by __over__
     for m in reversed(list(_AGG_FN_RE.finditer(stripped))):
         end = _matching_paren(stripped, m.end() - 1)
@@ -331,11 +367,21 @@ class RuleSet:
         if product_id is not None:
             df = df.filter(df["product_id"] == product_id)
         if table_name is not None:
-            df = df.filter(df["table_name"] == table_name)
+            cond = df["table_name"] == table_name
+            if params:
+                # stored names may carry {param} placeholders ('{env}_db.t')
+                # that only match AFTER substitution — admit them here and
+                # re-filter post-substitution below (the exact-match rows
+                # still prune Spark-side)
+                cond = cond | df["table_name"].contains("{")
+            df = df.filter(cond)
         if "is_active" in df.columns:
             df = df.filter(df["is_active"].cast("boolean"))
         rows = [r.asDict() for r in df.collect()]
-        return cls.from_records(rows, params=params)
+        rs = cls.from_records(rows, params=params)
+        if table_name is not None and params:
+            rs = cls([r for r in rs.rules if r.table_name == table_name])
+        return rs
 
     def __len__(self) -> int:
         return len(self.rules)

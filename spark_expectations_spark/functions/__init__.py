@@ -57,13 +57,19 @@ def in_range(column: str, lo, hi) -> str:
     return f"{column} between {lo} and {hi}"
 
 
+def _q(v) -> str:
+    """SQL single-quote a literal, doubling embedded quotes — a value
+    like O'Brien must not break (or inject into) the expectation."""
+    return "'" + str(v).replace("'", "''") + "'"
+
+
 def in_set(column: str, values: Sequence[str]) -> str:
-    quoted = ", ".join(f"'{v}'" for v in values)
+    quoted = ", ".join(_q(v) for v in values)
     return f"{column} in ({quoted})"
 
 
 def matches(column: str, pattern: str) -> str:
-    return f"{column} rlike '{pattern}'"
+    return f"{column} rlike {_q(pattern)}"
 
 
 def unique(*key_columns: str) -> str:
@@ -72,7 +78,7 @@ def unique(*key_columns: str) -> str:
 
 
 def date_parseable(column: str, fmt: str = "M/d/yyyy") -> str:
-    return f"try_to_timestamp({column}, '{fmt}') is not null"
+    return f"try_to_timestamp({column}, {_q(fmt)}) is not null"
 
 
 def castable(column: str, to_type: str) -> str:

@@ -30,19 +30,58 @@ def has_pushed_filters(df: DataFrame) -> bool:
 
 
 def read_schema_columns(df: DataFrame) -> list[str]:
-    """Columns actually read from the scan (column pruning check)."""
+    """TOP-LEVEL columns actually read from the scan (column pruning
+    check). Parses the ReadSchema struct with bracket/paren awareness:
+    ``decimal(12,2)`` commas and nested ``struct<...>`` fields must not
+    be mistaken for column separators."""
     txt = plan_text(df)
-    m = re.search(r"ReadSchema: struct<([^>]*)>", txt)
+    m = re.search(r"ReadSchema: struct<", txt)
     if not m:
         return []
-    return [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    # bracket-matched body of the outer struct<...>
+    start = m.end()
+    depth, i = 1, start
+    while i < len(txt) and depth:
+        if txt[i] == "<":
+            depth += 1
+        elif txt[i] == ">":
+            depth -= 1
+        i += 1
+    body = txt[start:i - 1]
+    cols, cur, d = [], [], 0
+    for ch in body:
+        if ch in "<(":
+            d += 1
+        elif ch in ">)":
+            d -= 1
+        if ch == "," and d == 0:
+            cols.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    cols.append("".join(cur))
+    return [c.split(":")[0].strip() for c in cols if c.strip()]
 
 
 def num_shuffles(df: DataFrame) -> int:
-    """Count shuffle exchanges in the physical plan (AQE-planned frames
-    report the initial plan; still a sound upper bound at plan time)."""
+    """Count KEY-partitioning shuffle exchanges (hash/range) in the
+    physical plan. Deliberately excludes RoundRobinPartitioning (the
+    module's own ``fan_out`` adds one on purpose for small inputs) and
+    SinglePartition collapses (1-row aggregates) — count those with
+    :func:`num_exchanges` when a pin needs EVERY exchange. NOT a sound
+    upper bound on all data movement for that reason."""
     txt = plan_text(df, "simple")
     return txt.count("Exchange hashpartitioning") + txt.count("Exchange rangepartitioning")
+
+
+def num_exchanges(df: DataFrame) -> int:
+    """Count EVERY shuffle exchange — hash, range, round-robin, and
+    single-partition — excluding broadcast exchanges (which move dims,
+    not the corpus). The strict companion to :func:`num_shuffles`."""
+    txt = plan_text(df, "simple")
+    return len(re.findall(r"\bExchange (?!.*IdentityBroadcastMode)"
+                          r"(hashpartitioning|rangepartitioning|"
+                          r"RoundRobinPartitioning|SinglePartition)", txt))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -73,8 +112,12 @@ def whole_stage_codegen_spans(df: DataFrame, *, execute: bool = True) -> int:
     (noop sink) and counts distinct codegen ids in the executed plan."""
     if execute:
         # must run THIS frame's own QueryExecution (a noop .write wraps
-        # the plan in a fresh one and leaves this one un-finalized)
-        df.collect()
+        # the plan in a fresh one and leaves this one un-finalized).
+        # Drained through toLocalIterator: executes every partition but
+        # holds one at a time on the driver — collect() on a corpus-
+        # sized frame would OOM the driver this module exists to protect
+        for _ in df.toLocalIterator():
+            pass
     txt = df._jdf.queryExecution().executedPlan().toString()
     ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", txt))
     if ids:

@@ -75,9 +75,16 @@ def rules_from_doc(
         # env blocks: case-insensitive key lookup (reference _flatten.py:166-187)
         env_overrides: dict[str, Any] = {}
         if env is not None and isinstance(d.get("dq_env"), dict):
-            for k, v in d["dq_env"].items():
-                if str(k).lower() == env.lower() and isinstance(v, dict):
-                    env_overrides = v
+            matches = [k for k in d["dq_env"]
+                       if str(k).lower() == env.lower()
+                       and isinstance(d["dq_env"][k], dict)]
+            if len(matches) > 1:
+                # two keys differing only by case: dict-iteration order
+                # silently picking one is a config landmine — refuse
+                raise DQRuleError(
+                    f"ambiguous dq_env blocks for env {env!r}: {matches}")
+            if matches:
+                env_overrides = d["dq_env"][matches[0]]
         for r in d["rules"]:
             if not isinstance(r, dict):
                 raise DQRuleError("each rule must be a mapping")

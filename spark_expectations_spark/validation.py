@@ -22,7 +22,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
-from .core.rules import AGG_DQ, QUERY_DQ, ROW_DQ, Rule, looks_aggregate
+from .core.rules import (AGG_DQ, QUERY_DQ, ROW_DQ, Rule, looks_aggregate,
+                         strip_scalar_subqueries)
 
 
 @dataclass
@@ -74,6 +75,10 @@ def validate_rule(spark: SparkSession, rule: Rule) -> list[ValidationIssue]:
         issues.append(ValidationIssue(rule.rule, "error", f"unparseable: {err}"))
         return issues
     is_agg = looks_aggregate(e)
+    # an aggregate INSIDE a scalar subquery is fine in a row rule:
+    # `amount <= (select max(cap) from limits)` is a per-row predicate
+    if rule.rule_type == ROW_DQ and is_agg:
+        is_agg = looks_aggregate(strip_scalar_subqueries(e))
     if rule.rule_type == ROW_DQ and is_agg:
         issues.append(ValidationIssue(
             rule.rule, "error",

@@ -62,7 +62,12 @@ AGG_PATTERNS = [
 
 @pytest.fixture(scope="module")
 def li(spark):
-    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    # unpersist at module teardown: a lingering cached relation replaces
+    # LATER parquet scans of the same file with InMemoryRelation, which
+    # silently defeats the pushdown/pruning plan pins in other modules
+    df = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").cache()
+    yield df
+    df.unpersist()
 
 
 class TestDocumentedRowPatterns:
@@ -180,3 +185,120 @@ class TestRulesDocExamples:
             if errors:
                 bad.append((rule_type, expr, errors[0].message))
         assert not bad, bad
+
+
+class TestRound5SurfaceFixes:
+    """Regressions for the plans/functions/sources/compat review pass."""
+
+    def test_in_set_matches_escape_quotes(self, spark):
+        from spark_expectations_spark import functions as fn
+        e = fn.in_set("name", ["O'Brien", "X"])
+        df = spark.createDataFrame([("O'Brien",), ("Y",)], "name string")
+        from pyspark.sql import functions as F
+        assert df.filter(F.expr(e)).count() == 1
+        e2 = fn.matches("s", "it's")
+        df2 = spark.createDataFrame([("it's",), ("its",)], "s string")
+        assert df2.filter(F.expr(e2)).count() == 1
+
+    def test_from_df_substitutes_placeholder_table_names(self, spark):
+        """Rules stored with '{env}_db.t' table names must be found when
+        filtering by the SUBSTITUTED name (they were filtered out before
+        substitution ever ran)."""
+        from spark_expectations_spark import RuleSet
+        rows = [("p", "{env}_db.sales", "row_dq", "r1", "c", "c > 0",
+                 "ignore", True),
+                ("p", "other_db.t", "row_dq", "r2", "c", "c > 0",
+                 "ignore", True)]
+        df = spark.createDataFrame(
+            rows, "product_id string, table_name string, rule_type string, "
+                  "rule string, column_name string, expectation string, "
+                  "action_if_failed string, is_active boolean")
+        rs = RuleSet.from_df(df, product_id="p",
+                             table_name="prod_db.sales",
+                             params={"env": "prod"})
+        assert [r.rule for r in rs.rules] == ["r1"]
+        assert rs.rules[0].table_name == "prod_db.sales"
+        # and without params the exact-match path is unchanged
+        rs2 = RuleSet.from_df(df, product_id="p", table_name="other_db.t")
+        assert [r.rule for r in rs2.rules] == ["r2"]
+
+    def test_row_rule_with_scalar_subquery_aggregate_validates(self, spark):
+        from spark_expectations_spark import Rule
+        from spark_expectations_spark.validation import validate_rule
+        r = Rule("p", "t", "row_dq", "cap", "amount",
+                 "amount <= (select max(cap) from limits_view)")
+        issues = validate_rule(spark, r)
+        assert not [i for i in issues if i.severity == "error"], issues
+
+    def test_agg_inside_string_literal_not_aggregate(self):
+        from spark_expectations_spark.core.rules import looks_aggregate
+        assert not looks_aggregate("col rlike 'sum(.*'")
+        assert looks_aggregate("sum(x) > 0")
+
+    def test_ambiguous_case_env_blocks_raise(self, tmp_path):
+        from spark_expectations_spark.core.rules import DQRuleError
+        from spark_expectations_spark.sources.loaders import load_rules
+        p = tmp_path / "r.yaml"
+        p.write_text(
+            "product_id: p\n"
+            "rules:\n"
+            "  - {table_name: t, rule_type: row_dq, rule: r1,"
+            " column_name: c, expectation: c > 0}\n"
+            "dq_env:\n"
+            "  Prod: {is_active: true}\n"
+            "  prod: {is_active: false}\n")
+        with pytest.raises(DQRuleError, match="ambiguous"):
+            load_rules(str(p), env="prod")
+
+    def test_read_schema_columns_decimal_and_nested(self, spark, tmp_path):
+        from spark_expectations_spark import plans
+        p = str(tmp_path / "dec")
+        spark.sql(
+            "select cast(1.5 as decimal(12,2)) as price, "
+            "cast(2 as decimal(10,0)) as qty, "
+            "named_struct('x', 1, 'y', 2) as nested, 3 as plain"
+        ).write.parquet(p)
+        df = spark.read.parquet(p).select("price", "qty", "nested", "plain")
+        df.write.format("noop").mode("overwrite").save()
+        cols = plans.read_schema_columns(df)
+        assert set(cols) == {"price", "qty", "nested", "plain"}
+
+    def test_num_exchanges_counts_round_robin(self, spark):
+        from spark_expectations_spark import plans
+        df = spark.range(100).repartition(8)
+        assert plans.num_shuffles(df) == 0       # by design: key shuffles only
+        assert plans.num_exchanges(df) == 1      # strict counter sees it
+
+    def test_compat_string_user_conf_values(self, spark):
+        """user_conf from JSON/--conf arrives string-typed: 'false' must
+        disable, and a string threshold must not crash on_completion."""
+        from spark_expectations_spark.compat import SparkExpectations
+        rows = [("p", "t", "row_dq", "r1", "col1", "col1 > 0",
+                 "ignore", True)]
+        rules_df = spark.createDataFrame(
+            rows, "product_id string, table_name string, rule_type string, "
+                  "rule string, column_name string, expectation string, "
+                  "action_if_failed string, is_active boolean")
+        import shutil
+        spark.sql("DROP TABLE IF EXISTS se_stats_compat_t")
+        shutil.rmtree("spark-warehouse/se_stats_compat_t",
+                      ignore_errors=True)
+        se = SparkExpectations(product_id="p", rules_df=rules_df,
+                               stats_table="se_stats_compat_t")
+        conf = {
+            "spark.expectations.notifications.on.start": "false",
+            "spark.expectations.notifications.on.completion": "false",
+            "spark.expectations.notifications.on.fail": "false",
+            "spark.expectations.notifications.error.drop.threshold": "5",
+            "se.enable.error.table": "false",
+        }
+
+        @se.with_expectations("t", user_conf=conf, write_to_table=False)
+        def produce():
+            return spark.createDataFrame([(1,), (2,)], "col1 int")
+
+        try:
+            out = produce()
+            assert out.count() == 2
+        finally:
+            spark.sql("DROP TABLE IF EXISTS se_stats_compat_t")
