@@ -825,6 +825,14 @@ def simhash_signatures(
     """
     from ..plans import fan_out
 
+    if hash_family != "xxhash64" and bits > 48:
+        # hash48_md5 yields 48-bit values: bits 48-63 of every token
+        # hash are 0, so signature bits above 47 are constant and the
+        # pigeonhole chunk over them degenerates into a full corpus
+        # self-join in simhash_near_pairs — refuse instead
+        raise ValueError(
+            "hash_family='md5_48' provides 48 bits of entropy; "
+            "use bits <= 48 (and the same bits in simhash_near_pairs)")
     tok_hash = F.xxhash64("tok") if hash_family == "xxhash64" \
         else hash48_md5(F.col("tok"))
     ex = fan_out(df.select(id_col, text_col)).select(

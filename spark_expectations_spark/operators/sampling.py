@@ -9,6 +9,23 @@ Spark, DuckDB, Python — which also makes the splits oracle-checkable).
 
 Everything is a narrow projection + filter: no shuffle, fully
 pushdown-friendly, and the same row never lands in two splits.
+
+Two module-wide contracts worth knowing:
+
+* **Shared coin.** All samplers draw from the SAME md5(key) stream, so
+  two unsalted samplers composed on one key column are perfectly
+  correlated, not independent — ``deterministic_sample(0.5)`` of a 50%
+  ``with_split`` train half keeps everything or nothing. That nesting
+  is often exactly what you want (stable sub-samples of a split);
+  when you need independence, pass a distinct ``salt`` to each
+  operation (the stratified sampler already salts by stratum for the
+  same reason).
+* **NULL keys.** ``with_split`` sends NULL-key rows to the LAST label
+  (every when-branch is NULL, the otherwise wins),
+  ``deterministic_sample`` DROPS them (NULL < n is never true), and
+  the quota samplers rank them FIRST (sentinel bucket, matching the
+  reference window's NULLS FIRST). Filter NULL keys up front if any
+  of these defaults is wrong for the pipeline.
 """
 
 from __future__ import annotations
@@ -23,9 +40,10 @@ from pyspark.sql import functions as F
 _BUCKETS = 65536
 
 
-def _bucket(key: Column) -> Column:
-    return F.conv(F.substring(F.md5(key.cast("string")), 1, 4), 16, 10) \
-            .cast("long")
+def _bucket(key: Column, salt: str = "") -> Column:
+    k = key.cast("string") if not salt \
+        else F.concat(F.lit(salt + "|"), key.cast("string"))
+    return F.conv(F.substring(F.md5(k), 1, 4), 16, 10).cast("long")
 
 
 def with_split(
@@ -34,17 +52,21 @@ def with_split(
     splits: Mapping[str, float],
     *,
     out: str = "split",
+    salt: str = "",
 ) -> DataFrame:
     """Assign each row a split label by hashed key.
 
     ``splits`` maps label → weight (normalized internally). Rows with
     equal keys always get equal labels — safe for grouped entities
     (all of a user's documents stay in one split when keyed by user).
+    NULL keys land in the LAST label (documented module contract);
+    ``salt`` decorrelates this split from other hash-keyed selections
+    on the same key.
     """
     total = float(sum(splits.values()))
     if total <= 0:
         raise ValueError("split weights must sum > 0")
-    b = _bucket(F.col(key_col))
+    b = _bucket(F.col(key_col), salt)
     expr = None
     acc = 0.0
     labels = list(splits.items())
@@ -61,12 +83,19 @@ def deterministic_sample(
     df: DataFrame,
     key_col: str,
     fraction: float,
+    *,
+    salt: str = "",
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by hashed key — reproducible
-    regardless of partitioning, and a plain filter (pushdown applies)."""
+    regardless of partitioning, and a plain filter (pushdown applies).
+    Unsalted samples NEST (a 0.1 sample is a subset of a 0.5 sample);
+    pass a ``salt`` when this sample must be independent of other
+    hash-keyed selections on the same key (module-docstring contract).
+    """
     if not 0.0 <= fraction <= 1.0:
         raise ValueError("fraction must be in [0, 1]")
-    return df.filter(_bucket(F.col(key_col)) < int(fraction * _BUCKETS))
+    return df.filter(
+        _bucket(F.col(key_col), salt) < int(fraction * _BUCKETS))
 
 
 def stratified_deterministic_sample(
@@ -207,9 +236,15 @@ def mixture_resample(
             "weight ratios too large for exact int64 quota arithmetic "
             f"(max reduced weight {wmax}); rescale weights_ppm")
     spark = df.sparkSession
+    from pyspark.sql.types import LongType as _Long
+    from pyspark.sql.types import StructField as _SF
+    from pyspark.sql.types import StructType as _ST
+    # weights frame keyed by the df's OWN source type (an int source
+    # column must not crash against a hardcoded string schema)
     wdf = spark.createDataFrame(
         [(s, int(w)) for s, w in weights.items()],
-        f"{source_col} string, __w long")
+        _ST([_SF(source_col, df.schema[source_col].dataType),
+             _SF("__w", _Long())]))
     # NULL keys hash to bucket -1: they sorted FIRST in the reference
     # window (ASC NULLS FIRST), and a raw null bucket would fall out of
     # both phase-2 comparisons — silently under-filling the quota
@@ -357,10 +392,13 @@ def percentile_gate(
     thr = df.groupBy(group_col).agg(
         F.element_at(
             _quantile_agg(score_col, [q], exact, relative_error), 1)
-        .alias("__thr"))
+        .alias("__thr")).withColumnRenamed(group_col, "__g")
     cond = (F.col(score_col) >= F.col("__thr") if keep == "above"
             else F.col(score_col) <= F.col("__thr"))
-    return df.join(thr, group_col).filter(cond).drop("__thr")
+    # null-safe join: a NULL group forms its own threshold row and its
+    # rows must be gated against it, not silently dropped
+    return (df.join(thr, F.col(group_col).eqNullSafe(F.col("__g")))
+            .filter(cond).drop("__g", "__thr"))
 
 
 def epoch_shuffle(
@@ -441,16 +479,17 @@ def quantile_buckets(
     thr = (df.groupBy(group_col)
            .agg(_quantile_agg(score_col, qs, exact, relative_error)
                 .alias("__qs"))
-           .select(group_col,
+           .select(F.col(group_col).alias("__g"),
                    *[F.element_at("__qs", i + 1).alias(f"__q{i}")
                      for i in range(len(qs))]))
     col = F.lit(labels[0])
     for i in range(len(qs)):  # outermost when = highest threshold
         col = F.when(F.col(score_col) >= F.col(f"__q{i}"),
                      F.lit(labels[i + 1])).otherwise(col)
-    return (df.join(thr, group_col)
+    # null-safe: NULL-group rows bucket against their own thresholds
+    return (df.join(thr, F.col(group_col).eqNullSafe(F.col("__g")))
             .withColumn(out, col)
-            .drop(*[f"__q{i}" for i in range(len(qs))]))
+            .drop("__g", *[f"__q{i}" for i in range(len(qs))]))
 
 
 def token_budget_sample(
@@ -495,9 +534,13 @@ def token_budget_sample(
         raise ValueError("exactly one of budget / budgets required")
     if budgets is not None:
         spark = df.sparkSession
+        from pyspark.sql.types import LongType as _Long
+        from pyspark.sql.types import StructField as _SF
+        from pyspark.sql.types import StructType as _ST
         bdf = spark.createDataFrame(
             [(g, int(b)) for g, b in budgets.items()],
-            f"{group_col} string, __budget long")
+            _ST([_SF(group_col, df.schema[group_col].dataType),
+                 _SF("__budget", _Long())]))
         df = df.join(F.broadcast(bdf), group_col)
         budget_col = F.col("__budget")
     else:

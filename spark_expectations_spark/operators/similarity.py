@@ -380,18 +380,26 @@ def bucketed_near_duplicate_pairs(
     import numpy as np
     import pandas as pd  # noqa: F401 — worker closure
 
-    tables = []
+    # ONE scan: every table's bucket id is a pure column expression, so
+    # all num_tables (table, bucket) assignments ride a single exploded
+    # projection — the union-of-branches formulation re-scanned (and
+    # re-normalized) the corpus once per table
+    structs = []
     for t in range(num_tables):
-        tables.append(
-            random_hyperplane_lsh(
-                df.select(id_col, vec_col), vec_col=vec_col, dim=dim,
-                num_planes=planes_per_table, seed=seed + 7919 * t,
-                out="__bucket",
-            ).withColumn("__table", F.lit(t))
-        )
-    cand = tables[0]
-    for t in tables[1:]:
-        cand = cand.unionByName(t)
+        rnd = _lcg(seed + 7919 * t)
+        planes = [[_gauss(rnd) for _ in range(dim)]
+                  for _ in range(planes_per_table)]
+        bucket = None
+        for p_idx, plane in enumerate(planes):
+            lit_plane = F.array(*[F.lit(float(v)) for v in plane])
+            bit = (_dot(F.col(vec_col), lit_plane) > 0).cast("long")
+            term = bit * F.lit(2 ** p_idx).cast("long")
+            bucket = term if bucket is None else bucket + term
+        structs.append(F.struct(F.lit(t).alias("__table"),
+                                bucket.alias("__bucket")))
+    cand = (df.select(id_col, vec_col,
+                      F.explode(F.array(*structs)).alias("__tb"))
+            .select(id_col, vec_col, "__tb.__table", "__tb.__bucket"))
 
     def _bucket_pairs(pdf):
         empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
@@ -642,12 +650,16 @@ def kmeans_refine(
         return _pd.DataFrame({"centroid_id": [key[0]],
                               "centroid": [m.tolist()]})
 
+    # centroid_id type mirrors the codebook — string-labeled codebooks
+    # from train_centroids_df(by_col=...) are supported throughout the
+    # module (same derivation as semdedup_pairs)
+    cid_t = centroids.schema["centroid_id"].dataType.simpleString()
     out = centroids
     for _ in range(max(0, iters)):
         assigned = assign_centroids(corpus, out, vec_col=vec_col)
         out = assigned.select("centroid_id", vec_col).groupBy(
             "centroid_id").applyInPandas(
-                _cell_mean, "centroid_id long, centroid array<float>")
+                _cell_mean, f"centroid_id {cid_t}, centroid array<float>")
     return out
 
 
@@ -658,17 +670,26 @@ def assignment_quality(
     vec_col: str = "embedding",
 ) -> float:
     """Mean cosine similarity of each vector to its assigned centroid —
-    the objective kmeans_refine improves; exposed for codebook QA."""
-    cent = centroids.select(
-        F.col("centroid_id").alias("__cid"),
-        F.col("centroid").alias("__cvec")).withColumn(
-            "__cn", _norm(F.col("__cvec")))
-    sim = _dot(F.col(vec_col), F.col("__cvec")) / (
-        _norm(F.col(vec_col)) * F.col("__cn"))
-    best = (corpus.crossJoin(F.broadcast(cent))
-            .withColumn("__sim", sim)
-            .groupBy(*corpus.columns).agg(F.max("__sim").alias("__best")))
-    return float(best.agg(F.avg("__best")).first()[0])
+    the objective kmeans_refine improves; exposed for codebook QA.
+
+    Zero-shuffle: the codebook collapses to ONE broadcast row of
+    (vector, norm) structs and each corpus row's best similarity is an
+    ``array_max`` over a codegen transform — no k× row blowup, no
+    groupBy over corpus columns (which would also collapse duplicate
+    rows and mis-weight the mean)."""
+    cent_row = centroids.agg(F.collect_list(F.struct(
+        F.col("centroid").alias("v"),
+        _norm(F.col("centroid")).alias("n"))).alias("__cents"))
+    vnorm = _norm(F.col(vec_col))
+    best = F.array_max(F.transform(
+        F.col("__cents"),
+        lambda c: F.aggregate(
+            F.zip_with(F.col(vec_col), c["v"],
+                       lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda a, v: a + v) / (vnorm * c["n"])))
+    row = (corpus.crossJoin(F.broadcast(cent_row))
+           .agg(F.avg(best).alias("__q")).first())
+    return float(row["__q"])
 
 
 def mean_pool(
@@ -904,10 +925,16 @@ def standardize(
                    .otherwise(F.lit(0.0)))
     # ragged guard: arrays_zip would silently NULL-pad a short vector
     # against the corpus-max-dim stats — fail loudly instead of handing
-    # downstream BLAS a wrong-length array
-    guarded = F.when(F.size(F.col(vec_col)) == F.size("__mu"), z).otherwise(
-        F.expr("raise_error('standardize: embedding length differs from "
-               "the corpus dimension (ragged vectors)')"))
+    # downstream BLAS a wrong-length array. NULL vectors stay NULL
+    # (size(NULL) is NULL and would otherwise fall into the error
+    # branch with a misleading 'ragged' message)
+    guarded = (
+        F.when(F.col(vec_col).isNull(),
+               F.lit(None).cast("array<double>"))
+        .when(F.size(F.col(vec_col)) == F.size("__mu"), z)
+        .otherwise(F.expr(
+            "raise_error('standardize: embedding length differs from "
+            "the corpus dimension (ragged vectors)')")))
     return (df.crossJoin(F.broadcast(stats))
             .withColumn(out_col, guarded)
             .drop("__mu", "__sd"))

@@ -303,6 +303,15 @@ def unigram_logprob(
     impossible (every token is in the model by construction).
 
     Returns (id, n_tokens, avg_logprob).
+
+    Tokenization note: this scorer (and :func:`dsir_log_weights` /
+    :func:`term_weights`) uses ``dedup.tokens_col``, which does NOT
+    filter empty tokens — an all-whitespace document contributes one
+    ``''`` token and still gets a score. Deliberate: the unfiltered
+    split keeps the DuckDB oracle a plain ``unnest(string_split(...))``
+    twin. ``profile``/``quality_score`` use the filtered ``_tokens``
+    and report such a document as 0 tokens — don't cross-compare the
+    two token counts.
     """
     from .dedup import tokens_col
     from ..plans import fan_out

@@ -2459,3 +2459,108 @@ class TestWinsorize:
         assert out[3] == ("a", None)              # NULL score preserved
         assert out[4] == (None, 7.0)              # NULL group clipped
         assert out[5] == (None, 9.0)              # within its own fences
+
+
+class TestFinalReviewFixes:
+    """Round-5 final review pass: sampler independence/NULL contracts,
+    schema derivation, degenerate-blocking guards."""
+
+    def test_salted_samples_are_independent(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(i,) for i in range(4000)], "id long")
+        train = sampling.with_split(
+            df, "id", {"train": 0.5, "test": 0.5}).filter("split = 'train'")
+        # unsalted: the 0.5 sub-sample of the 0.5 split is the split
+        # itself (shared coin -> nested selection, documented)
+        nested = sampling.deterministic_sample(train, "id", 0.5)
+        assert nested.count() == train.count()
+        # salted: ~half of the split survives (independent coin)
+        indep = sampling.deterministic_sample(train, "id", 0.5,
+                                              salt="resample-v1")
+        frac = indep.count() / train.count()
+        assert 0.4 < frac < 0.6
+
+    def test_gate_and_buckets_keep_null_groups(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 20), (None, 3, 5), (None, 4, 50)],
+            "g string, id int, s int")
+        kept = sampling.percentile_gate(df, "g", "s", q=0.5)
+        # NULL group gated against its own median (27.5): id 4 survives
+        assert {r["id"] for r in kept.collect()} == {2, 4}
+        b = sampling.quantile_buckets(df, "g", "s", qs=(0.5,),
+                                      labels=("lo", "hi"))
+        got = {r["id"]: r["bucket"] for r in b.collect()}
+        assert len(got) == 4 and got[3] == "lo" and got[4] == "hi"
+
+    def test_mixture_int_source_column(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(i, i % 2) for i in range(100)], "id long, src int")
+        out = sampling.temperature_resample(df, "id", "src", alpha=0.5)
+        assert out.count() > 0
+        assert dict(out.dtypes)["src"] == "int"
+
+    def test_kmeans_refine_string_centroids(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        cents = spark.createDataFrame(
+            [("en", [1.0, 0.0]), ("fr", [0.0, 1.0])],
+            "centroid_id string, centroid array<float>")
+        df = spark.createDataFrame(
+            [(1, [0.9, 0.1]), (2, [0.1, 0.9]), (3, [0.8, 0.0])],
+            "vec_id long, embedding array<float>")
+        out = {r["centroid_id"]: r["centroid"]
+               for r in sim.kmeans_refine(df, cents).collect()}
+        assert set(out) == {"en", "fr"}
+        assert out["en"][0] == pytest.approx(0.85, abs=1e-6)
+
+    def test_assignment_quality_weighs_duplicates(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        cents = spark.createDataFrame(
+            [(0, [1.0, 0.0])], "centroid_id long, centroid array<float>")
+        # two identical on-centroid rows + one orthogonal: the mean must
+        # weight the duplicate rows individually ((1+1+0)/3), not
+        # collapse them ((1+0)/2)
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],
+            "vec_id long, embedding array<float>")
+        q = sim.assignment_quality(df, cents)
+        assert q == pytest.approx(2.0 / 3.0, abs=1e-9)
+
+    def test_standardize_null_vector_stays_null(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, [0.0, 4.0]), (2, [2.0, 6.0]), (3, None)],
+            "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r["standardized"]
+               for r in sim.standardize(df).collect()}
+        assert got[3] is None
+        assert got[1] is not None and got[2] is not None
+
+    def test_simhash_md5_rejects_wide_bits(self, docs):
+        from spark_expectations_spark.operators import dedup as dd
+        with pytest.raises(ValueError, match="48 bits"):
+            dd.simhash_signatures(docs, "doc_id", "text",
+                                  hash_family="md5_48")  # default bits=64
+        # the supported width still works
+        sigs = dd.simhash_signatures(docs.limit(20), "doc_id", "text",
+                                     bits=48, hash_family="md5_48")
+        assert sigs.count() == 20
+
+    def test_bucketed_pairs_single_scan_same_result(self, emb):
+        """The single-scan exploded bucketing must produce the identical
+        pair set the per-table union did (same plane generation)."""
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import similarity as sim
+        pairs = sim.bucketed_near_duplicate_pairs(
+            emb, dim=64, threshold=0.9)
+        # plan inspected BEFORE execution (post-execution explain prints
+        # final+initial AQE sections, double-counting the scan)
+        txt = plans.plan_text(pairs, "simple")
+        # cached fixture: ONE InMemoryTableScan (the union-of-tables
+        # formulation printed num_tables of them)
+        assert txt.count("InMemoryTableScan") == 1
+        exact = sim.near_duplicate_pairs(emb, threshold=0.9)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+        assert got == want  # defaults reach recall 1.0 on the fixture
