@@ -4303,30 +4303,32 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension z-score normalization (similarity.standardize):
     ONE posexplode moment aggregate collapsed to a broadcast (mu[],
     sigma[]) row; the normalization itself is zero-shuffle codegen.
-    4-dp rounds for cross-engine double parity on the array values."""
+    The catalog query posexplodes the normalized vector to scalar
+    (vec_id, pos, zvalue) rows — the driver's pandas canonicalizer
+    cannot hash array-typed columns (r5 red row), and the operator's
+    array output stays covered by TestStandardize. 4-dp rounds for
+    cross-engine double parity."""
     emb = load(spark, sf_dir, "embeddings")
     out = similarity.standardize(emb, vec_col="embedding")
     return out.select(
-        "vec_id",
+        "vec_id", F.posexplode("standardized").alias("pos", "zv")
+    ).select(
+        "vec_id", "pos",
         # + 0.0 folds IEEE -0.0 to 0.0 (a rounded tiny negative is -0.0
         # in one engine and 0.0 in the other — hash poison)
-        F.transform("standardized", lambda v: F.round(v, 4) + F.lit(0.0))
-        .alias("standardized"))
+        (F.round("zv", 4) + F.lit(0.0)).alias("zvalue"))
 
 
 ORACLE_EMBED_STANDARDIZE = r"""
 WITH ex AS (
-  SELECT vec_id, i AS pos, embedding[i] AS v
+  SELECT vec_id, i - 1 AS pos, embedding[i] AS v
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
 stats AS (
-  SELECT pos, avg(v) AS mu, stddev_pop(v) AS sd FROM ex GROUP BY pos),
-z AS (
-  SELECT vec_id, pos,
-         CASE WHEN sd > 0 THEN round((v - mu) / sd, 4) + 0.0
-              ELSE 0.0 END AS zv
-  FROM ex JOIN stats USING (pos))
-SELECT vec_id, array_agg(zv ORDER BY pos) AS standardized
-FROM z GROUP BY vec_id
+  SELECT pos, avg(v) AS mu, stddev_pop(v) AS sd FROM ex GROUP BY pos)
+SELECT vec_id, pos,
+       CASE WHEN sd > 0 THEN round((v - mu) / sd, 4) + 0.0
+            ELSE 0.0 END AS zvalue
+FROM ex JOIN stats USING (pos)
 """
 
 
@@ -4418,25 +4420,28 @@ DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-5 touched or new implementations
-    "docs_mixture_resample", "docs_temperature_resample",
-    "docs_token_budget", "docs_percentile_gate", "docs_ccnet_buckets",
-    "dedup_lsh_quality", "orders_status_chi2",
-    "docs_gopher_gate", "docs_ngram_novelty", "embed_standardize",
-    "docs_dsir_weights", "docs_winsorize",
-    # never driver-checked, riskiest first
-    "users_scd2", "events_asof_purchase", "orders_snapshot_diff",
-    "docs_incremental_dedup", "docs_pack_streams",
-    "events_distinct_rollup_exact", "docs_epoch_shuffle",
-    "docs_group_sample", "docs_weighted_sample", "docs_train_split",
-    "events_time_split", "docs_tfidf_terms", "docs_bm25_terms",
-    "docs_collocations", "docs_token_ids", "docs_lm_score",
-    "docs_bigram_lm", "docs_strip_boilerplate", "docs_classifier_score",
-    "docs_heavy_tokens", "docs_chunks", "docs_corpus_report",
-    "docs_decontaminate", "docs_clean_corpus", "docs_source_dup_matrix",
-    "docs_dup_shingles", "dedup_containment", "ann_ivf_recall",
-    "orders_status_drift", "lineitem_price_drift", "orders_fk_profile",
-    "lineitem_profile", "lineitem_correlations",
+    # round-6 touched implementations (embed_standardize was r5's one
+    # red row — its catalog query is now scalar (vec_id, pos, zvalue);
+    # the samplers gained a persist-bounded single-scan phase and a
+    # NULL-group-safe plan join; dsir gained min_count)
+    "embed_standardize", "docs_token_budget", "docs_mixture_resample",
+    "docs_temperature_resample", "docs_dsir_weights",
+    # the 19 value-oracled queries never driver-gated in r1-r5 —
+    # gating these completes full-catalog hard-gate coverage
+    "events_window_topk", "events_json", "events_sessions",
+    "events_funnel", "events_hourly_anomalies", "events_cohort_retention",
+    "rollup_orders", "cube_orders", "orders_percentiles",
+    "pivot_order_status", "orders_price_bands", "docs_line_stats",
+    "lineitem_price_histogram", "set_ops_nations", "anti_join_orders",
+    "events_topk_users", "array_agg_statuses", "part_brand_topk",
+    "multimodal_features",
+    # re-gate fills: flagship joins/windows + the dedup/ANN family
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18ish", "tpch_q21ish",
+    "window_rank", "window_running_total", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
+    "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
+    "dedup_simhash_md5", "docs_minhash_index", "embed_near_dups",
+    "embed_semdedup", "ann_topk", "ann_ivf", "text_stats",
 ]
 
 

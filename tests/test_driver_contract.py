@@ -68,6 +68,29 @@ class TestDriverContract:
         missing = [q for q in DRIVER_PRIORITY if q not in oracles]
         assert not missing, f"priority entries without oracles: {missing}"
 
+    def test_driver_priority_outputs_are_scalar(self, spark):
+        """Round-5's single red row: the driver's pandas canonicalizer
+        (sort_values -> Categorical -> factorize) raises on array- or
+        map-typed output columns, so a correct query reads as broken.
+        Every DRIVER_PRIORITY query must emit only scalar columns.
+        Schema analysis is lazy — no jobs run here."""
+        from pyspark.sql import types as T
+        from spark_expectations_spark.queries import DRIVER_PRIORITY
+        mod = _entry_module()
+        qs = mod.queries()
+        sf_dir = "/root/testdata/sf0.001"
+        offenders = {}
+        for name in DRIVER_PRIORITY:
+            schema = qs[name](spark, sf_dir).schema
+            bad = [f.name for f in schema.fields
+                   if isinstance(f.dataType, (T.ArrayType, T.MapType,
+                                              T.StructType))]
+            if bad:
+                offenders[name] = bad
+        assert not offenders, (
+            f"driver-gated queries with non-scalar output columns "
+            f"(the harness cannot canonicalize them): {offenders}")
+
     def test_readme_counts_match_registries(self):
         """Round-4 verdict item 6: the README's catalog counts drifted
         twice; assert them like the docstring counts."""
