@@ -386,18 +386,27 @@ def upsert_partitioned(
                           tie_breaker=partition_col)
         updates = (updates.withColumn("_rn", F.row_number().over(w))
                    .filter(F.col("_rn") == 1).drop("_rn"))
+    # The bootstrap catch wraps ONLY the table read: a missing path is
+    # "first run", but an AnalysisException from the join/union below
+    # (schema mismatch, typo'd key column) must propagate — swallowing
+    # it would make merged=updates and dynamic overwrite would silently
+    # drop every existing row in the touched partitions.
     try:
         existing = (
             spark.read.parquet(table_path)
             .filter(F.col(partition_col).isin(touched))
         )
+        # force analysis inside the guarded region: spark.read.parquet
+        # can defer PATH_NOT_FOUND until the schema is first needed
+        existing.schema
+    except AnalysisException:  # first run: no table yet — bootstrap
+        merged = updates
+    else:
         merged = (
             existing.join(updates.select(*key_cols).distinct(),
                           list(key_cols), "left_anti")
             .unionByName(updates.select(*existing.columns))
         )
-    except AnalysisException:  # first run: no table yet — bootstrap
-        merged = updates
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:

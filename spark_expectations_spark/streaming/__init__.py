@@ -450,10 +450,19 @@ def idempotent_foreach_batch(
     from ..sinks.writer import get_table_properties, set_table_properties
 
     prop = f"spark_expectations.last_batch_id.{stream_id}"
+    # pre-suffix releases stored the id under an unsuffixed key; for the
+    # default stream that state must keep counting (ADVICE r5: ignoring
+    # it re-executes one replayed micro-batch after upgrade — a
+    # duplicate sink write despite the exactly-once contract)
+    legacy_prop = ("spark_expectations.last_batch_id"
+                   if stream_id == "default" else None)
 
     def wrapped(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        last = get_table_properties(spark, state_table).get(prop)
+        props = get_table_properties(spark, state_table)
+        last = props.get(prop)
+        if last is None and legacy_prop is not None:
+            last = props.get(legacy_prop)
         if last is not None and int(last) >= batch_id:
             return  # replay of an already-committed batch
         process(batch_df, batch_id)

@@ -1113,6 +1113,37 @@ class TestIdempotentForeachBatch:
         finally:
             spark.sql("DROP TABLE IF EXISTS ifb_state2")
 
+    def test_legacy_unsuffixed_property_migrates_for_default_stream(
+            self, spark):
+        """ADVICE r5: pre-suffix releases stored the id under
+        'spark_expectations.last_batch_id' (no stream suffix). For
+        stream_id='default' that legacy state must still suppress a
+        restart-replayed batch — otherwise the first replay after
+        upgrade double-writes the sink."""
+        from spark_expectations_spark.streaming import idempotent_foreach_batch
+        spark.sql("DROP TABLE IF EXISTS ifb_state4")
+        spark.sql("CREATE TABLE ifb_state4 (dummy INT) USING parquet")
+        try:
+            # simulate state written by an old release
+            spark.sql("ALTER TABLE ifb_state4 SET TBLPROPERTIES "
+                      "('spark_expectations.last_batch_id'='7')")
+            calls = []
+            wrapped = idempotent_foreach_batch(
+                lambda df, bid: calls.append(bid), "ifb_state4")
+            df = spark.range(2)
+            wrapped(df, 7)   # replay of the legacy-committed batch
+            wrapped(df, 8)   # genuinely new batch runs and migrates
+            wrapped(df, 8)   # replay now caught by the NEW suffixed key
+            assert calls == [8]
+            # a non-default stream ignores the legacy key entirely
+            other = idempotent_foreach_batch(
+                lambda df, bid: calls.append(("s2", bid)), "ifb_state4",
+                stream_id="s2")
+            other(df, 0)
+            assert calls == [8, ("s2", 0)]
+        finally:
+            spark.sql("DROP TABLE IF EXISTS ifb_state4")
+
     def test_stream_id_isolates_checkpoint_lineages(self, spark):
         """r5 review fix: batch ids are monotonic only within one
         checkpoint — a fresh checkpoint (ids restart at 0) must use a

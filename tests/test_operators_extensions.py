@@ -563,6 +563,75 @@ class TestTwoPhaseQuotaSelection:
                 f"budget={budget}"
 
 
+    def test_token_budget_null_group_kept_under_scalar_budget(self, spark):
+        """ADVICE r5 (medium): the phase-2 plan join was a plain inner
+        equi-join, so NULL-group rows never matched their plan row and
+        were silently dropped under the scalar budget — a regression vs
+        the window implementation where NULL group was its own
+        partition. The join is now null-safe."""
+        from pyspark.sql import Window
+        from spark_expectations_spark.operators import sampling
+        from spark_expectations_spark.operators.sampling import _bucket
+        rows = [("a", 1, 5), ("a", 2, 5), (None, 3, 5), (None, 4, 5),
+                (None, 5, 5)]
+        df = spark.createDataFrame(rows, "g string, id int, tok int")
+        skey = (lambda t: (t[0] is not None, t[0] or "", t[1]))
+        got = sorted(((r["g"], r["id"]) for r in sampling.token_budget_sample(
+            df, "g", "id", "tok", budget=10).collect()), key=skey)
+        w = (Window.partitionBy("g")
+             .orderBy(_bucket(F.col("id")).asc(), F.col("id").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        ref = (df.withColumn(
+            "__cum", F.coalesce(F.sum(F.col("tok").cast("long")).over(w),
+                                F.lit(0)))
+            .filter(F.col("__cum") < 10))
+        want = sorted(((r["g"], r["id"]) for r in ref.collect()), key=skey)
+        assert got == want
+        assert any(g is None for g, _ in got)  # NULL group survived
+
+    def test_quota_samplers_single_input_evaluation(self, spark):
+        """r5 verdict minor: the samplers evaluated their input 3x
+        (phase-1 job + both kept branches). With persist_input
+        (default) the bucketed frame is cached, so the returned plan
+        reads InMemoryTableScan, phase 1 having materialized it; the
+        cache is released when the result is garbage-collected."""
+        import gc
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import sampling
+
+        def n_cached():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], 1 + i % 7) for i in range(400)],
+            "id long, g string, tok int")
+        base = n_cached()
+        out = sampling.token_budget_sample(df, "g", "id", "tok", budget=50)
+        assert n_cached() == base + 1
+        txt = plans.plan_text(out, "simple")
+        assert "InMemoryTableScan" in txt
+        # plain / persisted variants agree
+        plain = sampling.token_budget_sample(
+            df, "g", "id", "tok", budget=50, persist_input=False)
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, plain.collect()))
+        del out, txt
+        gc.collect()
+        assert n_cached() == base  # released on GC
+
+        out2 = sampling.mixture_resample(
+            df, "id", "g", {"a": 600000, "b": 400000})
+        assert n_cached() == base + 1
+        assert "InMemoryTableScan" in plans.plan_text(out2, "simple")
+        plain2 = sampling.mixture_resample(
+            df, "id", "g", {"a": 600000, "b": 400000}, persist_input=False)
+        assert sorted(map(tuple, out2.collect())) == \
+            sorted(map(tuple, plain2.collect()))
+        del out2
+        gc.collect()
+        assert n_cached() == base
+
+
 class TestApproxPercentileTier:
     def test_percentile_gate_approx_on_doubles(self, spark):
         """exact=False routes to approx_percentile: threshold is a real

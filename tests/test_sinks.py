@@ -218,6 +218,36 @@ class TestUpsertPartitioned:
         upsert_partitioned(spark, path, ups, ["id"], "pt")
         assert spark.read.parquet(path).count() == 1
 
+    def test_schema_mismatch_raises_not_silently_overwrites(
+            self, spark, tmp_path):
+        """ADVICE r5 (high): the bootstrap catch used to wrap the whole
+        read+join+union block, so an AnalysisException from a
+        schema-mismatched update (or typo'd key column) was treated as
+        'no table yet' and merged=updates dynamically overwrote the
+        touched partition — silent data loss. The catch now guards the
+        table read ONLY; user errors must raise and the on-disk rows
+        must survive."""
+        import pytest as _pytest
+        from pyspark.sql.utils import AnalysisException
+
+        from spark_expectations_spark.sinks.writer import upsert_partitioned
+        path = str(tmp_path / "tbl4")
+        spark.createDataFrame([(1, "a", 10), (2, "a", 20)],
+                              ["id", "pt", "v"]) \
+            .write.partitionBy("pt").parquet(path)
+
+        # updates lack the table's 'v' column -> union/select must fail
+        bad = spark.createDataFrame([(1, "a")], ["id", "pt"])
+        with _pytest.raises(AnalysisException):
+            upsert_partitioned(spark, path, bad, ["id"], "pt")
+        # typo'd key column -> anti-join analysis must fail
+        bad_key = spark.createDataFrame([(1, "a", 11)], ["idd", "pt", "v"])
+        with _pytest.raises(AnalysisException):
+            upsert_partitioned(spark, path, bad_key, ["id"], "pt")
+        # existing rows untouched in both cases
+        got = {(r.id, r.pt, r.v) for r in spark.read.parquet(path).collect()}
+        assert got == {(1, "a", 10), (2, "a", 20)}
+
 
 class TestErrorRateTrend:
     def test_flags_only_regressed_runs(self, spark):
