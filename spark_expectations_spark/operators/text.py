@@ -899,6 +899,8 @@ def dsir_log_weights(
     target_text_col: Optional[str] = None,
     *,
     smoothing: float = 0.5,
+    min_count: int = 1,
+    persist_tokens: bool = False,
 ) -> DataFrame:
     """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
     score every raw document by how much more likely its tokens are
@@ -918,17 +920,39 @@ def dsir_log_weights(
 
     Scale shape: two vocabulary-sized count aggregates (map-side
     combined) + one full-outer vocab join + 1-row totals broadcast;
-    scoring is ONE explode + token-keyed join of the vocab-sized
-    ratio table (AQE-broadcast after a min-count cut at real scale) +
+    scoring is ONE explode + token-keyed join of the ratio table +
     one per-doc agg — the same shape as :func:`unigram_logprob` with a
     second, dims-sized model.
+
+    ``min_count`` cuts the ratio table to tokens with at least that
+    many RAW occurrences before the scoring join — at 100 TB the union
+    vocabulary is long-tailed and the cut is what keeps the table
+    AQE-broadcastable. Smoothing totals are computed on the FULL vocab
+    first, so surviving tokens score identically at any ``min_count``;
+    only docs containing pruned tokens change (those tokens stop
+    counting toward ``n_tokens`` and the ratio sums). The default 1 is
+    byte-identical to no cut: target-only tokens are always dropped
+    from the join table since raw docs can never contain them.
+
+    ``persist_tokens`` persists the exploded raw-token frame feeding
+    both the count aggregate and the scoring join (2 evaluations
+    otherwise; released when the result is garbage-collected). Off by
+    default — the exploded frame outweighs most inputs, so re-scanning
+    usually beats spilling it; turn on when ``df`` is an expensive
+    derived pipeline.
     """
     from .dedup import tokens_col
     from ..plans import fan_out
+    from .sampling import _release_on_gc
 
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
     tcol = target_text_col or text_col
     raw_toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    if persist_tokens:
+        from pyspark import StorageLevel
+        raw_toks = raw_toks.persist(StorageLevel.MEMORY_AND_DISK)
     raw_counts = raw_toks.groupBy("tok").agg(
         F.count(F.lit(1)).alias("_cr"))
     tgt_counts = (fan_out(target_df.select(tcol))
@@ -941,7 +965,11 @@ def dsir_log_weights(
     totals = vocab.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"),
                        F.count(F.lit(1)).alias("_v"))
     s = F.lit(smoothing)
-    ratio = (vocab.crossJoin(F.broadcast(totals))
+    # the cut comes AFTER totals (full-vocab smoothing) and keys on raw
+    # occurrences: _cr >= 1 alone already drops target-only tokens the
+    # scoring join could never match, so min_count=1 changes nothing
+    ratio = (vocab.filter(F.col("_cr") >= min_count)
+             .crossJoin(F.broadcast(totals))
              .select("tok",
                      (F.log((F.col("_ct") + s) / (F.col("_nt") + s * F.col("_v")))
                       - F.log((F.col("_cr") + s) / (F.col("_nr") + s * F.col("_v"))))
@@ -951,7 +979,8 @@ def dsir_log_weights(
                .agg(F.count(F.lit(1)).alias("n_tokens"),
                     F.sum("_lr").alias("sum_logratio"),
                     F.avg("_lr").alias("avg_logratio")))
-    return (df.select(id_col).join(per_doc, id_col, "left")
-            .select(F.col(id_col),
-                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
-                    F.col("sum_logratio"), F.col("avg_logratio")))
+    out = (df.select(id_col).join(per_doc, id_col, "left")
+           .select(F.col(id_col),
+                   F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                   F.col("sum_logratio"), F.col("avg_logratio")))
+    return _release_on_gc(out, raw_toks) if persist_tokens else out

@@ -4,18 +4,27 @@ from pyspark.sql import SparkSession
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
 
+#: comma-separated extra jars (e.g. the spark-sql-kafka connector and its
+#: kafka-clients + commons-pool2 dependencies) appended to the test
+#: session's classpath — the opt-in hook that un-skips the Kafka
+#: connector smoke (r5 verdict task 3). Example:
+#:   SPARK_GRAFT_EXTRA_JARS=/root/reference/jars/spark-sql-kafka-0-10_2.13-4.0.0.jar,...
+EXTRA_JARS = os.environ.get("SPARK_GRAFT_EXTRA_JARS", "")
+
 
 @pytest.fixture(scope="session")
 def spark():
-    s = (
+    builder = (
         SparkSession.builder.master("local[4]")
         .appName("spark_expectations_spark-tests")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", "4g")
-        .getOrCreate()
     )
+    if EXTRA_JARS:
+        builder = builder.config("spark.jars", EXTRA_JARS)
+    s = builder.getOrCreate()
     yield s
     s.stop()
 

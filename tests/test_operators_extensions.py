@@ -76,6 +76,69 @@ class TestDedup:
         assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+class TestHashFamilyPairParity:
+    """r5 verdict task 6: the xxhash64 catalog twins (dedup_minhash /
+    dedup_simhash) are declared rows-only — no DuckDB oracle can follow
+    xxhash64. The hash family changes SIGNATURES, not candidate
+    semantics, so on a fixture with clean separation (near-identical
+    clusters vs unrelated docs) both families must surface exactly the
+    ground-truth duplicate pairs — closing the 'rows-only = unverified
+    semantics' gap without an oracle."""
+
+    @staticmethod
+    def _fixture(spark):
+        base_a = "the quick brown fox jumps over the lazy dog " * 4
+        base_b = "pack my box with five dozen liquor jugs today " * 4
+        base_c = "how vexingly quick daft zebras jump around here " * 4
+        rows = [
+            (1, base_a), (2, base_a + "extra"),          # cluster {1,2}
+            (3, base_b), (4, base_b + "tail"),           # cluster {3,4}
+            (5, base_c),                                  # singleton
+            (6, "completely different content about spark catalyst"),
+            (7, "unrelated words describing dinner recipes and wine"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    WANT = {(1, 2), (3, 4)}
+
+    def test_minhash_pair_sets_match_across_hash_families(self, spark):
+        from spark_expectations_spark.operators import dedup
+        df = self._fixture(spark)
+        got = {}
+        for fam in ("xxhash64", "md5_48"):
+            pairs = dedup.minhash_dedup_pairs(
+                df, "doc_id", "text", n=3, num_hashes=64, bands=16,
+                threshold=0.3, hash_family=fam)
+            got[fam] = {tuple(sorted((r["id_a"], r["id_b"])))
+                        for r in pairs.collect()}
+        assert got["xxhash64"] == got["md5_48"] == self.WANT
+
+    def test_simhash_pair_sets_match_across_hash_families(self, spark):
+        """SimHash flips a bit wherever a token edit crosses a zero bit
+        sum, so single-token near-dups sit at a hash-family-dependent
+        hamming distance — the family-invariant ground truth is EXACT
+        duplicates (hamming 0 under any token hash) vs unrelated docs
+        (hamming ~ bits/2, far outside the radius)."""
+        from spark_expectations_spark.operators import dedup
+        base_a = "the quick brown fox jumps over the lazy dog " * 4
+        base_b = "pack my box with five dozen liquor jugs today " * 4
+        rows = [(1, base_a), (2, base_a),              # exact dup {1,2}
+                (3, base_b), (4, base_b),              # exact dup {3,4}
+                (5, "how vexingly quick daft zebras jump around here"),
+                (6, "completely different content about spark catalyst"),
+                (7, "unrelated words describing dinner recipes and wine")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {}
+        for fam in ("xxhash64", "md5_48"):
+            sigs = dedup.simhash_signatures(
+                df, "doc_id", "text", bits=48, hash_family=fam)
+            pairs = dedup.simhash_near_pairs(
+                sigs, "doc_id", max_hamming=3, bits=48, blocks=4)
+            got[fam] = {tuple(sorted((r["id_a"], r["id_b"])))
+                        for r in pairs.collect()}
+        assert got["xxhash64"] == got["md5_48"] == self.WANT
+
+
 class TestSimilarity:
     def test_topk_matches_hof_reference(self, emb):
         fast = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 3), k=4)
@@ -2466,6 +2529,64 @@ class TestDsirWeights:
                T.dsir_log_weights(df, "doc_id", "text", df).collect()}
         assert got[2]["n_tokens"] == 0
         assert got[2]["sum_logratio"] is None
+
+    def test_min_count_prunes_rare_tokens_only(self, spark):
+        """r5 verdict minor #3: the docstring promised a min_count vocab
+        cut but no parameter existed. The cut must (a) shrink the ratio
+        table, (b) leave docs WITHOUT pruned tokens byte-identical
+        (smoothing totals stay full-vocab), (c) stop pruned tokens from
+        counting toward n_tokens."""
+        from spark_expectations_spark.operators import text as T
+        raw = spark.createDataFrame(
+            [(1, "common common words words"),      # all tokens >= 2x raw
+             (2, "common words uniquetoken")],      # one rare token
+            "doc_id long, text string")
+        target = spark.createDataFrame([("common words",)], "text string")
+        base = {r["doc_id"]: r for r in T.dsir_log_weights(
+            raw, "doc_id", "text", target).collect()}
+        cut = {r["doc_id"]: r for r in T.dsir_log_weights(
+            raw, "doc_id", "text", target, min_count=2).collect()}
+        # raw counts: common=3, words=3, uniquetoken=1 -> only
+        # 'uniquetoken' is pruned at min_count=2
+        assert tuple(cut[1]) == tuple(base[1])          # untouched doc
+        assert cut[2]["n_tokens"] == base[2]["n_tokens"] - 1
+        assert cut[2]["sum_logratio"] != base[2]["sum_logratio"]
+
+    def test_min_count_default_matches_uncut(self, spark):
+        from spark_expectations_spark.operators import text as T
+        raw = spark.createDataFrame(
+            [(1, "alpha beta beta"), (2, "gamma alpha")],
+            "doc_id long, text string")
+        target = spark.createDataFrame(
+            [("alpha delta",)], "text string")  # delta is target-only
+        a = sorted(map(tuple, T.dsir_log_weights(
+            raw, "doc_id", "text", target).collect()))
+        b = sorted(map(tuple, T.dsir_log_weights(
+            raw, "doc_id", "text", target, min_count=1).collect()))
+        assert a == b
+        with pytest.raises(ValueError, match="min_count"):
+            T.dsir_log_weights(raw, "doc_id", "text", target, min_count=0)
+
+    def test_persist_tokens_single_evaluation_and_release(self, spark):
+        import gc
+        from spark_expectations_spark.operators import text as T
+
+        def n_cached():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        df = spark.createDataFrame(
+            [(i, "tok%d common words" % (i % 5)) for i in range(50)],
+            "doc_id long, text string")
+        base_n = n_cached()
+        out = T.dsir_log_weights(df, "doc_id", "text", df,
+                                 persist_tokens=True)
+        plain = T.dsir_log_weights(df, "doc_id", "text", df)
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, plain.collect()))
+        assert n_cached() == base_n + 1
+        del out
+        gc.collect()
+        assert n_cached() == base_n
 
 
 class TestWinsorize:
