@@ -42,6 +42,12 @@ BENCH_QUERIES = [
     # round-5 operators
     "docs_mixture_resample", "docs_gopher_gate", "docs_ngram_novelty",
     "embed_standardize", "docs_dsir_weights", "docs_winsorize",
+    # round-6 operators. NOTE (bench-noise discipline, r5 verdict item
+    # 8): docs_token_budget/docs_mixture_resample deliberately pay a
+    # fixed two-phase + persist overhead at sf0.1 that buys bounded
+    # task sizes at 100 TB — do not read their absolute seconds as a
+    # regression.
+    "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
 ]
 
 

@@ -782,3 +782,66 @@ def winsorize(
                     F.col(group_col).eqNullSafe(F.col("__g")))
             .withColumn(out or f"{score_col}_winsorized", clipped)
             .drop("__g", "__lo", "__hi"))
+
+
+def mad_outliers(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    *,
+    k: float = 3.5,
+    consistency: float = 1.4826,
+    z_col: str = "robust_z",
+    out: str = "is_outlier",
+    exact: bool = True,
+    relative_error: float = 1e-4,
+) -> DataFrame:
+    """Per-group robust outlier flag via the median/MAD rule (Iglewicz &
+    Hoaglin): ``robust_z = (x − median) / (consistency · MAD)``, outlier
+    when ``|robust_z| > k``. Unlike mean/stddev screens, a few extreme
+    documents cannot inflate the scale estimate and mask themselves —
+    the right default for heavy-tailed corpus features (doc length,
+    quality scores, token counts). ``consistency=1.4826`` makes MAD a
+    consistent σ estimator under normality; ``k=3.5`` is the
+    conventional cut.
+
+    Degenerate groups (MAD = 0, i.e. a majority of the group sits
+    exactly at the median) keep ``z_col`` NULL and flag every score
+    different from the median — the limit of the rule as MAD→0. NULL
+    scores keep NULL flags; NULL groups are screened against their own
+    median/MAD (null-safe joins throughout).
+
+    Scale shape: TWO dims-sized quantile aggregates (median of scores,
+    then median of |deviation| — the second needs the first, so two
+    passes are inherent to MAD) + two AQE-broadcast joins; the corpus
+    itself streams map-only. Same exact/approx contract as
+    :func:`percentile_gate` — at 100 TB on continuous scores pass
+    ``exact=False`` for bounded Greenwald-Khanna state.
+    """
+    med = (df.groupBy(group_col)
+           .agg(F.element_at(
+               _quantile_agg(score_col, [0.5], exact, relative_error), 1)
+               .cast("double").alias("__med"))
+           .withColumnRenamed(group_col, "__g"))
+    with_med = (df.join(F.broadcast(med),
+                        F.col(group_col).eqNullSafe(F.col("__g")))
+                .drop("__g"))
+    dev = with_med.withColumn(
+        "__ad", F.abs(F.col(score_col).cast("double") - F.col("__med")))
+    mad = (dev.groupBy(group_col)
+           .agg(F.element_at(
+               _quantile_agg("__ad", [0.5], exact, relative_error), 1)
+               .cast("double").alias("__mad"))
+           .withColumnRenamed(group_col, "__g"))
+    z = F.when(F.col("__mad") > 0,
+               (F.col(score_col).cast("double") - F.col("__med"))
+               / (F.lit(float(consistency)) * F.col("__mad")))
+    flag = (F.when(F.col(score_col).isNull(),
+                   F.lit(None).cast("boolean"))
+            .when(F.col("__mad") > 0, F.abs(z) > F.lit(float(k)))
+            .otherwise(F.col(score_col).cast("double") != F.col("__med")))
+    return (dev.join(F.broadcast(mad),
+                     F.col(group_col).eqNullSafe(F.col("__g")))
+            .withColumn(z_col, z)
+            .withColumn(out, flag)
+            .drop("__g", "__med", "__ad", "__mad"))

@@ -938,3 +938,38 @@ def standardize(
     return (df.crossJoin(F.broadcast(stats))
             .withColumn(out_col, guarded)
             .drop("__mu", "__sd"))
+
+
+def standardized_norm_outliers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 2.0,
+    out_col: str = "rms_z",
+    flag_col: str = "is_outlier",
+) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier screen: per-dimension
+    z-score the vectors (:func:`standardize`), then score each vector
+    by its RMS z-value ``sqrt(mean_i z_i²)`` and flag scores above
+    ``threshold``. Unlike :func:`norm_outliers` (raw L2 norm), this is
+    scale-equivariant per dimension — a vector can only look extreme by
+    being extreme relative to each dimension's own spread, so one
+    high-variance dimension can't dominate the screen. For roughly
+    Gaussian embeddings RMS-z concentrates near 1; ``threshold=2``
+    flags vectors whose average squared deviation is 4x the norm.
+
+    Returns (id, rms_z, flag); NULL vectors keep NULL score and flag.
+
+    Scale shape: inherits standardize's ONE posexplode moment pass +
+    broadcast (μ[], σ[]) row; the scoring fold is a zero-shuffle
+    codegen projection — no second pass over the corpus.
+    """
+    z = standardize(df.select(id_col, vec_col), vec_col=vec_col,
+                    out_col="__z")
+    ssq = F.aggregate("__z", F.lit(0.0),
+                      lambda acc, v: acc + v * v)
+    rms = F.sqrt(ssq / F.size("__z"))
+    return (z.withColumn(out_col, rms)
+            .withColumn(flag_col, F.col(out_col) > F.lit(float(threshold)))
+            .select(id_col, out_col, flag_col))

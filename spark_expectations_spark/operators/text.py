@@ -984,3 +984,65 @@ def dsir_log_weights(
                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
                    F.col("sum_logratio"), F.col("avg_logratio")))
     return _release_on_gc(out, raw_toks) if persist_tokens else out
+
+
+def zipf_fit(
+    df: DataFrame,
+    text_col: str,
+    *,
+    top_n: int = 1000,
+) -> DataFrame:
+    """Zipf power-law diagnostics of the corpus token-frequency
+    spectrum: OLS fit of ``ln(count) = intercept + slope·ln(rank)``
+    over the ``top_n`` most frequent tokens. Natural-language corpora
+    sit near slope ≈ −1 (Zipf's law); a much flatter slope signals
+    boilerplate/templated text dominating the corpus, a much steeper
+    one signals collapsed vocabulary (e.g. deduplication gone wrong or
+    spam floods) — a one-row corpus health check to trend across
+    pipeline stages.
+
+    Returns ONE row: ``n_vocab`` (distinct tokens), ``n_tokens``
+    (total), ``n_fit`` (= min(top_n, n_vocab)), ``slope``,
+    ``intercept``, ``r2``.
+
+    Scale shape: one token-count groupBy (map-side combined, vocab-
+    sized), then a distributed sort-limit top-k
+    (TakeOrderedAndProject — no global sort, no single-task window
+    over the vocabulary); only the ``top_n`` surviving rows see a
+    row_number, and the OLS moments are one tiny aggregate. Ties at
+    the cut rank deterministically ((count DESC, token ASC) both in
+    the limit and the rank), so the fitted set is engine-invariant.
+    """
+    from .dedup import tokens_col
+    from ..plans import fan_out
+
+    if top_n < 2:
+        raise ValueError("top_n must be >= 2 for a regression fit")
+    toks = fan_out(df.select(text_col)).select(
+        F.explode(tokens_col(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(F.count(F.lit(1)).alias("n_vocab"),
+                        F.sum("cnt").alias("n_tokens"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("tok").asc()).limit(top_n)
+    w = Window.orderBy(F.col("cnt").desc(), F.col("tok").asc())
+    xy = top.select(
+        F.log(F.row_number().over(w).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"))
+    fit = xy.agg(
+        F.count(F.lit(1)).alias("n_fit"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n_fit").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / n
+    slope = cov / varx
+    return (fit.crossJoin(F.broadcast(totals))
+            .select("n_vocab", "n_tokens", "n_fit",
+                    slope.alias("slope"),
+                    ((F.col("sy") - slope * F.col("sx")) / n)
+                    .alias("intercept"),
+                    F.when(vary > 0, cov * cov / (varx * vary))
+                    .otherwise(F.lit(1.0)).alias("r2")))

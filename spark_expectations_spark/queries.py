@@ -4403,6 +4403,114 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_docs_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust outlier screen on document length
+    (sampling.mad_outliers, Iglewicz-Hoaglin median/MAD rule): two
+    dims-sized exact-median aggregates + broadcast joins; the corpus
+    streams map-only. Integer scores -> quantile_cont interpolation
+    parity with DuckDB median()."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.mad_outliers(docs, "lang", "n_chars", k=1.5)
+    return out.select(
+        "doc_id", "lang", "n_chars",
+        (F.round("robust_z", 4) + F.lit(0.0)).alias("robust_z"),
+        "is_outlier")
+
+
+ORACLE_DOCS_MAD_OUTLIERS = r"""
+WITH med AS (
+  SELECT lang, median(n_chars) AS m FROM documents GROUP BY lang),
+dev AS (
+  SELECT d.doc_id, d.lang, d.n_chars, med.m,
+         abs(d.n_chars - med.m) AS ad
+  FROM documents d JOIN med ON d.lang IS NOT DISTINCT FROM med.lang),
+mad AS (SELECT lang, median(ad) AS s FROM dev GROUP BY lang)
+SELECT dev.doc_id, dev.lang, dev.n_chars,
+       CASE WHEN mad.s > 0
+            THEN round((dev.n_chars - dev.m) / (1.4826 * mad.s), 4) + 0.0
+            END AS robust_z,
+       CASE WHEN dev.n_chars IS NULL THEN NULL
+            WHEN mad.s > 0
+            THEN abs((dev.n_chars - dev.m) / (1.4826 * mad.s)) > 1.5
+            ELSE dev.n_chars <> dev.m END AS is_outlier
+FROM dev JOIN mad ON dev.lang IS NOT DISTINCT FROM mad.lang
+"""
+
+
+def q_docs_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus Zipf power-law fit (text.zipf_fit): one vocab-sized token
+    count agg, distributed sort-limit top-k (TakeOrderedAndProject, no
+    single-task vocab window), OLS moments in one tiny agg. One-row
+    corpus health check (slope ~ -1 for natural language)."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.zipf_fit(docs, "text", top_n=500)
+    return out.select(
+        "n_vocab", "n_tokens", "n_fit",
+        F.round("slope", 4).alias("slope"),
+        F.round("intercept", 4).alias("intercept"),
+        F.round("r2", 4).alias("r2"))
+
+
+ORACLE_DOCS_ZIPF = r"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+counts AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT count(*) AS n_vocab, CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM counts),
+top AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS r
+        FROM counts ORDER BY cnt DESC, tok ASC LIMIT 500),
+xy AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(cnt AS DOUBLE)) AS y
+       FROM top),
+fit AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        FROM xy)
+SELECT n_vocab, n_tokens, CAST(n AS BIGINT) AS n_fit,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 4) AS slope,
+       round((sy - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx) / n, 4)
+         AS intercept,
+       round(CASE WHEN (syy - sy * sy / n) > 0
+                  THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                       / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+                  ELSE 1.0 END, 4) AS r2
+FROM fit, tot
+"""
+
+
+def q_embed_rms_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-Mahalanobis embedding outlier screen
+    (similarity.standardized_norm_outliers): standardize's ONE
+    posexplode moment pass + broadcast (mu[], sigma[]) row, then the
+    RMS-z fold is zero-shuffle codegen. Scalar output columns by
+    driver-canonicalizer contract."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.standardized_norm_outliers(
+        emb, "vec_id", "embedding", threshold=1.02)
+    return out.select(
+        "vec_id",
+        (F.round("rms_z", 4) + F.lit(0.0)).alias("rms_z"),
+        "is_outlier")
+
+
+ORACLE_EMBED_RMS_OUTLIERS = r"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos, embedding[i] AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)),
+stats AS (
+  SELECT pos, avg(v) AS mu, stddev_pop(v) AS sd FROM ex GROUP BY pos),
+z AS (
+  SELECT vec_id,
+         CASE WHEN sd > 0 THEN (v - mu) / sd ELSE 0.0 END AS zv
+  FROM ex JOIN stats USING (pos)),
+agg AS (SELECT vec_id, sqrt(avg(zv * zv)) AS rms FROM z GROUP BY vec_id)
+SELECT e.vec_id, round(agg.rms, 4) + 0.0 AS rms_z,
+       agg.rms > 1.02 AS is_outlier
+FROM embeddings e LEFT JOIN agg USING (vec_id)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -4456,7 +4564,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
     "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
     "dedup_simhash_md5", "docs_minhash_index", "embed_near_dups",
-    "embed_semdedup", "ann_topk", "ann_ivf", "text_stats",
+    "embed_semdedup",
+    # round-6 NEW operators — gate on first appearance
+    "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
 ]
 
 
@@ -4592,6 +4702,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_standardize": q_embed_standardize,
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winsorize": q_docs_winsorize,
+    "docs_mad_outliers": q_docs_mad_outliers,
+    "docs_zipf": q_docs_zipf,
+    "embed_rms_outliers": q_embed_rms_outliers,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -4717,4 +4830,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
+    "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
+    "docs_zipf": ORACLE_DOCS_ZIPF,
+    "embed_rms_outliers": ORACLE_EMBED_RMS_OUTLIERS,
 }

@@ -2589,6 +2589,110 @@ class TestDsirWeights:
         assert n_cached() == base_n
 
 
+class TestMadOutliers:
+    def test_flags_only_extreme_scores(self, spark):
+        """18 clustered values + 2 extremes: MAD ignores the extremes
+        (mean/stddev would not), so only they cross k=3.5."""
+        from spark_expectations_spark.operators import sampling
+        vals = list(range(10, 28)) + [1000, -1000]
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)],
+            "g string, id int, s int")
+        got = {r["s"]: (r["is_outlier"], r["robust_z"])
+               for r in sampling.mad_outliers(df, "g", "s").collect()}
+        assert got[1000][0] and got[-1000][0]
+        assert not any(flag for s, (flag, _) in got.items()
+                       if s not in (1000, -1000))
+        # robust_z signs track direction
+        assert got[1000][1] > 0 > got[-1000][1]
+
+    def test_zero_mad_group_flags_any_deviation(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("g", 1, 5), ("g", 2, 5), ("g", 3, 5), ("g", 4, 9)],
+            "g string, id int, s int")
+        got = {r["id"]: r for r in
+               sampling.mad_outliers(df, "g", "s").collect()}
+        assert got[4]["is_outlier"] and not got[1]["is_outlier"]
+        assert got[4]["robust_z"] is None  # scale undefined at MAD=0
+
+    def test_null_score_and_null_group(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("a", 1, 10), ("a", 2, 12), ("a", 3, None),
+             (None, 4, 5), (None, 5, 6), (None, 6, 500)],
+            "g string, id int, s int")
+        got = {r["id"]: r for r in
+               sampling.mad_outliers(df, "g", "s").collect()}
+        assert len(got) == 6               # NULL group rows kept
+        assert got[3]["is_outlier"] is None  # NULL score -> NULL flag
+        assert got[6]["is_outlier"]          # screened within NULL group
+
+
+class TestZipfFit:
+    def test_recovers_exact_power_law(self, spark):
+        """Tokens generated with count = round(1000 / rank): the fit
+        must recover slope ~ -1 with r2 ~ 1."""
+        from spark_expectations_spark.operators import text as T
+        words = []
+        for rank in range(1, 31):
+            words += ["w%02d" % rank] * round(1000 / rank)
+        df = spark.createDataFrame([(" ".join(words),)], "text string")
+        row = T.zipf_fit(df, "text", top_n=30).first()
+        assert row["n_vocab"] == 30 and row["n_fit"] == 30
+        assert abs(row["slope"] + 1.0) < 0.02
+        assert row["r2"] > 0.999
+
+    def test_uniform_corpus_is_flat(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [("alpha beta gamma delta epsilon " * 10,)], "text string")
+        row = T.zipf_fit(df, "text", top_n=10).first()
+        assert abs(row["slope"]) < 1e-9 and row["n_fit"] == 5
+
+    def test_top_n_caps_fit_not_totals(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [("a a a b b c d e f g",)], "text string")
+        row = T.zipf_fit(df, "text", top_n=3).first()
+        assert row["n_fit"] == 3
+        assert row["n_vocab"] == 7 and row["n_tokens"] == 10
+        with pytest.raises(ValueError, match="top_n"):
+            T.zipf_fit(df, "text", top_n=1)
+
+
+class TestStandardizedNormOutliers:
+    def test_flags_vector_far_from_cloud(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        import random
+        rng = random.Random(3)
+        rows = [(i, [rng.gauss(0, 1), rng.gauss(5, 2)])
+                for i in range(100)]
+        rows.append((999, [30.0, 200.0]))       # extreme in both dims
+        rows.append((1000, None))               # NULL vector
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = {r["vec_id"]: r for r in sim.standardized_norm_outliers(
+            df, threshold=3.0).collect()}
+        assert got[999]["is_outlier"]
+        assert got[1000]["rms_z"] is None and got[1000]["is_outlier"] is None
+        flagged = [v for v, r in got.items() if r["is_outlier"]]
+        assert flagged == [999]
+
+    def test_scale_equivariance_vs_raw_norm(self, spark):
+        """A vector large only along a high-variance dimension must NOT
+        be flagged — the property that distinguishes this screen from
+        norm_outliers' raw L2."""
+        from spark_expectations_spark.operators import similarity as sim
+        # dim0 spread is huge (values +-1000), dim1 tiny (+-1)
+        rows = [(i, [float((-1) ** i * 1000), float((-1) ** i)])
+                for i in range(50)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = sim.standardized_norm_outliers(df, threshold=2.0)
+        assert out.filter("is_outlier").count() == 0
+
+
 class TestWinsorize:
     def test_clips_to_group_fences(self, spark):
         from spark_expectations_spark.operators import sampling
