@@ -219,14 +219,18 @@ class DQEngine:
             agg_dq.enforce_fail_action(res, "target_agg_dq")
 
     def _source_query(self, spark: SparkSession, rules: RuleSet, result: DQResult) -> None:
-        res = query_dq.evaluate_query_rules(spark, rules.for_stage(QUERY_DQ, target=False))
+        res = query_dq.evaluate_query_rules(
+            spark, rules.for_stage(QUERY_DQ, target=False),
+            timeout_s=self.config.query_timeout_s)
         result.source_query = res
         result.status["source_query_dq"] = "Failed" if query_dq.failed(res) else "Passed"
         if self.config.enforce_fail:
             query_dq.enforce_fail_action(res, "source_query_dq")
 
     def _target_query(self, spark: SparkSession, rules: RuleSet, result: DQResult) -> None:
-        res = query_dq.evaluate_query_rules(spark, rules.for_stage(QUERY_DQ, target=True))
+        res = query_dq.evaluate_query_rules(
+            spark, rules.for_stage(QUERY_DQ, target=True),
+            timeout_s=self.config.query_timeout_s)
         result.target_query = res
         result.status["target_query_dq"] = "Failed" if query_dq.failed(res) else "Passed"
         if self.config.enforce_fail:

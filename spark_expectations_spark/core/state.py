@@ -80,6 +80,12 @@ class DQConfig:
     temp_writer: WriterOptions = field(default_factory=WriterOptions)
     #: enforce 'fail' actions (always True in reference batch path)
     enforce_fail: bool = True
+    #: runtime budget (seconds) for each query_dq stage: the fused
+    #: assertion SELECT runs under a cancellable job group; on budget
+    #: overrun rules re-evaluate individually and the slow ones get
+    #: status='timeout' (gating like failures) instead of hanging the
+    #: run. None = no budget (reference behavior).
+    query_timeout_s: Optional[float] = None
     #: cache the projected frame between summary and error write. Sensible at
     #: test scale; at 100 TB prefer False (two scans beat caching 100 TB).
     cache_projected: bool = False

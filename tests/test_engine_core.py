@@ -159,6 +159,74 @@ class TestQueryDQ:
         assert res.source_query[0].status == "pass"
 
 
+class TestQueryDQTimeout:
+    """r5 verdict item 7: reference users hit slow scalar subqueries
+    (accidental cross joins) that hang the whole DQ run — a per-stage
+    runtime budget cancels the fused SELECT's job group and retries
+    rule-by-rule, marking only the slow rule status='timeout'."""
+
+    # a filtered range count: minutes of work at local[4], and RangeExec's
+    # codegen polls the task-kill flag, so cancellation both fires AND
+    # frees the task slots (an unfiltered cross-join loop would time out
+    # too, but its zombie tasks would hog the slots — see the operator
+    # docstring's interruptibility note)
+    SLOW = ("(select count(*) from range(200000000000) "
+            "where id % 3 = 0) >= 0")
+
+    def test_generous_budget_leaves_results_unchanged(self, spark, simple3):
+        from spark_expectations_spark.operators import query_dq
+        simple3.createOrReplaceTempView("qt_view")
+        rules = [
+            _rule(rule="tot", rule_type="query_dq",
+                  expectation="(select sum(col3) from qt_view) > 20"),
+            _rule(rule="cnt", rule_type="query_dq",
+                  expectation="(select count(*) from qt_view) = 99"),
+        ]
+        res = query_dq.evaluate_query_rules(spark, rules, timeout_s=120.0)
+        assert [r.status for r in res] == ["pass", "fail"]
+        assert res[0].actual_value == 60
+
+    def test_slow_rule_times_out_fast_rule_still_evaluated(
+            self, spark, simple3):
+        from spark_expectations_spark.operators import query_dq
+        simple3.createOrReplaceTempView("qt_view")
+        rules = [
+            _rule(rule="slow", rule_type="query_dq", expectation=self.SLOW),
+            _rule(rule="fast", rule_type="query_dq",
+                  expectation="(select sum(col3) from qt_view) > 20"),
+        ]
+        res = query_dq.evaluate_query_rules(spark, rules, timeout_s=3.0)
+        by = {r.rule.rule: r for r in res}
+        assert by["slow"].status == "timeout"
+        assert by["slow"].actual_value is None
+        assert by["fast"].status == "pass"
+        assert by["fast"].actual_value == 60
+        # timeout gates like failure
+        assert [r.rule.rule for r in query_dq.failed(res)] == ["slow"]
+        # the cancelled job group must not poison later queries
+        assert spark.sql("select 1 as x").first()["x"] == 1
+
+    def test_engine_wires_budget_and_fail_action(self, spark, simple3):
+        from spark_expectations_spark.operators.agg_dq import DQAggFailError
+        rules = RuleSet([
+            _rule(rule="slow_gate", rule_type="query_dq",
+                  expectation=self.SLOW, action_if_failed="fail"),
+        ])
+        with pytest.raises(DQAggFailError, match="slow_gate"):
+            mk_engine(query_timeout_s=3.0).run(simple3, rules, spark)
+
+    def test_no_budget_means_no_job_group_machinery(self, spark, simple3):
+        """timeout_s=None must take the exact legacy path (no watchdog
+        thread, no job-group property left behind)."""
+        from spark_expectations_spark.operators import query_dq
+        simple3.createOrReplaceTempView("qt_view")
+        rules = [_rule(rule="tot", rule_type="query_dq",
+                       expectation="(select sum(col3) from qt_view) > 20")]
+        res = query_dq.evaluate_query_rules(spark, rules)
+        assert res[0].status == "pass"
+        assert spark.sparkContext.getLocalProperty("spark.jobGroup.id") is None
+
+
 class TestStats:
     def test_stats_record(self, spark, simple3):
         rules = RuleSet([

@@ -383,6 +383,77 @@ class TestStreamingDQ:
         finally:
             q.stop()
 
+    def test_windowed_topk_append_feeds_dq_engine_end_to_end(
+            self, spark, tmp_path):
+        """r5 verdict item 7: windowed_topk_append and the DQ engine
+        existed separately — this wires them: each FINALIZED per-window
+        ranking batch flows through the full batch DQ engine (row rules
+        with drop semantics, target-table write) inside the stream's
+        sink, wrapped in idempotent_foreach_batch for exactly-once
+        across replays. The streaming operator's append contract is
+        what makes this sound: a window's complete ranking arrives in
+        one batch, so batch DQ counts are per-window-complete."""
+        import time
+        from spark_expectations_spark import (
+            DQConfig, DQEngine, Rule, RuleSet, WriterOptions)
+        from spark_expectations_spark.streaming import (
+            idempotent_foreach_batch, windowed_topk_append)
+
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "500").load()
+               .selectExpr("timestamp as ts",
+                           "cast(value % 5 as string) as key"))
+        rules = RuleSet([
+            Rule("p1", "topk", "row_dq", "n_pos", "n_events",
+                 "n_events > 0", action_if_failed="drop"),
+            Rule("p1", "topk", "row_dq", "rk_bound", "rk",
+                 "rk between 1 and 2", action_if_failed="fail"),
+        ])
+        # write_batch saves to {path}/{table}
+        target = str(tmp_path / "topk_gated")
+        cfg = DQConfig(
+            product_id="p1", table_name="topk",
+            write_error_table=False,
+            write_target_table=True, target_table="topk_gated",
+            target_writer=WriterOptions(path=str(tmp_path), mode="append",
+                                        format="parquet"))
+        engine = DQEngine(cfg)
+        outcomes = []
+
+        def dq_sink(ranked, batch_id):
+            res = engine.run(ranked, rules, ranked.sparkSession)
+            outcomes.append((batch_id, res.input_count, res.output_count))
+
+        spark.sql("DROP TABLE IF EXISTS topk_e2e_state")
+        spark.sql("CREATE TABLE topk_e2e_state (dummy INT) USING parquet")
+        q = windowed_topk_append(
+            src, "ts", "key", k=2, window="2 seconds",
+            watermark="0 seconds",
+            sink=idempotent_foreach_batch(
+                dq_sink, "topk_e2e_state", stream_id="topk_e2e"),
+            checkpoint_location=str(tmp_path / "ck_topk_dq"))
+        try:
+            deadline = time.time() + 240
+            while time.time() < deadline:
+                if sum(n for _, n, _ in outcomes) >= 4:
+                    break
+                time.sleep(2)
+            ran = [o for o in outcomes if o[1] > 0]
+            assert ran, "no finalized window ever reached the DQ engine"
+            # the gate passed: nothing dropped (counts consistent) and
+            # the target table holds only rule-satisfying rankings
+            assert all(n_in == n_out for _, n_in, n_out in ran)
+            got = spark.read.parquet(target)
+            assert got.count() == sum(n for _, n, _ in ran)
+            assert got.filter("rk < 1 or rk > 2 or n_events <= 0").count() == 0
+            # the clean target carries the ranking schema, no DQ meta
+            # columns (those belong to the error table)
+            assert set(got.columns) == {"window_start", "window_end",
+                                        "key", "n_events", "rk"}
+        finally:
+            q.stop()
+            spark.sql("DROP TABLE IF EXISTS topk_e2e_state")
+
     def test_stream_stream_join_with_watermark(self, spark):
         """Inner stream-stream join emits eagerly (no watermark wait);
         the watermark+range bound exists to let state evict."""
