@@ -128,6 +128,24 @@ def main() -> None:
     nov = dedup.ngram_novelty(docs, "doc_id", "text")
     print("mean novelty:",
           round(nov.agg(F.avg("novelty")).first()[0], 3))
+
+    # ---- round-6 additions ------------------------------------------------
+    # robust outlier screen: median/MAD is immune to the outliers it
+    # hunts (a mean/stddev screen lets extremes inflate sigma)
+    flagged = sampling.mad_outliers(docs, "lang", "n_chars", k=1.5)
+    print("mad outliers:", flagged.filter("is_outlier").count(),
+          "of", docs.count())
+
+    # Zipf health check: slope ~ -1 for natural language; flat slope
+    # = templated/boilerplate corpus, steep = collapsed vocabulary
+    zrow = text.zipf_fit(docs, "text", top_n=500).first()
+    print(f"zipf: slope={zrow['slope']:.3f} r2={zrow['r2']:.3f} "
+          f"vocab={zrow['n_vocab']}")
+
+    # embedding outliers relative to per-dimension spread (diagonal
+    # Mahalanobis via standardize — one moment pass, zero-shuffle score)
+    rms = similarity.standardized_norm_outliers(emb, threshold=1.02)
+    print("embedding rms-z outliers:", rms.filter("is_outlier").count())
     spark.stop()
 
 
