@@ -255,6 +255,76 @@ def similarity_pairs(
     )
 
 
+def dup_span_coverage(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+) -> DataFrame:
+    """Per-document fraction of TOKENS covered by at least one
+    cross-document duplicated word ``n``-gram span — the token-level
+    "how much of this document is duplicated text" signal from
+    exact-substring dedup (Lee et al. 2022, arXiv:2107.06499), as
+    opposed to :func:`dup_shingle_fraction`'s shingle-level count: a
+    100-token doc sharing one 50-token passage with another doc scores
+    dup_token_frac ~ 0.5 here, while its shingle fraction depends on
+    how the passage shingles overlap. Returns
+    (id, n_tokens, covered_tokens, dup_token_frac).
+
+    Cross-document only: a gram must occur in >= ``min_df`` DISTINCT
+    documents (within-doc self-repetition is text.repetition's
+    signal). Scale shape: positional grams from ONE arrays_zip pass
+    (same shifted-slice trick as shingles_col, keeping start indices),
+    doc-frequency groupBy + semi join back on the 8-byte
+    xxhash64(gram) — posting-list shape, no pairs anywhere; the
+    position explosion (x n) runs over DUPLICATED spans only, then a
+    distinct + per-doc count. The exploded gram frame is persisted so
+    one pass feeds both the frequency agg and the join back (released
+    when the result is garbage-collected).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans import fan_out
+    from .sampling import _release_on_gc
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    toks = tokens_col(F.col(text_col))
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    grams = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+    ex = (fan_out(df.select(id_col, text_col))
+          .select(F.col(id_col),
+                  F.posexplode(
+                      F.when(F.size(toks) >= n, grams)
+                      .otherwise(F.array().cast("array<string>")))
+                  .alias("__s", "__gr"))
+          .select(id_col, "__s", F.xxhash64("__gr").alias("__h"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    dfreq = (ex.groupBy("__h")
+             .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+             .filter(F.col("__df") >= min_df))
+    covered = (ex.join(dfreq, "__h", "left_semi")
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("__s"), F.col("__s") + F.lit(n - 1)))
+                       .alias("__p"))
+               .distinct()
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("covered_tokens")))
+    nt = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    out = (nt.join(covered, id_col, "left")
+           .select(F.col(id_col), "n_tokens",
+                   F.coalesce("covered_tokens", F.lit(0))
+                   .alias("covered_tokens"))
+           .withColumn("dup_token_frac",
+                       F.col("covered_tokens") / F.col("n_tokens")))
+    return _release_on_gc(out, ex)
+
+
 def dup_shingle_fraction(
     df: DataFrame,
     id_col: str,

@@ -4403,6 +4403,41 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level duplicated-span coverage (dedup.dup_span_coverage,
+    Lee et al. 2022 exact-substring dedup signal): fraction of each
+    doc's TOKENS covered by a cross-document duplicated 3-gram span.
+    Posting-list shape (positional-gram groupBy + semi join back on
+    xxhash64), position explosion over duplicated spans only."""
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.dup_span_coverage(docs, "doc_id", "text", n=3, min_df=2)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "covered_tokens",
+        F.round("dup_token_frac", 4).alias("dup_token_frac"))
+
+
+ORACLE_DOCS_DUP_SPANS = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT doc_id, i - 1 AS s, array_to_string(t[i:i+2], ' ') AS g
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)),
+freq AS (SELECT g FROM sh GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+dup AS (SELECT DISTINCT doc_id, s FROM sh JOIN freq USING (g)),
+cov AS (SELECT DISTINCT doc_id, s + off AS pos
+        FROM dup, UNNEST(range(0, 3)) AS v(off)),
+cnt AS (SELECT doc_id, count(*) AS covered FROM cov GROUP BY doc_id)
+SELECT t.doc_id, len(t.t) AS n_tokens,
+       CAST(coalesce(cnt.covered, 0) AS BIGINT) AS covered_tokens,
+       round(coalesce(cnt.covered, 0) * 1.0 / len(t.t), 4)
+         AS dup_token_frac
+FROM toks t LEFT JOIN cnt USING (doc_id)
+"""
+
+
 def q_docs_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language robust outlier screen on document length
     (sampling.mad_outliers, Iglewicz-Hoaglin median/MAD rule): two
@@ -4559,7 +4594,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_topk_users", "array_agg_statuses", "part_brand_topk",
     "multimodal_features",
     # re-gate fills: flagship joins/windows + the dedup/ANN family
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18ish", "tpch_q21ish",
+    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18ish",
     "window_rank", "window_running_total", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
     "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
@@ -4567,6 +4602,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_semdedup",
     # round-6 NEW operators — gate on first appearance
     "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
+    "docs_dup_spans",
 ]
 
 
@@ -4702,6 +4738,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_standardize": q_embed_standardize,
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winsorize": q_docs_winsorize,
+    "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
     "embed_rms_outliers": q_embed_rms_outliers,
@@ -4830,6 +4867,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
+    "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
     "docs_zipf": ORACLE_DOCS_ZIPF,
     "embed_rms_outliers": ORACLE_EMBED_RMS_OUTLIERS,

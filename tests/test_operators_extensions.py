@@ -76,6 +76,44 @@ class TestDedup:
         assert [(p["id_a"], p["id_b"], p["hamming"]) for p in pairs] == [(1, 2, 0)]
 
 
+class TestDupSpanCoverage:
+    def test_known_shared_passage_coverage(self, spark):
+        """docs 1/2 share the 3-gram 'a b c' -> exactly its 3 token
+        positions are covered in each (0.5 of 6 tokens); doc 3 is
+        unrelated; doc 4 repeats a gram only WITHIN itself (cross-doc
+        contract: not counted); doc 5 is shorter than n (no grams)."""
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y a b c z"), (3, "p q r s"),
+             (4, "m n o m n o m n o"), (5, "u v")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup.dup_span_coverage(
+            df, "doc_id", "text", n=3).collect()}
+        assert (got[1]["covered_tokens"], got[1]["n_tokens"]) == (3, 6)
+        assert got[1]["dup_token_frac"] == pytest.approx(0.5)
+        assert got[2]["covered_tokens"] == 3
+        assert got[3]["covered_tokens"] == 0
+        assert got[4]["covered_tokens"] == 0   # self-repetition excluded
+        assert (got[5]["covered_tokens"], got[5]["n_tokens"]) == (0, 2)
+
+    def test_overlapping_spans_union_not_sum(self, spark):
+        """Two overlapping duplicated grams must cover the UNION of
+        their positions — the interval-union semantics that
+        distinguishes token coverage from shingle counting."""
+        from spark_expectations_spark.operators import dedup
+        # docs share the 4-token passage 'a b c d' -> duplicated grams
+        # 'a b c' and 'b c d' overlap in positions {1, 2}
+        df = spark.createDataFrame(
+            [(1, "a b c d x"), (2, "y a b c d")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup.dup_span_coverage(
+            df, "doc_id", "text", n=3).collect()}
+        assert got[1]["covered_tokens"] == 4   # not 6
+        assert got[2]["covered_tokens"] == 4
+        with pytest.raises(ValueError, match="n must"):
+            dedup.dup_span_coverage(df, "doc_id", "text", n=0)
+
+
 class TestHashFamilyPairParity:
     """r5 verdict task 6: the xxhash64 catalog twins (dedup_minhash /
     dedup_simhash) are declared rows-only — no DuckDB oracle can follow
