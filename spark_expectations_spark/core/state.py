@@ -155,8 +155,12 @@ class DQResult:
         for name, results in (("agg_dq", self.source_agg + self.target_agg),
                               ("query_dq", self.source_query + self.target_query)):
             if results:
-                f = sum(1 for r in results if r.status == "fail")
-                out[name] = {"pass": len(results) - f, "fail": f}
+                # anything that is not an explicit pass counts as fail —
+                # a 'timeout' query rule gates like a failure
+                # (query_dq.failed), so the stats row must not report it
+                # as a pass
+                p = sum(1 for r in results if r.status == "pass")
+                out[name] = {"pass": p, "fail": len(results) - p}
         return out
 
     def stats_record(self) -> dict[str, Any]:

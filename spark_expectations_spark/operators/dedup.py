@@ -315,7 +315,12 @@ def dup_span_coverage(
                .distinct()
                .groupBy(id_col)
                .agg(F.count(F.lit(1)).alias("covered_tokens")))
-    nt = df.select(F.col(id_col), F.size(toks).alias("n_tokens"))
+    # NULL text keeps NULL token count (legacy size(NULL) would be -1 —
+    # a nonsense count and a -0.0 fraction) — matching SQL semantics
+    nt = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("int"))
+        .otherwise(F.size(toks)).alias("n_tokens"))
     out = (nt.join(covered, id_col, "left")
            .select(F.col(id_col), "n_tokens",
                    F.coalesce("covered_tokens", F.lit(0))
@@ -348,11 +353,13 @@ def dup_shingle_fraction(
     """
     from pyspark.storagelevel import StorageLevel
 
+    from .sampling import _release_on_gc
+
     ex = explode_shingles(df, id_col, text_col, n).select(
         id_col, F.xxhash64("shingle").alias("_h")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     dfreq = ex.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    return (
+    out = (
         ex.join(dfreq, "_h")
         .groupBy(id_col)
         .agg(
@@ -361,6 +368,9 @@ def dup_shingle_fraction(
         )
         .withColumn("dup_frac", F.col("n_dup") / F.col("n_shingles"))
     )
+    # release the shingle cache when the result is GC'd (the r6 pattern
+    # dup_span_coverage uses — a bare persist leaked for the session)
+    return _release_on_gc(out, ex)
 
 
 def plan_lsh_bands(threshold: float, num_hashes: int) -> dict:

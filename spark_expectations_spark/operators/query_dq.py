@@ -29,8 +29,13 @@ class QueryRuleResult:
     status: str                          # 'pass' | 'fail' | 'timeout'
     actual_value: Any = None
     expected: Optional[str] = None
-    #: alias -> list[dict] rows captured from secondary queries
+    #: alias -> list[dict] rows captured from secondary queries. An
+    #: alias whose capture blew the runtime budget is ABSENT here and
+    #: listed in timed_out_secondaries instead — an empty list always
+    #: means "the query ran and returned no rows".
     secondary_output: dict[str, list[dict]] = field(default_factory=dict)
+    #: aliases whose secondary capture timed out under the stage budget
+    timed_out_secondaries: list[str] = field(default_factory=list)
 
     def result_map(self) -> dict[str, str]:
         d = dict(self.rule.meta_items())
@@ -39,6 +44,8 @@ class QueryRuleResult:
             d["actual_value"] = str(self.actual_value)
         if self.expected is not None:
             d["expected"] = self.expected
+        if self.timed_out_secondaries:
+            d["timed_out_secondaries"] = ",".join(self.timed_out_secondaries)
         return d
 
 
@@ -69,19 +76,40 @@ def _run_with_timeout(spark: SparkSession, fn, timeout_s: float, desc: str):
         return fn(), False
     gid = f"se-querydq-{uuid.uuid4().hex[:12]}"
     sc.setJobGroup(gid, desc, interruptOnCancel=True)
-    timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(gid))
-    timer.daemon = True
-    timer.start()
+    done = threading.Event()
+    expired = threading.Event()
+
+    def _watchdog():
+        # REPEATING cancel, not a one-shot: a multi-subquery SELECT runs
+        # several sequential jobs, and cancelJobGroup only cancels jobs
+        # active at that instant — a single cancel landing in the gap
+        # between two jobs would be a no-op and the next job would run
+        # unbudgeted. Re-cancelling every 250ms until the main thread
+        # signals completion closes that race with public APIs
+        # (cancelJobGroupAndFutureJobs is JVM-only as of PySpark 4.1).
+        if done.wait(timeout_s):
+            return
+        expired.set()
+        while not done.is_set():
+            sc.cancelJobGroup(gid)
+            done.wait(0.25)
+
+    watchdog = threading.Thread(target=_watchdog, daemon=True)
+    watchdog.start()
     try:
         return fn(), False
     except Exception as exc:  # noqa: BLE001 - classifying cancellation
-        fired = not timer.is_alive()
-        if fired and "cancel" in str(exc).lower():
+        if expired.is_set() and "cancel" in str(exc).lower():
             return None, True
         raise
     finally:
-        timer.cancel()
+        done.set()
+        # clear EVERY thread-local property setJobGroup stamped — a
+        # leaked description/interruptOnCancel would misattribute all
+        # later jobs on this thread and change their task-kill semantics
         sc.setLocalProperty("spark.jobGroup.id", None)
+        sc.setLocalProperty("spark.job.description", None)
+        sc.setLocalProperty("spark.job.interruptOnCancel", None)
 
 
 def evaluate_query_rules(
@@ -128,11 +156,8 @@ def evaluate_query_rules(
 
     out: list[QueryRuleResult] = []
     for i, (r, p) in enumerate(zip(rules, parsed)):
-        secondary: dict[str, list[dict]] = {}
-        if capture_secondary and r.enable_querydq_custom_output and r.secondary_queries:
-            for alias, sql in r.secondary_queries.items():
-                rows = spark.sql(sql).collect()
-                secondary[alias] = [rw.asDict(recursive=True) for rw in rows]
+        secondary, s_timeouts = _capture_secondaries(
+            spark, r, capture_secondary, timeout_s)
         out.append(
             QueryRuleResult(
                 rule=r,
@@ -140,9 +165,41 @@ def evaluate_query_rules(
                 actual_value=row[f"actual_{i}"] if p is not None else None,
                 expected=p.expected_repr() if p is not None else None,
                 secondary_output=secondary,
+                timed_out_secondaries=s_timeouts,
             )
         )
     return out
+
+
+def _capture_secondaries(
+    spark: SparkSession,
+    r: Rule,
+    capture_secondary: bool,
+    timeout_s: Optional[float],
+) -> tuple[dict[str, list[dict]], list[str]]:
+    """Secondary-query capture shared by the fused and per-rule paths.
+    With a budget, EVERY secondary runs under its own watchdog — the
+    fused-success path must not become an unbudgeted back door for the
+    very cross-join the budget exists to contain. A timed-out alias is
+    returned in the second list and OMITTED from the capture dict, so
+    an empty list always means 'ran clean, no rows'."""
+    secondary: dict[str, list[dict]] = {}
+    timeouts: list[str] = []
+    if not (capture_secondary and r.enable_querydq_custom_output
+            and r.secondary_queries):
+        return secondary, timeouts
+    for alias, sql in r.secondary_queries.items():
+        if timeout_s is None:
+            rows = spark.sql(sql).collect()
+        else:
+            rows, s_to = _run_with_timeout(
+                spark, lambda q=sql: spark.sql(q).collect(), timeout_s,
+                f"query_dq secondary {r.rule}:{alias}")
+            if s_to:
+                timeouts.append(alias)
+                continue
+        secondary[alias] = [rw.asDict(recursive=True) for rw in rows]
+    return secondary, timeouts
 
 
 def _evaluate_individually(
@@ -169,20 +226,15 @@ def _evaluate_individually(
                 rule=r, status="timeout",
                 expected=p.expected_repr() if p is not None else None))
             continue
-        secondary: dict[str, list[dict]] = {}
-        if capture_secondary and r.enable_querydq_custom_output and r.secondary_queries:
-            for alias, ssql in r.secondary_queries.items():
-                rows, s_timed_out = _run_with_timeout(
-                    spark, lambda q=ssql: spark.sql(q).collect(), timeout_s,
-                    f"query_dq secondary {r.rule}:{alias}")
-                secondary[alias] = ([] if s_timed_out else
-                                    [rw.asDict(recursive=True) for rw in rows])
+        secondary, s_timeouts = _capture_secondaries(
+            spark, r, capture_secondary, timeout_s)
         out.append(QueryRuleResult(
             rule=r,
             status="pass" if bool(row["status_0"]) else "fail",
             actual_value=row["actual_0"] if p is not None else None,
             expected=p.expected_repr() if p is not None else None,
             secondary_output=secondary,
+            timed_out_secondaries=s_timeouts,
         ))
     return out
 

@@ -4565,11 +4565,13 @@ FROM embeddings e LEFT JOIN agg USING (vec_id)
 #   r1-r4: catalog insertion order (same first 50 every round).
 #   r5:    dq_* flagship + 12 round-5-touched + 33 never-gated
 #          (users_scd2 .. lineitem_correlations). 104/123 cumulative.
-#   r6:    dq_* flagship + 5 round-6-touched + the FINAL 19 never-gated
-#          value-oracled entries + 21 re-gate fills (tpch/window/dedup/
-#          ANN families). After r6 every value-oracled catalog entry has
-#          been driver-gated at least once; later rounds re-gate on a
-#          touched-first basis. Round-over-round gate results are NOT
+#   r6:    5 dq_* flagship + 5 round-6-touched + the FINAL 19 never-
+#          gated value-oracled entries + 17 re-gate fills (tpch/window/
+#          dedup/ANN families) + 4 round-6 NEW operators
+#          (docs_mad_outliers, docs_zipf, embed_rms_outliers,
+#          docs_dup_spans) = 50. After r6 every value-oracled catalog
+#          entry has been driver-gated at least once; later rounds
+#          re-gate on a touched-first basis. Results are NOT
 #          like-for-like across rotations — compare against the local
 #          full-catalog gate (tools/check_correctness.py, all entries)
 #          for longitudinal trends.

@@ -392,16 +392,18 @@ def upsert_partitioned(
     # it would make merged=updates and dynamic overwrite would silently
     # drop every existing row in the touched partitions.
     try:
-        existing = (
-            spark.read.parquet(table_path)
-            .filter(F.col(partition_col).isin(touched))
-        )
+        table = spark.read.parquet(table_path)
         # force analysis inside the guarded region: spark.read.parquet
         # can defer PATH_NOT_FOUND until the schema is first needed
-        existing.schema
+        table.schema
     except AnalysisException:  # first run: no table yet — bootstrap
         merged = updates
     else:
+        # the partition filter resolves OUTSIDE the guard: an on-disk
+        # table that lacks partition_col is schema drift, not "no table
+        # yet" — swallowing it would skip the merge and leave stale
+        # keyed rows next to the new writes
+        existing = table.filter(F.col(partition_col).isin(touched))
         merged = (
             existing.join(updates.select(*key_cols).distinct(),
                           list(key_cols), "left_anti")

@@ -74,11 +74,15 @@ class TestDriverContract:
         map-typed output columns, so a correct query reads as broken.
         Every DRIVER_PRIORITY query must emit only scalar columns.
         Schema analysis is lazy — no jobs run here."""
+        import os
+
         from pyspark.sql import types as T
         from spark_expectations_spark.queries import DRIVER_PRIORITY
         mod = _entry_module()
         qs = mod.queries()
-        sf_dir = "/root/testdata/sf0.001"
+        # same override conftest.SF_DIR honors
+        sf_dir = os.environ.get("SPARK_GRAFT_TEST_SF",
+                                "/root/testdata/sf0.001")
         offenders = {}
         for name in DRIVER_PRIORITY:
             schema = qs[name](spark, sf_dir).schema

@@ -203,8 +203,61 @@ class TestQueryDQTimeout:
         assert by["fast"].actual_value == 60
         # timeout gates like failure
         assert [r.rule.rule for r in query_dq.failed(res)] == ["slow"]
-        # the cancelled job group must not poison later queries
+        # the cancelled job group must not poison later queries, and
+        # EVERY thread-local property setJobGroup stamped is cleared
+        # (a leaked description/interruptOnCancel would misattribute
+        # all later jobs on this thread)
         assert spark.sql("select 1 as x").first()["x"] == 1
+        sc = spark.sparkContext
+        assert sc.getLocalProperty("spark.jobGroup.id") is None
+        assert sc.getLocalProperty("spark.job.description") is None
+        assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
+
+    def test_slow_secondary_budgeted_on_fused_success_path(
+            self, spark, simple3):
+        """Review fix: the fused SELECT finishing under budget must not
+        leave secondary audit queries as an unbudgeted back door — a
+        slow secondary times out, lands in timed_out_secondaries (NOT
+        as an empty capture), and the rule still reports pass/fail."""
+        simple3.createOrReplaceTempView("qt_view")
+        recs = [dict(
+            product_id="p1", table_name="t", rule_type="query_dq",
+            rule="cmp", column_name="col3",
+            expectation=(
+                "({total}) > 20"
+                "@total@(select sum(col3) as s from qt_view)"
+                "@slowaudit@(select count(*) as c from "
+                "range(200000000000) where id % 3 = 0)"
+            ),
+            enable_querydq_custom_output=True,
+            action_if_failed="ignore",
+        )]
+        from spark_expectations_spark import RuleSet
+        from spark_expectations_spark.operators import query_dq
+        rules = RuleSet.from_records(recs)
+        res = query_dq.evaluate_query_rules(
+            spark, list(rules.rules), timeout_s=3.0)
+        q = res[0]
+        assert q.status == "pass"                       # primary ran
+        assert q.secondary_output["total"] == [{"s": 60}]
+        assert "slowaudit" not in q.secondary_output     # not a fake []
+        assert q.timed_out_secondaries == ["slowaudit"]
+        assert q.result_map()["timed_out_secondaries"] == "slowaudit"
+
+    def test_timeout_counts_as_fail_in_stats_row(self, spark, simple3):
+        """Review fix: rules_execution_summary counted a timed-out
+        query rule as a PASS (status=='fail' counting) while
+        failed()/enforce gated it as a failure — the stats row must
+        agree with the gate."""
+        rules = RuleSet([
+            _rule(rule="slow_ig", rule_type="query_dq",
+                  expectation=self.SLOW, action_if_failed="ignore"),
+        ])
+        res = mk_engine(query_timeout_s=3.0).run(simple3, rules, spark)
+        assert res.source_query[0].status == "timeout"
+        assert res.stats_record()["dq_rules"]["query_dq"] == \
+            {"pass": 0, "fail": 1}
+        assert res.status["source_query_dq"] == "Failed"
 
     def test_engine_wires_budget_and_fail_action(self, spark, simple3):
         from spark_expectations_spark.operators.agg_dq import DQAggFailError

@@ -113,6 +113,20 @@ class TestDupSpanCoverage:
         with pytest.raises(ValueError, match="n must"):
             dedup.dup_span_coverage(df, "doc_id", "text", n=0)
 
+    def test_null_text_keeps_null_counts(self, spark):
+        """Review fix: legacy size(NULL) = -1 leaked out as
+        n_tokens=-1 / dup_token_frac=-0.0 for NULL-text docs; SQL
+        semantics (and the oracle) say NULL."""
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, None)], "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup.dup_span_coverage(
+            df, "doc_id", "text", n=3).collect()}
+        assert got[2]["n_tokens"] is None
+        assert got[2]["covered_tokens"] == 0
+        assert got[2]["dup_token_frac"] is None
+        assert got[1]["n_tokens"] == 4
+
 
 class TestHashFamilyPairParity:
     """r5 verdict task 6: the xxhash64 catalog twins (dedup_minhash /

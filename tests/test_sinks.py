@@ -244,9 +244,20 @@ class TestUpsertPartitioned:
         bad_key = spark.createDataFrame([(1, "a", 11)], ["idd", "pt", "v"])
         with _pytest.raises(AnalysisException):
             upsert_partitioned(spark, path, bad_key, ["id"], "pt")
-        # existing rows untouched in both cases
+        # partition-column drift: the on-disk table lacks the named
+        # partition column -> the filter's resolution failure must
+        # propagate (review fix: it used to be swallowed as 'no table
+        # yet' and the merge silently skipped)
+        path2 = str(tmp_path / "tbl5")
+        spark.createDataFrame([(1, "a", 10)], ["id", "zone", "v"]) \
+            .write.partitionBy("zone").parquet(path2)
+        ups2 = spark.createDataFrame([(1, "a", 11)], ["id", "pt", "v"])
+        with _pytest.raises(AnalysisException):
+            upsert_partitioned(spark, path2, ups2, ["id"], "pt")
+        # existing rows untouched in every case
         got = {(r.id, r.pt, r.v) for r in spark.read.parquet(path).collect()}
         assert got == {(1, "a", 10), (2, "a", 20)}
+        assert spark.read.parquet(path2).count() == 1
 
 
 class TestErrorRateTrend:
