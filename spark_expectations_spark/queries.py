@@ -4403,6 +4403,60 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION rows via Spark's NATIVE session_window aggregate
+    (the streaming-capable sessionization primitive — merges events
+    whose gap is < 30 min; a new session starts when ts >= previous
+    session end). Complements events_sessions, which only counts
+    sessions per user via a lag window. One shuffle (the session_window
+    groupBy, partial-agg combined); the window struct is flattened to
+    scalar start/end columns for the driver canonicalizer. Session end
+    is last event + gap by session_window's definition."""
+    ev = load(spark, sf_dir, "events")
+    # load() normalizes events.ts to epoch NANOSECONDS (bigint) for
+    # epoch_ns oracle parity — rebuild a timestamp for session_window
+    # (integer div: a double round-trip would lose ns-epoch precision
+    # past 2^53) and emit epoch-ns scalars back out, house style.
+    t = F.timestamp_micros(F.expr("ts div 1000"))
+    sw = (ev.withColumn("__t", t)
+          .groupBy("user_id",
+                   F.session_window("__t", "30 minutes").alias("sw"))
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.round(F.sum("value"), 2).alias("sum_value")))
+    return sw.select(
+        "user_id",
+        (F.unix_micros("sw.start") * F.lit(1000)).alias("session_start"),
+        (F.unix_micros("sw.end") * F.lit(1000)).alias("session_end"),
+        "n_events", "sum_value")
+
+
+ORACLE_EVENTS_SESSION_WINDOWS = r"""
+WITH o AS (
+  SELECT user_id, epoch_ns(ts) AS tns, value,
+         lag(epoch_ns(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_ns(ts), event_id) AS pns
+  FROM events),
+m AS (
+  SELECT user_id, tns, value,
+         CASE WHEN pns IS NULL
+                   OR tns - pns >= 1800000000000 THEN 1
+              ELSE 0 END AS new_sess
+  FROM o),
+s AS (
+  SELECT user_id, tns, value,
+         sum(new_sess) OVER (PARTITION BY user_id
+                             ORDER BY tns, value
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       min(tns) AS session_start,
+       max(tns) + 1800000000000 AS session_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM s GROUP BY user_id, sid
+"""
+
+
 def q_docs_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level duplicated-span coverage (dedup.dup_span_coverage,
     Lee et al. 2022 exact-substring dedup signal): fraction of each
@@ -4566,10 +4620,10 @@ FROM embeddings e LEFT JOIN agg USING (vec_id)
 #   r5:    dq_* flagship + 12 round-5-touched + 33 never-gated
 #          (users_scd2 .. lineitem_correlations). 104/123 cumulative.
 #   r6:    5 dq_* flagship + 5 round-6-touched + the FINAL 19 never-
-#          gated value-oracled entries + 17 re-gate fills (tpch/window/
-#          dedup/ANN families) + 4 round-6 NEW operators
+#          gated value-oracled entries + 16 re-gate fills (tpch/window/
+#          dedup/ANN families) + 5 round-6 NEW operators
 #          (docs_mad_outliers, docs_zipf, embed_rms_outliers,
-#          docs_dup_spans) = 50. After r6 every value-oracled catalog
+#          docs_dup_spans, events_session_windows) = 50. After r6 every value-oracled catalog
 #          entry has been driver-gated at least once; later rounds
 #          re-gate on a touched-first basis. Results are NOT
 #          like-for-like across rotations — compare against the local
@@ -4596,7 +4650,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_topk_users", "array_agg_statuses", "part_brand_topk",
     "multimodal_features",
     # re-gate fills: flagship joins/windows + the dedup/ANN family
-    "tpch_q1", "tpch_q3", "tpch_q6", "tpch_q18ish",
+    "tpch_q1", "tpch_q3", "tpch_q6",
     "window_rank", "window_running_total", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
     "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
@@ -4604,7 +4658,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_semdedup",
     # round-6 NEW operators — gate on first appearance
     "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
-    "docs_dup_spans",
+    "docs_dup_spans", "events_session_windows",
 ]
 
 
@@ -4740,6 +4794,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_standardize": q_embed_standardize,
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winsorize": q_docs_winsorize,
+    "events_session_windows": q_events_session_windows,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -4869,6 +4924,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
+    "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
     "docs_zipf": ORACLE_DOCS_ZIPF,
