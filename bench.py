@@ -48,7 +48,7 @@ BENCH_QUERIES = [
     # task sizes at 100 TB — do not read their absolute seconds as a
     # regression.
     "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
-    "docs_dup_spans", "events_session_windows",
+    "docs_dup_spans", "events_session_windows", "docs_kfold",
 ]
 
 

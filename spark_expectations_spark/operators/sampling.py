@@ -102,6 +102,45 @@ def with_split(
     return df.withColumn(out, expr)
 
 
+def with_kfold(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    *,
+    strata_col: Optional[str] = None,
+    out: str = "fold",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic k-fold assignment for cross-validation: fold =
+    ``md5(salt|stratum|key) mod k`` — a pure function of the key, so
+    folds survive re-partitioning, cluster changes, and engines (the
+    same md5-stream contract as :func:`with_split`), and rows sharing a
+    key always share a fold (group-safe CV when keyed by entity).
+
+    ``strata_col`` salts the hash with the stratum value so each
+    stratum's rows spread ~uniformly over all k folds independently —
+    the stratified-CV shape (without it, fold sizes are still ~uniform
+    overall but a small stratum may land unevenly). NULL keys follow
+    the module contract of :func:`with_split`'s hash (NULL md5 ⇒ NULL
+    bucket): they get fold NULL — filter or coalesce them explicitly
+    rather than silently biasing a fold. Zero shuffle — a scan-fused
+    projection; 8 hex chars of md5 (32 bits) keep the mod-k bias
+    negligible for any practical k.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    parts = [F.lit(salt)]
+    if strata_col is not None:
+        parts.append(F.col(strata_col).cast("string"))
+    parts.append(F.col(key_col).cast("string"))
+    # concat (not concat_ws): a NULL key must yield a NULL hash/fold,
+    # and concat_ws would silently skip NULLs and hash the rest
+    joined = F.concat(*[p if i == 0 else F.concat(F.lit("|"), p)
+                        for i, p in enumerate(parts)])
+    b32 = F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+    return df.withColumn(out, F.pmod(b32, F.lit(int(k))).cast("int"))
+
+
 def deterministic_sample(
     df: DataFrame,
     key_col: str,

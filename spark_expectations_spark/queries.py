@@ -4403,6 +4403,27 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_docs_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic k-fold assignment
+    (sampling.with_kfold): fold = md5(salt|lang|doc_id) mod 5 — a
+    zero-shuffle scan-fused projection whose folds survive
+    re-partitioning and engines (portable md5, oracle-checkable)."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.with_kfold(docs, "doc_id", 5, strata_col="lang")
+    return out.select("doc_id", "lang", "fold")
+
+
+ORACLE_DOCS_KFOLD = r"""
+SELECT doc_id, lang,
+       CAST(CAST(('0x' || substr(md5('|' || lang || '|'
+                                 || CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 5 AS INTEGER) AS fold
+FROM documents
+"""
+
+
 def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SESSION rows via Spark's NATIVE session_window aggregate
     (the streaming-capable sessionization primitive — merges events
@@ -4620,10 +4641,10 @@ FROM embeddings e LEFT JOIN agg USING (vec_id)
 #   r5:    dq_* flagship + 12 round-5-touched + 33 never-gated
 #          (users_scd2 .. lineitem_correlations). 104/123 cumulative.
 #   r6:    5 dq_* flagship + 5 round-6-touched + the FINAL 19 never-
-#          gated value-oracled entries + 16 re-gate fills (tpch/window/
-#          dedup/ANN families) + 5 round-6 NEW operators
+#          gated value-oracled entries + 15 re-gate fills (tpch/window/
+#          dedup/ANN families) + 6 round-6 NEW operators
 #          (docs_mad_outliers, docs_zipf, embed_rms_outliers,
-#          docs_dup_spans, events_session_windows) = 50. After r6 every value-oracled catalog
+#          docs_dup_spans, events_session_windows, docs_kfold) = 50. After r6 every value-oracled catalog
 #          entry has been driver-gated at least once; later rounds
 #          re-gate on a touched-first basis. Results are NOT
 #          like-for-like across rotations — compare against the local
@@ -4650,7 +4671,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_topk_users", "array_agg_statuses", "part_brand_topk",
     "multimodal_features",
     # re-gate fills: flagship joins/windows + the dedup/ANN family
-    "tpch_q1", "tpch_q3", "tpch_q6",
+    "tpch_q1", "tpch_q3",
     "window_rank", "window_running_total", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
     "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
@@ -4658,7 +4679,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_semdedup",
     # round-6 NEW operators — gate on first appearance
     "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
-    "docs_dup_spans", "events_session_windows",
+    "docs_dup_spans", "events_session_windows", "docs_kfold",
 ]
 
 
@@ -4795,6 +4816,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_dsir_weights": q_docs_dsir_weights,
     "docs_winsorize": q_docs_winsorize,
     "events_session_windows": q_events_session_windows,
+    "docs_kfold": q_docs_kfold,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -4925,6 +4947,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,
+    "docs_kfold": ORACLE_DOCS_KFOLD,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
     "docs_zipf": ORACLE_DOCS_ZIPF,

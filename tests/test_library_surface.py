@@ -383,6 +383,47 @@ class TestStreamingDQ:
         finally:
             q.stop()
 
+    def test_session_counts_append_emits_finalized_sessions(
+            self, spark, tmp_path):
+        """Native streaming session windows: rate values are shaped
+        into 10-event bursts one hour apart (gap 30s), so each
+        (burst, key) is one finalized session of 5 events, emitted
+        exactly once when the next burst's event time moves the
+        watermark past the session end."""
+        import time
+        from spark_expectations_spark.streaming import session_counts
+
+        src = (spark.readStream.format("rate")
+               .option("rowsPerSecond", "500").load()
+               .selectExpr(
+                   "timestamp '2026-01-01 00:00:00'"
+                   " + (value div 10) * INTERVAL 1 HOUR"
+                   " + (value % 10) * INTERVAL 1 SECOND as ts",
+                   "cast(value % 2 as string) as key"))
+        sess = session_counts(src, "ts", "key", gap="30 seconds",
+                              watermark="0 seconds")
+        seen = []
+        q = (sess.writeStream.outputMode("append")
+             .foreachBatch(lambda b, i: seen.extend(b.collect()))
+             .option("checkpointLocation", str(tmp_path / "ck_sess"))
+             .start())
+        try:
+            deadline = time.time() + 240
+            while time.time() < deadline and len(seen) < 6:
+                time.sleep(2)
+            assert len(seen) >= 6, "no finalized sessions emitted"
+            for r in seen:
+                assert r["n_events"] == 5          # 5 events per key/burst
+                assert r["session_start"] < r["session_end"]
+                # session end = last event + gap (session_window contract)
+                span = (r["session_end"] - r["session_start"]).total_seconds()
+                assert span == pytest.approx(8 + 30)  # secs 1..9 step2 + gap
+            # emitted exactly once per (key, session_start)
+            keys = [(r["key"], r["session_start"]) for r in seen]
+            assert len(keys) == len(set(keys))
+        finally:
+            q.stop()
+
     def test_windowed_topk_append_feeds_dq_engine_end_to_end(
             self, spark, tmp_path):
         """r5 verdict item 7: windowed_topk_append and the DQ engine

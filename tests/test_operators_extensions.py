@@ -2641,6 +2641,44 @@ class TestDsirWeights:
         assert n_cached() == base_n
 
 
+class TestWithKfold:
+    def test_deterministic_and_partition_invariant(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2]) for i in range(200)], "id long, s string")
+        a = {r["id"]: r["fold"] for r in
+             sampling.with_kfold(df, "id", 5, strata_col="s").collect()}
+        b = {r["id"]: r["fold"] for r in sampling.with_kfold(
+            df.repartition(7), "id", 5, strata_col="s").collect()}
+        assert a == b
+        assert set(a.values()) == set(range(5))
+        # every (stratum, fold) cell populated — the stratified claim
+        rows = sampling.with_kfold(df, "id", 5, strata_col="s") \
+            .groupBy("s", "fold").count().collect()
+        assert len(rows) == 10
+
+    def test_null_key_gets_null_fold_and_k_validated(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(1, "a"), (None, "a")], "id int, s string")
+        got = {r["id"]: r["fold"]
+               for r in sampling.with_kfold(df, "id", 3).collect()}
+        assert got[None] is None and got[1] is not None
+        with _pytest.raises(ValueError, match="k must"):
+            sampling.with_kfold(df, "id", 1)
+
+    def test_salt_decorrelates_folds(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(i,) for i in range(500)], "id long")
+        a = {r["id"]: r["fold"] for r in
+             sampling.with_kfold(df, "id", 5).collect()}
+        b = {r["id"]: r["fold"] for r in
+             sampling.with_kfold(df, "id", 5, salt="epoch2").collect()}
+        agree = sum(1 for i in a if a[i] == b[i]) / len(a)
+        assert 0.05 < agree < 0.4   # ~1/k agreement when independent
+
+
 class TestMadOutliers:
     def test_flags_only_extreme_scores(self, spark):
         """18 clustered values + 2 extremes: MAD ignores the extremes
