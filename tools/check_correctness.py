@@ -44,6 +44,24 @@ def frame_multiset(cols, rows):
     return sorted("|".join(norm_val(r[i]) for i in order) for r in rows)
 
 
+def driver_canon_error(cols, rows):
+    """Replicate the external driver's pandas canonicalization
+    (sort_values over all columns -> Categorical -> factorize) and
+    return the error string if it cannot digest this frame. This is
+    the failure mode behind round-5's only red row: a value-correct
+    query with an array-typed output column errors INSIDE the driver
+    harness, not in Spark — catch it locally."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=list(cols))
+    order = sorted(cols)
+    try:
+        pdf[order].sort_values(order)
+    except Exception as e:  # noqa: BLE001 - reporting, not handling
+        return f"{type(e).__name__}: {str(e)[:120]}"
+    return None
+
+
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -102,6 +120,13 @@ def main():
         ]
         if bad:
             print(f"FAIL  {name}: decimal-typed output columns (driver hash hazard): {bad}")
+            n_fail += 1
+            continue
+        canon_err = (driver_canon_error(s_cols, s_rows)
+                     or driver_canon_error(d_cols, d_rows))
+        if canon_err:
+            print(f"FAIL  {name}: driver canonicalizer cannot digest "
+                  f"this frame: {canon_err}")
             n_fail += 1
             continue
         if sorted(s_cols) != sorted(d_cols):
