@@ -40,10 +40,15 @@ from pyspark.sql import functions as F
 _BUCKETS = 65536
 
 
-def _bucket(key: Column, salt: str = "") -> Column:
+def _bucket(key: Column, salt: str = "", hex_chars: int = 4) -> Column:
+    """md5-hex prefix of the (optionally salted) key as a long — THE
+    hashing definition every sampler in this module draws from.
+    ``hex_chars=4`` gives the 0..65535 bucket stream; callers needing
+    more entropy (e.g. mod-k folds with negligible bias) widen it
+    rather than re-rolling their own conv chain."""
     k = key.cast("string") if not salt \
         else F.concat(F.lit(salt + "|"), key.cast("string"))
-    return F.conv(F.substring(F.md5(k), 1, 4), 16, 10).cast("long")
+    return F.conv(F.substring(F.md5(k), 1, hex_chars), 16, 10).cast("long")
 
 
 def _release_on_gc(result: DataFrame, persisted: DataFrame) -> DataFrame:
@@ -120,24 +125,29 @@ def with_kfold(
     ``strata_col`` salts the hash with the stratum value so each
     stratum's rows spread ~uniformly over all k folds independently —
     the stratified-CV shape (without it, fold sizes are still ~uniform
-    overall but a small stratum may land unevenly). NULL keys follow
-    the module contract of :func:`with_split`'s hash (NULL md5 ⇒ NULL
-    bucket): they get fold NULL — filter or coalesce them explicitly
-    rather than silently biasing a fold. Zero shuffle — a scan-fused
-    projection; 8 hex chars of md5 (32 bits) keep the mod-k bias
-    negligible for any practical k.
+    overall but a small stratum may land unevenly). A NULL STRATUM is
+    its own stratum (coalesced to a sentinel inside the hash — rows
+    with valid keys must never lose their fold to a missing label).
+    NULL KEYS get fold NULL (NULL md5 ⇒ NULL bucket, the
+    :func:`with_split` hash contract) — filter or coalesce them
+    explicitly rather than silently biasing a fold. Zero shuffle — a
+    scan-fused projection; 8 hex chars of md5 (32 bits) keep the mod-k
+    bias negligible for any practical k.
     """
     if k < 2:
         raise ValueError("k must be >= 2")
     parts = [F.lit(salt)]
     if strata_col is not None:
-        parts.append(F.col(strata_col).cast("string"))
+        # \x01 sentinel: NULL stratum forms its own stratum instead of
+        # NULLing the whole hash (only the KEY may null the fold)
+        parts.append(F.coalesce(F.col(strata_col).cast("string"),
+                                F.lit("\x01")))
     parts.append(F.col(key_col).cast("string"))
     # concat (not concat_ws): a NULL key must yield a NULL hash/fold,
     # and concat_ws would silently skip NULLs and hash the rest
     joined = F.concat(*[p if i == 0 else F.concat(F.lit("|"), p)
                         for i, p in enumerate(parts)])
-    b32 = F.conv(F.substring(F.md5(joined), 1, 8), 16, 10).cast("long")
+    b32 = _bucket(joined, hex_chars=8)
     return df.withColumn(out, F.pmod(b32, F.lit(int(k))).cast("int"))
 
 

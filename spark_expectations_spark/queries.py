@@ -4417,7 +4417,7 @@ def q_docs_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOCS_KFOLD = r"""
 SELECT doc_id, lang,
-       CAST(CAST(('0x' || substr(md5('|' || lang || '|'
+       CAST(CAST(('0x' || substr(md5('|' || coalesce(lang, chr(1)) || '|'
                                  || CAST(doc_id AS VARCHAR)), 1, 8))
                  AS BIGINT) % 5 AS INTEGER) AS fold
 FROM documents
@@ -4453,20 +4453,24 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_EVENTS_SESSION_WINDOWS = r"""
 WITH o AS (
-  SELECT user_id, epoch_ns(ts) AS tns, value,
+  SELECT user_id, event_id, epoch_ns(ts) AS tns, value,
          lag(epoch_ns(ts)) OVER (PARTITION BY user_id
                                  ORDER BY epoch_ns(ts), event_id) AS pns
   FROM events),
 m AS (
-  SELECT user_id, tns, value,
+  SELECT user_id, event_id, tns, value,
          CASE WHEN pns IS NULL
                    OR tns - pns >= 1800000000000 THEN 1
               ELSE 0 END AS new_sess
   FROM o),
+-- the running sum MUST use the same (tns, event_id) order as the lag:
+-- a different tie-break (e.g. value) could place a tied-timestamp row
+-- before its session starter and split ties across sessions — a state
+-- Spark's time-interval session_window can never produce
 s AS (
   SELECT user_id, tns, value,
          sum(new_sess) OVER (PARTITION BY user_id
-                             ORDER BY tns, value
+                             ORDER BY tns, event_id
                              ROWS UNBOUNDED PRECEDING) AS sid
   FROM m)
 SELECT user_id,

@@ -2668,6 +2668,19 @@ class TestWithKfold:
         with _pytest.raises(ValueError, match="k must"):
             sampling.with_kfold(df, "id", 1)
 
+    def test_null_stratum_keeps_fold(self, spark):
+        """Review fix: a NULL stratum must be ITS OWN stratum, not
+        propagate NULL into the hash and silently drop valid-key rows
+        from every fold."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(i, None if i % 3 == 0 else "a") for i in range(60)],
+            "id int, s string")
+        got = sampling.with_kfold(df, "id", 4, strata_col="s").collect()
+        assert all(r["fold"] is not None for r in got)
+        null_folds = {r["fold"] for r in got if r["s"] is None}
+        assert len(null_folds) > 1     # NULL stratum spreads over folds
+
     def test_salt_decorrelates_folds(self, spark):
         from spark_expectations_spark.operators import sampling
         df = spark.createDataFrame([(i,) for i in range(500)], "id long")

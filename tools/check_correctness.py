@@ -57,6 +57,12 @@ def driver_canon_error(cols, rows):
     order = sorted(cols)
     try:
         pdf[order].sort_values(order)
+        # sort_values on a SINGLE column argsorts directly without
+        # factorizing, so a one-array-column frame would slip through —
+        # run each column through Categorical (what the driver's
+        # multi-column lexsort does internally) explicitly
+        for c in order:
+            pd.Categorical(pdf[c], ordered=True)
     except Exception as e:  # noqa: BLE001 - reporting, not handling
         return f"{type(e).__name__}: {str(e)[:120]}"
     return None
