@@ -47,6 +47,9 @@ def main() -> None:
         error_writer=WriterOptions(mode="overwrite", path=str(out)),
         write_stats_table=True, stats_table="lineitem_stats",
         stats_writer=WriterOptions(mode="overwrite", path=str(out)),
+        # runtime budget for query_dq: a pathological scalar subquery
+        # gets status='timeout' instead of hanging the run
+        query_timeout_s=60.0,
     )
     res = DQEngine(cfg).run(li, rules, spark)
 
