@@ -337,3 +337,40 @@ class TestTwoPhaseSamplerProperties:
                 kept.append(i)
             cum += tok_of[i]
         assert got == sorted(kept)
+
+
+class TestDupSpanCoverageDifferential:
+    """dup_span_coverage vs a naive python implementation on tiny-vocab
+    corpora (forced gram collisions): per-doc covered-token counts must
+    equal the union of [s, s+n) over grams occurring in >= min_df
+    DISTINCT documents."""
+
+    @given(
+        docs=st.lists(st.lists(st.integers(0, 3), min_size=0, max_size=12),
+                      min_size=1, max_size=6),
+        n=st.integers(1, 4),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_bruteforce(self, spark, docs, n):
+        from spark_expectations_spark.operators import dedup
+        texts = [(i, " ".join(f"w{t}" for t in d)) for i, d in
+                 enumerate(docs)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+               for r in dedup.dup_span_coverage(
+                   df, "doc_id", "text", n=n).collect()}
+
+        # brute force (mirror tokens_col: split on whitespace of the
+        # trimmed text — an empty doc is ONE empty-string token)
+        toks = {i: (t.strip().split() if t.strip() else [""])
+                for i, t in texts}
+        gram_docs: dict[tuple, set] = {}
+        for i, ts in toks.items():
+            for s in range(len(ts) - n + 1):
+                gram_docs.setdefault(tuple(ts[s:s + n]), set()).add(i)
+        for i, ts in toks.items():
+            covered = set()
+            for s in range(len(ts) - n + 1):
+                if len(gram_docs[tuple(ts[s:s + n])]) >= 2:
+                    covered.update(range(s, s + n))
+            assert got[i] == (len(ts), len(covered)), (i, ts)
