@@ -112,3 +112,16 @@ class TestDriverContract:
         assert int(m.group(1)) == len(mod.oracle_sql()), (
             f"README says {m.group(1)} SQL-checked, registry has "
             f"{len(mod.oracle_sql())}")
+
+
+class TestDriverCanonEmulation:
+    def test_flags_array_columns_even_single_column(self):
+        """The tool's canonicalizer emulation must catch BOTH failure
+        shapes: multi-column frames (factorize inside lexsort) and
+        single-column frames (argsort succeeds, Categorical raises) —
+        round 5's red-row class."""
+        from tools.check_correctness import driver_canon_error
+        assert driver_canon_error(["a"], [([1, 2],), ([3],)]) is not None
+        assert driver_canon_error(
+            ["a", "b"], [([1, 2], 1), ([3], 2)]) is not None
+        assert driver_canon_error(["a", "b"], [(1, "x"), (2, None)]) is None
