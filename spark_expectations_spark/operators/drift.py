@@ -23,7 +23,7 @@ runs and engines — pick them once from a profiling pass.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Laplace-style floor for empty buckets — PSI's ln(p/q) is undefined at
@@ -276,3 +276,56 @@ def psi_with_edges(
     term = (F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))
     return j.agg(F.sum(term).alias("psi"),
                  F.count(F.lit(1)).alias("n_buckets_compared"))
+
+
+def ks_statistic(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    edges: list,
+) -> DataFrame:
+    """Binned two-sample Kolmogorov–Smirnov statistic over explicit
+    ``edges``: max |CDF_baseline − CDF_current| evaluated at the edge
+    boundaries — the significance-flavored companion to
+    :func:`psi_with_edges` (PSI weighs all mass shifts; KS reports the
+    single worst CDF gap, the classic "did the distribution move"
+    number with known critical values ``c·sqrt((n+m)/(n·m))``).
+
+    Grid evaluation bounds the statistic from below (the true supremum
+    may fall between edges); with quantile-derived edges the gap is
+    ≤ 1/bins. That is the price of a SCALABLE exact-at-the-grid
+    answer: the textbook exact KS sorts both samples together — a
+    global single-task sort at 100 TB — while this is two codegen
+    fold-bucket histogram passes + a bucket-cardinality cumulative
+    window. Returns one row (ks, n_base, n_cur).
+
+    Persist the edges with the baseline (same contract as
+    :func:`psi_with_edges`) so every later comparison uses the SAME
+    grid.
+    """
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) >= e, 1).otherwise(0))
+        return df.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(out))
+
+    p = hist(baseline, "_nb")
+    q = hist(current, "_nc")
+    j = (p.join(q, "bucket", "full_outer")
+         .select("bucket",
+                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+    w = (Window.orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    tot = j.agg(F.sum("_nb").alias("_tb"), F.sum("_nc").alias("_tc"))
+    cum = (j.withColumn("_cb", F.sum("_nb").over(w))
+           .withColumn("_cc", F.sum("_nc").over(w))
+           .crossJoin(F.broadcast(tot)))
+    return cum.agg(
+        F.max(F.abs(F.col("_cb") / F.col("_tb")
+                    - F.col("_cc") / F.col("_tc"))).alias("ks"),
+        F.first("_tb").alias("n_base"),
+        F.first("_tc").alias("n_cur"))

@@ -1046,3 +1046,91 @@ def zipf_fit(
                     .alias("intercept"),
                     F.when(vary > 0, cov * cov / (varx * vary))
                     .otherwise(F.lit(1.0)).alias("r2")))
+
+
+def token_entropy(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-document token-distribution entropy — the repetitiveness
+    signal the Gopher/RefinedWeb family uses alongside duplicate-line
+    fractions: templated/spam documents reuse few tokens (low entropy),
+    natural prose spreads mass (entropy near its ln(n_distinct) cap).
+    Returns (id, n_tokens, n_distinct, token_entropy, norm_entropy)
+    where ``token_entropy = -Σ p_t ln p_t`` over the doc's own token
+    frequencies and ``norm_entropy`` divides by ln(n_distinct) into
+    [0, 1] (1-distinct-token docs get 0; empty/NULL text gets NULLs).
+
+    Scale shape: one explode + (doc, token) count agg + per-doc entropy
+    agg — both map-side combined, keyed by doc so the shuffles carry
+    (doc, token) rows, linear in corpus tokens; no per-doc quadratic
+    HOF over distinct tokens.
+    """
+    from .dedup import tokens_col
+    from ..plans import fan_out
+
+    toks = (fan_out(df.select(id_col, text_col))
+            .select(F.col(id_col),
+                    F.explode(tokens_col(F.col(text_col))).alias("__tok")))
+    tc = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
+    ent = (tc.groupBy(id_col)
+           .agg(F.sum("__c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_distinct"),
+                (-F.sum(F.col("__c") * F.log(F.col("__c")))).alias("__sclc"))
+           # H = ln(N) - (1/N)·Σ c·ln c  (exact algebraic rearrangement
+           # of -Σ (c/N)·ln(c/N) — one pass, no second division join)
+           .withColumn("token_entropy",
+                       F.log("n_tokens")
+                       + F.col("__sclc") / F.col("n_tokens"))
+           .withColumn("norm_entropy",
+                       F.when(F.col("n_distinct") > 1,
+                              F.col("token_entropy")
+                              / F.log("n_distinct"))
+                       .otherwise(F.lit(0.0)))
+           .drop("__sclc"))
+    return (df.select(id_col).join(ent, id_col, "left"))
+
+
+def readability(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Flesch reading-ease per document — the classic
+    words-per-sentence × syllables-per-word readability score
+    (``206.835 − 1.015·W/S − 84.6·Y/W``), a cheap fluency prior for
+    corpus filtering: gibberish and keyword-stuffed pages score far
+    off the natural-prose band. Syllables are approximated by vowel
+    GROUPS (``[aeiouy]+``, min 1 per word) — the standard
+    dictionary-free heuristic; treat the score as a ranking signal,
+    not a calibrated grade level (and an English-centric one).
+
+    Returns (id, n_words, n_sentences, n_syllables, flesch); docs with
+    no words keep NULL scores. Zero shuffle — one higher-order-function
+    projection folded into the scan.
+    """
+    words = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+        lambda t: t != "")
+    sents = F.size(F.filter(
+        F.split(F.col(text_col), r"[.!?]+"),
+        lambda s: F.trim(s) != ""))
+    syl = F.aggregate(
+        F.transform(
+            words,
+            lambda w: F.greatest(
+                F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+                F.lit(1)).cast("long")),
+        F.lit(0).cast("long"), lambda a, v: a + v)
+    nw = F.size(words)
+    ns = F.greatest(sents, F.lit(1))  # a fragment with no .!? is 1 sentence
+    flesch = (F.lit(206.835)
+              - F.lit(1.015) * nw / ns
+              - F.lit(84.6) * syl / nw)
+    return df.select(
+        F.col(id_col),
+        nw.alias("n_words"),
+        F.when(nw > 0, ns).alias("n_sentences"),
+        F.when(nw > 0, syl).alias("n_syllables"),
+        F.when(nw > 0, flesch).alias("flesch"))

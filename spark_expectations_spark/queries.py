@@ -4403,6 +4403,122 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+_KS_EDGES = [10_000.0 * i for i in range(1, 12)]
+
+
+def q_lineitem_price_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned two-sample KS statistic (drift.ks_statistic) between two
+    deterministic halves of lineitem — two codegen fold-bucket
+    histogram passes + a bucket-cardinality cumulative window; the
+    grid-evaluated max CDF gap, no global sort."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    d = drift.ks_statistic(base, cur, "l_extendedprice", _KS_EDGES)
+    return d.select(F.round("ks", 8).alias("ks"), "n_base", "n_cur")
+
+
+_KS_EDGES_SQL = "[" + ", ".join(str(e) for e in _KS_EDGES) + "]"
+
+ORACLE_LINEITEM_PRICE_KS = f"""
+WITH base AS (
+  SELECT len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 0),
+cur AS (
+  SELECT len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+hb AS (SELECT bucket, count(*) AS nb FROM base GROUP BY bucket),
+hc AS (SELECT bucket, count(*) AS nc FROM cur GROUP BY bucket),
+j AS (SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+             coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
+t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+             CAST(sum(nc) AS BIGINT) AS tc FROM j),
+c AS (SELECT bucket,
+             sum(nb) OVER (ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(nc) OVER (ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cc
+      FROM j)
+SELECT round(max(abs(cb * 1.0 / tb - cc * 1.0 / tc)), 8) AS ks,
+       tb AS n_base, tc AS n_cur
+FROM c, t GROUP BY tb, tc
+"""
+
+
+def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token-distribution entropy (text.token_entropy): the
+    repetitiveness quality signal; one explode + two map-side-combined
+    doc-keyed aggregates, linear in corpus tokens."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.token_entropy(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.round("token_entropy", 6).alias("token_entropy"),
+        F.round("norm_entropy", 6).alias("norm_entropy"))
+
+
+ORACLE_DOCS_TOKEN_ENTROPY = r"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+  FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
+e AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         count(*) AS n_distinct,
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+  FROM tc GROUP BY doc_id)
+SELECT d.doc_id, e.n_tokens, e.n_distinct,
+       round(e.h, 6) AS token_entropy,
+       round(CASE WHEN e.n_distinct > 1 THEN e.h / ln(e.n_distinct)
+                  ELSE 0.0 END, 6) AS norm_entropy
+FROM documents d LEFT JOIN e USING (doc_id)
+"""
+
+
+def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease (text.readability): vowel-group syllable
+    heuristic, zero-shuffle HOF projection folded into the scan."""
+    docs = load(spark, sf_dir, "documents")
+    out = text.readability(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        "n_syllables",
+        F.round("flesch", 4).alias("flesch"))
+
+
+ORACLE_DOCS_READABILITY = r"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                     t -> t <> '') AS w,
+         greatest(len(list_filter(string_split_regex(text, '[.!?]+'),
+                                  s -> trim(s) <> '')), 1) AS ns
+  FROM documents),
+c AS (
+  SELECT doc_id, len(w) AS n_words, ns,
+         list_sum(list_transform(
+             w, x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')),
+                              1))) AS syl
+  FROM base)
+SELECT doc_id,
+       n_words,
+       CASE WHEN n_words > 0 THEN ns END AS n_sentences,
+       CASE WHEN n_words > 0 THEN CAST(syl AS BIGINT) END AS n_syllables,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * n_words / ns
+                       - 84.6 * syl / n_words, 4) END AS flesch
+FROM c
+"""
+
+
 def q_docs_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified deterministic k-fold assignment
     (sampling.with_kfold): fold = md5(salt|lang|doc_id) mod 5 — a
@@ -4645,10 +4761,12 @@ FROM embeddings e LEFT JOIN agg USING (vec_id)
 #   r5:    dq_* flagship + 12 round-5-touched + 33 never-gated
 #          (users_scd2 .. lineitem_correlations). 104/123 cumulative.
 #   r6:    5 dq_* flagship + 5 round-6-touched + the FINAL 19 never-
-#          gated value-oracled entries + 15 re-gate fills (tpch/window/
-#          dedup/ANN families) + 6 round-6 NEW operators
+#          gated value-oracled entries + 12 re-gate fills (tpch/dedup/
+#          ANN families) + 9 round-6 NEW operators
 #          (docs_mad_outliers, docs_zipf, embed_rms_outliers,
-#          docs_dup_spans, events_session_windows, docs_kfold) = 50. After r6 every value-oracled catalog
+#          docs_dup_spans, events_session_windows, docs_kfold,
+#          docs_token_entropy, docs_readability, lineitem_price_ks)
+#          = 50. After r6 every value-oracled catalog
 #          entry has been driver-gated at least once; later rounds
 #          re-gate on a touched-first basis. Results are NOT
 #          like-for-like across rotations — compare against the local
@@ -4675,8 +4793,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_topk_users", "array_agg_statuses", "part_brand_topk",
     "multimodal_features",
     # re-gate fills: flagship joins/windows + the dedup/ANN family
-    "tpch_q1", "tpch_q3",
-    "window_rank", "window_running_total", "dedup_exact",
+    "tpch_q1", "dedup_exact",
     "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
     "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
     "dedup_simhash_md5", "docs_minhash_index", "embed_near_dups",
@@ -4684,6 +4801,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-6 NEW operators — gate on first appearance
     "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
     "docs_dup_spans", "events_session_windows", "docs_kfold",
+    "docs_token_entropy", "docs_readability", "lineitem_price_ks",
 ]
 
 
@@ -4821,6 +4939,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_winsorize": q_docs_winsorize,
     "events_session_windows": q_events_session_windows,
     "docs_kfold": q_docs_kfold,
+    "docs_token_entropy": q_docs_token_entropy,
+    "docs_readability": q_docs_readability,
+    "lineitem_price_ks": q_lineitem_price_ks,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -4952,6 +5073,9 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,
     "docs_kfold": ORACLE_DOCS_KFOLD,
+    "docs_token_entropy": ORACLE_DOCS_TOKEN_ENTROPY,
+    "docs_readability": ORACLE_DOCS_READABILITY,
+    "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
     "docs_zipf": ORACLE_DOCS_ZIPF,

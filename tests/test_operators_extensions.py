@@ -2961,3 +2961,75 @@ class TestFinalReviewFixes:
         got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
         want = {(r["id_a"], r["id_b"]) for r in exact.collect()}
         assert got == want  # defaults reach recall 1.0 on the fixture
+
+
+class TestTokenEntropy:
+    def test_known_entropies(self, spark):
+        import math
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(1, "a b c d"),          # uniform over 4 -> H = ln 4, norm 1
+             (2, "a a a a"),          # single token -> 0, norm 0
+             (3, "a a b b b b"),      # p = (1/3, 2/3)
+             (4, None)],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in T.token_entropy(
+            df, "doc_id", "text").collect()}
+        assert got[1]["token_entropy"] == pytest.approx(math.log(4))
+        assert got[1]["norm_entropy"] == pytest.approx(1.0)
+        assert got[2]["token_entropy"] == pytest.approx(0.0)
+        assert got[2]["norm_entropy"] == 0.0
+        h = -(1/3) * math.log(1/3) - (2/3) * math.log(2/3)
+        assert got[3]["token_entropy"] == pytest.approx(h)
+        assert got[3]["norm_entropy"] == pytest.approx(h / math.log(2))
+        assert got[4]["token_entropy"] is None
+        assert got[4]["n_tokens"] is None
+
+
+class TestReadability:
+    def test_known_arithmetic(self, spark):
+        from spark_expectations_spark.operators import text as T
+        # "the cat sat. it ran!" -> 5 words, 2 sentences,
+        # syllables: the=1 cat=1 sat.=1 it=1 ran!=1 -> 5
+        df = spark.createDataFrame(
+            [(1, "The cat sat. It ran!"), (2, ""), (3, None),
+             (4, "no terminal punctuation here")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in T.readability(
+            df, "doc_id", "text").collect()}
+        r1 = got[1]
+        assert (r1["n_words"], r1["n_sentences"], r1["n_syllables"]) == \
+            (5, 2, 5)
+        expect = 206.835 - 1.015 * 5 / 2 - 84.6 * 5 / 5
+        assert r1["flesch"] == pytest.approx(expect)
+        assert got[2]["n_words"] == 0 and got[2]["flesch"] is None
+        assert got[3]["flesch"] is None
+        assert got[4]["n_sentences"] == 1  # fragment = one sentence
+
+
+class TestKsStatistic:
+    EDGES = [float(e) for e in range(10, 100, 10)]
+
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals],
+                                     "x double")
+
+    def test_identical_zero_disjoint_one(self, spark):
+        from spark_expectations_spark.operators import drift
+        a = self._df(spark, range(0, 100))
+        assert drift.ks_statistic(a, a, "x", self.EDGES) \
+            .first()["ks"] == pytest.approx(0.0)
+        lo = self._df(spark, range(0, 30))      # all below edge 30
+        hi = self._df(spark, range(70, 100))    # all at/above edge 70
+        r = drift.ks_statistic(lo, hi, "x", self.EDGES).first()
+        assert r["ks"] == pytest.approx(1.0)
+        assert (r["n_base"], r["n_cur"]) == (30, 30)
+
+    def test_known_shift(self, spark):
+        """base uniform 0..99, cur uniform 20..119: at edge 20 CDFs are
+        0.2 vs 0.0 — the max grid gap is exactly 0.2."""
+        from spark_expectations_spark.operators import drift
+        base = self._df(spark, range(0, 100))
+        cur = self._df(spark, range(20, 120))
+        r = drift.ks_statistic(base, cur, "x", self.EDGES).first()
+        assert r["ks"] == pytest.approx(0.2)
