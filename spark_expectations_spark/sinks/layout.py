@@ -237,3 +237,70 @@ def clustering_report(
     return spark.createDataFrame(
         out, "column string, n_files bigint, clustering_factor double, "
              "avg_files_hit double")
+
+
+def analyze_tables(
+    spark: SparkSession,
+    tables: Sequence[str],
+    *,
+    columns: Optional[Mapping[str, Sequence[str]]] = None,
+) -> dict[str, dict]:
+    """Run ``ANALYZE TABLE ... COMPUTE STATISTICS`` (plus optional
+    ``FOR COLUMNS``) over catalog tables and return the collected
+    row-count/size stats. At 100 TB these statistics are what lets the
+    cost-based optimizer reorder joins and pick broadcast sides without
+    AQE having to discover sizes at runtime — run after large writes,
+    the way a warehouse runs ANALYZE after load.
+
+    ``columns`` maps table -> column names for histogram/NDV stats
+    (costlier: one extra scan per table). Returns
+    {table: {"rowCount": int|None, "sizeInBytes": int|None}} read back
+    from DESCRIBE EXTENDED, so callers can assert stats actually
+    landed.
+    """
+    out: dict[str, dict] = {}
+    for t in tables:
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS")
+        cols = (columns or {}).get(t)
+        if cols:
+            col_list = ", ".join(cols)
+            spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS "
+                      f"FOR COLUMNS {col_list}")
+        stats_row = [r for r in spark.sql(f"DESCRIBE EXTENDED {t}").collect()
+                     if r["col_name"] == "Statistics"]
+        info: dict = {"rowCount": None, "sizeInBytes": None}
+        if stats_row:
+            text = stats_row[0]["data_type"]  # e.g. '123 bytes, 45 rows'
+            import re as _re
+            mb = _re.search(r"(\d+)\s+bytes", text)
+            mr = _re.search(r"(\d+)\s+rows", text)
+            info["sizeInBytes"] = int(mb.group(1)) if mb else None
+            info["rowCount"] = int(mr.group(1)) if mr else None
+        out[t] = info
+    return out
+
+
+def dataset_manifest(
+    spark: SparkSession,
+    path: str,
+    *,
+    file_col: str = "file",
+) -> DataFrame:
+    """Per-file row-count manifest of a parquet dataset: one row per
+    physical file (basename) with its row count — the cheap integrity
+    check a 100 TB lake needs around partition swaps and compaction
+    (a file that vanished or a partial write shows as a manifest diff
+    between runs; pair with :func:`~..operators.diff.snapshot_diff`
+    keyed on ``file``).
+
+    Shape: ``input_file_name()`` folds into the scan and the groupBy
+    shuffles one row per (partition, file) — metadata-scale, even when
+    the dataset is not. Row counts come from the data path, so the
+    manifest also catches a parquet footer lying about its row count.
+    """
+    df = spark.read.parquet(path)
+    return (df.groupBy(
+        F.element_at(F.split(F.input_file_name(), "/"), -1)
+        .alias(file_col))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )

@@ -352,6 +352,37 @@ class TestKafkaJarGatedSmoke:
         assert writer.kafka_connector_available(spark) in (True, False)
 
 
+class TestAnalyzeAndManifest:
+    def test_analyze_tables_lands_cbo_stats(self, spark, tmp_path):
+        from spark_expectations_spark.sinks import layout
+        spark.sql("DROP TABLE IF EXISTS an_t1")
+        spark.range(0, 1234).withColumn("v", F.col("id") % 7) \
+            .write.saveAsTable("an_t1")
+        try:
+            got = layout.analyze_tables(spark, ["an_t1"],
+                                        columns={"an_t1": ["v"]})
+            assert got["an_t1"]["rowCount"] == 1234
+            assert got["an_t1"]["sizeInBytes"] > 0
+            # column-level NDV landed too
+            desc = spark.sql("DESCRIBE EXTENDED an_t1 v").collect()
+            ndv = {r["info_name"]: r["info_value"] for r in desc}
+            assert ndv.get("distinct_count") not in (None, "NULL")
+        finally:
+            spark.sql("DROP TABLE IF EXISTS an_t1")
+
+    def test_dataset_manifest_counts_per_file(self, spark, tmp_path):
+        from spark_expectations_spark.sinks import layout
+        path = str(tmp_path / "mfst")
+        spark.range(0, 1000).repartition(4).write.parquet(path)
+        m = layout.dataset_manifest(spark, path).collect()
+        assert len(m) == 4
+        assert sum(r["n_rows"] for r in m) == 1000
+        assert all(r["file"].endswith(".parquet") for r in m)
+        # stable across re-reads (same files -> same manifest)
+        m2 = layout.dataset_manifest(spark, path).collect()
+        assert sorted(map(tuple, m)) == sorted(map(tuple, m2))
+
+
 class TestLayout:
     def test_compact_small_files(self, spark, tmp_path):
         from spark_expectations_spark.sinks import layout
