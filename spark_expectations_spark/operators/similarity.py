@@ -973,3 +973,107 @@ def standardized_norm_outliers(
     return (z.withColumn(out_col, rms)
             .withColumn(flag_col, F.col(out_col) > F.lit(float(threshold)))
             .select(id_col, out_col, flag_col))
+
+
+def whiten(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    eps: float = 1e-6,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """ZCA whitening of an embedding column: rotate + rescale so the
+    output's empirical covariance is the identity —
+    ``W = U diag(1/sqrt(λ+eps)) U^T`` from the eigendecomposition of
+    the corpus covariance, applied as ``(x − μ)·W``. The full-matrix
+    upgrade of :func:`standardize` (which only fixes the diagonal):
+    correlated dimensions get decorrelated, so cosine/L2 near-dup
+    screens stop over-counting directions the embedding model happens
+    to duplicate. ZCA (vs PCA) keeps the output in the ORIGINAL basis —
+    whitened vectors stay interpretable dimension-for-dimension.
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass emits per-batch
+    moment partials (n, Σx, XᵀX — (d²+d+1) floats per batch, dims not
+    corpus); the d×d eigendecomposition runs driver-side in numpy
+    (microseconds for embedding-sized d); (μ, W) broadcast back and the
+    transform is a second map-only BLAS pass that carries every input
+    column through — zero shuffles end to end. NULL vectors pass
+    through NULL; a ragged vector fails loudly with 'ragged'.
+
+    ``eps`` floors near-zero eigenvalues (constant/near-constant
+    directions) instead of exploding them — those directions come out
+    ~zero, matching standardize's σ=0 → 0.0 convention.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..plans import fan_out
+
+    spark = df.sparkSession
+
+    def _partials(it):
+        for pdf in it:
+            vs = pdf[vec_col].dropna()
+            if not len(vs):
+                continue
+            try:
+                x = np.stack(vs.to_numpy()).astype(np.float64)
+            except ValueError as exc:
+                raise ValueError(
+                    "whiten: embedding lengths differ within the corpus "
+                    "(ragged vectors)") from exc
+            yield pd.DataFrame({
+                "n": [int(x.shape[0])],
+                "d": [int(x.shape[1])],
+                "s": [x.sum(axis=0).tolist()],
+                "xtx": [(x.T @ x).ravel().tolist()],
+            })
+
+    parts = (fan_out(df.select(vec_col))
+             .mapInPandas(_partials,
+                          "n long, d long, s array<double>, "
+                          "xtx array<double>").collect())
+    if not parts:
+        raise ValueError("whiten: no non-NULL vectors in input")
+    dims = {p["d"] for p in parts}
+    if len(dims) > 1:
+        raise ValueError(
+            "whiten: embedding lengths differ within the corpus "
+            f"(ragged vectors: dims {sorted(dims)})")
+    d = dims.pop()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    xtx = np.sum([np.asarray(p["xtx"]).reshape(d, d) for p in parts],
+                 axis=0)
+    mu = s / n
+    cov = xtx / n - np.outer(mu, mu)
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
+    get_mw = _broadcast_or_capture(spark, (mu, w))
+
+    fields = df.schema.fields
+    out_schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+        + [f"{out_col} array<double>"])
+
+    def _apply(it):
+        mu_b, w_b = get_mw()
+        for pdf in it:
+            col = pdf[vec_col]
+            mask = col.notna()
+            outv = pd.Series([None] * len(pdf), dtype=object)
+            if mask.any():
+                x = np.stack(col[mask].to_numpy()).astype(np.float64)
+                if x.shape[1] != len(mu_b):
+                    raise ValueError(
+                        "whiten: embedding length differs from the "
+                        "corpus dimension (ragged vectors)")
+                z = (x - mu_b) @ w_b
+                outv[np.flatnonzero(mask.to_numpy())] = list(
+                    map(list, z))
+            pdf = pdf.copy()
+            pdf[out_col] = outv
+            yield pdf
+
+    return fan_out(df).mapInPandas(_apply, out_schema)

@@ -4403,6 +4403,22 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZCA whitening (similarity.whiten): corpus moments from ONE
+    mapInPandas partials pass, d x d eigendecomposition driver-side,
+    map-only BLAS transform. ROWS-ONLY by construction: the whitening
+    matrix comes from numpy's eigendecomposition, which no SQL engine
+    reproduces bit-for-bit — TestWhiten pins the defining property
+    instead (output covariance == identity). Output flattened to
+    scalar (vec_id, pos, wvalue) rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.whiten(emb)
+    return out.select(
+        "vec_id", F.posexplode("whitened").alias("pos", "wv")
+    ).select("vec_id", "pos",
+             (F.round("wv", 4) + F.lit(0.0)).alias("wvalue"))
+
+
 _KS_EDGES = [10_000.0 * i for i in range(1, 12)]
 
 
@@ -4942,6 +4958,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_token_entropy": q_docs_token_entropy,
     "docs_readability": q_docs_readability,
     "lineitem_price_ks": q_lineitem_price_ks,
+    "embed_whiten": q_embed_whiten,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,

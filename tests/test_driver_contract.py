@@ -38,6 +38,8 @@ class TestDriverContract:
             "dedup_minhash",            # xxhash64 — no DuckDB twin; md5 twin checked
             "dedup_simhash",            # xxhash64 — same
             "events_distinct_rollup",   # HLL approximate; exact twin checked
+            "embed_whiten",             # numpy eigendecomposition — no SQL
+                                        # twin; TestWhiten pins cov == I
         }
         missing = set(mod.queries()) - set(mod.oracle_sql())
         assert missing == declared_rows_only, (

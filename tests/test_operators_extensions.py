@@ -2963,6 +2963,50 @@ class TestFinalReviewFixes:
         assert got == want  # defaults reach recall 1.0 on the fixture
 
 
+class TestWhiten:
+    def test_output_covariance_is_identity(self, spark):
+        import numpy as np
+        import random
+        from spark_expectations_spark.operators import similarity as sim
+        rng = random.Random(11)
+        # correlated 3-dim cloud: dim2 = dim0 + noise, shifted mean
+        rows = []
+        for i in range(400):
+            a, b = rng.gauss(5, 2), rng.gauss(-1, 0.5)
+            rows.append((i, [a, b, a + rng.gauss(0, 0.3)]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = sim.whiten(df)
+        x = np.stack([r["whitened"] for r in out.collect()])
+        assert np.abs(x.mean(axis=0)).max() < 1e-9
+        cov = np.cov(x, rowvar=False, bias=True)
+        assert np.abs(cov - np.eye(3)).max() < 1e-3  # eps-limited
+
+    def test_null_passthrough_and_columns_carried(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], "a"), (2, [3.0, 1.0], "b"),
+             (3, None, "c"), (4, [0.0, 0.0], "d")],
+            "vec_id long, embedding array<double>, tag string")
+        got = {r["vec_id"]: r for r in sim.whiten(df).collect()}
+        assert got[3]["whitened"] is None
+        assert got[3]["tag"] == "c"            # extra columns survive
+        assert len(got[1]["whitened"]) == 2
+
+    def test_ragged_and_empty_raise(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import similarity as sim
+        ragged = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [3.0])],
+            "vec_id long, embedding array<double>")
+        with _pytest.raises(Exception, match="ragged"):
+            sim.whiten(ragged).collect()
+        empty = spark.createDataFrame(
+            [(1, None)], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="no non-NULL"):
+            sim.whiten(empty)
+
+
 class TestTokenEntropy:
     def test_known_entropies(self, spark):
         import math
