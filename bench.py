@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
     "docs_dup_spans", "events_session_windows", "docs_kfold",
     "docs_token_entropy", "docs_readability", "lineitem_price_ks",
+    "embed_whiten",
 ]
 
 

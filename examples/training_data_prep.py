@@ -146,6 +146,25 @@ def main() -> None:
     # Mahalanobis via standardize — one moment pass, zero-shuffle score)
     rms = similarity.standardized_norm_outliers(emb, threshold=1.02)
     print("embedding rms-z outliers:", rms.filter("is_outlier").count())
+
+    # token entropy + readability: repetitiveness and fluency priors
+    ent = text.token_entropy(docs, "doc_id", "text")
+    print("mean norm-entropy:",
+          round(ent.agg(F.avg("norm_entropy")).first()[0], 3))
+    fl = text.readability(docs, "doc_id", "text")
+    print("mean flesch:", round(fl.agg(F.avg("flesch")).first()[0], 1))
+
+    # KS drift between two halves of the corpus length distribution
+    from spark_expectations_spark.operators import drift
+    h1 = docs.filter(F.col("doc_id") % 2 == 0)
+    h2 = docs.filter(F.col("doc_id") % 2 == 1)
+    ks = drift.ks_statistic(h1, h2, "n_chars",
+                            [200.0 * i for i in range(1, 10)]).first()
+    print("corpus-half KS:", round(ks["ks"], 4))
+
+    # ZCA-whiten embeddings before cosine near-dup screening
+    wh = similarity.whiten(emb)
+    print("whitened vectors:", wh.filter("whitened is not null").count())
     spark.stop()
 
 
