@@ -324,8 +324,20 @@ def ks_statistic(
     cum = (j.withColumn("_cb", F.sum("_nb").over(w))
            .withColumn("_cc", F.sum("_nc").over(w))
            .crossJoin(F.broadcast(tot)))
-    return cum.agg(
-        F.max(F.abs(F.col("_cb") / F.col("_tb")
-                    - F.col("_cc") / F.col("_tc"))).alias("ks"),
+    # try_divide: an empty side would otherwise throw an opaque ANSI
+    # DIVIDE_BY_ZERO from generated code; the raise below turns it into
+    # a clear error instead (an empty baseline/current is routine — a
+    # new partition, an over-tight filter — and KS is undefined there)
+    agg = cum.agg(
+        F.max(F.abs(F.try_divide(F.col("_cb"), F.col("_tb"))
+                    - F.try_divide(F.col("_cc"), F.col("_tc"))))
+        .alias("ks"),
         F.first("_tb").alias("n_base"),
         F.first("_tc").alias("n_cur"))
+    ok = (F.coalesce(F.col("n_base"), F.lit(0)) > 0) & \
+         (F.coalesce(F.col("n_cur"), F.lit(0)) > 0)
+    return agg.select(
+        F.when(ok, F.col("ks")).otherwise(F.raise_error(F.lit(
+            "ks_statistic: baseline or current side has no rows — "
+            "KS is undefined on an empty sample"))).alias("ks"),
+        "n_base", "n_cur")

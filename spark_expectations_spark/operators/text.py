@@ -1067,12 +1067,14 @@ def token_entropy(
     (doc, token) rows, linear in corpus tokens; no per-doc quadratic
     HOF over distinct tokens.
     """
-    from .dedup import tokens_col
     from ..plans import fan_out
 
+    # _tokens (empty-filtered), not dedup.tokens_col: splitting "" gives
+    # [""] and the phantom token would report empty/whitespace docs as
+    # 1-token documents instead of the documented NULLs (review fix)
     toks = (fan_out(df.select(id_col, text_col))
             .select(F.col(id_col),
-                    F.explode(tokens_col(F.col(text_col))).alias("__tok")))
+                    F.explode(_tokens(F.col(text_col))).alias("__tok")))
     tc = toks.groupBy(id_col, "__tok").agg(F.count(F.lit(1)).alias("__c"))
     ent = (tc.groupBy(id_col)
            .agg(F.sum("__c").alias("n_tokens"),

@@ -4481,18 +4481,25 @@ def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOCS_TOKEN_ENTROPY = r"""
 WITH t AS (
   SELECT doc_id,
-         unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS tok
   FROM documents),
 tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY doc_id, tok),
 e AS (
   SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
          count(*) AS n_distinct,
-         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h
+         ln(sum(c)) - sum(c * ln(c)) / sum(c) AS h,
+         -- norm inside the CTE: after the LEFT JOIN a NULL n_distinct
+         -- would fall into the ELSE and fabricate 0.0 where the
+         -- operator returns NULL for textless docs (review fix)
+         round(CASE WHEN count(*) > 1
+                    THEN (ln(sum(c)) - sum(c * ln(c)) / sum(c))
+                         / ln(count(*))
+                    ELSE 0.0 END, 6) AS ne
   FROM tc GROUP BY doc_id)
 SELECT d.doc_id, e.n_tokens, e.n_distinct,
        round(e.h, 6) AS token_entropy,
-       round(CASE WHEN e.n_distinct > 1 THEN e.h / ln(e.n_distinct)
-                  ELSE 0.0 END, 6) AS norm_entropy
+       e.ne AS norm_entropy
 FROM documents d LEFT JOIN e USING (doc_id)
 """
 

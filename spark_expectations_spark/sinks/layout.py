@@ -17,6 +17,7 @@ once those writes accumulate.
 from __future__ import annotations
 
 import math
+import re
 from typing import Mapping, Optional, Sequence
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -25,7 +26,7 @@ from pyspark.sql import functions as F
 from ..plans import estimated_size_bytes
 
 __all__ = ["compact_small_files", "interleave_bits", "zorder_write",
-           "clustering_report"]
+           "clustering_report", "analyze_tables", "dataset_manifest"]
 
 
 def compact_small_files(
@@ -271,9 +272,8 @@ def analyze_tables(
         info: dict = {"rowCount": None, "sizeInBytes": None}
         if stats_row:
             text = stats_row[0]["data_type"]  # e.g. '123 bytes, 45 rows'
-            import re as _re
-            mb = _re.search(r"(\d+)\s+bytes", text)
-            mr = _re.search(r"(\d+)\s+rows", text)
+            mb = re.search(r"(\d+)\s+bytes", text)
+            mr = re.search(r"(\d+)\s+rows", text)
             info["sizeInBytes"] = int(mb.group(1)) if mb else None
             info["rowCount"] = int(mr.group(1)) if mr else None
         out[t] = info
@@ -297,10 +297,22 @@ def dataset_manifest(
     shuffles one row per (partition, file) — metadata-scale, even when
     the dataset is not. Row counts come from the data path, so the
     manifest also catches a parquet footer lying about its row count.
+
+    Files are keyed by their path RELATIVE to the dataset root (review
+    fix: Spark reuses the same part-file basename across Hive
+    partition directories, so a basename key silently merged distinct
+    physical files and hid exactly the partial-partition damage this
+    manifest exists to catch). Diffing manifests of datasets at
+    DIFFERENT roots works as-is — the root prefix is stripped.
     """
     df = spark.read.parquet(path)
+    # input_file_name() is a resolved URI (file:///... or s3a://...);
+    # key on everything after '<root-dir-name>/' so the key is stable
+    # across roots and unique across partition directories
+    root = path.rstrip("/").split("/")[-1]
+    # F.get is NULL (not an ANSI error) when the separator is absent
+    rel = F.get(F.split(F.input_file_name(), re.escape(root) + "/", 2), 1)
     return (df.groupBy(
-        F.element_at(F.split(F.input_file_name(), "/"), -1)
-        .alias(file_col))
+        F.coalesce(rel, F.input_file_name()).alias(file_col))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )

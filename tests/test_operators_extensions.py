@@ -3029,6 +3029,20 @@ class TestTokenEntropy:
         assert got[4]["token_entropy"] is None
         assert got[4]["n_tokens"] is None
 
+    def test_empty_and_whitespace_docs_get_nulls(self, spark):
+        """Review fix: splitting '' yields [''] — the phantom token made
+        empty docs look like 1-token documents; the documented contract
+        is NULLs."""
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(1, ""), (2, "   "), (3, "real tokens here")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in T.token_entropy(
+            df, "doc_id", "text").collect()}
+        assert got[1]["n_tokens"] is None
+        assert got[2]["token_entropy"] is None
+        assert got[3]["n_tokens"] == 3
+
 
 class TestReadability:
     def test_known_arithmetic(self, spark):
@@ -3068,6 +3082,17 @@ class TestKsStatistic:
         r = drift.ks_statistic(lo, hi, "x", self.EDGES).first()
         assert r["ks"] == pytest.approx(1.0)
         assert (r["n_base"], r["n_cur"]) == (30, 30)
+
+    def test_empty_side_raises_clearly(self, spark):
+        """Review fix: an empty baseline/current used to surface as an
+        opaque ANSI DIVIDE_BY_ZERO from generated code."""
+        from spark_expectations_spark.operators import drift
+        base = self._df(spark, range(0, 50))
+        empty = base.filter("x > 1000")
+        with pytest.raises(Exception, match="empty sample"):
+            drift.ks_statistic(base, empty, "x", self.EDGES).collect()
+        with pytest.raises(Exception, match="empty sample"):
+            drift.ks_statistic(empty, base, "x", self.EDGES).collect()
 
     def test_known_shift(self, spark):
         """base uniform 0..99, cur uniform 20..119: at edge 20 CDFs are

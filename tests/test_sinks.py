@@ -382,6 +382,21 @@ class TestAnalyzeAndManifest:
         m2 = layout.dataset_manifest(spark, path).collect()
         assert sorted(map(tuple, m)) == sorted(map(tuple, m2))
 
+    def test_dataset_manifest_distinguishes_partition_files(
+            self, spark, tmp_path):
+        """Review fix: Spark reuses the same part-file basename in every
+        Hive partition dir, so a basename key merged distinct physical
+        files — the manifest must key on the ROOT-RELATIVE path."""
+        from spark_expectations_spark.sinks import layout
+        path = str(tmp_path / "mfst_part")
+        (spark.range(0, 90)
+         .withColumn("k", F.col("id") % 3)
+         .coalesce(1).write.partitionBy("k").parquet(path))
+        m = layout.dataset_manifest(spark, path).collect()
+        assert len(m) == 3                       # one row per physical file
+        assert {r["n_rows"] for r in m} == {30}
+        assert all(r["file"].startswith("k=") for r in m)
+
 
 class TestLayout:
     def test_compact_small_files(self, spark, tmp_path):
