@@ -2963,6 +2963,33 @@ class TestFinalReviewFixes:
         assert got == want  # defaults reach recall 1.0 on the fixture
 
 
+class TestJoinCardinalityEstimate:
+    def test_estimates_within_sketch_error(self, spark):
+        """left keys 0..9999 (x2 rows each), right keys 5000..14999:
+        5000 common keys, exact join rows = 5000 x 2 x 1."""
+        from spark_expectations_spark.operators import sketches
+        left = (spark.range(0, 10000).selectExpr("id as k")
+                .unionAll(spark.range(0, 10000).selectExpr("id as k")))
+        right = spark.range(5000, 15000).selectExpr("id as k")
+        r = sketches.join_cardinality_estimate(left, "k", right, "k") \
+            .first()
+        assert (r["left_rows"], r["right_rows"]) == (20000, 10000)
+        assert abs(r["left_distinct_est"] - 10000) / 10000 < 0.05
+        assert abs(r["common_keys_est"] - 5000) / 5000 < 0.05
+        assert abs(r["semi_selectivity"] - 0.5) < 0.05
+        exact_join = left.join(right, "k").count()
+        assert exact_join == 10000
+        assert abs(r["join_rows_est"] - exact_join) / exact_join < 0.1
+
+    def test_disjoint_sides_estimate_zero(self, spark):
+        from spark_expectations_spark.operators import sketches
+        a = spark.range(0, 1000).selectExpr("id as k")
+        b = spark.range(50000, 51000).selectExpr("id as k")
+        r = sketches.join_cardinality_estimate(a, "k", b, "k").first()
+        assert r["common_keys_est"] < 1000 * 0.02
+        assert r["join_rows_est"] < 1000 * 0.02
+
+
 class TestWhiten:
     def test_output_covariance_is_identity(self, spark):
         import numpy as np
