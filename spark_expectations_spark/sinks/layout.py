@@ -26,7 +26,8 @@ from pyspark.sql import functions as F
 from ..plans import estimated_size_bytes
 
 __all__ = ["compact_small_files", "interleave_bits", "zorder_write",
-           "clustering_report", "analyze_tables", "dataset_manifest"]
+           "clustering_report", "analyze_tables", "dataset_manifest",
+           "manifest_diff"]
 
 
 def compact_small_files(
@@ -316,3 +317,28 @@ def dataset_manifest(
         F.coalesce(rel, F.input_file_name()).alias(file_col))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def manifest_diff(
+    spark: SparkSession,
+    old_path: str,
+    new_path: str,
+) -> DataFrame:
+    """File-level integrity diff of two parquet dataset snapshots:
+    :func:`dataset_manifest` each side, then
+    :func:`~..operators.diff.snapshot_diff` keyed on the root-relative
+    file path. One row per file that was added, removed, or whose ROW
+    COUNT changed — the post-swap / post-compaction check that answers
+    "did that partition overwrite touch anything it shouldn't have"
+    at metadata scale (the shuffled frames are one row per file).
+
+    ``change_type`` semantics: 'removed' rows are files present only
+    in ``old_path``; after an intentional compaction expect removed+
+    added pairs whose row counts reconcile — assert the TOTALS match
+    (sum of n_rows per side) to separate re-layout from data loss.
+    """
+    from ..operators.diff import snapshot_diff
+
+    old = dataset_manifest(spark, old_path)
+    new = dataset_manifest(spark, new_path)
+    return snapshot_diff(old, new, ["file"], compare_cols=["n_rows"])

@@ -397,6 +397,25 @@ class TestAnalyzeAndManifest:
         assert {r["n_rows"] for r in m} == {30}
         assert all(r["file"].startswith("k=") for r in m)
 
+    def test_manifest_diff_catches_lost_partition_file(
+            self, spark, tmp_path):
+        """Snapshot the manifest, drop one partition's file, diff: the
+        loss surfaces as a 'removed' row keyed by relative path."""
+        import shutil
+        from spark_expectations_spark.sinks import layout
+        old = str(tmp_path / "snap_old")
+        (spark.range(0, 60).withColumn("k", F.col("id") % 3)
+         .coalesce(1).write.partitionBy("k").parquet(old))
+        new = str(tmp_path / "snap_new")
+        shutil.copytree(old, new)
+        shutil.rmtree(f"{new}/k=1")
+        d = layout.manifest_diff(spark, old, new).collect()
+        assert len(d) == 1
+        assert d[0]["change_type"] == "removed"
+        assert d[0]["file"].startswith("k=1/")
+        # identical snapshots diff empty
+        assert layout.manifest_diff(spark, old, old).count() == 0
+
 
 class TestLayout:
     def test_compact_small_files(self, spark, tmp_path):
