@@ -374,3 +374,35 @@ class TestDupSpanCoverageDifferential:
                 if len(gram_docs[tuple(ts[s:s + n])]) >= 2:
                     covered.update(range(s, s + n))
             assert got[i] == (len(ts), len(covered)), (i, ts)
+
+
+class TestMadOutliersDifferential:
+    """mad_outliers vs python statistics.median brute force: Spark's
+    exact percentile(0.5) interpolates identically, so robust_z and
+    flags must match bit-for-bit on integer scores."""
+
+    @given(
+        vals=st.lists(st.integers(-50, 50), min_size=1, max_size=25),
+        k=st.sampled_from([1.0, 2.5, 3.5]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_bruteforce(self, spark, vals, k):
+        import statistics
+
+        import pytest
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [("g", i, v) for i, v in enumerate(vals)],
+            "g string, id int, s int")
+        got = {r["id"]: r for r in sampling.mad_outliers(
+            df, "g", "s", k=k).collect()}
+        med = statistics.median(vals)
+        mad = statistics.median([abs(v - med) for v in vals])
+        for i, v in enumerate(vals):
+            if mad > 0:
+                z = (v - med) / (1.4826 * mad)
+                assert got[i]["robust_z"] == pytest.approx(z), (i, v)
+                assert got[i]["is_outlier"] == (abs(z) > k)
+            else:
+                assert got[i]["robust_z"] is None
+                assert got[i]["is_outlier"] == (v != med)
