@@ -21,6 +21,7 @@ from .core.rules import (
     RuleSet,
 )
 from .core.state import DQConfig, DQResult, WriterOptions
+from . import rules_presets
 from .operators.agg_dq import DQAggFailError
 from .operators.row_dq import DQRowFailError
 from .secrets import (
@@ -39,5 +40,5 @@ __all__ = [
     "ROW_DQ", "AGG_DQ", "QUERY_DQ", "ACTION_IGNORE", "ACTION_DROP",
     "ACTION_FAIL", "RULE_COLUMNS",
     "SecretResolver", "EnvSecretResolver", "DictSecretResolver",
-    "ChainSecretResolver",
+    "ChainSecretResolver", "rules_presets",
 ]
