@@ -68,6 +68,25 @@ def main() -> None:
     verdict = ("stable" if d.psi < 0.1
                else "drifting" if d.psi < 0.25 else "shifted")
     print(f"price-distribution PSI input→output: {d.psi:.4f} ({verdict})")
+
+    # rule-pack presets: the standard checks without hand-writing SQL
+    from spark_expectations_spark import RuleSet, rules_presets as P
+    pack = RuleSet([
+        *P.not_null_rules("demo", "lineitem",
+                          ["l_orderkey", "l_partkey"]),
+        P.unique_key_rule("demo", "lineitem",
+                          ["l_orderkey", "l_linenumber"]),
+        P.accepted_values_rule("demo", "lineitem", "l_returnflag",
+                               ["A", "N", "R"]),
+        P.range_rule("demo", "lineitem", "l_discount", lo=0, hi=0.1),
+        P.row_count_rule("demo", "lineitem", min_rows=100),
+    ])
+    pres = DQEngine(DQConfig(product_id="demo", table_name="lineitem",
+                             write_error_table=False)).run(li, pack, spark)
+    fails = {k: v for k, v in
+             pres.row_summary.rule_failed_counts.items() if v}
+    print(f"preset pack: {len(pack.rules)} rules, "
+          f"row-rule failures: {fails or 'none'}")
     spark.stop()
 
 
