@@ -178,24 +178,32 @@ def join_cardinality_estimate(
     :func:`~.skew.key_skew_stats` when that matters). Distinct
     estimates carry theta's ~2% relative error at default precision.
     """
+    # multiplicity uses NON-NULL key counts (count(key), not count(*)):
+    # NULL keys never join, so counting them would inflate the average
+    # multiplicity by the NULL fraction (review fix — a 50%-NULL FK
+    # column doubled the estimate)
     la = left.agg(
         F.count(F.lit(1)).alias("left_rows"),
+        F.count(F.col(left_key)).alias("_lnn"),
         F.theta_sketch_agg(left_key).alias("_ls"))
     ra = right.agg(
         F.count(F.lit(1)).alias("right_rows"),
+        F.count(F.col(right_key)).alias("_rnn"),
         F.theta_sketch_agg(right_key).alias("_rs"))
     j = la.crossJoin(F.broadcast(ra))
     ld = F.theta_sketch_estimate(F.col("_ls"))
     rd = F.theta_sketch_estimate(F.col("_rs"))
     common = F.theta_sketch_estimate(
         F.theta_intersection(F.col("_ls"), F.col("_rs")))
+    # an empty/all-NULL side provably yields zero join rows — report
+    # 0.0, not NULL (numeric consumers gate on these)
     return j.select(
         "left_rows", "right_rows",
         ld.alias("left_distinct_est"),
         rd.alias("right_distinct_est"),
         common.alias("common_keys_est"),
-        F.when(ld > 0, common / ld).alias("semi_selectivity"),
+        F.when(ld > 0, common / ld).otherwise(F.lit(0.0))
+        .alias("semi_selectivity"),
         F.when((ld > 0) & (rd > 0),
-               common * (F.col("left_rows") / ld)
-               * (F.col("right_rows") / rd))
-        .alias("join_rows_est"))
+               common * (F.col("_lnn") / ld) * (F.col("_rnn") / rd))
+        .otherwise(F.lit(0.0)).alias("join_rows_est"))

@@ -8,9 +8,13 @@ at execution time, so every preset rides the fused row projection /
 single-agg / scalar-subquery machinery and its validation.
 
 Quoting: column names are backtick-quoted (spaces/keywords survive);
-string literal values are single-quote-escaped the same way the
-functions module builds literals — user-supplied VALUES never get
-string-formatted into SQL unescaped.
+string literal values are single-quote-escaped — user-supplied VALUES
+never get string-formatted into SQL unescaped. Relation to
+``functions``: that module keeps the reference-parity RAW-STRING
+expectation idioms (unquoted identifiers, every literal stringified);
+this one emits complete, quoted Rule objects — the two quoting helpers
+are deliberately distinct (``_qident`` quotes IDENTIFIERS here,
+``functions._q`` quotes LITERALS there).
 
 Usage::
 
@@ -42,17 +46,26 @@ __all__ = [
 ]
 
 
-def _q(col: str) -> str:
+def _qident(col: str) -> str:
     """Backtick-quote an identifier (embedded backticks doubled)."""
     return "`" + col.replace("`", "``") + "`"
 
 
 def _lit(v) -> str:
-    if isinstance(v, str):
-        return "'" + v.replace("'", "''") + "'"
+    import datetime as _dt
+
+    if v is None:
+        # None in an accepted-values list silently builds `x IN (..,
+        # NULL)` which can never match — demand the explicit flag
+        raise ValueError(
+            "None is not a literal; use allow_null=True instead")
     if isinstance(v, bool):
         return "true" if v else "false"
-    return str(v)
+    if isinstance(v, (_dt.date, _dt.datetime)):
+        return "'" + str(v) + "'"
+    if isinstance(v, (int, float)):
+        return str(v)
+    return "'" + str(v).replace("'", "''") + "'"
 
 
 def not_null_rules(
@@ -65,7 +78,7 @@ def not_null_rules(
     """One row_dq not-null rule per column (dbt ``not_null``)."""
     return [
         Rule(product_id, table_name, "row_dq", f"{c}_not_null", c,
-             f"{_q(c)} IS NOT NULL", action_if_failed=action_if_failed,
+             f"{_qident(c)} IS NOT NULL", action_if_failed=action_if_failed,
              tag="completeness", description=f"{c} must not be null")
         for c in columns
     ]
@@ -86,9 +99,9 @@ def accepted_values_rule(
     if not values:
         raise ValueError("accepted_values_rule: values must be non-empty")
     in_list = ", ".join(_lit(v) for v in values)
-    expr = f"{_q(column)} IN ({in_list})"
+    expr = f"{_qident(column)} IN ({in_list})"
     if allow_null:
-        expr = f"({expr} OR {_q(column)} IS NULL)"
+        expr = f"({expr} OR {_qident(column)} IS NULL)"
     return Rule(product_id, table_name, "row_dq",
                 f"{column}_accepted_values", column, expr,
                 action_if_failed=action_if_failed, tag="validity",
@@ -109,9 +122,9 @@ def range_rule(
         raise ValueError("range_rule: need lo and/or hi")
     parts = []
     if lo is not None:
-        parts.append(f"{_q(column)} >= {_lit(lo)}")
+        parts.append(f"{_qident(column)} >= {_lit(lo)}")
     if hi is not None:
-        parts.append(f"{_q(column)} <= {_lit(hi)}")
+        parts.append(f"{_qident(column)} <= {_lit(hi)}")
     return Rule(product_id, table_name, "row_dq", f"{column}_range",
                 column, " AND ".join(parts),
                 action_if_failed=action_if_failed, tag="validity",
@@ -130,7 +143,7 @@ def unique_key_rule(
     the error table shows all copies, not n−1 of them)."""
     if not key_columns:
         raise ValueError("unique_key_rule: need at least one key column")
-    keys = ", ".join(_q(c) for c in key_columns)
+    keys = ", ".join(_qident(c) for c in key_columns)
     name = "_".join(key_columns) + "_unique"
     return Rule(product_id, table_name, "row_dq", name,
                 ",".join(key_columns),
@@ -159,9 +172,9 @@ def referential_rule(
     child_view = child_view or table_name
     expr = (
         f"(SELECT count(*) FROM {child_view} c "
-        f"WHERE c.{_q(child_column)} IS NOT NULL AND NOT EXISTS "
+        f"WHERE c.{_qident(child_column)} IS NOT NULL AND NOT EXISTS "
         f"(SELECT 1 FROM {parent_view} p "
-        f"WHERE p.{_q(parent_column)} = c.{_q(child_column)})) = 0"
+        f"WHERE p.{_qident(parent_column)} = c.{_qident(child_column)})) = 0"
     )
     return Rule(product_id, table_name, "query_dq",
                 f"{child_column}_refs_{parent_view}", child_column, expr,
@@ -189,8 +202,12 @@ def freshness_rule(
             "freshness_rule: exactly one of max_age_days / max_age_hours")
     hours = max_age_hours if max_age_hours is not None \
         else float(max_age_days) * 24.0
-    expr = (f"max({_q(ts_column)}) >= current_timestamp() "
-            f"- INTERVAL {hours} HOURS")
+    # whole SECONDS: Spark rejects fractional HOUR intervals
+    # (INVALID_INTERVAL_FORMAT), and float rendering could go
+    # scientific — 7 days arrives here as 168.0
+    secs = int(round(hours * 3600.0))
+    expr = (f"max({_qident(ts_column)}) >= current_timestamp() "
+            f"- INTERVAL {secs} SECOND")
     return Rule(product_id, table_name, "agg_dq",
                 name or f"{ts_column}_freshness", ts_column, expr,
                 action_if_failed=action_if_failed, tag="freshness",
@@ -203,13 +220,15 @@ def row_count_rule(
     *,
     min_rows: int = 1,
     max_rows: Optional[int] = None,
+    name: Optional[str] = None,
     action_if_failed: str = "ignore",
 ) -> Rule:
     """agg_dq rule: row count within [min_rows, max_rows] — the empty-
-    or runaway-batch tripwire."""
+    or runaway-batch tripwire. ``name`` disambiguates multiple volume
+    rules in one set (RuleSet rejects duplicate names)."""
     expr = f"count(*) >= {int(min_rows)}"
     if max_rows is not None:
         expr = f"({expr} AND count(*) <= {int(max_rows)})"
-    return Rule(product_id, table_name, "agg_dq", "row_count", "",
+    return Rule(product_id, table_name, "agg_dq", name or "row_count", "",
                 expr, action_if_failed=action_if_failed, tag="volume",
                 description=f"row count in [{min_rows}, {max_rows}]")

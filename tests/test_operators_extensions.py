@@ -2989,6 +2989,27 @@ class TestJoinCardinalityEstimate:
         assert r["common_keys_est"] < 1000 * 0.02
         assert r["join_rows_est"] < 1000 * 0.02
 
+    def test_null_keys_do_not_inflate_multiplicity(self, spark):
+        """Review fix: NULL keys never join, so a 50%-NULL FK column
+        must not double the join-size estimate."""
+        from spark_expectations_spark.operators import sketches
+        left = spark.range(0, 1000).selectExpr(
+            "CASE WHEN id % 2 = 0 THEN id div 2 END as k")  # 500 NULLs
+        right = spark.range(0, 500).selectExpr("id as k")
+        r = sketches.join_cardinality_estimate(left, "k", right, "k")             .first()
+        exact = left.join(right, "k").count()
+        assert exact == 500
+        assert abs(r["join_rows_est"] - exact) / exact < 0.1
+        assert r["left_rows"] == 1000          # total rows still reported
+
+    def test_empty_side_reports_zero_not_null(self, spark):
+        from spark_expectations_spark.operators import sketches
+        a = spark.range(0, 100).selectExpr("id as k")
+        empty = a.filter("k > 1000")
+        r = sketches.join_cardinality_estimate(a, "k", empty, "k").first()
+        assert r["join_rows_est"] == 0.0
+        assert r["semi_selectivity"] is not None
+
 
 class TestWhiten:
     def test_output_covariance_is_identity(self, spark):

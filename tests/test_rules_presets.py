@@ -49,6 +49,8 @@ class TestPresetGenerators:
         assert res2.row_summary.rule_failed_counts[r2.rule] == 0
         with pytest.raises(ValueError):
             P.accepted_values_rule("p", "t", "s", [])
+        with pytest.raises(ValueError, match="allow_null"):
+            P.accepted_values_rule("p", "t", "s", ["A", None])
 
     def test_unique_key_flags_every_copy(self, spark):
         df = spark.createDataFrame(
@@ -96,6 +98,32 @@ class TestPresetGenerators:
         assert by[vol.rule] == "pass"
         with pytest.raises(ValueError):
             P.freshness_rule("p", "t", "ts")
+
+    def test_freshness_day_and_fractional_hours_run(self, spark):
+        """Review fix: float hours rendered 'INTERVAL 168.0 HOURS',
+        which Spark rejects — days and fractional hours must execute."""
+        from datetime import datetime, timedelta
+        df = spark.createDataFrame(
+            [(1, datetime.now() - timedelta(hours=2))],
+            "id int, ts timestamp")
+        rules = RuleSet([
+            P.freshness_rule("p", "t", "ts", max_age_days=7),
+            P.freshness_rule("p", "t", "ts", max_age_hours=1.5,
+                             name="ts_90min"),
+        ])
+        res = DQEngine(DQConfig(product_id="p", table_name="t",
+                                write_error_table=False)).run(
+            df, rules, spark)
+        by = {r.rule.rule: r.status for r in res.source_agg}
+        assert by["ts_freshness"] == "pass"     # 2h old < 7d
+        assert by["ts_90min"] == "fail"         # 2h old > 1.5h
+
+    def test_row_count_name_override(self, spark):
+        rules = RuleSet([
+            P.row_count_rule("p", "t", min_rows=1),
+            P.row_count_rule("p", "t", min_rows=100, name="volume_floor"),
+        ])
+        assert len(rules.rules) == 2
 
     def test_quoted_identifiers_survive(self, spark):
         df = spark.createDataFrame([(1,), (None,)], ["weird col"])
