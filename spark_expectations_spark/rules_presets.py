@@ -42,7 +42,7 @@ from .core.rules import Rule
 __all__ = [
     "not_null_rules", "accepted_values_rule", "range_rule",
     "unique_key_rule", "referential_rule", "freshness_rule",
-    "row_count_rule",
+    "row_count_rule", "matches_rule", "castable_rule",
 ]
 
 
@@ -65,7 +65,10 @@ def _lit(v) -> str:
         return "'" + str(v) + "'"
     if isinstance(v, (int, float)):
         return str(v)
-    return "'" + str(v).replace("'", "''") + "'"
+    # backslashes double FIRST: Spark string literals process escape
+    # sequences (default escapedStringLiterals=false), so a regex \d
+    # would silently become a literal 'd' otherwise
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def not_null_rules(
@@ -232,3 +235,45 @@ def row_count_rule(
     return Rule(product_id, table_name, "agg_dq", name or "row_count", "",
                 expr, action_if_failed=action_if_failed, tag="volume",
                 description=f"row count in [{min_rows}, {max_rows}]")
+
+
+def matches_rule(
+    product_id: str,
+    table_name: str,
+    column: str,
+    pattern: str,
+    *,
+    action_if_failed: str = "ignore",
+) -> Rule:
+    """Row rule: column matches a regex (dbt-expectations
+    ``expect_column_values_to_match_regex``). NULL fails (rlike on
+    NULL is NULL); compose with :func:`not_null_rules` or widen the
+    pattern if NULLs are acceptable."""
+    return Rule(product_id, table_name, "row_dq", f"{column}_matches",
+                column, f"{_qident(column)} RLIKE {_lit(pattern)}",
+                action_if_failed=action_if_failed, tag="validity",
+                description=f"{column} must match /{pattern}/")
+
+
+def castable_rule(
+    product_id: str,
+    table_name: str,
+    column: str,
+    to_type: str,
+    *,
+    action_if_failed: str = "ignore",
+) -> Rule:
+    """Row rule: column parses as ``to_type`` via try_cast — the
+    string-column sanity check before a real cast migration.
+    ``to_type`` must be a type NAME (validated against a whitelist
+    shape, not interpolated blindly)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_]+(\(\s*\d+(\s*,\s*\d+)?\s*\))?",
+                         to_type.strip()):
+        raise ValueError(f"castable_rule: suspicious type name {to_type!r}")
+    return Rule(product_id, table_name, "row_dq", f"{column}_castable",
+                column,
+                f"TRY_CAST({_qident(column)} AS {to_type}) IS NOT NULL",
+                action_if_failed=action_if_failed, tag="validity",
+                description=f"{column} must cast to {to_type}")

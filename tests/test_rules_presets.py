@@ -132,3 +132,20 @@ class TestPresetGenerators:
                                 write_error_table=False)).run(
             df, rules, spark)
         assert res.row_summary.rule_failed_counts["weird col_not_null"] == 1
+
+    def test_matches_and_castable(self, spark):
+        df = spark.createDataFrame(
+            [(1, "AB-12", "3"), (2, "nope", "x"), (3, None, "7")],
+            "id int, code string, num string")
+        rules = RuleSet([
+            P.matches_rule("p", "t", "code", r"^[A-Z]{2}-\d+$"),
+            P.castable_rule("p", "t", "num", "int"),
+        ])
+        res = DQEngine(DQConfig(product_id="p", table_name="t",
+                                write_error_table=False)).run(
+            df, rules, spark)
+        counts = res.row_summary.rule_failed_counts
+        assert counts["code_matches"] == 2    # 'nope' and NULL
+        assert counts["num_castable"] == 1    # 'x'
+        with pytest.raises(ValueError, match="suspicious"):
+            P.castable_rule("p", "t", "num", "int) IS NULL --")
