@@ -59,8 +59,11 @@ def in_range(column: str, lo, hi) -> str:
 
 def _q(v) -> str:
     """SQL single-quote a literal, doubling embedded quotes — a value
-    like O'Brien must not break (or inject into) the expectation."""
-    return "'" + str(v).replace("'", "''") + "'"
+    like O'Brien must not break (or inject into) the expectation.
+    Backslashes double first: Spark string literals process escape
+    sequences (escapedStringLiterals=false default), so a regex ``\\d``
+    fed to :func:`matches` would silently become a literal ``d``."""
+    return "'" + str(v).replace("\\", "\\\\").replace("'", "''") + "'"
 
 
 def in_set(column: str, values: Sequence[str]) -> str:

@@ -47,3 +47,20 @@ class TestMetaHelpers:
         res = DQEngine(cfg).run(df, rules, spark)
         assert res.error_count == 1
         assert res.row_summary.rule_failed_counts == {"num": 1, "dt": 1}
+
+
+class TestLiteralBackslashEscaping:
+    def test_regex_with_backslash_class_survives(self, spark, simple3):
+        """Spark string literals eat single backslashes, so matches()
+        with \\d used to silently test against a literal 'd'."""
+        import spark_expectations_spark.functions as dqf
+        from spark_expectations_spark import (
+            DQConfig, DQEngine, Rule, RuleSet)
+        df = spark.createDataFrame(
+            [(1, "a1"), (2, "ax")], "id int, s string")
+        rules = RuleSet([Rule("p", "t", "row_dq", "rx", "s",
+                              dqf.matches("s", r"^a\d$"))])
+        res = DQEngine(DQConfig(product_id="p", table_name="t",
+                                write_error_table=False)).run(
+            df, rules, spark)
+        assert res.row_summary.rule_failed_counts["rx"] == 1  # only 'ax'
