@@ -1,5 +1,7 @@
-"""Streaming DQ two ways: (1) reference-parity row rules on the stream,
-(2) full 5-stage engine per micro-batch via foreachBatch.
+"""Streaming DQ three ways: (1) reference-parity row rules on the
+stream, (2) full 5-stage engine per micro-batch via foreachBatch,
+(3) finalized session windows feeding the DQ engine exactly-once
+(windowed/session analytics -> gated table).
 
     python examples/streaming_dq.py
 """
@@ -51,6 +53,45 @@ def main() -> None:
         if r.input_count:
             print(f"batch {bid}: input={r.input_count} errors={r.error_count} "
                   f"output={r.output_count} agg={r.status['source_agg_dq']}")
+
+    # (3) session windows -> DQ engine, exactly-once across replays:
+    # rate values shaped into bursts an hour apart so sessions finalize
+    from spark_expectations_spark import DQEngine
+    from spark_expectations_spark.streaming import (
+        idempotent_foreach_batch, session_counts)
+
+    src = (spark.readStream.format("rate")
+           .option("rowsPerSecond", "400").load()
+           .selectExpr(
+               "timestamp '2026-01-01' + (value div 10) * INTERVAL 1 HOUR"
+               " + (value % 10) * INTERVAL 1 SECOND as ts",
+               "cast(value % 2 as string) as key"))
+    sess = session_counts(src, "ts", "key", gap="30 seconds",
+                          watermark="0 seconds")
+    sess_rules = RuleSet([
+        Rule("demo", "sessions", "row_dq", "n_pos", "n_events",
+             "n_events > 0", action_if_failed="drop"),
+    ])
+    engine = DQEngine(DQConfig(product_id="demo", table_name="sessions",
+                               write_error_table=False))
+    gated = []
+
+    def dq_sink(batch_df, batch_id):
+        res = engine.run(batch_df, sess_rules, batch_df.sparkSession)
+        gated.append((batch_id, res.output_count))
+
+    spark.sql("CREATE TABLE IF NOT EXISTS sess_state (d INT) USING parquet")
+    q2 = (sess.writeStream.outputMode("append")
+          .foreachBatch(idempotent_foreach_batch(dq_sink, "sess_state",
+                                                 stream_id="demo_sess"))
+          .option("checkpointLocation", f"{out}/ckpt_sess").start())
+    deadline = time.time() + 60
+    while time.time() < deadline and sum(n for _, n in gated) < 4:
+        time.sleep(2)
+    q2.stop()
+    spark.sql("DROP TABLE IF EXISTS sess_state")
+    print(f"finalized sessions through DQ: "
+          f"{sum(n for _, n in gated)} across {len(gated)} batches")
     spark.stop()
 
 
