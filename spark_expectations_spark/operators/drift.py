@@ -283,6 +283,8 @@ def ks_statistic(
     current: DataFrame,
     col: str,
     edges: list,
+    *,
+    drop_nulls: bool = False,
 ) -> DataFrame:
     """Binned two-sample Kolmogorov–Smirnov statistic over explicit
     ``edges``: max |CDF_baseline − CDF_current| evaluated at the edge
@@ -302,8 +304,18 @@ def ks_statistic(
     Persist the edges with the baseline (same contract as
     :func:`psi_with_edges`) so every later comparison uses the SAME
     grid.
+
+    NULL convention: by default NULL values of ``col`` land in bucket 0
+    (``NULL >= edge`` folds to 0 for every edge) — the same convention
+    :func:`psi_with_edges` and the DuckDB oracles use, but it inflates
+    both CDFs at the low end if either side is NULL-heavy. Pass
+    ``drop_nulls=True`` to exclude NULLs from the statistic entirely
+    (``n_base``/``n_cur`` then count non-NULL rows only).
     """
     arr = F.array(*[F.lit(float(e)) for e in edges])
+    if drop_nulls:
+        baseline = baseline.filter(F.col(col).isNotNull())
+        current = current.filter(F.col(col).isNotNull())
 
     def hist(df: DataFrame, out: str) -> DataFrame:
         b = F.aggregate(

@@ -75,6 +75,14 @@ def _run_with_timeout(spark: SparkSession, fn, timeout_s: float, desc: str):
     except Exception:  # Spark Connect: no job-group API on the client
         return fn(), False
     gid = f"se-querydq-{uuid.uuid4().hex[:12]}"
+    # snapshot the caller's thread-local job-group properties BEFORE
+    # stamping ours: clusters commonly wrap whole pipelines in
+    # setJobGroup for cost attribution, and nulling these in the finally
+    # would silently strip that attribution from every job the caller
+    # runs after the DQ stage
+    _props = ("spark.jobGroup.id", "spark.job.description",
+              "spark.job.interruptOnCancel")
+    saved = {p: sc.getLocalProperty(p) for p in _props}
     sc.setJobGroup(gid, desc, interruptOnCancel=True)
     done = threading.Event()
     expired = threading.Event()
@@ -98,18 +106,24 @@ def _run_with_timeout(spark: SparkSession, fn, timeout_s: float, desc: str):
     watchdog.start()
     try:
         return fn(), False
-    except Exception as exc:  # noqa: BLE001 - classifying cancellation
-        if expired.is_set() and "cancel" in str(exc).lower():
+    except Exception:  # noqa: BLE001 - classifying cancellation
+        # once the watchdog has fired, ANY job failure is classified as
+        # timeout: Spark surfaces cancellation with wording that varies
+        # by version/backend ("cancelled", "killed", a bare
+        # SparkException), so substring-matching would let a real
+        # timeout re-raise as a hard error. A genuine unrelated failure
+        # racing the expiry also reads 'timeout' — acceptable, since
+        # the budget DID expire and the rule is gated either way.
+        if expired.is_set():
             return None, True
         raise
     finally:
         done.set()
-        # clear EVERY thread-local property setJobGroup stamped — a
-        # leaked description/interruptOnCancel would misattribute all
+        # restore the caller's thread-local properties (not None them) —
+        # a stomped description/interruptOnCancel would misattribute all
         # later jobs on this thread and change their task-kill semantics
-        sc.setLocalProperty("spark.jobGroup.id", None)
-        sc.setLocalProperty("spark.job.description", None)
-        sc.setLocalProperty("spark.job.interruptOnCancel", None)
+        for p in _props:
+            sc.setLocalProperty(p, saved[p])
 
 
 def evaluate_query_rules(

@@ -52,16 +52,26 @@ def _bucket(key: Column, salt: str = "", hex_chars: int = 4) -> Column:
 
 
 def _release_on_gc(result: DataFrame, persisted: DataFrame) -> DataFrame:
-    """Unpersist ``persisted`` when ``result`` is garbage-collected.
+    """Tie the persisted input's lifetime to ``result`` and hand the
+    caller an explicit release handle.
 
     The two-phase quota samplers persist their bucketed input so ONE
     source scan feeds the eager phase-1 job and both lazily-consumed
     kept branches (r5 verdict: an unpersisted input was evaluated 3x —
     real money when the input is a derived pipeline, not a raw scan).
     The cache must outlive the function (the branches execute when the
-    CALLER runs them), so release is tied to the returned DataFrame's
-    lifetime instead of a try/finally. DataFrames derived from the
-    result keep working after release — they just recompute."""
+    CALLER runs them), so it is pinned to the returned DataFrame via a
+    strong attribute reference plus a GC finalizer backstop.
+
+    LIFETIME CONTRACT (ADVICE r6): only the RETURNED object carries the
+    pin — a derived frame from the common ``op(df).select(...)`` shape
+    does not, so if the returned object is dropped before the action
+    runs, GC may release the cache early and the single-scan benefit
+    silently reverts to multi-scan (results stay correct; derived
+    frames just recompute). Callers that derive-and-discard should
+    either keep the returned DataFrame alive through the action, call
+    :func:`release_input_cache` when done (deterministic), or pass
+    ``persist_input=False`` when the input is a cheap columnar scan."""
     import weakref
 
     def _release(p=persisted):
@@ -70,8 +80,28 @@ def _release_on_gc(result: DataFrame, persisted: DataFrame) -> DataFrame:
         except Exception:
             pass  # session already stopped — nothing to release
 
+    # strong ref: the cache survives at least as long as the returned
+    # frame; finalizer: released (best-effort) when it is collected
+    result._se_input_cache = persisted
     weakref.finalize(result, _release)
     return result
+
+
+def release_input_cache(df: DataFrame) -> bool:
+    """Deterministically unpersist the input cache a quota sampler
+    (:func:`mixture_resample` / :func:`token_budget_sample`) pinned to
+    its returned DataFrame — the explicit alternative to waiting for
+    garbage collection. Safe to call on any DataFrame (returns False
+    when no cache is pinned) and idempotent."""
+    persisted = getattr(df, "_se_input_cache", None)
+    if persisted is None:
+        return False
+    try:
+        persisted.unpersist()
+    except Exception:
+        return False
+    df._se_input_cache = None
+    return True
 
 
 def with_split(
@@ -292,11 +322,13 @@ def mixture_resample(
     MEMORY_AND_DISK so that ONE evaluation of ``df`` feeds the phase-1
     job and both kept branches — without it the input would be
     computed 3x, a real cost when ``df`` is a derived pipeline rather
-    than a raw scan. The cache is released automatically when the
-    returned DataFrame is garbage-collected; pass
-    ``persist_input=False`` when ``df`` is a cheap columnar scan or
-    already cached (re-scanning parquet beats spilling a 100 TB corpus
-    to executor disk). NULL keys hash to a sentinel bucket that sorts
+    than a raw scan. The cache is pinned to the RETURNED DataFrame
+    (keep it alive through the action — a derived ``.select(...)``
+    alone does not pin it) and released via
+    :func:`release_input_cache` or, best-effort, when the returned
+    object is garbage-collected; pass ``persist_input=False`` when
+    ``df`` is a cheap columnar scan or already cached (re-scanning
+    parquet beats spilling a 100 TB corpus to executor disk). NULL keys hash to a sentinel bucket that sorts
     first, preserving the reference window's NULLS FIRST ranking.
     """
     import math as _math
@@ -613,8 +645,10 @@ def token_budget_sample(
     the per-group plan is driver-collected and broadcast back). With
     ``persist_input`` (default), the bucketed input is persisted
     MEMORY_AND_DISK so ONE evaluation of ``df`` feeds the phase-1 job
-    and both kept branches (released when the returned DataFrame is
-    garbage-collected); pass ``persist_input=False`` for cheap or
+    and both kept branches; the cache is pinned to the RETURNED
+    DataFrame (keep it alive through the action) and released via
+    :func:`release_input_cache` or, best-effort, on garbage
+    collection; pass ``persist_input=False`` for cheap or
     already-cached inputs. NULL keys bucket to a sentinel that sorts
     first (reference-window NULLS FIRST parity); a NULL GROUP is its
     own group under the scalar ``budget`` (the plan join is

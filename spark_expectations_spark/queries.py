@@ -3170,8 +3170,11 @@ def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sampling
 
     docs = load(spark, sf_dir, "documents")
+    # persist_input=False: this derive-and-discard shape would drop the
+    # cache pin before the action anyway (sampling.release_input_cache
+    # docstring), and at catalog SF a parquet re-scan is cheaper
     out = sampling.token_budget_sample(docs, "lang", "doc_id", "n_chars",
-                                       budget=5000)
+                                       budget=5000, persist_input=False)
     return out.select("lang", "doc_id", "n_chars")
 
 
@@ -3201,9 +3204,11 @@ def q_docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import sampling
 
     docs = load(spark, sf_dir, "documents")
+    # persist_input=False: derive-and-discard shape (see token_budget)
     out = sampling.mixture_resample(
         docs, "doc_id", "source",
-        {"src0": 400000, "src1": 300000, "src2": 200000, "src3": 100000})
+        {"src0": 400000, "src1": 300000, "src2": 200000, "src3": 100000},
+        persist_input=False)
     return out.select("source", "doc_id", "n_chars")
 
 
@@ -3217,7 +3222,8 @@ def q_docs_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     kept = sampling.temperature_resample(docs, "doc_id", "source",
-                                         alpha=0.5, scale=1000)
+                                         alpha=0.5, scale=1000,
+                                         persist_input=False)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"))

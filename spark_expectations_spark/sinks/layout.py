@@ -17,6 +17,7 @@ once those writes accumulate.
 from __future__ import annotations
 
 import math
+import os
 import re
 from typing import Mapping, Optional, Sequence
 
@@ -304,17 +305,44 @@ def dataset_manifest(
     partition directories, so a basename key silently merged distinct
     physical files and hid exactly the partial-partition damage this
     manifest exists to catch). Diffing manifests of datasets at
-    DIFFERENT roots works as-is — the root prefix is stripped.
+    DIFFERENT roots works as-is — the root prefix is stripped. The
+    strip is LENGTH-BASED against the normalized root URI (ADVICE r6
+    fix: splitting on the root directory NAME mis-keyed any dataset
+    whose root segment recurs earlier in the path, e.g.
+    ``/data/events/v1/events`` — manifest_diff then misreported
+    unchanged files as removed+added).
     """
     df = spark.read.parquet(path)
     # input_file_name() is a resolved URI (file:///... or s3a://...);
-    # key on everything after '<root-dir-name>/' so the key is stable
-    # across roots and unique across partition directories
-    root = path.rstrip("/").split("/")[-1]
-    # F.get is NULL (not an ANSI error) when the separator is absent
-    rel = F.get(F.split(F.input_file_name(), re.escape(root) + "/", 2), 1)
-    return (df.groupBy(
-        F.coalesce(rel, F.input_file_name()).alias(file_col))
+    # build the root-prefix candidates it could render as and strip the
+    # matching one by length. Local paths resolve to file: URIs that
+    # Spark renders with either one or three slashes depending on
+    # version/backend, so both spellings are candidates.
+    p = path.rstrip("/")
+    if "://" in p or p.startswith("file:"):
+        cands = [p]
+        if p.startswith("file:///"):
+            cands.append("file:/" + p[len("file:///"):])
+        elif p.startswith("file:/") and not p.startswith("file://"):
+            cands.append("file:///" + p[len("file:/"):])
+    else:
+        ab = os.path.abspath(p)
+        cands = ["file:" + ab, "file://" + ab]
+    fname = F.input_file_name()
+    rel = None
+    for cand in cands:
+        pref = cand + "/"
+        cond = fname.startswith(pref)
+        val = F.substring(fname, len(pref) + 1, 2 ** 31 - 1)
+        rel = F.when(cond, val) if rel is None else rel.when(cond, val)
+    # fallback for an unanticipated URI rendering: everything after the
+    # LAST '/<root-dir-name>/' (last, not first — a recurring root
+    # segment earlier in the path must not win), else the full URI
+    root = p.split("/")[-1]
+    last_seg = F.element_at(
+        F.split(fname, re.escape("/" + root + "/")), -1)
+    rel = rel.otherwise(F.coalesce(last_seg, fname))
+    return (df.groupBy(rel.alias(file_col))
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
 

@@ -213,6 +213,30 @@ class TestQueryDQTimeout:
         assert sc.getLocalProperty("spark.job.description") is None
         assert sc.getLocalProperty("spark.job.interruptOnCancel") is None
 
+    def test_budget_restores_callers_job_group(self, spark, simple3):
+        """ADVICE r6: clusters wrap whole pipelines in setJobGroup for
+        cost attribution — the budget watchdog must RESTORE the caller's
+        thread-local job-group properties, not null them."""
+        from spark_expectations_spark.operators import query_dq
+        simple3.createOrReplaceTempView("qt_view")
+        rules = [_rule(rule="tot", rule_type="query_dq",
+                       expectation="(select sum(col3) from qt_view) > 20")]
+        sc = spark.sparkContext
+        sc.setJobGroup("caller-group", "caller pipeline",
+                       interruptOnCancel=False)
+        try:
+            res = query_dq.evaluate_query_rules(spark, rules, timeout_s=60.0)
+            assert res[0].status == "pass"
+            assert sc.getLocalProperty("spark.jobGroup.id") == "caller-group"
+            assert sc.getLocalProperty(
+                "spark.job.description") == "caller pipeline"
+            assert sc.getLocalProperty(
+                "spark.job.interruptOnCancel") == "false"
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+            sc.setLocalProperty("spark.job.description", None)
+            sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
     def test_slow_secondary_budgeted_on_fused_success_path(
             self, spark, simple3):
         """Review fix: the fused SELECT finishing under budget must not

@@ -746,6 +746,35 @@ class TestTwoPhaseQuotaSelection:
         gc.collect()
         assert n_cached() == base
 
+    def test_release_input_cache_is_explicit_and_idempotent(self, spark):
+        """ADVICE r6: GC release is nondeterministic and a derived
+        ``op(df).select(...)`` drops the pin before the action — the
+        explicit handle releases the cache deterministically, is
+        idempotent, and is a no-op on unpinned frames."""
+        from spark_expectations_spark.operators import sampling
+
+        def n_cached():
+            return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], 1 + i % 7) for i in range(100)],
+            "id long, g string, tok int")
+        base = n_cached()
+        out = sampling.token_budget_sample(df, "g", "id", "tok", budget=50)
+        assert n_cached() == base + 1
+        # the pin rides the RETURNED frame, not derived ones
+        derived = out.select("g", "id")
+        assert getattr(derived, "_se_input_cache", None) is None
+        assert sampling.release_input_cache(out) is True
+        assert n_cached() == base
+        assert sampling.release_input_cache(out) is False   # idempotent
+        assert sampling.release_input_cache(df) is False    # unpinned
+        # released cache only costs recomputation — results unchanged
+        plain = sampling.token_budget_sample(
+            df, "g", "id", "tok", budget=50, persist_input=False)
+        assert sorted(map(tuple, derived.collect())) == \
+            sorted((r["g"], r["id"]) for r in plain.collect())
+
 
 class TestApproxPercentileTier:
     def test_percentile_gate_approx_on_doubles(self, spark):
@@ -3150,3 +3179,21 @@ class TestKsStatistic:
         cur = self._df(spark, range(20, 120))
         r = drift.ks_statistic(base, cur, "x", self.EDGES).first()
         assert r["ks"] == pytest.approx(0.2)
+
+    def test_drop_nulls_excludes_nulls_from_statistic(self, spark):
+        """ADVICE r6: by default NULLs fold into bucket 0 (documented
+        convention, oracle-consistent); drop_nulls=True excludes them —
+        here identical non-null sides plus NULLs on one side read as
+        drifted by default and identical with drop_nulls."""
+        from spark_expectations_spark.operators import drift
+        base = self._df(spark, range(0, 100))
+        nulls = spark.createDataFrame([(None,)] * 50, "x double")
+        cur = base.unionByName(nulls)
+        # max gap is at bucket 0: cur (10 + 50 nulls)/150 vs base 10/100
+        r_def = drift.ks_statistic(base, cur, "x", self.EDGES).first()
+        assert r_def["ks"] == pytest.approx(60 / 150 - 10 / 100)
+        assert r_def["n_cur"] == 150        # NULLs counted, bucket 0
+        r_drop = drift.ks_statistic(
+            base, cur, "x", self.EDGES, drop_nulls=True).first()
+        assert r_drop["ks"] == pytest.approx(0.0)
+        assert (r_drop["n_base"], r_drop["n_cur"]) == (100, 100)

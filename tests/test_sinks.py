@@ -397,6 +397,27 @@ class TestAnalyzeAndManifest:
         assert {r["n_rows"] for r in m} == {30}
         assert all(r["file"].startswith("k=") for r in m)
 
+    def test_dataset_manifest_recurring_root_segment(self, spark, tmp_path):
+        """ADVICE r6: a dataset root whose directory NAME recurs earlier
+        in the path (.../events/v1/events) used to be keyed by splitting
+        on the first occurrence of the basename, producing a spurious
+        'v1/events/' prefix; the strip is now length-based against the
+        resolved root URI, so keys are truly root-relative and
+        manifest_diff across such roots stays empty."""
+        import shutil
+        from spark_expectations_spark.sinks import layout
+        root = str(tmp_path / "events" / "v1" / "events")
+        (spark.range(0, 60).withColumn("k", F.col("id") % 3)
+         .coalesce(1).write.partitionBy("k").parquet(root))
+        m = layout.dataset_manifest(spark, root).collect()
+        assert len(m) == 3
+        assert all(r["file"].startswith("k=") for r in m)
+        # a copy at a different-depth root with the same recurring name
+        # diffs empty (same relative keys, same counts)
+        other = str(tmp_path / "mirror" / "events")
+        shutil.copytree(root, other)
+        assert layout.manifest_diff(spark, root, other).count() == 0
+
     def test_manifest_diff_catches_lost_partition_file(
             self, spark, tmp_path):
         """Snapshot the manifest, drop one partition's file, diff: the
