@@ -3,11 +3,13 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (133 queries, 129 with DuckDB
+catalog from spark_expectations_spark.queries (136 queries, 132 with DuckDB
 oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
-whose md5_48 twins carry full value oracles — and the HLL-sketch
+whose md5_48 twins carry full value oracles — the HLL-sketch
 events_distinct_rollup, approximate by construction with an exact
-countDistinct twin events_distinct_rollup_exact that IS value-checked).
+countDistinct twin events_distinct_rollup_exact that IS value-checked,
+and embed_whiten, whose eigendecomposition has no SQL twin and is
+pytest-verified against known covariance fixtures).
 tests/test_driver_contract.py asserts these counts stay in sync.
 
 Ordering: the driver harness samples the FIRST 50 queries, so

@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "docs_dup_spans", "events_session_windows", "docs_kfold",
     "docs_token_entropy", "docs_readability", "lineitem_price_ks",
     "embed_whiten",
+    # round-8 operators (normalize + paragraph dedup are corpus text
+    # passes; embed_pq is a zero-shuffle codegen projection)
+    "docs_normalize", "docs_paragraph_dedup", "embed_pq",
 ]
 
 

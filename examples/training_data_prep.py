@@ -4,7 +4,9 @@ decontamination, concat-and-chunk sequence packing, CCNet quantile
 buckets, SemDeDup semantic dedup, vocab/token-id encoding, a
 deterministic epoch shuffle, the Gopher composite gate, DSIR
 target-domain reweighting, domain-mixture resampling, per-language
-winsorization, and n-gram novelty scoring.
+winsorization, n-gram novelty scoring, text canonicalization,
+corpus-global paragraph dedup, and product-quantized embedding
+storage.
 
     python examples/training_data_prep.py [sf_dir]
 """
@@ -165,6 +167,30 @@ def main() -> None:
     # ZCA-whiten embeddings before cosine near-dup screening
     wh = similarity.whiten(emb)
     print("whitened vectors:", wh.filter("whitened is not null").count())
+
+    # ---- round-8 additions ------------------------------------------------
+    # canonicalize text BEFORE fingerprinting so cosmetic whitespace /
+    # case differences don't defeat the dedup passes above
+    canon = docs.withColumn(
+        "text", text.normalize_text(F.col("text"), lowercase=True))
+    print("canonicalized docs:", canon.filter("text is not null").count())
+
+    # paragraph-level dedup (word granularity on this single-line
+    # corpus): keep only the globally-first copy of each paragraph
+    pd_out = dedup.paragraph_dedup(canon, "doc_id", "text", sep=" ")
+    shrunk = pd_out.filter(
+        F.length("dedup_text") < F.length("text")).count()
+    print(f"paragraph dedup trimmed {shrunk} docs")
+
+    # product-quantize embeddings for compact ANN storage: codegen
+    # path for the demo; product_quantize_arrow for bulk encode jobs
+    books = similarity.pq_codebooks(dim=64, m=4, k=8, seed=7)
+    enc = similarity.product_quantize(emb, codebooks=books,
+                                      dist_out="pq_dists")
+    mse = enc.select(similarity.pq_reconstruction_error(
+        F.col("embedding"), F.col("pq_codes"), books).alias("e"))
+    print("pq mean reconstruction mse:",
+          round(mse.agg(F.avg("e")).first()[0], 4))
     spark.stop()
 
 

@@ -50,6 +50,88 @@ def dedup_exact(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    sep: str = "\n\n",
+    min_chars: int = 1,
+    out_col: str = "dedup_text",
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """Corpus-global paragraph-level dedup: split every document on
+    ``sep``, keep only the globally-FIRST occurrence of each distinct
+    paragraph (ordered by ``(id, position)``), and rebuild each
+    document's text from its surviving paragraphs in original order —
+    the Dolma / CCNet recipe that removes boilerplate and syndicated
+    paragraphs while keeping the rest of the document.
+
+    Returns ``df`` with ``out_col`` appended (NULL text stays NULL; a
+    document whose every paragraph lost elsewhere rebuilds to ``''``).
+    When no paragraph is removed the rebuild is byte-identical to the
+    input, separators included.
+
+    Scale shape (three key-distributed shuffles, no windows over the
+    corpus, no UDF):
+
+    1. one posexplode pass over the text scan;
+    2. first-occurrence per paragraph via ``groupBy(key)`` +
+       ``min(struct(id, pos))`` — with a hashed family the shuffled
+       tuples are (8-byte key, id, pos), NOT paragraph text, and the
+       min is map-side partially aggregated;
+    3. a key-partitioned join back tags survivors, and one id-keyed
+       groupBy reassembles (``array_sort`` of (pos, para) structs —
+       per-document state, no global sort).
+
+    ``hash_family``: ``"xxhash64"`` (default — fastest; a 64-bit
+    collision merges two distinct paragraphs, odds ~n²/2⁶⁴),
+    ``"md5_48"`` (engine-portable, DuckDB-oracle-checkable), or
+    ``"exact"`` (group on the paragraph string itself — zero collision
+    risk, shuffles paragraph text in phase 2 as the price).
+    Paragraphs shorter than ``min_chars`` are EXEMPT — always kept,
+    never counted as duplicates (the default 1 exempts only the empty
+    strings that adjacent separators produce, which preserves blank-
+    line structure instead of collapsing it corpus-wide).
+    """
+    import re as _re
+
+    t = F.col(text_col)
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(t, _re.escape(sep), -1))
+        .alias("__pos", "__para"),
+    )
+    if hash_family == "exact":
+        key = F.col("__para")
+    elif hash_family == "md5_48":
+        key = hash48_md5(F.col("__para"))
+    else:
+        key = F.xxhash64("__para")
+    paras = paras.withColumn("__k", key).withColumn(
+        "__dd", F.length("__para") >= min_chars)
+    firsts = (paras.filter(F.col("__dd"))
+              .groupBy("__k")
+              .agg(F.min(F.struct(F.col(id_col).alias("i"),
+                                  F.col("__pos").alias("p")))
+                   .alias("__first")))
+    kept = (paras.join(firsts, "__k", "left")
+            .filter((~F.col("__dd"))
+                    | ((F.col("__first.i") == F.col(id_col))
+                       & (F.col("__first.p") == F.col("__pos")))))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("__pos", "__para"))),
+                       lambda s: s["__para"]),
+                   sep).alias(out_col)))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(out_col,
+                        F.when(t.isNull(), F.lit(None).cast("string"))
+                        .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+
+
 # ---------------------------------------------------------------------------
 # Shingling (shared by Jaccard / MinHash / SimHash)
 # ---------------------------------------------------------------------------

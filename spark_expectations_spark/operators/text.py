@@ -258,6 +258,70 @@ def redact_pii(
     return out
 
 
+#: control characters EXCEPT tab/newline/carriage-return — those three
+#: carry document structure and are handled by the whitespace rules
+_CONTROL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"
+
+
+def normalize_text(
+    text: Column,
+    *,
+    strip_control: bool = True,
+    collapse_spaces: bool = True,
+    max_blank_lines: int = 1,
+    trim: bool = True,
+    lowercase: bool = False,
+) -> Column:
+    """Canonicalize raw text before fingerprinting / dedup — the step
+    every web-scale pipeline runs first so that cosmetic whitespace or
+    case differences don't defeat exact and near dedup downstream.
+
+    A chain of ``regexp_replace`` calls in ONE projection: pure
+    whole-stage codegen, zero shuffle, no UDF — at 100 TB this runs at
+    scan speed. Every pattern uses only syntax with identical semantics
+    in Java regex and RE2, so the op is DuckDB-oracle-checkable
+    byte-for-byte.
+
+    Steps (each independently switchable, applied in this order):
+
+    * ``strip_control`` — delete C0 control chars + DEL, keeping tab /
+      newline / CR (structure-bearing; CRLF is folded to LF first so
+      Windows text normalizes identically).
+    * ``collapse_spaces`` — runs of spaces/tabs become ONE space, and
+      trailing spaces before a newline are dropped.
+    * ``max_blank_lines`` — runs of newlines are capped so at most this
+      many BLANK lines survive between paragraphs (0 = no blank lines;
+      negative disables the rule).
+    * ``trim`` — strip leading/trailing SPACES (tabs/newlines at the
+      edges have already been folded to spaces / capped by the earlier
+      rules when those are enabled; same semantics as SQL ``trim`` in
+      both engines).
+    * ``lowercase`` — case-fold last (off by default: case is signal
+      for quality scoring even when dedup wants it folded).
+
+    Unicode NFC normalization is deliberately out of scope: Spark SQL
+    has no built-in normalizer, and a Python UDF here would put the
+    slowest possible path in front of every scan. NULL in → NULL out.
+    """
+    out = text
+    if strip_control:
+        out = F.regexp_replace(out, r"\r\n", "\n")
+        out = F.regexp_replace(out, _CONTROL_RE, "")
+        out = F.regexp_replace(out, r"\r", "\n")
+    if collapse_spaces:
+        out = F.regexp_replace(out, r"[ \t]+", " ")
+        out = F.regexp_replace(out, r" +\n", "\n")
+    if max_blank_lines >= 0:
+        keep = max_blank_lines + 1
+        out = F.regexp_replace(
+            out, r"\n{" + str(keep) + r",}", "\n" * keep)
+    if trim:
+        out = F.trim(out)
+    if lowercase:
+        out = F.lower(out)
+    return out
+
+
 def profile(
     df: DataFrame,
     text_col: str,

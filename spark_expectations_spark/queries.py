@@ -4770,6 +4770,157 @@ FROM embeddings e LEFT JOIN agg USING (vec_id)
 """
 
 
+def q_docs_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text canonicalization (text.normalize_text): strip control
+    chars, collapse whitespace, cap blank lines, trim, case-fold — one
+    zero-shuffle regexp_replace chain in whole-stage codegen. The
+    documents table is already clean, so the query first BUILDS a noisy
+    twin (leading spaces, upper-cased head, tab run, trailing blanks —
+    identical construction in the oracle) and checks the normalizer
+    restores a canonical form byte-for-byte."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    noisy = F.concat(F.lit("  "), F.upper(F.substring("text", 1, 20)),
+                     F.lit("\t\t"), F.col("text"), F.lit("   "))
+    norm = text_ops.normalize_text(noisy, lowercase=True)
+    return docs.select(
+        "doc_id",
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"))
+
+
+ORACLE_DOCS_NORMALIZE = r"""
+WITH noisy AS (
+  SELECT doc_id,
+         '  ' || upper(substr(text, 1, 20)) || chr(9) || chr(9)
+             || text || '   ' AS t
+  FROM documents),
+norm AS (
+  SELECT doc_id,
+         lower(trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(t, '\r\n', chr(10), 'g'),
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '\r', chr(10), 'g'),
+                 '[ \t]+', ' ', 'g'),
+               ' +\n', chr(10), 'g'),
+             '\n{2,}', chr(10) || chr(10), 'g')
+         )) AS n
+  FROM noisy)
+SELECT doc_id, length(n) AS norm_len, md5(n) AS norm_md5 FROM norm
+"""
+
+
+def q_docs_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-global paragraph dedup (dedup.paragraph_dedup, the
+    Dolma/CCNet recipe): keep only the globally-first occurrence of
+    each distinct paragraph, rebuild documents from the survivors. The
+    documents table is single-line so the separator is a space (word
+    granularity — same machinery; on a real corpus it's "\\n\\n").
+    hash_family="exact" groups on the paragraph string itself for
+    byte-true oracle parity; first-occurrence = min(struct(id, pos)) —
+    one narrow groupBy, a key-partitioned join back, one id-keyed
+    rebuild."""
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.paragraph_dedup(docs, "doc_id", "text", sep=" ",
+                                hash_family="exact")
+    return out.select(
+        "doc_id",
+        F.length("dedup_text").alias("dedup_len"),
+        F.md5("dedup_text").alias("dedup_md5"))
+
+
+ORACLE_DOCS_PARAGRAPH_DEDUP = """
+WITH p AS (
+  SELECT doc_id, t.para, t.ord
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS para,
+                       generate_subscripts(string_split(text, ' '), 1)
+                         AS ord) t),
+r AS (
+  SELECT doc_id, para, ord,
+         row_number() OVER (PARTITION BY para
+                            ORDER BY doc_id, ord) AS rn
+  FROM p WHERE length(para) >= 1),
+x AS (
+  SELECT doc_id, para, ord FROM r WHERE rn = 1
+  UNION ALL
+  SELECT doc_id, para, ord FROM p WHERE length(para) < 1),
+reb AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(x.para, ' ' ORDER BY x.ord), '') AS dt
+  FROM documents d LEFT JOIN x USING (doc_id)
+  GROUP BY d.doc_id)
+SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
+"""
+
+
+def _pq_cat_codebooks() -> list:
+    """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
+    codewords — deterministic LCG stream shared with the oracle
+    generator below, so both engines see identical doubles."""
+    return similarity.pq_codebooks(dim=64, m=4, k=8, seed=7)
+
+
+def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (similarity.product_quantize,
+    IVF-PQ storage layout): each 64-dim vector → 4 subspace codes from
+    8-codeword books, with the winning squared distance per subspace
+    (the quantization-quality signal). The whole encode is ONE
+    zero-shuffle codegen projection (codebooks inlined as literals).
+    Codes posexploded to scalar (vec_id, subspace, code, dist) rows —
+    driver-canonicalizer contract; float→double upcasts and
+    left-to-right per-subspace fold order make every value
+    engine-exact (the ann_topk precedent)."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = _pq_cat_codebooks()
+    enc = similarity.product_quantize(emb, vec_col="embedding",
+                                      codebooks=books, dist_out="pq_dists")
+    return enc.select(
+        "vec_id", "pq_dists",
+        F.posexplode("pq_codes").alias("subspace", "code"),
+    ).select(
+        "vec_id", "subspace", "code",
+        F.round(F.element_at("pq_dists", F.col("subspace") + 1), 4)
+        .alias("dist"))
+
+
+def _oracle_embed_pq() -> str:
+    books = _pq_cat_codebooks()
+    rows = []
+    for j, book in enumerate(books):
+        for c, cw in enumerate(book):
+            vals = ", ".join(repr(float(v)) for v in cw)
+            rows.append(f"({j}, {c}, [{vals}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cb(j, c, w) AS (VALUES
+    {values}),
+v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+d AS (
+  SELECT v.vec_id, cb.j, cb.c,
+         list_sum(list_transform(range(1, 16 + 1),
+             i -> (e[cb.j * 16 + i] - w[i]) * (e[cb.j * 16 + i] - w[i])))
+           AS dist
+  FROM v, cb),
+sel AS (
+  SELECT vec_id, j, c, dist,
+         row_number() OVER (PARTITION BY vec_id, j
+                            ORDER BY dist, c) AS rn
+  FROM d)
+SELECT vec_id, j AS subspace, c AS code, round(dist, 4) AS dist
+FROM sel WHERE rn = 1
+"""
+
+
+ORACLE_EMBED_PQ = _oracle_embed_pq()
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -4795,42 +4946,49 @@ FROM embeddings e LEFT JOIN agg USING (vec_id)
 #          (docs_mad_outliers, docs_zipf, embed_rms_outliers,
 #          docs_dup_spans, events_session_windows, docs_kfold,
 #          docs_token_entropy, docs_readability, lineitem_price_ks)
-#          = 50. After r6 every value-oracled catalog
-#          entry has been driver-gated at least once; later rounds
-#          re-gate on a touched-first basis. Results are NOT
-#          like-for-like across rotations — compare against the local
-#          full-catalog gate (tools/check_correctness.py, all entries)
-#          for longitudinal trends.
+#          = 50 — all green. Results are NOT like-for-like across
+#          rotations — compare against the local full-catalog gate
+#          (tools/check_correctness.py, all entries) for longitudinal
+#          trends.
+#   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
+#          4 round-8-touched (the quota samplers' cache-pin rework and
+#          ks_statistic's drop_nulls param) + 3 round-8 NEW operators
+#          (docs_normalize, docs_paragraph_dedup, embed_pq) +
+#          38 re-gate fills drawn from the families the r6 rotation
+#          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
+#          scd/diff/asof, events, embed, gopher gate) = 50. The only
+#          never-gated entries left are declared rows-only by
+#          construction (xxhash64 dedup twins, the HLL rollup, and
+#          embed_whiten's eigendecomposition — covered by pytest and,
+#          for the first two, by md5_48 pair-set parity tests).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-6 touched implementations (embed_standardize was r5's one
-    # red row — its catalog query is now scalar (vec_id, pos, zvalue);
-    # the samplers gained a persist-bounded single-scan phase and a
-    # NULL-group-safe plan join; dsir gained min_count)
-    "embed_standardize", "docs_token_budget", "docs_mixture_resample",
-    "docs_temperature_resample", "docs_dsir_weights",
-    # the 19 value-oracled queries never driver-gated in r1-r5 —
-    # gating these completes full-catalog hard-gate coverage
-    "events_window_topk", "events_json", "events_sessions",
-    "events_funnel", "events_hourly_anomalies", "events_cohort_retention",
-    "rollup_orders", "cube_orders", "orders_percentiles",
-    "pivot_order_status", "orders_price_bands", "docs_line_stats",
-    "lineitem_price_histogram", "set_ops_nations", "anti_join_orders",
-    "events_topk_users", "array_agg_statuses", "part_brand_topk",
-    "multimodal_features",
-    # re-gate fills: flagship joins/windows + the dedup/ANN family
-    "tpch_q1", "dedup_exact",
-    "dedup_fingerprint", "dedup_jaccard", "dedup_clusters",
-    "dedup_canonical", "docs_dedup_pipeline", "dedup_minhash_md5",
-    "dedup_simhash_md5", "docs_minhash_index", "embed_near_dups",
-    "embed_semdedup",
-    # round-6 NEW operators — gate on first appearance
-    "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
-    "docs_dup_spans", "events_session_windows", "docs_kfold",
-    "docs_token_entropy", "docs_readability", "lineitem_price_ks",
+    # round-8 touched implementations (samplers: explicit cache-release
+    # handle + persist_input=False in the catalog shape; ks_statistic:
+    # drop_nulls param around the shared bucketing fold)
+    "docs_token_budget", "docs_mixture_resample",
+    "docs_temperature_resample", "lineitem_price_ks",
+    # round-8 NEW operators — gate on first appearance
+    "docs_normalize", "docs_paragraph_dedup", "embed_pq",
+    # flagship composite quality gate — last gated r5
+    "docs_gopher_gate",
+    # re-gate fills: families not re-gated since r1-r5
+    "tpch_q3", "tpch_q6", "tpch_q2ish", "tpch_q7ish", "tpch_q9ish",
+    "tpch_q12ish", "tpch_q15ish", "tpch_q17ish", "tpch_q20ish",
+    "tpch_q22ish",
+    "text_stats", "text_quality", "text_langid", "text_repetition",
+    "text_pii_redact",
+    "lineitem_profile", "orders_fk_profile", "lineitem_correlations",
+    "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
+    "docs_train_split", "docs_weighted_sample", "docs_group_sample",
+    "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
+    "users_scd2", "orders_snapshot_diff", "events_asof_purchase",
+    "events_gapfill", "events_hourly", "events_sliding",
+    "events_seasonality", "events_ffill",
+    "embed_mean_pool", "embed_quantize",
 ]
 
 
@@ -4976,6 +5134,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
     "embed_rms_outliers": q_embed_rms_outliers,
+    "docs_normalize": q_docs_normalize,
+    "docs_paragraph_dedup": q_docs_paragraph_dedup,
+    "embed_pq": q_embed_pq,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5110,4 +5271,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
     "docs_zipf": ORACLE_DOCS_ZIPF,
     "embed_rms_outliers": ORACLE_EMBED_RMS_OUTLIERS,
+    "docs_normalize": ORACLE_DOCS_NORMALIZE,
+    "docs_paragraph_dedup": ORACLE_DOCS_PARAGRAPH_DEDUP,
+    "embed_pq": ORACLE_EMBED_PQ,
 }

@@ -3197,3 +3197,165 @@ class TestKsStatistic:
             base, cur, "x", self.EDGES, drop_nulls=True).first()
         assert r_drop["ks"] == pytest.approx(0.0)
         assert (r_drop["n_base"], r_drop["n_cur"]) == (100, 100)
+
+
+class TestNormalizeText:
+    def _one(self, spark, s, **kw):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(T.normalize_text(F.col("t"), **kw).alias("n")) \
+            .first()["n"]
+
+    def test_full_pipeline_known_value(self, spark):
+        raw = "  Hello\t\tWorld \n\n\n\nnext\x00\x07 line\r\nlast   "
+        got = self._one(spark, raw)
+        # control chars deleted, CRLF folded, tabs/spaces collapsed,
+        # trailing spaces before \n dropped, >=2 newlines capped at 2,
+        # edges trimmed
+        assert got == "Hello World\n\nnext line\nlast"
+
+    def test_lowercase_and_blank_line_cap(self, spark):
+        got = self._one(spark, "A\n\n\n\n\nB", lowercase=True,
+                        max_blank_lines=0)
+        assert got == "a\nb"
+
+    def test_toggles_off_is_identity(self, spark):
+        raw = "  A\t B \n\n\n C "
+        got = self._one(spark, raw, strip_control=False,
+                        collapse_spaces=False, max_blank_lines=-1,
+                        trim=False)
+        assert got == raw
+
+    def test_null_in_null_out(self, spark):
+        assert self._one(spark, None) is None
+
+
+class TestParagraphDedup:
+    DOCS = [
+        (1, "alpha\n\nshared para\n\nbeta"),
+        (2, "shared para\n\ngamma"),
+        (3, "delta\n\nshared para"),
+        (4, None),
+    ]
+
+    def _run(self, spark, **kw):
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = dedup.paragraph_dedup(df, "doc_id", "text", **kw)
+        return {r["doc_id"]: r["dedup_text"] for r in out.collect()}
+
+    def test_global_first_occurrence_wins(self, spark):
+        got = self._run(spark)
+        # doc 1 holds the first (doc_id, pos) occurrence of the shared
+        # paragraph; docs 2 and 3 lose it but keep everything else
+        assert got[1] == "alpha\n\nshared para\n\nbeta"
+        assert got[2] == "gamma"
+        assert got[3] == "delta"
+        assert got[4] is None
+
+    def test_hash_families_agree(self, spark):
+        base = self._run(spark)
+        for fam in ("md5_48", "exact"):
+            assert self._run(spark, hash_family=fam) == base
+
+    def test_lossless_when_no_duplicates(self, spark):
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a\n\nb\n\n"), (2, "c")], "doc_id long, text string")
+        out = {r["doc_id"]: r["dedup_text"]
+               for r in dedup.paragraph_dedup(
+                   df, "doc_id", "text").collect()}
+        # trailing separator (empty paragraph) survives byte-for-byte:
+        # empties are exempt under the default min_chars=1
+        assert out == {1: "a\n\nb\n\n", 2: "c"}
+
+    def test_min_chars_exempts_short_paragraphs(self, spark):
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "ok\n\nlong paragraph"), (2, "ok\n\nother")],
+            "doc_id long, text string")
+        out = {r["doc_id"]: r["dedup_text"]
+               for r in dedup.paragraph_dedup(
+                   df, "doc_id", "text", min_chars=5).collect()}
+        # "ok" is shorter than min_chars -> kept in BOTH docs
+        assert out == {1: "ok\n\nlong paragraph", 2: "ok\n\nother"}
+
+    def test_fully_duplicated_doc_rebuilds_empty(self, spark):
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same")], "doc_id long, text string")
+        out = {r["doc_id"]: r["dedup_text"]
+               for r in dedup.paragraph_dedup(
+                   df, "doc_id", "text").collect()}
+        assert out == {1: "same", 2: ""}
+
+
+class TestProductQuantize:
+    # 2 subspaces x 2 codewords x 2 dims: nearest codeword is obvious
+    BOOKS = [
+        [[0.0, 0.0], [10.0, 10.0]],
+        [[5.0, 5.0], [-5.0, -5.0]],
+    ]
+
+    def _df(self, spark, vec):
+        return spark.createDataFrame([(1, vec)],
+                                     "vec_id long, embedding array<float>")
+
+    def test_known_codes_and_distances(self, spark):
+        from spark_expectations_spark.operators import similarity
+        df = self._df(spark, [9.0, 9.0, -4.0, -6.0])
+        r = similarity.product_quantize(
+            df, codebooks=self.BOOKS, dist_out="d").first()
+        assert list(r["pq_codes"]) == [1, 1]
+        # sub0 vs [10,10]: 1+1=2; sub1 vs [-5,-5]: 1+1=2
+        assert [pytest.approx(x) for x in r["d"]] == [2.0, 2.0]
+
+    def test_tie_picks_lowest_code(self, spark):
+        from spark_expectations_spark.operators import similarity
+        books = [[[1.0], [-1.0]]]
+        df = self._df(spark, [0.0])
+        r = similarity.product_quantize(df, codebooks=books).first()
+        assert list(r["pq_codes"]) == [0]
+
+    def test_decode_and_reconstruction_error(self, spark):
+        from spark_expectations_spark.operators import similarity
+        df = self._df(spark, [9.0, 9.0, -4.0, -6.0])
+        enc = similarity.product_quantize(df, codebooks=self.BOOKS)
+        r = enc.select(
+            similarity.pq_decode(F.col("pq_codes"), self.BOOKS)
+            .alias("rec"),
+            similarity.pq_reconstruction_error(
+                F.col("embedding"), F.col("pq_codes"), self.BOOKS)
+            .alias("mse")).first()
+        assert list(r["rec"]) == [10.0, 10.0, -5.0, -5.0]
+        assert r["mse"] == pytest.approx((1 + 1 + 1 + 1) / 4.0)
+
+    def test_arrow_twin_matches_hof_and_handles_nulls(self, spark):
+        """product_quantize_arrow is the bulk-encode path: same codes
+        and distances as the literal-HOF twin on real-valued vectors,
+        NULL vectors pass through as NULL codes."""
+        from spark_expectations_spark.operators import similarity
+        df = spark.createDataFrame(
+            [(1, [9.0, 9.0, -4.0, -6.0]),
+             (2, [1.0, -1.0, 4.0, 6.0]),
+             (3, None)],
+            "vec_id long, embedding array<float>")
+        hof = {r["vec_id"]: (r["pq_codes"], r["d"])
+               for r in similarity.product_quantize(
+                   df, codebooks=self.BOOKS, dist_out="d").collect()}
+        arw = {r["vec_id"]: (r["pq_codes"], r["d"])
+               for r in similarity.product_quantize_arrow(
+                   df, codebooks=self.BOOKS, dist_out="d").collect()}
+        for k in (1, 2):
+            assert list(arw[k][0]) == list(hof[k][0])
+            assert [pytest.approx(x) for x in hof[k][1]] == list(arw[k][1])
+        assert arw[3] == (None, None) and hof[3][0] is None
+
+    def test_codebooks_deterministic_and_shaped(self, spark):
+        from spark_expectations_spark.operators import similarity
+        b1 = similarity.pq_codebooks(dim=64, m=4, k=8, seed=7)
+        b2 = similarity.pq_codebooks(dim=64, m=4, k=8, seed=7)
+        assert b1 == b2
+        assert (len(b1), len(b1[0]), len(b1[0][0])) == (4, 8, 16)
+        with pytest.raises(ValueError, match="not divisible"):
+            similarity.pq_codebooks(dim=10, m=4)
