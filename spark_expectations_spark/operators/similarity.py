@@ -804,6 +804,104 @@ def pq_reconstruction_error(
         F.lit(0.0), lambda acc, x: acc + x) / F.size(d)
 
 
+def pq_query_lut(
+    vec: Column,
+    codebooks: list,
+) -> Column:
+    """Per-query asymmetric-distance lookup table: a flat
+    ``array<double>`` of ``m·k`` squared L2 distances from the query's
+    ``j``-th subvector to every codeword of subspace ``j``, laid out
+    ``lut[j*k + c]`` — computed ONCE per query, then every candidate's
+    distance is just ``m`` array lookups (:func:`ivf_pq_topk`). Pure
+    codegen projection with inlined codebook literals; all-double
+    left-to-right folds (the :func:`product_quantize` bit-exactness
+    contract, so a DuckDB oracle reproduces every entry)."""
+    dsub = len(codebooks[0][0])
+    d = F.transform(vec, lambda x: x.cast("double"))
+    entries = []
+    for j, book in enumerate(codebooks):
+        sub = F.slice(d, j * dsub + 1, dsub)
+        for cw in book:
+            entries.append(F.aggregate(
+                F.zip_with(sub,
+                           F.array(*[F.lit(float(c)) for c in cw]),
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x))
+    return F.array(*entries)
+
+
+def ivf_pq_topk(
+    corpus_encoded: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    *,
+    codebooks: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "pq_codes",
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-PQ approximate top-k with asymmetric distance computation —
+    the billion-scale ANN architecture (Jégou et al., TPAMI 2011;
+    FAISS ``IVFPQ``): the corpus is stored as PQ codes partitioned by
+    IVF cell and is NEVER decoded. Per query: pick the ``nprobe``
+    nearest centroids (cosine, the :func:`ivf_topk` rule), precompute
+    the :func:`pq_query_lut` distance table, then score every candidate
+    in the probed cells as ``Σ_j lut[j*k + code_j]`` — ``m`` array
+    lookups and adds per candidate instead of a ``dim``-wide float dot
+    product. Returns ``(query_id, neighbor_id, rank, adc)`` with rank
+    by ascending approximate squared distance (ties → lowest id).
+
+    Scale shape: centroids and the (queries × nprobe) probe frame are
+    broadcast; the only distributed work is one equi-join on
+    ``centroid_id`` against the code table — with the corpus bucketed
+    or partitioned by cell, partition pruning touches ``nprobe/C`` of
+    the data, and each candidate row carries ``m`` ints instead of
+    ``dim`` floats (the ~100× I/O cut is the point at 100 TB). No UDF,
+    no Python, no decode. NULL-coded rows (NULL input vectors) are
+    skipped.
+
+    ``corpus_encoded`` needs ``(id_col, centroid_id, codes_col)`` —
+    from :func:`product_quantize` (or the Arrow twin) over an
+    :func:`assign_centroids` output. Recall QA: feed this and
+    :func:`cosine_topk` to :func:`recall_at_k`, exactly like the plain
+    IVF path.
+    """
+    kcw = len(codebooks[0])
+    cent = centroids.withColumn("__cn", _norm(F.col("centroid")))
+    q = (queries
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("__qv"))
+         .withColumn("__qn", _norm(F.col("__qv")))
+         .withColumn("__lut", pq_query_lut(F.col("__qv"), codebooks)))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "__csim",
+        _dot(F.col("__qv"), F.col("centroid"))
+        / (F.col("__qn") * F.col("__cn")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__csim").desc(), F.col("centroid_id").asc())
+    probes = (qc.withColumn("__pr", F.row_number().over(wq))
+              .filter(F.col("__pr") <= nprobe)
+              .select("query_id", "__lut", "centroid_id"))
+    c = corpus_encoded.select(
+        F.col(id_col).alias("neighbor_id"), "centroid_id",
+        F.col(codes_col).alias("__codes")).filter(
+        F.col("__codes").isNotNull())
+    joined = (c.join(F.broadcast(probes), on="centroid_id")
+              .filter(F.col("neighbor_id") != F.col("query_id")))
+    lut = F.col("__lut")
+    adc = F.aggregate(
+        F.transform(F.col("__codes"),
+                    lambda code, j: F.element_at(lut, j * kcw + code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = joined.select("query_id", "neighbor_id", adc.alias("adc"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def kmeans_refine(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -4921,6 +4921,104 @@ FROM sel WHERE rn = 1
 ORACLE_EMBED_PQ = _oracle_embed_pq()
 
 
+def q_embed_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ asymmetric-distance top-k (similarity.ivf_pq_topk — the
+    FAISS-IVFPQ architecture): corpus stored as 4 PQ codes per vector
+    partitioned by IVF cell, NEVER decoded; per query a 32-entry
+    distance LUT is precomputed and every candidate in the 4 probed
+    cells scores as 4 array lookups. Deterministic end-to-end (label
+    centroids, fixed LCG codebooks, lowest-index ties) so despite two
+    stacked approximations it carries a FULL value oracle: DuckDB
+    reproduces centroid float32 rounding (ann_ivf precedent), the PQ
+    code assignment (embed_pq precedent), the per-query LUT, and the
+    ADC ranking."""
+    emb = load(spark, sf_dir, "embeddings")
+    books = _pq_cat_codebooks()
+    cents = similarity.train_centroids_df(emb, vec_col="embedding",
+                                          by_col="label")
+    enc = similarity.product_quantize(
+        emb.withColumn("centroid_id", F.col("label")),
+        vec_col="embedding", codebooks=books)
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_pq_topk(enc, cents, queries, codebooks=books,
+                                 id_col="vec_id", vec_col="embedding",
+                                 k=5, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("adc", 4).alias("adc"))
+
+
+def _oracle_embed_ivf_pq() -> str:
+    books = _pq_cat_codebooks()
+    rows = []
+    for j, book in enumerate(books):
+        for c, cw in enumerate(book):
+            vals = ", ".join(repr(float(v)) for v in cw)
+            rows.append(f"({j}, {c}, [{vals}]::DOUBLE[])")
+    values = ",\n    ".join(rows)
+    return f"""
+WITH cb(j, c, w) AS (VALUES
+    {values}),
+v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings),
+-- per-(vector, subspace, codeword) squared L2: feeds BOTH the corpus
+-- code assignment (argmin per corpus vector) and the query LUT
+d AS (
+  SELECT v.vec_id, cb.j, cb.c,
+         list_sum(list_transform(range(1, 16 + 1),
+             i -> (e[cb.j * 16 + i] - w[i]) * (e[cb.j * 16 + i] - w[i])))
+           AS dist
+  FROM v, cb),
+codes AS (
+  SELECT vec_id, j, c AS code FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j
+                              ORDER BY dist, c) AS rn
+    FROM d) WHERE rn = 1),
+cel AS (
+  SELECT label AS cid, i,
+         CAST(CAST(sum(e[i]) / count(*) AS FLOAT) AS DOUBLE) AS c
+  FROM v, UNNEST(range(1, len(e) + 1)) AS u(i)
+  GROUP BY label, i),
+cvec AS (SELECT cid, list(c ORDER BY i) AS cv FROM cel GROUP BY cid),
+cn AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+  FROM cvec),
+qc AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.cv[i])) / (q.nrm * c.cnrm)
+           AS csim
+  FROM v q, cn c WHERE q.vec_id < 10),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY csim DESC, cid ASC) AS pr
+    FROM qc) WHERE pr <= 4),
+cand AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, k.j, lut.dist AS ld
+  FROM probes p
+  JOIN v c ON c.label = p.cid AND c.vec_id <> p.query_id
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN d lut ON lut.vec_id = p.query_id AND lut.j = k.j AND lut.c = k.code),
+adc AS (
+  SELECT query_id, neighbor_id,
+         list_sum(list(ld ORDER BY j)) AS adc
+  FROM cand GROUP BY query_id, neighbor_id)
+SELECT query_id, neighbor_id, rank, round(adc, 4) AS adc FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS rank,
+         adc
+  FROM adc) WHERE rank <= 5
+"""
+
+
+ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -5137,6 +5235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_normalize": q_docs_normalize,
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "embed_pq": q_embed_pq,
+    "embed_ivf_pq": q_embed_ivf_pq,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5274,4 +5373,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_normalize": ORACLE_DOCS_NORMALIZE,
     "docs_paragraph_dedup": ORACLE_DOCS_PARAGRAPH_DEDUP,
     "embed_pq": ORACLE_EMBED_PQ,
+    "embed_ivf_pq": ORACLE_EMBED_IVF_PQ,
 }
