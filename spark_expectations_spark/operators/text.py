@@ -955,6 +955,124 @@ def gopher_quality_flags(
     )
 
 
+#: phrases whose presence drops a LINE under the C4 policy-boilerplate
+#: rule (matched lowercase, substring semantics)
+C4_POLICY_PHRASES: Sequence[str] = (
+    "privacy policy", "terms of use", "cookie policy", "uses cookies",
+)
+
+
+def c4_line_keep(
+    line: Column,
+    *,
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_word: str = "javascript",
+    policy_phrases: Sequence[str] = C4_POLICY_PHRASES,
+) -> Column:
+    """The C4 per-LINE keep predicate (Raffel et al. 2020, JMLR 21 §2.2
+    — the cleaning recipe behind the C4 corpus): a line survives when it
+
+    * has at least ``min_words`` whitespace-separated words,
+    * ends in a terminal punctuation mark (``. ! ?`` or a closing
+      double quote) after right-trim — drops nav menus and fragments,
+    * does not mention ``drop_word`` (C4 uses "javascript": such lines
+      are browser warnings, not content), and
+    * contains none of the ``policy_phrases`` (cookie/ToS boilerplate).
+
+    All checks are case-insensitive substring/regex tests with
+    identical Java-regex/RE2 semantics, so the predicate is
+    DuckDB-oracle-checkable. Pure expression — usable inside
+    ``F.filter`` over a split-lines array (zero shuffle, no UDF)."""
+    low = F.lower(line)
+    words = F.filter(F.split(F.trim(line), r"\s+"),
+                     lambda w: w != F.lit(""))
+    keep = F.size(words) >= min_words
+    if require_terminal_punct:
+        keep = keep & F.rtrim(line).rlike(r'[.!?"]$')
+    if drop_word:
+        keep = keep & ~low.contains(F.lit(drop_word.lower()))
+    for phrase in policy_phrases:
+        keep = keep & ~low.contains(F.lit(phrase.lower()))
+    return keep
+
+
+def c4_line_filter(
+    text: Column,
+    *,
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_word: str = "javascript",
+    policy_phrases: Sequence[str] = C4_POLICY_PHRASES,
+) -> Column:
+    """Rebuild a document from only its :func:`c4_line_keep` survivor
+    lines — the C4 line-level cleaning transform. ONE zero-shuffle
+    split → filter → join projection in whole-stage codegen; at 100 TB
+    this runs at scan speed like :func:`normalize_text`. NULL in →
+    NULL out; a document with no surviving lines rebuilds to ``''``."""
+    import re as _re
+
+    lines = F.split(text, _re.escape(sep))
+    kept = F.filter(lines, lambda l: c4_line_keep(
+        l, min_words=min_words,
+        require_terminal_punct=require_terminal_punct,
+        drop_word=drop_word, policy_phrases=policy_phrases))
+    return F.when(text.isNotNull(), F.array_join(kept, sep))
+
+
+def c4_document_flags(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_sentences: int = 5,
+    sep: str = "\n",
+    min_words: int = 3,
+    require_terminal_punct: bool = True,
+    drop_word: str = "javascript",
+    policy_phrases: Sequence[str] = C4_POLICY_PHRASES,
+) -> DataFrame:
+    """The C4 DOCUMENT-level gate over line-filtered text: drop pages
+    containing "lorem ipsum" (placeholder text) or a curly brace
+    (leaked code/markup), and pages with fewer than ``min_sentences``
+    sentences AFTER line filtering (sentences ≈ terminal-punct count in
+    the kept text — the C4 "at least 5 sentences" rule). Companion to
+    :func:`gopher_quality_flags`; run both and AND the verdicts for a
+    C4+Gopher pipeline gate.
+
+    Returns (id, kept_text, n_lines, n_kept_lines, n_sentences,
+    has_lorem_ipsum, has_curly_brace, passes) — every sub-signal
+    emitted so a rejection report is one boolean rollup away. Zero
+    shuffle: one fused codegen projection, NULL text folds to ``''``
+    (0 lines, fails min_sentences) so the verdict is never NULL."""
+    import re as _re
+
+    txt = F.coalesce(F.col(text_col), F.lit(""))
+    low = F.lower(txt)
+    lines = F.split(txt, _re.escape(sep))
+    kept_arr = F.filter(lines, lambda l: c4_line_keep(
+        l, min_words=min_words,
+        require_terminal_punct=require_terminal_punct,
+        drop_word=drop_word, policy_phrases=policy_phrases))
+    kept = F.array_join(kept_arr, sep)
+    n_sentences = F.regexp_count(kept, F.lit(r"[.!?]"))
+    has_lorem = low.contains(F.lit("lorem ipsum"))
+    has_brace = txt.contains(F.lit("{"))
+    passes = (~has_lorem & ~has_brace
+              & (n_sentences >= F.lit(min_sentences)))
+    return df.select(
+        F.col(id_col),
+        kept.alias("kept_text"),
+        F.size(lines).alias("n_lines"),
+        F.size(kept_arr).alias("n_kept_lines"),
+        n_sentences.alias("n_sentences"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_brace.alias("has_curly_brace"),
+        passes.alias("passes"),
+    )
+
+
 def dsir_log_weights(
     df: DataFrame,
     id_col: str,

@@ -4860,6 +4860,89 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning gate (text.c4_document_flags over c4_line_keep —
+    Raffel et al. 2020 §2.2): line-level keep rules (≥3 words, terminal
+    punctuation, no 'javascript', no policy boilerplate) then the
+    document gate (no lorem ipsum, no curly brace, ≥4 sentences after
+    filtering). The documents table is single-line prose-less text, so
+    the query BUILDS an 8-line noisy twin per doc (identical
+    construction in the oracle) where each line exercises one rule;
+    doc_id modulus picks which docs carry the lorem/brace/extra-
+    sentence variants so every flag and the verdict vary across the
+    corpus. One zero-shuffle codegen projection."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    noisy = F.concat_ws(
+        "\n",
+        F.concat(F.substring("text", 1, 30), F.lit(" end.")),
+        F.lit("tiny."),
+        F.substring("text", 31, 25),
+        F.lit("this site sets a cookie: see our privacy policy."),
+        F.lit("please enable javascript to view this page."),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("another good sentence right here."))
+        .otherwise(F.lit("no terminal punct here")),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("stray { brace sentence."))
+        .otherwise(F.lit("a clean tail line is here.")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.lit("classic Lorem Ipsum dolor sit amet."))
+        .otherwise(F.lit("an ordinary closing line here.")))
+    tmp = docs.select("doc_id", noisy.alias("text"))
+    out = text_ops.c4_document_flags(tmp, "doc_id", "text",
+                                     min_sentences=4)
+    return out.select(
+        "doc_id", "n_lines", "n_kept_lines", "n_sentences",
+        "has_lorem_ipsum", "has_curly_brace", "passes",
+        F.md5("kept_text").alias("kept_md5"))
+
+
+ORACLE_DOCS_C4_FILTER = r"""
+WITH noisy AS (
+  SELECT doc_id, concat_ws(chr(10),
+    substr(text, 1, 30) || ' end.',
+    'tiny.',
+    substr(text, 31, 25),
+    'this site sets a cookie: see our privacy policy.',
+    'please enable javascript to view this page.',
+    CASE WHEN doc_id % 3 = 0 THEN 'another good sentence right here.'
+         ELSE 'no terminal punct here' END,
+    CASE WHEN doc_id % 7 = 0 THEN 'stray { brace sentence.'
+         ELSE 'a clean tail line is here.' END,
+    CASE WHEN doc_id % 11 = 0 THEN 'classic Lorem Ipsum dolor sit amet.'
+         ELSE 'an ordinary closing line here.' END) AS t
+  FROM documents),
+f AS (
+  SELECT doc_id, t,
+    list_filter(string_split(t, chr(10)), l ->
+      len(list_filter(string_split_regex(trim(l), '\s+'),
+                      w -> w <> '')) >= 3
+      AND regexp_matches(rtrim(l), '[.!?"]$')
+      AND NOT contains(lower(l), 'javascript')
+      AND NOT contains(lower(l), 'privacy policy')
+      AND NOT contains(lower(l), 'terms of use')
+      AND NOT contains(lower(l), 'cookie policy')
+      AND NOT contains(lower(l), 'uses cookies')) AS kept_arr,
+    len(string_split(t, chr(10))) AS n_lines
+  FROM noisy),
+g AS (
+  SELECT doc_id, n_lines, len(kept_arr) AS n_kept_lines,
+         array_to_string(kept_arr, chr(10)) AS kept,
+         contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(t, '{') AS has_curly_brace
+  FROM f)
+SELECT doc_id, n_lines, n_kept_lines,
+       len(regexp_extract_all(kept, '[.!?]')) AS n_sentences,
+       has_lorem_ipsum, has_curly_brace,
+       (NOT has_lorem_ipsum AND NOT has_curly_brace
+        AND len(regexp_extract_all(kept, '[.!?]')) >= 4) AS passes,
+       md5(kept) AS kept_md5
+FROM g
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -5236,6 +5319,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_paragraph_dedup": q_docs_paragraph_dedup,
     "embed_pq": q_embed_pq,
     "embed_ivf_pq": q_embed_ivf_pq,
+    "docs_c4_filter": q_docs_c4_filter,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5374,4 +5458,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_paragraph_dedup": ORACLE_DOCS_PARAGRAPH_DEDUP,
     "embed_pq": ORACLE_EMBED_PQ,
     "embed_ivf_pq": ORACLE_EMBED_IVF_PQ,
+    "docs_c4_filter": ORACLE_DOCS_C4_FILTER,
 }

@@ -3230,6 +3230,69 @@ class TestNormalizeText:
         assert self._one(spark, None) is None
 
 
+class TestC4Filter:
+    DOC = ("This is a good first sentence.\n"
+           "tiny.\n"
+           "no terminal punctuation here at all\n"
+           "Please enable JavaScript to continue.\n"
+           "We updated our Privacy Policy today.\n"
+           "Another perfectly fine sentence!\n"
+           'He said "stop right there."\n'
+           "- Home | About | Contact")
+
+    def _flags(self, spark, text, **kw):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(1, text)], "doc_id long, t string")
+        return T.c4_document_flags(df, "doc_id", "t", **kw).first()
+
+    def test_line_rules_each_fire(self, spark):
+        r = self._flags(spark, self.DOC)
+        assert r["n_lines"] == 8
+        # survivors: sentence 1, sentence 6, the quoted line 7
+        assert r["n_kept_lines"] == 3
+        assert r["kept_text"] == (
+            "This is a good first sentence.\n"
+            "Another perfectly fine sentence!\n"
+            'He said "stop right there."')
+        assert r["n_sentences"] == 3
+        assert not r["has_lorem_ipsum"] and not r["has_curly_brace"]
+        assert not r["passes"]          # default min_sentences=5
+
+    def test_document_rules(self, spark):
+        lorem = self._flags(
+            spark, "Lorem ipsum dolor sit amet sentence one.",
+            min_sentences=1)
+        assert lorem["has_lorem_ipsum"] and not lorem["passes"]
+        brace = self._flags(
+            spark, "Valid sentence with code leak { inside.",
+            min_sentences=1)
+        assert brace["has_curly_brace"] and not brace["passes"]
+        ok = self._flags(spark, "One good sentence stands here.",
+                         min_sentences=1)
+        assert ok["passes"] and ok["n_sentences"] == 1
+
+    def test_line_filter_column_and_null(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(self.DOC,), (None,)], "t string")
+        got = [r["k"] for r in df.select(
+            T.c4_line_filter(F.col("t")).alias("k")).collect()]
+        assert got[0].count("\n") == 2 and got[0].endswith('there."')
+        assert got[1] is None
+
+    def test_min_words_and_punct_toggles(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [("one two\nno punct line here",)], "t string")
+        relaxed = df.select(T.c4_line_filter(
+            F.col("t"), min_words=2,
+            require_terminal_punct=False).alias("k")).first()["k"]
+        assert relaxed == "one two\nno punct line here"
+        strict = df.select(
+            T.c4_line_filter(F.col("t")).alias("k")).first()["k"]
+        assert strict == ""
+
+
 class TestParagraphDedup:
     DOCS = [
         (1, "alpha\n\nshared para\n\nbeta"),
