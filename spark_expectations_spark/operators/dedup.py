@@ -412,6 +412,113 @@ def dup_span_coverage(
     return _release_on_gc(out, ex)
 
 
+def remove_dup_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    min_df: int = 2,
+    hash_family: str = "xxhash64",
+    out_col: str = "dedup_text",
+) -> DataFrame:
+    """The REMOVAL phase of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 — :func:`dup_span_coverage` is the measurement
+    phase): excise every occurrence of a cross-document duplicated word
+    ``n``-gram EXCEPT the globally-first one (ordered by ``(id,
+    position)`` — the corpus keeps exactly one copy of each duplicated
+    passage), then rebuild each document from its surviving tokens.
+    Overlapping duplicated spans union before removal, exactly like the
+    coverage metric.
+
+    Returns ``df`` + ``(out_col, n_tokens, removed_tokens)``. NULL text
+    stays NULL; documents shorter than ``n`` tokens are untouched.
+    Tokenization is case-SENSITIVE raw whitespace splitting (Lee et al.
+    operate on raw bytes) — run :func:`~.text.normalize_text` first if
+    cosmetic case/whitespace differences should count as duplication;
+    the rebuild joins survivors with single spaces.
+
+    Scale shape (the paragraph_dedup/coverage pattern — posting lists,
+    no pairs, no corpus-wide windows): one posexplode pass over the
+    scan persisted to feed (a) a gram groupBy computing doc-frequency
+    AND first occurrence (``min(struct(id, pos))``, map-side partial)
+    and (b) the join back that tags non-exempt occurrences; position
+    explosion (×``n``) runs over duplicated occurrences only; the
+    rebuild is one id-keyed anti join + one id-keyed groupBy
+    (``array_sort`` of per-document structs, no global sort).
+    ``hash_family`` as in :func:`paragraph_dedup` — ``"xxhash64"``
+    (default), ``"md5_48"``, or ``"exact"`` (oracle-checkable,
+    shuffles gram text).
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    from ..plans import fan_out
+    from .sampling import _release_on_gc
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    grams = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+    ex = (fan_out(df.select(id_col, text_col))
+          .select(F.col(id_col),
+                  F.posexplode(
+                      F.when(F.size(toks) >= n, grams)
+                      .otherwise(F.array().cast("array<string>")))
+                  .alias("__s", "__gr")))
+    if hash_family == "exact":
+        key = F.col("__gr")
+    elif hash_family == "md5_48":
+        key = hash48_md5(F.col("__gr"))
+    else:
+        key = F.xxhash64("__gr")
+    ex = (ex.select(F.col(id_col), "__s", key.alias("__k"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    freq = (ex.groupBy("__k")
+            .agg(F.count_distinct(F.col(id_col)).alias("__df"),
+                 F.min(F.struct(F.col(id_col).alias("i"),
+                                F.col("__s").alias("p")))
+                 .alias("__first"))
+            .filter(F.col("__df") >= min_df))
+    rem = (ex.join(freq, "__k")
+           .filter(~((F.col("__first.i") == F.col(id_col))
+                     & (F.col("__first.p") == F.col("__s"))))
+           .select(F.col(id_col),
+                   F.explode(F.sequence(
+                       F.col("__s"), F.col("__s") + F.lit(n - 1)))
+                   .alias("__p"))
+           .distinct())
+    tok_rows = (fan_out(df.select(id_col, text_col))
+                .select(F.col(id_col),
+                        F.posexplode(toks).alias("__p", "__tok")))
+    kept = tok_rows.join(rem, [id_col, "__p"], "left_anti")
+    reb = (kept.groupBy(id_col)
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("__p", "__tok"))),
+                   lambda s: s["__tok"]),
+               " ").alias(out_col),
+               F.count(F.lit(1)).alias("__kept")))
+    out = (df.join(reb, id_col, "left")
+           .withColumn(out_col,
+                       F.when(t.isNull(), F.lit(None).cast("string"))
+                       .otherwise(F.coalesce(F.col(out_col), F.lit(""))))
+           .withColumn("n_tokens",
+                       F.when(t.isNull(), F.lit(None).cast("int"))
+                       .otherwise(F.size(toks)))
+           .withColumn("removed_tokens",
+                       F.when(t.isNull(), F.lit(None).cast("int"))
+                       .otherwise(F.size(toks)
+                                  - F.coalesce("__kept", F.lit(0))
+                                  .cast("int")))
+           .drop("__kept"))
+    return _release_on_gc(out, ex)
+
+
 def dup_shingle_fraction(
     df: DataFrame,
     id_col: str,

@@ -4860,6 +4860,57 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, removal phase (dedup.remove_dup_spans —
+    Lee et al. 2022): every cross-document duplicated 5-gram occurrence
+    except the globally-first is excised and documents rebuilt from
+    surviving tokens. hash_family="exact" (grams group on their text)
+    for byte-true oracle parity; the companion measurement metric is
+    docs_dup_spans. Interval-union semantics: overlapping duplicated
+    spans remove each token once."""
+    docs = load(spark, sf_dir, "documents")
+    out = dedup.remove_dup_spans(docs, "doc_id", "text", n=5, min_df=2,
+                                 hash_family="exact")
+    return out.select(
+        "doc_id", "n_tokens", "removed_tokens",
+        F.length("dedup_text").alias("dedup_len"),
+        F.md5("dedup_text").alias("dedup_md5"))
+
+
+ORACLE_DOCS_SPAN_REMOVAL = """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (
+  SELECT doc_id, s, array_to_string(tk[s:s+4], ' ') AS gr
+  FROM d, UNNEST(range(1, greatest(len(tk) - 4, 0) + 1)) AS u(s)),
+fq AS (SELECT gr FROM g GROUP BY gr HAVING count(DISTINCT doc_id) >= 2),
+occ AS (
+  SELECT g.doc_id, g.s,
+         row_number() OVER (PARTITION BY g.gr
+                            ORDER BY g.doc_id, g.s) AS rn
+  FROM g JOIN fq USING (gr)),
+rem AS (
+  SELECT DISTINCT doc_id, s + i AS p
+  FROM occ, UNNEST(range(0, 5)) AS r(i) WHERE rn > 1),
+toks AS (
+  SELECT doc_id, p, tk[p] AS tok
+  FROM d, UNNEST(range(1, len(tk) + 1)) AS u(p)),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t LEFT JOIN rem ON rem.doc_id = t.doc_id AND rem.p = t.p
+  WHERE rem.p IS NULL),
+reb AS (
+  SELECT dd.doc_id,
+         coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS dt,
+         count(k.p) AS n_kept
+  FROM documents dd LEFT JOIN kept k USING (doc_id)
+  GROUP BY dd.doc_id)
+SELECT r.doc_id, len(d.tk) AS n_tokens,
+       len(d.tk) - r.n_kept AS removed_tokens,
+       length(r.dt) AS dedup_len, md5(r.dt) AS dedup_md5
+FROM reb r JOIN d USING (doc_id)
+"""
+
+
 def q_docs_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4 cleaning gate (text.c4_document_flags over c4_line_keep —
     Raffel et al. 2020 §2.2): line-level keep rules (≥3 words, terminal
@@ -5320,6 +5371,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_pq": q_embed_pq,
     "embed_ivf_pq": q_embed_ivf_pq,
     "docs_c4_filter": q_docs_c4_filter,
+    "docs_span_removal": q_docs_span_removal,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5459,4 +5511,5 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_pq": ORACLE_EMBED_PQ,
     "embed_ivf_pq": ORACLE_EMBED_IVF_PQ,
     "docs_c4_filter": ORACLE_DOCS_C4_FILTER,
+    "docs_span_removal": ORACLE_DOCS_SPAN_REMOVAL,
 }

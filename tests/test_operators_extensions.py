@@ -128,6 +128,81 @@ class TestDupSpanCoverage:
         assert got[1]["n_tokens"] == 4
 
 
+class TestRemoveDupSpans:
+    def test_keeps_first_occurrence_removes_the_rest(self, spark):
+        """docs 1/2/3 share the 3-gram 'a b c'; doc 1 holds the
+        globally-first occurrence and keeps it, docs 2/3 lose exactly
+        those 3 token positions; unrelated doc 4 untouched."""
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y a b c z"),
+             (3, "a b c p q"), (4, "p q r s")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup.remove_dup_spans(
+            df, "doc_id", "text", n=3).collect()}
+        assert got[1]["dedup_text"] == "a b c d e f"
+        assert got[1]["removed_tokens"] == 0
+        assert got[2]["dedup_text"] == "x y z"
+        assert (got[2]["n_tokens"], got[2]["removed_tokens"]) == (6, 3)
+        assert got[3]["dedup_text"] == "p q"
+        assert got[4]["dedup_text"] == "p q r s"
+
+    def test_overlapping_spans_union_and_full_removal(self, spark):
+        """Overlapping duplicated grams excise the UNION of their
+        positions; a doc that is entirely a later copy rebuilds to ''."""
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d x"), (2, "a b c d")],
+            "doc_id long, text string")
+        got = {r["doc_id"]: r for r in dedup.remove_dup_spans(
+            df, "doc_id", "text", n=3).collect()}
+        assert got[1]["dedup_text"] == "a b c d x"
+        assert got[2]["dedup_text"] == ""
+        assert got[2]["removed_tokens"] == 4
+
+    def test_short_null_and_families_agree(self, spark):
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "q a b c d e"), (3, "a b"),
+             (4, None)],
+            "doc_id long, text string")
+        by_family = {}
+        for fam in ("xxhash64", "md5_48", "exact"):
+            rows = {r["doc_id"]: (r["dedup_text"], r["removed_tokens"])
+                    for r in dedup.remove_dup_spans(
+                        df, "doc_id", "text", n=3,
+                        hash_family=fam).collect()}
+            by_family[fam] = rows
+        assert by_family["xxhash64"] == by_family["exact"]
+        assert by_family["md5_48"] == by_family["exact"]
+        got = by_family["exact"]
+        assert got[3] == ("a b", 0)            # shorter than n
+        assert got[4] == (None, None)          # NULL passthrough
+        assert got[2][0] == "q"
+        with pytest.raises(ValueError, match="n must"):
+            dedup.remove_dup_spans(df, "doc_id", "text", n=0)
+
+    def test_consistent_with_coverage_metric(self, spark):
+        """The measurement/removal contract: for every doc, tokens
+        removed <= tokens the coverage phase marks duplicated (the
+        first-occurrence exemption is the only difference), and a doc
+        with zero coverage removes zero."""
+        from spark_expectations_spark.operators import dedup
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y a b c z"), (3, "a b c p q"),
+             (4, "p q r s"), (5, "u v")],
+            "doc_id long, text string")
+        cov = {r["doc_id"]: r["covered_tokens"]
+               for r in dedup.dup_span_coverage(
+                   df, "doc_id", "text", n=3).collect()}
+        rem = {r["doc_id"]: r["removed_tokens"]
+               for r in dedup.remove_dup_spans(
+                   df, "doc_id", "text", n=3).collect()}
+        for d in cov:
+            assert rem[d] <= cov[d]
+        assert sum(1 for d in cov if cov[d] > 0 and rem[d] < cov[d]) == 1
+
+
 class TestHashFamilyPairParity:
     """r5 verdict task 6: the xxhash64 catalog twins (dedup_minhash /
     dedup_simhash) are declared rows-only — no DuckDB oracle can follow
