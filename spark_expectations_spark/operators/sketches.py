@@ -106,6 +106,64 @@ def theta_distinct_by_group(
     )
 
 
+def bitmap_distinct_by_group(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    bucket_out: str = "bitmap_bucket",
+    bitmap_out: str = "bitmap",
+) -> DataFrame:
+    """EXACT mergeable distinct counting — the precision complement to
+    :func:`hll_by_group` when the distinct key is integral (user ids,
+    doc ids) and the answer must be exact, not ±2%: per ``(group,
+    bucket)``, a 4 KB RoaringBitmap-style bitmap with one bit per
+    distinct value (Spark's ``bitmap_construct_agg`` family; each
+    bucket spans 32768 consecutive values, so the table size tracks the
+    VALUE RANGE per group, not the row count).
+
+    Persist the result as a rollup table: bitmaps OR-merge
+    associatively (:func:`bitmap_distinct_rollup`), so any coarser
+    grouping — or tomorrow's increment — is a bitmap merge, never a
+    re-shuffle of 100 TB of raw rows. All stock JVM aggregate
+    expressions, map-side partial, zero Python.
+
+    ``value_col`` must be integral; NULLs are skipped (SQL aggregate
+    semantics). For string keys, hash first (``xxhash64`` — that tier
+    is then approximate-with-collision-risk like any hashed-key count,
+    odds ~n²/2⁶⁴)."""
+    return (df.filter(F.col(value_col).isNotNull())
+            .groupBy(*group_cols,
+                     F.bitmap_bucket_number(F.col(value_col))
+                     .alias(bucket_out))
+            .agg(F.bitmap_construct_agg(
+                F.bitmap_bit_position(F.col(value_col)))
+                .alias(bitmap_out)))
+
+
+def bitmap_distinct_rollup(
+    bitmap_df: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    bucket_col: str = "bitmap_bucket",
+    bitmap_col: str = "bitmap",
+    distinct_out: str = "n_distinct",
+) -> DataFrame:
+    """Coarsen a :func:`bitmap_distinct_by_group` table to fewer
+    grouping columns and return EXACT distinct counts — OR-merge the
+    bitmaps per ``(group, bucket)``, popcount each, sum buckets per
+    group. ``group_cols`` may be empty for an exact grand total. Never
+    re-reads raw data; the shuffle is bitmap-table-sized (bucketed
+    value-range rows, not raw rows)."""
+    merged = (bitmap_df.groupBy(*group_cols, bucket_col)
+              .agg(F.bitmap_or_agg(F.col(bitmap_col)).alias(bitmap_col)))
+    counted = merged.select(
+        *group_cols, F.bitmap_count(F.col(bitmap_col)).alias("__bc"))
+    agg = F.sum("__bc").alias(distinct_out)
+    return (counted.groupBy(*group_cols).agg(agg)
+            if group_cols else counted.agg(agg))
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

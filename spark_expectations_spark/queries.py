@@ -3904,6 +3904,34 @@ GROUP BY ROLLUP(event_type, day)
 """
 
 
+def q_events_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct users via bitmaps
+    (sketches.bitmap_distinct_by_group/_rollup): per-(event_type, day)
+    bitmaps built ONCE, then OR-merged up to per-type and grand-total
+    cells — the third tier between HLL (approximate, mergeable) and
+    countDistinct (exact, re-shuffles raw rows every question): exact
+    AND mergeable, for integral keys. The oracle only sees the final
+    counts; the two-level construction proves the merge path."""
+    from .operators import sketches
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = load(spark, sf_dir, "events")
+    day = F.date_format(
+        F.timestamp_seconds(F.expr("ts div 1000000000")), "yyyy-MM-dd")
+    bm = sketches.bitmap_distinct_by_group(
+        ev.withColumn("day", day), ["event_type", "day"], "user_id")
+    per_type = sketches.bitmap_distinct_rollup(bm, ["event_type"])
+    total = (sketches.bitmap_distinct_rollup(bm, [])
+             .withColumn("event_type", F.lit(None).cast("string")))
+    return per_type.unionByName(total.select("event_type", "n_distinct"))
+
+
+ORACLE_EVENTS_BITMAP_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY ROLLUP(event_type)
+"""
+
+
 def q_orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level snapshot reconciliation (operators/diff.py): two
     deterministic 'snapshots' derived from orders (keys mod-filtered,
@@ -5184,9 +5212,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 3 round-8 NEW operators
-#          (docs_normalize, docs_paragraph_dedup, embed_pq) +
-#          38 re-gate fills drawn from the families the r6 rotation
+#          ks_statistic's drop_nulls param) + 7 round-8 NEW operators
+#          (docs_normalize, docs_paragraph_dedup, embed_pq,
+#          embed_ivf_pq, docs_c4_filter, docs_span_removal,
+#          events_bitmap_distinct) +
+#          33 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5205,6 +5235,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_temperature_resample", "lineitem_price_ks",
     # round-8 NEW operators — gate on first appearance
     "docs_normalize", "docs_paragraph_dedup", "embed_pq",
+    "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
+    "events_bitmap_distinct",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5217,10 +5249,9 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
     "docs_train_split", "docs_weighted_sample", "docs_group_sample",
     "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
-    "users_scd2", "orders_snapshot_diff", "events_asof_purchase",
+    "orders_snapshot_diff", "events_asof_purchase",
     "events_gapfill", "events_hourly", "events_sliding",
-    "events_seasonality", "events_ffill",
-    "embed_mean_pool", "embed_quantize",
+    "events_seasonality",
 ]
 
 
@@ -5372,6 +5403,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_ivf_pq": q_embed_ivf_pq,
     "docs_c4_filter": q_docs_c4_filter,
     "docs_span_removal": q_docs_span_removal,
+    "events_bitmap_distinct": q_events_bitmap_distinct,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5512,4 +5544,5 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_ivf_pq": ORACLE_EMBED_IVF_PQ,
     "docs_c4_filter": ORACLE_DOCS_C4_FILTER,
     "docs_span_removal": ORACLE_DOCS_SPAN_REMOVAL,
+    "events_bitmap_distinct": ORACLE_EVENTS_BITMAP_DISTINCT,
 }

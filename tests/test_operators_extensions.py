@@ -1419,6 +1419,44 @@ class TestSketches:
         exact = docs.select("doc_id").distinct().count()
         assert abs(est - exact) <= max(0.05 * exact, 2)
 
+    def test_bitmap_distinct_is_exact(self, spark):
+        """Unlike HLL/theta there is no tolerance: bitmap counts must
+        EQUAL count(distinct) per group and in total."""
+        from spark_expectations_spark.operators import sketches
+        from spark_expectations_spark.queries import load
+        ev = load(spark, SF, "events")
+        bm = sketches.bitmap_distinct_by_group(
+            ev, ["event_type"], "user_id")
+        got = {r.event_type: r.n_distinct for r in
+               sketches.bitmap_distinct_rollup(
+                   bm, ["event_type"]).collect()}
+        exact = {r.event_type: r.n for r in
+                 ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+        assert got == exact
+        total = sketches.bitmap_distinct_rollup(bm, []).first().n_distinct
+        assert total == ev.select("user_id").distinct().count()
+
+    def test_bitmap_merge_invariant_and_nulls(self, spark):
+        """OR-merge of incrementally-built bitmaps == bitmap of the
+        union (the persisted-rollup-table contract); NULL keys skip."""
+        from spark_expectations_spark.operators import sketches
+        a = spark.createDataFrame(
+            [(1, 10), (1, 11), (1, None), (2, 10)],
+            "g int, v long")
+        b = spark.createDataFrame(
+            [(1, 11), (1, 99999), (2, None)], "g int, v long")
+        bm_inc = sketches.bitmap_distinct_by_group(a, ["g"], "v").union(
+            sketches.bitmap_distinct_by_group(b, ["g"], "v"))
+        got = {r.g: r.n_distinct for r in
+               sketches.bitmap_distinct_rollup(bm_inc, ["g"]).collect()}
+        # g=1: {10, 11, 99999}; g=2: {10}; NULLs never counted
+        assert got == {1: 3, 2: 1}
+        direct = {r.g: r.n_distinct for r in sketches.bitmap_distinct_rollup(
+            sketches.bitmap_distinct_by_group(a.union(b), ["g"], "v"),
+            ["g"]).collect()}
+        assert direct == got
+
 
 class TestQuantization:
     def test_codes_bounded_and_error_within_half_scale(self, emb):
