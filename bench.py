@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     # round-8 operators (normalize + paragraph dedup are corpus text
     # passes; embed_pq is a zero-shuffle codegen projection)
     "docs_normalize", "docs_paragraph_dedup", "embed_pq",
+    "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
+    "events_bitmap_distinct",
 ]
 
 

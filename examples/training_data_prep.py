@@ -191,6 +191,37 @@ def main() -> None:
         F.col("embedding"), F.col("pq_codes"), books).alias("e"))
     print("pq mean reconstruction mse:",
           round(mse.agg(F.avg("e")).first()[0], 4))
+
+    # C4 line filter + document gate over the canonicalized corpus
+    # (single-line docs: the gate mostly exercises the doc-level rules)
+    c4 = text.c4_document_flags(canon, "doc_id", "text",
+                                min_sentences=0,
+                                require_terminal_punct=False)
+    print("c4 gate pass rate:",
+          round(c4.agg(F.avg(F.col("passes").cast("double")))
+                .first()[0], 4))
+
+    # exact-substring span REMOVAL (the coverage metric's twin): excise
+    # every cross-doc duplicated 5-gram except its first occurrence
+    sr = dedup.remove_dup_spans(canon, "doc_id", "text", n=5)
+    print("span removal dropped tokens:",
+          sr.agg(F.sum("removed_tokens")).first()[0])
+
+    # IVF-PQ ANN search over the encoded table: probe 2 cells per
+    # query, score candidates via the per-query LUT — codes only
+    cents = similarity.train_centroids_df(emb, vec_col="embedding",
+                                          by_col="label")
+    hits = similarity.ivf_pq_topk(
+        enc.withColumn("centroid_id", F.col("label")), cents,
+        emb.filter("vec_id < 3"), codebooks=books, k=3, nprobe=2)
+    print("ivf-pq neighbors:", hits.count())
+
+    # exact mergeable distinct docs per source via bitmaps
+    from spark_expectations_spark.operators import sketches
+    bm = sketches.bitmap_distinct_by_group(docs, ["source"], "doc_id")
+    print("exact distinct docs per source:",
+          sketches.bitmap_distinct_rollup(bm, ["source"]).count(),
+          "sources")
     spark.stop()
 
 

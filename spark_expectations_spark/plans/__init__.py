@@ -162,3 +162,132 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     (map-side combine)."""
     txt = plan_text(df)
     return "partial_" in txt or bool(re.search(r"Functions \[\d+\]: partial", txt))
+
+
+#: lint severities, strongest first
+_LINT_SEVERITIES = ("error", "warn", "info")
+
+
+def plan_lint(df: DataFrame) -> list[dict]:
+    """Audit a DataFrame's physical plan for the anti-patterns that are
+    invisible at sf0.01 and fatal at 100 TB, BEFORE running it. Returns
+    ``[{rule, severity, detail}]`` findings, strongest first — feed a
+    pipeline's final frame through this in CI (or use
+    :func:`assert_plan_clean`) the way the repo's own tests pin plan
+    shapes.
+
+    Rules:
+
+    * ``cartesian-product`` (error) — a ``CartesianProduct`` /
+      ``BroadcastNestedLoopJoin Inner`` without join keys multiplies
+      row counts; at scale this never finishes. (Deliberate small-side
+      cross joins, e.g. queries × centroids, broadcast — those plan as
+      BroadcastNestedLoopJoin with a tiny build side and are reported
+      at warn, not error, since intent is indistinguishable.)
+    * ``python-row-udf`` (error) — ``BatchEvalPython`` means a
+      row-at-a-time Python UDF on the data path: rows serialize
+      one-by-one through pickling, typically 10-100× slower than the
+      Arrow path. Rewrite as built-ins or a Pandas UDF
+      (``ArrowEvalPython`` / ``MapInPandas`` report as info).
+    * ``single-partition-exchange`` (warn) — ``Exchange
+      SinglePartition``: a global sort / un-partitioned window /
+      global limit moves EVERY row to one task. Fine for a one-row agg
+      frame, a cliff for a corpus.
+    * ``filter-not-pushed`` (warn) — a ``Filter`` node exists but the
+      file scan reports ``PushedFilters: []``: the predicate (often
+      wrapped in a cast or function) evaluates AFTER full I/O instead
+      of skipping row groups.
+    * ``shuffles`` (info) — exchange count; ``python-arrow`` (info) —
+      Arrow-batched Python stages; ``scan-columns`` (info) — columns
+      actually read (pruning check by eyeball).
+
+    Plan-time only: no job runs. String-parses ``explain('formatted')``
+    — under AQE the pre-execution plan is audited (runtime re-plans can
+    only improve on it, e.g. demoting a sort-merge join to broadcast).
+    """
+    txt = plan_text(df)
+    findings: list[dict] = []
+
+    def add(rule: str, severity: str, detail: str) -> None:
+        findings.append(
+            {"rule": rule, "severity": severity, "detail": detail})
+
+    if "CartesianProduct" in txt:
+        add("cartesian-product", "error",
+            "CartesianProduct node: unkeyed join multiplies row counts")
+    for m in re.finditer(r"BroadcastNestedLoopJoin\s+BuildRight,?\s*(\w+)",
+                         txt):
+        add("cartesian-product", "warn",
+            f"BroadcastNestedLoopJoin ({m.group(1)}): every row pairs "
+            "with the broadcast side — safe only when that side is "
+            "deliberately tiny")
+    n_row_udf = len(re.findall(r"BatchEvalPython", txt))
+    if n_row_udf:
+        add("python-row-udf", "error",
+            f"{n_row_udf} BatchEvalPython stage(s): row-at-a-time "
+            "Python UDF on the data path; use built-ins or a Pandas "
+            "UDF")
+    # simple mode prints "Exchange SinglePartition"; formatted mode
+    # puts it in the node's Arguments line
+    n_single = len(re.findall(
+        r"Exchange SinglePartition|Arguments: SinglePartition", txt))
+    if n_single:
+        add("single-partition-exchange", "warn",
+            f"{n_single} Exchange SinglePartition node(s): a global "
+            "sort/window/limit funnels all rows into one task")
+    # a filter "pushed" as only IsNotNull/IsNull residuals is the
+    # signature of a value predicate that did NOT push (cast/function
+    # wrapped) — Spark always pushes the implied null check. Guard: the
+    # post-scan Filter must itself contain a non-null-check atom, else
+    # a plain .isNotNull() filter (fully pushed) would false-positive
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+    conds = re.findall(r"Condition : (.+)", txt)
+    value_filter = any(
+        re.sub(r"isnotnull\([^)]*\)|isnull\([^)]*\)", "", c)
+        .strip(" ()ANDORandor")
+        for c in conds)
+    if value_filter and "Scan parquet" in txt and any(
+            not p.strip()
+            or all(re.match(r"\s*Is(Not)?Null\(", f)
+                   for f in p.split(","))
+            for p in pushed):
+        add("filter-not-pushed", "warn",
+            "Filter node present but a parquet scan pushed no value "
+            "predicate (only null checks) — the predicate evaluates "
+            "after full I/O; avoid wrapping the column in casts or "
+            "functions")
+    n_arrow = len(re.findall(
+        r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", txt))
+    if n_arrow:
+        add("python-arrow", "info",
+            f"{n_arrow} Arrow-batched Python stage(s) (acceptable "
+            "slow path; keep out of the hottest scans)")
+    n_ex = len(re.findall(r"Exchange", txt))
+    add("shuffles", "info", f"{n_ex} Exchange node(s)")
+    cols = read_schema_columns(df)
+    if cols:
+        add("scan-columns", "info",
+            f"scan reads {len(cols)} column(s): {', '.join(cols[:12])}"
+            + (" …" if len(cols) > 12 else ""))
+    findings.sort(key=lambda f: _LINT_SEVERITIES.index(f["severity"]))
+    return findings
+
+
+def assert_plan_clean(df: DataFrame, *, allow: tuple = (),
+                      max_severity: str = "error") -> list[dict]:
+    """Raise ``AssertionError`` if :func:`plan_lint` reports a finding
+    at or above ``max_severity`` (``"error"`` default; ``"warn"`` for
+    strict pipelines) whose rule is not in ``allow``. Returns the full
+    findings list on success so callers can log the info tier — the
+    one-line CI gate for pipeline plan hygiene."""
+    bad_levels = _LINT_SEVERITIES[:_LINT_SEVERITIES.index(max_severity)
+                                  + 1]
+    findings = plan_lint(df)
+    bad = [f for f in findings
+           if f["severity"] in bad_levels and f["rule"] not in allow]
+    if bad:
+        raise AssertionError(
+            "plan lint failed: " + "; ".join(
+                f"[{f['severity']}] {f['rule']}: {f['detail']}"
+                for f in bad))
+    return findings

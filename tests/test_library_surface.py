@@ -625,6 +625,70 @@ class TestSparkConnectStyle:
         assert not offenders, offenders
 
 
+class TestPlanLint:
+    def test_cartesian_product_is_error(self, spark):
+        a = spark.range(10)
+        b = spark.range(10).withColumnRenamed("id", "id2")
+        prev = spark.conf.get("spark.sql.crossJoin.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = a.crossJoin(b)
+            rules = {f["rule"]: f["severity"] for f in plans.plan_lint(j)}
+            assert rules.get("cartesian-product") in ("error", "warn")
+            with pytest.raises(AssertionError, match="cartesian"):
+                plans.assert_plan_clean(j, max_severity="warn")
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.set("spark.sql.crossJoin.enabled", prev)
+
+    def test_row_python_udf_is_error(self, spark):
+        from pyspark.sql.types import IntegerType
+        inc = F.udf(lambda x: x + 1, IntegerType())     # test-only smell
+        df = spark.range(5).select(inc("id").alias("v"))
+        found = {f["rule"] for f in plans.plan_lint(df)
+                 if f["severity"] == "error"}
+        assert "python-row-udf" in found
+        with pytest.raises(AssertionError, match="python-row-udf"):
+            plans.assert_plan_clean(df)
+
+    def test_single_partition_window_is_warn(self, spark, lineitem):
+        from pyspark.sql import Window
+        w = Window.orderBy("l_orderkey")            # no partitionBy
+        df = lineitem.withColumn("rn", F.row_number().over(w))
+        sev = {f["rule"]: f["severity"] for f in plans.plan_lint(df)}
+        assert sev.get("single-partition-exchange") == "warn"
+        # errors-only gate still passes; strict gate trips
+        plans.assert_plan_clean(df)
+        with pytest.raises(AssertionError, match="single-partition"):
+            plans.assert_plan_clean(df, max_severity="warn")
+
+    def test_unpushable_filter_is_warn(self, spark, lineitem):
+        df = lineitem.filter(
+            F.upper(F.col("l_returnflag")) == "A").select("l_orderkey")
+        sev = {f["rule"]: f["severity"] for f in plans.plan_lint(df)}
+        assert sev.get("filter-not-pushed") == "warn"
+
+    def test_clean_plan_passes_and_reports_info(self, spark, lineitem,
+                                                orders):
+        small = orders.limit(100)
+        df = (lineitem.filter(F.col("l_quantity") > 10)
+              .join(F.broadcast(small),
+                    lineitem["l_orderkey"] == small["o_orderkey"])
+              .groupBy("l_returnflag")
+              .agg(F.sum("l_extendedprice").alias("rev")))
+        findings = plans.assert_plan_clean(df)
+        assert all(f["severity"] != "error" for f in findings)
+        assert any(f["rule"] == "shuffles" for f in findings)
+        # allow-list lets a deliberate smell through the strict gate
+        w_df = lineitem.withColumn(
+            "rn", F.row_number().over(
+                __import__("pyspark.sql", fromlist=["Window"])
+                .Window.orderBy("l_orderkey")))
+        plans.assert_plan_clean(
+            w_df, max_severity="warn",
+            allow=("single-partition-exchange", "filter-not-pushed"))
+
+
 class TestPlanShapes:
     def test_filter_pushdown_to_scan(self, spark, lineitem):
         df = lineitem.filter(F.col("l_quantity") > 10).select("l_orderkey")
