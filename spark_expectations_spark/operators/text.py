@@ -955,6 +955,143 @@ def gopher_quality_flags(
     )
 
 
+#: two-level public suffixes (compact snapshot of the common entries of
+#: the Mozilla Public Suffix List): hosts ending in one of these keep
+#: THREE labels as the registered domain instead of two. A snapshot is
+#: deliberate — the full PSL is ~10k entries and churns; pass
+#: ``extra_suffixes`` for the long tail your crawl actually hits.
+TWO_LEVEL_SUFFIXES: Sequence[str] = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "co.in", "net.in", "org.in", "gen.in", "firm.in",
+    "co.kr", "ne.kr", "or.kr", "re.kr",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.mx", "org.mx", "gob.mx",
+    "com.ar", "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.tw", "com.sg", "com.hk", "com.my", "com.ph", "com.vn",
+    "co.za", "org.za", "com.tr", "org.tr", "com.pl", "com.ru",
+    "co.il", "org.il", "com.eg", "com.sa", "com.ua",
+)
+
+#: tracking-parameter keys stripped by :func:`url_normalize` (prefix
+#: match for utm_*, exact match otherwise)
+TRACKING_PARAM_PREFIXES: Sequence[str] = ("utm_",)
+TRACKING_PARAMS: Sequence[str] = (
+    "fbclid", "gclid", "msclkid", "mc_cid", "mc_eid", "igshid",
+    "ref", "ref_src",
+)
+
+#: scheme://authority path ?query #fragment — RE2/Java-identical syntax
+_URL_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)"
+           r"(?:\?([^#]*))?(?:#(.*))?$")
+
+
+def url_parts(url: Column) -> Column:
+    """Parse an absolute URL into a ``struct(scheme, host, port, path,
+    query, fragment)`` — the columnar ``urlsplit`` for web-crawl
+    curation (per-domain mixing, dedup keys, robots joins). One regex
+    in whole-stage codegen, zero shuffle, no UDF; the pattern uses only
+    RE2/Java-common syntax so it is DuckDB-oracle-checkable.
+
+    ``scheme`` and ``host`` are lowercased (case-insensitive per RFC
+    3986), userinfo is stripped from the authority, ``port`` is NULL
+    when absent, ``path``/``query``/``fragment`` keep their case
+    (significant). NULL or non-URL input → NULL struct."""
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    auth = F.regexp_extract(url, _URL_RE, 2)
+    hostport = F.element_at(F.split(auth, "@"), -1)
+    host = F.lower(F.element_at(F.split(hostport, ":"), 1))
+    port = F.when(hostport.contains(":"),
+                  F.element_at(F.split(hostport, ":"), -1).cast("int"))
+    path = F.regexp_extract(url, _URL_RE, 3)
+    query = F.nullif(F.regexp_extract(url, _URL_RE, 4), F.lit(""))
+    frag = F.nullif(F.regexp_extract(url, _URL_RE, 5), F.lit(""))
+    return F.when(url.rlike(_URL_RE), F.struct(
+        scheme.alias("scheme"), host.alias("host"), port.alias("port"),
+        path.alias("path"), query.alias("query"),
+        frag.alias("fragment")))
+
+
+def registered_domain(
+    host: Column,
+    *,
+    extra_suffixes: Sequence[str] = (),
+) -> Column:
+    """The registrable (pay-level) domain of a host — ``a.b.news.co.uk``
+    → ``news.co.uk``, ``cdn.example.com`` → ``example.com`` — the key
+    web-scale pipelines group by for per-domain quotas, domain mixing
+    weights, and crawl-politeness stats (grouping by raw host splits
+    every CDN subdomain into its own group; by TLD merges the internet).
+
+    Uses :data:`TWO_LEVEL_SUFFIXES` (+ ``extra_suffixes``) to keep
+    three labels under two-level public suffixes, two otherwise; a bare
+    single-label host passes through. Pure split/slice codegen."""
+    sufs = list(TWO_LEVEL_SUFFIXES) + list(extra_suffixes)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    is2 = F.array_contains(F.array(*[F.lit(s) for s in sufs]), last2)
+    return (F.when(host.isNull(), F.lit(None).cast("string"))
+            .when((n >= 3) & is2,
+                  F.concat_ws(".", F.element_at(labels, -3), last2))
+            .when(n >= 2, last2)
+            .otherwise(host))
+
+
+def url_normalize(
+    url: Column,
+    *,
+    drop_fragment: bool = True,
+    drop_tracking_params: bool = True,
+) -> Column:
+    """Canonical URL for dedup keys: lowercase scheme/host, strip
+    userinfo and the scheme's default port (80/443), empty path →
+    ``/``, drop the fragment, and drop tracking query parameters
+    (``utm_*`` + :data:`TRACKING_PARAMS`) while PRESERVING the order of
+    the survivors (reordering can change server semantics). Two URLs
+    that normalize equal are the same fetch for dedup purposes.
+
+    One codegen projection (regex split + list filter + rebuild), no
+    UDF. NULL / non-URL input → NULL."""
+    p = url_parts(url)
+    scheme, host, port = p["scheme"], p["host"], p["port"]
+    keep_port = port.isNotNull() & ~(
+        ((scheme == "http") & (port == 80))
+        | ((scheme == "https") & (port == 443)))
+    path = F.when(p["path"] == "", F.lit("/")).otherwise(p["path"])
+    query = p["query"]
+    if drop_tracking_params:
+        params = F.split(query, "&")
+        kept = F.filter(params, lambda kv: ~_is_tracking_param(kv))
+        query = F.when(query.isNotNull() & (F.size(kept) > 0),
+                       F.array_join(kept, "&"))
+    out = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(keep_port, F.concat(F.lit(":"), port.cast("string")))
+        .otherwise(F.lit("")),
+        path,
+        F.when(query.isNotNull(), F.concat(F.lit("?"), query))
+        .otherwise(F.lit("")))
+    if not drop_fragment:
+        out = F.concat(out, F.when(
+            p["fragment"].isNotNull(),
+            F.concat(F.lit("#"), p["fragment"])).otherwise(F.lit("")))
+    return F.when(p.isNotNull(), out)
+
+
+def _is_tracking_param(kv: Column) -> Column:
+    key = F.lower(F.element_at(F.split(kv, "="), 1))
+    cond = F.lit(False)
+    for pre in TRACKING_PARAM_PREFIXES:
+        cond = cond | key.startswith(pre)
+    for name in TRACKING_PARAMS:
+        cond = cond | (key == name)
+    return cond
+
+
 #: phrases whose presence drops a LINE under the C4 policy-boilerplate
 #: rule (matched lowercase, substring semantics)
 C4_POLICY_PHRASES: Sequence[str] = (

@@ -4888,6 +4888,67 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL curation columns (text.url_parts / registered_domain /
+    url_normalize): parse, pay-level-domain extraction, and canonical
+    dedup-key normalization — all zero-shuffle codegen. The documents
+    table has no URL column, so the query synthesizes one per doc
+    (subdomain/domain/tld/port/scheme-case/tracking-params all vary by
+    doc_id modulus); the oracle derives every output from the SAME
+    construction directly, validating the parser + normalizer
+    end-to-end (uppercase scheme folds, :443 strips under https,
+    utm_*/ref params drop while id= survives, fragment drops, and
+    .co.uk hosts keep three labels in the registered domain)."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    i = F.col("doc_id")
+    sub = (F.when(i % 5 == 0, "www").when(i % 5 == 1, "cdn")
+           .when(i % 5 == 2, "news").when(i % 5 == 3, "m")
+           .otherwise("blog"))
+    dom = F.concat(F.lit("site"), (i % 13).cast("string"))
+    tld = (F.when(i % 3 == 0, ".co.uk").when(i % 3 == 1, ".com")
+           .otherwise(".org"))
+    host = F.concat(sub, F.lit("."), dom, tld)
+    scheme = F.when(i % 9 == 0, "HTTPS").otherwise("https")
+    url = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(i % 6 == 0, ":443").otherwise(""),
+        F.lit("/"), F.col("source"), F.lit("/page-"), i.cast("string"),
+        F.lit("?utm_source=feed&id="), (i % 7).cast("string"),
+        F.when(i % 4 == 0, "&ref=rss").otherwise(""),
+        F.lit("#sec-"), (i % 3).cast("string"))
+    u = docs.select("doc_id", url.alias("url"))
+    p = text_ops.url_parts(F.col("url"))
+    return u.select(
+        "doc_id",
+        p["scheme"].alias("scheme"), p["host"].alias("host"),
+        p["port"].alias("port"), p["path"].alias("path"),
+        text_ops.registered_domain(p["host"]).alias("reg_domain"),
+        text_ops.url_normalize(F.col("url")).alias("norm_url"))
+
+
+ORACLE_DOCS_URL_STATS = """
+WITH u AS (
+  SELECT doc_id, source,
+    CASE doc_id % 5 WHEN 0 THEN 'www' WHEN 1 THEN 'cdn'
+         WHEN 2 THEN 'news' WHEN 3 THEN 'm' ELSE 'blog' END AS sub,
+    'site' || (doc_id % 13)::VARCHAR AS dom,
+    CASE doc_id % 3 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com'
+         ELSE '.org' END AS tld
+  FROM documents)
+SELECT doc_id,
+  'https' AS scheme,
+  sub || '.' || dom || tld AS host,
+  CASE WHEN doc_id % 6 = 0 THEN 443 END::INTEGER AS port,
+  '/' || source || '/page-' || doc_id::VARCHAR AS path,
+  dom || tld AS reg_domain,
+  'https://' || sub || '.' || dom || tld || '/' || source || '/page-'
+    || doc_id::VARCHAR || '?id=' || (doc_id % 7)::VARCHAR AS norm_url
+FROM u
+"""
+
+
 def q_docs_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, removal phase (dedup.remove_dup_spans —
     Lee et al. 2022): every cross-document duplicated 5-gram occurrence
@@ -5404,6 +5465,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_c4_filter": q_docs_c4_filter,
     "docs_span_removal": q_docs_span_removal,
     "events_bitmap_distinct": q_events_bitmap_distinct,
+    "docs_url_stats": q_docs_url_stats,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5545,4 +5607,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_c4_filter": ORACLE_DOCS_C4_FILTER,
     "docs_span_removal": ORACLE_DOCS_SPAN_REMOVAL,
     "events_bitmap_distinct": ORACLE_EVENTS_BITMAP_DISTINCT,
+    "docs_url_stats": ORACLE_DOCS_URL_STATS,
 }

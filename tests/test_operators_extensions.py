@@ -3406,6 +3406,68 @@ class TestC4Filter:
         assert strict == ""
 
 
+class TestUrlOps:
+    def _one(self, spark, url):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(url,)], "url string")
+        p = T.url_parts(F.col("url"))
+        return df.select(
+            p.alias("p"),
+            T.registered_domain(p["host"]).alias("rd"),
+            T.url_normalize(F.col("url")).alias("n")).first()
+
+    def test_parse_strips_userinfo_and_folds_case(self, spark):
+        r = self._one(
+            spark,
+            "HTTPS://u:pw@News.Example.CO.UK:8443/Path?a=1&utm_x=2#f")
+        assert r["p"]["scheme"] == "https"
+        assert r["p"]["host"] == "news.example.co.uk"
+        assert r["p"]["port"] == 8443
+        assert r["p"]["path"] == "/Path"          # path case significant
+        assert r["p"]["query"] == "a=1&utm_x=2"
+        assert r["p"]["fragment"] == "f"
+        assert r["rd"] == "example.co.uk"          # 3 labels under co.uk
+        assert r["n"] == "https://news.example.co.uk:8443/Path?a=1"
+
+    def test_normalize_default_port_params_fragment(self, spark):
+        r = self._one(
+            spark,
+            "https://www.shop.com:443/item?utm_source=x&gclid=1&ref=rss")
+        # default port stripped, ALL params were tracking -> no query
+        assert r["n"] == "https://www.shop.com/item"
+        assert r["rd"] == "shop.com"
+        r2 = self._one(spark, "http://example.com")
+        assert r2["n"] == "http://example.com/"    # empty path -> /
+        r3 = self._one(spark,
+                       "http://a.com/x?id=2&utm_b=1&next=3")
+        # survivor ORDER preserved
+        assert r3["n"] == "http://a.com/x?id=2&next=3"
+
+    def test_non_url_and_null_and_bare_host(self, spark):
+        from spark_expectations_spark.operators import text as T
+        bad = self._one(spark, "not a url")
+        assert bad["p"] is None and bad["n"] is None and bad["rd"] is None
+        nul = self._one(spark, None)
+        assert nul["p"] is None and nul["n"] is None
+        df = spark.createDataFrame(
+            [("localhost",), ("deep.cdn.example.com",)], "h string")
+        got = [r["rd"] for r in df.select(
+            T.registered_domain(F.col("h")).alias("rd")).collect()]
+        assert got == ["localhost", "example.com"]
+
+    def test_extra_suffixes_extend_the_snapshot(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([("a.b.example.pvt.k12.ma.us",)],
+                                   "h string")
+        base = df.select(T.registered_domain(
+            F.col("h")).alias("rd")).first()["rd"]
+        assert base == "ma.us"                     # 2-label fallback
+        ext = df.select(T.registered_domain(
+            F.col("h"), extra_suffixes=("ma.us",)).alias("rd")
+        ).first()["rd"]
+        assert ext == "k12.ma.us"
+
+
 class TestParagraphDedup:
     DOCS = [
         (1, "alpha\n\nshared para\n\nbeta"),
