@@ -45,6 +45,50 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_jsonl_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    *,
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL ingest with malformed-line quarantine — the raw-crawl
+    entry point: returns ``(good, bad)`` where ``good`` carries the
+    typed rows (corrupt column dropped) and ``bad`` carries every
+    unparseable line verbatim in ``corrupt_col`` for a quarantine sink
+    (DROPMALFORMED silently deletes data; FAILFAST kills a 100 TB job
+    on line one; this keeps both signal and evidence).
+
+    Implemented as a TEXT scan + ``from_json`` rather than the native
+    JSON source: Spark disallows queries that reference only the
+    internal corrupt-record column of a raw JSON relation
+    (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — the usual
+    workaround is caching the whole scan, a non-starter at 100 TB).
+    Over a text relation both sides are ordinary projections: one
+    line-splittable scan, two filtered views, the quarantine side
+    carrying the offending line verbatim.
+
+    ``schema`` is the DDL of the EXPECTED fields; the corrupt column is
+    appended automatically and must not be declared in it."""
+    from pyspark.sql import functions as F
+
+    full = f"{schema}, {corrupt_col} string"
+    raw = spark.read.text(path)
+    parsed = raw.select(
+        F.col("value"),
+        F.from_json(F.col("value"), full,
+                    {"mode": "PERMISSIVE",
+                     "columnNameOfCorruptRecord": corrupt_col})
+        .alias("__j"))
+    good = (parsed.filter(F.col(f"__j.{corrupt_col}").isNull()
+                          & F.col("__j").isNotNull())
+            .select("__j.*").drop(corrupt_col))
+    bad = (parsed.filter(F.col(f"__j.{corrupt_col}").isNotNull()
+                         | F.col("__j").isNull())
+           .select(F.col("value").alias(corrupt_col)))
+    return good, bad
+
+
 def read_table(spark: SparkSession, fmt: str, path: str,
                *, schema: Optional[str] = None,
                options: Optional[Mapping[str, str]] = None) -> DataFrame:

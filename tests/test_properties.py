@@ -376,6 +376,91 @@ class TestDupSpanCoverageDifferential:
             assert got[i] == (len(ts), len(covered)), (i, ts)
 
 
+class TestRemoveDupSpansDifferential:
+    """remove_dup_spans vs a naive python implementation on tiny-vocab
+    corpora: kept text must equal the tokens outside the union of
+    non-exempt duplicated-gram spans, where the single exempt
+    occurrence per gram is the global (doc_id, pos) minimum."""
+
+    @given(
+        docs=st.lists(st.lists(st.integers(0, 3), min_size=1, max_size=12),
+                      min_size=1, max_size=6),
+        n=st.integers(1, 4),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_bruteforce(self, spark, docs, n):
+        from spark_expectations_spark.operators import dedup
+        texts = [(i, " ".join(f"w{t}" for t in d))
+                 for i, d in enumerate(docs)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: (r["dedup_text"], r["n_tokens"],
+                             r["removed_tokens"])
+               for r in dedup.remove_dup_spans(
+                   df, "doc_id", "text", n=n).collect()}
+
+        toks = {i: t.split() for i, t in texts}
+        occs: dict[tuple, list] = {}
+        for i, ts in sorted(toks.items()):
+            for s in range(len(ts) - n + 1):
+                occs.setdefault(tuple(ts[s:s + n]), []).append((i, s))
+        removed: dict[int, set] = {i: set() for i in toks}
+        for gram, places in occs.items():
+            if len({i for i, _ in places}) < 2:
+                continue
+            first = min(places)
+            for i, s in places:
+                if (i, s) != first:
+                    removed[i].update(range(s, s + n))
+        for i, ts in toks.items():
+            kept = [t for p, t in enumerate(ts) if p not in removed[i]]
+            assert got[i] == (" ".join(kept), len(ts),
+                              len(removed[i])), (i, ts)
+
+
+class TestUrlNormalizeProperty:
+    """url_normalize is a canonical form: idempotent (normalizing a
+    normalized URL is the identity), and parse-stable (url_parts of the
+    normalized URL agrees on scheme/host/path)."""
+
+    _host = st.from_regex(r"[a-z]{1,6}(\.[a-z]{2,5}){1,2}",
+                          fullmatch=True)
+    _path = st.from_regex(r"(/[A-Za-z0-9._-]{0,6}){0,3}", fullmatch=True)
+    _params = st.lists(
+        st.tuples(st.sampled_from(
+            ["id", "q", "page", "utm_source", "utm_b", "gclid", "ref"]),
+            st.integers(0, 99)),
+        max_size=4)
+
+    @given(scheme=st.sampled_from(["http", "https", "HTTP", "HTTPS"]),
+           host=_host, port=st.sampled_from([None, 80, 443, 8080]),
+           path=_path, params=_params,
+           frag=st.sampled_from([None, "top", "sec-2"]))
+    @settings(max_examples=15, deadline=None)
+    def test_idempotent_and_parse_stable(self, spark, scheme, host,
+                                         port, path, params, frag):
+        from pyspark.sql import functions as F
+
+        from spark_expectations_spark.operators import text as T
+        url = f"{scheme}://{host}"
+        if port is not None:
+            url += f":{port}"
+        url += path
+        if params:
+            url += "?" + "&".join(f"{k}={v}" for k, v in params)
+        if frag is not None:
+            url += f"#{frag}"
+        df = spark.createDataFrame([(url,)], "u string")
+        once = df.select(T.url_normalize(F.col("u")).alias("n"))
+        n1 = once.first()["n"]
+        n2 = once.select(
+            T.url_normalize(F.col("n")).alias("n2")).first()["n2"]
+        assert n2 == n1
+        p = once.select(T.url_parts(F.col("n")).alias("p")).first()["p"]
+        assert p is not None and p["scheme"] == scheme.lower()
+        assert p["host"] == host
+        assert p["fragment"] is None
+
+
 class TestMadOutliersDifferential:
     """mad_outliers vs python statistics.median brute force: Spark's
     exact percentile(0.5) interpolates identically, so robust_z and

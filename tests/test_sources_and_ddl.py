@@ -53,6 +53,32 @@ class TestReaders:
             .filter("k > 50").select("v")
         assert plans.has_pushed_filters(df)
 
+    def test_jsonl_quarantine_splits_good_and_bad(self, spark, tmp_path):
+        p = tmp_path / "data.jsonl"
+        p.write_text(
+            '{"id": 1, "name": "alpha"}\n'
+            'this is not json at all\n'
+            '{"id": 2, "name": "beta"}\n'
+            '{"id": "oops", "name": 3, }\n')
+        good, bad = readers.read_jsonl_quarantine(
+            spark, str(p), "id long, name string")
+        rows = {r["id"]: r["name"] for r in good.collect()}
+        assert rows == {1: "alpha", 2: "beta"}
+        assert "_corrupt_record" not in good.columns
+        quarantined = [r["_corrupt_record"] for r in bad.collect()]
+        assert len(quarantined) == 2
+        assert any("not json" in q for q in quarantined)
+        # narrow quarantine table: select AFTER the filter is legal
+        assert bad.select("_corrupt_record").count() == 2
+
+    def test_jsonl_quarantine_all_good_is_empty_bad(self, spark,
+                                                    tmp_path):
+        p = tmp_path / "ok.jsonl"
+        p.write_text('{"id": 1, "name": "a"}\n')
+        good, bad = readers.read_jsonl_quarantine(
+            spark, str(p), "id long, name string")
+        assert good.count() == 1 and bad.count() == 0
+
     def test_file_stream(self, spark, tmp_path):
         src = tmp_path / "in"
         src.mkdir()
