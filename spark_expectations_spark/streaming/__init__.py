@@ -523,6 +523,56 @@ def drift_monitor(
     return writer.start()
 
 
+def incremental_bitmap_distinct(
+    state_path: str,
+    group_cols: list,
+    value_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step maintaining EXACT streaming distinct counts
+    with disk-backed bitmap state — the unbounded-horizon complement to
+    ``approx_count_distinct`` watermark aggregations, for integral keys
+    (distinct users ever seen per type, distinct docs per source across
+    a whole crawl).
+
+    Each micro-batch writes ONLY its own per-(group, bucket) bitmaps
+    (``operators/sketches.bitmap_distinct_by_group``), partitioned by
+    ``_batch_id`` with dynamic partition overwrite — a retried batch
+    REPLACES its own partition, and because bitmap OR-merge is
+    idempotent (a value seen in five batches sets the same bit five
+    times), the merged answer is exactly-once without ever READING
+    prior state in the hot path: merging happens at query time via
+    :func:`bitmap_distinct_counts`. Per-batch write cost tracks the
+    batch's value range, never the stream's history; no state-store
+    memory, no rescans.
+
+    Compact occasionally (re-write ``bitmap_distinct_by_group`` over a
+    rollup of the state) if thousands of tiny batch partitions
+    accumulate — the answer is unaffected either way."""
+    from ..operators.sketches import bitmap_distinct_by_group
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        bm = bitmap_distinct_by_group(batch_df, group_cols, value_col)
+        (bm.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def bitmap_distinct_counts(spark, state_path: str,
+                           group_cols: list) -> DataFrame:
+    """Query side of :func:`incremental_bitmap_distinct`: OR-merge the
+    accumulated bitmap state down to ``group_cols`` (empty for a grand
+    total) and return exact distinct counts. Bitmap-table-sized work —
+    the raw stream is never rescanned."""
+    from ..operators.sketches import bitmap_distinct_rollup
+
+    state = spark.read.parquet(state_path)
+    return bitmap_distinct_rollup(state, group_cols)
+
+
 def corpus_append_dedup(
     index_path: str,
     id_col: str,

@@ -201,6 +201,33 @@ class TestStreamingDQ:
                      for r in spark.read.parquet(idx).collect())
         assert fps == ["a", "b", "c"]
 
+    def test_incremental_bitmap_distinct_exact_across_batches(
+            self, spark, tmp_path):
+        """Streaming exact distinct: counts after N batches equal
+        count(distinct) over their union, including cross-batch
+        repeats; a replayed batch changes nothing (idempotent
+        OR-merge + partition overwrite)."""
+        from spark_expectations_spark import streaming as st
+        state = str(tmp_path / "bm_state")
+        step = st.incremental_bitmap_distinct(state, ["g"], "uid")
+        b1 = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("b", 1)], "g string, uid long")
+        b2 = spark.createDataFrame(
+            [("a", 2), ("a", 99999), ("b", 7)], "g string, uid long")
+        step(b1, 0)
+        step(b2, 1)
+        got = {r["g"]: r["n_distinct"] for r in
+               st.bitmap_distinct_counts(spark, state, ["g"]).collect()}
+        assert got == {"a": 3, "b": 2}    # cross-batch repeat of (a,2)
+        step(b2, 1)                       # foreachBatch retry/replay
+        again = {r["g"]: r["n_distinct"] for r in
+                 st.bitmap_distinct_counts(spark, state,
+                                           ["g"]).collect()}
+        assert again == got
+        total = st.bitmap_distinct_counts(
+            spark, state, []).first()["n_distinct"]
+        assert total == 4                 # distinct uids overall
+
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)
         must REPLACE its own output, not append a second copy — the
