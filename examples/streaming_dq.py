@@ -92,6 +92,26 @@ def main() -> None:
     spark.sql("DROP TABLE IF EXISTS sess_state")
     print(f"finalized sessions through DQ: "
           f"{sum(n for _, n in gated)} across {len(gated)} batches")
+
+    # (4) exact streaming distinct users via disk-backed bitmap state:
+    # each micro-batch writes only its own bitmaps; OR-merge idempotence
+    # makes replays exactly-once, and the query side never rescans
+    from spark_expectations_spark.streaming import (
+        bitmap_distinct_counts, incremental_bitmap_distinct)
+
+    src3 = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "500").load()
+            .selectExpr("cast(value % 2 as string) as g",
+                        "value % 97 as uid"))
+    q3 = (src3.writeStream.outputMode("append")
+          .foreachBatch(incremental_bitmap_distinct(
+              f"{out}/bm_state", ["g"], "uid"))
+          .option("checkpointLocation", f"{out}/ckpt_bm").start())
+    q3.processAllAvailable()
+    q3.stop()
+    for r in bitmap_distinct_counts(spark, f"{out}/bm_state",
+                                    ["g"]).collect():
+        print(f"exact distinct uids g={r['g']}: {r['n_distinct']}")
     spark.stop()
 
 
