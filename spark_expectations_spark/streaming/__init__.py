@@ -573,6 +573,32 @@ def bitmap_distinct_counts(spark, state_path: str,
     return bitmap_distinct_rollup(state, group_cols)
 
 
+def compact_bitmap_state(spark, state_path: str, out_path: str,
+                         group_cols: list) -> None:
+    """Compact an :func:`incremental_bitmap_distinct` state dir — after
+    thousands of micro-batches the state holds one small bitmap
+    partition per batch; this OR-merges every (group, bucket) down to a
+    single row and writes the result to ``out_path`` as batch partition
+    ``_batch_id=0``, shrinking state to its merged size while answers
+    stay identical.
+
+    Writes to a NEW path rather than rewriting in place (the repo's
+    swap-not-overwrite layout rule: deleting partitions under a live
+    reader is a race). Swap: point the stream's foreachBatch at
+    ``out_path`` after its last pre-compaction batch commits — new
+    batch ids land beside partition 0 and the OR-merge keeps absorbing
+    both. Because merge is idempotent, a batch that straddles the swap
+    double-counts nothing."""
+    state = spark.read.parquet(state_path)
+    merged = (state.groupBy(*group_cols, "bitmap_bucket")
+              .agg(F.bitmap_or_agg(F.col("bitmap")).alias("bitmap"))
+              .withColumn("_batch_id", F.lit(0)))
+    (merged.write.mode("overwrite")
+     .partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+
+
 def corpus_append_dedup(
     index_path: str,
     id_col: str,

@@ -227,6 +227,15 @@ class TestStreamingDQ:
         total = st.bitmap_distinct_counts(
             spark, state, []).first()["n_distinct"]
         assert total == 4                 # distinct uids overall
+        # compaction: merged state answers identically, 1 partition
+        compacted = str(tmp_path / "bm_compact")
+        st.compact_bitmap_state(spark, state, compacted, ["g"])
+        cgot = {r["g"]: r["n_distinct"] for r in
+                st.bitmap_distinct_counts(spark, compacted,
+                                          ["g"]).collect()}
+        assert cgot == got
+        state_df = spark.read.parquet(compacted)
+        assert state_df.select("_batch_id").distinct().count() == 1
 
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)

@@ -417,6 +417,40 @@ class TestRemoveDupSpansDifferential:
                               len(removed[i])), (i, ts)
 
 
+class TestParagraphDedupDifferential:
+    """paragraph_dedup vs a naive python implementation on tiny-vocab
+    corpora: each document must rebuild from exactly its paragraphs
+    that are the globally-first occurrence (by (doc_id, position)) of
+    their text, in original order, separator-lossless."""
+
+    @given(
+        docs=st.lists(st.lists(st.integers(0, 2), min_size=0, max_size=6),
+                      min_size=1, max_size=6),
+        min_chars=st.sampled_from([1, 2]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_bruteforce(self, spark, docs, min_chars):
+        from spark_expectations_spark.operators import dedup
+        texts = [(i, "|".join(f"p{t}" for t in d))
+                 for i, d in enumerate(docs)]
+        df = spark.createDataFrame(texts, "doc_id long, text string")
+        got = {r["doc_id"]: r["dedup_text"]
+               for r in dedup.paragraph_dedup(
+                   df, "doc_id", "text", sep="|",
+                   min_chars=min_chars, hash_family="exact").collect()}
+
+        first: dict[str, tuple] = {}
+        for i, t in sorted(texts):
+            for pos, para in enumerate(t.split("|")):
+                if len(para) >= min_chars and para not in first:
+                    first[para] = (i, pos)
+        for i, t in texts:
+            kept = [para for pos, para in enumerate(t.split("|"))
+                    if len(para) < min_chars
+                    or first[para] == (i, pos)]
+            assert got[i] == "|".join(kept), (i, t)
+
+
 class TestUrlNormalizeProperty:
     """url_normalize is a canonical form: idempotent (normalizing a
     normalized URL is the identity), and parse-stable (url_parts of the
