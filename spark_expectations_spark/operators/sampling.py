@@ -553,6 +553,70 @@ def epoch_shuffle(
             .drop("__k"))
 
 
+def dense_global_index(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    out: str = "global_id",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Contiguous 0-based global ids in ``key_cols`` order WITHOUT a
+    global single-task sort — the scalable replacement for
+    ``row_number() OVER (ORDER BY key)`` (whose empty partition spec
+    funnels the whole corpus through one task) when a pipeline needs
+    dense ordinal ids (shard addressing, matrix row indices,
+    resumable-loader bookmarks; ``monotonically_increasing_id`` is
+    neither dense nor order-respecting).
+
+    Two-phase bucket trick (the mixture_resample machinery generalized
+    to ranking): approx-percentile thresholds of the FIRST key column
+    split the corpus into ~equal ``num_buckets`` monotone-in-key
+    buckets (threshold precision only affects balance — the final rank
+    is exact regardless); one small agg counts rows per bucket and a
+    driver-side cumulative sum becomes a broadcast offset join; ids are
+    ``offset + row_number within bucket − 1``, one hash shuffle on the
+    bucket key and per-bucket sorts of ~n/num_buckets rows. Raise
+    ``num_buckets`` with the corpus to keep sorts task-sized.
+
+    The id is the exact global rank — engine-independent and fully
+    value-oracle-checkable — PROVIDED the key tuple is unique (ties
+    make rank assignment within the tie arbitrary; add a tiebreaker
+    column). The first key column must be numeric/timestamp (percentile
+    thresholds); NULL first-keys sort FIRST (Spark ASC semantics —
+    mirror with NULLS FIRST in an oracle)."""
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    lead = F.col(key_cols[0])
+    qs = [i / num_buckets for i in range(1, num_buckets)]
+    thresholds = df.select(
+        F.percentile_approx(lead, qs, 10_000).alias("t")).first()["t"]
+    bucket = F.lit(0)
+    seen = set()
+    for t in (thresholds or []):
+        if t is None or t in seen:     # constant/low-cardinality keys
+            continue
+        seen.add(t)
+        bucket = bucket + (lead > F.lit(t)).cast("int")
+    # NULL lead keys: (NULL > t) folds to 0 via cast-sum? It folds to
+    # NULL — pin them to bucket 0 explicitly (they sort first in ASC)
+    d = df.withColumn("__b", F.when(lead.isNull(), 0).otherwise(bucket))
+    counts = {r["__b"]: r["c"] for r in
+              d.groupBy("__b").agg(F.count(F.lit(1)).alias("c"))
+              .collect()}
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
+        F.col("__b"))
+    w = Window.partitionBy("__b").orderBy(
+        *[F.col(c).asc() for c in key_cols])
+    return (d.withColumn(out, (off + F.row_number().over(w) - 1)
+                         .cast("long"))
+            .drop("__b"))
+
+
 def quantile_buckets(
     df: DataFrame,
     group_col: str,

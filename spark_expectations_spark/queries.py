@@ -4888,6 +4888,30 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense global ordinal ids (sampling.dense_global_index): the
+    scalable row_number()-over-(ORDER BY key) — approx-percentile
+    bucket thresholds (precision affects only balance, never the
+    rank), a bucket-count agg + broadcast offsets, per-bucket
+    row_number. One hash shuffle, per-bucket sorts, NO single-partition
+    exchange (plan-linted in tests). Keyed (n_chars, doc_id) so the
+    leading column carries heavy ties across bucket boundaries; the
+    oracle is the single-task formulation both engines agree on."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.dense_global_index(docs, ["n_chars", "doc_id"],
+                                      num_buckets=16)
+    return out.select("doc_id", "global_id")
+
+
+ORACLE_DOCS_GLOBAL_INDEX = """
+SELECT doc_id,
+       row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS global_id
+FROM documents
+"""
+
+
 def q_docs_url_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL curation columns (text.url_parts / registered_domain /
     url_normalize): parse, pay-level-domain extraction, and canonical
@@ -5273,11 +5297,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 7 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 9 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
-#          events_bitmap_distinct) +
-#          33 re-gate fills drawn from the families the r6 rotation
+#          events_bitmap_distinct, docs_url_stats, docs_global_index) +
+#          31 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5297,7 +5321,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-8 NEW operators — gate on first appearance
     "docs_normalize", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
-    "events_bitmap_distinct",
+    "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5311,8 +5335,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_train_split", "docs_weighted_sample", "docs_group_sample",
     "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
     "orders_snapshot_diff", "events_asof_purchase",
-    "events_gapfill", "events_hourly", "events_sliding",
-    "events_seasonality",
+    "events_gapfill", "events_hourly",
 ]
 
 
@@ -5466,6 +5489,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_span_removal": q_docs_span_removal,
     "events_bitmap_distinct": q_events_bitmap_distinct,
     "docs_url_stats": q_docs_url_stats,
+    "docs_global_index": q_docs_global_index,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5608,4 +5632,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_span_removal": ORACLE_DOCS_SPAN_REMOVAL,
     "events_bitmap_distinct": ORACLE_EVENTS_BITMAP_DISTINCT,
     "docs_url_stats": ORACLE_DOCS_URL_STATS,
+    "docs_global_index": ORACLE_DOCS_GLOBAL_INDEX,
 }

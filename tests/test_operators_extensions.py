@@ -3406,6 +3406,44 @@ class TestC4Filter:
         assert strict == ""
 
 
+class TestDenseGlobalIndex:
+    def test_ids_are_exact_global_ranks(self, spark):
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, (i * 37) % 101) for i in range(101)]
+        df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+        got = {r["k"]: r["gid"] for r in sampling.dense_global_index(
+            df, ["v", "k"], out="gid", num_buckets=8).collect()}
+        expect = {k: rank for rank, (v, k) in
+                  enumerate(sorted((v, k) for k, v in rows))}
+        assert got == expect
+
+    def test_ties_in_lead_column_and_null_first(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(1, 5), (2, 5), (3, None), (4, 5), (5, 2)],
+            "k long, v int")
+        got = {r["k"]: r["global_id"]
+               for r in sampling.dense_global_index(
+                   df, ["v", "k"], num_buckets=4).collect()}
+        # NULL v sorts first (Spark ASC), then v=2, then the v=5 tie
+        # block ordered by k
+        assert got == {3: 0, 5: 1, 1: 2, 2: 3, 4: 4}
+
+    def test_no_single_partition_exchange(self, spark):
+        """The operator's whole reason to exist, pinned with the plan
+        linter: the id assignment must never funnel the corpus through
+        one task the way row_number() OVER (ORDER BY ...) does."""
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import sampling
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        out = sampling.dense_global_index(
+            docs, ["n_chars", "doc_id"], num_buckets=16)
+        sev = {f["rule"]: f["severity"] for f in plans.plan_lint(out)}
+        assert "single-partition-exchange" not in sev
+        with pytest.raises(ValueError, match="non-empty"):
+            sampling.dense_global_index(docs, [])
+
+
 class TestUrlOps:
     def _one(self, spark, url):
         from spark_expectations_spark.operators import text as T
