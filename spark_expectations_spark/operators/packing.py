@@ -79,6 +79,72 @@ def pack_for_training(
     )
 
 
+def length_bucket(
+    weight_col,
+    boundaries,
+):
+    """Bucket index for a length/token count against ascending
+    ``boundaries``: ``bucket b`` holds weights in ``(boundaries[b-1],
+    boundaries[b]]`` with bucket 0 = ``(-inf, boundaries[0]]`` and the
+    last bucket open-ended — the assignment step of length-bucketed
+    batching (batching similar-length sequences together so per-batch
+    padding tracks the bucket spread, not the corpus max). Codegen
+    comparison fold, zero shuffle; NULL weights → NULL bucket."""
+    b = sorted(boundaries)
+    if not b:
+        raise ValueError("boundaries must be non-empty")
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    idx = None
+    for t in b:
+        term = (w > F.lit(t)).cast("int")
+        idx = term if idx is None else idx + term
+    return F.when(w.isNotNull(), idx)
+
+
+def padding_waste_report(
+    df: DataFrame,
+    weight_col: str,
+    boundaries,
+    *,
+    bucket_out: str = "bucket",
+) -> DataFrame:
+    """Quantify what length-bucketed batching buys BEFORE rewriting the
+    loader: per :func:`length_bucket`, the docs/token totals and the
+    tokens a pad-to-bucket-max batcher would burn —
+    ``padded_tokens = n_docs · max_tokens − sum_tokens`` (padding to
+    the CORPUS max instead is the no-bucketing baseline; compare
+    ``Σ padded`` across one-bucket vs many-bucket runs to pick
+    boundaries). Returns ``(bucket, lo, hi, n_docs, sum_tokens,
+    max_tokens, padded_tokens, waste_frac)`` rows, boundaries-sized.
+
+    ONE map-side-combined aggregate over the scan — the fold-bucket /
+    histogram shape (drift.psi, ks_statistic); NULL weights drop with
+    a count reported would be noise — filter upstream if they matter."""
+    b = sorted(boundaries)
+    d = (df.filter(F.col(weight_col).isNotNull())
+         .withColumn(bucket_out, length_bucket(weight_col, b)))
+    lo = F.element_at(
+        F.array(*([F.lit(None).cast("long")] + [F.lit(x) for x in b])),
+        F.col(bucket_out) + 1)
+    hi = F.element_at(
+        F.array(*([F.lit(x) for x in b] + [F.lit(None).cast("long")])),
+        F.col(bucket_out) + 1)
+    agg = (d.groupBy(bucket_out)
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum(weight_col).alias("sum_tokens"),
+                F.max(weight_col).alias("max_tokens")))
+    padded = (F.col("n_docs") * F.col("max_tokens")
+              - F.col("sum_tokens"))
+    return (agg
+            .withColumn("lo", lo).withColumn("hi", hi)
+            .withColumn("padded_tokens", padded)
+            .withColumn("waste_frac",
+                        F.round(padded / (F.col("n_docs")
+                                          * F.col("max_tokens")), 6))
+            .select(bucket_out, "lo", "hi", "n_docs", "sum_tokens",
+                    "max_tokens", "padded_tokens", "waste_frac"))
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -4888,6 +4888,45 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching planner (packing.padding_waste_report):
+    per token-length bucket, the docs/token totals and the padding a
+    pad-to-bucket-max batcher burns — the measurement you run BEFORE
+    rewriting a dataloader's batching. ONE map-side-combined aggregate
+    over the scan (fold-bucket histogram shape); token counts via the
+    same whitespace tokenizer the oracle mirrors."""
+    from .operators import packing
+
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select("doc_id",
+                    text.token_count(F.col("text")).alias("w"))
+    return packing.padding_waste_report(t, "w", [20, 24, 28])
+
+
+ORACLE_DOCS_PADDING_WASTE = r"""
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '')) AS w
+  FROM documents WHERE text IS NOT NULL),
+b AS (
+  SELECT w,
+         (CASE WHEN w > 20 THEN 1 ELSE 0 END
+          + CASE WHEN w > 24 THEN 1 ELSE 0 END
+          + CASE WHEN w > 28 THEN 1 ELSE 0 END) AS bucket
+  FROM t)
+SELECT bucket,
+  CASE bucket WHEN 1 THEN 20 WHEN 2 THEN 24 WHEN 3 THEN 28 END AS lo,
+  CASE bucket WHEN 0 THEN 20 WHEN 1 THEN 24 WHEN 2 THEN 28 END AS hi,
+  count(*) AS n_docs, sum(w)::BIGINT AS sum_tokens,
+  max(w) AS max_tokens,
+  (count(*) * max(w) - sum(w))::BIGINT AS padded_tokens,
+  round((count(*) * max(w) - sum(w))::DOUBLE
+        / (count(*) * max(w)), 6) AS waste_frac
+FROM b GROUP BY bucket
+"""
+
+
 def q_docs_global_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense global ordinal ids (sampling.dense_global_index): the
     scalable row_number()-over-(ORDER BY key) — approx-percentile
@@ -5297,11 +5336,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 9 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 10 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
-#          events_bitmap_distinct, docs_url_stats, docs_global_index) +
-#          31 re-gate fills drawn from the families the r6 rotation
+#          events_bitmap_distinct, docs_url_stats, docs_global_index,
+#          docs_padding_waste) +
+#          30 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5322,6 +5362,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_normalize", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
+    "docs_padding_waste",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5335,7 +5376,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_train_split", "docs_weighted_sample", "docs_group_sample",
     "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
     "orders_snapshot_diff", "events_asof_purchase",
-    "events_gapfill", "events_hourly",
+    "events_gapfill",
 ]
 
 
@@ -5490,6 +5531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_bitmap_distinct": q_events_bitmap_distinct,
     "docs_url_stats": q_docs_url_stats,
     "docs_global_index": q_docs_global_index,
+    "docs_padding_waste": q_docs_padding_waste,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5633,4 +5675,5 @@ ORACLES: dict[str, Optional[str]] = {
     "events_bitmap_distinct": ORACLE_EVENTS_BITMAP_DISTINCT,
     "docs_url_stats": ORACLE_DOCS_URL_STATS,
     "docs_global_index": ORACLE_DOCS_GLOBAL_INDEX,
+    "docs_padding_waste": ORACLE_DOCS_PADDING_WASTE,
 }

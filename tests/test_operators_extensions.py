@@ -3406,6 +3406,43 @@ class TestC4Filter:
         assert strict == ""
 
 
+class TestPaddingWaste:
+    def test_known_buckets_and_waste(self, spark):
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame(
+            [(1, 5), (2, 8), (3, 10), (4, 30), (5, None)],
+            "doc_id long, w int")
+        got = {r["bucket"]: r for r in packing.padding_waste_report(
+            df, "w", [10, 20]).collect()}
+        # bucket 0: (-inf,10] holds 5,8,10 -> pad to 10: 5+2+0=7
+        b0 = got[0]
+        assert (b0["lo"], b0["hi"]) == (None, 10)
+        assert (b0["n_docs"], b0["sum_tokens"], b0["max_tokens"]) \
+            == (3, 23, 10)
+        assert b0["padded_tokens"] == 7
+        assert b0["waste_frac"] == pytest.approx(7 / 30, abs=1e-6)
+        # bucket 2: (20, inf) holds only 30 -> zero waste; NULL dropped
+        b2 = got[2]
+        assert (b2["lo"], b2["hi"]) == (20, None)
+        assert b2["padded_tokens"] == 0
+        assert 1 not in got                      # empty bucket absent
+        with pytest.raises(ValueError, match="non-empty"):
+            packing.length_bucket("w", [])
+
+    def test_one_bucket_is_the_no_bucketing_baseline(self, spark):
+        """padding with a single open bucket == pad-to-corpus-max; more
+        buckets must never increase total padding."""
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame([(i, 4 + (i * 7) % 40)
+                                    for i in range(50)],
+                                   "doc_id long, w int")
+        base = packing.padding_waste_report(df, "w", [10 ** 9]) \
+            .agg(F.sum("padded_tokens").alias("p")).first()["p"]
+        many = packing.padding_waste_report(df, "w", [10, 20, 30]) \
+            .agg(F.sum("padded_tokens").alias("p")).first()["p"]
+        assert many <= base
+
+
 class TestDenseGlobalIndex:
     def test_ids_are_exact_global_ranks(self, spark):
         from spark_expectations_spark.operators import sampling
