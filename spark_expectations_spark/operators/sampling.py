@@ -553,6 +553,54 @@ def epoch_shuffle(
             .drop("__k"))
 
 
+def curriculum_order(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    *,
+    qs: Sequence[float] = (0.25, 0.5, 0.75),
+    seed: int = 0,
+    num_shards: int = 64,
+    exact: bool = True,
+    relative_error: float = 1e-4,
+    stage_col: str = "stage",
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Curriculum dataloader addresses: every row gets ``(stage, shard,
+    pos)`` where ``stage`` is its ascending quantile bucket of
+    ``score_col`` (0 = easiest/lowest; boundary-to-upper rule) and
+    ``(shard, pos)`` is a deterministic within-stage shuffle — the
+    curriculum-learning layout (easy-first stages, decorrelated order
+    inside each stage). A loader streams stages in order and shards
+    within a stage in any order; a different ``seed`` reshuffles within
+    stages without moving rows ACROSS stages.
+
+    Pure composition of two proven pieces: :func:`quantile_buckets`
+    thresholds (one 1-row aggregate, exact or approx tier) and
+    :func:`epoch_shuffle`'s md5 addressing, with positions windowed per
+    ``(stage, shard)`` — ONE hash shuffle, per-cell sorts of
+    ~n/(stages·shards) rows, no global sort, engine-portable (fully
+    value-oracle-checkable with integer scores + exact-binary qs)."""
+    labels = [str(i) for i in range(len(qs) + 1)]
+    d = quantile_buckets(
+        df.withColumn("__cg", F.lit(1)), "__cg", score_col,
+        qs=tuple(qs), labels=tuple(labels), out="__sl",
+        exact=exact, relative_error=relative_error)
+    d = (d.withColumn(stage_col, F.col("__sl").cast("int"))
+         .drop("__cg", "__sl"))
+    key = F.md5(F.concat_ws(":", F.lit(str(seed)),
+                            F.col(id_col).cast("string")))
+    d = d.withColumn("__k", key).withColumn(
+        shard_col,
+        F.pmod(F.conv(F.substring("__k", 1, 8), 16, 10).cast("long"),
+               F.lit(num_shards)))
+    w = Window.partitionBy(stage_col, shard_col).orderBy(
+        F.col("__k"), F.col(id_col))
+    return (d.withColumn(pos_col, F.row_number().over(w) - 1)
+            .drop("__k"))
+
+
 def dense_global_index(
     df: DataFrame,
     key_cols: Sequence[str],

@@ -4888,6 +4888,46 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum dataloader addresses (sampling.curriculum_order):
+    stage = ascending n_chars quartile (integer scores + exact-binary
+    qs → quantile_cont bit parity, the ccnet precedent), (shard, pos) =
+    deterministic md5 shuffle within stage (the epoch_shuffle
+    precedent). One 1-row threshold aggregate + one hash shuffle with
+    per-(stage, shard) sorts."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.curriculum_order(docs, "doc_id", "n_chars",
+                                    qs=(0.25, 0.5, 0.75), seed=0,
+                                    num_shards=8)
+    return out.select("doc_id", "stage", "shard", "pos")
+
+
+ORACLE_DOCS_CURRICULUM = """
+WITH th AS (
+  SELECT quantile_cont(n_chars, 0.25) AS q0,
+         quantile_cont(n_chars, 0.5)  AS q1,
+         quantile_cont(n_chars, 0.75) AS q2
+  FROM documents),
+st AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= q2 THEN 3
+              WHEN n_chars >= q1 THEN 2
+              WHEN n_chars >= q0 THEN 1 ELSE 0 END AS stage,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM documents, th),
+s AS (
+  SELECT doc_id, stage, h,
+         CAST(('0x' || substr(h, 1, 8)) AS BIGINT) % 8 AS shard
+  FROM st)
+SELECT doc_id, stage, shard,
+       CAST(row_number() OVER (PARTITION BY stage, shard
+                               ORDER BY h, doc_id) - 1 AS INT) AS pos
+FROM s
+"""
+
+
 def q_docs_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching planner (packing.padding_waste_report):
     per token-length bucket, the docs/token totals and the padding a
@@ -5336,12 +5376,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 10 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 11 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
-#          docs_padding_waste) +
-#          30 re-gate fills drawn from the families the r6 rotation
+#          docs_padding_waste, docs_curriculum) +
+#          29 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5362,7 +5402,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_normalize", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
-    "docs_padding_waste",
+    "docs_padding_waste", "docs_curriculum",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5376,7 +5416,6 @@ DRIVER_PRIORITY: list[str] = [
     "docs_train_split", "docs_weighted_sample", "docs_group_sample",
     "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
     "orders_snapshot_diff", "events_asof_purchase",
-    "events_gapfill",
 ]
 
 
@@ -5532,6 +5571,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_url_stats": q_docs_url_stats,
     "docs_global_index": q_docs_global_index,
     "docs_padding_waste": q_docs_padding_waste,
+    "docs_curriculum": q_docs_curriculum,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5676,4 +5716,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_url_stats": ORACLE_DOCS_URL_STATS,
     "docs_global_index": ORACLE_DOCS_GLOBAL_INDEX,
     "docs_padding_waste": ORACLE_DOCS_PADDING_WASTE,
+    "docs_curriculum": ORACLE_DOCS_CURRICULUM,
 }

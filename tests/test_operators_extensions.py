@@ -3406,6 +3406,51 @@ class TestC4Filter:
         assert strict == ""
 
 
+class TestCurriculumOrder:
+    def test_stages_ascend_with_score_and_seed_reshuffles_within(
+            self, spark):
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, i) for i in range(40)]            # score == id
+        df = spark.createDataFrame(rows, "k long, s long").repartition(5)
+        a = sampling.curriculum_order(df, "k", "s", num_shards=4,
+                                      seed=1).collect()
+        by_k = {r["k"]: r for r in a}
+        # quartile stages: scores 0..39, boundary-to-upper
+        for k in range(40):
+            expect_stage = (int(k >= 9.75) + int(k >= 19.5)
+                            + int(k >= 29.25))
+            assert by_k[k]["stage"] == expect_stage, k
+        # monotone: every stage-1 score > every stage-0 score
+        s0 = max(r["s"] for r in a if r["stage"] == 0)
+        s1 = min(r["s"] for r in a if r["stage"] == 1)
+        assert s0 < s1
+        # pos dense per (stage, shard)
+        from collections import defaultdict
+        cells = defaultdict(list)
+        for r in a:
+            cells[(r["stage"], r["shard"])].append(r["pos"])
+        for ps in cells.values():
+            assert sorted(ps) == list(range(len(ps)))
+        # a different seed moves order WITHIN stages, never across
+        b = {r["k"]: r for r in sampling.curriculum_order(
+            df, "k", "s", num_shards=4, seed=2).collect()}
+        assert all(b[k]["stage"] == by_k[k]["stage"] for k in b)
+        assert any((b[k]["shard"], b[k]["pos"])
+                   != (by_k[k]["shard"], by_k[k]["pos"]) for k in b)
+
+    def test_partition_invariance(self, spark):
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, (i * 13) % 50) for i in range(60)]
+        df1 = spark.createDataFrame(rows, "k long, s long")
+        df2 = spark.createDataFrame(
+            list(reversed(rows)), "k long, s long").repartition(9)
+        pick = lambda df: sorted(  # noqa: E731
+            (r["k"], r["stage"], r["shard"], r["pos"])
+            for r in sampling.curriculum_order(
+                df, "k", "s", num_shards=4).collect())
+        assert pick(df1) == pick(df2)
+
+
 class TestPaddingWaste:
     def test_known_buckets_and_waste(self, spark):
         from spark_expectations_spark.operators import packing
