@@ -222,6 +222,25 @@ def main() -> None:
     print("exact distinct docs per source:",
           sketches.bitmap_distinct_rollup(bm, ["source"]).count(),
           "sources")
+
+    # loader addressing: dense global ids (no single-task sort),
+    # curriculum stages, and the padding report that picks batch buckets
+    idx = sampling.dense_global_index(docs, ["n_chars", "doc_id"],
+                                      num_buckets=16)
+    print("max global_id:",
+          idx.agg(F.max("global_id")).first()[0])
+    cur = sampling.curriculum_order(docs, "doc_id", "n_chars",
+                                    num_shards=8)
+    print("curriculum stage sizes:",
+          sorted((r["stage"], r["n"]) for r in
+                 cur.groupBy("stage").agg(F.count("*").alias("n"))
+                 .collect()))
+    toks = docs.select("doc_id",
+                       text.token_count(F.col("text")).alias("w"))
+    waste = packing.padding_waste_report(toks, "w", [20, 24, 28])
+    print("padding waste frac by bucket:",
+          sorted((r["bucket"], r["waste_frac"]) for r in
+                 waste.collect()))
     spark.stop()
 
 
