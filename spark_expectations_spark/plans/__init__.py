@@ -164,6 +164,67 @@ def has_partial_aggregation(df: DataFrame) -> bool:
     return "partial_" in txt or bool(re.search(r"Functions \[\d+\]: partial", txt))
 
 
+def execution_metrics(df: DataFrame, *, execute: bool = True) -> dict:
+    """Aggregate the executed plan's SQL metrics by name — the numbers
+    the Spark UI shows per operator (``shuffle bytes written``,
+    ``records read``, ``spill size``, ``number of output rows``, ...),
+    summed across operators and returned as ``{metric_name: total}``.
+    The measurement companion to :func:`plan_lint`: lint says what the
+    plan WOULD do, this says what a run actually moved — assert
+    "shuffle bytes stayed under X" or "nothing spilled" in a perf test
+    instead of eyeballing the UI.
+
+    By default runs the frame once (toLocalIterator drain, one
+    partition held at a time — same contract as
+    :func:`whole_stage_codegen_spans`); pass ``execute=False`` if an
+    action already ran on THIS frame. Walks the JVM plan via py4j,
+    descending into AQE's final plan; returns ``{}`` under Spark
+    Connect (no ``_jdf``). Metric names are Spark-version-dependent —
+    match loosely (``[k for k in m if "spill" in k]``)."""
+    if execute:
+        for _ in df.toLocalIterator():
+            pass
+    try:
+        root = df._jdf.queryExecution().executedPlan()
+    except Exception:   # Spark Connect: no JVM handle
+        return {}
+    totals: dict = {}
+
+    def walk(node) -> None:
+        # AdaptiveSparkPlanExec hides the real tree behind its final
+        # plan, and AQE query-stage nodes (ResultQueryStageExec /
+        # ShuffleQueryStageExec) wrap their materialized subtree in
+        # plan() with empty metrics/children of their own
+        for attr in ("executedPlan", "finalPhysicalPlan", "plan"):
+            try:
+                inner = getattr(node, attr)()
+                if inner is not None and inner is not node:
+                    walk(inner)
+                    return
+            except Exception:  # noqa: BLE001 - not an AQE node
+                pass
+        try:
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                name = kv._1() if not hasattr(kv, "_2$mcJ$sp") else kv._1()
+                metric = kv._2()
+                label = metric.name().get() if metric.name().isDefined() \
+                    else str(name)
+                totals[label] = totals.get(label, 0) + int(metric.value())
+        except Exception:  # noqa: BLE001 - metric-less wrapper nodes
+            pass
+        try:
+            ch = node.children()
+            for i in range(ch.size()):
+                walk(ch.apply(i))
+        except Exception:  # noqa: BLE001 - leaf
+            pass
+
+    walk(root)
+    return totals
+
+
 #: lint severities, strongest first
 _LINT_SEVERITIES = ("error", "warn", "info")
 

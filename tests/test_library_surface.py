@@ -725,6 +725,30 @@ class TestPlanLint:
             allow=("single-partition-exchange", "filter-not-pushed"))
 
 
+class TestExecutionMetrics:
+    def test_map_side_combine_visible_in_shuffle_records(self, spark,
+                                                         lineitem):
+        """The 3-group aggregate must shuffle ~3 records per map task,
+        not 6000 rows — partial aggregation made measurable."""
+        from spark_expectations_spark import plans
+        df = (lineitem.groupBy("l_returnflag")
+              .agg(F.sum("l_extendedprice").alias("rev")))
+        m = plans.execution_metrics(df)
+        assert m.get("number of output rows", 0) > 0
+        n_maps = lineitem.rdd.getNumPartitions()
+        assert 0 < m["shuffle records written"] <= 3 * n_maps
+        assert m.get("spill size", 0) == 0
+
+    def test_zero_shuffle_projection_writes_no_shuffle(self, spark,
+                                                       lineitem):
+        from spark_expectations_spark import plans
+        df = lineitem.select("l_orderkey",
+                             (F.col("l_quantity") * 2).alias("q2"))
+        m = plans.execution_metrics(df)
+        assert m.get("shuffle records written", 0) == 0
+        assert m.get("number of output rows", 0) >= 6000
+
+
 class TestPlanShapes:
     def test_filter_pushdown_to_scan(self, spark, lineitem):
         df = lineitem.filter(F.col("l_quantity") > 10).select("l_orderkey")
