@@ -28,7 +28,103 @@ from ..plans import estimated_size_bytes
 
 __all__ = ["compact_small_files", "interleave_bits", "zorder_write",
            "clustering_report", "analyze_tables", "dataset_manifest",
-           "manifest_diff"]
+           "manifest_diff", "publish_version", "current_version",
+           "read_current", "set_current"]
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path class) for ``path`` via the JVM Hadoop API —
+    works for local, HDFS, and s3a URIs alike."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
+
+
+def publish_version(
+    df: DataFrame,
+    root: str,
+    *,
+    version: Optional[int] = None,
+) -> int:
+    """Versioned snapshot publish — the machinery behind this module's
+    "write new, then flip; never overwrite a directory being read"
+    rule: write ``df`` fully to ``root/v=<n>/``, THEN flip the
+    ``root/_CURRENT`` pointer (write-tmp + rename, the closest thing to
+    atomic every Hadoop filesystem offers). :func:`read_current`
+    readers see the old version until the flip and the new one after —
+    never a half-written directory. Rollback is rewriting the pointer;
+    old versions stay until explicitly retired.
+
+    ``version`` defaults to max existing + 1. Returns the published
+    version number. Concurrent publishers are NOT coordinated (last
+    rename wins) — serialize publishes per dataset upstream."""
+    spark = df.sparkSession
+    fs, Path = _hadoop_fs(spark, root)
+    if version is None:
+        version = (_max_version(fs, Path, root) or 0) + 1
+    df.write.mode("overwrite").parquet(f"{root}/v={int(version)}")
+    # writeUTF/readUTF framing: the one py4j-unambiguous (write|read)
+    # pair on Hadoop's Data(Out|In)putStream (a bare read() is an
+    # overload py4j cannot resolve)
+    set_current(spark, root, int(version))
+    return int(version)
+
+
+def _max_version(fs, Path, root: str) -> Optional[int]:
+    rp = Path(root)
+    if not fs.exists(rp):
+        return None
+    best = None
+    for st in fs.listStatus(rp):
+        name = st.getPath().getName()
+        m = re.fullmatch(r"v=(\d+)", name)
+        if m:
+            v = int(m.group(1))
+            best = v if best is None else max(best, v)
+    return best
+
+
+def set_current(spark: SparkSession, root: str, version: int) -> None:
+    """Point ``_CURRENT`` at an already-published version — the
+    rollback/promote primitive (publish keeps old ``v=<n>`` dirs
+    intact, so rollback is just a pointer rewrite). Raises if the
+    version directory does not exist."""
+    fs, Path = _hadoop_fs(spark, root)
+    if not fs.exists(Path(f"{root}/v={int(version)}")):
+        raise FileNotFoundError(f"{root}/v={int(version)} not published")
+    tmp = Path(f"{root}/_CURRENT.tmp")
+    out = fs.create(tmp, True)
+    out.writeUTF(str(int(version)))
+    out.close()
+    cur = Path(f"{root}/_CURRENT")
+    if fs.exists(cur):
+        fs.delete(cur, False)
+    if not fs.rename(tmp, cur):
+        raise IOError(f"pointer flip failed for {root}")
+
+
+def current_version(spark: SparkSession, root: str) -> Optional[int]:
+    """The published version the ``_CURRENT`` pointer names, or None if
+    nothing has been published."""
+    fs, Path = _hadoop_fs(spark, root)
+    cur = Path(f"{root}/_CURRENT")
+    if not fs.exists(cur):
+        return None
+    stream = fs.open(cur)
+    try:
+        return int(stream.readUTF().strip())
+    finally:
+        stream.close()
+
+
+def read_current(spark: SparkSession, root: str) -> DataFrame:
+    """Load the currently-published snapshot of a
+    :func:`publish_version` dataset."""
+    v = current_version(spark, root)
+    if v is None:
+        raise FileNotFoundError(f"no published version under {root}")
+    return spark.read.parquet(f"{root}/v={v}")
 
 
 def compact_small_files(

@@ -352,6 +352,42 @@ class TestKafkaJarGatedSmoke:
         assert writer.kafka_connector_available(spark) in (True, False)
 
 
+class TestPublishVersion:
+    def test_publish_flip_read_rollback(self, spark, tmp_path):
+        from spark_expectations_spark.sinks import layout
+        root = str(tmp_path / "ds")
+        v1 = layout.publish_version(spark.range(0, 10), root)
+        assert v1 == 1
+        assert layout.current_version(spark, root) == 1
+        assert layout.read_current(spark, root).count() == 10
+        # publishing v2 does not disturb v1's files; pointer flips
+        v2 = layout.publish_version(spark.range(0, 25), root)
+        assert (v2, layout.current_version(spark, root)) == (2, 2)
+        assert layout.read_current(spark, root).count() == 25
+        assert spark.read.parquet(f"{root}/v=1").count() == 10
+        # rollback = pointer rewrite, no data movement
+        layout.set_current(spark, root, 1)
+        assert layout.read_current(spark, root).count() == 10
+        with pytest.raises(FileNotFoundError, match="not published"):
+            layout.set_current(spark, root, 99)
+
+    def test_read_before_any_publish_raises(self, spark, tmp_path):
+        from spark_expectations_spark.sinks import layout
+        with pytest.raises(FileNotFoundError, match="no published"):
+            layout.read_current(spark, str(tmp_path / "missing"))
+        assert layout.current_version(
+            spark, str(tmp_path / "missing")) is None
+
+    def test_explicit_version_and_monotonic_default(self, spark,
+                                                    tmp_path):
+        from spark_expectations_spark.sinks import layout
+        root = str(tmp_path / "ds2")
+        assert layout.publish_version(spark.range(3), root,
+                                      version=7) == 7
+        # default continues above the explicit high-water mark
+        assert layout.publish_version(spark.range(4), root) == 8
+
+
 class TestAnalyzeAndManifest:
     def test_analyze_tables_lands_cbo_stats(self, spark, tmp_path):
         from spark_expectations_spark.sinks import layout
