@@ -147,6 +147,169 @@ def extract_features(
     return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
 
 
+def _fake_pixels(data: bytes, h: int, w: int):
+    """Deterministic md5-seeded grayscale grid — the pixel twin of
+    ``_fake_decode``: identical binaries hash identically, so the
+    banding/verify machinery downstream is fully testable codec-free."""
+    import numpy as np
+
+    seed = data if data is not None else b""
+    raw = bytearray()
+    counter = 0
+    while len(raw) < h * w:
+        raw += hashlib.md5(seed + counter.to_bytes(4, "little")).digest()
+        counter += 1
+    return np.frombuffer(bytes(raw[:h * w]),
+                         dtype=np.uint8).reshape(h, w).astype(float)
+
+
+def probe_pixel_decoder(h: int, w: int) -> Optional[Callable]:
+    """Pillow-backed bytes → ``h×w`` grayscale float array, or None
+    without Pillow (probe-and-prefer, like :func:`probe_image_decoder`)."""
+    try:
+        from PIL import Image as _Image
+    except ImportError:
+        return None
+    import io
+
+    import numpy as np
+
+    def decode(b: bytes):
+        img = _Image.open(io.BytesIO(b)).convert("L").resize((w, h))
+        return np.asarray(img, dtype=float)
+
+    return decode
+
+
+def perceptual_hash(
+    df: DataFrame,
+    *,
+    id_col: str,
+    binary_col: str,
+    out: str = "phash",
+    decode_fn: Optional[Callable] = None,
+    codec: str = "fake",
+) -> DataFrame:
+    """64-bit difference-hash (dHash) per image — the standard
+    perceptual fingerprint for image dedup at corpus scale: decode to
+    a 9×8 grayscale grid, emit one bit per horizontal neighbor
+    comparison; near-identical images differ in a few bits, so
+    :func:`phash_near_dups` finds candidates by Hamming banding
+    without any pairwise pass over the corpus.
+
+    The decode follows :func:`extract_features`'s probe-and-prefer
+    contract (explicit ``decode_fn`` > ``codec='image'`` probing
+    Pillow > deterministic md5-pixel fake) — the HASH math is real and
+    runs on whatever pixels the decoder yields, so injected known
+    gradients make the bit layout unit-testable codec-free. Arrow-
+    batched ``mapInPandas``, numpy per batch; NULL bytes → NULL hash.
+    Returns (id, ``out`` long)."""
+    import numpy as np
+
+    H, W = 8, 9
+    if decode_fn is None:
+        if codec == "image":
+            decode_fn = probe_pixel_decoder(H, W)
+        elif codec != "fake":
+            raise NotImplementedError(
+                f"codec {codec!r}: pass decode_fn or use 'image'/'fake'")
+        if decode_fn is None:
+            decode_fn = lambda b: _fake_pixels(b, H, W)  # noqa: E731
+
+    out_schema = StructType([
+        StructField(id_col, LongType()),
+        StructField(out, LongType()),
+    ])
+
+    def _dhash(b) -> Optional[int]:
+        if b is None:
+            return None
+        px = np.asarray(decode_fn(bytes(b)), dtype=float)
+        if px.shape != (H, W):     # decoder returned another size —
+            # nearest-neighbor resample so ANY pixel source works
+            ys = (np.arange(H) * px.shape[0] // H)
+            xs = (np.arange(W) * px.shape[1] // W)
+            px = px[np.ix_(ys, xs)]
+        bits = (px[:, 1:] > px[:, :-1]).flatten()
+        acc = 0
+        for bit in bits:
+            acc = (acc << 1) | int(bit)
+        return int(np.int64(np.uint64(acc)))   # signed 64-bit for Spark
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                out: pd.array([_dhash(b) for b in pdf[binary_col]],
+                              dtype="Int64"),
+            })
+
+    return df.select(id_col, binary_col).mapInPandas(batches, out_schema)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hash columns — one codegen
+    ``bit_count(a XOR b)``."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def phash_near_dups(
+    df: DataFrame,
+    id_col: str,
+    *,
+    phash_col: str = "phash",
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    WITHOUT an all-pairs comparison: split the 64-bit hash into
+    ``max_hamming + 1`` bands — two hashes within ``max_hamming`` bits
+    must agree on at least one whole band (pigeonhole), so candidates
+    come from one (band, value) groupBy + in-bucket pair explode (the
+    SimHash banding shape) and only candidates pay the exact
+    ``bit_count`` verify. Returns (id_a, id_b, hamming) with
+    ``id_a < id_b``, deduped across bands.
+
+    Shuffle is (8-byte band value, id) posting lists; a band shared by
+    k hashes explodes k·(k−1)/2 in-bucket pairs — identical images
+    land in every band's bucket together, so dedup EXACT duplicates
+    first (groupBy the full hash) if the corpus has many."""
+    bands = max_hamming + 1
+    width = 64 // bands
+    h = F.col(phash_col)
+    entries = F.array(*[
+        F.struct(F.lit(i).alias("band"),
+                 F.shiftrightunsigned(h, i * width)
+                 .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
+        for i in range(bands)])
+    ex = (df.filter(h.isNotNull())
+          .select(F.col(id_col), h.alias("__h"),
+                  F.explode(entries).alias("__b"))
+          .select(id_col, "__h", "__b.band", "__b.v"))
+    grouped = (ex.groupBy("band", "v")
+               .agg(F.collect_list(F.struct(F.col(id_col).alias("i"),
+                                            F.col("__h").alias("h")))
+                    .alias("__members"))
+               .filter(F.size("__members") > 1))
+    pairs = (grouped.select(
+        F.explode(F.filter(
+            F.flatten(F.transform(
+                F.col("__members"),
+                lambda a: F.transform(F.col("__members"),
+                                      lambda b: F.struct(
+                                          a["i"].alias("id_a"),
+                                          b["i"].alias("id_b"),
+                                          a["h"].alias("ha"),
+                                          b["h"].alias("hb"))))),
+            lambda p: p["id_a"] < p["id_b"])).alias("__p"))
+        .select("__p.id_a", "__p.id_b", "__p.ha", "__p.hb")
+        .distinct())
+    return (pairs
+            .withColumn("hamming",
+                        hamming64(F.col("ha"), F.col("hb")).cast("int"))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def frame_sample_plan(
     df: DataFrame,
     *,

@@ -4888,6 +4888,50 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs (multimodal.phash_near_dups
+    — Hamming banding + exact bit_count verify, the image-dedup path).
+    The hash EXTRACTION (perceptual_hash's mapInPandas dHash) has no
+    SQL twin, so the catalog plants engine-portable hashes instead: a
+    60-bit md5 prefix per doc plus a twin copy perturbed by doc_id%16
+    (≤4 bits) — every twin is within the Hamming radius of its base,
+    random cross-pairs are ~0, and the oracle verifies the SAME pair
+    set from an all-pairs bit_count(xor) formulation (lossless at this
+    corpus size; the banding path is the one that scales). The dHash
+    bit layout itself is pinned exactly in TestPerceptualHash with
+    injected pixel decoders."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long").alias("phash"))
+    twins = base.select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.col("phash").bitwiseXOR(F.col("doc_id") % 16).alias("phash"))
+    out = multimodal.phash_near_dups(base.unionByName(twins), "doc_id",
+                                     max_hamming=4)
+    return out.select("id_a", "id_b", "hamming")
+
+
+ORACLE_DOCS_PHASH_DUPS = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS phash
+  FROM documents),
+all_h AS (
+  SELECT doc_id, phash FROM base
+  UNION ALL
+  SELECT doc_id + 10000 AS doc_id, xor(phash, doc_id % 16) AS phash
+  FROM base)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM all_h a JOIN all_h b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 4
+"""
+
+
 def q_docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum dataloader addresses (sampling.curriculum_order):
     stage = ascending n_chars quartile (integer scores + exact-binary
@@ -5376,12 +5420,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 11 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 12 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
-#          docs_padding_waste, docs_curriculum) +
-#          29 re-gate fills drawn from the families the r6 rotation
+#          docs_padding_waste, docs_curriculum, docs_phash_dups) +
+#          28 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5402,7 +5446,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_normalize", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
-    "docs_padding_waste", "docs_curriculum",
+    "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5413,7 +5457,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact",
     "lineitem_profile", "orders_fk_profile", "lineitem_correlations",
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
-    "docs_train_split", "docs_weighted_sample", "docs_group_sample",
+    "docs_train_split", "docs_weighted_sample",
     "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
     "orders_snapshot_diff", "events_asof_purchase",
 ]
@@ -5572,6 +5616,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_global_index": q_docs_global_index,
     "docs_padding_waste": q_docs_padding_waste,
     "docs_curriculum": q_docs_curriculum,
+    "docs_phash_dups": q_docs_phash_dups,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5717,4 +5762,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_global_index": ORACLE_DOCS_GLOBAL_INDEX,
     "docs_padding_waste": ORACLE_DOCS_PADDING_WASTE,
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
+    "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
 }

@@ -931,6 +931,59 @@ class TestIncrementalDedup:
         assert [(r["doc_id"], r["fingerprint"]) for r in out] == [(1, "x")]
 
 
+class TestPerceptualHash:
+    def test_known_gradient_bits(self, spark):
+        """Injected pixel decoders make the dHash bit layout exact: a
+        strictly increasing row yields all-ones bits, strictly
+        decreasing all-zeros."""
+        from spark_expectations_spark.operators import multimodal as mm
+        df = spark.createDataFrame([(1, bytearray(b"x")),
+                                    (2, bytearray(b"y"))],
+                                   "id long, b binary")
+        inc = lambda b: [[float(c) for c in range(9)]] * 8  # noqa: E731
+        dec = lambda b: [[float(9 - c) for c in range(9)]] * 8  # noqa: E731
+        hi = {r["id"]: r["phash"] for r in mm.perceptual_hash(
+            df, id_col="id", binary_col="b", decode_fn=inc).collect()}
+        lo = {r["id"]: r["phash"] for r in mm.perceptual_hash(
+            df, id_col="id", binary_col="b", decode_fn=dec).collect()}
+        assert hi[1] == -1                   # 64 ones, signed view
+        assert lo[1] == 0
+        assert hi[1] == hi[2] and lo[1] == lo[2]
+
+    def test_identical_bytes_identical_hash_null_passthrough(self,
+                                                             spark):
+        from spark_expectations_spark.operators import multimodal as mm
+        df = spark.createDataFrame(
+            [(1, bytearray(b"same")), (2, bytearray(b"same")),
+             (3, bytearray(b"other")), (4, None)],
+            "id long, b binary")
+        got = {r["id"]: r["phash"] for r in mm.perceptual_hash(
+            df, id_col="id", binary_col="b").collect()}
+        assert got[1] == got[2] != got[3]
+        assert got[4] is None
+
+    def test_near_dup_banding_finds_close_pairs_only(self, spark):
+        """Planted hashes: 2 bits apart (candidate + verified), 20 bits
+        apart (must be excluded even when a band collides), identical
+        (hamming 0, found once despite appearing in every band)."""
+        from spark_expectations_spark.operators import multimodal as mm
+        base = 0x0123456789ABCDEF
+        rows = [(1, base), (2, base ^ 0b11), (3, base ^ ((1 << 20) - 1)),
+                (4, base)]
+        df = spark.createDataFrame(rows, "id long, phash long")
+        got = {(r["id_a"], r["id_b"]): r["hamming"]
+               for r in mm.phash_near_dups(df, "id",
+                                           max_hamming=4).collect()}
+        assert got[(1, 2)] == 2 and got[(2, 4)] == 2
+        assert got[(1, 4)] == 0
+        assert all(a != 3 and b != 3 for a, b in got)
+        # hamming64 column twin agrees
+        from pyspark.sql import functions as F
+        d = spark.createDataFrame([(base, base ^ 0b11)], "a long, b long")
+        assert d.select(mm.hamming64(F.col("a"), F.col("b"))
+                        .alias("h")).first()["h"] == 2
+
+
 class TestMultimodal:
     def test_feature_extraction_deterministic(self, docs):
         with_bin = multimodal.synthesize_binary_column(docs.limit(20), "text")
