@@ -870,7 +870,11 @@ def ivf_pq_topk(
     """
     kcw = len(codebooks[0])
     cent = centroids.withColumn("__cn", _norm(F.col("centroid")))
+    # NULL query vectors are dropped up front: their NULL LUT would
+    # yield NULL ADC for every candidate, and ascending NULLS-FIRST
+    # ordering would then rank arbitrary junk as their top-k
     q = (queries
+         .filter(F.col(vec_col).isNotNull())
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("__qv"))
          .withColumn("__qn", _norm(F.col("__qv")))

@@ -3837,6 +3837,11 @@ class TestIvfPqTopk:
         # nprobe=1 from a cluster-0 query: only cell-0 mates, and the
         # NULL-coded vec 5 (cell 0) never appears
         assert {r["neighbor_id"] for r in got} == {2}
+        # NULL-vector QUERIES are dropped, not ranked over NULL ADC
+        null_q = emb.filter(F.col("vec_id") == 5)
+        assert similarity.ivf_pq_topk(
+            enc, cents, null_q, codebooks=self.BOOKS,
+            k=3, nprobe=2).count() == 0
 
     def test_lut_path_matches_decode_path_on_real_vectors(self, spark):
         """Table-scale contract: with every cell probed, the LUT/ADC
