@@ -276,12 +276,15 @@ def plan_lint(df: DataFrame) -> list[dict]:
     if "CartesianProduct" in txt:
         add("cartesian-product", "error",
             "CartesianProduct node: unkeyed join multiplies row counts")
-    for m in re.finditer(r"BroadcastNestedLoopJoin\s+BuildRight,?\s*(\w+)",
-                         txt):
+    # node prints as "BroadcastNestedLoopJoin <JoinType> Build<Side>"
+    # in formatted mode and "BroadcastNestedLoopJoin Build<Side>,
+    # <JoinType>" in simple mode — match the node name and report the
+    # rest of its line either way
+    for m in re.finditer(r"BroadcastNestedLoopJoin[ \t]*([^\n(]*)", txt):
         add("cartesian-product", "warn",
-            f"BroadcastNestedLoopJoin ({m.group(1)}): every row pairs "
-            "with the broadcast side — safe only when that side is "
-            "deliberately tiny")
+            f"BroadcastNestedLoopJoin {m.group(1).strip()}: every row "
+            "pairs with the broadcast side — safe only when that side "
+            "is deliberately tiny")
     n_row_udf = len(re.findall(r"BatchEvalPython", txt))
     if n_row_udf:
         add("python-row-udf", "error",

@@ -677,6 +677,18 @@ class TestPlanLint:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
             spark.conf.set("spark.sql.crossJoin.enabled", prev)
 
+    def test_broadcast_nested_loop_is_warn(self, spark):
+        """Small-side cross joins plan as BroadcastNestedLoopJoin (the
+        formatted layout puts the join type BEFORE the build side) —
+        must surface at warn."""
+        a = spark.range(50)
+        b = spark.range(3).withColumnRenamed("id", "id2")
+        j = a.crossJoin(F.broadcast(b))
+        found = [f for f in plans.plan_lint(j)
+                 if f["rule"] == "cartesian-product"]
+        assert found and found[0]["severity"] == "warn"
+        assert "BroadcastNestedLoopJoin" in found[0]["detail"]
+
     def test_row_python_udf_is_error(self, spark):
         from pyspark.sql.types import IntegerType
         inc = F.udf(lambda x: x + 1, IntegerType())     # test-only smell
