@@ -207,10 +207,9 @@ def execution_metrics(df: DataFrame, *, execute: bool = True) -> dict:
             it = node.metrics().iterator()
             while it.hasNext():
                 kv = it.next()
-                name = kv._1() if not hasattr(kv, "_2$mcJ$sp") else kv._1()
                 metric = kv._2()
                 label = metric.name().get() if metric.name().isDefined() \
-                    else str(name)
+                    else str(kv._1())
                 totals[label] = totals.get(label, 0) + int(metric.value())
         except Exception:  # noqa: BLE001 - metric-less wrapper nodes
             pass
