@@ -241,6 +241,17 @@ def main() -> None:
     print("padding waste frac by bucket:",
           sorted((r["bucket"], r["waste_frac"]) for r in
                  waste.collect()))
+
+    # image-dedup plumbing: synthesize binaries, perceptual-hash them,
+    # find Hamming-close pairs by banding (fake decode — the md5-pixel
+    # fallback — so this runs codec-free; duplicate binaries collide)
+    from spark_expectations_spark.operators import multimodal
+    media = multimodal.synthesize_binary_column(
+        docs.withColumn("dup_of", F.col("doc_id") % 250), "dup_of")
+    ph = multimodal.perceptual_hash(media, id_col="doc_id",
+                                    binary_col="media_bytes")
+    pairs = multimodal.phash_near_dups(ph, "doc_id", max_hamming=0)
+    print("exact phash dup pairs:", pairs.count())
     spark.stop()
 
 

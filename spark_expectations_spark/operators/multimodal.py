@@ -276,10 +276,16 @@ def phash_near_dups(
     bands = max_hamming + 1
     width = 64 // bands
     h = F.col(phash_col)
+
+    def _band(i: int):
+        if width >= 64:      # max_hamming=0: ONE band = the whole hash
+            # ((1<<64)-1 overflows a signed long literal)
+            return h.alias("v")
+        return (F.shiftrightunsigned(h, i * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
+
     entries = F.array(*[
-        F.struct(F.lit(i).alias("band"),
-                 F.shiftrightunsigned(h, i * width)
-                 .bitwiseAND(F.lit((1 << width) - 1)).alias("v"))
+        F.struct(F.lit(i).alias("band"), _band(i))
         for i in range(bands)])
     ex = (df.filter(h.isNotNull())
           .select(F.col(id_col), h.alias("__h"),

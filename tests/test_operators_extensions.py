@@ -982,6 +982,11 @@ class TestPerceptualHash:
         d = spark.createDataFrame([(base, base ^ 0b11)], "a long, b long")
         assert d.select(mm.hamming64(F.col("a"), F.col("b"))
                         .alias("h")).first()["h"] == 2
+        # max_hamming=0: one 64-bit band (a (1<<64)-1 mask literal
+        # would overflow a signed long) — exact-duplicate pairs only
+        exact = {(r["id_a"], r["id_b"]) for r in mm.phash_near_dups(
+            df, "id", max_hamming=0).collect()}
+        assert exact == {(1, 4)}
 
 
 class TestMultimodal:
