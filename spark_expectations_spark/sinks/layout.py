@@ -34,9 +34,17 @@ __all__ = ["compact_small_files", "interleave_bits", "zorder_write",
 
 def _hadoop_fs(spark: SparkSession, path: str):
     """(FileSystem, Path class) for ``path`` via the JVM Hadoop API —
-    works for local, HDFS, and s3a URIs alike."""
-    jvm = spark.sparkContext._jvm
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    works for local, HDFS, and s3a URIs alike. Raises a clear error
+    under Spark Connect (no JVM handle there; pointer flips need a
+    driver-side filesystem client)."""
+    try:
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+    except Exception as exc:  # Spark Connect: no sparkContext/_jvm
+        raise NotImplementedError(
+            "versioned publish needs driver-side Hadoop FS access (a "
+            "classic SparkSession); not available under Spark Connect"
+        ) from exc
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
 
