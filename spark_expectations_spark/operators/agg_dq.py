@@ -237,6 +237,54 @@ def evaluate_agg_rules_df(df: DataFrame, rules: Sequence[Rule]) -> DataFrame:
     return agg.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
+def evaluate_agg_rules_grouped(
+    df: DataFrame,
+    rules: Sequence[Rule],
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-SEGMENT aggregate assertions — the grouped extension of
+    :func:`evaluate_agg_rules_df`: every agg rule evaluated once per
+    ``group_cols`` combination, returning a tall
+    ``(*group_cols, rule, status, actual_value)`` frame. "avg price
+    between 30k and 40k" as a whole-table rule can pass while one
+    region is wildly off; this is the rule surface for "…FOR EVERY
+    segment".
+
+    One ``groupBy().agg()`` job for ALL rules (map-side partial
+    aggregation; Catalyst de-duplicates each rule's shared aggregate
+    child between the boolean and its actual), then a literal-array
+    explode — group-cardinality × rules rows, fully lazy/distributed,
+    so the result composes with fail-action gates
+    (``filter(status='fail')``) or the detailed-stats join. At 100 TB
+    this is the same single shuffle the business aggregation itself
+    would cost."""
+    if not rules:
+        raise ValueError("rules must be non-empty")
+    exprs: list[Column] = []
+    parsed: list[Optional[ParsedExpectation]] = []
+    for i, r in enumerate(rules):
+        exprs.append(F.expr(r.expectation).alias(f"__b{i}"))
+        p = parse_expectation(r.expectation)
+        parsed.append(p)
+        exprs.append(
+            F.expr(p.source_expr).cast("double").alias(f"__v{i}")
+            if p is not None else F.lit(None).cast("double").alias(f"__v{i}")
+        )
+    agg = df.groupBy(*group_cols).agg(*exprs)
+    structs = [
+        F.struct(
+            F.lit(r.rule).alias("rule"),
+            F.when(F.col(f"__b{i}"), F.lit("pass"))
+            .otherwise(F.lit("fail")).alias("status"),
+            F.col(f"__v{i}").alias("actual_value"),
+        )
+        for i, r in enumerate(rules)
+    ]
+    return (agg.select(*group_cols,
+                       F.explode(F.array(*structs)).alias("r"))
+            .select(*group_cols, "r.*"))
+
+
 def failed(results: Sequence[AggRuleResult]) -> list[AggRuleResult]:
     return [r for r in results if r.status == "fail"]
 

@@ -4888,6 +4888,50 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_lineitem_grouped_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment agg assertions (agg_dq.evaluate_agg_rules_grouped):
+    three agg rules evaluated per l_returnflag — the "for every
+    segment" rule surface a whole-table agg_dq can't express. ONE
+    groupBy job for all rules; actuals rounded to 4dp for value
+    parity."""
+    li = load(spark, sf_dir, "lineitem")
+    rules = [
+        Rule("p", "t", "agg_dq", "qty_sum", "l_quantity",
+             "sum(l_quantity) > 25000"),
+        Rule("p", "t", "agg_dq", "price_avg", "l_extendedprice",
+             "avg(l_extendedprice) between 30000 and 40000"),
+        Rule("p", "t", "agg_dq", "row_floor", "",
+             "count(*) > 1200"),
+    ]
+    out = agg_dq.evaluate_agg_rules_grouped(li, rules, ["l_returnflag"])
+    return out.select("l_returnflag", "rule", "status",
+                      F.round("actual_value", 4).alias("actual"))
+
+
+ORACLE_LINEITEM_GROUPED_DQ = """
+WITH g AS (
+  SELECT l_returnflag,
+         sum(l_quantity)::DOUBLE AS s,
+         avg(l_extendedprice) AS a,
+         count(*)::DOUBLE AS c
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, 'qty_sum' AS rule,
+       CASE WHEN s > 25000 THEN 'pass' ELSE 'fail' END AS status,
+       round(s, 4) AS actual
+FROM g
+UNION ALL
+SELECT l_returnflag, 'price_avg',
+       CASE WHEN a BETWEEN 30000 AND 40000 THEN 'pass' ELSE 'fail' END,
+       round(a, 4)
+FROM g
+UNION ALL
+SELECT l_returnflag, 'row_floor',
+       CASE WHEN c > 1200 THEN 'pass' ELSE 'fail' END,
+       round(c, 4)
+FROM g
+"""
+
+
 def q_docs_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate pairs (multimodal.phash_near_dups
     — Hamming banding + exact bit_count verify, the image-dedup path).
@@ -5420,12 +5464,13 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 12 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 13 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
-#          docs_padding_waste, docs_curriculum, docs_phash_dups) +
-#          28 re-gate fills drawn from the families the r6 rotation
+#          docs_padding_waste, docs_curriculum, docs_phash_dups,
+#          lineitem_grouped_dq) +
+#          27 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5447,6 +5492,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
+    "lineitem_grouped_dq",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5459,7 +5505,7 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
     "docs_train_split", "docs_weighted_sample",
     "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
-    "orders_snapshot_diff", "events_asof_purchase",
+    "orders_snapshot_diff",
 ]
 
 
@@ -5617,6 +5663,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_padding_waste": q_docs_padding_waste,
     "docs_curriculum": q_docs_curriculum,
     "docs_phash_dups": q_docs_phash_dups,
+    "lineitem_grouped_dq": q_lineitem_grouped_dq,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5763,4 +5810,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_padding_waste": ORACLE_DOCS_PADDING_WASTE,
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
+    "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
 }

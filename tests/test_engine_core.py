@@ -52,6 +52,32 @@ class TestRowDQ:
         assert res.final_df.count() == 2
         assert "meta_row_dq_results" not in res.final_df.columns
 
+    def test_grouped_rules_catch_per_segment_failures(self, spark):
+        """A whole-table rule can pass while one segment is off — the
+        grouped evaluator surfaces exactly which (group, rule) fails,
+        with per-group actuals."""
+        from spark_expectations_spark.operators import agg_dq
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 12), ("b", 10), ("b", 100)],
+            "seg string, v int")
+        rules = [
+            _rule(rule="avg_band", rule_type="agg_dq", column_name="v",
+                  expectation="avg(v) between 5 and 20"),
+            _rule(rule="cnt", rule_type="agg_dq", column_name="",
+                  expectation="count(*) >= 2"),
+        ]
+        # whole-table avg = 33 -> the global rule ALSO fails here, but
+        # the point is attribution: grouped shows a passes, b fails
+        got = {(r["seg"], r["rule"]): (r["status"], r["actual_value"])
+               for r in agg_dq.evaluate_agg_rules_grouped(
+                   df, rules, ["seg"]).collect()}
+        assert got[("a", "avg_band")] == ("pass", 11.0)
+        assert got[("b", "avg_band")] == ("fail", 55.0)
+        assert got[("a", "cnt")][0] == got[("b", "cnt")][0] == "pass"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="non-empty"):
+            agg_dq.evaluate_agg_rules_grouped(df, [], ["seg"])
+
     def test_fail_action(self, spark, simple3):
         rules = RuleSet([_rule(rule="gt1", expectation="col1 > 1",
                                action_if_failed="fail")])
@@ -95,6 +121,32 @@ class TestAggDQ:
         assert by_name["cnt_distinct"].status == "fail"
         assert by_name["cnt_distinct"].actual_value == 3
         assert res.status["source_agg_dq"] == "Failed"
+
+    def test_grouped_rules_catch_per_segment_failures(self, spark):
+        """A whole-table rule can pass while one segment is off — the
+        grouped evaluator surfaces exactly which (group, rule) fails,
+        with per-group actuals."""
+        from spark_expectations_spark.operators import agg_dq
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 12), ("b", 10), ("b", 100)],
+            "seg string, v int")
+        rules = [
+            _rule(rule="avg_band", rule_type="agg_dq", column_name="v",
+                  expectation="avg(v) between 5 and 20"),
+            _rule(rule="cnt", rule_type="agg_dq", column_name="",
+                  expectation="count(*) >= 2"),
+        ]
+        # whole-table avg = 33 -> the global rule ALSO fails here, but
+        # the point is attribution: grouped shows a passes, b fails
+        got = {(r["seg"], r["rule"]): (r["status"], r["actual_value"])
+               for r in agg_dq.evaluate_agg_rules_grouped(
+                   df, rules, ["seg"]).collect()}
+        assert got[("a", "avg_band")] == ("pass", 11.0)
+        assert got[("b", "avg_band")] == ("fail", 55.0)
+        assert got[("a", "cnt")][0] == got[("b", "cnt")][0] == "pass"
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="non-empty"):
+            agg_dq.evaluate_agg_rules_grouped(df, [], ["seg"])
 
     def test_fail_action(self, spark, simple3):
         rules = RuleSet([_rule(rule="big", rule_type="agg_dq",
