@@ -187,6 +187,7 @@ class DQEngine:
         summary, row = row_dq.summarize_flags_with(flags, stage_rules, exprs)
         res = agg_dq.results_from_row(agg_rules, parsed, row, prefix="__sagg")
         result.source_agg = res
+        self._attach_grouped_agg(df, agg_rules, result)
         result.status["source_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
         if self.config.enforce_fail:
             try:
@@ -207,9 +208,22 @@ class DQEngine:
         if n is not None:
             result.input_count = int(n)
         result.source_agg = res
+        self._attach_grouped_agg(
+            df, rules.for_stage(AGG_DQ, target=False), result)
         result.status["source_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
         if self.config.enforce_fail:
             agg_dq.enforce_fail_action(res, "source_agg_dq")
+
+    def _attach_grouped_agg(self, df: DataFrame, agg_rules,
+                            result: DQResult) -> None:
+        """Per-segment attribution (DQConfig.agg_group_cols): a LAZY
+        grouped evaluation of the same source agg rules — no job runs
+        unless the caller inspects the frame, and run status/gating
+        stay whole-table."""
+        cols = list(self.config.agg_group_cols or ())
+        if cols and agg_rules:
+            result.source_agg_grouped = agg_dq.evaluate_agg_rules_grouped(
+                df, agg_rules, cols)
 
     def _target_agg(self, df: DataFrame, rules: RuleSet, result: DQResult) -> None:
         res = agg_dq.evaluate_agg_rules(df, rules.for_stage(AGG_DQ, target=True))

@@ -89,6 +89,13 @@ class DQConfig:
     #: cache the projected frame between summary and error write. Sensible at
     #: test scale; at 100 TB prefer False (two scans beat caching 100 TB).
     cache_projected: bool = False
+    #: per-segment attribution for SOURCE agg rules: when set, every
+    #: source agg_dq rule is ALSO evaluated per combination of these
+    #: columns (operators/agg_dq.evaluate_agg_rules_grouped) and the
+    #: lazy tall frame lands in DQResult.source_agg_grouped — run
+    #: status/gating still come from the whole-table evaluation
+    #: (observational attribution; filter status='fail' downstream)
+    agg_group_cols: Sequence[str] = ()
     #: optional NotificationHub (notifications.py); receives
     #: start/completion/failure/threshold events
     notifications: Any = None
@@ -130,6 +137,9 @@ class DQResult:
     final_df: Any = None
     error_df: Any = None
     streaming_query: Any = None
+    #: lazy (group_cols..., rule, status, actual_value) frame when
+    #: DQConfig.agg_group_cols is set and source agg rules exist
+    source_agg_grouped: Any = None
 
     # -- derived metrics (reference core/context.py:1683-1732) --------------
     @property

@@ -78,6 +78,34 @@ class TestRowDQ:
         with _pytest.raises(ValueError, match="non-empty"):
             agg_dq.evaluate_agg_rules_grouped(df, [], ["seg"])
 
+    def test_engine_attaches_grouped_attribution(self, spark):
+        """DQConfig.agg_group_cols: the engine lands a lazy per-segment
+        frame next to the whole-table results without changing status
+        or gating."""
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 12), ("b", 10), ("b", 100)],
+            "seg string, v int")
+        rules = RuleSet([
+            _rule(rule="avg_band", rule_type="agg_dq", column_name="v",
+                  expectation="avg(v) between 5 and 40"),
+        ])
+        cfg = DQConfig(product_id="p", table_name="t",
+                       write_error_table=False,
+                       agg_group_cols=("seg",))
+        res = DQEngine(cfg).run(df, rules, spark)
+        # whole-table avg = 33 -> passes; segment b (55) fails — the
+        # grouped frame attributes it while the run stays green
+        assert res.status["source_agg_dq"] == "Passed"
+        grouped = {(r["seg"], r["rule"]): r["status"]
+                   for r in res.source_agg_grouped.collect()}
+        assert grouped == {("a", "avg_band"): "pass",
+                           ("b", "avg_band"): "fail"}
+        # unset config -> no frame
+        res2 = DQEngine(DQConfig(product_id="p", table_name="t",
+                                 write_error_table=False)).run(
+            df, rules, spark)
+        assert res2.source_agg_grouped is None
+
     def test_fail_action(self, spark, simple3):
         rules = RuleSet([_rule(rule="gt1", expectation="col1 > 1",
                                action_if_failed="fail")])
@@ -147,6 +175,34 @@ class TestAggDQ:
         import pytest as _pytest
         with _pytest.raises(ValueError, match="non-empty"):
             agg_dq.evaluate_agg_rules_grouped(df, [], ["seg"])
+
+    def test_engine_attaches_grouped_attribution(self, spark):
+        """DQConfig.agg_group_cols: the engine lands a lazy per-segment
+        frame next to the whole-table results without changing status
+        or gating."""
+        df = spark.createDataFrame(
+            [("a", 10), ("a", 12), ("b", 10), ("b", 100)],
+            "seg string, v int")
+        rules = RuleSet([
+            _rule(rule="avg_band", rule_type="agg_dq", column_name="v",
+                  expectation="avg(v) between 5 and 40"),
+        ])
+        cfg = DQConfig(product_id="p", table_name="t",
+                       write_error_table=False,
+                       agg_group_cols=("seg",))
+        res = DQEngine(cfg).run(df, rules, spark)
+        # whole-table avg = 33 -> passes; segment b (55) fails — the
+        # grouped frame attributes it while the run stays green
+        assert res.status["source_agg_dq"] == "Passed"
+        grouped = {(r["seg"], r["rule"]): r["status"]
+                   for r in res.source_agg_grouped.collect()}
+        assert grouped == {("a", "avg_band"): "pass",
+                           ("b", "avg_band"): "fail"}
+        # unset config -> no frame
+        res2 = DQEngine(DQConfig(product_id="p", table_name="t",
+                                 write_error_table=False)).run(
+            df, rules, spark)
+        assert res2.source_agg_grouped is None
 
     def test_fail_action(self, spark, simple3):
         rules = RuleSet([_rule(rule="big", rule_type="agg_dq",
