@@ -132,6 +132,20 @@ def render_html_report(result) -> str:
             rule_rows.append(tr(
                 [stage, r.rule.rule, r.rule.column_name, r.status,
                  r.actual_value, ""], r.status))
+    grouped = getattr(result, "source_agg_grouped", None)
+    if grouped is not None:
+        # per-segment attribution: FAILING segments only, capped — the
+        # grouped frame is group-cardinality × rules and a report must
+        # stay driver-safe
+        gcols = [c for c in grouped.columns
+                 if c not in ("rule", "status", "actual_value")]
+        fails = (grouped.filter(F.col("status") == "fail")
+                 .limit(50).collect())
+        for r in fails:
+            seg = ", ".join(f"{c}={r[c]}" for c in gcols)
+            rule_rows.append(tr(
+                ["source_agg_dq (segment)", r["rule"], seg, "fail",
+                 r["actual_value"], ""], "fail"))
     return _HTML_PAGE.format(
         run_id=esc(result.run_id),
         product_id=esc(result.product_id),

@@ -55,6 +55,19 @@ class TestReport:
         # escaping: no raw rule expectation injection vector
         assert "<script" not in html.lower()
 
+    def test_html_report_lists_failing_segments(self, spark, simple3):
+        from spark_expectations_spark.sinks.report import render_html_report
+        rules = RuleSet([
+            Rule("p1", "t", "agg_dq", "avg_band", "col3",
+                 "avg(col3) between 5 and 25"),
+        ])
+        cfg = DQConfig(product_id="p1", table_name="t",
+                       write_error_table=False,
+                       agg_group_cols=("col2",))
+        res = DQEngine(cfg).run(simple3, rules, spark)
+        html = render_html_report(res)
+        assert "(segment)" in html and "col2=" in html
+
     def test_detailed_stats_join(self, spark, simple3):
         res = _run(spark, simple3)
         d = detailed_stats_df(spark, res)
