@@ -451,6 +451,28 @@ class TestParagraphDedupDifferential:
             assert got[i] == "|".join(kept), (i, t)
 
 
+class TestDenseGlobalIndexProperty:
+    """dense_global_index == enumerate(sorted(...)) for arbitrary lead
+    values (duplicates, negatives, skew) and bucket counts — threshold
+    placement must never change the emitted rank."""
+
+    @given(
+        leads=st.lists(st.integers(-5, 5), min_size=1, max_size=40),
+        num_buckets=st.sampled_from([1, 2, 7, 64]),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_sorted_enumerate(self, spark, leads, num_buckets):
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, v) for i, v in enumerate(leads)]
+        df = spark.createDataFrame(rows, "k long, v long").repartition(3)
+        got = {r["k"]: r["global_id"]
+               for r in sampling.dense_global_index(
+                   df, ["v", "k"], num_buckets=num_buckets).collect()}
+        expect = {k: rank for rank, (v, k) in
+                  enumerate(sorted((v, k) for k, v in rows))}
+        assert got == expect
+
+
 class TestUrlNormalizeProperty:
     """url_normalize is a canonical form: idempotent (normalizing a
     normalized URL is the identity), and parse-stable (url_parts of the
