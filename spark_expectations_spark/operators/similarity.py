@@ -19,7 +19,7 @@ Embedding near-duplicate detection = cosine_topk/self with a threshold.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
