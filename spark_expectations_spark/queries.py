@@ -4888,6 +4888,82 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (text.strip_html → normalize_text): the
+    raw-crawl entry step. The documents table is plain text, so the
+    query wraps each doc in a deterministic HTML twin (style + script
+    blocks, a comment carrying the doc_id, heading/paragraph/div
+    structure, entities) — identical construction in the oracle — and
+    checks the strip+normalize pipeline restores canonical text
+    byte-for-byte. Two chained zero-shuffle regexp projections."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><style>p{color:red}</style>"
+              "<script>var a=1;</script></head><body><!-- id "),
+        F.col("doc_id").cast("string"),
+        F.lit(" --><h1>"), F.upper(F.substring("text", 1, 10)),
+        F.lit("</h1><p>"), F.substring("text", 11, 40),
+        F.lit(" &amp; more</p><div>"), F.substring("text", 51, 100000),
+        F.lit("</div></body></html>"))
+    stripped = text_ops.normalize_text(
+        text_ops.strip_html(html), lowercase=False)
+    return docs.select(
+        "doc_id",
+        F.length(stripped).alias("clean_len"),
+        F.md5(stripped).alias("clean_md5"))
+
+
+ORACLE_DOCS_STRIP_HTML = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head><style>p{color:red}</style>'
+         || '<script>var a=1;</script></head><body><!-- id '
+         || doc_id::VARCHAR || ' --><h1>' || upper(substr(text, 1, 10))
+         || '</h1><p>' || substr(text, 11, 40)
+         || ' &amp; more</p><div>' || substr(text, 51, 100000)
+         || '</div></body></html>' AS t
+  FROM documents),
+s AS (
+  SELECT doc_id,
+    replace(replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(t,
+                  '<script\b[^>]*>.*?</script\s*>', ' ', 'gis'),
+                '<style\b[^>]*>.*?</style\s*>', ' ', 'gis'),
+              '<noscript\b[^>]*>.*?</noscript\s*>', ' ', 'gis'),
+            '<!--.*?-->', ' ', 'gs'),
+          '<(?:br|/p|/div|/li|/h[1-6]|/tr|/ul|/ol)[^>]*>',
+          chr(10), 'gi'),
+        '<[^>]+>', ' ', 'gs'),
+      '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+      '&quot;', '"'), '&#39;', chr(39)), '&apos;', chr(39)) AS x
+  FROM h),
+norm AS (
+  SELECT doc_id,
+         trim(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(x, '\r\n', chr(10), 'g'),
+                     '[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]', '', 'g'),
+                   '\r', chr(10), 'g'),
+                 '[ \t]+', ' ', 'g'),
+               ' +\n', chr(10), 'g'),
+             '\n{2,}', chr(10) || chr(10), 'g')
+         ) AS n
+  FROM s)
+SELECT doc_id, length(n) AS clean_len, md5(n) AS clean_md5 FROM norm
+"""
+
+
 def q_lineitem_grouped_dq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-segment agg assertions (agg_dq.evaluate_agg_rules_grouped):
     three agg rules evaluated per l_returnflag — the "for every
@@ -5464,13 +5540,13 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 13 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 14 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
 #          docs_padding_waste, docs_curriculum, docs_phash_dups,
-#          lineitem_grouped_dq) +
-#          27 re-gate fills drawn from the families the r6 rotation
+#          lineitem_grouped_dq, docs_strip_html) +
+#          26 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5492,7 +5568,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
-    "lineitem_grouped_dq",
+    "lineitem_grouped_dq", "docs_strip_html",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5504,7 +5580,7 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_profile", "orders_fk_profile", "lineitem_correlations",
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
     "docs_train_split", "docs_weighted_sample",
-    "docs_winsorize", "docs_percentile_gate", "docs_ccnet_buckets",
+    "docs_winsorize", "docs_percentile_gate",
     "orders_snapshot_diff",
 ]
 
@@ -5664,6 +5740,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum": q_docs_curriculum,
     "docs_phash_dups": q_docs_phash_dups,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
+    "docs_strip_html": q_docs_strip_html,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5811,4 +5888,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
+    "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
 }

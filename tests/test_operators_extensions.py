@@ -3401,6 +3401,40 @@ class TestNormalizeText:
         assert self._one(spark, None) is None
 
 
+class TestStripHtml:
+    def _one(self, spark, s, **kw):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(s,)], "t string")
+        return df.select(T.strip_html(F.col("t"), **kw).alias("s")) \
+            .first()["s"]
+
+    def test_blocks_comments_tags_entities(self, spark):
+        html = ('<head><style>p{}</style><SCRIPT a="b">evil()</script>'
+                '</head><body><!-- note --><p>A &amp; B</p>'
+                '<div>C<br>D</div>&lt;E&gt;</body>')
+        got = self._one(spark, html)
+        # script/style CONTENT gone, comment gone, structure -> \n,
+        # entities decoded, no tags remain
+        assert "evil" not in got and "p{}" not in got
+        assert "note" not in got and "<" not in got.replace("<E>", "")
+        assert "A & B" in got and "<E>" in got
+        assert "C" in got and "\n" in got
+
+    def test_block_case_and_attrs(self, spark):
+        got = self._one(
+            spark, '<STYLE media="x">z</style>keep<NOSCRIPT>n</noscript>')
+        assert got.strip() == "keep"
+        # keep a block's content when it is not in drop_blocks
+        got2 = self._one(spark, "<style>z</style>keep",
+                         drop_blocks=("script",))
+        assert "z" in got2 and "keep" in got2
+
+    def test_entities_toggle_and_null(self, spark):
+        raw = "<p>A &amp; B</p>"
+        assert "&amp;" in self._one(spark, raw, decode_entities=False)
+        assert self._one(spark, None) is None
+
+
 class TestC4Filter:
     DOC = ("This is a good first sentence.\n"
            "tiny.\n"
