@@ -62,7 +62,7 @@ BENCH_QUERIES = [
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
-    "lineitem_grouped_dq", "docs_strip_html",
+    "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
 ]
 
 

@@ -278,6 +278,67 @@ def psi_with_edges(
                  F.count(F.lit(1)).alias("n_buckets_compared"))
 
 
+def js_divergence(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    edges: list,
+    *,
+    drop_nulls: bool = False,
+) -> DataFrame:
+    """Jensen–Shannon divergence between the two samples' histograms
+    over explicit ``edges`` — the bounded, symmetric member of the
+    drift family: PSI blows up on buckets one side barely populates and
+    KS only sees the worst CDF gap, while JSD ∈ [0, ln 2] always, is
+    symmetric, and weighs every bucket (``0.5·Σ p·ln(p/m) +
+    0.5·Σ q·ln(q/m)`` with ``m = (p+q)/2``). Natural-log formulation;
+    divide by ``ln 2`` for bits. Returns one row (jsd, n_base, n_cur).
+
+    Same scale shape and conventions as :func:`ks_statistic` (shared
+    fold-bucket histogram: two codegen passes, bucket-cardinality
+    state; persist ``edges`` with the baseline; NULLs to bucket 0
+    unless ``drop_nulls``); empty-bucket terms contribute 0 for the
+    empty side (lim x→0 of x·ln(x/m)), and an empty SIDE raises like
+    KS — the divergence is undefined there."""
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    if drop_nulls:
+        baseline = baseline.filter(F.col(col).isNotNull())
+        current = current.filter(F.col(col).isNotNull())
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) >= e, 1).otherwise(0))
+        return df.groupBy(b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(out))
+
+    j = (hist(baseline, "_nb").join(hist(current, "_nc"),
+                                    "bucket", "full_outer")
+         .select(F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+    tot = j.agg(F.sum("_nb").alias("_tb"), F.sum("_nc").alias("_tc"))
+    t = j.crossJoin(F.broadcast(tot)).select(
+        F.try_divide(F.col("_nb"), F.col("_tb")).alias("p"),
+        F.try_divide(F.col("_nc"), F.col("_tc")).alias("q"))
+    m = (F.col("p") + F.col("q")) / 2
+    term = (F.when(F.col("p") > 0,
+                   F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+            + F.when(F.col("q") > 0,
+                     F.col("q") * F.log(F.col("q") / m)).otherwise(0.0))
+    agg = (t.agg(F.sum(term).alias("_s"))
+           .crossJoin(F.broadcast(tot))
+           .select((F.col("_s") / 2).alias("jsd"),
+                   F.col("_tb").alias("n_base"),
+                   F.col("_tc").alias("n_cur")))
+    ok = (F.coalesce(F.col("n_base"), F.lit(0)) > 0) & \
+         (F.coalesce(F.col("n_cur"), F.lit(0)) > 0)
+    return agg.select(
+        F.when(ok, F.col("jsd")).otherwise(F.raise_error(F.lit(
+            "js_divergence: baseline or current side has no rows — "
+            "JSD is undefined on an empty sample"))).alias("jsd"),
+        "n_base", "n_cur")
+
+
 def ks_statistic(
     baseline: DataFrame,
     current: DataFrame,

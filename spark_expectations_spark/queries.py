@@ -4500,6 +4500,47 @@ FROM c, t GROUP BY tb, tc
 """
 
 
+def q_lineitem_price_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence (drift.js_divergence) between the same
+    deterministic lineitem halves lineitem_price_ks compares — the
+    bounded symmetric drift member over the SAME shared histogram fold.
+    Sum rounded to 8dp; per-bucket terms are double arithmetic over
+    identical integer histograms in both engines."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    d = drift.js_divergence(base, cur, "l_extendedprice", _KS_EDGES)
+    return d.select(F.round("jsd", 8).alias("jsd"), "n_base", "n_cur")
+
+
+ORACLE_LINEITEM_PRICE_JSD = f"""
+WITH base AS (
+  SELECT len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 0),
+cur AS (
+  SELECT len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+hb AS (SELECT bucket, count(*) AS nb FROM base GROUP BY bucket),
+hc AS (SELECT bucket, count(*) AS nc FROM cur GROUP BY bucket),
+j AS (SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+             coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
+t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+             CAST(sum(nc) AS BIGINT) AS tc FROM j),
+r AS (SELECT nb * 1.0 / tb AS p, nc * 1.0 / tc AS q FROM j, t)
+SELECT round(sum(
+         CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+         + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END
+       ) / 2, 8) AS jsd,
+       tb AS n_base, tc AS n_cur
+FROM r, t GROUP BY tb, tc
+"""
+
+
 def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token-distribution entropy (text.token_entropy): the
     repetitiveness quality signal; one explode + two map-side-combined
@@ -5540,13 +5581,13 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 14 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 15 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
 #          docs_padding_waste, docs_curriculum, docs_phash_dups,
-#          lineitem_grouped_dq, docs_strip_html) +
-#          26 re-gate fills drawn from the families the r6 rotation
+#          lineitem_grouped_dq, docs_strip_html, lineitem_price_jsd) +
+#          25 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5568,7 +5609,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
-    "lineitem_grouped_dq", "docs_strip_html",
+    "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5579,7 +5620,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact",
     "lineitem_profile", "orders_fk_profile", "lineitem_correlations",
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
-    "docs_train_split", "docs_weighted_sample",
+    "docs_train_split",
     "docs_winsorize", "docs_percentile_gate",
     "orders_snapshot_diff",
 ]
@@ -5741,6 +5782,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_phash_dups": q_docs_phash_dups,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "docs_strip_html": q_docs_strip_html,
+    "lineitem_price_jsd": q_lineitem_price_jsd,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5889,4 +5931,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
+    "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
 }

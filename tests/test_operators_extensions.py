@@ -3313,6 +3313,53 @@ class TestReadability:
         assert got[4]["n_sentences"] == 1  # fragment = one sentence
 
 
+class TestJsDivergence:
+    EDGES = [float(e) for e in range(10, 100, 10)]
+
+    def _df(self, spark, vals):
+        return spark.createDataFrame([(float(v),) for v in vals],
+                                     "x double")
+
+    def test_identical_zero_disjoint_ln2_symmetric(self, spark):
+        import math
+
+        from spark_expectations_spark.operators import drift
+        a = self._df(spark, range(0, 100))
+        assert drift.js_divergence(a, a, "x", self.EDGES) \
+            .first()["jsd"] == pytest.approx(0.0)
+        lo = self._df(spark, range(0, 10))      # bucket 0 only
+        hi = self._df(spark, range(90, 100))    # top bucket only
+        d1 = drift.js_divergence(lo, hi, "x", self.EDGES).first()["jsd"]
+        assert d1 == pytest.approx(math.log(2))  # the JSD upper bound
+        d2 = drift.js_divergence(hi, lo, "x", self.EDGES).first()["jsd"]
+        assert d2 == pytest.approx(d1)           # symmetry
+
+    def test_partial_overlap_matches_scipy_formula(self, spark):
+        import math
+
+        from spark_expectations_spark.operators import drift
+        base = self._df(spark, [5] * 3 + [15] * 1)   # p = (.75, .25)
+        cur = self._df(spark, [5] * 1 + [15] * 3)    # q = (.25, .75)
+        got = drift.js_divergence(base, cur, "x",
+                                  [10.0]).first()["jsd"]
+
+        def term(p, q):
+            m = (p + q) / 2
+            return p * math.log(p / m)
+        want = 0.5 * (term(.75, .25) + term(.25, .75)
+                      + term(.25, .75) + term(.75, .25))
+        assert got == pytest.approx(want)
+        # bounded strictly between 0 and ln 2 on partial overlap
+        assert 0 < got < math.log(2)
+
+    def test_empty_side_raises(self, spark):
+        from spark_expectations_spark.operators import drift
+        base = self._df(spark, range(0, 50))
+        empty = base.filter("x > 1000")
+        with pytest.raises(Exception, match="empty sample"):
+            drift.js_divergence(base, empty, "x", self.EDGES).collect()
+
+
 class TestKsStatistic:
     EDGES = [float(e) for e in range(10, 100, 10)]
 
