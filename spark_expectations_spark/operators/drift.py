@@ -278,6 +278,92 @@ def psi_with_edges(
                  F.count(F.lit(1)).alias("n_buckets_compared"))
 
 
+def drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    edges_by_col: dict,
+    *,
+    drop_nulls: bool = False,
+) -> DataFrame:
+    """The operational drift entry point: PSI, binned KS, AND
+    Jensen–Shannon for EVERY monitored column, in ONE job per side —
+    the nightly "did any of these 50 columns move" sweep that calling
+    the single-column operators 50× would turn into 100 scans.
+
+    ``edges_by_col`` maps column name → its persisted edge list (the
+    :func:`quantile_edges` contract). Per side, every column's
+    fold-bucket index is computed in the same projection and exploded
+    to ``(column, bucket)`` rows, so ONE groupBy shuffles a
+    (columns × buckets)-cardinality frame regardless of row count;
+    the per-column PSI (ε-clamped like :func:`psi_with_edges`), KS
+    (cumulative window PARTITIONED BY column — never global), and JSD
+    then aggregate that tiny frame. Returns one row per column:
+    ``(column, psi, ks, jsd, n_base, n_cur)``.
+
+    Conventions follow the single-column operators: NULLs to bucket 0
+    unless ``drop_nulls`` (then per-column non-NULL row counts), edges
+    persisted with the baseline. A column empty on either side (only
+    possible under ``drop_nulls``) yields NULL statistics rather than
+    raising — one all-NULL column must not kill the whole sweep."""
+    cols = list(edges_by_col)
+    if not cols:
+        raise ValueError("edges_by_col must be non-empty")
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        entries = []
+        for c, edges in edges_by_col.items():
+            arr = F.array(*[F.lit(float(e)) for e in edges])
+            b = F.aggregate(
+                arr, F.lit(0),
+                lambda acc, e: acc + F.when(F.col(c) >= e, 1)
+                .otherwise(0))
+            if drop_nulls:
+                b = F.when(F.col(c).isNotNull(), b)
+            entries.append(F.struct(F.lit(c).alias("column"),
+                                    b.alias("bucket")))
+        ex = (df.select(F.explode(F.array(*entries)).alias("e"))
+              .select("e.*").filter(F.col("bucket").isNotNull()))
+        return ex.groupBy("column", "bucket").agg(
+            F.count(F.lit(1)).alias(out))
+
+    j = (hist(baseline, "_nb")
+         .join(hist(current, "_nc"), ["column", "bucket"], "full_outer")
+         .select("column", "bucket",
+                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+    wt = Window.partitionBy("column")
+    wc = (Window.partitionBy("column").orderBy("bucket")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    t = (j.withColumn("_tb", F.sum("_nb").over(wt))
+         .withColumn("_tc", F.sum("_nc").over(wt))
+         .withColumn("p", F.try_divide(F.col("_nb"), F.col("_tb")))
+         .withColumn("q", F.try_divide(F.col("_nc"), F.col("_tc")))
+         .withColumn("_cb", F.sum("_nb").over(wc))
+         .withColumn("_cc", F.sum("_nc").over(wc)))
+    pe = F.greatest(F.coalesce(F.col("p"), F.lit(0.0)), F.lit(_EPS))
+    qe = F.greatest(F.coalesce(F.col("q"), F.lit(0.0)), F.lit(_EPS))
+    psi_term = (pe - qe) * F.log(pe / qe)
+    m = (F.col("p") + F.col("q")) / 2
+    jsd_term = (F.when(F.col("p") > 0,
+                       F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+                + F.when(F.col("q") > 0,
+                         F.col("q") * F.log(F.col("q") / m))
+                .otherwise(0.0))
+    ks_gap = F.abs(F.try_divide(F.col("_cb"), F.col("_tb"))
+                   - F.try_divide(F.col("_cc"), F.col("_tc")))
+    agg = (t.groupBy("column")
+           .agg(F.sum(psi_term).alias("psi"),
+                F.max(ks_gap).alias("ks"),
+                (F.sum(jsd_term) / 2).alias("jsd"),
+                F.max("_tb").alias("n_base"),
+                F.max("_tc").alias("n_cur")))
+    ok = (F.col("n_base") > 0) & (F.col("n_cur") > 0)
+    return agg.select(
+        "column",
+        *[F.when(ok, F.col(c)).alias(c) for c in ("psi", "ks", "jsd")],
+        "n_base", "n_cur")
+
+
 def js_divergence(
     baseline: DataFrame,
     current: DataFrame,

@@ -4541,6 +4541,76 @@ FROM r, t GROUP BY tb, tc
 """
 
 
+_DRIFT_REPORT_EDGES = {
+    "l_extendedprice": [10000.0 * i for i in range(1, 8)],
+    "l_quantity": [10.0, 20.0, 30.0, 40.0],
+    "l_discount": [0.02, 0.04, 0.06, 0.08],
+}
+
+
+def q_lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift sweep (drift.drift_report): PSI + binned KS +
+    Jensen–Shannon for three monitored columns in ONE job per side —
+    per-column fold-bucket indices computed in the same projection,
+    exploded to (column, bucket) rows, one groupBy over a
+    (columns × buckets)-cardinality frame, column-partitioned windows
+    (never global). The oracle recomputes each column's three
+    statistics independently with the proven single-column
+    formulations."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    rep = drift.drift_report(base, cur, _DRIFT_REPORT_EDGES)
+    return rep.select(
+        "column", F.round("psi", 8).alias("psi"),
+        F.round("ks", 8).alias("ks"), F.round("jsd", 8).alias("jsd"),
+        "n_base", "n_cur")
+
+
+def _oracle_lineitem_drift_report() -> str:
+    parts = []
+    for c, edges in _DRIFT_REPORT_EDGES.items():
+        e_sql = "[" + ", ".join(str(e) for e in edges) + "]"
+        parts.append(f"""
+SELECT '{c}' AS column, round(psi, 8) AS psi, round(ks, 8) AS ks,
+       round(jsd, 8) AS jsd, tb AS n_base, tc AS n_cur
+FROM (
+  WITH hb AS (
+    SELECT len(list_filter({e_sql}, e -> {c} >= e)) AS bucket,
+           count(*) AS nb
+    FROM lineitem WHERE l_orderkey % 2 = 0 GROUP BY 1),
+  hc AS (
+    SELECT len(list_filter({e_sql}, e -> {c} >= e)) AS bucket,
+           count(*) AS nc
+    FROM lineitem WHERE l_orderkey % 2 = 1 GROUP BY 1),
+  j AS (SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+               coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+        FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
+  t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+               CAST(sum(nc) AS BIGINT) AS tc FROM j),
+  r AS (SELECT bucket, tb, tc, nb * 1.0 / tb AS p, nc * 1.0 / tc AS q,
+               sum(nb) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) * 1.0 / tb AS cb,
+               sum(nc) OVER (ORDER BY bucket
+                             ROWS UNBOUNDED PRECEDING) * 1.0 / tc AS cc
+        FROM j, t)
+  SELECT
+    sum((greatest(p, 1e-6) - greatest(q, 1e-6))
+        * ln(greatest(p, 1e-6) / greatest(q, 1e-6))) AS psi,
+    max(abs(cb - cc)) AS ks,
+    sum(CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0 END
+        + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2)) ELSE 0 END
+       ) / 2 AS jsd,
+    any_value(tb) AS tb, any_value(tc) AS tc
+  FROM r)""")
+    return "\nUNION ALL\n".join(parts)
+
+
+ORACLE_LINEITEM_DRIFT_REPORT = _oracle_lineitem_drift_report()
+
+
 def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token-distribution entropy (text.token_entropy): the
     repetitiveness quality signal; one explode + two map-side-combined
@@ -5581,13 +5651,14 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 15 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 16 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
 #          docs_padding_waste, docs_curriculum, docs_phash_dups,
-#          lineitem_grouped_dq, docs_strip_html, lineitem_price_jsd) +
-#          25 re-gate fills drawn from the families the r6 rotation
+#          lineitem_grouped_dq, docs_strip_html, lineitem_price_jsd,
+#          lineitem_drift_report) +
+#          24 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5610,6 +5681,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
     "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
+    "lineitem_drift_report",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5618,7 +5690,7 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q22ish",
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact",
-    "lineitem_profile", "orders_fk_profile", "lineitem_correlations",
+    "lineitem_profile", "orders_fk_profile",
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
     "docs_train_split",
     "docs_winsorize", "docs_percentile_gate",
@@ -5783,6 +5855,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
+    "lineitem_drift_report": q_lineitem_drift_report,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -5932,4 +6005,5 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
+    "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,
 }

@@ -3313,6 +3313,49 @@ class TestReadability:
         assert got[4]["n_sentences"] == 1  # fragment = one sentence
 
 
+class TestDriftReport:
+    def test_matches_single_column_operators(self, spark):
+        """One-job sweep == the three proven single-column operators,
+        per column, bit-for-bit."""
+        from spark_expectations_spark.operators import drift
+        base = spark.createDataFrame(
+            [(float(i % 50), float(i % 7)) for i in range(200)],
+            "a double, b double")
+        cur = spark.createDataFrame(
+            [(float((i + 13) % 50), float(i % 11)) for i in range(180)],
+            "a double, b double")
+        edges = {"a": [10.0, 20.0, 30.0, 40.0], "b": [2.0, 5.0, 8.0]}
+        rep = {r["column"]: r for r in drift.drift_report(
+            base, cur, edges).collect()}
+        for c in edges:
+            assert rep[c]["psi"] == pytest.approx(
+                drift.psi_with_edges(base, cur, c,
+                                     edges[c]).first()["psi"])
+            assert rep[c]["ks"] == pytest.approx(
+                drift.ks_statistic(base, cur, c,
+                                   edges[c]).first()["ks"])
+            assert rep[c]["jsd"] == pytest.approx(
+                drift.js_divergence(base, cur, c,
+                                    edges[c]).first()["jsd"])
+            assert (rep[c]["n_base"], rep[c]["n_cur"]) == (200, 180)
+
+    def test_null_column_yields_null_stats_not_failure(self, spark):
+        """drop_nulls + an all-NULL column on one side: that column
+        reports NULL statistics; the other columns still compute."""
+        from spark_expectations_spark.operators import drift
+        base = spark.createDataFrame(
+            [(1.0, None), (2.0, None)], "a double, b double")
+        cur = spark.createDataFrame(
+            [(1.5, 1.0), (2.5, 2.0)], "a double, b double")
+        rep = {r["column"]: r for r in drift.drift_report(
+            base, cur, {"a": [2.0], "b": [1.5]},
+            drop_nulls=True).collect()}
+        assert rep["b"]["psi"] is None and rep["b"]["ks"] is None
+        assert rep["a"]["psi"] is not None
+        with pytest.raises(ValueError, match="non-empty"):
+            drift.drift_report(base, cur, {})
+
+
 class TestJsDivergence:
     EDGES = [float(e) for e in range(10, 100, 10)]
 
