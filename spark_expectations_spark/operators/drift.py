@@ -278,59 +278,33 @@ def psi_with_edges(
                  F.count(F.lit(1)).alias("n_buckets_compared"))
 
 
-def drift_report(
-    baseline: DataFrame,
-    current: DataFrame,
-    edges_by_col: dict,
-    *,
-    drop_nulls: bool = False,
-) -> DataFrame:
-    """The operational drift entry point: PSI, binned KS, AND
-    Jensen–Shannon for EVERY monitored column, in ONE job per side —
-    the nightly "did any of these 50 columns move" sweep that calling
-    the single-column operators 50× would turn into 100 scans.
+def _multi_hist(df: DataFrame, edges_by_col: dict,
+                drop_nulls: bool, out: str) -> DataFrame:
+    """(column, bucket, count) for EVERY monitored column in one pass:
+    per-column fold-bucket indices in the same scan projection,
+    exploded and group-counted (map-side partial) — shared by
+    :func:`drift_report` and :func:`histogram_snapshot`."""
+    entries = []
+    for c, edges in edges_by_col.items():
+        arr = F.array(*[F.lit(float(e)) for e in edges])
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(c) >= e, 1)
+            .otherwise(0))
+        if drop_nulls:
+            b = F.when(F.col(c).isNotNull(), b)
+        entries.append(F.struct(F.lit(c).alias("column"),
+                                b.alias("bucket")))
+    ex = (df.select(F.explode(F.array(*entries)).alias("e"))
+          .select("e.*").filter(F.col("bucket").isNotNull()))
+    return ex.groupBy("column", "bucket").agg(
+        F.count(F.lit(1)).alias(out))
 
-    ``edges_by_col`` maps column name → its persisted edge list (the
-    :func:`quantile_edges` contract). Per side, every column's
-    fold-bucket index is computed in the same projection and exploded
-    to ``(column, bucket)`` rows, so ONE groupBy shuffles a
-    (columns × buckets)-cardinality frame regardless of row count;
-    the per-column PSI (ε-clamped like :func:`psi_with_edges`), KS
-    (cumulative window PARTITIONED BY column — never global), and JSD
-    then aggregate that tiny frame. Returns one row per column:
-    ``(column, psi, ks, jsd, n_base, n_cur)``.
 
-    Conventions follow the single-column operators: NULLs to bucket 0
-    unless ``drop_nulls`` (then per-column non-NULL row counts), edges
-    persisted with the baseline. A column empty on either side (only
-    possible under ``drop_nulls``) yields NULL statistics rather than
-    raising — one all-NULL column must not kill the whole sweep."""
-    cols = list(edges_by_col)
-    if not cols:
-        raise ValueError("edges_by_col must be non-empty")
-
-    def hist(df: DataFrame, out: str) -> DataFrame:
-        entries = []
-        for c, edges in edges_by_col.items():
-            arr = F.array(*[F.lit(float(e)) for e in edges])
-            b = F.aggregate(
-                arr, F.lit(0),
-                lambda acc, e: acc + F.when(F.col(c) >= e, 1)
-                .otherwise(0))
-            if drop_nulls:
-                b = F.when(F.col(c).isNotNull(), b)
-            entries.append(F.struct(F.lit(c).alias("column"),
-                                    b.alias("bucket")))
-        ex = (df.select(F.explode(F.array(*entries)).alias("e"))
-              .select("e.*").filter(F.col("bucket").isNotNull()))
-        return ex.groupBy("column", "bucket").agg(
-            F.count(F.lit(1)).alias(out))
-
-    j = (hist(baseline, "_nb")
-         .join(hist(current, "_nc"), ["column", "bucket"], "full_outer")
-         .select("column", "bucket",
-                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
-                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+def _combine_drift(j: DataFrame) -> DataFrame:
+    """PSI + binned KS + JSD per column from an aligned
+    (column, bucket, _nb, _nc) histogram frame — the tiny-state combine
+    every drift entry point shares."""
     wt = Window.partitionBy("column")
     wc = (Window.partitionBy("column").orderBy("bucket")
           .rowsBetween(Window.unboundedPreceding, 0))
@@ -362,6 +336,93 @@ def drift_report(
         "column",
         *[F.when(ok, F.col(c)).alias(c) for c in ("psi", "ks", "jsd")],
         "n_base", "n_cur")
+
+
+def drift_report(
+    baseline: DataFrame,
+    current: DataFrame,
+    edges_by_col: dict,
+    *,
+    drop_nulls: bool = False,
+) -> DataFrame:
+    """The operational drift entry point: PSI, binned KS, AND
+    Jensen–Shannon for EVERY monitored column, in ONE job per side —
+    the nightly "did any of these 50 columns move" sweep that calling
+    the single-column operators 50× would turn into 100 scans.
+
+    ``edges_by_col`` maps column name → its persisted edge list (the
+    :func:`quantile_edges` contract). Per side, every column's
+    fold-bucket index is computed in the same projection and exploded
+    to ``(column, bucket)`` rows, so ONE groupBy shuffles a
+    (columns × buckets)-cardinality frame regardless of row count;
+    the per-column PSI (ε-clamped like :func:`psi_with_edges`), KS
+    (cumulative window PARTITIONED BY column — never global), and JSD
+    then aggregate that tiny frame. Returns one row per column:
+    ``(column, psi, ks, jsd, n_base, n_cur)``.
+
+    Conventions follow the single-column operators: NULLs to bucket 0
+    unless ``drop_nulls`` (then per-column non-NULL row counts), edges
+    persisted with the baseline. A column empty on either side (only
+    possible under ``drop_nulls``) yields NULL statistics rather than
+    raising — one all-NULL column must not kill the whole sweep.
+    When the baseline side is rescanned every run, persist it once with
+    :func:`histogram_snapshot` and use :func:`drift_from_snapshot`
+    instead."""
+    cols = list(edges_by_col)
+    if not cols:
+        raise ValueError("edges_by_col must be non-empty")
+    j = (_multi_hist(baseline, edges_by_col, drop_nulls, "_nb")
+         .join(_multi_hist(current, edges_by_col, drop_nulls, "_nc"),
+               ["column", "bucket"], "full_outer")
+         .select("column", "bucket",
+                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+    return _combine_drift(j)
+
+
+def histogram_snapshot(
+    df: DataFrame,
+    edges_by_col: dict,
+    *,
+    drop_nulls: bool = False,
+) -> DataFrame:
+    """Persistable multi-column histogram — the drift family's
+    mergeable baseline state: a (column, bucket, n) frame sized by
+    columns × buckets, NOT rows. Write it next to the baseline's edges
+    and every later run drifts against stored counts without
+    rescanning 100 TB of history (:func:`drift_from_snapshot`); counts
+    ADD, so incremental appends just write more snapshot rows and the
+    re-sum at read time merges them — the HLL/bitmap rollup philosophy
+    applied to drift."""
+    if not edges_by_col:
+        raise ValueError("edges_by_col must be non-empty")
+    return _multi_hist(df, edges_by_col, drop_nulls, "n")
+
+
+def drift_from_snapshot(
+    snapshot: DataFrame,
+    current: DataFrame,
+    edges_by_col: dict,
+    *,
+    drop_nulls: bool = False,
+) -> DataFrame:
+    """:func:`drift_report` with the baseline side read from a
+    persisted :func:`histogram_snapshot` table (possibly holding many
+    appended increments — they merge in the re-sum): one job over the
+    CURRENT data only, snapshot-table-sized work for the baseline.
+    Same output columns and conventions as drift_report; ``current``
+    must bucket with the SAME edges the snapshot was built with."""
+    if not edges_by_col:
+        raise ValueError("edges_by_col must be non-empty")
+    base = snapshot.groupBy("column", "bucket").agg(
+        F.sum("n").alias("_nb"))
+    j = (base.join(_multi_hist(current, edges_by_col, drop_nulls,
+                               "_nc"),
+                   ["column", "bucket"], "full_outer")
+         .select("column", "bucket",
+                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+    return _combine_drift(j)
 
 
 def js_divergence(

@@ -3356,6 +3356,39 @@ class TestDriftReport:
             drift.drift_report(base, cur, {})
 
 
+class TestHistogramSnapshot:
+    def test_snapshot_path_matches_direct_and_merges_increments(
+            self, spark, tmp_path):
+        """drift_from_snapshot(persisted baseline) == drift_report on
+        the raw frames, and two half-snapshots appended to the same
+        table merge to the full baseline."""
+        from spark_expectations_spark.operators import drift
+        base = spark.createDataFrame(
+            [(float(i % 50), float(i % 7)) for i in range(200)],
+            "a double, b double")
+        cur = spark.createDataFrame(
+            [(float((i + 13) % 50), float(i % 11)) for i in range(180)],
+            "a double, b double")
+        edges = {"a": [10.0, 20.0, 30.0, 40.0], "b": [2.0, 5.0, 8.0]}
+        path = str(tmp_path / "hist")
+        h1 = drift.histogram_snapshot(
+            base.limit(90), edges)            # first increment
+        h2 = drift.histogram_snapshot(
+            base.subtract(base.limit(90)), edges)
+        h1.write.mode("append").parquet(path)
+        h2.write.mode("append").parquet(path)
+        via_snap = {r["column"]: r for r in drift.drift_from_snapshot(
+            spark.read.parquet(path), cur, edges).collect()}
+        direct = {r["column"]: r for r in drift.drift_report(
+            base, cur, edges).collect()}
+        for c in edges:
+            for stat in ("psi", "ks", "jsd", "n_base", "n_cur"):
+                assert via_snap[c][stat] == pytest.approx(
+                    direct[c][stat]), (c, stat)
+        with pytest.raises(ValueError, match="non-empty"):
+            drift.histogram_snapshot(base, {})
+
+
 class TestJsDivergence:
     EDGES = [float(e) for e in range(10, 100, 10)]
 
