@@ -233,10 +233,31 @@ def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # regex (Spark) and RE2 (DuckDB): no lookarounds, no backrefs.
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 PHONE_RE = r"\+?\d[\d-]{7,}\d"
+#: dotted-quad with 1-3 digit octets; over-matches out-of-range octets
+#: (256.1.1.1) by design — redaction favors recall, and range checks
+#: need lookarounds RE2 lacks
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+#: 13-19 digits with optional space/dash group separators — the payment
+#: card SHAPE (Luhn validation is not expressible in a regex; recall
+#: over precision, like IPV4_RE). Ordered before PHONE_RE in
+#: DEFAULT_PII_PATTERNS so grouped card numbers don't half-match as
+#: phones
+CARD_RE = r"\b\d{4}[ -]?\d{4}[ -]?\d{4}[ -]?\d{1,7}\b"
+#: redaction order matters: emails first (their digits must not
+#: half-match phones), cards before phones (same reason), IPs before
+#: phones (dotted quads contain digit runs)
+DEFAULT_PII_PATTERNS: Sequence[str] = (EMAIL_RE, IPV4_RE, CARD_RE,
+                                       PHONE_RE)
 
 
-def pii_count(text: Column, *, patterns: Sequence[str] = (EMAIL_RE, PHONE_RE)) -> Column:
-    """Number of PII-looking spans (emails + phone numbers by default)."""
+def pii_count(
+    text: Column, *,
+    patterns: Sequence[str] = DEFAULT_PII_PATTERNS,
+) -> Column:
+    """Number of PII-looking spans (emails, IPv4 addresses, payment-card
+    shapes, phone numbers by default). Counts overlap when one span
+    matches several patterns — use :func:`redact_pii`'s output for
+    exact remaining-PII audits."""
     out = F.lit(0)
     for p in patterns:
         out = out + F.regexp_count(text, F.lit(p))
@@ -246,12 +267,13 @@ def pii_count(text: Column, *, patterns: Sequence[str] = (EMAIL_RE, PHONE_RE)) -
 def redact_pii(
     text: Column,
     *,
-    patterns: Sequence[str] = (EMAIL_RE, PHONE_RE),
+    patterns: Sequence[str] = DEFAULT_PII_PATTERNS,
     replacement: str = "[PII]",
 ) -> Column:
     """Mask PII-looking spans. Chained regexp_replace — one projection,
-    no UDF; order matters (emails first so their digits don't half-match
-    the phone pattern)."""
+    no UDF; DEFAULT_PII_PATTERNS is ordered so earlier redactions can't
+    leave half-matches for later patterns (emails before phones, cards
+    and IPs before phones)."""
     out = text
     for p in patterns:
         out = F.regexp_replace(out, p, replacement)

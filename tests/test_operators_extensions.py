@@ -515,6 +515,18 @@ class TestText:
         assert out[0]["n"] == 2
         assert out[1]["r"] == "no pii here" and out[1]["n"] == 0
 
+    def test_redact_pii_ip_and_card_shapes(self, spark):
+        df = spark.createDataFrame(
+            [("server 10.0.255.7 charged 4111 1111 1111 1111 today",),
+             ("versions 1.2.3 and 12.5 stay",)], "t string")
+        out = df.select(text.redact_pii(F.col("t")).alias("r"),
+                        text.pii_count(F.col("t")).alias("n")).collect()
+        assert out[0]["r"] == "server [PII] charged [PII] today"
+        # card pattern ordered before phone: ONE span, not fragments
+        assert out[0]["n"] >= 2 and "[PII] [PII] [PII]" not in out[0]["r"]
+        # short dotted versions are not IPs (need 4 octets)
+        assert out[1]["r"] == "versions 1.2.3 and 12.5 stay"
+
     def test_profile_columns(self, docs):
         out = text.profile(docs.limit(10), "text")
         expected = {"n_tokens", "n_bpe_tokens", "quality_score", "lang_detected",
