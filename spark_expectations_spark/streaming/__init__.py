@@ -573,6 +573,39 @@ def bitmap_distinct_counts(spark, state_path: str,
     return bitmap_distinct_rollup(state, group_cols)
 
 
+def incremental_histogram_state(
+    state_path: str,
+    edges_by_col: dict,
+    *,
+    drop_nulls: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating a multi-column
+    ``operators/drift.histogram_snapshot`` on disk — the streaming
+    baseline for :func:`~..operators.drift.drift_from_snapshot`: each
+    micro-batch writes ONLY its own (column, bucket, n) increment,
+    partitioned by ``_batch_id`` with dynamic overwrite (a retried
+    batch REPLACES its partition; the read-time re-sum merges
+    increments, so the accumulated histogram is exactly-once — the
+    :func:`incremental_bitmap_distinct` recipe, with additive counts
+    instead of idempotent bitmaps). Per-batch cost is
+    columns × buckets rows; the stream is never rescanned, and any
+    later frame can drift against the whole history via
+    ``drift_from_snapshot(spark.read.parquet(state_path), cur,
+    edges)``."""
+    from ..operators.drift import histogram_snapshot
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (histogram_snapshot(batch_df, edges_by_col,
+                            drop_nulls=drop_nulls)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
 def compact_bitmap_state(spark, state_path: str, out_path: str,
                          group_cols: list) -> None:
     """Compact an :func:`incremental_bitmap_distinct` state dir — after

@@ -237,6 +237,31 @@ class TestStreamingDQ:
         state_df = spark.read.parquet(compacted)
         assert state_df.select("_batch_id").distinct().count() == 1
 
+    def test_incremental_histogram_state_drifts_like_direct(
+            self, spark, tmp_path):
+        """Histogram state accumulated across batches (with a replay)
+        must drift against a current frame exactly like drift_report on
+        the concatenated raw batches."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import drift
+        state = str(tmp_path / "hist_state")
+        edges = {"v": [10.0, 20.0, 30.0]}
+        step = st.incremental_histogram_state(state, edges)
+        b1 = spark.createDataFrame(
+            [(float(i),) for i in range(0, 20)], "v double")
+        b2 = spark.createDataFrame(
+            [(float(i),) for i in range(20, 40)], "v double")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                             # retry replaces, not adds
+        cur = spark.createDataFrame(
+            [(float((i * 7) % 40),) for i in range(30)], "v double")
+        via_state = drift.drift_from_snapshot(
+            spark.read.parquet(state), cur, edges).first()
+        direct = drift.drift_report(b1.union(b2), cur, edges).first()
+        for stat in ("psi", "ks", "jsd", "n_base", "n_cur"):
+            assert via_state[stat] == pytest.approx(direct[stat]), stat
+
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)
         must REPLACE its own output, not append a second copy — the
