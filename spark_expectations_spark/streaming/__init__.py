@@ -606,6 +606,26 @@ def incremental_histogram_state(
     return step
 
 
+def compact_histogram_state(spark, state_path: str,
+                            out_path: str) -> None:
+    """Compact an :func:`incremental_histogram_state` dir: re-sum every
+    (column, bucket) to one row, written to ``out_path`` as batch
+    partition 0 (swap-not-overwrite, like
+    :func:`compact_bitmap_state`). Because counts ADD, compact only
+    AFTER the stream has stopped writing to ``state_path`` (or between
+    its batches) — unlike the idempotent bitmap OR, a batch replayed
+    into the OLD path after its increment was folded into the new one
+    would double-count if both paths were later combined."""
+    state = spark.read.parquet(state_path)
+    (state.groupBy("column", "bucket")
+     .agg(F.sum("n").alias("n"))
+     .withColumn("_batch_id", F.lit(0))
+     .write.mode("overwrite")
+     .partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+
+
 def compact_bitmap_state(spark, state_path: str, out_path: str,
                          group_cols: list) -> None:
     """Compact an :func:`incremental_bitmap_distinct` state dir — after

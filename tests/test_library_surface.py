@@ -261,6 +261,14 @@ class TestStreamingDQ:
         direct = drift.drift_report(b1.union(b2), cur, edges).first()
         for stat in ("psi", "ks", "jsd", "n_base", "n_cur"):
             assert via_state[stat] == pytest.approx(direct[stat]), stat
+        # compaction: one partition, identical drift
+        compacted = str(tmp_path / "hist_compact")
+        st.compact_histogram_state(spark, state, compacted)
+        cdf = spark.read.parquet(compacted)
+        assert cdf.select("_batch_id").distinct().count() == 1
+        via_compact = drift.drift_from_snapshot(cdf, cur, edges).first()
+        for stat in ("psi", "ks", "jsd", "n_base", "n_cur"):
+            assert via_compact[stat] == pytest.approx(direct[stat]), stat
 
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)
