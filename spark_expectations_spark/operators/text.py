@@ -781,6 +781,137 @@ def top_collocations(
             .limit(top_k))
 
 
+def train_bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    *,
+    num_merges: int = 200,
+    min_count: int = 2,
+    max_vocab: int = 50_000,
+    end_of_word: str = "</w>",
+) -> list:
+    """Train byte-pair-encoding merges on the corpus (Sennrich et al.
+    2016) — a REAL subword tokenizer, not the BPE-ish heuristic count:
+    returns the ordered merge list ``[(left, right), ...]`` to feed
+    :func:`apply_bpe` (or export for any BPE runtime).
+
+    Scale shape is the one every production BPE trainer uses: the
+    100 TB corpus is touched ONCE for word frequencies (one
+    map-side-combined groupBy + a distributed top-``max_vocab`` cut by
+    (count desc, word)); merge learning then iterates over that
+    BOUNDED word-frequency table driver-side — model-scale compute on
+    model-scale data, the same contract as the engine's rules-scale
+    collects. Ties in pair frequency break lexicographically, making
+    the merge list a pure function of the corpus (differential-tested
+    against a naive reference implementation).
+
+    ``min_count``/``max_vocab`` bound the driver table; words beyond
+    the cut simply don't vote on merges (they still encode — BPE falls
+    back to characters). Case-sensitive over whitespace tokens;
+    normalize first if case should not split the vocabulary."""
+    toks = _tokens(F.col(text_col))
+    counts = (df.select(F.explode(toks).alias("w"))
+              .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+              .filter(F.col("n") >= min_count)
+              .orderBy(F.col("n").desc(), F.col("w"))
+              .limit(int(max_vocab))
+              .collect())
+    vocab = {tuple(r["w"]) + (end_of_word,): r["n"] for r in counts}
+    merges: list = []
+    for _ in range(num_merges):
+        pairs: dict = {}
+        for word, n in vocab.items():
+            for i in range(len(word) - 1):
+                p = (word[i], word[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        if pairs[best] < 2:
+            break
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict = {}
+        for word, n in vocab.items():
+            out, i = [], 0
+            while i < len(word):
+                if (i < len(word) - 1
+                        and (word[i], word[i + 1]) == best):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(word[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges
+
+
+def apply_bpe(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list,
+    *,
+    end_of_word: str = "</w>",
+    out: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode text with a trained merge list: per whitespace token,
+    split to characters + ``end_of_word``, replay the merges in
+    training order, emit the resulting subwords. Returns
+    ``(id, out array<string>, n_bpe_tokens)``.
+
+    Arrow-batched ``mapInPandas`` — tokenization is the canonical
+    justified-Python stage (a 200-merge sequential rewrite per word has
+    no codegen form); the merge RANKS are dict-looked-up per pair, so
+    each word costs O(len · merges-applied), not O(len · num_merges).
+    Partition-preserving, model (merge list) rides the closure."""
+    from pyspark.sql.types import (ArrayType, IntegerType, LongType,
+                                   StringType, StructField, StructType)
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField(out, ArrayType(StringType())),
+        StructField("n_bpe_tokens", IntegerType()),
+    ])
+
+    def encode_word(word: str) -> list:
+        parts = list(word) + [end_of_word]
+        while len(parts) > 1:
+            best_rank, best_i = None, None
+            for i in range(len(parts) - 1):
+                r = ranks.get((parts[i], parts[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_i is None:
+                break
+            parts[best_i:best_i + 2] = [parts[best_i]
+                                        + parts[best_i + 1]]
+        return parts
+
+    def batches(it):
+        import pandas as pd
+        for pdf in it:
+            toks_out, counts = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    toks_out.append(None)
+                    counts.append(None)
+                    continue
+                words = t.strip().lower().split()
+                enc = [p for w in words for p in encode_word(w)]
+                toks_out.append(enc)
+                counts.append(len(enc))
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                out: pd.Series(toks_out, dtype=object),
+                "n_bpe_tokens": pd.array(counts, dtype="Int32"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)
+
+
 def build_vocab(
     df: DataFrame,
     text_col: str,

@@ -4999,6 +4999,22 @@ SELECT doc_id, length(dt) AS dedup_len, md5(dt) AS dedup_md5 FROM reb
 """
 
 
+def q_docs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE subword tokenization (text.train_bpe_merges +
+    apply_bpe): one corpus scan for word frequencies, bounded-vocab
+    driver-side merge learning (deterministic — lexicographic
+    tiebreaks), Arrow-batched encode. The iterative merge replay has no
+    SQL twin → declared rows-only; determinism and the merge order are
+    pinned by TestBpe's hand-computed corpus instead."""
+    docs = load(spark, sf_dir, "documents")
+    merges = text.train_bpe_merges(docs, "text", num_merges=60,
+                                   min_count=5, max_vocab=2000)
+    out = text.apply_bpe(docs, "doc_id", "text", merges)
+    return out.select(
+        "doc_id", "n_bpe_tokens",
+        F.md5(F.concat_ws("", "bpe_tokens")).alias("tokens_md5"))
+
+
 def q_docs_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HTML → text extraction (text.strip_html → normalize_text): the
     raw-crawl entry step. The documents table is plain text, so the
@@ -5856,6 +5872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
+    "docs_bpe": q_docs_bpe,
 }
 
 ORACLES: dict[str, Optional[str]] = {

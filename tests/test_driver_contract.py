@@ -40,6 +40,9 @@ class TestDriverContract:
             "events_distinct_rollup",   # HLL approximate; exact twin checked
             "embed_whiten",             # numpy eigendecomposition — no SQL
                                         # twin; TestWhiten pins cov == I
+            "docs_bpe",                 # iterative merge replay — no SQL
+                                        # twin; TestBpe pins the merge
+                                        # order on a hand-computed corpus
         }
         missing = set(mod.queries()) - set(mod.oracle_sql())
         assert missing == declared_rows_only, (

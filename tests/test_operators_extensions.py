@@ -3536,6 +3536,55 @@ class TestNormalizeText:
         assert self._one(spark, None) is None
 
 
+class TestBpe:
+    def test_hand_computed_merge_order(self, spark):
+        """'aa'×3 + 'ab'×2 corpus: every merge and tiebreak is
+        hand-checkable ((a,</w>) beats (a,a) on the lexicographic
+        tie at count 3, then (a,a</w>), then (a,b) beats (b,</w>),
+        then (ab,</w>))."""
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [("aa ab aa",), ("aa ab",)], "t string")
+        merges = T.train_bpe_merges(df, "t", num_merges=10, min_count=1)
+        assert merges == [("a", "</w>"), ("a", "a</w>"),
+                          ("a", "b"), ("ab", "</w>")]
+
+    def test_encode_known_and_unseen_words(self, spark):
+        from spark_expectations_spark.operators import text as T
+        train = spark.createDataFrame(
+            [("aa ab aa",), ("aa ab",)], "t string")
+        merges = T.train_bpe_merges(train, "t", num_merges=10,
+                                    min_count=1)
+        df = spark.createDataFrame(
+            [(1, "aa ab"), (2, "ba"), (3, None)],
+            "doc_id long, t string")
+        got = {r["doc_id"]: (r["bpe_tokens"], r["n_bpe_tokens"])
+               for r in T.apply_bpe(df, "doc_id", "t",
+                                    merges).collect()}
+        assert got[1] == (["aa</w>", "ab</w>"], 2)
+        # unseen word falls back through learned ranks: (a,</w>) is
+        # rank 0, (b, a</w>) was never learned
+        assert got[2] == (["b", "a</w>"], 2)
+        assert got[3] == (None, None)
+
+    def test_corpus_scale_merges_compress_frequent_words(self, spark):
+        from spark_expectations_spark.operators import text as T
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        merges = T.train_bpe_merges(docs, "text", num_merges=60,
+                                    min_count=5, max_vocab=2000)
+        assert len(merges) == 60
+        top_word = (docs.select(F.explode(F.split(
+            F.trim(F.lower("text")), r"\s+")).alias("w"))
+            .groupBy("w").count()
+            .orderBy(F.desc("count")).first()["w"])
+        enc = T.apply_bpe(
+            spark.createDataFrame([(1, top_word)], "doc_id long, t string"),
+            "doc_id", "t", merges).first()
+        assert enc["n_bpe_tokens"] == 1      # most frequent word fused
+        # encoding is lossless modulo the end-of-word marker
+        assert "".join(enc["bpe_tokens"]).replace("</w>", "") == top_word
+
+
 class TestStripHtml:
     def _one(self, spark, s, **kw):
         from spark_expectations_spark.operators import text as T
