@@ -21,7 +21,7 @@ from .core.rules import (
     RuleSet,
 )
 from .core.state import DQConfig, DQResult, WriterOptions
-from . import rules_presets
+from . import rules_presets, session
 from .operators.agg_dq import DQAggFailError
 from .operators.row_dq import DQRowFailError
 from .secrets import (
@@ -34,6 +34,7 @@ from .secrets import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "session",
     "DQEngine", "reprocess_quarantine", "with_expectations", "Rule",
     "RuleSet", "DQConfig", "DQResult",
     "WriterOptions", "DQRuleError", "DQRowFailError", "DQAggFailError",

@@ -774,6 +774,27 @@ class TestPlanLint:
             allow=("single-partition-exchange", "filter-not-pushed"))
 
 
+class TestSessionProfiles:
+    def test_profiles_and_builder_application(self):
+        from pyspark.sql import SparkSession
+
+        from spark_expectations_spark import session as se
+        local = se.scale_confs("local-dev", total_cores=4)
+        assert local["spark.sql.shuffle.partitions"] == "4"
+        big = se.scale_confs("cluster-large", total_cores=2000,
+                             target_partition_mb=128)
+        assert big["spark.sql.shuffle.partitions"] == "4000"
+        assert big["spark.sql.files.maxPartitionBytes"] == "128m"
+        assert big["spark.sql.adaptive.skewJoin.enabled"] == "true"
+        b = se.configure(SparkSession.builder, local)
+        assert b is not None                     # chainable
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="total_cores"):
+            se.scale_confs("cluster-large")
+        with _pytest.raises(ValueError, match="unknown profile"):
+            se.scale_confs("exotic")
+
+
 class TestExecutionMetrics:
     def test_map_side_combine_visible_in_shuffle_records(self, spark,
                                                          lineitem):
