@@ -136,22 +136,16 @@ def _handwritten_run(spark, sf_dir: str) -> float:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
+    from spark_expectations_spark.session import configure, scale_confs
+
+    confs = scale_confs("local-dev", total_cores=int(cpus))
+    # bench-specific extras on top of the shared profile: the headline
+    # dedup/ANN queries hold pair frames + broadcast matrices at sf0.1
+    confs.update({"spark.driver.memory": "24g",
+                  "spark.sql.autoBroadcastJoinThreshold": "64m"})
+    spark = configure(
         SparkSession.builder.master(f"local[{cpus}]")
-        .appName("spark_expectations_spark-bench")
-        .config("spark.sql.shuffle.partitions", cpus)
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "24g")
-        .config("spark.ui.enabled", "false")
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
-        # one BLAS thread per python worker: 32 workers x default all-core
-        # OpenBLAS oversubscribes 32x32 threads and thrashes
-        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
-        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
-        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
-        .getOrCreate()
-    )
+        .appName("spark_expectations_spark-bench"), confs).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     # warm the JVM/codegen paths and the parquet readers (file listing,
