@@ -216,6 +216,15 @@ def main() -> None:
         emb.filter("vec_id < 3"), codebooks=books, k=3, nprobe=2)
     print("ivf-pq neighbors:", hits.count())
 
+    # real BPE: learn merges from the corpus, encode, compare against
+    # whitespace tokens (subwords > words once merges fuse stems)
+    bpe_merges = text.train_bpe_merges(docs, "text", num_merges=40,
+                                       min_count=5, max_vocab=2000)
+    bpe = text.apply_bpe(docs, "doc_id", "text", bpe_merges)
+    print("bpe: {} merges, mean tokens/doc {:.1f}".format(
+        len(bpe_merges),
+        bpe.agg(F.avg("n_bpe_tokens")).first()[0]))
+
     # exact mergeable distinct docs per source via bitmaps
     from spark_expectations_spark.operators import sketches
     bm = sketches.bitmap_distinct_by_group(docs, ["source"], "doc_id")

@@ -473,6 +473,27 @@ class TestDenseGlobalIndexProperty:
         assert got == expect
 
 
+class TestC4LineFilterProperty:
+    """c4_line_filter is idempotent: a kept line is kept again (the
+    rules judge line content the filter never rewrites)."""
+
+    _line = st.sampled_from([
+        "This is a decent sentence.", "tiny.", "no punct here",
+        "Enable JavaScript now.", "see our privacy policy.",
+        "Another good one!", "", "   ", "one two three."])
+
+    @given(lines=st.lists(_line, min_size=1, max_size=8))
+    @settings(max_examples=10, deadline=None)
+    def test_idempotent(self, spark, lines):
+        from pyspark.sql import functions as F
+
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([("\n".join(lines),)], "t string")
+        once = df.select(T.c4_line_filter(F.col("t")).alias("a"))
+        twice = once.select(T.c4_line_filter(F.col("a")).alias("b"))
+        assert twice.first()["b"] == once.first()["a"]
+
+
 class TestUrlNormalizeProperty:
     """url_normalize is a canonical form: idempotent (normalizing a
     normalized URL is the identity), and parse-stable (url_parts of the
