@@ -807,8 +807,9 @@ def train_bpe_merges(
 
     ``min_count``/``max_vocab`` bound the driver table; words beyond
     the cut simply don't vote on merges (they still encode — BPE falls
-    back to characters). Case-sensitive over whitespace tokens;
-    normalize first if case should not split the vocabulary."""
+    back to characters). Words are LOWERCASED whitespace tokens (the
+    module's ``_tokens`` convention, matched by :func:`apply_bpe`);
+    train on :func:`normalize_text` output for clean merges."""
     toks = _tokens(F.col(text_col))
     counts = (df.select(F.explode(toks).alias("w"))
               .groupBy("w").agg(F.count(F.lit(1)).alias("n"))
