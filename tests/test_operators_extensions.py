@@ -1507,6 +1507,17 @@ class TestSketches:
         total = sketches.bitmap_distinct_rollup(bm, []).first().n_distinct
         assert total == ev.select("user_id").distinct().count()
 
+    def test_bitmap_negative_values_count_exactly(self, spark):
+        """bitmap_bucket_number handles negative keys; exactness must
+        hold across the sign boundary."""
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame(
+            [(1, -5), (1, -5), (1, 3), (1, -70000)], "g int, v long")
+        got = sketches.bitmap_distinct_rollup(
+            sketches.bitmap_distinct_by_group(df, ["g"], "v"),
+            ["g"]).first()
+        assert got["n_distinct"] == 3
+
     def test_bitmap_merge_invariant_and_nulls(self, spark):
         """OR-merge of incrementally-built bitmaps == bitmap of the
         union (the persisted-rollup-table contract); NULL keys skip."""

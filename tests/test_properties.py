@@ -473,6 +473,28 @@ class TestDenseGlobalIndexProperty:
         assert got == expect
 
 
+class TestStripHtmlProperty:
+    """With entity decoding OFF, strip_html output can never contain a
+    tag-shaped span — the over-stripping guarantee — and it never
+    raises on arbitrary markup soup."""
+
+    _soup = st.text(alphabet="<>/ab c!-=\"'\n", max_size=60)
+
+    @given(s=_soup)
+    @settings(max_examples=15, deadline=None)
+    def test_no_tags_survive(self, spark, s):
+        import re
+
+        from pyspark.sql import functions as F
+
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(s,)], "t string")
+        got = df.select(T.strip_html(
+            F.col("t"), decode_entities=False).alias("o")).first()["o"]
+        assert got is not None
+        assert not re.search(r"<[^>]+>", got), (s, got)
+
+
 class TestC4LineFilterProperty:
     """c4_line_filter is idempotent: a kept line is kept again (the
     rules judge line content the filter never rewrites)."""
