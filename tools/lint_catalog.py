@@ -10,7 +10,7 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run: 149/149 queries, 0 errors.
+build) is present. Last full run: 150/150 queries, 0 errors.
 """
 
 from __future__ import annotations
