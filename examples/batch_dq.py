@@ -50,11 +50,19 @@ def main() -> None:
         # runtime budget for query_dq: a pathological scalar subquery
         # gets status='timeout' instead of hanging the run
         query_timeout_s=60.0,
+        # per-segment attribution: every source agg rule ALSO evaluated
+        # per return flag (lazy frame + failing-segment report rows;
+        # run status stays whole-table)
+        agg_group_cols=("l_returnflag",),
     )
     res = DQEngine(cfg).run(li, rules, spark)
 
     print(f"input={res.input_count} errors={res.error_count} "
           f"output={res.output_count} status={res.status}")
+    if res.source_agg_grouped is not None:
+        seg_fails = res.source_agg_grouped.filter(
+            "status = 'fail'").count()
+        print(f"failing (segment, rule) pairs: {seg_fails}")
     report = out / "report.html"
     report.write_text(render_html_report(res))
     print(f"error table: {out}/lineitem_error")
