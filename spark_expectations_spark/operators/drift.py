@@ -23,6 +23,8 @@ runs and engines — pick them once from a profiling pass.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -423,6 +425,53 @@ def drift_from_snapshot(
                  F.coalesce("_nb", F.lit(0)).alias("_nb"),
                  F.coalesce("_nc", F.lit(0)).alias("_nc")))
     return _combine_drift(j)
+
+
+def drift_verdict(
+    report: DataFrame,
+    *,
+    psi_warn: float = 0.1,
+    psi_fail: float = 0.25,
+    ks_alpha: float = 0.05,
+    jsd_fail: Optional[float] = None,
+) -> DataFrame:
+    """Turn a :func:`drift_report` / :func:`drift_from_snapshot` frame
+    into per-column verdicts: the standard PSI bands (< ``psi_warn``
+    stable, < ``psi_fail`` drifting, else shifted), the two-sample KS
+    critical value at ``ks_alpha`` (``c(α)·sqrt((n+m)/(n·m))`` with
+    ``c = sqrt(-ln(α/2)/2)`` — remember the binned statistic bounds
+    the true KS from BELOW, so ks_reject=false is not proof of
+    stability at coarse grids), and an optional absolute JSD bound.
+    ``verdict`` is the worst of the enabled signals
+    (pass < warn < fail); columns with NULL statistics (empty side
+    under drop_nulls) keep a NULL verdict.
+
+    Driver-free and tiny: one projection over the columns-sized report
+    frame — compose with ``filter("verdict = 'fail'")`` for alerting
+    or the notifications hub."""
+    import math
+
+    c = math.sqrt(-math.log(ks_alpha / 2) / 2)
+    # try_divide: a NULL-stat column (empty side under drop_nulls) has
+    # n·m = 0 and must yield NULL, not an ANSI DIVIDE_BY_ZERO
+    ks_crit = F.lit(c) * F.sqrt(F.try_divide(
+        F.col("n_base") + F.col("n_cur"),
+        F.col("n_base") * F.col("n_cur")))
+    psi_level = (F.when(F.col("psi") >= psi_fail, 2)
+                 .when(F.col("psi") >= psi_warn, 1).otherwise(0))
+    ks_level = F.when(F.col("ks") > ks_crit, 2).otherwise(0)
+    levels = [psi_level, ks_level]
+    if jsd_fail is not None:
+        levels.append(
+            F.when(F.col("jsd") >= jsd_fail, 2).otherwise(0))
+    worst = F.greatest(*levels) if len(levels) > 1 else levels[0]
+    verdict = (F.when(F.col("psi").isNull(), F.lit(None).cast("string"))
+               .when(worst >= 2, "fail").when(worst >= 1, "warn")
+               .otherwise("pass"))
+    return report.select(
+        "*", F.round(ks_crit, 8).alias("ks_critical"),
+        (F.col("ks") > ks_crit).alias("ks_reject"),
+        verdict.alias("verdict"))
 
 
 def js_divergence(

@@ -3379,6 +3379,41 @@ class TestDriftReport:
             drift.drift_report(base, cur, {})
 
 
+class TestDriftVerdict:
+    def test_bands_and_ks_rejection(self, spark):
+        from spark_expectations_spark.operators import drift
+        # identical halves -> pass; shifted -> verdicts escalate
+        stable = spark.createDataFrame(
+            [(float(i % 40),) for i in range(400)], "v double")
+        shifted = spark.createDataFrame(
+            [(float(i % 40) + 25.0,) for i in range(400)], "v double")
+        edges = {"v": [10.0, 20.0, 30.0, 40.0, 50.0]}
+        ok = drift.drift_verdict(
+            drift.drift_report(stable, stable, edges)).first()
+        assert (ok["verdict"], ok["ks_reject"]) == ("pass", False)
+        bad = drift.drift_verdict(
+            drift.drift_report(stable, shifted, edges)).first()
+        assert bad["verdict"] == "fail" and bad["ks_reject"]
+        assert bad["ks"] > bad["ks_critical"]
+        # jsd bound alone can fail a column
+        j = drift.drift_verdict(
+            drift.drift_report(stable, shifted, edges),
+            psi_warn=1e9, psi_fail=1e9, ks_alpha=1e-12,
+            jsd_fail=0.01).first()
+        assert j["verdict"] == "fail"
+
+    def test_null_stats_keep_null_verdict(self, spark):
+        from spark_expectations_spark.operators import drift
+        base = spark.createDataFrame([(1.0, None), (2.0, None)],
+                                     "a double, b double")
+        cur = spark.createDataFrame([(1.5, 1.0)], "a double, b double")
+        rep = drift.drift_report(base, cur, {"a": [2.0], "b": [1.5]},
+                                 drop_nulls=True)
+        got = {r["column"]: r["verdict"]
+               for r in drift.drift_verdict(rep).collect()}
+        assert got["b"] is None and got["a"] in ("pass", "warn", "fail")
+
+
 class TestHistogramSnapshot:
     def test_snapshot_path_matches_direct_and_merges_increments(
             self, spark, tmp_path):
