@@ -107,11 +107,38 @@ def main() -> None:
           .foreachBatch(incremental_bitmap_distinct(
               f"{out}/bm_state", ["g"], "uid"))
           .option("checkpointLocation", f"{out}/ckpt_bm").start())
+    time.sleep(5)            # rate source: let real rows arrive first
     q3.processAllAvailable()
     q3.stop()
     for r in bitmap_distinct_counts(spark, f"{out}/bm_state",
                                     ["g"]).collect():
         print(f"exact distinct uids g={r['g']}: {r['n_distinct']}")
+
+    # (5) streaming drift baseline: accumulate per-batch histogram
+    # increments exactly-once, then drift ANY later frame against the
+    # whole stream history without rescanning it
+    from spark_expectations_spark.operators.drift import (
+        drift_from_snapshot, drift_verdict)
+    from spark_expectations_spark.streaming import (
+        incremental_histogram_state)
+
+    edges = {"uid": [20.0, 40.0, 60.0, 80.0]}
+    src4 = (spark.readStream.format("rate")
+            .option("rowsPerSecond", "500").load()
+            .selectExpr("CAST(value % 97 AS DOUBLE) as uid"))
+    q4 = (src4.writeStream.outputMode("append")
+          .foreachBatch(incremental_histogram_state(
+              f"{out}/hist_state", edges))
+          .option("checkpointLocation", f"{out}/ckpt_hist").start())
+    time.sleep(5)
+    q4.processAllAvailable()
+    q4.stop()
+    skewed = spark.range(0, 500).selectExpr(
+        "CAST(id % 30 AS DOUBLE) as uid")      # low-skewed vs uniform
+    v = drift_verdict(drift_from_snapshot(
+        spark.read.parquet(f"{out}/hist_state"), skewed, edges)).first()
+    print(f"stream-baseline drift: psi={v['psi']:.4f} "
+          f"verdict={v['verdict']}")
     spark.stop()
 
 
