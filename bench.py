@@ -63,7 +63,7 @@ BENCH_QUERIES = [
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
     "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
-    "lineitem_drift_report", "docs_bpe",
+    "lineitem_drift_report", "docs_bpe", "lineitem_drift_verdict",
 ]
 
 

@@ -4611,6 +4611,42 @@ FROM (
 ORACLE_LINEITEM_DRIFT_REPORT = _oracle_lineitem_drift_report()
 
 
+def q_lineitem_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Actionable drift verdicts (drift.drift_verdict over the
+    multi-column sweep): PSI bands + the KS critical value at α=0.05.
+    Output keeps the categorical columns only (verdict, ks_reject) —
+    the raw statistics are gated by lineitem_drift_report; the verdict
+    margins at this data are orders of magnitude away from the
+    thresholds, so both engines band identically."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    v = drift.drift_verdict(
+        drift.drift_report(base, cur, _DRIFT_REPORT_EDGES))
+    return v.select("column", "verdict", "ks_reject")
+
+
+def _oracle_lineitem_drift_verdict() -> str:
+    rep = _oracle_lineitem_drift_report()
+    return f"""
+WITH rep AS ({rep})
+SELECT "column",
+       CASE WHEN psi >= 0.25 OR ks > sqrt(-ln(0.025) / 2)
+                 * sqrt((n_base + n_cur) * 1.0 / (n_base * n_cur))
+            THEN 'fail'
+            WHEN psi >= 0.1 THEN 'warn' ELSE 'pass' END AS verdict,
+       ks > sqrt(-ln(0.025) / 2)
+            * sqrt((n_base + n_cur) * 1.0 / (n_base * n_cur))
+         AS ks_reject
+FROM rep
+"""
+
+
+ORACLE_LINEITEM_DRIFT_VERDICT = _oracle_lineitem_drift_verdict()
+
+
 def q_docs_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc token-distribution entropy (text.token_entropy): the
     repetitiveness quality signal; one explode + two map-side-combined
@@ -5667,14 +5703,14 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 16 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 17 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
 #          docs_padding_waste, docs_curriculum, docs_phash_dups,
 #          lineitem_grouped_dq, docs_strip_html, lineitem_price_jsd,
-#          lineitem_drift_report) +
-#          24 re-gate fills drawn from the families the r6 rotation
+#          lineitem_drift_report, lineitem_drift_verdict) +
+#          23 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5697,7 +5733,7 @@ DRIVER_PRIORITY: list[str] = [
     "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
     "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
-    "lineitem_drift_report",
+    "lineitem_drift_report", "lineitem_drift_verdict",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5706,7 +5742,7 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q22ish",
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact",
-    "lineitem_profile", "orders_fk_profile",
+    "lineitem_profile",
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
     "docs_train_split",
     "docs_winsorize", "docs_percentile_gate",
@@ -5873,6 +5909,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
     "docs_bpe": q_docs_bpe,
+    "lineitem_drift_verdict": q_lineitem_drift_verdict,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -6023,4 +6060,5 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,
+    "lineitem_drift_verdict": ORACLE_LINEITEM_DRIFT_VERDICT,
 }
