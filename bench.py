@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
     "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
     "lineitem_drift_report", "docs_bpe", "lineitem_drift_verdict",
+    "docs_interleave",
 ]
 
 

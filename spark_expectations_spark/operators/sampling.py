@@ -553,6 +553,57 @@ def epoch_shuffle(
             .drop("__k"))
 
 
+def interleave_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict,
+    *,
+    seed: int = 0,
+    out: str = "mix_pos",
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic weighted INTERLEAVE — the ordering half of domain
+    mixing (:func:`mixture_resample` picks WHICH rows; this decides the
+    READING ORDER so a loader consuming positions 0..n sees sources at
+    their target rates throughout, instead of runs of one source):
+    classic stride scheduling with a hashed virtual time,
+    ``vtime = u / weight`` where ``u`` is the row's md5 fraction in
+    (0, 1) — uniform per source, so a source with twice the weight
+    lands twice as densely on the virtual axis, at every prefix.
+    Returns ``df`` + a dense 0-based ``out`` position.
+
+    Zero per-source windows (the skew trap a rank-per-source
+    formulation would carry): the virtual time is a pure projection,
+    and the global position comes from :func:`dense_global_index`'s
+    two-phase bucket ranking — one hash shuffle, per-bucket sorts, no
+    single-task sort anywhere. Deterministic in (seed, id, weights)
+    and engine-portable (md5 arithmetic → fully value-oracle-checkable).
+    Rows whose source is missing from ``weights`` raise at plan build
+    (an unweighted source silently starving the mix is a config bug)."""
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    for s, w in weights.items():
+        if not w or w <= 0:
+            raise ValueError(f"weight for {s!r} must be > 0")
+    u = (F.conv(F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 12),
+        16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2 ** 48))
+    w = None
+    for s, wt in sorted(weights.items()):
+        cond = F.col(source_col) == s
+        w = F.when(cond, float(wt)) if w is None else \
+            w.when(cond, float(wt))
+    w = w.otherwise(F.raise_error(F.concat(
+        F.lit("interleave_sources: no weight for source "),
+        F.col(source_col))))
+    d = df.withColumn("__vt", u / w)
+    ranked = dense_global_index(d, ["__vt", id_col], out=out,
+                                num_buckets=num_buckets)
+    return ranked.drop("__vt")
+
+
 def curriculum_order(
     df: DataFrame,
     id_col: str,

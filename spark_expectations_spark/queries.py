@@ -5215,6 +5215,38 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
 
+def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted source interleave (sampling.interleave_sources): the
+    reading order for a 3:2:1-ish mix over the five sources — stride
+    scheduling on md5 virtual times, dense positions via the two-phase
+    rank (no per-source windows, no single-task sort). Fully
+    deterministic → full value oracle (md5 fraction arithmetic +
+    row_number twin)."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    weights = {f"src{i}": (3.0 if i == 0 else 2.0 if i == 1 else 1.0)
+               for i in range(20)}
+    out = sampling.interleave_sources(docs, "doc_id", "source", weights,
+                                      seed=1, num_buckets=16)
+    return out.select("doc_id", "source", "mix_pos")
+
+
+ORACLE_DOCS_INTERLEAVE = """
+WITH v AS (
+  SELECT doc_id, source,
+         (CAST(('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)),
+                               1, 12)) AS BIGINT) + 1.0) / 281474976710656.0
+           / CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 2.0
+                         ELSE 1.0 END AS vt
+  FROM documents)
+SELECT doc_id, source,
+       CAST(row_number() OVER (ORDER BY vt, doc_id) - 1 AS BIGINT)
+         AS mix_pos
+FROM v
+"""
+
+
 def q_docs_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum dataloader addresses (sampling.curriculum_order):
     stage = ascending n_chars quartile (integer scores + exact-binary
@@ -5703,14 +5735,15 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trends.
 #   r8:    (r7 produced no driver artifacts) 5 dq_* flagship +
 #          4 round-8-touched (the quota samplers' cache-pin rework and
-#          ks_statistic's drop_nulls param) + 17 round-8 NEW operators
+#          ks_statistic's drop_nulls param) + 18 round-8 NEW operators
 #          (docs_normalize, docs_paragraph_dedup, embed_pq,
 #          embed_ivf_pq, docs_c4_filter, docs_span_removal,
 #          events_bitmap_distinct, docs_url_stats, docs_global_index,
 #          docs_padding_waste, docs_curriculum, docs_phash_dups,
 #          lineitem_grouped_dq, docs_strip_html, lineitem_price_jsd,
-#          lineitem_drift_report, lineitem_drift_verdict) +
-#          23 re-gate fills drawn from the families the r6 rotation
+#          lineitem_drift_report, lineitem_drift_verdict,
+#          docs_interleave) +
+#          22 re-gate fills drawn from the families the r6 rotation
 #          did NOT re-gate (tpch, text_*, profiling, drift, sampling,
 #          scd/diff/asof, events, embed, gopher gate) = 50. The only
 #          never-gated entries left are declared rows-only by
@@ -5734,6 +5767,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
     "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
     "lineitem_drift_report", "lineitem_drift_verdict",
+    "docs_interleave",
     # flagship composite quality gate — last gated r5
     "docs_gopher_gate",
     # re-gate fills: families not re-gated since r1-r5
@@ -5742,7 +5776,6 @@ DRIVER_PRIORITY: list[str] = [
     "tpch_q22ish",
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact",
-    "lineitem_profile",
     "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
     "docs_train_split",
     "docs_winsorize", "docs_percentile_gate",
@@ -5910,6 +5943,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_drift_report": q_lineitem_drift_report,
     "docs_bpe": q_docs_bpe,
     "lineitem_drift_verdict": q_lineitem_drift_verdict,
+    "docs_interleave": q_docs_interleave,
 }
 
 ORACLES: dict[str, Optional[str]] = {
@@ -6061,4 +6095,5 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,
     "lineitem_drift_verdict": ORACLE_LINEITEM_DRIFT_VERDICT,
+    "docs_interleave": ORACLE_DOCS_INTERLEAVE,
 }

@@ -3728,6 +3728,48 @@ class TestC4Filter:
         assert strict == ""
 
 
+class TestInterleaveSources:
+    def test_prefix_rates_track_weights_and_positions_dense(self, spark):
+        from collections import Counter
+
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, "a" if i < 300 else "b") for i in range(600)]
+        df = spark.createDataFrame(rows, "k long, src string") \
+            .repartition(7)
+        out = sampling.interleave_sources(
+            df, "k", "src", {"a": 3.0, "b": 1.0}, num_buckets=8)
+        got = sorted((r["mix_pos"], r["src"]) for r in out.collect())
+        assert [p for p, _ in got] == list(range(600))   # dense 0..n-1
+        # long-run rate in the first quarter ≈ 3:1 (u is uniform md5)
+        head = Counter(s for _, s in got[:150])
+        assert head["a"] / 150 > 0.6
+        # every 'a' exhausts before the final stretch is all-'b'
+        tail = Counter(s for _, s in got[-100:])
+        assert tail["b"] > tail.get("a", 0)
+
+    def test_deterministic_and_validation(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "a")], "k long, src string")
+        w = {"a": 1.0, "b": 1.0}
+        p1 = sorted((r["k"], r["mix_pos"]) for r in
+                    sampling.interleave_sources(df, "k", "src",
+                                                w).collect())
+        p2 = sorted((r["k"], r["mix_pos"]) for r in
+                    sampling.interleave_sources(
+                        df.repartition(5), "k", "src", w).collect())
+        assert p1 == p2                       # partition-invariant
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="non-empty"):
+            sampling.interleave_sources(df, "k", "src", {})
+        with _pytest.raises(ValueError, match="must be > 0"):
+            sampling.interleave_sources(df, "k", "src",
+                                        {"a": 0, "b": 1})
+        with _pytest.raises(Exception, match="no weight for source"):
+            sampling.interleave_sources(df, "k", "src",
+                                        {"a": 1.0}).collect()
+
+
 class TestCurriculumOrder:
     def test_stages_ascend_with_score_and_seed_reshuffles_within(
             self, spark):
