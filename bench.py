@@ -1,6 +1,9 @@
 """Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
-local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+local[$SPARK_GRAFT_CPUS]. Prints a full-detail JSON line (all per-query
+seconds) followed by ONE short summary JSON line LAST:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The summary line stays under the driver's ~2000-char tail-capture window
+(BENCH_r08 was unparseable because the 90-query single line overflowed it).
 """
 
 from __future__ import annotations
@@ -65,6 +68,9 @@ BENCH_QUERIES = [
     "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
     "lineitem_drift_report", "docs_bpe", "lineitem_drift_verdict",
     "docs_interleave",
+    # round-9 operators (grouped_dq_target is a FULL engine run — its
+    # seconds include the fused row path, not just the grouped agg)
+    "lineitem_grouped_dq_target", "embed_whiten_check",
 ]
 
 
@@ -205,13 +211,44 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The driver captures only the LAST ~2000 chars of output and parses
+    # the final JSON line. With 90+ queries the full per-query map no
+    # longer fits, so: full-detail line FIRST (for the artifact/humans),
+    # then a short summary line LAST whose tail always survives capture.
+    # The summary keeps the `queries` key contract with the graded pair
+    # (engine vs hand-written) plus the slowest entries that fit.
+    print(json.dumps({
+        "metric": "headline_queries_detail",
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }, separators=(",", ":")))
+    summary_queries = {
+        k: timings[k] for k in ("dq_engine_full_run", "dq_handwritten_run")
+        if k in timings
+    }
+    for name, secs in sorted(timings.items(), key=lambda kv: -kv[1]):
+        if name in summary_queries:
+            continue
+        candidate = dict(summary_queries)
+        candidate[name] = secs
+        line = json.dumps({
+            "metric": "headline_queries_total", "value": total,
+            "unit": "sec", "queries": candidate,
+            "n_queries": len(timings), "sf": sf_val,
+        }, separators=(",", ":"))
+        if len(line) > 1500:
+            break
+        summary_queries = candidate
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+        "queries": summary_queries,
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }, separators=(",", ":")))
     spark.stop()
 
 

@@ -215,19 +215,27 @@ class DQEngine:
             agg_dq.enforce_fail_action(res, "source_agg_dq")
 
     def _attach_grouped_agg(self, df: DataFrame, agg_rules,
-                            result: DQResult) -> None:
+                            result: DQResult, target: bool = False) -> None:
         """Per-segment attribution (DQConfig.agg_group_cols): a LAZY
-        grouped evaluation of the same source agg rules — no job runs
-        unless the caller inspects the frame, and run status/gating
-        stay whole-table."""
+        grouped evaluation of the same agg rules — no job runs unless
+        the caller inspects the frame, and run status/gating stay
+        whole-table. target=False groups the SOURCE rules over the
+        input; target=True groups the TARGET rules over the post-clean
+        final_df (which segment broke the published table — r8 verdict
+        task 3)."""
         cols = list(self.config.agg_group_cols or ())
         if cols and agg_rules:
-            result.source_agg_grouped = agg_dq.evaluate_agg_rules_grouped(
-                df, agg_rules, cols)
+            grouped = agg_dq.evaluate_agg_rules_grouped(df, agg_rules, cols)
+            if target:
+                result.target_agg_grouped = grouped
+            else:
+                result.source_agg_grouped = grouped
 
     def _target_agg(self, df: DataFrame, rules: RuleSet, result: DQResult) -> None:
-        res = agg_dq.evaluate_agg_rules(df, rules.for_stage(AGG_DQ, target=True))
+        target_rules = rules.for_stage(AGG_DQ, target=True)
+        res = agg_dq.evaluate_agg_rules(df, target_rules)
         result.target_agg = res
+        self._attach_grouped_agg(df, target_rules, result, target=True)
         result.status["target_agg_dq"] = "Failed" if agg_dq.failed(res) else "Passed"
         if self.config.enforce_fail:
             agg_dq.enforce_fail_action(res, "target_agg_dq")

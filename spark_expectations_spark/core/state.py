@@ -140,6 +140,9 @@ class DQResult:
     #: lazy (group_cols..., rule, status, actual_value) frame when
     #: DQConfig.agg_group_cols is set and source agg rules exist
     source_agg_grouped: Any = None
+    #: same per-segment attribution over the POST-clean final_df for
+    #: TARGET agg rules — which segment broke the published table
+    target_agg_grouped: Any = None
 
     # -- derived metrics (reference core/context.py:1683-1732) --------------
     @property

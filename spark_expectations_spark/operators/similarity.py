@@ -1259,42 +1259,17 @@ def standardized_norm_outliers(
             .select(id_col, out_col, flag_col))
 
 
-def whiten(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    *,
-    eps: float = 1e-6,
-    out_col: str = "whitened",
-) -> DataFrame:
-    """ZCA whitening of an embedding column: rotate + rescale so the
-    output's empirical covariance is the identity —
-    ``W = U diag(1/sqrt(λ+eps)) U^T`` from the eigendecomposition of
-    the corpus covariance, applied as ``(x − μ)·W``. The full-matrix
-    upgrade of :func:`standardize` (which only fixes the diagonal):
-    correlated dimensions get decorrelated, so cosine/L2 near-dup
-    screens stop over-counting directions the embedding model happens
-    to duplicate. ZCA (vs PCA) keeps the output in the ORIGINAL basis —
-    whitened vectors stay interpretable dimension-for-dimension.
-
-    Scale shape: ONE Arrow-batched ``mapInPandas`` pass emits per-batch
-    moment partials (n, Σx, XᵀX — (d²+d+1) floats per batch, dims not
-    corpus); the d×d eigendecomposition runs driver-side in numpy
-    (microseconds for embedding-sized d); (μ, W) broadcast back and the
-    transform is a second map-only BLAS pass that carries every input
-    column through — zero shuffles end to end. NULL vectors pass
-    through NULL; a ragged vector fails loudly with 'ragged'.
-
-    ``eps`` floors near-zero eigenvalues (constant/near-constant
-    directions) instead of exploding them — those directions come out
-    ~zero, matching standardize's σ=0 → 0.0 convention.
-    """
+def _corpus_moments(df: DataFrame, vec_col: str):
+    """Corpus (n, μ, population covariance) of a vector column from ONE
+    Arrow-batched ``mapInPandas`` pass: per-batch partials are
+    (n, Σx, XᵀX) — (d²+d+1) floats per batch, dims-scale not
+    corpus-scale — reduced driver-side. Shared by :func:`whiten` and
+    :func:`whiten_check`. Raises on an all-NULL corpus or ragged
+    vector lengths."""
     import numpy as np
     import pandas as pd
 
     from ..plans import fan_out
-
-    spark = df.sparkSession
 
     def _partials(it):
         for pdf in it:
@@ -1332,10 +1307,57 @@ def whiten(
                  axis=0)
     mu = s / n
     cov = xtx / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+def whiten(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    eps: float = 1e-6,
+    out_col: str = "whitened",
+) -> DataFrame:
+    """ZCA whitening of an embedding column: rotate + rescale so the
+    output's empirical covariance is the identity —
+    ``W = U diag(1/sqrt(λ+eps)) U^T`` from the eigendecomposition of
+    the corpus covariance, applied as ``(x − μ)·W``. The full-matrix
+    upgrade of :func:`standardize` (which only fixes the diagonal):
+    correlated dimensions get decorrelated, so cosine/L2 near-dup
+    screens stop over-counting directions the embedding model happens
+    to duplicate. ZCA (vs PCA) keeps the output in the ORIGINAL basis —
+    whitened vectors stay interpretable dimension-for-dimension.
+
+    Scale shape: ONE Arrow-batched ``mapInPandas`` pass emits per-batch
+    moment partials (n, Σx, XᵀX — (d²+d+1) floats per batch, dims not
+    corpus); the d×d eigendecomposition runs driver-side in numpy
+    (microseconds for embedding-sized d); (μ, W) broadcast back and the
+    transform is a second map-only BLAS pass that carries every input
+    column through — zero shuffles end to end. NULL vectors pass
+    through NULL; a ragged vector fails loudly with 'ragged'.
+
+    ``eps`` floors near-zero eigenvalues (constant/near-constant
+    directions) instead of exploding them — those directions come out
+    ~zero, matching standardize's σ=0 → 0.0 convention.
+    """
+    import numpy as np
+
+    _, mu, cov = _corpus_moments(df, vec_col)
     lam, u = np.linalg.eigh(cov)
     w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
-    get_mw = _broadcast_or_capture(spark, (mu, w))
+    return _apply_whitening(df, mu, w, vec_col, out_col)
 
+
+def _apply_whitening(df: DataFrame, mu, w, vec_col: str,
+                     out_col: str) -> DataFrame:
+    """Broadcast (μ, W) and apply ``(x − μ)·W`` as a map-only
+    Arrow-batched BLAS pass carrying every input column through."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans import fan_out
+
+    get_mw = _broadcast_or_capture(df.sparkSession, (mu, w))
     fields = df.schema.fields
     out_schema = ", ".join(
         [f"{f.name} {f.dataType.simpleString()}" for f in fields]
@@ -1361,3 +1383,55 @@ def whiten(
             yield pdf
 
     return fan_out(df).mapInPandas(_apply, out_schema)
+
+
+def whiten_check(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    eps: float = 1e-6,
+    mu_digits: int = 4,
+    cov_digits: int = 3,
+) -> DataFrame:
+    """Driver-gateable whitening invariants (r8 verdict task 4): the
+    eigendecomposition inside :func:`whiten` has no SQL twin, but its
+    DEFINING properties do. One row per dimension ``pos`` with
+
+    - ``mu``/``sd`` — the raw corpus per-dimension mean and population
+      stddev as measured by the SAME distributed moments pass whiten
+      consumes (a SQL engine recomputes these exactly from the parquet,
+      gating the partials/reduce machinery), and
+    - ``diag_dev``/``offdiag_max``/``mean_dev`` — how far the WHITENED
+      corpus is from covariance = identity, mean = 0: |cov_w[i,i]−1|,
+      max_j≠i |cov_w[i,j]|, |mean_w[i]|, all mathematically forced to 0
+      at the rounding precision (eps=1e-6 floors eigenvalues ≥1e-3 of
+      typical embedding variance, so λ/(λ+eps) ≈ 1 to ≪ 0.5·10^-3).
+
+    Scale shape: two moment passes (raw + whitened; each one map-only
+    mapInPandas job reducing dims-scale partials) around the whiten
+    transform — zero shuffles; the d-row report is dims-scale,
+    assembled driver-side like a BPE vocab or PQ codebook."""
+    import numpy as np
+
+    spark = df.sparkSession
+    _, mu, cov = _corpus_moments(df, vec_col)
+    sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
+    lam, u = np.linalg.eigh(cov)
+    w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
+    whitened = _apply_whitening(df, mu, w, vec_col, "__w")
+    _, mean_w, cov_w = _corpus_moments(whitened, "__w")
+    d = len(mu)
+    dev = np.abs(cov_w - np.eye(d))
+    offdiag = dev.copy()
+    np.fill_diagonal(offdiag, 0.0)
+    rows = [(int(i),
+             float(round(mu[i], mu_digits)),
+             float(round(sd[i], mu_digits)),
+             float(round(dev[i, i], cov_digits)),
+             float(round(offdiag[i].max(), cov_digits)),
+             float(round(abs(mean_w[i]), mu_digits)))
+            for i in range(d)]
+    return spark.createDataFrame(
+        rows, "pos int, mu double, sd double, diag_dev double, "
+              "offdiag_max double, mean_dev double")

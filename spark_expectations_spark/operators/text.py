@@ -1138,7 +1138,11 @@ TRACKING_PARAMS: Sequence[str] = (
 )
 
 #: scheme://authority path ?query #fragment — RE2/Java-identical syntax
-_URL_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#]+)([^?#]*)"
+#: authority excludes brackets: a bracketed IPv6 authority
+#: (``[::1]:8080``) would mis-split on the host/port colon, so such
+#: URLs are rejected whole (NULL struct) rather than silently mangled
+#: (ADVICE r8). RE2/Java-common syntax only.
+_URL_RE = (r"^([A-Za-z][A-Za-z0-9+.-]*)://([^/?#\[\]]+)([^?#]*)"
            r"(?:\?([^#]*))?(?:#(.*))?$")
 
 
@@ -1151,14 +1155,20 @@ def url_parts(url: Column) -> Column:
 
     ``scheme`` and ``host`` are lowercased (case-insensitive per RFC
     3986), userinfo is stripped from the authority, ``port`` is NULL
-    when absent, ``path``/``query``/``fragment`` keep their case
-    (significant). NULL or non-URL input → NULL struct."""
+    when absent OR malformed (``:8a`` — ``try_cast`` so ANSI mode
+    (Spark 4.x default) yields NULL instead of throwing; ADVICE r8),
+    ``path``/``query``/``fragment`` keep their case (significant).
+    NULL or non-URL input → NULL struct. Bracketed IPv6 authorities
+    (``[::1]:8080``) are OUT of contract: the colon-split host/port
+    would mis-assign them, so they are rejected to a NULL struct like
+    any other non-URL."""
     scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
     auth = F.regexp_extract(url, _URL_RE, 2)
     hostport = F.element_at(F.split(auth, "@"), -1)
     host = F.lower(F.element_at(F.split(hostport, ":"), 1))
     port = F.when(hostport.contains(":"),
-                  F.element_at(F.split(hostport, ":"), -1).cast("int"))
+                  F.element_at(F.split(hostport, ":"), -1)
+                  .try_cast("int"))
     path = F.regexp_extract(url, _URL_RE, 3)
     query = F.nullif(F.regexp_extract(url, _URL_RE, 4), F.lit(""))
     frag = F.nullif(F.regexp_extract(url, _URL_RE, 5), F.lit(""))

@@ -4453,6 +4453,34 @@ def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
              (F.round("wv", 4) + F.lit(0.0)).alias("wvalue"))
 
 
+def q_embed_whiten_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitening invariants with a FULL value oracle (r8 verdict task
+    4; similarity.whiten_check): per dimension, the raw corpus
+    mean/stddev as measured by the engine's distributed moments pass —
+    DuckDB recomputes them exactly from the parquet — plus the
+    whitened corpus' deviation from cov = I, mean = 0, which the math
+    forces to 0.0 at the rounding precision. The eigendecomposition
+    itself stays rows-only (embed_whiten); its defining properties are
+    now driver-gated."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.whiten_check(emb)
+
+
+ORACLE_EMBED_WHITEN_CHECK = r"""
+WITH ex AS (
+  SELECT i - 1 AS pos, embedding[i] AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  WHERE embedding IS NOT NULL)
+SELECT CAST(pos AS INT) AS pos,
+       round(avg(v), 4) + 0.0 AS mu,
+       round(stddev_pop(v), 4) + 0.0 AS sd,
+       CAST(0.0 AS DOUBLE) AS diag_dev,
+       CAST(0.0 AS DOUBLE) AS offdiag_max,
+       CAST(0.0 AS DOUBLE) AS mean_dev
+FROM ex GROUP BY pos
+"""
+
+
 _KS_EDGES = [10_000.0 * i for i in range(1, 12)]
 
 
@@ -5171,6 +5199,65 @@ FROM g
 """
 
 
+def q_lineitem_grouped_dq_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TARGET-stage per-segment attribution (r8 verdict task 3): a full
+    engine run — row-dq drops the out-of-band-discount rows — then the
+    SAME three agg rules evaluated per l_returnflag over the POST-clean
+    final_df (DQResult.target_agg_grouped). Attribution for "which
+    segment broke the published table", exercised through the engine
+    wiring end-to-end, not the bare evaluator."""
+    from .core.engine import DQEngine
+    from .core.state import DQConfig
+
+    li = load(spark, sf_dir, "lineitem")
+    mk = lambda rule, col, exp: Rule(  # noqa: E731
+        "spark_graft", "lineitem", "agg_dq", rule, col, exp,
+        enable_for_source_dq_validation=False,
+        enable_for_target_dq_validation=True)
+    rules = RuleSet(lineitem_row_rules() + [
+        mk("qty_sum", "l_quantity", "sum(l_quantity) > 25000"),
+        mk("price_avg", "l_extendedprice",
+           "avg(l_extendedprice) between 30000 and 40000"),
+        mk("row_floor", "", "count(*) > 1200"),
+    ])
+    cfg = DQConfig(product_id="spark_graft", table_name="lineitem",
+                   write_error_table=False,
+                   agg_group_cols=("l_returnflag",))
+    res = DQEngine(cfg).run(li, rules, spark)
+    return res.target_agg_grouped.select(
+        "l_returnflag", "rule", "status",
+        F.round("actual_value", 4).alias("actual"))
+
+
+#: the drop-action row rule (disc_low) removes rows with l_discount
+#: outside [0, 0.05] (NULLs fail too), so the oracle's post-clean frame
+#: is exactly that filter — then the same grouped assertions.
+ORACLE_LINEITEM_GROUPED_DQ_TARGET = """
+WITH f AS (
+  SELECT * FROM lineitem WHERE l_discount BETWEEN 0 AND 0.05),
+g AS (
+  SELECT l_returnflag,
+         sum(l_quantity)::DOUBLE AS s,
+         avg(l_extendedprice) AS a,
+         count(*)::DOUBLE AS c
+  FROM f GROUP BY l_returnflag)
+SELECT l_returnflag, 'qty_sum' AS rule,
+       CASE WHEN s > 25000 THEN 'pass' ELSE 'fail' END AS status,
+       round(s, 4) AS actual
+FROM g
+UNION ALL
+SELECT l_returnflag, 'price_avg',
+       CASE WHEN a BETWEEN 30000 AND 40000 THEN 'pass' ELSE 'fail' END,
+       round(a, 4)
+FROM g
+UNION ALL
+SELECT l_returnflag, 'row_floor',
+       CASE WHEN c > 1200 THEN 'pass' ELSE 'fail' END,
+       round(c, 4)
+FROM g
+"""
+
+
 def q_docs_phash_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash near-duplicate pairs (multimodal.phash_near_dups
     — Hamming banding + exact bit_count verify, the image-dedup path).
@@ -5750,36 +5837,46 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          construction (xxhash64 dedup twins, the HLL rollup, and
 #          embed_whiten's eigendecomposition — covered by pytest and,
 #          for the first two, by md5_48 pair-set parity tests).
+#   r9:    5 dq_* flagship + the round-9 NEW operators
+#          (lineitem_grouped_dq_target — the target-stage per-segment
+#          mirror, embed_whiten_check — whitening invariants with a
+#          full value oracle) + ALL 24 entries whose last hard gate was
+#          r1-r4 per the CORRECTNESS artifacts (tpch q4/5/8/10/11/13/
+#          14/16/18/19/21ish, window_rank, window_running_total,
+#          embed_near_dups_bcast/mean_pool/norm_outliers/quantize,
+#          ann_topk, ann_ivf, events_hourly/sliding/gapfill/ffill/
+#          seasonality) + fills from the r5-last cohort
+#          (docs_decontaminate, users_scd2, samplers, lexical stats,
+#          ann_ivf_recall) = 50. NOTE: the r8 verdict's "longest
+#          un-re-gated" family list named several r6-gated entries
+#          (dedup_exact, part_brand_topk, events_json/funnel/cohort,
+#          rollup/cube/pivot, md5 twins, docs_minhash_index); the
+#          artifacts show the r1-r4 cohort above is strictly staler,
+#          so it takes the slots.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-8 touched implementations (samplers: explicit cache-release
-    # handle + persist_input=False in the catalog shape; ks_statistic:
-    # drop_nulls param around the shared bucketing fold)
-    "docs_token_budget", "docs_mixture_resample",
-    "docs_temperature_resample", "lineitem_price_ks",
-    # round-8 NEW operators — gate on first appearance
-    "docs_normalize", "docs_paragraph_dedup", "embed_pq",
-    "embed_ivf_pq", "docs_c4_filter", "docs_span_removal",
-    "events_bitmap_distinct", "docs_url_stats", "docs_global_index",
-    "docs_padding_waste", "docs_curriculum", "docs_phash_dups",
-    "lineitem_grouped_dq", "docs_strip_html", "lineitem_price_jsd",
-    "lineitem_drift_report", "lineitem_drift_verdict",
-    "docs_interleave",
-    # flagship composite quality gate — last gated r5
-    "docs_gopher_gate",
-    # re-gate fills: families not re-gated since r1-r5
-    "tpch_q3", "tpch_q6", "tpch_q2ish", "tpch_q7ish", "tpch_q9ish",
-    "tpch_q12ish", "tpch_q15ish", "tpch_q17ish", "tpch_q20ish",
-    "tpch_q22ish",
-    "text_stats", "text_quality", "text_langid", "text_repetition",
-    "text_pii_redact",
-    "lineitem_price_drift", "orders_status_drift", "orders_status_chi2",
-    "docs_train_split",
-    "docs_winsorize", "docs_percentile_gate",
-    "orders_snapshot_diff",
+    # round-9 NEW operators — gate on first appearance
+    "lineitem_grouped_dq_target", "embed_whiten_check",
+    # everything last driver-gated in r1-r4 (24 entries)
+    "tpch_q5ish", "tpch_q4ish", "tpch_q10ish", "tpch_q14ish",
+    "tpch_q18ish", "tpch_q19ish", "tpch_q8ish", "tpch_q11ish",
+    "tpch_q13ish", "tpch_q16ish", "tpch_q21ish",
+    "window_rank", "window_running_total",
+    "embed_near_dups_bcast", "embed_mean_pool", "embed_norm_outliers",
+    "embed_quantize", "ann_topk", "ann_ivf",
+    "events_hourly", "events_sliding", "events_gapfill", "events_ffill",
+    "events_seasonality",
+    # re-gate fills from the r5-last cohort (oldest remaining)
+    "docs_decontaminate", "users_scd2", "dedup_lsh_quality",
+    "lineitem_correlations", "events_time_split", "events_asof_purchase",
+    "docs_weighted_sample", "docs_lm_score", "docs_ccnet_buckets",
+    "docs_bigram_lm", "docs_token_ids", "docs_source_dup_matrix",
+    "docs_collocations", "docs_epoch_shuffle", "docs_heavy_tokens",
+    "docs_chunks", "docs_strip_boilerplate", "docs_classifier_score",
+    "ann_ivf_recall",
 ]
 
 
@@ -5921,6 +6018,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_readability": q_docs_readability,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
+    "embed_whiten_check": q_embed_whiten_check,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -5938,6 +6036,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum": q_docs_curriculum,
     "docs_phash_dups": q_docs_phash_dups,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
+    "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6067,6 +6166,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_gopher_gate": ORACLE_DOCS_GOPHER_GATE,
     "docs_ngram_novelty": ORACLE_DOCS_NGRAM_NOVELTY,
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
+    "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,
@@ -6091,6 +6191,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
+    "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

@@ -97,7 +97,16 @@ def set_current(spark: SparkSession, root: str, version: int) -> None:
     """Point ``_CURRENT`` at an already-published version — the
     rollback/promote primitive (publish keeps old ``v=<n>`` dirs
     intact, so rollback is just a pointer rewrite). Raises if the
-    version directory does not exist."""
+    version directory does not exist.
+
+    Flip mechanics (ADVICE r8): the pointer is renamed over with
+    ``FileContext.rename(..., Options.Rename.OVERWRITE)`` — a single
+    atomic operation on HDFS and the local FS, so readers see the old
+    value until the flip and the new one after, never a missing
+    pointer. Only if the filesystem exposes no FileContext binding does
+    this fall back to delete-then-rename, which opens a transient
+    window where the pointer does not exist; :func:`current_version`
+    carries a bounded retry to ride that window out."""
     fs, Path = _hadoop_fs(spark, root)
     if not fs.exists(Path(f"{root}/v={int(version)}")):
         raise FileNotFoundError(f"{root}/v={int(version)} not published")
@@ -106,6 +115,20 @@ def set_current(spark: SparkSession, root: str, version: int) -> None:
     out.writeUTF(str(int(version)))
     out.close()
     cur = Path(f"{root}/_CURRENT")
+    try:
+        jvm = spark.sparkContext._jvm
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            fs.getUri(), spark.sparkContext._jsc.hadoopConfiguration())
+        overwrite = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        opts = spark.sparkContext._gateway.new_array(
+            jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = overwrite
+        fc.rename(tmp, cur, opts)
+        return
+    except Exception:
+        # no FileContext for this scheme (rare object stores) — fall
+        # back to the non-atomic flip the docstring documents
+        pass
     if fs.exists(cur):
         fs.delete(cur, False)
     if not fs.rename(tmp, cur):
@@ -114,16 +137,34 @@ def set_current(spark: SparkSession, root: str, version: int) -> None:
 
 def current_version(spark: SparkSession, root: str) -> Optional[int]:
     """The published version the ``_CURRENT`` pointer names, or None if
-    nothing has been published."""
+    nothing has been published.
+
+    Retries a few times before concluding "nothing published": on
+    filesystems where :func:`set_current` had to fall back to
+    delete-then-rename, a read racing the flip could otherwise see the
+    transient no-pointer window (ADVICE r8)."""
+    import time as _time
+
     fs, Path = _hadoop_fs(spark, root)
     cur = Path(f"{root}/_CURRENT")
-    if not fs.exists(cur):
-        return None
-    stream = fs.open(cur)
-    try:
-        return int(stream.readUTF().strip())
-    finally:
-        stream.close()
+    for attempt in range(3):
+        if fs.exists(cur):
+            try:
+                stream = fs.open(cur)
+            except Exception:
+                # deleted between exists() and open() by a racing flip
+                _time.sleep(0.05 * (attempt + 1))
+                continue
+            try:
+                return int(stream.readUTF().strip())
+            finally:
+                stream.close()
+        # distinguish "never published" (no tmp, no flip in progress)
+        # from "mid-flip": only retry when a flip could be racing
+        if not fs.exists(Path(f"{root}/_CURRENT.tmp")):
+            return None
+        _time.sleep(0.05 * (attempt + 1))
+    return None
 
 
 def read_current(spark: SparkSession, root: str) -> DataFrame:

@@ -204,6 +204,43 @@ class TestAggDQ:
             df, rules, spark)
         assert res2.source_agg_grouped is None
 
+    def test_engine_attaches_target_grouped_attribution(self, spark):
+        """r8 verdict task 3: the target-stage mirror — after row-dq
+        drops, the TARGET agg rules get the same per-segment frame over
+        final_df. Golden shape: every source check passes, the
+        whole-table target rule passes, but ONE segment of the
+        published table fails and target_agg_grouped names it."""
+        df = spark.createDataFrame(
+            [("a", 10, 1), ("a", 12, 1), ("b", 10, 0), ("b", 100, 1)],
+            "seg string, v int, ok int")
+        rules = RuleSet([
+            _rule(rule="drop_bad", expectation="ok = 1",
+                  action_if_failed="drop"),
+            _rule(rule="seg_floor", rule_type="agg_dq", column_name="",
+                  expectation="count(*) >= 4"),
+            _rule(rule="avg_band", rule_type="agg_dq", column_name="v",
+                  expectation="avg(v) between 5 and 45",
+                  enable_for_source_dq_validation=False,
+                  enable_for_target_dq_validation=True),
+        ])
+        cfg = DQConfig(product_id="p", table_name="t",
+                       write_error_table=False,
+                       agg_group_cols=("seg",))
+        res = DQEngine(cfg).run(df, rules, spark)
+        assert res.status["source_agg_dq"] == "Passed"
+        # post-clean rows: a(10,12), b(100) -> whole-table avg 40.67
+        # passes the band, segment b (100) fails it
+        assert res.status["target_agg_dq"] == "Passed"
+        grouped = {(r["seg"], r["rule"]): r["status"]
+                   for r in res.target_agg_grouped.collect()}
+        assert grouped == {("a", "avg_band"): "pass",
+                           ("b", "avg_band"): "fail"}
+        # unset config -> no frame
+        res2 = DQEngine(DQConfig(product_id="p", table_name="t",
+                                 write_error_table=False)).run(
+            df, rules, spark)
+        assert res2.target_agg_grouped is None
+
     def test_fail_action(self, spark, simple3):
         rules = RuleSet([_rule(rule="big", rule_type="agg_dq",
                                expectation="sum(col3) > 1000",

@@ -3277,6 +3277,38 @@ class TestWhiten:
         with _pytest.raises(ValueError, match="no non-NULL"):
             sim.whiten(empty)
 
+    def test_whiten_check_invariants_and_raw_moments(self, spark):
+        """The driver-gateable twin (r8 verdict task 4): raw per-dim
+        mean/sd match numpy's, and the whitened-covariance deviations
+        round to exactly 0.0 — while the UN-whitened data (negative
+        control) would not."""
+        import numpy as np
+        import random
+        from spark_expectations_spark.operators import similarity as sim
+        rng = random.Random(7)
+        rows = []
+        for i in range(300):
+            a, b = rng.gauss(5, 2), rng.gauss(-1, 0.5)
+            rows.append((i, [a, b, a + rng.gauss(0, 0.3)]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = {r["pos"]: r for r in sim.whiten_check(df).collect()}
+        assert set(got) == {0, 1, 2}
+        x = np.array([r[1] for r in rows])
+        for i in range(3):
+            assert got[i]["mu"] == pytest.approx(
+                round(float(x[:, i].mean()), 4))
+            assert got[i]["sd"] == pytest.approx(
+                round(float(x[:, i].std()), 4))
+            assert got[i]["diag_dev"] == 0.0
+            assert got[i]["offdiag_max"] == 0.0
+            assert got[i]["mean_dev"] == 0.0
+        # negative control: the raw (correlated, shifted) cloud is far
+        # from cov = I / mean = 0 — the invariants genuinely discriminate
+        cov = np.cov(x, rowvar=False, bias=True)
+        assert round(abs(cov[0, 2]), 3) != 0.0
+        assert round(abs(float(x[:, 0].mean())), 4) != 0.0
+
 
 class TestTokenEntropy:
     def test_known_entropies(self, spark):
@@ -3926,6 +3958,23 @@ class TestUrlOps:
                        "http://a.com/x?id=2&utm_b=1&next=3")
         # survivor ORDER preserved
         assert r3["n"] == "http://a.com/x?id=2&next=3"
+
+    def test_malformed_port_is_null_not_ansi_throw(self, spark):
+        """ADVICE r8: under ANSI mode (Spark 4.x default) a plain
+        .cast('int') on 'http://host:8a/' threw at runtime; try_cast
+        contracts it to a NULL port with host still parsed."""
+        r = self._one(spark, "http://host.example.com:8a/x")
+        assert r["p"] is not None
+        assert r["p"]["host"] == "host.example.com"
+        assert r["p"]["port"] is None
+        assert r["p"]["path"] == "/x"
+
+    def test_bracketed_ipv6_rejected_whole(self, spark):
+        """ADVICE r8: '[::1]:8080' used to mis-split host/port on the
+        colon; the authority regex now rejects brackets so the struct
+        is NULL like any non-URL — never silently mangled."""
+        r = self._one(spark, "http://[::1]:8080/path")
+        assert r["p"] is None and r["n"] is None and r["rd"] is None
 
     def test_non_url_and_null_and_bare_host(self, spark):
         from spark_expectations_spark.operators import text as T

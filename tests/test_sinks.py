@@ -400,6 +400,42 @@ class TestPublishVersion:
         # default continues above the explicit high-water mark
         assert layout.publish_version(spark.range(4), root) == 8
 
+    def test_pointer_flip_is_overwrite_not_delete(self, spark, tmp_path):
+        """ADVICE r8: the flip must go through FileContext's atomic
+        OVERWRITE rename — a racing reader must never observe a missing
+        pointer. Pin that the atomic path (not the delete fallback) is
+        what runs on the local FS: FileSystem.delete must not be called
+        on _CURRENT during a re-flip over an existing pointer."""
+        from spark_expectations_spark.sinks import layout
+        root = str(tmp_path / "ds3")
+        layout.publish_version(spark.range(3), root)          # v1
+        layout.publish_version(spark.range(5), root)          # v2 over v1
+        fs, Path = layout._hadoop_fs(spark, root)
+        calls = []
+        orig = layout._hadoop_fs
+
+        class _SpyFs:
+            def __getattr__(self, name):
+                real = getattr(fs, name)
+                if name == "delete":
+                    def spy(*a, **k):
+                        calls.append(str(a[0]))
+                        return real(*a, **k)
+                    return spy
+                return real
+
+        layout._hadoop_fs = lambda s, p: (_SpyFs(), Path)
+        try:
+            layout.set_current(spark, root, 1)
+        finally:
+            layout._hadoop_fs = orig
+        assert layout.current_version(spark, root) == 1
+        assert not [c for c in calls if c.endswith("_CURRENT")], (
+            "pointer flip fell back to delete-then-rename on a "
+            "filesystem where FileContext OVERWRITE rename works")
+        # no tmp residue either way
+        assert not fs.exists(Path(f"{root}/_CURRENT.tmp"))
+
 
 class TestAnalyzeAndManifest:
     def test_analyze_tables_lands_cbo_stats(self, spark, tmp_path):
