@@ -75,7 +75,12 @@ def paragraph_dedup(
     Scale shape (three key-distributed shuffles, no windows over the
     corpus, no UDF):
 
-    1. one posexplode pass over the text scan;
+    1. one posexplode pass over the text scan — persisted, because the
+       exploded frame feeds BOTH the first-occurrence aggregation and
+       the join probe side (without the persist the explode evaluates
+       2-3×; the sibling remove_dup_spans persists the identical shape
+       for the same reason — ADVICE r8). Released when the result is
+       garbage-collected;
     2. first-occurrence per paragraph via ``groupBy(key)`` +
        ``min(struct(id, pos))`` — with a hashed family the shuffled
        tuples are (8-byte key, id, pos), NOT paragraph text, and the
@@ -108,8 +113,10 @@ def paragraph_dedup(
         key = hash48_md5(F.col("__para"))
     else:
         key = F.xxhash64("__para")
+    from .sampling import _release_on_gc
+
     paras = paras.withColumn("__k", key).withColumn(
-        "__dd", F.length("__para") >= min_chars)
+        "__dd", F.length("__para") >= min_chars).persist()
     firsts = (paras.filter(F.col("__dd"))
               .groupBy("__k")
               .agg(F.min(F.struct(F.col(id_col).alias("i"),
@@ -126,10 +133,11 @@ def paragraph_dedup(
                            F.struct("__pos", "__para"))),
                        lambda s: s["__para"]),
                    sep).alias(out_col)))
-    return (df.join(rebuilt, id_col, "left")
-            .withColumn(out_col,
-                        F.when(t.isNull(), F.lit(None).cast("string"))
-                        .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+    out = (df.join(rebuilt, id_col, "left")
+           .withColumn(out_col,
+                       F.when(t.isNull(), F.lit(None).cast("string"))
+                       .otherwise(F.coalesce(F.col(out_col), F.lit("")))))
+    return _release_on_gc(out, paras)
 
 
 # ---------------------------------------------------------------------------

@@ -738,8 +738,11 @@ def quantile_buckets(
 
     Scale shape: one groupBy computes ALL thresholds (one pass,
     map-side partials); the thresholds frame is group-cardinality —
-    dims, not corpus — so the bucket join is AQE-broadcast and the
-    corpus side streams map-only, exactly like :func:`percentile_gate`.
+    dims, not corpus — and is broadcast EXPLICITLY (r9: relying on AQE
+    here let the tiny-SF planner broadcast the CORPUS side of the
+    single-group case, the exact wrong side at 100 TB; the hint pins
+    the dims-scale side by contract) so the corpus streams map-only,
+    exactly like :func:`percentile_gate`.
     With ``exact=True`` (default), integer scores + exact-binary ``qs``
     (quarters, eighths) make the interpolation bit-identical to DuckDB's
     ``quantile_cont``, hence fully value-oracle-checkable — but the
@@ -766,7 +769,8 @@ def quantile_buckets(
         col = F.when(F.col(score_col) >= F.col(f"__q{i}"),
                      F.lit(labels[i + 1])).otherwise(col)
     # null-safe: NULL-group rows bucket against their own thresholds
-    return (df.join(thr, F.col(group_col).eqNullSafe(F.col("__g")))
+    return (df.join(F.broadcast(thr),
+                    F.col(group_col).eqNullSafe(F.col("__g")))
             .withColumn(out, col)
             .drop("__g", *[f"__q{i}" for i in range(len(qs))]))
 

@@ -1402,7 +1402,10 @@ def c4_document_flags(
     kept = F.array_join(kept_arr, sep)
     n_sentences = F.regexp_count(kept, F.lit(r"[.!?]"))
     has_lorem = low.contains(F.lit("lorem ipsum"))
-    has_brace = txt.contains(F.lit("{"))
+    # EITHER bracket: the C4 recipe (Raffel et al. 2020 §2.2) removes
+    # pages containing any curly bracket — a page with only '}' must
+    # not slip through (ADVICE r8)
+    has_brace = txt.rlike("[{}]")
     passes = (~has_lorem & ~has_brace
               & (n_sentences >= F.lit(min_sentences)))
     return df.select(

@@ -5620,7 +5620,7 @@ g AS (
   SELECT doc_id, n_lines, len(kept_arr) AS n_kept_lines,
          array_to_string(kept_arr, chr(10)) AS kept,
          contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
-         contains(t, '{') AS has_curly_brace
+         regexp_matches(t, '[{}]') AS has_curly_brace
   FROM f)
 SELECT doc_id, n_lines, n_kept_lines,
        len(regexp_extract_all(kept, '[.!?]')) AS n_sentences,

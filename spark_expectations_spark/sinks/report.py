@@ -105,7 +105,10 @@ def render_html_report(result) -> str:
     notifications/push/alert.py:71-155 renders the same content through
     Jinja templates + email; here it's a pure string so any channel —
     email plugin, webhook, file sink — can carry it). Driver-side,
-    rule-scale only."""
+    rule-scale only — EXCEPT when per-segment attribution is present
+    (DQConfig.agg_group_cols): rendering then runs one Spark job per
+    grouped frame to collect the failing segments (ADVICE r8 — this is
+    the only place report rendering touches the cluster)."""
     import html as _html
 
     def esc(v) -> str:
@@ -132,19 +135,27 @@ def render_html_report(result) -> str:
             rule_rows.append(tr(
                 [stage, r.rule.rule, r.rule.column_name, r.status,
                  r.actual_value, ""], r.status))
-    grouped = getattr(result, "source_agg_grouped", None)
-    if grouped is not None:
+    for label, grouped in (
+            ("source_agg_dq (segment)",
+             getattr(result, "source_agg_grouped", None)),
+            ("target_agg_dq (segment)",
+             getattr(result, "target_agg_grouped", None))):
+        if grouped is None:
+            continue
         # per-segment attribution: FAILING segments only, capped — the
         # grouped frame is group-cardinality × rules and a report must
-        # stay driver-safe
+        # stay driver-safe. Ordered by (group cols, rule) BEFORE the
+        # cap so which 50 segments appear is deterministic across runs
+        # (ADVICE r8).
         gcols = [c for c in grouped.columns
                  if c not in ("rule", "status", "actual_value")]
         fails = (grouped.filter(F.col("status") == "fail")
+                 .orderBy(*gcols, "rule")
                  .limit(50).collect())
         for r in fails:
             seg = ", ".join(f"{c}={r[c]}" for c in gcols)
             rule_rows.append(tr(
-                ["source_agg_dq (segment)", r["rule"], seg, "fail",
+                [label, r["rule"], seg, "fail",
                  r["actual_value"], ""], "fail"))
     return _HTML_PAGE.format(
         run_id=esc(result.run_id),

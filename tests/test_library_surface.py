@@ -726,6 +726,28 @@ class TestPlanLint:
         assert found and found[0]["severity"] == "warn"
         assert "BroadcastNestedLoopJoin" in found[0]["detail"]
 
+    def test_scalar_stats_broadcast_cross_demotes_to_info(self, spark):
+        """r8 verdict task 6: a crossJoin against a broadcast 1-ROW
+        aggregate (grand-total / scalar-subquery stats frame) is the
+        correct plan and must NOT drown real cartesians — it reports
+        as info 'broadcast-1row-cross', while a corpus × corpus
+        broadcast cross stays warn (previous test)."""
+        a = spark.range(500).toDF("x")
+        tot = spark.range(500).agg(F.sum("id").alias("s"))
+        j = a.crossJoin(F.broadcast(tot))
+        rules = {f["rule"]: f["severity"] for f in plans.plan_lint(j)}
+        assert "cartesian-product" not in rules
+        assert rules.get("broadcast-1row-cross") == "info"
+        # the strict warn gate now passes for the scalar-stats shape
+        plans.assert_plan_clean(
+            j, max_severity="warn", allow=("single-partition-exchange",))
+        # ...and a keyless agg that is then re-EXPANDED is not scalar
+        blown = a.crossJoin(F.broadcast(
+            tot.select(F.explode(F.array(F.lit(1), F.lit(2))).alias("e"))))
+        rules2 = {f["rule"]: f["severity"]
+                  for f in plans.plan_lint(blown)}
+        assert rules2.get("cartesian-product") == "warn"
+
     def test_row_python_udf_is_error(self, spark):
         from pyspark.sql.types import IntegerType
         inc = F.udf(lambda x: x + 1, IntegerType())     # test-only smell

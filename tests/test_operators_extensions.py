@@ -3734,6 +3734,12 @@ class TestC4Filter:
             spark, "Valid sentence with code leak { inside.",
             min_sentences=1)
         assert brace["has_curly_brace"] and not brace["passes"]
+        # ADVICE r8: the C4 recipe drops pages with ANY curly bracket —
+        # a page containing only '}' must fail too
+        close_only = self._flags(
+            spark, "Valid sentence with stray } closer.",
+            min_sentences=1)
+        assert close_only["has_curly_brace"] and not close_only["passes"]
         ok = self._flags(spark, "One good sentence stands here.",
                          min_sentences=1)
         assert ok["passes"] and ok["n_sentences"] == 1

@@ -10,7 +10,9 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run: 150/150 queries, 0 errors.
+build) is present. Last full run: 154/154 queries, 0 errors, 79 warns
+(down from 143 — plan_lint now demotes BroadcastNestedLoopJoins whose
+build side is a provably 1-row aggregate to info, r8 verdict task 6).
 """
 
 from __future__ import annotations
@@ -23,6 +25,30 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 from spark_expectations_spark import plans  # noqa: E402
 from spark_expectations_spark.queries import QUERIES  # noqa: E402
+
+#: Standing adjudications for warn-tier findings the linter cannot
+#: prove benign from the plan alone. Each remaining cartesian-product
+#: warn is either here (with its reason) or a real finding to fix.
+KNOWN_BENIGN: dict[tuple[str, str], str] = {
+    ("ann_topk", "cartesian-product"):
+        "query matrix broadcast BY CONTRACT (similarity.ann_topk: the "
+        "query side is bounded, corpus streams map-only)",
+    ("ann_ivf", "cartesian-product"):
+        "queries x centroids probe grid — both sides dims-scale "
+        "(n_queries*k), broadcast by contract; corpus never cross-joins",
+    ("ann_ivf_recall", "cartesian-product"):
+        "same probe grid as ann_ivf plus a sampled exact side — "
+        "quadratic only on the documented sample",
+    ("embed_ivf_pq", "cartesian-product"):
+        "per-query LUT build (m*k distance table) against broadcast "
+        "centroids — model-scale frames, not corpus",
+    ("docs_curriculum", "cartesian-product"):
+        "quantile_buckets thresholds join: the single-group (lit "
+        "constant) case folds the eqNullSafe key so the join plans as "
+        "BNLJ, but the build side is the explicitly-broadcast "
+        "group-cardinality thresholds frame (1 row per group) — the "
+        "grouped agg isn't keyless so plan_lint can't prove it 1-row",
+}
 
 
 def main() -> int:
@@ -47,7 +73,12 @@ def main() -> int:
                 n_err += 1
                 print(f"ERROR {name}: {f['rule']}: {f['detail']}")
             elif f["severity"] == "warn":
-                print(f"warn  {name}: {f['rule']}")
+                note = KNOWN_BENIGN.get((name, f["rule"]))
+                if note:
+                    print(f"warn  {name}: {f['rule']} [adjudicated: "
+                          f"{note}]")
+                else:
+                    print(f"warn  {name}: {f['rule']}")
     print(f"{len(names)} queries linted, {n_err} errors")
     return 1 if n_err else 0
 
