@@ -627,6 +627,67 @@ def hashed_linear_score(
         scored.select(F.col(id_col), score.alias(out_col)), id_col)
 
 
+def calibration_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram for a probabilistic classifier: rows with a
+    score in [0, 1] and a 0/1 label are bucketed into ``n_bins``
+    equal-width score bins; per bin the report emits ``(bin, n,
+    avg_score, frac_pos, gap)`` where ``gap = frac_pos − avg_score`` —
+    the quantity a calibrated model keeps near 0 in every bin. The QA
+    step before trusting a quality-filter classifier's scores as
+    sampling weights or gate thresholds (an over-confident filter
+    silently skews the corpus it curates).
+
+    Scores land in ``floor(score·n_bins)`` clamped to the last bin
+    (score 1.0 joins the top bin); NULL scores/labels are dropped and
+    counted nowhere. Companion :func:`expected_calibration_error`
+    folds this report into the scalar ECE.
+
+    Scale shape: ONE map-side-combined groupBy over an n_bins-cardinality
+    key — the fold-bucket histogram pattern; no window, no second pass.
+    """
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s, y = F.col(score_col).cast("double"), F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    return (df.filter(s.isNotNull() & y.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.avg(s).alias("avg_score"),
+                 F.avg(y).alias("frac_pos"))
+            .withColumn("gap", F.col("frac_pos") - F.col("avg_score")))
+
+
+def expected_calibration_error(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Scalar ECE/MCE/Brier over the :func:`calibration_report` bins:
+    one row ``(n, ece, mce, brier)`` — ECE = Σ (n_b/N)·|gap_b| (Naeini
+    et al. 2015's binned estimator), MCE = max_b |gap_b|, plus the
+    bin-free Brier score mean((score − label)²) from the same single
+    scan. A bins-cardinality re-aggregation on top of the report — two
+    tiny jobs total, nothing corpus-sized leaves the executors."""
+    s, y = F.col(score_col).cast("double"), F.col(label_col).cast("double")
+    rep = calibration_report(df, score_col, label_col, n_bins=n_bins)
+    brier = (df.filter(s.isNotNull() & y.isNotNull())
+             .agg(F.avg((s - y) * (s - y)).alias("brier"),
+                  F.count(F.lit(1)).alias("n")))
+    folded = rep.agg(
+        (F.sum(F.col("n") * F.abs("gap")) / F.sum("n")).alias("ece"),
+        F.max(F.abs("gap")).alias("mce"))
+    return (brier.crossJoin(F.broadcast(folded))
+            .select("n", "ece", "mce", "brier"))
+
+
 def strip_common_lines(
     df: DataFrame,
     id_col: str,

@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .core.rules import Rule, RuleSet
-from .operators import agg_dq, dedup, query_dq, row_dq, similarity, text
+from .operators import (agg_dq, dedup, linkage, query_dq, row_dq,
+                        similarity, text)
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
@@ -5632,6 +5633,55 @@ FROM g
 """
 
 
+def q_part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join / record linkage (linkage.blocked_fuzzy_join):
+    part names matched against a deterministically-perturbed twin list
+    (one char deleted at position (p_partkey % 10) + 3 — a no-op when
+    the position is past the name, giving a distance-0 control group).
+    Candidates from prefix-2 + length-bucket blocking keys, verified
+    with codegen levenshtein ≤ 1 — the oracle reproduces blocking,
+    perturbation, and edit distance exactly (DuckDB levenshtein is the
+    same unit-cost metric). Never all-pairs: candidates are per-block
+    products only."""
+    part = load(spark, sf_dir, "part")
+    base = part.select(F.col("p_partkey").alias("lid"),
+                       F.col("p_name").alias("lname"))
+    twin = part.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.expr("concat(substring(p_name, 1, "
+               "cast(p_partkey % 10 + 2 as int)), "
+               "substring(p_name, cast(p_partkey % 10 + 4 as int), "
+               "100000))").alias("rname"))
+    out = linkage.blocked_fuzzy_join(
+        base, twin, "lid", "lname", "rid", "rname",
+        max_distance=1, blockers=("prefix", "length"))
+    return out.select("lid", "rid", "distance")
+
+
+ORACLE_PART_FUZZY_MATCHES = """
+WITH base AS (
+  SELECT p_partkey AS lid, lower(trim(p_name)) AS ln FROM part),
+tw AS (
+  SELECT p_partkey + 1000000 AS rid,
+         lower(trim(substr(p_name, 1, CAST(p_partkey % 10 + 2 AS INT))
+                    || substr(p_name,
+                              CAST(p_partkey % 10 + 4 AS INT)))) AS rn
+  FROM part),
+lex AS (
+  SELECT lid, ln, b
+  FROM base, UNNEST(['p:' || substr(ln, 1, 2),
+                     'l:' || CAST(length(ln) // 4 AS VARCHAR)]) AS t(b)),
+rex AS (
+  SELECT rid, rn, b
+  FROM tw, UNNEST(['p:' || substr(rn, 1, 2),
+                   'l:' || CAST(length(rn) // 4 AS VARCHAR)]) AS t(b)),
+cand AS (
+  SELECT DISTINCT lid, rid, ln, rn FROM lex JOIN rex USING (b))
+SELECT lid, rid, levenshtein(ln, rn) AS distance
+FROM cand WHERE levenshtein(ln, rn) <= 1
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6037,6 +6087,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_phash_dups": q_docs_phash_dups,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
+    "part_fuzzy_matches": q_part_fuzzy_matches,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6192,6 +6243,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
+    "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

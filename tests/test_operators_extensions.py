@@ -4256,3 +4256,92 @@ class TestIvfPqTopk:
                      for r in want.collect()}
         assert len(got_rows) == 25
         assert got_rows == want_rows
+
+
+class TestBlockedFuzzyJoin:
+    def _frames(self, spark):
+        L = spark.createDataFrame(
+            [(1, "Acme Corp"), (2, "Widget Works"), (3, "Zen Labs"),
+             (4, None)],
+            "lid int, lname string")
+        R = spark.createDataFrame(
+            [(10, "acme corp"), (11, "acme crop"), (12, "Widgett Works"),
+             (13, "totally different"), (14, "zen lab")],
+            "rid int, rname string")
+        return L, R
+
+    def test_matches_with_exact_distance_and_original_keys(self, spark):
+        from spark_expectations_spark.operators import linkage
+        L, R = self._frames(spark)
+        got = {(r["lid"], r["rid"]): (r["distance"], r["lname"], r["rname"])
+               for r in linkage.blocked_fuzzy_join(
+                   L, R, "lid", "lname", "rid", "rname",
+                   max_distance=2).collect()}
+        # case/space folding -> 0; transposition -> 2; extra char -> 1
+        assert got[(1, 10)][0] == 0
+        assert got[(1, 11)][0] == 2
+        assert got[(2, 12)] == (1, "Widget Works", "Widgett Works")
+        assert got[(3, 14)][0] == 1
+        # no cross-block garbage, NULL key contributes nothing
+        assert set(got) == {(1, 10), (1, 11), (2, 12), (3, 14)}
+
+    def test_each_pair_once_despite_multiple_shared_blocks(self, spark):
+        """A pair sharing prefix AND length blocks must not duplicate."""
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, "abcd")], "lid int, lname string")
+        R = spark.createDataFrame([(2, "abce")], "rid int, rname string")
+        out = linkage.blocked_fuzzy_join(
+            L, R, "lid", "lname", "rid", "rname", max_distance=1,
+            blockers=("prefix", "length", "ngram"))
+        assert out.count() == 1
+
+    def test_blocking_recall_modes(self, spark):
+        """prefix blocking misses a first-char edit; ngram blocking has
+        the provable-recall guarantee and finds it."""
+        from spark_expectations_spark.operators import linkage
+        P = spark.createDataFrame([(1, "xacme inc")],
+                                  "lid int, lname string")
+        Q = spark.createDataFrame([(2, "acme inc")],
+                                  "rid int, rname string")
+        kw = dict(max_distance=1)
+        assert linkage.blocked_fuzzy_join(
+            P, Q, "lid", "lname", "rid", "rname",
+            blockers=("prefix",), **kw).count() == 0
+        assert linkage.blocked_fuzzy_join(
+            P, Q, "lid", "lname", "rid", "rname",
+            blockers=("ngram",), **kw).count() == 1
+
+    def test_soundex_blocker_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, "Robert")], "lid int, lname string")
+        R = spark.createDataFrame([(2, "Rupert")], "rid int, rname string")
+        # phonetic block meets; distance 3 verifies at max_distance=3
+        assert linkage.blocked_fuzzy_join(
+            L, R, "lid", "lname", "rid", "rname", max_distance=3,
+            blockers=("soundex",)).count() == 1
+        with _pytest.raises(ValueError, match="unknown blockers"):
+            linkage.blocking_keys(F.lit("x"), blockers=("bogus",))
+        with _pytest.raises(ValueError, match="at least one"):
+            linkage.blocking_keys(F.lit("x"), blockers=())
+
+    def test_self_pairs_canonical_ordering(self, spark):
+        from spark_expectations_spark.operators import linkage
+        D = spark.createDataFrame(
+            [(1, "johnson"), (2, "jonson"), (3, "johnson"), (4, "smith")],
+            "id int, name string")
+        got = {(r["id_a"], r["id_b"]): r["distance"]
+               for r in linkage.fuzzy_self_pairs(
+                   D, "id", "name", max_distance=1).collect()}
+        assert got == {(1, 2): 1, (1, 3): 0, (2, 3): 1}
+
+    def test_plan_has_no_cartesian(self, spark):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import linkage
+        L, R = self._frames(spark)
+        out = linkage.blocked_fuzzy_join(
+            L, R, "lid", "lname", "rid", "rname")
+        rules = {f["rule"] for f in plans.plan_lint(out)
+                 if f["severity"] in ("error", "warn")}
+        assert "cartesian-product" not in rules
+        assert "python-row-udf" not in rules
