@@ -3,13 +3,16 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (154 queries, 149 with DuckDB
+catalog from spark_expectations_spark.queries (158 queries, 153 with DuckDB
 oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
 whose md5_48 twins carry full value oracles — the HLL-sketch
 events_distinct_rollup, approximate by construction with an exact
 countDistinct twin events_distinct_rollup_exact that IS value-checked,
-and embed_whiten, whose eigendecomposition has no SQL twin and is
-pytest-verified against known covariance fixtures).
+embed_whiten, whose eigendecomposition has no SQL twin and is
+pytest-verified against known covariance fixtures (its raw-moment
+invariants ARE value-checked via embed_whiten_check), and docs_bpe,
+whose learned BPE merge table has no SQL twin and is pinned by
+differential tests against a pure-Python reference implementation).
 tests/test_driver_contract.py asserts these counts stay in sync.
 
 Ordering: the driver harness samples the FIRST 50 queries, so

@@ -71,6 +71,14 @@ BENCH_QUERIES = [
     # round-9 operators (grouped_dq_target is a FULL engine run — its
     # seconds include the fused row path, not just the grouped agg)
     "lineitem_grouped_dq_target", "embed_whiten_check",
+    # round-9/10: record linkage (blocked fuzzy join — prefix+length
+    # blocking on the full part table; the qgram twin samples 10% of
+    # partkeys because 3-gram blocks over the 92-word part-name vocab
+    # are low-entropy: per-block candidate products, not n², but big
+    # blocks at full corpus) + classifier calibration (fold-bucket
+    # histogram + the scalar ECE re-aggregation)
+    "part_fuzzy_matches", "part_fuzzy_qgram",
+    "docs_calibration", "docs_calibration_ece",
 ]
 
 

@@ -26,28 +26,86 @@ Recall is exactly "the pair shares ≥1 blocking key":
   destroys ≤ q grams, so some gram survives in both), at the price of
   ~len keys per row. The q-gram-blocking bound from the similarity-join
   literature (PPJoin/ed-join family).
+
+Two scale refinements on top of the base blockers:
+
+* COMPOSITE keys — a tuple inside ``blockers`` (e.g. ``("prefix",
+  "length")`` as ONE element) concatenates its members into a single
+  conjunctive key: a pair meets only when EVERY member matches. This is
+  how ``length`` is meant to be used at scale: standalone, ``len//4``
+  has a few dozen distinct values over ANY corpus, so its blocks are
+  ~n/30 rows and the candidate volume is ~n²/30 — a near-cross-join.
+  As a conjunctive refinement of a higher-entropy key it cheaply
+  shrinks blocks instead. (Standalone ``length`` stays allowed for
+  small reference lists; don't ship it against a corpus.)
+* RARE-GRAM PREFIX FILTERING (``prefix_filter=True`` on the join) —
+  the ed-join/PPJoin prefix-filter: under a global gram order (document
+  frequency asc, gram asc), two strings within d edits must share one
+  of their ``d·q + 1`` RAREST grams, so only those grams become keys.
+  Keys/row drop from ~len to d·q+1 AND the surviving keys are the
+  rarest (smallest blocks) — the difference between q-gram blocking
+  that works at 100 TB and one that melts on low-entropy text.
 """
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Sequence, Union
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
 
+Blocker = Union[str, Sequence[str]]
+
 
 def _norm(key: Column) -> Column:
     return F.trim(F.lower(key))
 
 
+def _single_blocker(n: Column, b: str, prefix_len: int,
+                    length_bucket: int, ngram_q: int) -> Column:
+    """``array<string>`` of tagged keys for ONE named blocker over the
+    already-normalized string ``n``."""
+    if b == "prefix":
+        return F.array(
+            F.concat(F.lit("p:"), F.substring(n, 1, prefix_len)))
+    if b == "length":
+        return F.array(F.concat(
+            F.lit("l:"),
+            F.floor(F.length(n) / length_bucket).cast("string")))
+    if b == "soundex":
+        return F.array(F.concat(F.lit("s:"), F.soundex(n)))
+    # ngram
+    m = F.greatest(F.length(n) - (ngram_q - 1), F.lit(1))
+    idx = F.sequence(F.lit(1), m)
+    return F.array_distinct(F.transform(
+        idx, lambda i: F.concat(F.lit("g:"), n.substr(i, F.lit(ngram_q)))))
+
+
+def _validate_blockers(blockers: Sequence[Blocker]) -> None:
+    if not blockers:
+        raise ValueError("need at least one blocker")
+    flat: list[str] = []
+    for b in blockers:
+        if isinstance(b, str):
+            flat.append(b)
+        else:
+            if not b:
+                raise ValueError("empty composite blocker ()")
+            flat.extend(b)
+    bad = set(flat) - set(_BLOCKERS)
+    if bad:
+        raise ValueError(f"unknown blockers {sorted(bad)}; "
+                         f"choose from {_BLOCKERS}")
+
+
 def blocking_keys(
     key: Column,
     *,
-    blockers: Sequence[str] = ("prefix", "length"),
+    blockers: Sequence[Blocker] = ("prefix", "length"),
     prefix_len: int = 2,
     length_bucket: int = 4,
     ngram_q: int = 3,
@@ -57,31 +115,31 @@ def blocking_keys(
     :func:`blocked_fuzzy_join`, exposed so an index table can be built
     once and reused across probe batches. Each key is tagged with its
     blocker (``p:``/``l:``/``s:``/``g:``) so different blockers never
-    collide. NULL/empty keys produce an empty array (no candidates)."""
-    bad = set(blockers) - set(_BLOCKERS)
-    if bad:
-        raise ValueError(f"unknown blockers {sorted(bad)}; "
-                         f"choose from {_BLOCKERS}")
-    if not blockers:
-        raise ValueError("need at least one blocker")
+    collide. An element of ``blockers`` may itself be a tuple of
+    blocker names — a CONJUNCTIVE composite whose member keys are
+    joined with ``+`` into one key (candidates must match every
+    member; the scale-correct way to use ``length``, see the module
+    docstring). NULL/empty keys produce an empty array."""
+    _validate_blockers(blockers)
     n = _norm(key)
     parts: list[Column] = []
     for b in blockers:
-        if b == "prefix":
-            parts.append(F.array(
-                F.concat(F.lit("p:"), F.substring(n, 1, prefix_len))))
-        elif b == "length":
-            parts.append(F.array(F.concat(
-                F.lit("l:"),
-                F.floor(F.length(n) / length_bucket).cast("string"))))
-        elif b == "soundex":
-            parts.append(F.array(F.concat(F.lit("s:"), F.soundex(n))))
-        else:  # ngram
-            m = F.greatest(F.length(n) - (ngram_q - 1), F.lit(1))
-            idx = F.sequence(F.lit(1), m)
-            parts.append(F.transform(
-                idx, lambda i: F.concat(F.lit("g:"),
-                                        n.substr(i, F.lit(ngram_q)))))
+        if isinstance(b, str):
+            parts.append(_single_blocker(n, b, prefix_len,
+                                         length_bucket, ngram_q))
+            continue
+        acc = _single_blocker(n, b[0], prefix_len, length_bucket, ngram_q)
+        for m in b[1:]:
+            # NOTE: the outer lambda must stay single-parameter — a
+            # 2-arg lambda is read by F.transform as (element, index).
+            # Closure capture of nxt is safe: F.transform invokes the
+            # lambda immediately while building the expression.
+            nxt = _single_blocker(n, m, prefix_len, length_bucket,
+                                  ngram_q)
+            acc = F.flatten(F.transform(
+                acc, lambda a: F.transform(
+                    nxt, lambda x: F.concat(a, F.lit("+"), x))))
+        parts.append(acc)
     keys = F.array_distinct(F.concat(*parts)) if len(parts) > 1 \
         else F.array_distinct(parts[0])
     return F.when(n.isNull() | (F.length(n) == 0),
@@ -97,10 +155,11 @@ def blocked_fuzzy_join(
     right_key: str,
     *,
     max_distance: int = 2,
-    blockers: Sequence[str] = ("prefix", "length"),
+    blockers: Sequence[Blocker] = ("prefix", "length"),
     prefix_len: int = 2,
     length_bucket: int = 4,
     ngram_q: int = 3,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Approximate-match join: pairs whose normalized keys are within
     ``max_distance`` Levenshtein edits AND share at least one blocking
@@ -112,16 +171,34 @@ def blocked_fuzzy_join(
     Scale shape: explode each side to (block_key, id, norm) — the only
     corpus-sized frames, rows × n_blockers — one equi-join on the block
     key (hash-shuffled both sides; candidate volume is per-block
-    left×right, bounded by block granularity), a pair-keyed
-    ``dropDuplicates`` BEFORE the verify so each pair's edit distance
-    is computed once, then the codegen ``levenshtein`` gate. No
-    all-pairs anywhere; no Python on the data path. The classic
-    blocking-based record-linkage layout (Fellegi-Sunter pipelines,
-    PPJoin-family similarity joins) on Spark primitives.
+    left×right, bounded by block granularity), then VERIFY-THEN-DEDUP:
+    the edit-distance gate runs MAP-SIDE on the raw candidate stream
+    (threshold-pruned codegen ``levenshtein(l, r, max_distance)`` —
+    the O(d·len) early-abandon DP, -1 when the bound is exceeded), and
+    only the SURVIVING matches reach the pair-keyed ``dropDuplicates``
+    shuffle. A pair that meets in several blocks re-verifies once per
+    block (cheap, map-side); the alternative — dedup first — shuffles
+    the entire candidate set, which is the dominant cost precisely
+    when blocking is coarse. No all-pairs anywhere; no Python on the
+    data path. The classic blocking-based record-linkage layout
+    (Fellegi-Sunter pipelines, PPJoin-family similarity joins) on
+    Spark primitives.
 
     Recall contract: a true match is FOUND iff the two normalized keys
     share ≥1 blocking key — see the module docstring for each
     blocker's miss modes (``ngram`` is the provable-recall option).
+
+    ``prefix_filter=True`` (requires ``blockers=("ngram",)``) applies
+    ed-join/PPJoin rare-gram prefix filtering: gram document
+    frequencies are counted over BOTH sides, and each row keeps only
+    its ``max_distance·ngram_q + 1`` rarest grams (global order:
+    df asc, gram asc — deterministic, reproducible by a SQL engine) as
+    blocking keys. Recall is UNCHANGED — d edits destroy ≤ d·q grams,
+    so two in-distance strings must still share a kept gram — but
+    keys/row drop from ~len to d·q+1 and the kept grams are the ones
+    with the SMALLEST blocks. Costs one extra gram-keyed aggregation +
+    join and an id-keyed window; buys q-gram blocking that survives
+    low-entropy text at corpus scale.
     """
     kw = dict(blockers=blockers, prefix_len=prefix_len,
               length_bucket=length_bucket, ngram_q=ngram_q)
@@ -134,12 +211,28 @@ def blocked_fuzzy_join(
         F.col(right_id).alias("__rid"), rk.alias("__rkey"),
         _norm(rk).alias("__rn"),
         F.explode(blocking_keys(rk, **kw)).alias("__b"))
-    cand = (lex.join(rex, "__b")
-            .dropDuplicates(["__lid", "__rid"]))
-    dist = F.levenshtein("__ln", "__rn")
+    if prefix_filter:
+        if tuple(blockers) != ("ngram",):
+            raise ValueError(
+                "prefix_filter requires blockers=('ngram',) — the "
+                "rarest-gram guarantee is specific to q-gram keys")
+        keep = max_distance * ngram_q + 1
+        freq = (lex.select("__b").unionByName(rex.select("__b"))
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("__df")))
+        wl = Window.partitionBy("__lid").orderBy("__df", "__b")
+        wr = Window.partitionBy("__rid").orderBy("__df", "__b")
+        lex = (lex.join(freq, "__b")
+               .withColumn("__rk", F.row_number().over(wl))
+               .filter(F.col("__rk") <= keep).drop("__df", "__rk"))
+        rex = (rex.join(freq, "__b")
+               .withColumn("__rk", F.row_number().over(wr))
+               .filter(F.col("__rk") <= keep).drop("__df", "__rk"))
+    cand = lex.join(rex, "__b")
+    dist = F.levenshtein("__ln", "__rn", max_distance)
     return (cand
             .withColumn("distance", dist)
-            .filter(F.col("distance") <= max_distance)
+            .filter(F.col("distance") >= 0)
+            .dropDuplicates(["__lid", "__rid"])
             .select(F.col("__lid").alias(left_id),
                     F.col("__rid").alias(right_id),
                     F.col("__lkey").alias(left_key),
@@ -153,10 +246,11 @@ def fuzzy_self_pairs(
     key_col: str,
     *,
     max_distance: int = 2,
-    blockers: Sequence[str] = ("prefix", "length"),
+    blockers: Sequence[Blocker] = ("prefix", "length"),
     prefix_len: int = 2,
     length_bucket: int = 4,
     ngram_q: int = 3,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Within-corpus near-identical key pairs — the self-join wrapper
     over :func:`blocked_fuzzy_join` with the ``id_a < id_b`` canonical
@@ -171,5 +265,5 @@ def fuzzy_self_pairs(
         "id_a", "key_a", "id_b", "key_b",
         max_distance=max_distance, blockers=blockers,
         prefix_len=prefix_len, length_bucket=length_bucket,
-        ngram_q=ngram_q)
+        ngram_q=ngram_q, prefix_filter=prefix_filter)
     return out.filter(F.col("id_a") < F.col("id_b"))

@@ -1425,12 +1425,14 @@ def whiten_check(
     dev = np.abs(cov_w - np.eye(d))
     offdiag = dev.copy()
     np.fill_diagonal(offdiag, 0.0)
+    # +0.0 folds IEEE -0.0 (round of a tiny negative mean) to +0.0 so the
+    # value oracle's round(avg(v), n) + 0.0 convention matches bit-for-bit.
     rows = [(int(i),
-             float(round(mu[i], mu_digits)),
-             float(round(sd[i], mu_digits)),
-             float(round(dev[i, i], cov_digits)),
-             float(round(offdiag[i].max(), cov_digits)),
-             float(round(abs(mean_w[i]), mu_digits)))
+             float(round(mu[i], mu_digits)) + 0.0,
+             float(round(sd[i], mu_digits)) + 0.0,
+             float(round(dev[i, i], cov_digits)) + 0.0,
+             float(round(offdiag[i].max(), cov_digits)) + 0.0,
+             float(round(abs(mean_w[i]), mu_digits)) + 0.0)
             for i in range(d)]
     return spark.createDataFrame(
         rows, "pos int, mu double, sd double, diag_dev double, "

@@ -644,9 +644,12 @@ def calibration_report(
     silently skews the corpus it curates).
 
     Scores land in ``floor(score·n_bins)`` clamped to the last bin
-    (score 1.0 joins the top bin); NULL scores/labels are dropped and
-    counted nowhere. Companion :func:`expected_calibration_error`
-    folds this report into the scalar ECE.
+    (score 1.0 joins the top bin); NULL scores/labels AND
+    out-of-contract scores outside [0, 1] are dropped and counted
+    nowhere — a negative or >1 "probability" is a caller bug, and
+    silently minting bins for it would skew every per-bin average.
+    Companion :func:`expected_calibration_error` folds this report
+    into the scalar ECE under the same drop rule.
 
     Scale shape: ONE map-side-combined groupBy over an n_bins-cardinality
     key — the fold-bucket histogram pattern; no window, no second pass.
@@ -655,7 +658,8 @@ def calibration_report(
         raise ValueError("n_bins must be >= 1")
     s, y = F.col(score_col).cast("double"), F.col(label_col).cast("double")
     b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
-    return (df.filter(s.isNotNull() & y.isNotNull())
+    return (df.filter(s.isNotNull() & y.isNotNull()
+                      & (s >= 0.0) & (s <= 1.0))
             .groupBy(b.alias("bin"))
             .agg(F.count(F.lit(1)).alias("n"),
                  F.avg(s).alias("avg_score"),
@@ -674,11 +678,14 @@ def expected_calibration_error(
     one row ``(n, ece, mce, brier)`` — ECE = Σ (n_b/N)·|gap_b| (Naeini
     et al. 2015's binned estimator), MCE = max_b |gap_b|, plus the
     bin-free Brier score mean((score − label)²) from the same single
-    scan. A bins-cardinality re-aggregation on top of the report — two
-    tiny jobs total, nothing corpus-sized leaves the executors."""
+    scan, over the same row population as the report (NULLs and
+    out-of-[0,1] scores dropped). A bins-cardinality re-aggregation on
+    top of the report — two tiny jobs total, nothing corpus-sized
+    leaves the executors."""
     s, y = F.col(score_col).cast("double"), F.col(label_col).cast("double")
     rep = calibration_report(df, score_col, label_col, n_bins=n_bins)
-    brier = (df.filter(s.isNotNull() & y.isNotNull())
+    brier = (df.filter(s.isNotNull() & y.isNotNull()
+                       & (s >= 0.0) & (s <= 1.0))
              .agg(F.avg((s - y) * (s - y)).alias("brier"),
                   F.count(F.lit(1)).alias("n")))
     folded = rep.agg(

@@ -329,10 +329,17 @@ def _bnlj_scalar_build_ids(txt: str) -> set[int]:
         if not kids:
             continue
         # formatted trees print the build side per BuildLeft/BuildRight;
-        # the tree line itself names the side
+        # the tree line itself names the side. When NEITHER token is
+        # present (unexpected plan format) don't guess a side — keep
+        # the warn (fail safe: lint noise, never a silent demotion).
         line_txt = next((l for l in lines if f"({nid})" in l
                          and "BroadcastNestedLoopJoin" in l), "")
-        build_idx = kids[0] if "BuildLeft" in line_txt else kids[-1]
+        if "BuildLeft" in line_txt:
+            build_idx = kids[0]
+        elif "BuildRight" in line_txt:
+            build_idx = kids[-1]
+        else:
+            continue
         if subtree_is_scalar(build_idx):
             out.add(nid)
     return out

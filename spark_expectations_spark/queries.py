@@ -5634,51 +5634,246 @@ FROM g
 
 
 def q_part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Blocked fuzzy join / record linkage (linkage.blocked_fuzzy_join):
-    part names matched against a deterministically-perturbed twin list
-    (one char deleted at position (p_partkey % 10) + 3 — a no-op when
-    the position is past the name, giving a distance-0 control group).
-    Candidates from prefix-2 + length-bucket blocking keys, verified
-    with codegen levenshtein ≤ 1 — the oracle reproduces blocking,
-    perturbation, and edit distance exactly (DuckDB levenshtein is the
-    same unit-cost metric). Never all-pairs: candidates are per-block
-    products only."""
+    """Blocked fuzzy join / record linkage (linkage.blocked_fuzzy_join)
+    with a CONJUNCTIVE composite block key — blockers=(("prefix",
+    "length"),): one key per row, candidates must match prefix AND
+    length bucket. The fixture key is high-entropy ("<reversed
+    partkey digits> <p_name>" — unique per row, digit entropy up
+    front where the prefix blocker reads it; the r9 fixture keyed on
+    bare p_name, whose 64 distinct values make ANY blocking scheme —
+    and the true-match set itself — quadratic). The twin list
+    substitutes 'o' at name position (p_partkey % 5) + 1 (length- and
+    prefix-preserving, so composite recall is total; a no-op when the
+    original char is 'o' — the distance-0 control group). Verified
+    with codegen levenshtein ≤ 1; the oracle reproduces key build,
+    blocking, and distance exactly. Never all-pairs: one composite
+    block per row, per-block products only."""
     part = load(spark, sf_dir, "part")
+    key = F.concat(F.reverse(F.col("p_partkey").cast("string")),
+                   F.lit(" "), F.col("p_name"))
     base = part.select(F.col("p_partkey").alias("lid"),
-                       F.col("p_name").alias("lname"))
+                       key.alias("lname"))
+    pos = (F.length(F.col("p_partkey").cast("string"))
+           + 2 + F.col("p_partkey") % 5).cast("int")
     twin = part.select(
         (F.col("p_partkey") + 1000000).alias("rid"),
-        F.expr("concat(substring(p_name, 1, "
-               "cast(p_partkey % 10 + 2 as int)), "
-               "substring(p_name, cast(p_partkey % 10 + 4 as int), "
-               "100000))").alias("rname"))
+        F.concat(key.substr(F.lit(1), pos - 1), F.lit("o"),
+                 key.substr(pos + 1, F.lit(100000))).alias("rname"))
     out = linkage.blocked_fuzzy_join(
         base, twin, "lid", "lname", "rid", "rname",
-        max_distance=1, blockers=("prefix", "length"))
+        max_distance=1, blockers=(("prefix", "length"),))
     return out.select("lid", "rid", "distance")
 
 
 ORACLE_PART_FUZZY_MATCHES = """
 WITH base AS (
-  SELECT p_partkey AS lid, lower(trim(p_name)) AS ln FROM part),
+  SELECT p_partkey AS lid,
+         lower(trim(reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                    || p_name)) AS ln
+  FROM part),
 tw AS (
   SELECT p_partkey + 1000000 AS rid,
-         lower(trim(substr(p_name, 1, CAST(p_partkey % 10 + 2 AS INT))
-                    || substr(p_name,
-                              CAST(p_partkey % 10 + 4 AS INT)))) AS rn
-  FROM part),
+         lower(trim(substr(k, 1, pos - 1) || 'o'
+                    || substr(k, pos + 1))) AS rn
+  FROM (SELECT p_partkey,
+               reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                 || p_name AS k,
+               CAST(length(CAST(p_partkey AS VARCHAR)) + 2
+                    + p_partkey % 5 AS INT) AS pos
+        FROM part)),
 lex AS (
-  SELECT lid, ln, b
-  FROM base, UNNEST(['p:' || substr(ln, 1, 2),
-                     'l:' || CAST(length(ln) // 4 AS VARCHAR)]) AS t(b)),
+  SELECT lid, ln,
+         'p:' || substr(ln, 1, 2) || '+l:'
+           || CAST(length(ln) // 4 AS VARCHAR) AS b
+  FROM base),
 rex AS (
-  SELECT rid, rn, b
-  FROM tw, UNNEST(['p:' || substr(rn, 1, 2),
-                   'l:' || CAST(length(rn) // 4 AS VARCHAR)]) AS t(b)),
+  SELECT rid, rn,
+         'p:' || substr(rn, 1, 2) || '+l:'
+           || CAST(length(rn) // 4 AS VARCHAR) AS b
+  FROM tw),
 cand AS (
   SELECT DISTINCT lid, rid, ln, rn FROM lex JOIN rex USING (b))
 SELECT lid, rid, levenshtein(ln, rn) AS distance
 FROM cand WHERE levenshtein(ln, rn) <= 1
+"""
+
+
+def q_part_fuzzy_qgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q-gram-blocked fuzzy join with ed-join RARE-GRAM PREFIX
+    FILTERING (linkage.blocked_fuzzy_join, blockers=("ngram",),
+    prefix_filter=True): gram document frequencies over both sides
+    define a global order (df asc, gram asc) and each row keeps only
+    its d·q+1 = 4 rarest grams as block keys — recall PROVABLY intact
+    (1 edit destroys ≤ 3 grams), candidate volume collapses because
+    the kept grams have the smallest blocks. The fixture key is
+    "<p_name> #<partkey>" (unique; digits at the END, where prefix
+    blocking can't see them — the layout q-gram blocking exists for);
+    the twin list DELETES the char at name position (p_partkey % 7)+1,
+    including first-char deletions a prefix blocker always misses.
+    FULL part table, no sampling — the rare-gram filter is what makes
+    that affordable (the digit grams are rare, the 92-word-vocab name
+    grams are common and get filtered). Oracle reproduces the df
+    counts, the window, and the distance exactly."""
+    part = load(spark, sf_dir, "part")
+    key = F.concat(F.col("p_name"), F.lit(" #"),
+                   F.col("p_partkey").cast("string"))
+    base = part.select(F.col("p_partkey").alias("lid"),
+                       key.alias("lname"))
+    pos = (F.col("p_partkey") % 7 + 1).cast("int")
+    twin = part.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(key.substr(F.lit(1), pos - 1),
+                 key.substr(pos + 1, F.lit(100000))).alias("rname"))
+    out = linkage.blocked_fuzzy_join(
+        base, twin, "lid", "lname", "rid", "rname",
+        max_distance=1, blockers=("ngram",), ngram_q=3,
+        prefix_filter=True)
+    return out.select("lid", "rid", "distance")
+
+
+# Blocking reproduced gram-for-gram: per-row DISTINCT grams
+# substr(n, i, 3), i in 1..max(len-2, 1) (tail grams of
+# shorter-than-q strings match Spark's Column.substr), document
+# frequencies over BOTH sides, row_number over (df, gram) keeps the
+# 4 rarest per row, DISTINCT pairs, then the same levenshtein <= 1.
+ORACLE_PART_FUZZY_QGRAM = """
+WITH base AS (
+  SELECT p_partkey AS lid,
+         lower(trim(p_name || ' #' || CAST(p_partkey AS VARCHAR))) AS ln
+  FROM part),
+tw AS (
+  SELECT p_partkey + 1000000 AS rid,
+         lower(trim(substr(k, 1, pos - 1) || substr(k, pos + 1))) AS rn
+  FROM (SELECT p_partkey,
+               p_name || ' #' || CAST(p_partkey AS VARCHAR) AS k,
+               CAST(p_partkey % 7 + 1 AS INT) AS pos
+        FROM part)),
+gl AS (
+  SELECT DISTINCT lid, ln, 'g:' || substr(ln, CAST(i AS INT), 3) AS b
+  FROM base, UNNEST(range(1, greatest(len(ln) - 2, 1) + 1)) AS t(i)),
+gr AS (
+  SELECT DISTINCT rid, rn, 'g:' || substr(rn, CAST(i AS INT), 3) AS b
+  FROM tw, UNNEST(range(1, greatest(len(rn) - 2, 1) + 1)) AS t(i)),
+freq AS (
+  SELECT b, count(*) AS df FROM (
+    SELECT b FROM gl UNION ALL SELECT b FROM gr) GROUP BY b),
+lex AS (
+  SELECT lid, ln, b FROM (
+    SELECT gl.lid, gl.ln, gl.b,
+           row_number() OVER (PARTITION BY gl.lid
+                              ORDER BY f.df, gl.b) AS rk
+    FROM gl JOIN freq f USING (b)) WHERE rk <= 4),
+rex AS (
+  SELECT rid, rn, b FROM (
+    SELECT gr.rid, gr.rn, gr.b,
+           row_number() OVER (PARTITION BY gr.rid
+                              ORDER BY f.df, gr.b) AS rk
+    FROM gr JOIN freq f USING (b)) WHERE rk <= 4),
+cand AS (
+  SELECT DISTINCT lid, rid, ln, rn FROM lex JOIN rex USING (b))
+SELECT lid, rid, levenshtein(ln, rn) AS distance
+FROM cand WHERE levenshtein(ln, rn) <= 1
+"""
+
+
+def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic classifier-output fixture over documents: score =
+    ((doc_id*37) % 101)/100 in [0, 1], label = 1 iff (doc_id*61) % 100
+    < that percentage (so frac_pos tracks score and the model is
+    roughly calibrated with nonzero per-bin gaps). Contract-violation
+    rows are INJECTED — doc_id % 97 == 0 → NULL score, % 89 == 0 →
+    score 1.5, % 83 == 0 → score -0.25 — to pin the report's
+    documented drop rule cross-engine."""
+    docs = load(spark, sf_dir, "documents")
+    pct = (F.col("doc_id") * 37) % 101
+    score = F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("double")) \
+        .when(F.col("doc_id") % 89 == 0, F.lit(1.5)) \
+        .when(F.col("doc_id") % 83 == 0, F.lit(-0.25)) \
+        .otherwise(pct / F.lit(100.0))
+    label = ((F.col("doc_id") * 61) % 100 < pct).cast("int")
+    return docs.select("doc_id", score.alias("score"),
+                       label.alias("label"))
+
+
+# The same fixture in DuckDB — CASE order matches the F.when chain.
+_CALIB_FIXTURE_SQL = """
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN NULL
+              WHEN doc_id % 89 = 0 THEN 1.5
+              WHEN doc_id % 83 = 0 THEN -0.25
+              ELSE ((doc_id * 37) % 101) / 100.0 END AS score,
+         CASE WHEN (doc_id * 61) % 100 < (doc_id * 37) % 101
+              THEN 1 ELSE 0 END AS label
+  FROM documents
+"""
+
+
+def q_docs_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier reliability diagram (text.calibration_report): 10
+    equal-width score bins over the deterministic fixture, per bin
+    (n, avg_score, frac_pos, gap) — the QA gate before a quality
+    filter's scores become sampling weights. NULL and out-of-[0, 1]
+    scores drop (injected rows pin that rule). ONE map-side-combined
+    groupBy on a 10-value key. 4-dp rounds + the +0.0 -0.0 fold for
+    cross-engine double parity (gap is negative whenever the bin
+    over-predicts, so the fold matters)."""
+    rep = text.calibration_report(
+        _calibration_frame(spark, sf_dir), "score", "label", n_bins=10)
+    return rep.select(
+        "bin", "n",
+        (F.round("avg_score", 4) + F.lit(0.0)).alias("avg_score"),
+        (F.round("frac_pos", 4) + F.lit(0.0)).alias("frac_pos"),
+        (F.round("gap", 4) + F.lit(0.0)).alias("gap"))
+
+
+ORACLE_DOCS_CALIBRATION = f"""
+WITH scored AS ({_CALIB_FIXTURE_SQL}),
+ok AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         score, CAST(label AS DOUBLE) AS y
+  FROM scored
+  WHERE score IS NOT NULL AND score >= 0 AND score <= 1)
+SELECT bin, count(*) AS n,
+       round(avg(score), 4) + 0.0 AS avg_score,
+       round(avg(y), 4) + 0.0 AS frac_pos,
+       round(avg(y) - avg(score), 4) + 0.0 AS gap
+FROM ok GROUP BY bin
+"""
+
+
+def q_docs_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar calibration metrics (text.expected_calibration_error):
+    one row (n, ece, mce, brier) — Naeini-style binned ECE
+    Σ (n_b/N)·|gap_b|, MCE = max_b |gap_b|, bin-free Brier
+    mean((score−label)²) — over the same fixture and drop rule as
+    docs_calibration. Two tiny jobs: the 10-row bin fold plus one
+    corpus scan; the cross join is a broadcast of a 1-row aggregate
+    (plan-linter-demoted by the scalar-build proof)."""
+    out = text.expected_calibration_error(
+        _calibration_frame(spark, sf_dir), "score", "label", n_bins=10)
+    return out.select(
+        "n",
+        (F.round("ece", 4) + F.lit(0.0)).alias("ece"),
+        (F.round("mce", 4) + F.lit(0.0)).alias("mce"),
+        (F.round("brier", 4) + F.lit(0.0)).alias("brier"))
+
+
+ORACLE_DOCS_CALIBRATION_ECE = f"""
+WITH scored AS ({_CALIB_FIXTURE_SQL}),
+ok AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         score, CAST(label AS DOUBLE) AS y
+  FROM scored
+  WHERE score IS NOT NULL AND score >= 0 AND score <= 1),
+bins AS (
+  SELECT bin, count(*) AS n, avg(y) - avg(score) AS gap
+  FROM ok GROUP BY bin)
+SELECT (SELECT count(*) FROM ok) AS n,
+       round((SELECT sum(n * abs(gap)) / sum(n) FROM bins), 4)
+         + 0.0 AS ece,
+       round((SELECT max(abs(gap)) FROM bins), 4) + 0.0 AS mce,
+       round((SELECT avg((score - y) * (score - y)) FROM ok), 4)
+         + 0.0 AS brier
 """
 
 
@@ -5903,30 +6098,46 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          rollup/cube/pivot, md5 twins, docs_minhash_index); the
 #          artifacts show the r1-r4 cohort above is strictly staler,
 #          so it takes the slots.
+#   r10:   5 dq_* flagship + part_fuzzy_matches (r9 new, first gate —
+#          r9 verdict task 2) + 3 round-10 NEW (part_fuzzy_qgram,
+#          docs_calibration, docs_calibration_ece) + embed_whiten_check
+#          (re-gate: the -0.0 mu fold landed this round, ADVICE r9) +
+#          the now-stalest cohort — everything whose ONLY hard gate was
+#          r6 (dedup_exact, part_brand_topk, events_json/funnel/cohort,
+#          rollup/cube/pivot, set_ops_nations, md5 dedup twins,
+#          docs_minhash_index, and the 9 r6-new operators) + 19 r8-
+#          first-gated entries never re-checked (c4/gopher/normalize,
+#          text_* family, paragraph dedup, PQ pair, span removal,
+#          bitmap distinct, url stats, global index, padding waste,
+#          curriculum, phash, strip_html) = 50. Remaining r8-gated
+#          entries (lineitem_grouped_dq, drift report/verdict,
+#          price_jsd, docs_interleave) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-9 NEW operators — gate on first appearance
-    "lineitem_grouped_dq_target", "embed_whiten_check",
-    # everything last driver-gated in r1-r4 (24 entries)
-    "tpch_q5ish", "tpch_q4ish", "tpch_q10ish", "tpch_q14ish",
-    "tpch_q18ish", "tpch_q19ish", "tpch_q8ish", "tpch_q11ish",
-    "tpch_q13ish", "tpch_q16ish", "tpch_q21ish",
-    "window_rank", "window_running_total",
-    "embed_near_dups_bcast", "embed_mean_pool", "embed_norm_outliers",
-    "embed_quantize", "ann_topk", "ann_ivf",
-    "events_hourly", "events_sliding", "events_gapfill", "events_ffill",
-    "events_seasonality",
-    # re-gate fills from the r5-last cohort (oldest remaining)
-    "docs_decontaminate", "users_scd2", "dedup_lsh_quality",
-    "lineitem_correlations", "events_time_split", "events_asof_purchase",
-    "docs_weighted_sample", "docs_lm_score", "docs_ccnet_buckets",
-    "docs_bigram_lm", "docs_token_ids", "docs_source_dup_matrix",
-    "docs_collocations", "docs_epoch_shuffle", "docs_heavy_tokens",
-    "docs_chunks", "docs_strip_boilerplate", "docs_classifier_score",
-    "ann_ivf_recall",
+    # round-9/10 NEW operators + round-10-touched — gate first
+    "part_fuzzy_matches",        # r9 new, never driver-gated (r9 task 2)
+    "part_fuzzy_qgram",          # r10 new: provable-recall q-gram blocker
+    "docs_calibration",          # r10 new: reliability diagram
+    "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
+    "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
+    # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
+    "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
+    "events_cohort_retention", "rollup_orders", "cube_orders",
+    "pivot_order_status", "set_ops_nations", "dedup_minhash_md5",
+    "dedup_simhash_md5", "docs_minhash_index",
+    "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
+    "docs_dup_spans", "events_session_windows", "docs_kfold",
+    "docs_token_entropy", "docs_readability", "lineitem_price_ks",
+    # r8-first-gated entries not re-checked since
+    "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
+    "text_stats", "text_quality", "text_langid", "text_repetition",
+    "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
+    "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
+    "docs_url_stats", "docs_global_index", "docs_padding_waste",
+    "docs_curriculum", "docs_phash_dups", "docs_strip_html",
 ]
 
 
@@ -6088,6 +6299,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
+    "part_fuzzy_qgram": q_part_fuzzy_qgram,
+    "docs_calibration": q_docs_calibration,
+    "docs_calibration_ece": q_docs_calibration_ece,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6244,6 +6458,9 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,
+    "part_fuzzy_qgram": ORACLE_PART_FUZZY_QGRAM,
+    "docs_calibration": ORACLE_DOCS_CALIBRATION,
+    "docs_calibration_ece": ORACLE_DOCS_CALIBRATION_ECE,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

@@ -4345,3 +4345,159 @@ class TestBlockedFuzzyJoin:
                  if f["severity"] in ("error", "warn")}
         assert "cartesian-product" not in rules
         assert "python-row-udf" not in rules
+
+
+class TestCalibration:
+    """calibration_report / expected_calibration_error golden: 2-bin
+    hand-computed fixture pinning the top-bin clamp for score 1.0, the
+    NULL drop, and the out-of-[0,1] drop (ADVICE r9: negative scores
+    must not mint negative bins; >1 scores must not skew the top bin)."""
+
+    ROWS = [(0.1, 0), (0.3, 1),            # bin 0
+            (0.6, 1), (1.0, 1),            # bin 1 (1.0 clamps into top)
+            (None, 1), (0.5, None),        # NULL drop
+            (-0.25, 0), (1.5, 1)]          # out-of-contract drop
+
+    def _df(self, spark):
+        return spark.createDataFrame(self.ROWS, "score double, label int")
+
+    def test_report_golden_bins(self, spark):
+        from pytest import approx
+
+        from spark_expectations_spark.operators import text as T
+        got = {r["bin"]: r for r in T.calibration_report(
+            self._df(spark), "score", "label", n_bins=2).collect()}
+        assert set(got) == {0, 1}          # no bin -1 / no bin 2
+        assert got[0]["n"] == 2
+        assert got[0]["avg_score"] == approx(0.2)
+        assert got[0]["frac_pos"] == approx(0.5)
+        assert got[0]["gap"] == approx(0.3)
+        assert got[1]["n"] == 2
+        assert got[1]["avg_score"] == approx(0.8)
+        assert got[1]["frac_pos"] == approx(1.0)
+        assert got[1]["gap"] == approx(0.2)
+
+    def test_zero_score_keeps_bottom_bin(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(0.0, 0)], "score double, label int")
+        r = T.calibration_report(df, "score", "label", n_bins=4).first()
+        assert r["bin"] == 0 and r["n"] == 1
+
+    def test_ece_mce_brier_golden(self, spark):
+        from pytest import approx
+
+        from spark_expectations_spark.operators import text as T
+        r = T.expected_calibration_error(
+            self._df(spark), "score", "label", n_bins=2).first()
+        assert r["n"] == 4                 # dropped rows count nowhere
+        assert r["ece"] == approx(0.25)    # 0.5*0.3 + 0.5*0.2
+        assert r["mce"] == approx(0.3)
+        assert r["brier"] == approx(0.165)
+
+    def test_n_bins_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_expectations_spark.operators import text as T
+        with _pytest.raises(ValueError, match="n_bins"):
+            T.calibration_report(self._df(spark), "score", "label",
+                                 n_bins=0)
+
+
+class TestLinkageScaleRefinements:
+    """Composite (conjunctive) blockers + ed-join rare-gram prefix
+    filtering — the r10 scale upgrades to the linkage family."""
+
+    def test_composite_key_requires_every_member(self, spark):
+        from spark_expectations_spark.operators import linkage
+        # same prefix, different length bucket: disjunctive finds it,
+        # conjunctive (prefix AND length) must not
+        L = spark.createDataFrame([(1, "abcdefgh")], "lid int, lname string")
+        R = spark.createDataFrame([(2, "abcde")], "rid int, rname string")
+        kw = dict(max_distance=3)
+        assert linkage.blocked_fuzzy_join(
+            L, R, "lid", "lname", "rid", "rname",
+            blockers=("prefix", "length"), **kw).count() == 1
+        assert linkage.blocked_fuzzy_join(
+            L, R, "lid", "lname", "rid", "rname",
+            blockers=(("prefix", "length"),), **kw).count() == 0
+
+    def test_composite_key_format_and_dedup(self, spark):
+        from spark_expectations_spark.operators import linkage
+        df = spark.createDataFrame([("abcd",)], "k string")
+        keys = df.select(linkage.blocking_keys(
+            F.col("k"), blockers=(("prefix", "length"),)).alias("b")
+        ).first()["b"]
+        assert keys == ["p:ab+l:1"]
+        # composite + plain blocker coexist, distinct applied
+        keys2 = df.select(linkage.blocking_keys(
+            F.col("k"), blockers=("prefix", ("prefix", "length"))).alias("b")
+        ).first()["b"]
+        assert keys2 == ["p:ab", "p:ab+l:1"]
+
+    def test_composite_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import linkage
+        with _pytest.raises(ValueError, match="unknown blockers"):
+            linkage.blocking_keys(F.lit("x"), blockers=(("prefix", "bogus"),))
+        with _pytest.raises(ValueError, match="empty composite"):
+            linkage.blocking_keys(F.lit("x"), blockers=((),))
+
+    def test_prefix_filter_keeps_recall_on_first_char_edit(self, spark):
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame(
+            [(1, "xacme anvil works"), (2, "zzz unrelated co")],
+            "lid int, lname string")
+        R = spark.createDataFrame(
+            [(10, "acme anvil works"), (11, "totally different llc")],
+            "rid int, rname string")
+        got = {(r["lid"], r["rid"]): r["distance"]
+               for r in linkage.blocked_fuzzy_join(
+                   L, R, "lid", "lname", "rid", "rname",
+                   max_distance=1, blockers=("ngram",),
+                   prefix_filter=True).collect()}
+        assert got == {(1, 10): 1}
+
+    def test_prefix_filter_requires_ngram_only(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, "ab")], "lid int, lname string")
+        with _pytest.raises(ValueError, match="prefix_filter"):
+            linkage.blocked_fuzzy_join(
+                L, L, "lid", "lname", "lid", "lname",
+                blockers=("prefix",), prefix_filter=True)
+
+    def test_prefix_filter_key_budget(self, spark):
+        """Each row contributes at most d*q+1 block keys after the
+        rare-gram filter (vs ~len without)."""
+        from pyspark.sql import Window as W
+
+        from spark_expectations_spark.operators import linkage
+        df = spark.createDataFrame(
+            [(i, f"some long shared text body #{i:04d}") for i in range(20)],
+            "id int, name string")
+        # without filter: ~30 grams/row; the self-join explodes those.
+        # With filter the verify input is bounded: check via the key
+        # arrays the operator builds internally — reproduce the freq
+        # ranking and assert the kept-key bound.
+        grams = df.select(
+            "id", F.explode(linkage.blocking_keys(
+                F.col("name"), blockers=("ngram",))).alias("b"))
+        freq = grams.groupBy("b").agg(F.count(F.lit(1)).alias("df"))
+        kept = (grams.join(freq, "b")
+                .withColumn("rk", F.row_number().over(
+                    W.partitionBy("id").orderBy("df", "b")))
+                .filter(F.col("rk") <= 4))
+        per_row = kept.groupBy("id").count().agg(
+            F.max("count").alias("mx")).first()["mx"]
+        assert per_row <= 4
+
+    def test_verify_then_dedup_pair_set_unchanged(self, spark):
+        """The r10 verify-then-dedup reorder must return each matched
+        pair exactly once even when it meets in many gram blocks."""
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, "abcdefghij")], "lid int, lname string")
+        R = spark.createDataFrame([(2, "abcdefghix")], "rid int, rname string")
+        out = linkage.blocked_fuzzy_join(
+            L, R, "lid", "lname", "rid", "rname",
+            max_distance=1, blockers=("ngram",)).collect()
+        assert len(out) == 1 and out[0]["distance"] == 1
