@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     # histogram + the scalar ECE re-aggregation)
     "part_fuzzy_matches", "part_fuzzy_qgram",
     "docs_calibration", "docs_calibration_ece",
+    # PPJoin prefix-filter set-similarity join (shingle sets vs
+    # truncated twins at jaccard >= 0.6)
+    "docs_set_jaccard_join",
 ]
 
 

@@ -54,7 +54,8 @@ from typing import Sequence, Union
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs"]
+__all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs",
+           "set_similarity_join"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
 
@@ -267,3 +268,102 @@ def fuzzy_self_pairs(
         prefix_len=prefix_len, length_bucket=length_bucket,
         ngram_q=ngram_q, prefix_filter=prefix_filter)
     return out.filter(F.col("id_a") < F.col("id_b"))
+
+
+def set_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_set: str,
+    right_id: str,
+    right_set: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Set-similarity join with PPJoin-family prefix filtering (Xiao et
+    al. 2008 / Chaudhuri et al. SSJoin): pairs whose token SETS have
+    Jaccard >= ``threshold``. ``left_set``/``right_set`` are
+    ``array<string>`` columns treated as sets (``array_distinct``
+    applied; NULL/empty sets match nothing). Returns
+    ``(left_id, right_id, n_common, jaccard)``, one row per pair. The
+    token-set sibling of :func:`blocked_fuzzy_join`'s edit-distance
+    join — shingle sets, word sets, q-gram sets all fit.
+
+    Candidate generation is the PREFIX FILTER, not all-pairs: under a
+    global token order (document frequency asc, token asc — computed
+    over both sides in one vocab-sized aggregation), a record of set
+    size s contributes only its ``s - ceil(t*s) + 1`` rarest tokens as
+    join keys. Two sets with Jaccard >= t must share a prefix token
+    (removing fewer than ceil(t*s) tokens cannot empty the overlap), so
+    recall is exact. The LENGTH filter rides the join condition —
+    Jaccard >= t forces t*|b| <= |a| <= |b|/t — cutting size-mismatched
+    meets before they materialize.
+
+    Scale shape: one token-keyed aggregation (vocab-sized output) + an
+    id-keyed window to rank each row's tokens (the rare-gram machinery
+    of ``prefix_filter=True``), then ONE equi-join on prefix tokens
+    with the length predicate inline, map-side exact verify
+    (``array_intersect`` on the carried arrays — integer |A∩B| and
+    |A∪B| = sa + sb - |A∩B|, so the Jaccard compare is cross-engine
+    exact), and a pair-dedup shuffle over MATCHES only
+    (verify-then-dedup, as in blocked_fuzzy_join). Candidate rows carry
+    both token arrays; the prefix+length filters keep that stream
+    narrow — for corpora where even filtered candidates are wide,
+    ``operators.dedup.jaccard_pairs`` is the posting-list
+    (arrays-never-join) self-join alternative.
+
+    Each side's normalized (id, set, size) frame feeds THREE plan
+    branches (token explode, prefix-bound size lookup, verify arrays),
+    so it is persisted MEMORY_AND_DISK — the jaccard_pairs precedent:
+    recomputing the caller's set-building projection (often a
+    tokenize/shingle pass over raw text) 3× costs more than spilling
+    the normalized frame."""
+    from pyspark.storagelevel import StorageLevel
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t = float(threshold)
+    la = F.array_distinct(F.col(left_set))
+    ra = F.array_distinct(F.col(right_set))
+    L = (left.select(F.col(left_id).alias("__lid"), la.alias("__la"))
+         .filter(F.col("__la").isNotNull() & (F.size("__la") > 0))
+         .withColumn("__sa", F.size("__la"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    R = (right.select(F.col(right_id).alias("__rid"), ra.alias("__ra"))
+         .filter(F.col("__ra").isNotNull() & (F.size("__ra") > 0))
+         .withColumn("__sb", F.size("__ra"))
+         .persist(StorageLevel.MEMORY_AND_DISK))
+    ltok = L.select("__lid", F.explode("__la").alias("__tok"))
+    rtok = R.select("__rid", F.explode("__ra").alias("__tok"))
+    freq = (ltok.select("__tok").unionByName(rtok.select("__tok"))
+            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")))
+    wl = Window.partitionBy("__lid").orderBy("__df", "__tok")
+    wr = Window.partitionBy("__rid").orderBy("__df", "__tok")
+    lpre = (ltok.join(freq, "__tok")
+            .withColumn("__rk", F.row_number().over(wl)))
+    rpre = (rtok.join(freq, "__tok")
+            .withColumn("__rk", F.row_number().over(wr)))
+    # prefix bound: rank <= s - ceil(t*s) + 1 (needs the row's set size)
+    lpre = (lpre.join(L, "__lid")
+            .filter(F.col("__rk")
+                    <= F.col("__sa") - F.ceil(F.lit(t) * F.col("__sa")) + 1)
+            .select("__lid", "__la", "__sa", "__tok"))
+    rpre = (rpre.join(R, "__rid")
+            .filter(F.col("__rk")
+                    <= F.col("__sb") - F.ceil(F.lit(t) * F.col("__sb")) + 1)
+            .select("__rid", "__ra", "__sb", "__tok"))
+    length_ok = ((F.col("__sa") >= F.lit(t) * F.col("__sb"))
+                 & (F.col("__sb") >= F.lit(t) * F.col("__sa")))
+    cand = lpre.join(rpre, "__tok").filter(length_ok)
+    inter = F.size(F.array_intersect("__la", "__ra"))
+    jac = (F.col("__n_common")
+           / (F.col("__sa") + F.col("__sb") - F.col("__n_common")))
+    return (cand
+            .withColumn("__n_common", inter)
+            .withColumn("__jac", jac)
+            .filter(F.col("__jac") >= t)
+            .dropDuplicates(["__lid", "__rid"])
+            .select(F.col("__lid").alias(left_id),
+                    F.col("__rid").alias(right_id),
+                    F.col("__n_common").alias("n_common"),
+                    F.col("__jac").alias("jaccard")))

@@ -5877,6 +5877,90 @@ SELECT (SELECT count(*) FROM ok) AS n,
 """
 
 
+def q_docs_set_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style set-similarity join (linkage.set_similarity_join):
+    documents matched against truncated twins (last 5 words dropped;
+    twins only for docs with >= 8 words) on word-3-gram SHINGLE sets at
+    Jaccard >= 0.6. Shingles, not words, because the synthetic corpus
+    has a 31-word vocabulary — word sets would make every pair similar,
+    while 3-gram shingle entropy (31³ combinations) keeps true matches
+    at ~1 per doc. Candidates come from the prefix filter (each row's
+    s - ceil(0.6·s) + 1 rarest shingles under the global df order), the
+    verify is an exact integer |A∩B| — jaccard = int/int division is
+    bit-identical cross-engine, so the output needs no rounding. The
+    oracle reproduces shingling, df ranks, prefix bounds, and the
+    verify exactly (its length filter is implied by jaccard >= t, so
+    skipping it changes nothing)."""
+    docs = load(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _shingles(warr):
+        n = F.size(warr)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(warr, i, 3)))
+
+    base = docs.select(F.col("doc_id").alias("lid"),
+                       _shingles(words).alias("sa"))
+    tw_words = F.slice(words, 1, F.size(words) - 5)
+    twin = (docs.filter(F.size(words) >= 8)
+            .select((F.col("doc_id") + 1000000).alias("rid"),
+                    _shingles(tw_words).alias("sb")))
+    out = linkage.set_similarity_join(
+        base, twin, "lid", "sa", "rid", "sb", threshold=0.6)
+    return out.select("lid", "rid", "n_common", "jaccard")
+
+
+ORACLE_DOCS_SET_JACCARD_JOIN = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+base AS (
+  SELECT doc_id AS lid,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS sa
+  FROM w),
+tw AS (
+  SELECT doc_id + 1000000 AS rid,
+         list_distinct([array_to_string(tws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tws) - 2, 1) + 1)])
+           AS sb
+  FROM (SELECT doc_id, ws[1:len(ws)-5] AS tws FROM w
+        WHERE len(ws) >= 8)),
+lt AS (SELECT lid, unnest(sa) AS tok FROM base),
+rt AS (SELECT rid, unnest(sb) AS tok FROM tw),
+freq AS (
+  SELECT tok, count(*) AS df FROM (
+    SELECT tok FROM lt UNION ALL SELECT tok FROM rt) GROUP BY tok),
+lsz AS (SELECT lid, len(sa) AS sza FROM base),
+rsz AS (SELECT rid, len(sb) AS szb FROM tw),
+lpre AS (
+  SELECT lid, tok FROM (
+    SELECT lt.lid, lt.tok, s.sza,
+           row_number() OVER (PARTITION BY lt.lid
+                              ORDER BY f.df, lt.tok) AS rk
+    FROM lt JOIN freq f USING (tok) JOIN lsz s USING (lid))
+  WHERE rk <= sza - ceil(0.6 * sza) + 1),
+rpre AS (
+  SELECT rid, tok FROM (
+    SELECT rt.rid, rt.tok, s.szb,
+           row_number() OVER (PARTITION BY rt.rid
+                              ORDER BY f.df, rt.tok) AS rk
+    FROM rt JOIN freq f USING (tok) JOIN rsz s USING (rid))
+  WHERE rk <= szb - ceil(0.6 * szb) + 1),
+cand AS (SELECT DISTINCT lid, rid FROM lpre JOIN rpre USING (tok)),
+v AS (
+  SELECT c.lid, c.rid,
+         len(list_intersect(b.sa, t.sb)) AS n_common,
+         len(list_intersect(b.sa, t.sb)) * 1.0
+           / (len(b.sa) + len(t.sb) - len(list_intersect(b.sa, t.sb)))
+           AS jaccard
+  FROM cand c JOIN base b USING (lid) JOIN tw t USING (rid))
+SELECT lid, rid, n_common, jaccard FROM v WHERE jaccard >= 0.6
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6109,9 +6193,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          first-gated entries never re-checked (c4/gopher/normalize,
 #          text_* family, paragraph dedup, PQ pair, span removal,
 #          bitmap distinct, url stats, global index, padding waste,
-#          curriculum, phash, strip_html) = 50. Remaining r8-gated
+#          curriculum, phash) = 50 — strip_html yielded its fill slot
+#          to the 4th r10 NEW entry docs_set_jaccard_join (PPJoin
+#          prefix-filter set-similarity join). Remaining r8-gated
 #          entries (lineitem_grouped_dq, drift report/verdict,
-#          price_jsd, docs_interleave) are the r11 re-gate front.
+#          price_jsd, docs_interleave, docs_strip_html) are the r11
+#          re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6120,6 +6207,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-9/10 NEW operators + round-10-touched — gate first
     "part_fuzzy_matches",        # r9 new, never driver-gated (r9 task 2)
     "part_fuzzy_qgram",          # r10 new: provable-recall q-gram blocker
+    "docs_set_jaccard_join",     # r10 new: PPJoin prefix-filter join
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
@@ -6137,7 +6225,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
     "docs_url_stats", "docs_global_index", "docs_padding_waste",
-    "docs_curriculum", "docs_phash_dups", "docs_strip_html",
+    "docs_curriculum", "docs_phash_dups",
 ]
 
 
@@ -6302,6 +6390,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_fuzzy_qgram": q_part_fuzzy_qgram,
     "docs_calibration": q_docs_calibration,
     "docs_calibration_ece": q_docs_calibration_ece,
+    "docs_set_jaccard_join": q_docs_set_jaccard_join,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6461,6 +6550,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_fuzzy_qgram": ORACLE_PART_FUZZY_QGRAM,
     "docs_calibration": ORACLE_DOCS_CALIBRATION,
     "docs_calibration_ece": ORACLE_DOCS_CALIBRATION_ECE,
+    "docs_set_jaccard_join": ORACLE_DOCS_SET_JACCARD_JOIN,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

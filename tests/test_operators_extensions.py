@@ -4501,3 +4501,82 @@ class TestLinkageScaleRefinements:
             L, R, "lid", "lname", "rid", "rname",
             max_distance=1, blockers=("ngram",)).collect()
         assert len(out) == 1 and out[0]["distance"] == 1
+
+
+class TestSetSimilarityJoin:
+    """PPJoin-style set-similarity join: prefix-filter recall, length
+    filter, exact verify, set semantics, validation."""
+
+    def test_known_jaccards_and_threshold(self, spark):
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame(
+            [(1, ["a", "b", "c", "d", "e"]), (2, ["x", "y", "z"])],
+            "lid int, ls array<string>")
+        R = spark.createDataFrame(
+            [(10, ["a", "b", "c", "d"]),      # jac vs 1 = 4/5
+             (11, ["x", "y", "q"]),           # jac vs 2 = 2/4
+             (12, ["m", "n"])],               # no overlap
+            "rid int, rs array<string>")
+        got = {(r["lid"], r["rid"]): (r["n_common"], r["jaccard"])
+               for r in linkage.set_similarity_join(
+                   L, R, "lid", "ls", "rid", "rs",
+                   threshold=0.5).collect()}
+        assert got == {(1, 10): (4, 0.8), (2, 11): (2, 0.5)}
+        strict = linkage.set_similarity_join(
+            L, R, "lid", "ls", "rid", "rs", threshold=0.75)
+        assert [(r["lid"], r["rid"]) for r in strict.collect()] == [(1, 10)]
+
+    def test_duplicate_tokens_are_set_semantics(self, spark):
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, ["a", "a", "b"])],
+                                  "lid int, ls array<string>")
+        R = spark.createDataFrame([(2, ["a", "b", "b", "b"])],
+                                  "rid int, rs array<string>")
+        r = linkage.set_similarity_join(
+            L, R, "lid", "ls", "rid", "rs", threshold=0.9).first()
+        assert (r["n_common"], r["jaccard"]) == (2, 1.0)
+
+    def test_null_and_empty_sets_match_nothing(self, spark):
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame(
+            [(1, ["a"]), (2, []), (3, None)], "lid int, ls array<string>")
+        out = linkage.set_similarity_join(
+            L, L.selectExpr("lid as rid", "ls as rs"),
+            "lid", "ls", "rid", "rs", threshold=0.1)
+        assert [(r["lid"], r["rid"]) for r in out.collect()] == [(1, 1)]
+
+    def test_prefix_filter_recall_identity_pairs(self, spark):
+        """Every set must match its own copy at any threshold — the
+        prefix-filter bound may keep only a few tokens but identical
+        prefixes always intersect."""
+        from spark_expectations_spark.operators import linkage
+        rows = [(i, [f"t{i}_{j}" for j in range(1 + i % 7)])
+                for i in range(30)]
+        L = spark.createDataFrame(rows, "lid int, ls array<string>")
+        R = spark.createDataFrame(rows, "rid int, rs array<string>")
+        out = linkage.set_similarity_join(
+            L, R, "lid", "ls", "rid", "rs", threshold=0.95)
+        pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+        assert {(i, i) for i in range(30)} <= pairs
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, ["a"])], "lid int, ls array<string>")
+        for bad in (0.0, -0.1, 1.5):
+            with _pytest.raises(ValueError, match="threshold"):
+                linkage.set_similarity_join(
+                    L, L.selectExpr("lid as rid", "ls as rs"),
+                    "lid", "ls", "rid", "rs", threshold=bad)
+
+    def test_plan_clean(self, spark):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, ["a", "b"])],
+                                  "lid int, ls array<string>")
+        out = linkage.set_similarity_join(
+            L, L.selectExpr("lid as rid", "ls as rs"),
+            "lid", "ls", "rid", "rs", threshold=0.5)
+        rules = {f["rule"] for f in plans.plan_lint(out)
+                 if f["severity"] == "error"}
+        assert not rules
