@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     # PPJoin prefix-filter set-similarity join (shingle sets vs
     # truncated twins at jaccard >= 0.6)
     "docs_set_jaccard_join",
+    # blocking QA (cross-join truth side runs on the documented 20%
+    # deterministic sample only)
+    "part_blocking_quality",
 ]
 
 

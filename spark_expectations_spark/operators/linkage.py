@@ -55,7 +55,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs",
-           "set_similarity_join"]
+           "set_similarity_join", "blocking_quality_report"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
 
@@ -367,3 +367,86 @@ def set_similarity_join(
                     F.col("__rid").alias(right_id),
                     F.col("__n_common").alias("n_common"),
                     F.col("__jac").alias("jaccard")))
+
+
+def blocking_quality_report(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_key: str,
+    right_id: str,
+    right_key: str,
+    *,
+    max_distance: int = 2,
+    blockers: Sequence[Blocker] = ("prefix", "length"),
+    prefix_len: int = 2,
+    length_bucket: int = 4,
+    ngram_q: int = 3,
+    sample_fraction: float = 1.0,
+) -> DataFrame:
+    """Measure a blocking configuration before trusting it — the
+    linkage twin of ``dedup.lsh_quality_report``. Returns ONE row:
+    ``(n_left, n_right, n_candidates, reduction_ratio, n_true,
+    n_caught, pairs_completeness)`` where
+
+    * ``n_candidates`` — distinct id pairs sharing >= 1 blocking key
+      (what :func:`blocked_fuzzy_join` would verify),
+    * ``reduction_ratio`` — 1 − candidates/(n_left·n_right): how much
+      of the all-pairs space blocking prunes (the cost axis),
+    * ``pairs_completeness`` — the fraction of TRUE matches (exact
+      all-pairs levenshtein <= ``max_distance`` on the measured frames)
+      that blocking keeps (the recall axis; NULL when no true pairs).
+
+    The truth side is a CROSS JOIN — quadratic BY DESIGN, and the one
+    place in this module allowed to be: ``sample_fraction < 1`` applies
+    :func:`~.sampling.deterministic_sample` (md5-keyed, rerun-stable)
+    to BOTH sides before ANY measurement, so candidates, truth, and the
+    two ratios all describe the same subsample and the verdict
+    transfers as a rate. The default 1.0 is for test-sized frames only
+    — same contract and guard as lsh_quality_report.
+
+    Scale shape: the blocking side is the candidate pair-dedup count
+    (one explode + equi-join + distinct agg); the truth side is
+    sample²·levenshtein, map-side after one broadcast-able cross join
+    of sample-sized frames; the report assembles five 1-row aggregates
+    (scalar broadcasts, linter-demoted)."""
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError("sample_fraction must be in (0, 1]")
+    if sample_fraction < 1.0:
+        from .sampling import deterministic_sample
+        left = deterministic_sample(left, left_id, sample_fraction)
+        right = deterministic_sample(right, right_id, sample_fraction)
+    kw = dict(blockers=blockers, prefix_len=prefix_len,
+              length_bucket=length_bucket, ngram_q=ngram_q)
+    lk, rk = F.col(left_key), F.col(right_key)
+    L = (left.select(F.col(left_id).alias("__lid"), _norm(lk).alias("__ln"),
+                     blocking_keys(lk, **kw).alias("__bk"))
+         .filter(F.col("__ln").isNotNull() & (F.length("__ln") > 0)))
+    R = (right.select(F.col(right_id).alias("__rid"),
+                      _norm(rk).alias("__rn"),
+                      blocking_keys(rk, **kw).alias("__bk"))
+          .filter(F.col("__rn").isNotNull() & (F.length("__rn") > 0)))
+    lex = L.select("__lid", F.explode("__bk").alias("__b"))
+    rex = R.select("__rid", F.explode("__bk").alias("__b"))
+    cand = (lex.join(rex, "__b").select("__lid", "__rid").distinct())
+    truth = (L.select("__lid", "__ln")
+             .crossJoin(R.select("__rid", "__rn"))
+             .filter(F.levenshtein("__ln", "__rn", max_distance) >= 0)
+             .select("__lid", "__rid"))
+    caught = truth.join(cand, ["__lid", "__rid"], "left_semi")
+    nl = L.agg(F.count(F.lit(1)).alias("n_left"))
+    nr = R.agg(F.count(F.lit(1)).alias("n_right"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    ng = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    out = (nl.crossJoin(F.broadcast(nr)).crossJoin(F.broadcast(nc))
+           .crossJoin(F.broadcast(nt)).crossJoin(F.broadcast(ng)))
+    prod = F.col("n_left").cast("double") * F.col("n_right")
+    return out.select(
+        "n_left", "n_right", "n_candidates",
+        F.when(prod > 0, F.lit(1.0) - F.col("n_candidates") / prod)
+         .alias("reduction_ratio"),
+        "n_true", "n_caught",
+        F.when(F.col("n_true") > 0,
+               F.col("n_caught") / F.col("n_true").cast("double"))
+         .alias("pairs_completeness"))

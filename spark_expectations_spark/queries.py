@@ -5961,6 +5961,81 @@ SELECT lid, rid, n_common, jaccard FROM v WHERE jaccard >= 0.6
 """
 
 
+def q_part_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-configuration QA (linkage.blocking_quality_report — the
+    linkage twin of dedup_lsh_quality): candidates / reduction ratio /
+    pairs-completeness of the composite prefix+length blocker against
+    the exact all-pairs levenshtein <= 1 truth, on the deterministic
+    20% md5 subsample of the part_fuzzy_matches fixture (the cross-join
+    truth side is quadratic BY DESIGN and only ever runs on the
+    sample). All seven outputs are integer counts or int/int-derived
+    doubles — bit-identical cross-engine, no rounding needed."""
+    part = load(spark, sf_dir, "part")
+    key = F.concat(F.reverse(F.col("p_partkey").cast("string")),
+                   F.lit(" "), F.col("p_name"))
+    base = part.select(F.col("p_partkey").alias("lid"),
+                       key.alias("lname"))
+    pos = (F.length(F.col("p_partkey").cast("string"))
+           + 2 + F.col("p_partkey") % 5).cast("int")
+    twin = part.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(key.substr(F.lit(1), pos - 1), F.lit("o"),
+                 key.substr(pos + 1, F.lit(100000))).alias("rname"))
+    return linkage.blocking_quality_report(
+        base, twin, "lid", "lname", "rid", "rname",
+        max_distance=1, blockers=(("prefix", "length"),),
+        sample_fraction=0.2)
+
+
+# deterministic_sample twin: md5-hex-prefix bucket < 0.2 * 65536
+ORACLE_PART_BLOCKING_QUALITY = """
+WITH base AS (
+  SELECT p_partkey AS lid,
+         lower(trim(reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                    || p_name)) AS ln
+  FROM part
+  WHERE CAST(('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 4))
+             AS BIGINT) < 13107),
+tw AS (
+  SELECT rid, lower(trim(substr(k, 1, pos - 1) || 'o'
+                         || substr(k, pos + 1))) AS rn
+  FROM (SELECT p_partkey + 1000000 AS rid,
+               reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                 || p_name AS k,
+               CAST(length(CAST(p_partkey AS VARCHAR)) + 2
+                    + p_partkey % 5 AS INT) AS pos
+        FROM part)
+  WHERE CAST(('0x' || substr(md5(CAST(rid AS VARCHAR)), 1, 4))
+             AS BIGINT) < 13107),
+lex AS (
+  SELECT lid, 'p:' || substr(ln, 1, 2) || '+l:'
+           || CAST(length(ln) // 4 AS VARCHAR) AS b FROM base),
+rex AS (
+  SELECT rid, 'p:' || substr(rn, 1, 2) || '+l:'
+           || CAST(length(rn) // 4 AS VARCHAR) AS b FROM tw),
+cand AS (SELECT DISTINCT lid, rid FROM lex JOIN rex USING (b)),
+truth AS (
+  SELECT b.lid, t.rid FROM base b, tw t
+  WHERE levenshtein(b.ln, t.rn) <= 1),
+caught AS (SELECT lid, rid FROM truth INTERSECT
+           SELECT lid, rid FROM cand),
+c AS (SELECT (SELECT count(*) FROM base) AS n_left,
+             (SELECT count(*) FROM tw) AS n_right,
+             (SELECT count(*) FROM cand) AS n_candidates,
+             (SELECT count(*) FROM truth) AS n_true,
+             (SELECT count(*) FROM caught) AS n_caught)
+SELECT n_left, n_right, n_candidates,
+       CASE WHEN n_left * n_right > 0
+            THEN 1.0 - n_candidates / (CAST(n_left AS DOUBLE) * n_right)
+            END AS reduction_ratio,
+       n_true, n_caught,
+       CASE WHEN n_true > 0
+            THEN n_caught / CAST(n_true AS DOUBLE) END
+         AS pairs_completeness
+FROM c
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6193,12 +6268,13 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          first-gated entries never re-checked (c4/gopher/normalize,
 #          text_* family, paragraph dedup, PQ pair, span removal,
 #          bitmap distinct, url stats, global index, padding waste,
-#          curriculum, phash) = 50 — strip_html yielded its fill slot
-#          to the 4th r10 NEW entry docs_set_jaccard_join (PPJoin
-#          prefix-filter set-similarity join). Remaining r8-gated
-#          entries (lineitem_grouped_dq, drift report/verdict,
-#          price_jsd, docs_interleave, docs_strip_html) are the r11
-#          re-gate front.
+#          curriculum) = 50 — strip_html and phash yielded their fill
+#          slots to the 4th and 5th r10 NEW entries
+#          (docs_set_jaccard_join — PPJoin prefix-filter set-similarity
+#          join; part_blocking_quality — blocking QA report).
+#          Remaining r8-gated entries (lineitem_grouped_dq, drift
+#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
+#          docs_phash_dups) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6208,6 +6284,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fuzzy_matches",        # r9 new, never driver-gated (r9 task 2)
     "part_fuzzy_qgram",          # r10 new: provable-recall q-gram blocker
     "docs_set_jaccard_join",     # r10 new: PPJoin prefix-filter join
+    "part_blocking_quality",     # r10 new: blocking QA report
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
@@ -6225,7 +6302,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
     "docs_url_stats", "docs_global_index", "docs_padding_waste",
-    "docs_curriculum", "docs_phash_dups",
+    "docs_curriculum",
 ]
 
 
@@ -6391,6 +6468,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_calibration": q_docs_calibration,
     "docs_calibration_ece": q_docs_calibration_ece,
     "docs_set_jaccard_join": q_docs_set_jaccard_join,
+    "part_blocking_quality": q_part_blocking_quality,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6551,6 +6629,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_calibration": ORACLE_DOCS_CALIBRATION,
     "docs_calibration_ece": ORACLE_DOCS_CALIBRATION_ECE,
     "docs_set_jaccard_join": ORACLE_DOCS_SET_JACCARD_JOIN,
+    "part_blocking_quality": ORACLE_PART_BLOCKING_QUALITY,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

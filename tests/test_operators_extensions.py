@@ -4580,3 +4580,56 @@ class TestSetSimilarityJoin:
         rules = {f["rule"] for f in plans.plan_lint(out)
                  if f["severity"] == "error"}
         assert not rules
+
+
+class TestBlockingQualityReport:
+    def _frames(self, spark):
+        L = spark.createDataFrame(
+            [(1, "acme corp"), (2, "widget works"), (3, "zen labs")],
+            "lid int, lk string")
+        R = spark.createDataFrame(
+            [(10, "acme crop"), (11, "xidget works"),
+             (12, "unrelated name here")],
+            "rid int, rk string")
+        return L, R
+
+    def test_recall_and_reduction_arithmetic(self, spark):
+        from pytest import approx
+
+        from spark_expectations_spark.operators import linkage
+        L, R = self._frames(spark)
+        # truth at d<=2: (1,10) transposition, (2,11) first-char sub.
+        # prefix-2 blocking catches only the acme pair.
+        r = linkage.blocking_quality_report(
+            L, R, "lid", "lk", "rid", "rk",
+            max_distance=2, blockers=("prefix",)).first()
+        assert (r["n_left"], r["n_right"]) == (3, 3)
+        assert (r["n_candidates"], r["n_true"], r["n_caught"]) == (1, 2, 1)
+        assert r["reduction_ratio"] == approx(1 - 1 / 9)
+        assert r["pairs_completeness"] == approx(0.5)
+        # ngram blocking recovers the first-char edit -> completeness 1
+        r2 = linkage.blocking_quality_report(
+            L, R, "lid", "lk", "rid", "rk",
+            max_distance=2, blockers=("ngram",)).first()
+        assert r2["n_caught"] == 2 and r2["pairs_completeness"] == 1.0
+
+    def test_no_true_pairs_gives_null_completeness(self, spark):
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, "aaaa")], "lid int, lk string")
+        R = spark.createDataFrame([(2, "zzzzzzzz")], "rid int, rk string")
+        r = linkage.blocking_quality_report(
+            L, R, "lid", "lk", "rid", "rk", max_distance=1).first()
+        assert r["n_true"] == 0 and r["pairs_completeness"] is None
+
+    def test_sample_fraction_guard_and_determinism(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import linkage
+        L, R = self._frames(spark)
+        with _pytest.raises(ValueError, match="sample_fraction"):
+            linkage.blocking_quality_report(
+                L, R, "lid", "lk", "rid", "rk", sample_fraction=0.0)
+        a = linkage.blocking_quality_report(
+            L, R, "lid", "lk", "rid", "rk", sample_fraction=0.7).first()
+        b = linkage.blocking_quality_report(
+            L, R, "lid", "lk", "rid", "rk", sample_fraction=0.7).first()
+        assert a == b

@@ -10,9 +10,14 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run: 154/154 queries, 0 errors, 79 warns
-(down from 143 — plan_lint now demotes BroadcastNestedLoopJoins whose
-build side is a provably 1-row aggregate to info, r8 verdict task 6).
+build) is present. Last full run (r10): 159/159 queries, 0 errors,
+78 warns — 41 filter-not-pushed, 33 single-partition-exchange, 4
+inline-adjudicated cartesian-products (dims-scale probe grids / the
+docs_curriculum thresholds BNLJ the subtree prover can't certify).
+Plan_lint demotes BroadcastNestedLoopJoins whose build side is a
+provably 1-row aggregate to info (r8 verdict task 6); the demotion
+requires an explicit BuildLeft/BuildRight token and keeps the warn
+otherwise (ADVICE r9).
 """
 
 from __future__ import annotations
