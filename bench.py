@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     # blocking QA (cross-join truth side runs on the documented 20%
     # deterministic sample only)
     "part_blocking_quality",
+    # index/probe steady-state linkage (10% probe batch vs standing
+    # key table)
+    "part_fuzzy_probe",
 ]
 
 

@@ -55,7 +55,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs",
-           "set_similarity_join", "blocking_quality_report"]
+           "set_similarity_join", "blocking_quality_report",
+           "blocking_index", "probe_blocking_index"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
 
@@ -450,3 +451,73 @@ def blocking_quality_report(
         F.when(F.col("n_true") > 0,
                F.col("n_caught") / F.col("n_true").cast("double"))
          .alias("pairs_completeness"))
+
+
+def blocking_index(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    *,
+    blockers: Sequence[Blocker] = ("prefix", "length"),
+    prefix_len: int = 2,
+    length_bucket: int = 4,
+    ngram_q: int = 3,
+) -> DataFrame:
+    """The persistable half of incremental linkage: explode a master
+    list ONCE to its ``(block_key, id, norm_key, orig_key)`` rows —
+    write this to a table (ideally bucketed by ``block_key``) and every
+    future probe batch joins against it without the master corpus ever
+    being re-normalized or re-keyed. The linkage analogue of
+    ``dedup.minhash_signatures``'s standing index; pair with
+    :func:`probe_blocking_index`. The blocker configuration is baked
+    into the index — probe with the SAME settings (store them in table
+    properties; a mismatched probe silently under-recalls)."""
+    k = F.col(key_col)
+    return df.select(
+        F.col(id_col).alias("index_id"),
+        k.alias("index_key"),
+        _norm(k).alias("index_norm"),
+        F.explode(blocking_keys(
+            k, blockers=blockers, prefix_len=prefix_len,
+            length_bucket=length_bucket, ngram_q=ngram_q)).alias("block_key"))
+
+
+def probe_blocking_index(
+    index: DataFrame,
+    probe: DataFrame,
+    probe_id: str,
+    probe_key: str,
+    *,
+    max_distance: int = 2,
+    blockers: Sequence[Blocker] = ("prefix", "length"),
+    prefix_len: int = 2,
+    length_bucket: int = 4,
+    ngram_q: int = 3,
+) -> DataFrame:
+    """Fuzzy-match a (typically small) probe batch against a standing
+    :func:`blocking_index` — the steady-state shape of master-list
+    linkage: the index side is touched only through its persisted key
+    table (pre-bucketed on ``block_key``, even its exchange
+    disappears), the probe side explodes and — small by contract —
+    AQE-broadcasts into the join. Returns ``(probe_id, index_id,
+    probe_key, index_key, distance)``, one row per matched pair, same
+    verify-then-dedup + threshold-levenshtein contract as
+    :func:`blocked_fuzzy_join` (whose single-shot output this exactly
+    reproduces when the index was built with the same blockers)."""
+    pk = F.col(probe_key)
+    pex = probe.select(
+        F.col(probe_id).alias("__pid"), pk.alias("__pkey"),
+        _norm(pk).alias("__pn"),
+        F.explode(blocking_keys(
+            pk, blockers=blockers, prefix_len=prefix_len,
+            length_bucket=length_bucket, ngram_q=ngram_q)).alias("block_key"))
+    dist = F.levenshtein("__pn", "index_norm", max_distance)
+    return (pex.join(index, "block_key")
+            .withColumn("distance", dist)
+            .filter(F.col("distance") >= 0)
+            .dropDuplicates(["__pid", "index_id"])
+            .select(F.col("__pid").alias(probe_id),
+                    "index_id",
+                    F.col("__pkey").alias(probe_key),
+                    "index_key",
+                    "distance"))

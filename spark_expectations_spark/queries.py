@@ -6036,6 +6036,67 @@ FROM c
 """
 
 
+def q_part_fuzzy_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index/probe linkage (linkage.blocking_index +
+    probe_blocking_index — the steady-state master-list shape): the
+    part_fuzzy_matches twin list becomes the standing index, a 10%
+    partkey sample of the base keys probes it. Must return EXACTLY the
+    single-shot blocked_fuzzy_join restricted to the sampled probes —
+    the oracle is the part_fuzzy_matches SQL with the probe-side
+    filter, which is precisely that contract."""
+    part = load(spark, sf_dir, "part")
+    key = F.concat(F.reverse(F.col("p_partkey").cast("string")),
+                   F.lit(" "), F.col("p_name"))
+    pos = (F.length(F.col("p_partkey").cast("string"))
+           + 2 + F.col("p_partkey") % 5).cast("int")
+    twin = part.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(key.substr(F.lit(1), pos - 1), F.lit("o"),
+                 key.substr(pos + 1, F.lit(100000))).alias("rname"))
+    probe = (part.filter(F.col("p_partkey") % 10 == 0)
+             .select(F.col("p_partkey").alias("lid"),
+                     key.alias("lname")))
+    idx = linkage.blocking_index(
+        twin, "rid", "rname", blockers=(("prefix", "length"),))
+    out = linkage.probe_blocking_index(
+        idx, probe, "lid", "lname",
+        max_distance=1, blockers=(("prefix", "length"),))
+    return out.select("lid", F.col("index_id").alias("rid"), "distance")
+
+
+ORACLE_PART_FUZZY_PROBE = """
+WITH base AS (
+  SELECT p_partkey AS lid,
+         lower(trim(reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                    || p_name)) AS ln
+  FROM part WHERE p_partkey % 10 = 0),
+tw AS (
+  SELECT p_partkey + 1000000 AS rid,
+         lower(trim(substr(k, 1, pos - 1) || 'o'
+                    || substr(k, pos + 1))) AS rn
+  FROM (SELECT p_partkey,
+               reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                 || p_name AS k,
+               CAST(length(CAST(p_partkey AS VARCHAR)) + 2
+                    + p_partkey % 5 AS INT) AS pos
+        FROM part)),
+lex AS (
+  SELECT lid, ln,
+         'p:' || substr(ln, 1, 2) || '+l:'
+           || CAST(length(ln) // 4 AS VARCHAR) AS b
+  FROM base),
+rex AS (
+  SELECT rid, rn,
+         'p:' || substr(rn, 1, 2) || '+l:'
+           || CAST(length(rn) // 4 AS VARCHAR) AS b
+  FROM tw),
+cand AS (
+  SELECT DISTINCT lid, rid, ln, rn FROM lex JOIN rex USING (b))
+SELECT lid, rid, levenshtein(ln, rn) AS distance
+FROM cand WHERE levenshtein(ln, rn) <= 1
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6268,13 +6329,14 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          first-gated entries never re-checked (c4/gopher/normalize,
 #          text_* family, paragraph dedup, PQ pair, span removal,
 #          bitmap distinct, url stats, global index, padding waste,
-#          curriculum) = 50 — strip_html and phash yielded their fill
-#          slots to the 4th and 5th r10 NEW entries
+#          ) = 50 — strip_html, phash, and curriculum yielded their
+#          fill slots to the 4th-6th r10 NEW entries
 #          (docs_set_jaccard_join — PPJoin prefix-filter set-similarity
-#          join; part_blocking_quality — blocking QA report).
-#          Remaining r8-gated entries (lineitem_grouped_dq, drift
-#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
-#          docs_phash_dups) are the r11 re-gate front.
+#          join; part_blocking_quality — blocking QA report;
+#          part_fuzzy_probe — index/probe linkage path). Remaining
+#          r8-gated entries (lineitem_grouped_dq, drift report/verdict,
+#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
+#          docs_curriculum) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6285,6 +6347,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fuzzy_qgram",          # r10 new: provable-recall q-gram blocker
     "docs_set_jaccard_join",     # r10 new: PPJoin prefix-filter join
     "part_blocking_quality",     # r10 new: blocking QA report
+    "part_fuzzy_probe",          # r10 new: index/probe linkage path
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
@@ -6302,7 +6365,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
     "docs_url_stats", "docs_global_index", "docs_padding_waste",
-    "docs_curriculum",
 ]
 
 
@@ -6469,6 +6531,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_calibration_ece": q_docs_calibration_ece,
     "docs_set_jaccard_join": q_docs_set_jaccard_join,
     "part_blocking_quality": q_part_blocking_quality,
+    "part_fuzzy_probe": q_part_fuzzy_probe,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6630,6 +6693,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_calibration_ece": ORACLE_DOCS_CALIBRATION_ECE,
     "docs_set_jaccard_join": ORACLE_DOCS_SET_JACCARD_JOIN,
     "part_blocking_quality": ORACLE_PART_BLOCKING_QUALITY,
+    "part_fuzzy_probe": ORACLE_PART_FUZZY_PROBE,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

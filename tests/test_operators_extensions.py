@@ -4633,3 +4633,46 @@ class TestBlockingQualityReport:
         b = linkage.blocking_quality_report(
             L, R, "lid", "lk", "rid", "rk", sample_fraction=0.7).first()
         assert a == b
+
+
+class TestBlockingIndexProbe:
+    def test_probe_reproduces_single_shot_join(self, spark, tmp_path):
+        from spark_expectations_spark.operators import linkage
+        master = spark.createDataFrame(
+            [(1, "Acme Corp"), (2, "Widget Works"), (3, "Zen Labs")],
+            "mid int, mname string")
+        probe = spark.createDataFrame(
+            [(10, "acme crop"), (11, "Widgett Works"), (12, "nothing")],
+            "pid int, pname string")
+        # round-trip the index through parquet — the steady-state shape
+        idx_path = str(tmp_path / "blocking_index")
+        linkage.blocking_index(master, "mid", "mname").write.parquet(idx_path)
+        idx = spark.read.parquet(idx_path)
+        got = {(r["pid"], r["index_id"]): r["distance"]
+               for r in linkage.probe_blocking_index(
+                   idx, probe, "pid", "pname", max_distance=2).collect()}
+        want = {(r["pid"], r["mid"]): r["distance"]
+                for r in linkage.blocked_fuzzy_join(
+                    probe, master, "pid", "pname", "mid", "mname",
+                    max_distance=2).collect()}
+        assert got == want and got  # nonempty and identical
+        # original key strings survive the index round trip
+        row = linkage.probe_blocking_index(
+            idx, probe, "pid", "pname", max_distance=2).filter(
+            "pid = 11").first()
+        assert row["index_key"] == "Widget Works"
+        assert row["pname"] == "Widgett Works"
+
+    def test_mismatched_blockers_under_recall_documented(self, spark):
+        """Probing a prefix-built index with ngram keys finds nothing —
+        the documented configuration-mismatch failure mode."""
+        from spark_expectations_spark.operators import linkage
+        master = spark.createDataFrame([(1, "acme corp")],
+                                       "mid int, mname string")
+        probe = spark.createDataFrame([(10, "acme crop")],
+                                      "pid int, pname string")
+        idx = linkage.blocking_index(master, "mid", "mname",
+                                     blockers=("prefix",))
+        assert linkage.probe_blocking_index(
+            idx, probe, "pid", "pname", blockers=("ngram",),
+            max_distance=2).count() == 0
