@@ -296,9 +296,12 @@ def set_similarity_join(
     size s contributes only its ``s - ceil(t*s) + 1`` rarest tokens as
     join keys. Two sets with Jaccard >= t must share a prefix token
     (removing fewer than ceil(t*s) tokens cannot empty the overlap), so
-    recall is exact. The LENGTH filter rides the join condition —
-    Jaccard >= t forces t*|b| <= |a| <= |b|/t — cutting size-mismatched
-    meets before they materialize.
+    recall is exact. Two more PPJoin filters ride the join condition,
+    both recall-safe: the LENGTH filter (Jaccard >= t forces
+    t*|b| <= |a| <= |b|/t) and the POSITIONAL filter (a meet on token
+    ranks (pa, pb) can reach at most min(sa-pa, sb-pb)+1 overlap vs
+    the ceil(t/(1+t)*(sa+sb)) requirement; the first shared token of a
+    true pair always passes, so per-meet pruning never loses a pair).
 
     Scale shape: one token-keyed aggregation (vocab-sized output) + an
     id-keyed window to rank each row's tokens (the rare-gram machinery
@@ -348,14 +351,29 @@ def set_similarity_join(
     lpre = (lpre.join(L, "__lid")
             .filter(F.col("__rk")
                     <= F.col("__sa") - F.ceil(F.lit(t) * F.col("__sa")) + 1)
-            .select("__lid", "__la", "__sa", "__tok"))
+            .select("__lid", "__la", "__sa", "__tok",
+                    F.col("__rk").alias("__rka")))
     rpre = (rpre.join(R, "__rid")
             .filter(F.col("__rk")
                     <= F.col("__sb") - F.ceil(F.lit(t) * F.col("__sb")) + 1)
-            .select("__rid", "__ra", "__sb", "__tok"))
+            .select("__rid", "__ra", "__sb", "__tok",
+                    F.col("__rk").alias("__rkb")))
     length_ok = ((F.col("__sa") >= F.lit(t) * F.col("__sb"))
                  & (F.col("__sb") >= F.lit(t) * F.col("__sa")))
-    cand = lpre.join(rpre, "__tok").filter(length_ok)
+    # PPJoin POSITIONAL filter: a meet on ranks (pa, pb) can reach at
+    # most min(sa-pa, sb-pb)+1 overlap; Jaccard >= t needs
+    # ceil(t/(1+t)*(sa+sb)). Per-meet pruning is recall-safe — for a
+    # true pair the FIRST shared token in the global order passes both
+    # the prefix and positional bounds (Xiao et al. 2008), so at least
+    # one meet always survives to the verify. The 1e-9 slack guards a
+    # float-up ceil at exact-integer thresholds (over-pruning is the
+    # only unsafe direction; under-pruning just verifies a few more).
+    alpha = F.ceil(F.lit(t / (1.0 + t))
+                   * (F.col("__sa") + F.col("__sb")) - F.lit(1e-9))
+    positional_ok = (
+        F.least(F.col("__sa") - F.col("__rka"),
+                F.col("__sb") - F.col("__rkb")) + 1 >= alpha)
+    cand = lpre.join(rpre, "__tok").filter(length_ok & positional_ok)
     inter = F.size(F.array_intersect("__la", "__ra"))
     jac = (F.col("__n_common")
            / (F.col("__sa") + F.col("__sb") - F.col("__n_common")))

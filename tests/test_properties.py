@@ -590,3 +590,42 @@ class TestMadOutliersDifferential:
             else:
                 assert got[i]["robust_z"] is None
                 assert got[i]["is_outlier"] == (v != med)
+
+
+class TestUrlPartsTotalFunction:
+    """r9-hardening property pin (r9 verdict task 6 extension): the URL
+    column family must be TOTAL over arbitrary strings under ANSI mode —
+    parse-or-NULL, never a runtime throw (the r8 ':8a' cast bug class) —
+    and its outputs must stay mutually consistent."""
+
+    _URLISH = "abchttps:/@[]#?&=%.0123456789-_ "
+
+    @given(urls=st.lists(
+        st.one_of(st.text(alphabet=_URLISH, max_size=50),
+                  st.text(max_size=30)),
+        min_size=1, max_size=40))
+    @settings(max_examples=15, deadline=None)
+    def test_parse_or_null_and_consistency(self, spark, urls):
+        from pyspark.sql import functions as F
+
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        p = T.url_parts(F.col("url"))
+        rows = df.select(
+            p.alias("p"),
+            T.url_normalize(F.col("url")).alias("n"),
+            T.registered_domain(p["host"]).alias("rd"),
+        ).collect()                      # must not raise under ANSI
+        for r in rows:
+            if r["p"] is None:
+                assert r["n"] is None and r["rd"] is None
+                continue
+            assert r["p"]["scheme"] == r["p"]["scheme"].lower()
+            host = r["p"]["host"]
+            assert host and host == host.lower()
+            assert r["p"]["port"] is None or r["p"]["port"] >= 0
+            if r["rd"] is not None:
+                # registered domain is a dot-suffix of (or equals) host
+                assert host == r["rd"] or host.endswith("." + r["rd"])
+            if r["n"] is not None:
+                assert r["n"].startswith(r["p"]["scheme"] + "://")
