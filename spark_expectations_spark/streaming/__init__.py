@@ -718,3 +718,86 @@ def corpus_append_dedup(
          .parquet(index_path))
 
     return step
+
+
+def fuzzy_match_stream(
+    index_path: str,
+    probe_id: str,
+    probe_key: str,
+    *,
+    out_path: Optional[str] = None,
+    max_distance: int = 2,
+    blockers=("prefix", "length"),
+    prefix_len: int = 2,
+    length_bucket: int = 4,
+    ngram_q: int = 3,
+    register_unmatched: bool = False,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step: fuzzy-match each micro-batch of dirty records
+    against a standing master list stored as a parquet
+    ``linkage.blocking_index`` table at ``index_path`` — streaming
+    entity resolution with the linkage state on disk, the
+    ``corpus_append_dedup`` recipe applied to approximate matching.
+
+    Per batch: read the index, run ``linkage.probe_blocking_index``
+    (the batch side is small by contract and AQE-broadcasts; the index
+    corpus is touched only through its persisted key table), and write
+    the matched pairs to ``out_path``. With ``register_unmatched=True``
+    the batch's unmatched records are keyed with the SAME blocker
+    configuration and appended to the index — new entities register
+    themselves, so later near-duplicates of them match (bootstrap from
+    an empty/missing index is supported: the first batch registers
+    everything).
+
+    Exactly-once across mid-batch failures, same discipline as
+    corpus_append_dedup: both sinks partition by ``_batch_id`` with
+    DYNAMIC partition overwrite (a retried batch replaces its own
+    partition), and the match step excludes index rows stamped with the
+    CURRENT batch id (a failed attempt's half-registered state), so the
+    matched/registered sets are identical on replay.
+
+    The blocker configuration is baked into the index — every probe
+    and registration must use the settings the index was built with
+    (same contract as ``probe_blocking_index``)."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators import linkage
+
+    kw = dict(blockers=blockers, prefix_len=prefix_len,
+              length_bucket=length_bucket, ngram_q=ngram_q)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_path)
+        except AnalysisException:  # first batch: no index yet. Other
+            # errors (corruption, perms) must propagate — an "empty
+            # index" guess would silently match nothing and, with
+            # register_unmatched, re-register the whole batch.
+            index = (linkage.blocking_index(
+                batch_df.limit(0), probe_id, probe_key, **kw)
+                .withColumn("_batch_id", F.lit(-1).cast("long")))
+        prior = (index.filter(F.col("_batch_id") != batch_id)
+                 if "_batch_id" in index.columns else index)
+        matches = linkage.probe_blocking_index(
+            prior, batch_df, probe_id, probe_key,
+            max_distance=max_distance, **kw)
+        matches = matches.localCheckpoint(eager=True)
+        stamped = matches.withColumn("_batch_id", F.lit(batch_id))
+        if out_path is not None:
+            (stamped.write.mode("overwrite")
+             .partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(out_path))
+        if register_unmatched:
+            unmatched = batch_df.join(
+                matches.select(probe_id), probe_id, "left_anti")
+            new_keys = (linkage.blocking_index(
+                unmatched, probe_id, probe_key, **kw)
+                .withColumn("_batch_id", F.lit(batch_id).cast("long")))
+            (new_keys.write.mode("overwrite")
+             .partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(index_path))
+
+    return step

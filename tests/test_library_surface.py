@@ -1568,3 +1568,62 @@ class TestBucketedColocatedJoin:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bcast)
             spark.conf.set("spark.sql.sources.bucketing.enabled",
                            prev_bucketing)
+
+
+class TestFuzzyMatchStream:
+    def test_register_and_match_across_batches(self, spark, tmp_path):
+        """Streaming entity resolution: batch-1 entities register into
+        the disk index; batch-2 near-duplicates of them match, and
+        batch-2's genuinely new entity registers itself."""
+        from spark_expectations_spark import streaming as st
+        idx = str(tmp_path / "linkage_index")
+        out = str(tmp_path / "matches")
+        step = st.fuzzy_match_stream(
+            idx, "rec_id", "name", out_path=out,
+            max_distance=1, register_unmatched=True)
+        b1 = spark.createDataFrame(
+            [(1, "acme corp"), (2, "widget works")],
+            "rec_id long, name string")
+        b2 = spark.createDataFrame(
+            [(3, "acme corps"), (4, "acme corp"), (5, "zen labs")],
+            "rec_id long, name string")
+        step(b1, 0)
+        # batch 1: empty index -> nothing matches (the empty partitioned
+        # write leaves no readable schema — standard Spark sink
+        # behavior, same as corpus_append_dedup's out_path), both
+        # register
+        from pyspark.errors import AnalysisException
+        try:
+            assert spark.read.parquet(out).count() == 0
+        except AnalysisException:
+            pass
+        assert sorted(
+            r["index_id"] for r in
+            spark.read.parquet(idx).select("index_id")
+            .distinct().collect()) == [1, 2]
+        step(b2, 1)
+        got = {(r["rec_id"], r["index_id"]): r["distance"]
+               for r in spark.read.parquet(out).collect()}
+        assert got == {(3, 1): 1, (4, 1): 0}
+        ids = sorted(r["index_id"] for r in spark.read.parquet(idx)
+                     .select("index_id").distinct().collect())
+        assert ids == [1, 2, 5]          # only the new entity registered
+
+    def test_replay_is_exactly_once(self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        idx = str(tmp_path / "li2")
+        out = str(tmp_path / "m2")
+        step = st.fuzzy_match_stream(
+            idx, "rec_id", "name", out_path=out,
+            max_distance=1, register_unmatched=True)
+        b1 = spark.createDataFrame([(1, "acme corp")],
+                                   "rec_id long, name string")
+        b2 = spark.createDataFrame([(2, "acme cor")],
+                                   "rec_id long, name string")
+        step(b1, 0)
+        step(b2, 1)
+        before_m = sorted(map(tuple, spark.read.parquet(out).collect()))
+        before_i = sorted(map(tuple, spark.read.parquet(idx).collect()))
+        step(b2, 1)                      # replay
+        assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_m
+        assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before_i
