@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     # index/probe steady-state linkage (10% probe batch vs standing
     # key table)
     "part_fuzzy_probe",
+    # Cohen's-kappa annotator agreement (confusion-key fold)
+    "docs_label_agreement",
 ]
 
 

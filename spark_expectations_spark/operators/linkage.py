@@ -55,7 +55,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs",
-           "set_similarity_join", "blocking_quality_report",
+           "set_similarity_join", "set_similarity_self_pairs",
+           "blocking_quality_report",
            "blocking_index", "probe_blocking_index"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
@@ -539,3 +540,26 @@ def probe_blocking_index(
                     F.col("__pkey").alias(probe_key),
                     "index_key",
                     "distance"))
+
+
+def set_similarity_self_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Within-corpus near-identical token-set pairs — the self-join
+    wrapper over :func:`set_similarity_join` with the ``id_a < id_b``
+    canonical ordering (each unordered pair once, no self-matches);
+    the set-Jaccard sibling of :func:`fuzzy_self_pairs`. For shingled
+    TEXT self-dedup prefer ``dedup.jaccard_pairs`` (posting lists,
+    arrays never shuffle); this wrapper is for corpora that already
+    carry token-set columns (tags, attribute sets, ingredient lists)."""
+    out = set_similarity_join(
+        df.select(F.col(id_col).alias("id_a"),
+                  F.col(set_col).alias("set_a")),
+        df.select(F.col(id_col).alias("id_b"),
+                  F.col(set_col).alias("set_b")),
+        "id_a", "set_a", "id_b", "set_b", threshold=threshold)
+    return out.filter(F.col("id_a") < F.col("id_b"))

@@ -173,3 +173,52 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
            for j, b in enumerate(cols) if i < j]
     return df.sparkSession.createDataFrame(
         out, "col_a string, col_b string, corr double")
+
+
+def cohens_kappa(
+    df: DataFrame,
+    label_a: str,
+    label_b: str,
+) -> DataFrame:
+    """Inter-annotator agreement for two labelers over the same items —
+    the label-quality gate before trusting human (or LLM-judge)
+    annotations as training targets: Cohen's kappa
+    ``(p_o − p_e) / (1 − p_e)`` where ``p_o`` is observed agreement and
+    ``p_e`` the agreement expected from each rater's marginal label
+    distribution. Returns ONE row ``(n, p_o, p_e, kappa)``; rows where
+    either label is NULL are dropped (unlabeled items carry no
+    agreement evidence). ``kappa`` is NULL when ``p_e = 1`` (both
+    raters constant and identical — agreement is degenerate, not
+    perfect; Cohen's estimator is undefined there).
+
+    Scale shape: ONE map-side-combined groupBy over the (label_a,
+    label_b) confusion key — label-cardinality rows — then a driver-free
+    fold of that tiny frame into the marginals and the scalar; nothing
+    corpus-sized leaves the executors (the calibration-report /
+    fold-bucket histogram pattern)."""
+    a = F.col(label_a).cast("string")
+    b = F.col(label_b).cast("string")
+    conf = (df.filter(a.isNotNull() & b.isNotNull())
+            .groupBy(a.alias("__a"), b.alias("__b"))
+            .agg(F.count(F.lit(1)).alias("__c")))
+    folded = conf.agg(
+        F.sum("__c").alias("n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__c"))
+              .otherwise(F.lit(0))).alias("__agree"))
+    # marginals: per-label totals for each rater, joined on label —
+    # label-cardinality frames, p_e = Σ_l (na_l/n)·(nb_l/n)
+    ma = conf.groupBy(F.col("__a").alias("__l")).agg(
+        F.sum("__c").alias("__na"))
+    mb = conf.groupBy(F.col("__b").alias("__l")).agg(
+        F.sum("__c").alias("__nb"))
+    pe = (ma.join(mb, "__l")
+          .agg(F.sum(F.col("__na").cast("double") * F.col("__nb"))
+               .alias("__pe_num")))
+    out = folded.crossJoin(F.broadcast(pe))
+    p_o = F.col("__agree") / F.col("n")
+    p_e = F.coalesce(F.col("__pe_num"), F.lit(0.0)) \
+        / (F.col("n").cast("double") * F.col("n"))
+    return out.select(
+        "n", p_o.alias("p_o"), p_e.alias("p_e"),
+        F.when(p_e < 1.0, (p_o - p_e) / (F.lit(1.0) - p_e))
+         .alias("kappa"))

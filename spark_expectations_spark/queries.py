@@ -6097,6 +6097,54 @@ FROM cand WHERE levenshtein(ln, rn) <= 1
 """
 
 
+def q_docs_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement (profiling.cohens_kappa): rater A is
+    the documents ``lang`` column, rater B the same labels with a
+    deterministic disagreement injection (doc_id % 7 == 0 relabeled
+    'xx') and a NULL injection (doc_id % 97 == 0 — dropped, carrying no
+    agreement evidence). One confusion-key groupBy; every output is an
+    int/int-derived double over exact-integer marginal products, so the
+    values are bit-identical cross-engine with no rounding."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    b = F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("string")) \
+        .when(F.col("doc_id") % 7 == 0, F.lit("xx")) \
+        .otherwise(F.col("lang"))
+    labeled = docs.select(F.col("lang").alias("rater_a"),
+                          b.alias("rater_b"))
+    return profiling.cohens_kappa(labeled, "rater_a", "rater_b")
+
+
+ORACLE_DOCS_LABEL_AGREEMENT = """
+WITH labeled AS (
+  SELECT lang AS a,
+         CASE WHEN doc_id % 97 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN 'xx'
+              ELSE lang END AS b
+  FROM documents),
+ok AS (SELECT a, b FROM labeled WHERE a IS NOT NULL AND b IS NOT NULL),
+conf AS (SELECT a, b, count(*) AS c FROM ok GROUP BY a, b),
+tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+                 AS agree
+        FROM conf),
+ma AS (SELECT a AS l, sum(c) AS na FROM conf GROUP BY a),
+mb AS (SELECT b AS l, sum(c) AS nb FROM conf GROUP BY b),
+pe AS (SELECT sum(CAST(na AS DOUBLE) * nb) AS pe_num
+       FROM ma JOIN mb USING (l))
+SELECT n,
+       agree / CAST(n AS DOUBLE) AS p_o,
+       coalesce(pe_num, 0.0) / (CAST(n AS DOUBLE) * n) AS p_e,
+       CASE WHEN coalesce(pe_num, 0.0) / (CAST(n AS DOUBLE) * n) < 1.0
+            THEN (agree / CAST(n AS DOUBLE)
+                  - pe_num / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - pe_num / (CAST(n AS DOUBLE) * n))
+            END AS kappa
+FROM tot, pe
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6329,14 +6377,16 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          first-gated entries never re-checked (c4/gopher/normalize,
 #          text_* family, paragraph dedup, PQ pair, span removal,
 #          bitmap distinct, url stats, global index, padding waste,
-#          ) = 50 — strip_html, phash, and curriculum yielded their
-#          fill slots to the 4th-6th r10 NEW entries
+#          ) = 50 — strip_html, phash, curriculum, and padding_waste
+#          yielded their fill slots to the 4th-7th r10 NEW entries
 #          (docs_set_jaccard_join — PPJoin prefix-filter set-similarity
 #          join; part_blocking_quality — blocking QA report;
-#          part_fuzzy_probe — index/probe linkage path). Remaining
-#          r8-gated entries (lineitem_grouped_dq, drift report/verdict,
-#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
-#          docs_curriculum) are the r11 re-gate front.
+#          part_fuzzy_probe — index/probe linkage path;
+#          docs_label_agreement — Cohen's-kappa annotator QA).
+#          Remaining r8-gated entries (lineitem_grouped_dq, drift
+#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
+#          docs_phash_dups, docs_curriculum, docs_padding_waste) are
+#          the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6348,6 +6398,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_set_jaccard_join",     # r10 new: PPJoin prefix-filter join
     "part_blocking_quality",     # r10 new: blocking QA report
     "part_fuzzy_probe",          # r10 new: index/probe linkage path
+    "docs_label_agreement",      # r10 new: Cohen's kappa label QA
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
@@ -6364,7 +6415,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
-    "docs_url_stats", "docs_global_index", "docs_padding_waste",
+    "docs_url_stats", "docs_global_index",
 ]
 
 
@@ -6532,6 +6583,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_set_jaccard_join": q_docs_set_jaccard_join,
     "part_blocking_quality": q_part_blocking_quality,
     "part_fuzzy_probe": q_part_fuzzy_probe,
+    "docs_label_agreement": q_docs_label_agreement,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6694,6 +6746,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_set_jaccard_join": ORACLE_DOCS_SET_JACCARD_JOIN,
     "part_blocking_quality": ORACLE_PART_BLOCKING_QUALITY,
     "part_fuzzy_probe": ORACLE_PART_FUZZY_PROBE,
+    "docs_label_agreement": ORACLE_DOCS_LABEL_AGREEMENT,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

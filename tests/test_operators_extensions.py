@@ -4676,3 +4676,52 @@ class TestBlockingIndexProbe:
         assert linkage.probe_blocking_index(
             idx, probe, "pid", "pname", blockers=("ngram",),
             max_distance=2).count() == 0
+
+
+class TestSetSimilaritySelfPairs:
+    def test_canonical_ordering_and_threshold(self, spark):
+        from spark_expectations_spark.operators import linkage
+        df = spark.createDataFrame(
+            [(1, ["a", "b", "c"]), (2, ["a", "b", "c"]),
+             (3, ["a", "b", "x"]), (4, ["z"])],
+            "id int, s array<string>")
+        got = {(r["id_a"], r["id_b"]): r["jaccard"]
+               for r in linkage.set_similarity_self_pairs(
+                   df, "id", "s", threshold=0.5).collect()}
+        assert set(got) == {(1, 2), (1, 3), (2, 3)}
+        assert got[(1, 2)] == 1.0 and got[(1, 3)] == 0.5
+
+
+class TestCohensKappa:
+    def test_classic_worked_example(self, spark):
+        from pytest import approx
+
+        from spark_expectations_spark.operators import profiling
+        rows = ([("y", "y")] * 20 + [("n", "n")] * 15
+                + [("y", "n")] * 10 + [("n", "y")] * 5)
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = profiling.cohens_kappa(df, "a", "b").first()
+        assert r["n"] == 50
+        assert r["p_o"] == approx(0.7)
+        assert r["p_e"] == approx(0.5)
+        assert r["kappa"] == approx(0.4)
+
+    def test_null_labels_dropped_and_degenerate_null(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [("x", "x"), ("x", None), (None, "x")], "a string, b string")
+        r = profiling.cohens_kappa(df, "a", "b").first()
+        assert r["n"] == 1
+        assert r["kappa"] is None          # p_e = 1: undefined, not 1.0
+
+    def test_independent_raters_near_zero(self, spark):
+        """Labels assigned independently of each other give kappa ~ 0
+        (here EXACTLY 0: agreement equals chance by construction)."""
+        from pytest import approx
+
+        from spark_expectations_spark.operators import profiling
+        rows = [(["p", "q"][i % 2], ["p", "q"][(i // 2) % 2])
+                for i in range(40)]
+        df = spark.createDataFrame(rows, "a string, b string")
+        r = profiling.cohens_kappa(df, "a", "b").first()
+        assert r["kappa"] == approx(0.0)
