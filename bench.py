@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "part_fuzzy_probe",
     # Cohen's-kappa annotator agreement (confusion-key fold)
     "docs_label_agreement",
+    # Fellegi-Sunter decision scoring (zero-shuffle projection)
+    "part_fs_scores",
 ]
 
 

@@ -57,7 +57,8 @@ from pyspark.sql import functions as F
 __all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs",
            "set_similarity_join", "set_similarity_self_pairs",
            "blocking_quality_report",
-           "blocking_index", "probe_blocking_index"]
+           "blocking_index", "probe_blocking_index",
+           "fs_score_pairs", "fs_estimate_mu"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
 
@@ -563,3 +564,118 @@ def set_similarity_self_pairs(
                   F.col(set_col).alias("set_b")),
         "id_a", "set_a", "id_b", "set_b", threshold=threshold)
     return out.filter(F.col("id_a") < F.col("id_b"))
+
+
+def fs_score_pairs(
+    pairs: DataFrame,
+    agreement_cols: Sequence[str],
+    m: Sequence[float],
+    u: Sequence[float],
+    *,
+    lower: float = 0.0,
+    upper: float = 4.0,
+    out_col: str = "match_weight",
+) -> DataFrame:
+    """Fellegi-Sunter match scoring — the probabilistic DECISION layer
+    over candidate pairs from any blocking scheme: each boolean
+    agreement column i (name matched? zip matched? phone matched?)
+    contributes ``log2(m_i/u_i)`` on agreement and
+    ``log2((1-m_i)/(1-u_i))`` on disagreement, where ``m_i``/``u_i``
+    are the field's agreement probabilities among true matches /
+    non-matches (supply known values or estimate with
+    :func:`fs_estimate_mu`). Adds ``out_col`` (the summed log2 weight)
+    and ``decision`` — 'match' above ``upper``, 'non_match' below
+    ``lower``, 'possible' between (the clerical-review band). NULL
+    agreements count as disagreement (absence of evidence is not
+    agreement — the conservative Fellegi-Sunter convention).
+
+    Scale shape: one zero-shuffle codegen projection over the pairs
+    frame; the model is 2k scalar literals. Validation pins
+    0 < u_i < m_i < 1 — an inverted pair silently flips the weight
+    sign."""
+    if not agreement_cols:
+        raise ValueError("need at least one agreement column")
+    if len(m) != len(agreement_cols) or len(u) != len(agreement_cols):
+        raise ValueError("m/u must match agreement_cols length")
+    import math
+
+    w = None
+    for col, mi, ui in zip(agreement_cols, m, u):
+        if not 0.0 < ui < mi < 1.0:
+            raise ValueError(
+                f"field {col!r}: need 0 < u ({ui}) < m ({mi}) < 1")
+        agree = F.coalesce(F.col(col).cast("boolean"), F.lit(False))
+        term = F.when(agree, F.lit(math.log2(mi / ui))) \
+            .otherwise(F.lit(math.log2((1 - mi) / (1 - ui))))
+        w = term if w is None else w + term
+    decision = (F.when(F.col(out_col) >= upper, F.lit("match"))
+                .when(F.col(out_col) < lower, F.lit("non_match"))
+                .otherwise(F.lit("possible")))
+    return (pairs.withColumn(out_col, w)
+            .withColumn("decision", decision))
+
+
+def fs_estimate_mu(
+    pairs: DataFrame,
+    agreement_cols: Sequence[str],
+    *,
+    match_prior: float = 0.1,
+    m0: float = 0.9,
+    u0: float = 0.1,
+    iters: int = 30,
+) -> tuple:
+    """Estimate the Fellegi-Sunter ``(m, u)`` field probabilities from
+    UNLABELED candidate pairs with the classic EM under conditional
+    independence (Winkler's formulation): the E-step weighs each
+    agreement PATTERN by its posterior match probability, the M-step
+    re-estimates per-field m/u and the match proportion from the
+    weighted pattern counts. Returns ``(m, u, p)`` as plain lists +
+    float, ready for :func:`fs_score_pairs`.
+
+    Scale shape: ONE distributed job — a groupBy over the k boolean
+    agreement columns whose output is at most 2^k pattern rows
+    (model-scale; collected like a PQ codebook or BPE vocab) — then
+    driver-side EM over those counts. 100 TB of pairs contributes
+    nothing but the pattern histogram. NULL agreements fold to
+    disagreement, matching the scoring convention."""
+    if not agreement_cols:
+        raise ValueError("need at least one agreement column")
+    if not 0.0 < match_prior < 1.0:
+        raise ValueError("match_prior must be in (0, 1)")
+    k = len(agreement_cols)
+    gcols = [F.coalesce(F.col(c).cast("boolean"), F.lit(False)).alias(c)
+             for c in agreement_cols]
+    rows = (pairs.select(*gcols)
+            .groupBy(*agreement_cols)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect())
+    pats = [tuple(bool(r[c]) for c in agreement_cols) for r in rows]
+    cnts = [float(r["__n"]) for r in rows]
+    n = sum(cnts)
+    if n == 0:
+        raise ValueError("no candidate pairs to estimate from")
+    m = [m0] * k
+    u = [u0] * k
+    p = float(match_prior)
+    eps = 1e-9
+    for _ in range(iters):
+        # E-step: posterior P(match | pattern)
+        w = []
+        for g in pats:
+            pm = p
+            pu = 1.0 - p
+            for i, gi in enumerate(g):
+                pm *= m[i] if gi else (1.0 - m[i])
+                pu *= u[i] if gi else (1.0 - u[i])
+            w.append(pm / max(pm + pu, eps))
+        # M-step
+        tot_m = sum(wi * c for wi, c in zip(w, cnts))
+        tot_u = sum((1 - wi) * c for wi, c in zip(w, cnts))
+        for i in range(k):
+            num_m = sum(wi * c for wi, c, g in zip(w, cnts, pats) if g[i])
+            num_u = sum((1 - wi) * c
+                        for wi, c, g in zip(w, cnts, pats) if g[i])
+            m[i] = min(max(num_m / max(tot_m, eps), eps), 1 - eps)
+            u[i] = min(max(num_u / max(tot_u, eps), eps), 1 - eps)
+        p = min(max(tot_m / n, eps), 1 - eps)
+    return m, u, p

@@ -6145,6 +6145,64 @@ FROM tot, pe
 """
 
 
+def q_part_fs_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter match scoring (linkage.fs_score_pairs): candidate
+    pairs with three deterministic field-agreement booleans (name /
+    brand / size agreements from modulus-perturbed twins — the pattern
+    varies across the corpus so every weight combination and decision
+    band appears), scored with FIXED (m, u) probabilities so the log2
+    weight arithmetic is plain SQL (the EM estimator fs_estimate_mu is
+    driver-side over pattern counts and pytest-pinned against a planted
+    mixture instead). Weights rounded to 6 dp + the -0.0 fold — the
+    log2 literals come from different libm call sites per engine, so a
+    1-ulp slack is the honest comparison; thresholds sit far from every
+    attainable sum so decisions are band-stable. Zero-shuffle codegen
+    projection."""
+    part = load(spark, sf_dir, "part")
+    pairs = part.select(
+        F.col("p_partkey").alias("pid"),
+        (F.col("p_partkey") % 3 != 0).alias("a_name"),
+        (F.col("p_partkey") % 5 != 0).alias("a_brand"),
+        F.when(F.col("p_partkey") % 97 == 0,
+               F.lit(None).cast("boolean"))
+         .otherwise(F.col("p_partkey") % 7 != 0).alias("a_size"))
+    out = linkage.fs_score_pairs(
+        pairs, ["a_name", "a_brand", "a_size"],
+        m=[0.9, 0.8, 0.85], u=[0.1, 0.2, 0.15],
+        lower=0.0, upper=4.0)
+    return out.select(
+        "pid", "a_name", "a_brand", "a_size",
+        (F.round("match_weight", 6) + F.lit(0.0)).alias("match_weight"),
+        "decision")
+
+
+ORACLE_PART_FS_SCORES = """
+WITH pairs AS (
+  SELECT p_partkey AS pid,
+         p_partkey % 3 <> 0 AS a_name,
+         p_partkey % 5 <> 0 AS a_brand,
+         CASE WHEN p_partkey % 97 = 0 THEN NULL
+              ELSE p_partkey % 7 <> 0 END AS a_size
+  FROM part),
+w AS (
+  SELECT pid, a_name, a_brand, a_size,
+         (CASE WHEN coalesce(a_name, false)
+               THEN log2(0.9 / 0.1) ELSE log2(0.1 / 0.9) END)
+       + (CASE WHEN coalesce(a_brand, false)
+               THEN log2(0.8 / 0.2) ELSE log2(0.2 / 0.8) END)
+       + (CASE WHEN coalesce(a_size, false)
+               THEN log2(0.85 / 0.15) ELSE log2(0.15 / 0.85) END)
+           AS mw
+  FROM pairs)
+SELECT pid, a_name, a_brand, a_size,
+       round(mw, 6) + 0.0 AS match_weight,
+       CASE WHEN mw >= 4.0 THEN 'match'
+            WHEN mw < 0.0 THEN 'non_match'
+            ELSE 'possible' END AS decision
+FROM w
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6382,10 +6440,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          (docs_set_jaccard_join — PPJoin prefix-filter set-similarity
 #          join; part_blocking_quality — blocking QA report;
 #          part_fuzzy_probe — index/probe linkage path;
-#          docs_label_agreement — Cohen's-kappa annotator QA).
-#          Remaining r8-gated entries (lineitem_grouped_dq, drift
-#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
-#          docs_phash_dups, docs_curriculum, docs_padding_waste) are
+#          docs_label_agreement — Cohen's-kappa annotator QA;
+#          part_fs_scores — Fellegi-Sunter decision layer, which also
+#          took docs_global_index's slot). Remaining r8-gated entries
+#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
+#          docs_interleave, docs_strip_html, docs_phash_dups,
+#          docs_curriculum, docs_padding_waste, docs_global_index) are
 #          the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
@@ -6399,6 +6459,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_blocking_quality",     # r10 new: blocking QA report
     "part_fuzzy_probe",          # r10 new: index/probe linkage path
     "docs_label_agreement",      # r10 new: Cohen's kappa label QA
+    "part_fs_scores",            # r10 new: Fellegi-Sunter decisions
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
@@ -6415,7 +6476,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
-    "docs_url_stats", "docs_global_index",
+    "docs_url_stats",
 ]
 
 
@@ -6584,6 +6645,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_blocking_quality": q_part_blocking_quality,
     "part_fuzzy_probe": q_part_fuzzy_probe,
     "docs_label_agreement": q_docs_label_agreement,
+    "part_fs_scores": q_part_fs_scores,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6747,6 +6809,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_blocking_quality": ORACLE_PART_BLOCKING_QUALITY,
     "part_fuzzy_probe": ORACLE_PART_FUZZY_PROBE,
     "docs_label_agreement": ORACLE_DOCS_LABEL_AGREEMENT,
+    "part_fs_scores": ORACLE_PART_FS_SCORES,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

@@ -4725,3 +4725,85 @@ class TestCohensKappa:
         df = spark.createDataFrame(rows, "a string, b string")
         r = profiling.cohens_kappa(df, "a", "b").first()
         assert r["kappa"] == approx(0.0)
+
+
+class TestFellegiSunter:
+    def test_score_weights_hand_computed(self, spark):
+        import math
+
+        from pytest import approx
+
+        from spark_expectations_spark.operators import linkage
+        pairs = spark.createDataFrame(
+            [(1, True, True), (2, True, False),
+             (3, False, False), (4, None, True)],
+            "pid int, a_name boolean, a_zip boolean")
+        out = {r["pid"]: (r["match_weight"], r["decision"])
+               for r in linkage.fs_score_pairs(
+                   pairs, ["a_name", "a_zip"],
+                   m=[0.9, 0.8], u=[0.1, 0.2],
+                   lower=0.0, upper=4.0).collect()}
+        wa, da = math.log2(0.9 / 0.1), math.log2(0.1 / 0.9)
+        wz, dz = math.log2(0.8 / 0.2), math.log2(0.2 / 0.8)
+        assert out[1][0] == approx(wa + wz) and out[1][1] == "match"
+        assert out[2][0] == approx(wa + dz) and out[2][1] == "possible"
+        assert out[3][0] == approx(da + dz) and out[3][1] == "non_match"
+        # NULL agreement counts as disagreement
+        assert out[4][0] == approx(da + wz)
+
+    def test_score_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_expectations_spark.operators import linkage
+        pairs = spark.createDataFrame([(1, True)], "pid int, a boolean")
+        with _pytest.raises(ValueError, match="need 0 < u"):
+            linkage.fs_score_pairs(pairs, ["a"], m=[0.2], u=[0.5])
+        with _pytest.raises(ValueError, match="length"):
+            linkage.fs_score_pairs(pairs, ["a"], m=[0.9], u=[0.1, 0.2])
+        with _pytest.raises(ValueError, match="at least one"):
+            linkage.fs_score_pairs(pairs, [], m=[], u=[])
+
+    def test_em_recovers_planted_mixture(self, spark):
+        """Pairs drawn from a known two-class mixture: EM's (m, u, p)
+        must land near the planted parameters, and scoring with them
+        must separate the classes."""
+        import random
+
+        from spark_expectations_spark.operators import linkage
+        rng = random.Random(7)
+        # >= 3 fields: the 2-field latent-class model is famously
+        # under-identified (4 patterns for 5 parameters)
+        true_m, true_u, true_p = [0.95, 0.85, 0.9], [0.05, 0.2, 0.1], 0.3
+        rows = []
+        for i in range(4000):
+            is_match = rng.random() < true_p
+            probs = true_m if is_match else true_u
+            rows.append((i, is_match,
+                         rng.random() < probs[0],
+                         rng.random() < probs[1],
+                         rng.random() < probs[2]))
+        df = spark.createDataFrame(
+            rows,
+            "pid int, truth boolean, a1 boolean, a2 boolean, a3 boolean")
+        m, u, p = linkage.fs_estimate_mu(
+            df, ["a1", "a2", "a3"], match_prior=0.5)
+        assert abs(p - true_p) < 0.08
+        assert abs(m[0] - true_m[0]) < 0.08 and abs(u[0] - true_u[0]) < 0.08
+        scored = linkage.fs_score_pairs(
+            df, ["a1", "a2", "a3"], m=m, u=u, lower=0.0, upper=0.0)
+        # decisions at a single 0 threshold: most true matches score
+        # positive, most non-matches negative
+        agree = scored.filter(
+            "(match_weight >= 0) = truth").count() / 4000
+        assert agree > 0.8
+
+    def test_em_guards(self, spark):
+        import pytest as _pytest
+
+        from spark_expectations_spark.operators import linkage
+        empty = spark.createDataFrame([], "a boolean")
+        with _pytest.raises(ValueError, match="no candidate pairs"):
+            linkage.fs_estimate_mu(empty, ["a"])
+        df = spark.createDataFrame([(True,)], "a boolean")
+        with _pytest.raises(ValueError, match="match_prior"):
+            linkage.fs_estimate_mu(df, ["a"], match_prior=1.5)
