@@ -53,6 +53,8 @@ def main() -> None:
         max_distance=1, blockers=("ngram",), prefix_filter=True)
     print(f"one-shot matches: {matches.count()}")
 
+    matches = matches  # reused by the FS stage below
+
     # 3. steady state: standing index + probe batch
     idx_dir = Path(sf_dir).name + "_linkage_index"
     idx_path = f"/tmp/er_demo_{idx_dir}"
@@ -73,7 +75,33 @@ def main() -> None:
         "fid", "fname", max_distance=1, blockers=(("prefix", "length"),))
     print(f"within-corpus fuzzy pairs: {pairs.count()}")
 
-    # 5. set-similarity join on word-token sets
+    # 5. Fellegi-Sunter decisions: take LOOSE candidates (coarse
+    # name-prefix blocking, no tight verify — a mixed pool of true and
+    # false pairs, which is what EM needs), derive three field
+    # agreements, learn (m, u) from the unlabeled pool, then score
+    loose = linkage.blocked_fuzzy_join(
+        feed, master, "fid", "fname", "mid", "mname",
+        max_distance=30, blockers=("prefix",), prefix_len=3)
+    fields = loose.join(
+        part.select(F.col("p_partkey").alias("mid"), "p_brand",
+                    "p_size"), "mid").join(
+        part.select((F.col("p_partkey") + 1000000).alias("fid"),
+                    F.col("p_brand").alias("f_brand"),
+                    F.col("p_size").alias("f_size")), "fid").select(
+        "fid", "mid",
+        (F.col("distance") <= 1).alias("a_near"),
+        (F.col("p_brand") == F.col("f_brand")).alias("a_brand"),
+        (F.col("p_size") == F.col("f_size")).alias("a_size"))
+    m, u, prior = linkage.fs_estimate_mu(
+        fields, ["a_near", "a_brand", "a_size"])
+    scored = linkage.fs_score_pairs(
+        fields, ["a_near", "a_brand", "a_size"], m=m, u=u,
+        lower=0.0, upper=4.0)
+    dec = {r["decision"]: r["count"]
+           for r in scored.groupBy("decision").count().collect()}
+    print(f"FS decisions (EM p={prior:.2f}): {dec}")
+
+    # 6. set-similarity join on word-token sets
     toks = F.array_distinct(F.split(F.lower(F.col("fname")), r"[\s#]+"))
     mtoks = F.array_distinct(F.split(F.lower(F.col("mname")), r"[\s#]+"))
     sim = linkage.set_similarity_join(
