@@ -220,9 +220,16 @@ def blocked_fuzzy_join(
             raise ValueError(
                 "prefix_filter requires blockers=('ngram',) — the "
                 "rarest-gram guarantee is specific to q-gram keys")
+        from pyspark.storagelevel import StorageLevel
+
         keep = max_distance * ngram_q + 1
+        # the gram-frequency table is consumed by BOTH sides' rank
+        # joins; unpersisted it would re-run the double corpus explode
+        # + aggregation twice. It is vocab-sized — the cheapest frame
+        # in the plan to pin.
         freq = (lex.select("__b").unionByName(rex.select("__b"))
-                .groupBy("__b").agg(F.count(F.lit(1)).alias("__df")))
+                .groupBy("__b").agg(F.count(F.lit(1)).alias("__df"))
+                .persist(StorageLevel.MEMORY_AND_DISK))
         wl = Window.partitionBy("__lid").orderBy("__df", "__b")
         wr = Window.partitionBy("__rid").orderBy("__df", "__b")
         lex = (lex.join(freq, "__b")
@@ -341,8 +348,12 @@ def set_similarity_join(
          .persist(StorageLevel.MEMORY_AND_DISK))
     ltok = L.select("__lid", F.explode("__la").alias("__tok"))
     rtok = R.select("__rid", F.explode("__ra").alias("__tok"))
+    # vocab-sized and consumed by both prefix-rank joins — persist so
+    # the double corpus explode + aggregation runs once (same contract
+    # as the L/R persists above)
     freq = (ltok.select("__tok").unionByName(rtok.select("__tok"))
-            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")))
+            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
     wl = Window.partitionBy("__lid").orderBy("__df", "__tok")
     wr = Window.partitionBy("__rid").orderBy("__df", "__tok")
     lpre = (ltok.join(freq, "__tok")

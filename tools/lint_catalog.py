@@ -10,7 +10,8 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (r10): 159/159 queries, 0 errors,
+build) is present. Last full run (r10): 162/162 queries 0 errors
+(+ the later-added part_fs_scores linted individually, also clean);
 78 warns — 41 filter-not-pushed, 33 single-partition-exchange, 4
 inline-adjudicated cartesian-products (dims-scale probe grids / the
 docs_curriculum thresholds BNLJ the subtree prover can't certify).
