@@ -80,7 +80,13 @@ BENCH_QUERIES = [
     "part_fuzzy_matches", "part_fuzzy_qgram",
     "docs_calibration", "docs_calibration_ece",
     # PPJoin prefix-filter set-similarity join (shingle sets vs
-    # truncated twins at jaccard >= 0.6)
+    # truncated twins at jaccard >= 0.6). NOTE (bench-noise
+    # discipline): the per-run clearCache below makes every timed run
+    # re-materialize the operator's three internal persists (L/R set
+    # frames + the vocab-sized gram-frequency table) and re-pay the
+    # corpus shingling — ~14s/run at sf0.1 of which the steady-state
+    # join+verify is ~3s; in production the set frames are built once
+    # per corpus, not once per query.
     "docs_set_jaccard_join",
     # blocking QA (cross-join truth side runs on the documented 20%
     # deterministic sample only)
