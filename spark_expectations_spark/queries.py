@@ -4716,15 +4716,36 @@ FROM documents d LEFT JOIN e USING (doc_id)
 
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
-    heuristic, zero-shuffle HOF projection folded into the scan."""
+    heuristic, zero-shuffle HOF projection folded into the scan.
+
+    The 4-dp score is recomputed from the INTEGER counts in exact
+    rational arithmetic (flesch = N/(1000·ns·nw) with
+    N = 206835·ns·nw − 1015·nw² − 84600·syl·ns; half-away-from-zero
+    round of N/D·10⁴ = sign·(|10N|·2 + D) div (2D)): round(double, 4)
+    lands on decimal ties — sf0.1 doc 2548 hits flesch = 28.19375
+    EXACTLY, where Spark's and DuckDB's independently-accumulated
+    doubles fall on opposite sides of the boundary (the events_ffill
+    tie class, caught by the r10 full sf0.1 gate)."""
     docs = load(spark, sf_dir, "documents")
     out = text.readability(docs, "doc_id", "text")
-    return out.select(
-        "doc_id",
-        F.col("n_words").cast("long").alias("n_words"),
-        F.col("n_sentences").cast("long").alias("n_sentences"),
-        "n_syllables",
-        F.round("flesch", 4).alias("flesch"))
+    flesch4 = F.expr(
+        "CASE WHEN n_words > 0 THEN ("
+        "  CASE WHEN k >= 0 THEN (k * 2 + d) div (2 * d)"
+        "       ELSE -(((-k) * 2 + d) div (2 * d)) END"
+        ") / CAST(10000 AS DOUBLE) END")
+    return (out
+            .withColumn("k", F.expr(
+                "10 * (206835 * cast(n_sentences as bigint) * n_words"
+                " - 1015 * cast(n_words as bigint) * n_words"
+                " - 84600 * cast(n_syllables as bigint) * n_sentences)"))
+            .withColumn("d", F.expr(
+                "cast(n_sentences as bigint) * n_words"))
+            .select(
+                "doc_id",
+                F.col("n_words").cast("long").alias("n_words"),
+                F.col("n_sentences").cast("long").alias("n_sentences"),
+                "n_syllables",
+                flesch4.alias("flesch")))
 
 
 ORACLE_DOCS_READABILITY = r"""
@@ -4745,10 +4766,20 @@ SELECT doc_id,
        n_words,
        CASE WHEN n_words > 0 THEN ns END AS n_sentences,
        CASE WHEN n_words > 0 THEN CAST(syl AS BIGINT) END AS n_syllables,
-       CASE WHEN n_words > 0
-            THEN round(206.835 - 1.015 * n_words / ns
-                       - 84.6 * syl / n_words, 4) END AS flesch
-FROM c
+       -- exact rational half-away-from-zero at 4 dp (decimal-tie
+       -- hardening, same class as events_ffill; see the query
+       -- docstring): k/d with k = 10*(206835*ns*nw - 1015*nw^2
+       -- - 84600*syl*ns), d = ns*nw
+       CASE WHEN n_words > 0 THEN (
+         CASE WHEN k >= 0 THEN (k * 2 + d) // (2 * d)
+              ELSE -(((-k) * 2 + d) // (2 * d)) END
+       ) / 10000.0 END AS flesch
+FROM (SELECT doc_id, n_words, ns, syl,
+             10 * (206835 * CAST(ns AS BIGINT) * n_words
+                   - 1015 * CAST(n_words AS BIGINT) * n_words
+                   - 84600 * CAST(syl AS BIGINT) * ns) AS k,
+             CAST(ns AS BIGINT) * n_words AS d
+      FROM c) t
 """
 
 
