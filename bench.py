@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "docs_label_agreement",
     # Fellegi-Sunter decision scoring (zero-shuffle projection)
     "part_fs_scores",
+    # Bayardo weighted cosine set join (same persist caveat as the
+    # jaccard twin above)
+    "docs_weighted_cosine",
 ]
 
 

@@ -58,7 +58,7 @@ __all__ = ["blocking_keys", "blocked_fuzzy_join", "fuzzy_self_pairs",
            "set_similarity_join", "set_similarity_self_pairs",
            "blocking_quality_report",
            "blocking_index", "probe_blocking_index",
-           "fs_score_pairs", "fs_estimate_mu"]
+           "fs_score_pairs", "fs_estimate_mu", "weighted_cosine_join"]
 
 _BLOCKERS = ("prefix", "length", "soundex", "ngram")
 
@@ -690,3 +690,101 @@ def fs_estimate_mu(
             u[i] = min(max(num_u / max(tot_u, eps), eps), 1 - eps)
         p = min(max(tot_m / n, eps), 1 - eps)
     return m, u, p
+
+
+def weighted_cosine_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_set: str,
+    right_id: str,
+    right_set: str,
+    weights: DataFrame,
+    *,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Weighted set-similarity join — cosine over token weights
+    (Bayardo et al. WWW'07 all-pairs similarity search, the
+    production near-dup variant when token importance varies): pairs
+    whose weighted token sets satisfy
+    ``cos(A, B) = Σ_{t∈A∩B} w_t² / (‖A‖·‖B‖) >= threshold`` where
+    ``‖X‖ = sqrt(Σ_{t∈X} w_t²)``. ``weights`` is a (token, weight)
+    frame — idf from :func:`~..text.term_weights`, hand-tuned field
+    weights, anything positive; tokens absent from it contribute
+    nothing (weight 0). Returns ``(left_id, right_id, n_common, dot,
+    cosine)``.
+
+    Candidate generation is the weighted PREFIX filter: under the
+    global token order (document frequency asc, token asc), a row
+    keeps token position i only while the SUFFIX still could supply
+    the threshold — ``Σ_{j>=i} w_j² >= t²·‖A‖²`` (equivalently the
+    exclusive prefix sum ``<= (1−t²)·‖A‖²``). If every shared token
+    sat beyond A's kept prefix, cos ≤ ‖A_suffix‖/‖A‖ < t — so A's
+    first shared token is always kept, and joining A's KEPT tokens
+    against B's FULL tokens loses no pair (the asymmetric
+    index-prefix/probe-full layout distributed all-pairs uses). All
+    bound comparisons are products and sums — no square roots — so
+    with integer (or otherwise exactly-representable) weights the
+    pruning and the verify are bit-identical across engines; the only
+    sqrt is the output cosine.
+
+    Scale shape: everything is relational — no per-row maps, no
+    collect_list state. One vocab-sized weight join per side, a
+    token-keyed df aggregation (persisted: consumed by the rank path),
+    per-id norm aggregates, the prefix window, ONE candidate equi-join
+    (kept-prefix × full), pair-dedup BEFORE the verify (the verify
+    here costs two id-keyed joins + a pair groupBy, so unlike the
+    levenshtein path it is cheaper to dedup first), then
+    ``dot² >= t²·‖A‖²·‖B‖²`` as the exact gate. The weighted frames
+    persist MEMORY_AND_DISK — each feeds the norm, prefix, and verify
+    branches."""
+    from pyspark.storagelevel import StorageLevel
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    t2 = float(threshold) * float(threshold)
+    w2 = (weights.filter(F.col(weights.columns[1]) > 0)
+          .select(F.col(weights.columns[0]).alias("__tok"),
+                  (F.col(weights.columns[1]).cast("double")
+                   * F.col(weights.columns[1]).cast("double"))
+                  .alias("__w2")))
+    lt = (left.select(F.col(left_id).alias("__lid"),
+                      F.explode(F.array_distinct(F.col(left_set)))
+                      .alias("__tok")))
+    rt = (right.select(F.col(right_id).alias("__rid"),
+                       F.explode(F.array_distinct(F.col(right_set)))
+                       .alias("__tok")))
+    lw = lt.join(w2, "__tok").persist(StorageLevel.MEMORY_AND_DISK)
+    rw = rt.join(w2, "__tok").persist(StorageLevel.MEMORY_AND_DISK)
+    lnorm = lw.groupBy("__lid").agg(F.sum("__w2").alias("__na"))
+    rnorm = rw.groupBy("__rid").agg(F.sum("__w2").alias("__nb"))
+    freq = (lw.select("__tok").unionByName(rw.select("__tok"))
+            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    wpre = (Window.partitionBy("__lid").orderBy("__df", "__tok")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    lpre = (lw.join(freq, "__tok")
+            .withColumn("__pre", F.coalesce(F.sum("__w2").over(wpre),
+                                            F.lit(0.0)))
+            .join(lnorm, "__lid")
+            .filter(F.col("__pre") <= (1.0 - t2) * F.col("__na"))
+            .select("__lid", "__tok"))
+    cand = (lpre.join(rt, "__tok")
+            .select("__lid", "__rid").distinct())
+    dot = (cand.join(lw, "__lid")
+           .join(rw.withColumnRenamed("__w2", "__w2b"),
+                 ["__rid", "__tok"])
+           .groupBy("__lid", "__rid")
+           .agg(F.count(F.lit(1)).alias("n_common"),
+                F.sum("__w2").alias("__dot")))
+    out = (dot.join(lnorm, "__lid").join(rnorm, "__rid")
+           .filter(F.col("__dot") * F.col("__dot")
+                   >= F.lit(t2) * F.col("__na") * F.col("__nb"))
+           .select(F.col("__lid").alias(left_id),
+                   F.col("__rid").alias(right_id),
+                   "n_common",
+                   F.col("__dot").alias("dot"),
+                   (F.col("__dot")
+                    / F.sqrt(F.col("__na") * F.col("__nb")))
+                   .alias("cosine")))
+    return out

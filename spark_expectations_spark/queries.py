@@ -6234,6 +6234,103 @@ FROM w
 """
 
 
+def q_docs_weighted_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted cosine set-similarity join (linkage.weighted_cosine_join
+    — Bayardo all-pairs): the docs_set_jaccard_join fixture (word-3-gram
+    shingles vs truncated twins) under INTEGER rarity weights bucketed
+    from the base-corpus shingle document frequency (df<=2 → 10,
+    df<=10 → 3, else 1). Integer weights make every bound and the
+    verify exact — prefix-window sums, dot, and norms are integer
+    arithmetic in both engines, and the output cosine is
+    correctly-rounded sqrt/division of identical integers, so no
+    rounding is needed. Threshold 0.7 (weighted rarity pulls true
+    twins above it while the common-shingle mass is damped)."""
+    from . import plans
+
+    docs = plans.fan_out(load(spark, sf_dir, "documents"))
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+
+    def _shingles(warr):
+        n = F.size(warr)
+        return F.transform(
+            F.sequence(F.lit(1), F.greatest(n - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(warr, i, 3)))
+
+    base = docs.select(F.col("doc_id").alias("lid"),
+                       _shingles(words).alias("sa"))
+    tw_words = F.slice(words, 1, F.size(words) - 5)
+    twin = (docs.filter(F.size(words) >= 8)
+            .select((F.col("doc_id") + 1000000).alias("rid"),
+                    _shingles(tw_words).alias("sb")))
+    dfreq = (base.select(F.explode(F.array_distinct("sa")).alias("token"))
+             .groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    weights = dfreq.select(
+        "token",
+        F.when(F.col("df") <= 2, F.lit(10.0))
+         .when(F.col("df") <= 10, F.lit(3.0))
+         .otherwise(F.lit(1.0)).alias("weight"))
+    out = linkage.weighted_cosine_join(
+        base, twin, "lid", "sa", "rid", "sb", weights, threshold=0.7)
+    return out.select("lid", "rid", "n_common", "dot", "cosine")
+
+
+ORACLE_DOCS_WEIGHTED_COSINE = r"""
+WITH w AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+base AS (
+  SELECT doc_id AS lid,
+         list_distinct([array_to_string(ws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(ws) - 2, 1) + 1)])
+           AS sa
+  FROM w),
+tw AS (
+  SELECT doc_id + 1000000 AS rid,
+         list_distinct([array_to_string(tws[i:i+2], ' ')
+                        FOR i IN range(1, greatest(len(tws) - 2, 1) + 1)])
+           AS sb
+  FROM (SELECT doc_id, ws[1:len(ws)-5] AS tws FROM w
+        WHERE len(ws) >= 8)),
+lt AS (SELECT lid, unnest(sa) AS tok FROM base),
+rt AS (SELECT rid, unnest(sb) AS tok FROM tw),
+wt AS (
+  SELECT tok, CAST(CASE WHEN df <= 2 THEN 100.0
+                        WHEN df <= 10 THEN 9.0 ELSE 1.0 END
+                   AS DOUBLE) AS w2
+  FROM (SELECT tok, count(*) AS df FROM lt GROUP BY tok)),
+lw AS (SELECT lid, lt.tok, w2 FROM lt JOIN wt USING (tok)),
+rw AS (SELECT rid, rt.tok, w2 FROM rt JOIN wt USING (tok)),
+lnorm AS (SELECT lid, sum(w2) AS na FROM lw GROUP BY lid),
+rnorm AS (SELECT rid, sum(w2) AS nb FROM rw GROUP BY rid),
+freq AS (
+  SELECT tok, count(*) AS df FROM (
+    SELECT tok FROM lw UNION ALL SELECT tok FROM rw) GROUP BY tok),
+lpre AS (
+  SELECT lid, tok FROM (
+    SELECT lw.lid, lw.tok,
+           coalesce(sum(lw.w2) OVER (
+             PARTITION BY lw.lid ORDER BY f.df, lw.tok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+             AS pre,
+           n.na
+    FROM lw JOIN freq f USING (tok) JOIN lnorm n USING (lid))
+  -- constants injected as the exact doubles the operator
+  -- computes (0.7*0.7 != the parsed literal 0.49)
+  WHERE pre <= 0.51 * na),
+cand AS (SELECT DISTINCT lid, rid FROM lpre JOIN rt USING (tok)),
+dots AS (
+  SELECT c.lid, c.rid, count(*) AS n_common, sum(lw.w2) AS dot
+  FROM cand c
+  JOIN lw ON lw.lid = c.lid
+  JOIN rw ON rw.rid = c.rid AND rw.tok = lw.tok
+  GROUP BY c.lid, c.rid)
+SELECT d.lid, d.rid, n_common, dot,
+       dot / sqrt(na * nb) AS cosine
+FROM dots d JOIN lnorm USING (lid) JOIN rnorm USING (rid)
+WHERE dot * dot >= 0.48999999999999994 * na * nb
+"""
+
+
 def _pq_cat_codebooks() -> list:
     """The catalog's fixed PQ codebooks: dim 64, m=4 subspaces, k=8
     codewords — deterministic LCG stream shared with the oracle
@@ -6491,6 +6588,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fuzzy_probe",          # r10 new: index/probe linkage path
     "docs_label_agreement",      # r10 new: Cohen's kappa label QA
     "part_fs_scores",            # r10 new: Fellegi-Sunter decisions
+    "docs_weighted_cosine",      # r10 new: Bayardo weighted cosine join
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
@@ -6507,7 +6605,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
     "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
-    "docs_url_stats",
 ]
 
 
@@ -6677,6 +6774,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_fuzzy_probe": q_part_fuzzy_probe,
     "docs_label_agreement": q_docs_label_agreement,
     "part_fs_scores": q_part_fs_scores,
+    "docs_weighted_cosine": q_docs_weighted_cosine,
     "docs_strip_html": q_docs_strip_html,
     "lineitem_price_jsd": q_lineitem_price_jsd,
     "lineitem_drift_report": q_lineitem_drift_report,
@@ -6841,6 +6939,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_fuzzy_probe": ORACLE_PART_FUZZY_PROBE,
     "docs_label_agreement": ORACLE_DOCS_LABEL_AGREEMENT,
     "part_fs_scores": ORACLE_PART_FS_SCORES,
+    "docs_weighted_cosine": ORACLE_DOCS_WEIGHTED_COSINE,
     "docs_strip_html": ORACLE_DOCS_STRIP_HTML,
     "lineitem_price_jsd": ORACLE_LINEITEM_PRICE_JSD,
     "lineitem_drift_report": ORACLE_LINEITEM_DRIFT_REPORT,

@@ -4807,3 +4807,90 @@ class TestFellegiSunter:
         df = spark.createDataFrame([(True,)], "a boolean")
         with _pytest.raises(ValueError, match="match_prior"):
             linkage.fs_estimate_mu(df, ["a"], match_prior=1.5)
+
+
+class TestWeightedCosineJoin:
+    def _weights(self, spark, pairs):
+        return spark.createDataFrame(pairs, "token string, weight double")
+
+    def test_known_cosines(self, spark):
+        import math
+
+        from pytest import approx
+
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, ["a", "b"]), (2, ["c"])],
+                                  "lid int, ls array<string>")
+        R = spark.createDataFrame([(10, ["a", "b"]), (11, ["a", "c"])],
+                                  "rid int, rs array<string>")
+        w = self._weights(spark, [("a", 2.0), ("b", 1.0), ("c", 3.0)])
+        got = {(r["lid"], r["rid"]): (r["n_common"], r["dot"], r["cosine"])
+               for r in linkage.weighted_cosine_join(
+                   L, R, "lid", "ls", "rid", "rs", w,
+                   threshold=0.5).collect()}
+        # (1,10): dot = 4+1 = 5, norms sqrt(5)*sqrt(5) -> cos 1.0
+        assert got[(1, 10)] == (2, 5.0, approx(1.0))
+        # (1,11): dot = 4, norms sqrt(5)*sqrt(13) -> 4/8.062 = 0.496 < .5
+        assert (1, 11) not in got
+        # (2,11): dot = 9, norms 3*sqrt(13) -> 0.832
+        assert got[(2, 11)][2] == approx(9 / (3 * math.sqrt(13)))
+
+    def test_unweighted_tokens_contribute_nothing(self, spark):
+        from pytest import approx
+
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, ["a", "junk"])],
+                                  "lid int, ls array<string>")
+        R = spark.createDataFrame([(2, ["a", "other"])],
+                                  "rid int, rs array<string>")
+        w = self._weights(spark, [("a", 1.0)])
+        r = linkage.weighted_cosine_join(
+            L, R, "lid", "ls", "rid", "rs", w, threshold=0.9).first()
+        assert r["cosine"] == approx(1.0)  # only 'a' carries weight
+
+    def test_differential_vs_bruteforce(self, spark):
+        """Random small corpora + random integer weights: the prefix
+        filter must lose NOTHING vs brute-force weighted cosine."""
+        import itertools
+        import math
+        import random
+
+        from pytest import approx
+
+        from spark_expectations_spark.operators import linkage
+        rng = random.Random(11)
+        vocab = [f"t{i}" for i in range(12)]
+        wmap = {t: float(rng.randint(1, 9)) for t in vocab}
+        mk = lambda: sorted(rng.sample(vocab, rng.randint(1, 6)))
+        lrows = [(i, mk()) for i in range(15)]
+        rrows = [(100 + i, mk()) for i in range(15)]
+        L = spark.createDataFrame(lrows, "lid int, ls array<string>")
+        R = spark.createDataFrame(rrows, "rid int, rs array<string>")
+        w = self._weights(spark, list(wmap.items()))
+        t = 0.7
+        got = {(r["lid"], r["rid"]): r["cosine"]
+               for r in linkage.weighted_cosine_join(
+                   L, R, "lid", "ls", "rid", "rs", w,
+                   threshold=t).collect()}
+        expect = {}
+        for (li, ls), (ri, rs) in itertools.product(lrows, rrows):
+            dot = sum(wmap[x] ** 2 for x in set(ls) & set(rs))
+            na = math.sqrt(sum(wmap[x] ** 2 for x in ls))
+            nb = math.sqrt(sum(wmap[x] ** 2 for x in rs))
+            cos = dot / (na * nb)
+            if cos >= t:
+                expect[(li, ri)] = cos
+        assert set(got) == set(expect)
+        for k in got:
+            assert got[k] == approx(expect[k])
+
+    def test_threshold_validation(self, spark):
+        import pytest as _pytest
+
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame([(1, ["a"])], "lid int, ls array<string>")
+        w = self._weights(spark, [("a", 1.0)])
+        with _pytest.raises(ValueError, match="threshold"):
+            linkage.weighted_cosine_join(
+                L, L.selectExpr("lid as rid", "ls as rs"),
+                "lid", "ls", "rid", "rs", w, threshold=0.0)
