@@ -6562,19 +6562,20 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_minhash_index, and the 9 r6-new operators) + 19 r8-
 #          first-gated entries never re-checked (c4/gopher/normalize,
 #          text_* family, paragraph dedup, PQ pair, span removal,
-#          bitmap distinct, url stats, global index, padding waste,
-#          ) = 50 — strip_html, phash, curriculum, and padding_waste
-#          yielded their fill slots to the 4th-7th r10 NEW entries
-#          (docs_set_jaccard_join — PPJoin prefix-filter set-similarity
-#          join; part_blocking_quality — blocking QA report;
-#          part_fuzzy_probe — index/probe linkage path;
-#          docs_label_agreement — Cohen's-kappa annotator QA;
-#          part_fs_scores — Fellegi-Sunter decision layer, which also
-#          took docs_global_index's slot). Remaining r8-gated entries
-#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
-#          docs_interleave, docs_strip_html, docs_phash_dups,
-#          docs_curriculum, docs_padding_waste, docs_global_index) are
-#          the r11 re-gate front.
+#          bitmap distinct) = 50 — the r10 NEW entries took 9 of the
+#          re-gate fill slots as they landed: docs_set_jaccard_join
+#          (PPJoin prefix-filter set-similarity join),
+#          part_blocking_quality (blocking QA report), part_fuzzy_probe
+#          (index/probe linkage path), docs_label_agreement
+#          (Cohen's-kappa annotator QA), part_fs_scores (Fellegi-Sunter
+#          decision layer), docs_weighted_cosine (Bayardo weighted
+#          cosine join) displacing strip_html, phash, curriculum,
+#          padding_waste, global_index, and url_stats. Remaining
+#          r8-gated entries (lineitem_grouped_dq, drift
+#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
+#          docs_phash_dups, docs_curriculum, docs_padding_waste,
+#          docs_global_index, docs_url_stats) are the r11 re-gate
+#          front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
