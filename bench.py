@@ -84,9 +84,10 @@ BENCH_QUERIES = [
     # discipline): the per-run clearCache below makes every timed run
     # re-materialize the operator's three internal persists (L/R set
     # frames + the vocab-sized gram-frequency table) and re-pay the
-    # corpus shingling — ~14s/run at sf0.1 of which the steady-state
-    # join+verify is ~3s; in production the set frames are built once
-    # per corpus, not once per query.
+    # corpus shingling — ~13s/run at sf0.1 (was ~14s before the
+    # scan-parallelism guard spread the shingle build across cores) of
+    # which the steady-state join+verify is ~3s; in production the set
+    # frames are built once per corpus, not once per query.
     "docs_set_jaccard_join",
     # blocking QA (cross-join truth side runs on the documented 20%
     # deterministic sample only)
@@ -101,6 +102,10 @@ BENCH_QUERIES = [
     # Bayardo weighted cosine set join (same persist caveat as the
     # jaccard twin above)
     "docs_weighted_cosine",
+    # Lloyd's k-means: 3 update iterations + final measurement = 4
+    # broadcast-codebook assignment passes; cost is per-job overhead at
+    # this SF, map-only at scale
+    "embed_kmeans",
 ]
 
 

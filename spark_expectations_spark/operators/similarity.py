@@ -454,6 +454,118 @@ def train_centroids_df(
     return sums.select("centroid_id", centroid.alias("centroid"))
 
 
+def lloyd_kmeans(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iterations: int = 3,
+    coord_digits: int = 4,
+    wcss_digits: int = 3,
+) -> DataFrame:
+    """Real Lloyd's k-means over an embedding column — the trained
+    upgrade to :func:`train_centroids_df`'s hash-bucket means (that
+    docstring promises "replaceable by a real k-means without touching
+    the search path"; this is it — its output schema matches
+    ``(centroid_id, centroid)`` consumers after a pivot, and the
+    long-form result here is the oracle-friendly surface).
+
+    Deterministic by construction, no RNG: initial centroids are the
+    vectors of the ``k`` smallest ids, ties in the nearest-centroid
+    argmin break to the lowest centroid id, and an emptied cluster
+    keeps its previous centroid. ``iterations`` full Lloyd updates run,
+    then one final assignment pass measures membership. Returns the
+    long-form frame ``(centroid_id, pos, coord, n_assigned, wcss)`` —
+    one row per centroid per dimension, ``coord`` rounded to
+    ``coord_digits`` (negative-zero folded), ``n_assigned``/``wcss``
+    the final-assignment cluster size and within-cluster sum of
+    squared L2 distances.
+
+    Scale shape (100 TB): each iteration is ONE map-only assignment
+    pass — the k-centroid codebook is collapsed to a broadcast 1-row
+    array-of-structs (k·dim doubles, model-scale) and the argmin is a
+    ``transform`` + ``aggregate`` fold, no row blowup, no window —
+    feeding ONE dim-wide aggregation (map-side partial sums, k-row
+    result). The only collects are k×dim model frames, never corpus
+    rows; distance/update arithmetic is all float64 so a DuckDB
+    re-derivation lands within rounding of the same centroids.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if iterations < 0:
+        raise ValueError("iterations must be >= 0")
+    vecs = (corpus
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+                    & F.col(id_col).isNotNull())
+            .select(F.col(id_col).alias("__id"),
+                    F.transform(F.col(vec_col),
+                                lambda x: x.cast("double")).alias("__v")))
+    seed_rows = vecs.orderBy("__id").limit(k).collect()
+    if not seed_rows:
+        raise ValueError("corpus has no usable vectors")
+    cents: list[list[float]] = [list(r["__v"]) for r in seed_rows]
+    dim = len(cents[0])
+
+    spark = corpus.sparkSession
+
+    def _assigned():
+        # the k-row codebook rides as a broadcast 1-row array-of-structs
+        # (assign_centroids' pattern — NOT k·dim literals, which made
+        # every iteration recompile a 500-node expression tree);
+        # squared-L2 to every centroid evaluated once (transform), then
+        # an argmin fold; ties -> lowest centroid_id
+        cents_row = spark.createDataFrame(
+            [(cid, list(cvec)) for cid, cvec in enumerate(cents)],
+            "cid int, cvec array<double>",
+        ).agg(F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
+        dists = F.transform(
+            F.col("__cents"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("__v"), c["cvec"],
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+                c["cid"].alias("cid")))
+        best = F.aggregate(
+            F.slice(dists, 2, F.greatest(F.size(dists) - 1, F.lit(0))),
+            F.element_at(dists, 1),
+            lambda acc, x: F.when(
+                (x["d"] < acc["d"])
+                | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
+                x).otherwise(acc))
+        return (vecs.crossJoin(F.broadcast(cents_row))
+                .select("__v", best["cid"].alias("__cid"),
+                        best["d"].alias("__dist")))
+
+    for _ in range(iterations):
+        stats = (_assigned()
+                 .groupBy("__cid")
+                 .agg(F.count(F.lit(1)).alias("__n"),
+                      *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+                        for i in range(dim)])
+                 .collect())
+        by_cid = {r["__cid"]: r for r in stats}
+        cents = [
+            [by_cid[cid][f"__s{i}"] / by_cid[cid]["__n"] for i in range(dim)]
+            if cid in by_cid else cvec          # emptied: keep previous
+            for cid, cvec in enumerate(cents)]
+
+    final = {r["__cid"]: r for r in
+             (_assigned().groupBy("__cid")
+              .agg(F.count(F.lit(1)).alias("__n"),
+                   F.sum("__dist").alias("__wcss")).collect())}
+    rows = [(cid, pos,
+             float(round(cvec[pos], coord_digits)) + 0.0,
+             int(final[cid]["__n"]) if cid in final else 0,
+             (float(round(final[cid]["__wcss"], wcss_digits)) + 0.0)
+             if cid in final else 0.0)
+            for cid, cvec in enumerate(cents) for pos in range(dim)]
+    return spark.createDataFrame(
+        rows, "centroid_id int, pos int, coord double, "
+              "n_assigned bigint, wcss double")
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -17,13 +17,29 @@ from pyspark.sql import functions as F
 from .core.rules import Rule, RuleSet
 from .operators import (agg_dq, dedup, linkage, query_dq, row_dq,
                         similarity, text)
+from .session import spread_scan
 
 TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings")
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load(spark: SparkSession, sf_dir: str, name: str,
+         spread: bool = False) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    # The test tables are single-row-group parquet files, i.e. ONE scan
+    # partition regardless of maxPartitionBytes — which serializes every
+    # map-side expression before the first shuffle onto one core.
+    # ``spread=True`` applies session.spread_scan (repartition only when
+    # the scan is narrower than the core count; a no-op on a production
+    # layout — see its docstring). OPT-IN, not global: a measured A/B at
+    # sf0.1 (SCALE.md "scan-parallelism guard") showed the round-robin
+    # exchange pays for itself only where heavy map-side compute
+    # precedes the first shuffle (shingling, q-gram blocking, BPE, PQ
+    # encode, histogram folds — 1.2-2.3x faster); queries that shuffle
+    # early just pay an extra sort+exchange (tpch joins, row_dq) and
+    # got 1.5-3x SLOWER under a blanket guard.
+    if spread:
+        df = spread_scan(df, spark)
     if name == "events" and str(df.schema["ts"].dataType).startswith("Timestamp"):
         # events.ts is a (NTZ) timestamp; the catalog's time arithmetic and
         # the DuckDB oracles (`epoch_ns(ts)`) agree on epoch nanoseconds, so
@@ -772,7 +788,7 @@ def q_dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     measure-don't-guess check for a (num_hashes, bands) choice. Both
     sides are independently value-oracled operators; the report composes
     them with a full-outer pair join."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.lsh_quality_report(
         docs, "doc_id", "text", n=3, threshold=0.25,
         num_hashes=16, bands=4, hash_family="md5_48")
@@ -1025,7 +1041,7 @@ def q_embed_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     order pinned), so the "approximate" pipeline carries a full value
     oracle: DuckDB reproduces centroid float32 rounding, the nearest-
     centroid argmax, and the within-cell cosine threshold."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     cents = similarity.train_centroids_df(emb, vec_col="embedding", by_col="label")
     kept = similarity.semdedup(
         emb, id_col="vec_id", vec_col="embedding",
@@ -4312,7 +4328,7 @@ def q_docs_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc n-gram novelty (dedup.ngram_novelty): fraction of a
     doc's shingles first seen in it — linear posting-list shape (one
     shingle groupBy + join back + per-doc agg, no pairs)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return dedup.ngram_novelty(docs, "doc_id", "text", n=3)
 
 
@@ -4482,6 +4498,77 @@ FROM ex GROUP BY pos
 """
 
 
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (similarity.lloyd_kmeans): k=8 centroids seeded
+    from the 8 smallest vec_ids, 3 full update iterations, then a final
+    assignment pass for cluster sizes and within-cluster SSE. Long-form
+    output (centroid_id, pos, coord, n_assigned, wcss) — the
+    whiten_check precedent: no array columns in the hash compare. The
+    oracle unrolls the 3 iterations as CTE triples (distance → argmin
+    with dist-then-cid tie order → per-dimension mean, emptied clusters
+    keeping the previous centroid via the LEFT JOIN coalesce), all in
+    float64 exactly like the operator, so centroids agree to far below
+    the 4-digit output rounding."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return similarity.lloyd_kmeans(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iterations=3)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+    parts = [r"""
+WITH ex AS (
+  SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND vec_id IS NOT NULL),
+seed AS (
+  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
+           AS cid
+  FROM (SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cid, e.pos, e.v AS cv
+       FROM seed s JOIN ex e USING (vec_id))""".format(k=k)]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        parts.append(f""",
+d{it} AS (
+  SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+  FROM ex e JOIN {prev} c USING (pos) GROUP BY e.vec_id, c.cid),
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rk
+    FROM d{it}) WHERE rk = 1),
+m{it} AS (
+  SELECT a.cid, e.pos, avg(e.v) AS mv
+  FROM a{it} a JOIN ex e USING (vec_id) GROUP BY a.cid, e.pos),
+c{it} AS (
+  SELECT p.cid, p.pos, coalesce(m.mv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid AND m.pos = p.pos)""")
+    fin = f"c{iterations}"
+    parts.append(f""",
+fd AS (
+  SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+  FROM ex e JOIN {fin} c USING (pos) GROUP BY e.vec_id, c.cid),
+fa AS (
+  SELECT vec_id, cid, dist FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rk
+    FROM fd) WHERE rk = 1),
+st AS (SELECT cid, count(*) AS n_assigned, sum(dist) AS wcss
+       FROM fa GROUP BY cid)
+SELECT c.cid AS centroid_id, CAST(c.pos AS INT) AS pos,
+       round(c.cv, 4) + 0.0 AS coord,
+       coalesce(st.n_assigned, 0) AS n_assigned,
+       round(coalesce(st.wcss, 0.0), 3) + 0.0 AS wcss
+FROM {fin} c LEFT JOIN st USING (cid)""")
+    return "".join(parts)
+
+
+ORACLE_EMBED_KMEANS = _kmeans_oracle()
+
+
 _KS_EDGES = [10_000.0 * i for i in range(1, 12)]
 
 
@@ -4588,7 +4675,7 @@ def q_lineitem_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     formulations."""
     from .operators import drift
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     base = li.filter(F.col("l_orderkey") % 2 == 0)
     cur = li.filter(F.col("l_orderkey") % 2 == 1)
     rep = drift.drift_report(base, cur, _DRIFT_REPORT_EDGES)
@@ -4649,7 +4736,7 @@ def q_lineitem_drift_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds, so both engines band identically."""
     from .operators import drift
 
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem", spread=True)
     base = li.filter(F.col("l_orderkey") % 2 == 0)
     cur = li.filter(F.col("l_orderkey") % 2 == 1)
     v = drift.drift_verdict(
@@ -5102,7 +5189,7 @@ def q_docs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreaks), Arrow-batched encode. The iterative merge replay has no
     SQL twin → declared rows-only; determinism and the merge order are
     pinned by TestBpe's hand-computed corpus instead."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     merges = text.train_bpe_merges(docs, "text", num_merges=60,
                                    min_count=5, max_vocab=2000)
     out = text.apply_bpe(docs, "doc_id", "text", merges)
@@ -5679,7 +5766,7 @@ def q_part_fuzzy_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     with codegen levenshtein ≤ 1; the oracle reproduces key build,
     blocking, and distance exactly. Never all-pairs: one composite
     block per row, per-block products only."""
-    part = load(spark, sf_dir, "part")
+    part = load(spark, sf_dir, "part", spread=True)
     key = F.concat(F.reverse(F.col("p_partkey").cast("string")),
                    F.lit(" "), F.col("p_name"))
     base = part.select(F.col("p_partkey").alias("lid"),
@@ -5922,7 +6009,7 @@ def q_docs_set_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle reproduces shingling, df ranks, prefix bounds, and the
     verify exactly (its length filter is implied by jaccard >= t, so
     skipping it changes nothing)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load(spark, sf_dir, "documents", spread=True)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
     def _shingles(warr):
@@ -6001,7 +6088,7 @@ def q_part_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth side is quadratic BY DESIGN and only ever runs on the
     sample). All seven outputs are integer counts or int/int-derived
     doubles — bit-identical cross-engine, no rounding needed."""
-    part = load(spark, sf_dir, "part")
+    part = load(spark, sf_dir, "part", spread=True)
     key = F.concat(F.reverse(F.col("p_partkey").cast("string")),
                    F.lit(" "), F.col("p_name"))
     base = part.select(F.col("p_partkey").alias("lid"),
@@ -6348,7 +6435,7 @@ def q_embed_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-canonicalizer contract; float→double upcasts and
     left-to-right per-subspace fold order make every value
     engine-exact (the ann_topk precedent)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings", spread=True)
     books = _pq_cat_codebooks()
     enc = similarity.product_quantize(emb, vec_col="embedding",
                                       codebooks=books, dist_out="pq_dists")
@@ -6570,12 +6657,15 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          (Cohen's-kappa annotator QA), part_fs_scores (Fellegi-Sunter
 #          decision layer), docs_weighted_cosine (Bayardo weighted
 #          cosine join) displacing strip_html, phash, curriculum,
-#          padding_waste, global_index, and url_stats. Remaining
-#          r8-gated entries (lineitem_grouped_dq, drift
+#          padding_waste, global_index, and url_stats; a 10th r10 NEW
+#          entry (embed_kmeans, Lloyd's k-means with an unrolled-CTE
+#          full value oracle) landed later and takes
+#          events_bitmap_distinct's slot in the 50-entry sample.
+#          Remaining r8-gated entries (lineitem_grouped_dq, drift
 #          report/verdict, price_jsd, docs_interleave, docs_strip_html,
 #          docs_phash_dups, docs_curriculum, docs_padding_waste,
-#          docs_global_index, docs_url_stats) are the r11 re-gate
-#          front.
+#          docs_global_index, docs_url_stats, events_bitmap_distinct)
+#          are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6592,6 +6682,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_weighted_cosine",      # r10 new: Bayardo weighted cosine join
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
+    "embed_kmeans",              # r10 new: Lloyd's k-means (full oracle)
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -6605,7 +6696,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
-    "embed_ivf_pq", "docs_span_removal", "events_bitmap_distinct",
+    "embed_ivf_pq", "docs_span_removal",
 ]
 
 
@@ -6748,6 +6839,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
+    "embed_kmeans": q_embed_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -6906,6 +6998,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_ngram_novelty": ORACLE_DOCS_NGRAM_NOVELTY,
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
+    "embed_kmeans": ORACLE_EMBED_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,

@@ -79,6 +79,32 @@ def scale_confs(
     return confs
 
 
+def spread_scan(df, spark, min_partitions: Optional[int] = None):
+    """Scan-parallelism guard: repartition ``df`` round-robin ONLY when
+    its scan produced fewer partitions than the session has cores.
+
+    Why it exists: Spark splits files by byte ranges, but a parquet
+    file is only splittable at row-group boundaries — a small file (or
+    a badly-written one with a single giant row group) scans as ONE
+    partition no matter what ``maxPartitionBytes`` says, and every
+    map-side expression before the first shuffle (shingling, PQ
+    encoding, levenshtein, HOF projections) then runs on ONE core.
+    ``spark.sql.files.minPartitionNum`` cannot fix this either: extra
+    byte-range splits of a one-row-group file come back empty.
+
+    Scale adjudication (100 TB): a real corpus scans as thousands of
+    partitions, so ``n_scan >= target`` and this is a NO-OP — the
+    guard can never inject a corpus-sized shuffle into a well-laid-out
+    pipeline. It only fires when parallelism is below the core count,
+    exactly the regime where one small exchange buys back idle cores.
+    The partition probe compiles the physical plan but launches no job.
+    """
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def configure(builder, confs: Mapping[str, str]):
     """Apply a conf dict to a ``SparkSession.builder`` (returns the
     builder for chaining): ``configure(builder,

@@ -816,6 +816,28 @@ class TestSessionProfiles:
         with _pytest.raises(ValueError, match="unknown profile"):
             se.scale_confs("exotic")
 
+    def test_spread_scan_widens_narrow_and_noops_wide(self, spark,
+                                                      tmp_path):
+        """Scan-parallelism guard (SCALE.md): a one-row-group parquet
+        scans as ONE partition and gets repartitioned to the target;
+        a frame already at/above the target passes through
+        unchanged (the 100 TB no-op contract)."""
+        from spark_expectations_spark import session as se
+        p = str(tmp_path / "narrow.parquet")
+        spark.range(1000).coalesce(1).write.parquet(p)
+        narrow = spark.read.parquet(p)
+        assert narrow.rdd.getNumPartitions() == 1
+        out = se.spread_scan(narrow, spark, min_partitions=8)
+        assert out.rdd.getNumPartitions() == 8
+        assert out.count() == 1000
+        wide = spark.range(1000).repartition(8)
+        same = se.spread_scan(wide, spark, min_partitions=8)
+        assert same is wide                      # not even re-planned
+        # default target = defaultParallelism
+        out2 = se.spread_scan(narrow, spark)
+        assert (out2.rdd.getNumPartitions()
+                == spark.sparkContext.defaultParallelism)
+
 
 class TestExecutionMetrics:
     def test_map_side_combine_visible_in_shuffle_records(self, spark,

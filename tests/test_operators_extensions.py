@@ -4894,3 +4894,79 @@ class TestWeightedCosineJoin:
             linkage.weighted_cosine_join(
                 L, L.selectExpr("lid as rid", "ls as rs"),
                 "lid", "ls", "rid", "rs", w, threshold=0.0)
+
+
+class TestLloydKmeans:
+    def _run(self, spark, rows, **kw):
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = sim.lloyd_kmeans(df, **kw).collect()
+        cents = {}
+        stats = {}
+        for r in out:
+            cents.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
+            stats[r["centroid_id"]] = (r["n_assigned"], r["wcss"])
+        return cents, stats
+
+    def test_two_well_separated_1d_clusters(self, spark):
+        # seeds = vectors of the 2 smallest ids: [0.0] and [1.0]; one
+        # update lands the true means and the second leaves them fixed
+        cents, stats = self._run(
+            spark,
+            [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0])],
+            k=2, iterations=2)
+        assert cents[0] == {0: 0.5} and cents[1] == {0: 10.5}
+        assert stats[0] == (2, 0.5) and stats[1] == (2, 0.5)
+
+    def test_tie_breaks_low_cid_and_empty_cluster_keeps_centroid(
+            self, spark):
+        # duplicate seed vectors: every point is equidistant to c0/c1,
+        # so ties send ALL of them to c0 — c1 must empty out and keep
+        # its previous centroid with n_assigned = 0, wcss = 0.0
+        cents, stats = self._run(
+            spark, [(1, [0.0]), (2, [0.0]), (3, [6.0])],
+            k=2, iterations=1)
+        # the UPDATE saw every point tie to c0 (both centroids [0.0],
+        # tie -> lowest cid), so c1 emptied and kept its seed centroid
+        assert cents[0] == {0: 2.0}          # mean of 0, 0, 6
+        assert cents[1] == {0: 0.0}          # kept, never updated
+
+    def test_final_assignment_against_final_centroids(self, spark):
+        cents, stats = self._run(
+            spark, [(1, [0.0]), (2, [0.0]), (3, [6.0])],
+            k=2, iterations=1)
+        # membership is measured against the FINAL centroids
+        # (c0=[2.0], c1=[0.0]), not the update-time assignment: the two
+        # zero-vectors land on c1 (dist 0 vs 4), [6.0] stays on c0
+        assert stats[0] == (1, 16.0)
+        assert stats[1] == (2, 0.0)
+
+    def test_zero_iterations_is_seed_measurement(self, spark):
+        cents, stats = self._run(
+            spark, [(1, [1.0]), (2, [5.0]), (3, [5.5])],
+            k=2, iterations=0)
+        assert cents[0] == {0: 1.0} and cents[1] == {0: 5.0}
+        assert stats[0] == (1, 0.0)
+        assert stats[1] == (2, 0.25)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, [0.0])], "vec_id long, embedding array<double>")
+        with _pytest.raises(ValueError, match="k must"):
+            sim.lloyd_kmeans(df, k=0)
+        with _pytest.raises(ValueError, match="iterations"):
+            sim.lloyd_kmeans(df, iterations=-1)
+        empty = df.filter("vec_id > 99")
+        with _pytest.raises(ValueError, match="no usable vectors"):
+            sim.lloyd_kmeans(empty, k=1)
+
+    def test_k_larger_than_corpus(self, spark):
+        # only 2 usable seeds exist for k asking more: seeds are the
+        # corpus itself; clusters behave like k = n
+        cents, stats = self._run(
+            spark, [(1, [0.0]), (2, [4.0])], k=2, iterations=1)
+        assert cents[0] == {0: 0.0} and cents[1] == {0: 4.0}
+        assert stats[0] == (1, 0.0) and stats[1] == (1, 0.0)
