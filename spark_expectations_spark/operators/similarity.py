@@ -566,6 +566,118 @@ def lloyd_kmeans(
               "n_assigned bigint, wcss double")
 
 
+def kmeans_cluster_qa(
+    corpus: DataFrame,
+    centroids_long: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: Optional[str] = None,
+    digits: int = 4,
+) -> DataFrame:
+    """Cluster-quality gate over a trained codebook — the QA step
+    between :func:`lloyd_kmeans` and trusting its clusters for
+    curriculum bucketing / SemDeDup cells / IVF partitions.
+    ``centroids_long`` is exactly lloyd_kmeans's output shape
+    ``(centroid_id, pos, coord)`` (extra columns ignored), so the two
+    compose without reshaping; because those coords are ROUNDED, both
+    this operator and any SQL re-derivation measure distances from
+    bit-identical centroid values.
+
+    Per cluster: ``n`` members (nearest-centroid assignment, squared-L2
+    argmin, ties -> lowest centroid id), ``avg_intra`` mean distance to
+    the own centroid (cohesion), ``silhouette`` the centroid-based
+    simplification of Kaufman-Rousseeuw — s = (b - a)/max(a, b) with
+    ``a`` the distance to the assigned centroid and ``b`` the distance
+    to the nearest OTHER centroid (O(n·k), no pairwise matrix — the
+    full silhouette's O(n²) is exactly what doesn't scale), and
+    ``purity`` the majority-``label_col`` fraction over labeled
+    members (ties -> lowest label; NULL labels excluded from both
+    numerator and denominator; NULL when the cluster has no labeled
+    member). Emptied centroids still get a row (n = 0, NULL metrics).
+
+    Scale shape: one broadcast of the k-row codebook collapsed to a
+    1-row array-of-structs, a map-only (d1, cid, d2) fold per vector —
+    min and runner-up in ONE pass over the k distances — then a k-row
+    groupBy plus (with labels) a (k × labels)-row count; no window
+    over corpus rows, no join against corpus-sized frames."""
+    cb = (centroids_long
+          .groupBy(F.col("centroid_id").alias("cid"))
+          .agg(F.array_sort(
+              F.collect_list(F.struct("pos", "coord"))).alias("__pc"))
+          .select("cid", F.transform(
+              F.col("__pc"), lambda s: s["coord"]).alias("cvec")))
+    cents_row = cb.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
+    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base_cols = [F.col(id_col).alias("__id"), vecd.alias("__v")]
+    if label_col:
+        base_cols.append(F.col(label_col).alias("__lbl"))
+    vecs = (corpus
+            .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
+                    & F.col(id_col).isNotNull())
+            .select(*base_cols))
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("__v"), c["cvec"],
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            c["cid"].alias("cid")))
+    first = F.element_at(dists, 1)
+    init = F.struct(first["d"].alias("d1"), first["cid"].alias("c1"),
+                    F.lit(float("inf")).alias("d2"))
+    fold = F.aggregate(
+        F.slice(dists, 2, F.greatest(F.size(dists) - 1, F.lit(0))),
+        init,
+        lambda acc, x: F.when(
+            (x["d"] < acc["d1"])
+            | ((x["d"] == acc["d1"]) & (x["cid"] < acc["c1"])),
+            F.struct(x["d"].alias("d1"), x["cid"].alias("c1"),
+                     acc["d1"].alias("d2"))
+        ).otherwise(
+            F.struct(acc["d1"].alias("d1"), acc["c1"].alias("c1"),
+                     F.least(acc["d2"], x["d"]).alias("d2"))))
+    a = F.sqrt(F.col("__f")["d1"])
+    b = F.sqrt(F.col("__f")["d2"])
+    sil = F.when(F.greatest(a, b) == 0, F.lit(0.0)) \
+           .otherwise((b - a) / F.greatest(a, b))
+    assigned_cols = [F.col("__f")["c1"].alias("__cid"),
+                     a.alias("__a"), sil.alias("__s")]
+    if label_col:
+        assigned_cols.append(F.col("__lbl"))
+    assigned = (vecs.crossJoin(F.broadcast(cents_row))
+                .withColumn("__f", fold)
+                .select(*assigned_cols))
+    st = (assigned.groupBy("__cid")
+          .agg(F.count(F.lit(1)).alias("__n"),
+               F.avg("__a").alias("__ai"),
+               F.avg("__s").alias("__sl")))
+    rnd = lambda c: F.round(c, digits) + F.lit(0.0)  # noqa: E731
+    out = (cb.select("cid")
+           .join(st, cb["cid"] == st["__cid"], "left")
+           .select(F.col("cid").alias("centroid_id"),
+                   F.coalesce("__n", F.lit(0)).alias("n"),
+                   rnd("__ai").alias("avg_intra"),
+                   rnd("__sl").alias("silhouette")))
+    if label_col:
+        lab = (assigned.filter(F.col("__lbl").isNotNull())
+               .groupBy("__cid", "__lbl")
+               .agg(F.count(F.lit(1)).alias("__c")))
+        w = Window.partitionBy("__cid").orderBy(
+            F.col("__c").desc(), F.col("__lbl").asc())
+        tot = Window.partitionBy("__cid")
+        top = (lab.withColumn("__nl", F.sum("__c").over(tot))
+               .withColumn("__rk", F.row_number().over(w))
+               .filter(F.col("__rk") == 1)
+               .select(F.col("__cid").alias("__pcid"),
+                       rnd(F.col("__c") / F.col("__nl")).alias("purity")))
+        out = (out.join(top, out["centroid_id"] == top["__pcid"], "left")
+               .drop("__pcid"))
+    return out
+
+
 def assign_centroids(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -4514,7 +4514,10 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", k=8, iterations=3)
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iterations: int = 3) -> str:
+    """Shared CTE prefix: ex (long-form f64 vectors), seed, c0..c{n}
+    (the unrolled Lloyd updates). Reused by the kmeans oracle and the
+    cluster-QA oracle so the two can never drift apart."""
     parts = [r"""
 WITH ex AS (
   SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
@@ -4545,8 +4548,12 @@ m{it} AS (
 c{it} AS (
   SELECT p.cid, p.pos, coalesce(m.mv, p.cv) AS cv
   FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid AND m.pos = p.pos)""")
+    return "".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
     fin = f"c{iterations}"
-    parts.append(f""",
+    return _kmeans_ctes(k, iterations) + f""",
 fd AS (
   SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
   FROM ex e JOIN {fin} c USING (pos) GROUP BY e.vec_id, c.cid),
@@ -4562,11 +4569,76 @@ SELECT c.cid AS centroid_id, CAST(c.pos AS INT) AS pos,
        round(c.cv, 4) + 0.0 AS coord,
        coalesce(st.n_assigned, 0) AS n_assigned,
        round(coalesce(st.wcss, 0.0), 3) + 0.0 AS wcss
-FROM {fin} c LEFT JOIN st USING (cid)""")
-    return "".join(parts)
+FROM {fin} c LEFT JOIN st USING (cid)"""
 
 
 ORACLE_EMBED_KMEANS = _kmeans_oracle()
+
+
+def q_embed_cluster_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality gate (similarity.kmeans_cluster_qa) over the
+    embed_kmeans codebook: per-cluster size, cohesion (mean distance
+    to own centroid), the centroid-based silhouette simplification
+    (b = nearest OTHER centroid — O(n*k), never the O(n^2) pairwise
+    matrix), and majority-label purity over the fixture's 10-class
+    label column. Distances on BOTH engines are measured from the
+    ROUNDED lloyd_kmeans coords (bit-identical doubles), so the only
+    cross-engine noise is 64-term sum ordering — far below the 4-digit
+    output rounding."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    cents = similarity.lloyd_kmeans(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iterations=3)
+    return similarity.kmeans_cluster_qa(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        label_col="label")
+
+
+def _cluster_qa_oracle(k: int = 8, iterations: int = 3) -> str:
+    fin = f"c{iterations}"
+    return _kmeans_ctes(k, iterations) + f""",
+rc AS (SELECT cid, pos, round(cv, 4) + 0.0 AS cv FROM {fin}),
+qd AS (
+  SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
+  FROM ex e JOIN rc c USING (pos) GROUP BY e.vec_id, c.cid),
+rkd AS (
+  SELECT vec_id, cid, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist, cid) AS rk
+  FROM qd),
+ab AS (
+  SELECT r1.vec_id, r1.cid, sqrt(r1.dist) AS a, sqrt(r2.dist) AS b
+  FROM rkd r1 JOIN rkd r2
+    ON r1.vec_id = r2.vec_id AND r1.rk = 1 AND r2.rk = 2),
+sil AS (
+  SELECT vec_id, cid, a,
+         CASE WHEN greatest(a, b) = 0 THEN 0.0
+              ELSE (b - a) / greatest(a, b) END AS s
+  FROM ab),
+st AS (SELECT cid, count(*) AS n, avg(a) AS ai, avg(s) AS sl
+       FROM sil GROUP BY cid),
+lab AS (
+  SELECT si.cid, em.label, count(*) AS c
+  FROM sil si JOIN embeddings em ON em.vec_id = si.vec_id
+  WHERE em.label IS NOT NULL GROUP BY si.cid, em.label),
+nl AS (SELECT cid, sum(c) AS nl FROM lab GROUP BY cid),
+top AS (
+  SELECT cid, c FROM (
+    SELECT cid, c, row_number() OVER (PARTITION BY cid
+                                      ORDER BY c DESC, label ASC) AS rk
+    FROM lab) WHERE rk = 1),
+cids AS (SELECT DISTINCT cid FROM {fin})
+SELECT cids.cid AS centroid_id,
+       CAST(coalesce(st.n, 0) AS BIGINT) AS n,
+       round(st.ai, 4) + 0.0 AS avg_intra,
+       round(st.sl, 4) + 0.0 AS silhouette,
+       round(top.c * 1.0 / nl.nl, 4) + 0.0 AS purity
+FROM cids
+LEFT JOIN st ON st.cid = cids.cid
+LEFT JOIN top ON top.cid = cids.cid
+LEFT JOIN nl ON nl.cid = cids.cid"""
+
+
+ORACLE_EMBED_CLUSTER_QA = _cluster_qa_oracle()
 
 
 _KS_EDGES = [10_000.0 * i for i in range(1, 12)]
@@ -6660,11 +6732,13 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          padding_waste, global_index, and url_stats; a 10th r10 NEW
 #          entry (embed_kmeans, Lloyd's k-means with an unrolled-CTE
 #          full value oracle) landed later and takes
-#          events_bitmap_distinct's slot in the 50-entry sample.
-#          Remaining r8-gated entries (lineitem_grouped_dq, drift
-#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
-#          docs_phash_dups, docs_curriculum, docs_padding_waste,
-#          docs_global_index, docs_url_stats, events_bitmap_distinct)
+#          events_bitmap_distinct's slot in the 50-entry sample, and an
+#          11th (embed_cluster_qa, the silhouette/purity gate over that
+#          codebook) takes docs_span_removal's. Remaining r8-gated
+#          entries (lineitem_grouped_dq, drift report/verdict,
+#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
+#          docs_curriculum, docs_padding_waste, docs_global_index,
+#          docs_url_stats, events_bitmap_distinct, docs_span_removal)
 #          are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
@@ -6683,6 +6757,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_calibration",          # r10 new: reliability diagram
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_kmeans",              # r10 new: Lloyd's k-means (full oracle)
+    "embed_cluster_qa",          # r10 new: silhouette/purity gate
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -6696,7 +6771,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
-    "embed_ivf_pq", "docs_span_removal",
+    "embed_ivf_pq",
 ]
 
 
@@ -6840,6 +6915,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
     "embed_kmeans": q_embed_kmeans,
+    "embed_cluster_qa": q_embed_cluster_qa,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -6999,6 +7075,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
     "embed_kmeans": ORACLE_EMBED_KMEANS,
+    "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,

@@ -4970,3 +4970,60 @@ class TestLloydKmeans:
             spark, [(1, [0.0]), (2, [4.0])], k=2, iterations=1)
         assert cents[0] == {0: 0.0} and cents[1] == {0: 4.0}
         assert stats[0] == (1, 0.0) and stats[1] == (1, 0.0)
+
+
+class TestKmeansClusterQA:
+    def _qa(self, spark, vecs, cents, **kw):
+        from spark_expectations_spark.operators import similarity as sim
+        schema = "vec_id long, embedding array<double>"
+        if kw.get("label_col"):
+            schema += ", label int"
+        corpus = spark.createDataFrame(vecs, schema)
+        cl = spark.createDataFrame(
+            [(cid, pos, float(v)) for cid, cv in cents
+             for pos, v in enumerate(cv)],
+            "centroid_id int, pos int, coord double")
+        out = sim.kmeans_cluster_qa(corpus, cl, **kw)
+        return {r["centroid_id"]: r for r in out.collect()}
+
+    def test_hand_computed_two_clusters_with_purity(self, spark):
+        got = self._qa(
+            spark,
+            [(1, [0.0], 0), (2, [1.0], 0), (3, [10.0], 1), (4, [11.0], 1)],
+            [(0, [0.5]), (1, [10.5])], label_col="label")
+        for cid in (0, 1):
+            r = got[cid]
+            assert r["n"] == 2
+            assert r["avg_intra"] == 0.5
+            # s = (b-a)/b per member: 10/10.5 and 9/9.5, mean -> 0.9499
+            assert r["silhouette"] == pytest.approx(0.9499)
+            assert r["purity"] == 1.0
+
+    def test_equidistant_tie_goes_low_cid_silhouette_zero(self, spark):
+        got = self._qa(spark, [(1, [1.0])], [(0, [0.0]), (1, [2.0])])
+        assert got[0]["n"] == 1 and got[1]["n"] == 0
+        assert got[0]["silhouette"] == 0.0     # a == b -> s = 0
+
+    def test_empty_cluster_gets_null_metrics_row(self, spark):
+        got = self._qa(spark, [(1, [0.0]), (2, [0.2])],
+                       [(0, [0.1]), (1, [99.0])])
+        r = got[1]
+        assert r["n"] == 0
+        assert r["avg_intra"] is None and r["silhouette"] is None
+
+    def test_null_labels_excluded_from_purity(self, spark):
+        got = self._qa(
+            spark,
+            [(1, [0.0], 7), (2, [0.1], 7), (3, [0.2], 5), (4, [0.3], None),
+             (5, [50.0], None)],
+            [(0, [0.1]), (1, [50.0])], label_col="label")
+        # cluster 0: labels 7,7,5 (+1 NULL dropped) -> purity 2/3
+        assert got[0]["n"] == 4
+        assert got[0]["purity"] == pytest.approx(round(2 / 3, 4))
+        # cluster 1: its only member is unlabeled -> purity NULL
+        assert got[1]["n"] == 1 and got[1]["purity"] is None
+
+    def test_vector_on_duplicated_centroid_silhouette_zero(self, spark):
+        got = self._qa(spark, [(1, [3.0])], [(0, [3.0]), (1, [3.0])])
+        assert got[0]["n"] == 1
+        assert got[0]["avg_intra"] == 0.0 and got[0]["silhouette"] == 0.0
