@@ -84,10 +84,12 @@ BENCH_QUERIES = [
     # discipline): the per-run clearCache below makes every timed run
     # re-materialize the operator's three internal persists (L/R set
     # frames + the vocab-sized gram-frequency table) and re-pay the
-    # corpus shingling — ~13s/run at sf0.1 (was ~14s before the
-    # scan-parallelism guard spread the shingle build across cores) of
-    # which the steady-state join+verify is ~3s; in production the set
-    # frames are built once per corpus, not once per query.
+    # corpus shingling — ~7s/run at sf0.1 (was ~15.7s: the
+    # scan-parallelism guard plus the zip_with shingle builder — see
+    # queries._word_shingles3 — removed the serial corpus pass and the
+    # per-element lambda re-evaluation); the steady-state join+verify
+    # is ~3s; in production the set frames are built once per corpus,
+    # not once per query.
     "docs_set_jaccard_join",
     # blocking QA (cross-join truth side runs on the documented 20%
     # deterministic sample only)

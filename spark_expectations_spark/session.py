@@ -98,11 +98,20 @@ def spread_scan(df, spark, min_partitions: Optional[int] = None):
     pipeline. It only fires when parallelism is below the core count,
     exactly the regime where one small exchange buys back idle cores.
     The partition probe compiles the physical plan but launches no job.
+
+    Delegates to ``plans.fan_out`` (the same exchange, size-estimate
+    gated, used inside the dedup operators) so the repo has ONE
+    repartition decision with two documented gates: this partition
+    probe (never touch an already-parallel scan) plus fan_out's
+    Catalyst size bound (never round-robin a frame estimated over
+    2 GB — a narrow-but-huge scan keeps its layout; repartitioning
+    that is a caller's explicit call, not a guard's).
     """
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    from .plans import fan_out
+    return fan_out(df, min_partitions=target)
 
 
 def configure(builder, confs: Mapping[str, str]):
