@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     # Bayardo weighted cosine set join (same persist caveat as the
     # jaccard twin above)
     "docs_weighted_cosine",
+    # kmeans-trained IVF search (2 Lloyd iterations + assignment +
+    # probe/search — the composition entry; training shares no work
+    # with embed_kmeans's own bench row by design, each run stands
+    # alone under the per-run clearCache)
+    "ann_ivf_kmeans",
     # Lloyd's k-means: 3 update iterations + final measurement = 4
     # broadcast-codebook assignment passes; cost is per-job overhead at
     # this SF, map-only at scale

@@ -566,6 +566,21 @@ def lloyd_kmeans(
               "n_assigned bigint, wcss double")
 
 
+def centroids_from_long(centroids_long: DataFrame) -> DataFrame:
+    """Collapse a long-form codebook ``(centroid_id, pos, coord)`` —
+    :func:`lloyd_kmeans`'s output shape — into the ``(centroid_id,
+    centroid array)`` frame the IVF search path consumes
+    (:func:`assign_centroids` / :func:`ivf_topk`), fulfilling
+    train_centroids_df's "replaceable by a real k-means without
+    touching the search path" contract. k-row frame; model-scale."""
+    return (centroids_long
+            .groupBy(F.col("centroid_id"))
+            .agg(F.array_sort(
+                F.collect_list(F.struct("pos", "coord"))).alias("__pc"))
+            .select("centroid_id", F.transform(
+                F.col("__pc"), lambda s: s["coord"]).alias("centroid")))
+
+
 def kmeans_cluster_qa(
     corpus: DataFrame,
     centroids_long: DataFrame,
@@ -601,12 +616,9 @@ def kmeans_cluster_qa(
     min and runner-up in ONE pass over the k distances — then a k-row
     groupBy plus (with labels) a (k × labels)-row count; no window
     over corpus rows, no join against corpus-sized frames."""
-    cb = (centroids_long
-          .groupBy(F.col("centroid_id").alias("cid"))
-          .agg(F.array_sort(
-              F.collect_list(F.struct("pos", "coord"))).alias("__pc"))
-          .select("cid", F.transform(
-              F.col("__pc"), lambda s: s["coord"]).alias("cvec")))
+    cb = (centroids_from_long(centroids_long)
+          .select(F.col("centroid_id").alias("cid"),
+                  F.col("centroid").alias("cvec")))
     cents_row = cb.agg(
         F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
     vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))

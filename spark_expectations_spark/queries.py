@@ -4575,6 +4575,83 @@ FROM {fin} c LEFT JOIN st USING (cid)"""
 ORACLE_EMBED_KMEANS = _kmeans_oracle()
 
 
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned approximate top-k with a lloyd_kmeans-TRAINED
+    codebook — the cash-in of train_centroids_df's "replaceable by a
+    real k-means without touching the search path" promise: the same
+    assign_centroids + ivf_topk pipeline as ann_ivf, only the centroid
+    source changes (similarity.centroids_from_long over the k=8,
+    2-iteration k-means). Fully deterministic like ann_ivf: the
+    kmeans CTE prefix reproduces training, assignment is a cosine
+    argmax with ties to the lowest centroid id, probe choice and
+    in-cell ranking are exact — so the "approximate" search carries a
+    full value oracle. Both engines search from the ROUNDED codebook
+    coords (bit-identical doubles)."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    cl = similarity.lloyd_kmeans(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2)
+    cents = similarity.centroids_from_long(cl)
+    assigned = similarity.assign_centroids(emb, cents,
+                                           vec_col="embedding")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(assigned, cents, queries, id_col="vec_id",
+                              vec_col="embedding", k=5, nprobe=4)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_ANN_IVF_KMEANS = _kmeans_ctes(8, 2) + """,
+rc AS (SELECT cid, pos, round(cv, 4) + 0.0 AS cv FROM c2),
+cvec AS (SELECT cid, list(cv ORDER BY pos) AS cv FROM rc GROUP BY cid),
+cn AS (
+  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cnrm
+  FROM cvec),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        AND vec_id IS NOT NULL),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT a.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(a.e) + 1),
+                                              i -> a.e[i] * c.cv[i]))
+                      / (a.nrm * c.cnrm) DESC, c.cid ASC) AS rk
+    FROM v a, cn c) WHERE rk = 1),
+qc AS (
+  SELECT q.vec_id AS query_id, c.cid,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.cv[i]))
+           / (q.nrm * c.cnrm) AS csim
+  FROM v q, cn c WHERE q.vec_id < 10),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY csim DESC, cid ASC) AS pr
+    FROM qc) WHERE pr <= 4),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(c.e) + 1),
+                                 i -> q.e[i] * c.e[i]))
+           / (q.nrm * c.nrm) AS cos_raw
+  FROM probes p
+  JOIN asg a ON a.cid = p.cid
+  JOIN v c ON c.vec_id = a.vec_id
+  JOIN v q ON q.vec_id = p.query_id
+  WHERE a.vec_id <> p.query_id)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC)
+           AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM cand) WHERE rank <= 5"""
+
+
 def q_embed_cluster_qa(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-quality gate (similarity.kmeans_cluster_qa) over the
     embed_kmeans codebook: per-cluster size, cohesion (mean distance
@@ -6741,12 +6818,14 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          full value oracle) landed later and takes
 #          events_bitmap_distinct's slot in the 50-entry sample, and an
 #          11th (embed_cluster_qa, the silhouette/purity gate over that
-#          codebook) takes docs_span_removal's. Remaining r8-gated
-#          entries (lineitem_grouped_dq, drift report/verdict,
-#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
+#          codebook) takes docs_span_removal's, and a 12th
+#          (ann_ivf_kmeans, the kmeans-trained IVF search) takes
+#          embed_ivf_pq's. Remaining r8-gated entries
+#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
+#          docs_interleave, docs_strip_html, docs_phash_dups,
 #          docs_curriculum, docs_padding_waste, docs_global_index,
-#          docs_url_stats, events_bitmap_distinct, docs_span_removal)
-#          are the r11 re-gate front.
+#          docs_url_stats, events_bitmap_distinct, docs_span_removal,
+#          embed_ivf_pq) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6765,6 +6844,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
     "embed_kmeans",              # r10 new: Lloyd's k-means (full oracle)
     "embed_cluster_qa",          # r10 new: silhouette/purity gate
+    "ann_ivf_kmeans",            # r10 new: kmeans-trained IVF search
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -6778,7 +6858,6 @@ DRIVER_PRIORITY: list[str] = [
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
     "text_stats", "text_quality", "text_langid", "text_repetition",
     "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
-    "embed_ivf_pq",
 ]
 
 
@@ -6923,6 +7002,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_whiten_check": q_embed_whiten_check,
     "embed_kmeans": q_embed_kmeans,
     "embed_cluster_qa": q_embed_cluster_qa,
+    "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
     "docs_mad_outliers": q_docs_mad_outliers,
     "docs_zipf": q_docs_zipf,
@@ -7083,6 +7163,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
     "embed_kmeans": ORACLE_EMBED_KMEANS,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
+    "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,
