@@ -463,6 +463,7 @@ def lloyd_kmeans(
     iterations: int = 3,
     coord_digits: int = 4,
     wcss_digits: int = 3,
+    sample_fraction: Optional[float] = None,
 ) -> DataFrame:
     """Real Lloyd's k-means over an embedding column — the trained
     upgrade to :func:`train_centroids_df`'s hash-bucket means (that
@@ -490,6 +491,15 @@ def lloyd_kmeans(
     result). The only collects are k×dim model frames, never corpus
     rows; distance/update arithmetic is all float64 so a DuckDB
     re-derivation lands within rounding of the same centroids.
+
+    ``sample_fraction`` is the 100 TB training mode: seeds and the
+    Lloyd updates run on a ``sampling.deterministic_sample`` of the
+    corpus (md5-keyed — reproducible regardless of partitioning, and
+    the module's shared coin so it nests with other samples on the
+    same key), while the FINAL membership pass still measures the full
+    corpus against the trained codebook. Training passes shrink by the
+    fraction; determinism and the SQL twin survive because the sample
+    is a plain portable-hash filter, not an RNG.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -501,7 +511,11 @@ def lloyd_kmeans(
             .select(F.col(id_col).alias("__id"),
                     F.transform(F.col(vec_col),
                                 lambda x: x.cast("double")).alias("__v")))
-    seed_rows = vecs.orderBy("__id").limit(k).collect()
+    train = vecs
+    if sample_fraction is not None:
+        from .sampling import deterministic_sample
+        train = deterministic_sample(vecs, "__id", sample_fraction)
+    seed_rows = train.orderBy("__id").limit(k).collect()
     if not seed_rows:
         raise ValueError("corpus has no usable vectors")
     cents: list[list[float]] = [list(r["__v"]) for r in seed_rows]
@@ -509,7 +523,7 @@ def lloyd_kmeans(
 
     spark = corpus.sparkSession
 
-    def _assigned():
+    def _assigned(frame):
         # the k-row codebook rides as a broadcast 1-row array-of-structs
         # (assign_centroids' pattern — NOT k·dim literals, which made
         # every iteration recompile a 500-node expression tree);
@@ -534,12 +548,12 @@ def lloyd_kmeans(
                 (x["d"] < acc["d"])
                 | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
                 x).otherwise(acc))
-        return (vecs.crossJoin(F.broadcast(cents_row))
+        return (frame.crossJoin(F.broadcast(cents_row))
                 .select("__v", best["cid"].alias("__cid"),
                         best["d"].alias("__dist")))
 
     for _ in range(iterations):
-        stats = (_assigned()
+        stats = (_assigned(train)
                  .groupBy("__cid")
                  .agg(F.count(F.lit(1)).alias("__n"),
                       *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
@@ -552,7 +566,7 @@ def lloyd_kmeans(
             for cid, cvec in enumerate(cents)]
 
     final = {r["__cid"]: r for r in
-             (_assigned().groupBy("__cid")
+             (_assigned(vecs).groupBy("__cid")
               .agg(F.count(F.lit(1)).alias("__n"),
                    F.sum("__dist").alias("__wcss")).collect())}
     rows = [(cid, pos,

@@ -4514,28 +4514,44 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, id_col="vec_id", vec_col="embedding", k=8, iterations=3)
 
 
-def _kmeans_ctes(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_ctes(k: int = 8, iterations: int = 3,
+                 sample_fraction: Optional[float] = None) -> str:
     """Shared CTE prefix: ex (long-form f64 vectors), seed, c0..c{n}
-    (the unrolled Lloyd updates). Reused by the kmeans oracle and the
-    cluster-QA oracle so the two can never drift apart."""
-    parts = [r"""
+    (the unrolled Lloyd updates). Reused by the kmeans oracle, the
+    cluster-QA oracle, and the IVF-kmeans oracle so they can never
+    drift apart. With ``sample_fraction``, seeding and the updates run
+    over ``trn`` — the md5-bucket deterministic sample, reproducing
+    sampling._bucket exactly — while later tails still see the full
+    ``ex`` (lloyd_kmeans's train-on-sample / measure-on-corpus
+    contract)."""
+    src = "ex"
+    pre = r"""
 WITH ex AS (
   SELECT vec_id, i - 1 AS pos, CAST(embedding[i] AS DOUBLE) AS v
   FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
   WHERE embedding IS NOT NULL AND len(embedding) > 0
-        AND vec_id IS NOT NULL),
+        AND vec_id IS NOT NULL)"""
+    if sample_fraction is not None:
+        cut = int(sample_fraction * 65536)
+        pre += f""",
+trn AS (
+  SELECT * FROM ex
+  WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))
+             AS BIGINT) < {cut})"""
+        src = "trn"
+    parts = [pre + f""",
 seed AS (
   SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT)
            AS cid
-  FROM (SELECT DISTINCT vec_id FROM ex ORDER BY vec_id LIMIT {k})),
+  FROM (SELECT DISTINCT vec_id FROM {src} ORDER BY vec_id LIMIT {k})),
 c0 AS (SELECT s.cid, e.pos, e.v AS cv
-       FROM seed s JOIN ex e USING (vec_id))""".format(k=k)]
+       FROM seed s JOIN {src} e USING (vec_id))"""]
     for it in range(1, iterations + 1):
         prev = f"c{it - 1}"
         parts.append(f""",
 d{it} AS (
   SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
-  FROM ex e JOIN {prev} c USING (pos) GROUP BY e.vec_id, c.cid),
+  FROM {src} e JOIN {prev} c USING (pos) GROUP BY e.vec_id, c.cid),
 a{it} AS (
   SELECT vec_id, cid FROM (
     SELECT vec_id, cid,
@@ -4544,16 +4560,17 @@ a{it} AS (
     FROM d{it}) WHERE rk = 1),
 m{it} AS (
   SELECT a.cid, e.pos, avg(e.v) AS mv
-  FROM a{it} a JOIN ex e USING (vec_id) GROUP BY a.cid, e.pos),
+  FROM a{it} a JOIN {src} e USING (vec_id) GROUP BY a.cid, e.pos),
 c{it} AS (
   SELECT p.cid, p.pos, coalesce(m.mv, p.cv) AS cv
   FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid AND m.pos = p.pos)""")
     return "".join(parts)
 
 
-def _kmeans_oracle(k: int = 8, iterations: int = 3) -> str:
+def _kmeans_oracle(k: int = 8, iterations: int = 3,
+                   sample_fraction: Optional[float] = None) -> str:
     fin = f"c{iterations}"
-    return _kmeans_ctes(k, iterations) + f""",
+    return _kmeans_ctes(k, iterations, sample_fraction) + f""",
 fd AS (
   SELECT e.vec_id, c.cid, sum((e.v - c.cv) * (e.v - c.cv)) AS dist
   FROM ex e JOIN {fin} c USING (pos) GROUP BY e.vec_id, c.cid),
@@ -4573,6 +4590,24 @@ FROM {fin} c LEFT JOIN st USING (cid)"""
 
 
 ORACLE_EMBED_KMEANS = _kmeans_oracle()
+
+
+def q_embed_kmeans_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB k-means training mode (lloyd_kmeans
+    sample_fraction=0.5): seeds and both Lloyd updates run on the
+    md5-bucket deterministic HALF of the corpus — at scale you never
+    pay full corpus passes to train a k-row codebook — while the final
+    membership/wcss pass still measures EVERY vector against the
+    trained centroids. The sample is sampling._bucket's portable md5
+    coin, so the oracle reproduces membership exactly; everything else
+    is the embed_kmeans derivation over the trn CTE."""
+    emb = load(spark, sf_dir, "embeddings", spread=True)
+    return similarity.lloyd_kmeans(
+        emb, id_col="vec_id", vec_col="embedding", k=8, iterations=2,
+        sample_fraction=0.5)
+
+
+ORACLE_EMBED_KMEANS_SAMPLED = _kmeans_oracle(8, 2, 0.5)
 
 
 def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6818,14 +6853,15 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          full value oracle) landed later and takes
 #          events_bitmap_distinct's slot in the 50-entry sample, and an
 #          11th (embed_cluster_qa, the silhouette/purity gate over that
-#          codebook) takes docs_span_removal's, and a 12th
+#          codebook) takes docs_span_removal's, a 12th
 #          (ann_ivf_kmeans, the kmeans-trained IVF search) takes
-#          embed_ivf_pq's. Remaining r8-gated entries
-#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
-#          docs_interleave, docs_strip_html, docs_phash_dups,
+#          embed_ivf_pq's, and a 13th (embed_kmeans_sampled, the
+#          train-on-sample mode) takes embed_pq's. Remaining r8-gated
+#          entries (lineitem_grouped_dq, drift report/verdict,
+#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
 #          docs_curriculum, docs_padding_waste, docs_global_index,
 #          docs_url_stats, events_bitmap_distinct, docs_span_removal,
-#          embed_ivf_pq) are the r11 re-gate front.
+#          embed_ivf_pq, embed_pq) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6845,6 +6881,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_kmeans",              # r10 new: Lloyd's k-means (full oracle)
     "embed_cluster_qa",          # r10 new: silhouette/purity gate
     "ann_ivf_kmeans",            # r10 new: kmeans-trained IVF search
+    "embed_kmeans_sampled",      # r10 new: train-on-sample mode
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -6857,7 +6894,7 @@ DRIVER_PRIORITY: list[str] = [
     # r8-first-gated entries not re-checked since
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
     "text_stats", "text_quality", "text_langid", "text_repetition",
-    "text_pii_redact", "docs_paragraph_dedup", "embed_pq",
+    "text_pii_redact", "docs_paragraph_dedup",
 ]
 
 
@@ -7001,6 +7038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
     "embed_kmeans": q_embed_kmeans,
+    "embed_kmeans_sampled": q_embed_kmeans_sampled,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7162,6 +7200,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
     "embed_kmeans": ORACLE_EMBED_KMEANS,
+    "embed_kmeans_sampled": ORACLE_EMBED_KMEANS_SAMPLED,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,

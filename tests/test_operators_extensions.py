@@ -5027,3 +5027,43 @@ class TestKmeansClusterQA:
         got = self._qa(spark, [(1, [3.0])], [(0, [3.0]), (1, [3.0])])
         assert got[0]["n"] == 1
         assert got[0]["avg_intra"] == 0.0 and got[0]["silhouette"] == 0.0
+
+
+class TestLloydKmeansSampled:
+    def test_training_ignores_out_of_sample_measure_includes_it(
+            self, spark):
+        """sample_fraction trains on the md5-bucket half but the final
+        pass measures everyone. ids 1-5 hash OUT of the 0.5 sample and
+        6, 9 hash IN (md5 coin, precomputed); the far outlier at id=1
+        must therefore not move any centroid, yet must appear in the
+        final membership counts."""
+        from spark_expectations_spark.operators import similarity as sim
+        rows = [(6, [0.0]), (9, [4.0]),       # in-sample: the seeds
+                (1, [1000.0]),                # out-of-sample outlier
+                (2, [0.2]), (3, [3.8])]       # out-of-sample fillers
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        out = sim.lloyd_kmeans(df, k=2, iterations=1,
+                               sample_fraction=0.5)
+        cents = {(r["centroid_id"], r["pos"]): r["coord"]
+                 for r in out.collect()}
+        stats = {r["centroid_id"]: (r["n_assigned"], r["wcss"])
+                 for r in out.collect()}
+        # training saw only ids 6 and 9 -> each is its own cluster and
+        # the single update leaves the centroids on the seed points
+        assert cents[(0, 0)] == 0.0 and cents[(1, 0)] == 4.0
+        # the final pass measures ALL 5 vectors (outlier included)
+        assert stats[0][0] + stats[1][0] == 5
+        # outlier lands on c1 (|1000-4| < |1000-0|) with huge wcss
+        assert stats[1][0] == 3 and stats[1][1] > 990000.0
+
+    def test_fraction_one_matches_unsampled(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, [0.0]), (2, [1.0]), (3, [10.0]), (4, [11.0])],
+            "vec_id long, embedding array<double>")
+        a = sorted(map(tuple, sim.lloyd_kmeans(
+            df, k=2, iterations=2).collect()))
+        b = sorted(map(tuple, sim.lloyd_kmeans(
+            df, k=2, iterations=2, sample_fraction=1.0).collect()))
+        assert a == b
