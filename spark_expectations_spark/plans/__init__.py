@@ -150,6 +150,13 @@ def fan_out(df: DataFrame, min_partitions: int = 0,
         if estimated_size_bytes(df) >= max_bytes:
             return df
         target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+        # partition probe (session.spread_scan's gate, folded in here
+        # so the JVM escape stays in this one guarded spot): a frame
+        # already at/above cluster parallelism gains nothing from a
+        # round-robin exchange — return it untouched. Compiles the
+        # physical plan; launches no job.
+        if df.rdd.getNumPartitions() >= target:
+            return df
     except Exception:
         # Spark Connect exposes neither _jdf nor sparkContext — be
         # conservative and add no shuffle

@@ -99,19 +99,20 @@ def spread_scan(df, spark, min_partitions: Optional[int] = None):
     exactly the regime where one small exchange buys back idle cores.
     The partition probe compiles the physical plan but launches no job.
 
-    Delegates to ``plans.fan_out`` (the same exchange, size-estimate
-    gated, used inside the dedup operators) so the repo has ONE
-    repartition decision with two documented gates: this partition
-    probe (never touch an already-parallel scan) plus fan_out's
+    Thin alias over ``plans.fan_out`` (the same exchange, used inside
+    the dedup operators) so the repo has ONE repartition decision with
+    two documented gates, both living in fan_out's single guarded
+    JVM-escape block (Connect-safe by the TestSparkConnectStyle scan):
+    the partition probe (never touch an already-parallel scan) and the
     Catalyst size bound (never round-robin a frame estimated over
     2 GB — a narrow-but-huge scan keeps its layout; repartitioning
-    that is a caller's explicit call, not a guard's).
+    that is a caller's explicit call, not a guard's). ``spark`` is
+    accepted for call-site readability; the session is taken from the
+    frame itself.
     """
-    target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
+    del spark  # the frame knows its session; kept for API symmetry
     from .plans import fan_out
-    return fan_out(df, min_partitions=target)
+    return fan_out(df, min_partitions=min_partitions or 0)
 
 
 def configure(builder, confs: Mapping[str, str]):
