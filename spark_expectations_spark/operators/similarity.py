@@ -454,6 +454,44 @@ def train_centroids_df(
     return sums.select("centroid_id", centroid.alias("centroid"))
 
 
+def _l2_assigned(frame: DataFrame, cents) -> DataFrame:
+    """Tag ``frame`` (which carries ``__v`` as array<double>) with the
+    squared-L2-nearest centroid from the driver-side coordinate lists
+    ``cents`` (index = centroid id). The k-row codebook rides as a
+    broadcast 1-row array-of-structs (assign_centroids' pattern — NOT
+    k·dim literals, which made every k-means iteration recompile a
+    500-node expression tree); squared-L2 to every centroid evaluated
+    once (transform), then an argmin fold with ties -> lowest
+    centroid_id. Adds ``__cid`` and ``__dist``; shuffle zero. Shared by
+    lloyd_kmeans's update/measure passes and the streaming
+    embedding-drift monitor."""
+    spark = frame.sparkSession
+    cents_row = spark.createDataFrame(
+        [(cid, list(cvec)) for cid, cvec in enumerate(cents)],
+        "cid int, cvec array<double>",
+    ).agg(F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
+    dists = F.transform(
+        F.col("__cents"),
+        lambda c: F.struct(
+            F.aggregate(
+                F.zip_with(F.col("__v"), c["cvec"],
+                           lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
+            c["cid"].alias("cid")))
+    best = F.aggregate(
+        F.slice(dists, 2, F.greatest(F.size(dists) - 1, F.lit(0))),
+        F.element_at(dists, 1),
+        lambda acc, x: F.when(
+            (x["d"] < acc["d"])
+            | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
+            x).otherwise(acc))
+    cols = frame.columns
+    return (frame.crossJoin(F.broadcast(cents_row))
+            .withColumn("__best", best)
+            .select(*cols, F.col("__best")["cid"].alias("__cid"),
+                    F.col("__best")["d"].alias("__dist")))
+
+
 def lloyd_kmeans(
     corpus: DataFrame,
     *,
@@ -524,33 +562,8 @@ def lloyd_kmeans(
     spark = corpus.sparkSession
 
     def _assigned(frame):
-        # the k-row codebook rides as a broadcast 1-row array-of-structs
-        # (assign_centroids' pattern — NOT k·dim literals, which made
-        # every iteration recompile a 500-node expression tree);
-        # squared-L2 to every centroid evaluated once (transform), then
-        # an argmin fold; ties -> lowest centroid_id
-        cents_row = spark.createDataFrame(
-            [(cid, list(cvec)) for cid, cvec in enumerate(cents)],
-            "cid int, cvec array<double>",
-        ).agg(F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
-        dists = F.transform(
-            F.col("__cents"),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("__v"), c["cvec"],
-                               lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0), lambda acc, x: acc + x).alias("d"),
-                c["cid"].alias("cid")))
-        best = F.aggregate(
-            F.slice(dists, 2, F.greatest(F.size(dists) - 1, F.lit(0))),
-            F.element_at(dists, 1),
-            lambda acc, x: F.when(
-                (x["d"] < acc["d"])
-                | ((x["d"] == acc["d"]) & (x["cid"] < acc["cid"])),
-                x).otherwise(acc))
-        return (frame.crossJoin(F.broadcast(cents_row))
-                .select("__v", best["cid"].alias("__cid"),
-                        best["d"].alias("__dist")))
+        return _l2_assigned(frame, cents).select(
+            "__v", "__cid", "__dist")
 
     for _ in range(iterations):
         stats = (_assigned(train)

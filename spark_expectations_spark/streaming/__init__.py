@@ -801,3 +801,87 @@ def fuzzy_match_stream(
              .parquet(index_path))
 
     return step
+
+
+def embedding_drift_monitor(
+    codebook: DataFrame,
+    baseline_props: dict,
+    *,
+    vec_col: str = "embedding",
+    threshold: float = 0.25,
+    out_path: Optional[str] = None,
+    on_drift: Optional[Callable[[int, float], None]] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step: per-micro-batch CLUSTER-histogram PSI of an
+    embedding stream against a frozen trained codebook — the
+    ``drift_monitor`` recipe lifted from scalar columns to vectors.
+    Numeric-column drift can miss a shifting embedding distribution
+    whose marginals stay put; the cluster histogram (nearest-centroid
+    counts over a lloyd_kmeans codebook) is the standard
+    dimension-free summary to watch instead.
+
+    ``codebook`` is the long-form ``(centroid_id, pos, coord)`` frame
+    lloyd_kmeans returns (collected ONCE here at wiring time —
+    model-scale, k x dim rows); ``baseline_props`` maps centroid_id ->
+    expected assignment fraction, from a batch profiling pass (e.g.
+    n_assigned/total of the same codebook's training output). Per
+    batch: one map-only squared-L2 argmin pass (broadcast codebook,
+    similarity's ``_l2_assigned``) into a k-row count — no state, no
+    stream-stream join; PSI folds driver-side over the k-row
+    histogram exactly like ``drift_monitor``.
+
+    Verdict rows ``(_batch_id, n, psi, drifted)`` land at ``out_path``
+    partitioned by ``_batch_id`` with dynamic partition overwrite — a
+    replayed batch replaces its own row (the corpus_append_dedup
+    exactly-once discipline). ``on_drift(batch_id, psi)`` additionally
+    fires above ``threshold``; wire it to a NotificationHub channel.
+    Empty batches write nothing (no histogram -> no verdict)."""
+    import math
+
+    from ..operators.drift import _EPS
+    from ..operators.similarity import _l2_assigned
+
+    cb_rows = codebook.select("centroid_id", "pos", "coord").collect()
+    by_cid: dict = {}
+    for r in cb_rows:
+        by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
+    if not by_cid:
+        raise ValueError("codebook has no centroids")
+    if sorted(by_cid) != list(range(len(by_cid))):
+        raise ValueError("codebook centroid_ids must be 0..k-1")
+    cents = [[by_cid[cid][p] for p in sorted(by_cid[cid])]
+             for cid in sorted(by_cid)]
+    base = {int(k): float(v) for k, v in baseline_props.items()}
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        vecs = (batch_df
+                .filter(F.col(vec_col).isNotNull()
+                        & (F.size(vec_col) > 0))
+                .select(F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double"))
+                        .alias("__v")))
+        rows = (_l2_assigned(vecs, cents)
+                .groupBy("__cid").agg(F.count(F.lit(1)).alias("n"))
+                .collect())
+        total = sum(r["n"] for r in rows)
+        if not total:
+            return
+        cur = {r["__cid"]: r["n"] / total for r in rows}
+        psi = 0.0
+        for cid in set(base) | set(cur):
+            p = max(base.get(cid, 0.0), _EPS)
+            q = max(cur.get(cid, 0.0), _EPS)
+            psi += (p - q) * math.log(p / q)
+        if out_path is not None:
+            spark = batch_df.sparkSession
+            row = [(int(batch_id), int(total), float(psi),
+                    bool(psi > threshold))]
+            (spark.createDataFrame(
+                row, "_batch_id long, n long, psi double, drifted boolean")
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(out_path))
+        if psi > threshold and on_drift is not None:
+            on_drift(batch_id, psi)
+
+    return step

@@ -1649,3 +1649,66 @@ class TestFuzzyMatchStream:
         step(b2, 1)                      # replay
         assert sorted(map(tuple, spark.read.parquet(out).collect())) == before_m
         assert sorted(map(tuple, spark.read.parquet(idx).collect())) == before_i
+
+
+class TestEmbeddingDriftMonitor:
+    def _codebook(self, spark):
+        # two 1-D centroids at 0 and 10, long-form like lloyd_kmeans
+        return spark.createDataFrame(
+            [(0, 0, 0.0), (1, 0, 10.0)],
+            "centroid_id int, pos int, coord double")
+
+    def test_drift_fires_and_verdicts_land(self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        out = str(tmp_path / "drift")
+        fired = []
+        step = st.embedding_drift_monitor(
+            self._codebook(spark), {0: 0.5, 1: 0.5},
+            threshold=0.25, out_path=out,
+            on_drift=lambda b, p: fired.append((b, round(p, 3))))
+        # batch 0 matches the baseline 50/50 -> no drift
+        b0 = spark.createDataFrame(
+            [(1, [0.1]), (2, [9.9]), (3, [0.2]), (4, [10.1])],
+            "id long, embedding array<double>")
+        step(b0, 0)
+        # batch 1 collapses onto cluster 0 -> PSI way above 0.25
+        b1 = spark.createDataFrame(
+            [(5, [0.1]), (6, [0.3]), (7, [0.2]), (8, [-0.1])],
+            "id long, embedding array<double>")
+        step(b1, 1)
+        got = {r["_batch_id"]: r for r in
+               spark.read.parquet(out).collect()}
+        assert got[0]["drifted"] is False and got[0]["n"] == 4
+        assert got[1]["drifted"] is True and got[1]["n"] == 4
+        assert got[0]["psi"] < 0.01 < got[1]["psi"]
+        assert fired and fired[0][0] == 1
+
+    def test_replay_is_exactly_once_and_empty_batch_skipped(
+            self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        out = str(tmp_path / "drift")
+        step = st.embedding_drift_monitor(
+            self._codebook(spark), {0: 1.0}, out_path=out)
+        b = spark.createDataFrame(
+            [(1, [0.0]), (2, [10.0]), (3, None)],
+            "id long, embedding array<double>")
+        step(b, 7)
+        first = sorted(map(tuple, spark.read.parquet(out).collect()))
+        step(b, 7)                       # replay: same partition
+        assert sorted(map(tuple,
+                          spark.read.parquet(out).collect())) == first
+        assert len(first) == 1 and first[0][0] == 2  # NULL vec dropped
+        empty = b.filter("id > 99")
+        step(empty, 8)                   # no histogram -> no verdict row
+        assert spark.read.parquet(out).count() == 1
+
+    def test_codebook_validation(self, spark):
+        from spark_expectations_spark import streaming as st
+        import pytest as _pytest
+        bad = spark.createDataFrame(
+            [(2, 0, 1.0)], "centroid_id int, pos int, coord double")
+        with _pytest.raises(ValueError, match="0..k-1"):
+            st.embedding_drift_monitor(bad, {0: 1.0})
+        none = bad.filter("centroid_id > 99")
+        with _pytest.raises(ValueError, match="no centroids"):
+            st.embedding_drift_monitor(none, {0: 1.0})
