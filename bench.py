@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     # Bayardo weighted cosine set join (same persist caveat as the
     # jaccard twin above)
     "docs_weighted_cosine",
+    # label-masked top-k mining (query-broadcast scan, 1 rank window)
+    "embed_hard_negatives",
     # kmeans-trained IVF search (2 Lloyd iterations + assignment +
     # probe/search — the composition entry; training shares no work
     # with embed_kmeans's own bench row by design, each run stands

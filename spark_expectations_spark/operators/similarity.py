@@ -182,6 +182,52 @@ def cosine_topk_hof(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for embedding-model training: for each
+    query, the ``k`` most cosine-similar corpus vectors whose
+    ``label_col`` DIFFERS from the query's — the nearest non-positives
+    that contrastive / triplet losses learn the most from. The label
+    mask applies BEFORE the top-k cut (a post-filter over a plain
+    top-k under-delivers whenever positives crowd the head), and rows
+    with NULL labels are excluded on both sides — an unlabeled row can
+    prove neither positive nor negative. Returns (query_id,
+    neighbor_id, cosine, rank).
+
+    Scale shape: cosine_topk_hof's contract — the query set is small
+    by contract and broadcast (with its labels); the corpus is scanned
+    once, never shuffled; the mask is a map-side predicate so only
+    masked candidates reach the per-query rank window."""
+    q = (queries
+         .filter(F.col(label_col).isNotNull())
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("__qv"),
+                 F.col(label_col).alias("__ql"))
+         .withColumn("__qn", _norm(F.col("__qv"))))
+    c = (corpus
+         .filter(F.col(label_col).isNotNull())
+         .select(F.col(id_col).alias("neighbor_id"),
+                 F.col(vec_col).alias("__cv"),
+                 F.col(label_col).alias("__cl"))
+         .withColumn("__cn", _norm(F.col("__cv"))))
+    joined = (c.crossJoin(F.broadcast(q))
+              .filter(F.col("__cl") != F.col("__ql")))
+    sim = (_dot(F.col("__qv"), F.col("__cv"))
+           / (F.col("__qn") * F.col("__cn"))).alias("cosine")
+    scored = joined.select("query_id", "neighbor_id", sim)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))
+
+
 def _iter_threshold_tiles(ids, m_n, threshold: float, chunk: int):
     """Yield (idx_a, idx_b, cosine) arrays for all pairs with
     ``cosine >= threshold`` and ``ids[a] < ids[b]``, computed as

@@ -1184,6 +1184,49 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (similarity.hard_negatives): per query, the
+    5 most cosine-similar vectors with a DIFFERENT label — the
+    nearest non-positives contrastive training learns most from, with
+    the label mask applied BEFORE the top-k cut (a post-filtered plain
+    top-k under-delivers when positives crowd the head). The ann_topk
+    float-math formulation with one extra equality predicate, so the
+    oracle stays hash-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.hard_negatives(emb, queries, id_col="vec_id",
+                                    vec_col="embedding",
+                                    label_col="label", k=5)
+    return out.select("query_id", "neighbor_id", "rank",
+                      F.round("cosine", 4).alias("cosine"))
+
+
+ORACLE_EMBED_HARD_NEGATIVES = """
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings WHERE label IS NOT NULL
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.e[i]))
+           / (q.nrm * c.nrm) AS cos_raw
+  FROM v q JOIN v c ON q.vec_id < 10 AND c.label <> q.label
+),
+ranked AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC)
+           AS rank,
+         round(cos_raw, 4) AS cosine
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned approximate top-k (centroids from the label column).
     Deterministic end-to-end — centroids are per-label elementwise means,
@@ -6856,12 +6899,15 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          codebook) takes docs_span_removal's, a 12th
 #          (ann_ivf_kmeans, the kmeans-trained IVF search) takes
 #          embed_ivf_pq's, and a 13th (embed_kmeans_sampled, the
-#          train-on-sample mode) takes embed_pq's. Remaining r8-gated
-#          entries (lineitem_grouped_dq, drift report/verdict,
-#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
+#          train-on-sample mode) takes embed_pq's, and a 14th
+#          (embed_hard_negatives, label-masked top-k mining) takes
+#          docs_paragraph_dedup's. Remaining r8-gated entries
+#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
+#          docs_interleave, docs_strip_html, docs_phash_dups,
 #          docs_curriculum, docs_padding_waste, docs_global_index,
 #          docs_url_stats, events_bitmap_distinct, docs_span_removal,
-#          embed_ivf_pq, embed_pq) are the r11 re-gate front.
+#          embed_ivf_pq, embed_pq, docs_paragraph_dedup) are the r11
+#          re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6882,6 +6928,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_cluster_qa",          # r10 new: silhouette/purity gate
     "ann_ivf_kmeans",            # r10 new: kmeans-trained IVF search
     "embed_kmeans_sampled",      # r10 new: train-on-sample mode
+    "embed_hard_negatives",      # r10 new: label-masked top-k mining
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -6894,7 +6941,7 @@ DRIVER_PRIORITY: list[str] = [
     # r8-first-gated entries not re-checked since
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
     "text_stats", "text_quality", "text_langid", "text_repetition",
-    "text_pii_redact", "docs_paragraph_dedup",
+    "text_pii_redact",
 ]
 
 
@@ -7039,6 +7086,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_whiten_check": q_embed_whiten_check,
     "embed_kmeans": q_embed_kmeans,
     "embed_kmeans_sampled": q_embed_kmeans_sampled,
+    "embed_hard_negatives": q_embed_hard_negatives,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7201,6 +7249,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
     "embed_kmeans": ORACLE_EMBED_KMEANS,
     "embed_kmeans_sampled": ORACLE_EMBED_KMEANS_SAMPLED,
+    "embed_hard_negatives": ORACLE_EMBED_HARD_NEGATIVES,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,

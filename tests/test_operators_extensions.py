@@ -5067,3 +5067,35 @@ class TestLloydKmeansSampled:
         b = sorted(map(tuple, sim.lloyd_kmeans(
             df, k=2, iterations=2, sample_fraction=1.0).collect()))
         assert a == b
+
+
+class TestHardNegatives:
+    def test_label_mask_before_topk_and_null_labels_dropped(self, spark):
+        """Positives crowding the head must NOT consume top-k slots:
+        the query's nearest same-label vectors are skipped and the k
+        nearest OTHER-label ones returned; NULL-labeled rows play no
+        role on either side."""
+        from spark_expectations_spark.operators import similarity as sim
+        rows = [
+            (0, [1.0, 0.0], 7),             # the query
+            (1, [0.999, 0.01], 7),          # nearest overall: positive
+            (2, [0.99, 0.02], 7),           # also positive
+            (3, [0.9, 0.1], 3),             # nearest negative
+            (4, [0.8, 0.2], 4),             # 2nd negative
+            (5, [0.95, 0.05], None),        # closer, but unlabeled
+            (6, [-1.0, 0.0], 3),            # far negative
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>, label int")
+        out = sim.hard_negatives(
+            df, df.filter("vec_id = 0"), k=2).collect()
+        got = [(r["rank"], r["neighbor_id"]) for r in
+               sorted(out, key=lambda r: r["rank"])]
+        assert got == [(1, 3), (2, 4)]
+
+    def test_unlabeled_query_returns_nothing(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(0, [1.0], None), (1, [1.0], 2)],
+            "vec_id long, embedding array<double>, label int")
+        assert sim.hard_negatives(df, df.filter("vec_id = 0")).count() == 0
