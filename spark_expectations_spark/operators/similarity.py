@@ -1657,6 +1657,53 @@ def whiten(
     return _apply_whitening(df, mu, w, vec_col, out_col)
 
 
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    n_components: int = 16,
+    out_col: str = "pca",
+) -> DataFrame:
+    """PCA projection of an embedding column onto its top
+    ``n_components`` principal directions — the standard
+    embedding-compression step (decorrelated like :func:`whiten`, but
+    REDUCING dimensions instead of preserving the basis; the
+    int8/PQ quantizers downstream work on fewer, higher-variance
+    dims). Output dimension j carries the j-th largest-variance
+    direction; projected dims are uncorrelated with variances equal to
+    the eigenvalues.
+
+    Deterministic without an RNG anywhere, including the
+    eigenvector-sign ambiguity: each component is flipped so its
+    largest-|coordinate| entry is positive (ties to the lowest
+    index), so reruns and engines agree on more than just absolute
+    values. Equal eigenvalues order by descending eigenvalue then
+    ascending original eigh index.
+
+    Scale shape: identical to :func:`whiten` — one Arrow-batched
+    moments pass ((d²+d+1) floats per batch), a d×d driver-side
+    eigendecomposition, then one map-only BLAS pass applying
+    ``(x − μ)·C`` with the d×m component matrix broadcast. Zero
+    shuffles; NULL vectors pass through NULL; ragged vectors fail
+    loudly."""
+    import numpy as np
+
+    if n_components < 1:
+        raise ValueError("n_components must be >= 1")
+    _, mu, cov = _corpus_moments(df, vec_col)
+    d = len(mu)
+    m = min(n_components, d)
+    lam, u = np.linalg.eigh(cov)
+    order = np.argsort(-lam, kind="stable")[:m]
+    comps = u[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(m)])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    return _apply_whitening(df, mu, comps, vec_col, out_col)
+
+
 def _apply_whitening(df: DataFrame, mu, w, vec_col: str,
                      out_col: str) -> DataFrame:
     """Broadcast (μ, W) and apply ``(x − μ)·W`` as a map-only

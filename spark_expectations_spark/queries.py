@@ -4497,6 +4497,24 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection to the top 16 of 64 dims (similarity.pca_project):
+    whiten's moments pass + driver eig + map-only BLAS, reducing
+    dimensions instead of preserving the basis, deterministic down to
+    the eigenvector signs (largest-|coordinate| entry positive).
+    ROWS-ONLY like embed_whiten — the component matrix comes from
+    numpy's eigendecomposition, which no SQL engine reproduces
+    bit-for-bit; TestPcaProject pins the defining properties instead
+    (numpy differential, variance-descending uncorrelated output).
+    Output flattened to scalar (vec_id, pos, pvalue) rows."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = similarity.pca_project(emb, n_components=16)
+    return out.select(
+        "vec_id", F.posexplode("pca").alias("pos", "pv")
+    ).select("vec_id", "pos",
+             (F.round("pv", 4) + F.lit(0.0)).alias("pvalue"))
+
+
 def q_embed_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ZCA whitening (similarity.whiten): corpus moments from ONE
     mapInPandas partials pass, d x d eigendecomposition driver-side,
@@ -7087,6 +7105,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_kmeans": q_embed_kmeans,
     "embed_kmeans_sampled": q_embed_kmeans_sampled,
     "embed_hard_negatives": q_embed_hard_negatives,
+    "embed_pca": q_embed_pca,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,

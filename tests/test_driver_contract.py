@@ -40,6 +40,8 @@ class TestDriverContract:
             "events_distinct_rollup",   # HLL approximate; exact twin checked
             "embed_whiten",             # numpy eigendecomposition — no SQL
                                         # twin; TestWhiten pins cov == I
+            "embed_pca",                # same eig; TestPcaProject pins the
+                                        # numpy differential + invariants
             "docs_bpe",                 # iterative merge replay — no SQL
                                         # twin; TestBpe pins the merge
                                         # order on a hand-computed corpus

@@ -5099,3 +5099,59 @@ class TestHardNegatives:
             [(0, [1.0], None), (1, [1.0], 2)],
             "vec_id long, embedding array<double>, label int")
         assert sim.hard_negatives(df, df.filter("vec_id = 0")).count() == 0
+
+
+class TestPcaProject:
+    def _corpus(self, spark, seed=3, n=300):
+        import random
+        rng = random.Random(seed)
+        rows = []
+        for i in range(n):
+            a, b = rng.gauss(2, 3), rng.gauss(-1, 0.5)
+            rows.append((i, [a, b, a * 0.5 + rng.gauss(0, 0.1)]))
+        return rows, spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+
+    def test_matches_numpy_reference(self, spark):
+        import numpy as np
+        from spark_expectations_spark.operators import similarity as sim
+        rows, df = self._corpus(spark)
+        out = {r["vec_id"]: r["pca"]
+               for r in sim.pca_project(df, n_components=2).collect()}
+        x = np.array([v for _, v in rows])
+        mu = x.mean(axis=0)
+        cov = (x - mu).T @ (x - mu) / len(x)
+        lam, u = np.linalg.eigh(cov)
+        order = np.argsort(-lam, kind="stable")[:2]
+        comps = u[:, order]
+        flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(2)])
+        z = (x - mu) @ (comps * flip)
+        for i, (rid, _) in enumerate(rows):
+            assert np.allclose(out[rid], z[i], atol=1e-9), rid
+
+    def test_projected_dims_uncorrelated_variance_descending(self, spark):
+        import numpy as np
+        from spark_expectations_spark.operators import similarity as sim
+        _, df = self._corpus(spark, seed=11)
+        z = np.array([r["pca"] for r in
+                      sim.pca_project(df, n_components=3).collect()])
+        assert np.abs(z.mean(axis=0)).max() < 1e-9
+        cov = np.cov(z, rowvar=False, bias=True)
+        v = np.diag(cov)
+        assert v[0] >= v[1] >= v[2]
+        off = cov - np.diag(v)
+        assert np.abs(off).max() < 1e-9
+
+    def test_nulls_pass_through_and_clamp_and_validation(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        import pytest as _pytest
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, None), (3, [0.0, 1.0]),
+             (4, [2.0, 0.0])],
+            "vec_id long, embedding array<double>")
+        out = {r["vec_id"]: r["pca"]
+               for r in sim.pca_project(df, n_components=99).collect()}
+        assert out[2] is None
+        assert len(out[1]) == 2               # clamped to d
+        with _pytest.raises(ValueError, match="n_components"):
+            sim.pca_project(df, n_components=0)

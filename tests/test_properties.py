@@ -702,3 +702,72 @@ class TestLinkageDifferential:
         assert set(got) == set(py)
         for k, v in got.items():
             assert abs(v - py[k]) < 1e-12
+
+
+class TestKmeansDifferential:
+    """lloyd_kmeans vs a transliterated pure-Python Lloyd's loop with
+    the same deterministic contract (first-k-ids seeding, dist-then-cid
+    argmin ties, emptied clusters keep their centroid, final pass
+    measures against the final centroids)."""
+
+    @staticmethod
+    def _reference(rows, k, iterations):
+        rows = sorted(rows)
+        cents = [list(v) for _, v in rows[:k]]
+
+        def d2(a, b):
+            return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+        def assign(c):
+            out = {}
+            for rid, v in rows:
+                best = min(range(len(c)), key=lambda j: (d2(v, c[j]), j))
+                out[rid] = (best, d2(v, c[best]))
+            return out
+
+        for _ in range(iterations):
+            a = assign(cents)
+            for cid in range(len(cents)):
+                mem = [v for (rid, v) in rows if a[rid][0] == cid]
+                if mem:
+                    cents[cid] = [sum(col) / len(mem)
+                                  for col in zip(*mem)]
+        fin = assign(cents)
+        stats = {}
+        for cid in range(len(cents)):
+            mem = [dist for (c, dist) in fin.values() if c == cid]
+            stats[cid] = (len(mem), sum(mem))
+        return cents, stats
+
+    @given(
+        pts=st.lists(
+            st.tuples(st.integers(0, 60),
+                      st.tuples(st.integers(-8, 8), st.integers(-8, 8))),
+            min_size=2, max_size=24, unique_by=lambda t: t[0]),
+        k=st.integers(1, 4),
+        iterations=st.integers(0, 3),
+    )
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pure_python_lloyd(self, spark, pts, k, iterations):
+        from spark_expectations_spark.operators import similarity as sim
+        rows = [(rid, [float(x), float(y)]) for rid, (x, y) in pts]
+        k = min(k, len(rows))
+        df = spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>")
+        got = sim.lloyd_kmeans(df, k=k, iterations=iterations)
+        cents = {}
+        stats = {}
+        for r in got.collect():
+            cents.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
+            stats[r["centroid_id"]] = (r["n_assigned"], r["wcss"])
+        ref_cents, ref_stats = self._reference(
+            [(rid, tuple(v)) for rid, v in rows], k, iterations)
+        # integer-ish inputs keep the float math far from rounding
+        # boundaries, so 4-digit coords and 3-digit wcss compare exact
+        for cid, cv in enumerate(ref_cents):
+            for pos, val in enumerate(cv):
+                assert cents[cid][pos] == float(round(val, 4)) + 0.0, \
+                    (cid, pos, cents[cid][pos], val)
+        for cid, (n, w) in ref_stats.items():
+            assert stats[cid][0] == n, (cid, stats, ref_stats)
+            assert stats[cid][1] == float(round(w, 3)) + 0.0
