@@ -71,6 +71,12 @@ def main() -> None:
     mean_rec = rec.agg(F.avg("recall").alias("r")).first()["r"]
     print(f"IVF(kmeans codebook, nprobe=4/8) recall@5 = {mean_rec:.3f}")
 
+    # 5. compress ahead of quantization: PCA to the top 16 of 64 dims
+    pca = similarity.pca_project(emb, n_components=16)
+    kept = pca.select(F.explode("pca").alias("v")).agg(
+        F.sum(F.col("v") * F.col("v")).alias("s")).first()["s"]
+    print(f"PCA(16/64): kept centered energy = {kept:.1f}")
+
     spark.stop()
 
 

@@ -1712,3 +1712,57 @@ class TestEmbeddingDriftMonitor:
         none = bad.filter("centroid_id > 99")
         with _pytest.raises(ValueError, match="no centroids"):
             st.embedding_drift_monitor(none, {0: 1.0})
+
+
+class TestClusteringPlanShapes:
+    """Plan pins for the round-10 clustering family: the shapes SCALE.md
+    documents are asserted, not just described."""
+
+    def _codebook(self, spark):
+        return spark.createDataFrame(
+            [(c, p, float(c * 10 + p)) for c in range(2) for p in range(2)],
+            "centroid_id int, pos int, coord double")
+
+    def test_l2_assignment_is_map_only_with_broadcast_codebook(
+            self, spark):
+        """The kmeans assignment pass: broadcast codebook crossJoin +
+        fold — ZERO shuffles on the corpus."""
+        from spark_expectations_spark.operators.similarity import \
+            _l2_assigned
+        vecs = spark.range(100).selectExpr(
+            "array(cast(id as double), cast(id+1 as double)) as __v")
+        out = _l2_assigned(vecs, [[0.0, 0.0], [50.0, 50.0]])
+        assert plans.num_shuffles(out) == 0
+        # the 1-row codebook crossJoin plans as the scalar-broadcast
+        # BroadcastNestedLoopJoin (linter-demoted shape), not a hash join
+        assert "BroadcastExchange" in plans.plan_text(out, "simple")
+
+    def test_cluster_qa_no_corpus_window(self, spark):
+        """cluster_qa's silhouette comes from the one-pass fold — the
+        plan must contain no Window over corpus rows (k-keyed windows
+        for purity are fine; they run on (k x labels) frames)."""
+        from spark_expectations_spark.operators import similarity as sim
+        corpus = spark.range(200).selectExpr(
+            "id as vec_id",
+            "array(cast(id % 7 as double)) as embedding")
+        out = sim.kmeans_cluster_qa(corpus, self._codebook(spark),
+                                    id_col="vec_id",
+                                    vec_col="embedding")
+        txt = plans.plan_text(out)
+        # the only Window allowed is the purity top-label rank, absent
+        # here (no label_col) — silhouette must not need one
+        assert "Window" not in txt
+        assert "BroadcastExchange" in plans.plan_text(out, "simple")
+
+    def test_hard_negatives_single_rank_window(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        corpus = spark.range(100).selectExpr(
+            "id as vec_id",
+            "array(cast(id as double)) as embedding",
+            "cast(id % 3 as int) as label")
+        out = sim.hard_negatives(corpus, corpus.filter("vec_id < 5"),
+                                 k=3)
+        assert "BroadcastExchange" in plans.plan_text(out, "simple")
+        # one exchange total: the per-query rank window's hash
+        # partition on query_id
+        assert plans.num_shuffles(out) <= 1
