@@ -137,6 +137,90 @@ def with_split(
     return df.withColumn(out, expr)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    splits: Mapping[str, float],
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out: str = "split",
+    salt: str = "",
+) -> DataFrame:
+    """Near-duplicate-aware split assignment: rows connected by ANY
+    chain of ``pairs`` edges land in the SAME split — the leakage
+    guard a training pipeline needs BEFORE trusting held-out numbers
+    (a near-dup of a training doc sitting in eval inflates every
+    metric it touches, and a naive per-id hash split scatters dup
+    clusters across the boundary with probability ~1−Σwᵢ²).
+
+    Pairs come from any detector in ``operators.dedup`` (fingerprint
+    equality, MinHash/LSH, n-gram Jaccard, embedding cosine).
+    Mechanism: transitive closure via
+    :func:`~.dedup.connected_components` (min-label propagation —
+    pair-list-sized, NOT corpus-sized), then :func:`with_split` keyed
+    by the component representative (min member id; singletons key by
+    their own id), inheriting its md5-coin determinism, weight
+    normalization, and NULL-key contract. Verify with
+    :func:`split_leakage_report` — this construction yields exactly
+    zero leaked pairs.
+
+    Scale shape: label propagation over edges (O(diameter) rounds of
+    join + min-groupBy with localCheckpoint lineage cuts), one id-keyed
+    left join against the corpus (labels side is dup-cluster-member
+    sized; AQE broadcasts when small), and the split itself is a pure
+    projection — no extra shuffle beyond the label join."""
+    from .dedup import connected_components
+
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    joined = df.join(
+        labels.select(F.col("node").alias(id_col), "component"),
+        id_col, "left")
+    keyed = joined.withColumn(
+        "__grp", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return with_split(keyed, "__grp", splits, out=out,
+                      salt=salt).drop("__grp")
+
+
+def split_leakage_report(
+    splits_df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """ONE row ``(n_pairs, n_leaked, leak_rate)``: how many known
+    near-dup pairs straddle a split boundary — the eval-contamination
+    check to run before trusting any split, and the acceptance test
+    for :func:`leakage_safe_split` (which yields 0 by construction).
+    Pairs whose side is missing from ``splits_df`` don't count as
+    leaked (inner joins — an absent row contaminates nothing);
+    ``leak_rate`` is NULL when no pairs survive the joins.
+
+    Scale shape: two id-keyed joins of the pair list against the
+    (id, split) projection plus one scalar aggregate — pair-list
+    sized, never corpus²."""
+    s = splits_df.select(F.col(id_col).alias("__sid"),
+                         F.col(split_col).alias("__sp"))
+    j = (pairs
+         .join(s.withColumnRenamed("__sid", "__ja")
+                .withColumnRenamed("__sp", "__sa"),
+               F.col(id_a) == F.col("__ja"))
+         .join(s.withColumnRenamed("__sid", "__jb")
+                .withColumnRenamed("__sp", "__sb"),
+               F.col(id_b) == F.col("__jb")))
+    leaked = F.sum(
+        F.when(F.col("__sa") != F.col("__sb"), 1).otherwise(0))
+    return j.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        leaked.cast("bigint").alias("n_leaked"),
+        (leaked / F.count(F.lit(1))).alias("leak_rate"))
+
+
 def with_kfold(
     df: DataFrame,
     key_col: str,

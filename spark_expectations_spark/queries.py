@@ -4497,6 +4497,96 @@ FROM documents d JOIN fences USING (lang)
 """
 
 
+def q_docs_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-aware split leakage, naive vs component-keyed
+    (sampling.leakage_safe_split / split_leakage_report): exact
+    bag-of-words duplicate pairs (token_set_fingerprint collisions,
+    the dedup-pipeline fixture's fpk edge set), an 80/20 md5-coin
+    split keyed naively by doc_id vs keyed by the dup-component
+    representative. Two rows (method, n_pairs, n_leaked, leak_rate):
+    the naive row shows real leakage (a dup pair splits with prob
+    2·0.8·0.2 = 32%), the component row is 0 BY CONSTRUCTION — the
+    property the oracle re-derives with a recursive transitive
+    closure and the same md5 bucket arithmetic."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select("doc_id",
+                     text.token_set_fingerprint(F.col("text"))
+                     .alias("__fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (a.join(b, (F.col("a.__fp") == F.col("b.__fp"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("id_a"),
+                     F.col("b.doc_id").alias("id_b")))
+    ids = docs.select("doc_id")
+    splits = {"train": 0.8, "eval": 0.2}
+    naive = sampling.with_split(ids, "doc_id", splits)
+    safe = sampling.leakage_safe_split(ids, pairs, "doc_id", splits)
+
+    def _rep(frame, method):
+        r = sampling.split_leakage_report(frame, pairs, "doc_id")
+        return r.select(F.lit(method).alias("method"), "n_pairs",
+                        "n_leaked",
+                        (F.round("leak_rate", 4) + F.lit(0.0))
+                        .alias("leak_rate"))
+
+    return _rep(naive, "naive").unionByName(_rep(safe, "component"))
+
+
+ORACLE_DOCS_SPLIT_LEAKAGE = r"""
+WITH RECURSIVE fpk AS (
+  SELECT doc_id,
+         md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> ''))), ' ')) AS f
+  FROM documents),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src),
+keyed AS (
+  SELECT d.doc_id,
+         CAST(coalesce(c.component, d.doc_id) AS VARCHAR) AS gkey
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+naive AS (
+  SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(
+           CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) < 52428
+         THEN 'train' ELSE 'eval' END AS sp
+  FROM documents),
+safe AS (
+  SELECT doc_id, CASE WHEN CAST(('0x' || substr(md5(gkey), 1, 4))
+           AS BIGINT) < 52428
+         THEN 'train' ELSE 'eval' END AS sp
+  FROM keyed),
+rep AS (
+  SELECT 'naive' AS method,
+         count(*) AS n_pairs,
+         CAST(sum(CASE WHEN na.sp <> nb.sp THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_leaked
+  FROM pairs p JOIN naive na ON na.doc_id = p.id_a
+               JOIN naive nb ON nb.doc_id = p.id_b
+  UNION ALL
+  SELECT 'component',
+         count(*),
+         CAST(sum(CASE WHEN sa.sp <> sb.sp THEN 1 ELSE 0 END) AS BIGINT)
+  FROM pairs p JOIN safe sa ON sa.doc_id = p.id_a
+               JOIN safe sb ON sb.doc_id = p.id_b)
+SELECT method, n_pairs, n_leaked,
+       round(n_leaked * 1.0 / n_pairs, 4) + 0.0 AS leak_rate
+FROM rep
+"""
+
+
 def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCA projection to the top 16 of 64 dims (similarity.pca_project):
     whiten's moments pass + driver eig + map-only BLAS, reducing
@@ -6919,13 +7009,14 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          embed_ivf_pq's, and a 13th (embed_kmeans_sampled, the
 #          train-on-sample mode) takes embed_pq's, and a 14th
 #          (embed_hard_negatives, label-masked top-k mining) takes
-#          docs_paragraph_dedup's. Remaining r8-gated entries
-#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
-#          docs_interleave, docs_strip_html, docs_phash_dups,
+#          docs_paragraph_dedup's and a 15th (docs_split_leakage, the
+#          dup-aware split guard) takes text_pii_redact's. Remaining
+#          r8-gated entries (lineitem_grouped_dq, drift report/verdict,
+#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
 #          docs_curriculum, docs_padding_waste, docs_global_index,
 #          docs_url_stats, events_bitmap_distinct, docs_span_removal,
-#          embed_ivf_pq, embed_pq, docs_paragraph_dedup) are the r11
-#          re-gate front.
+#          embed_ivf_pq, embed_pq, docs_paragraph_dedup,
+#          text_pii_redact) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -6947,6 +7038,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivf_kmeans",            # r10 new: kmeans-trained IVF search
     "embed_kmeans_sampled",      # r10 new: train-on-sample mode
     "embed_hard_negatives",      # r10 new: label-masked top-k mining
+    "docs_split_leakage",        # r10 new: dup-aware split guard
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -6959,7 +7051,6 @@ DRIVER_PRIORITY: list[str] = [
     # r8-first-gated entries not re-checked since
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
     "text_stats", "text_quality", "text_langid", "text_repetition",
-    "text_pii_redact",
 ]
 
 
@@ -7106,6 +7197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_kmeans_sampled": q_embed_kmeans_sampled,
     "embed_hard_negatives": q_embed_hard_negatives,
     "embed_pca": q_embed_pca,
+    "docs_split_leakage": q_docs_split_leakage,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7269,6 +7361,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_kmeans": ORACLE_EMBED_KMEANS,
     "embed_kmeans_sampled": ORACLE_EMBED_KMEANS_SAMPLED,
     "embed_hard_negatives": ORACLE_EMBED_HARD_NEGATIVES,
+    "docs_split_leakage": ORACLE_DOCS_SPLIT_LEAKAGE,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,

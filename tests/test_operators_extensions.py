@@ -5155,3 +5155,55 @@ class TestPcaProject:
         assert len(out[1]) == 2               # clamped to d
         with _pytest.raises(ValueError, match="n_components"):
             sim.pca_project(df, n_components=0)
+
+
+class TestLeakageSafeSplit:
+    def test_chained_dups_share_a_split_and_report_is_zero(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame(
+            [(i,) for i in range(1, 40)], "doc_id long")
+        # chain 1-2, 2-3 plus a separate pair 10-11: transitivity must
+        # hold through the chain, not just direct edges
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        out = sampling.leakage_safe_split(
+            df, pairs, "doc_id", {"train": 0.5, "eval": 0.5})
+        got = {r["doc_id"]: r["split"] for r in out.collect()}
+        assert got[1] == got[2] == got[3]
+        assert got[10] == got[11]
+        rep = sampling.split_leakage_report(
+            out, pairs, "doc_id").first()
+        assert rep["n_pairs"] == 3 and rep["n_leaked"] == 0
+        assert rep["leak_rate"] == 0.0
+        # every doc keeps exactly one assignment
+        assert len(got) == 39
+
+    def test_component_key_is_min_member_id(self, spark):
+        """Members key by the component's MIN id: doc 3's split must
+        equal a singleton split of key 1, not of key 3."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3)],
+                                      "id_a long, id_b long")
+        out = {r["doc_id"]: r["split"]
+               for r in sampling.leakage_safe_split(
+                   df, pairs, "doc_id",
+                   {"train": 0.5, "eval": 0.5}).collect()}
+        solo = {r["doc_id"]: r["split"]
+                for r in sampling.with_split(
+                    df, "doc_id", {"train": 0.5, "eval": 0.5}).collect()}
+        assert out[3] == solo[1]
+
+    def test_report_counts_leaks_and_ignores_missing_sides(self, spark):
+        from spark_expectations_spark.operators import sampling
+        splits = spark.createDataFrame(
+            [(1, "train"), (2, "eval"), (3, "train")],
+            "doc_id long, split string")
+        pairs = spark.createDataFrame(
+            [(1, 2),     # leaked (train vs eval)
+             (1, 3),     # same split
+             (1, 99)],   # 99 absent from splits -> not counted
+            "id_a long, id_b long")
+        r = sampling.split_leakage_report(splits, pairs, "doc_id").first()
+        assert r["n_pairs"] == 2 and r["n_leaked"] == 1
+        assert r["leak_rate"] == 0.5
