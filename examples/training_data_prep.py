@@ -40,8 +40,21 @@ def main() -> None:
     deduped = kept.join(drop_ids, "doc_id", "left_anti")
     print(f"near-dup removal: {kept.count()} -> {deduped.count()} docs")
 
-    split = sampling.with_split(deduped, "doc_id",
-                                {"train": 0.8, "val": 0.1, "test": 0.1})
+    # dup-AWARE split: near-duplicates must land in the SAME split or
+    # eval numbers inflate. Contrast on the pre-dedup frame: a naive
+    # per-id split scatters dup pairs across the boundary, the
+    # component-keyed split never does.
+    fractions = {"train": 0.8, "val": 0.1, "test": 0.1}
+    naive = sampling.with_split(kept, "doc_id", fractions)
+    nl = sampling.split_leakage_report(naive, pairs, "doc_id").first()
+    guarded = sampling.leakage_safe_split(kept, pairs, "doc_id",
+                                          fractions)
+    gl = sampling.split_leakage_report(guarded, pairs, "doc_id").first()
+    print(f"dup-pair leakage: naive split {nl['n_leaked']}/"
+          f"{nl['n_pairs']}, component split {gl['n_leaked']}/"
+          f"{gl['n_pairs']}")
+    split = sampling.leakage_safe_split(deduped, pairs, "doc_id",
+                                        fractions)
     split.groupBy("split").count().orderBy("split").show()
 
     # decontaminate: drop train docs overlapping the held-out test set
