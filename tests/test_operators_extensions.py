@@ -5207,3 +5207,16 @@ class TestLeakageSafeSplit:
         r = sampling.split_leakage_report(splits, pairs, "doc_id").first()
         assert r["n_pairs"] == 2 and r["n_leaked"] == 1
         assert r["leak_rate"] == 0.5
+
+
+class TestCentroidsFromLong:
+    def test_positions_sort_regardless_of_input_order(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        long = spark.createDataFrame(
+            [(1, 2, 30.0), (0, 1, 2.0), (1, 0, 10.0),
+             (0, 0, 1.0), (0, 2, 3.0), (1, 1, 20.0)],
+            "centroid_id int, pos int, coord double")
+        got = {r["centroid_id"]: r["centroid"]
+               for r in sim.centroids_from_long(long).collect()}
+        assert got[0] == [1.0, 2.0, 3.0]
+        assert got[1] == [10.0, 20.0, 30.0]
