@@ -885,3 +885,127 @@ def embedding_drift_monitor(
             on_drift(batch_id, psi)
 
     return step
+
+
+def init_codebook_state(codebook: DataFrame, codebook_path: str) -> None:
+    """Seed the on-disk codebook state :func:`kmeans_update_stream`
+    maintains: takes :func:`~..operators.similarity.lloyd_kmeans`'s
+    long-form output and writes ``(centroid_id, pos, coord, n_seen,
+    _batch_id=-1)`` — ``n_seen`` starts from the training run's
+    ``n_assigned`` when present (so the online updates are weighted as
+    a continuation of training), else 0."""
+    cols = codebook.columns
+    n_seen = (F.col("n_assigned").cast("long") if "n_assigned" in cols
+              else F.lit(0).cast("long"))
+    (codebook.select("centroid_id", "pos", "coord",
+                     n_seen.alias("n_seen"))
+     .withColumn("_batch_id", F.lit(-1).cast("long"))
+     .write.mode("overwrite").partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(codebook_path))
+
+
+def kmeans_update_stream(
+    codebook_path: str,
+    *,
+    vec_col: str = "embedding",
+    out_path: Optional[str] = None,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step: maintain a k-means codebook ONLINE — the
+    mini-batch k-means recipe (Sculley, WWW'10) with exact
+    count-weighted means instead of a learning rate: per micro-batch,
+    assign the batch's vectors to the CURRENT codebook (one map-only
+    broadcast argmin pass, similarity's ``_l2_assigned``) and move
+    each touched centroid to the exact cumulative mean of everything
+    it has ever absorbed: ``c' = (n_seen·c + Σx_batch)/(n_seen + n)``.
+    Untouched centroids keep coordinates and count. This closes the
+    clustering lifecycle: lloyd_kmeans trains, init_codebook_state
+    seeds the disk state, this step keeps the codebook current as the
+    corpus streams in, and ``embedding_drift_monitor`` watches the
+    SAME codebook for distribution shift.
+
+    State is the full long-form codebook re-written each batch,
+    stamped and partitioned by ``_batch_id`` with dynamic overwrite —
+    k×dim rows per version, model-scale, so "rewrite the whole state"
+    is the cheap and replay-safe design (a retried batch replaces its
+    own version; the read side takes the latest version EXCLUDING the
+    current batch id, so a failed attempt's half-written state is
+    invisible). Empty batches (no usable vectors) write nothing.
+    ``out_path`` optionally records one observability row per batch:
+    ``(_batch_id, n, max_shift)`` — the largest centroid L2 move,
+    the number to alarm on when the stream drifts faster than the
+    codebook can follow.
+    """
+    import math
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.similarity import _l2_assigned
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            state = spark.read.parquet(codebook_path)
+        except AnalysisException as exc:
+            raise ValueError(
+                "kmeans_update_stream: no codebook state at "
+                f"{codebook_path!r} — seed it with init_codebook_state "
+                "from a lloyd_kmeans run") from exc
+        prior = state.filter(F.col("_batch_id") != batch_id)
+        latest = prior.agg(F.max("_batch_id")).first()[0]
+        rows = (prior.filter(F.col("_batch_id") == latest)
+                .select("centroid_id", "pos", "coord", "n_seen")
+                .collect())
+        by_cid: dict = {}
+        n_seen: dict = {}
+        for r in rows:
+            by_cid.setdefault(r["centroid_id"], {})[r["pos"]] = r["coord"]
+            n_seen[r["centroid_id"]] = r["n_seen"]
+        cents = [[by_cid[c][p] for p in sorted(by_cid[c])]
+                 for c in sorted(by_cid)]
+        dim = len(cents[0])
+        vecs = (batch_df
+                .filter(F.col(vec_col).isNotNull()
+                        & (F.size(vec_col) > 0))
+                .select(F.transform(F.col(vec_col),
+                                    lambda x: x.cast("double"))
+                        .alias("__v")))
+        stats = (_l2_assigned(vecs, cents)
+                 .groupBy("__cid")
+                 .agg(F.count(F.lit(1)).alias("__n"),
+                      *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
+                        for i in range(dim)])
+                 .collect())
+        if not stats:
+            return
+        upd = {r["__cid"]: r for r in stats}
+        out_rows = []
+        max_shift = 0.0
+        for cid, cvec in enumerate(cents):
+            seen = int(n_seen.get(cid, 0))
+            if cid in upd:
+                n = int(upd[cid]["__n"])
+                new = [(seen * cvec[i] + upd[cid][f"__s{i}"])
+                       / (seen + n) for i in range(dim)]
+                max_shift = max(max_shift, math.sqrt(sum(
+                    (a - b) * (a - b) for a, b in zip(new, cvec))))
+                cvec, seen = new, seen + n
+            out_rows.extend(
+                (cid, pos, float(cvec[pos]), seen, int(batch_id))
+                for pos in range(dim))
+        (spark.createDataFrame(
+            out_rows, "centroid_id int, pos int, coord double, "
+                      "n_seen long, _batch_id long")
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(codebook_path))
+        if out_path is not None:
+            n_total = sum(int(r["__n"]) for r in stats)
+            (spark.createDataFrame(
+                [(int(batch_id), n_total, float(max_shift))],
+                "_batch_id long, n long, max_shift double")
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(out_path))
+
+    return step

@@ -1766,3 +1766,77 @@ class TestClusteringPlanShapes:
         # one exchange total: the per-query rank window's hash
         # partition on query_id
         assert plans.num_shuffles(out) <= 1
+
+
+class TestKmeansUpdateStream:
+    def _seed(self, spark, path):
+        from spark_expectations_spark import streaming as st
+        cb = spark.createDataFrame(
+            [(0, 0, 0.0, 2), (1, 0, 10.0, 2)],
+            "centroid_id int, pos int, coord double, n_assigned long")
+        st.init_codebook_state(cb, path)
+
+    def _latest(self, spark, path):
+        import pyspark.sql.functions as F
+        df = spark.read.parquet(path)
+        latest = df.agg(F.max("_batch_id")).first()[0]
+        return {r["centroid_id"]: (r["coord"], r["n_seen"])
+                for r in df.filter(F.col("_batch_id") == latest).collect()}, latest
+
+    def test_count_weighted_updates_accumulate(self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        path = str(tmp_path / "codebook")
+        self._seed(spark, path)
+        step = st.kmeans_update_stream(path,
+                                       out_path=str(tmp_path / "obs"))
+        # batch 0: two vectors near c0 -> c0 = (2*0 + 1 + 3)/(2+2) = 1.0
+        b0 = spark.createDataFrame([(1, [1.0]), (2, [3.0])],
+                                   "id long, embedding array<double>")
+        step(b0, 0)
+        got, latest = self._latest(spark, path)
+        assert latest == 0
+        assert got[0] == (1.0, 4) and got[1] == (10.0, 2)
+        # batch 1: one vector at 13 near c1 -> c1 = (2*10+13)/3 = 11.0
+        b1 = spark.createDataFrame([(3, [13.0])],
+                                   "id long, embedding array<double>")
+        step(b1, 1)
+        got, latest = self._latest(spark, path)
+        assert latest == 1
+        assert got[0] == (1.0, 4) and got[1] == (11.0, 3)
+        obs = {r["_batch_id"]: r for r in
+               spark.read.parquet(str(tmp_path / "obs")).collect()}
+        assert obs[0]["n"] == 2 and obs[0]["max_shift"] == 1.0
+        assert obs[1]["n"] == 1 and obs[1]["max_shift"] == 1.0
+
+    def test_replay_is_exactly_once(self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        path = str(tmp_path / "codebook")
+        self._seed(spark, path)
+        step = st.kmeans_update_stream(path)
+        b = spark.createDataFrame([(1, [4.0])],
+                                  "id long, embedding array<double>")
+        step(b, 5)
+        first, latest1 = self._latest(spark, path)
+        step(b, 5)                       # replay the same batch id
+        again, latest2 = self._latest(spark, path)
+        assert (first, latest1) == (again, latest2)
+        # the replayed version must NOT have compounded: c0 moved once
+        assert first[0] == ((2 * 0.0 + 4.0) / 3, 3)
+
+    def test_empty_batch_writes_nothing_and_missing_state_raises(
+            self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        import pytest as _pytest
+        path = str(tmp_path / "codebook")
+        self._seed(spark, path)
+        step = st.kmeans_update_stream(path)
+        empty = spark.createDataFrame(
+            [(1, None)], "id long, embedding array<double>")
+        step(empty, 3)
+        _, latest = self._latest(spark, path)
+        assert latest == -1              # still the seed version
+        with _pytest.raises(ValueError, match="seed it"):
+            st.kmeans_update_stream(str(tmp_path / "nope"))(
+                spark.createDataFrame([(1, [0.0])],
+                                      "id long, embedding array<double>"),
+                0)
