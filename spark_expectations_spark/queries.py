@@ -2197,6 +2197,71 @@ FROM orders GROUP BY o_custkey
 """
 
 
+def q_orders_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over order line items: for part
+    pairs co-occurring in >= 2 orders, support / confidence / lift —
+    the classic co-purchase miner as a pure DataFrame composition
+    (per-order pair expansion bounded by lines-per-order, never
+    corpus²; one orderkey-partitioned self-join + a pair-keyed count +
+    two broadcast-able part-frequency joins). Top 100 by lift with
+    full deterministic tie order; int/int-derived doubles rounded 6 —
+    bit-stable cross-engine."""
+    li = (load(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_partkey").distinct())
+    n_orders = li.select("l_orderkey").distinct() \
+                 .agg(F.count(F.lit(1)).alias("__n"))
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("__f"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                    & (F.col("a.l_partkey") < F.col("b.l_partkey")))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("n_together"))
+             .filter(F.col("n_together") >= 2))
+    out = (pairs
+           .join(freq.select(F.col("l_partkey").alias("part_a"),
+                             F.col("__f").alias("__fa")), "part_a")
+           .join(freq.select(F.col("l_partkey").alias("part_b"),
+                             F.col("__f").alias("__fb")), "part_b")
+           .crossJoin(F.broadcast(n_orders)))
+    lift = (F.col("n_together") * F.col("__n")
+            / (F.col("__fa") * F.col("__fb")))
+    return (out.select(
+                "part_a", "part_b", "n_together",
+                F.round(F.col("n_together") / F.col("__n"), 6)
+                 .alias("support"),
+                F.round(F.col("n_together") / F.col("__fa"), 6)
+                 .alias("confidence"),
+                F.round(lift, 6).alias("lift"))
+            .orderBy(F.col("lift").desc(), F.col("part_a").asc(),
+                     F.col("part_b").asc())
+            .limit(100))
+
+
+ORACLE_ORDERS_BASKET_LIFT = """
+WITH li AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+freq AS (SELECT l_partkey, count(*) AS f FROM li GROUP BY l_partkey),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_together
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT part_a, part_b, n_together,
+       round(n_together * 1.0 / n.n_orders, 6) AS support,
+       round(n_together * 1.0 / fa.f, 6) AS confidence,
+       round(n_together * 1.0 * n.n_orders / (fa.f * fb.f), 6) AS lift
+FROM pairs
+JOIN freq fa ON fa.l_partkey = part_a
+JOIN freq fb ON fb.l_partkey = part_b
+CROSS JOIN n
+ORDER BY lift DESC, part_a ASC, part_b ASC
+LIMIT 100
+"""
+
+
 def q_part_brand_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     pa = load(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand").orderBy(
@@ -7009,14 +7074,17 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          embed_ivf_pq's, and a 13th (embed_kmeans_sampled, the
 #          train-on-sample mode) takes embed_pq's, and a 14th
 #          (embed_hard_negatives, label-masked top-k mining) takes
-#          docs_paragraph_dedup's and a 15th (docs_split_leakage, the
-#          dup-aware split guard) takes text_pii_redact's. Remaining
-#          r8-gated entries (lineitem_grouped_dq, drift report/verdict,
-#          price_jsd, docs_interleave, docs_strip_html, docs_phash_dups,
+#          docs_paragraph_dedup's, a 15th (docs_split_leakage, the
+#          dup-aware split guard) takes text_pii_redact's, and a 16th
+#          (orders_basket_lift, the association-rule miner) takes
+#          text_repetition's. Remaining r8-gated entries
+#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
+#          docs_interleave, docs_strip_html, docs_phash_dups,
 #          docs_curriculum, docs_padding_waste, docs_global_index,
 #          docs_url_stats, events_bitmap_distinct, docs_span_removal,
 #          embed_ivf_pq, embed_pq, docs_paragraph_dedup,
-#          text_pii_redact) are the r11 re-gate front.
+#          text_pii_redact, text_repetition) are the r11 re-gate
+#          front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -7039,6 +7107,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_kmeans_sampled",      # r10 new: train-on-sample mode
     "embed_hard_negatives",      # r10 new: label-masked top-k mining
     "docs_split_leakage",        # r10 new: dup-aware split guard
+    "orders_basket_lift",        # r10 new: association-rule miner
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -7050,7 +7119,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_token_entropy", "docs_readability", "lineitem_price_ks",
     # r8-first-gated entries not re-checked since
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
-    "text_stats", "text_quality", "text_langid", "text_repetition",
+    "text_stats", "text_quality", "text_langid",
 ]
 
 
@@ -7198,6 +7267,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_hard_negatives": q_embed_hard_negatives,
     "embed_pca": q_embed_pca,
     "docs_split_leakage": q_docs_split_leakage,
+    "orders_basket_lift": q_orders_basket_lift,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7362,6 +7432,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_kmeans_sampled": ORACLE_EMBED_KMEANS_SAMPLED,
     "embed_hard_negatives": ORACLE_EMBED_HARD_NEGATIVES,
     "docs_split_leakage": ORACLE_DOCS_SPLIT_LEAKAGE,
+    "orders_basket_lift": ORACLE_ORDERS_BASKET_LIFT,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
