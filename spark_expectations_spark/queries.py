@@ -2028,6 +2028,42 @@ WHERE abs(n_events - mean_n) > 2 * std_n
 """
 
 
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: each user's first 5 events in (ts, event_id)
+    order concatenated into a path string, counted and ranked — the
+    product-analytics path miner as one groupBy(user) with a sorted
+    struct collect (per-user state bounded by the user's history, no
+    window over the global stream) + one path-keyed count +
+    TakeOrderedAndProject. The struct sort key (ts, event_id) is a
+    total order (event_id unique), so both engines build identical
+    paths; ts is epoch-nanos on the Spark side and raw timestamps in
+    DuckDB — order-equivalent, which is all the path needs."""
+    ev = load(spark, sf_dir, "events")
+    seq = (ev.groupBy("user_id")
+           .agg(F.array_sort(F.collect_list(
+               F.struct("ts", "event_id", "event_type"))).alias("__s")))
+    path = seq.select(F.concat_ws(
+        ">", F.slice(F.transform("__s", lambda x: x["event_type"]),
+                     1, 5)).alias("path"))
+    return (path.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .orderBy(F.col("n_users").desc(), F.col("path").asc())
+            .limit(20))
+
+
+ORACLE_EVENTS_TOP_PATHS = """
+WITH p AS (
+  SELECT user_id,
+         array_to_string(list(event_type ORDER BY ts, event_id)[1:5],
+                         '>') AS path
+  FROM events GROUP BY user_id)
+SELECT path, count(*) AS n_users
+FROM p GROUP BY path
+ORDER BY n_users DESC, path ASC
+LIMIT 20
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase conversion funnel: per-user first signup joined
     against any later purchase — two filtered aggregates and one
@@ -7077,14 +7113,15 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_paragraph_dedup's, a 15th (docs_split_leakage, the
 #          dup-aware split guard) takes text_pii_redact's, and a 16th
 #          (orders_basket_lift, the association-rule miner) takes
-#          text_repetition's. Remaining r8-gated entries
-#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
-#          docs_interleave, docs_strip_html, docs_phash_dups,
-#          docs_curriculum, docs_padding_waste, docs_global_index,
-#          docs_url_stats, events_bitmap_distinct, docs_span_removal,
-#          embed_ivf_pq, embed_pq, docs_paragraph_dedup,
-#          text_pii_redact, text_repetition) are the r11 re-gate
-#          front.
+#          text_repetition's, and a 17th (events_top_paths, the
+#          user-journey path miner) takes text_langid's. Remaining
+#          r8-gated entries (lineitem_grouped_dq, drift
+#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
+#          docs_phash_dups, docs_curriculum, docs_padding_waste,
+#          docs_global_index, docs_url_stats, events_bitmap_distinct,
+#          docs_span_removal, embed_ivf_pq, embed_pq,
+#          docs_paragraph_dedup, text_pii_redact, text_repetition,
+#          text_langid) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -7108,6 +7145,7 @@ DRIVER_PRIORITY: list[str] = [
     "embed_hard_negatives",      # r10 new: label-masked top-k mining
     "docs_split_leakage",        # r10 new: dup-aware split guard
     "orders_basket_lift",        # r10 new: association-rule miner
+    "events_top_paths",          # r10 new: user-journey path miner
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -7119,7 +7157,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_token_entropy", "docs_readability", "lineitem_price_ks",
     # r8-first-gated entries not re-checked since
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
-    "text_stats", "text_quality", "text_langid",
+    "text_stats", "text_quality",
 ]
 
 
@@ -7268,6 +7306,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_pca": q_embed_pca,
     "docs_split_leakage": q_docs_split_leakage,
     "orders_basket_lift": q_orders_basket_lift,
+    "events_top_paths": q_events_top_paths,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7433,6 +7472,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_hard_negatives": ORACLE_EMBED_HARD_NEGATIVES,
     "docs_split_leakage": ORACLE_DOCS_SPLIT_LEAKAGE,
     "orders_basket_lift": ORACLE_ORDERS_BASKET_LIFT,
+    "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
