@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "docs_weighted_cosine",
     # label-masked top-k mining (query-broadcast scan, 1 rank window)
     "embed_hard_negatives",
+    # association rules + user-journey paths (pure compositions)
+    "orders_basket_lift", "events_top_paths",
     # kmeans-trained IVF search (2 Lloyd iterations + assignment +
     # probe/search — the composition entry; training shares no work
     # with embed_kmeans's own bench row by design, each run stands
