@@ -222,3 +222,63 @@ def cohens_kappa(
         "n", p_o.alias("p_o"), p_e.alias("p_e"),
         F.when(p_e < 1.0, (p_o - p_e) / (F.lit(1.0) - p_e))
          .alias("kappa"))
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal) over LONG-form ratings — one row
+    per (unit, rating). The multi-rater upgrade of
+    :func:`cohens_kappa`: any number of raters, raters need not be
+    identified (alpha is rater-agnostic by construction), and MISSING
+    ratings are handled by the math instead of dropping the unit —
+    exactly the shape of an LLM-judge ensemble where each item gets
+    2-5 verdicts. Returns ONE row ``(n_units, n_ratings, d_o, d_e,
+    alpha)``.
+
+    Derivation (Krippendorff 2011, coincidence-matrix form, collapsed
+    to per-unit folds): units with fewer than 2 non-NULL ratings are
+    unpairable and excluded; per pairable unit the off-diagonal
+    coincidence mass is ``(m_u² − Σ_c n_uc²)/(m_u − 1)`` and
+    ``D_o = Σ_u`` of it; label marginals over pairable units give
+    ``D_e = (n² − Σ_c n_c²)/(n − 1)``; ``alpha = 1 − D_o/D_e``, NULL
+    when ``D_e = 0`` (every rating one label — agreement degenerate,
+    matching kappa's convention). Every output is an int-derived
+    double — bit-identical cross-engine, no rounding.
+
+    Scale shape: one (unit, label) groupBy (map-side combined), one
+    unit-keyed fold to per-unit masses, one label-keyed marginal agg —
+    the largest intermediate is units × labels-per-unit rows; the
+    final fold is over label-cardinality and unit-count frames, and
+    only 1-row aggregates cross to the driver side of the plan."""
+    u = F.col(unit_col)
+    lab = F.col(label_col).cast("string")
+    ul = (df.filter(u.isNotNull() & lab.isNotNull())
+          .groupBy(u.alias("__u"), lab.alias("__l"))
+          .agg(F.count(F.lit(1)).alias("__c")))
+    per_unit = (ul.groupBy("__u")
+                .agg(F.sum("__c").alias("__m"),
+                     F.sum(F.col("__c") * F.col("__c")).alias("__s2"))
+                .filter(F.col("__m") >= 2))
+    do = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__m").alias("n_ratings"),
+        F.sum((F.col("__m") * F.col("__m") - F.col("__s2"))
+              .cast("double") / (F.col("__m") - 1)).alias("d_o"))
+    marg = (ul.join(per_unit.select("__u"), "__u", "left_semi")
+            .groupBy("__l").agg(F.sum("__c").alias("__nl")))
+    tot = marg.agg(F.sum("__nl").alias("__n"),
+                   F.sum(F.col("__nl") * F.col("__nl")).alias("__s2l"))
+    out = do.crossJoin(F.broadcast(tot))
+    d_e = ((F.col("__n") * F.col("__n") - F.col("__s2l")).cast("double")
+           / (F.col("__n") - 1))
+    return out.select(
+        F.coalesce("n_units", F.lit(0)).alias("n_units"),
+        F.coalesce("n_ratings", F.lit(0)).alias("n_ratings"),
+        F.coalesce("d_o", F.lit(0.0)).alias("d_o"),
+        d_e.alias("d_e"),
+        F.when(d_e > 0.0,
+               F.lit(1.0) - F.coalesce("d_o", F.lit(0.0)) / d_e)
+         .alias("alpha"))

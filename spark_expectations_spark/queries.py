@@ -6683,6 +6683,69 @@ def q_docs_label_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profiling.cohens_kappa(labeled, "rater_a", "rater_b")
 
 
+def q_docs_label_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (profiling.krippendorff_alpha) over a
+    synthesized 3-judge ensemble on the lang column: judge 1 = lang,
+    judge 2 relabels doc_id % 7 == 0 to 'xx', judge 3 relabels
+    doc_id % 11 == 0 to 'yy' and is MISSING (NULL) on doc_id % 97 == 0
+    — the missing-data case kappa can't express is exactly what alpha
+    is for. Long-form union, two keyed aggs, all int-derived doubles —
+    bit-identical cross-engine, no rounding."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    r1 = docs.select(F.col("doc_id").alias("unit"),
+                     F.col("lang").alias("label"))
+    r2 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+         .otherwise(F.col("lang")).alias("label"))
+    r3 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("string"))
+         .when(F.col("doc_id") % 11 == 0, F.lit("yy"))
+         .otherwise(F.col("lang")).alias("label"))
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return profiling.krippendorff_alpha(ratings, "unit", "label")
+
+
+ORACLE_DOCS_LABEL_ALPHA = """
+WITH ratings AS (
+  SELECT doc_id AS unit, lang AS label FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
+                      WHEN doc_id % 11 = 0 THEN 'yy' ELSE lang END
+  FROM documents),
+ul AS (
+  SELECT unit, label, count(*) AS c FROM ratings
+  WHERE unit IS NOT NULL AND label IS NOT NULL
+  GROUP BY unit, label),
+pu AS (
+  SELECT unit, sum(c) AS m, sum(c * c) AS s2 FROM ul
+  GROUP BY unit HAVING sum(c) >= 2),
+do_t AS (
+  SELECT count(*) AS n_units, CAST(sum(m) AS BIGINT) AS n_ratings,
+         sum((m * m - s2) * 1.0 / (m - 1)) AS d_o
+  FROM pu),
+marg AS (
+  SELECT ul.label, sum(ul.c) AS nl
+  FROM ul JOIN pu ON pu.unit = ul.unit GROUP BY ul.label),
+tot AS (SELECT sum(nl) AS n, sum(nl * nl) AS s2l FROM marg)
+SELECT coalesce(n_units, 0) AS n_units,
+       coalesce(n_ratings, 0) AS n_ratings,
+       coalesce(d_o, 0.0) AS d_o,
+       (n * n - s2l) * 1.0 / (n - 1) AS d_e,
+       CASE WHEN (n * n - s2l) * 1.0 / (n - 1) > 0.0
+            THEN 1.0 - coalesce(d_o, 0.0)
+                 / ((n * n - s2l) * 1.0 / (n - 1))
+       END AS alpha
+FROM do_t CROSS JOIN tot
+"""
+
+
 ORACLE_DOCS_LABEL_AGREEMENT = """
 WITH labeled AS (
   SELECT lang AS a,
@@ -7113,15 +7176,17 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_paragraph_dedup's, a 15th (docs_split_leakage, the
 #          dup-aware split guard) takes text_pii_redact's, and a 16th
 #          (orders_basket_lift, the association-rule miner) takes
-#          text_repetition's, and a 17th (events_top_paths, the
-#          user-journey path miner) takes text_langid's. Remaining
-#          r8-gated entries (lineitem_grouped_dq, drift
-#          report/verdict, price_jsd, docs_interleave, docs_strip_html,
-#          docs_phash_dups, docs_curriculum, docs_padding_waste,
-#          docs_global_index, docs_url_stats, events_bitmap_distinct,
-#          docs_span_removal, embed_ivf_pq, embed_pq,
-#          docs_paragraph_dedup, text_pii_redact, text_repetition,
-#          text_langid) are the r11 re-gate front.
+#          text_repetition's, a 17th (events_top_paths, the
+#          user-journey path miner) takes text_langid's, and an 18th
+#          (docs_label_alpha, Krippendorff multi-rater agreement)
+#          takes text_quality's. Remaining r8-gated entries
+#          (lineitem_grouped_dq, drift report/verdict, price_jsd,
+#          docs_interleave, docs_strip_html, docs_phash_dups,
+#          docs_curriculum, docs_padding_waste, docs_global_index,
+#          docs_url_stats, events_bitmap_distinct, docs_span_removal,
+#          embed_ivf_pq, embed_pq, docs_paragraph_dedup,
+#          text_pii_redact, text_repetition, text_langid,
+#          text_quality) are the r11 re-gate front.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -7146,6 +7211,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_split_leakage",        # r10 new: dup-aware split guard
     "orders_basket_lift",        # r10 new: association-rule miner
     "events_top_paths",          # r10 new: user-journey path miner
+    "docs_label_alpha",          # r10 new: multi-rater agreement
     "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
     # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
     "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
@@ -7157,7 +7223,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_token_entropy", "docs_readability", "lineitem_price_ks",
     # r8-first-gated entries not re-checked since
     "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
-    "text_stats", "text_quality",
+    "text_stats",
 ]
 
 
@@ -7307,6 +7373,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_split_leakage": q_docs_split_leakage,
     "orders_basket_lift": q_orders_basket_lift,
     "events_top_paths": q_events_top_paths,
+    "docs_label_alpha": q_docs_label_alpha,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7473,6 +7540,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_split_leakage": ORACLE_DOCS_SPLIT_LEAKAGE,
     "orders_basket_lift": ORACLE_ORDERS_BASKET_LIFT,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
+    "docs_label_alpha": ORACLE_DOCS_LABEL_ALPHA,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,

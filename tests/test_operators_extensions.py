@@ -5220,3 +5220,48 @@ class TestCentroidsFromLong:
                for r in sim.centroids_from_long(long).collect()}
         assert got[0] == [1.0, 2.0, 3.0]
         assert got[1] == [10.0, 20.0, 30.0]
+
+
+class TestKrippendorffAlpha:
+    def _alpha(self, spark, rows):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(rows, "unit long, label string")
+        return profiling.krippendorff_alpha(df, "unit", "label").first()
+
+    def test_worked_example(self, spark):
+        """2 coders, 3 units: (a,a), (b,b), (a,b) -> D_o = 2,
+        D_e = (36 - 18)/5 = 3.6, alpha = 1 - 2/3.6 = 0.4444..."""
+        r = self._alpha(spark, [(1, "a"), (1, "a"), (2, "b"), (2, "b"),
+                                (3, "a"), (3, "b")])
+        assert r["n_units"] == 3 and r["n_ratings"] == 6
+        assert r["d_o"] == 2.0
+        assert r["d_e"] == pytest.approx(3.6)
+        assert r["alpha"] == pytest.approx(1 - 2 / 3.6)
+
+    def test_perfect_agreement_and_degenerate(self, spark):
+        r = self._alpha(spark, [(1, "a"), (1, "a"), (2, "b"),
+                                (2, "b"), (2, "b")])
+        assert r["d_o"] == 0.0 and r["alpha"] == 1.0
+        # every rating the same label: D_e = 0 -> NULL, not 1.0
+        r2 = self._alpha(spark, [(1, "a"), (1, "a"), (2, "a"), (2, "a")])
+        assert r2["alpha"] is None
+
+    def test_unpairable_and_null_ratings_excluded(self, spark):
+        """A unit with one rating and NULL ratings carry no evidence:
+        the result must equal the worked example exactly."""
+        rows = [(1, "a"), (1, "a"), (2, "b"), (2, "b"),
+                (3, "a"), (3, "b"),
+                (4, "q"),            # unpairable unit
+                (5, None), (1, None)]  # NULL ratings
+        r = self._alpha(spark, rows)
+        assert r["n_units"] == 3 and r["n_ratings"] == 6
+        assert r["alpha"] == pytest.approx(1 - 2 / 3.6)
+
+    def test_three_raters_per_unit(self, spark):
+        """m_u = 3: unit (a,a,b) contributes (9 - (4+1))/2 = 2.0
+        off-diagonal mass."""
+        r = self._alpha(spark, [(1, "a"), (1, "a"), (1, "b")])
+        assert r["d_o"] == 2.0
+        # marginals a=2,b=1,n=3: D_e = (9-5)/2 = 2.0 -> alpha = 0
+        assert r["d_e"] == pytest.approx(2.0)
+        assert r["alpha"] == 0.0
