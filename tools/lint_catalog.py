@@ -10,11 +10,12 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (r10): 162/162 queries 0 errors
-(+ the later-added part_fs_scores linted individually, also clean);
-78 warns — 41 filter-not-pushed, 33 single-partition-exchange, 4
-inline-adjudicated cartesian-products (dims-scale probe grids / the
-docs_curriculum thresholds BNLJ the subtree prover can't certify).
+build) is present. Last full run (end of r10): 174/174 queries 0
+errors; 97 warns — 50 filter-not-pushed, 40 single-partition-exchange
+(model-scale folds/collapses and value-predicate scans reviewed with
+the round's entries), 7 adjudicated cartesian-products (dims-scale
+probe grids, the docs_curriculum thresholds BNLJ the subtree prover
+can't certify, the sample-bounded blocking-quality truth side).
 Plan_lint demotes BroadcastNestedLoopJoins whose build side is a
 provably 1-row aggregate to info (r8 verdict task 6); the demotion
 requires an explicit BuildLeft/BuildRight token and keeps the warn
@@ -54,6 +55,16 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "BNLJ, but the build side is the explicitly-broadcast "
         "group-cardinality thresholds frame (1 row per group) — the "
         "grouped agg isn't keyless so plan_lint can't prove it 1-row",
+    ("embed_hard_negatives", "cartesian-product"):
+        "query matrix broadcast BY CONTRACT (ann_topk's shape with the "
+        "label mask riding the map-side predicate; corpus streams once)",
+    ("ann_ivf_kmeans", "cartesian-product"):
+        "the ann_ivf probe grid (queries x centroids, dims-scale) plus "
+        "the kmeans codebook collapse — every cross side is model-scale",
+    ("part_blocking_quality", "cartesian-product"):
+        "the report's TRUTH side is a cross join BY DESIGN and by "
+        "documented contract runs only on the deterministic sample "
+        "(sample_fraction); the blocking side never cross-joins",
 }
 
 
