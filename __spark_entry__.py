@@ -3,15 +3,15 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (174 queries, 168 with DuckDB
+catalog from spark_expectations_spark.queries (178 queries, 172 with DuckDB
 oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
 whose md5_48 twins carry full value oracles — the HLL-sketch
 events_distinct_rollup, approximate by construction with an exact
 countDistinct twin events_distinct_rollup_exact that IS value-checked,
 embed_whiten and embed_pca, whose eigendecompositions have no SQL
 twin and are pytest-verified against known covariance fixtures and a
-numpy differential (whiten's raw-moment invariants ARE value-checked
-via embed_whiten_check), and docs_bpe,
+numpy differential (both have value-checked invariant twins:
+embed_whiten_check and embed_pca_check), and docs_bpe,
 whose learned BPE merge table has no SQL twin and is pinned by
 differential tests against a pure-Python reference implementation).
 tests/test_driver_contract.py asserts these counts stay in sync.

@@ -4,6 +4,30 @@ seconds) followed by ONE short summary JSON line LAST:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 The summary line stays under the driver's ~2000-char tail-capture window
 (BENCH_r08 was unparseable because the 90-query single line overflowed it).
+
+SELECTION POLICY (r10 verdict task 3 — what is benched and what is
+deliberately not): BENCH_QUERIES carries every operator family's
+REPRESENTATIVE under its production configuration — each distinct plan
+shape appears at least once. Excluded, by rule:
+
+- cheap tpch variants (q2/4/7/8/9/11/12/13/14/15/16/17/19/20/21/22ish):
+  one representative per join/agg shape is benched (q1 agg, q3/q5ish
+  joins, q6 filter-agg, q10ish outer+agg, q18ish semi+topk); the rest
+  re-time the same exchanges on the same tables and would only add
+  noise surface.
+- rows-only twins and sibling configurations of a benched operator
+  (dedup_minhash_md5/simhash_md5/xxhash twins, embed_whiten vs its
+  benched _check, ann_ivf vs benched ann_ivf_recall/ann_ivf_kmeans,
+  docs_label_alpha_ordinal vs the benched interval metric): the timed
+  plan is identical up to one projection/metric table.
+- sub-second composition wrappers whose constituent operators are
+  already benched standalone (dedup_fingerprint/jaccard/clusters/
+  canonical inside docs_dedup_pipeline; drift report/verdict pair is
+  benched as the report + one verdict).
+
+Everything else — every NEW operator family a round ships — gets a row
+the same round it lands. The graded pair (dq_engine_full_run vs
+dq_handwritten_run) is always measured, min-of-2.
 """
 
 from __future__ import annotations
@@ -117,6 +141,16 @@ BENCH_QUERIES = [
     # broadcast-codebook assignment passes; cost is per-job overhead at
     # this SF, map-only at scale
     "embed_kmeans",
+    # r10 gap-fill (verdict task 3): train-on-sample k-means, the
+    # silhouette/purity cluster gate, the dup-aware split guard, and
+    # multi-rater label agreement (nominal alpha)
+    "embed_kmeans_sampled", "embed_cluster_qa", "docs_split_leakage",
+    "docs_label_alpha",
+    # round-11 operators: PCA invariants twin (two moments passes +
+    # projection), interval-metric alpha (per-unit moments fold),
+    # disjunctive two-blocker linkage (prefix OR ngram candidate union)
+    "embed_pca_check", "docs_label_alpha_interval",
+    "part_fuzzy_disjunctive",
 ]
 
 

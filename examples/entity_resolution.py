@@ -94,12 +94,17 @@ def main() -> None:
         (F.col("p_size") == F.col("f_size")).alias("a_size"))
     m, u, prior = linkage.fs_estimate_mu(
         fields, ["a_near", "a_brand", "a_size"])
+    print("FS EM-recovered parameters: "
+          + ", ".join(f"{c}: m={mi:.3f} u={ui:.3f}"
+                      for c, mi, ui in zip(
+                          ("a_near", "a_brand", "a_size"), m, u))
+          + f"; match prior p={prior:.3f}")
     scored = linkage.fs_score_pairs(
         fields, ["a_near", "a_brand", "a_size"], m=m, u=u,
         lower=0.0, upper=4.0)
     dec = {r["decision"]: r["count"]
            for r in scored.groupBy("decision").count().collect()}
-    print(f"FS decisions (EM p={prior:.2f}): {dec}")
+    print(f"FS decisions (fitted, not fixed, m/u): {dec}")
 
     # 6. set-similarity join on word-token sets
     toks = F.array_distinct(F.split(F.lower(F.col("fname")), r"[\s#]+"))

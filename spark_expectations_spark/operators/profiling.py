@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
@@ -228,31 +228,59 @@ def krippendorff_alpha(
     df: DataFrame,
     unit_col: str,
     label_col: str,
+    *,
+    metric: str = "nominal",
 ) -> DataFrame:
-    """Krippendorff's alpha (nominal) over LONG-form ratings — one row
-    per (unit, rating). The multi-rater upgrade of
-    :func:`cohens_kappa`: any number of raters, raters need not be
-    identified (alpha is rater-agnostic by construction), and MISSING
-    ratings are handled by the math instead of dropping the unit —
-    exactly the shape of an LLM-judge ensemble where each item gets
-    2-5 verdicts. Returns ONE row ``(n_units, n_ratings, d_o, d_e,
-    alpha)``.
+    """Krippendorff's alpha over LONG-form ratings — one row per
+    (unit, rating). The multi-rater upgrade of :func:`cohens_kappa`:
+    any number of raters, raters need not be identified (alpha is
+    rater-agnostic by construction), and MISSING ratings are handled
+    by the math instead of dropping the unit — exactly the shape of an
+    LLM-judge ensemble where each item gets 2-5 verdicts. Returns ONE
+    row ``(n_units, n_ratings, d_o, d_e, alpha)``.
 
-    Derivation (Krippendorff 2011, coincidence-matrix form, collapsed
-    to per-unit folds): units with fewer than 2 non-NULL ratings are
-    unpairable and excluded; per pairable unit the off-diagonal
-    coincidence mass is ``(m_u² − Σ_c n_uc²)/(m_u − 1)`` and
-    ``D_o = Σ_u`` of it; label marginals over pairable units give
-    ``D_e = (n² − Σ_c n_c²)/(n − 1)``; ``alpha = 1 − D_o/D_e``, NULL
-    when ``D_e = 0`` (every rating one label — agreement degenerate,
-    matching kappa's convention). Every output is an int-derived
-    double — bit-identical cross-engine, no rounding.
+    ``metric`` selects the disagreement distance δ²(c, k) between two
+    rating values (Krippendorff 2011, "Computing Krippendorff's
+    Alpha-Reliability"):
+
+    - ``"nominal"`` — δ² = 1 for c ≠ k: categorical labels.
+    - ``"interval"`` — δ² = (c − k)²: numeric scores where distances
+      are meaningful (the 1-5 scalar ratings LLM-judge ensembles
+      emit). Ratings are cast to double; non-numeric ratings become
+      NULL and are dropped as missing.
+    - ``"ordinal"`` — δ² = (Σ_{g=c..k} n_g − (n_c + n_k)/2)² with
+      ``n_g`` the rank marginals over pairable ratings: ordered
+      categories where only the ranking matters. Ratings must be
+      numeric-orderable (cast to double for ranking, same NULL rule).
+
+    Derivation (coincidence-matrix form, collapsed to per-unit folds):
+    units with fewer than 2 non-NULL ratings are unpairable and
+    excluded; ``D_o = Σ_u [Σ_{pairs within u} δ²]/(m_u − 1)``;
+    marginals over pairable ratings give ``D_e = [Σ_{pairs overall}
+    δ²]/(n − 1)``; ``alpha = 1 − D_o/D_e``, NULL when ``D_e = 0``
+    (every rating identical — agreement degenerate, matching kappa's
+    convention). For nominal the per-unit pair mass folds to
+    ``(m_u² − Σ_c n_uc²)``; for interval it folds to per-unit MOMENTS
+    ``2(m_u·Σv² − (Σv)²)`` — no label grouping at all; ordinal keeps
+    the explicit pair form over the rank-marginal cumulative sums.
+    Every output is int-derived doubles when ratings are integers —
+    bit-identical cross-engine, no rounding (per-unit divisions are by
+    ``m_u − 1``; with ≤3 raters that is 1 or 2, exact in binary).
 
     Scale shape: one (unit, label) groupBy (map-side combined), one
     unit-keyed fold to per-unit masses, one label-keyed marginal agg —
-    the largest intermediate is units × labels-per-unit rows; the
-    final fold is over label-cardinality and unit-count frames, and
-    only 1-row aggregates cross to the driver side of the plan."""
+    the largest intermediate is units × labels-per-unit rows (ordinal
+    adds a unit-keyed self-join bounded by ratings-per-unit² and a
+    broadcast label-cardinality² δ² table); the final fold is over
+    label-cardinality and unit-count frames, and only 1-row aggregates
+    cross to the driver side of the plan."""
+    if metric not in ("nominal", "interval", "ordinal"):
+        raise ValueError(
+            f"metric must be nominal/interval/ordinal, got {metric!r}")
+    if metric == "interval":
+        return _alpha_interval(df, unit_col, label_col)
+    if metric == "ordinal":
+        return _alpha_ordinal(df, unit_col, label_col)
     u = F.col(unit_col)
     lab = F.col(label_col).cast("string")
     ul = (df.filter(u.isNotNull() & lab.isNotNull())
@@ -282,3 +310,110 @@ def krippendorff_alpha(
         F.when(d_e > 0.0,
                F.lit(1.0) - F.coalesce("d_o", F.lit(0.0)) / d_e)
          .alias("alpha"))
+
+
+def _alpha_final(do, tot, d_e) -> DataFrame:
+    """Shared (n_units, n_ratings, d_o, d_e, alpha) assembly for the
+    three :func:`krippendorff_alpha` metrics."""
+    out = do.crossJoin(F.broadcast(tot))
+    return out.select(
+        F.coalesce("n_units", F.lit(0)).alias("n_units"),
+        F.coalesce("n_ratings", F.lit(0)).alias("n_ratings"),
+        F.coalesce("d_o", F.lit(0.0)).alias("d_o"),
+        d_e.alias("d_e"),
+        F.when(d_e > 0.0,
+               F.lit(1.0) - F.coalesce("d_o", F.lit(0.0)) / d_e)
+         .alias("alpha"))
+
+
+def _alpha_interval(df: DataFrame, unit_col: str,
+                    label_col: str) -> DataFrame:
+    """Interval-metric alpha: δ² = (c−k)² folds to per-unit MOMENTS —
+    ``Σ_{i≠j}(v_i−v_j)² = 2(m·Σv² − (Σv)²)`` — so D_o needs only a
+    per-unit (count, sum, sum-of-squares) agg and D_e the same moments
+    over all pairable ratings. No label grouping anywhere."""
+    u = F.col(unit_col)
+    v = F.col(label_col).cast("double")
+    per_unit = (df.filter(u.isNotNull() & v.isNotNull())
+                .groupBy(u.alias("__u"))
+                .agg(F.count(F.lit(1)).alias("__m"),
+                     F.sum(v).alias("__s1"),
+                     F.sum(v * v).alias("__s2"))
+                .filter(F.col("__m") >= 2))
+    do = per_unit.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("__m").alias("n_ratings"),
+        F.sum(F.lit(2.0) * (F.col("__m") * F.col("__s2")
+                            - F.col("__s1") * F.col("__s1"))
+              / (F.col("__m") - 1)).alias("d_o"))
+    tot = per_unit.agg(F.sum("__m").alias("__n"),
+                       F.sum("__s1").alias("__t1"),
+                       F.sum("__s2").alias("__t2"))
+    d_e = (F.lit(2.0) * (F.col("__n") * F.col("__t2")
+                         - F.col("__t1") * F.col("__t1"))
+           / (F.col("__n") - 1))
+    return _alpha_final(do, tot, d_e)
+
+
+def _alpha_ordinal(df: DataFrame, unit_col: str,
+                   label_col: str) -> DataFrame:
+    """Ordinal-metric alpha: δ²(c,k) = (Σ_{g=c..k} n_g − (n_c+n_k)/2)²
+    over the rank marginals of pairable ratings. The δ² table is
+    label-cardinality² (broadcast); the per-unit pair mass comes from
+    a unit-keyed self-join bounded by ratings-per-unit²."""
+    u = F.col(unit_col)
+    v = F.col(label_col).cast("double")
+    ul = (df.filter(u.isNotNull() & v.isNotNull())
+          .groupBy(u.alias("__u"), v.alias("__v"))
+          .agg(F.count(F.lit(1)).alias("__c")))
+    per_unit = (ul.groupBy("__u")
+                .agg(F.sum("__c").alias("__m"))
+                .filter(F.col("__m") >= 2))
+    ul = ul.join(per_unit, "__u")          # pairable units only
+    marg = ul.groupBy("__v").agg(F.sum("__c").alias("__nl"))
+    # label-cardinality frame: the no-partition window is over the
+    # marginals only, never corpus rows (same shape as a reliability-
+    # diagram bucket table)
+    wcum = (Window.orderBy("__v")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = marg.withColumn("__cum", F.sum("__nl").over(wcum))
+    a = cum.select(F.col("__v").alias("__va"),
+                   F.col("__nl").alias("__na"),
+                   F.col("__cum").alias("__ca"))
+    b = cum.select(F.col("__v").alias("__vb"),
+                   F.col("__nl").alias("__nb"),
+                   F.col("__cum").alias("__cb"))
+    # δ for va < vb: (cum_b − cum_a + n_a) − (n_a + n_b)/2
+    delta = (F.col("__cb") - F.col("__ca") + F.col("__na")
+             - (F.col("__na") + F.col("__nb")) / 2)
+    d2 = (a.join(b, F.col("__va") < F.col("__vb"))
+          .select("__va", "__vb", (delta * delta).alias("__d2")))
+    pairs = (ul.alias("x").join(ul.alias("y"), "__u")
+             .filter(F.col("x.__v") < F.col("y.__v"))
+             .select(F.col("__u"),
+                     F.col("x.__v").alias("__va"),
+                     F.col("y.__v").alias("__vb"),
+                     (F.lit(2.0) * F.col("x.__c") * F.col("y.__c"))
+                     .alias("__cc"))
+             .join(F.broadcast(d2), ["__va", "__vb"]))
+    per_unit_mass = (pairs.groupBy("__u")
+                     .agg(F.sum(F.col("__cc") * F.col("__d2"))
+                          .alias("__mass")))
+    do = (per_unit.join(per_unit_mass, "__u", "left")
+          .agg(F.count(F.lit(1)).alias("n_units"),
+               F.sum("__m").alias("n_ratings"),
+               F.sum(F.coalesce("__mass", F.lit(0.0))
+                     / (F.col("__m") - 1)).alias("d_o")))
+    etot = (marg.alias("p").join(
+        marg.alias("q"),
+        F.col("p.__v") < F.col("q.__v"))
+        .select(F.col("p.__v").alias("__va"),
+                F.col("q.__v").alias("__vb"),
+                (F.lit(2.0) * F.col("p.__nl") * F.col("q.__nl"))
+                .alias("__cc"))
+        .join(F.broadcast(d2), ["__va", "__vb"])
+        .agg(F.sum(F.col("__cc") * F.col("__d2")).alias("__e")))
+    tot = (marg.agg(F.sum("__nl").alias("__n"))
+           .crossJoin(F.broadcast(etot)))
+    d_e = F.coalesce("__e", F.lit(0.0)) / (F.col("__n") - 1)
+    return _alpha_final(do, tot, d_e)

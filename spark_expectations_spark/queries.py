@@ -4750,6 +4750,38 @@ FROM ex GROUP BY pos
 """
 
 
+def q_embed_pca_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA invariants with a FULL value oracle (r10 verdict task 2;
+    similarity.pca_check): per ORIGINAL dimension, the raw corpus
+    mean/stddev as measured by the engine's distributed moments pass —
+    DuckDB recomputes them exactly from the parquet — plus, for the
+    top-16 projected components, the projected corpus' deviation from
+    mean = 0, cross-component covariance = 0, and descending
+    component variance, which the math forces to 0.0 at the rounding
+    precision (the projected moments come from a SECOND distributed
+    pass over pca_project's actual output, so the broadcast BLAS
+    transform is gated too). The eigendecomposition itself stays
+    rows-only (embed_pca); its defining properties are now
+    driver-gated — the embed_whiten_check recipe."""
+    emb = load(spark, sf_dir, "embeddings")
+    return similarity.pca_check(emb, n_components=16)
+
+
+ORACLE_EMBED_PCA_CHECK = r"""
+WITH ex AS (
+  SELECT i - 1 AS pos, embedding[i] AS v
+  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(i)
+  WHERE embedding IS NOT NULL)
+SELECT CAST(pos AS INT) AS pos,
+       round(avg(v), 4) + 0.0 AS mu,
+       round(stddev_pop(v), 4) + 0.0 AS sd,
+       CAST(0.0 AS DOUBLE) AS mean_dev,
+       CAST(0.0 AS DOUBLE) AS offdiag_max,
+       CAST(0.0 AS DOUBLE) AS order_dev
+FROM ex GROUP BY pos
+"""
+
+
 def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lloyd's k-means (similarity.lloyd_kmeans): k=8 centroids seeded
     from the 8 smallest vec_ids, 3 full update iterations, then a final
@@ -6330,6 +6362,71 @@ FROM cand WHERE levenshtein(ln, rn) <= 1
 """
 
 
+def q_part_fuzzy_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISJUNCTIVE multi-blocker record linkage (r10 verdict task 6;
+    linkage.blocked_fuzzy_join with blockers=("prefix", "ngram") as
+    SEPARATE elements): candidates are the UNION of the per-blocker
+    candidate sets — a pair meets if it shares the 2-char prefix OR
+    any 3-gram. The fixture makes both blockers load-bearing: the key
+    is "<reversed partkey digits> <p_name>" and the twin substitutes
+    'o' at position 1 + p_partkey % 8 — edits at positions 1-2 break
+    the prefix key (only the ngram blocker recovers those pairs),
+    edits at 3-8 are found by both, so disjunctive recall is total
+    while either blocker alone would miss pairs. Keyed on the
+    p_partkey % 20 == 7 slice: un-filtered 3-gram blocking over the
+    92-word name vocab is the low-entropy worst case the rare-gram
+    prefix filter (part_fuzzy_qgram) exists for — the slice keeps this
+    entry about UNION semantics, with per-block products bounded.
+    Oracle reproduces both key families, the union, and the distance
+    exactly."""
+    part = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 20 == 7)
+    key = F.concat(F.reverse(F.col("p_partkey").cast("string")),
+                   F.lit(" "), F.col("p_name"))
+    base = part.select(F.col("p_partkey").alias("lid"),
+                       key.alias("lname"))
+    pos = (F.lit(1) + F.col("p_partkey") % 8).cast("int")
+    twin = part.select(
+        (F.col("p_partkey") + 1000000).alias("rid"),
+        F.concat(key.substr(F.lit(1), pos - 1), F.lit("o"),
+                 key.substr(pos + 1, F.lit(100000))).alias("rname"))
+    out = linkage.blocked_fuzzy_join(
+        base, twin, "lid", "lname", "rid", "rname",
+        max_distance=1, blockers=("prefix", "ngram"), ngram_q=3)
+    return out.select("lid", "rid", "distance")
+
+
+ORACLE_PART_FUZZY_DISJUNCTIVE = """
+WITH base AS (
+  SELECT p_partkey AS lid,
+         lower(trim(reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                    || p_name)) AS ln
+  FROM part WHERE p_partkey % 20 = 7),
+tw AS (
+  SELECT p_partkey + 1000000 AS rid,
+         lower(trim(substr(k, 1, pos - 1) || 'o'
+                    || substr(k, pos + 1))) AS rn
+  FROM (SELECT p_partkey,
+               reverse(CAST(p_partkey AS VARCHAR)) || ' '
+                 || p_name AS k,
+               CAST(1 + p_partkey % 8 AS INT) AS pos
+        FROM part WHERE p_partkey % 20 = 7)),
+lex AS (
+  SELECT lid, ln, 'p:' || substr(ln, 1, 2) AS b FROM base
+  UNION ALL
+  SELECT DISTINCT lid, ln, 'g:' || substr(ln, CAST(i AS INT), 3) AS b
+  FROM base, UNNEST(range(1, greatest(len(ln) - 2, 1) + 1)) AS t(i)),
+rex AS (
+  SELECT rid, rn, 'p:' || substr(rn, 1, 2) AS b FROM tw
+  UNION ALL
+  SELECT DISTINCT rid, rn, 'g:' || substr(rn, CAST(i AS INT), 3) AS b
+  FROM tw, UNNEST(range(1, greatest(len(rn) - 2, 1) + 1)) AS t(i)),
+cand AS (
+  SELECT DISTINCT lid, rid, ln, rn FROM lex JOIN rex USING (b))
+SELECT lid, rid, levenshtein(ln, rn) AS distance
+FROM cand WHERE levenshtein(ln, rn) <= 1
+"""
+
+
 def _calibration_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic classifier-output fixture over documents: score =
     ((doc_id*37) % 101)/100 in [0, 1], label = 1 iff (doc_id*61) % 100
@@ -6743,6 +6840,159 @@ SELECT coalesce(n_units, 0) AS n_units,
                  / ((n * n - s2l) * 1.0 / (n - 1))
        END AS alpha
 FROM do_t CROSS JOIN tot
+"""
+
+
+def q_docs_label_alpha_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha with the INTERVAL metric
+    (profiling.krippendorff_alpha(metric='interval') — r10 verdict
+    task 5): a synthesized 3-judge 1-5 scalar-rating ensemble, the
+    LLM-judge shape where distances between scores matter. Judge 1
+    rates 1 + n_chars % 5; judge 2 bumps +1 (clamped to 5) on
+    doc_id % 3 == 0; judge 3 drops -2 (clamped to 1) on doc_id % 5 == 0
+    and is MISSING on doc_id % 97 == 0. The interval path folds δ² =
+    (c−k)² to per-unit MOMENTS (count/sum/sum-of-squares — no label
+    grouping at all); with integer ratings and ≤3 raters every per-unit
+    term is an exact binary fraction, so the output needs no
+    rounding."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    base = (F.lit(1) + F.col("n_chars") % 5).cast("long")
+    r1 = docs.select(F.col("doc_id").alias("unit"), base.alias("rating"))
+    r2 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.least(F.lit(5).cast("long"),
+                base + F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0))
+         .alias("rating"))
+    r3 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("long"))
+         .otherwise(F.greatest(
+             F.lit(1).cast("long"),
+             base - F.when(F.col("doc_id") % 5 == 0, 2).otherwise(0)))
+         .alias("rating"))
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return profiling.krippendorff_alpha(ratings, "unit", "rating",
+                                        metric="interval")
+
+
+ORACLE_DOCS_LABEL_ALPHA_INTERVAL = """
+WITH ratings AS (
+  SELECT doc_id AS unit, 1 + n_chars % 5 AS v FROM documents
+  UNION ALL
+  SELECT doc_id, least(5, 1 + n_chars % 5
+                          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
+                      ELSE greatest(1, 1 + n_chars % 5
+                        - CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END) END
+  FROM documents),
+pu AS (
+  SELECT unit, count(*) AS m,
+         sum(CAST(v AS DOUBLE)) AS s1,
+         sum(CAST(v AS DOUBLE) * v) AS s2
+  FROM ratings WHERE unit IS NOT NULL AND v IS NOT NULL
+  GROUP BY unit HAVING count(*) >= 2),
+do_t AS (
+  SELECT count(*) AS n_units, CAST(sum(m) AS BIGINT) AS n_ratings,
+         sum(2.0 * (m * s2 - s1 * s1) / (m - 1)) AS d_o
+  FROM pu),
+tot AS (SELECT sum(m) AS n, sum(s1) AS t1, sum(s2) AS t2 FROM pu)
+SELECT coalesce(n_units, 0) AS n_units,
+       coalesce(n_ratings, 0) AS n_ratings,
+       coalesce(d_o, 0.0) AS d_o,
+       2.0 * (n * t2 - t1 * t1) / (n - 1) AS d_e,
+       CASE WHEN 2.0 * (n * t2 - t1 * t1) / (n - 1) > 0.0
+            THEN 1.0 - coalesce(d_o, 0.0)
+                 / (2.0 * (n * t2 - t1 * t1) / (n - 1))
+       END AS alpha
+FROM do_t CROSS JOIN tot
+"""
+
+
+def q_docs_label_alpha_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha with the ORDINAL metric (cumulative-
+    marginal δ²) on the docs_label_alpha_interval judge ensemble —
+    ordered 1-5 categories where only the ranking matters. The δ²
+    table is rank-cardinality² (broadcast); the per-unit pair mass is
+    a unit-keyed self-join bounded by ratings-per-unit². Output keeps
+    the exact integer counts but rounds alpha to 6 digits: ordinal δ²
+    carries corpus-count magnitudes whose d_o/d_e sums exceed exact
+    double range at large SF, so the scalar ratio — which both engines
+    agree on to ~1e-15 relative — is the value-checked surface."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    base = (F.lit(1) + F.col("n_chars") % 5).cast("long")
+    r1 = docs.select(F.col("doc_id").alias("unit"), base.alias("rating"))
+    r2 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.least(F.lit(5).cast("long"),
+                base + F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0))
+         .alias("rating"))
+    r3 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("long"))
+         .otherwise(F.greatest(
+             F.lit(1).cast("long"),
+             base - F.when(F.col("doc_id") % 5 == 0, 2).otherwise(0)))
+         .alias("rating"))
+    ratings = r1.unionByName(r2).unionByName(r3)
+    out = profiling.krippendorff_alpha(ratings, "unit", "rating",
+                                       metric="ordinal")
+    return out.select(
+        "n_units", "n_ratings",
+        (F.round("alpha", 6) + F.lit(0.0)).alias("alpha"))
+
+
+ORACLE_DOCS_LABEL_ALPHA_ORDINAL = """
+WITH ratings AS (
+  SELECT doc_id AS unit, 1 + n_chars % 5 AS v FROM documents
+  UNION ALL
+  SELECT doc_id, least(5, 1 + n_chars % 5
+                          + CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
+                      ELSE greatest(1, 1 + n_chars % 5
+                        - CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 0 END) END
+  FROM documents),
+ul AS (
+  SELECT unit, v, count(*) AS c FROM ratings
+  WHERE unit IS NOT NULL AND v IS NOT NULL GROUP BY unit, v),
+pu AS (
+  SELECT unit, sum(c) AS m FROM ul GROUP BY unit HAVING sum(c) >= 2),
+ulp AS (SELECT ul.* FROM ul JOIN pu USING (unit)),
+marg AS (SELECT v, sum(c) AS nl FROM ulp GROUP BY v),
+cum AS (SELECT v, nl, sum(nl) OVER (ORDER BY v) AS cm FROM marg),
+d2 AS (
+  SELECT a.v AS va, b.v AS vb,
+         (b.cm - a.cm + a.nl - (a.nl + b.nl) / 2.0)
+           * (b.cm - a.cm + a.nl - (a.nl + b.nl) / 2.0) AS dd
+  FROM cum a JOIN cum b ON a.v < b.v),
+mass AS (
+  SELECT x.unit, sum(2.0 * x.c * y.c * dd) AS mass
+  FROM ulp x JOIN ulp y ON x.unit = y.unit AND x.v < y.v
+  JOIN d2 ON d2.va = x.v AND d2.vb = y.v
+  GROUP BY x.unit),
+do_t AS (
+  SELECT count(*) AS n_units, CAST(sum(m) AS BIGINT) AS n_ratings,
+         sum(coalesce(mass, 0.0) / (m - 1)) AS d_o
+  FROM pu LEFT JOIN mass USING (unit)),
+et AS (
+  SELECT sum(2.0 * p.nl * q.nl * dd) AS e
+  FROM marg p JOIN marg q ON p.v < q.v
+  JOIN d2 ON d2.va = p.v AND d2.vb = q.v),
+tot AS (SELECT sum(nl) AS n FROM marg)
+SELECT coalesce(n_units, 0) AS n_units,
+       coalesce(n_ratings, 0) AS n_ratings,
+       CASE WHEN coalesce(e, 0.0) / (n - 1) > 0.0
+            THEN round(1.0 - coalesce(d_o, 0.0)
+                 / (coalesce(e, 0.0) / (n - 1)), 6) + 0.0
+       END AS alpha
+FROM do_t CROSS JOIN et CROSS JOIN tot
 """
 
 
@@ -7187,43 +7437,54 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          embed_ivf_pq, embed_pq, docs_paragraph_dedup,
 #          text_pii_redact, text_repetition, text_langid,
 #          text_quality) are the r11 re-gate front.
+#   r11:   5 dq_* flagship + 4 round-11 NEW operators
+#          (embed_pca_check — the PCA invariants twin, r10 verdict
+#          task 2; docs_label_alpha_interval + docs_label_alpha_ordinal
+#          — the interval/ordinal alpha metrics, task 5;
+#          part_fuzzy_disjunctive — the union-of-blockers linkage mode
+#          oracle-gated, task 6) + the FULL r11 re-gate front declared
+#          above (the 20 entries whose only hard gate was r8:
+#          lineitem_grouped_dq, lineitem_drift_report,
+#          lineitem_drift_verdict, lineitem_price_jsd, docs_interleave,
+#          docs_strip_html, docs_phash_dups, docs_curriculum,
+#          docs_padding_waste, docs_global_index, docs_url_stats,
+#          events_bitmap_distinct, docs_span_removal, embed_ivf_pq,
+#          embed_pq, docs_paragraph_dedup, text_pii_redact,
+#          text_repetition, text_langid, text_quality) + 21 fills from
+#          the r9-gated cohort, now the stalest (tpch q1/q5ish/q10ish/
+#          q18ish, window_rank/running_total, the embed r1-r4 family,
+#          ann_topk/ann_ivf/ann_ivf_recall, events_hourly/sliding/
+#          gapfill/ffill/seasonality, docs_decontaminate, users_scd2,
+#          lineitem_grouped_dq_target) = 50. Displaced (all r10-green
+#          3 sessions ago, rotation debt zero): the entire r10-new
+#          cohort and the r6-stale refresh.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-9/10 NEW operators + round-10-touched — gate first
-    "part_fuzzy_matches",        # r9 new, never driver-gated (r9 task 2)
-    "part_fuzzy_qgram",          # r10 new: provable-recall q-gram blocker
-    "docs_set_jaccard_join",     # r10 new: PPJoin prefix-filter join
-    "part_blocking_quality",     # r10 new: blocking QA report
-    "part_fuzzy_probe",          # r10 new: index/probe linkage path
-    "docs_label_agreement",      # r10 new: Cohen's kappa label QA
-    "part_fs_scores",            # r10 new: Fellegi-Sunter decisions
-    "docs_weighted_cosine",      # r10 new: Bayardo weighted cosine join
-    "docs_calibration",          # r10 new: reliability diagram
-    "docs_calibration_ece",      # r10 new: ECE/MCE/Brier
-    "embed_kmeans",              # r10 new: Lloyd's k-means (full oracle)
-    "embed_cluster_qa",          # r10 new: silhouette/purity gate
-    "ann_ivf_kmeans",            # r10 new: kmeans-trained IVF search
-    "embed_kmeans_sampled",      # r10 new: train-on-sample mode
-    "embed_hard_negatives",      # r10 new: label-masked top-k mining
-    "docs_split_leakage",        # r10 new: dup-aware split guard
-    "orders_basket_lift",        # r10 new: association-rule miner
-    "events_top_paths",          # r10 new: user-journey path miner
-    "docs_label_alpha",          # r10 new: multi-rater agreement
-    "embed_whiten_check",        # touched r10 (-0.0 fold, ADVICE r9)
-    # stalest cohort: last driver-gated r6, never since (r9 verdict #5)
-    "dedup_exact", "part_brand_topk", "events_json", "events_funnel",
-    "events_cohort_retention", "rollup_orders", "cube_orders",
-    "pivot_order_status", "set_ops_nations", "dedup_minhash_md5",
-    "dedup_simhash_md5", "docs_minhash_index",
-    "docs_mad_outliers", "docs_zipf", "embed_rms_outliers",
-    "docs_dup_spans", "events_session_windows", "docs_kfold",
-    "docs_token_entropy", "docs_readability", "lineitem_price_ks",
-    # r8-first-gated entries not re-checked since
-    "docs_c4_filter", "docs_gopher_gate", "docs_normalize",
-    "text_stats",
+    # round-11 NEW operators — gate first
+    "embed_pca_check",           # r11 new: PCA invariants twin (task 2)
+    "docs_label_alpha_interval",  # r11 new: interval-metric alpha
+    "docs_label_alpha_ordinal",  # r11 new: ordinal-metric alpha
+    "part_fuzzy_disjunctive",    # r11 new: union-of-blockers linkage
+    # the declared r11 re-gate front: every entry whose ONLY hard gate
+    # was r8 (see the r10 rotation-log paragraph above)
+    "lineitem_grouped_dq", "lineitem_drift_report",
+    "lineitem_drift_verdict", "lineitem_price_jsd", "docs_interleave",
+    "docs_strip_html", "docs_phash_dups", "docs_curriculum",
+    "docs_padding_waste", "docs_global_index", "docs_url_stats",
+    "events_bitmap_distinct", "docs_span_removal", "embed_ivf_pq",
+    "embed_pq", "docs_paragraph_dedup", "text_pii_redact",
+    "text_repetition", "text_langid", "text_quality",
+    # fills: the r9-gated cohort is now the stalest
+    "tpch_q1", "tpch_q5ish", "tpch_q10ish", "tpch_q18ish",
+    "window_rank", "window_running_total", "embed_near_dups_bcast",
+    "embed_mean_pool", "embed_norm_outliers", "embed_quantize",
+    "ann_topk", "ann_ivf", "ann_ivf_recall", "events_hourly",
+    "events_sliding", "events_gapfill", "events_ffill",
+    "events_seasonality", "docs_decontaminate", "users_scd2",
+    "lineitem_grouped_dq_target",
 ]
 
 
@@ -7366,6 +7627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
+    "embed_pca_check": q_embed_pca_check,
     "embed_kmeans": q_embed_kmeans,
     "embed_kmeans_sampled": q_embed_kmeans_sampled,
     "embed_hard_negatives": q_embed_hard_negatives,
@@ -7374,6 +7636,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_basket_lift": q_orders_basket_lift,
     "events_top_paths": q_events_top_paths,
     "docs_label_alpha": q_docs_label_alpha,
+    "docs_label_alpha_interval": q_docs_label_alpha_interval,
+    "docs_label_alpha_ordinal": q_docs_label_alpha_ordinal,
     "embed_cluster_qa": q_embed_cluster_qa,
     "ann_ivf_kmeans": q_ann_ivf_kmeans,
     "docs_dup_spans": q_docs_dup_spans,
@@ -7396,6 +7660,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
     "part_fuzzy_qgram": q_part_fuzzy_qgram,
+    "part_fuzzy_disjunctive": q_part_fuzzy_disjunctive,
     "docs_calibration": q_docs_calibration,
     "docs_calibration_ece": q_docs_calibration_ece,
     "docs_set_jaccard_join": q_docs_set_jaccard_join,
@@ -7534,6 +7799,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_ngram_novelty": ORACLE_DOCS_NGRAM_NOVELTY,
     "embed_standardize": ORACLE_EMBED_STANDARDIZE,
     "embed_whiten_check": ORACLE_EMBED_WHITEN_CHECK,
+    "embed_pca_check": ORACLE_EMBED_PCA_CHECK,
     "embed_kmeans": ORACLE_EMBED_KMEANS,
     "embed_kmeans_sampled": ORACLE_EMBED_KMEANS_SAMPLED,
     "embed_hard_negatives": ORACLE_EMBED_HARD_NEGATIVES,
@@ -7541,6 +7807,8 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_basket_lift": ORACLE_ORDERS_BASKET_LIFT,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
     "docs_label_alpha": ORACLE_DOCS_LABEL_ALPHA,
+    "docs_label_alpha_interval": ORACLE_DOCS_LABEL_ALPHA_INTERVAL,
+    "docs_label_alpha_ordinal": ORACLE_DOCS_LABEL_ALPHA_ORDINAL,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,
     "ann_ivf_kmeans": ORACLE_ANN_IVF_KMEANS,
     "docs_dsir_weights": ORACLE_DOCS_DSIR_WEIGHTS,
@@ -7570,6 +7838,7 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,
     "part_fuzzy_qgram": ORACLE_PART_FUZZY_QGRAM,
+    "part_fuzzy_disjunctive": ORACLE_PART_FUZZY_DISJUNCTIVE,
     "docs_calibration": ORACLE_DOCS_CALIBRATION,
     "docs_calibration_ece": ORACLE_DOCS_CALIBRATION_ECE,
     "docs_set_jaccard_join": ORACLE_DOCS_SET_JACCARD_JOIN,

@@ -5156,6 +5156,33 @@ class TestPcaProject:
         with _pytest.raises(ValueError, match="n_components"):
             sim.pca_project(df, n_components=0)
 
+    def test_pca_check_invariants_and_raw_moments(self, spark):
+        """The driver-gateable twin (r10 verdict task 2, the
+        whiten_check recipe): raw per-dim mean/sd match numpy's for ALL
+        input dims, the projected-space deviations round to exactly
+        0.0 for the kept components, and rows past n_components carry
+        literal zeros — while the RAW data (negative control) is far
+        from mean-0/uncorrelated, so the invariants discriminate."""
+        import numpy as np
+        from spark_expectations_spark.operators import similarity as sim
+        rows, df = self._corpus(spark, seed=5)
+        got = {r["pos"]: r for r in
+               sim.pca_check(df, n_components=2).collect()}
+        assert set(got) == {0, 1, 2}
+        x = np.array([v for _, v in rows])
+        for i in range(3):
+            assert got[i]["mu"] == pytest.approx(
+                round(float(x[:, i].mean()), 4))
+            assert got[i]["sd"] == pytest.approx(
+                round(float(x[:, i].std()), 4))
+            assert got[i]["mean_dev"] == 0.0
+            assert got[i]["offdiag_max"] == 0.0
+            assert got[i]["order_dev"] == 0.0
+        # negative control: raw cloud is shifted and correlated
+        cov = np.cov(x, rowvar=False, bias=True)
+        assert round(abs(cov[0, 2]), 3) != 0.0
+        assert round(abs(float(x[:, 0].mean())), 4) != 0.0
+
 
 class TestLeakageSafeSplit:
     def test_chained_dups_share_a_split_and_report_is_zero(self, spark):
@@ -5265,3 +5292,79 @@ class TestKrippendorffAlpha:
         # marginals a=2,b=1,n=3: D_e = (9-5)/2 = 2.0 -> alpha = 0
         assert r["d_e"] == pytest.approx(2.0)
         assert r["alpha"] == 0.0
+
+    # --- textbook worked example (Krippendorff 2011, "Computing
+    # Krippendorff's Alpha-Reliability": 4 observers x 12 units, unit
+    # 12 unpairable, several missing ratings). Published results:
+    # alpha_nominal = .743, alpha_ordinal = .815, alpha_interval = .849.
+    _TEXTBOOK = {
+        'A': [1, 2, 3, 3, 2, 1, 4, 1, 2, None, None, None],
+        'B': [1, 2, 3, 3, 2, 2, 4, 1, 2, 5, None, 3],
+        'C': [None, 3, 3, 3, 2, 3, 4, 2, 2, 5, 1, None],
+        'D': [1, 2, 3, 3, 2, 4, 4, 1, 2, 5, 1, None],
+    }
+
+    def _textbook_df(self, spark):
+        rows = [(i + 1, self._TEXTBOOK[o][i])
+                for o in 'ABCD' for i in range(12)]
+        return spark.createDataFrame(rows, "unit int, rating int")
+
+    def test_textbook_nominal(self, spark):
+        from spark_expectations_spark.operators import profiling
+        r = profiling.krippendorff_alpha(
+            self._textbook_df(spark), "unit", "rating").first()
+        assert r["n_units"] == 11 and r["n_ratings"] == 40
+        assert r["d_o"] == pytest.approx(8.0)
+        assert r["alpha"] == pytest.approx(0.7434, abs=1e-4)
+
+    def test_textbook_interval(self, spark):
+        """Interval metric on the same matrix: D_o = 17.333...,
+        D_e = 4480/39, alpha = .849 (the LLM-judge 1-5 rating case)."""
+        from spark_expectations_spark.operators import profiling
+        r = profiling.krippendorff_alpha(
+            self._textbook_df(spark), "unit", "rating",
+            metric="interval").first()
+        assert r["n_units"] == 11 and r["n_ratings"] == 40
+        assert r["d_o"] == pytest.approx(17.3333, abs=1e-4)
+        assert r["d_e"] == pytest.approx(4480 / 39)
+        assert r["alpha"] == pytest.approx(0.8491, abs=1e-4)
+
+    def test_textbook_ordinal(self, spark):
+        """Ordinal metric: cumulative-marginal distances give
+        alpha = .815 on the same matrix."""
+        from spark_expectations_spark.operators import profiling
+        r = profiling.krippendorff_alpha(
+            self._textbook_df(spark), "unit", "rating",
+            metric="ordinal").first()
+        assert r["n_units"] == 11 and r["n_ratings"] == 40
+        assert r["d_o"] == pytest.approx(1891.0)
+        assert r["alpha"] == pytest.approx(0.8154, abs=1e-4)
+
+    def test_interval_equals_nominal_on_binary_scaled(self, spark):
+        """On {0, 1} ratings interval and nominal distances coincide
+        (δ² is 1 for disagreement either way) — a cheap differential
+        between the moments path and the label-count path."""
+        from spark_expectations_spark.operators import profiling
+        rows = [(1, 0), (1, 0), (2, 1), (2, 1), (3, 0), (3, 1),
+                (4, 1), (4, 0), (4, 1)]
+        df = spark.createDataFrame(rows, "unit int, rating int")
+        rn = profiling.krippendorff_alpha(df, "unit", "rating").first()
+        ri = profiling.krippendorff_alpha(
+            df, "unit", "rating", metric="interval").first()
+        assert ri["d_o"] == pytest.approx(rn["d_o"])
+        assert ri["d_e"] == pytest.approx(rn["d_e"])
+        assert ri["alpha"] == pytest.approx(rn["alpha"])
+
+    def test_metric_validation_and_degenerate_interval(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(1, 3), (1, 3)],
+                                   "unit int, rating int")
+        with _pytest.raises(ValueError, match="metric"):
+            profiling.krippendorff_alpha(df, "unit", "rating",
+                                         metric="ratio")
+        # all ratings identical: D_e = 0 -> NULL for every metric
+        for m in ("interval", "ordinal"):
+            r = profiling.krippendorff_alpha(df, "unit", "rating",
+                                             metric=m).first()
+            assert r["alpha"] is None, m

@@ -65,6 +65,12 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "the report's TRUTH side is a cross join BY DESIGN and by "
         "documented contract runs only on the deterministic sample "
         "(sample_fraction); the blocking side never cross-joins",
+    ("docs_label_alpha_ordinal", "cartesian-product"):
+        "ordinal alpha's δ² table and D_e pairing are RANK-CARDINALITY "
+        "self-joins on v_a < v_b (≤ distinct-rating-values² rows — 5 "
+        "ratings → ≤ 10 pairs — broadcast); the corpus-scale ratings "
+        "frame only ever meets itself on unit-keyed equi-joins, and "
+        "the remaining crosses are 1-row aggregate folds",
 }
 
 
