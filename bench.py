@@ -104,16 +104,12 @@ BENCH_QUERIES = [
     "part_fuzzy_matches", "part_fuzzy_qgram",
     "docs_calibration", "docs_calibration_ece",
     # PPJoin prefix-filter set-similarity join (shingle sets vs
-    # truncated twins at jaccard >= 0.6). NOTE (bench-noise
-    # discipline): the per-run clearCache below makes every timed run
-    # re-materialize the operator's three internal persists (L/R set
-    # frames + the vocab-sized gram-frequency table) and re-pay the
-    # corpus shingling — ~7s/run at sf0.1 (was ~15.7s: the
-    # scan-parallelism guard plus the zip_with shingle builder — see
-    # queries._word_shingles3 — removed the serial corpus pass and the
-    # per-element lambda re-evaluation); the steady-state join+verify
-    # is ~3s; in production the set frames are built once per corpus,
-    # not once per query.
+    # truncated twins at jaccard >= 0.6). r11: the per-frame persist
+    # A/B (SCALE.md) dropped the L/R set-frame persists — exchange
+    # reuse covers their shared subtrees — keeping only the
+    # dual-consumer vocab-sized gram-frequency table (6.75 -> 5.63s
+    # under this clearCache protocol; was ~15.7s before the r10
+    # spread guard + zip_with shingle builder).
     "docs_set_jaccard_join",
     # blocking QA (cross-join truth side runs on the documented 20%
     # deterministic sample only)
@@ -125,8 +121,9 @@ BENCH_QUERIES = [
     "docs_label_agreement",
     # Fellegi-Sunter decision scoring (zero-shuffle projection)
     "part_fs_scores",
-    # Bayardo weighted cosine set join (same persist caveat as the
-    # jaccard twin above)
+    # Bayardo weighted cosine set join (r11: ALL persists dropped —
+    # its df table feeds only one rank window, so the A/B's no-persist
+    # variant won outright, 5.99 -> 4.59s; SCALE.md)
     "docs_weighted_cosine",
     # label-masked top-k mining (query-broadcast scan, 1 rank window)
     "embed_hard_negatives",

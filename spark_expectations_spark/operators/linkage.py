@@ -325,12 +325,16 @@ def set_similarity_join(
     ``operators.dedup.jaccard_pairs`` is the posting-list
     (arrays-never-join) self-join alternative.
 
-    Each side's normalized (id, set, size) frame feeds THREE plan
-    branches (token explode, prefix-bound size lookup, verify arrays),
-    so it is persisted MEMORY_AND_DISK — the jaccard_pairs precedent:
-    recomputing the caller's set-building projection (often a
-    tokenize/shingle pass over raw text) 3× costs more than spilling
-    the normalized frame."""
+    Persist policy (r10 verdict task 4 — measured per frame, min-of-3
+    idle A/B at sf0.1): ONLY the vocab-sized token-frequency table
+    persists. It is consumed by BOTH sides' prefix-rank windows, so
+    the persist saves re-running the double corpus explode +
+    aggregation (persist-all 6.75 s / no-persist 8.20 s /
+    freq-only 5.63 s — SCALE.md). The corpus-sized normalized (id,
+    set, size) frames do NOT persist: their three consuming branches
+    share identical subtrees that exchange reuse deduplicates, and at
+    100 TB materializing set-carrying corpus frames is the
+    memory/disk-pressure loss a map-only recompute avoids."""
     from pyspark.storagelevel import StorageLevel
 
     if not 0.0 < threshold <= 1.0:
@@ -340,17 +344,15 @@ def set_similarity_join(
     ra = F.array_distinct(F.col(right_set))
     L = (left.select(F.col(left_id).alias("__lid"), la.alias("__la"))
          .filter(F.col("__la").isNotNull() & (F.size("__la") > 0))
-         .withColumn("__sa", F.size("__la"))
-         .persist(StorageLevel.MEMORY_AND_DISK))
+         .withColumn("__sa", F.size("__la")))
     R = (right.select(F.col(right_id).alias("__rid"), ra.alias("__ra"))
          .filter(F.col("__ra").isNotNull() & (F.size("__ra") > 0))
-         .withColumn("__sb", F.size("__ra"))
-         .persist(StorageLevel.MEMORY_AND_DISK))
+         .withColumn("__sb", F.size("__ra")))
     ltok = L.select("__lid", F.explode("__la").alias("__tok"))
     rtok = R.select("__rid", F.explode("__ra").alias("__tok"))
     # vocab-sized and consumed by both prefix-rank joins — persist so
-    # the double corpus explode + aggregation runs once (same contract
-    # as the L/R persists above)
+    # the double corpus explode + aggregation runs once (the one frame
+    # the sf0.1 A/B showed is worth pinning; see the docstring)
     freq = (ltok.select("__tok").unionByName(rtok.select("__tok"))
             .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
             .persist(StorageLevel.MEMORY_AND_DISK))
@@ -730,16 +732,22 @@ def weighted_cosine_join(
 
     Scale shape: everything is relational — no per-row maps, no
     collect_list state. One vocab-sized weight join per side, a
-    token-keyed df aggregation (persisted: consumed by the rank path),
-    per-id norm aggregates, the prefix window, ONE candidate equi-join
-    (kept-prefix × full), pair-dedup BEFORE the verify (the verify
-    here costs two id-keyed joins + a pair groupBy, so unlike the
-    levenshtein path it is cheaper to dedup first), then
-    ``dot² >= t²·‖A‖²·‖B‖²`` as the exact gate. The weighted frames
-    persist MEMORY_AND_DISK — each feeds the norm, prefix, and verify
-    branches."""
-    from pyspark.storagelevel import StorageLevel
-
+    token-keyed df aggregation, per-id norm aggregates, the prefix
+    window, ONE candidate equi-join (kept-prefix × full), pair-dedup
+    BEFORE the verify (the verify here costs two id-keyed joins + a
+    pair groupBy, so unlike the levenshtein path it is cheaper to
+    dedup first), then ``dot² >= t²·‖A‖²·‖B‖²`` as the exact gate.
+    NOTHING here persists (r10 verdict task 4 — measured, not
+    assumed): the weighted token frames feed the norm, prefix, and
+    verify branches, but those branches share identical subtrees that
+    AQE resolves through exchange reuse, and the frames are
+    corpus×tokens-sized — materializing them cost more than the saved
+    recompute at every measured scale (min-of-3 idle A/B at sf0.1:
+    persist-all 5.99 s, freq-persist-only 5.10 s, no-persist 4.59 s;
+    SCALE.md), and at 100 TB pinning an exploded corpus is exactly the
+    memory/disk pressure a map-only recompute avoids. The df table is
+    consumed by ONE rank path here (unlike :func:`set_similarity_join`,
+    where it feeds both sides' windows and keeps its persist)."""
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
     t2 = float(threshold) * float(threshold)
@@ -754,13 +762,12 @@ def weighted_cosine_join(
     rt = (right.select(F.col(right_id).alias("__rid"),
                        F.explode(F.array_distinct(F.col(right_set)))
                        .alias("__tok")))
-    lw = lt.join(w2, "__tok").persist(StorageLevel.MEMORY_AND_DISK)
-    rw = rt.join(w2, "__tok").persist(StorageLevel.MEMORY_AND_DISK)
+    lw = lt.join(w2, "__tok")
+    rw = rt.join(w2, "__tok")
     lnorm = lw.groupBy("__lid").agg(F.sum("__w2").alias("__na"))
     rnorm = rw.groupBy("__rid").agg(F.sum("__w2").alias("__nb"))
     freq = (lw.select("__tok").unionByName(rw.select("__tok"))
-            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+            .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")))
     wpre = (Window.partitionBy("__lid").orderBy("__df", "__tok")
             .rowsBetween(Window.unboundedPreceding, -1))
     lpre = (lw.join(freq, "__tok")
