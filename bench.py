@@ -148,6 +148,11 @@ BENCH_QUERIES = [
     # disjunctive two-blocker linkage (prefix OR ngram candidate union)
     "embed_pca_check", "docs_label_alpha_interval",
     "part_fuzzy_disjunctive",
+    # round-11 new operator families: ROUGE-N multiset overlap
+    # (relational intersection, id/gram-keyed), PageRank over the part
+    # co-purchase graph (3 synchronous rounds, src/dst-keyed joins),
+    # MMR-diversified retrieval (one corpus scan + pool-bounded greedy)
+    "docs_rouge_overlap", "part_copurchase_rank", "embed_mmr_topk",
 ]
 
 

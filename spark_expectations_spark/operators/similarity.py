@@ -1872,3 +1872,109 @@ def pca_check(
     return spark.createDataFrame(
         rows, "pos int, mu double, sd double, mean_dev double, "
               "offdiag_max double, order_dev double")
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein 1998) — the retrieval-result diversifier: per query,
+    greedily select ``k`` results maximizing ``λ·sim(q, c) − (1−λ)·
+    max_{s∈selected} sim(c, s)`` so near-duplicate hits don't crowd
+    the slate (eval-set construction, RAG context packing, demo-set
+    sampling all want this over plain top-k). ``lam=1`` degenerates to
+    plain relevance ranking; lower values trade relevance for
+    diversity. Returns ``(query_id, neighbor_id, position, relevance,
+    mmr_score)`` — position 1 is the pure-relevance argmax (the
+    standard MMR initialization), later positions carry the penalized
+    score they won with.
+
+    Deterministic: every argmax breaks ties by (score desc, neighbor
+    id asc); no RNG anywhere.
+
+    Scale shape: the classic two-phase layout — :func:`cosine_topk`
+    cuts each query's candidate POOL (``pool`` >= k; one broadcast-
+    query BLAS scan of the corpus, the only corpus-sized work), then
+    everything downstream is bounded by queries × pool: ONE query-keyed
+    self-join computes the pool's pairwise similarities (queries ×
+    pool² rows, JVM-side fold dot products), and each of the k greedy
+    steps is an anti-join + a selected-set max + a rank-1 window over
+    that bounded frame. k is a fixed small constant by contract, so
+    the unrolled plan stays k-linear. The greedy scan never touches
+    the corpus again — at 100 TB the cost is the one broadcast scan
+    cosine_topk already pays.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1 or pool < k:
+        raise ValueError("need 1 <= k <= pool")
+    cand = cosine_topk(corpus, queries, id_col=id_col, vec_col=vec_col,
+                       k=pool)
+    vecs = corpus.select(F.col(id_col).alias("__vid"),
+                         F.col(vec_col).alias("__v"))
+    cv = (cand.join(vecs, cand["neighbor_id"] == vecs["__vid"])
+          .select("query_id", "neighbor_id", "cosine", "__v"))
+    a = cv.select(F.col("query_id").alias("__q"),
+                  F.col("neighbor_id").alias("__ca"),
+                  F.col("__v").alias("__va"))
+    b = cv.select(F.col("query_id").alias("__q"),
+                  F.col("neighbor_id").alias("__cb"),
+                  F.col("__v").alias("__vb"))
+    da, db = F.col("__va").cast("array<double>"), \
+        F.col("__vb").cast("array<double>")
+    psim = (_dot(da, db) / (_norm(da) * _norm(db))).alias("__ps")
+    pairs = (a.join(b, "__q")
+             .filter(F.col("__ca") != F.col("__cb"))
+             .select("__q", "__ca", "__cb", psim))
+    pool_df = cv.select(F.col("query_id").alias("__q"),
+                        F.col("neighbor_id").alias("__c"),
+                        F.col("cosine").alias("__rel"))
+    # greedy unrolled: selected accumulates (query, id, position, score)
+    w = Window.partitionBy("__q").orderBy(F.col("__score").desc(),
+                                          F.col("__c").asc())
+    first = (pool_df.withColumn("__score", F.lit(float(lam)) * F.col("__rel"))
+             .withColumn("__rk", F.row_number().over(w))
+             .filter(F.col("__rk") == 1)
+             .select("__q", "__c", "__rel", "__score",
+                     F.lit(1).alias("position")))
+    selected = first
+    for step in range(2, k + 1):
+        remaining = pool_df.join(selected.select("__q", "__c"),
+                                 ["__q", "__c"], "left_anti")
+        # penalty = max pairwise sim from each remaining candidate to
+        # the selected set: route through the precomputed pair table
+        # on (query, candidate, selected) — bounded by queries × pool²
+        pen = (remaining
+               .join(selected.select(F.col("__q").alias("__qs"),
+                                     F.col("__c").alias("__cs")),
+                     (F.col("__q") == F.col("__qs")))
+               .join(pairs.select(F.col("__q").alias("__qp"),
+                                  F.col("__ca").alias("__cp"),
+                                  F.col("__cb").alias("__csp"), "__ps"),
+                     (F.col("__q") == F.col("__qp"))
+                     & (F.col("__c") == F.col("__cp"))
+                     & (F.col("__cs") == F.col("__csp")))
+               .groupBy("__q", "__c", "__rel")
+               .agg(F.max("__ps").alias("__pen")))
+        nxt = (pen.withColumn(
+                   "__score",
+                   F.lit(float(lam)) * F.col("__rel")
+                   - F.lit(1.0 - float(lam)) * F.col("__pen"))
+               .withColumn("__rk", F.row_number().over(w))
+               .filter(F.col("__rk") == 1)
+               .select("__q", "__c", "__rel", "__score",
+                       F.lit(step).alias("position")))
+        selected = selected.unionByName(nxt)
+    return selected.select(
+        F.col("__q").alias("query_id"),
+        F.col("__c").alias("neighbor_id"),
+        "position",
+        F.col("__rel").alias("relevance"),
+        F.col("__score").alias("mmr_score"))

@@ -1733,3 +1733,87 @@ def readability(
         F.when(nw > 0, ns).alias("n_sentences"),
         F.when(nw > 0, syl).alias("n_syllables"),
         F.when(nw > 0, flesch).alias("flesch"))
+
+
+def _word_ngrams(words: Column, n: int) -> Column:
+    """Word n-gram array from a token array via ``zip_with`` over n
+    shifted slices (the ``_word_shingles3`` builder generalized — a
+    transform-over-sequence lambda would re-evaluate its captured
+    expression per element on the interpreted HOF path). Documents
+    with fewer than ``n`` tokens yield an EMPTY array (ROUGE
+    convention: no n-grams, not a short whole-doc gram)."""
+    m = F.size(words) - (n - 1)
+    acc = F.slice(words, 1, F.greatest(m, F.lit(0)))
+    for i in range(2, n + 1):
+        nxt = F.slice(words, i, F.greatest(m, F.lit(0)))
+        acc = F.zip_with(acc, nxt, lambda a, b: F.concat_ws(" ", a, b))
+    return F.when(m >= 1, acc).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_overlap(
+    df: DataFrame,
+    id_col: str,
+    ref_col: str,
+    cand_col: str,
+    *,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N style n-gram overlap between a reference and a candidate
+    text column (Lin 2004) — the summarization/extraction eval metric
+    at corpus scale, and a contamination screen for (train, eval) text
+    pairs: per row the MULTISET n-gram match count
+    ``m = Σ_g min(count_ref(g), count_cand(g))`` with
+
+    - ``recall`` = m / |ref n-grams|  (ROUGE-N proper),
+    - ``precision`` = m / |cand n-grams|,
+    - ``f1`` = 2m / (|ref| + |cand|)  (algebraically 2PR/(P+R), kept
+      in the one-division int/int form so both engines compute the
+      same correctly-rounded double).
+
+    Tokens are whitespace-split after lower+trim; a side with fewer
+    than ``n`` tokens has no n-grams and its ratio is NULL (and f1 is
+    NULL only when BOTH sides are empty). NULL texts behave as empty.
+
+    Scale shape: relational multiset intersection, NOT a per-row
+    quadratic HOF fold (interpreted array lambdas are O(L²) per row —
+    minutes per partition on book-length docs): one projection builds
+    both gram arrays, each side explodes to an (id, gram) count
+    (map-side combined), one (id, gram)-keyed inner join takes the
+    per-gram ``least``, one id-keyed re-agg sums the matches. Every
+    shuffle is id/gram-keyed and bounded by document length; nothing
+    is corpus².
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def words(c):
+        return F.filter(
+            F.split(F.trim(F.lower(F.coalesce(F.col(c), F.lit("")))),
+                    r"\s+"),
+            lambda t: t != "")
+
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        _word_ngrams(words(ref_col), n).alias("__rg"),
+        _word_ngrams(words(cand_col), n).alias("__cg"))
+    sizes = base.select("__id", F.size("__rg").alias("__nr"),
+                        F.size("__cg").alias("__nc"))
+    rg = (base.select("__id", F.explode("__rg").alias("__g"))
+          .groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__cr")))
+    cg = (base.select("__id", F.explode("__cg").alias("__g"))
+          .groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__cc")))
+    match = (rg.join(cg, ["__id", "__g"])
+             .groupBy("__id")
+             .agg(F.sum(F.least("__cr", "__cc")).alias("__m")))
+    m = F.coalesce(F.col("__m"), F.lit(0)).cast("double")
+    nr, nc = F.col("__nr"), F.col("__nc")
+    return (sizes.join(match, "__id", "left")
+            .select(
+                F.col("__id").alias(id_col),
+                nr.alias("n_ref_ngrams"),
+                nc.alias("n_cand_ngrams"),
+                F.coalesce(F.col("__m"), F.lit(0)).alias("n_match"),
+                F.when(nc > 0, m / nc).alias("precision"),
+                F.when(nr > 0, m / nr).alias("recall"),
+                F.when(nr + nc > 0,
+                       F.lit(2.0) * m / (nr + nc)).alias("f1")))

@@ -1184,6 +1184,97 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k retrieval (similarity.mmr_topk — greedy
+    Maximal Marginal Relevance with a FULL value oracle): per query,
+    k=3 selections from the pool of 8 cosine-nearest candidates at
+    lam=0.5, each step maximizing λ·rel − (1−λ)·max-sim-to-selected
+    with (score desc, id asc) tie order. Deterministic greedy — no
+    RNG — so like embed_kmeans the iterative algorithm is
+    value-checked via unrolled selection steps (the oracle reproduces
+    pool cut, pairwise sims, and all 3 argmax rounds). 4-dp rounding
+    on the float outputs, the ann_topk precedent."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.mmr_topk(emb, queries, k=3, pool=8, lam=0.5)
+    return out.select(
+        "query_id", "neighbor_id", "position",
+        (F.round("relevance", 4) + F.lit(0.0)).alias("relevance"),
+        (F.round("mmr_score", 4) + F.lit(0.0)).alias("mmr_score"))
+
+
+ORACLE_EMBED_MMR_TOPK = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings),
+scored AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_sum(list_transform(range(1, len(q.e) + 1),
+                                 i -> q.e[i] * c.e[i]))
+           / (q.nrm * c.nrm) AS rel
+  FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+pool AS (
+  SELECT qid, cid, rel FROM (
+    SELECT qid, cid, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid ASC) AS rk
+    FROM scored) WHERE rk <= 8),
+ps AS (
+  SELECT p1.qid, p1.cid AS ca, p2.cid AS cb,
+         list_sum(list_transform(range(1, len(va.e) + 1),
+                                 i -> va.e[i] * vb.e[i]))
+           / (va.nrm * vb.nrm) AS s
+  FROM pool p1
+  JOIN pool p2 ON p1.qid = p2.qid AND p1.cid <> p2.cid
+  JOIN v va ON va.vec_id = p1.cid
+  JOIN v vb ON vb.vec_id = p2.cid),
+s1 AS (
+  SELECT qid, cid, rel, 0.5 * rel AS score FROM (
+    SELECT qid, cid, rel,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY rel DESC, cid ASC) AS rk
+    FROM pool) WHERE rk = 1),
+c2 AS (
+  SELECT p.qid, p.cid, p.rel, max(ps.s) AS pen
+  FROM pool p
+  JOIN s1 ON s1.qid = p.qid AND p.cid <> s1.cid
+  JOIN ps ON ps.qid = p.qid AND ps.ca = p.cid AND ps.cb = s1.cid
+  GROUP BY p.qid, p.cid, p.rel),
+s2 AS (
+  SELECT qid, cid, rel, score FROM (
+    SELECT qid, cid, rel, 0.5 * rel - 0.5 * pen AS score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY 0.5 * rel - 0.5 * pen DESC,
+                                       cid ASC) AS rk
+    FROM c2) WHERE rk = 1),
+sel2 AS (SELECT qid, cid FROM s1 UNION ALL SELECT qid, cid FROM s2),
+c3 AS (
+  SELECT p.qid, p.cid, p.rel, max(ps.s) AS pen
+  FROM pool p
+  ANTI JOIN sel2 x ON x.qid = p.qid AND x.cid = p.cid
+  JOIN ps ON ps.qid = p.qid AND ps.ca = p.cid
+  JOIN sel2 ON sel2.qid = ps.qid AND sel2.cid = ps.cb
+  GROUP BY p.qid, p.cid, p.rel),
+s3 AS (
+  SELECT qid, cid, rel, score FROM (
+    SELECT qid, cid, rel, 0.5 * rel - 0.5 * pen AS score,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY 0.5 * rel - 0.5 * pen DESC,
+                                       cid ASC) AS rk
+    FROM c3) WHERE rk = 1)
+SELECT qid AS query_id, cid AS neighbor_id, 1 AS position,
+       round(rel, 4) + 0.0 AS relevance,
+       round(score, 4) + 0.0 AS mmr_score
+FROM s1
+UNION ALL
+SELECT qid, cid, 2, round(rel, 4) + 0.0, round(score, 4) + 0.0 FROM s2
+UNION ALL
+SELECT qid, cid, 3, round(rel, 4) + 0.0, round(score, 4) + 0.0 FROM s3
+"""
+
+
 def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining (similarity.hard_negatives): per query, the
     5 most cosine-similar vectors with a DIFFERENT label — the
@@ -5269,6 +5360,133 @@ FROM documents d LEFT JOIN e USING (doc_id)
 """
 
 
+def q_docs_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-2 n-gram overlap (text.ngram_overlap): each document
+    scored against a synthesized candidate — the last 3 words dropped
+    AND the word at 0-based position doc_id % 7 replaced with 'zzz' —
+    so precision, recall, AND the multiset min() all do work (the
+    substitution kills up to two bigrams, the truncation lowers
+    recall, repeated bigrams exercise least(count, count)). Relational
+    multiset intersection: two (id, gram) counts, one inner join, one
+    id-keyed re-agg; all ratios are single int/int divisions so both
+    engines produce the same correctly-rounded doubles."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                     lambda t: t != "")
+    cw = F.slice(words, 1, F.greatest(F.size(words) - 3, F.lit(0)))
+    p = (F.col("doc_id") % 7).cast("int")
+    cand = F.array_join(
+        F.transform(cw, lambda w, i: F.when(i == p, F.lit("zzz"))
+                    .otherwise(w)), " ")
+    pairs = docs.select("doc_id", "text", cand.alias("cand"))
+    return T.ngram_overlap(pairs, "doc_id", "text", "cand", n=2)
+
+
+ORACLE_DOCS_ROUGE_OVERLAP = r"""
+WITH w AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                     x -> x <> '') AS ws
+  FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         [CASE WHEN i - 1 = doc_id % 7 THEN 'zzz'
+               ELSE ws[CAST(i AS INT)] END
+          FOR i IN range(1, greatest(len(ws) - 3, 0) + 1)] AS cw
+  FROM w),
+g AS (
+  SELECT doc_id,
+         [array_to_string(ws[i:i+1], ' ')
+          FOR i IN range(1, greatest(len(ws) - 1, 0) + 1)] AS rg,
+         [array_to_string(cw[i:i+1], ' ')
+          FOR i IN range(1, greatest(len(cw) - 1, 0) + 1)] AS cg
+  FROM c),
+rc AS (
+  SELECT doc_id, gram, count(*) AS cr
+  FROM g, UNNEST(rg) AS t(gram) GROUP BY doc_id, gram),
+cc AS (
+  SELECT doc_id, gram, count(*) AS ccnt
+  FROM g, UNNEST(cg) AS t(gram) GROUP BY doc_id, gram),
+m AS (
+  SELECT rc.doc_id, CAST(sum(least(rc.cr, cc.ccnt)) AS BIGINT) AS mm
+  FROM rc JOIN cc ON rc.doc_id = cc.doc_id AND rc.gram = cc.gram
+  GROUP BY rc.doc_id)
+SELECT g.doc_id,
+       CAST(len(rg) AS INT) AS n_ref_ngrams,
+       CAST(len(cg) AS INT) AS n_cand_ngrams,
+       coalesce(mm, 0) AS n_match,
+       CASE WHEN len(cg) > 0
+            THEN coalesce(mm, 0) * 1.0 / len(cg) END AS precision,
+       CASE WHEN len(rg) > 0
+            THEN coalesce(mm, 0) * 1.0 / len(rg) END AS recall,
+       CASE WHEN len(rg) + len(cg) > 0
+            THEN 2.0 * coalesce(mm, 0) / (len(rg) + len(cg)) END AS f1
+FROM g LEFT JOIN m USING (doc_id)
+"""
+
+
+def q_part_copurchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the part CO-PURCHASE graph
+    (graph.pagerank — iterative power iteration with a FULL value
+    oracle, the lloyd_kmeans precedent for iterative float
+    algorithms): nodes are parts, an undirected edge joins two parts
+    that appear in the same order (distinct pairs, symmetrized), 3
+    damped iterations from the uniform vector. Deterministic by
+    construction — fixed rounds, no RNG, 9-dp output rounding absorbs
+    cross-engine float-sum ordering. The symmetric construction makes
+    every node's out-degree >= 1, so the operator's dangling-mass term
+    is exactly 0.0 every round and the oracle can omit it (the
+    dangling path itself is pytest-pinned against a dense reference).
+    Scale: the order-keyed self-join is bounded by lines-per-order;
+    each iteration is one src-keyed join + one dst-keyed sum."""
+    from .operators import graph
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, "ok")
+             .filter(F.col("a.pk") < F.col("b.pk"))
+             .select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+             .distinct())
+    edges = (pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("pb").alias("src"),
+                              F.col("pa").alias("dst"))))
+    out = graph.pagerank(edges, iterations=3)
+    return out.select(F.col("node").alias("partkey"), "rank")
+
+
+ORACLE_PART_COPURCHASE_RANK = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+e AS (SELECT pa AS src, pb AS dst FROM e0
+      UNION ALL SELECT pb, pa FROM e0),
+nd AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nd),
+r0 AS (SELECT node, deg, 1.0 / n AS r FROM nd CROSS JOIN nn),
+s1 AS (SELECT e.dst AS node, sum(r.r / r.deg) AS s
+       FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+r1 AS (SELECT nd.node, nd.deg,
+              0.15 / n + 0.85 * coalesce(s1.s, 0.0) AS r
+       FROM nd CROSS JOIN nn LEFT JOIN s1 ON s1.node = nd.node),
+s2 AS (SELECT e.dst AS node, sum(r.r / r.deg) AS s
+       FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r2 AS (SELECT nd.node, nd.deg,
+              0.15 / n + 0.85 * coalesce(s2.s, 0.0) AS r
+       FROM nd CROSS JOIN nn LEFT JOIN s2 ON s2.node = nd.node),
+s3 AS (SELECT e.dst AS node, sum(r.r / r.deg) AS s
+       FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r3 AS (SELECT nd.node,
+              0.15 / n + 0.85 * coalesce(s3.s, 0.0) AS r
+       FROM nd CROSS JOIN nn LEFT JOIN s3 ON s3.node = nd.node)
+SELECT node AS partkey, round(r, 9) + 0.0 AS rank FROM r3
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -7624,6 +7842,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_kfold": q_docs_kfold,
     "docs_token_entropy": q_docs_token_entropy,
     "docs_readability": q_docs_readability,
+    "docs_rouge_overlap": q_docs_rouge_overlap,
+    "part_copurchase_rank": q_part_copurchase_rank,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -7631,6 +7851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_kmeans": q_embed_kmeans,
     "embed_kmeans_sampled": q_embed_kmeans_sampled,
     "embed_hard_negatives": q_embed_hard_negatives,
+    "embed_mmr_topk": q_embed_mmr_topk,
     "embed_pca": q_embed_pca,
     "docs_split_leakage": q_docs_split_leakage,
     "orders_basket_lift": q_orders_basket_lift,
@@ -7803,6 +8024,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_kmeans": ORACLE_EMBED_KMEANS,
     "embed_kmeans_sampled": ORACLE_EMBED_KMEANS_SAMPLED,
     "embed_hard_negatives": ORACLE_EMBED_HARD_NEGATIVES,
+    "embed_mmr_topk": ORACLE_EMBED_MMR_TOPK,
     "docs_split_leakage": ORACLE_DOCS_SPLIT_LEAKAGE,
     "orders_basket_lift": ORACLE_ORDERS_BASKET_LIFT,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
@@ -7817,6 +8039,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_kfold": ORACLE_DOCS_KFOLD,
     "docs_token_entropy": ORACLE_DOCS_TOKEN_ENTROPY,
     "docs_readability": ORACLE_DOCS_READABILITY,
+    "docs_rouge_overlap": ORACLE_DOCS_ROUGE_OVERLAP,
+    "part_copurchase_rank": ORACLE_PART_COPURCHASE_RANK,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

@@ -5368,3 +5368,210 @@ class TestKrippendorffAlpha:
             r = profiling.krippendorff_alpha(df, "unit", "rating",
                                              metric=m).first()
             assert r["alpha"] is None, m
+
+
+class TestNgramOverlap:
+    def _run(self, spark, rows, n=2):
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(rows, "id long, ref string, cand string")
+        return {r["id"]: r for r in
+                T.ngram_overlap(df, "id", "ref", "cand", n=n).collect()}
+
+    def test_hand_computed_rouge2(self, spark):
+        """ref 'the cat sat on the mat' vs cand 'the cat on the mat':
+        ref bigrams 5, cand bigrams 4, shared {the cat, on the,
+        the mat} = 3 -> P=3/4, R=3/5, F1=6/9."""
+        got = self._run(spark, [(1, "the cat sat on the mat",
+                                 "the cat on the mat")])
+        r = got[1]
+        assert r["n_ref_ngrams"] == 5 and r["n_cand_ngrams"] == 4
+        assert r["n_match"] == 3
+        assert r["precision"] == pytest.approx(0.75)
+        assert r["recall"] == pytest.approx(0.6)
+        assert r["f1"] == pytest.approx(6 / 9)
+
+    def test_multiset_min_semantics(self, spark):
+        """ref 'a a a' has bigram 'a a' TWICE, cand 'a a' once: the
+        match is min(2, 1) = 1, not 2 (the set-overlap bug ROUGE's
+        clipped counts exist to avoid)."""
+        r = self._run(spark, [(1, "a a a", "a a")])[1]
+        assert r["n_ref_ngrams"] == 2 and r["n_cand_ngrams"] == 1
+        assert r["n_match"] == 1
+        assert r["precision"] == pytest.approx(1.0)
+        assert r["recall"] == pytest.approx(0.5)
+
+    def test_short_and_null_sides(self, spark):
+        """A side with < n tokens has no n-grams: its ratio is NULL;
+        f1 is NULL only when both sides are empty. NULL text behaves
+        as empty; normalization lowers and trims."""
+        got = self._run(spark, [
+            (1, "alpha beta gamma", "alpha"),   # cand too short
+            (2, None, None),                    # both empty
+            (3, "  A  b ", "a b"),              # case/space normalize
+        ])
+        assert got[1]["precision"] is None
+        assert got[1]["recall"] == 0.0 and got[1]["f1"] == 0.0
+        assert got[2]["f1"] is None and got[2]["n_match"] == 0
+        assert got[3]["n_match"] == 1 and got[3]["f1"] == 1.0
+
+    def test_unigram_mode_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import text as T
+        r = self._run(spark, [(1, "x y z", "z x q")], n=1)[1]
+        assert r["n_match"] == 2          # x and z shared as unigrams
+        assert r["recall"] == pytest.approx(2 / 3)
+        df = spark.createDataFrame([(1, "a", "a")],
+                                   "id long, ref string, cand string")
+        with _pytest.raises(ValueError, match="n must be"):
+            T.ngram_overlap(df, "id", "ref", "cand", n=0)
+
+
+class TestPagerank:
+    def _np_pagerank(self, edges, n_iter=3, d=0.85):
+        """Independent dense power-iteration reference."""
+        nodes = sorted({u for e in edges for u in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        n = len(nodes)
+        out = {v: 0 for v in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        r = {v: 1.0 / n for v in nodes}
+        for _ in range(n_iter):
+            dang = sum(r[v] for v in nodes if out[v] == 0)
+            acc = {v: 0.0 for v in nodes}
+            for s, t in edges:
+                acc[t] += r[s] / out[s]
+            r = {v: (1 - d) / n + d * (acc[v] + dang / n)
+                 for v in nodes}
+        del idx
+        return r
+
+    def test_matches_reference_with_dangling_node(self, spark):
+        from spark_expectations_spark.operators import graph
+        edges = [(1, 2), (1, 3), (2, 3), (4, 1)]   # 3 is dangling
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(df, iterations=3).collect()}
+        want = self._np_pagerank(edges)
+        assert set(got) == set(want)
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        # ranks stay a distribution (the dangling correction's job)
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    def test_hub_outranks_leaf_and_parallel_edges_count(self, spark):
+        from spark_expectations_spark.operators import graph
+        # everyone points at 9; 9 points back at 1 only
+        edges = [(1, 9), (2, 9), (3, 9), (9, 1)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(df, iterations=5).collect()}
+        assert got[9] > got[1] > got[2] == got[3]
+        # a duplicated edge doubles its weight share
+        dup = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3)], "src long, dst long")
+        g2 = {r["node"]: r["rank"]
+              for r in graph.pagerank(dup, iterations=1).collect()}
+        assert g2[2] > g2[3]
+
+    def test_iterations_zero_is_uniform_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import graph
+        df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(df, iterations=0).collect()}
+        assert got[1] == got[2] == pytest.approx(0.5)
+        with _pytest.raises(ValueError, match="damping"):
+            graph.pagerank(df, damping=1.0)
+        with _pytest.raises(ValueError, match="iterations"):
+            graph.pagerank(df, iterations=-1)
+        empty = spark.createDataFrame([], "src long, dst long")
+        with _pytest.raises(ValueError, match="empty"):
+            graph.pagerank(empty)
+
+
+class TestMmrTopk:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows,
+                                     "vec_id long, embedding array<double>")
+
+    def test_diversity_beats_redundancy(self, spark):
+        """q=[1,0]; 10 and 12 equally relevant but opposite off-axis,
+        11 a near-duplicate of 10. Plain top-2 would take {10, 11};
+        MMR takes 10 (tie -> low id), then 12 (11's similarity to the
+        selected 10 is ~1, crushing its marginal score)."""
+        from spark_expectations_spark.operators import similarity as sim
+        df = self._df(spark, [(1, [1.0, 0.0]), (10, [0.9, 0.44]),
+                              (11, [0.9, 0.45]), (12, [0.9, -0.44])])
+        q = df.filter("vec_id = 1")
+        got = {r["position"]: r for r in
+               sim.mmr_topk(df, q, k=3, pool=3, lam=0.5).collect()}
+        assert got[1]["neighbor_id"] == 10
+        assert got[2]["neighbor_id"] == 12
+        assert got[3]["neighbor_id"] == 11
+        # position 1 carries the unpenalized lam*rel score
+        assert got[1]["mmr_score"] == pytest.approx(
+            0.5 * got[1]["relevance"])
+        # the near-dup's winning score is its rel minus ~its rel
+        assert got[3]["mmr_score"] < 0
+
+    def test_lam_one_is_plain_relevance_ranking(self, spark):
+        from spark_expectations_spark.operators import similarity as sim
+        df = self._df(spark, [(1, [1.0, 0.0]), (10, [0.9, 0.44]),
+                              (11, [0.9, 0.45]), (12, [0.9, -0.44])])
+        q = df.filter("vec_id = 1")
+        mmr = {r["position"]: r["neighbor_id"] for r in
+               sim.mmr_topk(df, q, k=3, pool=3, lam=1.0).collect()}
+        top = {r["rank"]: r["neighbor_id"] for r in
+               sim.cosine_topk(df, q, k=3).collect()}
+        assert mmr == top
+
+    def test_greedy_matches_python_reference(self, spark):
+        """Differential vs a dense greedy MMR on a random-ish cloud."""
+        import random
+        from spark_expectations_spark.operators import similarity as sim
+        rng = random.Random(13)
+        rows = [(i, [rng.gauss(0, 1) for _ in range(8)])
+                for i in range(40)]
+        df = self._df(spark, rows)
+        q = df.filter("vec_id < 2")
+        got = {(r["query_id"], r["position"]): r["neighbor_id"]
+               for r in sim.mmr_topk(df, q, k=4, pool=10,
+                                     lam=0.5).collect()}
+
+        import math
+        vecs = {i: v for i, v in rows}
+
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            na = math.sqrt(sum(x * x for x in a))
+            nb = math.sqrt(sum(x * x for x in b))
+            return d / (na * nb)
+
+        for qid in (0, 1):
+            rel = sorted(((cos(vecs[qid], v), -i) for i, v in vecs.items()
+                          if i != qid), reverse=True)
+            pool = [(-ni, r) for r, ni in rel[:10]]
+            sel = []
+            for pos in range(1, 5):
+                best = None
+                for cid, r in pool:
+                    if cid in sel:
+                        continue
+                    pen = max((cos(vecs[cid], vecs[s]) for s in sel),
+                              default=0.0)
+                    score = 0.5 * r - (0.5 * pen if sel else 0.0)
+                    key = (score, -cid)
+                    if best is None or key > best[0]:
+                        best = (key, cid)
+                sel.append(best[1])
+                assert got[(qid, pos)] == best[1], (qid, pos)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import similarity as sim
+        df = self._df(spark, [(1, [1.0, 0.0]), (2, [0.0, 1.0])])
+        with _pytest.raises(ValueError, match="lam"):
+            sim.mmr_topk(df, df, lam=1.5)
+        with _pytest.raises(ValueError, match="k <= pool"):
+            sim.mmr_topk(df, df, k=5, pool=3)
