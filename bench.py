@@ -153,6 +153,11 @@ BENCH_QUERIES = [
     # co-purchase graph (3 synchronous rounds, src/dst-keyed joins),
     # MMR-diversified retrieval (one corpus scan + pool-bounded greedy)
     "docs_rouge_overlap", "part_copurchase_rank", "embed_mmr_topk",
+    # weighted-pagerank twin shares part_copurchase_rank's plan (one
+    # extra per-edge multiply) and is deliberately unbenched per the
+    # sibling-configuration rule; HITS and the per-source score ECDF
+    # are new plan shapes and get rows
+    "customer_part_hits", "docs_source_qnorm",
 ]
 
 

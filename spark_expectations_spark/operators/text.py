@@ -1817,3 +1817,75 @@ def ngram_overlap(
                 F.when(nr > 0, m / nr).alias("recall"),
                 F.when(nr + nc > 0,
                        F.lit(2.0) * m / (nr + nc)).alias("f1")))
+
+
+def quantile_normalize_scores(
+    df: DataFrame,
+    source_col: str,
+    score_col: str,
+    *,
+    out_col: str = "qscore",
+    buckets: int | None = None,
+) -> DataFrame:
+    """Map a score column to its within-source quantile (ECDF value in
+    (0, 1]) — the cross-source calibration step before classifier
+    scores from heterogeneous sources are mixed into one sampling
+    weight or gate threshold: raw score scales differ per source (a
+    0.8 from one domain's classifier is not a 0.8 from another's),
+    but "top 10% of its own source" composes. Adds ``out_col`` =
+    cume_dist = (# rows in the source with score <= this) / n_source —
+    deterministic under ties (counts, not positions). NULL scores pass
+    through with NULL ``out_col`` and are excluded from every count.
+
+    ``buckets=B`` switches to the histogram approximation for sources
+    too large to sort: per-source (min, max) in one agg, a (source,
+    bucket) histogram (the fold-bucket recipe drift/calibration use),
+    cumulative counts over that source×B-sized frame, and a broadcast
+    bucket-table join — qscore becomes the ECDF at the row's bucket
+    UPPER edge, exact to within one bucket's mass. The only
+    corpus-sized shuffles are map-side-combined aggregations.
+
+    Scale contract for the exact path: one window = one SORT per
+    source partition. Fine when no single source dominates; for a
+    corpus where one source is half of 100 TB, pass ``buckets`` — a
+    windowed sort over that source is the bottleneck the histogram
+    path exists to avoid.
+    """
+    from pyspark.sql import Window
+
+    src = F.col(source_col)
+    x = F.col(score_col).cast("double")
+    if buckets is None:
+        w = Window.partitionBy(src).orderBy(x)
+        q = F.cume_dist().over(w)
+        return df.withColumn(out_col, F.when(x.isNotNull(), q))
+    if buckets < 1:
+        raise ValueError("buckets must be >= 1")
+    b = int(buckets)
+    stats = (df.filter(x.isNotNull())
+             .groupBy(src.alias("__src"))
+             .agg(F.min(x).alias("__lo"), F.max(x).alias("__hi"),
+                  F.count(F.lit(1)).alias("__n")))
+    span = F.col("__hi") - F.col("__lo")
+    bucket = F.when(span > 0,
+                    F.least(F.floor((x - F.col("__lo")) / span * b),
+                            F.lit(b - 1))).otherwise(F.lit(0))
+    with_b = (df.join(F.broadcast(stats), src == F.col("__src"), "left")
+              .withColumn("__b", F.when(x.isNotNull(), bucket)))
+    hist = (with_b.filter(F.col("__b").isNotNull())
+            .groupBy("__src", "__b")
+            .agg(F.count(F.lit(1)).alias("__c")))
+    wcum = (Window.partitionBy("__src").orderBy("__b")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("__cle", F.sum("__c").over(wcum))
+    return (with_b.join(
+                F.broadcast(cum.select(F.col("__src").alias("__src2"),
+                                       F.col("__b").alias("__b2"),
+                                       "__cle")),
+                (F.col("__src") == F.col("__src2"))
+                & (F.col("__b") == F.col("__b2")), "left")
+            .withColumn(out_col,
+                        F.when(x.isNotNull(),
+                               F.col("__cle") / F.col("__n")))
+            .drop("__src", "__src2", "__lo", "__hi", "__n", "__b",
+                  "__b2", "__cle"))

@@ -5487,6 +5487,148 @@ SELECT node AS partkey, round(r, 9) + 0.0 AS rank FROM r3
 """
 
 
+def q_part_copurchase_rank_weighted(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the same co-purchase graph
+    (graph.pagerank(weight=...)): edge weight = the number of ORDERS
+    the pair co-occurred in, so frequently-bought-together parts pull
+    proportionally more rank ("co-bought 50 times" beats "once" —
+    what the unweighted twin deliberately flattens). Same 3 unrolled
+    rounds; each source distributes r·w/Σw. Weights are integer
+    counts, so the weighted degree sums are exact in both engines."""
+    from .operators import graph
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, "ok")
+             .filter(F.col("a.pk") < F.col("b.pk"))
+             .select("ok", F.col("a.pk").alias("pa"),
+                     F.col("b.pk").alias("pb"))
+             .distinct()
+             .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("w")))
+    edges = (pairs.select(F.col("pa").alias("src"),
+                          F.col("pb").alias("dst"), "w")
+             .unionByName(
+                 pairs.select(F.col("pb").alias("src"),
+                              F.col("pa").alias("dst"), "w")))
+    out = graph.pagerank(edges, weight="w", iterations=3)
+    return out.select(F.col("node").alias("partkey"), "rank")
+
+
+ORACLE_PART_COPURCHASE_RANK_WEIGHTED = """
+WITH e0 AS (
+  SELECT pa, pb, count(*) AS w FROM (
+    SELECT DISTINCT a.l_orderkey AS ok, a.l_partkey AS pa,
+           b.l_partkey AS pb
+    FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+    WHERE a.l_partkey < b.l_partkey)
+  GROUP BY pa, pb),
+e AS (SELECT pa AS src, pb AS dst, w FROM e0
+      UNION ALL SELECT pb, pa, w FROM e0),
+nd AS (SELECT src AS node, sum(CAST(w AS DOUBLE)) AS deg
+       FROM e GROUP BY src),
+nn AS (SELECT count(*) AS n FROM nd),
+r0 AS (SELECT node, deg, 1.0 / n AS r FROM nd CROSS JOIN nn),
+s1 AS (SELECT e.dst AS node, sum(r.r * e.w / r.deg) AS s
+       FROM e JOIN r0 r ON r.node = e.src GROUP BY e.dst),
+r1 AS (SELECT nd.node, nd.deg,
+              0.15 / n + 0.85 * coalesce(s1.s, 0.0) AS r
+       FROM nd CROSS JOIN nn LEFT JOIN s1 ON s1.node = nd.node),
+s2 AS (SELECT e.dst AS node, sum(r.r * e.w / r.deg) AS s
+       FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r2 AS (SELECT nd.node, nd.deg,
+              0.15 / n + 0.85 * coalesce(s2.s, 0.0) AS r
+       FROM nd CROSS JOIN nn LEFT JOIN s2 ON s2.node = nd.node),
+s3 AS (SELECT e.dst AS node, sum(r.r * e.w / r.deg) AS s
+       FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r3 AS (SELECT nd.node,
+              0.15 / n + 0.85 * coalesce(s3.s, 0.0) AS r
+       FROM nd CROSS JOIN nn LEFT JOIN s3 ON s3.node = nd.node)
+SELECT node AS partkey, round(r, 9) + 0.0 AS rank FROM r3
+"""
+
+
+def q_customer_part_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (graph.hits) over the bipartite
+    customer → part purchase graph (customer nodes offset by 1e8 so
+    the two key spaces can't collide): 2 L1-normalized iterations.
+    On a bipartite graph the two scores are separately meaningful —
+    authoritative parts are bought by broad buyers, hub customers buy
+    authoritative parts — and each side's OTHER score is exactly 0
+    (customers have no in-edges, parts no out-edges), which the oracle
+    checks for free. Same unrolled-CTE gating as part_copurchase_rank;
+    sums mirror the operator's per-edge folds so 9-dp rounding
+    absorbs only float-sum ordering."""
+    from .operators import graph
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+             .select((F.col("o_custkey") + 100000000).alias("src"),
+                     F.col("l_partkey").alias("dst"))
+             .distinct())
+    return graph.hits(edges, iterations=2)
+
+
+ORACLE_CUSTOMER_PART_HITS = """
+WITH e AS (
+  SELECT DISTINCT o_custkey + 100000000 AS src, l_partkey AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+nn AS (SELECT count(*) AS n FROM nodes),
+h0 AS (SELECT node, 1.0 / n AS h FROM nodes CROSS JOIN nn),
+a1r AS (SELECT e.dst AS node, sum(h0.h) AS a
+        FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
+a1t AS (SELECT sum(a) AS t FROM a1r),
+a1 AS (SELECT nodes.node, coalesce(a1r.a, 0.0) / a1t.t AS a
+       FROM nodes CROSS JOIN a1t LEFT JOIN a1r ON a1r.node = nodes.node),
+h1r AS (SELECT e.src AS node, sum(a1.a) AS h
+        FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
+h1t AS (SELECT sum(h) AS t FROM h1r),
+h1 AS (SELECT nodes.node, coalesce(h1r.h, 0.0) / h1t.t AS h
+       FROM nodes CROSS JOIN h1t LEFT JOIN h1r ON h1r.node = nodes.node),
+a2r AS (SELECT e.dst AS node, sum(h1.h) AS a
+        FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
+a2t AS (SELECT sum(a) AS t FROM a2r),
+a2 AS (SELECT nodes.node, coalesce(a2r.a, 0.0) / a2t.t AS a
+       FROM nodes CROSS JOIN a2t LEFT JOIN a2r ON a2r.node = nodes.node),
+h2r AS (SELECT e.src AS node, sum(a2.a) AS h
+        FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
+h2t AS (SELECT sum(h) AS t FROM h2r),
+h2 AS (SELECT nodes.node, coalesce(h2r.h, 0.0) / h2t.t AS h
+       FROM nodes CROSS JOIN h2t LEFT JOIN h2r ON h2r.node = nodes.node)
+SELECT h2.node, round(h2.h, 9) + 0.0 AS hub,
+       round(a2.a, 9) + 0.0 AS authority
+FROM h2 JOIN a2 USING (node)
+"""
+
+
+def q_docs_source_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source score quantile normalization
+    (text.quantile_normalize_scores, exact ECDF path): n_chars as the
+    raw "classifier score", mapped to its within-source cume_dist so
+    sources with different length distributions become comparable
+    before mixing. qscore = (#rows in source <= this)/n — int/int,
+    bit-identical cross-engine, no rounding anywhere. The bucketed
+    100 TB path is pytest-gated against this exact twin (within 1/B)."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score"))
+    return T.quantile_normalize_scores(docs, "source", "score")
+
+
+ORACLE_DOCS_SOURCE_QNORM = """
+SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS score,
+       cume_dist() OVER (PARTITION BY source
+                         ORDER BY CAST(n_chars AS DOUBLE)) AS qscore
+FROM documents
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -7844,6 +7986,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_readability": q_docs_readability,
     "docs_rouge_overlap": q_docs_rouge_overlap,
     "part_copurchase_rank": q_part_copurchase_rank,
+    "part_copurchase_rank_weighted": q_part_copurchase_rank_weighted,
+    "customer_part_hits": q_customer_part_hits,
+    "docs_source_qnorm": q_docs_source_qnorm,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8041,6 +8186,9 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_readability": ORACLE_DOCS_READABILITY,
     "docs_rouge_overlap": ORACLE_DOCS_ROUGE_OVERLAP,
     "part_copurchase_rank": ORACLE_PART_COPURCHASE_RANK,
+    "part_copurchase_rank_weighted": ORACLE_PART_COPURCHASE_RANK_WEIGHTED,
+    "customer_part_hits": ORACLE_CUSTOMER_PART_HITS,
+    "docs_source_qnorm": ORACLE_DOCS_SOURCE_QNORM,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

@@ -5575,3 +5575,146 @@ class TestMmrTopk:
             sim.mmr_topk(df, df, lam=1.5)
         with _pytest.raises(ValueError, match="k <= pool"):
             sim.mmr_topk(df, df, k=5, pool=3)
+
+
+class TestPagerankWeighted:
+    def test_weight_equals_parallel_edge_multiplicity(self, spark):
+        """pagerank(edges-with-duplicates) must equal
+        pagerank(distinct edges, weight=multiplicity) — the weighted
+        path's defining differential."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import graph
+        dup = spark.createDataFrame(
+            [(1, 2), (1, 2), (1, 3), (2, 3), (3, 1), (3, 1), (3, 1)],
+            "src long, dst long")
+        wtd = dup.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("w"))
+        a = {r["node"]: r["rank"]
+             for r in graph.pagerank(dup, iterations=4).collect()}
+        b = {r["node"]: r["rank"]
+             for r in graph.pagerank(wtd, weight="w",
+                                     iterations=4).collect()}
+        assert a == b
+
+    def test_heavier_edge_pulls_more_rank(self, spark):
+        from spark_expectations_spark.operators import graph
+        df = spark.createDataFrame(
+            [(1, 2, 9.0), (1, 3, 1.0), (2, 1, 1.0), (3, 1, 1.0)],
+            "src long, dst long, w double")
+        got = {r["node"]: r["rank"]
+               for r in graph.pagerank(df, weight="w",
+                                       iterations=3).collect()}
+        assert got[2] > got[3]
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    def test_bad_weights_raise(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import graph
+        for w in (0.0, -1.0, None):
+            df = spark.createDataFrame(
+                [(1, 2, 1.0), (2, 1, w)], "src long, dst long, w double")
+            with _pytest.raises(ValueError, match="weight"):
+                graph.pagerank(df, weight="w")
+
+
+class TestHits:
+    def _np_hits(self, edges, n_iter=2):
+        nodes = sorted({u for e in edges for u in e})
+        h = {v: 1.0 / len(nodes) for v in nodes}
+        a = {v: 0.0 for v in nodes}
+        for _ in range(n_iter):
+            a = {v: sum(h[s] for s, t in edges if t == v) for v in nodes}
+            at = sum(a.values()) or 1.0
+            a = {v: x / at for v, x in a.items()}
+            h = {v: sum(a[t] for s, t in edges if s == v) for v in nodes}
+            ht = sum(h.values()) or 1.0
+            h = {v: x / ht for v, x in h.items()}
+        return h, a
+
+    def test_matches_dense_reference_on_bipartite(self, spark):
+        from spark_expectations_spark.operators import graph
+        # customers 1-3 -> products 10-12; 10 is bought by everyone
+        edges = [(1, 10), (1, 11), (2, 10), (3, 10), (3, 12)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: (r["hub"], r["authority"])
+               for r in graph.hits(df, iterations=2).collect()}
+        h, a = self._np_hits(edges)
+        for v in h:
+            assert got[v][0] == pytest.approx(h[v], abs=1e-9), v
+            assert got[v][1] == pytest.approx(a[v], abs=1e-9), v
+        # the universally-bought product is the top authority; the
+        # two-product customers are the top hubs; sides stay pure
+        assert got[10][1] == max(x[1] for x in got.values())
+        assert got[1][0] == got[3][0] == max(x[0] for x in got.values())
+        for c in (1, 2, 3):
+            assert got[c][1] == 0.0      # customers are never authorities
+        for p in (10, 11, 12):
+            assert got[p][0] == 0.0      # products are never hubs
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import graph
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pytest.raises(ValueError, match="iterations"):
+            graph.hits(df, iterations=0)
+        empty = spark.createDataFrame([], "src long, dst long")
+        with _pytest.raises(ValueError, match="empty"):
+            graph.hits(empty)
+
+
+class TestQuantileNormalizeScores:
+    def test_exact_ecdf_with_ties_and_nulls(self, spark):
+        from spark_expectations_spark.operators import text as T
+        rows = [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 20.0),
+                (4, "a", 40.0), (5, "b", 5.0), (6, "b", None)]
+        df = spark.createDataFrame(rows, "id long, src string, s double")
+        got = {r["id"]: r["qscore"] for r in
+               T.quantile_normalize_scores(df, "src", "s").collect()}
+        assert got[1] == pytest.approx(0.25)
+        # ties share the upper ECDF value (3 of 4 <= 20)
+        assert got[2] == got[3] == pytest.approx(0.75)
+        assert got[4] == pytest.approx(1.0)
+        assert got[5] == pytest.approx(1.0)   # singleton source
+        assert got[6] is None                 # NULL passes through
+
+    def test_cross_source_comparability(self, spark):
+        """Two sources with very different raw scales map their
+        respective top elements to the same quantile."""
+        from spark_expectations_spark.operators import text as T
+        rows = ([(i, "lo", float(i)) for i in range(1, 11)]
+                + [(100 + i, "hi", 1000.0 * i) for i in range(1, 11)])
+        df = spark.createDataFrame(rows, "id long, src string, s double")
+        got = {r["id"]: r["qscore"] for r in
+               T.quantile_normalize_scores(df, "src", "s").collect()}
+        assert got[10] == got[110] == pytest.approx(1.0)
+        assert got[5] == got[105] == pytest.approx(0.5)
+
+    def test_bucketed_approximation_tracks_exact(self, spark):
+        from spark_expectations_spark.operators import text as T
+        rows = [(i, "a", float((i * 37) % 101)) for i in range(200)]
+        df = spark.createDataFrame(rows, "id long, src string, s double")
+        exact = {r["id"]: r["qscore"] for r in
+                 T.quantile_normalize_scores(df, "src", "s").collect()}
+        approx = {r["id"]: r["qscore"] for r in
+                  T.quantile_normalize_scores(df, "src", "s",
+                                              buckets=50).collect()}
+        for i in exact:
+            assert abs(approx[i] - exact[i]) <= 1.0 / 50 + 1e-9, i
+        # constant-score source: everything lands in bucket 0, q = 1
+        const = spark.createDataFrame([(1, "c", 7.0), (2, "c", 7.0)],
+                                      "id long, src string, s double")
+        g = {r["id"]: r["qscore"] for r in
+             T.quantile_normalize_scores(const, "src", "s",
+                                         buckets=4).collect()}
+        assert g[1] == g[2] == pytest.approx(1.0)
+
+    def test_buckets_validation_and_null_in_bucketed(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame([(1, "a", 1.0), (2, "a", None)],
+                                   "id long, src string, s double")
+        with _pytest.raises(ValueError, match="buckets"):
+            T.quantile_normalize_scores(df, "src", "s", buckets=0)
+        g = {r["id"]: r["qscore"] for r in
+             T.quantile_normalize_scores(df, "src", "s",
+                                         buckets=4).collect()}
+        assert g[2] is None and g[1] == pytest.approx(1.0)
