@@ -158,6 +158,9 @@ BENCH_QUERIES = [
     # sibling-configuration rule; HITS and the per-source score ECDF
     # are new plan shapes and get rows
     "customer_part_hits", "docs_source_qnorm",
+    # reciprocal rank fusion (one keyed sum + one rank window) and the
+    # histogram-rank ROC-AUC sweep (no corpus sort by design)
+    "part_rank_fusion", "docs_score_auc",
 ]
 
 

@@ -1978,3 +1978,56 @@ def mmr_topk(
         "position",
         F.col("__rel").alias("relevance"),
         F.col("__score").alias("mmr_score"))
+
+
+def reciprocal_rank_fusion(
+    rankings: DataFrame,
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+    *,
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al. SIGIR'09) — combine
+    multiple per-query rankings into one: each (query, item, rank) row
+    from ANY ranker contributes ``1/(k + rank)`` and the fused score is
+    the per-item sum. The standard zero-tuning way to fuse lexical +
+    embedding + recency rankers: rank-based, so incomparable raw
+    scores never meet, and ``k`` (60 in the paper) damps the head so
+    one ranker's #1 can't drown out broad agreement. Input is
+    LONG-form — stack every ranker's output with ``unionByName``; an
+    item absent from a ranker simply contributes nothing (the RRF
+    convention). Returns ``(query, item, rrf_score, fused_rank)`` with
+    ties broken by item id ascending; ``top_k`` optionally cuts each
+    fused list.
+
+    Scale shape: ONE (query, item)-keyed map-side-combined sum + one
+    per-query rank window over the fused (already deduplicated)
+    candidates — no joins at all; 100 TB of ranker output shuffles
+    once on its natural key. NULL ranks are rejected loudly (a silent
+    skip would quietly re-weight rankers).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    q, it, r = F.col(query_col), F.col(item_col), F.col(rank_col)
+    bad = rankings.filter(r.isNull() | (r < 1)).limit(1).count()
+    if bad:
+        raise ValueError(
+            "reciprocal_rank_fusion: NULL or sub-1 rank — a silent "
+            "skip would re-weight rankers; clean the input")
+    fused = (rankings
+             .groupBy(q.alias("__q"), it.alias("__i"))
+             .agg(F.sum(F.lit(1.0) / (F.lit(float(k)) + r))
+                  .alias("rrf_score")))
+    w = Window.partitionBy("__q").orderBy(F.col("rrf_score").desc(),
+                                          F.col("__i").asc())
+    out = (fused.withColumn("fused_rank", F.row_number().over(w))
+           .select(F.col("__q").alias(query_col),
+                   F.col("__i").alias(item_col),
+                   "rrf_score", "fused_rank"))
+    if top_k is not None:
+        if top_k < 1:
+            raise ValueError("top_k must be >= 1")
+        out = out.filter(F.col("fused_rank") <= top_k)
+    return out

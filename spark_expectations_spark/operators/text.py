@@ -1889,3 +1889,61 @@ def quantile_normalize_scores(
                                F.col("__cle") / F.col("__n")))
             .drop("__src", "__src2", "__lo", "__hi", "__n", "__b",
                   "__b2", "__cle"))
+
+
+def roc_auc(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    group_col: str | None = None,
+) -> DataFrame:
+    """ROC-AUC of a classifier score against binary labels — the
+    rank-based quality gate (does the score ORDER positives above
+    negatives?) complementing :func:`calibration_report` (are the
+    probabilities honest?). Computed as the tie-corrected
+    Mann-Whitney statistic: with average ranks over all n scored
+    rows, ``AUC = (R_pos − n_pos(n_pos+1)/2) / (n_pos·n_neg)`` —
+    every quantity is int-derived (average ranks are half-integers),
+    so the result is bit-identical cross-engine. Rows with NULL score
+    or NULL label drop; labels are cast to boolean. AUC is NULL when
+    either class is empty (undefined, not 0.5). One row per group
+    (``group_col``, e.g. source — the per-domain QA sweep) or one row
+    total: ``(n, n_pos, n_neg, auc)``.
+
+    Scale shape: NO corpus sort — one map-side-combined groupBy
+    collapses rows to the (group, score) HISTOGRAM (n, n_pos per
+    distinct score); the rank window runs over that distinct-score
+    frame (bounded by score cardinality, not rows), and one keyed fold
+    produces the statistic. The classic sort-based AUC is exactly
+    what this shape avoids at 100 TB.
+    """
+    x = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    g = (F.col(group_col) if group_col is not None
+         else F.lit("__all")).alias("__g")
+    hist = (df.filter(x.isNotNull() & y.isNotNull())
+            .groupBy(g, x.alias("__s"))
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(y.cast("long")).alias("__np")))
+    wcum = (Window.partitionBy("__g").orderBy("__s")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = hist.withColumn(
+        "__below", F.coalesce(F.sum("__n").over(wcum), F.lit(0)))
+    # average rank of every row at this score: below + (n+1)/2
+    avg_rank = F.col("__below") + (F.col("__n") + 1) / 2.0
+    agg = (ranked.groupBy("__g")
+           .agg(F.sum("__n").alias("n"),
+                F.sum("__np").alias("n_pos"),
+                F.sum(F.col("__np") * avg_rank).alias("__rpos")))
+    n_neg = F.col("n") - F.col("n_pos")
+    auc = ((F.col("__rpos")
+            - F.col("n_pos").cast("double")
+            * (F.col("n_pos") + 1) / 2.0)
+           / (F.col("n_pos").cast("double") * n_neg))
+    out = agg.select(
+        F.col("__g"), "n", "n_pos", n_neg.alias("n_neg"),
+        F.when((F.col("n_pos") > 0) & (n_neg > 0), auc).alias("auc"))
+    if group_col is not None:
+        return out.withColumnRenamed("__g", group_col)
+    return out.drop("__g")

@@ -5629,6 +5629,111 @@ FROM documents
 """
 
 
+def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (similarity.reciprocal_rank_fusion):
+    per brand, fuse the price-descending and size-ascending rankings
+    of its parts into one top-5 slate — the zero-tuning multi-ranker
+    combiner (Cormack SIGIR'09, 1/(60+rank) sums). Everything is
+    integer ranks in, a two-term reciprocal sum per item (commutative,
+    so bit-identical cross-engine without rounding), one fused rank
+    window out."""
+    part = load(spark, sf_dir, "part")
+    w1 = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc())
+    w2 = Window.partitionBy("p_brand").orderBy(
+        F.col("p_size").asc(), F.col("p_partkey").asc())
+    r1 = part.select(F.col("p_brand").alias("query_id"),
+                     F.col("p_partkey").alias("item_id"),
+                     F.row_number().over(w1).alias("rank"))
+    r2 = part.select(F.col("p_brand").alias("query_id"),
+                     F.col("p_partkey").alias("item_id"),
+                     F.row_number().over(w2).alias("rank"))
+    return similarity.reciprocal_rank_fusion(
+        r1.unionByName(r2), top_k=5)
+
+
+ORACLE_PART_RANK_FUSION = """
+WITH r1 AS (
+  SELECT p_brand AS q, p_partkey AS i,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC,
+                                     p_partkey ASC) AS rank
+  FROM part),
+r2 AS (
+  SELECT p_brand AS q, p_partkey AS i,
+         row_number() OVER (PARTITION BY p_brand
+                            ORDER BY p_size ASC, p_partkey ASC) AS rank
+  FROM part),
+fused AS (
+  SELECT q, i, sum(1.0 / (60.0 + rank)) AS rrf_score
+  FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+  GROUP BY q, i),
+ranked AS (
+  SELECT q AS query_id, i AS item_id, rrf_score,
+         row_number() OVER (PARTITION BY q
+                            ORDER BY rrf_score DESC, i ASC)
+           AS fused_rank
+  FROM fused)
+SELECT query_id, item_id, rrf_score, fused_rank
+FROM ranked WHERE fused_rank <= 5
+"""
+
+
+def q_docs_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ROC-AUC (text.roc_auc(group_col='source')) of the
+    calibration fixture's deterministic classifier: score =
+    ((doc_id·37) % 101)/100, label = (doc_id·61) % 100 < (doc_id·37)
+    % 101, NULL score injected on doc_id % 97 == 0 and NULL label on
+    % 89 == 0 (both drop by contract). Tie-corrected Mann-Whitney
+    over the distinct-score histogram — no corpus sort; average ranks
+    are half-integers, so every output is int-derived and needs no
+    rounding."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    score = F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("double")) \
+        .otherwise(((F.col("doc_id") * 37) % 101) / F.lit(100.0))
+    label = F.when(F.col("doc_id") % 89 == 0,
+                   F.lit(None).cast("boolean")) \
+        .otherwise((F.col("doc_id") * 61) % 100
+                   < (F.col("doc_id") * 37) % 101)
+    frame = docs.select("source", score.alias("score"),
+                        label.alias("label"))
+    return T.roc_auc(frame, "score", "label", group_col="source")
+
+
+ORACLE_DOCS_SCORE_AUC = """
+WITH s AS (
+  SELECT source,
+         CASE WHEN doc_id % 97 = 0 THEN NULL
+              ELSE (doc_id * 37) % 101 / 100.0 END AS sc,
+         CASE WHEN doc_id % 89 = 0 THEN NULL
+              ELSE (doc_id * 61) % 100 < (doc_id * 37) % 101 END AS y
+  FROM documents),
+ok AS (SELECT * FROM s WHERE sc IS NOT NULL AND y IS NOT NULL),
+hist AS (
+  SELECT source, sc, count(*) AS n,
+         sum(CASE WHEN y THEN 1 ELSE 0 END) AS np
+  FROM ok GROUP BY source, sc),
+rk AS (
+  SELECT source, sc, n, np,
+         coalesce(sum(n) OVER (PARTITION BY source ORDER BY sc
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS below
+  FROM hist),
+agg AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n,
+         CAST(sum(np) AS BIGINT) AS n_pos,
+         sum(np * (below + (n + 1) / 2.0)) AS rpos
+  FROM rk GROUP BY source)
+SELECT source, n, n_pos, n - n_pos AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0
+            THEN (rpos - CAST(n_pos AS DOUBLE) * (n_pos + 1) / 2.0)
+                 / (CAST(n_pos AS DOUBLE) * (n - n_pos)) END AS auc
+FROM agg
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -7797,27 +7902,35 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          embed_ivf_pq, embed_pq, docs_paragraph_dedup,
 #          text_pii_redact, text_repetition, text_langid,
 #          text_quality) are the r11 re-gate front.
-#   r11:   5 dq_* flagship + 4 round-11 NEW operators
+#   r11:   5 dq_* flagship + 10 round-11 NEW operators
 #          (embed_pca_check — the PCA invariants twin, r10 verdict
 #          task 2; docs_label_alpha_interval + docs_label_alpha_ordinal
 #          — the interval/ordinal alpha metrics, task 5;
 #          part_fuzzy_disjunctive — the union-of-blockers linkage mode
-#          oracle-gated, task 6) + the FULL r11 re-gate front declared
-#          above (the 20 entries whose only hard gate was r8:
-#          lineitem_grouped_dq, lineitem_drift_report,
+#          oracle-gated, task 6; docs_rouge_overlap — ROUGE-N multiset
+#          overlap; part_copurchase_rank + _weighted — PageRank with
+#          unrolled-CTE oracles; embed_mmr_topk — MMR-diversified
+#          retrieval; customer_part_hits — HITS hubs/authorities;
+#          docs_source_qnorm — per-source score ECDF) + the FULL r11
+#          re-gate front declared above (the 20 entries whose only
+#          hard gate was r8: lineitem_grouped_dq, lineitem_drift_report,
 #          lineitem_drift_verdict, lineitem_price_jsd, docs_interleave,
 #          docs_strip_html, docs_phash_dups, docs_curriculum,
 #          docs_padding_waste, docs_global_index, docs_url_stats,
 #          events_bitmap_distinct, docs_span_removal, embed_ivf_pq,
 #          embed_pq, docs_paragraph_dedup, text_pii_redact,
-#          text_repetition, text_langid, text_quality) + 21 fills from
-#          the r9-gated cohort, now the stalest (tpch q1/q5ish/q10ish/
-#          q18ish, window_rank/running_total, the embed r1-r4 family,
-#          ann_topk/ann_ivf/ann_ivf_recall, events_hourly/sliding/
-#          gapfill/ffill/seasonality, docs_decontaminate, users_scd2,
-#          lineitem_grouped_dq_target) = 50. Displaced (all r10-green
-#          3 sessions ago, rotation debt zero): the entire r10-new
-#          cohort and the r6-stale refresh.
+#          text_repetition, text_langid, text_quality) + 15 fills from
+#          the r9-gated cohort, now the stalest (window_rank/
+#          running_total, the embed r1-r4 family, ann_topk/ann_ivf/
+#          ann_ivf_recall, events_hourly/sliding/seasonality,
+#          docs_decontaminate, users_scd2, lineitem_grouped_dq_target)
+#          = 50. Displaced (all r10-green one round ago, rotation debt
+#          zero): the entire r10-new cohort and the r6-stale refresh;
+#          the late r11-new wave also displaced 8 r9-gated fills
+#          (tpch q1/q5ish/q10ish/q18ish, events_gapfill/ffill/hourly/
+#          sliding — the tpch and events families have the deepest
+#          historical coverage), and part_rank_fusion + docs_score_auc
+#          joined the r11-new block as they landed.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -7828,6 +7941,14 @@ DRIVER_PRIORITY: list[str] = [
     "docs_label_alpha_interval",  # r11 new: interval-metric alpha
     "docs_label_alpha_ordinal",  # r11 new: ordinal-metric alpha
     "part_fuzzy_disjunctive",    # r11 new: union-of-blockers linkage
+    "docs_rouge_overlap",        # r11 new: ROUGE-N multiset overlap
+    "part_copurchase_rank",      # r11 new: PageRank (unrolled oracle)
+    "part_copurchase_rank_weighted",  # r11 new: weighted variant
+    "embed_mmr_topk",            # r11 new: MMR-diversified retrieval
+    "customer_part_hits",        # r11 new: HITS hubs/authorities
+    "docs_source_qnorm",         # r11 new: per-source score ECDF
+    "part_rank_fusion",          # r11 new: reciprocal rank fusion
+    "docs_score_auc",            # r11 new: per-source ROC-AUC
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -7837,14 +7958,14 @@ DRIVER_PRIORITY: list[str] = [
     "events_bitmap_distinct", "docs_span_removal", "embed_ivf_pq",
     "embed_pq", "docs_paragraph_dedup", "text_pii_redact",
     "text_repetition", "text_langid", "text_quality",
-    # fills: the r9-gated cohort is now the stalest
-    "tpch_q1", "tpch_q5ish", "tpch_q10ish", "tpch_q18ish",
+    # fills: the r9-gated cohort is now the stalest (6 tpch/events
+    # fills displaced by the late r11-new wave — the tpch family has
+    # the deepest historical gate coverage, so it yields slots first)
     "window_rank", "window_running_total", "embed_near_dups_bcast",
     "embed_mean_pool", "embed_norm_outliers", "embed_quantize",
-    "ann_topk", "ann_ivf", "ann_ivf_recall", "events_hourly",
-    "events_sliding", "events_gapfill", "events_ffill",
-    "events_seasonality", "docs_decontaminate", "users_scd2",
-    "lineitem_grouped_dq_target",
+    "ann_topk", "ann_ivf", "ann_ivf_recall",
+    "events_seasonality", "docs_decontaminate",
+    "users_scd2", "lineitem_grouped_dq_target",
 ]
 
 
@@ -7989,6 +8110,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_rank_weighted": q_part_copurchase_rank_weighted,
     "customer_part_hits": q_customer_part_hits,
     "docs_source_qnorm": q_docs_source_qnorm,
+    "part_rank_fusion": q_part_rank_fusion,
+    "docs_score_auc": q_docs_score_auc,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8189,6 +8312,8 @@ ORACLES: dict[str, Optional[str]] = {
     "part_copurchase_rank_weighted": ORACLE_PART_COPURCHASE_RANK_WEIGHTED,
     "customer_part_hits": ORACLE_CUSTOMER_PART_HITS,
     "docs_source_qnorm": ORACLE_DOCS_SOURCE_QNORM,
+    "part_rank_fusion": ORACLE_PART_RANK_FUSION,
+    "docs_score_auc": ORACLE_DOCS_SCORE_AUC,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

@@ -5718,3 +5718,97 @@ class TestQuantileNormalizeScores:
              T.quantile_normalize_scores(df, "src", "s",
                                          buckets=4).collect()}
         assert g[2] is None and g[1] == pytest.approx(1.0)
+
+
+class TestReciprocalRankFusion:
+    def test_hand_computed_fusion(self, spark):
+        """Two rankers over one query: item 'b' is #2 in both and
+        beats 'a' (#1 in one, absent in the other):
+        b: 1/62+1/62 = 0.032258... > a: 1/61 = 0.016393..."""
+        from spark_expectations_spark.operators import similarity as sim
+        rows = [(1, "a", 1), (1, "b", 2),      # ranker 1
+                (1, "c", 1), (1, "b", 2)]      # ranker 2
+        df = spark.createDataFrame(rows,
+                                   "query_id int, item_id string, rank int")
+        got = {r["item_id"]: r for r in
+               sim.reciprocal_rank_fusion(df).collect()}
+        assert got["b"]["rrf_score"] == pytest.approx(2 / 62)
+        assert got["a"]["rrf_score"] == pytest.approx(1 / 61)
+        assert got["b"]["fused_rank"] == 1
+        # a and c tie on score -> item asc breaks it
+        assert got["a"]["fused_rank"] == 2
+        assert got["c"]["fused_rank"] == 3
+
+    def test_top_k_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import similarity as sim
+        df = spark.createDataFrame(
+            [(1, "a", 1), (1, "b", 2), (1, "c", 3)],
+            "query_id int, item_id string, rank int")
+        out = sim.reciprocal_rank_fusion(df, top_k=2)
+        assert out.count() == 2
+        with _pytest.raises(ValueError, match="k must"):
+            sim.reciprocal_rank_fusion(df, k=0)
+        bad = spark.createDataFrame([(1, "a", 0)],
+                                    "query_id int, item_id string, rank int")
+        with _pytest.raises(ValueError, match="sub-1 rank"):
+            sim.reciprocal_rank_fusion(bad)
+
+
+class TestRocAuc:
+    def test_hand_computed_with_ties(self, spark):
+        """scores (label): 0.1(-), 0.4(+), 0.4(-), 0.8(+).
+        Average ranks: 1, 2.5, 2.5, 4. R_pos = 2.5 + 4 = 6.5;
+        AUC = (6.5 - 2*3/2) / (2*2) = 3.5/4 = 0.875."""
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(0.1, 0), (0.4, 1), (0.4, 0), (0.8, 1)],
+            "s double, y int")
+        r = T.roc_auc(df, "s", "y").first()
+        assert (r["n"], r["n_pos"], r["n_neg"]) == (4, 2, 2)
+        assert r["auc"] == pytest.approx(0.875)
+
+    def test_perfect_random_and_inverted(self, spark):
+        from spark_expectations_spark.operators import text as T
+        perfect = spark.createDataFrame(
+            [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)], "s double, y int")
+        assert T.roc_auc(perfect, "s", "y").first()["auc"] == 1.0
+        inverted = spark.createDataFrame(
+            [(0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0)], "s double, y int")
+        assert T.roc_auc(inverted, "s", "y").first()["auc"] == 0.0
+        const = spark.createDataFrame(
+            [(0.5, 1), (0.5, 0), (0.5, 1), (0.5, 0)], "s double, y int")
+        # all tied: average ranks make AUC exactly 0.5
+        assert T.roc_auc(const, "s", "y").first()["auc"] == 0.5
+
+    def test_degenerate_null_and_groups(self, spark):
+        from spark_expectations_spark.operators import text as T
+        onecls = spark.createDataFrame([(0.5, 1), (0.9, 1)],
+                                       "s double, y int")
+        assert T.roc_auc(onecls, "s", "y").first()["auc"] is None
+        grouped = spark.createDataFrame(
+            [("a", 0.9, 1), ("a", 0.1, 0),          # perfect in a
+             ("b", 0.1, 1), ("b", 0.9, 0),          # inverted in b
+             ("b", None, 1), ("b", 0.5, None)],     # dropped rows
+            "g string, s double, y int")
+        got = {r["g"]: r for r in
+               T.roc_auc(grouped, "s", "y", group_col="g").collect()}
+        assert got["a"]["auc"] == 1.0
+        assert got["b"]["auc"] == 0.0
+        assert got["b"]["n"] == 2                   # NULLs dropped
+
+    def test_matches_sklearn_style_reference(self, spark):
+        """Differential vs a pure-python pairwise AUC on a messy
+        tie-heavy sample."""
+        import random
+        from spark_expectations_spark.operators import text as T
+        rng = random.Random(5)
+        rows = [(round(rng.random() * 10) / 10.0, rng.randint(0, 1))
+                for _ in range(300)]
+        df = spark.createDataFrame(rows, "s double, y int")
+        got = T.roc_auc(df, "s", "y").first()["auc"]
+        pos = [s for s, y in rows if y == 1]
+        neg = [s for s, y in rows if y == 0]
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                   for p in pos for n in neg)
+        assert got == pytest.approx(wins / (len(pos) * len(neg)))
