@@ -161,6 +161,9 @@ BENCH_QUERIES = [
     # reciprocal rank fusion (one keyed sum + one rank window) and the
     # histogram-rank ROC-AUC sweep (no corpus sort by design)
     "part_rank_fusion", "docs_score_auc",
+    # isotonic calibration invariants (histogram groupBy + driver PAV
+    # + broadcast step-function join)
+    "docs_isotonic_check",
 ]
 
 

@@ -1947,3 +1947,86 @@ def roc_auc(
     if group_col is not None:
         return out.withColumnRenamed("__g", group_col)
     return out.drop("__g")
+
+
+def _pav(points):
+    """Pool-Adjacent-Violators over ``[(weight, target)]`` sorted by
+    score — returns the fitted non-decreasing value per input point.
+    Driver-side by design: the input is the distinct-score histogram
+    (model-scale), never corpus rows."""
+    blocks = []  # (weight, weighted_target_sum)
+    counts = []  # points per block
+    for w, y in points:
+        blocks.append((float(w), float(w) * float(y)))
+        counts.append(1)
+        while (len(blocks) >= 2
+               and blocks[-2][1] / blocks[-2][0]
+               > blocks[-1][1] / blocks[-1][0]):
+            w2, s2 = blocks.pop()
+            c2 = counts.pop()
+            w1, s1 = blocks.pop()
+            c1 = counts.pop()
+            blocks.append((w1 + w2, s1 + s2))
+            counts.append(c1 + c2)
+    out = []
+    for (w, s), c in zip(blocks, counts):
+        out.extend([s / w] * c)
+    return out
+
+
+def isotonic_calibrate(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    out_col: str = "calibrated",
+    max_points: int = 100_000,
+) -> DataFrame:
+    """Isotonic (PAV) score calibration — fit the best monotone
+    non-decreasing map from classifier score to observed positive
+    rate and apply it: the non-parametric fixer for the
+    miscalibration :func:`calibration_report` measures (Zadrozny &
+    Elkan KDD'02). Unlike Platt scaling it assumes no sigmoid shape;
+    like every isotonic fit it preserves the overall positive rate
+    exactly and can only improve Brier score on the fit sample.
+
+    Returns ``df`` with ``out_col`` = the fitted probability at the
+    row's score. Rows with NULL score keep NULL output and contribute
+    nothing to the fit; NULL labels likewise (scored-but-unlabeled
+    rows still RECEIVE a calibrated value if their score appeared in
+    labeled data, else NULL — calibration is a lookup, not a guess).
+
+    Scale shape: the corpus collapses to the (distinct score → n,
+    n_pos) histogram in ONE map-side-combined groupBy; PAV runs
+    driver-side over that model-scale table (the BPE/EM/k-means
+    convention for inherently sequential model fits) and the fitted
+    step function broadcasts back as a distinct-score equi-join.
+    ``max_points`` guards the collect: continuous scores should be
+    quantized upstream (e.g. ``F.round(score, 4)``) — raising beats
+    silently collecting a corpus-sized "histogram".
+    """
+    x = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("boolean")
+    hist = (df.filter(x.isNotNull() & y.isNotNull())
+            .groupBy(x.alias("__s"))
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.sum(y.cast("long")).alias("__np")))
+    pts = hist.orderBy("__s").collect()
+    if not pts:
+        raise ValueError("isotonic_calibrate: no labeled scored rows")
+    if len(pts) > max_points:
+        raise ValueError(
+            f"isotonic_calibrate: {len(pts)} distinct scores exceeds "
+            f"max_points={max_points} — quantize the score column "
+            "upstream (e.g. round to 4 digits); collecting a "
+            "corpus-sized histogram is the failure this guard exists "
+            "to stop")
+    fitted = _pav([(r["__n"], r["__np"] / r["__n"]) for r in pts])
+    spark = df.sparkSession
+    mapping = spark.createDataFrame(
+        [(float(r["__s"]), float(v)) for r, v in zip(pts, fitted)],
+        "__s double, __cal double")
+    return (df.join(F.broadcast(mapping), x.eqNullSafe(F.col("__s")),
+                    "left")
+            .withColumn(out_col, F.col("__cal"))
+            .drop("__s", "__cal"))

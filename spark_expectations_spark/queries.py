@@ -5734,6 +5734,68 @@ FROM agg
 """
 
 
+def q_docs_isotonic_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic-calibration invariants with a full value oracle
+    (text.isotonic_calibrate — the whiten_check recipe for a fit with
+    no SQL twin): per distinct score of the AUC fixture, the raw
+    (n, n_pos) histogram the PAV fit consumes — DuckDB recomputes it
+    exactly — plus the fitted map's defining properties, forced to
+    0.0 at rounding precision: ``mono_dev`` = max(0, prev_cal − cal)
+    over the score order (PAV output is non-decreasing by
+    construction) and ``mean_dev`` = |Σ n·cal − Σ n_pos|/n (PAV
+    preserves the overall positive rate exactly). The sequential
+    pooling itself is pytest-pinned (hand-computed pooling + noisy
+    monotone/mean differentials)."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    score = F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("double")) \
+        .otherwise(((F.col("doc_id") * 37) % 101) / F.lit(100.0))
+    label = F.when(F.col("doc_id") % 89 == 0,
+                   F.lit(None).cast("boolean")) \
+        .otherwise((F.col("doc_id") * 61) % 100
+                   < (F.col("doc_id") * 37) % 101)
+    frame = docs.select(score.alias("score"), label.alias("label"))
+    cal = T.isotonic_calibrate(frame, "score", "label")
+    g = (cal.filter(F.col("score").isNotNull()
+                    & F.col("label").isNotNull())
+         .groupBy("score")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("label").cast("long")).alias("n_pos"),
+              F.max("calibrated").alias("__cal")))
+    # the window runs over the distinct-score frame (model-scale, the
+    # reliability-diagram shape), never corpus rows
+    wprev = Window.orderBy("score")
+    mono = F.greatest(
+        F.lit(0.0),
+        F.lag("__cal").over(wprev) - F.col("__cal"))
+    tot = g.agg(
+        (F.abs(F.sum(F.col("n") * F.col("__cal"))
+               - F.sum("n_pos")) / F.sum("n")).alias("__md"))
+    return (g.withColumn("mono_dev",
+                         F.round(F.coalesce(mono, F.lit(0.0)), 3)
+                         + F.lit(0.0))
+            .crossJoin(F.broadcast(tot))
+            .select("score", "n", "n_pos", "mono_dev",
+                    (F.round("__md", 6) + F.lit(0.0)).alias("mean_dev")))
+
+
+ORACLE_DOCS_ISOTONIC_CHECK = """
+WITH s AS (
+  SELECT CASE WHEN doc_id % 97 = 0 THEN NULL
+              ELSE (doc_id * 37) % 101 / 100.0 END AS sc,
+         CASE WHEN doc_id % 89 = 0 THEN NULL
+              ELSE (doc_id * 61) % 100 < (doc_id * 37) % 101 END AS y
+  FROM documents),
+ok AS (SELECT * FROM s WHERE sc IS NOT NULL AND y IS NOT NULL)
+SELECT sc AS score, count(*) AS n,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(0.0 AS DOUBLE) AS mono_dev,
+       CAST(0.0 AS DOUBLE) AS mean_dev
+FROM ok GROUP BY sc
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -7926,11 +7988,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_decontaminate, users_scd2, lineitem_grouped_dq_target)
 #          = 50. Displaced (all r10-green one round ago, rotation debt
 #          zero): the entire r10-new cohort and the r6-stale refresh;
-#          the late r11-new wave also displaced 8 r9-gated fills
+#          the late r11-new wave also displaced 9 r9-gated fills
 #          (tpch q1/q5ish/q10ish/q18ish, events_gapfill/ffill/hourly/
-#          sliding — the tpch and events families have the deepest
-#          historical coverage), and part_rank_fusion + docs_score_auc
-#          joined the r11-new block as they landed.
+#          sliding, window_running_total — the tpch/events/window
+#          families have the deepest historical coverage), and
+#          part_rank_fusion + docs_score_auc + docs_isotonic_check
+#          joined the r11-new block as they landed (13 r11-new total).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -7949,6 +8012,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_source_qnorm",         # r11 new: per-source score ECDF
     "part_rank_fusion",          # r11 new: reciprocal rank fusion
     "docs_score_auc",            # r11 new: per-source ROC-AUC
+    "docs_isotonic_check",       # r11 new: PAV calibration invariants
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -7961,7 +8025,7 @@ DRIVER_PRIORITY: list[str] = [
     # fills: the r9-gated cohort is now the stalest (6 tpch/events
     # fills displaced by the late r11-new wave — the tpch family has
     # the deepest historical gate coverage, so it yields slots first)
-    "window_rank", "window_running_total", "embed_near_dups_bcast",
+    "window_rank", "embed_near_dups_bcast",
     "embed_mean_pool", "embed_norm_outliers", "embed_quantize",
     "ann_topk", "ann_ivf", "ann_ivf_recall",
     "events_seasonality", "docs_decontaminate",
@@ -8112,6 +8176,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_source_qnorm": q_docs_source_qnorm,
     "part_rank_fusion": q_part_rank_fusion,
     "docs_score_auc": q_docs_score_auc,
+    "docs_isotonic_check": q_docs_isotonic_check,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8314,6 +8379,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_source_qnorm": ORACLE_DOCS_SOURCE_QNORM,
     "part_rank_fusion": ORACLE_PART_RANK_FUSION,
     "docs_score_auc": ORACLE_DOCS_SCORE_AUC,
+    "docs_isotonic_check": ORACLE_DOCS_ISOTONIC_CHECK,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

@@ -5812,3 +5812,55 @@ class TestRocAuc:
         wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
                    for p in pos for n in neg)
         assert got == pytest.approx(wins / (len(pos) * len(neg)))
+
+
+class TestIsotonicCalibrate:
+    def test_pav_hand_computed_pooling(self, spark):
+        """Scores .1/.2/.3 with pos-rates 0.0/1.0/0.5 and equal
+        weights: the .2/.3 violation pools to 0.75; output is
+        non-decreasing [0, .75, .75]."""
+        from spark_expectations_spark.operators import text as T
+        rows = ([(0.1, 0)] * 2
+                + [(0.2, 1)] * 2
+                + [(0.3, 1), (0.3, 0)])
+        df = spark.createDataFrame(rows, "s double, y int")
+        got = {r["s"]: r["calibrated"] for r in
+               T.isotonic_calibrate(df, "s", "y").collect()}
+        assert got[0.1] == pytest.approx(0.0)
+        assert got[0.2] == got[0.3] == pytest.approx(0.75)
+
+    def test_monotone_mean_preserving_on_noisy_sample(self, spark):
+        import random
+        from spark_expectations_spark.operators import text as T
+        rng = random.Random(3)
+        rows = [(round(rng.random(), 2),) for _ in range(400)]
+        rows = [(s, 1 if rng.random() < s else 0) for (s,) in rows]
+        df = spark.createDataFrame(rows, "s double, y int")
+        out = T.isotonic_calibrate(df, "s", "y").collect()
+        by_s = sorted({(r["s"], r["calibrated"]) for r in out})
+        vals = [v for _, v in by_s]
+        assert all(a <= b + 1e-12 for a, b in zip(vals, vals[1:]))
+        # PAV preserves the overall positive rate exactly
+        mean_cal = sum(r["calibrated"] for r in out) / len(out)
+        mean_y = sum(y for _, y in rows) / len(rows)
+        assert mean_cal == pytest.approx(mean_y, abs=1e-9)
+
+    def test_null_semantics_and_guards(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [(0.2, 0), (0.8, 1), (0.2, None), (None, 1)],
+            "s double, y int")
+        got = T.isotonic_calibrate(df, "s", "y").collect()
+        by = {}
+        for r in got:
+            by.setdefault((r["s"], r["y"]), r["calibrated"])
+        assert by[(None, 1)] is None            # NULL score -> NULL out
+        assert by[(0.2, None)] == pytest.approx(0.0)  # lookup still works
+        empty = spark.createDataFrame([(None, 1)], "s double, y int")
+        with _pytest.raises(ValueError, match="no labeled"):
+            T.isotonic_calibrate(empty, "s", "y")
+        big = spark.createDataFrame([(float(i), i % 2) for i in range(50)],
+                                    "s double, y int")
+        with _pytest.raises(ValueError, match="max_points"):
+            T.isotonic_calibrate(big, "s", "y", max_points=10)
