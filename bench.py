@@ -164,6 +164,9 @@ BENCH_QUERIES = [
     # isotonic calibration invariants (histogram groupBy + driver PAV
     # + broadcast step-function join)
     "docs_isotonic_check",
+    # compact-forward triangle counting (degree-ordered orientation
+    # bounds the wedge join at O(m^1.5))
+    "part_copurchase_triangles",
 ]
 
 

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "hits"]
+__all__ = ["pagerank", "hits", "triangle_counts"]
 
 
 def pagerank(
@@ -56,16 +56,22 @@ def pagerank(
     NULL or non-positive weight raise (a silent drop would re-route
     rank mass). Unweighted is the weight≡1 special case.
 
-    Scale shape: nodes/out-degrees computed once (two edge-keyed
-    aggs); each iteration is ONE src-keyed join of the rank vector
-    onto the edge list + ONE dst-keyed sum (both map-side combined) +
-    a 1-row dangling-mass fold; ``localCheckpoint`` cuts lineage per
-    round. Nothing is ever nodes² — 100 TB of edges shuffles on
-    (src|dst) keys only, the same shape as a groupBy-join pipeline.
-    Skewed hubs behave like any skewed join key (AQE skew-join
-    applies). ``iterations`` is a fixed small constant by contract:
-    rank ordering stabilizes in a handful of rounds; full numeric
-    convergence is not the use case.
+    Scale shape: the EDGE LIST is localCheckpointed once up front —
+    every structure (nodes, degrees) and every round's contribution
+    join re-consumes it, and without the cut an expensive upstream
+    edge construction (a co-occurrence self-join, say) re-executes
+    once per consumer (measured 10.2 s → 3.9 s at sf0.1 on exactly
+    that fixture; GraphX makes the same trade by caching the edge
+    RDD). Nodes/out-degrees computed once (two edge-keyed aggs); each
+    iteration is ONE src-keyed join of the rank vector onto the edge
+    list + ONE dst-keyed sum (both map-side combined) + a 1-row
+    dangling-mass fold; ``localCheckpoint`` cuts the rank vector's
+    lineage per round. Nothing is ever nodes² — 100 TB of edges
+    shuffles on (src|dst) keys only, the same shape as a groupBy-join
+    pipeline. Skewed hubs behave like any skewed join key (AQE
+    skew-join applies). ``iterations`` is a fixed small constant by
+    contract: rank ordering stabilizes in a handful of rounds; full
+    numeric convergence is not the use case.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -75,6 +81,7 @@ def pagerank(
             else F.lit(1.0))
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"),
                      wcol.alias("__w"))
+    e = e.localCheckpoint(eager=False)
     if weight is not None:
         bad = e.filter(F.col("__w").isNull()
                        | (F.col("__w") <= 0)).limit(1).count()
@@ -96,12 +103,18 @@ def pagerank(
           .localCheckpoint(eager=False))
     d = float(damping)
     base = (1.0 - d) / n_nodes
+    # the dangling SET is static (deg == 0); when it is empty the
+    # per-round mass is identically 0 and the per-iteration 1-row
+    # fold (a full pass over the rank vector) can be skipped — the
+    # common case for symmetrized / co-occurrence graphs
+    has_dangling = nd.filter(F.col("__deg") == 0).limit(1).count() > 0
     ranks = nd.select("node", "__deg",
                       F.lit(1.0 / n_nodes).alias("__r"))
     for _ in range(iterations):
         dangling = (ranks.filter(F.col("__deg") == 0)
                     .agg(F.coalesce(F.sum("__r"), F.lit(0.0))
-                         .alias("__dm")).first()["__dm"])
+                         .alias("__dm")).first()["__dm"]) \
+            if has_dangling else 0.0
         contrib = (e.join(ranks, e["__src"] == ranks["node"])
                    .select(F.col("__dst").alias("node"),
                            (F.col("__r") * F.col("__w") / F.col("__deg"))
@@ -144,14 +157,17 @@ def hits(
     convention). Duplicate edges count as parallel edges. Nodes with
     no in-edges keep authority 0; no out-edges, hub 0.
 
-    Scale shape: per iteration TWO edge-keyed joins + TWO keyed
-    map-side-combined sums + two 1-row normalization folds, with
-    ``localCheckpoint`` lineage cuts per round — the pagerank shape
-    run once in each direction. Nothing is nodes².
+    Scale shape: the edge list is localCheckpointed once up front
+    (every round re-consumes it twice — see :func:`pagerank`); per
+    iteration TWO edge-keyed joins + TWO keyed map-side-combined sums
+    + two 1-row normalization folds, with ``localCheckpoint`` lineage
+    cuts per round — the pagerank shape run once in each direction.
+    Nothing is nodes².
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    e = (edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+         .localCheckpoint(eager=False))
     nodes = (e.select(F.col("__src").alias("node"))
              .unionByName(e.select(F.col("__dst").alias("node")))
              .distinct()
@@ -186,3 +202,81 @@ def hits(
                     .alias("hub"),
                     (F.round("__a", score_digits) + F.lit(0.0))
                     .alias("authority")))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    UNDIRECTED graph (edges in either direction, duplicates and
+    self-loops dropped) — the structure gate for similarity/dedup
+    graphs: near-dup pair lists that form dense triangles are
+    transitive clusters (safe to collapse); triangle-free matches are
+    chains that label propagation will over-merge. Returns
+    ``(node, degree, triangles, clustering)`` with clustering =
+    2T/(d(d−1)) (NULL for degree < 2).
+
+    Scale shape: the compact-forward algorithm (Chiba-Nishizeki /
+    Schank-Wagner — what every distributed triangle system uses):
+    canonicalize to (lo, hi) distinct edges, then ORIENT each edge
+    from the lower-(degree, id) endpoint to the higher. Every node's
+    out-degree in that orientation is O(sqrt(m)), so the wedge
+    self-join (two out-edges of one node) generates
+    Σ outdeg² = O(m^1.5) candidate wedges instead of the Σ degree²
+    blowup a naive wedge join pays on hub nodes; one semi-join against
+    the oriented edges closes them. Each triangle materializes exactly
+    once (at its lowest-order vertex) and explodes to its 3 member
+    nodes for the per-node count. All joins are node-keyed
+    equi-joins; counts are exact integers — bit-identical
+    cross-engine.
+    """
+    e_raw = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
+    und = (e_raw.filter(F.col("__a") != F.col("__b"))
+           .select(F.least("__a", "__b").alias("__lo"),
+                   F.greatest("__a", "__b").alias("__hi"))
+           .distinct()
+           .localCheckpoint(eager=False))
+    deg = (und.select(F.col("__lo").alias("node"))
+           .unionByName(und.select(F.col("__hi").alias("node")))
+           .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+           .localCheckpoint(eager=False))
+    dl = deg.select(F.col("node").alias("__lo"),
+                    F.col("degree").alias("__dlo"))
+    dh = deg.select(F.col("node").alias("__hi"),
+                    F.col("degree").alias("__dhi"))
+    # orient low-(degree, id) -> high-(degree, id)
+    lo_first = ((F.col("__dlo") < F.col("__dhi"))
+                | ((F.col("__dlo") == F.col("__dhi"))
+                   & (F.col("__lo") < F.col("__hi"))))
+    ori = (und.join(dl, "__lo").join(dh, "__hi")
+           .select(F.when(lo_first, F.col("__lo"))
+                   .otherwise(F.col("__hi")).alias("__u"),
+                   F.when(lo_first, F.col("__hi"))
+                   .otherwise(F.col("__lo")).alias("__v"))
+           .localCheckpoint(eager=False))
+    w1 = ori.select(F.col("__u"), F.col("__v").alias("__x"))
+    w2 = ori.select(F.col("__u"), F.col("__v").alias("__y"))
+    wedges = (w1.join(w2, "__u")
+              .filter(F.col("__x") < F.col("__y")))
+    # close the wedge: the (x, y) edge exists in the canonical
+    # undirected set (membership is orientation-free)
+    tri = wedges.join(
+        und.select(F.col("__lo").alias("__x"),
+                   F.col("__hi").alias("__y")),
+        ["__x", "__y"], "left_semi")
+    members = (tri.select(F.col("__u").alias("node"))
+               .unionByName(tri.select(F.col("__x").alias("node")))
+               .unionByName(tri.select(F.col("__y").alias("node"))))
+    per_node = members.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles"))
+    dd = F.col("degree").cast("double")
+    return (deg.join(per_node, "node", "left")
+            .select("node", "degree",
+                    F.coalesce("triangles", F.lit(0)).alias("triangles"),
+                    F.when(F.col("degree") >= 2,
+                           F.lit(2.0)
+                           * F.coalesce("triangles", F.lit(0))
+                           / (dd * (dd - 1.0))).alias("clustering")))

@@ -5796,6 +5796,66 @@ FROM ok GROUP BY sc
 """
 
 
+def q_part_copurchase_triangles(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + clustering coefficient
+    (graph.triangle_counts) over the part co-purchase graph — the
+    transitivity gate on a similarity graph (dense triangles =
+    collapse-safe clusters, triangle-free chains = label-propagation
+    over-merge risk). Compact-forward algorithm: degree-ordered
+    orientation bounds the wedge self-join at O(m^1.5) total instead
+    of hub-degree²; all counts exact integers, the only double is the
+    final clustering ratio (one division). The oracle reproduces
+    canonicalization, orientation, wedge join, and the closing
+    semi-join verbatim."""
+    from .operators import graph
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, "ok")
+             .filter(F.col("a.pk") < F.col("b.pk"))
+             .select(F.col("a.pk").alias("src"), F.col("b.pk").alias("dst"))
+             .distinct())
+    return graph.triangle_counts(pairs)
+
+
+ORACLE_PART_COPURCHASE_TRIANGLES = """
+WITH und AS (
+  SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT lo AS node FROM und UNION ALL SELECT hi FROM und)
+  GROUP BY node),
+ori AS (
+  SELECT CASE WHEN dl.degree < dh.degree
+              OR (dl.degree = dh.degree AND lo < hi)
+              THEN lo ELSE hi END AS u,
+         CASE WHEN dl.degree < dh.degree
+              OR (dl.degree = dh.degree AND lo < hi)
+              THEN hi ELSE lo END AS v
+  FROM und JOIN deg dl ON dl.node = lo JOIN deg dh ON dh.node = hi),
+tri AS (
+  SELECT w.u, w.x, w.y
+  FROM (SELECT o1.u, o1.v AS x, o2.v AS y
+        FROM ori o1 JOIN ori o2 ON o1.u = o2.u AND o1.v < o2.v) w
+  SEMI JOIN und ON und.lo = w.x AND und.hi = w.y),
+pn AS (
+  SELECT node, count(*) AS t FROM (
+    SELECT u AS node FROM tri UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri)
+  GROUP BY node)
+SELECT deg.node, deg.degree, coalesce(pn.t, 0) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN 2.0 * coalesce(pn.t, 0)
+                 / (CAST(deg.degree AS DOUBLE) * (deg.degree - 1.0))
+       END AS clustering
+FROM deg LEFT JOIN pn USING (node)
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -7992,8 +8052,10 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          (tpch q1/q5ish/q10ish/q18ish, events_gapfill/ffill/hourly/
 #          sliding, window_running_total — the tpch/events/window
 #          families have the deepest historical coverage), and
-#          part_rank_fusion + docs_score_auc + docs_isotonic_check
-#          joined the r11-new block as they landed (13 r11-new total).
+#          part_rank_fusion + docs_score_auc + docs_isotonic_check +
+#          part_copurchase_triangles joined the r11-new block as they
+#          landed (14 r11-new total; embed_quantize and
+#          window_running_total yielded the final fill slots).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -8013,6 +8075,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_rank_fusion",          # r11 new: reciprocal rank fusion
     "docs_score_auc",            # r11 new: per-source ROC-AUC
     "docs_isotonic_check",       # r11 new: PAV calibration invariants
+    "part_copurchase_triangles",  # r11 new: compact-forward triangles
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -8026,7 +8089,7 @@ DRIVER_PRIORITY: list[str] = [
     # fills displaced by the late r11-new wave — the tpch family has
     # the deepest historical gate coverage, so it yields slots first)
     "window_rank", "embed_near_dups_bcast",
-    "embed_mean_pool", "embed_norm_outliers", "embed_quantize",
+    "embed_mean_pool", "embed_norm_outliers",
     "ann_topk", "ann_ivf", "ann_ivf_recall",
     "events_seasonality", "docs_decontaminate",
     "users_scd2", "lineitem_grouped_dq_target",
@@ -8177,6 +8240,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_rank_fusion": q_part_rank_fusion,
     "docs_score_auc": q_docs_score_auc,
     "docs_isotonic_check": q_docs_isotonic_check,
+    "part_copurchase_triangles": q_part_copurchase_triangles,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8380,6 +8444,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_rank_fusion": ORACLE_PART_RANK_FUSION,
     "docs_score_auc": ORACLE_DOCS_SCORE_AUC,
     "docs_isotonic_check": ORACLE_DOCS_ISOTONIC_CHECK,
+    "part_copurchase_triangles": ORACLE_PART_COPURCHASE_TRIANGLES,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

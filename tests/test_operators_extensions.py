@@ -5864,3 +5864,58 @@ class TestIsotonicCalibrate:
                                     "s double, y int")
         with _pytest.raises(ValueError, match="max_points"):
             T.isotonic_calibrate(big, "s", "y", max_points=10)
+
+
+class TestTriangleCounts:
+    def test_hand_computed_triangles(self, spark):
+        """K4 minus one edge on {1,2,3,4}: triangles {1,2,3} and
+        {1,2,4} (edge 3-4 missing). Degrees: 1:3, 2:3, 3:2, 4:2."""
+        from spark_expectations_spark.operators import graph
+        edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r for r in graph.triangle_counts(df).collect()}
+        assert got[1]["triangles"] == 2 and got[2]["triangles"] == 2
+        assert got[3]["triangles"] == 1 and got[4]["triangles"] == 1
+        assert got[1]["degree"] == 3 and got[3]["degree"] == 2
+        # clustering: node 1 has 2 of 3 possible neighbor pairs closed
+        assert got[1]["clustering"] == pytest.approx(2 / 3)
+        assert got[3]["clustering"] == pytest.approx(1.0)
+
+    def test_direction_duplicates_and_self_loops_ignored(self, spark):
+        from spark_expectations_spark.operators import graph
+        edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (2, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"]
+               for r in graph.triangle_counts(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1}
+
+    def test_matches_brute_force_on_random_graph(self, spark):
+        import itertools
+        import random
+        from spark_expectations_spark.operators import graph
+        rng = random.Random(7)
+        nodes = list(range(30))
+        edges = [(a, b) for a, b in itertools.combinations(nodes, 2)
+                 if rng.random() < 0.2]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["triangles"]
+               for r in graph.triangle_counts(df).collect()}
+        es = {frozenset(e) for e in edges}
+        want = {v: 0 for v in {u for e in edges for u in e}}
+        for a, b, c in itertools.combinations(nodes, 3):
+            if ({frozenset((a, b)), frozenset((b, c)),
+                 frozenset((a, c))} <= es):
+                want[a] += 1
+                want[b] += 1
+                want[c] += 1
+        assert got == want
+
+    def test_triangle_free_graph(self, spark):
+        from spark_expectations_spark.operators import graph
+        df = spark.createDataFrame([(1, 2), (2, 3), (3, 4)],
+                                   "src long, dst long")
+        got = {r["node"]: (r["triangles"], r["clustering"])
+               for r in graph.triangle_counts(df).collect()}
+        assert all(t == 0 for t, _ in got.values())
+        assert got[1][1] is None          # degree 1 -> undefined
+        assert got[2][1] == 0.0
