@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     # compact-forward triangle counting (degree-ordered orientation
     # bounds the wedge join at O(m^1.5))
     "part_copurchase_triangles",
+    # one-pass Poisson-bootstrap CI (one 82-accumulator agg job)
+    "docs_bootstrap_ci",
 ]
 
 

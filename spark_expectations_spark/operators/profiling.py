@@ -417,3 +417,98 @@ def _alpha_ordinal(df: DataFrame, unit_col: str,
            .crossJoin(F.broadcast(etot)))
     d_e = F.coalesce("__e", F.lit(0.0)) / (F.col("__n") - 1)
     return _alpha_final(do, tot, d_e)
+
+
+#: Poisson(1) CDF thresholds for k = 0..8 (e^-1 · Σ 1/i!), written as
+#: 17-significant-digit literals so a SQL oracle can embed the SAME
+#: doubles instead of trusting a cross-engine exp(); u beyond the last
+#: threshold caps the weight at 9 (P ≈ 1e-7).
+_POISSON1_CDF = (
+    0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988852520038,
+)
+
+
+def bootstrap_ci(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    *,
+    replicas: int = 40,
+    alpha: float = 0.05,
+    digits: int = 6,
+    salt: str = "boot",
+) -> DataFrame:
+    """ONE-PASS Poisson-bootstrap confidence interval for the mean of
+    ``value_col`` — error bars on corpus statistics without ever
+    resampling the data: replica ``b`` weights each row by an
+    independent Poisson(1) draw (the classic big-data bootstrap
+    approximation of multinomial resampling — Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams"), derived
+    DETERMINISTICALLY from the module's md5 coin (``md5('{salt}{b}|'
+    + key) / 65536`` through the Poisson inverse CDF), so reruns and
+    engines agree draw for draw. Returns ONE row ``(n, mean, se,
+    ci_lo, ci_hi, replicas)``: the exact sample mean, the replica-mean
+    standard deviation (population form), and the percentile CI —
+    ``sorted_means[floor(alpha/2·B)]`` / the mirrored upper order
+    statistic (document-your-index beats interpolation ambiguity).
+    All float outputs rounded to ``digits``.
+
+    Scale shape: ONE aggregation job with 2·B + 2 accumulators
+    (Σw_b, Σw_b·x per replica + n, Σx) — every weight is a codegen
+    when-chain over the 9 CDF literals, no explode, no corpus×B rows,
+    no shuffle beyond the map-side-combined agg; the B replica means
+    are folded driver-side (model-scale, like a PQ codebook). NULL
+    values drop from everything. Raises if any replica's total weight
+    is 0 (only conceivable on a near-empty input, where a bootstrap CI
+    is meaningless anyway).
+    """
+    if replicas < 2:
+        raise ValueError("replicas must be >= 2")
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    from .sampling import _bucket
+
+    x = F.col(value_col).cast("double")
+    rows = df.filter(x.isNotNull()).select(
+        F.col(key_col).alias("__k"), x.alias("__x"))
+
+    def _w(b: int):
+        u = _bucket(F.col("__k"), salt=f"{salt}{b}") / F.lit(65536.0)
+        expr = F.lit(len(_POISSON1_CDF))
+        for k in range(len(_POISSON1_CDF) - 1, -1, -1):
+            expr = F.when(u < F.lit(_POISSON1_CDF[k]),
+                          F.lit(k)).otherwise(expr)
+        return expr.cast("long")
+
+    aggs = [F.count(F.lit(1)).alias("__n"), F.sum("__x").alias("__sx")]
+    for b in range(replicas):
+        w = _w(b)
+        aggs.append(F.sum(w).alias(f"__w{b}"))
+        aggs.append(F.sum(w * F.col("__x")).alias(f"__s{b}"))
+    row = rows.agg(*aggs).first()
+    n = row["__n"]
+    if n == 0:
+        raise ValueError("bootstrap_ci: no non-NULL values")
+    means = []
+    for b in range(replicas):
+        if not row[f"__w{b}"]:
+            raise ValueError(
+                f"bootstrap_ci: replica {b} drew total weight 0 — "
+                "input too small for a meaningful bootstrap")
+        means.append(row[f"__s{b}"] / row[f"__w{b}"])
+    means.sort()
+    bb = len(means)
+    lo_idx = int((alpha / 2) * bb)
+    mbar = sum(means) / bb
+    se = (sum((m - mbar) ** 2 for m in means) / bb) ** 0.5
+    out_row = (int(n),
+               float(round(row["__sx"] / n, digits)) + 0.0,
+               float(round(se, digits)) + 0.0,
+               float(round(means[lo_idx], digits)) + 0.0,
+               float(round(means[bb - 1 - lo_idx], digits)) + 0.0,
+               int(bb))
+    return df.sparkSession.createDataFrame(
+        [out_row], "n long, mean double, se double, ci_lo double, "
+                   "ci_hi double, replicas int")

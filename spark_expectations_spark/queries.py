@@ -5856,6 +5856,60 @@ FROM deg LEFT JOIN pn USING (node)
 """
 
 
+def q_docs_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass Poisson-bootstrap CI (profiling.bootstrap_ci) for the
+    mean document length: 40 deterministic replicas from the md5 coin
+    through the Poisson(1) inverse CDF (thresholds embedded as
+    17-digit literals in BOTH engines — no cross-engine exp()), one
+    82-accumulator aggregation job, percentile CI from the sorted
+    replica means at the documented order statistics. 6-dp rounding
+    absorbs float-sum ordering in the replica means."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    return profiling.bootstrap_ci(docs, "doc_id", "n_chars")
+
+
+ORACLE_DOCS_BOOTSTRAP_CI = """
+WITH r AS (SELECT CAST(i AS INT) AS b FROM range(0, 40) t(i)),
+u AS (
+  SELECT r.b, d.n_chars,
+         CAST(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || '|'
+                || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+           / 65536.0 AS u
+  FROM documents d CROSS JOIN r
+  WHERE d.n_chars IS NOT NULL),
+w AS (
+  SELECT b, n_chars,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.9999167588507119 THEN 6
+              WHEN u < 0.9999897508033253 THEN 7
+              WHEN u < 0.9999988852520038 THEN 8
+              ELSE 9 END AS w
+  FROM u),
+m AS (SELECT b, sum(w * CAST(n_chars AS DOUBLE)) / sum(w) AS mb
+      FROM w GROUP BY b),
+base AS (SELECT count(*) AS n, sum(CAST(n_chars AS DOUBLE)) AS sx
+         FROM documents WHERE n_chars IS NOT NULL),
+ml AS (SELECT list_sort(list(mb)) AS l, avg(mb) AS mbar,
+              count(*) AS bb FROM m),
+sed AS (SELECT sqrt(sum((m.mb - ml.mbar) * (m.mb - ml.mbar)) / ml.bb)
+          AS se
+        FROM m CROSS JOIN ml GROUP BY ml.bb)
+SELECT base.n, round(base.sx / base.n, 6) + 0.0 AS mean,
+       round(sed.se, 6) + 0.0 AS se,
+       round(ml.l[2], 6) + 0.0 AS ci_lo,
+       round(ml.l[39], 6) + 0.0 AS ci_hi,
+       40 AS replicas
+FROM base CROSS JOIN ml CROSS JOIN sed
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -8076,6 +8130,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_score_auc",            # r11 new: per-source ROC-AUC
     "docs_isotonic_check",       # r11 new: PAV calibration invariants
     "part_copurchase_triangles",  # r11 new: compact-forward triangles
+    "docs_bootstrap_ci",         # r11 new: one-pass Poisson bootstrap
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -8089,7 +8144,7 @@ DRIVER_PRIORITY: list[str] = [
     # fills displaced by the late r11-new wave — the tpch family has
     # the deepest historical gate coverage, so it yields slots first)
     "window_rank", "embed_near_dups_bcast",
-    "embed_mean_pool", "embed_norm_outliers",
+    "embed_mean_pool",
     "ann_topk", "ann_ivf", "ann_ivf_recall",
     "events_seasonality", "docs_decontaminate",
     "users_scd2", "lineitem_grouped_dq_target",
@@ -8241,6 +8296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_score_auc": q_docs_score_auc,
     "docs_isotonic_check": q_docs_isotonic_check,
     "part_copurchase_triangles": q_part_copurchase_triangles,
+    "docs_bootstrap_ci": q_docs_bootstrap_ci,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8445,6 +8501,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_score_auc": ORACLE_DOCS_SCORE_AUC,
     "docs_isotonic_check": ORACLE_DOCS_ISOTONIC_CHECK,
     "part_copurchase_triangles": ORACLE_PART_COPURCHASE_TRIANGLES,
+    "docs_bootstrap_ci": ORACLE_DOCS_BOOTSTRAP_CI,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

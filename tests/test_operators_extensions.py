@@ -5919,3 +5919,66 @@ class TestTriangleCounts:
         assert all(t == 0 for t, _ in got.values())
         assert got[1][1] is None          # degree 1 -> undefined
         assert got[2][1] == 0.0
+
+
+class TestBootstrapCi:
+    def _py_weights(self, key, b, salt="boot"):
+        import hashlib
+        u = int(hashlib.md5(
+            f"{salt}{b}|{key}".encode()).hexdigest()[:4], 16) / 65536.0
+        from spark_expectations_spark.operators.profiling import \
+            _POISSON1_CDF
+        for k, t in enumerate(_POISSON1_CDF):
+            if u < t:
+                return k
+        return len(_POISSON1_CDF)
+
+    def test_matches_hashlib_reference_exactly(self, spark):
+        """The replica means must equal a pure-python recomputation of
+        the same md5-derived Poisson weights — draw-for-draw."""
+        from spark_expectations_spark.operators import profiling
+        rows = [(i, float((i * 7) % 13)) for i in range(1, 201)]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = profiling.bootstrap_ci(df, "id", "v", replicas=8,
+                                     alpha=0.25, digits=9).first()
+        means = []
+        for b in range(8):
+            ws = [(self._py_weights(i, b), v) for i, v in rows]
+            means.append(sum(w * v for w, v in ws)
+                         / sum(w for w, _ in ws))
+        means.sort()
+        lo_idx = int(0.125 * 8)
+        assert got["n"] == 200
+        assert got["mean"] == pytest.approx(
+            sum(v for _, v in rows) / 200, abs=1e-9)
+        assert got["ci_lo"] == pytest.approx(means[lo_idx], abs=1e-9)
+        assert got["ci_hi"] == pytest.approx(means[8 - 1 - lo_idx],
+                                             abs=1e-9)
+
+    def test_ci_brackets_mean_and_is_deterministic(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(i, float(100 + (i * 17) % 50)) for i in range(500)],
+            "id long, v double")
+        a = profiling.bootstrap_ci(df, "id", "v").first()
+        b = profiling.bootstrap_ci(df, "id", "v").first()
+        assert a == b                       # rerun byte-identical
+        assert a["ci_lo"] <= a["mean"] <= a["ci_hi"]
+        assert a["se"] > 0 and a["replicas"] == 40
+        # the CI width should be a few standard errors, not absurd
+        assert (a["ci_hi"] - a["ci_lo"]) < 10 * a["se"] + 1e-9
+
+    def test_null_drop_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(1, 2.0), (2, None), (3, 4.0)],
+                                   "id long, v double")
+        r = profiling.bootstrap_ci(df, "id", "v", replicas=4).first()
+        assert r["n"] == 2 and r["mean"] == pytest.approx(3.0)
+        with _pytest.raises(ValueError, match="replicas"):
+            profiling.bootstrap_ci(df, "id", "v", replicas=1)
+        with _pytest.raises(ValueError, match="alpha"):
+            profiling.bootstrap_ci(df, "id", "v", alpha=1.0)
+        empty = spark.createDataFrame([(1, None)], "id long, v double")
+        with _pytest.raises(ValueError, match="no non-NULL"):
+            profiling.bootstrap_ci(empty, "id", "v")
