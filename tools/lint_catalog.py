@@ -10,12 +10,16 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (end of r10): 174/174 queries 0
-errors; 97 warns — 50 filter-not-pushed, 40 single-partition-exchange
+build) is present. Last full run (end of r11): 189/189 queries 0
+errors; 110 warns — 57 filter-not-pushed, 42 single-partition-exchange
 (model-scale folds/collapses and value-predicate scans reviewed with
-the round's entries), 7 adjudicated cartesian-products (dims-scale
-probe grids, the docs_curriculum thresholds BNLJ the subtree prover
-can't certify, the sample-bounded blocking-quality truth side).
+the round's entries — the r11 additions are the ordinal-alpha rank
+marginals, the isotonic distinct-score window, and the graph/bootstrap
+1-row folds), 11 cartesian-products, every one carrying a standing
+adjudication below (dims-scale probe grids, the docs_curriculum
+thresholds BNLJ the subtree prover can't certify, the sample-bounded
+blocking-quality truth side, ordinal alpha's rank-cardinality² δ²
+pairing).
 Plan_lint demotes BroadcastNestedLoopJoins whose build side is a
 provably 1-row aggregate to info (r8 verdict task 6); the demotion
 requires an explicit BuildLeft/BuildRight token and keeps the warn
