@@ -5866,7 +5866,11 @@ def q_docs_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     absorbs float-sum ordering in the replica means."""
     from .operators import profiling
 
-    docs = load(spark, sf_dir, "documents")
+    # spread=True: the per-row weight work (5 md5 digests + 40
+    # when-chains) rides the scan partitioning, and a single-row-group
+    # parquet file would serialize it onto one core (the measured
+    # opt-in guard — SCALE.md "Scan-parallelism guard")
+    docs = load(spark, sf_dir, "documents", spread=True)
     return profiling.bootstrap_ci(docs, "doc_id", "n_chars")
 
 
@@ -5874,8 +5878,9 @@ ORACLE_DOCS_BOOTSTRAP_CI = """
 WITH r AS (SELECT CAST(i AS INT) AS b FROM range(0, 40) t(i)),
 u AS (
   SELECT r.b, d.n_chars,
-         CAST(('0x' || substr(md5('boot' || CAST(r.b AS VARCHAR) || '|'
-                || CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+         CAST(('0x' || substr(md5('boot' || CAST(r.b // 8 AS VARCHAR)
+                || '|' || CAST(d.doc_id AS VARCHAR)),
+                1 + 4 * (r.b % 8), 4)) AS BIGINT)
            / 65536.0 AS u
   FROM documents d CROSS JOIN r
   WHERE d.n_chars IS NOT NULL),

@@ -5924,8 +5924,9 @@ class TestTriangleCounts:
 class TestBootstrapCi:
     def _py_weights(self, key, b, salt="boot"):
         import hashlib
-        u = int(hashlib.md5(
-            f"{salt}{b}|{key}".encode()).hexdigest()[:4], 16) / 65536.0
+        g, j = divmod(b, 8)
+        hexd = hashlib.md5(f"{salt}{g}|{key}".encode()).hexdigest()
+        u = int(hexd[4 * j:4 * j + 4], 16) / 65536.0
         from spark_expectations_spark.operators.profiling import \
             _POISSON1_CDF
         for k, t in enumerate(_POISSON1_CDF):
