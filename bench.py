@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "part_copurchase_triangles",
     # one-pass Poisson-bootstrap CI (one 82-accumulator agg job)
     "docs_bootstrap_ci",
+    # no-split fold packing (two-phase dense rank + pair groupBy)
+    "docs_fold_pack",
 ]
 
 

@@ -181,3 +181,81 @@ def write_training_shards(
         spark.read.format(format).load(path)
         .groupBy("shard_id").agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def fold_pack(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    capacity: int,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """NO-SPLIT sequence pairing ("fold packing"): sort documents by
+    length descending and pair rank r with rank n−1−r — the longest
+    with the shortest — keeping a pair only when its combined length
+    fits ``capacity``. The complement of :func:`pack_for_training`
+    (concat-and-chunk, which SPLITS documents at chunk boundaries):
+    fold packing never splits, so it suits SFT/eval sets where a
+    document must stay intact, at the cost of residual padding that
+    :func:`padding_waste_report` quantifies. Returns ``(id, length,
+    pack_id, pack_len, pack_size, overflow)``: fitting pairs share a
+    pack (id = the pair's lower rank), non-fitting pairs split into
+    two singletons (id = n + r, disjoint from pair ids), the odd
+    middle document is a singleton at its own rank, and documents
+    LONGER than capacity get negative pack ids (they can never pack;
+    flagging beats silently truncating). NULL lengths raise.
+
+    Deterministic and fully value-oracle-checkable: the global rank
+    comes from :func:`~.sampling.dense_global_index` (two-phase bucket
+    ranking — no single-task global sort) over the unique
+    (−length, id) key; everything after is integer arithmetic. Scale
+    shape: the rank's one bucket-keyed shuffle + per-bucket sorts,
+    then ONE pair-keyed groupBy and a broadcast-size count; nothing
+    corpus².
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    from .sampling import dense_global_index
+
+    L = F.col(len_col).cast("long")
+    base = df.select(F.col(id_col).alias("__id"), L.alias("__len"))
+    if base.filter(F.col("__len").isNull()).limit(1).count():
+        raise ValueError(
+            "fold_pack: NULL length — packing needs every document "
+            "measured; filter or fix upstream")
+    over = base.filter(F.col("__len") > capacity)
+    ok = (base.filter(F.col("__len") <= capacity)
+          .withColumn("__neg", -F.col("__len")))
+    ranked = dense_global_index(ok, ["__neg", "__id"], out="__r",
+                                num_buckets=num_buckets).drop("__neg")
+    n = ranked.count()
+    pk = F.least(F.col("__r"), F.lit(n - 1) - F.col("__r"))
+    p = ranked.withColumn("__pk", pk)
+    g = (p.groupBy("__pk")
+         .agg(F.sum("__len").alias("__plen"),
+              F.count(F.lit(1)).alias("__cnt")))
+    fits = (F.col("__cnt") == 2) & (F.col("__plen") <= capacity)
+    paired = (p.join(g, "__pk")
+              .select(
+                  F.col("__id").alias(id_col),
+                  F.col("__len").alias("length"),
+                  F.when(fits | (F.col("__cnt") == 1), F.col("__pk"))
+                   .otherwise(F.lit(n) + F.col("__r"))
+                   .cast("long").alias("pack_id"),
+                  F.when(fits, F.col("__plen"))
+                   .otherwise(F.col("__len")).alias("pack_len"),
+                  F.when(fits, F.lit(2)).otherwise(F.lit(1))
+                   .alias("pack_size"),
+                  F.lit(False).alias("overflow")))
+    over_ranked = dense_global_index(
+        over.withColumn("__neg", -F.col("__len")),
+        ["__neg", "__id"], out="__ro", num_buckets=num_buckets)
+    overflowed = over_ranked.select(
+        F.col("__id").alias(id_col),
+        F.col("__len").alias("length"),
+        (-(F.col("__ro") + 1)).cast("long").alias("pack_id"),
+        F.col("__len").alias("pack_len"),
+        F.lit(1).alias("pack_size"),
+        F.lit(True).alias("overflow"))
+    return paired.unionByName(overflowed)

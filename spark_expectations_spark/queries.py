@@ -5915,6 +5915,58 @@ FROM base CROSS JOIN ml CROSS JOIN sed
 """
 
 
+def q_docs_fold_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-split fold packing (packing.fold_pack): documents paired
+    longest-with-shortest under capacity 520 chars — all three paths
+    exercised on this corpus (fitting pairs, middle-heavy pairs that
+    split into singletons since median+median > 520, and the
+    over-capacity tail flagged with negative pack ids). The global
+    length rank comes from dense_global_index (two-phase bucket
+    ranking, no single-task sort) over the unique (−length, id) key;
+    everything after is integer arithmetic, so the oracle reproduces
+    the assignment exactly with one window + one pair groupBy."""
+    from .operators import packing
+
+    docs = load(spark, sf_dir, "documents")
+    return packing.fold_pack(docs, "doc_id", "n_chars", capacity=520)
+
+
+ORACLE_DOCS_FOLD_PACK = """
+WITH d AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS ln
+           FROM documents),
+ok AS (SELECT id, ln,
+              row_number() OVER (ORDER BY ln DESC, id ASC) - 1 AS r
+       FROM d WHERE ln <= 520),
+nn AS (SELECT count(*) AS n FROM ok),
+p AS (SELECT ok.id, ok.ln, ok.r, least(ok.r, nn.n - 1 - ok.r) AS pk,
+             nn.n AS n
+      FROM ok CROSS JOIN nn),
+g AS (SELECT pk, CAST(sum(ln) AS BIGINT) AS plen, count(*) AS cnt
+      FROM p GROUP BY pk),
+pr AS (SELECT p.id, p.ln AS length,
+              CASE WHEN (g.cnt = 2 AND g.plen <= 520) OR g.cnt = 1
+                   THEN p.pk ELSE p.n + p.r END AS pack_id,
+              CASE WHEN g.cnt = 2 AND g.plen <= 520
+                   THEN g.plen ELSE p.ln END AS pack_len,
+              CASE WHEN g.cnt = 2 AND g.plen <= 520 THEN 2 ELSE 1 END
+                AS pack_size,
+              FALSE AS overflow
+       FROM p JOIN g USING (pk)),
+ov AS (SELECT id, ln AS length,
+              -(row_number() OVER (ORDER BY ln DESC, id ASC))
+                AS pack_id,
+              ln AS pack_len, 1 AS pack_size, TRUE AS overflow
+       FROM d WHERE ln > 520)
+SELECT id AS doc_id, length, CAST(pack_id AS BIGINT) AS pack_id,
+       pack_len, pack_size, overflow
+FROM pr
+UNION ALL
+SELECT id, length, CAST(pack_id AS BIGINT), pack_len, pack_size,
+       overflow
+FROM ov
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -8112,9 +8164,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          sliding, window_running_total — the tpch/events/window
 #          families have the deepest historical coverage), and
 #          part_rank_fusion + docs_score_auc + docs_isotonic_check +
-#          part_copurchase_triangles joined the r11-new block as they
-#          landed (14 r11-new total; embed_quantize and
-#          window_running_total yielded the final fill slots).
+#          part_copurchase_triangles + docs_bootstrap_ci +
+#          docs_fold_pack joined the r11-new block as they landed
+#          (16 r11-new total; embed_quantize, embed_norm_outliers,
+#          embed_mean_pool, and window_running_total yielded the
+#          final fill slots).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -8136,6 +8190,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_isotonic_check",       # r11 new: PAV calibration invariants
     "part_copurchase_triangles",  # r11 new: compact-forward triangles
     "docs_bootstrap_ci",         # r11 new: one-pass Poisson bootstrap
+    "docs_fold_pack",            # r11 new: no-split fold packing
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -8149,7 +8204,6 @@ DRIVER_PRIORITY: list[str] = [
     # fills displaced by the late r11-new wave — the tpch family has
     # the deepest historical gate coverage, so it yields slots first)
     "window_rank", "embed_near_dups_bcast",
-    "embed_mean_pool",
     "ann_topk", "ann_ivf", "ann_ivf_recall",
     "events_seasonality", "docs_decontaminate",
     "users_scd2", "lineitem_grouped_dq_target",
@@ -8302,6 +8356,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_isotonic_check": q_docs_isotonic_check,
     "part_copurchase_triangles": q_part_copurchase_triangles,
     "docs_bootstrap_ci": q_docs_bootstrap_ci,
+    "docs_fold_pack": q_docs_fold_pack,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8507,6 +8562,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_isotonic_check": ORACLE_DOCS_ISOTONIC_CHECK,
     "part_copurchase_triangles": ORACLE_PART_COPURCHASE_TRIANGLES,
     "docs_bootstrap_ci": ORACLE_DOCS_BOOTSTRAP_CI,
+    "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

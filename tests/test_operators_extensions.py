@@ -5983,3 +5983,53 @@ class TestBootstrapCi:
         empty = spark.createDataFrame([(1, None)], "id long, v double")
         with _pytest.raises(ValueError, match="no non-NULL"):
             profiling.bootstrap_ci(empty, "id", "v")
+
+
+class TestFoldPack:
+    def _run(self, spark, lens, capacity):
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame(list(enumerate(lens, 1)),
+                                   "id long, ln long")
+        return {r["id"]: r for r in
+                packing.fold_pack(df, "id", "ln",
+                                  capacity=capacity).collect()}
+
+    def test_longest_pairs_with_shortest(self, spark):
+        """lens 90,70,30,10 cap 100: ranks 0..3 -> pairs (90,10) and
+        (70,30), both exactly full."""
+        got = self._run(spark, [90, 70, 30, 10], 100)
+        assert got[1]["pack_id"] == got[4]["pack_id"] == 0
+        assert got[2]["pack_id"] == got[3]["pack_id"] == 1
+        assert got[1]["pack_len"] == got[2]["pack_len"] == 100
+        assert all(r["pack_size"] == 2 and not r["overflow"]
+                   for r in got.values())
+
+    def test_unfit_pair_splits_and_odd_middle_singleton(self, spark):
+        """lens 90,80,10 cap 100: pair (90,10) fits; middle 80 is the
+        odd singleton. lens 90,80 cap 100: the only pair is 170 ->
+        both singletons with disjoint pack ids."""
+        got = self._run(spark, [90, 80, 10], 100)
+        assert got[1]["pack_id"] == got[3]["pack_id"]
+        assert got[2]["pack_size"] == 1 and got[2]["pack_len"] == 80
+        g2 = self._run(spark, [90, 80], 100)
+        assert g2[1]["pack_id"] != g2[2]["pack_id"]
+        assert all(r["pack_size"] == 1 for r in g2.values())
+        assert {r["pack_id"] for r in g2.values()} == {2, 3}  # n + r
+
+    def test_overflow_flagged_negative(self, spark):
+        got = self._run(spark, [150, 90, 10], 100)
+        assert got[1]["overflow"] and got[1]["pack_id"] == -1
+        assert got[2]["pack_id"] == got[3]["pack_id"] == 0
+        # everything overflows: packer still returns a full assignment
+        g2 = self._run(spark, [150, 200], 100)
+        assert {r["pack_id"] for r in g2.values()} == {-1, -2}
+
+    def test_null_length_raises_and_capacity_guard(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame([(1, 10), (2, None)],
+                                   "id long, ln long")
+        with _pytest.raises(ValueError, match="NULL length"):
+            packing.fold_pack(df, "id", "ln", capacity=100)
+        with _pytest.raises(ValueError, match="capacity"):
+            packing.fold_pack(df, "id", "ln", capacity=0)
