@@ -171,6 +171,9 @@ BENCH_QUERIES = [
     "docs_bootstrap_ci",
     # no-split fold packing (two-phase dense rank + pair groupBy)
     "docs_fold_pack",
+    # Count-Min sketch build + broadcast lookup (3x-exploded groupBy
+    # into a depth x width cell table)
+    "lineitem_cms_counts",
 ]
 
 

@@ -265,3 +265,92 @@ def join_cardinality_estimate(
         F.when((ld > 0) & (rd > 0),
                common * (F.col("_lnn") / ld) * (F.col("_rnn") / rd))
         .otherwise(F.lit(0.0)).alias("join_rows_est"))
+
+
+def count_min_sketch(
+    df: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over a
+    key column — the MERGEABLE approximate frequency table completing
+    the sketch family: HLL answers "how many distinct", KLL "what
+    quantile", theta "how big an intersection"; CMS answers "how often
+    does ANY given key occur" in ``depth × width`` cells of fixed
+    memory, with the one-sided guarantee estimate >= true count
+    (overestimate bounded by n/width per row with probability
+    1 − 2^−depth). Persist the cell table beside daily partitions and
+    SUM cells to merge — the HLL-rollup philosophy for frequencies.
+
+    Hashing is the module-standard deterministic md5 coin (row ``r``
+    buckets by ``md5('{salt}{r}|' + key)``'s leading 8 hex chars mod
+    width), so two engines — or two days' pipelines — build
+    bit-identical sketches. Returns a dense-only ``(r, bucket, n)``
+    frame (absent cells are implicitly 0).
+
+    Scale shape: ONE scan exploded ``depth``× by a literal array, one
+    map-side-combined groupBy over (r, bucket) — output is
+    depth×width rows regardless of corpus size. NULL keys are skipped
+    (count them upstream if they matter).
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    k = F.col(key_col).cast("string")
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            (F.conv(F.substring(
+                F.md5(F.concat(F.lit(f"{salt}{r}|"), k)), 1, 8),
+                16, 10).cast("long") % width).alias("bucket"))
+        for r in range(depth)])
+    return (df.filter(k.isNotNull())
+            .select(F.explode(cells).alias("c"))
+            .groupBy(F.col("c.r").alias("r"),
+                     F.col("c.bucket").alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def cms_lookup(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    width: int = 1024,
+    depth: int = 3,
+    salt: str = "cms",
+) -> DataFrame:
+    """Estimate each key's frequency from a :func:`count_min_sketch`
+    cell table: hash the key with the SAME (width, depth, salt)
+    configuration, read its ``depth`` cells, and take the minimum
+    (missing cells are 0 — a key hashing to an untouched cell has a
+    provably-zero estimate). Adds ``cms_estimate`` to ``keys``;
+    mismatched sketch configuration silently under- or over-reads, so
+    pin the parameters where the sketch is persisted.
+
+    Scale shape: the cell table is depth×width rows — broadcast by
+    construction — so the lookup is ``depth`` broadcast equi-joins +
+    a key-kept ``least`` projection; the keys frame streams map-only.
+    """
+    if width < 2 or depth < 1:
+        raise ValueError("need width >= 2 and depth >= 1")
+    k = F.col(key_col).cast("string")
+    out = keys
+    mins = []
+    for r in range(depth):
+        bucket = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}{r}|"), k)), 1, 8),
+            16, 10).cast("long") % width)
+        cell = (sketch.filter(F.col("r") == r)
+                .select(F.col("bucket").alias(f"__b{r}"),
+                        F.col("n").alias(f"__n{r}")))
+        out = out.join(F.broadcast(cell),
+                       bucket == F.col(f"__b{r}"), "left")
+        mins.append(F.coalesce(F.col(f"__n{r}"), F.lit(0)))
+    est = mins[0]
+    for m in mins[1:]:
+        est = F.least(est, m)
+    return out.withColumn("cms_estimate", est).drop(
+        *[c for r in range(depth) for c in (f"__b{r}", f"__n{r}")])

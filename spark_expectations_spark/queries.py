@@ -5967,6 +5967,69 @@ FROM ov
 """
 
 
+def q_lineitem_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates vs exact truth
+    (sketches.count_min_sketch + cms_lookup): a 3×256-cell sketch over
+    l_partkey — deliberately UNDERSIZED against ~thousands of distinct
+    parts so collisions are real and the one-sided guarantee does
+    work — probed with the 20 highest-exact-count parts (deterministic
+    (count desc, key asc) top). Output carries exact_n, cms_n, and the
+    provably-non-negative overshoot. Everything is md5-bucket integer
+    arithmetic — bit-identical cross-engine, no rounding; the oracle
+    rebuilds the cell table and reads the same three cells per key."""
+    from .operators import sketches
+
+    li = load(spark, sf_dir, "lineitem")
+    sk = sketches.count_min_sketch(li, "l_partkey", width=256, depth=3)
+    exact = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("exact_n"))
+    top = (exact.orderBy(F.desc("exact_n"), F.asc("l_partkey"))
+           .limit(20))
+    out = sketches.cms_lookup(sk, top, "l_partkey",
+                              width=256, depth=3)
+    return out.select(
+        "l_partkey", "exact_n",
+        F.col("cms_estimate").alias("cms_n"),
+        (F.col("cms_estimate") - F.col("exact_n")).alias("overshoot"))
+
+
+ORACLE_LINEITEM_CMS_COUNTS = """
+WITH exact AS (
+  SELECT l_partkey, count(*) AS exact_n FROM lineitem
+  GROUP BY l_partkey),
+top AS (SELECT * FROM exact ORDER BY exact_n DESC, l_partkey ASC
+        LIMIT 20),
+cells AS (
+  SELECT r, bucket, count(*) AS n FROM (
+    SELECT t.r,
+           CAST(('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR)
+                || '|' || CAST(l.l_partkey AS VARCHAR)), 1, 8))
+                AS BIGINT) % 256 AS bucket
+    FROM lineitem l
+    CROSS JOIN (SELECT CAST(i AS INT) AS r FROM range(0, 3) z(i)) t
+    WHERE l.l_partkey IS NOT NULL)
+  GROUP BY r, bucket),
+est AS (
+  SELECT top.l_partkey, top.exact_n,
+         least(
+           coalesce((SELECT n FROM cells WHERE r = 0 AND bucket =
+             CAST(('0x' || substr(md5('cms0|'
+               || CAST(top.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256), 0),
+           coalesce((SELECT n FROM cells WHERE r = 1 AND bucket =
+             CAST(('0x' || substr(md5('cms1|'
+               || CAST(top.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256), 0),
+           coalesce((SELECT n FROM cells WHERE r = 2 AND bucket =
+             CAST(('0x' || substr(md5('cms2|'
+               || CAST(top.l_partkey AS VARCHAR)), 1, 8)) AS BIGINT)
+               % 256), 0)) AS cms_n
+  FROM top)
+SELECT l_partkey, exact_n, cms_n, cms_n - exact_n AS overshoot
+FROM est
+"""
+
+
 def q_docs_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease (text.readability): vowel-group syllable
     heuristic, zero-shuffle HOF projection folded into the scan.
@@ -8165,10 +8228,10 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          families have the deepest historical coverage), and
 #          part_rank_fusion + docs_score_auc + docs_isotonic_check +
 #          part_copurchase_triangles + docs_bootstrap_ci +
-#          docs_fold_pack joined the r11-new block as they landed
-#          (16 r11-new total; embed_quantize, embed_norm_outliers,
-#          embed_mean_pool, and window_running_total yielded the
-#          final fill slots).
+#          docs_fold_pack + lineitem_cms_counts joined the r11-new
+#          block as they landed (17 r11-new total; embed_quantize,
+#          embed_norm_outliers, embed_mean_pool, users_scd2, and
+#          window_running_total yielded the final fill slots).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -8191,6 +8254,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_copurchase_triangles",  # r11 new: compact-forward triangles
     "docs_bootstrap_ci",         # r11 new: one-pass Poisson bootstrap
     "docs_fold_pack",            # r11 new: no-split fold packing
+    "lineitem_cms_counts",       # r11 new: Count-Min sketch estimates
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -8206,7 +8270,7 @@ DRIVER_PRIORITY: list[str] = [
     "window_rank", "embed_near_dups_bcast",
     "ann_topk", "ann_ivf", "ann_ivf_recall",
     "events_seasonality", "docs_decontaminate",
-    "users_scd2", "lineitem_grouped_dq_target",
+    "lineitem_grouped_dq_target",
 ]
 
 
@@ -8357,6 +8421,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_triangles": q_part_copurchase_triangles,
     "docs_bootstrap_ci": q_docs_bootstrap_ci,
     "docs_fold_pack": q_docs_fold_pack,
+    "lineitem_cms_counts": q_lineitem_cms_counts,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8563,6 +8628,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_copurchase_triangles": ORACLE_PART_COPURCHASE_TRIANGLES,
     "docs_bootstrap_ci": ORACLE_DOCS_BOOTSTRAP_CI,
     "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
+    "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,

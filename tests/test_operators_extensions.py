@@ -6033,3 +6033,70 @@ class TestFoldPack:
             packing.fold_pack(df, "id", "ln", capacity=100)
         with _pytest.raises(ValueError, match="capacity"):
             packing.fold_pack(df, "id", "ln", capacity=0)
+
+
+class TestCountMinSketch:
+    def test_estimate_ge_true_and_exact_when_sparse(self, spark):
+        """CMS guarantee: estimate >= true count always; with far more
+        buckets than keys, collisions vanish and estimates are exact."""
+        from spark_expectations_spark.operators import sketches
+        rows = [(f"k{i % 10}",) for i in range(100)]
+        df = spark.createDataFrame(rows, "k string")
+        sk = sketches.count_min_sketch(df, "k", width=1024, depth=3)
+        keys = spark.createDataFrame([(f"k{i}",) for i in range(10)],
+                                     "k string")
+        got = {r["k"]: r["cms_estimate"] for r in
+               sketches.cms_lookup(sk, keys, "k",
+                                   width=1024, depth=3).collect()}
+        assert got == {f"k{i}": 10 for i in range(10)}
+
+    def test_collisions_only_overestimate(self, spark):
+        from spark_expectations_spark.operators import sketches
+        rows = [(f"key{i}",) for i in range(200) for _ in (0, 1)]
+        df = spark.createDataFrame(rows, "k string")
+        # tiny sketch: 200 keys into 16 buckets -> heavy collisions
+        sk = sketches.count_min_sketch(df, "k", width=16, depth=3)
+        keys = spark.createDataFrame([(f"key{i}",) for i in range(200)],
+                                     "k string")
+        got = sketches.cms_lookup(sk, keys, "k", width=16,
+                                  depth=3).collect()
+        assert all(r["cms_estimate"] >= 2 for r in got)
+        assert any(r["cms_estimate"] > 2 for r in got)  # collisions real
+        # total cell mass per row == total observations
+        per_row = {r["r"]: 0 for r in sk.collect()}
+        for r in sk.collect():
+            per_row[r["r"]] += r["n"]
+        assert set(per_row.values()) == {400}
+
+    def test_merge_by_cell_sum_and_unseen_key_zero(self, spark):
+        """Summing two sketches' cells == sketching the union — the
+        mergeability contract; a key hashing to untouched cells
+        estimates exactly 0."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import sketches
+        d1 = spark.createDataFrame([("a",), ("a",), ("b",)], "k string")
+        d2 = spark.createDataFrame([("a",), ("c",)], "k string")
+        s1 = sketches.count_min_sketch(d1, "k", width=64, depth=2)
+        s2 = sketches.count_min_sketch(d2, "k", width=64, depth=2)
+        merged = (s1.unionByName(s2).groupBy("r", "bucket")
+                  .agg(F.sum("n").alias("n")))
+        direct = sketches.count_min_sketch(
+            d1.unionByName(d2), "k", width=64, depth=2)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+        keys = spark.createDataFrame([("a",), ("zzz",)], "k string")
+        got = {r["k"]: r["cms_estimate"] for r in
+               sketches.cms_lookup(merged, keys, "k", width=64,
+                                   depth=2).collect()}
+        assert got["a"] == 3 and got["zzz"] == 0
+
+    def test_validation_and_null_skip(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame([("a",), (None,)], "k string")
+        sk = sketches.count_min_sketch(df, "k", width=8, depth=2)
+        assert sum(r["n"] for r in sk.collect()) == 2  # 1 row x 2 hashes
+        with _pytest.raises(ValueError, match="width"):
+            sketches.count_min_sketch(df, "k", width=1)
+        with _pytest.raises(ValueError, match="width"):
+            sketches.cms_lookup(sk, df, "k", depth=0)
