@@ -7,6 +7,7 @@ pay off most.
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
+import pytest
 
 from spark_expectations_spark.core.rules import (
     coerce_record, looks_aggregate, parse_composite, Rule,
@@ -771,3 +772,52 @@ class TestKmeansDifferential:
         for cid, (n, w) in ref_stats.items():
             assert stats[cid][0] == n, (cid, stats, ref_stats)
             assert stats[cid][1] == float(round(w, 3)) + 0.0
+
+
+class TestPavProperties:
+    """Pool-Adjacent-Violators invariants (the driver-side core of
+    text.isotonic_calibrate) under randomized inputs — the properties
+    every correct isotonic fit must satisfy regardless of data."""
+
+    pts = st.lists(
+        st.tuples(st.integers(min_value=1, max_value=50),
+                  st.floats(min_value=0.0, max_value=1.0,
+                            allow_nan=False)),
+        min_size=1, max_size=40)
+
+    @given(points=pts)
+    @settings(max_examples=200)
+    def test_output_is_monotone_nondecreasing(self, points):
+        from spark_expectations_spark.operators.text import _pav
+        out = _pav(points)
+        assert len(out) == len(points)
+        assert all(a <= b + 1e-12 for a, b in zip(out, out[1:]))
+
+    @given(points=pts)
+    @settings(max_examples=200)
+    def test_weighted_mean_preserved(self, points):
+        from spark_expectations_spark.operators.text import _pav
+        out = _pav(points)
+        want = sum(w * y for w, y in points)
+        got = sum(w * v for (w, _), v in zip(points, out))
+        assert got == pytest.approx(want, abs=1e-9)
+
+    @given(points=pts)
+    @settings(max_examples=100)
+    def test_idempotent(self, points):
+        """PAV of an already-isotonic sequence is the identity, so
+        applying the fit to its own output must change nothing."""
+        from spark_expectations_spark.operators.text import _pav
+        once = _pav(points)
+        twice = _pav([(w, v) for (w, _), v in zip(points, once)])
+        for a, b in zip(once, twice):
+            assert a == pytest.approx(b, abs=1e-12)
+
+    @given(points=pts)
+    @settings(max_examples=100)
+    def test_monotone_input_passes_through(self, points):
+        from spark_expectations_spark.operators.text import _pav
+        monotone = sorted(points, key=lambda p: p[1])
+        out = _pav(monotone)
+        for (_, y), v in zip(monotone, out):
+            assert v == pytest.approx(y, abs=1e-12)
