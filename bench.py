@@ -174,6 +174,9 @@ BENCH_QUERIES = [
     # Count-Min sketch build + broadcast lookup (3x-exploded groupBy
     # into a depth x width cell table)
     "lineitem_cms_counts",
+    # Markov transition matrix + per-state entropy (one user-partition
+    # lead window + state-cardinality aggregates)
+    "events_markov_transitions",
 ]
 
 

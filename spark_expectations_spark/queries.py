@@ -2155,6 +2155,58 @@ LIMIT 20
 """
 
 
+def q_events_markov_transitions(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """First-order Markov transition statistics over user event
+    sequences — the path-miner's probabilistic summary (what actually
+    follows what, and how predictable each state is): per user,
+    consecutive event pairs under the total (ts, event_id) order via
+    ONE lead() over the user partition, then a (cur, nxt)-keyed count,
+    per-cur conditional probabilities (int/int exact), and per-cur
+    Shannon entropy in nats rounded to 6dp (the only transcendental).
+    One row per observed transition carrying its source state's
+    entropy — catalog composition, no new operator (the basket_lift
+    point). Scale: the window partitions by user (bounded history),
+    every aggregate is state-cardinality²-sized after the first
+    combine."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select(F.col("event_type").alias("cur"),
+                       F.lead("event_type").over(w).alias("nxt"))
+             .filter(F.col("nxt").isNotNull()))
+    cnt = pairs.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("cur").agg(F.sum("n").alias("__t"))
+    p = F.col("n") / F.col("__t")
+    probs = (cnt.join(tot, "cur")
+             .select("cur", "nxt", "n", p.alias("p")))
+    ent = (probs.groupBy("cur")
+           .agg((-F.sum(F.col("p") * F.log("p"))).alias("__h")))
+    return (probs.join(ent, "cur")
+            .select("cur", "nxt", "n", "p",
+                    (F.round("__h", 6) + F.lit(0.0)).alias("cur_entropy")))
+
+
+ORACLE_EVENTS_MARKOV_TRANSITIONS = """
+WITH pairs AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS nxt
+  FROM events),
+cnt AS (SELECT cur, nxt, count(*) AS n FROM pairs
+        WHERE nxt IS NOT NULL GROUP BY cur, nxt),
+tot AS (SELECT cur, sum(n) AS t FROM cnt GROUP BY cur),
+probs AS (
+  SELECT cnt.cur, cnt.nxt, CAST(cnt.n AS BIGINT) AS n,
+         cnt.n * 1.0 / tot.t AS p
+  FROM cnt JOIN tot USING (cur)),
+ent AS (
+  SELECT cur, round(-sum(p * ln(p)), 6) + 0.0 AS cur_entropy
+  FROM probs GROUP BY cur)
+SELECT probs.cur, probs.nxt, probs.n, probs.p, ent.cur_entropy
+FROM probs JOIN ent USING (cur)
+"""
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Signup→purchase conversion funnel: per-user first signup joined
     against any later purchase — two filtered aggregates and one
@@ -8228,10 +8280,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          families have the deepest historical coverage), and
 #          part_rank_fusion + docs_score_auc + docs_isotonic_check +
 #          part_copurchase_triangles + docs_bootstrap_ci +
-#          docs_fold_pack + lineitem_cms_counts joined the r11-new
-#          block as they landed (17 r11-new total; embed_quantize,
-#          embed_norm_outliers, embed_mean_pool, users_scd2, and
-#          window_running_total yielded the final fill slots).
+#          docs_fold_pack + lineitem_cms_counts +
+#          events_markov_transitions joined the r11-new block as they
+#          landed (18 r11-new total; embed_quantize,
+#          embed_norm_outliers, embed_mean_pool, users_scd2,
+#          docs_decontaminate, and window_running_total yielded the
+#          final fill slots).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -8255,6 +8309,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_bootstrap_ci",         # r11 new: one-pass Poisson bootstrap
     "docs_fold_pack",            # r11 new: no-split fold packing
     "lineitem_cms_counts",       # r11 new: Count-Min sketch estimates
+    "events_markov_transitions",  # r11 new: Markov transition stats
     # the declared r11 re-gate front: every entry whose ONLY hard gate
     # was r8 (see the r10 rotation-log paragraph above)
     "lineitem_grouped_dq", "lineitem_drift_report",
@@ -8269,7 +8324,7 @@ DRIVER_PRIORITY: list[str] = [
     # the deepest historical gate coverage, so it yields slots first)
     "window_rank", "embed_near_dups_bcast",
     "ann_topk", "ann_ivf", "ann_ivf_recall",
-    "events_seasonality", "docs_decontaminate",
+    "events_seasonality",
     "lineitem_grouped_dq_target",
 ]
 
@@ -8422,6 +8477,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bootstrap_ci": q_docs_bootstrap_ci,
     "docs_fold_pack": q_docs_fold_pack,
     "lineitem_cms_counts": q_lineitem_cms_counts,
+    "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
     "embed_whiten": q_embed_whiten,
     "embed_whiten_check": q_embed_whiten_check,
@@ -8629,6 +8685,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_bootstrap_ci": ORACLE_DOCS_BOOTSTRAP_CI,
     "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
+    "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,
     "docs_dup_spans": ORACLE_DOCS_DUP_SPANS,
     "docs_mad_outliers": ORACLE_DOCS_MAD_OUTLIERS,
