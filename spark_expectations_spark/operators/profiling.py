@@ -439,6 +439,7 @@ def bootstrap_ci(
     alpha: float = 0.05,
     digits: int = 6,
     salt: str = "boot",
+    check_unique_keys: bool = True,
 ) -> DataFrame:
     """ONE-PASS Poisson-bootstrap confidence interval for the mean of
     ``value_col`` — error bars on corpus statistics without ever
@@ -467,6 +468,16 @@ def bootstrap_ci(
     sf0.1×40. NULL values drop from everything. Raises if any
     replica's total weight is 0 (only conceivable on a near-empty
     input, where a bootstrap CI is meaningless anyway).
+
+    ``key_col`` MUST be row-unique: each replica's Poisson draw is a
+    pure function of the key, so rows sharing a key get perfectly
+    correlated (identical) draws in every replica and the SE/CI are
+    biased. By default this is VALIDATED inside the same single agg
+    (one extra ``count(DISTINCT key)`` accumulator; raises ValueError
+    on duplicates). At 100 TB the distinct forces a key-cardinality
+    shuffle phase, so callers whose key is unique by construction
+    (``doc_id``, a primary key) pass ``check_unique_keys=False`` to
+    keep the agg purely map-side-combinable.
     """
     if replicas < 2:
         raise ValueError("replicas must be >= 2")
@@ -490,21 +501,24 @@ def bootstrap_ci(
     n_groups = (replicas + 7) // 8
     hex_cols = [f"md5(concat('{salt}{g}|', CAST(__k AS STRING))) "
                 f"AS __h{g}" for g in range(n_groups)]
-    step1 = rows.selectExpr("__x", *hex_cols)
+    carry = ["__k"] if check_unique_keys else []
+    step1 = rows.selectExpr("__x", *carry, *hex_cols)
     bucket_cols = []
     for b in range(replicas):
         g, j = divmod(b, 8)
         bucket_cols.append(
             f"CAST(conv(substring(__h{g}, {1 + 4 * j}, 4), 16, 10) "
             f"AS BIGINT) AS __b{b}")
-    step2 = step1.selectExpr("__x", *bucket_cols)
+    step2 = step1.selectExpr("__x", *carry, *bucket_cols)
     ts = [math.ceil(t * 65536) for t in _POISSON1_CDF]
     w_cols = [
         "(" + " + ".join(f"IF(__b{b} >= {t}, 1L, 0L)" for t in ts)
         + f") AS __wt{b}" for b in range(replicas)]
-    step3 = step2.selectExpr("__x", *w_cols)
+    step3 = step2.selectExpr("__x", *carry, *w_cols)
     aggs = [F.expr("count(1)").alias("__n"),
             F.expr("sum(__x)").alias("__sx")]
+    if check_unique_keys:
+        aggs.append(F.expr("count(DISTINCT __k)").alias("__nk"))
     for b in range(replicas):
         aggs.append(F.expr(f"sum(__wt{b})").alias(f"__w{b}"))
         aggs.append(F.expr(f"sum(__wt{b} * __x)").alias(f"__s{b}"))
@@ -512,6 +526,12 @@ def bootstrap_ci(
     n = row["__n"]
     if n == 0:
         raise ValueError("bootstrap_ci: no non-NULL values")
+    if check_unique_keys and row["__nk"] != n:
+        raise ValueError(
+            f"bootstrap_ci: key_col {key_col!r} is not row-unique "
+            f"({n} rows, {row['__nk']} distinct keys) — rows sharing "
+            "a key would get identical Poisson draws in every replica "
+            "and bias the SE/CI; pass a unique key")
     means = []
     for b in range(replicas):
         if not row[f"__w{b}"]:

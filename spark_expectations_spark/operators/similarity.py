@@ -1907,9 +1907,12 @@ def mmr_topk(
     pool² rows, JVM-side fold dot products), and each of the k greedy
     steps is an anti-join + a selected-set max + a rank-1 window over
     that bounded frame. k is a fixed small constant by contract, so
-    the unrolled plan stays k-linear. The greedy scan never touches
-    the corpus again — at 100 TB the cost is the one broadcast scan
-    cosine_topk already pays.
+    the unrolled plan stays k-linear — enforced by ``localCheckpoint``
+    lineage cuts on the pool/pair frames (once) and the growing
+    selected frame (per step), the same convention pagerank/hits/
+    lloyd_kmeans use. The greedy scan never touches the corpus again —
+    at 100 TB the cost is the one broadcast scan cosine_topk already
+    pays.
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
@@ -1919,8 +1922,14 @@ def mmr_topk(
                        k=pool)
     vecs = corpus.select(F.col(id_col).alias("__vid"),
                          F.col(vec_col).alias("__v"))
+    # lineage cut (the pagerank/hits convention for iterative ops):
+    # without it every greedy step's anti-join/penalty subtree roots at
+    # the corpus-scan cosine_topk and the final plan embeds O(k²)
+    # copies of it — "never touches the corpus again" must hold by
+    # construction, not by hoping for exchange reuse
     cv = (cand.join(vecs, cand["neighbor_id"] == vecs["__vid"])
-          .select("query_id", "neighbor_id", "cosine", "__v"))
+          .select("query_id", "neighbor_id", "cosine", "__v")
+          .localCheckpoint(eager=False))
     a = cv.select(F.col("query_id").alias("__q"),
                   F.col("neighbor_id").alias("__ca"),
                   F.col("__v").alias("__va"))
@@ -1932,7 +1941,8 @@ def mmr_topk(
     psim = (_dot(da, db) / (_norm(da) * _norm(db))).alias("__ps")
     pairs = (a.join(b, "__q")
              .filter(F.col("__ca") != F.col("__cb"))
-             .select("__q", "__ca", "__cb", psim))
+             .select("__q", "__ca", "__cb", psim)
+             .localCheckpoint(eager=False))
     pool_df = cv.select(F.col("query_id").alias("__q"),
                         F.col("neighbor_id").alias("__c"),
                         F.col("cosine").alias("__rel"))
@@ -1971,7 +1981,10 @@ def mmr_topk(
                .filter(F.col("__rk") == 1)
                .select("__q", "__c", "__rel", "__score",
                        F.lit(step).alias("position")))
-        selected = selected.unionByName(nxt)
+        # selected union-grows each step — cut per round so step s+1's
+        # anti-join doesn't re-derive all s prior argmax subtrees
+        selected = (selected.unionByName(nxt)
+                    .localCheckpoint(eager=False))
     return selected.select(
         F.col("__q").alias("query_id"),
         F.col("__c").alias("neighbor_id"),

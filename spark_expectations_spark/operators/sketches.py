@@ -326,9 +326,18 @@ def cms_lookup(
     cell table: hash the key with the SAME (width, depth, salt)
     configuration, read its ``depth`` cells, and take the minimum
     (missing cells are 0 — a key hashing to an untouched cell has a
-    provably-zero estimate). Adds ``cms_estimate`` to ``keys``;
-    mismatched sketch configuration silently under- or over-reads, so
-    pin the parameters where the sketch is persisted.
+    provably-zero estimate). Adds ``cms_estimate`` to ``keys``.
+
+    A (width, depth) MISMATCH against the build configuration is
+    CAUGHT at execution time (a depth mismatch can even under-read,
+    breaking the one-sided >= guarantee): a broadcast one-row stats
+    frame over the depth×width cell table checks ``max(bucket) <
+    width``, ``max(r) == depth−1`` and ``count(distinct r) == depth``,
+    and any violation raises with the observed vs expected shape. A
+    SALT mismatch is information-theoretically uncatchable from the
+    cells alone — pin the salt where the sketch is persisted. The
+    guard is lazy (pure plan, no eager action) and costs one scalar
+    comparison per output row plus one broadcast of a 1-row frame.
 
     Scale shape: the cell table is depth×width rows — broadcast by
     construction — so the lookup is ``depth`` broadcast equi-joins +
@@ -337,7 +346,11 @@ def cms_lookup(
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2 and depth >= 1")
     k = F.col(key_col).cast("string")
-    out = keys
+    stats = sketch.agg(F.count(F.lit(1)).alias("__cells"),
+                       F.max("r").alias("__maxr"),
+                       F.countDistinct("r").alias("__nr"),
+                       F.max("bucket").alias("__maxb"))
+    out = keys.crossJoin(F.broadcast(stats))
     mins = []
     for r in range(depth):
         bucket = (F.conv(F.substring(
@@ -352,5 +365,18 @@ def cms_lookup(
     est = mins[0]
     for m in mins[1:]:
         est = F.least(est, m)
+    # an empty cell table (empty build corpus) is legitimately all-zero
+    cfg_ok = (F.col("__cells") == 0) | (
+        (F.col("__maxb") < width)
+        & (F.col("__maxr") == depth - 1)
+        & (F.col("__nr") == depth))
+    est = F.when(cfg_ok, est).otherwise(F.raise_error(F.concat(
+        F.lit(f"cms_lookup: sketch shape does not match width={width} "
+              f"depth={depth} (observed max bucket "),
+        F.col("__maxb").cast("string"), F.lit(", rows r=0.."),
+        F.col("__maxr").cast("string"), F.lit(" with "),
+        F.col("__nr").cast("string"),
+        F.lit(" distinct r) — rebuild or fix the parameters"))))
     return out.withColumn("cms_estimate", est).drop(
+        "__cells", "__maxr", "__nr", "__maxb",
         *[c for r in range(depth) for c in (f"__b{r}", f"__n{r}")])

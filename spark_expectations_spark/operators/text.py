@@ -1856,9 +1856,19 @@ def quantile_normalize_scores(
     src = F.col(source_col)
     x = F.col(score_col).cast("double")
     if buckets is None:
-        w = Window.partitionBy(src).orderBy(x)
-        q = F.cume_dist().over(w)
-        return df.withColumn(out_col, F.when(x.isNotNull(), q))
+        # NOT a bare cume_dist: Spark sorts NULLs first, so cume_dist's
+        # frame would count NULL-score rows in both numerator and
+        # denominator, inflating every non-null row's quantile whenever
+        # the source contains NULL scores. Count "non-null scores <=
+        # mine" over a RANGE frame (ties share the upper value) against
+        # a non-null denominator instead — NULLs excluded from every
+        # count, as documented.
+        wr = (Window.partitionBy(src).orderBy(x)
+              .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        le = F.count(x).over(wr)
+        n = F.count(x).over(Window.partitionBy(src))
+        return df.withColumn(
+            out_col, F.when(x.isNotNull(), le.cast("double") / n))
     if buckets < 1:
         raise ValueError("buckets must be >= 1")
     b = int(buckets)

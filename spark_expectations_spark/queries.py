@@ -5681,6 +5681,55 @@ FROM documents
 """
 
 
+def q_docs_source_qnorm_bucketed(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The 100 TB mode of per-source quantile normalization
+    (text.quantile_normalize_scores, ``buckets=B`` histogram path) —
+    r11 verdict task 2: the driver-gated `docs_source_qnorm` exercises
+    the exact full-window-sort plan, but the plan a 100 TB corpus
+    actually runs (per-source (min,max) agg → B-bucket histogram →
+    cumulative counts → broadcast bucket join; NO per-source sort) was
+    previously pytest-only. B=32 against ~500 docs/source keeps the
+    approximation visibly coarse (steps of whole bucket masses) so the
+    oracle is genuinely testing the histogram arithmetic, not an
+    accidental match with the exact path. Everything is integer counts
+    plus ONE float bucket-assignment expression — ``floor((x−lo)/
+    (hi−lo)·B)`` evaluated in the same operation order by both engines
+    — so values are bit-identical cross-engine with no rounding."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("double").alias("score"))
+    return T.quantile_normalize_scores(docs, "source", "score",
+                                       buckets=32)
+
+
+ORACLE_DOCS_SOURCE_QNORM_BUCKETED = """
+WITH s AS (
+  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS x FROM documents),
+st AS (
+  SELECT source, min(x) AS lo, max(x) AS hi, count(*) AS n
+  FROM s GROUP BY source),
+b AS (
+  SELECT s.doc_id, s.source, s.x,
+         CASE WHEN st.hi - st.lo > 0 THEN
+           least(CAST(floor((s.x - st.lo) / (st.hi - st.lo) * 32)
+                      AS BIGINT), 31)
+         ELSE 0 END AS bkt,
+         st.n AS n
+  FROM s JOIN st ON s.source = st.source),
+h AS (SELECT source, bkt, count(*) AS c FROM b GROUP BY source, bkt),
+cum AS (
+  SELECT source, bkt,
+         sum(c) OVER (PARTITION BY source ORDER BY bkt
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cle
+  FROM h)
+SELECT b.doc_id, b.source, b.x AS score, cum.cle / b.n AS qscore
+FROM b JOIN cum ON b.source = cum.source AND b.bkt = cum.bkt
+"""
+
+
 def q_part_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal Rank Fusion (similarity.reciprocal_rank_fusion):
     per brand, fuse the price-descending and size-ascending rankings
@@ -5923,7 +5972,10 @@ def q_docs_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet file would serialize it onto one core (the measured
     # opt-in guard — SCALE.md "Scan-parallelism guard")
     docs = load(spark, sf_dir, "documents", spread=True)
-    return profiling.bootstrap_ci(docs, "doc_id", "n_chars")
+    # doc_id is unique by construction, so skip the count(DISTINCT)
+    # accumulator and keep the single agg purely map-side-combinable.
+    return profiling.bootstrap_ci(docs, "doc_id", "n_chars",
+                                  check_unique_keys=False)
 
 
 ORACLE_DOCS_BOOTSTRAP_CI = """
@@ -8470,6 +8522,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_rank_weighted": q_part_copurchase_rank_weighted,
     "customer_part_hits": q_customer_part_hits,
     "docs_source_qnorm": q_docs_source_qnorm,
+    "docs_source_qnorm_bucketed": q_docs_source_qnorm_bucketed,
     "part_rank_fusion": q_part_rank_fusion,
     "docs_score_auc": q_docs_score_auc,
     "docs_isotonic_check": q_docs_isotonic_check,
@@ -8678,6 +8731,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_copurchase_rank_weighted": ORACLE_PART_COPURCHASE_RANK_WEIGHTED,
     "customer_part_hits": ORACLE_CUSTOMER_PART_HITS,
     "docs_source_qnorm": ORACLE_DOCS_SOURCE_QNORM,
+    "docs_source_qnorm_bucketed": ORACLE_DOCS_SOURCE_QNORM_BUCKETED,
     "part_rank_fusion": ORACLE_PART_RANK_FUSION,
     "docs_score_auc": ORACLE_DOCS_SCORE_AUC,
     "docs_isotonic_check": ORACLE_DOCS_ISOTONIC_CHECK,

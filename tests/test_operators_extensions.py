@@ -5676,6 +5676,20 @@ class TestQuantileNormalizeScores:
         assert got[5] == pytest.approx(1.0)   # singleton source
         assert got[6] is None                 # NULL passes through
 
+    def test_exact_ecdf_excludes_nulls_from_counts(self, spark):
+        """Regression (r12): a bare cume_dist window orders NULLs
+        first, so [NULL, 1.0, 2.0] would give 1.0 the quantile 2/3
+        instead of the documented 1/2 (NULLs excluded from numerator
+        AND denominator)."""
+        from spark_expectations_spark.operators import text as T
+        rows = [(1, "a", None), (2, "a", 1.0), (3, "a", 2.0)]
+        df = spark.createDataFrame(rows, "id long, src string, s double")
+        got = {r["id"]: r["qscore"] for r in
+               T.quantile_normalize_scores(df, "src", "s").collect()}
+        assert got[1] is None
+        assert got[2] == pytest.approx(0.5)
+        assert got[3] == pytest.approx(1.0)
+
     def test_cross_source_comparability(self, spark):
         """Two sources with very different raw scales map their
         respective top elements to the same quantile."""
@@ -5984,6 +5998,22 @@ class TestBootstrapCi:
         with _pytest.raises(ValueError, match="no non-NULL"):
             profiling.bootstrap_ci(empty, "id", "v")
 
+    def test_duplicate_keys_rejected(self, spark):
+        """Rows sharing a key get identical Poisson draws in every
+        replica (the draw is a pure function of the key), so the
+        default validation must reject non-unique keys; the opt-out
+        keeps the old behavior for known-unique keys."""
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(i % 40, float(i)) for i in range(80)],
+            "id long, v double")
+        with _pytest.raises(ValueError, match="not row-unique"):
+            profiling.bootstrap_ci(df, "id", "v", replicas=4)
+        r = profiling.bootstrap_ci(df, "id", "v", replicas=4,
+                                   check_unique_keys=False).first()
+        assert r["n"] == 80
+
 
 class TestFoldPack:
     def _run(self, spark, lens, capacity):
@@ -6100,3 +6130,26 @@ class TestCountMinSketch:
             sketches.count_min_sketch(df, "k", width=1)
         with _pytest.raises(ValueError, match="width"):
             sketches.cms_lookup(sk, df, "k", depth=0)
+
+    def test_config_mismatch_raises_at_execution(self, spark):
+        """A (width, depth) lookup/build mismatch must fail loudly —
+        a depth mismatch can under-read and break the one-sided
+        guarantee; the guard is lazy, so the error surfaces on
+        collect. An empty sketch stays legitimately all-zero."""
+        import pytest as _pytest
+        from spark_expectations_spark.operators import sketches
+        rows = [(f"k{i}",) for i in range(50)]
+        df = spark.createDataFrame(rows, "k string")
+        sk = sketches.count_min_sketch(df, "k", width=64, depth=3)
+        keys = spark.createDataFrame([("k1",)], "k string")
+        for bad in ({"width": 32, "depth": 3},   # bucket >= width
+                    {"width": 64, "depth": 2},   # extra r rows
+                    {"width": 64, "depth": 4}):  # missing r rows
+            with _pytest.raises(Exception, match="cms_lookup"):
+                sketches.cms_lookup(sk, keys, "k", **bad).collect()
+        empty = sketches.count_min_sketch(
+            spark.createDataFrame([], "k string"), "k",
+            width=64, depth=3)
+        got = sketches.cms_lookup(empty, keys, "k",
+                                  width=64, depth=3).first()
+        assert got["cms_estimate"] == 0
