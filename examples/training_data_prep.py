@@ -71,6 +71,30 @@ def main() -> None:
     n_packs = packed.select("stream", "pack_id").distinct().count()
     print(f"packing: {clean_train.count()} docs -> {n_packs} packs")
 
+    # NO-SPLIT packing shootout at the same capacity: fold_pack pairs
+    # longest-with-shortest (max 2 docs/pack), nfd_pack fills packs
+    # next-fit-decreasing (3+ short docs share one pack) — compare the
+    # residual padding a pad-to-capacity loader would burn
+    cap = 520
+    fp = packing.fold_pack(clean_train, "doc_id", "n_chars",
+                           capacity=cap)
+    fp_packs = (fp.filter(~F.col("overflow"))
+                .select("pack_id", "pack_len").distinct())
+    fp_pad = fp_packs.agg(
+        F.sum(F.lit(cap) - F.col("pack_len")).alias("pad"),
+        F.count(F.lit(1)).alias("n")).first()
+    nfd = packing.nfd_pack(clean_train, "doc_id", "n_chars",
+                           capacity=cap, n_streams=8)
+    nfd_packs = (nfd.filter(~F.col("overflow"))
+                 .groupBy("stream", "pack_id")
+                 .agg(F.sum("length").alias("pack_len")))
+    nfd_pad = nfd_packs.agg(
+        F.sum(F.lit(cap) - F.col("pack_len")).alias("pad"),
+        F.count(F.lit(1)).alias("n")).first()
+    print(f"no-split packing @cap={cap}: fold_pack {fp_pad['n']} packs "
+          f"/ {fp_pad['pad']} padded chars; nfd_pack {nfd_pad['n']} "
+          f"packs / {nfd_pad['pad']} padded chars")
+
     # balanced eval set: 5 docs per language, deterministic across runs
     eval_set = sampling.sample_per_group(
         split.filter(F.col("split") == "val"), ["lang"], "doc_id", 5)

@@ -272,3 +272,109 @@ def fold_pack(
         F.lit(1).alias("pack_size"),
         F.lit(True).alias("overflow"))
     return paired.unionByName(overflowed)
+
+
+def nfd_pack(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    *,
+    capacity: int,
+    n_streams: int = 256,
+    stream_out: str = "stream",
+    pack_out: str = "pack_id",
+    pos_out: str = "pack_pos",
+) -> DataFrame:
+    """NO-SPLIT capacity-filling packing — next-fit-decreasing (NFD)
+    bin packing, the >2-docs-per-pack generalization of
+    :func:`fold_pack` (r11 verdict task 3): SFT corpora are
+    short-doc-heavy, so pairing longest-with-shortest leaves most of
+    the budget on the table when 3+ short documents would fit. Docs
+    are hashed into ``n_streams`` independent streams (the
+    :func:`pack_for_training` layout — md5 of the key, so stream
+    membership is portable, partition-invariant, and oracle-
+    checkable); within a stream, docs are scanned in (length DESC, id
+    ASC) order and NFD fills packs greedily: a doc joins the current
+    pack if it fits in the remaining capacity, else it CLOSES that
+    pack and opens the next — the classic one-pass discipline whose
+    per-pack waste is bounded by the smallest item that failed to fit.
+    Returns the input keyed columns plus ``(stream, pack_id,
+    pack_pos, overflow)``: ``pack_id`` is the within-stream pack
+    index (combine with ``stream`` for a global key), ``pack_pos``
+    the doc's position inside its pack, and ``overflow`` flags docs
+    LONGER than capacity (NFD seats them alone in a pack that exceeds
+    the budget — flagging beats silently truncating). NULL lengths
+    raise (inside the executor — no extra validation pass).
+
+    Scale shape: ONE shuffle (hash-partition by stream), then a
+    grouped ``applyInPandas`` whose per-stream state is two integers
+    (current fill + pack index) over an Arrow batch — the sequential
+    scan bin packing fundamentally requires, confined to one stream.
+    Streams are the parallelism AND memory unit exactly as in
+    pack_for_training: at 100 TB raise ``n_streams`` to a multiple of
+    the cluster's cores and each group stays executor-memory-bounded.
+    Assignment is a pure function of the table's contents — re-runs,
+    backfills, and a DuckDB twin (recursive CTE stepping each
+    stream's rank order) reproduce it bit for bit.
+
+    Packing quality: NFD ≥ 50% fill on capacity-saturated streams
+    (every closed pack + the item that closed it exceed capacity);
+    compare against :func:`fold_pack` with
+    :func:`padding_waste_report` — the examples do.
+    """
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+    if n_streams < 1:
+        raise ValueError("n_streams must be >= 1")
+    import pandas as pd  # noqa: F401  (worker-side dependency)
+    from pyspark.sql import types as T
+
+    cap = int(capacity)
+    stream = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 4),
+               16, 10).cast("long"),
+        F.lit(n_streams))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(len_col).cast("long").alias("__len"),
+        stream.alias(stream_out))
+    id_type = df.schema[id_col].dataType
+    schema = T.StructType([
+        T.StructField(id_col, id_type),
+        T.StructField("length", T.LongType()),
+        T.StructField(stream_out, T.LongType()),
+        T.StructField(pack_out, T.LongType()),
+        T.StructField(pos_out, T.LongType()),
+        T.StructField("overflow", T.BooleanType()),
+    ])
+
+    def _nfd(pdf):
+        if pdf["__len"].isna().any():
+            raise ValueError(
+                "nfd_pack: NULL length — packing needs every document "
+                "measured; filter or fix upstream")
+        pdf = pdf.sort_values(["__len", "__id"],
+                              ascending=[False, True])
+        packs, poss = [], []
+        pack, fill, pos = -1, 0, 0
+        for ln in pdf["__len"].tolist():
+            if pack < 0 or fill + ln > cap:
+                pack += 1
+                fill = ln
+                pos = 0
+            else:
+                fill += ln
+                pos += 1
+            packs.append(pack)
+            poss.append(pos)
+        out = pd.DataFrame({
+            id_col: pdf["__id"].values,
+            "length": pdf["__len"].values,
+            stream_out: pdf[stream_out].values,
+            pack_out: packs,
+            pos_out: poss,
+        })
+        out["overflow"] = out["length"] > cap
+        return out
+
+    return base.groupBy(stream_out).applyInPandas(_nfd, schema)

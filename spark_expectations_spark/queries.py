@@ -6071,6 +6071,54 @@ FROM ov
 """
 
 
+def q_docs_nfd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capacity-filling next-fit-decreasing packing (packing.nfd_pack,
+    r11 verdict task 3): the >2-docs generalization of fold_pack —
+    documents hashed into 8 md5 streams, each stream scanned in
+    (length desc, id asc) order filling 520-char packs greedily.
+    The per-doc (stream, pack_id, pack_pos, overflow) assignment is a
+    pure integer function of the table, so the DuckDB twin reproduces
+    it exactly with a recursive CTE stepping each stream's rank order
+    one document per iteration (all streams advance in parallel);
+    the Spark side is ONE hash shuffle + a grouped applyInPandas whose
+    state is two integers per stream."""
+    from .operators import packing
+
+    docs = load(spark, sf_dir, "documents")
+    return packing.nfd_pack(docs, "doc_id", "n_chars",
+                            capacity=520, n_streams=8)
+
+
+ORACLE_DOCS_NFD_PACK = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS ln,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+              AS BIGINT) % 8 AS stream
+  FROM documents),
+s AS (
+  SELECT doc_id, ln, stream,
+         row_number() OVER (PARTITION BY stream
+                            ORDER BY ln DESC, doc_id ASC) AS r
+  FROM d),
+nfd AS (
+  SELECT stream, r, doc_id, ln, CAST(0 AS BIGINT) AS pack_id,
+         CAST(0 AS BIGINT) AS pack_pos, ln AS fill
+  FROM s WHERE r = 1
+  UNION ALL
+  SELECT s.stream, s.r, s.doc_id, s.ln,
+         CASE WHEN nfd.fill + s.ln <= 520 THEN nfd.pack_id
+              ELSE nfd.pack_id + 1 END,
+         CASE WHEN nfd.fill + s.ln <= 520 THEN nfd.pack_pos + 1
+              ELSE CAST(0 AS BIGINT) END,
+         CASE WHEN nfd.fill + s.ln <= 520 THEN nfd.fill + s.ln
+              ELSE s.ln END
+  FROM nfd JOIN s ON s.stream = nfd.stream AND s.r = nfd.r + 1)
+SELECT doc_id, ln AS length, stream, pack_id, pack_pos,
+       ln > 520 AS overflow
+FROM nfd
+"""
+
+
 def q_lineitem_cms_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch frequency estimates vs exact truth
     (sketches.count_min_sketch + cms_lookup): a 3×256-cell sketch over
@@ -8529,6 +8577,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_copurchase_triangles": q_part_copurchase_triangles,
     "docs_bootstrap_ci": q_docs_bootstrap_ci,
     "docs_fold_pack": q_docs_fold_pack,
+    "docs_nfd_pack": q_docs_nfd_pack,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -8738,6 +8787,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_copurchase_triangles": ORACLE_PART_COPURCHASE_TRIANGLES,
     "docs_bootstrap_ci": ORACLE_DOCS_BOOTSTRAP_CI,
     "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
+    "docs_nfd_pack": ORACLE_DOCS_NFD_PACK,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

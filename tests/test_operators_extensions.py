@@ -6065,6 +6065,83 @@ class TestFoldPack:
             packing.fold_pack(df, "id", "ln", capacity=0)
 
 
+class TestNfdPack:
+    def _run(self, spark, lens, capacity, n_streams=1):
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame(list(enumerate(lens, 1)),
+                                   "id long, ln long")
+        return {r["id"]: r for r in
+                packing.nfd_pack(df, "id", "ln", capacity=capacity,
+                                 n_streams=n_streams).collect()}
+
+    def test_fills_packs_with_many_short_docs(self, spark):
+        """lens 60,30,30,20,20,20 cap 100, one stream: NFD scans
+        descending — 60+30 fits, +30 doesn't (closes pack 0);
+        30+20+20+20 fills pack 1 to 90. fold_pack would have made
+        three 2-doc packs; NFD gets the same docs into two."""
+        got = self._run(spark, [60, 30, 30, 20, 20, 20], 100)
+        by_pack = {}
+        for r in got.values():
+            by_pack.setdefault(r["pack_id"], []).append(r["length"])
+        assert sorted(by_pack[0], reverse=True) == [60, 30]
+        assert sorted(by_pack[1], reverse=True) == [30, 20, 20, 20]
+        assert len(by_pack) == 2
+        # every pack respects capacity (no overflow docs here)
+        assert all(sum(v) <= 100 for v in by_pack.values())
+        assert not any(r["overflow"] for r in got.values())
+
+    def test_pack_pos_orders_within_pack_and_determinism(self, spark):
+        got = self._run(spark, [60, 30, 30, 20, 20, 20], 100)
+        # pack_pos is 0-based and dense within each (stream, pack)
+        from collections import defaultdict
+        pos = defaultdict(list)
+        for r in got.values():
+            pos[(r["stream"], r["pack_id"])].append(r["pack_pos"])
+        assert all(sorted(v) == list(range(len(v)))
+                   for v in pos.values())
+        again = self._run(spark, [60, 30, 30, 20, 20, 20], 100)
+        assert got == again
+
+    def test_oversized_doc_sits_alone_flagged(self, spark):
+        got = self._run(spark, [150, 90, 10], 100)
+        assert got[1]["overflow"] and got[1]["pack_pos"] == 0
+        # nothing shares the oversized doc's pack
+        assert sum(1 for r in got.values()
+                   if r["pack_id"] == got[1]["pack_id"]) == 1
+        assert got[2]["pack_id"] == got[3]["pack_id"]
+        assert not got[2]["overflow"] and not got[3]["overflow"]
+
+    def test_streams_partition_the_assignment(self, spark):
+        """With many streams the same doc set packs per-stream; the
+        stream id must match the portable md5 hash family."""
+        import hashlib
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame([(i, 10) for i in range(1, 41)],
+                                   "id long, ln long")
+        rows = packing.nfd_pack(df, "id", "ln", capacity=35,
+                                n_streams=4).collect()
+        for r in rows:
+            h = int(hashlib.md5(str(r["id"]).encode()).hexdigest()[:4],
+                    16) % 4
+            assert r["stream"] == h
+        # cap 35 / len 10 -> every pack holds at most 3 docs
+        from collections import Counter
+        c = Counter((r["stream"], r["pack_id"]) for r in rows)
+        assert max(c.values()) == 3
+
+    def test_null_length_raises_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import packing
+        df = spark.createDataFrame([(1, 10), (2, None)],
+                                   "id long, ln long")
+        with _pytest.raises(Exception, match="NULL length"):
+            packing.nfd_pack(df, "id", "ln", capacity=100).collect()
+        with _pytest.raises(ValueError, match="capacity"):
+            packing.nfd_pack(df, "id", "ln", capacity=0)
+        with _pytest.raises(ValueError, match="n_streams"):
+            packing.nfd_pack(df, "id", "ln", capacity=10, n_streams=0)
+
+
 class TestCountMinSketch:
     def test_estimate_ge_true_and_exact_when_sparse(self, spark):
         """CMS guarantee: estimate >= true count always; with far more
