@@ -1039,31 +1039,50 @@ def canonical_per_cluster(
     pairs: DataFrame,
     id_col: str,
     *,
-    score_col: str,
+    score_col: str | None = None,
     id_a: str = "id_a",
     id_b: str = "id_b",
     keep_singletons: bool = True,
+    strategy: str = "score",
 ) -> DataFrame:
     """Keep ONE canonical document per duplicate cluster — the step a
     training pipeline actually runs after near-dup detection: not "list
     the clusters" but "emit the corpus with each duplicate group reduced
     to its best representative".
 
-    Representative = highest ``score_col`` (ties broken by lowest id, so
-    the choice is deterministic and backfill-stable). Rows that appear in
-    no pair survive untouched (``keep_singletons``); output adds
-    ``cluster_id`` (min member id for clustered rows, own id for
-    singletons) and ``n_members``.
+    Two strategies (both deterministic and backfill-stable):
+
+    - ``strategy="score"`` (default): representative = highest
+      ``score_col``, ties broken by lowest id.
+    - ``strategy="centrality"``: representative = highest DEGREE in
+      the match graph the pair stage already computed — the member
+      similar to the MOST other members, i.e. the medoid-ish center of
+      the cluster rather than merely its longest document (a cluster's
+      min-id or max-score member can be an outlier stitched in by one
+      borderline edge; the high-degree member is what the cluster is
+      "about"). Ties broken by lowest id; degree counts pair rows as
+      given (near-pair stages emit each undirected edge once). The
+      output gains a ``degree`` column (0 for singletons).
+
+    Rows that appear in no pair survive untouched
+    (``keep_singletons``); output adds ``cluster_id`` (min member id
+    for clustered rows, own id for singletons) and ``n_members``.
 
     Scale shape: the transitive closure runs over the PAIR LIST (sized
     by duplication, not the corpus); the corpus-sized work is one left
     join against the labels (id-keyed; AQE broadcasts labels when small)
     plus one window partitioned BY CLUSTER — thousands of small
-    partitions, never a global sort. The reference engine has no
-    analogue (its dedup stops at row_dq uniqueness counts).
+    partitions, never a global sort. The centrality strategy adds one
+    pair-list-sized groupBy (degree) and a second id-keyed left join —
+    still nothing corpus². The reference engine has no analogue (its
+    dedup stops at row_dq uniqueness counts).
     """
     from pyspark.sql import Window
 
+    if strategy not in ("score", "centrality"):
+        raise ValueError("strategy must be 'score' or 'centrality'")
+    if strategy == "score" and score_col is None:
+        raise ValueError("strategy='score' requires score_col")
     labels = connected_components(pairs, id_a=id_a, id_b=id_b)
     joined = df.join(
         labels.select(F.col("node").alias(id_col), "component"),
@@ -1071,8 +1090,20 @@ def canonical_per_cluster(
     clustered = joined.withColumn(
         "cluster_id", F.coalesce(F.col("component"), F.col(id_col))
     ).drop("component")
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc())
+    if strategy == "centrality":
+        deg = (pairs.select(F.col(id_a).alias("__n"))
+               .unionAll(pairs.select(F.col(id_b).alias("__n")))
+               .groupBy("__n")
+               .agg(F.count(F.lit(1)).alias("degree")))
+        clustered = (clustered
+                     .join(deg.withColumnRenamed("__n", id_col),
+                           id_col, "left")
+                     .withColumn("degree",
+                                 F.coalesce("degree", F.lit(0))))
+        order = [F.col("degree").desc(), F.col(id_col).asc()]
+    else:
+        order = [F.col(score_col).desc(), F.col(id_col).asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
     ranked = clustered.select(
         "*",
         F.row_number().over(w).alias("__rk"),

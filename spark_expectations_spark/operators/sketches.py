@@ -274,6 +274,7 @@ def count_min_sketch(
     width: int = 1024,
     depth: int = 3,
     salt: str = "cms",
+    partition_cols: tuple[str, ...] | list[str] = (),
 ) -> DataFrame:
     """Build a Count-Min sketch (Cormode & Muthukrishnan 2005) over a
     key column — the MERGEABLE approximate frequency table completing
@@ -291,13 +292,30 @@ def count_min_sketch(
     bit-identical sketches. Returns a dense-only ``(r, bucket, n)``
     frame (absent cells are implicitly 0).
 
+    ``partition_cols`` builds MANY sketches in the same single pass —
+    one per distinct partition-column tuple (e.g. per day) — by
+    carrying those columns through the groupBy: the cell table becomes
+    ``(*partition_cols, r, bucket, n)``. Because every partition's
+    sketch shares the salt/width/depth, merging is literally
+    ``groupBy(r, bucket).sum(n)`` and equals the whole-corpus sketch
+    CELL FOR CELL — the HLL-rollup philosophy made exact (summing two
+    CMS arrays is how the data structure is defined to compose).
+    Partition column names must not collide with ``r``/``bucket``/
+    ``n``.
+
     Scale shape: ONE scan exploded ``depth``× by a literal array, one
-    map-side-combined groupBy over (r, bucket) — output is
-    depth×width rows regardless of corpus size. NULL keys are skipped
-    (count them upstream if they matter).
+    map-side-combined groupBy over (*partition_cols, r, bucket) —
+    output is depth×width rows per partition tuple regardless of
+    corpus size. NULL keys are skipped (count them upstream if they
+    matter).
     """
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2 and depth >= 1")
+    pc = list(partition_cols)
+    if any(c in ("r", "bucket", "n") for c in pc):
+        raise ValueError(
+            "partition_cols may not be named r/bucket/n — they share "
+            "the cell table with the sketch coordinates")
     k = F.col(key_col).cast("string")
     cells = F.array(*[
         F.struct(
@@ -307,8 +325,8 @@ def count_min_sketch(
                 16, 10).cast("long") % width).alias("bucket"))
         for r in range(depth)])
     return (df.filter(k.isNotNull())
-            .select(F.explode(cells).alias("c"))
-            .groupBy(F.col("c.r").alias("r"),
+            .select(*pc, F.explode(cells).alias("c"))
+            .groupBy(*pc, F.col("c.r").alias("r"),
                      F.col("c.bucket").alias("bucket"))
             .agg(F.count(F.lit(1)).alias("n")))
 

@@ -604,6 +604,84 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_dedup_canonical_centrality(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Centrality-strategy canonical selection (r11 verdict task 5;
+    dedup.canonical_per_cluster(strategy='centrality')): same exact
+    jaccard pairs and connected components as dedup_canonical, but the
+    survivor is the member with the highest DEGREE in the match graph
+    (the doc similar to the most other members — the cluster's center,
+    not merely its longest doc), ties broken by lowest id. Degree is
+    an exact integer count over the pair list, so the oracle is the
+    dedup_canonical CTE with the rank ordered by degree instead of
+    n_chars; the output carries the degree so the gate checks it."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.15)
+    kept = dedup.canonical_per_cluster(
+        docs, pairs, "doc_id", strategy="centrality")
+    return kept.select("doc_id", "cluster_id", "n_members",
+                       F.col("degree").cast("long").alias("degree"))
+
+
+ORACLE_DEDUP_CANONICAL_CENTRALITY = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+),
+deg AS (
+  SELECT node, count(*) AS degree FROM (
+    SELECT id_a AS node FROM pairs
+    UNION ALL SELECT id_b FROM pairs)
+  GROUP BY node
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+),
+lab AS (
+  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id,
+         COALESCE(g.degree, 0) AS degree
+  FROM documents d
+  LEFT JOIN comp c ON c.node = d.doc_id
+  LEFT JOIN deg g ON g.node = d.doc_id
+),
+ranked AS (
+  SELECT doc_id, cluster_id, degree,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY degree DESC, doc_id ASC) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM lab
+)
+SELECT doc_id, cluster_id, CAST(n_members AS BIGINT) AS n_members,
+       CAST(degree AS BIGINT) AS degree
+FROM ranked WHERE rk = 1
+"""
+
+
 def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end ensemble dedup — the full corpus-dedup pipeline a
     training-data job actually runs, as ONE declarative plan: near-dup
@@ -6071,6 +6149,53 @@ FROM ov
 """
 
 
+def q_events_cms_daily_rollup(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """CMS mergeability demonstrated (r11 verdict task 6;
+    sketches.count_min_sketch with partition_cols): per-DAY Count-Min
+    sketches over event user_ids, built in ONE pass via the
+    partition_cols groupBy, merged by summing cells — and compared
+    CELL FOR CELL against the whole-corpus sketch via a full-outer
+    join (any cell the merge over- or under-counts would survive the
+    join with n_merged != n_direct and break the hash). Same salt/
+    width/depth ⇒ identical md5 bucketing ⇒ the merge is exact, which
+    is the entire selling point: daily partitions keep KB-sized cell
+    tables and any date range's frequency table is a SUM. The oracle
+    builds the cell table once in SQL and emits it as both columns —
+    bit-exact integers throughout."""
+    from .operators import sketches
+
+    # ts is epoch nanos after load(); day = exact integer epoch-days
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts div 86400000000000"))
+    daily = sketches.count_min_sketch(
+        ev, "user_id", width=128, depth=3, partition_cols=("day",))
+    merged = (daily.groupBy("r", "bucket")
+              .agg(F.sum("n").alias("n_merged")))
+    direct = sketches.count_min_sketch(
+        ev, "user_id", width=128, depth=3).withColumnRenamed(
+        "n", "n_direct")
+    return (merged.join(direct, ["r", "bucket"], "full_outer")
+            .select("r", "bucket",
+                    F.coalesce("n_merged", F.lit(0)).alias("n_merged"),
+                    F.coalesce("n_direct", F.lit(0)).alias("n_direct")))
+
+
+ORACLE_EVENTS_CMS_DAILY_ROLLUP = """
+WITH cells AS (
+  SELECT r, bucket, count(*) AS n FROM (
+    SELECT t.r,
+           CAST(('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR)
+                || '|' || CAST(e.user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 128 AS bucket
+    FROM events e
+    CROSS JOIN (SELECT CAST(i AS INT) AS r FROM range(0, 3) z(i)) t
+    WHERE e.user_id IS NOT NULL)
+  GROUP BY r, bucket)
+SELECT r, bucket, n AS n_merged, n AS n_direct FROM cells
+"""
+
+
 def q_docs_nfd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-filling next-fit-decreasing packing (packing.nfd_pack,
     r11 verdict task 3): the >2-docs generalization of fold_pack —
@@ -8472,6 +8597,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard": q_dedup_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
+    "dedup_canonical_centrality": q_dedup_canonical_centrality,
     "docs_dedup_pipeline": q_docs_dedup_pipeline,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -8578,6 +8704,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_bootstrap_ci": q_docs_bootstrap_ci,
     "docs_fold_pack": q_docs_fold_pack,
     "docs_nfd_pack": q_docs_nfd_pack,
+    "events_cms_daily_rollup": q_events_cms_daily_rollup,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -8673,6 +8800,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_simhash_md5": ORACLE_DEDUP_SIMHASH_MD5,
     "dedup_clusters": ORACLE_DEDUP_CLUSTERS,
     "dedup_canonical": ORACLE_DEDUP_CANONICAL,
+    "dedup_canonical_centrality": ORACLE_DEDUP_CANONICAL_CENTRALITY,
     "docs_dedup_pipeline": ORACLE_DOCS_DEDUP_PIPELINE,
     # dedup_minhash / dedup_simhash / ann_ivf: xxhash64-based or
     # approximate-by-construction → rows-only checks (no oracle)
@@ -8788,6 +8916,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_bootstrap_ci": ORACLE_DOCS_BOOTSTRAP_CI,
     "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
     "docs_nfd_pack": ORACLE_DOCS_NFD_PACK,
+    "events_cms_daily_rollup": ORACLE_EVENTS_CMS_DAILY_ROLLUP,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

@@ -1363,6 +1363,35 @@ class TestCanonicalPerCluster:
             keep_singletons=False)
         assert [r.doc_id for r in kept.collect()] == [11]
 
+    def test_centrality_picks_hub_not_score(self, spark):
+        """Star cluster 1-2, 2-3, 2-4: node 2 has degree 3 and must
+        win under centrality even though node 3 has the best score
+        and node 1 the lowest id; singletons get degree 0."""
+        docs = spark.createDataFrame(
+            [(1, 10), (2, 5), (3, 99), (4, 7), (20, 1)],
+            "doc_id long, score long")
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (2, 4)], "id_a long, id_b long")
+        kept = dedup.canonical_per_cluster(
+            docs, pairs, "doc_id", strategy="centrality")
+        rows = {r.doc_id: (r.cluster_id, r.n_members, r.degree)
+                for r in kept.collect()}
+        assert rows == {2: (1, 4, 3), 20: (20, 1, 0)}
+        # score strategy on the same graph picks 3 instead
+        by_score = dedup.canonical_per_cluster(
+            docs, pairs, "doc_id", score_col="score")
+        assert {r.doc_id for r in by_score.collect()} == {3, 20}
+
+    def test_strategy_validation(self, spark):
+        import pytest as _pytest
+        docs = self._docs(spark)
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        with _pytest.raises(ValueError, match="strategy"):
+            dedup.canonical_per_cluster(docs, pairs, "doc_id",
+                                        strategy="medoid")
+        with _pytest.raises(ValueError, match="score_col"):
+            dedup.canonical_per_cluster(docs, pairs, "doc_id")
+
     def test_window_is_cluster_partitioned(self, spark):
         """Plan pin: the per-cluster rank runs a PARTITIONED window —
         no 'Window' node without a partition spec (global sort)."""
@@ -6207,6 +6236,26 @@ class TestCountMinSketch:
             sketches.count_min_sketch(df, "k", width=1)
         with _pytest.raises(ValueError, match="width"):
             sketches.cms_lookup(sk, df, "k", depth=0)
+
+    def test_partition_cols_rollup_equals_direct(self, spark):
+        """Per-partition sketches built in ONE pass (partition_cols)
+        merge by cell sum into EXACTLY the whole-corpus sketch — the
+        daily-rollup contract; reserved names are rejected."""
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import sketches
+        rows = [(i % 5, f"u{i % 17}") for i in range(200)]
+        df = spark.createDataFrame(rows, "day long, k string")
+        daily = sketches.count_min_sketch(
+            df, "k", width=32, depth=2, partition_cols=("day",))
+        assert daily.columns == ["day", "r", "bucket", "n"]
+        merged = (daily.groupBy("r", "bucket")
+                  .agg(F.sum("n").alias("n")))
+        direct = sketches.count_min_sketch(df, "k", width=32, depth=2)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+        with _pytest.raises(ValueError, match="partition_cols"):
+            sketches.count_min_sketch(df, "k", partition_cols=("r",))
 
     def test_config_mismatch_raises_at_execution(self, spark):
         """A (width, depth) lookup/build mismatch must fail loudly —
