@@ -230,6 +230,11 @@ def krippendorff_alpha(
     label_col: str,
     *,
     metric: str = "nominal",
+    ci: bool = False,
+    replicas: int = 40,
+    ci_alpha: float = 0.05,
+    digits: int = 6,
+    salt: str = "kalpha",
 ) -> DataFrame:
     """Krippendorff's alpha over LONG-form ratings — one row per
     (unit, rating). The multi-rater upgrade of :func:`cohens_kappa`:
@@ -273,10 +278,33 @@ def krippendorff_alpha(
     adds a unit-keyed self-join bounded by ratings-per-unit² and a
     broadcast label-cardinality² δ² table); the final fold is over
     label-cardinality and unit-count frames, and only 1-row aggregates
-    cross to the driver side of the plan."""
+    cross to the driver side of the plan.
+
+    ``ci=True`` adds a UNIT-RESAMPLING Poisson bootstrap (Krippendorff
+    recommends bootstrap CIs for alpha; units are the exchangeable
+    sampling unit): replica ``b`` weights every pairable UNIT by the
+    same deterministic md5-derived Poisson(1) draw
+    :func:`bootstrap_ci` uses (unit ids are unique by construction of
+    the per-unit fold, so no uniqueness caveat), recomputing BOTH
+    D_o^b and D_e^b from the reweighted per-unit masses and label
+    marginals. For the ordinal metric the δ² distance table is HELD
+    FIXED at its full-sample values (the standard approximation —
+    re-deriving rank distances per replica would change the metric
+    itself, not just the sample). Output row extends to ``(…, se,
+    ci_lo, ci_hi, replicas)``: replica-alpha population SD and the
+    ``floor(ci_alpha/2·B)`` percentile pair, rounded to ``digits``;
+    degenerate replicas (D_e^b ≤ 0 or < 2 resampled ratings) are
+    dropped and ``replicas`` reports the count actually used (raises
+    if fewer than 2 survive). Cost: the point-estimate plan plus one
+    B-accumulator agg over the UNITS-scale frame and one
+    labels×B collect (model-scale), never a corpus×B blow-up."""
     if metric not in ("nominal", "interval", "ordinal"):
         raise ValueError(
             f"metric must be nominal/interval/ordinal, got {metric!r}")
+    if ci:
+        return _alpha_with_ci(df, unit_col, label_col, metric=metric,
+                              replicas=replicas, ci_alpha=ci_alpha,
+                              digits=digits, salt=salt)
     if metric == "interval":
         return _alpha_interval(df, unit_col, label_col)
     if metric == "ordinal":
@@ -419,6 +447,164 @@ def _alpha_ordinal(df: DataFrame, unit_col: str,
     return _alpha_final(do, tot, d_e)
 
 
+def _alpha_with_ci(df: DataFrame, unit_col: str, label_col: str, *,
+                   metric: str, replicas: int, ci_alpha: float,
+                   digits: int, salt: str) -> DataFrame:
+    """Unit-resampling Poisson bootstrap around
+    :func:`krippendorff_alpha` — see its ``ci=True`` contract. Replica
+    alpha_b = 1 − D_o^b/D_e^b with every pairable unit weighted by its
+    deterministic Poisson(1) draw; the labels×B marginal table and the
+    (ordinal) δ² table are collected driver-side (both model-scale,
+    like bootstrap_ci's replica means)."""
+    if replicas < 2:
+        raise ValueError("replicas must be >= 2")
+    if not 0.0 < ci_alpha < 1.0:
+        raise ValueError("ci_alpha must be in (0, 1)")
+    point = krippendorff_alpha(df, unit_col, label_col,
+                               metric=metric).first()
+    u = F.col(unit_col)
+    B = replicas
+    wt_sum = lambda expr: [  # noqa: E731
+        F.expr(f"sum(__wt{b} * ({expr}))").alias(f"__a{b}")
+        for b in range(B)]
+
+    if metric == "interval":
+        v = F.col(label_col).cast("double")
+        per_unit = (df.filter(u.isNotNull() & v.isNotNull())
+                    .groupBy(u.alias("__u"))
+                    .agg(F.count(F.lit(1)).alias("__m"),
+                         F.sum(v).alias("__s1"),
+                         F.sum(v * v).alias("__s2"))
+                    .filter(F.col("__m") >= 2)
+                    .withColumn(
+                        "__mass",
+                        F.lit(2.0) * (F.col("__m") * F.col("__s2")
+                                      - F.col("__s1") * F.col("__s1"))
+                        / (F.col("__m") - 1)))
+        puw = _with_poisson_weights(
+            per_unit, "__u", B, salt,
+            keep=["__mass", "__m", "__s1", "__s2"])
+        aggs = (wt_sum("__mass")
+                + [F.expr(f"sum(__wt{b} * __m)").alias(f"__n{b}")
+                   for b in range(B)]
+                + [F.expr(f"sum(__wt{b} * __s1)").alias(f"__t1{b}")
+                   for b in range(B)]
+                + [F.expr(f"sum(__wt{b} * __s2)").alias(f"__t2{b}")
+                   for b in range(B)])
+        row = puw.agg(*aggs).first()
+        alphas = []
+        for b in range(B):
+            n_b = row[f"__n{b}"]
+            if n_b is None or n_b < 2:
+                continue
+            de = 2.0 * (n_b * row[f"__t2{b}"]
+                        - row[f"__t1{b}"] * row[f"__t1{b}"]) / (n_b - 1)
+            if de <= 0:
+                continue
+            alphas.append(1.0 - (row[f"__a{b}"] or 0.0) / de)
+    else:
+        # nominal and ordinal share the (unit, value) count frame and
+        # the per-replica label marginals; they differ in the per-unit
+        # pair mass and in how D_e folds over the marginals.
+        val = (F.col(label_col).cast("string") if metric == "nominal"
+               else F.col(label_col).cast("double"))
+        ul = (df.filter(u.isNotNull() & val.isNotNull())
+              .groupBy(u.alias("__u"), val.alias("__v"))
+              .agg(F.count(F.lit(1)).alias("__c")))
+        per_unit = (ul.groupBy("__u")
+                    .agg(F.sum("__c").alias("__m"),
+                         F.sum(F.col("__c") * F.col("__c"))
+                          .alias("__s2"))
+                    .filter(F.col("__m") >= 2))
+        ulp = ul.join(per_unit.select("__u"), "__u", "left_semi")
+        d2_map = {}
+        if metric == "nominal":
+            pu = per_unit.withColumn(
+                "__mass",
+                (F.col("__m") * F.col("__m") - F.col("__s2"))
+                .cast("double") / (F.col("__m") - 1))
+        else:
+            # ordinal: fixed full-sample δ² table + per-unit pair mass
+            marg = ulp.groupBy("__v").agg(F.sum("__c").alias("__nl"))
+            wcum = (Window.orderBy("__v")
+                    .rowsBetween(Window.unboundedPreceding, 0))
+            cum = marg.withColumn("__cum", F.sum("__nl").over(wcum))
+            a = cum.select(F.col("__v").alias("__va"),
+                           F.col("__nl").alias("__na"),
+                           F.col("__cum").alias("__ca"))
+            bb = cum.select(F.col("__v").alias("__vb"),
+                            F.col("__nl").alias("__nb"),
+                            F.col("__cum").alias("__cb"))
+            delta = (F.col("__cb") - F.col("__ca") + F.col("__na")
+                     - (F.col("__na") + F.col("__nb")) / 2)
+            d2 = (a.join(bb, F.col("__va") < F.col("__vb"))
+                  .select("__va", "__vb", (delta * delta).alias("__d2"))
+                  .localCheckpoint(eager=False))
+            d2_map = {(r["__va"], r["__vb"]): r["__d2"]
+                      for r in d2.collect()}
+            pairs = (ulp.alias("x").join(ulp.alias("y"), "__u")
+                     .filter(F.col("x.__v") < F.col("y.__v"))
+                     .select(F.col("__u"),
+                             F.col("x.__v").alias("__va"),
+                             F.col("y.__v").alias("__vb"),
+                             (F.lit(2.0) * F.col("x.__c")
+                              * F.col("y.__c")).alias("__cc"))
+                     .join(F.broadcast(d2), ["__va", "__vb"]))
+            mass = (pairs.groupBy("__u")
+                    .agg(F.sum(F.col("__cc") * F.col("__d2"))
+                         .alias("__pm")))
+            pu = (per_unit.join(mass, "__u", "left")
+                  .withColumn("__mass",
+                              F.coalesce("__pm", F.lit(0.0))
+                              / (F.col("__m") - 1)))
+        puw = _with_poisson_weights(pu, "__u", B, salt,
+                                    keep=["__mass"])
+        do_row = puw.agg(*wt_sum("__mass")).first()
+        ulw = _with_poisson_weights(ulp, "__u", B, salt,
+                                    keep=["__v", "__c"])
+        lrows = (ulw.groupBy("__v")
+                 .agg(*[F.expr(f"sum(__wt{b} * __c)").alias(f"__n{b}")
+                        for b in range(B)])
+                 .collect())
+        alphas = []
+        for b in range(B):
+            nl = [(r["__v"], r[f"__n{b}"] or 0) for r in lrows]
+            n_b = sum(c for _, c in nl)
+            if n_b < 2:
+                continue
+            if metric == "nominal":
+                de = float(n_b * n_b - sum(c * c for _, c in nl)) \
+                    / (n_b - 1)
+            else:
+                nl.sort(key=lambda t: t[0])  # δ² keys are (va < vb)
+                de = sum(2.0 * ca * cb * d2_map[(va, vb)]
+                         for i, (va, ca) in enumerate(nl)
+                         for vb, cb in nl[i + 1:]) / (n_b - 1)
+            if de <= 0:
+                continue
+            alphas.append(1.0 - (do_row[f"__a{b}"] or 0.0) / de)
+
+    if len(alphas) < 2:
+        raise ValueError(
+            "krippendorff_alpha ci: fewer than 2 non-degenerate "
+            "bootstrap replicas — input too small for a meaningful CI")
+    alphas.sort()
+    used = len(alphas)
+    mbar = sum(alphas) / used
+    se = (sum((x - mbar) ** 2 for x in alphas) / used) ** 0.5
+    lo_idx = int((ci_alpha / 2) * used)
+    out = (int(point["n_units"]), int(point["n_ratings"]),
+           point["d_o"], point["d_e"], point["alpha"],
+           float(round(se, digits)) + 0.0,
+           float(round(alphas[lo_idx], digits)) + 0.0,
+           float(round(alphas[used - 1 - lo_idx], digits)) + 0.0,
+           used)
+    return df.sparkSession.createDataFrame(
+        [out], "n_units long, n_ratings long, d_o double, d_e double, "
+               "alpha double, se double, ci_lo double, ci_hi double, "
+               "replicas int")
+
+
 #: Poisson(1) CDF thresholds for k = 0..8 (e^-1 · Σ 1/i!), written as
 #: 17-significant-digit literals so a SQL oracle can embed the SAME
 #: doubles instead of trusting a cross-engine exp(); u beyond the last
@@ -428,6 +614,38 @@ _POISSON1_CDF = (
     0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
     0.9999167588507119, 0.9999897508033253, 0.9999988852520038,
 )
+
+
+def _with_poisson_weights(frame: DataFrame, key_col: str,
+                          replicas: int, salt: str,
+                          keep: list[str]) -> DataFrame:
+    """Append integer Poisson(1) replica weights ``__wt0..__wt{B−1}``
+    derived deterministically from ``md5('{salt}{b//8}|' + key)`` —
+    the one-pass bootstrap machinery shared by :func:`bootstrap_ci`
+    and the Krippendorff-alpha CI. One md5 digest feeds EIGHT replicas
+    (disjoint 16-bit hex slices), and the inverse CDF is a flat
+    integer-threshold sum that stays inside codegen. ``keep`` lists
+    the columns carried through the three string-expression
+    projections (built with ~B py4j calls total — the per-replica
+    Column-tree build was measured 4× slower in plan construction)."""
+    import math
+
+    n_groups = (replicas + 7) // 8
+    hex_cols = [f"md5(concat('{salt}{g}|', CAST({key_col} AS STRING))) "
+                f"AS __h{g}" for g in range(n_groups)]
+    s1 = frame.selectExpr(*keep, *hex_cols)
+    bucket_cols = []
+    for b in range(replicas):
+        g, j = divmod(b, 8)
+        bucket_cols.append(
+            f"CAST(conv(substring(__h{g}, {1 + 4 * j}, 4), 16, 10) "
+            f"AS BIGINT) AS __b{b}")
+    s2 = s1.selectExpr(*keep, *bucket_cols)
+    ts = [math.ceil(t * 65536) for t in _POISSON1_CDF]
+    w_cols = [
+        "(" + " + ".join(f"IF(__b{b} >= {t}, 1L, 0L)" for t in ts)
+        + f") AS __wt{b}" for b in range(replicas)]
+    return s2.selectExpr(*keep, *w_cols)
 
 
 def bootstrap_ci(
@@ -487,34 +705,12 @@ def bootstrap_ci(
     rows = df.filter(x.isNotNull()).select(
         F.col(key_col).alias("__k"), x.alias("__x"))
 
-    # Three string-expression projections + one agg, built with ~B
-    # py4j calls TOTAL: the original per-replica Column-tree build made
-    # ~25 py4j round-trips per replica and dominated wall-clock (3.4 s
-    # of driver-side plan building vs 0.9 s of execution at sf0.1×40).
-    # Step 1: one md5 digest per GROUP of 8 replicas; step 2: each
-    # replica's 16-bit bucket from its hex slice; step 3: the inverse
-    # CDF as a FLAT integer-threshold sum w = Σ_k (bucket >= ⌈CDF_k ·
-    # 65536⌉) — equivalent to u >= CDF_k for an integer bucket, flat
-    # so the aggregate stays inside codegen.
-    import math
-
-    n_groups = (replicas + 7) // 8
-    hex_cols = [f"md5(concat('{salt}{g}|', CAST(__k AS STRING))) "
-                f"AS __h{g}" for g in range(n_groups)]
+    # Weight machinery factored into _with_poisson_weights (shared
+    # with the Krippendorff-alpha CI) — three string-expression
+    # projections built with ~B py4j calls total; see its docstring.
     carry = ["__k"] if check_unique_keys else []
-    step1 = rows.selectExpr("__x", *carry, *hex_cols)
-    bucket_cols = []
-    for b in range(replicas):
-        g, j = divmod(b, 8)
-        bucket_cols.append(
-            f"CAST(conv(substring(__h{g}, {1 + 4 * j}, 4), 16, 10) "
-            f"AS BIGINT) AS __b{b}")
-    step2 = step1.selectExpr("__x", *carry, *bucket_cols)
-    ts = [math.ceil(t * 65536) for t in _POISSON1_CDF]
-    w_cols = [
-        "(" + " + ".join(f"IF(__b{b} >= {t}, 1L, 0L)" for t in ts)
-        + f") AS __wt{b}" for b in range(replicas)]
-    step3 = step2.selectExpr("__x", *carry, *w_cols)
+    step3 = _with_poisson_weights(rows, "__k", replicas, salt,
+                                  keep=["__x"] + carry)
     aggs = [F.expr("count(1)").alias("__n"),
             F.expr("sum(__x)").alias("__sx")]
     if check_unique_keys:

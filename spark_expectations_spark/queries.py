@@ -7881,6 +7881,122 @@ FROM do_t CROSS JOIN tot
 """
 
 
+def q_docs_label_alpha_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha WITH a bootstrap CI (r11 verdict task 7;
+    profiling.krippendorff_alpha(ci=True)): the docs_label_alpha
+    3-judge nominal ensemble, plus a 40-replica unit-resampling
+    Poisson bootstrap — each pairable unit weighted by the same
+    deterministic md5 Poisson(1) draw docs_bootstrap_ci uses, D_o and
+    D_e both recomputed from the reweighted per-unit masses and label
+    marginals. FULLY value-oracle-checkable: per-unit masses are exact
+    halves (≤3 raters ⇒ denominators 1 or 2), marginals are integers,
+    so every replica alpha is a single division of exact values —
+    bit-identical cross-engine; se/ci round to 6 digits like the
+    bootstrap entry."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    r1 = docs.select(F.col("doc_id").alias("unit"),
+                     F.col("lang").alias("label"))
+    r2 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("xx"))
+         .otherwise(F.col("lang")).alias("label"))
+    r3 = docs.select(
+        F.col("doc_id").alias("unit"),
+        F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("string"))
+         .when(F.col("doc_id") % 11 == 0, F.lit("yy"))
+         .otherwise(F.col("lang")).alias("label"))
+    ratings = r1.unionByName(r2).unionByName(r3)
+    return profiling.krippendorff_alpha(ratings, "unit", "label",
+                                        ci=True, replicas=40)
+
+
+ORACLE_DOCS_LABEL_ALPHA_CI = """
+WITH ratings AS (
+  SELECT doc_id AS unit, lang AS label FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN NULL
+                      WHEN doc_id % 11 = 0 THEN 'yy' ELSE lang END
+  FROM documents),
+ul AS (
+  SELECT unit, label, count(*) AS c FROM ratings
+  WHERE unit IS NOT NULL AND label IS NOT NULL
+  GROUP BY unit, label),
+pu AS (
+  SELECT unit, sum(c) AS m, sum(c * c) AS s2 FROM ul
+  GROUP BY unit HAVING sum(c) >= 2),
+do_t AS (
+  SELECT count(*) AS n_units, CAST(sum(m) AS BIGINT) AS n_ratings,
+         sum((m * m - s2) * 1.0 / (m - 1)) AS d_o
+  FROM pu),
+marg AS (
+  SELECT ul.label, sum(ul.c) AS nl
+  FROM ul JOIN pu ON pu.unit = ul.unit GROUP BY ul.label),
+tot AS (SELECT sum(nl) AS n, sum(nl * nl) AS s2l FROM marg),
+r AS (SELECT CAST(i AS INT) AS b FROM range(0, 40) t(i)),
+uw AS (
+  SELECT r.b, pu.unit, pu.m, pu.s2,
+         CAST(('0x' || substr(md5('kalpha' || CAST(r.b // 8 AS VARCHAR)
+                || '|' || CAST(pu.unit AS VARCHAR)),
+                1 + 4 * (r.b % 8), 4)) AS BIGINT)
+           / 65536.0 AS u
+  FROM pu CROSS JOIN r),
+w AS (
+  SELECT b, unit, m, s2,
+         CASE WHEN u < 0.36787944117144233 THEN 0
+              WHEN u < 0.7357588823428847 THEN 1
+              WHEN u < 0.9196986029286058 THEN 2
+              WHEN u < 0.9810118431238462 THEN 3
+              WHEN u < 0.9963401531726563 THEN 4
+              WHEN u < 0.9994058151824183 THEN 5
+              WHEN u < 0.9999167588507119 THEN 6
+              WHEN u < 0.9999897508033253 THEN 7
+              WHEN u < 0.9999988852520038 THEN 8
+              ELSE 9 END AS w
+  FROM uw),
+dob AS (
+  SELECT b, sum(w * (m * m - s2) * 1.0 / (m - 1)) AS dob
+  FROM w GROUP BY b),
+nlb AS (
+  SELECT w.b, ul.label, sum(w.w * ul.c) AS nl
+  FROM ul JOIN w ON w.unit = ul.unit
+  GROUP BY w.b, ul.label),
+deb AS (
+  SELECT b, sum(nl) AS nb,
+         (sum(nl) * sum(nl) - sum(nl * nl)) * 1.0 / (sum(nl) - 1)
+           AS deb
+  FROM nlb GROUP BY b),
+ab AS (
+  SELECT 1.0 - dob.dob / deb.deb AS a
+  FROM dob JOIN deb USING (b)
+  WHERE deb.nb >= 2 AND deb.deb > 0),
+ml AS (SELECT list_sort(list(a)) AS l, avg(a) AS mbar,
+              count(*) AS bb FROM ab),
+sed AS (SELECT sqrt(sum((ab.a - ml.mbar) * (ab.a - ml.mbar)) / ml.bb)
+          AS se
+        FROM ab CROSS JOIN ml GROUP BY ml.bb)
+SELECT coalesce(do_t.n_units, 0) AS n_units,
+       coalesce(do_t.n_ratings, 0) AS n_ratings,
+       coalesce(do_t.d_o, 0.0) AS d_o,
+       (tot.n * tot.n - tot.s2l) * 1.0 / (tot.n - 1) AS d_e,
+       CASE WHEN (tot.n * tot.n - tot.s2l) * 1.0 / (tot.n - 1) > 0.0
+            THEN 1.0 - coalesce(do_t.d_o, 0.0)
+                 / ((tot.n * tot.n - tot.s2l) * 1.0 / (tot.n - 1))
+       END AS alpha,
+       round(sed.se, 6) + 0.0 AS se,
+       round(ml.l[CAST(floor(0.025 * ml.bb) AS INT) + 1], 6) + 0.0
+         AS ci_lo,
+       round(ml.l[ml.bb - CAST(floor(0.025 * ml.bb) AS INT)], 6) + 0.0
+         AS ci_hi,
+       CAST(ml.bb AS INT) AS replicas
+FROM do_t CROSS JOIN tot CROSS JOIN ml CROSS JOIN sed
+"""
+
+
 def q_docs_label_alpha_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Krippendorff's alpha with the INTERVAL metric
     (profiling.krippendorff_alpha(metric='interval') — r10 verdict
@@ -8720,6 +8836,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_basket_lift": q_orders_basket_lift,
     "events_top_paths": q_events_top_paths,
     "docs_label_alpha": q_docs_label_alpha,
+    "docs_label_alpha_ci": q_docs_label_alpha_ci,
     "docs_label_alpha_interval": q_docs_label_alpha_interval,
     "docs_label_alpha_ordinal": q_docs_label_alpha_ordinal,
     "embed_cluster_qa": q_embed_cluster_qa,
@@ -8893,6 +9010,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_basket_lift": ORACLE_ORDERS_BASKET_LIFT,
     "events_top_paths": ORACLE_EVENTS_TOP_PATHS,
     "docs_label_alpha": ORACLE_DOCS_LABEL_ALPHA,
+    "docs_label_alpha_ci": ORACLE_DOCS_LABEL_ALPHA_CI,
     "docs_label_alpha_interval": ORACLE_DOCS_LABEL_ALPHA_INTERVAL,
     "docs_label_alpha_ordinal": ORACLE_DOCS_LABEL_ALPHA_ORDINAL,
     "embed_cluster_qa": ORACLE_EMBED_CLUSTER_QA,

@@ -5398,6 +5398,98 @@ class TestKrippendorffAlpha:
                                              metric=m).first()
             assert r["alpha"] is None, m
 
+    @staticmethod
+    def _py_weight(unit, b, salt="kalpha"):
+        import hashlib
+        h = hashlib.md5(f"{salt}{b // 8}|{unit}".encode()).hexdigest()
+        u = int(h[4 * (b % 8):4 * (b % 8) + 4], 16) / 65536.0
+        from spark_expectations_spark.operators.profiling import \
+            _POISSON1_CDF
+        for k, t in enumerate(_POISSON1_CDF):
+            if u < t:
+                return k
+        return len(_POISSON1_CDF)
+
+    def test_ci_matches_exact_enumeration_nominal(self, spark):
+        """Replica alphas must equal a pure-python recomputation of
+        the unit-resampled nominal alpha with the same md5 Poisson
+        weights — draw for draw (the bootstrap_ci precedent)."""
+        from spark_expectations_spark.operators import profiling
+        units = {u: ["a" if (u * 7 + j) % 3 else "b"
+                     for j in range(3)] for u in range(1, 25)}
+        rows = [(u, lab) for u, labs in units.items() for lab in labs]
+        df = spark.createDataFrame(rows, "unit long, label string")
+        B = 8
+        got = profiling.krippendorff_alpha(
+            df, "unit", "label", ci=True, replicas=B,
+            ci_alpha=0.25, digits=9).first()
+        alphas = []
+        for b in range(B):
+            dob = 0.0
+            nl = {}
+            for u, labs in units.items():
+                w = self._py_weight(u, b)
+                m = len(labs)
+                cnt = {}
+                for lab in labs:
+                    cnt[lab] = cnt.get(lab, 0) + 1
+                dob += w * (m * m - sum(c * c for c in cnt.values())) \
+                    / (m - 1)
+                for lab, c in cnt.items():
+                    nl[lab] = nl.get(lab, 0) + w * c
+            nb = sum(nl.values())
+            if nb < 2:
+                continue
+            de = (nb * nb - sum(c * c for c in nl.values())) / (nb - 1)
+            if de <= 0:
+                continue
+            alphas.append(1.0 - dob / de)
+        alphas.sort()
+        used = len(alphas)
+        mbar = sum(alphas) / used
+        se = (sum((x - mbar) ** 2 for x in alphas) / used) ** 0.5
+        lo = int(0.125 * used)
+        assert got["replicas"] == used
+        assert got["se"] == pytest.approx(se, abs=1e-9)
+        assert got["ci_lo"] == pytest.approx(alphas[lo], abs=1e-9)
+        assert got["ci_hi"] == pytest.approx(alphas[used - 1 - lo],
+                                             abs=1e-9)
+        # the point estimate columns are untouched by the CI machinery
+        plain = profiling.krippendorff_alpha(df, "unit", "label").first()
+        assert got["alpha"] == plain["alpha"]
+        assert got["d_o"] == plain["d_o"] and got["d_e"] == plain["d_e"]
+
+    def test_ci_runs_for_interval_and_ordinal(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = self._textbook_df(spark)
+        for m in ("interval", "ordinal"):
+            r = profiling.krippendorff_alpha(
+                df, "unit", "rating", metric=m, ci=True,
+                replicas=16).first()
+            assert r["se"] > 0, m
+            assert r["ci_lo"] <= r["ci_hi"], m
+            assert r["replicas"] <= 16
+            # point columns must equal the plain run
+            p = profiling.krippendorff_alpha(df, "unit", "rating",
+                                             metric=m).first()
+            assert r["alpha"] == p["alpha"], m
+            again = profiling.krippendorff_alpha(
+                df, "unit", "rating", metric=m, ci=True,
+                replicas=16).first()
+            assert r == again, m  # deterministic rerun
+
+    def test_ci_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(1, "a"), (1, "b")],
+                                   "unit long, label string")
+        with _pytest.raises(ValueError, match="replicas"):
+            profiling.krippendorff_alpha(df, "unit", "label",
+                                         ci=True, replicas=1)
+        with _pytest.raises(ValueError, match="ci_alpha"):
+            profiling.krippendorff_alpha(df, "unit", "label",
+                                         ci=True, ci_alpha=0.0)
+
 
 class TestNgramOverlap:
     def _run(self, spark, rows, n=2):
