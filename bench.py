@@ -28,6 +28,13 @@ shape appears at least once. Excluded, by rule:
 Everything else — every NEW operator family a round ships — gets a row
 the same round it lands. The graded pair (dq_engine_full_run vs
 dq_handwritten_run) is always measured, min-of-2.
+
+CANARY PROTOCOL (r11 verdict task 4): CANARY_QUERIES (five entries
+frozen since r8) are timed first and last each run; the summary line
+carries `canary_ratio` (last/first — host drift within the run) and
+`canary_total` (mean of the two passes — the cross-run normalizer).
+Cross-round comparisons should divide per-query swings by the rounds'
+canary_total ratio before calling anything a regression.
 """
 
 from __future__ import annotations
@@ -177,6 +184,30 @@ BENCH_QUERIES = [
     # Markov transition matrix + per-state entropy (one user-partition
     # lead window + state-cardinality aggregates)
     "events_markov_transitions",
+    # round-12 operators: bucketed-ECDF score normalization (histogram
+    # aggs only — the 100 TB mode, a different plan shape from the
+    # window-sort docs_source_qnorm above), capacity-filling NFD
+    # packing (running-sum bin assignment over the length-ranked
+    # stream), centrality canonical picking (within-cluster degree agg
+    # on the existing pair frame), per-day CMS rollup (day-keyed sketch
+    # build + merge-by-SUM + parity join), alpha bootstrap CI
+    # (per-unit moments fold x B Poisson replicas in one agg)
+    "docs_source_qnorm_bucketed", "docs_nfd_pack",
+    "dedup_canonical_centrality", "events_cms_daily_rollup",
+    "docs_label_alpha_ci",
+]
+
+# Canary protocol (r11 verdict task 4): five entries whose code has
+# been frozen since r8, timed FIRST and LAST every bench run with the
+# same min-of-3 discipline. Their last/first ratio measures host-speed
+# drift DURING the run, and their absolute total anchors cross-run
+# comparisons: before reading a round-over-round swing on any entry as
+# a regression, divide by the rounds' canary_total ratio. The r11
+# dedup-family "+22-44%" swings on untouched code motivated this —
+# slower-host attribution is now falsifiable.
+CANARY_QUERIES = [
+    "tpch_q1", "dq_row_errors", "docs_clean_corpus", "window_rank",
+    "events_hourly",
 ]
 
 
@@ -280,8 +311,7 @@ def main() -> None:
     # exceed the actual execution (e.g. minhash's wide agg compiles ~10s,
     # runs ~1.5s) and at real scale amortizes to nothing — steady-state
     # is what a 100 TB comparison should measure
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def _time_query(name: str) -> float:
         fn = QUERIES[name]
         best, n, runs = None, 0, 0
         # min of 3 runs for EVERY query: the shared host shows ±50%
@@ -299,9 +329,27 @@ def main() -> None:
             # each run is timed standalone: drop any intra-query persists
             # so one run's cache doesn't pressure the next one's memory
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s (warm of {runs})",
+        print(f"# {name}: {n} rows in {round(best, 3)}s (warm of {runs})",
               file=sys.stderr)
+        return round(best, 3)
+
+    # canary pass 1 (host-speed anchor, frozen-code entries)
+    canary_first = {name: _time_query(name) for name in CANARY_QUERIES}
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        timings[name] = _time_query(name)
+
+    # canary pass 2: same five entries at the end of the run
+    canary_last = {name: _time_query(name) for name in CANARY_QUERIES}
+    canary = {
+        "first": round(sum(canary_first.values()), 3),
+        "last": round(sum(canary_last.values()), 3),
+    }
+    canary["ratio"] = round(canary["last"] / max(canary["first"], 1e-9), 3)
+    canary["total"] = round((canary["first"] + canary["last"]) / 2, 3)
+    print(f"# canary first={canary['first']}s last={canary['last']}s "
+          f"drift ratio={canary['ratio']}x", file=sys.stderr)
 
     # BASELINE.md gate: full 5-stage engine run vs an equivalent
     # hand-written PySpark pipeline (same checks, no framework).
@@ -328,6 +376,9 @@ def main() -> None:
         "metric": "headline_queries_detail",
         "unit": "sec",
         "queries": timings,
+        "canary": canary,
+        "canary_first": canary_first,
+        "canary_last": canary_last,
         "sf": sf_val,
     }, separators=(",", ":")))
     summary_queries = {
@@ -342,7 +393,8 @@ def main() -> None:
         line = json.dumps({
             "metric": "headline_queries_total", "value": total,
             "unit": "sec", "queries": candidate,
-            "n_queries": len(timings), "sf": sf_val,
+            "n_queries": len(timings), "canary_ratio": canary["ratio"],
+            "canary_total": canary["total"], "sf": sf_val,
         }, separators=(",", ":"))
         if len(line) > 1500:
             break
@@ -353,6 +405,8 @@ def main() -> None:
         "unit": "sec",
         "queries": summary_queries,
         "n_queries": len(timings),
+        "canary_ratio": canary["ratio"],
+        "canary_total": canary["total"],
         "sf": sf_val,
     }, separators=(",", ":")))
     spark.stop()

@@ -8627,46 +8627,57 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          embed_norm_outliers, embed_mean_pool, users_scd2,
 #          docs_decontaminate, and window_running_total yielded the
 #          final fill slots).
+#   r12:   5 dq_* flagship + 5 round-12 NEW operators
+#          (docs_source_qnorm_bucketed — the bucketed-ECDF 100 TB mode
+#          under a full value oracle, r11 verdict task 2; docs_nfd_pack
+#          — capacity-filling next-fit-decreasing packing, task 3;
+#          dedup_canonical_centrality — degree-centrality canonical
+#          picking, task 5; events_cms_daily_rollup — per-day CMS
+#          merge-by-SUM parity, task 6; docs_label_alpha_ci —
+#          unit-resampling bootstrap CI on Krippendorff alpha, task 7)
+#          + the ENTIRE stale cohort from the r11 verdict task 1
+#          (last-gate histogram recomputed from the CORRECTNESS_r*
+#          artifacts: 13 last gated r5 + 21 last gated r6 = 34 entries,
+#          all below; the lone r3-gated name in the artifacts,
+#          embed_near_dups_blocked, no longer exists — it was folded
+#          into embed_near_dups/embed_near_dups_bcast in r4)
+#          + 6 fills from the r8-gated cohort, now next-stalest
+#          (tpch_q3/q6 cover the core join and filter-agg shapes;
+#          docs_mixture_resample, orders_snapshot_diff,
+#          lineitem_price_drift, docs_percentile_gate cover the
+#          sampling/SCD/drift/gating families)
+#          = 50. Displaced: the full r11-new block and the r8-front
+#          re-gates (all r11-green one round ago, rotation debt zero).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-11 NEW operators — gate first
-    "embed_pca_check",           # r11 new: PCA invariants twin (task 2)
-    "docs_label_alpha_interval",  # r11 new: interval-metric alpha
-    "docs_label_alpha_ordinal",  # r11 new: ordinal-metric alpha
-    "part_fuzzy_disjunctive",    # r11 new: union-of-blockers linkage
-    "docs_rouge_overlap",        # r11 new: ROUGE-N multiset overlap
-    "part_copurchase_rank",      # r11 new: PageRank (unrolled oracle)
-    "part_copurchase_rank_weighted",  # r11 new: weighted variant
-    "embed_mmr_topk",            # r11 new: MMR-diversified retrieval
-    "customer_part_hits",        # r11 new: HITS hubs/authorities
-    "docs_source_qnorm",         # r11 new: per-source score ECDF
-    "part_rank_fusion",          # r11 new: reciprocal rank fusion
-    "docs_score_auc",            # r11 new: per-source ROC-AUC
-    "docs_isotonic_check",       # r11 new: PAV calibration invariants
-    "part_copurchase_triangles",  # r11 new: compact-forward triangles
-    "docs_bootstrap_ci",         # r11 new: one-pass Poisson bootstrap
-    "docs_fold_pack",            # r11 new: no-split fold packing
-    "lineitem_cms_counts",       # r11 new: Count-Min sketch estimates
-    "events_markov_transitions",  # r11 new: Markov transition stats
-    # the declared r11 re-gate front: every entry whose ONLY hard gate
-    # was r8 (see the r10 rotation-log paragraph above)
-    "lineitem_grouped_dq", "lineitem_drift_report",
-    "lineitem_drift_verdict", "lineitem_price_jsd", "docs_interleave",
-    "docs_strip_html", "docs_phash_dups", "docs_curriculum",
-    "docs_padding_waste", "docs_global_index", "docs_url_stats",
-    "events_bitmap_distinct", "docs_span_removal", "embed_ivf_pq",
-    "embed_pq", "docs_paragraph_dedup", "text_pii_redact",
-    "text_repetition", "text_langid", "text_quality",
-    # fills: the r9-gated cohort is now the stalest (6 tpch/events
-    # fills displaced by the late r11-new wave — the tpch family has
-    # the deepest historical gate coverage, so it yields slots first)
-    "window_rank", "embed_near_dups_bcast",
-    "ann_topk", "ann_ivf", "ann_ivf_recall",
-    "events_seasonality",
-    "lineitem_grouped_dq_target",
+    # round-12 NEW operators — gate first
+    "docs_source_qnorm_bucketed",   # r12 new: bucketed-ECDF qnorm mode
+    "docs_nfd_pack",                # r12 new: capacity-filling NFD pack
+    "dedup_canonical_centrality",   # r12 new: centrality canonical pick
+    "events_cms_daily_rollup",      # r12 new: CMS merge-by-SUM parity
+    "docs_label_alpha_ci",          # r12 new: alpha bootstrap CI
+    # the r5-gated cohort (13 — last hard gate was r5)
+    "dedup_containment", "docs_bm25_terms", "docs_clean_corpus",
+    "docs_corpus_report", "docs_dup_shingles", "docs_group_sample",
+    "docs_incremental_dedup", "docs_ngram_novelty", "docs_pack_streams",
+    "docs_tfidf_terms", "events_distinct_rollup_exact",
+    "lineitem_profile", "orders_fk_profile",
+    # the r6-gated cohort (21 — last hard gate was r6)
+    "anti_join_orders", "array_agg_statuses", "dedup_canonical",
+    "dedup_clusters", "dedup_fingerprint", "dedup_jaccard",
+    "docs_dedup_pipeline", "docs_dsir_weights", "docs_line_stats",
+    "embed_near_dups", "embed_semdedup", "embed_standardize",
+    "events_hourly_anomalies", "events_sessions", "events_topk_users",
+    "events_window_topk", "lineitem_price_histogram",
+    "multimodal_features", "orders_percentiles", "orders_price_bands",
+    "tpch_q1",
+    # fills from the r8-gated cohort (next-stalest after the above)
+    "tpch_q3", "tpch_q6", "docs_mixture_resample",
+    "orders_snapshot_diff", "lineitem_price_drift",
+    "docs_percentile_gate",
 ]
 
 
