@@ -149,9 +149,15 @@ def hits(
     scores where PageRank would just mix them.
 
     Per iteration: ``a(v) = Σ_{u→v} h(u)`` then ``h(u) = Σ_{u→v}
-    a(v)``, each L1-normalized (scores sum to 1 — the L2 convention
-    differs only by a constant factor per round; L1 keeps every
-    quantity a plain sum/division both engines reproduce exactly).
+    a(v)``; both vectors are L1-normalized ONCE at the end (scores sum
+    to 1). Normalization inside the power loop only rescales — every
+    step is linear, so the fixed-point DIRECTION is unchanged whether
+    you divide per round or once at the end — and deferring it removes
+    the two 1-row driver folds the per-round convention paid each
+    iteration (r11 verdict residual №3). Unnormalized magnitudes grow
+    like λ_max^iterations; with float64 and the small fixed iteration
+    counts this operator is for (2-10), overflow needs ~1e300-scale
+    growth and is not reachable on any real interaction graph.
     Deterministic: fixed iteration count from the uniform vector, no
     RNG, ``score_digits`` rounding on output (the pagerank
     convention). Duplicate edges count as parallel edges. Nodes with
@@ -159,10 +165,12 @@ def hits(
 
     Scale shape: the edge list is localCheckpointed once up front
     (every round re-consumes it twice — see :func:`pagerank`); per
-    iteration TWO edge-keyed joins + TWO keyed map-side-combined sums
-    + two 1-row normalization folds, with ``localCheckpoint`` lineage
-    cuts per round — the pagerank shape run once in each direction.
-    Nothing is nodes².
+    iteration TWO edge-keyed joins + TWO keyed map-side-combined sums,
+    with ``localCheckpoint`` lineage cuts per round — the pagerank
+    shape run once in each direction, with ZERO driver actions inside
+    the loop. The final normalization is two 1-row aggregates
+    cross-joined into the output projection (broadcast by size), still
+    no driver action. Nothing is nodes².
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -181,26 +189,37 @@ def hits(
         a_raw = (e.join(hubs, e["__src"] == hubs["node"])
                  .groupBy(F.col("__dst").alias("node"))
                  .agg(F.sum("__h").alias("__a")))
-        a_tot = a_raw.agg(F.sum("__a")).first()[0] or 1.0
         auths = (nodes.join(a_raw, "node", "left")
                  .select("node",
-                         (F.coalesce("__a", F.lit(0.0)) / F.lit(a_tot))
-                         .alias("__a"))
+                         F.coalesce("__a", F.lit(0.0)).alias("__a"))
                  .localCheckpoint(eager=False))
         h_raw = (e.join(auths, e["__dst"] == auths["node"])
                  .groupBy(F.col("__src").alias("node"))
                  .agg(F.sum("__a").alias("__h")))
-        h_tot = h_raw.agg(F.sum("__h")).first()[0] or 1.0
         hubs = (nodes.join(h_raw, "node", "left")
                 .select("node",
-                        (F.coalesce("__h", F.lit(0.0)) / F.lit(h_tot))
-                        .alias("__h"))
+                        F.coalesce("__h", F.lit(0.0)).alias("__h"))
                 .localCheckpoint(eager=False))
+    # deferred L1 normalization: two 1-row totals, cross-joined into
+    # the projection (a broadcast nested-loop of one row — no driver
+    # action, no shuffle). A zero total (possible only on degenerate
+    # graphs where one side is empty after the first round) divides by
+    # 1 instead, keeping the all-zero vector all-zero like the
+    # per-round convention's `or 1.0` guard did.
+    h_tot = hubs.agg(F.sum("__h").alias("__ht"))
+    a_tot = auths.agg(F.sum("__a").alias("__at"))
     return (hubs.join(auths, "node")
+            .crossJoin(h_tot).crossJoin(a_tot)
             .select("node",
-                    (F.round("__h", score_digits) + F.lit(0.0))
+                    (F.round(F.col("__h")
+                             / F.when(F.col("__ht") != 0.0, F.col("__ht"))
+                             .otherwise(F.lit(1.0)),
+                             score_digits) + F.lit(0.0))
                     .alias("hub"),
-                    (F.round("__a", score_digits) + F.lit(0.0))
+                    (F.round(F.col("__a")
+                             / F.when(F.col("__at") != 0.0, F.col("__at"))
+                             .otherwise(F.lit(1.0)),
+                             score_digits) + F.lit(0.0))
                     .alias("authority")))
 
 

@@ -5710,29 +5710,33 @@ nodes AS (
     SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
 nn AS (SELECT count(*) AS n FROM nodes),
 h0 AS (SELECT node, 1.0 / n AS h FROM nodes CROSS JOIN nn),
+-- deferred L1 normalization (mirrors graph.hits): the power steps run
+-- unnormalized — normalization only rescales a linear recurrence — and
+-- both vectors divide by their totals once at the end
 a1r AS (SELECT e.dst AS node, sum(h0.h) AS a
         FROM e JOIN h0 ON h0.node = e.src GROUP BY e.dst),
-a1t AS (SELECT sum(a) AS t FROM a1r),
-a1 AS (SELECT nodes.node, coalesce(a1r.a, 0.0) / a1t.t AS a
-       FROM nodes CROSS JOIN a1t LEFT JOIN a1r ON a1r.node = nodes.node),
+a1 AS (SELECT nodes.node, coalesce(a1r.a, 0.0) AS a
+       FROM nodes LEFT JOIN a1r ON a1r.node = nodes.node),
 h1r AS (SELECT e.src AS node, sum(a1.a) AS h
         FROM e JOIN a1 ON a1.node = e.dst GROUP BY e.src),
-h1t AS (SELECT sum(h) AS t FROM h1r),
-h1 AS (SELECT nodes.node, coalesce(h1r.h, 0.0) / h1t.t AS h
-       FROM nodes CROSS JOIN h1t LEFT JOIN h1r ON h1r.node = nodes.node),
+h1 AS (SELECT nodes.node, coalesce(h1r.h, 0.0) AS h
+       FROM nodes LEFT JOIN h1r ON h1r.node = nodes.node),
 a2r AS (SELECT e.dst AS node, sum(h1.h) AS a
         FROM e JOIN h1 ON h1.node = e.src GROUP BY e.dst),
-a2t AS (SELECT sum(a) AS t FROM a2r),
-a2 AS (SELECT nodes.node, coalesce(a2r.a, 0.0) / a2t.t AS a
-       FROM nodes CROSS JOIN a2t LEFT JOIN a2r ON a2r.node = nodes.node),
+a2 AS (SELECT nodes.node, coalesce(a2r.a, 0.0) AS a
+       FROM nodes LEFT JOIN a2r ON a2r.node = nodes.node),
 h2r AS (SELECT e.src AS node, sum(a2.a) AS h
         FROM e JOIN a2 ON a2.node = e.dst GROUP BY e.src),
-h2t AS (SELECT sum(h) AS t FROM h2r),
-h2 AS (SELECT nodes.node, coalesce(h2r.h, 0.0) / h2t.t AS h
-       FROM nodes CROSS JOIN h2t LEFT JOIN h2r ON h2r.node = nodes.node)
-SELECT h2.node, round(h2.h, 9) + 0.0 AS hub,
-       round(a2.a, 9) + 0.0 AS authority
-FROM h2 JOIN a2 USING (node)
+h2 AS (SELECT nodes.node, coalesce(h2r.h, 0.0) AS h
+       FROM nodes LEFT JOIN h2r ON h2r.node = nodes.node),
+ht AS (SELECT sum(h) AS t FROM h2),
+at AS (SELECT sum(a) AS t FROM a2)
+SELECT h2.node,
+       round(h2.h / (CASE WHEN ht.t <> 0.0 THEN ht.t ELSE 1.0 END), 9)
+         + 0.0 AS hub,
+       round(a2.a / (CASE WHEN at.t <> 0.0 THEN at.t ELSE 1.0 END), 9)
+         + 0.0 AS authority
+FROM h2 JOIN a2 USING (node) CROSS JOIN ht CROSS JOIN at
 """
 
 
