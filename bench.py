@@ -195,6 +195,9 @@ BENCH_QUERIES = [
     "docs_source_qnorm_bucketed", "docs_nfd_pack",
     "dedup_canonical_centrality", "events_cms_daily_rollup",
     "docs_label_alpha_ci",
+    # Bloom build + probe (k-exploded bit-set groupBy into a word
+    # table broadcast to the probe side's k equi-joins)
+    "orders_bloom_probe",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

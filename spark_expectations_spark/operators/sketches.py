@@ -398,3 +398,158 @@ def cms_lookup(
     return out.withColumn("cms_estimate", est).drop(
         "__cells", "__maxr", "__nr", "__maxb",
         *[c for r in range(depth) for c in (f"__b{r}", f"__n{r}")])
+
+
+def bloom_filter(
+    df: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+    partition_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Build a Bloom filter (Bloom 1970) over a key column — the
+    MERGEABLE approximate membership sketch completing the family: HLL
+    answers "how many distinct", KLL "what quantile", CMS "how often",
+    a Bloom filter answers "was this key EVER present" with no false
+    negatives and a tunable false-positive rate (~``fill^k`` where
+    fill is the fraction of set bits). The classic 100 TB use: build a
+    few-MB filter over one table's join keys, broadcast it, and
+    pre-filter the other side before the real join — rows whose key
+    the filter rejects PROVABLY have no match and skip the shuffle.
+
+    Representation: 32-bit words as ``(word, bits)`` rows — each key
+    sets ``k`` bit positions ``md5('{salt}{i}|' + key)`` (leading 8
+    hex chars, mod ``n_bits``), packed by ``word = pos div 32``,
+    ``bits = bit-OR of 1 << (pos mod 32)``. 32-bit words keep every
+    value positive in a signed 64-bit column, so the same arithmetic
+    is exact in any SQL engine (no sign-bit two's-complement traps).
+    Merging two filters with the same (n_bits, k, salt) is literally
+    ``groupBy(word).agg(bit_or(bits))`` — the structure is defined to
+    compose by OR. Absent words are implicitly 0.
+
+    ``partition_cols`` builds MANY filters in one pass (one per
+    distinct tuple, e.g. per day) by carrying those columns through
+    the groupBy, exactly like :func:`count_min_sketch`.
+
+    Scale shape: ONE scan exploded ``k``× by a literal array, one
+    map-side-combined groupBy — output is at most ``n_bits/32`` rows
+    per partition tuple regardless of corpus size. NULL keys are
+    skipped. Deterministic md5 hashing: two engines — or two days'
+    pipelines — build bit-identical filters.
+    """
+    if n_bits < 32 or k < 1:
+        raise ValueError("need n_bits >= 32 and k >= 1")
+    pc = list(partition_cols)
+    if any(c in ("word", "bits") for c in pc):
+        raise ValueError(
+            "partition_cols may not be named word/bits — they share "
+            "the word table with the filter payload")
+    key = F.col(key_col).cast("string")
+    positions = F.array(*[
+        (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}{i}|"), key)), 1, 8),
+            16, 10).cast("long") % n_bits)
+        for i in range(k)])
+    pos = F.explode(positions).alias("__pos")
+    return (df.filter(key.isNotNull())
+            .select(*pc, pos)
+            .groupBy(*pc, F.floor(F.col("__pos") / 32).alias("word"))
+            # 2^bit via pow: bit <= 31 so the double is exact; shiftleft
+            # would be idiomatic but its shift amount must be a literal
+            .agg(F.bit_or(
+                F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int"))
+                .cast("long")).alias("bits")))
+
+
+def bloom_might_contain(
+    bloom: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloom",
+    out_col: str = "might_contain",
+) -> DataFrame:
+    """Probe a :func:`bloom_filter` word table: hash each key with the
+    SAME (n_bits, k, salt), read its ``k`` words, and report whether
+    ALL ``k`` bits are set. True may be a false positive (rate
+    ~``fill^k``); False is PROOF of absence — the property that makes
+    Bloom pre-filtering before a join sound. Adds ``out_col``
+    (boolean) to ``keys``.
+
+    An ``n_bits`` mismatch against the build is caught lazily the
+    :func:`cms_lookup` way: a broadcast 1-row stats frame checks
+    ``max(word) < ceil(n_bits/32)`` and any violation raises with the
+    observed shape. A k or salt mismatch is uncatchable from the words
+    alone — pin them where the filter is persisted (a too-large k or
+    wrong salt can only FLIP true→false spuriously, never break the
+    no-false-negative direction of a matching probe).
+
+    Scale shape: the word table is at most ``n_bits/32`` rows —
+    broadcast it for probe-side map-only lookups when n_bits is sized
+    for broadcast (2^20 bits = 32K rows ≈ 512 KB); at larger sizes the
+    ``k`` equi-joins shuffle on ``word``, still key-bounded. The probe
+    frame streams through; nothing is keys × words.
+    """
+    if n_bits < 32 or k < 1:
+        raise ValueError("need n_bits >= 32 and k >= 1")
+    n_words = (n_bits + 31) // 32
+    key = F.col(key_col).cast("string")
+    stats = bloom.agg(F.count(F.lit(1)).alias("__words"),
+                      F.max("word").alias("__maxw"))
+    out = keys.crossJoin(F.broadcast(stats))
+    checks = []
+    for i in range(k):
+        p = (F.conv(F.substring(
+            F.md5(F.concat(F.lit(f"{salt}{i}|"), key)), 1, 8),
+            16, 10).cast("long") % n_bits)
+        w = bloom.select(F.col("word").alias(f"__w{i}"),
+                         F.col("bits").alias(f"__v{i}"))
+        out = out.join(F.broadcast(w),
+                       F.floor(p / 32) == F.col(f"__w{i}"), "left")
+        bit_val = F.pow(F.lit(2.0), (p % 32).cast("int")).cast("long")
+        checks.append(
+            F.coalesce(F.col(f"__v{i}"), F.lit(0))
+            .bitwiseAND(bit_val) != 0)
+    hit = checks[0]
+    for c in checks[1:]:
+        hit = hit & c
+    cfg_ok = (F.col("__words") == 0) | (F.col("__maxw") < n_words)
+    hit = F.when(cfg_ok, hit).otherwise(F.raise_error(F.concat(
+        F.lit(f"bloom_might_contain: word table does not match "
+              f"n_bits={n_bits} (expected words < {n_words}, observed "
+              f"max word "),
+        F.col("__maxw").cast("string"),
+        F.lit(") — rebuild or fix the parameters"))))
+    return out.withColumn(out_col, hit).drop(
+        "__words", "__maxw",
+        *[c for i in range(k) for c in (f"__w{i}", f"__v{i}")])
+
+
+def bloom_fill_report(
+    bloom: DataFrame,
+    *,
+    n_bits: int,
+    k: int,
+) -> DataFrame:
+    """One-row quality report for a :func:`bloom_filter`: set-bit
+    count, fill ratio, and the implied false-positive rate estimate
+    ``fill^k`` — the number to alarm on before trusting a filter as a
+    join pre-filter (fill > ~0.5 means the filter is undersized for
+    its corpus and the FPR is degrading exponentially fast). One agg
+    over the word table (``bit_count`` is a JVM expression); never
+    touches raw data.
+    """
+    if n_bits < 32 or k < 1:
+        raise ValueError("need n_bits >= 32 and k >= 1")
+    return bloom.agg(
+        F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+        .alias("set_bits"),
+        (F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+         / F.lit(float(n_bits))).alias("fill_ratio"),
+        F.pow(F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
+              / F.lit(float(n_bits)), F.lit(float(k)))
+        .alias("fpr_estimate"))

@@ -6200,6 +6200,67 @@ SELECT r, bucket, n AS n_merged, n AS n_direct FROM cells
 """
 
 
+def q_orders_bloom_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership probe (sketches.bloom_filter +
+    bloom_might_contain): build a 4096-bit / 3-hash filter over the
+    custkeys that placed orders, probe EVERY customer, and emit the
+    probe verdict beside the exact ground truth. The no-false-negative
+    guarantee means might_contain is true for every has_orders=true
+    row (the oracle reproduces the md5 bit positions exactly, so a
+    violated guarantee breaks the hash); the trues on has_orders=false
+    rows are the measured false positives the fill ratio predicts.
+    This is the broadcast join pre-filter pattern: at 100 TB the
+    filter is a few MB built in one pass over the dim side, and fact
+    rows that probe false skip the join shuffle with proof."""
+    from .operators import sketches
+
+    od = load(spark, sf_dir, "orders").select("o_custkey")
+    cu = load(spark, sf_dir, "customer").select("c_custkey")
+    bloom = sketches.bloom_filter(od, "o_custkey", n_bits=4096, k=3)
+    probed = sketches.bloom_might_contain(
+        bloom, cu, "c_custkey", n_bits=4096, k=3)
+    truth = od.select(F.col("o_custkey").alias("c_custkey")).distinct() \
+        .withColumn("has_orders", F.lit(True))
+    return (probed.join(truth, "c_custkey", "left")
+            .select("c_custkey", "might_contain",
+                    F.coalesce("has_orders", F.lit(False))
+                    .alias("has_orders")))
+
+
+def _oracle_orders_bloom_probe(n_bits: int = 4096, k: int = 3,
+                               salt: str = "bloom") -> str:
+    """DuckDB twin of the bloom build+probe: identical md5 positions,
+    identical 32-bit word packing, identical bit tests."""
+    def pos(key: str, i: int) -> str:
+        return (f"CAST(('0x' || substr(md5('{salt}{i}|' || "
+                f"CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT) % {n_bits}")
+    sets = "\nUNION ALL\n".join(
+        f"SELECT {pos('o_custkey', i)} AS pos FROM orders "
+        f"WHERE o_custkey IS NOT NULL" for i in range(k))
+    probes = []
+    for i in range(k):
+        p = pos("c.c_custkey", i)
+        probes.append(
+            f"coalesce((SELECT (w.bits & CAST(pow(2, ({p}) % 32) "
+            f"AS BIGINT)) <> 0 FROM words w "
+            f"WHERE w.word = ({p}) // 32), FALSE)")
+    return f"""
+WITH positions AS ({sets}),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(pow(2, pos % 32) AS BIGINT)) AS bits
+  FROM positions GROUP BY pos // 32)
+SELECT c.c_custkey,
+       ({' AND '.join(probes)}) AS might_contain,
+       EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         AS has_orders
+FROM customer c
+"""
+
+
+ORACLE_ORDERS_BLOOM_PROBE = _oracle_orders_bloom_probe()
+
+
 def q_docs_nfd_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Capacity-filling next-fit-decreasing packing (packing.nfd_pack,
     r11 verdict task 3): the >2-docs generalization of fold_pack —
@@ -8678,10 +8739,12 @@ DRIVER_PRIORITY: list[str] = [
     "events_window_topk", "lineitem_price_histogram",
     "multimodal_features", "orders_percentiles", "orders_price_bands",
     "tpch_q1",
-    # fills from the r8-gated cohort (next-stalest after the above)
+    # fills from the r8-gated cohort (next-stalest after the above);
+    # late r12-new operators take fill slots as they land (the r11
+    # rotation-log convention)
+    "orders_bloom_probe",           # r12 new: Bloom membership probe
     "tpch_q3", "tpch_q6", "docs_mixture_resample",
     "orders_snapshot_diff", "lineitem_price_drift",
-    "docs_percentile_gate",
 ]
 
 
@@ -8836,6 +8899,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fold_pack": q_docs_fold_pack,
     "docs_nfd_pack": q_docs_nfd_pack,
     "events_cms_daily_rollup": q_events_cms_daily_rollup,
+    "orders_bloom_probe": q_orders_bloom_probe,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -9050,6 +9114,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
     "docs_nfd_pack": ORACLE_DOCS_NFD_PACK,
     "events_cms_daily_rollup": ORACLE_EVENTS_CMS_DAILY_ROLLUP,
+    "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

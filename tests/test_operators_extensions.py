@@ -6371,3 +6371,80 @@ class TestCountMinSketch:
         got = sketches.cms_lookup(empty, keys, "k",
                                   width=64, depth=3).first()
         assert got["cms_estimate"] == 0
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_plausible_fpr(self, spark):
+        """The Bloom contract: every present key probes True; absent
+        keys probe True only at roughly the fill^k rate."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import sketches
+        df = spark.range(0, 500).select((F.col("id") * 7 % 300)
+                                        .alias("k"))
+        b = sketches.bloom_filter(df, "k", n_bits=4096, k=3, salt="t")
+        probe = spark.range(0, 600).select(F.col("id").alias("k"))
+        got = sketches.bloom_might_contain(
+            b, probe, "k", n_bits=4096, k=3, salt="t").collect()
+        present = {r["k"] for r in df.distinct().collect()}
+        assert all(r["might_contain"] for r in got if r["k"] in present)
+        fp = sum(1 for r in got
+                 if r["k"] not in present and r["might_contain"])
+        rep = sketches.bloom_fill_report(b, n_bits=4096, k=3).first()
+        assert rep["set_bits"] == sum(
+            bin(r["bits"] & 0xFFFFFFFF).count("1") for r in b.collect())
+        assert 0.0 < rep["fill_ratio"] < 0.5
+        # observed FPR within a loose factor of the fill^k estimate
+        assert fp / 300 <= 4 * rep["fpr_estimate"] + 0.02
+
+    def test_merge_by_bit_or_equals_direct(self, spark):
+        """OR-ing two filters over disjoint halves == the filter over
+        the union — the mergeability contract, word for word."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import sketches
+        df = spark.range(0, 200).select(F.col("id").alias("k"))
+        h1 = sketches.bloom_filter(df.filter("k < 100"), "k",
+                                   n_bits=1024, k=3)
+        h2 = sketches.bloom_filter(df.filter("k >= 100"), "k",
+                                   n_bits=1024, k=3)
+        merged = (h1.unionByName(h2).groupBy("word")
+                  .agg(F.bit_or("bits").alias("bits")))
+        direct = sketches.bloom_filter(df, "k", n_bits=1024, k=3)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+    def test_partition_cols_one_pass_daily_filters(self, spark):
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import sketches
+        rows = [(i % 3, i % 40) for i in range(120)]
+        df = spark.createDataFrame(rows, "day long, k long")
+        daily = sketches.bloom_filter(df, "k", n_bits=512, k=2,
+                                      partition_cols=("day",))
+        assert daily.columns == ["day", "word", "bits"]
+        merged = (daily.groupBy("word")
+                  .agg(F.bit_or("bits").alias("bits")))
+        direct = sketches.bloom_filter(df, "k", n_bits=512, k=2)
+        assert sorted(map(tuple, merged.collect())) == \
+            sorted(map(tuple, direct.collect()))
+
+    def test_validation_null_skip_and_shape_guard(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame([(1,), (None,)], "k long")
+        b = sketches.bloom_filter(df, "k", n_bits=256, k=2)
+        # one non-null key x 2 hashes -> at most 2 set bits
+        rep = sketches.bloom_fill_report(b, n_bits=256, k=2).first()
+        assert 1 <= rep["set_bits"] <= 2
+        with _pytest.raises(ValueError, match="n_bits"):
+            sketches.bloom_filter(df, "k", n_bits=16)
+        with _pytest.raises(ValueError, match="partition_cols"):
+            sketches.bloom_filter(df, "k", partition_cols=("word",))
+        keys = spark.createDataFrame([(1,)], "k long")
+        with _pytest.raises(Exception, match="bloom_might_contain"):
+            sketches.bloom_might_contain(
+                b, keys, "k", n_bits=64, k=2).collect()
+        # an empty filter legitimately rejects everything
+        empty = sketches.bloom_filter(
+            spark.createDataFrame([], "k long"), "k", n_bits=256, k=2)
+        got = sketches.bloom_might_contain(
+            empty, keys, "k", n_bits=256, k=2).first()
+        assert got["might_contain"] is False
