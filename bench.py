@@ -198,6 +198,10 @@ BENCH_QUERIES = [
     # Bloom build + probe (k-exploded bit-set groupBy into a word
     # table broadcast to the probe side's k equi-joins)
     "orders_bloom_probe",
+    # A-ES exact-k weighted sampling (per-group rank window; ungrouped
+    # mode is TakeOrderedAndProject and deliberately unbenched as the
+    # same plan shape with less work)
+    "docs_weighted_topk",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

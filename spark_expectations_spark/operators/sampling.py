@@ -989,6 +989,66 @@ def token_budget_sample(
     return _release_on_gc(out, dfb) if persist_input else out
 
 
+def weighted_topk_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    group_cols: Sequence[str] = (),
+    salt: str = "aes",
+    rank_out: str = "sample_rank",
+) -> DataFrame:
+    """Exact-size-k weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, "A-ES"): each row draws a deterministic uniform
+    ``u(key)`` and is ranked by ``ln(u)/w`` descending; the top k are a
+    weighted sample without replacement — every row's inclusion
+    probability is proportional to its weight among the remaining
+    rows, the textbook reservoir semantics. The fixed-size complement
+    to :func:`weighted_deterministic_sample`'s Bernoulli fraction:
+    quota-exact corpus draws ("give me exactly 10k docs, quality-
+    weighted") where a realized-fraction drift is unacceptable.
+
+    Deterministic: u comes from md5(salt + key)'s first 12 hex chars
+    (the module-standard shared coin), so re-runs, repartitions, and
+    engines agree on the exact kept set. ``ln(u)/w`` replaces the
+    paper's ``u^(1/w)`` — ln is monotone and w > 0, so the ORDER is
+    identical with one libm call instead of two. A zero u (probability
+    2^-48 per row) ranks -inf = never sampled, identically everywhere.
+    Non-positive weights raise at execution time. Ties (impossible in
+    practice with 48-bit uniforms) break by key.
+
+    Scale shape: ungrouped, the plan is TakeOrderedAndProject — each
+    partition keeps its local top-k and only k·partitions rows reach
+    the driver-side merge, never a full sort; the final rank window
+    runs on k rows. Grouped, ONE hash-partition window per group —
+    rank early-exits at k per group (WindowGroupLimit pushes the
+    limit below the sort at runtime). Nothing is corpus².
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string"))),
+        1, 12), 16, 10).cast("double") / float(16 ** 12))
+    w = F.col(weight_col).cast("double")
+    aes = F.when(w > 0, F.log(u) / w).otherwise(F.raise_error(F.concat(
+        F.lit("weighted_topk_sample: non-positive weight for key "),
+        F.col(key_col).cast("string"))))
+    gc = list(group_cols)
+    scored = df.withColumn("__aes", aes)
+    order = [F.col("__aes").desc(), F.col(key_col).asc()]
+    if gc:
+        win = Window.partitionBy(*gc).orderBy(*order)
+        return (scored
+                .withColumn(rank_out, F.row_number().over(win))
+                .filter(F.col(rank_out) <= k)
+                .drop("__aes"))
+    topk = scored.orderBy(*order).limit(k)
+    win = Window.orderBy(*order)  # k rows only — single task is fine
+    return (topk.withColumn(rank_out, F.row_number().over(win))
+            .drop("__aes"))
+
+
 def split_by_time(
     df: DataFrame,
     ts_col: str,

@@ -3543,6 +3543,39 @@ SELECT lang, doc_id, n_chars FROM r WHERE rn <= 3
 """
 
 
+def q_docs_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k weighted sampling without replacement
+    (sampling.weighted_topk_sample, Efraimidis-Spirakis A-ES): 10 docs
+    per source with inclusion probability ∝ n_chars — the quota-exact
+    quality-weighted corpus draw. Rank key ln(u(doc_id))/n_chars is
+    one md5 + one libm log in both engines, so the kept set and ranks
+    are value-identical in DuckDB."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    out = sampling.weighted_topk_sample(
+        docs, "doc_id", "n_chars", 10, group_cols=("source",))
+    return out.select("source", "doc_id", "n_chars", "sample_rank")
+
+
+ORACLE_DOCS_WEIGHTED_TOPK = """
+WITH s AS (
+  SELECT source, doc_id, n_chars,
+         ln(CAST(('0x' || substr(md5('aes' || CAST(doc_id AS VARCHAR)),
+                  1, 12)) AS BIGINT) / 281474976710656.0)
+           / CAST(n_chars AS DOUBLE) AS aes
+  FROM documents),
+r AS (
+  SELECT source, doc_id, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY aes DESC, doc_id ASC)
+           AS sample_rank
+  FROM s)
+SELECT source, doc_id, n_chars, sample_rank FROM r
+WHERE sample_rank <= 10
+"""
+
+
 def q_docs_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget sampling (sampling.token_budget_sample): keep docs
     per language, in md5-bucket order, while the exclusive running sum
@@ -8743,8 +8776,9 @@ DRIVER_PRIORITY: list[str] = [
     # late r12-new operators take fill slots as they land (the r11
     # rotation-log convention)
     "orders_bloom_probe",           # r12 new: Bloom membership probe
+    "docs_weighted_topk",           # r12 new: A-ES exact-k sampling
     "tpch_q3", "tpch_q6", "docs_mixture_resample",
-    "orders_snapshot_diff", "lineitem_price_drift",
+    "orders_snapshot_diff",
 ]
 
 
@@ -8900,6 +8934,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_nfd_pack": q_docs_nfd_pack,
     "events_cms_daily_rollup": q_events_cms_daily_rollup,
     "orders_bloom_probe": q_orders_bloom_probe,
+    "docs_weighted_topk": q_docs_weighted_topk,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -9115,6 +9150,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_nfd_pack": ORACLE_DOCS_NFD_PACK,
     "events_cms_daily_rollup": ORACLE_EVENTS_CMS_DAILY_ROLLUP,
     "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
+    "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

@@ -922,6 +922,72 @@ class TestSamplePerGroup:
         assert all(n <= 5 for n in per.values())
 
 
+class TestWeightedTopkSample:
+    def test_exact_k_partition_invariant_and_math(self, spark):
+        """The kept set is exactly k per group, invariant to physical
+        partitioning, and equals a driver-side replay of the A-ES rank
+        key ln(u)/w."""
+        import hashlib
+        import math
+        from spark_expectations_spark.operators import sampling
+        rows = [(i, ["a", "b"][i % 2], float(1 + i % 7))
+                for i in range(60)]
+        df = spark.createDataFrame(rows, "id long, g string, w double")
+        got = sampling.weighted_topk_sample(
+            df, "id", "w", 5, group_cols=("g",))
+        got2 = sampling.weighted_topk_sample(
+            df.repartition(13), "id", "w", 5, group_cols=("g",))
+        ka = sorted((r["g"], r["id"], r["sample_rank"])
+                    for r in got.collect())
+        assert ka == sorted((r["g"], r["id"], r["sample_rank"])
+                            for r in got2.collect())
+
+        def aes(i, w):
+            u = int(hashlib.md5(f"aes{i}".encode()).hexdigest()[:12],
+                    16) / float(16 ** 12)
+            return math.log(u) / w
+
+        expect = []
+        for g in ("a", "b"):
+            grp = sorted((r for r in rows if r[1] == g),
+                         key=lambda r: (-aes(r[0], r[2]), r[0]))
+            expect += [(g, r[0], rank + 1)
+                       for rank, r in enumerate(grp[:5])]
+        assert ka == sorted(expect)
+
+    def test_ungrouped_uses_take_ordered_not_full_sort(self, spark):
+        """Global top-k must plan as TakeOrderedAndProject (partial
+        per-partition top-k), not a whole-corpus sort."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(0, 1000).selectExpr(
+            "id", "cast(1 + id % 9 as double) as w")
+        out = sampling.weighted_topk_sample(df, "id", "w", 7)
+        assert out.count() == 7
+        ranks = sorted(r["sample_rank"] for r in out.collect())
+        assert ranks == list(range(1, 8))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+
+    def test_weight_proportionality_direction(self, spark):
+        """Heavier rows win more often: with half the corpus at 10x
+        weight, the heavy half dominates the sample."""
+        from spark_expectations_spark.operators import sampling
+        df = spark.range(0, 400).selectExpr(
+            "id", "cast(if(id < 200, 10.0, 1.0) as double) as w")
+        got = sampling.weighted_topk_sample(df, "id", "w", 50)
+        heavy = sum(1 for r in got.collect() if r["id"] < 200)
+        assert heavy >= 40  # E[heavy] ~ 47.6 at 10:1 odds
+
+    def test_validation_and_nonpositive_weight(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(1, 0.0)], "id long, w double")
+        with _pytest.raises(ValueError, match="k must"):
+            sampling.weighted_topk_sample(df, "id", "w", 0)
+        with _pytest.raises(Exception, match="non-positive weight"):
+            sampling.weighted_topk_sample(df, "id", "w", 1).collect()
+
+
 class TestIncrementalDedup:
     def test_admits_only_unindexed_unique(self, spark):
         from spark_expectations_spark.operators import dedup as dd
