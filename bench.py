@@ -202,6 +202,9 @@ BENCH_QUERIES = [
     # mode is TakeOrderedAndProject and deliberately unbenched as the
     # same plan shape with less work)
     "docs_weighted_topk",
+    # sorted-neighborhood blocking (two-phase global rank + window-1
+    # explode into one rank-keyed equi-join + levenshtein verify)
+    "part_sorted_neighborhood",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

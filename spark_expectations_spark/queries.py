@@ -7498,6 +7498,41 @@ FROM cand WHERE levenshtein(ln, rn) <= 1
 """
 
 
+def q_part_sorted_neighborhood(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (linkage.
+    sorted_neighborhood_pairs, Hernández-Stolfo): rank parts by
+    normalized name (two-phase dense_global_index — no single-task
+    global sort), pair each record with the 3 that follow in sort
+    order, verify at Levenshtein <= 6. The key-agnostic third blocker
+    family: candidate count is exactly n·(window−1) regardless of key
+    entropy, where prefix/q-gram blocks can blow up. The oracle
+    reproduces the total order (normalized name, partkey tiebreak),
+    the window pairing, and the distance exactly."""
+    from .operators import linkage
+
+    part = load(spark, sf_dir, "part")
+    return linkage.sorted_neighborhood_pairs(
+        part, "p_partkey", "p_name", window=4, max_distance=6)
+
+
+ORACLE_PART_SORTED_NEIGHBORHOOD = """
+WITH r AS (
+  SELECT p_partkey AS id, lower(trim(p_name)) AS k,
+         row_number() OVER (ORDER BY lower(trim(p_name)) ASC,
+                            p_partkey ASC) AS rank
+  FROM part
+  WHERE lower(trim(p_name)) IS NOT NULL
+    AND length(lower(trim(p_name))) > 0)
+SELECT a.id AS left_id, b.id AS right_id,
+       a.k AS left_key, b.k AS right_key,
+       CAST(b.rank - a.rank AS BIGINT) AS rank_distance,
+       CAST(levenshtein(a.k, b.k) AS INT) AS distance
+FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3
+WHERE levenshtein(a.k, b.k) <= 6
+"""
+
+
 def q_part_fuzzy_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISJUNCTIVE multi-blocker record linkage (r10 verdict task 6;
     linkage.blocked_fuzzy_join with blockers=("prefix", "ngram") as
@@ -8777,8 +8812,8 @@ DRIVER_PRIORITY: list[str] = [
     # rotation-log convention)
     "orders_bloom_probe",           # r12 new: Bloom membership probe
     "docs_weighted_topk",           # r12 new: A-ES exact-k sampling
+    "part_sorted_neighborhood",     # r12 new: Hernandez-Stolfo SNM
     "tpch_q3", "tpch_q6", "docs_mixture_resample",
-    "orders_snapshot_diff",
 ]
 
 
@@ -8935,6 +8970,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cms_daily_rollup": q_events_cms_daily_rollup,
     "orders_bloom_probe": q_orders_bloom_probe,
     "docs_weighted_topk": q_docs_weighted_topk,
+    "part_sorted_neighborhood": q_part_sorted_neighborhood,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -9151,6 +9187,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_cms_daily_rollup": ORACLE_EVENTS_CMS_DAILY_ROLLUP,
     "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
     "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
+    "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

@@ -4677,6 +4677,55 @@ class TestSetSimilarityJoin:
         assert not rules
 
 
+class TestSortedNeighborhoodPairs:
+    def test_window_pairs_with_tie_break_and_null_skip(self, spark):
+        """Ranks follow (normalized key, id); each record pairs with
+        the window-1 following ranks; NULL/empty keys are excluded."""
+        from spark_expectations_spark.operators import linkage as L
+        rows = [(1, "Smith"), (2, " smith "), (3, "Smyth"),
+                (4, "Jones"), (5, None), (6, "")]
+        df = spark.createDataFrame(rows, "id long, name string")
+        got = sorted((r["left_id"], r["right_id"], r["rank_distance"])
+                     for r in L.sorted_neighborhood_pairs(
+                         df, "id", "name", window=3).collect())
+        # order: jones(4) < smith(1) < smith(2, tie by id) < smyth(3)
+        assert got == [(1, 2, 1), (1, 3, 2), (2, 3, 1),
+                       (4, 1, 1), (4, 2, 2)]
+
+    def test_candidate_count_is_linear_and_partition_invariant(
+            self, spark):
+        """Exactly n - j pairs at each rank_distance j — the skew-proof
+        linear budget that motivates the blocker — and the pair set
+        never depends on physical partitioning."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import linkage as L
+        df = spark.range(0, 97).selectExpr(
+            "id", "concat('k', lpad(cast(id as string), 3, '0')) as k")
+        out = L.sorted_neighborhood_pairs(df, "id", "k", window=4)
+        per = {r["rank_distance"]: r["n"] for r in
+               out.groupBy("rank_distance")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert per == {1: 96, 2: 95, 3: 94}
+        again = L.sorted_neighborhood_pairs(
+            df.repartition(11), "id", "k", window=4)
+        assert sorted(map(tuple, out.collect())) == \
+            sorted(map(tuple, again.collect()))
+
+    def test_verify_distance_filter_and_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import linkage as L
+        rows = [(1, "abcd"), (2, "abce"), (3, "zzzz")]
+        df = spark.createDataFrame(rows, "id long, k string")
+        got = L.sorted_neighborhood_pairs(
+            df, "id", "k", window=3, max_distance=1).collect()
+        assert [(r["left_id"], r["right_id"], r["distance"])
+                for r in got] == [(1, 2, 1)]
+        with _pytest.raises(ValueError, match="window"):
+            L.sorted_neighborhood_pairs(df, "id", "k", window=1)
+        with _pytest.raises(ValueError, match="max_distance"):
+            L.sorted_neighborhood_pairs(df, "id", "k", max_distance=-1)
+
+
 class TestBlockingQualityReport:
     def _frames(self, spark):
         L = spark.createDataFrame(
