@@ -205,6 +205,9 @@ BENCH_QUERIES = [
     # sorted-neighborhood blocking (two-phase global rank + window-1
     # explode into one rank-keyed equi-join + levenshtein verify)
     "part_sorted_neighborhood",
+    # shuffle-key skew diagnosis (one combined key-count pass + one
+    # aggregate with the entropy fold)
+    "events_skew_report",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

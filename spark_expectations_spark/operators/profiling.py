@@ -749,3 +749,68 @@ def bootstrap_ci(
     return df.sparkSession.createDataFrame(
         [out_row], "n long, mean double, se double, ci_lo double, "
                    "ci_hi double, replicas int")
+
+
+def key_skew_report(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    *,
+    target_rows_per_task: int = 5_000_000,
+    digits: int = 9,
+) -> DataFrame:
+    """One-row skew diagnosis for a prospective shuffle key — the
+    pre-flight check before keying a 100 TB join/groupBy on a column:
+    hot keys make straggler tasks that AQE can split for joins but
+    nothing can split for a groupBy whose single key exceeds a task.
+    Emits the numbers that decide the mitigation:
+
+    - ``n_rows`` / ``n_keys`` / ``max_key_rows`` / ``avg_key_rows``
+    - ``skew_ratio`` = max/avg — >10 means the hot key dominates its
+      task; near 1 means salting would only add overhead
+    - ``top_key_share`` = max/n_rows — the fraction of the corpus one
+      reducer would receive
+    - ``entropy_norm`` — Shannon entropy of the key distribution over
+      ``ln(n_keys)`` (1.0 = perfectly uniform, →0 = mass on one key);
+      the single-number summary to alarm on in a DQ rule
+    - ``recommended_salt`` = ceil(max_key_rows / target_rows_per_task)
+      — the salt fan-out that caps any one (key, salt) group at the
+      target task size; 1 means no salting needed
+
+    Scale shape: ONE map-side-combined groupBy to per-key counts (each
+    task emits one row per distinct key it saw — the combine step is
+    exactly why this probe is safe on the very key it diagnoses), then
+    ONE aggregate over the key-count frame. Entropy folds in the same
+    pass via ``ln(n) − Σ c·ln(c) / n`` — no second scan, no collect.
+    NULL keys count as a key (they hash to one reducer like any other
+    value — the classic hidden hot key; check ``profile_table`` for
+    the null share). Floats round to ``digits`` for cross-engine
+    comparability.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must be non-empty")
+    if target_rows_per_task < 1:
+        raise ValueError("target_rows_per_task must be >= 1")
+    c = F.col("__c").cast("double")
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__c"))
+    agg = counts.agg(
+        F.sum("__c").alias("__n"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("__c").alias("max_key_rows"),
+        F.sum(c * F.log(c)).alias("__clogc"))
+    n = F.col("__n").cast("double")
+    entropy = F.log(n) - F.col("__clogc") / n
+    rnd = lambda col: F.round(col, digits) + F.lit(0.0)  # noqa: E731
+    return agg.select(
+        F.col("__n").alias("n_rows"),
+        "n_keys",
+        "max_key_rows",
+        rnd(n / F.col("n_keys")).alias("avg_key_rows"),
+        rnd(F.col("max_key_rows") / (n / F.col("n_keys")))
+        .alias("skew_ratio"),
+        rnd(F.col("max_key_rows") / n).alias("top_key_share"),
+        F.when(F.col("n_keys") > 1,
+               rnd(entropy / F.log(F.col("n_keys").cast("double"))))
+        .alias("entropy_norm"),
+        F.ceil(F.col("max_key_rows")
+               / F.lit(float(target_rows_per_task)))
+        .cast("long").alias("recommended_salt"))

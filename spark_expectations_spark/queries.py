@@ -4598,6 +4598,45 @@ FROM j
 """
 
 
+def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnosis (profiling.key_skew_report) on
+    events.user_id — the pre-flight probe before keying a join or
+    groupBy on a column at 100 TB: one map-side-combined key-count
+    pass + one aggregate emit max/avg skew ratio, the hot key's corpus
+    share, normalized Shannon entropy, and the salt fan-out that caps
+    a (key, salt) group at the target task size (target set to 40 rows
+    so the recommendation is non-trivial at catalog scale). All
+    integer counts plus 9-dp-rounded floats — value-exact in DuckDB."""
+    from .operators import profiling
+
+    ev = load(spark, sf_dir, "events")
+    return profiling.key_skew_report(ev, ["user_id"],
+                                     target_rows_per_task=40)
+
+
+ORACLE_EVENTS_SKEW_REPORT = """
+WITH c AS (
+  SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+a AS (
+  SELECT sum(c) AS n, count(*) AS n_keys, max(c) AS maxc,
+         sum(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clogc
+  FROM c)
+SELECT CAST(n AS BIGINT) AS n_rows,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(maxc AS BIGINT) AS max_key_rows,
+       round(CAST(n AS DOUBLE) / n_keys, 9) + 0.0 AS avg_key_rows,
+       round(maxc / (CAST(n AS DOUBLE) / n_keys), 9) + 0.0
+         AS skew_ratio,
+       round(maxc / CAST(n AS DOUBLE), 9) + 0.0 AS top_key_share,
+       CASE WHEN n_keys > 1 THEN
+         round((ln(CAST(n AS DOUBLE)) - clogc / CAST(n AS DOUBLE))
+               / ln(CAST(n_keys AS DOUBLE)), 9) + 0.0
+       END AS entropy_norm,
+       CAST(ceil(maxc / 40.0) AS BIGINT) AS recommended_salt
+FROM a
+"""
+
+
 def q_orders_fk_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Referential-integrity profiling (operators/profiling.py): measure
     orders→customer containment against a deliberately halved parent —
@@ -8813,7 +8852,8 @@ DRIVER_PRIORITY: list[str] = [
     "orders_bloom_probe",           # r12 new: Bloom membership probe
     "docs_weighted_topk",           # r12 new: A-ES exact-k sampling
     "part_sorted_neighborhood",     # r12 new: Hernandez-Stolfo SNM
-    "tpch_q3", "tpch_q6", "docs_mixture_resample",
+    "events_skew_report",           # r12 new: shuffle-key skew probe
+    "tpch_q3", "tpch_q6",
 ]
 
 
@@ -8971,6 +9011,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_bloom_probe": q_orders_bloom_probe,
     "docs_weighted_topk": q_docs_weighted_topk,
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
+    "events_skew_report": q_events_skew_report,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -9188,6 +9229,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
     "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,
+    "events_skew_report": ORACLE_EVENTS_SKEW_REPORT,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

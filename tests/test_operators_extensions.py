@@ -922,6 +922,51 @@ class TestSamplePerGroup:
         assert all(n <= 5 for n in per.values())
 
 
+class TestKeySkewReport:
+    def test_uniform_vs_hot_key(self, spark):
+        """A uniform key reads as no-skew (ratio 1, entropy 1, salt 1);
+        one hot key owning most of the corpus reads as skewed with a
+        salt recommendation that caps the hot group at the target."""
+        import math
+        from spark_expectations_spark.operators import profiling
+        uni = spark.range(0, 100).selectExpr("id % 10 as k")
+        r = profiling.key_skew_report(uni, ["k"],
+                                      target_rows_per_task=10).first()
+        assert (r["n_rows"], r["n_keys"], r["max_key_rows"]) == \
+            (100, 10, 10)
+        assert r["skew_ratio"] == 1.0 and r["entropy_norm"] == 1.0
+        assert r["recommended_salt"] == 1
+        hot = spark.range(0, 100).selectExpr(
+            "if(id < 91, 0, id) as k")  # one key holds 91 rows
+        h = profiling.key_skew_report(hot, ["k"],
+                                      target_rows_per_task=10).first()
+        assert h["max_key_rows"] == 91 and h["n_keys"] == 10
+        assert h["top_key_share"] == 0.91
+        assert h["recommended_salt"] == 10  # ceil(91/10)
+        ent = -(0.91 * math.log(0.91) + 9 * 0.01 * math.log(0.01))
+        assert h["entropy_norm"] == pytest.approx(
+            ent / math.log(10), abs=1e-9)
+
+    def test_null_key_counts_and_single_key_entropy_null(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(None,), (None,), (1,)], "k int")
+        r = profiling.key_skew_report(df, ["k"]).first()
+        assert r["n_keys"] == 2 and r["max_key_rows"] == 2
+        one = spark.range(0, 5).selectExpr("0 as k")
+        s = profiling.key_skew_report(one, ["k"]).first()
+        assert s["entropy_norm"] is None and s["skew_ratio"] == 1.0
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.range(1).selectExpr("id as k")
+        with _pytest.raises(ValueError, match="key_cols"):
+            profiling.key_skew_report(df, [])
+        with _pytest.raises(ValueError, match="target_rows_per_task"):
+            profiling.key_skew_report(df, ["k"], target_rows_per_task=0)
+
+
 class TestWeightedTopkSample:
     def test_exact_k_partition_invariant_and_math(self, spark):
         """The kept set is exactly k per group, invariant to physical
