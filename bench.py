@@ -208,6 +208,9 @@ BENCH_QUERIES = [
     # shuffle-key skew diagnosis (one combined key-count pass + one
     # aggregate with the entropy fold)
     "events_skew_report",
+    # large-star/small-star connected components (O(log^2 n) rounds,
+    # two groupBy+join phases per round over the jaccard pair graph)
+    "docs_cc_largestar",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

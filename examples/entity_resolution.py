@@ -115,6 +115,19 @@ def main() -> None:
         "fid", "fset", "mid", "mset", threshold=0.5)
     print(f"token-set jaccard>=0.5 pairs: {sim.count()}")
 
+    # 7. sorted-neighborhood pass: the key-agnostic blocker — its
+    # candidate budget is exactly n*(window-1) whatever the key looks
+    # like; union its pairs with a value-keyed blocker's for recall
+    corpus = feed.union(master.select(F.col("mid").alias("fid"),
+                                      F.col("mname").alias("fname")))
+    snm = linkage.sorted_neighborhood_pairs(
+        corpus, "fid", "fname", window=4, max_distance=1)
+    both = (pairs.select("id_a", "id_b")
+            .intersect(snm.select(F.col("left_id").alias("id_a"),
+                                  F.col("right_id").alias("id_b"))))
+    print(f"sorted-neighborhood pairs (w=4, d<=1): {snm.count()} "
+          f"(overlap with blocked fuzzy pairs: {both.count()})")
+
     spark.stop()
 
 

@@ -541,6 +541,58 @@ FROM comp GROUP BY component
 """
 
 
+def q_docs_cc_largestar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (graph.connected_components, Kiveris et al.) over the same exact
+    jaccard pair graph dedup_clusters resolves with min-label
+    propagation — per-NODE labels here (the clusters entry emits
+    per-cluster counts, so the two gates are complementary). Star
+    contraction converges in O(log² n) rounds independent of
+    diameter, the scale story propagation lacks on chain-shaped dup
+    graphs; both must agree exactly with the recursive-CTE closure,
+    labeling each component by its minimum doc_id."""
+    from .operators import graph
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3,
+                                threshold=0.15)
+    return graph.connected_components(pairs, src="id_a", dst="id_b")
+
+
+ORACLE_DOCS_CC_LARGESTAR = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS node, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
 def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical-representative selection (operators/dedup.py::
     canonical_per_cluster): exact jaccard pairs → connected components →
@@ -8853,7 +8905,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_weighted_topk",           # r12 new: A-ES exact-k sampling
     "part_sorted_neighborhood",     # r12 new: Hernandez-Stolfo SNM
     "events_skew_report",           # r12 new: shuffle-key skew probe
-    "tpch_q3", "tpch_q6",
+    "docs_cc_largestar",            # r12 new: star-contraction CC
+    "tpch_q3",
 ]
 
 
@@ -9012,6 +9065,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_weighted_topk": q_docs_weighted_topk,
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
     "events_skew_report": q_events_skew_report,
+    "docs_cc_largestar": q_docs_cc_largestar,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -9230,6 +9284,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,
     "events_skew_report": ORACLE_EVENTS_SKEW_REPORT,
+    "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

@@ -5897,6 +5897,50 @@ class TestPagerankWeighted:
                 graph.pagerank(df, weight="w")
 
 
+class TestGraphConnectedComponents:
+    def test_chain_and_agreement_with_label_propagation(self, spark):
+        """A 61-node chain (diameter 60 — label propagation's worst
+        case) resolves to one component labeled by its minimum, and on
+        a random multi-component graph the star-contraction labels
+        agree exactly with dedup.connected_components."""
+        from spark_expectations_spark.operators import dedup, graph
+        chain = spark.createDataFrame(
+            [(i, i + 1) for i in range(60)], "src long, dst long")
+        got = graph.connected_components(chain).collect()
+        assert len(got) == 61
+        assert all(r["component"] == 0 for r in got)
+        # deterministic pseudo-random graph, several components
+        edges = [((i * 37) % 50, (i * 53 + 11) % 50) for i in range(40)]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        a = sorted(map(tuple, graph.connected_components(df).collect()))
+        b = sorted(map(tuple, dedup.connected_components(
+            df, id_a="src", id_b="dst").collect()))
+        assert a == b
+
+    def test_string_ids_duplicates_and_bidirectional_edges(self, spark):
+        from spark_expectations_spark.operators import graph
+        df = spark.createDataFrame(
+            [("b", "a"), ("a", "b"), ("b", "b"), ("c", "d"),
+             ("d", "c"), ("c", "d")], "src string, dst string")
+        got = {r["node"]: r["component"]
+               for r in graph.connected_components(df).collect()}
+        assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import graph
+        empty = spark.createDataFrame([], "src long, dst long")
+        with _pytest.raises(ValueError, match="empty"):
+            graph.connected_components(empty)
+        loops = spark.createDataFrame([(1, 1)], "src long, dst long")
+        with _pytest.raises(ValueError, match="empty"):
+            graph.connected_components(loops)  # self-loops only
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        with _pytest.raises(ValueError, match="max_rounds"):
+            graph.connected_components(df, max_rounds=0)
+
+
 class TestHits:
     def _np_hits(self, edges, n_iter=2):
         nodes = sorted({u for e in edges for u in e})
