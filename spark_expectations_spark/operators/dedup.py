@@ -1083,6 +1083,13 @@ def canonical_per_cluster(
         raise ValueError("strategy must be 'score' or 'centrality'")
     if strategy == "score" and score_col is None:
         raise ValueError("strategy='score' requires score_col")
+    if strategy == "centrality":
+        # pairs feed TWO consumers here (the components closure and
+        # the degree fold) — without a cut the pair stage (typically an
+        # expensive similarity self-join) re-executes per consumer
+        # (measured 5.5 → 3.3 s at sf0.1 on the jaccard fixture); the
+        # r11 persist rule: cut only multi-consumer aggregate outputs
+        pairs = pairs.localCheckpoint(eager=False)
     labels = connected_components(pairs, id_a=id_a, id_b=id_b)
     joined = df.join(
         labels.select(F.col("node").alias(id_col), "component"),
