@@ -774,7 +774,12 @@ def key_skew_report(
       the single-number summary to alarm on in a DQ rule
     - ``recommended_salt`` = ceil(max_key_rows / target_rows_per_task)
       — the salt fan-out that caps any one (key, salt) group at the
-      target task size; 1 means no salting needed
+      target task size; 1 means no salting needed, and the value feeds
+      ``skew.salted_join(salt=...)`` directly
+
+    Companion to ``skew.key_skew_stats`` (the top-k hottest KEYS, for
+    naming the culprits) — this is the one-row whole-distribution
+    summary a DQ rule can gate on.
 
     Scale shape: ONE map-side-combined groupBy to per-key counts (each
     task emits one row per distinct key it saw — the combine step is

@@ -58,7 +58,10 @@ def key_skew_stats(df: DataFrame, key: str, *, top_k: int = 10) -> DataFrame:
 
     One groupBy + a tiny top-k; the output is rule-scale. A pipeline can
     gate salting on e.g. ``max_share > 0.05``. NULL keys (the classic
-    silent hot spot) appear as their own row.
+    silent hot spot) appear as their own row. Companion to
+    ``profiling.key_skew_report``, the one-row distribution summary
+    (skew ratio, entropy, recommended salt fan-out) — use that to
+    decide WHETHER to salt and this to name the hot keys.
     """
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("n_rows"))
     total = counts.agg(F.sum("n_rows").alias("__t"))
