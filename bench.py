@@ -211,6 +211,9 @@ BENCH_QUERIES = [
     # large-star/small-star connected components (O(log^2 n) rounds,
     # two groupBy+join phases per round over the jaccard pair graph)
     "docs_cc_largestar",
+    # part_ppr_brand (personalized PageRank) is deliberately unbenched
+    # per the sibling-configuration rule: same graph, same rounds as
+    # part_copurchase_rank plus one broadcast-sized seed join
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

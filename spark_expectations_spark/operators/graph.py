@@ -35,6 +35,9 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     rank_digits: int = 9,
+    seeds: DataFrame | None = None,
+    seed_node: str = "node",
+    seed_weight: str | None = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998) over a directed edge list — returns
     ``(node, rank)`` with ``Σ rank = 1``. Deterministic by
@@ -56,6 +59,21 @@ def pagerank(
     together 50 times" should pull more rank than "once". Rows with
     NULL or non-positive weight raise (a silent drop would re-route
     rank mass). Unweighted is the weight≡1 special case.
+
+    ``seeds`` makes this PERSONALIZED PageRank (the random-walk-with-
+    restart centrality behind item-to-item recommendation and seeded
+    retrieval expansion): restarts land on the seed distribution
+    ``p(v)`` instead of uniformly — ``r'(v) = (1-d)·p(v) + d·(Σ
+    contributions + dangling_mass·p(v))``, iterated from ``r0 = p``.
+    ``seeds`` is a (node[, weight]) frame; ``seed_weight`` names an
+    optional positive weight column (uniform over seeds otherwise).
+    Seeds are intersected with the graph's nodes FIRST and weights
+    normalized over that intersection (an absent seed can't absorb
+    restart mass); an empty intersection raises. Scores then rank
+    nodes by proximity to the seed set — Σ rank = 1 still. The
+    personalization term is one broadcast-sized left join; no extra
+    per-iteration work. ``seeds=None`` (classic PageRank) keeps the
+    exact uniform-restart expression tree, bit-for-bit.
 
     Scale shape: the EDGE LIST is localCheckpointed once up front —
     every structure (nodes, degrees) and every round's contribution
@@ -104,13 +122,42 @@ def pagerank(
           .localCheckpoint(eager=False))
     d = float(damping)
     base = (1.0 - d) / n_nodes
+    personalized = seeds is not None
+    if personalized:
+        swc = (F.col(seed_weight).cast("double") if seed_weight
+               else F.lit(1.0))
+        sd = seeds.select(F.col(seed_node).alias("node"),
+                          swc.alias("__sw"))
+        if seed_weight is not None:
+            bad = sd.filter(F.col("__sw").isNull()
+                            | (F.col("__sw") <= 0)).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "pagerank: NULL or non-positive seed weight — a "
+                    "silent drop would re-route restart mass")
+        nd = nd.join(sd, "node", "left").select(
+            "node", "__deg", F.coalesce("__sw", F.lit(0.0)).alias("__sw"))
+        # normalize over the seed∩graph intersection (one 1-row fold,
+        # like the n_nodes count above)
+        st = nd.agg(F.sum("__sw")).first()[0] or 0.0
+        if st <= 0:
+            raise ValueError(
+                "pagerank: no seed node is present in the edge list "
+                "(restart mass has nowhere to land)")
+        nd = (nd.select("node", "__deg",
+                        (F.col("__sw") / F.lit(float(st))).alias("__p"))
+              .localCheckpoint(eager=False))
     # the dangling SET is static (deg == 0); when it is empty the
     # per-round mass is identically 0 and the per-iteration 1-row
     # fold (a full pass over the rank vector) can be skipped — the
     # common case for symmetrized / co-occurrence graphs
     has_dangling = nd.filter(F.col("__deg") == 0).limit(1).count() > 0
-    ranks = nd.select("node", "__deg",
-                      F.lit(1.0 / n_nodes).alias("__r"))
+    if personalized:
+        ranks = nd.select("node", "__deg", "__p",
+                          F.col("__p").alias("__r"))
+    else:
+        ranks = nd.select("node", "__deg",
+                          F.lit(1.0 / n_nodes).alias("__r"))
     for _ in range(iterations):
         dangling = (ranks.filter(F.col("__deg") == 0)
                     .agg(F.coalesce(F.sum("__r"), F.lit(0.0))
@@ -121,13 +168,23 @@ def pagerank(
                            (F.col("__r") * F.col("__w") / F.col("__deg"))
                            .alias("__c")))
         summed = contrib.groupBy("node").agg(F.sum("__c").alias("__s"))
-        ranks = (nd.join(summed, "node", "left")
-                 .select("node", "__deg",
-                         (F.lit(base)
-                          + F.lit(d) * (F.coalesce("__s", F.lit(0.0))
-                                        + F.lit(dangling / n_nodes)))
-                         .alias("__r"))
-                 .localCheckpoint(eager=False))
+        if personalized:
+            ranks = (nd.join(summed, "node", "left")
+                     .select("node", "__deg", "__p",
+                             (F.lit(1.0 - d) * F.col("__p")
+                              + F.lit(d) * (F.coalesce("__s", F.lit(0.0))
+                                            + F.lit(dangling)
+                                            * F.col("__p")))
+                             .alias("__r"))
+                     .localCheckpoint(eager=False))
+        else:
+            ranks = (nd.join(summed, "node", "left")
+                     .select("node", "__deg",
+                             (F.lit(base)
+                              + F.lit(d) * (F.coalesce("__s", F.lit(0.0))
+                                            + F.lit(dangling / n_nodes)))
+                             .alias("__r"))
+                     .localCheckpoint(eager=False))
     return ranks.select(
         "node",
         (F.round("__r", rank_digits) + F.lit(0.0)).alias("rank"))

@@ -5741,6 +5741,71 @@ SELECT node AS partkey, round(r, 9) + 0.0 AS rank FROM r3
 """
 
 
+def q_part_ppr_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (graph.pagerank(seeds=...)) over the same
+    co-purchase graph: random-walk-with-restart where every restart
+    lands uniformly on the Brand#11 parts — the item-to-item
+    recommendation shape ("rank all parts by co-purchase proximity to
+    this brand"). r0 = p, 3 rounds of r' = 0.15·p + 0.85·Σ
+    contributions; the symmetric construction keeps the dangling term
+    identically 0 like the classic twin, and seeds are intersected
+    with the graph before normalization so absent parts can't absorb
+    restart mass. Unrolled-CTE full value oracle."""
+    from .operators import graph
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (a.join(b, "ok")
+             .filter(F.col("a.pk") < F.col("b.pk"))
+             .select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
+             .distinct())
+    edges = (pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+             .unionByName(
+                 pairs.select(F.col("pb").alias("src"),
+                              F.col("pa").alias("dst"))))
+    seeds = (load(spark, sf_dir, "part")
+             .filter(F.col("p_brand") == "Brand#11")
+             .select(F.col("p_partkey").alias("node")))
+    out = graph.pagerank(edges, iterations=3, seeds=seeds)
+    return out.select(F.col("node").alias("partkey"), "rank")
+
+
+ORACLE_PART_PPR_BRAND = """
+WITH e0 AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey),
+e AS (SELECT pa AS src, pb AS dst FROM e0
+      UNION ALL SELECT pb, pa FROM e0),
+nd AS (SELECT src AS node, count(*) AS deg FROM e GROUP BY src),
+sg AS (SELECT nd.node FROM nd
+       JOIN part ON part.p_partkey = nd.node
+       WHERE part.p_brand = 'Brand#11'),
+st AS (SELECT count(*) AS t FROM sg),
+p AS (SELECT nd.node, nd.deg,
+             CASE WHEN sg.node IS NOT NULL
+                  THEN 1.0 / t ELSE 0.0 END AS p
+      FROM nd CROSS JOIN st LEFT JOIN sg ON sg.node = nd.node),
+s1 AS (SELECT e.dst AS node, sum(r.p / r.deg) AS s
+       FROM e JOIN p r ON r.node = e.src GROUP BY e.dst),
+r1 AS (SELECT p.node, p.deg, p.p,
+              0.15 * p.p + 0.85 * coalesce(s1.s, 0.0) AS r
+       FROM p LEFT JOIN s1 ON s1.node = p.node),
+s2 AS (SELECT e.dst AS node, sum(r.r / r.deg) AS s
+       FROM e JOIN r1 r ON r.node = e.src GROUP BY e.dst),
+r2 AS (SELECT p.node, p.deg, p.p,
+              0.15 * p.p + 0.85 * coalesce(s2.s, 0.0) AS r
+       FROM p LEFT JOIN s2 ON s2.node = p.node),
+s3 AS (SELECT e.dst AS node, sum(r.r / r.deg) AS s
+       FROM e JOIN r2 r ON r.node = e.src GROUP BY e.dst),
+r3 AS (SELECT p.node,
+              0.15 * p.p + 0.85 * coalesce(s3.s, 0.0) AS r
+       FROM p LEFT JOIN s3 ON s3.node = p.node)
+SELECT node AS partkey, round(r, 9) + 0.0 AS rank FROM r3
+"""
+
+
 def q_part_copurchase_rank_weighted(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """WEIGHTED PageRank over the same co-purchase graph
@@ -8865,11 +8930,15 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          all below; the lone r3-gated name in the artifacts,
 #          embed_near_dups_blocked, no longer exists — it was folded
 #          into embed_near_dups/embed_near_dups_bcast in r4)
-#          + 6 fills from the r8-gated cohort, now next-stalest
-#          (tpch_q3/q6 cover the core join and filter-agg shapes;
-#          docs_mixture_resample, orders_snapshot_diff,
-#          lineitem_price_drift, docs_percentile_gate cover the
-#          sampling/SCD/drift/gating families)
+#          + 6 late r12-new operators that took the fill slots as they
+#          landed (the r11 convention — new ops gate the round they
+#          ship): orders_bloom_probe, docs_weighted_topk,
+#          part_sorted_neighborhood, events_skew_report,
+#          docs_cc_largestar, part_ppr_brand. The r8-gated fills they
+#          displaced (tpch_q3/q6, docs_mixture_resample,
+#          orders_snapshot_diff, lineitem_price_drift,
+#          docs_percentile_gate) are the declared r13 re-gate front
+#          alongside the rest of the r8 cohort.
 #          = 50. Displaced: the full r11-new block and the r8-front
 #          re-gates (all r11-green one round ago, rotation debt zero).
 # ---------------------------------------------------------------------------
@@ -8906,7 +8975,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_sorted_neighborhood",     # r12 new: Hernandez-Stolfo SNM
     "events_skew_report",           # r12 new: shuffle-key skew probe
     "docs_cc_largestar",            # r12 new: star-contraction CC
-    "tpch_q3",
+    "part_ppr_brand",               # r12 new: personalized PageRank
 ]
 
 
@@ -9066,6 +9135,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
     "events_skew_report": q_events_skew_report,
     "docs_cc_largestar": q_docs_cc_largestar,
+    "part_ppr_brand": q_part_ppr_brand,
     "lineitem_cms_counts": q_lineitem_cms_counts,
     "events_markov_transitions": q_events_markov_transitions,
     "lineitem_price_ks": q_lineitem_price_ks,
@@ -9285,6 +9355,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,
     "events_skew_report": ORACLE_EVENTS_SKEW_REPORT,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
+    "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,
     "events_markov_transitions": ORACLE_EVENTS_MARKOV_TRANSITIONS,
     "lineitem_price_ks": ORACLE_LINEITEM_PRICE_KS,

@@ -5858,6 +5858,76 @@ class TestMmrTopk:
             sim.mmr_topk(df, df, k=5, pool=3)
 
 
+class TestPagerankPersonalized:
+    def _np_ppr(self, edges, seeds, n_iter=3, d=0.85):
+        """Dense random-walk-with-restart reference (r0 = p,
+        dangling mass restarts on p)."""
+        nodes = sorted({u for e in edges for u in e})
+        present = [s for s in seeds if s in nodes]
+        p = {v: (1.0 / len(present) if v in present else 0.0)
+             for v in nodes}
+        out = {v: 0 for v in nodes}
+        for s, _ in edges:
+            out[s] += 1
+        r = dict(p)
+        for _ in range(n_iter):
+            dang = sum(r[v] for v in nodes if out[v] == 0)
+            acc = {v: 0.0 for v in nodes}
+            for s, t in edges:
+                acc[t] += r[s] / out[s]
+            r = {v: (1 - d) * p[v] + d * (acc[v] + dang * p[v])
+                 for v in nodes}
+        return r
+
+    def test_matches_reference_and_concentrates_near_seeds(self, spark):
+        from spark_expectations_spark.operators import graph
+        # two loosely-connected triangles; seed in the left one
+        edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3),
+                 (3, 4), (4, 3),
+                 (4, 5), (5, 4), (5, 6), (6, 5), (6, 4), (4, 6)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(1,), (99,)], "node long")
+        got = {r["node"]: r["rank"] for r in graph.pagerank(
+            df, iterations=3, seeds=seeds).collect()}
+        want = self._np_ppr(edges, [1, 99])  # 99 absent -> ignored
+        for v in want:
+            assert got[v] == pytest.approx(want[v], abs=1e-9), v
+        # restart mass keeps the seed's neighborhood ranked above the
+        # far triangle, and Σ rank = 1 still holds
+        assert got[1] > got[5] and got[2] > got[5]
+        assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+    def test_weighted_seeds_and_dangling_restart(self, spark):
+        from spark_expectations_spark.operators import graph
+        edges = [(1, 2), (2, 3)]   # 3 dangling
+        df = spark.createDataFrame(edges, "src long, dst long")
+        seeds = spark.createDataFrame([(1, 3.0), (2, 1.0)],
+                                      "node long, w double")
+        got = {r["node"]: r["rank"] for r in graph.pagerank(
+            df, iterations=2, seeds=seeds, seed_weight="w").collect()}
+        # dense replay with p = (0.75, 0.25, 0)
+        p = {1: 0.75, 2: 0.25, 3: 0.0}
+        r = dict(p)
+        for _ in range(2):
+            dang = r[3]
+            acc = {1: 0.0, 2: r[1], 3: r[2]}
+            r = {v: 0.15 * p[v] + 0.85 * (acc[v] + dang * p[v])
+                 for v in (1, 2, 3)}
+        for v in r:
+            assert got[v] == pytest.approx(r[v], abs=1e-9), v
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import graph
+        df = spark.createDataFrame([(1, 2)], "src long, dst long")
+        absent = spark.createDataFrame([(42,)], "node long")
+        with _pytest.raises(ValueError, match="no seed"):
+            graph.pagerank(df, seeds=absent)
+        bad = spark.createDataFrame([(1, 0.0)], "node long, w double")
+        with _pytest.raises(ValueError, match="seed weight"):
+            graph.pagerank(df, seeds=bad, seed_weight="w")
+
+
 class TestPagerankWeighted:
     def test_weight_equals_parallel_edge_multiplicity(self, spark):
         """pagerank(edges-with-duplicates) must equal
