@@ -553,3 +553,50 @@ def bloom_fill_report(
         F.pow(F.coalesce(F.sum(F.bit_count("bits")), F.lit(0))
               / F.lit(float(n_bits)), F.lit(float(k)))
         .alias("fpr_estimate"))
+
+
+def bloom_prefilter_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    *,
+    how: str = "inner",
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloomjoin",
+) -> DataFrame:
+    """The Bloom pre-filter join pattern end-to-end: build a filter
+    over ``small[on]``, drop every ``big`` row whose key PROVABLY has
+    no match (a False probe is proof of absence), then run the real
+    join on the survivors. Result is IDENTICAL to
+    ``big.join(small, on, how)`` — false positives pass the filter and
+    the join itself removes them — for ``how`` in ``inner`` /
+    ``left_semi`` / ``left_anti`` (for anti, provably-unmatched rows
+    short-circuit PAST the join). Outer joins must keep unmatched
+    rows, so pre-filtering would be wrong; they're rejected.
+
+    When it pays: ``small`` is too big to broadcast raw but its KEY
+    SET fits a few MB of bits, and most ``big`` keys DON'T match — the
+    filter then deletes most of the join's shuffle I/O for the cost of
+    one pass over ``small`` and k broadcast lookups per ``big`` row.
+    Check :func:`bloom_fill_report` first: fill > ~0.5 means few rows
+    get dropped and the pre-filter is overhead.
+    """
+    if how not in ("inner", "left_semi", "left_anti"):
+        raise ValueError(
+            "bloom_prefilter_join supports inner/left_semi/left_anti "
+            "(outer joins must keep unmatched rows)")
+    bloom = bloom_filter(small, on, n_bits=n_bits, k=k, salt=salt)
+    probed = bloom_might_contain(
+        bloom, big, on, n_bits=n_bits, k=k, salt=salt,
+        out_col="__bloom_hit")
+    if how == "left_anti":
+        certain_miss = (probed.filter(~F.col("__bloom_hit"))
+                        .drop("__bloom_hit"))
+        maybe = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+        return certain_miss.unionByName(
+            maybe.join(small.select(on), on, "left_anti"))
+    survivors = probed.filter(F.col("__bloom_hit")).drop("__bloom_hit")
+    if how == "left_semi":
+        return survivors.join(small.select(on), on, "left_semi")
+    return survivors.join(small, on, "inner")

@@ -6700,6 +6700,27 @@ class TestBloomFilter:
         assert sorted(map(tuple, merged.collect())) == \
             sorted(map(tuple, direct.collect()))
 
+    def test_prefilter_join_equals_plain_join(self, spark):
+        """The pre-filter wrapper is semantics-preserving: identical
+        rows to the plain join for inner/semi/anti (false positives
+        removed by the join, certain misses short-circuited)."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import sketches
+        big = spark.range(0, 300).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("payload"))
+        small = spark.range(0, 40).select(
+            (F.col("id") * 3).alias("k"), F.lit("dim").alias("attr"))
+        for how in ("inner", "left_semi", "left_anti"):
+            got = sketches.bloom_prefilter_join(
+                big, small, "k", how=how, n_bits=512, k=3)
+            want = big.join(small if how == "inner" else small.select("k"),
+                            "k", how)
+            assert sorted(map(tuple, got.collect())) == \
+                sorted(map(tuple, want.collect())), how
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="outer"):
+            sketches.bloom_prefilter_join(big, small, "k", how="left")
+
     def test_validation_null_skip_and_shape_guard(self, spark):
         import pytest as _pytest
         from spark_expectations_spark.operators import sketches
