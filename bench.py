@@ -214,6 +214,9 @@ BENCH_QUERIES = [
     # part_ppr_brand (personalized PageRank) is deliberately unbenched
     # per the sibling-configuration rule: same graph, same rounds as
     # part_copurchase_rank plus one broadcast-sized seed join
+    # per-segment chi2 sweep + closed-form p-values + BH FDR (two
+    # grouped passes + one hypotheses-scale window chain)
+    "events_drift_fdr",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -610,3 +610,165 @@ def ks_statistic(
             "ks_statistic: baseline or current side has no rows — "
             "KS is undefined on an empty sample"))).alias("ks"),
         "n_base", "n_cur")
+
+
+def chi2_by_segment(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    segment_col: str,
+    *,
+    top_n: int = 100,
+) -> DataFrame:
+    """Per-SEGMENT two-sample chi-square homogeneity — the grouped
+    twin of :func:`chi2_categorical`, for the fleet-of-tests question
+    ("did the event mix shift in ANY region/day/cohort?") that a
+    whole-table test averages away. Returns one row per segment value
+    present on either side: ``(segment, chi2, dof, n_baseline,
+    n_current, n_categories)`` with dof = categories − 1 within the
+    segment after the top-N tail fold. Segments and categories
+    normalize NULL to ``'__null__'`` like the ungrouped operator; the
+    top-N cut is per segment on COMBINED counts (same phantom-shift
+    reasoning as chi2_categorical, applied within each segment).
+
+    Many tests at once beg the multiple-testing question — feed the
+    output through :func:`chi2_pvalue` and :func:`fdr_bh`.
+
+    Scale shape: one (segment, category) groupBy per side, a
+    full-outer join on that composite key, ONE rank window per segment
+    for the top-N cut (segment-partitioned — thousands of small
+    windows, never a global sort), and a segment-keyed re-agg. Output
+    is segments-scale; nothing returns to the driver.
+    """
+    seg = F.coalesce(F.col(segment_col).cast("string"),
+                     F.lit("__null__"))
+    cat = F.coalesce(F.col(col).cast("string"), F.lit("__null__"))
+
+    def raw(df: DataFrame, out: str) -> DataFrame:
+        return df.groupBy(seg.alias("segment"),
+                          cat.alias("category")).agg(
+            F.count(F.lit(1)).alias(out))
+
+    both = (raw(baseline, "nb")
+            .join(raw(current, "nc"), ["segment", "category"],
+                  "full_outer")
+            .select("segment", "category",
+                    F.coalesce("nb", F.lit(0)).alias("nb"),
+                    F.coalesce("nc", F.lit(0)).alias("nc")))
+    w = Window.partitionBy("segment").orderBy(
+        (F.col("nb") + F.col("nc")).desc(), F.col("category").asc())
+    j = (both.withColumn("__rk", F.row_number().over(w))
+         .select("segment",
+                 F.when(F.col("__rk") <= int(top_n), F.col("category"))
+                 .otherwise(F.lit("__other__")).alias("category"),
+                 "nb", "nc")
+         .groupBy("segment", "category")
+         .agg(F.sum("nb").alias("nb"), F.sum("nc").alias("nc")))
+    tots = j.groupBy("segment").agg(
+        F.sum("nb").alias("tb"), F.sum("nc").alias("tc"),
+        F.count(F.lit(1)).alias("k"))
+    jt = j.join(tots, "segment")
+    e_b = ((F.col("nb") + F.col("nc")) * F.col("tb")
+           / (F.col("tb") + F.col("tc")))
+    e_c = ((F.col("nb") + F.col("nc")) * F.col("tc")
+           / (F.col("tb") + F.col("tc")))
+    term = (
+        F.when(e_b > 0, F.pow(F.col("nb") - e_b, 2) / e_b).otherwise(0.0)
+        + F.when(e_c > 0, F.pow(F.col("nc") - e_c, 2) / e_c)
+        .otherwise(0.0))
+    return (jt.groupBy("segment")
+            .agg(F.round(F.sum(term), 4).alias("chi2"),
+                 (F.max("k") - 1).cast("long").alias("dof"),
+                 F.max("tb").alias("n_baseline"),
+                 F.max("tc").alias("n_current"),
+                 F.max("k").alias("n_categories")))
+
+
+def chi2_pvalue(
+    chi2_col,
+    dof_col,
+    *,
+    max_dof: int = 40,
+    digits: int = 9,
+):
+    """Column expression for the chi-square survival function
+    ``P(X² > x)`` at EVEN degrees of freedom — closed form, no gamma
+    tables: with dof = 2m, the chi² distribution is Erlang(m, 1/2) and
+    ``P(X > x) = exp(-x/2) · Σ_{j<m} (x/2)^j / j!`` — a finite sum of
+    exp/pow/constants both any SQL engine and Spark evaluate
+    identically (this is why :func:`chi2_by_segment` fixtures use
+    even category counts). Data-dependent dof is handled by a CASE
+    chain over even dof up to ``max_dof``; ODD dof yields NULL (the
+    odd form needs erf, which portable SQL lacks — add a category or
+    accept NULL), as do dof < 2 (a 1-category segment tests nothing)
+    and dof > max_dof. Rounded to ``digits``.
+    """
+    if max_dof < 2:
+        raise ValueError("max_dof must be >= 2")
+    x = F.col(chi2_col) if isinstance(chi2_col, str) else chi2_col
+    d = F.col(dof_col) if isinstance(dof_col, str) else dof_col
+    half = x / F.lit(2.0)
+    expr = F.lit(None).cast("double")
+    import math
+    for dof in range(2, max_dof + 1, 2):
+        m = dof // 2
+        s = F.lit(0.0)
+        for jj in range(m):
+            s = s + F.pow(half, F.lit(float(jj))) \
+                / F.lit(float(math.factorial(jj)))
+        expr = F.when(d == dof, F.exp(-half) * s).otherwise(expr)
+    return F.round(expr, digits) + F.lit(0.0)
+
+
+def fdr_bh(
+    df: DataFrame,
+    p_col: str,
+    *,
+    alpha: float = 0.05,
+    tiebreak_cols: tuple[str, ...] | list[str] = (),
+    adj_out: str = "p_adj",
+    reject_out: str = "rejected",
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction over a frame
+    of p-values — the required step between "I ran 500 drift tests"
+    and "these segments actually drifted": at alpha = 0.05, 500 true
+    nulls yield ~25 raw rejections by construction; BH caps the
+    EXPECTED FALSE-DISCOVERY FRACTION at alpha instead. Adds
+    ``p_adj`` (step-up adjusted p-value: p·n/rank, then a running min
+    from the largest p down, clamped to 1) and ``rejected``
+    (p_adj <= alpha). NULL p-values (e.g. odd-dof segments from
+    :func:`chi2_pvalue`) are passed through unadjusted and never
+    rejected, and do NOT count toward n. Ties order by
+    ``tiebreak_cols`` so the adjustment is deterministic.
+
+    Scale shape: the input is HYPOTHESES-scale (one row per test —
+    segments, features — not data rows), so the single rank window is
+    a deliberate, documented exception to the no-global-window rule;
+    feeding corpus-scale rows into an FDR correction is a modeling
+    error, not a missing optimization.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    p = F.col(p_col)
+    tb = [F.col(c).asc() for c in tiebreak_cols]
+    nn = df.filter(p.isNotNull())
+    w_rank = Window.orderBy(p.asc(), *tb)
+    ranked = nn.select(
+        "*",
+        F.row_number().over(w_rank).alias("__rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("__n"))
+    # step-up: running min of p·n/rank from the LARGEST p downward
+    w_tail = (Window.orderBy(F.col("__rk").desc())
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.currentRow))
+    raw = (p * F.col("__n") / F.col("__rk")).alias("__raw")
+    scored = (ranked.select("*", raw)
+              .withColumn(adj_out,
+                          F.least(F.min("__raw").over(w_tail),
+                                  F.lit(1.0)))
+              .withColumn(reject_out, F.col(adj_out) <= F.lit(alpha))
+              .drop("__rk", "__n", "__raw"))
+    nulls = (df.filter(p.isNull())
+             .withColumn(adj_out, F.lit(None).cast("double"))
+             .withColumn(reject_out, F.lit(False)))
+    return scored.unionByName(nulls)

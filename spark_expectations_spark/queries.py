@@ -4650,6 +4650,97 @@ FROM j
 """
 
 
+def q_events_drift_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment chi² drift sweep + closed-form p-values + BH FDR
+    (drift.chi2_by_segment → chi2_pvalue → fdr_bh): split events into
+    a baseline/current pair by event_id parity, test the 5-category
+    event_type mix per user_id%20 cohort (5 categories ⇒ dof 4, EVEN —
+    exactly why the fixture uses event_type: the chi² survival at even
+    dof is the finite Erlang sum exp(-x/2)·Σ(x/2)^j/j!, a closed form
+    both engines evaluate identically), then Benjamini-Hochberg: 20
+    homogeneous-random tests at alpha=.05 would raw-reject ~1 by
+    construction; BH caps the expected false-discovery fraction.
+    chi2 rounds 4dp, p 9dp, p_adj 9dp in both engines."""
+    from .operators import drift
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "cohort", F.col("user_id") % 20)
+    base = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    per = drift.chi2_by_segment(base, cur, "event_type", "cohort")
+    pv = per.withColumn("p_value", drift.chi2_pvalue("chi2", "dof"))
+    out = drift.fdr_bh(pv, "p_value", alpha=0.05,
+                       tiebreak_cols=("segment",))
+    return out.select(
+        "segment", "chi2", "dof", "n_baseline", "n_current",
+        "p_value", (F.round("p_adj", 9) + F.lit(0.0)).alias("p_adj"),
+        "rejected")
+
+
+ORACLE_EVENTS_DRIFT_FDR = """
+WITH ev AS (
+  SELECT CAST(user_id % 20 AS VARCHAR) AS segment,
+         coalesce(CAST(event_type AS VARCHAR), '__null__') AS category,
+         event_id % 2 = 0 AS is_base
+  FROM events),
+cnt AS (
+  SELECT segment, category,
+         sum(CASE WHEN is_base THEN 1 ELSE 0 END) AS nb,
+         sum(CASE WHEN NOT is_base THEN 1 ELSE 0 END) AS nc
+  FROM ev GROUP BY segment, category),
+tots AS (
+  SELECT segment, sum(nb) AS tb, sum(nc) AS tc, count(*) AS k
+  FROM cnt GROUP BY segment),
+chi AS (
+  SELECT c.segment,
+         round(sum(
+           CASE WHEN (c.nb + c.nc) * t.tb / (t.tb + t.tc) > 0
+                THEN pow(c.nb - (c.nb + c.nc) * t.tb / (t.tb + t.tc), 2)
+                     / ((c.nb + c.nc) * t.tb / (t.tb + t.tc))
+                ELSE 0.0 END
+           + CASE WHEN (c.nb + c.nc) * t.tc / (t.tb + t.tc) > 0
+                THEN pow(c.nc - (c.nb + c.nc) * t.tc / (t.tb + t.tc), 2)
+                     / ((c.nb + c.nc) * t.tc / (t.tb + t.tc))
+                ELSE 0.0 END), 4) AS chi2,
+         CAST(max(t.k) - 1 AS BIGINT) AS dof,
+         max(t.tb) AS n_baseline, max(t.tc) AS n_current
+  FROM cnt c JOIN tots t USING (segment) GROUP BY c.segment),
+pv AS (
+  SELECT *,
+         CASE
+           WHEN dof = 2 THEN round(exp(-chi2/2), 9) + 0.0
+           WHEN dof = 4 THEN round(exp(-chi2/2) * (1 + chi2/2), 9) + 0.0
+           WHEN dof = 6 THEN round(exp(-chi2/2)
+             * (1 + chi2/2 + pow(chi2/2, 2)/2), 9) + 0.0
+           WHEN dof = 8 THEN round(exp(-chi2/2)
+             * (1 + chi2/2 + pow(chi2/2, 2)/2 + pow(chi2/2, 3)/6), 9)
+             + 0.0
+         END AS p_value
+  FROM chi),
+r AS (
+  SELECT *,
+         row_number() OVER (ORDER BY p_value ASC, segment ASC) AS rk,
+         count(*) OVER () AS n
+  FROM pv WHERE p_value IS NOT NULL),
+a AS (
+  SELECT *, least(min(p_value * n / rk) OVER (
+           ORDER BY rk DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+         AS p_adj
+  FROM r)
+SELECT segment, chi2, dof,
+       CAST(n_baseline AS BIGINT) AS n_baseline,
+       CAST(n_current AS BIGINT) AS n_current, p_value,
+       round(p_adj, 9) + 0.0 AS p_adj, p_adj <= 0.05 AS rejected
+FROM a
+UNION ALL
+SELECT segment, chi2, dof,
+       CAST(n_baseline AS BIGINT), CAST(n_current AS BIGINT),
+       p_value, NULL, FALSE
+FROM pv WHERE p_value IS NULL
+"""
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis (profiling.key_skew_report) on
     events.user_id — the pre-flight probe before keying a join or
@@ -8938,7 +9029,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          displaced (tpch_q3/q6, docs_mixture_resample,
 #          orders_snapshot_diff, lineitem_price_drift,
 #          docs_percentile_gate) are the declared r13 re-gate front
-#          alongside the rest of the r8 cohort.
+#          alongside the rest of the r8 cohort, PLUS the one r12-new
+#          entry the full rotation left no slot for:
+#          events_drift_fdr (locally value-gated sf0.001 AND sf0.01
+#          this round; the 34-entry stale cohort outranked it for
+#          driver slots per the r11 verdict's task 1).
 #          = 50. Displaced: the full r11-new block and the r8-front
 #          re-gates (all r11-green one round ago, rotation debt zero).
 # ---------------------------------------------------------------------------
@@ -9134,6 +9229,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_weighted_topk": q_docs_weighted_topk,
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
     "events_skew_report": q_events_skew_report,
+    "events_drift_fdr": q_events_drift_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
     "lineitem_cms_counts": q_lineitem_cms_counts,
@@ -9354,6 +9450,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,
     "events_skew_report": ORACLE_EVENTS_SKEW_REPORT,
+    "events_drift_fdr": ORACLE_EVENTS_DRIFT_FDR,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

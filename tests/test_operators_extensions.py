@@ -3508,6 +3508,79 @@ class TestReadability:
         assert got[4]["n_sentences"] == 1  # fragment = one sentence
 
 
+class TestChi2BySegmentFdr:
+    def test_shifted_segment_detected_others_survive_bh(self, spark):
+        """Only the injected segment rejects after BH; per-segment chi2
+        matches a driver-side replay; the closed-form even-dof p-value
+        matches the Erlang survival function."""
+        import collections
+        import math
+        from spark_expectations_spark.operators import drift
+        # 5 categories -> dof 4 (even) so the closed-form p applies
+        base = spark.range(0, 4000).selectExpr(
+            "id % 8 as seg", "concat('c', (id div 8) % 5) as cat")
+        cur = spark.range(0, 4000).selectExpr(
+            "id % 8 as seg",
+            "case when id % 8 = 3 then concat('c', (id div 8) % 2) "
+            "else concat('c', (id div 8) % 5) end as cat")
+        per = drift.chi2_by_segment(base, cur, "cat", "seg")
+        pv = per.withColumn("p", drift.chi2_pvalue("chi2", "dof"))
+        out = {r["segment"]: r for r in drift.fdr_bh(
+            pv, "p", alpha=0.05, tiebreak_cols=("segment",)).collect()}
+        assert out["3"]["rejected"] and not any(
+            out[s]["rejected"] for s in out if s != "3")
+        # replay segment 3's chi2 + p on the driver
+        nb = collections.Counter(
+            f"c{(i // 8) % 5}" for i in range(4000) if i % 8 == 3)
+        nc = collections.Counter(
+            f"c{(i // 8) % 2}" for i in range(4000) if i % 8 == 3)
+        tb, tc = sum(nb.values()), sum(nc.values())
+        s = 0.0
+        for c in set(nb) | set(nc):
+            b, u = nb.get(c, 0), nc.get(c, 0)
+            eb, ec = (b + u) * tb / (tb + tc), (b + u) * tc / (tb + tc)
+            s += ((b - eb) ** 2 / eb if eb > 0 else 0) \
+                + ((u - ec) ** 2 / ec if ec > 0 else 0)
+        assert out["3"]["chi2"] == round(s, 4)
+        dof = out["3"]["dof"]
+        assert dof % 2 == 0
+        h = out["3"]["chi2"] / 2
+        surv = math.exp(-h) * sum(h ** j / math.factorial(j)
+                                  for j in range(dof // 2))
+        assert out["3"]["p"] == pytest.approx(round(surv, 9), abs=1e-12)
+
+    def test_bh_stepup_arithmetic_and_null_passthrough(self, spark):
+        """Hand-checkable BH: p=(.01,.02,.04,.60) at n=4 adjusts to
+        (.04,.04,.0533.., .60); NULL p-values pass through unadjusted,
+        never rejected, and don't count toward n."""
+        from spark_expectations_spark.operators import drift
+        rows = [("a", 0.01), ("b", 0.02), ("c", 0.04), ("d", 0.60),
+                ("e", None)]
+        df = spark.createDataFrame(rows, "k string, p double")
+        got = {r["k"]: (r["p_adj"], r["rejected"]) for r in
+               drift.fdr_bh(df, "p", alpha=0.05,
+                            tiebreak_cols=("k",)).collect()}
+        assert got["a"] == (pytest.approx(0.04), True)
+        assert got["b"] == (pytest.approx(0.04), True)
+        assert got["c"] == (pytest.approx(0.04 * 4 / 3), False)
+        assert got["d"] == (pytest.approx(0.60), False)
+        assert got["e"] == (None, False)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="alpha"):
+            drift.fdr_bh(df, "p", alpha=1.5)
+
+    def test_odd_dof_yields_null_pvalue(self, spark):
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame([(5.0, 3), (5.0, 4), (5.0, 99)],
+                                   "chi2 double, dof int")
+        got = [r["p"] for r in df.select(
+            drift.chi2_pvalue("chi2", "dof", max_dof=40).alias("p"))
+            .collect()]
+        assert got[0] is None and got[2] is None
+        assert got[1] is not None
+
+
 class TestDriftReport:
     def test_matches_single_column_operators(self, spark):
         """One-job sweep == the three proven single-column operators,
