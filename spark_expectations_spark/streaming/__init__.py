@@ -1009,3 +1009,73 @@ def kmeans_update_stream(
              .parquet(out_path))
 
     return step
+
+
+def bloom_membership_stream(
+    filter_path: str,
+    key_col: str,
+    *,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "bloomstream",
+    out_path: Optional[str] = None,
+    seen_col: str = "seen_before",
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step: annotate each micro-batch row with whether
+    its key was EVER seen in any previous batch — "have we crawled
+    this URL / ingested this doc id before" at a fixed few-MB state
+    size — then fold the batch's own keys into the standing filter.
+    The probabilistic sibling of :func:`corpus_append_dedup`: that one
+    keeps an exact fingerprint index that grows with the corpus; this
+    one keeps ``n_bits`` of state FOREVER at the cost of a tunable
+    false-positive rate on ``seen_before`` (never false negatives —
+    a False is proof the key is new).
+
+    State layout: the standing filter is a parquet word table
+    partitioned by ``_batch_id`` — each batch writes ONLY its own
+    delta words (dynamic partition overwrite, so a retried batch
+    replaces its own partition) and readers OR-merge the partitions
+    (``groupBy(word).agg(bit_or)``), the mergeable-sketch rollup
+    philosophy applied to streaming state. Exactly-once under
+    foreachBatch's same-offsets replay: the probe view EXCLUDES the
+    current batch_id's partition (a failed prior attempt's
+    half-written words must not make the batch's own keys look seen),
+    so the annotation is deterministic under retry.
+
+    Per batch: one OR-merge over a words-scale table, k broadcast
+    probe joins, one k×-explode groupBy over batch rows. Nothing
+    rescans the corpus.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.sketches import (bloom_filter, bloom_might_contain)
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            words = spark.read.parquet(filter_path)
+        except AnalysisException:  # first batch: no filter yet. Other
+            # errors (corruption, perms) must propagate — an "empty
+            # filter" default would silently mark every key unseen.
+            words = spark.createDataFrame(
+                [], "word long, bits long, _batch_id long")
+        prior = (words.filter(F.col("_batch_id") != batch_id)
+                 if "_batch_id" in words.columns else words)
+        merged = (prior.groupBy("word")
+                  .agg(F.bit_or("bits").alias("bits")))
+        annotated = bloom_might_contain(
+            merged, batch_df, key_col, n_bits=n_bits, k=k, salt=salt,
+            out_col=seen_col).localCheckpoint(eager=True)
+        if out_path is not None:
+            (annotated.withColumn("_batch_id", F.lit(batch_id))
+             .write.mode("overwrite").partitionBy("_batch_id")
+             .option("partitionOverwriteMode", "dynamic")
+             .parquet(out_path))
+        delta = bloom_filter(batch_df, key_col, n_bits=n_bits, k=k,
+                             salt=salt)
+        (delta.withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite").partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(filter_path))
+
+    return step

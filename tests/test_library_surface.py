@@ -201,6 +201,43 @@ class TestStreamingDQ:
                      for r in spark.read.parquet(idx).collect())
         assert fps == ["a", "b", "c"]
 
+    def test_bloom_membership_stream_across_batches(self, spark,
+                                                    tmp_path):
+        """Fixed-size membership state: cross-batch repeats flag
+        seen_before=True, fresh keys False (never a false negative);
+        a replayed batch re-annotates identically and the filter state
+        stays idempotent (delta partitions OR-merge)."""
+        from spark_expectations_spark import streaming as st
+        fp = str(tmp_path / "bloom_words")
+        out = str(tmp_path / "annotated")
+        step = st.bloom_membership_stream(
+            fp, "url", n_bits=4096, k=3, out_path=out)
+        b1 = spark.createDataFrame(
+            [(1, "a.com"), (2, "b.com")], "id long, url string")
+        b2 = spark.createDataFrame(
+            [(3, "a.com"), (4, "c.com")], "id long, url string")
+        step(b1, 0)
+        step(b2, 1)
+        seen = {r["id"]: r["seen_before"]
+                for r in spark.read.parquet(out).collect()}
+        assert seen[3] is True          # a.com seen in batch 0
+        assert seen[1] is False and seen[2] is False  # fresh in b1
+        # c.com fresh -> almost surely False at this fill (guaranteed
+        # only no-false-NEGATIVES; 4096 bits over 2 keys -> FPR ~1e-9)
+        assert seen[4] is False
+        # replay batch 1: identical annotation, no state duplication
+        words_before = sorted(map(tuple, spark.read.parquet(fp)
+                                  .groupBy("word").sum("bits")
+                                  .collect()))
+        step(b2, 1)
+        seen2 = {r["id"]: r["seen_before"]
+                 for r in spark.read.parquet(out).collect()}
+        assert seen2 == seen
+        words_after = sorted(map(tuple, spark.read.parquet(fp)
+                                 .groupBy("word").sum("bits")
+                                 .collect()))
+        assert words_before == words_after
+
     def test_incremental_bitmap_distinct_exact_across_batches(
             self, spark, tmp_path):
         """Streaming exact distinct: counts after N batches equal
