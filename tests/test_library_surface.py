@@ -986,6 +986,48 @@ class TestPlanShapes:
         df.write.format("noop").mode("overwrite").save()
         assert plans.has_broadcast_join(df)
 
+    def test_sorted_neighborhood_no_single_task_sort(self, spark):
+        """SNM's global rank must come from the two-phase bucket trick —
+        a plan containing Exchange SinglePartition would mean the whole
+        corpus funnels through one task's sort."""
+        from spark_expectations_spark.operators import linkage
+        part = spark.read.parquet(f"{SF_DIR}/part.parquet")
+        df = linkage.sorted_neighborhood_pairs(part, "p_partkey",
+                                               "p_name", window=4)
+        txt = plans.plan_text(df, "simple")
+        assert "Exchange SinglePartition" not in txt
+
+    def test_bloom_probe_broadcasts_word_table(self, spark):
+        """The probe side's k word lookups must be broadcast joins —
+        the word table is n_bits/32 rows by construction."""
+        from spark_expectations_spark.operators import sketches
+        od = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+        cu = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+        b = sketches.bloom_filter(od, "o_custkey", n_bits=4096, k=3)
+        df = sketches.bloom_might_contain(b, cu, "c_custkey",
+                                          n_bits=4096, k=3)
+        assert plans.has_broadcast_join(df)
+        assert "SortMergeJoin" not in plans.plan_text(df, "simple")
+
+    def test_chi2_by_segment_windows_stay_partitioned(self, spark):
+        """The per-segment top-N cut is a segment-partitioned window:
+        no single-task exchange anywhere in the grouped chi2 plan."""
+        from spark_expectations_spark.operators import drift
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        base = ev.filter(F.col("event_id") % 2 == 0)
+        cur = ev.filter(F.col("event_id") % 2 == 1)
+        df = drift.chi2_by_segment(base, cur, "event_type", "user_id")
+        txt = plans.plan_text(df, "simple")
+        assert "Exchange SinglePartition" not in txt
+
+    def test_key_skew_report_combines_map_side(self, spark):
+        """The key-count groupBy must partial-aggregate (the combine
+        step is what makes the probe safe on the key it diagnoses)."""
+        from spark_expectations_spark.operators import profiling
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        df = profiling.key_skew_report(ev, ["user_id"])
+        assert plans.has_partial_aggregation(df)
+
     def test_epoch_shuffle_single_shuffle(self, spark):
         """The epoch permutation costs exactly ONE exchange (the shard
         hash partition); positions come from per-shard windows, so no
