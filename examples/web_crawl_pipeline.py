@@ -67,6 +67,29 @@ def main() -> None:
     capped = sampling.sample_per_group(staged, ["domain"], "doc_id", 60)
     print("domain cap kept:", capped.count())
 
+    # 2b. crawl-frontier membership: "have we fetched this URL in any
+    # previous crawl batch?" at a fixed few-MB state size — a Bloom
+    # filter updated per batch (False = provably new; True may be a
+    # false positive at the fill-controlled rate). Here: replay the
+    # crawl as two batches and count re-sightings.
+    from spark_expectations_spark import streaming as st
+    bloom_state = tempfile.mkdtemp(prefix="crawl_bloom_")
+    step = st.bloom_membership_stream(bloom_state, "url",
+                                      n_bits=1 << 16, k=4)
+    half = capped.filter(F.col("doc_id") % 2 == 0)
+    step(half, 0)
+    rest = capped  # second batch overlaps the first half entirely
+    # probe-only view: read state, annotate without writing
+    from spark_expectations_spark.operators import sketches
+    words = (capped.sparkSession.read.parquet(bloom_state)
+             .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+    annotated = sketches.bloom_might_contain(
+        words, rest, "url", n_bits=1 << 16, k=4, salt="bloomstream")
+    n_seen = annotated.filter("might_contain").count()
+    print(f"frontier filter: {n_seen} of {rest.count()} URLs already "
+          f"fetched in batch 0 (state: "
+          f"{words.count()} words ≈ {words.count() * 12} bytes)")
+
     # 3. quality gates: C4 doc rules + Gopher composite + language
     c4 = text.c4_document_flags(capped, "doc_id", "text",
                                 min_sentences=0,
