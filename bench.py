@@ -217,6 +217,8 @@ BENCH_QUERIES = [
     # per-segment chi2 sweep + closed-form p-values + BH FDR (two
     # grouped passes + one hypotheses-scale window chain)
     "events_drift_fdr",
+    # lineitem_ks_pvalue is deliberately unbenched per the sibling
+    # rule: lineitem_price_ks's exact plan + one scalar projection
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -772,3 +772,47 @@ def fdr_bh(
              .withColumn(adj_out, F.lit(None).cast("double"))
              .withColumn(reject_out, F.lit(False)))
     return scored.unionByName(nulls)
+
+
+def ks_pvalue(
+    ks_col,
+    n_base_col,
+    n_cur_col,
+    *,
+    terms: int = 50,
+    digits: int = 9,
+):
+    """Column expression for the two-sample KS p-value via the
+    asymptotic Kolmogorov distribution: with effective sample size
+    ``n_e = n·m/(n+m)`` and ``λ = (√n_e + 0.12 + 0.11/√n_e)·D`` (the
+    Stephens small-sample correction, Numerical Recipes §14.3),
+
+        p ≈ Q_KS(λ) = 2·Σ_{j=1..terms} (−1)^{j−1} exp(−2 j² λ²)
+
+    clamped to [0, 1]. A FIXED truncation of a fast-decaying
+    alternating series — exp and arithmetic only, so any SQL engine
+    reproduces it bit-for-bit (the chi2_pvalue portability argument;
+    at λ ≥ 0.3 the 50-term tail is below double precision). Feeds
+    :func:`fdr_bh` when many KS tests run at once. Remember
+    :func:`ks_statistic` is a grid LOWER bound on D, so this p-value
+    is conservative-high by the same margin.
+    """
+    if terms < 1:
+        raise ValueError("terms must be >= 1")
+    d = F.col(ks_col) if isinstance(ks_col, str) else ks_col
+    nb = (F.col(n_base_col) if isinstance(n_base_col, str)
+          else n_base_col).cast("double")
+    nc = (F.col(n_cur_col) if isinstance(n_cur_col, str)
+          else n_cur_col).cast("double")
+    ne = nb * nc / (nb + nc)
+    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    s = F.lit(0.0)
+    for j in range(1, terms + 1):
+        term = F.exp(F.lit(-2.0 * j * j) * lam * lam)
+        s = s + (term if j % 2 == 1 else -term)
+    # λ = 0 (D = 0) is the series' one degenerate point: every term is
+    # 1 and an even truncation sums to 0 — the true Q_KS(0⁺) is 1
+    p = F.when(lam > 0,
+               F.greatest(F.least(F.lit(2.0) * s, F.lit(1.0)),
+                          F.lit(0.0))).otherwise(F.lit(1.0))
+    return F.round(p, digits) + F.lit(0.0)

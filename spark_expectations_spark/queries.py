@@ -5520,6 +5520,71 @@ FROM c, t GROUP BY tb, tc
 """
 
 
+def q_lineitem_ks_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KS statistic + asymptotic p-value (drift.ks_pvalue): the
+    lineitem_price_ks comparison extended with the Kolmogorov-
+    distribution significance via the 50-term truncated series
+    2·Σ(−1)^(j−1)exp(−2j²λ²) at λ = (√n_e + .12 + .11/√n_e)·D — pure
+    exp/arithmetic, so the oracle evaluates the identical series
+    term-for-term in the identical left-associated order. The halves
+    are samples of the same distribution, so the expected verdict is
+    "not significant" — the value gate checks the number, not the
+    narrative."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    d = drift.ks_statistic(base, cur, "l_extendedprice", _KS_EDGES)
+    return d.select(
+        (F.round("ks", 8) + F.lit(0.0)).alias("ks"), "n_base", "n_cur",
+        drift.ks_pvalue("ks", "n_base", "n_cur").alias("p_value"))
+
+
+def _oracle_lineitem_ks_pvalue(terms: int = 50) -> str:
+    series = " ".join(
+        ("-" if j % 2 == 0 else ("+" if j > 1 else ""))
+        + f" exp({-2.0 * j * j} * l * l)"
+        for j in range(1, terms + 1))
+    return f"""
+WITH base AS (
+  SELECT len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 0),
+cur AS (
+  SELECT len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+hb AS (SELECT bucket, count(*) AS nb FROM base GROUP BY bucket),
+hc AS (SELECT bucket, count(*) AS nc FROM cur GROUP BY bucket),
+j AS (SELECT coalesce(hb.bucket, hc.bucket) AS bucket,
+             coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM hb FULL OUTER JOIN hc ON hb.bucket = hc.bucket),
+t AS (SELECT CAST(sum(nb) AS BIGINT) AS tb,
+             CAST(sum(nc) AS BIGINT) AS tc FROM j),
+c AS (SELECT bucket,
+             sum(nb) OVER (ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(nc) OVER (ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cc
+      FROM j),
+sel AS (SELECT max(abs(cb * 1.0 / tb - cc * 1.0 / tc)) AS d, tb, tc
+        FROM c, t GROUP BY tb, tc),
+lm AS (SELECT d, tb, tc,
+              (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS l
+       FROM (SELECT d, tb, tc,
+                    tb * 1.0 * tc / (tb + tc) AS ne FROM sel))
+SELECT round(d, 8) + 0.0 AS ks, tb AS n_base, tc AS n_cur,
+       CASE WHEN l > 0 THEN
+         round(greatest(least(2.0 * ({series}), 1.0), 0.0), 9) + 0.0
+       ELSE 1.0 END AS p_value
+FROM lm
+"""
+
+
+ORACLE_LINEITEM_KS_PVALUE = _oracle_lineitem_ks_pvalue()
+
+
 def q_lineitem_price_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence (drift.js_divergence) between the same
     deterministic lineitem halves lineitem_price_ks compares — the
@@ -9031,9 +9096,10 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_percentile_gate) are the declared r13 re-gate front
 #          alongside the rest of the r8 cohort, PLUS the one r12-new
 #          entry the full rotation left no slot for:
-#          events_drift_fdr (locally value-gated sf0.001 AND sf0.01
-#          this round; the 34-entry stale cohort outranked it for
-#          driver slots per the r11 verdict's task 1).
+#          events_drift_fdr and lineitem_ks_pvalue (locally
+#          value-gated sf0.001 AND sf0.01 this round; the 34-entry
+#          stale cohort outranked them for driver slots per the r11
+#          verdict's task 1).
 #          = 50. Displaced: the full r11-new block and the r8-front
 #          re-gates (all r11-green one round ago, rotation debt zero).
 # ---------------------------------------------------------------------------
@@ -9230,6 +9296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
     "events_skew_report": q_events_skew_report,
     "events_drift_fdr": q_events_drift_fdr,
+    "lineitem_ks_pvalue": q_lineitem_ks_pvalue,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
     "lineitem_cms_counts": q_lineitem_cms_counts,
@@ -9451,6 +9518,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,
     "events_skew_report": ORACLE_EVENTS_SKEW_REPORT,
     "events_drift_fdr": ORACLE_EVENTS_DRIFT_FDR,
+    "lineitem_ks_pvalue": ORACLE_LINEITEM_KS_PVALUE,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

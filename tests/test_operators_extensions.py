@@ -3569,6 +3569,38 @@ class TestChi2BySegmentFdr:
         with _pytest.raises(ValueError, match="alpha"):
             drift.fdr_bh(df, "p", alpha=1.5)
 
+    def test_ks_pvalue_series_and_bounds(self, spark):
+        """The truncated Kolmogorov series matches an independent
+        math.exp evaluation (including the Stephens correction), hits
+        the known Q_KS(1) ≈ 0.27 landmark, and respects bounds:
+        D=0 → p=1, huge D → p=0, monotone decreasing in D."""
+        import math
+        from spark_expectations_spark.operators import drift
+        rows = [(0.0, 200, 200), (0.05, 200, 200), (0.0987, 200, 200),
+                (0.2, 200, 200), (0.9, 200, 200)]
+        df = spark.createDataFrame(rows, "d double, nb long, nc long")
+        got = [r["p"] for r in df.select(
+            drift.ks_pvalue("d", "nb", "nc").alias("p")).collect()]
+
+        def ref(d, nb, nc):
+            ne = nb * nc / (nb + nc)
+            lam = (math.sqrt(ne) + 0.12 + 0.11 / math.sqrt(ne)) * d
+            if lam <= 0:
+                return 1.0
+            s = sum((-1) ** (j - 1) * math.exp(-2 * j * j * lam * lam)
+                    for j in range(1, 51))
+            return round(max(0.0, min(1.0, 2 * s)), 9)
+
+        for (d, nb, nc), g in zip(rows, got):
+            assert g == pytest.approx(ref(d, nb, nc), abs=1e-12), d
+        assert got[0] == 1.0 and got[-1] == 0.0
+        assert got == sorted(got, reverse=True)  # monotone in D
+        # λ for the 0.0987 row is ~1.0 -> the Q_KS(1) ≈ 0.27 landmark
+        assert got[2] == pytest.approx(0.27, abs=0.01)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="terms"):
+            drift.ks_pvalue("d", "nb", "nc", terms=0)
+
     def test_odd_dof_yields_null_pvalue(self, spark):
         from pyspark.sql import functions as F
         from spark_expectations_spark.operators import drift
