@@ -219,6 +219,8 @@ BENCH_QUERIES = [
     "events_drift_fdr",
     # lineitem_ks_pvalue is deliberately unbenched per the sibling
     # rule: lineitem_price_ks's exact plan + one scalar projection
+    # per-source split-conformal thresholds (one rank window per group)
+    "docs_conformal_threshold",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -11,6 +11,7 @@ to stay one-pass — exact distinct would force a shuffle per column.
 
 from __future__ import annotations
 
+import math
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
@@ -819,3 +820,108 @@ def key_skew_report(
         F.ceil(F.col("max_key_rows")
                / F.lit(float(target_rows_per_task)))
         .cast("long").alias("recommended_salt"))
+
+
+def exact_order_statistic(
+    df: DataFrame,
+    col: str,
+    k: int,
+    *,
+    accuracy: int = 10_000,
+) -> float:
+    """EXACT k-th smallest value of ``col`` (1-based, NULLs excluded)
+    without a global sort — the distributed-selection primitive behind
+    :func:`conformal_threshold`'s ungrouped path. ``percentile_approx``
+    alone is NOT exact (rank error ~n/accuracy); a full
+    ``orderBy().limit(k)`` is exact but k here is typically a corpus
+    FRACTION (0.9·n for a 90% threshold), far past top-k territory.
+
+    Two-phase bracketing instead: an approximate quantile pair brackets
+    the target rank (the sketch's rank error bounds how far off the
+    bracket can be — widened by 2× that bound on each side), ONE exact
+    count fixes how many rows fall below the bracket, and only the
+    in-bracket slice (~n/accuracy rows) is sorted. The RESULT is exact
+    and bracket-independent — sketch nondeterminism can only move the
+    bracket, and a bracket that misses the target rank is detected by
+    the count and falls back to one exact global selection via
+    ``orderBy.limit`` rather than returning a wrong answer.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1 (1-based rank)")
+    c = F.col(col)
+    nn = df.filter(c.isNotNull())
+    n = nn.count()
+    if k > n:
+        raise ValueError(f"k={k} exceeds non-null rows n={n}")
+    q = k / n
+    err = 1.0 / accuracy
+    lo_q, hi_q = max(0.0, q - 2 * err), min(1.0, q + 2 * err)
+    row = nn.agg(F.percentile_approx(
+        c, F.array(F.lit(lo_q), F.lit(hi_q)),
+        F.lit(accuracy)).alias("b")).first()
+    lo, hi = row["b"][0], row["b"][1]
+    n_below = nn.filter(c < lo).count()
+    slice_rows = (nn.filter((c >= lo) & (c <= hi))
+                  .select(c.alias("__v"))
+                  .orderBy(F.col("__v").asc())
+                  .limit(max(k - n_below, 0))
+                  .collect())
+    idx = k - n_below - 1
+    if 0 <= idx < len(slice_rows):
+        return slice_rows[idx]["__v"]
+    # bracket missed (possible only if the sketch's rank error exceeded
+    # its bound for this layout) — fall back to exact global selection
+    return (nn.select(c.alias("__v")).orderBy(F.col("__v").asc())
+            .limit(k).collect())[-1]["__v"]
+
+
+def conformal_threshold(
+    df: DataFrame,
+    score_col: str,
+    *,
+    alpha: float = 0.1,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Split-conformal calibration threshold (Vovk; Angelopoulos &
+    Bates 2023 tutorial form): given held-out NONCONFORMITY scores
+    (higher = worse), the threshold is the ``⌈(n+1)(1−alpha)⌉``-th
+    smallest score — any future exchangeable example's score falls at
+    or under it with probability ≥ 1−alpha, a FINITE-SAMPLE guarantee
+    with no distributional assumptions. This is the principled version
+    of "filter at the 90th percentile": the +1 correction is what
+    turns a quantile into a guarantee. Returns ``(group..., n, k,
+    threshold)``; threshold is NULL when ⌈(n+1)(1−alpha)⌉ > n (too few
+    calibration rows for the requested coverage — at least
+    ``1/alpha − 1`` rows are needed). NULL scores are excluded.
+
+    Scale shape: grouped, one rank window per group (per-source /
+    per-domain calibration — thousands of bounded partitions);
+    ungrouped, the two-phase :func:`exact_order_statistic` selection —
+    never a corpus-wide single-task sort. Exact order statistics make
+    the threshold value-oracle-checkable.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    s = F.col(score_col)
+    nn = df.filter(s.isNotNull())
+    if not group_cols:
+        n = nn.count()
+        k = math.ceil((n + 1) * (1.0 - alpha))
+        thr = exact_order_statistic(nn, score_col, k) if k <= n else None
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [(int(n), int(k), thr)],
+            "n long, k long, threshold double")
+    gc = list(group_cols)
+    w = Window.partitionBy(*gc).orderBy(s.asc())
+    wn = Window.partitionBy(*gc)
+    ranked = nn.select(
+        *gc, s.alias("__s"),
+        F.row_number().over(w).alias("__rk"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    k = F.ceil((F.col("n") + 1) * F.lit(1.0 - alpha)).cast("long")
+    return (ranked.withColumn("k", k)
+            .filter(F.col("__rk") == F.least(F.col("k"), F.col("n")))
+            .select(*gc, "n", "k",
+                    F.when(F.col("k") <= F.col("n"), F.col("__s"))
+                    .cast("double").alias("threshold")))

@@ -4741,6 +4741,39 @@ FROM pv WHERE p_value IS NULL
 """
 
 
+def q_docs_conformal_threshold(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Split-conformal calibration thresholds per source
+    (profiling.conformal_threshold, alpha=0.1): the ⌈(n+1)·0.9⌉-th
+    smallest doc-length score per source — the finite-sample-valid
+    version of "filter at the 90th percentile" (the +1 is what turns
+    a quantile into a coverage guarantee). Exact order statistics:
+    the rank-k VALUE is deterministic under score ties whatever the
+    tie order, so the DuckDB twin is a plain rank window."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", F.col("n_chars").cast("double").alias("score"))
+    return profiling.conformal_threshold(
+        docs, "score", alpha=0.1, group_cols=("source",))
+
+
+ORACLE_DOCS_CONFORMAL_THRESHOLD = """
+WITH r AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS s,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY CAST(n_chars AS DOUBLE) ASC)
+           AS rk,
+         count(*) OVER (PARTITION BY source) AS n
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST(ceil((n + 1) * 0.9) AS BIGINT) AS k,
+       CASE WHEN ceil((n + 1) * 0.9) <= n THEN s END AS threshold
+FROM r
+WHERE rk = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), CAST(n AS BIGINT))
+"""
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis (profiling.key_skew_report) on
     events.user_id — the pre-flight probe before keying a join or
@@ -9096,10 +9129,10 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_percentile_gate) are the declared r13 re-gate front
 #          alongside the rest of the r8 cohort, PLUS the one r12-new
 #          entry the full rotation left no slot for:
-#          events_drift_fdr and lineitem_ks_pvalue (locally
-#          value-gated sf0.001 AND sf0.01 this round; the 34-entry
-#          stale cohort outranked them for driver slots per the r11
-#          verdict's task 1).
+#          events_drift_fdr, lineitem_ks_pvalue, and
+#          docs_conformal_threshold (locally value-gated sf0.001 AND
+#          sf0.01 this round; the 34-entry stale cohort outranked them
+#          for driver slots per the r11 verdict's task 1).
 #          = 50. Displaced: the full r11-new block and the r8-front
 #          re-gates (all r11-green one round ago, rotation debt zero).
 # ---------------------------------------------------------------------------
@@ -9297,6 +9330,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_skew_report": q_events_skew_report,
     "events_drift_fdr": q_events_drift_fdr,
     "lineitem_ks_pvalue": q_lineitem_ks_pvalue,
+    "docs_conformal_threshold": q_docs_conformal_threshold,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
     "lineitem_cms_counts": q_lineitem_cms_counts,
@@ -9519,6 +9553,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_skew_report": ORACLE_EVENTS_SKEW_REPORT,
     "events_drift_fdr": ORACLE_EVENTS_DRIFT_FDR,
     "lineitem_ks_pvalue": ORACLE_LINEITEM_KS_PVALUE,
+    "docs_conformal_threshold": ORACLE_DOCS_CONFORMAL_THRESHOLD,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

@@ -922,6 +922,53 @@ class TestSamplePerGroup:
         assert all(n <= 5 for n in per.values())
 
 
+class TestConformalThreshold:
+    def test_ungrouped_exact_selection_and_guarantee_arithmetic(
+            self, spark):
+        """The ungrouped path selects the exact ⌈(n+1)(1−α)⌉-th order
+        statistic via two-phase bracketing — no global sort — and
+        matches the direct formula on a known ladder."""
+        import math
+        from spark_expectations_spark.operators import profiling
+        df = spark.range(1, 1001).selectExpr("cast(id as double) as s")
+        r = profiling.conformal_threshold(df, "s", alpha=0.1).first()
+        assert (r["n"], r["k"]) == (1000, math.ceil(1001 * 0.9))
+        assert r["threshold"] == float(r["k"])
+        # order-statistic primitive: endpoints and a middle rank
+        assert profiling.exact_order_statistic(df, "s", 1) == 1.0
+        assert profiling.exact_order_statistic(df, "s", 1000) == 1000.0
+        assert profiling.exact_order_statistic(df, "s", 500) == 500.0
+
+    def test_grouped_ties_nulls_and_insufficient_rows(self, spark):
+        """Per-group thresholds: ties resolve to a deterministic VALUE
+        (any tie order lands on the same score), NULL scores are
+        excluded, and a group too small for the requested coverage
+        (n < 1/alpha − 1) gets a NULL threshold, not a false one."""
+        import math
+        from spark_expectations_spark.operators import profiling
+        rows = ([("a", float(1 + i // 2)) for i in range(100)]
+                + [("a", None), ("b", 5.0), ("b", 7.0)])
+        df = spark.createDataFrame(rows, "g string, s double")
+        out = {r["g"]: (r["n"], r["k"], r["threshold"]) for r in
+               profiling.conformal_threshold(
+                   df, "s", alpha=0.1, group_cols=("g",)).collect()}
+        k = math.ceil(101 * 0.9)
+        # scores are 1,1,2,2,...,50,50 -> rank-91 value is ceil(91/2)
+        assert out["a"] == (100, k, float(math.ceil(k / 2)))
+        assert out["b"] == (2, 3, None)
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.range(3).selectExpr("cast(id as double) as s")
+        with _pytest.raises(ValueError, match="alpha"):
+            profiling.conformal_threshold(df, "s", alpha=0.0)
+        with _pytest.raises(ValueError, match="k must"):
+            profiling.exact_order_statistic(df, "s", 0)
+        with _pytest.raises(ValueError, match="exceeds"):
+            profiling.exact_order_statistic(df, "s", 99)
+
+
 class TestKeySkewReport:
     def test_uniform_vs_hot_key(self, spark):
         """A uniform key reads as no-skew (ratio 1, entropy 1, salt 1);
