@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (206 queries, 200 with DuckDB
+catalog from spark_expectations_spark.queries (207 queries, 200 with DuckDB
 oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
 whose md5_48 twins carry full value oracles — the HLL-sketch
 events_distinct_rollup, approximate by construction with an exact
@@ -13,7 +13,9 @@ twin and are pytest-verified against known covariance fixtures and a
 numpy differential (both have value-checked invariant twins:
 embed_whiten_check and embed_pca_check), and docs_bpe,
 whose learned BPE merge table has no SQL twin and is pinned by
-differential tests against a pure-Python reference implementation).
+differential tests against a pure-Python reference implementation, and
+docs_compression_ratio, whose zlib call has no SQL twin and is pinned
+by a same-library byte-for-byte differential).
 tests/test_driver_contract.py asserts these counts stay in sync.
 
 Ordering: the driver harness samples the FIRST 50 queries, so

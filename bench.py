@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     # rule: lineitem_price_ks's exact plan + one scalar projection
     # per-source split-conformal thresholds (one rank window per group)
     "docs_conformal_threshold",
+    # zlib compression-ratio quality signal (Arrow mapInPandas pass)
+    "docs_compression_ratio",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

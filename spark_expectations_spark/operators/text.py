@@ -2040,3 +2040,64 @@ def isotonic_calibrate(
                     "left")
             .withColumn(out_col, F.col("__cal"))
             .drop("__s", "__cal"))
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    level: int = 6,
+    out: str = "compression_ratio",
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed bytes / UTF-8
+    bytes) — the classic corpus-quality signal the regex heuristics
+    here can't reproduce (RefinedWeb/MassiveText use it as a gate):
+    BOTH tails are suspect. Very low ratio = highly repetitive text
+    (boilerplate, keyword stuffing, generation loops — the cheap
+    whole-corpus complement to text_repetition's n-gram rates); ratio
+    near or above 1 = high-entropy non-text (base64 blobs, minified
+    bundles, binary spills past the decoder). Returns
+    ``(id, n_bytes, out)``; NULL text → NULL ratio, empty text →
+    NULL ratio (0/0 has no signal).
+
+    Arrow-batched ``mapInPandas`` — zlib is the justified-Python
+    stage (no codegen form exists); one pass, partition-preserving,
+    zero shuffle, ~GB/s/core so the scan dominates. Deterministic for
+    a fixed zlib version and ``level`` (pinned by a same-library
+    differential test, not a cross-engine oracle — SQL has no zlib).
+    """
+    if not 1 <= level <= 9:
+        raise ValueError("level must be in 1..9")
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("n_bytes", LongType()),
+        StructField(out, DoubleType()),
+    ])
+
+    def batches(it):
+        import zlib
+
+        import pandas as pd
+        for pdf in it:
+            sizes, ratios = [], []
+            for t in pdf[text_col]:
+                if t is None:
+                    sizes.append(None)
+                    ratios.append(None)
+                    continue
+                raw = t.encode("utf-8")
+                sizes.append(len(raw))
+                ratios.append(
+                    len(zlib.compress(raw, level)) / len(raw)
+                    if raw else None)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": pd.array(sizes, dtype="Int64"),
+                out: pd.array(ratios, dtype="float64"),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(batches, schema)

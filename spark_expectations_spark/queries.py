@@ -4774,6 +4774,20 @@ WHERE rk = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), CAST(n AS BIGINT))
 """
 
 
+def q_docs_compression_ratio(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Per-document zlib compression ratio (text.compression_ratio) —
+    the RefinedWeb/MassiveText quality gate: low ratio = repetitive
+    boilerplate, near-1 = high-entropy non-text. DECLARED ROWS-ONLY:
+    zlib has no SQL twin (the docs_bpe precedent); determinism is
+    pinned by a same-library byte-for-byte differential test and the
+    Arrow plumbing (NULL/empty handling, n_bytes) by pytest."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    return T.compression_ratio(docs, "doc_id", "text")
+
+
 def q_events_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew diagnosis (profiling.key_skew_report) on
     events.user_id — the pre-flight probe before keying a join or
@@ -9331,6 +9345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_drift_fdr": q_events_drift_fdr,
     "lineitem_ks_pvalue": q_lineitem_ks_pvalue,
     "docs_conformal_threshold": q_docs_conformal_threshold,
+    "docs_compression_ratio": q_docs_compression_ratio,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
     "lineitem_cms_counts": q_lineitem_cms_counts,

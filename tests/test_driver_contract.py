@@ -45,6 +45,9 @@ class TestDriverContract:
             "docs_bpe",                 # iterative merge replay — no SQL
                                         # twin; TestBpe pins the merge
                                         # order on a hand-computed corpus
+            "docs_compression_ratio",   # zlib — no SQL twin;
+                                        # TestCompressionRatio pins a
+                                        # same-library byte differential
         }
         missing = set(mod.queries()) - set(mod.oracle_sql())
         assert missing == declared_rows_only, (

@@ -3906,6 +3906,31 @@ class TestNormalizeText:
         assert self._one(spark, None) is None
 
 
+class TestCompressionRatio:
+    def test_differential_vs_zlib_and_signal_direction(self, spark):
+        """Ratios match a direct zlib call byte-for-byte; repetitive
+        text compresses far better than high-entropy text (the signal
+        both gate tails rely on); NULL/empty yield NULL."""
+        import zlib
+        from spark_expectations_spark.operators import text as T
+        rows = [(1, "spam spam spam " * 50),
+                (2, "9f8a7c1e" * 2 + "Zq3!xVb7Lk0@mN5#pR8$wT2%yU6^"),
+                (3, None), (4, "")]
+        df = spark.createDataFrame(rows, "id long, text string")
+        got = {r["id"]: (r["n_bytes"], r["compression_ratio"])
+               for r in T.compression_ratio(df, "id", "text").collect()}
+        for i, t in rows[:2]:
+            raw = t.encode("utf-8")
+            want = len(zlib.compress(raw, 6)) / len(raw)
+            assert got[i] == (len(raw), pytest.approx(want, abs=0)), i
+        assert got[1][1] < 0.1 < got[2][1]   # repetitive << entropy
+        assert got[3] == (None, None)
+        assert got[4] == (0, None)
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="level"):
+            T.compression_ratio(df, "id", "text", level=0)
+
+
 class TestBpe:
     def test_hand_computed_merge_order(self, spark):
         """'aa'×3 + 'ab'×2 corpus: every merge and tiebreak is
