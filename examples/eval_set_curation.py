@@ -15,7 +15,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-from pyspark.sql import SparkSession
+from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from spark_expectations_spark.operators import graph, profiling, similarity
@@ -100,6 +100,22 @@ def main() -> None:
         metric="interval").first()
     print(f"judge-panel interval alpha: {alpha['alpha']:.4f} "
           f"over {alpha['n_units']} items")
+
+    # 6. conformal acceptance gate: per-source threshold on a
+    # nonconformity score (here: how far a doc's length sits from its
+    # source norm) with a finite-sample ≥90% coverage guarantee —
+    # the principled version of "cut at the 90th percentile"
+    scores = docs.select(
+        "source",
+        F.abs(F.col("n_chars")
+              - F.avg("n_chars").over(Window.partitionBy("source")))
+        .cast("double").alias("nonconf"))
+    thr = profiling.conformal_threshold(scores, "nonconf", alpha=0.1,
+                                        group_cols=("source",))
+    worst = thr.orderBy(F.col("threshold").desc()).first()
+    print(f"conformal gates over {thr.count()} sources; loosest: "
+          f"{worst['source']} at {worst['threshold']:.1f} "
+          f"(n={worst['n']}, k={worst['k']})")
 
     spark.stop()
 
