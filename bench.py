@@ -223,6 +223,9 @@ BENCH_QUERIES = [
     "docs_conformal_threshold",
     # zlib compression-ratio quality signal (Arrow mapInPandas pass)
     "docs_compression_ratio",
+    # per-segment KS + Kolmogorov p-values + BH (the numeric fleet
+    # chain; segment-partitioned cumulative windows)
+    "lineitem_ks_by_flag_fdr",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -804,15 +804,87 @@ def ks_pvalue(
           else n_base_col).cast("double")
     nc = (F.col(n_cur_col) if isinstance(n_cur_col, str)
           else n_cur_col).cast("double")
-    ne = nb * nc / (nb + nc)
-    lam = (F.sqrt(ne) + F.lit(0.12) + F.lit(0.11) / F.sqrt(ne)) * d
+    ne = F.try_divide(nb * nc, nb + nc)
+    # ne = 0 (an empty side) must yield NULL, not an ANSI
+    # divide-by-zero from the 0.11/sqrt(ne) correction term
+    lam = F.when(ne > 0,
+                 (F.sqrt(ne) + F.lit(0.12)
+                  + F.lit(0.11) / F.sqrt(ne)) * d)
     s = F.lit(0.0)
     for j in range(1, terms + 1):
         term = F.exp(F.lit(-2.0 * j * j) * lam * lam)
         s = s + (term if j % 2 == 1 else -term)
     # λ = 0 (D = 0) is the series' one degenerate point: every term is
-    # 1 and an even truncation sums to 0 — the true Q_KS(0⁺) is 1
-    p = F.when(lam > 0,
+    # 1 and an even truncation sums to 0 — the true Q_KS(0⁺) is 1.
+    # NULL inputs (e.g. ks_by_segment's one-sided segments) pass
+    # through as NULL p — a WHEN(NULL > 0) would otherwise fall into
+    # the λ=0 branch and report a confident 1.0
+    p = (F.when(lam.isNull(), F.lit(None).cast("double"))
+         .when(lam > 0,
                F.greatest(F.least(F.lit(2.0) * s, F.lit(1.0)),
-                          F.lit(0.0))).otherwise(F.lit(1.0))
+                          F.lit(0.0)))
+         .otherwise(F.lit(1.0)))
     return F.round(p, digits) + F.lit(0.0)
+
+
+def ks_by_segment(
+    baseline: DataFrame,
+    current: DataFrame,
+    col: str,
+    segment_col: str,
+    *,
+    edges: list,
+    drop_nulls: bool = False,
+) -> DataFrame:
+    """Per-SEGMENT binned two-sample KS — the grouped twin of
+    :func:`ks_statistic` completing the fleet-of-tests story for
+    NUMERIC drift the way :func:`chi2_by_segment` does for
+    categorical: "did the price distribution move in ANY region/day/
+    cohort". Returns ``(segment, ks, n_base, n_cur)``; feed through
+    :func:`ks_pvalue` and :func:`fdr_bh` before acting on any single
+    segment's number. Same grid/NULL conventions as ks_statistic
+    (grid evaluation bounds D from below; ``drop_nulls=True`` excludes
+    NULL values, else they land in bucket 0). Segments with rows on
+    only one side yield NULL ks (a one-sided KS is undefined) rather
+    than raising — a fleet sweep should report the degenerate cohort,
+    not die on it.
+
+    Scale shape: one (segment, bucket) groupBy per side — the bucket
+    fold rides the scan projection — a full-outer align, per-segment
+    cumulative windows (segment-partitioned, bucket-cardinality rows
+    each), and a segment-keyed max. Output is segments-scale.
+    """
+    arr = F.array(*[F.lit(float(e)) for e in edges])
+    seg = F.coalesce(F.col(segment_col).cast("string"),
+                     F.lit("__null__"))
+    if drop_nulls:
+        baseline = baseline.filter(F.col(col).isNotNull())
+        current = current.filter(F.col(col).isNotNull())
+
+    def hist(df: DataFrame, out: str) -> DataFrame:
+        b = F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) >= e, 1).otherwise(0))
+        return df.groupBy(seg.alias("segment"), b.alias("bucket")).agg(
+            F.count(F.lit(1)).alias(out))
+
+    j = (hist(baseline, "_nb")
+         .join(hist(current, "_nc"), ["segment", "bucket"],
+               "full_outer")
+         .select("segment", "bucket",
+                 F.coalesce("_nb", F.lit(0)).alias("_nb"),
+                 F.coalesce("_nc", F.lit(0)).alias("_nc")))
+    w = (Window.partitionBy("segment").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (j.withColumn("_cb", F.sum("_nb").over(w))
+           .withColumn("_cc", F.sum("_nc").over(w)))
+    tot = j.groupBy("segment").agg(F.sum("_nb").alias("_tb"),
+                                   F.sum("_nc").alias("_tc"))
+    gap = F.abs(F.try_divide(F.col("_cb"), F.col("_tb"))
+                - F.try_divide(F.col("_cc"), F.col("_tc")))
+    return (cum.join(tot, "segment")
+            .groupBy("segment")
+            .agg(F.when((F.max("_tb") > 0) & (F.max("_tc") > 0),
+                        F.max(gap)).alias("ks"),
+                 F.max("_tb").alias("n_base"),
+                 F.max("_tc").alias("n_cur")))

@@ -5632,6 +5632,103 @@ FROM lm
 ORACLE_LINEITEM_KS_PVALUE = _oracle_lineitem_ks_pvalue()
 
 
+def q_lineitem_ks_by_flag_fdr(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """The full numeric-drift fleet chain (drift.ks_by_segment →
+    ks_pvalue → fdr_bh): binned KS per l_returnflag segment between
+    the lineitem halves, the 50-term Kolmogorov p-value per segment,
+    and Benjamini-Hochberg over the simultaneous tests — the
+    categorical chain's (events_drift_fdr) numeric twin. Same grid as
+    lineitem_price_ks; homogeneous random halves, so the expected
+    verdict is no rejections — the value gate checks the numbers."""
+    from .operators import drift
+
+    li = load(spark, sf_dir, "lineitem")
+    base = li.filter(F.col("l_orderkey") % 2 == 0)
+    cur = li.filter(F.col("l_orderkey") % 2 == 1)
+    per = drift.ks_by_segment(base, cur, "l_extendedprice",
+                              "l_returnflag", edges=_KS_EDGES)
+    pv = per.withColumn("p_value",
+                        drift.ks_pvalue("ks", "n_base", "n_cur"))
+    out = drift.fdr_bh(pv, "p_value", alpha=0.05,
+                       tiebreak_cols=("segment",))
+    return out.select(
+        "segment", (F.round("ks", 8) + F.lit(0.0)).alias("ks"),
+        "n_base", "n_cur", "p_value",
+        (F.round("p_adj", 9) + F.lit(0.0)).alias("p_adj"), "rejected")
+
+
+def _oracle_lineitem_ks_by_flag_fdr(terms: int = 50) -> str:
+    series = " ".join(
+        ("-" if j % 2 == 0 else ("+" if j > 1 else ""))
+        + f" exp({-2.0 * j * j} * l * l)"
+        for j in range(1, terms + 1))
+    return f"""
+WITH base AS (
+  SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__null__') AS segment,
+         len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 0),
+cur AS (
+  SELECT coalesce(CAST(l_returnflag AS VARCHAR), '__null__') AS segment,
+         len(list_filter({_KS_EDGES_SQL},
+                         e -> l_extendedprice >= e)) AS bucket
+  FROM lineitem WHERE l_orderkey % 2 = 1),
+hb AS (SELECT segment, bucket, count(*) AS nb FROM base
+       GROUP BY segment, bucket),
+hc AS (SELECT segment, bucket, count(*) AS nc FROM cur
+       GROUP BY segment, bucket),
+j AS (SELECT coalesce(hb.segment, hc.segment) AS segment,
+             coalesce(hb.bucket, hc.bucket) AS bucket,
+             coalesce(nb, 0) AS nb, coalesce(nc, 0) AS nc
+      FROM hb FULL OUTER JOIN hc
+        ON hb.segment = hc.segment AND hb.bucket = hc.bucket),
+t AS (SELECT segment, sum(nb) AS tb, sum(nc) AS tc FROM j
+      GROUP BY segment),
+c AS (SELECT segment, bucket,
+             sum(nb) OVER (PARTITION BY segment ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cb,
+             sum(nc) OVER (PARTITION BY segment ORDER BY bucket
+                           ROWS UNBOUNDED PRECEDING) AS cc
+      FROM j),
+sel AS (SELECT c.segment,
+               CASE WHEN max(t.tb) > 0 AND max(t.tc) > 0 THEN
+                 max(abs(cb * 1.0 / t.tb - cc * 1.0 / t.tc)) END AS d,
+               CAST(max(t.tb) AS BIGINT) AS n_base,
+               CAST(max(t.tc) AS BIGINT) AS n_cur
+        FROM c JOIN t ON t.segment = c.segment GROUP BY c.segment),
+lm AS (SELECT segment, d, n_base, n_cur,
+              (sqrt(ne) + 0.12 + 0.11 / sqrt(ne)) * d AS l
+       FROM (SELECT *, n_base * 1.0 * n_cur / (n_base + n_cur) AS ne
+             FROM sel)),
+pv AS (SELECT segment, d, n_base, n_cur,
+              CASE WHEN l IS NULL THEN NULL
+                   WHEN l > 0 THEN round(greatest(least(
+                     2.0 * ({series}), 1.0), 0.0), 9) + 0.0
+                   ELSE 1.0 END AS p_value
+       FROM lm),
+r AS (SELECT *,
+             row_number() OVER (ORDER BY p_value ASC, segment ASC)
+               AS rk,
+             count(*) OVER () AS n
+      FROM pv WHERE p_value IS NOT NULL),
+a AS (SELECT *, least(min(p_value * n / rk) OVER (
+            ORDER BY rk DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 1.0)
+          AS p_adj
+      FROM r)
+SELECT segment, round(d, 8) + 0.0 AS ks, n_base, n_cur, p_value,
+       round(p_adj, 9) + 0.0 AS p_adj, p_adj <= 0.05 AS rejected
+FROM a
+UNION ALL
+SELECT segment, round(d, 8) + 0.0, n_base, n_cur, p_value, NULL, FALSE
+FROM pv WHERE p_value IS NULL
+"""
+
+
+ORACLE_LINEITEM_KS_BY_FLAG_FDR = _oracle_lineitem_ks_by_flag_fdr()
+
+
 def q_lineitem_price_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Jensen–Shannon divergence (drift.js_divergence) between the same
     deterministic lineitem halves lineitem_price_ks compares — the
@@ -9143,10 +9240,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_percentile_gate) are the declared r13 re-gate front
 #          alongside the rest of the r8 cohort, PLUS the one r12-new
 #          entry the full rotation left no slot for:
-#          events_drift_fdr, lineitem_ks_pvalue, and
-#          docs_conformal_threshold (locally value-gated sf0.001 AND
-#          sf0.01 this round; the 34-entry stale cohort outranked them
-#          for driver slots per the r11 verdict's task 1).
+#          events_drift_fdr, lineitem_ks_pvalue,
+#          docs_conformal_threshold, and lineitem_ks_by_flag_fdr
+#          (locally value-gated sf0.001 AND sf0.01 this round; the
+#          34-entry stale cohort outranked them for driver slots per
+#          the r11 verdict's task 1) plus the rows-only
+#          docs_compression_ratio.
 #          = 50. Displaced: the full r11-new block and the r8-front
 #          re-gates (all r11-green one round ago, rotation debt zero).
 # ---------------------------------------------------------------------------
@@ -9346,6 +9445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_ks_pvalue": q_lineitem_ks_pvalue,
     "docs_conformal_threshold": q_docs_conformal_threshold,
     "docs_compression_ratio": q_docs_compression_ratio,
+    "lineitem_ks_by_flag_fdr": q_lineitem_ks_by_flag_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
     "lineitem_cms_counts": q_lineitem_cms_counts,
@@ -9569,6 +9669,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_drift_fdr": ORACLE_EVENTS_DRIFT_FDR,
     "lineitem_ks_pvalue": ORACLE_LINEITEM_KS_PVALUE,
     "docs_conformal_threshold": ORACLE_DOCS_CONFORMAL_THRESHOLD,
+    "lineitem_ks_by_flag_fdr": ORACLE_LINEITEM_KS_BY_FLAG_FDR,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

@@ -3616,6 +3616,29 @@ class TestChi2BySegmentFdr:
         with _pytest.raises(ValueError, match="alpha"):
             drift.fdr_bh(df, "p", alpha=1.5)
 
+    def test_ks_by_segment_detects_shift_and_one_sided_null(self, spark):
+        """Per-segment KS: the shifted segment's D dominates, identical
+        segments read ~0, and a segment present on only one side
+        yields NULL ks (one-sided KS is undefined) which ks_pvalue
+        passes through as NULL, never a confident 1.0."""
+        from spark_expectations_spark.operators import drift
+        edges = [float(e) for e in range(0, 101, 10)]
+        base = spark.range(0, 900).selectExpr(
+            "id % 3 as seg", "cast(id % 100 as double) as v")
+        cur = spark.range(0, 900).selectExpr(
+            "id % 3 as seg",
+            "cast(if(id % 3 = 1, 50 + (id % 50), id % 100) as double) as v"
+        ).unionByName(
+            spark.range(0, 10).selectExpr(
+                "99 as seg", "cast(id as double) as v"))
+        per = drift.ks_by_segment(base, cur, "v", "seg", edges=edges)
+        got = {r["segment"]: r for r in per.withColumn(
+            "p", drift.ks_pvalue("ks", "n_base", "n_cur")).collect()}
+        assert got["1"]["ks"] > 0.4 > got["0"]["ks"]
+        assert got["2"]["ks"] == got["0"]["ks"]  # same construction
+        assert got["99"]["ks"] is None and got["99"]["p"] is None
+        assert got["1"]["p"] < 1e-6 and got["0"]["p"] > 0.5
+
     def test_ks_pvalue_series_and_bounds(self, spark):
         """The truncated Kolmogorov series matches an independent
         math.exp evaluation (including the Stephens correction), hits
