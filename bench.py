@@ -226,6 +226,8 @@ BENCH_QUERIES = [
     # per-segment KS + Kolmogorov p-values + BH (the numeric fleet
     # chain; segment-partitioned cumulative windows)
     "lineitem_ks_by_flag_fdr",
+    # budgeted frame-sampling plan (integer sequence/stride explode)
+    "docs_frame_plan",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

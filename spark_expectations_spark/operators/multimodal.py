@@ -322,18 +322,40 @@ def frame_sample_plan(
     id_col: str,
     duration_col: str,
     every_ms: int = 1000,
+    max_frames: Optional[int] = None,
 ) -> DataFrame:
-    """Video frame-sampling *plan*: explode (id, frame_ts_ms) rows without
-    touching media bytes — pure JVM sequence/explode. The decode of each
-    sampled frame then routes through extract_features on a frame-level
-    binary column (stubbed here)."""
-    return df.select(
-        F.col(id_col),
-        F.explode(
-            F.sequence(F.lit(0).cast("long"), F.col(duration_col).cast("long"),
-                       F.lit(int(every_ms)).cast("long"))
-        ).alias("frame_ts_ms"),
-    )
+    """Video frame-sampling *plan*: explode (id, frame_idx,
+    frame_ts_ms) rows without touching media bytes — pure JVM
+    sequence/explode. The decode of each sampled frame then routes
+    through extract_features on a frame-level binary column (stubbed
+    here).
+
+    ``max_frames`` caps the per-video budget with a UNIFORM stride:
+    a 3-hour video at every_ms=1000 is 10800 candidate frames — a
+    training pipeline wants "at most 64, evenly spread". The stride is
+    ``ceil(candidates / max_frames)`` in integer arithmetic, so the
+    kept set is exact, engine-independent, and at most ``max_frames``
+    rows per video; frame 0 is always kept. NULL/negative durations
+    produce no rows (nothing to sample). Everything is a projection +
+    explode — zero shuffle, and the output is bounded by
+    Σ min(candidates, max_frames) regardless of video length.
+    """
+    if every_ms < 1:
+        raise ValueError("every_ms must be >= 1")
+    if max_frames is not None and max_frames < 1:
+        raise ValueError("max_frames must be >= 1")
+    dur = F.col(duration_col).cast("long")
+    n = F.when(dur >= 0, F.floor(dur / every_ms) + 1)
+    idx = F.explode(F.sequence(F.lit(0).cast("long"),
+                               (n - 1).cast("long"))).alias("frame_idx")
+    out = df.filter(n.isNotNull()).select(F.col(id_col), n.alias("__n"),
+                                          idx)
+    if max_frames is not None:
+        stride = F.ceil(F.col("__n") / F.lit(int(max_frames)))
+        out = out.filter(F.col("frame_idx") % stride == 0)
+    return out.select(
+        id_col, "frame_idx",
+        (F.col("frame_idx") * F.lit(int(every_ms))).alias("frame_ts_ms"))
 
 
 def resize_media(

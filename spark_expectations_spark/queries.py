@@ -4774,6 +4774,38 @@ WHERE rk = least(CAST(ceil((n + 1) * 0.9) AS BIGINT), CAST(n AS BIGINT))
 """
 
 
+def q_docs_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted video frame-sampling plan
+    (multimodal.frame_sample_plan with max_frames): synthesize a
+    duration per document (n_chars·37 ms — documents stand in for
+    videos, the codec-free part of the multimodal story), plan one
+    frame per 500 ms capped at 16 uniformly-strided frames per video.
+    Pure integer sequence/stride arithmetic — the exploded plan is
+    value-exact in SQL, frame 0 always kept."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") * 37).alias("duration_ms"))
+    return multimodal.frame_sample_plan(
+        docs, id_col="doc_id", duration_col="duration_ms",
+        every_ms=500, max_frames=16)
+
+
+ORACLE_DOCS_FRAME_PLAN = """
+WITH n AS (
+  SELECT doc_id,
+         CAST(floor((n_chars * 37) / 500) + 1 AS BIGINT) AS n
+  FROM documents WHERE n_chars * 37 >= 0),
+f AS (
+  SELECT doc_id, n, CAST(i AS BIGINT) AS frame_idx
+  FROM n, UNNEST(range(0, n)) AS t(i))
+SELECT doc_id, frame_idx,
+       CAST(frame_idx * 500 AS BIGINT) AS frame_ts_ms
+FROM f
+WHERE frame_idx % CAST(ceil(n / 16.0) AS BIGINT) = 0
+"""
+
+
 def q_docs_compression_ratio(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio (text.compression_ratio) —
@@ -9241,7 +9273,8 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          alongside the rest of the r8 cohort, PLUS the one r12-new
 #          entry the full rotation left no slot for:
 #          events_drift_fdr, lineitem_ks_pvalue,
-#          docs_conformal_threshold, and lineitem_ks_by_flag_fdr
+#          docs_conformal_threshold, docs_frame_plan, and
+#          lineitem_ks_by_flag_fdr
 #          (locally value-gated sf0.001 AND sf0.01 this round; the
 #          34-entry stale cohort outranked them for driver slots per
 #          the r11 verdict's task 1) plus the rows-only
@@ -9445,6 +9478,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_ks_pvalue": q_lineitem_ks_pvalue,
     "docs_conformal_threshold": q_docs_conformal_threshold,
     "docs_compression_ratio": q_docs_compression_ratio,
+    "docs_frame_plan": q_docs_frame_plan,
     "lineitem_ks_by_flag_fdr": q_lineitem_ks_by_flag_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
@@ -9670,6 +9704,7 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_ks_pvalue": ORACLE_LINEITEM_KS_PVALUE,
     "docs_conformal_threshold": ORACLE_DOCS_CONFORMAL_THRESHOLD,
     "lineitem_ks_by_flag_fdr": ORACLE_LINEITEM_KS_BY_FLAG_FDR,
+    "docs_frame_plan": ORACLE_DOCS_FRAME_PLAN,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

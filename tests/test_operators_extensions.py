@@ -1225,6 +1225,35 @@ class TestMultimodal:
                                            duration_col="duration_ms")
         assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
 
+    def test_frame_sample_plan_budget_and_degenerates(self, spark):
+        """max_frames caps per-video rows with a uniform integer
+        stride (frame 0 always kept, at most max_frames rows); NULL
+        and negative durations produce no rows."""
+        import pytest as _pytest
+        rows = [(1, 10_800_000), (2, 500), (3, None), (4, -5)]
+        df = spark.createDataFrame(rows, "vid long, duration_ms long")
+        out = multimodal.frame_sample_plan(
+            df, id_col="vid", duration_col="duration_ms",
+            every_ms=1000, max_frames=64)
+        per = {}
+        for r in out.collect():
+            per.setdefault(r["vid"], []).append(
+                (r["frame_idx"], r["frame_ts_ms"]))
+        # 3-hour video: 10801 candidates, stride ceil(10801/64)=169
+        assert len(per[1]) == -(-10801 // 169)
+        assert per[1][0] == (0, 0)
+        assert all(i % 169 == 0 and ts == i * 1000 for i, ts in per[1])
+        assert len(per[1]) <= 64
+        assert per[2] == [(0, 0)]          # sub-interval clip: frame 0
+        assert 3 not in per and 4 not in per
+        with _pytest.raises(ValueError, match="max_frames"):
+            multimodal.frame_sample_plan(
+                df, id_col="vid", duration_col="duration_ms",
+                max_frames=0)
+        with _pytest.raises(ValueError, match="every_ms"):
+            multimodal.frame_sample_plan(
+                df, id_col="vid", duration_col="duration_ms", every_ms=0)
+
 
 class TestSkew:
     def test_salted_join_matches_plain_join(self, spark):
