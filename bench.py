@@ -226,7 +226,9 @@ BENCH_QUERIES = [
     # per-segment KS + Kolmogorov p-values + BH (the numeric fleet
     # chain; segment-partitioned cumulative windows)
     "lineitem_ks_by_flag_fdr",
-    # budgeted frame-sampling plan (integer sequence/stride explode)
+    # budgeted frame-sampling plan (integer sequence/stride explode);
+    # the overlapping audio-chunk plan shares the explode shape and is
+    # deliberately unbenched per the sibling-configuration rule
     "docs_frame_plan",
 ]
 

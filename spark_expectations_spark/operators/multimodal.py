@@ -358,6 +358,62 @@ def frame_sample_plan(
         (F.col("frame_idx") * F.lit(int(every_ms))).alias("frame_ts_ms"))
 
 
+def audio_chunk_plan(
+    df: DataFrame,
+    *,
+    id_col: str,
+    duration_col: str,
+    window_ms: int = 30_000,
+    hop_ms: int = 25_000,
+    keep_tail: bool = True,
+) -> DataFrame:
+    """Audio chunking *plan* with OVERLAP: explode (id, chunk_idx,
+    start_ms, end_ms) rows without touching media bytes — the ASR
+    batching shape (Whisper-style 30 s windows with 5 s overlap keep
+    words spanning a boundary recognizable in at least one chunk).
+    Chunk i covers ``[i·hop, i·hop + window)``; full windows number
+    ``floor((duration − window)/hop) + 1`` (zero when the clip is
+    shorter than one window). ``keep_tail`` adds one final clipped
+    chunk covering the remainder whenever the last full window ends
+    before the clip does — short clips then yield exactly one chunk
+    spanning themselves; without it, trailing audio past the last full
+    window is silently dropped (the documented trade). NULL/negative
+    durations yield no rows. ``hop_ms > window_ms`` (gaps) is allowed
+    but almost always a bug, so it raises unless the caller really
+    meant it can be expressed by sampling upstream.
+
+    Pure integer sequence/explode arithmetic — zero shuffle, output
+    bounded by Σ duration/hop, value-exact in any SQL engine.
+    """
+    if window_ms < 1 or hop_ms < 1:
+        raise ValueError("window_ms and hop_ms must be >= 1")
+    if hop_ms > window_ms:
+        raise ValueError(
+            "hop_ms > window_ms leaves unheard gaps between chunks — "
+            "downsample upstream instead")
+    dur = F.col(duration_col).cast("long")
+    n_full = F.when(dur >= window_ms,
+                    F.floor((dur - window_ms) / hop_ms) + 1) \
+        .when(dur >= 0, F.lit(0)).otherwise(F.lit(None))
+    # a tail chunk exists only when audio extends past the last full
+    # window's END — comparing the tail's start instead would emit a
+    # redundant chunk over already-covered audio whenever
+    # hop < window <= dur lands a window exactly on the clip end
+    last_covered = F.when(n_full > 0,
+                          (n_full - 1) * hop_ms + window_ms) \
+        .otherwise(F.lit(0))
+    has_tail = (F.lit(bool(keep_tail)) & (last_covered < dur))
+    n = (n_full + has_tail.cast("long")).cast("long")
+    base = df.filter(n.isNotNull() & (n > 0)).select(
+        F.col(id_col), dur.alias("__dur"), n.alias("__n"),
+        F.explode(F.sequence(F.lit(0).cast("long"),
+                             (n - 1).cast("long"))).alias("chunk_idx"))
+    start = F.col("chunk_idx") * hop_ms
+    end = F.least(start + window_ms, F.col("__dur"))
+    return base.select(id_col, "chunk_idx", start.alias("start_ms"),
+                       end.alias("end_ms"))
+
+
 def resize_media(
     df: DataFrame,
     *,

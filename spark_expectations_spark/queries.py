@@ -4806,6 +4806,48 @@ WHERE frame_idx % CAST(ceil(n / 16.0) AS BIGINT) = 0
 """
 
 
+def q_docs_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping audio-chunk plan (multimodal.audio_chunk_plan,
+    Whisper-shape 4 s windows at 3 s hop over the synthesized
+    n_chars·37 ms durations): full windows at hop spacing plus one
+    clipped tail only when audio extends past the last full window's
+    end. Pure integer arithmetic — the exploded (chunk_idx, start_ms,
+    end_ms) plan is value-exact in SQL."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars") * 37).alias("duration_ms"))
+    return multimodal.audio_chunk_plan(
+        docs, id_col="doc_id", duration_col="duration_ms",
+        window_ms=4000, hop_ms=3000)
+
+
+ORACLE_DOCS_CHUNK_PLAN = """
+WITH d AS (
+  SELECT doc_id, CAST(n_chars * 37 AS BIGINT) AS dur FROM documents),
+nf AS (
+  SELECT doc_id, dur,
+         CASE WHEN dur >= 4000
+              THEN CAST(floor((dur - 4000) / 3000) + 1 AS BIGINT)
+              WHEN dur >= 0 THEN 0 END AS n_full
+  FROM d),
+nn AS (
+  SELECT doc_id, dur,
+         n_full + CASE WHEN (CASE WHEN n_full > 0
+                                  THEN (n_full - 1) * 3000 + 4000
+                                  ELSE 0 END) < dur
+                       THEN 1 ELSE 0 END AS n
+  FROM nf WHERE n_full IS NOT NULL),
+f AS (
+  SELECT doc_id, dur, CAST(i AS BIGINT) AS chunk_idx
+  FROM nn, UNNEST(range(0, n)) AS t(i) WHERE n > 0)
+SELECT doc_id, chunk_idx,
+       CAST(chunk_idx * 3000 AS BIGINT) AS start_ms,
+       CAST(least(chunk_idx * 3000 + 4000, dur) AS BIGINT) AS end_ms
+FROM f
+"""
+
+
 def q_docs_compression_ratio(spark: SparkSession,
                              sf_dir: str) -> DataFrame:
     """Per-document zlib compression ratio (text.compression_ratio) —
@@ -9273,8 +9315,8 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          alongside the rest of the r8 cohort, PLUS the one r12-new
 #          entry the full rotation left no slot for:
 #          events_drift_fdr, lineitem_ks_pvalue,
-#          docs_conformal_threshold, docs_frame_plan, and
-#          lineitem_ks_by_flag_fdr
+#          docs_conformal_threshold, docs_frame_plan, docs_chunk_plan,
+#          and lineitem_ks_by_flag_fdr
 #          (locally value-gated sf0.001 AND sf0.01 this round; the
 #          34-entry stale cohort outranked them for driver slots per
 #          the r11 verdict's task 1) plus the rows-only
@@ -9479,6 +9521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_conformal_threshold": q_docs_conformal_threshold,
     "docs_compression_ratio": q_docs_compression_ratio,
     "docs_frame_plan": q_docs_frame_plan,
+    "docs_chunk_plan": q_docs_chunk_plan,
     "lineitem_ks_by_flag_fdr": q_lineitem_ks_by_flag_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
@@ -9705,6 +9748,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_conformal_threshold": ORACLE_DOCS_CONFORMAL_THRESHOLD,
     "lineitem_ks_by_flag_fdr": ORACLE_LINEITEM_KS_BY_FLAG_FDR,
     "docs_frame_plan": ORACLE_DOCS_FRAME_PLAN,
+    "docs_chunk_plan": ORACLE_DOCS_CHUNK_PLAN,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

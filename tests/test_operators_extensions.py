@@ -1225,6 +1225,41 @@ class TestMultimodal:
                                            duration_col="duration_ms")
         assert [r["frame_ts_ms"] for r in out.collect()] == [0, 1000, 2000, 3000]
 
+    def test_audio_chunk_plan_overlap_tail_and_degenerates(self, spark):
+        """Whisper-shape chunking: full windows at hop spacing, one
+        clipped tail only when audio extends past the last full
+        window's END (a window landing exactly on the clip end emits
+        no redundant tail), short clips yield one self-spanning chunk,
+        NULL/negative/zero durations nothing."""
+        import pytest as _pytest
+        rows = [(1, 90_000), (2, 30_000), (3, 12_000), (4, None),
+                (5, -1), (6, 0)]
+        df = spark.createDataFrame(rows, "vid long, dur long")
+        out = multimodal.audio_chunk_plan(
+            df, id_col="vid", duration_col="dur",
+            window_ms=30_000, hop_ms=25_000)
+        per = {}
+        for r in out.collect():
+            per.setdefault(r["vid"], []).append(
+                (r["chunk_idx"], r["start_ms"], r["end_ms"]))
+        assert sorted(per[1]) == [(0, 0, 30_000), (1, 25_000, 55_000),
+                                  (2, 50_000, 80_000),
+                                  (3, 75_000, 90_000)]
+        assert per[2] == [(0, 0, 30_000)]      # exact fit: no tail
+        assert per[3] == [(0, 0, 12_000)]      # sub-window clip
+        assert set(per) == {1, 2, 3}
+        no_tail = multimodal.audio_chunk_plan(
+            df, id_col="vid", duration_col="dur",
+            window_ms=30_000, hop_ms=25_000, keep_tail=False)
+        assert no_tail.filter("vid = 3").count() == 0
+        with _pytest.raises(ValueError, match="gaps"):
+            multimodal.audio_chunk_plan(
+                df, id_col="vid", duration_col="dur",
+                window_ms=10, hop_ms=20)
+        with _pytest.raises(ValueError, match="window_ms"):
+            multimodal.audio_chunk_plan(
+                df, id_col="vid", duration_col="dur", window_ms=0)
+
     def test_frame_sample_plan_budget_and_degenerates(self, spark):
         """max_frames caps per-video rows with a uniform integer
         stride (frame 0 always kept, at most max_frames rows); NULL
