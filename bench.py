@@ -230,6 +230,9 @@ BENCH_QUERIES = [
     # the overlapping audio-chunk plan shares the explode shape and is
     # deliberately unbenched per the sibling-configuration rule
     "docs_frame_plan",
+    # per-source isotonic fits (one grouped histogram pass + driver
+    # PAV per group + a composite-key broadcast lookup)
+    "docs_isotonic_by_source",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -1991,6 +1991,7 @@ def isotonic_calibrate(
     *,
     out_col: str = "calibrated",
     max_points: int = 100_000,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Isotonic (PAV) score calibration — fit the best monotone
     non-decreasing map from classifier score to observed positive
@@ -2006,33 +2007,61 @@ def isotonic_calibrate(
     rows still RECEIVE a calibrated value if their score appeared in
     labeled data, else NULL — calibration is a lookup, not a guess).
 
+    ``group_col`` fits one INDEPENDENT isotonic map per group — the
+    per-source case: a length-based quality score means different
+    things on different crawls, and a single global fit launders the
+    per-source miscalibration the per-source :func:`roc_auc` /
+    :func:`calibration_report` sweeps measure. The lookup join keys on
+    (group, score); rows whose group never appeared in labeled data
+    get NULL.
+
     Scale shape: the corpus collapses to the (distinct score → n,
-    n_pos) histogram in ONE map-side-combined groupBy; PAV runs
-    driver-side over that model-scale table (the BPE/EM/k-means
-    convention for inherently sequential model fits) and the fitted
-    step function broadcasts back as a distinct-score equi-join.
-    ``max_points`` guards the collect: continuous scores should be
-    quantized upstream (e.g. ``F.round(score, 4)``) — raising beats
-    silently collecting a corpus-sized "histogram".
+    n_pos) histogram — per group when ``group_col`` is set — in ONE
+    map-side-combined groupBy; PAV runs driver-side over that
+    model-scale table (the BPE/EM/k-means convention for inherently
+    sequential model fits) and the fitted step function broadcasts
+    back as a distinct-score equi-join. ``max_points`` guards the
+    collect ACROSS ALL GROUPS: continuous scores should be quantized
+    upstream (e.g. ``F.round(score, 4)``) — raising beats silently
+    collecting a corpus-sized "histogram".
     """
     x = F.col(score_col).cast("double")
     y = F.col(label_col).cast("boolean")
+    gkeys = [group_col] if group_col else []
     hist = (df.filter(x.isNotNull() & y.isNotNull())
-            .groupBy(x.alias("__s"))
+            .groupBy(*gkeys, x.alias("__s"))
             .agg(F.count(F.lit(1)).alias("__n"),
                  F.sum(y.cast("long")).alias("__np")))
-    pts = hist.orderBy("__s").collect()
+    pts = hist.orderBy(*gkeys, "__s").collect()
     if not pts:
         raise ValueError("isotonic_calibrate: no labeled scored rows")
     if len(pts) > max_points:
         raise ValueError(
-            f"isotonic_calibrate: {len(pts)} distinct scores exceeds "
-            f"max_points={max_points} — quantize the score column "
-            "upstream (e.g. round to 4 digits); collecting a "
+            f"isotonic_calibrate: {len(pts)} distinct "
+            f"{'(group, score) pairs' if group_col else 'scores'} "
+            f"exceeds max_points={max_points} — quantize the score "
+            "column upstream (e.g. round to 4 digits); collecting a "
             "corpus-sized histogram is the failure this guard exists "
             "to stop")
-    fitted = _pav([(r["__n"], r["__np"] / r["__n"]) for r in pts])
     spark = df.sparkSession
+    if group_col:
+        from itertools import groupby
+        rows = []
+        for g, grp in groupby(pts, key=lambda r: r[group_col]):
+            grp = list(grp)
+            fitted = _pav([(r["__n"], r["__np"] / r["__n"])
+                           for r in grp])
+            rows += [(g, float(r["__s"]), float(v))
+                     for r, v in zip(grp, fitted)]
+        gtype = dict(df.dtypes)[group_col]
+        mapping = spark.createDataFrame(
+            rows, f"__g {gtype}, __s double, __cal double")
+        cond = (F.col(group_col).eqNullSafe(F.col("__g"))
+                & x.eqNullSafe(F.col("__s")))
+        return (df.join(F.broadcast(mapping), cond, "left")
+                .withColumn(out_col, F.col("__cal"))
+                .drop("__g", "__s", "__cal"))
+    fitted = _pav([(r["__n"], r["__np"] / r["__n"]) for r in pts])
     mapping = spark.createDataFrame(
         [(float(r["__s"]), float(v)) for r, v in zip(pts, fitted)],
         "__s double, __cal double")

@@ -6542,6 +6542,68 @@ FROM ok GROUP BY sc
 """
 
 
+def q_docs_isotonic_by_source(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Per-GROUP isotonic calibration invariants
+    (text.isotonic_calibrate(group_col=...) — the per-source fit a
+    global map launders): same fixture as docs_isotonic_check, one
+    INDEPENDENT PAV fit per source, with the invariants forced to 0.0
+    PER SOURCE — ``mono_dev`` over the within-source score order and
+    ``mean_dev`` = |Σ n·cal − Σ n_pos|/n within each source (per-group
+    PAV preserves each group's positive rate, not just the global
+    one). The oracle recomputes the per-(source, score) histogram
+    exactly and pins both deviations at zero."""
+    from .operators import text as T
+
+    docs = load(spark, sf_dir, "documents")
+    score = F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("double")) \
+        .otherwise(((F.col("doc_id") * 37) % 101) / F.lit(100.0))
+    label = F.when(F.col("doc_id") % 89 == 0,
+                   F.lit(None).cast("boolean")) \
+        .otherwise((F.col("doc_id") * 61) % 100
+                   < (F.col("doc_id") * 37) % 101)
+    frame = docs.select("source", score.alias("score"),
+                        label.alias("label"))
+    cal = T.isotonic_calibrate(frame, "score", "label",
+                               group_col="source")
+    g = (cal.filter(F.col("score").isNotNull()
+                    & F.col("label").isNotNull())
+         .groupBy("source", "score")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(F.col("label").cast("long")).alias("n_pos"),
+              F.max("calibrated").alias("__cal")))
+    wprev = Window.partitionBy("source").orderBy("score")
+    mono = F.greatest(
+        F.lit(0.0),
+        F.lag("__cal").over(wprev) - F.col("__cal"))
+    tot = g.groupBy("source").agg(
+        (F.abs(F.sum(F.col("n") * F.col("__cal"))
+               - F.sum("n_pos")) / F.sum("n")).alias("__md"))
+    return (g.withColumn("mono_dev",
+                         F.round(F.coalesce(mono, F.lit(0.0)), 3)
+                         + F.lit(0.0))
+            .join(tot, "source")
+            .select("source", "score", "n", "n_pos", "mono_dev",
+                    (F.round("__md", 6) + F.lit(0.0)).alias("mean_dev")))
+
+
+ORACLE_DOCS_ISOTONIC_BY_SOURCE = """
+WITH s AS (
+  SELECT source,
+         CASE WHEN doc_id % 97 = 0 THEN NULL
+              ELSE (doc_id * 37) % 101 / 100.0 END AS sc,
+         CASE WHEN doc_id % 89 = 0 THEN NULL
+              ELSE (doc_id * 61) % 100 < (doc_id * 37) % 101 END AS y
+  FROM documents),
+ok AS (SELECT * FROM s WHERE sc IS NOT NULL AND y IS NOT NULL)
+SELECT source, sc AS score, count(*) AS n,
+       CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       CAST(0.0 AS DOUBLE) AS mono_dev,
+       CAST(0.0 AS DOUBLE) AS mean_dev
+FROM ok GROUP BY source, sc
+"""
+
+
 def q_part_copurchase_triangles(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
     """Per-node triangle counts + clustering coefficient
@@ -9316,7 +9378,7 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          entry the full rotation left no slot for:
 #          events_drift_fdr, lineitem_ks_pvalue,
 #          docs_conformal_threshold, docs_frame_plan, docs_chunk_plan,
-#          and lineitem_ks_by_flag_fdr
+#          docs_isotonic_by_source, and lineitem_ks_by_flag_fdr
 #          (locally value-gated sf0.001 AND sf0.01 this round; the
 #          34-entry stale cohort outranked them for driver slots per
 #          the r11 verdict's task 1) plus the rows-only
@@ -9522,6 +9584,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_compression_ratio": q_docs_compression_ratio,
     "docs_frame_plan": q_docs_frame_plan,
     "docs_chunk_plan": q_docs_chunk_plan,
+    "docs_isotonic_by_source": q_docs_isotonic_by_source,
     "lineitem_ks_by_flag_fdr": q_lineitem_ks_by_flag_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
@@ -9749,6 +9812,7 @@ ORACLES: dict[str, Optional[str]] = {
     "lineitem_ks_by_flag_fdr": ORACLE_LINEITEM_KS_BY_FLAG_FDR,
     "docs_frame_plan": ORACLE_DOCS_FRAME_PLAN,
     "docs_chunk_plan": ORACLE_DOCS_CHUNK_PLAN,
+    "docs_isotonic_by_source": ORACLE_DOCS_ISOTONIC_BY_SOURCE,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

@@ -6488,6 +6488,32 @@ class TestRocAuc:
 
 
 class TestIsotonicCalibrate:
+    def test_grouped_fits_are_independent(self, spark):
+        """group_col fits one PAV map per group: a perfectly
+        increasing group gets the 0/1 step, an INVERTED group pools to
+        its constant mean, and a group with no labeled rows maps to
+        NULL — a single global fit would blur all three."""
+        from spark_expectations_spark.operators import text as T
+        rows = ([("a", float(s), s >= 3) for s in range(1, 6)
+                 for _ in range(10)]
+                + [("b", float(s), s <= 2) for s in range(1, 6)
+                   for _ in range(10)]
+                + [("c", 1.0, None)])
+        df = spark.createDataFrame(rows, "g string, s double, y boolean")
+        out = T.isotonic_calibrate(df, "s", "y", group_col="g")
+        per = {}
+        for r in out.select("g", "s", "calibrated").distinct().collect():
+            per.setdefault(r["g"], {})[r["s"]] = r["calibrated"]
+        assert per["a"][1.0] == 0.0 and per["a"][5.0] == 1.0
+        assert all(v == pytest.approx(0.4) for v in per["b"].values())
+        assert per["c"][1.0] is None
+        # per-group mean preservation
+        cal = out.filter("y is not null").groupBy("g").agg(
+            F.avg(F.col("calibrated")).alias("m"),
+            F.avg(F.col("y").cast("double")).alias("t")).collect()
+        for r in cal:
+            assert r["m"] == pytest.approx(r["t"], abs=1e-12), r["g"]
+
     def test_pav_hand_computed_pooling(self, spark):
         """Scores .1/.2/.3 with pos-rates 0.0/1.0/0.5 and equal
         weights: the .2/.3 violation pools to 0.75; output is
