@@ -821,3 +821,38 @@ class TestPavProperties:
         out = _pav(monotone)
         for (_, y), v in zip(monotone, out):
             assert v == pytest.approx(y, abs=1e-12)
+
+
+class TestConnectedComponentsProperty:
+    """Star contraction vs a pure-python union-find, for arbitrary
+    small graphs (self-loops and duplicate/bidirectional edges
+    included) — the O(log n) algorithm must label every node with its
+    component MINIMUM exactly like the naive oracle."""
+
+    @given(edges=st.lists(st.tuples(st.integers(0, 25),
+                                    st.integers(0, 25)),
+                          min_size=1, max_size=40))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_union_find(self, spark, edges):
+        from spark_expectations_spark.operators import graph
+        real = [(a, b) for a, b in edges if a != b]
+        if not real:
+            return  # self-loops only: operator raises by contract
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in real:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {n: find(n) for n in parent}
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r["node"]: r["component"]
+               for r in graph.connected_components(df).collect()}
+        assert got == want
