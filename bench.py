@@ -233,6 +233,9 @@ BENCH_QUERIES = [
     # per-source isotonic fits (one grouped histogram pass + driver
     # PAV per group + a composite-key broadcast lookup)
     "docs_isotonic_by_source",
+    # Bloom sketch-then-confirm decontamination (map-only screen +
+    # exact confirm on survivors; output-identical to the join form)
+    "docs_decontaminate_screened",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -1255,6 +1255,57 @@ def contamination(
     )
 
 
+def contamination_screened(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    min_overlap: float = 0.5,
+    n_bits: int = 1 << 20,
+    k: int = 5,
+    salt: str = "decon",
+) -> DataFrame:
+    """:func:`contamination` with a Bloom pre-screen — EXACTLY the
+    same output (sketch-then-confirm, the :func:`~.sketches.
+    heavy_hitters` pattern), but the corpus side never joins unless it
+    has to: the test set's distinct shingles build a few-MB Bloom
+    filter, every train shingle probes it MAP-ONLY (broadcast word
+    table, zero shuffle of the corpus), and only docs whose PROBE-hit
+    fraction reaches ``min_overlap`` proceed to the exact shingle
+    join. Sound because the filter has no false negatives: per doc,
+    probe hits >= true shared shingles, so the screened-out docs
+    provably sit below the threshold and the survivors are a superset
+    of the flagged set — the exact confirm then returns precisely
+    ``contamination(train, test)``. False positives only inflate the
+    confirm's input (fraction ~fill^k), never the output.
+
+    When it pays: the standard decontamination run — a 100 TB corpus
+    against a benchmark suite whose shingle vocabulary fits a filter —
+    where :func:`contamination`'s shingle-keyed semi join shuffles
+    every corpus shingle and this shuffles only the suspects'.
+    """
+    te_sh = (explode_shingles(test, id_col, text_col, n)
+             .select("shingle").distinct())
+    from .sketches import bloom_filter, bloom_might_contain
+
+    bloom = bloom_filter(te_sh, "shingle", n_bits=n_bits, k=k,
+                         salt=salt)
+    tr_sh = explode_shingles(train, id_col, text_col, n)
+    probed = bloom_might_contain(bloom, tr_sh, "shingle",
+                                 n_bits=n_bits, k=k, salt=salt)
+    per = probed.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__ns"),
+        F.sum(F.col("might_contain").cast("long")).alias("__nm"))
+    survivors = (per.filter(F.col("__nm") / F.col("__ns")
+                            >= min_overlap)
+                 .select(id_col))
+    return contamination(train.join(survivors, id_col, "left_semi"),
+                         test, id_col, text_col, n=n,
+                         min_overlap=min_overlap)
+
+
 def incremental_dedup(
     new_batch: DataFrame,
     corpus_index: DataFrame,

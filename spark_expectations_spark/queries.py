@@ -4294,6 +4294,30 @@ def q_docs_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("overlap", 4).alias("overlap"))
 
 
+def q_docs_decontaminate_screened(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Bloom sketch-then-confirm decontamination
+    (dedup.contamination_screened): EXACTLY docs_decontaminate's
+    output — the screen has no false negatives and the exact confirm
+    removes its false positives — so the two entries share one oracle,
+    which is the point: the hash gate proves the map-only-screen
+    rewrite is output-identical while the corpus side's shingle
+    shuffle shrinks to the suspects'."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    split = sampling.with_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = split.filter(F.col("split") == "train")
+    test = split.filter(F.col("split") == "test")
+    flagged = dedup.contamination_screened(
+        train, test, "doc_id", "text", n=3, min_overlap=0.5,
+        n_bits=1 << 16, k=4)
+    return flagged.select(
+        "doc_id", "n_shingles", "n_shared",
+        F.round("overlap", 4).alias("overlap"))
+
+
 ORACLE_DOCS_DECONTAMINATE = r"""
 WITH f AS (
   SELECT doc_id, text,
@@ -9378,7 +9402,8 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          entry the full rotation left no slot for:
 #          events_drift_fdr, lineitem_ks_pvalue,
 #          docs_conformal_threshold, docs_frame_plan, docs_chunk_plan,
-#          docs_isotonic_by_source, and lineitem_ks_by_flag_fdr
+#          docs_isotonic_by_source, docs_decontaminate_screened, and
+#          lineitem_ks_by_flag_fdr
 #          (locally value-gated sf0.001 AND sf0.01 this round; the
 #          34-entry stale cohort outranked them for driver slots per
 #          the r11 verdict's task 1) plus the rows-only
@@ -9585,6 +9610,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_frame_plan": q_docs_frame_plan,
     "docs_chunk_plan": q_docs_chunk_plan,
     "docs_isotonic_by_source": q_docs_isotonic_by_source,
+    "docs_decontaminate_screened": q_docs_decontaminate_screened,
     "lineitem_ks_by_flag_fdr": q_lineitem_ks_by_flag_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
@@ -9813,6 +9839,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_frame_plan": ORACLE_DOCS_FRAME_PLAN,
     "docs_chunk_plan": ORACLE_DOCS_CHUNK_PLAN,
     "docs_isotonic_by_source": ORACLE_DOCS_ISOTONIC_BY_SOURCE,
+    "docs_decontaminate_screened": ORACLE_DOCS_DECONTAMINATE,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

@@ -1690,6 +1690,24 @@ class TestContamination:
         assert dedup.contamination(train, test, "doc_id", "text",
                                    n=3, min_overlap=0.1).count() == 0
 
+    def test_screened_variant_is_row_identical(self, spark):
+        """The Bloom sketch-then-confirm variant must return EXACTLY
+        the exact operator's rows (no false negatives in the screen,
+        false positives removed by the confirm) — even with a tiny,
+        collision-heavy filter."""
+        from spark_expectations_spark.queries import load
+        docs = load(spark, SF, "documents")
+        train = docs.filter("doc_id % 10 < 8")
+        test = docs.filter("doc_id % 10 >= 8")
+        exact = dedup.contamination(train, test, "doc_id", "text",
+                                    n=3, min_overlap=0.5)
+        for bits in (1 << 16, 256):   # roomy and deliberately cramped
+            screened = dedup.contamination_screened(
+                train, test, "doc_id", "text", n=3, min_overlap=0.5,
+                n_bits=bits, k=3)
+            assert sorted(map(tuple, screened.collect())) == \
+                sorted(map(tuple, exact.collect())), bits
+
 
 class TestSketches:
     def test_hll_estimates_close_to_exact(self, spark):
