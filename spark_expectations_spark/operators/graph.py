@@ -67,9 +67,11 @@ def pagerank(
     contributions + dangling_mass·p(v))``, iterated from ``r0 = p``.
     ``seeds`` is a (node[, weight]) frame; ``seed_weight`` names an
     optional positive weight column (uniform over seeds otherwise).
-    Seeds are intersected with the graph's nodes FIRST and weights
-    normalized over that intersection (an absent seed can't absorb
-    restart mass); an empty intersection raises. Scores then rank
+    Duplicate seed rows SUM their weights (a node listed twice gets
+    double restart mass — dedupe upstream if unwanted). Seeds are
+    intersected with the graph's nodes FIRST and weights normalized
+    over that intersection (an absent seed can't absorb restart
+    mass); an empty intersection raises. Scores then rank
     nodes by proximity to the seed set — Σ rank = 1 still. The
     personalization term is one broadcast-sized left join; no extra
     per-iteration work. ``seeds=None`` (classic PageRank) keeps the
@@ -135,6 +137,10 @@ def pagerank(
                 raise ValueError(
                     "pagerank: NULL or non-positive seed weight — a "
                     "silent drop would re-route restart mass")
+        # duplicate seed rows SUM their weights (documented) — an
+        # un-aggregated join would duplicate the node's rank rows and
+        # double its outgoing mass every iteration
+        sd = sd.groupBy("node").agg(F.sum("__sw").alias("__sw"))
         nd = nd.join(sd, "node", "left").select(
             "node", "__deg", F.coalesce("__sw", F.lit(0.0)).alias("__sw"))
         # normalize over the seed∩graph intersection (one 1-row fold,
@@ -213,9 +219,13 @@ def hits(
     you divide per round or once at the end — and deferring it removes
     the two 1-row driver folds the per-round convention paid each
     iteration (r11 verdict residual №3). Unnormalized magnitudes grow
-    like λ_max^iterations; with float64 and the small fixed iteration
-    counts this operator is for (2-10), overflow needs ~1e300-scale
-    growth and is not reachable on any real interaction graph.
+    like λ_max^iterations, so every 10th round both vectors are
+    rescaled by their current totals PLAN-SIDE (two 1-row aggregates
+    cross-joined in — still zero driver actions): rescaling is the
+    identity on the fixed-point direction, and float64 comfortably
+    holds 10 rounds of growth on any real graph, so arbitrary
+    iteration counts stay finite where a fully-deferred version would
+    reach inf/NaN near ~80 rounds on dense graphs.
     Deterministic: fixed iteration count from the uniform vector, no
     RNG, ``score_digits`` rounding on output (the pagerank
     convention). Duplicate edges count as parallel edges. Nodes with
@@ -243,7 +253,17 @@ def hits(
         raise ValueError("hits: empty edge list")
     hubs = nodes.select("node", F.lit(1.0 / n_nodes).alias("__h"))
     auths = nodes.select("node", F.lit(0.0).alias("__a"))
-    for _ in range(iterations):
+
+    def _rescale(frame: DataFrame, col: str) -> DataFrame:
+        tot = frame.agg(F.sum(col).alias("__t"))
+        return (frame.crossJoin(tot)
+                .select("node",
+                        (F.col(col)
+                         / F.when(F.col("__t") != 0.0, F.col("__t"))
+                         .otherwise(F.lit(1.0))).alias(col))
+                .localCheckpoint(eager=False))
+
+    for it in range(iterations):
         a_raw = (e.join(hubs, e["__src"] == hubs["node"])
                  .groupBy(F.col("__dst").alias("node"))
                  .agg(F.sum("__h").alias("__a")))
@@ -258,6 +278,12 @@ def hits(
                 .select("node",
                         F.coalesce("__h", F.lit(0.0)).alias("__h"))
                 .localCheckpoint(eager=False))
+        # magnitude control: λ_max^10 of growth fits float64 easily;
+        # plan-side rescale (identity on the direction) every 10th
+        # round keeps arbitrary iteration counts finite
+        if (it + 1) % 10 == 0 and it + 1 < iterations:
+            auths = _rescale(auths, "__a")
+            hubs = _rescale(hubs, "__h")
     # deferred L1 normalization: two 1-row totals, cross-joined into
     # the projection (a broadcast nested-loop of one row — no driver
     # action, no shuffle). A zero total (possible only on degenerate

@@ -330,10 +330,19 @@ def sorted_neighborhood_pairs(
     n = _norm(F.col(key_col))
     base = (df.select(F.col(id_col).alias("__id"), n.alias("__k"))
             .filter(F.col("__k").isNotNull() & (F.length("__k") > 0)))
-    # numeric lead for the bucket phase: first 7 bytes, NUL-padded so
-    # short keys stay left-aligned ("b" must bucket after "ab")
-    lead = F.conv(F.hex(F.rpad(F.substring(F.col("__k"), 1, 7),
-                               7, "\x00")), 16, 10).cast("long")
+    # numeric lead for the bucket phase: the first 7 BYTES of the
+    # UTF-8 encoding as a big-endian integer, zero-padded in hex space
+    # so short keys stay left-aligned ("b" must bucket after "ab").
+    # Bytes, not characters: 7 multibyte CHARS can be 28 hex digits —
+    # past 2^63 the long cast NULLs and a non-ASCII key would silently
+    # bucket before every ASCII one, losing exactly the typo pairs the
+    # blocker exists to find. 7 bytes = 14 hex digits = 2^56, always
+    # positive, and monotone-with-ties in the binary collation both
+    # Spark and DuckDB sort strings by.
+    lead = F.conv(F.rpad(F.substring(F.hex(F.encode(F.col("__k"),
+                                                    "UTF-8")),
+                                     1, 14), 14, "0"),
+                  16, 10).cast("long")
     idx = dense_global_index(
         base.withColumn("__lead", lead), ["__lead", "__k", "__id"],
         out="__rank", num_buckets=num_buckets).drop("__lead")

@@ -828,6 +828,7 @@ def exact_order_statistic(
     k: int,
     *,
     accuracy: int = 10_000,
+    n: int | None = None,
 ) -> float:
     """EXACT k-th smallest value of ``col`` (1-based, NULLs excluded)
     without a global sort — the distributed-selection primitive behind
@@ -850,7 +851,8 @@ def exact_order_statistic(
         raise ValueError("k must be >= 1 (1-based rank)")
     c = F.col(col)
     nn = df.filter(c.isNotNull())
-    n = nn.count()
+    if n is None:  # caller may pass a known count to skip this scan
+        n = nn.count()
     if k > n:
         raise ValueError(f"k={k} exceeds non-null rows n={n}")
     q = k / n
@@ -907,7 +909,11 @@ def conformal_threshold(
     if not group_cols:
         n = nn.count()
         k = math.ceil((n + 1) * (1.0 - alpha))
-        thr = exact_order_statistic(nn, score_col, k) if k <= n else None
+        # float() — the selection returns the column's native type
+        # (int for bigint scores) and the DoubleType verifier rejects
+        # Python ints
+        thr = (float(exact_order_statistic(nn, score_col, k, n=n))
+               if k <= n else None)
         spark = df.sparkSession
         return spark.createDataFrame(
             [(int(n), int(k), thr)],

@@ -324,11 +324,28 @@ def count_min_sketch(
                 F.md5(F.concat(F.lit(f"{salt}{r}|"), k)), 1, 8),
                 16, 10).cast("long") % width).alias("bucket"))
         for r in range(depth)])
-    return (df.filter(k.isNotNull())
-            .select(*pc, F.explode(cells).alias("c"))
-            .groupBy(*pc, F.col("c.r").alias("r"),
-                     F.col("c.bucket").alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n")))
+    nn = df.filter(k.isNotNull())
+    built = (nn.select(*pc, F.explode(cells).alias("c"))
+             .groupBy(*pc, F.col("c.r").alias("r"),
+                      F.col("c.bucket").alias("bucket"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    # WIDTH-PINNING SENTINELS: one zero-count cell at (r, width−1) per
+    # row r, so ``max(bucket) == width − 1`` holds by construction and
+    # a lookup with a LARGER width is detectable — without them a
+    # smaller-width build passes the lookup's shape guard and
+    # under-reads (the one-sided >= guarantee breaks silently).
+    # Sum-merges keep them; a zero cell never changes an estimate.
+    sent_src = (nn.select(*pc).distinct() if pc
+                else nn.limit(1).select())
+    sentinel = (sent_src
+                .select(*pc, F.explode(F.array(
+                    *[F.lit(r) for r in range(depth)])).alias("r"))
+                .select(*pc, "r",
+                        F.lit(width - 1).cast("long").alias("bucket"),
+                        F.lit(0).cast("long").alias("n")))
+    return (built.unionByName(sentinel)
+            .groupBy(*pc, "r", "bucket")
+            .agg(F.sum("n").alias("n")))
 
 
 def cms_lookup(
@@ -347,11 +364,14 @@ def cms_lookup(
     provably-zero estimate). Adds ``cms_estimate`` to ``keys``.
 
     A (width, depth) MISMATCH against the build configuration is
-    CAUGHT at execution time (a depth mismatch can even under-read,
-    breaking the one-sided >= guarantee): a broadcast one-row stats
-    frame over the depth×width cell table checks ``max(bucket) <
-    width``, ``max(r) == depth−1`` and ``count(distinct r) == depth``,
-    and any violation raises with the observed vs expected shape. A
+    CAUGHT at execution time in BOTH directions (a mismatch can even
+    under-read, breaking the one-sided >= guarantee):
+    :func:`count_min_sketch` pins its width with zero-count sentinel
+    cells at ``(r, width−1)``, so a broadcast one-row stats frame can
+    check ``max(bucket) == width−1`` exactly (larger AND smaller
+    builds both violate it), plus ``max(r) == depth−1`` and
+    ``count(distinct r) == depth``; any violation raises with the
+    observed vs expected shape. A
     SALT mismatch is information-theoretically uncatchable from the
     cells alone — pin the salt where the sketch is persisted. The
     guard is lazy (pure plan, no eager action) and costs one scalar
@@ -364,6 +384,9 @@ def cms_lookup(
     if width < 2 or depth < 1:
         raise ValueError("need width >= 2 and depth >= 1")
     k = F.col(key_col).cast("string")
+    # the cell table feeds depth broadcast joins + the stats frame —
+    # cut its lineage once (the r11 multi-consumer persist rule)
+    sketch = sketch.localCheckpoint(eager=False)
     stats = sketch.agg(F.count(F.lit(1)).alias("__cells"),
                        F.max("r").alias("__maxr"),
                        F.countDistinct("r").alias("__nr"),
@@ -383,9 +406,11 @@ def cms_lookup(
     est = mins[0]
     for m in mins[1:]:
         est = F.least(est, m)
-    # an empty cell table (empty build corpus) is legitimately all-zero
+    # an empty cell table (empty build corpus) is legitimately all-zero;
+    # the exact ==width−1 check against the build's sentinels catches a
+    # smaller-width build too (which would otherwise under-read)
     cfg_ok = (F.col("__cells") == 0) | (
-        (F.col("__maxb") < width)
+        (F.col("__maxb") == width - 1)
         & (F.col("__maxr") == depth - 1)
         & (F.col("__nr") == depth))
     est = F.when(cfg_ok, est).otherwise(F.raise_error(F.concat(
@@ -447,20 +472,35 @@ def bloom_filter(
             "partition_cols may not be named word/bits — they share "
             "the word table with the filter payload")
     key = F.col(key_col).cast("string")
+    n_words = (n_bits + 31) // 32
     positions = F.array(*[
         (F.conv(F.substring(
             F.md5(F.concat(F.lit(f"{salt}{i}|"), key)), 1, 8),
             16, 10).cast("long") % n_bits)
         for i in range(k)])
     pos = F.explode(positions).alias("__pos")
-    return (df.filter(key.isNotNull())
-            .select(*pc, pos)
-            .groupBy(*pc, F.floor(F.col("__pos") / 32).alias("word"))
-            # 2^bit via pow: bit <= 31 so the double is exact; shiftleft
-            # would be idiomatic but its shift amount must be a literal
-            .agg(F.bit_or(
-                F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int"))
-                .cast("long")).alias("bits")))
+    nn = df.filter(key.isNotNull())
+    built = (nn.select(*pc, pos)
+             .groupBy(*pc, F.floor(F.col("__pos") / 32).alias("word"))
+             # 2^bit via pow: bit <= 31 so the double is exact; shiftleft
+             # would be idiomatic but its shift amount must be a literal
+             .agg(F.bit_or(
+                 F.pow(F.lit(2.0), (F.col("__pos") % 32).cast("int"))
+                 .cast("long")).alias("bits")))
+    # WIDTH-PINNING SENTINEL: materialize the LAST word (bits = 0) for
+    # every filter built, so ``max(word) == n_words − 1`` holds by
+    # construction and a probe with a LARGER n_bits is detectable —
+    # without it a smaller build passes the probe's shape guard and
+    # produces false negatives, breaking the proof-of-absence
+    # direction. OR-merges keep the sentinel; it never flips a probe.
+    sent_src = (nn.select(*pc).distinct() if pc
+                else nn.limit(1).select())
+    sentinel = sent_src.select(
+        *pc, F.lit(n_words - 1).cast("long").alias("word"),
+        F.lit(0).cast("long").alias("bits"))
+    return (built.unionByName(sentinel)
+            .groupBy(*pc, "word")
+            .agg(F.bit_or("bits").alias("bits")))
 
 
 def bloom_might_contain(
@@ -480,13 +520,16 @@ def bloom_might_contain(
     Bloom pre-filtering before a join sound. Adds ``out_col``
     (boolean) to ``keys``.
 
-    An ``n_bits`` mismatch against the build is caught lazily the
-    :func:`cms_lookup` way: a broadcast 1-row stats frame checks
-    ``max(word) < ceil(n_bits/32)`` and any violation raises with the
-    observed shape. A k or salt mismatch is uncatchable from the words
-    alone — pin them where the filter is persisted (a too-large k or
-    wrong salt can only FLIP true→false spuriously, never break the
-    no-false-negative direction of a matching probe).
+    An ``n_bits`` mismatch against the build is caught lazily in BOTH
+    directions: :func:`bloom_filter` pins its width by materializing
+    the last word (bits 0), so a broadcast 1-row stats frame can check
+    ``max(word) == ceil(n_bits/32) − 1`` exactly — a larger build
+    overshoots it, a smaller build undershoots it (the dangerous
+    direction: an unguarded smaller build returns FALSE NEGATIVES,
+    violating proof-of-absence). A k or salt mismatch is uncatchable
+    from the words alone — pin them where the filter is persisted (a
+    too-large k or wrong salt can only FLIP true→false spuriously,
+    never break the no-false-negative direction of a matching probe).
 
     Scale shape: the word table is at most ``n_bits/32`` rows —
     broadcast it for probe-side map-only lookups when n_bits is sized
@@ -498,6 +541,10 @@ def bloom_might_contain(
         raise ValueError("need n_bits >= 32 and k >= 1")
     n_words = (n_bits + 31) // 32
     key = F.col(key_col).cast("string")
+    # the word table feeds k broadcast joins + the stats frame — cut
+    # its lineage once or an expensive build (a test-set shingle
+    # explode, say) re-executes per consumer (the r11 persist rule)
+    bloom = bloom.localCheckpoint(eager=False)
     stats = bloom.agg(F.count(F.lit(1)).alias("__words"),
                       F.max("word").alias("__maxw"))
     out = keys.crossJoin(F.broadcast(stats))
@@ -517,11 +564,14 @@ def bloom_might_contain(
     hit = checks[0]
     for c in checks[1:]:
         hit = hit & c
-    cfg_ok = (F.col("__words") == 0) | (F.col("__maxw") < n_words)
+    # exact width check against the build's sentinel: a LARGER build
+    # overshoots n_words−1, a SMALLER one undershoots it (and would
+    # otherwise silently produce false negatives)
+    cfg_ok = (F.col("__words") == 0) | (F.col("__maxw") == n_words - 1)
     hit = F.when(cfg_ok, hit).otherwise(F.raise_error(F.concat(
         F.lit(f"bloom_might_contain: word table does not match "
-              f"n_bits={n_bits} (expected words < {n_words}, observed "
-              f"max word "),
+              f"n_bits={n_bits} (expected max word {n_words - 1}, "
+              f"observed "),
         F.col("__maxw").cast("string"),
         F.lit(") — rebuild or fix the parameters"))))
     return out.withColumn(out_col, hit).drop(

@@ -2101,8 +2101,10 @@ def compression_ratio(
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
+    # carry the id column's ACTUAL type through (a hardcoded LongType
+    # crashes Arrow conversion for string/int doc ids)
     schema = StructType([
-        StructField(id_col, LongType()),
+        StructField(id_col, df.schema[id_col].dataType),
         StructField("n_bytes", LongType()),
         StructField(out, DoubleType()),
     ])

@@ -6835,7 +6835,7 @@ def q_events_cms_daily_rollup(spark: SparkSession,
 
 
 ORACLE_EVENTS_CMS_DAILY_ROLLUP = """
-WITH cells AS (
+WITH cells0 AS (
   SELECT r, bucket, count(*) AS n FROM (
     SELECT t.r,
            CAST(('0x' || substr(md5('cms' || CAST(t.r AS VARCHAR)
@@ -6844,6 +6844,16 @@ WITH cells AS (
     FROM events e
     CROSS JOIN (SELECT CAST(i AS INT) AS r FROM range(0, 3) z(i)) t
     WHERE e.user_id IS NOT NULL)
+  GROUP BY r, bucket),
+-- the operator pins its width with zero-count sentinel cells at
+-- (r, width-1); fold them in exactly like the cell-sum merge does
+cells AS (
+  SELECT r, bucket, CAST(sum(n) AS BIGINT) AS n FROM (
+    SELECT r, bucket, n FROM cells0
+    UNION ALL
+    SELECT CAST(i AS INT) AS r, CAST(127 AS BIGINT) AS bucket,
+           CAST(0 AS BIGINT) AS n
+    FROM range(0, 3) z(i))
   GROUP BY r, bucket)
 SELECT r, bucket, n AS n_merged, n AS n_direct FROM cells
 """

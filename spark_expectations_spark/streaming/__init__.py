@@ -1042,9 +1042,18 @@ def bloom_membership_stream(
     half-written words must not make the batch's own keys look seen),
     so the annotation is deterministic under retry.
 
+    The MERGED filter is fixed-size; the ON-DISK store is one
+    ≤ n_bits/32-row partition per batch (KBs each), growing with
+    batch count until :func:`compact_bloom_state` folds the deltas
+    into one partition — run it at stream QUIESCENCE (between a
+    failure and its replay, compaction would fold the failed
+    attempt's words into the base the replay probes, making the
+    replayed annotation see its own keys).
+
     Per batch: one OR-merge over a words-scale table, k broadcast
-    probe joins, one k×-explode groupBy over batch rows. Nothing
-    rescans the corpus.
+    probe joins (skipped entirely when ``out_path`` is None — the
+    step then only maintains the filter), one k×-explode groupBy over
+    batch rows. Nothing rescans the corpus.
     """
     from pyspark.errors import AnalysisException
 
@@ -1061,12 +1070,12 @@ def bloom_membership_stream(
                 [], "word long, bits long, _batch_id long")
         prior = (words.filter(F.col("_batch_id") != batch_id)
                  if "_batch_id" in words.columns else words)
-        merged = (prior.groupBy("word")
-                  .agg(F.bit_or("bits").alias("bits")))
-        annotated = bloom_might_contain(
-            merged, batch_df, key_col, n_bits=n_bits, k=k, salt=salt,
-            out_col=seen_col).localCheckpoint(eager=True)
-        if out_path is not None:
+        if out_path is not None:  # probe only when someone reads it
+            merged = (prior.groupBy("word")
+                      .agg(F.bit_or("bits").alias("bits")))
+            annotated = bloom_might_contain(
+                merged, batch_df, key_col, n_bits=n_bits, k=k,
+                salt=salt, out_col=seen_col)
             (annotated.withColumn("_batch_id", F.lit(batch_id))
              .write.mode("overwrite").partitionBy("_batch_id")
              .option("partitionOverwriteMode", "dynamic")
@@ -1079,3 +1088,21 @@ def bloom_membership_stream(
          .parquet(filter_path))
 
     return step
+
+
+def compact_bloom_state(spark, filter_path: str) -> int:
+    """Fold a :func:`bloom_membership_stream` store's per-batch delta
+    partitions into ONE merged partition (``_batch_id = -1``) —
+    OR-merging is idempotent, so the compacted store answers every
+    probe identically while the on-disk row count drops from
+    batches × words to words. Returns the merged word count. Run at
+    stream QUIESCENCE only: compacting between a failed batch and its
+    replay folds the failed attempt's words into the base the replay
+    probes (see the stream step's exactly-once note)."""
+    merged = (spark.read.parquet(filter_path)
+              .groupBy("word").agg(F.bit_or("bits").alias("bits"))
+              .withColumn("_batch_id", F.lit(-1))
+              .localCheckpoint(eager=True))
+    (merged.write.mode("overwrite").partitionBy("_batch_id")
+     .parquet(filter_path))
+    return merged.count()

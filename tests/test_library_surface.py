@@ -238,6 +238,37 @@ class TestStreamingDQ:
                                  .collect()))
         assert words_before == words_after
 
+    def test_bloom_state_compaction_preserves_probes(self, spark,
+                                                     tmp_path):
+        """compact_bloom_state folds the per-batch delta partitions
+        into one; every probe answers identically afterwards and the
+        on-disk partition count drops to one."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import sketches
+        fp = str(tmp_path / "bloom_words")
+        step = st.bloom_membership_stream(fp, "url", n_bits=2048, k=3)
+        for i in range(4):
+            step(spark.createDataFrame(
+                [(i * 10 + j, f"u{i}-{j}.com") for j in range(5)],
+                "id long, url string"), i)
+        before = (spark.read.parquet(fp).groupBy("word")
+                  .agg(F.bit_or("bits").alias("bits")))
+        before_rows = sorted(map(tuple, before.collect()))
+        n = st.compact_bloom_state(spark, fp)
+        after = spark.read.parquet(fp)
+        assert sorted(map(tuple, after.select("word", "bits")
+                          .collect())) == before_rows
+        assert after.select("_batch_id").distinct().count() == 1
+        assert n == len(before_rows)
+        probe = spark.createDataFrame(
+            [(1, "u2-3.com"), (2, "never.com")], "id long, url string")
+        got = {r["id"]: r["might_contain"] for r in
+               sketches.bloom_might_contain(
+                   after.select("word", "bits"), probe, "url",
+                   n_bits=2048, k=3, salt="bloomstream").collect()}
+        assert got[1] is True
+
     def test_incremental_bitmap_distinct_exact_across_batches(
             self, spark, tmp_path):
         """Streaming exact distinct: counts after N batches equal

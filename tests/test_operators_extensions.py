@@ -957,6 +957,15 @@ class TestConformalThreshold:
         assert out["a"] == (100, k, float(math.ceil(k / 2)))
         assert out["b"] == (2, 3, None)
 
+    def test_integer_score_column_ungrouped(self, spark):
+        """bigint nonconformity scores must work on the ungrouped path
+        — the collected order statistic is a Python int and the
+        threshold column is declared double."""
+        from spark_expectations_spark.operators import profiling
+        df = spark.range(1, 101).selectExpr("id as s")  # bigint
+        r = profiling.conformal_threshold(df, "s", alpha=0.1).first()
+        assert (r["n"], r["k"], r["threshold"]) == (100, 91, 91.0)
+
     def test_validation(self, spark):
         import pytest as _pytest
         from spark_expectations_spark.operators import profiling
@@ -4035,6 +4044,17 @@ class TestCompressionRatio:
         with _pytest.raises(ValueError, match="level"):
             T.compression_ratio(df, "id", "text", level=0)
 
+    def test_non_long_id_columns_pass_through(self, spark):
+        """The id column's type must ride through the Arrow schema —
+        a hardcoded LongType crashed string/int doc ids."""
+        from spark_expectations_spark.operators import text as T
+        df = spark.createDataFrame(
+            [("u1", "aaa bbb aaa"), ("u2", "ccc")],
+            "url string, text string")
+        got = {r["url"]: r["n_bytes"] for r in
+               T.compression_ratio(df, "url", "text").collect()}
+        assert got == {"u1": 11, "u2": 3}
+
 
 class TestBpe:
     def test_hand_computed_merge_order(self, spark):
@@ -5037,6 +5057,23 @@ class TestSortedNeighborhoodPairs:
             df.repartition(11), "id", "k", window=4)
         assert sorted(map(tuple, out.collect())) == \
             sorted(map(tuple, again.collect()))
+
+    def test_multibyte_keys_keep_binary_order(self, spark):
+        """Non-ASCII keys must sort among their ASCII neighbors by the
+        same binary collation Spark strings use — a chars-not-bytes
+        lead key overflowed the 64-bit conv and silently bucketed
+        every multibyte key first, losing exactly the typo pairs the
+        blocker exists for."""
+        from spark_expectations_spark.operators import linkage as L
+        rows = [(1, "müller"), (2, "muller"), (3, "mzller"),
+                (4, "aaaa"), (5, "日本語のキー")]
+        df = spark.createDataFrame(rows, "id long, k string")
+        got = sorted((r["left_id"], r["right_id"])
+                     for r in L.sorted_neighborhood_pairs(
+                         df, "id", "k", window=2).collect())
+        # binary UTF-8 order: aaaa < muller < mzller < müller < 日本語…
+        assert got == [(2, 3), (3, 1), (4, 2), (1, 5)] or \
+            got == sorted([(4, 2), (2, 3), (3, 1), (1, 5)])
 
     def test_verify_distance_filter_and_validation(self, spark):
         import pytest as _pytest
@@ -6198,6 +6235,23 @@ class TestPagerankPersonalized:
         for v in r:
             assert got[v] == pytest.approx(r[v], abs=1e-9), v
 
+    def test_duplicate_seed_rows_sum_weights(self, spark):
+        """A node listed twice in the seeds frame must SUM its restart
+        weight (documented), never duplicate its rank rows — an
+        unaggregated seed join doubled the node's outgoing mass every
+        iteration and emitted duplicate output rows."""
+        from spark_expectations_spark.operators import graph
+        edges = [(1, 2), (2, 1), (2, 3), (3, 2)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        dup = spark.createDataFrame([(1,), (1,)], "node long")
+        once_w = spark.createDataFrame([(1, 2.0)], "node long, w double")
+        a = {r["node"]: r["rank"] for r in graph.pagerank(
+            df, iterations=3, seeds=dup).collect()}
+        b = {r["node"]: r["rank"] for r in graph.pagerank(
+            df, iterations=3, seeds=once_w, seed_weight="w").collect()}
+        assert len(a) == 3 and a == b  # dup == single seed at 2x weight
+        assert sum(a.values()) == pytest.approx(1.0, abs=1e-6)
+
     def test_validation(self, spark):
         import pytest as _pytest
         from spark_expectations_spark.operators import graph
@@ -6942,7 +6996,9 @@ class TestCountMinSketch:
         df = spark.createDataFrame(rows, "k string")
         sk = sketches.count_min_sketch(df, "k", width=64, depth=3)
         keys = spark.createDataFrame([("k1",)], "k string")
-        for bad in ({"width": 32, "depth": 3},   # bucket >= width
+        for bad in ({"width": 32, "depth": 3},   # build wider than probe
+                    {"width": 128, "depth": 3},  # build NARROWER (the
+                    # silent-under-read direction the sentinel pins)
                     {"width": 64, "depth": 2},   # extra r rows
                     {"width": 64, "depth": 4}):  # missing r rows
             with _pytest.raises(Exception, match="cms_lookup"):
@@ -7045,6 +7101,13 @@ class TestBloomFilter:
         with _pytest.raises(Exception, match="bloom_might_contain"):
             sketches.bloom_might_contain(
                 b, keys, "k", n_bits=64, k=2).collect()
+        # the DANGEROUS direction: a SMALLER build probed at a larger
+        # n_bits would silently return false negatives — the
+        # width-pinning sentinel makes it raise instead
+        small = sketches.bloom_filter(df, "k", n_bits=64, k=2)
+        with _pytest.raises(Exception, match="bloom_might_contain"):
+            sketches.bloom_might_contain(
+                small, keys, "k", n_bits=256, k=2).collect()
         # an empty filter legitimately rejects everything
         empty = sketches.bloom_filter(
             spark.createDataFrame([], "k long"), "k", n_bits=256, k=2)
