@@ -236,6 +236,9 @@ BENCH_QUERIES = [
     # Bloom sketch-then-confirm decontamination (map-only screen +
     # exact confirm on survivors; output-identical to the join form)
     "docs_decontaminate_screened",
+    # span-level decontamination (posting-list excision vs the test
+    # gram set + per-doc rebuild)
+    "docs_decontaminate_spans",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -527,6 +527,103 @@ def remove_dup_spans(
     return _release_on_gc(out, ex)
 
 
+def decontaminate_spans(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 5,
+    hash_family: str = "xxhash64",
+    out_col: str = "decon_text",
+) -> DataFrame:
+    """Span-level eval decontamination — :func:`remove_dup_spans`'
+    exact-substring machinery pointed at a TEST SET: excise EVERY
+    train occurrence of any word ``n``-gram that appears anywhere in
+    the test corpus, then rebuild the document from its surviving
+    tokens. Where :func:`contamination` FLAGS leaked docs for
+    dropping, this SALVAGES them — a long document quoting one
+    benchmark question loses the quote, not the document (the GPT-3
+    appendix-C recipe). No first-occurrence exemption: test-set
+    material has no legitimate copy in training data.
+
+    Returns ``train`` + ``(out_col, n_tokens, removed_tokens)``. NULL
+    text stays NULL; documents shorter than ``n`` tokens are
+    untouched. Tokenization contract identical to remove_dup_spans
+    (case-sensitive whitespace split; normalize upstream if wanted).
+
+    Scale shape: the remove_dup_spans posting-list recipe with the
+    doc-frequency groupBy replaced by ONE semi join against the test
+    set's distinct gram keys (8-byte hashes unless
+    ``hash_family="exact"``); position explosion (×n) runs over
+    contaminated occurrences only, rebuild is one id-keyed anti join
+    + one id-keyed groupBy. Never pairs, never corpus-wide windows.
+    """
+    from ..plans import fan_out
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    grams = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+
+    def key_of(col):
+        if hash_family == "exact":
+            return col
+        if hash_family == "md5_48":
+            return hash48_md5(col)
+        return F.xxhash64(col)
+
+    ex = (fan_out(train.select(id_col, text_col))
+          .select(F.col(id_col),
+                  F.posexplode(
+                      F.when(F.size(toks) >= n, grams)
+                      .otherwise(F.array().cast("array<string>")))
+                  .alias("__s", "__gr"))
+          .select(F.col(id_col), "__s", key_of(F.col("__gr")).alias("__k")))
+    te = (fan_out(test.select(text_col))
+          .select(F.explode(
+              F.when(F.size(toks) >= n, grams)
+              .otherwise(F.array().cast("array<string>"))).alias("__gr"))
+          .select(key_of(F.col("__gr")).alias("__k"))
+          .distinct())
+    rem = (ex.join(te, "__k", "left_semi")
+           .select(F.col(id_col),
+                   F.explode(F.sequence(
+                       F.col("__s"), F.col("__s") + F.lit(n - 1)))
+                   .alias("__p"))
+           .distinct())
+    tok_rows = (fan_out(train.select(id_col, text_col))
+                .select(F.col(id_col),
+                        F.posexplode(toks).alias("__p", "__tok")))
+    kept = tok_rows.join(rem, [id_col, "__p"], "left_anti")
+    reb = (kept.groupBy(id_col)
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("__p", "__tok"))),
+                   lambda s: s["__tok"]),
+               " ").alias(out_col),
+               F.count(F.lit(1)).alias("__kept")))
+    return (train.join(reb, id_col, "left")
+            .withColumn(out_col,
+                        F.when(t.isNull(), F.lit(None).cast("string"))
+                        .otherwise(F.coalesce(F.col(out_col),
+                                              F.lit(""))))
+            .withColumn("n_tokens",
+                        F.when(t.isNull(), F.lit(None).cast("int"))
+                        .otherwise(F.size(toks)))
+            .withColumn("removed_tokens",
+                        F.when(t.isNull(), F.lit(None).cast("int"))
+                        .otherwise(F.size(toks)
+                                   - F.coalesce("__kept", F.lit(0))
+                                   .cast("int")))
+            .drop("__kept"))
+
+
 def dup_shingle_fraction(
     df: DataFrame,
     id_col: str,

@@ -4318,6 +4318,71 @@ def q_docs_decontaminate_screened(spark: SparkSession,
         F.round("overlap", 4).alias("overlap"))
 
 
+def q_docs_decontaminate_spans(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Span-level decontamination (dedup.decontaminate_spans): same
+    train/test split as docs_decontaminate, but instead of FLAGGING
+    leaked train docs, excise every occurrence of a test-set 3-gram
+    and rebuild — the salvage recipe (GPT-3 appendix C). Exact gram
+    keys so DuckDB reproduces the removal positions; the rebuilt text
+    gates as (length, md5) like docs_span_removal."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    split = sampling.with_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    train = split.filter(F.col("split") == "train").select(
+        "doc_id", "text")
+    test = split.filter(F.col("split") == "test").select(
+        "doc_id", "text")
+    out = dedup.decontaminate_spans(train, test, "doc_id", "text",
+                                    n=3, hash_family="exact")
+    return out.select(
+        "doc_id", "n_tokens", "removed_tokens",
+        F.length("decon_text").alias("decon_len"),
+        F.md5("decon_text").alias("decon_md5"))
+
+
+ORACLE_DOCS_DECONTAMINATE_SPANS = r"""
+WITH f AS (
+  SELECT doc_id, text,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+              WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents),
+d AS (SELECT doc_id, string_split(text, ' ') AS tk FROM f
+      WHERE split = 'train'),
+g AS (
+  SELECT doc_id, s, array_to_string(tk[s:s+2], ' ') AS gr
+  FROM d, UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(s)),
+tg AS (
+  SELECT DISTINCT array_to_string(tk[s:s+2], ' ') AS gr
+  FROM (SELECT string_split(text, ' ') AS tk FROM f
+        WHERE split = 'test') t,
+       UNNEST(range(1, greatest(len(tk) - 2, 0) + 1)) AS u(s)),
+rem AS (
+  SELECT DISTINCT g.doc_id, g.s + i AS p
+  FROM g JOIN tg USING (gr), UNNEST(range(0, 3)) AS r(i)),
+toks AS (
+  SELECT doc_id, p, tk[p] AS tok
+  FROM d, UNNEST(range(1, len(tk) + 1)) AS u(p)),
+kept AS (
+  SELECT t.doc_id, t.p, t.tok
+  FROM toks t LEFT JOIN rem ON rem.doc_id = t.doc_id AND rem.p = t.p
+  WHERE rem.p IS NULL),
+reb AS (
+  SELECT d.doc_id,
+         coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS dt,
+         count(k.p) AS n_kept
+  FROM d LEFT JOIN kept k USING (doc_id)
+  GROUP BY d.doc_id)
+SELECT r.doc_id, CAST(len(d.tk) AS INT) AS n_tokens,
+       CAST(len(d.tk) - r.n_kept AS INT) AS removed_tokens,
+       length(r.dt) AS decon_len, md5(r.dt) AS decon_md5
+FROM reb r JOIN d USING (doc_id)
+"""
+
+
 ORACLE_DOCS_DECONTAMINATE = r"""
 WITH f AS (
   SELECT doc_id, text,
@@ -9412,8 +9477,8 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          entry the full rotation left no slot for:
 #          events_drift_fdr, lineitem_ks_pvalue,
 #          docs_conformal_threshold, docs_frame_plan, docs_chunk_plan,
-#          docs_isotonic_by_source, docs_decontaminate_screened, and
-#          lineitem_ks_by_flag_fdr
+#          docs_isotonic_by_source, docs_decontaminate_screened,
+#          docs_decontaminate_spans, and lineitem_ks_by_flag_fdr
 #          (locally value-gated sf0.001 AND sf0.01 this round; the
 #          34-entry stale cohort outranked them for driver slots per
 #          the r11 verdict's task 1) plus the rows-only
@@ -9621,6 +9686,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_chunk_plan": q_docs_chunk_plan,
     "docs_isotonic_by_source": q_docs_isotonic_by_source,
     "docs_decontaminate_screened": q_docs_decontaminate_screened,
+    "docs_decontaminate_spans": q_docs_decontaminate_spans,
     "lineitem_ks_by_flag_fdr": q_lineitem_ks_by_flag_fdr,
     "docs_cc_largestar": q_docs_cc_largestar,
     "part_ppr_brand": q_part_ppr_brand,
@@ -9850,6 +9916,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_chunk_plan": ORACLE_DOCS_CHUNK_PLAN,
     "docs_isotonic_by_source": ORACLE_DOCS_ISOTONIC_BY_SOURCE,
     "docs_decontaminate_screened": ORACLE_DOCS_DECONTAMINATE,
+    "docs_decontaminate_spans": ORACLE_DOCS_DECONTAMINATE_SPANS,
     "docs_cc_largestar": ORACLE_DOCS_CC_LARGESTAR,
     "part_ppr_brand": ORACLE_PART_PPR_BRAND,
     "lineitem_cms_counts": ORACLE_LINEITEM_CMS_COUNTS,

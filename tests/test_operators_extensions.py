@@ -1699,6 +1699,33 @@ class TestContamination:
         assert dedup.contamination(train, test, "doc_id", "text",
                                    n=3, min_overlap=0.1).count() == 0
 
+    def test_decontaminate_spans_salvages_not_drops(self, spark):
+        """Every occurrence of a test-set n-gram is excised (no
+        first-copy exemption — test material has no legitimate train
+        copy), clean docs pass untouched, NULL stays NULL, sub-n docs
+        are untouched."""
+        train = spark.createDataFrame(
+            [(1, "intro words here the capital of france is paris "
+                 "closing words"),
+             (2, "totally unrelated content about spark plans"),
+             (3, None), (4, "tiny doc")], ["doc_id", "text"])
+        test = spark.createDataFrame(
+            [(100, "q the capital of france is paris a")],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r for r in dedup.decontaminate_spans(
+            train, test, "doc_id", "text", n=5).collect()}
+        assert got[1]["decon_text"] == "intro words here closing words"
+        assert (got[1]["n_tokens"], got[1]["removed_tokens"]) == (11, 6)
+        assert got[2]["removed_tokens"] == 0
+        assert got[3]["decon_text"] is None
+        assert got[4]["decon_text"] == "tiny doc"
+        # exact and hashed key families excise identical spans
+        exact = {r["doc_id"]: r["decon_text"]
+                 for r in dedup.decontaminate_spans(
+                     train, test, "doc_id", "text", n=5,
+                     hash_family="exact").collect()}
+        assert exact == {k: r["decon_text"] for k, r in got.items()}
+
     def test_screened_variant_is_row_identical(self, spark):
         """The Bloom sketch-then-confirm variant must return EXACTLY
         the exact operator's rows (no false negatives in the screen,
