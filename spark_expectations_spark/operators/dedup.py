@@ -420,6 +420,55 @@ def dup_span_coverage(
     return _release_on_gc(out, ex)
 
 
+def _word_grams(text_col: str, n: int):
+    """(toks, grams) Column pair for word n-gram excision — shared by
+    :func:`remove_dup_spans` and :func:`decontaminate_spans` so the
+    subtle slice/zip construction exists exactly once."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
+    grams = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+    return toks, grams
+
+
+def _rebuild_excised(df: DataFrame, id_col: str, text_col: str,
+                     rem: DataFrame, toks, out_col: str) -> DataFrame:
+    """Rebuild each document from tokens whose positions are NOT in
+    ``rem`` (id, __p) — the shared removal tail of the span operators:
+    one id-keyed anti join + one id-keyed groupBy, with the
+    NULL-text / n_tokens / removed_tokens output contract."""
+    from ..plans import fan_out
+
+    t = F.col(text_col)
+    tok_rows = (fan_out(df.select(id_col, text_col))
+                .select(F.col(id_col),
+                        F.posexplode(toks).alias("__p", "__tok")))
+    kept = tok_rows.join(rem, [id_col, "__p"], "left_anti")
+    reb = (kept.groupBy(id_col)
+           .agg(F.array_join(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct("__p", "__tok"))),
+                   lambda s: s["__tok"]),
+               " ").alias(out_col),
+               F.count(F.lit(1)).alias("__kept")))
+    return (df.join(reb, id_col, "left")
+            .withColumn(out_col,
+                        F.when(t.isNull(), F.lit(None).cast("string"))
+                        .otherwise(F.coalesce(F.col(out_col),
+                                              F.lit(""))))
+            .withColumn("n_tokens",
+                        F.when(t.isNull(), F.lit(None).cast("int"))
+                        .otherwise(F.size(toks)))
+            .withColumn("removed_tokens",
+                        F.when(t.isNull(), F.lit(None).cast("int"))
+                        .otherwise(F.size(toks)
+                                   - F.coalesce("__kept", F.lit(0))
+                                   .cast("int")))
+            .drop("__kept"))
+
+
 def remove_dup_spans(
     df: DataFrame,
     id_col: str,
@@ -465,12 +514,7 @@ def remove_dup_spans(
 
     if n < 1:
         raise ValueError("n must be >= 1")
-    t = F.col(text_col)
-    toks = F.split(F.trim(t), r"\s+")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
-    grams = F.transform(
-        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+    toks, grams = _word_grams(text_col, n)
     ex = (fan_out(df.select(id_col, text_col))
           .select(F.col(id_col),
                   F.posexplode(
@@ -499,31 +543,7 @@ def remove_dup_spans(
                        F.col("__s"), F.col("__s") + F.lit(n - 1)))
                    .alias("__p"))
            .distinct())
-    tok_rows = (fan_out(df.select(id_col, text_col))
-                .select(F.col(id_col),
-                        F.posexplode(toks).alias("__p", "__tok")))
-    kept = tok_rows.join(rem, [id_col, "__p"], "left_anti")
-    reb = (kept.groupBy(id_col)
-           .agg(F.array_join(
-               F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct("__p", "__tok"))),
-                   lambda s: s["__tok"]),
-               " ").alias(out_col),
-               F.count(F.lit(1)).alias("__kept")))
-    out = (df.join(reb, id_col, "left")
-           .withColumn(out_col,
-                       F.when(t.isNull(), F.lit(None).cast("string"))
-                       .otherwise(F.coalesce(F.col(out_col), F.lit(""))))
-           .withColumn("n_tokens",
-                       F.when(t.isNull(), F.lit(None).cast("int"))
-                       .otherwise(F.size(toks)))
-           .withColumn("removed_tokens",
-                       F.when(t.isNull(), F.lit(None).cast("int"))
-                       .otherwise(F.size(toks)
-                                  - F.coalesce("__kept", F.lit(0))
-                                  .cast("int")))
-           .drop("__kept"))
+    out = _rebuild_excised(df, id_col, text_col, rem, toks, out_col)
     return _release_on_gc(out, ex)
 
 
@@ -563,12 +583,7 @@ def decontaminate_spans(
 
     if n < 1:
         raise ValueError("n must be >= 1")
-    t = F.col(text_col)
-    toks = F.split(F.trim(t), r"\s+")
-    m = F.greatest(F.size(toks) - (n - 1), F.lit(0))
-    z = F.arrays_zip(*[F.slice(toks, i + 1, m) for i in range(n)])
-    grams = F.transform(
-        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(n)]))
+    toks, grams = _word_grams(text_col, n)
 
     def key_of(col):
         if hash_family == "exact":
@@ -596,32 +611,8 @@ def decontaminate_spans(
                        F.col("__s"), F.col("__s") + F.lit(n - 1)))
                    .alias("__p"))
            .distinct())
-    tok_rows = (fan_out(train.select(id_col, text_col))
-                .select(F.col(id_col),
-                        F.posexplode(toks).alias("__p", "__tok")))
-    kept = tok_rows.join(rem, [id_col, "__p"], "left_anti")
-    reb = (kept.groupBy(id_col)
-           .agg(F.array_join(
-               F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct("__p", "__tok"))),
-                   lambda s: s["__tok"]),
-               " ").alias(out_col),
-               F.count(F.lit(1)).alias("__kept")))
-    return (train.join(reb, id_col, "left")
-            .withColumn(out_col,
-                        F.when(t.isNull(), F.lit(None).cast("string"))
-                        .otherwise(F.coalesce(F.col(out_col),
-                                              F.lit(""))))
-            .withColumn("n_tokens",
-                        F.when(t.isNull(), F.lit(None).cast("int"))
-                        .otherwise(F.size(toks)))
-            .withColumn("removed_tokens",
-                        F.when(t.isNull(), F.lit(None).cast("int"))
-                        .otherwise(F.size(toks)
-                                   - F.coalesce("__kept", F.lit(0))
-                                   .cast("int")))
-            .drop("__kept"))
+    return _rebuild_excised(train, id_col, text_col, rem, toks,
+                            out_col)
 
 
 def dup_shingle_fraction(

@@ -378,9 +378,10 @@ def audio_chunk_plan(
     before the clip does — short clips then yield exactly one chunk
     spanning themselves; without it, trailing audio past the last full
     window is silently dropped (the documented trade). NULL/negative
-    durations yield no rows. ``hop_ms > window_ms`` (gaps) is allowed
-    but almost always a bug, so it raises unless the caller really
-    meant it can be expressed by sampling upstream.
+    durations yield no rows. ``hop_ms > window_ms`` would leave
+    unheard gaps between chunks — almost always a bug — so it raises;
+    express deliberate subsampling upstream (e.g. sample clips, or
+    chunk then sample chunks) instead.
 
     Pure integer sequence/explode arithmetic — zero shuffle, output
     bounded by Σ duration/hop, value-exact in any SQL engine.

@@ -335,8 +335,10 @@ def count_min_sketch(
     # smaller-width build passes the lookup's shape guard and
     # under-reads (the one-sided >= guarantee breaks silently).
     # Sum-merges keep them; a zero cell never changes an estimate.
-    sent_src = (nn.select(*pc).distinct() if pc
-                else nn.limit(1).select())
+    # derive from the BUILT cell table (KB-scale), not the input — a
+    # second corpus scan per sketch otherwise
+    sent_src = (built.select(*pc).distinct() if pc
+                else built.limit(1).select())
     sentinel = (sent_src
                 .select(*pc, F.explode(F.array(
                     *[F.lit(r) for r in range(depth)])).alias("r"))
@@ -493,8 +495,10 @@ def bloom_filter(
     # without it a smaller build passes the probe's shape guard and
     # produces false negatives, breaking the proof-of-absence
     # direction. OR-merges keep the sentinel; it never flips a probe.
-    sent_src = (nn.select(*pc).distinct() if pc
-                else nn.limit(1).select())
+    # derive the sentinel rows from the BUILT table (word-table scale)
+    # — deriving from the input would re-scan the whole build source
+    sent_src = (built.select(*pc).distinct() if pc
+                else built.limit(1).select())
     sentinel = sent_src.select(
         *pc, F.lit(n_words - 1).cast("long").alias("word"),
         F.lit(0).cast("long").alias("bits"))
@@ -530,6 +534,9 @@ def bloom_might_contain(
     from the words alone — pin them where the filter is persisted (a
     too-large k or wrong salt can only FLIP true→false spuriously,
     never break the no-false-negative direction of a matching probe).
+    MIGRATION: word tables persisted by pre-sentinel builds fail this
+    exact check — run :func:`~..streaming.compact_bloom_state` on a
+    stream store (it re-adds the sentinel) or rebuild one-off tables.
 
     Scale shape: the word table is at most ``n_bits/32`` rows —
     broadcast it for probe-side map-only lookups when n_bits is sized

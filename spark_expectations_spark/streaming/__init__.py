@@ -1090,7 +1090,8 @@ def bloom_membership_stream(
     return step
 
 
-def compact_bloom_state(spark, filter_path: str) -> int:
+def compact_bloom_state(spark, filter_path: str, *,
+                        n_bits: int | None = None) -> int:
     """Fold a :func:`bloom_membership_stream` store's per-batch delta
     partitions into ONE merged partition (``_batch_id = -1``) —
     OR-merging is idempotent, so the compacted store answers every
@@ -1098,11 +1099,28 @@ def compact_bloom_state(spark, filter_path: str) -> int:
     batches × words to words. Returns the merged word count. Run at
     stream QUIESCENCE only: compacting between a failed batch and its
     replay folds the failed attempt's words into the base the replay
-    probes (see the stream step's exactly-once note)."""
-    merged = (spark.read.parquet(filter_path)
+    probes (see the stream step's exactly-once note).
+
+    ``n_bits`` is the REPAIR mode for stores written by pre-sentinel
+    builds: pass the stream's configured ``n_bits`` and the compaction
+    re-pins the width sentinel at the configured last word so the
+    probe's exact shape check accepts the store again. Post-sentinel
+    stores need no repair — the OR-merge preserves their sentinel."""
+    words = (spark.read.parquet(filter_path)
+             .groupBy("word").agg(F.bit_or("bits").alias("bits")))
+    if n_bits is not None:
+        n_words = (n_bits + 31) // 32
+        sentinel = spark.createDataFrame(
+            [(int(n_words - 1), 0)], "word long, bits long")
+        words = words.unionByName(sentinel)
+    merged = (words
               .groupBy("word").agg(F.bit_or("bits").alias("bits"))
               .withColumn("_batch_id", F.lit(-1))
               .localCheckpoint(eager=True))
+    # STATIC overwrite explicitly: under a session-wide dynamic
+    # setting, overwrite would replace only the -1 partition and the
+    # deltas would never be removed — compaction must truncate
     (merged.write.mode("overwrite").partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "static")
      .parquet(filter_path))
     return merged.count()
