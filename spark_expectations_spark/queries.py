@@ -9485,41 +9485,65 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_compression_ratio.
 #          = 50. Displaced: the full r11-new block and the r8-front
 #          re-gates (all r11-green one round ago, rotation debt zero).
+#   r13:   5 dq_* flagship + the 9 r12 late-wave value-oracled entries
+#          that landed after the r12 rotation was pinned and so have
+#          NEVER faced the hard gate (events_drift_fdr,
+#          lineitem_ks_pvalue, lineitem_ks_by_flag_fdr,
+#          docs_conformal_threshold, docs_frame_plan, docs_chunk_plan,
+#          docs_isotonic_by_source, docs_decontaminate_screened,
+#          docs_decontaminate_spans — the r12 verdict's task 1) + the
+#          FULL 20-entry r8-stale cohort the r12 rotation displaced
+#          (tpch_q3/q6/q2ish/q7ish/q9ish/q12ish/q15ish/q17ish/q20ish/
+#          q22ish, docs_mixture_resample, docs_temperature_resample,
+#          docs_token_budget, docs_percentile_gate, orders_status_chi2,
+#          docs_winsorize, orders_snapshot_diff, docs_train_split,
+#          orders_status_drift, lineitem_price_drift) + 16 fills from
+#          the r9-gated cohort, now the stalest value-oracled entries
+#          (histogram recomputed this round from CORRECTNESS_r*:
+#          16 never-gated of which 9 are the late wave above and 7 are
+#          declared rows-only by construction, 20 @ r8, 37 @ r9);
+#          r13-new operators displace fills as they land, per the r11
+#          convention. NOTE: the r12 verdict also named
+#          embed_near_dups_blocked ("last hard gate r3") — that entry
+#          was folded into embed_near_dups/embed_near_dups_bcast in r4
+#          (see the r12 log above) and both successors were r12-green,
+#          so the slot passes to the r9 cohort.
+#          Fill displacement is recorded inline below as r13-new
+#          entries land and take slots (newest-first at the top of the
+#          fill block, stalest r9 fill yields its slot each time).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # round-12 NEW operators — gate first
-    "docs_source_qnorm_bucketed",   # r12 new: bucketed-ECDF qnorm mode
-    "docs_nfd_pack",                # r12 new: capacity-filling NFD pack
-    "dedup_canonical_centrality",   # r12 new: centrality canonical pick
-    "events_cms_daily_rollup",      # r12 new: CMS merge-by-SUM parity
-    "docs_label_alpha_ci",          # r12 new: alpha bootstrap CI
-    # the r5-gated cohort (13 — last hard gate was r5)
-    "dedup_containment", "docs_bm25_terms", "docs_clean_corpus",
-    "docs_corpus_report", "docs_dup_shingles", "docs_group_sample",
-    "docs_incremental_dedup", "docs_ngram_novelty", "docs_pack_streams",
-    "docs_tfidf_terms", "events_distinct_rollup_exact",
-    "lineitem_profile", "orders_fk_profile",
-    # the r6-gated cohort (21 — last hard gate was r6)
-    "anti_join_orders", "array_agg_statuses", "dedup_canonical",
-    "dedup_clusters", "dedup_fingerprint", "dedup_jaccard",
-    "docs_dedup_pipeline", "docs_dsir_weights", "docs_line_stats",
-    "embed_near_dups", "embed_semdedup", "embed_standardize",
-    "events_hourly_anomalies", "events_sessions", "events_topk_users",
-    "events_window_topk", "lineitem_price_histogram",
-    "multimodal_features", "orders_percentiles", "orders_price_bands",
-    "tpch_q1",
-    # fills from the r8-gated cohort (next-stalest after the above);
-    # late r12-new operators take fill slots as they land (the r11
-    # rotation-log convention)
-    "orders_bloom_probe",           # r12 new: Bloom membership probe
-    "docs_weighted_topk",           # r12 new: A-ES exact-k sampling
-    "part_sorted_neighborhood",     # r12 new: Hernandez-Stolfo SNM
-    "events_skew_report",           # r12 new: shuffle-key skew probe
-    "docs_cc_largestar",            # r12 new: star-contraction CC
-    "part_ppr_brand",               # r12 new: personalized PageRank
+    # r12 late-wave operators — landed after the r12 rotation was
+    # pinned; never hard-gated (r12 verdict task 1 — gate FIRST)
+    "events_drift_fdr",             # per-segment chi2 drift + BH FDR
+    "lineitem_ks_pvalue",           # closed-form KS p-value
+    "lineitem_ks_by_flag_fdr",      # per-segment KS fleet + FDR
+    "docs_conformal_threshold",     # split-conformal exact order stats
+    "docs_frame_plan",              # frame-budget sampling plan
+    "docs_chunk_plan",              # audio window/hop chunk plan
+    "docs_isotonic_by_source",      # per-group independent PAV fits
+    "docs_decontaminate_screened",  # Bloom sketch-then-confirm decon
+    "docs_decontaminate_spans",     # span-level decon salvage
+    # the r8-gated cohort (20 — last hard gate was r8)
+    "tpch_q3", "tpch_q6", "tpch_q2ish", "tpch_q7ish", "tpch_q9ish",
+    "tpch_q12ish", "tpch_q15ish", "tpch_q17ish", "tpch_q20ish",
+    "tpch_q22ish", "docs_mixture_resample", "docs_temperature_resample",
+    "docs_token_budget", "docs_percentile_gate", "orders_status_chi2",
+    "docs_winsorize", "orders_snapshot_diff", "docs_train_split",
+    "orders_status_drift", "lineitem_price_drift",
+    # fills from the r9-gated cohort (next-stalest value-oracled);
+    # r13-new operators take fill slots as they land, displacing the
+    # BOTTOM fill first (the list below is ordered stalest-risk first,
+    # so the last names yield their slots to new operators)
+    "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
+    "docs_chunks", "docs_classifier_score", "docs_collocations",
+    "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
+    "docs_lm_score", "docs_source_dup_matrix", "docs_strip_boilerplate",
+    "docs_token_ids", "docs_weighted_sample", "embed_mean_pool",
+    "events_asof_purchase",
 ]
 
 

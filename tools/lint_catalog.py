@@ -75,6 +75,43 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "ratings → ≤ 10 pairs — broadcast); the corpus-scale ratings "
         "frame only ever meets itself on unit-keyed equi-joins, and "
         "the remaining crosses are 1-row aggregate folds",
+    # --- r12 verdict №2: the 7 standing warn-tier findings, annotated
+    # so the linter output reads zero unexplained findings ---
+    ("docs_label_agreement", "single-partition-exchange"):
+        "cohens_kappa's final fold: the exchange collapses the "
+        "categories²-row confusion matrix (≤ label-cardinality², here "
+        "~dozens) to the 1-row kappa — label-scale by construction, "
+        "the corpus-scale groupBy before it is fully parallel",
+    ("docs_label_agreement", "filter-not-pushed"):
+        "the NULL-drop filter tests rater_b, a COMPUTED when-chain "
+        "column (the deterministic disagreement/NULL injection) that "
+        "does not exist in the parquet schema — unpushable by "
+        "construction; the corpus is scanned exactly once",
+    ("docs_weighted_cosine", "filter-not-pushed"):
+        "Bayardo prefix/length/suffix-norm filters predicate on "
+        "COMPUTED shingle arrays, window sums, and weight joins — "
+        "none exist at the scan; the only scan-column filter "
+        "(size(split(text)) >= 8) is over a derived split. Corpus "
+        "read once, candidate space pruned by the prefix filter "
+        "instead of the scan",
+    ("lineitem_price_jsd", "single-partition-exchange"):
+        "the JSD sum is a 1-row collapse of the (buckets)-cardinality "
+        "joined histogram (~11 rows) — histogram-scale fold, the "
+        "corpus-scale bucket groupBy is map-side combined and parallel",
+    ("lineitem_price_jsd", "filter-not-pushed"):
+        "the deterministic halves split (l_orderkey % 2 = 0/1) is a "
+        "modulo EXPRESSION predicate — parquet pushdown only handles "
+        "plain column comparisons, so the filter runs post-scan by "
+        "format capability, not plan shape; one scan per side, "
+        "column-pruned to the two read columns",
+    ("lineitem_drift_report", "filter-not-pushed"):
+        "same modulo-expression halves split as lineitem_price_jsd "
+        "(unpushable by parquet capability); all downstream frames are "
+        "(columns × buckets)-cardinality",
+    ("lineitem_drift_verdict", "filter-not-pushed"):
+        "same modulo-expression halves split as lineitem_price_jsd; "
+        "the verdict layer only ever touches the columns-cardinality "
+        "report frame",
 }
 
 
