@@ -239,6 +239,10 @@ BENCH_QUERIES = [
     # span-level decontamination (posting-list excision vs the test
     # gram set + per-doc rebuild)
     "docs_decontaminate_spans",
+    # round-13 operators: in-engine logistic-regression training (one
+    # featurize pass + localCheckpoint, then per step ONE map-side-
+    # combined sentinel-tagged groupBy collecting dim+2 rows)
+    "docs_classifier_train",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

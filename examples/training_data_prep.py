@@ -298,6 +298,38 @@ def main() -> None:
                                     binary_col="media_bytes")
     pairs = multimodal.phash_near_dups(ph, "doc_id", max_hamming=0)
     print("exact phash dup pairs:", pairs.count())
+
+    # ---- round-13 additions -----------------------------------------------
+    # quality classifier trained IN-ENGINE, then the full filter chain:
+    # train -> score -> isotonic-calibrate -> conformal gate. Labels
+    # come from the Gopher heuristic gate (the FineWeb-Edu pattern:
+    # bootstrap a cheap-heuristic label set, train the generalizing
+    # classifier on it); scoring reuses hashed_linear_score, so the
+    # trained weights drop into the existing inference path unchanged.
+    from spark_expectations_spark.operators import profiling
+    labeled = docs.join(gate.select("doc_id", "passes"), "doc_id") \
+        .withColumn("label", F.col("passes").cast("double"))
+    fit = text.logistic_train(labeled, "doc_id", "text", "label",
+                              dim=1024, iterations=5, lr=2.0)
+    frow = fit.first()
+    print("classifier train: n={} bias={:.4f} loss {:.4f} -> {:.4f}".format(
+        frow["n_train"], frow["bias"],
+        frow["losses"][0], frow["losses"][-1]))
+    qscored = text.hashed_linear_score(
+        labeled, "doc_id", "text", fit.select("bucket", "weight"),
+        dim=1024, bias=frow["bias"], out_col="clf_score")
+    # isotonic: raw sigmoid scores -> calibrated P(passes gate)
+    cal = text.isotonic_calibrate(
+        qscored.withColumn("clf_score", F.round("clf_score", 4)),
+        "clf_score", "label", out_col="clf_prob")
+    # conformal gate on the calibration split: nonconformity = 1 - p,
+    # keep future docs whose nonconformity clears the 90% threshold
+    thr = profiling.conformal_threshold(
+        cal.withColumn("nonconf", 1.0 - F.col("clf_prob")),
+        "nonconf", alpha=0.1).first()
+    kept_n = cal.filter(1.0 - F.col("clf_prob") <= thr["threshold"]).count()
+    print("conformal quality gate: threshold {:.4f} keeps {} of {}".format(
+        thr["threshold"], kept_n, cal.count()))
     spark.stop()
 
 

@@ -627,6 +627,151 @@ def hashed_linear_score(
         scored.select(F.col(id_col), score.alias(out_col)), id_col)
 
 
+#: Hard cap on ``dim`` for :func:`logistic_train` — the per-iteration
+#: weight vector is embedded in the plan as a literal array (the
+#: lloyd_kmeans broadcast-codebook device), so the plan grows O(dim).
+#: 2^16 doubles ≈ 512 KiB of literals per iteration; past that the
+#: model side belongs in a bucket-keyed broadcast-join frame (the
+#: hashed_linear_score inference shape), which trades one doc-keyed
+#: shuffle per iteration for unbounded dim — not implemented until a
+#: pipeline needs >65k hashed features.
+LOGISTIC_TRAIN_MAX_DIM = 1 << 16
+
+
+def logistic_train(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 1 << 10,
+    iterations: int = 3,
+    lr: float = 0.5,
+    normalize: bool = True,
+) -> DataFrame:
+    """Train the quality-filter classifier IN-ENGINE — deterministic
+    full-batch logistic regression over the same hashed bag-of-words
+    features :func:`hashed_linear_score` consumes at inference time.
+    Production filter pipelines (fastText-style quality classifiers of
+    the GPT-3/LLaMA lineage, FineWeb-Edu, DCLM) train these weights
+    in-pipeline; until now ``hashed_linear_score`` required them to
+    come from outside the engine.
+
+    Deterministic by construction, no RNG: zero-init weights and bias
+    (the log-loss objective is convex, so init only affects the path,
+    and zero-init makes step 1's predictions exactly 0.5), a FIXED
+    ``iterations`` count of full-batch gradient steps at a FIXED
+    learning rate ``lr``, features ``x_j = count_j / n_tokens`` (mean
+    pooling when ``normalize``, raw counts otherwise) with ``j =
+    hash48_md5(token) % dim`` — the md5-derived portable bucket, so a
+    SQL engine replays the whole training loop. Token-free documents
+    carry no feature evidence and are excluded from the training set
+    (they would only shift the bias toward the base rate).
+
+    Returns a ``dim``-row model frame ``(bucket, weight, bias,
+    n_train, losses)``: final weights one row per bucket (buckets no
+    token hashed into keep weight 0.0 — their gradient is identically
+    zero), with the shared scalars repeated per row — ``bias``,
+    ``n_train`` (training-set size), and ``losses``, the mean log-loss
+    measured at the START of each step (losses[0] is always ln 2 under
+    zero-init; a shrinking tail is the convergence evidence).
+    ``fit.select("bucket", "weight")`` feeds straight into
+    :func:`hashed_linear_score` (pass ``bias=`` from any row).
+
+    Scale shape (100 TB): the corpus is featurized ONCE — explode +
+    (id, bucket)-keyed count + id-keyed sorted collect into per-doc
+    sparse arrays — then ``localCheckpoint`` cuts lineage before the
+    loop (the pagerank edge-list discipline). Each step is ONE job: the
+    current weights ride the plan as a literal array (model-scale, see
+    :data:`LOGISTIC_TRAIN_MAX_DIM`), the margin/residual/log-loss are
+    per-row ``aggregate`` folds over the sparse arrays (map-only, no
+    shuffle), and per-bucket gradient sums, the bias gradient, and the
+    loss fold into ONE map-side-combined groupBy by tagging each doc's
+    exploded feature rows with two sentinel rows (bucket −1 = loss
+    term, −2 = residual) — a (dim+2)-row collect, never corpus rows.
+    Driver state is the dim-vector and two scalars, exactly the
+    lloyd_kmeans k×dim discipline.
+    """
+    if dim < 1 or dim > LOGISTIC_TRAIN_MAX_DIM:
+        raise ValueError(
+            f"dim must be in [1, {LOGISTIC_TRAIN_MAX_DIM}] (literal-array "
+            f"weight embedding — see LOGISTIC_TRAIN_MAX_DIM); got {dim}")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from .dedup import hash48_md5
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("double").alias("_y"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"))
+    sparse = (toks
+              .withColumn("_j", (hash48_md5(F.col("_tok")) % F.lit(dim))
+                          .cast("int"))
+              .groupBy("_id", "_y", "_j")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    feats = (sparse.groupBy("_id", "_y")
+             .agg(F.sort_array(F.collect_list(F.struct("_j", "_c")))
+                  .alias("_jc"),
+                  F.sum("_c").alias("_n"))
+             .localCheckpoint(eager=False))
+    n_train = feats.count()
+    if n_train == 0:
+        raise ValueError("logistic_train: no documents with tokens")
+
+    w = [0.0] * dim
+    bias = 0.0
+    losses: list[float] = []
+    for _ in range(iterations):
+        wlit = F.array(*[F.lit(float(v)) for v in w])
+        z = F.aggregate(
+            "_jc", F.lit(0.0),
+            lambda acc, s: acc
+            + (s["_c"].cast("double") / F.col("_n") if normalize
+               else s["_c"].cast("double"))
+            * F.element_at(wlit, s["_j"] + 1),
+        ) + F.lit(float(bias))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = p - F.col("_y")
+        logloss = -(F.col("_y") * F.log(p)
+                    + (F.lit(1.0) - F.col("_y")) * F.log(F.lit(1.0) - p))
+        # residual/loss are computed once per doc in this projection and
+        # referenced by the exploded feature rows plus the two sentinels
+        grad = (feats
+                .withColumn("_r", r).withColumn("_l", logloss)
+                .select(F.explode(F.concat(
+                    F.transform(
+                        "_jc",
+                        lambda s: F.struct(
+                            s["_j"].alias("j"),
+                            (F.col("_r")
+                             * (s["_c"].cast("double") / F.col("_n")
+                                if normalize
+                                else s["_c"].cast("double"))).alias("v"))),
+                    F.array(F.struct(F.lit(-1).alias("j"),
+                                     F.col("_l").alias("v")),
+                            F.struct(F.lit(-2).alias("j"),
+                                     F.col("_r").alias("v"))),
+                )).alias("_e"))
+                .groupBy(F.col("_e.j").alias("j"))
+                .agg(F.sum("_e.v").alias("g"))
+                .collect())
+        gmap = {row["j"]: row["g"] for row in grad}
+        losses.append(gmap.get(-1, 0.0) / n_train)
+        bias -= lr * gmap.get(-2, 0.0) / n_train
+        for j, g in gmap.items():
+            if j >= 0:
+                w[j] -= lr * g / n_train
+
+    rows = [(j, float(w[j])) for j in range(dim)]
+    out = spark.createDataFrame(rows, "bucket int, weight double")
+    return (out
+            .withColumn("bias", F.lit(float(bias)))
+            .withColumn("n_train", F.lit(int(n_train)).cast("long"))
+            .withColumn("losses",
+                        F.array(*[F.lit(float(v)) for v in losses])))
+
+
 def calibration_report(
     df: DataFrame,
     score_col: str,

@@ -3907,6 +3907,93 @@ FROM documents d LEFT JOIN s USING (doc_id)
 """
 
 
+def q_docs_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-classifier training (text.logistic_train —
+    r12 verdict task 2): deterministic full-batch logistic regression
+    over 32 hashed bag-of-words buckets, labels y = (n_chars >= 300)
+    — the classifier learns to predict document length class from
+    token content, exercising the full training loop. Zero init, 3
+    fixed steps at lr=5.0, md5 feature hashing, so DuckDB replays the
+    ENTIRE gradient descent as 3 unrolled CTE rounds (the
+    part_ppr_brand discipline). Output: final weights (32 rows) with
+    bias / n_train / per-step mean log-loss repeated per row, doubles
+    rounded 9dp (+0.0 negative-zero fold) — loss_1 is exactly ln 2
+    under zero init, the shrinking tail is the convergence evidence
+    the hash gate certifies cross-engine."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "_label", (F.col("n_chars") >= 300).cast("double"))
+    fit = text_ops.logistic_train(labeled, "doc_id", "text", "_label",
+                                  dim=32, iterations=3, lr=5.0)
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0))  # noqa: E731
+    return fit.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        r9(F.col("weight")).alias("weight"),
+        r9(F.col("bias")).alias("bias"),
+        F.col("n_train"),
+        r9(F.element_at("losses", 1)).alias("loss_1"),
+        r9(F.element_at("losses", 2)).alias("loss_2"),
+        r9(F.element_at("losses", 3)).alias("loss_3"))
+
+
+def _oracle_docs_classifier_train() -> str:
+    """Unrolled-CTE replay of logistic_train's 3 gradient steps: the
+    same md5 bucketing, tf features, residuals, per-bucket gradient
+    sums, and lr/m updates as plain SQL — weights AND the loss ladder
+    under the value gate."""
+    dim, lr, iters = 32, 5.0, 3
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+bk AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {dim} AS j
+  FROM toks WHERE tok <> ''),
+cnt AS (SELECT doc_id, j, count(*) AS c FROM bk GROUP BY doc_id, j),
+nt AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+lab AS (SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+sx AS (SELECT c.doc_id, c.j, c.c * 1.0 / n.n AS x
+       FROM cnt c JOIN nt n USING (doc_id)),
+m AS (SELECT count(*) AS m FROM nt),
+grid AS (SELECT unnest(range({dim})) AS j),
+w0 AS (SELECT j, 0.0 AS w FROM grid),
+b0 AS (SELECT 0.0 AS b)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        sql += f""",
+z{i} AS (
+  SELECT s.doc_id, sum(s.x * w.w) + (SELECT b FROM b{p}) AS z
+  FROM sx s JOIN w{p} w USING (j) GROUP BY s.doc_id),
+r{i} AS (
+  SELECT z.doc_id, 1.0 / (1.0 + exp(-z.z)) - lab.y AS r,
+         -(lab.y * ln(1.0 / (1.0 + exp(-z.z)))
+           + (1.0 - lab.y) * ln(1.0 - 1.0 / (1.0 + exp(-z.z)))) AS l
+  FROM z{i} z JOIN lab USING (doc_id)),
+g{i} AS (SELECT s.j, sum(rs.r * s.x) AS g
+         FROM sx s JOIN r{i} rs USING (doc_id) GROUP BY s.j),
+w{i} AS (SELECT w.j, w.w - {lr} * coalesce(g.g, 0.0) / m.m AS w
+         FROM w{p} w LEFT JOIN g{i} g USING (j), m),
+b{i} AS (SELECT (SELECT b FROM b{p}) - {lr} * sum(rs.r) / m.m AS b
+         FROM r{i} rs, m GROUP BY m.m),
+l{i} AS (SELECT avg(l) AS l FROM r{i})"""
+    tail_loss = ", ".join(
+        f"round(l{i}.l, 9) + 0.0 AS loss_{i}" for i in range(1, iters + 1))
+    tail_from = ", ".join(f"l{i}" for i in range(1, iters + 1))
+    sql += f"""
+SELECT w.j AS bucket, round(w.w, 9) + 0.0 AS weight,
+       round(b{iters}.b, 9) + 0.0 AS bias, m.m AS n_train, {tail_loss}
+FROM w{iters} w, b{iters}, m, {tail_from}
+"""
+    return sql
+
+
+ORACLE_DOCS_CLASSIFIER_TRAIN = _oracle_docs_classifier_train()
+
+
 def q_docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy-hitter tokens (sketches.heavy_hitters): one-pass
     JVM Misra-Gries candidates (df.stat.freqItems, no shuffle of raw
@@ -9509,8 +9596,10 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          (see the r12 log above) and both successors were r12-green,
 #          so the slot passes to the r9 cohort.
 #          Fill displacement is recorded inline below as r13-new
-#          entries land and take slots (newest-first at the top of the
-#          fill block, stalest r9 fill yields its slot each time).
+#          entries land and take slots (the LAST fill yields its slot
+#          each time): docs_classifier_train (in-engine deterministic
+#          logistic regression under a 3-round unrolled-CTE oracle,
+#          r12 verdict task 2) displaced events_asof_purchase.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -9543,7 +9632,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
     "docs_lm_score", "docs_source_dup_matrix", "docs_strip_boilerplate",
     "docs_token_ids", "docs_weighted_sample", "embed_mean_pool",
-    "events_asof_purchase",
+    "docs_classifier_train",        # r13 new: in-engine logistic reg
 ]
 
 
@@ -9645,6 +9734,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_strip_boilerplate": q_docs_strip_boilerplate,
     "docs_percentile_gate": q_docs_percentile_gate,
     "docs_classifier_score": q_docs_classifier_score,
+    "docs_classifier_train": q_docs_classifier_train,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -9861,6 +9951,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_strip_boilerplate": ORACLE_DOCS_STRIP_BOILERPLATE,
     "docs_percentile_gate": ORACLE_DOCS_PERCENTILE_GATE,
     "docs_classifier_score": ORACLE_DOCS_CLASSIFIER_SCORE,
+    "docs_classifier_train": ORACLE_DOCS_CLASSIFIER_TRAIN,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

@@ -2588,6 +2588,97 @@ class TestHashedLinearScore:
             1.0 / (1.0 + math.exp(-1.5)))
 
 
+class TestLogisticTrain:
+    FIX = [(1, "good clean prose text here", 1),
+           (2, "good solid useful text", 1),
+           (3, "spam spam junk junk junk", 0),
+           (4, "junk noise spam garbage", 0),
+           (5, "good text about spam filters", 1),
+           (6, "noise noise garbage junk spam", 0),
+           (7, "clean useful prose", 1),
+           (8, "garbage", 0)]
+
+    def _fit(self, spark, dim=16, iterations=4, lr=2.0):
+        df = spark.createDataFrame(self.FIX, "id int, text string, y int")
+        return text.logistic_train(df, "id", "text", "y", dim=dim,
+                                   iterations=iterations, lr=lr)
+
+    def test_numpy_full_batch_differential(self, spark):
+        import hashlib
+        import math
+        import re
+
+        dim, iters, lr = 16, 4, 2.0
+        fit = {r["bucket"]: r for r in self._fit(spark).collect()}
+        # driver-side replay of the exact arithmetic
+        X, Y = [], []
+        for _, txt, y in self.FIX:
+            toks = [t for t in re.split(r"\s+", txt.strip().lower()) if t]
+            if not toks:
+                continue
+            v = [0.0] * dim
+            for t in toks:
+                j = int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % dim
+                v[j] += 1.0 / len(toks)
+            X.append(v)
+            Y.append(float(y))
+        w, b = [0.0] * dim, 0.0
+        losses = []
+        for _ in range(iters):
+            p = [1.0 / (1.0 + math.exp(-(sum(x * wj for x, wj in zip(xi, w))
+                                         + b))) for xi in X]
+            losses.append(sum(-(y * math.log(pi) + (1 - y) * math.log(1 - pi))
+                              for pi, y in zip(p, Y)) / len(X))
+            r = [pi - y for pi, y in zip(p, Y)]
+            for j in range(dim):
+                w[j] -= lr * sum(ri * xi[j] for ri, xi in zip(r, X)) / len(X)
+            b -= lr * sum(r) / len(X)
+        for j in range(dim):
+            assert fit[j]["weight"] == pytest.approx(w[j], abs=1e-12)
+        row = fit[0]
+        assert row["bias"] == pytest.approx(b, abs=1e-12)
+        assert row["n_train"] == len(X)
+        assert list(row["losses"]) == pytest.approx(losses, abs=1e-12)
+
+    def test_loss_ladder_starts_at_ln2_and_descends(self, spark):
+        import math
+        losses = list(self._fit(spark).first()["losses"])
+        assert losses[0] == pytest.approx(math.log(2.0))
+        assert all(a > b for a, b in zip(losses, losses[1:]))
+
+    def test_token_free_docs_excluded(self, spark):
+        df = spark.createDataFrame(
+            self.FIX + [(9, "   ", 1), (10, None, 0)],
+            "id int, text string, y int")
+        fit = text.logistic_train(df, "id", "text", "y", dim=16,
+                                  iterations=1, lr=1.0)
+        assert fit.first()["n_train"] == len(self.FIX)
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame(self.FIX, "id int, text string, y int")
+        with pytest.raises(ValueError, match="dim"):
+            text.logistic_train(df, "id", "text", "y",
+                                dim=text.LOGISTIC_TRAIN_MAX_DIM + 1)
+        with pytest.raises(ValueError, match="iterations"):
+            text.logistic_train(df, "id", "text", "y", dim=8, iterations=0)
+        empty = spark.createDataFrame([(1, "", 1)], "id int, text string, y int")
+        with pytest.raises(ValueError, match="no documents"):
+            text.logistic_train(empty, "id", "text", "y", dim=8)
+
+    def test_weights_feed_score_path(self, spark):
+        # the trained model separates the fixture through the existing
+        # inference operator — train and score stay one surface
+        fit = self._fit(spark, iterations=8, lr=4.0)
+        df = spark.createDataFrame(self.FIX, "id int, text string, y int")
+        scored = text.hashed_linear_score(
+            df, "id", "text", fit.select("bucket", "weight"), dim=16,
+            bias=fit.first()["bias"])
+        rows = {r["id"]: r["score"] for r in scored.collect()}
+        pos = [rows[i] for i, _, y in self.FIX if y == 1]
+        neg = [rows[i] for i, _, y in self.FIX if y == 0]
+        assert min(pos) > max(neg)
+
+
 class TestRecallAtK:
     def test_partial_and_zero_overlap(self, spark):
         exact = spark.createDataFrame(
