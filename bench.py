@@ -243,6 +243,11 @@ BENCH_QUERIES = [
     # featurize pass + localCheckpoint, then per step ONE map-side-
     # combined sentinel-tagged groupBy collecting dim+2 rows)
     "docs_classifier_train",
+    # mergeable quantile rollup (one map-side-combined bin groupBy per
+    # side + bins-scale windows; events_quantile_merge_check is
+    # deliberately unbenched per the sibling rule — same build plan
+    # twice plus a KB-scale join)
+    "events_quantile_rollup",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

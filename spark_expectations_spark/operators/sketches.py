@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -86,6 +86,133 @@ def kll_quantiles_by_group(
             f"q{str(q).replace('0.', '').rstrip('0') or '0'}",
             F.kll_sketch_get_quantile_double(sketch_out, F.lit(float(q))))
     return out
+
+
+def quantile_histogram(
+    df: DataFrame,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    partition_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Build the MERGEABLE quantile sketch the KLL path can't give us
+    (r12 verdict task 4): a fixed-edge cumulative histogram whose cells
+    are EXACT integers — so the sketch is value-oracle-able end to end,
+    and per-day state merges with yesterday's by plain aggregation,
+    which per-run ``approx_percentile``/KLL estimates cannot do without
+    binary sketch blobs. Quantile read-off interpolates inside a bin
+    (:func:`histogram_quantiles`), so the error is bounded by bin width
+    — pick ``edges`` from domain knowledge or a one-off percentile
+    probe, exactly like the drift family's fold buckets.
+
+    Bin ``i`` = number of ``edges`` ≤ value (the drift-module fold
+    device: a literal-array fold, pure codegen, no edge-table join) —
+    ``len(edges)+1`` possible bins covering (−inf, inf). Each cell
+    carries ``(n, lo, hi)``: exact row count plus the exact min/max
+    value seen in that bin. All three are mergeable by construction —
+    ``n`` by SUM, ``lo`` by MIN, ``hi`` by MAX — so
+    :func:`quantile_histogram_merge` composes any date range's sketch
+    from per-day cells CELL FOR CELL equal to a direct whole-range
+    build (the CMS/HLL rollup philosophy; parity is oracle-gated by
+    ``events_quantile_merge_check``). NULL values are skipped.
+
+    ``partition_cols`` builds many sketches in the same single pass —
+    the cell table becomes ``(*partition_cols, bin, n, lo, hi)``,
+    at most ``len(edges)+1`` rows per partition tuple regardless of
+    corpus size. Names must not collide with ``bin``/``n``/``lo``/
+    ``hi``.
+
+    Scale shape: ONE map-side-combined groupBy over
+    (*partition_cols, bin); no explode (unlike CMS there is one cell
+    per row, not depth), no window, KB-scale output.
+    """
+    if len(edges) < 1:
+        raise ValueError("need at least one bin edge")
+    es = [float(e) for e in edges]
+    if sorted(es) != es or len(set(es)) != len(es):
+        raise ValueError("edges must be strictly increasing")
+    pc = list(partition_cols)
+    if any(c in ("bin", "n", "lo", "hi") for c in pc):
+        raise ValueError(
+            "partition_cols may not be named bin/n/lo/hi — they share "
+            "the cell table with the sketch fields")
+    v = F.col(value_col).cast("double")
+    arr = F.array(*[F.lit(e) for e in es])
+    b = F.aggregate(arr, F.lit(0),
+                    lambda acc, e: acc + F.when(v >= e, 1).otherwise(0))
+    return (df.filter(v.isNotNull())
+            .groupBy(*pc, b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min(v).alias("lo"),
+                 F.max(v).alias("hi")))
+
+
+def quantile_histogram_merge(
+    sketch_df: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Coarsen a :func:`quantile_histogram` cell table to fewer
+    grouping columns — or to one global sketch — without touching raw
+    data: ``n`` sums, ``lo`` mins, ``hi`` maxes. Exact (not
+    approximately) equal to building the sketch directly over the
+    union of the underlying rows, because each cell's three statistics
+    are themselves associative aggregates over disjoint row sets."""
+    gc = list(group_cols)
+    return (sketch_df.groupBy(*gc, "bin")
+            .agg(F.sum("n").alias("n"), F.min("lo").alias("lo"),
+                 F.max("hi").alias("hi")))
+
+
+def histogram_quantiles(
+    sketch_df: DataFrame,
+    quantiles: Sequence[float],
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Read quantile estimates off a :func:`quantile_histogram` cell
+    table (optionally per group): for quantile ``q`` the target mass is
+    ``t = q · N``; the answer bin is the first whose cumulative count
+    reaches ``t``, and the estimate interpolates linearly between that
+    bin's exact ``lo``/``hi`` by the fraction of the bin's mass below
+    ``t`` — so ``q=0`` reads the global min, ``q=1`` the global max,
+    and every estimate lands within the true bin (error ≤ bin width).
+    Deterministic double arithmetic over exact integers — replayable
+    in SQL with a cumulative-window CTE.
+
+    Returns ``(*group_cols, q, est)``. Scale shape: one cumulative
+    window over the bins-scale cell table partitioned by group, then a
+    broadcast cross join against the literal quantile list and a
+    per-(group, q) min-bin aggregation — never corpus rows.
+    """
+    if not quantiles:
+        raise ValueError("need at least one quantile")
+    qs = [float(q) for q in quantiles]
+    if any(q < 0.0 or q > 1.0 for q in qs):
+        raise ValueError("quantiles must be in [0, 1]")
+    gc = list(group_cols)
+    w = (Window.partitionBy(*gc) if gc else Window.partitionBy()) \
+        .orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    wt = (Window.partitionBy(*gc) if gc
+          else Window.partitionBy())
+    cum = (sketch_df
+           .withColumn("_cum", F.sum("n").over(w))
+           .withColumn("_tot", F.sum("n").over(wt)))
+    qf = F.explode(F.array(*[F.lit(q) for q in qs])).alias("q")
+    cand = (cum.select("*", qf)
+            .withColumn("_t", F.col("q") * F.col("_tot"))
+            .filter((F.col("_cum") >= F.col("_t"))
+                    | (F.col("_cum") == F.col("_tot"))))
+    # first qualifying bin per (group, q); the _cum==_tot clause keeps
+    # the last bin as a fallback so q=1 (t=N, cum==t) always matches
+    pick = Window.partitionBy(*gc, "q").orderBy("bin")
+    first = (cand.withColumn("_rk", F.row_number().over(pick))
+             .filter(F.col("_rk") == 1))
+    frac = F.least(F.greatest(
+        (F.col("_t") - (F.col("_cum") - F.col("n")))
+        / F.col("n").cast("double"), F.lit(0.0)), F.lit(1.0))
+    return first.select(
+        *gc, "q",
+        (F.col("lo") + (F.col("hi") - F.col("lo")) * frac).alias("est"))
 
 
 def theta_distinct_by_group(

@@ -6986,6 +6986,119 @@ def q_events_cms_daily_rollup(spark: SparkSession,
                     F.coalesce("n_direct", F.lit(0)).alias("n_direct")))
 
 
+_QH_EDGES = [5.0, 15.0, 30.0, 60.0, 120.0, 240.0]
+_QH_EDGES_SQL = "[" + ", ".join(str(e) for e in _QH_EDGES) + "]"
+
+
+def q_events_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup (r12 verdict task 4;
+    sketches.quantile_histogram): per-DAY fixed-edge histogram cells
+    (exact n/lo/hi per bin) built in ONE pass via partition_cols, then
+    per-day p50/p90 read off each day's cells AND global p50/p90/p99
+    read off the MERGED sketch (day = −1 rows) — yesterday's persisted
+    cells compose with today's by SUM/MIN/MAX, the quantile answer the
+    per-run approx_percentile path could never give without rescanning
+    raw rows. Read-off interpolates between the bin's exact lo/hi at
+    the q·N mass point, so q=1 would read the exact max. Estimates
+    rounded 9dp (+0.0 fold)."""
+    from .operators import sketches
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts div 86400000000000"))
+    daily = sketches.quantile_histogram(ev, "value", _QH_EDGES,
+                                        partition_cols=("day",))
+    per_day = sketches.histogram_quantiles(daily, [0.5, 0.9],
+                                           group_cols=["day"])
+    merged = sketches.quantile_histogram_merge(daily)
+    global_q = (sketches.histogram_quantiles(merged, [0.5, 0.9, 0.99])
+                .select(F.lit(-1).cast("long").alias("day"), "q", "est"))
+    return (per_day.select(F.col("day").cast("long"), "q", "est")
+            .unionByName(global_q)
+            .select("day", "q",
+                    (F.round("est", 9) + F.lit(0.0)).alias("est")))
+
+
+ORACLE_EVENTS_QUANTILE_ROLLUP = f"""
+WITH ev AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day, value
+  FROM events WHERE value IS NOT NULL),
+cells AS (
+  SELECT day,
+         len(list_filter({_QH_EDGES_SQL}, e -> value >= e)) AS bin,
+         count(*) AS n, min(value) AS lo, max(value) AS hi
+  FROM ev GROUP BY day, bin),
+allcells AS (
+  SELECT day, bin, CAST(n AS BIGINT) AS n, lo, hi FROM cells
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS day, bin, CAST(sum(n) AS BIGINT) AS n,
+         min(lo) AS lo, max(hi) AS hi
+  FROM cells GROUP BY bin),
+cum AS (
+  SELECT day, bin, n, lo, hi,
+         sum(n) OVER (PARTITION BY day ORDER BY bin) AS cum,
+         sum(n) OVER (PARTITION BY day) AS tot
+  FROM allcells),
+cand AS (
+  SELECT c.*, q.q, q.q * c.tot AS t
+  FROM cum c, (SELECT unnest(CAST([0.5, 0.9] AS DOUBLE[])) AS q) q WHERE c.day >= 0
+  UNION ALL
+  SELECT c.*, q.q, q.q * c.tot AS t
+  FROM cum c, (SELECT unnest(CAST([0.5, 0.9, 0.99] AS DOUBLE[])) AS q) q WHERE c.day = -1),
+hit AS (
+  SELECT day, q, n, lo, hi, cum, t,
+         row_number() OVER (PARTITION BY day, q ORDER BY bin) AS rk
+  FROM cand WHERE cum >= t OR cum = tot)
+SELECT day, q,
+       round(lo + (hi - lo)
+             * least(greatest((t - (cum - n)) / (n * 1.0), 0.0), 1.0),
+             9) + 0.0 AS est
+FROM hit WHERE rk = 1
+"""
+
+
+def q_events_quantile_merge_check(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Quantile-histogram mergeability proven cell for cell (the
+    events_cms_daily_rollup pattern applied to task 4's sketch):
+    per-day cells merged by SUM/MIN/MAX meet the whole-corpus direct
+    build in a full-outer join — any bin where the merge loses a
+    count, a min, or a max survives with unequal columns and breaks
+    the hash. lo/hi are raw data values (no arithmetic), so they
+    compare exactly; the oracle builds the cell table once and emits
+    it as both sides."""
+    from .operators import sketches
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts div 86400000000000"))
+    daily = sketches.quantile_histogram(ev, "value", _QH_EDGES,
+                                        partition_cols=("day",))
+    merged = (sketches.quantile_histogram_merge(daily)
+              .select("bin", F.col("n").alias("n_merged"),
+                      F.col("lo").alias("lo_merged"),
+                      F.col("hi").alias("hi_merged")))
+    direct = (sketches.quantile_histogram(ev, "value", _QH_EDGES)
+              .select("bin", F.col("n").alias("n_direct"),
+                      F.col("lo").alias("lo_direct"),
+                      F.col("hi").alias("hi_direct")))
+    return (merged.join(direct, ["bin"], "full_outer")
+            .select(F.col("bin").cast("long").alias("bin"),
+                    F.coalesce("n_merged", F.lit(0)).alias("n_merged"),
+                    F.coalesce("n_direct", F.lit(0)).alias("n_direct"),
+                    "lo_merged", "lo_direct", "hi_merged", "hi_direct"))
+
+
+ORACLE_EVENTS_QUANTILE_MERGE_CHECK = f"""
+WITH cells AS (
+  SELECT len(list_filter({_QH_EDGES_SQL}, e -> value >= e)) AS bin,
+         CAST(count(*) AS BIGINT) AS n, min(value) AS lo,
+         max(value) AS hi
+  FROM events WHERE value IS NOT NULL GROUP BY bin)
+SELECT bin, n AS n_merged, n AS n_direct, lo AS lo_merged,
+       lo AS lo_direct, hi AS hi_merged, hi AS hi_direct
+FROM cells
+"""
+
+
 ORACLE_EVENTS_CMS_DAILY_ROLLUP = """
 WITH cells0 AS (
   SELECT r, bucket, count(*) AS n FROM (
@@ -9599,7 +9712,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          entries land and take slots (the LAST fill yields its slot
 #          each time): docs_classifier_train (in-engine deterministic
 #          logistic regression under a 3-round unrolled-CTE oracle,
-#          r12 verdict task 2) displaced events_asof_purchase.
+#          r12 verdict task 2) displaced events_asof_purchase;
+#          events_quantile_rollup + events_quantile_merge_check (the
+#          mergeable fixed-edge quantile histogram and its cell-for-
+#          cell merge parity twin, task 4) displaced embed_mean_pool
+#          and docs_weighted_sample.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -9631,7 +9748,9 @@ DRIVER_PRIORITY: list[str] = [
     "docs_chunks", "docs_classifier_score", "docs_collocations",
     "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
     "docs_lm_score", "docs_source_dup_matrix", "docs_strip_boilerplate",
-    "docs_token_ids", "docs_weighted_sample", "embed_mean_pool",
+    "docs_token_ids",
+    "events_quantile_rollup",       # r13 new: mergeable quantile cells
+    "events_quantile_merge_check",  # r13 new: merge==direct parity
     "docs_classifier_train",        # r13 new: in-engine logistic reg
 ]
 
@@ -9788,6 +9907,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_fold_pack": q_docs_fold_pack,
     "docs_nfd_pack": q_docs_nfd_pack,
     "events_cms_daily_rollup": q_events_cms_daily_rollup,
+    "events_quantile_rollup": q_events_quantile_rollup,
+    "events_quantile_merge_check": q_events_quantile_merge_check,
     "orders_bloom_probe": q_orders_bloom_probe,
     "docs_weighted_topk": q_docs_weighted_topk,
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
@@ -10019,6 +10140,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_fold_pack": ORACLE_DOCS_FOLD_PACK,
     "docs_nfd_pack": ORACLE_DOCS_NFD_PACK,
     "events_cms_daily_rollup": ORACLE_EVENTS_CMS_DAILY_ROLLUP,
+    "events_quantile_rollup": ORACLE_EVENTS_QUANTILE_ROLLUP,
+    "events_quantile_merge_check": ORACLE_EVENTS_QUANTILE_MERGE_CHECK,
     "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
     "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,

@@ -7016,6 +7016,81 @@ class TestNfdPack:
             packing.nfd_pack(df, "id", "ln", capacity=10, n_streams=0)
 
 
+class TestQuantileHistogram:
+    def _df(self, spark):
+        rows = [(i, float(v), "d%d" % (i % 3)) for i, v in enumerate(
+            [1, 2, 3, 5, 8, 13, 21, 34, 55, 89, 144, 233])]
+        return spark.createDataFrame(rows, "id int, v double, day string")
+
+    def test_cells_are_exact(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = self._df(spark)
+        cells = {r["bin"]: r for r in sketches.quantile_histogram(
+            df, "v", [10.0, 100.0]).collect()}
+        assert cells[0]["n"] == 5 and cells[0]["lo"] == 1.0 \
+            and cells[0]["hi"] == 8.0
+        assert cells[1]["n"] == 5 and cells[1]["lo"] == 13.0 \
+            and cells[1]["hi"] == 89.0
+        assert cells[2]["n"] == 2 and cells[2]["lo"] == 144.0 \
+            and cells[2]["hi"] == 233.0
+
+    def test_merge_equals_direct(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = self._df(spark)
+        daily = sketches.quantile_histogram(df, "v", [10.0, 100.0],
+                                            partition_cols=("day",))
+        merged = sketches.quantile_histogram_merge(daily)
+        direct = sketches.quantile_histogram(df, "v", [10.0, 100.0])
+        m = sorted(map(tuple, merged.collect()))
+        d = sorted(map(tuple, direct.collect()))
+        assert m == d  # cell for cell: n by SUM, lo by MIN, hi by MAX
+
+    def test_quantile_readoff_endpoints_and_interior(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = self._df(spark)
+        sk = sketches.quantile_histogram(df, "v", [10.0, 100.0])
+        got = {r["q"]: r["est"] for r in sketches.histogram_quantiles(
+            sk, [0.0, 0.5, 1.0]).collect()}
+        assert got[0.0] == 1.0 and got[1.0] == 233.0  # exact min / max
+        # q=0.5: t=6, bin 0 holds 5 -> bin 1 with frac (6-5)/5 = 0.2:
+        # est = 13 + (89-13)*0.2
+        assert got[0.5] == pytest.approx(28.2)
+        # estimates always land inside the true bin
+        sk2 = sketches.quantile_histogram(df, "v", [3.5, 34.5])
+        est = {r["q"]: r["est"] for r in sketches.histogram_quantiles(
+            sk2, [0.25, 0.75]).collect()}
+        assert 1.0 <= est[0.25] <= 3.0 and 55.0 <= est[0.75] <= 233.0
+
+    def test_grouped_readoff_and_null_skip(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = self._df(spark).union(spark.createDataFrame(
+            [(99, None, "d0")], "id int, v double, day string"))
+        daily = sketches.quantile_histogram(df, "v", [10.0, 100.0],
+                                            partition_cols=("day",))
+        assert daily.agg(F.sum("n")).first()[0] == 12  # NULL skipped
+        per = sketches.histogram_quantiles(daily, [1.0],
+                                           group_cols=["day"])
+        got = {r["day"]: r["est"] for r in per.collect()}
+        # per-group max: d0 holds ids 0,3,6,9 -> values 1,5,21,89
+        assert got["d0"] == 89.0
+
+    def test_guards(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = self._df(spark)
+        with pytest.raises(ValueError, match="increasing"):
+            sketches.quantile_histogram(df, "v", [5.0, 5.0])
+        with pytest.raises(ValueError, match="edge"):
+            sketches.quantile_histogram(df, "v", [])
+        with pytest.raises(ValueError, match="partition_cols"):
+            sketches.quantile_histogram(df, "v", [5.0],
+                                        partition_cols=("bin",))
+        sk = sketches.quantile_histogram(df, "v", [5.0])
+        with pytest.raises(ValueError, match="quantile"):
+            sketches.histogram_quantiles(sk, [])
+        with pytest.raises(ValueError, match="quantile"):
+            sketches.histogram_quantiles(sk, [1.5])
+
+
 class TestCountMinSketch:
     def test_estimate_ge_true_and_exact_when_sparse(self, spark):
         """CMS guarantee: estimate >= true count always; with far more

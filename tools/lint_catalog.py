@@ -112,6 +112,16 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "same modulo-expression halves split as lineitem_price_jsd; "
         "the verdict layer only ever touches the columns-cardinality "
         "report frame",
+    ("events_quantile_rollup", "single-partition-exchange"):
+        "the GLOBAL quantile read-off's ungrouped cumulative window "
+        "runs on the merged sketch — a bins-cardinality frame "
+        "(len(edges)+1 rows, KB-scale); the corpus-scale cell build "
+        "before it is a fully parallel map-side-combined groupBy",
+    ("events_quantile_rollup", "filter-not-pushed"):
+        "the read-off's candidate filter (cum >= q*N) predicates on "
+        "window outputs over the bins-scale cell table — no scan "
+        "column exists to push to; the one corpus scan filters only "
+        "value IS NOT NULL, which does push",
 }
 
 
