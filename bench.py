@@ -246,8 +246,12 @@ BENCH_QUERIES = [
     # mergeable quantile rollup (one map-side-combined bin groupBy per
     # side + bins-scale windows; events_quantile_merge_check is
     # deliberately unbenched per the sibling rule — same build plan
-    # twice plus a KB-scale join)
+    # twice plus a KB-scale join; events_agg_rollup likewise — one
+    # 5-accumulator groupBy, strictly less work than the histogram)
     "events_quantile_rollup",
+    # per-pair MinHash estimate audit (exact jaccard posting-list plan
+    # + the md5_48 16-hash signature groupBy + two signature joins)
+    "docs_minhash_jaccard",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -215,6 +215,61 @@ def histogram_quantiles(
         (F.col("lo") + (F.col("hi") - F.col("lo")) * frac).alias("est"))
 
 
+def moments_sketch(
+    df: DataFrame,
+    value_col: str,
+    *,
+    partition_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Additive-moments cell table — the mean/variance member of the
+    rollup family: per partition tuple one row ``(n, s1, s2, lo, hi)``
+    = count, sum, sum of squares, min, max. Every field is associative
+    (SUM/SUM/SUM/MIN/MAX), so :func:`moments_merge` composes any date
+    range's statistics from per-day rows without raw data, and
+    :func:`moments_stats` derives mean/variance/stddev from the merged
+    cells. NULLs are skipped. ONE map-side-combined groupBy; output is
+    one row per partition tuple regardless of corpus size."""
+    pc = list(partition_cols)
+    if any(c in ("n", "s1", "s2", "lo", "hi") for c in pc):
+        raise ValueError(
+            "partition_cols may not be named n/s1/s2/lo/hi — they "
+            "share the cell table with the sketch fields")
+    v = F.col(value_col).cast("double")
+    return (df.filter(v.isNotNull())
+            .groupBy(*pc)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(v).alias("s1"),
+                 F.sum(v * v).alias("s2"),
+                 F.min(v).alias("lo"),
+                 F.max(v).alias("hi")))
+
+
+def moments_merge(
+    sketch_df: DataFrame,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Coarsen a :func:`moments_sketch` cell table to fewer grouping
+    columns (or one global row) by SUM/SUM/SUM/MIN/MAX — exactly the
+    statistics a direct build over the union of rows would produce, up
+    to float-summation order on ``s1``/``s2``."""
+    gc = list(group_cols)
+    agg = [F.sum("n").alias("n"), F.sum("s1").alias("s1"),
+           F.sum("s2").alias("s2"), F.min("lo").alias("lo"),
+           F.max("hi").alias("hi")]
+    return (sketch_df.groupBy(*gc).agg(*agg) if gc
+            else sketch_df.agg(*agg))
+
+
+def moments_stats(sketch_df: DataFrame) -> DataFrame:
+    """Derive ``mean`` and population ``variance`` from moments cells:
+    mean = s1/n, var = s2/n − mean² (clamped at 0 for the float-
+    cancellation edge). Adds the two columns; callers round for
+    cross-engine parity."""
+    mean = F.col("s1") / F.col("n")
+    var = F.greatest(F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))
+    return sketch_df.withColumn("mean", mean).withColumn("variance", var)
+
+
 def theta_distinct_by_group(
     df: DataFrame,
     group_cols: Sequence[str],

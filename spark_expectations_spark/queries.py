@@ -427,6 +427,78 @@ WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
 """
 
 
+def q_docs_minhash_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pair MinHash ESTIMATE audit (dedup.minhash_signatures in the
+    md5_48 family composed with the exact posting-list Jaccard): for
+    every true near-dup pair, the 16-component signature agreement
+    fraction — the quantity LSH thresholds actually act on — lands
+    beside the exact Jaccard it estimates, so the estimator's bias is
+    measured per pair under the hash gate, not just its candidate
+    recall (dedup_lsh_quality's angle). n_agree/16 is an exact binary
+    rational — no rounding; exact Jaccard rounds 4dp as in
+    dedup_jaccard. The md5_48 seeded-hash chain (shingle → md5-48 long
+    → per-seed md5 of "seed:long") is replayed verbatim in SQL."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text",
+                                n=3, threshold=0.15)
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", n=3,
+                                    num_hashes=16, hash_family="md5_48")
+    sa = sigs.select(F.col("doc_id").alias("id_a"),
+                     *[F.col(f"h{i}").alias(f"a{i}") for i in range(16)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"),
+                     *[F.col(f"h{i}").alias(f"b{i}") for i in range(16)])
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    n_agree = sum(F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1)
+                  .otherwise(0) for i in range(16))
+    return joined.select(
+        "id_a", "id_b",
+        F.round("jaccard", 4).alias("exact_jaccard"),
+        n_agree.cast("long").alias("n_agree"),
+        (n_agree / F.lit(16.0)).alias("est_jaccard"))
+
+
+ORACLE_DOCS_MINHASH_JACCARD = r"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT id_a, id_b, c * 1.0 / (sa.n + sb.n - c) AS jac
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15),
+shh AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(shingle), 1, 12)) AS BIGINT) AS shv
+  FROM sh),
+sig AS (
+  SELECT doc_id, s.i,
+         min(CAST(('0x' || substr(md5(CAST(s.i AS VARCHAR) || ':'
+                   || CAST(shv AS VARCHAR)), 1, 12)) AS BIGINT)) AS h
+  FROM shh, (SELECT unnest(range(16)) AS i) s
+  GROUP BY doc_id, s.i),
+agree AS (
+  SELECT p.id_a, p.id_b,
+         CAST(sum(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_agree
+  FROM pairs p
+  JOIN sig a ON a.doc_id = p.id_a
+  JOIN sig b ON b.doc_id = p.id_b AND b.i = a.i
+  GROUP BY p.id_a, p.id_b)
+SELECT p.id_a, p.id_b, round(p.jac, 4) AS exact_jaccard,
+       g.n_agree, g.n_agree / 16.0 AS est_jaccard
+FROM pairs p JOIN agree g ON g.id_a = p.id_a AND g.id_b = p.id_b
+"""
+
+
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (dedup.containment_pairs):
     |A∩B| / min(|A|,|B|) — flags subset/quote inclusion that symmetric
@@ -7056,6 +7128,57 @@ FROM hit WHERE rk = 1
 """
 
 
+def q_events_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive-moments rollup (sketches.moments_sketch — the
+    mean/variance member of the mergeable family): per-day cells
+    (n, s1, s2, lo, hi — all associative) built in ONE pass, global
+    statistics derived from the MERGED per-day cells, never from raw
+    rows. Output: per-day mean/variance plus the day = −1 global row;
+    if the merge lost any mass the global row diverges from the
+    oracle's direct computation and the hash breaks. mean/variance
+    rounded 6dp (float-summation order differs between the merge tree
+    and the oracle's flat sum)."""
+    from .operators import sketches
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "day", F.expr("ts div 86400000000000"))
+    daily = sketches.moments_sketch(ev, "value", partition_cols=("day",))
+    merged = (sketches.moments_merge(daily)
+              .withColumn("day", F.lit(-1).cast("long")))
+    both = daily.select("day", "n", "s1", "s2", "lo", "hi") \
+        .unionByName(merged.select("day", "n", "s1", "s2", "lo", "hi"))
+    out = sketches.moments_stats(both)
+    r6 = lambda c: (F.round(c, 6) + F.lit(0.0))  # noqa: E731
+    return out.select(F.col("day").cast("long").alias("day"), "n",
+                      r6(F.col("mean")).alias("mean"),
+                      r6(F.col("variance")).alias("variance"),
+                      "lo", "hi")
+
+
+ORACLE_EVENTS_AGG_ROLLUP = """
+WITH ev AS (
+  SELECT epoch_ns(ts) // 86400000000000 AS day, value
+  FROM events WHERE value IS NOT NULL),
+daily AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS n, sum(value) AS s1,
+         sum(value * value) AS s2, min(value) AS lo, max(value) AS hi
+  FROM ev GROUP BY day),
+allrows AS (
+  SELECT day, n, s1, s2, lo, hi FROM daily
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS day, CAST(count(*) AS BIGINT) AS n,
+         sum(value) AS s1, sum(value * value) AS s2,
+         min(value) AS lo, max(value) AS hi
+  FROM ev)
+SELECT day, n,
+       round(s1 / n, 6) + 0.0 AS mean,
+       round(greatest(s2 / n - (s1 / n) * (s1 / n), 0.0), 6) + 0.0
+         AS variance,
+       lo, hi
+FROM allrows
+"""
+
+
 def q_events_quantile_merge_check(spark: SparkSession,
                                   sf_dir: str) -> DataFrame:
     """Quantile-histogram mergeability proven cell for cell (the
@@ -9716,7 +9839,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          events_quantile_rollup + events_quantile_merge_check (the
 #          mergeable fixed-edge quantile histogram and its cell-for-
 #          cell merge parity twin, task 4) displaced embed_mean_pool
-#          and docs_weighted_sample.
+#          and docs_weighted_sample; events_agg_rollup (additive
+#          moments rollup — mean/variance joins the mergeable family)
+#          and docs_minhash_jaccard (per-pair MinHash estimate-vs-
+#          exact audit, md5_48 chain replayed in SQL) displaced
+#          docs_token_ids and docs_strip_boilerplate.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -9747,8 +9874,9 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
     "docs_chunks", "docs_classifier_score", "docs_collocations",
     "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
-    "docs_lm_score", "docs_source_dup_matrix", "docs_strip_boilerplate",
-    "docs_token_ids",
+    "docs_lm_score", "docs_source_dup_matrix",
+    "events_agg_rollup",            # r13 new: additive moments rollup
+    "docs_minhash_jaccard",         # r13 new: MinHash estimate audit
     "events_quantile_rollup",       # r13 new: mergeable quantile cells
     "events_quantile_merge_check",  # r13 new: merge==direct parity
     "docs_classifier_train",        # r13 new: in-engine logistic reg
@@ -9796,6 +9924,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
+    "docs_minhash_jaccard": q_docs_minhash_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "dedup_canonical": q_dedup_canonical,
     "dedup_canonical_centrality": q_dedup_canonical_centrality,
@@ -9909,6 +10038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cms_daily_rollup": q_events_cms_daily_rollup,
     "events_quantile_rollup": q_events_quantile_rollup,
     "events_quantile_merge_check": q_events_quantile_merge_check,
+    "events_agg_rollup": q_events_agg_rollup,
     "orders_bloom_probe": q_orders_bloom_probe,
     "docs_weighted_topk": q_docs_weighted_topk,
     "part_sorted_neighborhood": q_part_sorted_neighborhood,
@@ -10015,6 +10145,7 @@ ORACLES: dict[str, Optional[str]] = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "dedup_fingerprint": ORACLE_DEDUP_FINGERPRINT,
     "dedup_jaccard": ORACLE_DEDUP_JACCARD,
+    "docs_minhash_jaccard": ORACLE_DOCS_MINHASH_JACCARD,
     "dedup_minhash_md5": ORACLE_DEDUP_MINHASH_MD5,
     "dedup_lsh_quality": ORACLE_DEDUP_LSH_QUALITY,
     "docs_minhash_index": ORACLE_DOCS_MINHASH_INDEX,
@@ -10142,6 +10273,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_cms_daily_rollup": ORACLE_EVENTS_CMS_DAILY_ROLLUP,
     "events_quantile_rollup": ORACLE_EVENTS_QUANTILE_ROLLUP,
     "events_quantile_merge_check": ORACLE_EVENTS_QUANTILE_MERGE_CHECK,
+    "events_agg_rollup": ORACLE_EVENTS_AGG_ROLLUP,
     "orders_bloom_probe": ORACLE_ORDERS_BLOOM_PROBE,
     "docs_weighted_topk": ORACLE_DOCS_WEIGHTED_TOPK,
     "part_sorted_neighborhood": ORACLE_PART_SORTED_NEIGHBORHOOD,

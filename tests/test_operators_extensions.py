@@ -7091,6 +7091,43 @@ class TestQuantileHistogram:
             sketches.histogram_quantiles(sk, [1.5])
 
 
+class TestMomentsSketch:
+    def test_merge_equals_direct_and_stats(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame(
+            [(float(v), "d%d" % (i % 3)) for i, v in
+             enumerate([1, 2, 3, 5, 8, 13, 21, 34])] + [(None, "d0")],
+            "v double, day string")
+        daily = sketches.moments_sketch(df, "v", partition_cols=("day",))
+        merged = sketches.moments_merge(daily)
+        direct = sketches.moments_sketch(df, "v")
+        m, d = merged.first(), direct.first()
+        assert m["n"] == d["n"] == 8  # NULL skipped
+        assert m["s1"] == pytest.approx(d["s1"])
+        assert m["s2"] == pytest.approx(d["s2"])
+        assert (m["lo"], m["hi"]) == (d["lo"], d["hi"]) == (1.0, 34.0)
+        st = sketches.moments_stats(merged).first()
+        vals = [1, 2, 3, 5, 8, 13, 21, 34]
+        mean = sum(vals) / 8
+        assert st["mean"] == pytest.approx(mean)
+        assert st["variance"] == pytest.approx(
+            sum(v * v for v in vals) / 8 - mean * mean)
+
+    def test_grouped_merge_and_guard(self, spark):
+        from spark_expectations_spark.operators import sketches
+        df = spark.createDataFrame(
+            [(1.0, "a", "x"), (3.0, "a", "y"), (5.0, "b", "x")],
+            "v double, g string, h string")
+        cells = sketches.moments_sketch(df, "v",
+                                        partition_cols=("g", "h"))
+        coarser = {r["g"]: r for r in
+                   sketches.moments_merge(cells, ["g"]).collect()}
+        assert coarser["a"]["n"] == 2 and coarser["a"]["s1"] == 4.0
+        assert coarser["b"]["hi"] == 5.0
+        with pytest.raises(ValueError, match="partition_cols"):
+            sketches.moments_sketch(df, "v", partition_cols=("s1",))
+
+
 class TestCountMinSketch:
     def test_estimate_ge_true_and_exact_when_sparse(self, spark):
         """CMS guarantee: estimate >= true count always; with far more
