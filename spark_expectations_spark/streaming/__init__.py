@@ -15,7 +15,7 @@ Two tiers (SURVEY.md §2.9):
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable, Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -624,6 +624,117 @@ def compact_histogram_state(spark, state_path: str,
      .partitionBy("_batch_id")
      .option("partitionOverwriteMode", "dynamic")
      .parquet(out_path))
+
+
+def incremental_quantile_state(
+    state_path: str,
+    value_col: str,
+    edges: Sequence[float],
+    *,
+    partition_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating a
+    :func:`~..operators.sketches.quantile_histogram` cell table on disk
+    — the streaming member of the mergeable quantile rollup (the
+    :func:`incremental_histogram_state` recipe with the r13 sketch):
+    each micro-batch writes ONLY its own ``(*partition_cols, bin, n,
+    lo, hi)`` cells under its ``_batch_id`` partition with dynamic
+    overwrite, so a retried batch REPLACES its increment and the
+    read-time SUM/MIN/MAX re-merge is exactly-once. Any later session
+    answers quantile questions over the whole history via
+    :func:`quantile_state_quantiles` without rescanning the stream."""
+    from ..operators.sketches import quantile_histogram
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (quantile_histogram(batch_df, value_col, edges,
+                            partition_cols=partition_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def quantile_state_quantiles(
+    spark,
+    state_path: str,
+    quantiles: Sequence[float],
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_quantile_state` dir (SUM/MIN/MAX
+    over per-batch cells, the associative quantile_histogram_merge) and
+    read quantile estimates off the merged cells — identical to a
+    direct build over every batch's raw rows, cell for cell."""
+    from ..operators.sketches import (histogram_quantiles,
+                                      quantile_histogram_merge)
+
+    merged = quantile_histogram_merge(spark.read.parquet(state_path),
+                                      group_cols)
+    return histogram_quantiles(merged, quantiles, group_cols=group_cols)
+
+
+def compact_quantile_state(spark, state_path: str, out_path: str,
+                           group_cols: Sequence[str] = ()) -> None:
+    """Compact an :func:`incremental_quantile_state` dir to one row per
+    (group, bin), written as batch partition 0 at ``out_path``
+    (swap-not-overwrite). Counts ADD, so — exactly like
+    :func:`compact_histogram_state` and unlike the idempotent bitmap
+    OR — compact only after the stream has stopped writing to
+    ``state_path``, or a straddling replayed batch would double-count
+    across the two paths."""
+    from ..operators.sketches import quantile_histogram_merge
+
+    (quantile_histogram_merge(spark.read.parquet(state_path),
+                              group_cols)
+     .withColumn("_batch_id", F.lit(0))
+     .write.mode("overwrite")
+     .partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+
+
+def incremental_moments_state(
+    state_path: str,
+    value_col: str,
+    *,
+    partition_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating a
+    :func:`~..operators.sketches.moments_sketch` cell table on disk —
+    streaming mean/variance/min/max over unbounded history at one row
+    per (partition tuple, batch): the same ``_batch_id`` dynamic-
+    overwrite exactly-once recipe as :func:`incremental_quantile_state`;
+    read back via :func:`moments_state_stats`."""
+    from ..operators.sketches import moments_sketch
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (moments_sketch(batch_df, value_col,
+                        partition_cols=partition_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def moments_state_stats(
+    spark,
+    state_path: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_moments_state` dir and derive
+    mean/variance — exactly what a batch job over the concatenated
+    stream history would compute, without rescanning it."""
+    from ..operators.sketches import moments_merge, moments_stats
+
+    return moments_stats(
+        moments_merge(spark.read.parquet(state_path), group_cols))
 
 
 def compact_bitmap_state(spark, state_path: str, out_path: str,

@@ -338,6 +338,59 @@ class TestStreamingDQ:
         for stat in ("psi", "ks", "jsd", "n_base", "n_cur"):
             assert via_compact[stat] == pytest.approx(direct[stat]), stat
 
+    def test_incremental_quantile_state_answers_like_direct(
+            self, spark, tmp_path):
+        """Quantile cells accumulated across batches (with a replay)
+        must answer exactly like a direct quantile_histogram build over
+        the concatenated raw batches — the mergeable rollup's streaming
+        contract."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import sketches
+        state = str(tmp_path / "qh_state")
+        edges = [10.0, 20.0, 30.0]
+        step = st.incremental_quantile_state(state, "v", edges)
+        b1 = spark.createDataFrame(
+            [(float(i),) for i in range(0, 20)], "v double")
+        b2 = spark.createDataFrame(
+            [(float(i),) for i in range(20, 40)], "v double")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                         # retry replaces, not adds
+        via_state = {r["q"]: r["est"] for r in st.quantile_state_quantiles(
+            spark, state, [0.0, 0.5, 1.0]).collect()}
+        direct = {r["q"]: r["est"] for r in sketches.histogram_quantiles(
+            sketches.quantile_histogram(b1.union(b2), "v", edges),
+            [0.0, 0.5, 1.0]).collect()}
+        assert via_state == direct
+        assert via_state[0.0] == 0.0 and via_state[1.0] == 39.0
+        # compaction: one partition, identical answers
+        compacted = str(tmp_path / "qh_compact")
+        st.compact_quantile_state(spark, state, compacted)
+        cdf = spark.read.parquet(compacted)
+        assert cdf.select("_batch_id").distinct().count() == 1
+        via_compact = {r["q"]: r["est"] for r in st.quantile_state_quantiles(
+            spark, compacted, [0.0, 0.5, 1.0]).collect()}
+        assert via_compact == direct
+
+    def test_incremental_moments_state_stats(self, spark, tmp_path):
+        from spark_expectations_spark import streaming as st
+        state = str(tmp_path / "mom_state")
+        step = st.incremental_moments_state(state, "v",
+                                            partition_cols=("g",))
+        b1 = spark.createDataFrame([(1.0, "a"), (3.0, "a"), (10.0, "b")],
+                                   "v double, g string")
+        b2 = spark.createDataFrame([(5.0, "a"), (20.0, "b")],
+                                   "v double, g string")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                         # replay
+        got = {r["g"]: r for r in st.moments_state_stats(
+            spark, state, group_cols=["g"]).collect()}
+        assert got["a"]["n"] == 3 and got["a"]["mean"] == pytest.approx(3.0)
+        assert got["a"]["variance"] == pytest.approx(
+            (1 + 9 + 25) / 3 - 9.0)
+        assert (got["b"]["lo"], got["b"]["hi"]) == (10.0, 20.0)
+
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)
         must REPLACE its own output, not append a second copy — the
