@@ -252,6 +252,9 @@ BENCH_QUERIES = [
     # per-pair MinHash estimate audit (exact jaccard posting-list plan
     # + the md5_48 16-hash signature groupBy + two signature joins)
     "docs_minhash_jaccard",
+    # docs_classifier_cv is deliberately unbenched per the sibling
+    # rule: k x docs_classifier_train's featurize+loop plan over
+    # fold-filtered views of one checkpointed frame, no new shape
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

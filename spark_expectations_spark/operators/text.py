@@ -698,39 +698,72 @@ def logistic_train(
             f"weight embedding — see LOGISTIC_TRAIN_MAX_DIM); got {dim}")
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    spark = df.sparkSession
+    feats = _logistic_featurize(df, id_col, text_col, label_col,
+                                dim=dim).localCheckpoint(eager=False)
+    n_train = feats.count()
+    if n_train == 0:
+        raise ValueError("logistic_train: no documents with tokens")
+    w, bias, losses = _logistic_fit(feats, n_train, dim=dim,
+                                    iterations=iterations, lr=lr,
+                                    normalize=normalize)
+
+    rows = [(j, float(w[j])) for j in range(dim)]
+    out = spark.createDataFrame(rows, "bucket int, weight double")
+    return (out
+            .withColumn("bias", F.lit(float(bias)))
+            .withColumn("n_train", F.lit(int(n_train)).cast("long"))
+            .withColumn("losses",
+                        F.array(*[F.lit(float(v)) for v in losses])))
+
+
+def _logistic_featurize(df, id_col, text_col, label_col, *, dim,
+                        extra_cols: Sequence[str] = ()) -> DataFrame:
+    """The shared featurize pass of :func:`logistic_train` /
+    :func:`logistic_cv`: per-doc bucket-sorted sparse count arrays
+    ``(_id, _y, _jc, _n, *extra_cols)`` — token-free docs drop out."""
     from .dedup import hash48_md5
 
-    spark = df.sparkSession
     toks = df.select(
         F.col(id_col).alias("_id"),
         F.col(label_col).cast("double").alias("_y"),
+        *[F.col(c) for c in extra_cols],
         F.explode(_tokens(F.col(text_col))).alias("_tok"))
     sparse = (toks
               .withColumn("_j", (hash48_md5(F.col("_tok")) % F.lit(dim))
                           .cast("int"))
-              .groupBy("_id", "_y", "_j")
+              .groupBy("_id", "_y", *extra_cols, "_j")
               .agg(F.count(F.lit(1)).alias("_c")))
-    feats = (sparse.groupBy("_id", "_y")
-             .agg(F.sort_array(F.collect_list(F.struct("_j", "_c")))
-                  .alias("_jc"),
-                  F.sum("_c").alias("_n"))
-             .localCheckpoint(eager=False))
-    n_train = feats.count()
-    if n_train == 0:
-        raise ValueError("logistic_train: no documents with tokens")
+    return (sparse.groupBy("_id", "_y", *extra_cols)
+            .agg(F.sort_array(F.collect_list(F.struct("_j", "_c")))
+                 .alias("_jc"),
+                 F.sum("_c").alias("_n")))
 
+
+def _logistic_z(w: list, bias: float, normalize: bool):
+    """Margin column over a featurized frame: the literal-array fold
+    z = Σ x_j·w_j + b (map-only — the weights ride the plan)."""
+    wlit = F.array(*[F.lit(float(v)) for v in w])
+    return F.aggregate(
+        "_jc", F.lit(0.0),
+        lambda acc, s: acc
+        + (s["_c"].cast("double") / F.col("_n") if normalize
+           else s["_c"].cast("double"))
+        * F.element_at(wlit, s["_j"] + 1),
+    ) + F.lit(float(bias))
+
+
+def _logistic_fit(feats: DataFrame, n_train: int, *, dim, iterations,
+                  lr, normalize) -> tuple:
+    """The gradient loop of :func:`logistic_train` over a featurized
+    frame: per step ONE sentinel-tagged map-side-combined groupBy
+    (bucket −1 = loss, −2 = bias gradient) collecting dim+2 rows.
+    Returns (weights, bias, losses)."""
     w = [0.0] * dim
     bias = 0.0
-    losses: list[float] = []
+    losses: list = []
     for _ in range(iterations):
-        wlit = F.array(*[F.lit(float(v)) for v in w])
-        z = F.aggregate(
-            "_jc", F.lit(0.0),
-            lambda acc, s: acc
-            + (s["_c"].cast("double") / F.col("_n") if normalize
-               else s["_c"].cast("double"))
-            * F.element_at(wlit, s["_j"] + 1),
-        ) + F.lit(float(bias))
+        z = _logistic_z(w, bias, normalize)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         r = p - F.col("_y")
         logloss = -(F.col("_y") * F.log(p)
@@ -762,14 +795,72 @@ def logistic_train(
         for j, g in gmap.items():
             if j >= 0:
                 w[j] -= lr * g / n_train
+    return w, bias, losses
 
-    rows = [(j, float(w[j])) for j in range(dim)]
-    out = spark.createDataFrame(rows, "bucket int, weight double")
-    return (out
-            .withColumn("bias", F.lit(float(bias)))
-            .withColumn("n_train", F.lit(int(n_train)).cast("long"))
-            .withColumn("losses",
-                        F.array(*[F.lit(float(v)) for v in losses])))
+
+def logistic_cv(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 1 << 10,
+    iterations: int = 3,
+    lr: float = 0.5,
+    k: int = 3,
+    normalize: bool = True,
+    salt: str = "cv",
+) -> DataFrame:
+    """K-fold cross-validation of :func:`logistic_train` — model
+    selection stays in-engine: folds come from
+    :func:`~.sampling.with_kfold`'s md5 assignment (a pure function of
+    the doc id — folds survive re-partitioning and engines), each fold
+    ``f`` trains the deterministic gradient loop on the other k−1
+    folds and evaluates mean log-loss on fold ``f`` with the trained
+    weights riding the plan as literals. Returns one row per fold:
+    ``(fold, n_train, n_val, train_loss_start, train_loss_end,
+    val_loss)`` — train_loss_* bracket the recorded ladder
+    (start-of-first / start-of-last step), val_loss is the selection
+    metric. All three are smooth averages (no threshold comparisons),
+    so the whole report value-oracles under 9dp rounding.
+
+    Scale shape: the corpus featurizes ONCE (fold id carried through
+    the pass) behind a localCheckpoint; each fold reuses that frame
+    filtered map-side — k×iterations sentinel-groupBy jobs plus k
+    single-row eval aggs, driver state k×(dim+2) doubles."""
+    from .sampling import with_kfold
+
+    feats = _logistic_featurize(
+        with_kfold(df, id_col, k, out="_fold", salt=salt),
+        id_col, text_col, label_col, dim=dim, extra_cols=("_fold",),
+    ).localCheckpoint(eager=False)
+    sizes = {r["_fold"]: r["n"] for r in
+             feats.groupBy("_fold").agg(F.count(F.lit(1)).alias("n"))
+             .collect()}
+    if len(sizes) < k:
+        raise ValueError(
+            f"logistic_cv: only {len(sizes)} of {k} folds are non-empty "
+            f"— too few documents for k={k}")
+    out_rows = []
+    for f in range(k):
+        train = feats.filter(F.col("_fold") != f)
+        n_train = sum(n for g, n in sizes.items() if g != f)
+        w, bias, losses = _logistic_fit(train, n_train, dim=dim,
+                                        iterations=iterations, lr=lr,
+                                        normalize=normalize)
+        z = _logistic_z(w, bias, normalize)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        vl = (feats.filter(F.col("_fold") == f)
+              .agg(F.avg(-(F.col("_y") * F.log(p)
+                           + (F.lit(1.0) - F.col("_y"))
+                           * F.log(F.lit(1.0) - p))).alias("l"))
+              .first()["l"])
+        out_rows.append((f, int(n_train), int(sizes[f]),
+                         float(losses[0]), float(losses[-1]), float(vl)))
+    return df.sparkSession.createDataFrame(
+        out_rows,
+        "fold int, n_train long, n_val long, train_loss_start double, "
+        "train_loss_end double, val_loss double")
 
 
 def calibration_report(

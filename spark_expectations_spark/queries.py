@@ -4066,6 +4066,108 @@ FROM w{iters} w, b{iters}, m, {tail_from}
 ORACLE_DOCS_CLASSIFIER_TRAIN = _oracle_docs_classifier_train()
 
 
+def q_docs_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine k-fold cross-validation (text.logistic_cv): 3 md5-
+    assigned folds, each training the deterministic gradient loop
+    (dim=16, 2 steps, lr=5.0) on the other two and scoring mean
+    log-loss on the held-out fold — the model-selection loop of a
+    quality-filter pipeline, with every number (fold sizes, the
+    train-loss ladder bracket, val loss) replayed by the oracle as
+    per-fold unrolled CTE rounds. All metrics are smooth averages (no
+    threshold comparisons), rounded 9dp."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "_label", (F.col("n_chars") >= 300).cast("double"))
+    cv = text_ops.logistic_cv(labeled, "doc_id", "text", "_label",
+                              dim=16, iterations=2, lr=5.0, k=3,
+                              salt="cv")
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0))  # noqa: E731
+    return cv.select(
+        "fold", "n_train", "n_val",
+        r9(F.col("train_loss_start")).alias("train_loss_start"),
+        r9(F.col("train_loss_end")).alias("train_loss_end"),
+        r9(F.col("val_loss")).alias("val_loss"))
+
+
+def _oracle_docs_classifier_cv() -> str:
+    """Per-fold unrolled replay of logistic_cv: shared featurize CTEs +
+    the md5 fold assignment, then for each fold the full gradient loop
+    on the complement and the val-loss agg on the holdout."""
+    dim, lr, iters, k = 16, 5.0, 2, 3
+    sig = "1.0 / (1.0 + exp(-z.z))"
+    sql = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+  FROM documents),
+bk AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(tok), 1, 12)) AS BIGINT) % {dim} AS j
+  FROM toks WHERE tok <> ''),
+cnt AS (SELECT doc_id, j, count(*) AS c FROM bk GROUP BY doc_id, j),
+nt AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+lab AS (SELECT doc_id, CASE WHEN n_chars >= 300 THEN 1.0 ELSE 0.0 END AS y
+        FROM documents),
+fold AS (
+  SELECT doc_id,
+         CAST(CAST(('0x' || substr(md5('cv|' || CAST(doc_id AS VARCHAR)),
+                    1, 8)) AS BIGINT) % {k} AS INTEGER) AS fold
+  FROM documents),
+sxf AS (SELECT c.doc_id, c.j, c.c * 1.0 / n.n AS x, f.fold
+        FROM cnt c JOIN nt n USING (doc_id) JOIN fold f USING (doc_id)),
+ntf AS (SELECT n.doc_id, f.fold FROM nt n JOIN fold f USING (doc_id)),
+grid AS (SELECT unnest(range({dim})) AS j),
+w0 AS (SELECT j, 0.0 AS w FROM grid),
+b0 AS (SELECT 0.0 AS b)"""
+    for f in range(k):
+        for i in range(1, iters + 1):
+            wp = "w0" if i == 1 else f"w{f}_{i-1}"
+            bp = "b0" if i == 1 else f"b{f}_{i-1}"
+            sql += f""",
+m{f} AS (SELECT count(*) AS m FROM ntf WHERE fold <> {f})""" if i == 1 else ""
+            sql += f""",
+z{f}_{i} AS (
+  SELECT s.doc_id, sum(s.x * w.w) + (SELECT b FROM {bp}) AS z
+  FROM sxf s JOIN {wp} w USING (j) WHERE s.fold <> {f}
+  GROUP BY s.doc_id),
+r{f}_{i} AS (
+  SELECT z.doc_id, {sig} - lab.y AS r,
+         -(lab.y * ln({sig}) + (1.0 - lab.y) * ln(1.0 - {sig})) AS l
+  FROM z{f}_{i} z JOIN lab USING (doc_id)),
+g{f}_{i} AS (SELECT s.j, sum(rs.r * s.x) AS g
+         FROM sxf s JOIN r{f}_{i} rs USING (doc_id)
+         WHERE s.fold <> {f} GROUP BY s.j),
+w{f}_{i} AS (SELECT w.j, w.w - {lr} * coalesce(g.g, 0.0) / m.m AS w
+         FROM {wp} w LEFT JOIN g{f}_{i} g USING (j), m{f} m),
+b{f}_{i} AS (SELECT (SELECT b FROM {bp}) - {lr} * sum(rs.r) / m.m AS b
+         FROM r{f}_{i} rs, m{f} m GROUP BY m.m),
+l{f}_{i} AS (SELECT avg(l) AS l FROM r{f}_{i})"""
+        sql += f""",
+vz{f} AS (
+  SELECT s.doc_id, sum(s.x * w.w) + (SELECT b FROM b{f}_{iters}) AS z
+  FROM sxf s JOIN w{f}_{iters} w USING (j) WHERE s.fold = {f}
+  GROUP BY s.doc_id),
+v{f} AS (
+  SELECT avg(-(lab.y * ln({sig})
+               + (1.0 - lab.y) * ln(1.0 - {sig}))) AS l,
+         CAST(count(*) AS BIGINT) AS n
+  FROM vz{f} z JOIN lab USING (doc_id))"""
+    selects = []
+    for f in range(k):
+        selects.append(f"""
+SELECT {f} AS fold, m.m AS n_train, v.n AS n_val,
+       round(l{f}_1.l, 9) + 0.0 AS train_loss_start,
+       round(l{f}_{iters}.l, 9) + 0.0 AS train_loss_end,
+       round(v.l, 9) + 0.0 AS val_loss
+FROM m{f} m, v{f} v, l{f}_1, l{f}_{iters}""")
+    sql += "\nUNION ALL".join(selects)
+    return sql
+
+
+ORACLE_DOCS_CLASSIFIER_CV = _oracle_docs_classifier_cv()
+
+
 def q_docs_heavy_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy-hitter tokens (sketches.heavy_hitters): one-pass
     JVM Misra-Gries candidates (df.stat.freqItems, no shuffle of raw
@@ -9843,7 +9945,10 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          moments rollup — mean/variance joins the mergeable family)
 #          and docs_minhash_jaccard (per-pair MinHash estimate-vs-
 #          exact audit, md5_48 chain replayed in SQL) displaced
-#          docs_token_ids and docs_strip_boilerplate.
+#          docs_token_ids and docs_strip_boilerplate;
+#          docs_classifier_cv (k-fold CV of the in-engine trainer —
+#          per-fold unrolled-CTE oracle) displaced
+#          docs_source_dup_matrix.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -9874,7 +9979,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
     "docs_chunks", "docs_classifier_score", "docs_collocations",
     "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
-    "docs_lm_score", "docs_source_dup_matrix",
+    "docs_lm_score",
+    "docs_classifier_cv",           # r13 new: k-fold CV in-engine
     "events_agg_rollup",            # r13 new: additive moments rollup
     "docs_minhash_jaccard",         # r13 new: MinHash estimate audit
     "events_quantile_rollup",       # r13 new: mergeable quantile cells
@@ -9983,6 +10089,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_percentile_gate": q_docs_percentile_gate,
     "docs_classifier_score": q_docs_classifier_score,
     "docs_classifier_train": q_docs_classifier_train,
+    "docs_classifier_cv": q_docs_classifier_cv,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10204,6 +10311,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_percentile_gate": ORACLE_DOCS_PERCENTILE_GATE,
     "docs_classifier_score": ORACLE_DOCS_CLASSIFIER_SCORE,
     "docs_classifier_train": ORACLE_DOCS_CLASSIFIER_TRAIN,
+    "docs_classifier_cv": ORACLE_DOCS_CLASSIFIER_CV,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

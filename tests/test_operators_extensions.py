@@ -2679,6 +2679,54 @@ class TestLogisticTrain:
         assert min(pos) > max(neg)
 
 
+class TestLogisticCv:
+    def test_fold_complement_matches_logistic_train(self, spark):
+        """Fold f's CV row must equal a standalone logistic_train on
+        the complement folds plus a manual val-loss eval — the CV loop
+        is composition, not new arithmetic."""
+        import hashlib
+        import math
+
+        rows = TestLogisticTrain.FIX * 3  # 24 rows, distinct ids
+        rows = [(i, t, y) for i, (_, t, y) in enumerate(rows)]
+        df = spark.createDataFrame(rows, "id int, text string, y int")
+        cv = {r["fold"]: r for r in text.logistic_cv(
+            df, "id", "text", "y", dim=16, iterations=2, lr=2.0,
+            k=3, salt="s").collect()}
+        fold = {i: int(hashlib.md5(f"s|{i}".encode()).hexdigest()[:8],
+                       16) % 3 for i, _, _ in rows}
+        f = 0
+        train = df.filter(F.col("id").isin(
+            [i for i in fold if fold[i] != f]))
+        fit = text.logistic_train(train, "id", "text", "y", dim=16,
+                                  iterations=2, lr=2.0)
+        frow = fit.first()
+        assert cv[f]["n_train"] == frow["n_train"]
+        assert cv[f]["train_loss_start"] == pytest.approx(
+            frow["losses"][0])
+        assert cv[f]["train_loss_end"] == pytest.approx(
+            frow["losses"][-1])
+        # manual holdout eval with the trained weights
+        val = df.filter(F.col("id").isin(
+            [i for i in fold if fold[i] == f]))
+        scored = text.hashed_linear_score(
+            val, "id", "text", fit.select("bucket", "weight"),
+            dim=16, bias=frow["bias"])
+        vl = scored.withColumn("y", F.col("y").cast("double")).agg(
+            F.avg(-(F.col("y") * F.log("score")
+                    + (1 - F.col("y"))
+                    * F.log(1 - F.col("score"))))).first()[0]
+        assert cv[f]["val_loss"] == pytest.approx(vl)
+        assert cv[f]["n_val"] == val.count()
+        assert math.isclose(cv[f]["train_loss_start"], math.log(2.0))
+
+    def test_too_few_docs_for_k_raises(self, spark):
+        df = spark.createDataFrame([(1, "one doc", 1)],
+                                   "id int, text string, y int")
+        with pytest.raises(ValueError, match="folds"):
+            text.logistic_cv(df, "id", "text", "y", dim=8, k=3)
+
+
 class TestRecallAtK:
     def test_partial_and_zero_overlap(self, spark):
         exact = spark.createDataFrame(
