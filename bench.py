@@ -254,7 +254,9 @@ BENCH_QUERIES = [
     "docs_minhash_jaccard",
     # docs_classifier_cv is deliberately unbenched per the sibling
     # rule: k x docs_classifier_train's featurize+loop plan over
-    # fold-filtered views of one checkpointed frame, no new shape
+    # fold-filtered views of one checkpointed frame, no new shape;
+    # docs_cv_leakage_safe likewise: docs_split_leakage's closure +
+    # join shape with a kfold projection instead of a split one
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -184,6 +184,41 @@ def leakage_safe_split(
                       salt=salt).drop("__grp")
 
 
+def leakage_safe_kfold(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    k: int,
+    *,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    out: str = "fold",
+    salt: str = "",
+) -> DataFrame:
+    """Near-duplicate-aware k-fold assignment — the cross-validation
+    twin of :func:`leakage_safe_split`: rows connected by any chain of
+    ``pairs`` edges share a fold, so no fold ever validates on a
+    near-dup of another fold's training doc (the inflation that makes
+    naive CV numbers lie is exactly proportional to cross-fold dup
+    pairs, and this construction yields zero). Same mechanism:
+    transitive closure via min-label propagation, then
+    :func:`with_kfold` keyed by the component representative
+    (singletons key by their own id) — inheriting the md5-coin
+    determinism and NULL-key contract. Pairs-list-sized closure + one
+    id-keyed left join; the fold itself is a projection."""
+    from .dedup import connected_components
+
+    labels = connected_components(pairs, id_a=id_a, id_b=id_b)
+    joined = df.join(
+        labels.select(F.col("node").alias(id_col), "component"),
+        id_col, "left")
+    keyed = joined.withColumn(
+        "__grp", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    return with_kfold(keyed, "__grp", k, out=out,
+                      salt=salt).drop("__grp")
+
+
 def split_leakage_report(
     splits_df: DataFrame,
     pairs: DataFrame,

@@ -648,6 +648,7 @@ def logistic_train(
     iterations: int = 3,
     lr: float = 0.5,
     normalize: bool = True,
+    init: Optional[DataFrame] = None,
 ) -> DataFrame:
     """Train the quality-filter classifier IN-ENGINE — deterministic
     full-batch logistic regression over the same hashed bag-of-words
@@ -678,6 +679,15 @@ def logistic_train(
     ``fit.select("bucket", "weight")`` feeds straight into
     :func:`hashed_linear_score` (pass ``bias=`` from any row).
 
+    ``init`` WARM-STARTS the loop from a previous fit (the trainer's
+    own output frame, or any ``(bucket, weight[, bias])`` table —
+    persisted yesterday, reloaded today): full-batch gradient descent
+    is Markov in (weights, bias), so on the SAME corpus
+    ``train(n+m)`` equals ``train(n)`` continued ``m`` more steps
+    weight for weight (pinned by test), and on an evolved corpus the
+    warm start is day-2 incremental retraining without replaying
+    history. Missing buckets init to 0; the collect is dims-scale.
+
     Scale shape (100 TB): the corpus is featurized ONCE — explode +
     (id, bucket)-keyed count + id-keyed sorted collect into per-doc
     sparse arrays — then ``localCheckpoint`` cuts lineage before the
@@ -699,6 +709,19 @@ def logistic_train(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = df.sparkSession
+    w0, b0 = None, 0.0
+    if init is not None:
+        rows0 = init.select("bucket", "weight").collect()
+        bad = [r for r in rows0 if not 0 <= r["bucket"] < dim]
+        if bad:
+            raise ValueError(
+                f"init bucket {bad[0]['bucket']} outside [0, {dim}) — "
+                f"the init fit used a different dim")
+        w0 = [0.0] * dim
+        for r in rows0:
+            w0[r["bucket"]] = float(r["weight"])
+        if "bias" in init.columns:
+            b0 = float(init.select("bias").first()["bias"])
     feats = _logistic_featurize(df, id_col, text_col, label_col,
                                 dim=dim).localCheckpoint(eager=False)
     n_train = feats.count()
@@ -706,7 +729,8 @@ def logistic_train(
         raise ValueError("logistic_train: no documents with tokens")
     w, bias, losses = _logistic_fit(feats, n_train, dim=dim,
                                     iterations=iterations, lr=lr,
-                                    normalize=normalize)
+                                    normalize=normalize,
+                                    init_w=w0, init_bias=b0)
 
     rows = [(j, float(w[j])) for j in range(dim)]
     out = spark.createDataFrame(rows, "bucket int, weight double")
@@ -754,13 +778,13 @@ def _logistic_z(w: list, bias: float, normalize: bool):
 
 
 def _logistic_fit(feats: DataFrame, n_train: int, *, dim, iterations,
-                  lr, normalize) -> tuple:
+                  lr, normalize, init_w=None, init_bias=0.0) -> tuple:
     """The gradient loop of :func:`logistic_train` over a featurized
     frame: per step ONE sentinel-tagged map-side-combined groupBy
     (bucket −1 = loss, −2 = bias gradient) collecting dim+2 rows.
     Returns (weights, bias, losses)."""
-    w = [0.0] * dim
-    bias = 0.0
+    w = list(init_w) if init_w is not None else [0.0] * dim
+    bias = float(init_bias)
     losses: list = []
     for _ in range(iterations):
         z = _logistic_z(w, bias, normalize)

@@ -7611,6 +7611,65 @@ FROM documents
 """
 
 
+def q_docs_cv_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-aware CV folds (sampling.leakage_safe_kfold): docs
+    connected by Jaccard near-dup chains (the dedup_jaccard pair
+    definition) share a fold, so cross-validation never scores on a
+    near-dup of a training doc — the CV twin of the dup-aware split
+    guard. Fold = md5 coin on the component representative (min member
+    id; singletons on their own id); the oracle replays the recursive
+    transitive closure and the coin."""
+    from .operators import sampling
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, "doc_id", "text",
+                                n=3, threshold=0.15)
+    out = sampling.leakage_safe_kfold(docs, pairs, "doc_id", 5)
+    return out.select("doc_id", "fold")
+
+
+ORACLE_DOCS_CV_LEAKAGE_SAFE = r"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+  FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS c
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE c * 1.0 / (sa.n + sb.n - c) >= 0.15
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM sym
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+),
+comp AS (
+  SELECT src AS node, least(src, min(dst)) AS component
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id,
+       CAST(CAST(('0x' || substr(md5('|'
+                 || CAST(coalesce(c.component, d.doc_id) AS VARCHAR)),
+                 1, 8)) AS BIGINT) % 5 AS INTEGER) AS fold
+FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+"""
+
+
 def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SESSION rows via Spark's NATIVE session_window aggregate
     (the streaming-capable sessionization primitive — merges events
@@ -9948,7 +10007,9 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_token_ids and docs_strip_boilerplate;
 #          docs_classifier_cv (k-fold CV of the in-engine trainer —
 #          per-fold unrolled-CTE oracle) displaced
-#          docs_source_dup_matrix.
+#          docs_source_dup_matrix; docs_cv_leakage_safe (dup-aware CV
+#          folds — component-keyed md5 coin under a recursive-closure
+#          oracle) displaced docs_lm_score.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -9979,7 +10040,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
     "docs_chunks", "docs_classifier_score", "docs_collocations",
     "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
-    "docs_lm_score",
+    "docs_cv_leakage_safe",         # r13 new: dup-aware CV folds
     "docs_classifier_cv",           # r13 new: k-fold CV in-engine
     "events_agg_rollup",            # r13 new: additive moments rollup
     "docs_minhash_jaccard",         # r13 new: MinHash estimate audit
@@ -10127,6 +10188,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_winsorize": q_docs_winsorize,
     "events_session_windows": q_events_session_windows,
     "docs_kfold": q_docs_kfold,
+    "docs_cv_leakage_safe": q_docs_cv_leakage_safe,
     "docs_token_entropy": q_docs_token_entropy,
     "docs_readability": q_docs_readability,
     "docs_rouge_overlap": q_docs_rouge_overlap,
@@ -10363,6 +10425,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_winsorize": ORACLE_DOCS_WINSORIZE,
     "events_session_windows": ORACLE_EVENTS_SESSION_WINDOWS,
     "docs_kfold": ORACLE_DOCS_KFOLD,
+    "docs_cv_leakage_safe": ORACLE_DOCS_CV_LEAKAGE_SAFE,
     "docs_token_entropy": ORACLE_DOCS_TOKEN_ENTROPY,
     "docs_readability": ORACLE_DOCS_READABILITY,
     "docs_rouge_overlap": ORACLE_DOCS_ROUGE_OVERLAP,

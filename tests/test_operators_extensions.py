@@ -2665,6 +2665,34 @@ class TestLogisticTrain:
         with pytest.raises(ValueError, match="no documents"):
             text.logistic_train(empty, "id", "text", "y", dim=8)
 
+    def test_warm_start_continuation_is_exact(self, spark):
+        """train(4) == train(2) warm-started 2 more steps, weight for
+        weight — full-batch GD is Markov in (w, bias), so persisted
+        weights resume training with zero drift."""
+        df = spark.createDataFrame(self.FIX, "id int, text string, y int")
+        straight = text.logistic_train(df, "id", "text", "y", dim=16,
+                                       iterations=4, lr=2.0)
+        half = text.logistic_train(df, "id", "text", "y", dim=16,
+                                   iterations=2, lr=2.0)
+        resumed = text.logistic_train(df, "id", "text", "y", dim=16,
+                                      iterations=2, lr=2.0, init=half)
+        a = {r["bucket"]: r for r in straight.collect()}
+        b = {r["bucket"]: r for r in resumed.collect()}
+        for j in range(16):
+            assert a[j]["weight"] == b[j]["weight"], j
+        assert a[0]["bias"] == b[0]["bias"]
+        # resumed losses are the ladder's back half
+        assert list(b[0]["losses"]) == pytest.approx(
+            list(a[0]["losses"])[2:])
+
+    def test_warm_start_dim_mismatch_raises(self, spark):
+        df = spark.createDataFrame(self.FIX, "id int, text string, y int")
+        fit = text.logistic_train(df, "id", "text", "y", dim=32,
+                                  iterations=1, lr=1.0)
+        with pytest.raises(ValueError, match="different dim"):
+            text.logistic_train(df, "id", "text", "y", dim=16,
+                                iterations=1, lr=1.0, init=fit)
+
     def test_weights_feed_score_path(self, spark):
         # the trained model separates the fixture through the existing
         # inference operator — train and score stay one surface
@@ -2677,6 +2705,25 @@ class TestLogisticTrain:
         pos = [rows[i] for i, _, y in self.FIX if y == 1]
         neg = [rows[i] for i, _, y in self.FIX if y == 0]
         assert min(pos) > max(neg)
+
+
+class TestLeakageSafeKfold:
+    def test_zero_cross_fold_pairs_and_singletons(self, spark):
+        from spark_expectations_spark.operators import sampling
+        df = spark.createDataFrame([(i,) for i in range(40)], "id int")
+        # chain 0-1-2, pair 10-11, the rest singletons
+        pairs = spark.createDataFrame(
+            [(0, 1), (1, 2), (10, 11)], "id_a int, id_b int")
+        out = sampling.leakage_safe_kfold(df, pairs, "id", 4)
+        fold = {r["id"]: r["fold"] for r in out.collect()}
+        assert fold[0] == fold[1] == fold[2]
+        assert fold[10] == fold[11]
+        assert len(fold) == 40 and all(0 <= f < 4 for f in fold.values())
+        # singleton folds follow with_kfold keyed by own id
+        naive = {r["id"]: r["fold"] for r in sampling.with_kfold(
+            df, "id", 4).collect()}
+        for i in (5, 20, 39):
+            assert fold[i] == naive[i]
 
 
 class TestLogisticCv:
