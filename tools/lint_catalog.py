@@ -122,6 +122,16 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "window outputs over the bins-scale cell table — no scan "
         "column exists to push to; the one corpus scan filters only "
         "value IS NOT NULL, which does push",
+    ("events_agg_rollup", "single-partition-exchange"):
+        "the global moments-merge row is an UNGROUPED agg over the "
+        "days-cardinality daily cell table (KB-scale — one row per "
+        "day); the corpus-scale per-day build before it is a fully "
+        "parallel map-side-combined groupBy",
+    ("docs_minhash_jaccard", "filter-not-pushed"):
+        "the Jaccard threshold filter predicates on the COMPUTED "
+        "intersection/size counts of the posting-list join — no scan "
+        "column exists to push to (dedup_jaccard's own adjudicated "
+        "shape); the signature joins are id-keyed equi-joins",
 }
 
 
