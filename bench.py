@@ -256,7 +256,9 @@ BENCH_QUERIES = [
     # rule: k x docs_classifier_train's featurize+loop plan over
     # fold-filtered views of one checkpointed frame, no new shape;
     # docs_cv_leakage_safe likewise: docs_split_leakage's closure +
-    # join shape with a kfold projection instead of a split one
+    # join shape with a kfold projection instead of a split one;
+    # embed_matryoshka_check likewise: ann_topk's broadcast-query
+    # corpus scan repeated per prefix width plus KB-scale recall joins
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

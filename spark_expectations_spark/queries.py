@@ -1386,6 +1386,91 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def q_embed_matryoshka_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncation QA (catalog composition of cosine_topk +
+    recall_at_k): how much neighbor structure survives keeping only
+    the first d dimensions of the embedding — the acceptance gate for
+    MRL-style dimension truncation, which cuts ANN index cost
+    d_full/d× IF recall holds. Exact top-5 sets at d ∈ {8, 16, 32}
+    prefixes vs the full-vector truth, mean recall per d (6dp; each
+    per-query recall is m/5 so only the 10-term mean needs the
+    rounding). Plan: one broadcast-query corpus scan per d — the
+    ann_topk shape repeated, no new machinery."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    full = similarity.cosine_topk(emb, queries, id_col="vec_id",
+                                  vec_col="embedding", k=5)
+    out = None
+    for d in (8, 16, 32):
+        te = emb.select("vec_id",
+                        F.slice("embedding", 1, d).alias("embedding"))
+        tq = te.filter(F.col("vec_id") < 10)
+        approx = similarity.cosine_topk(te, tq, id_col="vec_id",
+                                        vec_col="embedding", k=5)
+        rec = similarity.recall_at_k(full, approx)
+        row = rec.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.round(F.avg("recall"), 6) + F.lit(0.0))
+            .alias("mean_recall")).select(
+            F.lit(d).alias("dims"), "n_queries", "mean_recall")
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _oracle_embed_matryoshka_check() -> str:
+    dims = (8, 16, 32)
+    sql = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)))
+           AS nrm
+  FROM embeddings),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, len(q.e) + 1),
+                               i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm)
+               DESC, c.vec_id ASC) AS rank
+    FROM v q JOIN v c ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+  WHERE rank <= 5)"""
+    for d in dims:
+        sql += f""",
+vd{d} AS (
+  SELECT vec_id, (embedding::DOUBLE[])[1:{d}] AS e,
+         sqrt(list_sum(list_transform((embedding::DOUBLE[])[1:{d}],
+                                      x -> x * x))) AS nrm
+  FROM embeddings),
+ap{d} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_sum(list_transform(range(1, {d} + 1),
+                               i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm)
+               DESC, c.vec_id ASC) AS rank
+    FROM vd{d} q JOIN vd{d} c
+      ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+  WHERE rank <= 5),
+rec{d} AS (
+  SELECT t.query_id,
+         count(a.neighbor_id) * 1.0 / count(*) AS recall
+  FROM truth t LEFT JOIN ap{d} a
+    ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+  GROUP BY t.query_id),
+row{d} AS (
+  SELECT {d} AS dims, CAST(count(*) AS BIGINT) AS n_queries,
+         round(avg(recall), 6) + 0.0 AS mean_recall
+  FROM rec{d})"""
+    sql += "\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM row{d}" for d in dims)
+    return sql
+
+
+ORACLE_EMBED_MATRYOSHKA_CHECK = _oracle_embed_matryoshka_check()
+
+
 def q_embed_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-k retrieval (similarity.mmr_topk — greedy
     Maximal Marginal Relevance with a FULL value oracle): per query,
@@ -10009,7 +10094,9 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          per-fold unrolled-CTE oracle) displaced
 #          docs_source_dup_matrix; docs_cv_leakage_safe (dup-aware CV
 #          folds — component-keyed md5 coin under a recursive-closure
-#          oracle) displaced docs_lm_score.
+#          oracle) displaced docs_lm_score; embed_matryoshka_check
+#          (prefix-truncation neighbor-recall QA) displaced
+#          docs_heavy_tokens.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10039,7 +10126,8 @@ DRIVER_PRIORITY: list[str] = [
     # so the last names yield their slots to new operators)
     "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
     "docs_chunks", "docs_classifier_score", "docs_collocations",
-    "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
+    "docs_decontaminate", "docs_epoch_shuffle",
+    "embed_matryoshka_check",       # r13 new: truncation recall QA
     "docs_cv_leakage_safe",         # r13 new: dup-aware CV folds
     "docs_classifier_cv",           # r13 new: k-fold CV in-engine
     "events_agg_rollup",            # r13 new: additive moments rollup
@@ -10109,6 +10197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embed_norm_outliers": q_embed_norm_outliers,
     "embed_quantize": q_embed_quantize,
     "ann_topk": q_ann_topk,
+    "embed_matryoshka_check": q_embed_matryoshka_check,
     "ann_ivf": q_ann_ivf,
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -10332,6 +10421,7 @@ ORACLES: dict[str, Optional[str]] = {
     "embed_norm_outliers": ORACLE_EMBED_NORM_OUTLIERS,
     "embed_quantize": ORACLE_EMBED_QUANTIZE,
     "ann_topk": ORACLE_ANN_TOPK,
+    "embed_matryoshka_check": ORACLE_EMBED_MATRYOSHKA_CHECK,
     "ann_ivf": ORACLE_ANN_IVF,
     "text_stats": ORACLE_TEXT_STATS,
     "text_quality": ORACLE_TEXT_QUALITY,
