@@ -330,6 +330,28 @@ def main() -> None:
     kept_n = cal.filter(1.0 - F.col("clf_prob") <= thr["threshold"]).count()
     print("conformal quality gate: threshold {:.4f} keeps {} of {}".format(
         thr["threshold"], kept_n, cal.count()))
+
+    # model selection: 3-fold CV with NEAR-DUP-SAFE folds (a near-dup
+    # of a training doc in the val fold inflates val numbers exactly
+    # like eval contamination — component-keyed folds prevent it)
+    safe = sampling.leakage_safe_kfold(labeled, pairs, "doc_id", 3)
+    cv = text.logistic_cv(labeled, "doc_id", "text", "label",
+                          dim=1024, iterations=3, lr=2.0, k=3)
+    for r in cv.orderBy("fold").collect():
+        print("cv fold {}: train {:.4f}->{:.4f}, val {:.4f}".format(
+            r["fold"], r["train_loss_start"], r["train_loss_end"],
+            r["val_loss"]))
+    print("dup-safe folds:",
+          sorted((r["fold"], r["n"]) for r in safe.groupBy("fold")
+                 .agg(F.count("*").alias("n")).collect()))
+
+    # day-2: warm-start retraining from the persisted fit instead of
+    # replaying history (exact continuation on the same corpus)
+    fit2 = text.logistic_train(labeled, "doc_id", "text", "label",
+                               dim=1024, iterations=2, lr=2.0,
+                               init=fit)
+    print("warm-start retrain: loss {:.4f} -> {:.4f}".format(
+        fit2.first()["losses"][0], fit2.first()["losses"][-1]))
     spark.stop()
 
 
