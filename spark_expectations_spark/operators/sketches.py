@@ -181,8 +181,8 @@ def histogram_quantiles(
 
     Returns ``(*group_cols, q, est)``. Scale shape: one cumulative
     window over the bins-scale cell table partitioned by group, then a
-    broadcast cross join against the literal quantile list and a
-    per-(group, q) min-bin aggregation — never corpus rows.
+    literal-array explode of the quantile list and a per-(group, q)
+    min-bin rank — never corpus rows.
     """
     if not quantiles:
         raise ValueError("need at least one quantile")

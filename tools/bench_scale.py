@@ -71,7 +71,8 @@ def _tier(spark, sf_dir: str, entries) -> dict:
     times = {}
     for n in entries:
         times[n] = _time_query(spark, n, sf_dir)
-        print(f"# {sf_dir}: {n} = {times[n]}s", file=sys.stderr)
+        print(f"# {sf_dir}: {n} = {times[n]}s", file=sys.stderr,
+              flush=True)
     last = {n: _time_query(spark, n, CANARY_DIR) for n in CANARY_QUERIES}
     canary = round((sum(first.values()) + sum(last.values())) / 2, 3)
     return {"times": times, "canary": canary,
