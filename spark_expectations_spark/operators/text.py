@@ -367,6 +367,72 @@ def profile(
     )
 
 
+def vocab_divergence(
+    base: DataFrame,
+    cur: DataFrame,
+    text_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Token-distribution divergence between two corpora — the
+    TOKEN-level domain-shift signal the value-histogram drift family
+    (PSI/KS/JSD over numeric columns) cannot see: a new crawl slice
+    can keep every length/score distribution flat while its vocabulary
+    walks away from the reference corpus. One row:
+
+    - ``n_base`` / ``n_cur`` — token totals per side,
+    - ``v_union`` — union vocabulary size, ``new_types`` — types in
+      ``cur`` never seen in ``base``,
+    - ``oov_rate`` — fraction of ``cur`` TOKEN MASS on those unseen
+      types (the dataloader's actual OOV exposure, not a type count),
+    - ``kl_base_cur`` / ``kl_cur_base`` — smoothed unigram KL in nats,
+      both directions (KL is asymmetric; a spike in either direction
+      is a different failure: base→cur = cur under-covers base mass,
+      cur→base = cur concentrates novel mass).
+
+    Probabilities are additively smoothed over the UNION vocabulary
+    (``p = (c + alpha) / (N + alpha·V)``), so both KLs are finite and
+    every term is a pure function of exact integer counts — the whole
+    report value-oracles at 6dp.
+
+    Scale shape: one map-side-combined token count per side, one
+    token-keyed full-outer join, the 1-row totals fold broadcast back,
+    one final vocab-sized agg. Intermediates are vocab-sized, never
+    corpus-sized; no window.
+    """
+    if alpha <= 0.0:
+        raise ValueError("alpha must be > 0 (smoothing keeps KL finite)")
+
+    def counts(df: DataFrame, out: str) -> DataFrame:
+        return (df.select(F.explode(_tokens(F.col(text_col)))
+                          .alias("tok"))
+                .groupBy("tok").agg(F.count(F.lit(1)).alias(out)))
+
+    j = (counts(base, "cb").join(counts(cur, "cc"), "tok", "full_outer")
+         .select(F.coalesce("cb", F.lit(0)).alias("cb"),
+                 F.coalesce("cc", F.lit(0)).alias("cc")))
+    tot = j.agg(F.sum("cb").alias("nb"), F.sum("cc").alias("nc"),
+                F.count(F.lit(1)).alias("v"))
+    a = F.lit(float(alpha))
+    p = (F.col("cb") + a) / (F.col("nb") + a * F.col("v"))
+    q = (F.col("cc") + a) / (F.col("nc") + a * F.col("v"))
+    return (j.crossJoin(F.broadcast(tot))
+            .groupBy("nb", "nc", "v")
+            .agg(F.sum(F.when(F.col("cb") == 0, 1).otherwise(0))
+                 .alias("new_types"),
+                 F.sum(F.when(F.col("cb") == 0, F.col("cc"))
+                       .otherwise(0)).alias("_oovc"),
+                 F.sum(p * F.log(p / q)).alias("_kl_bc"),
+                 F.sum(q * F.log(q / p)).alias("_kl_cb"))
+            .select(F.col("nb").alias("n_base"),
+                    F.col("nc").alias("n_cur"),
+                    F.col("v").alias("v_union"), "new_types",
+                    F.round(F.col("_oovc") / F.col("nc"), 6)
+                    .alias("oov_rate"),
+                    F.round("_kl_bc", 6).alias("kl_base_cur"),
+                    F.round("_kl_cb", 6).alias("kl_cur_base")))
+
+
 def unigram_logprob(
     df: DataFrame,
     id_col: str,

@@ -4151,6 +4151,54 @@ FROM w{iters} w, b{iters}, m, {tail_from}
 ORACLE_DOCS_CLASSIFIER_TRAIN = _oracle_docs_classifier_train()
 
 
+def q_docs_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level domain-shift report (text.vocab_divergence) between
+    the deterministic document halves (doc_id parity — the drift-family
+    convention): smoothed unigram KL both directions, union-vocabulary
+    OOV mass rate, and new-type counts — the vocabulary walk the
+    numeric drift family can't see. All values pure functions of exact
+    integer counts, 6dp."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    cur = docs.filter(F.col("doc_id") % 2 == 1)
+    return text_ops.vocab_divergence(base, cur, "text")
+
+
+ORACLE_DOCS_VOCAB_DIVERGENCE = r"""
+WITH tb AS (
+  SELECT tok, count(*) AS cb FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents WHERE doc_id % 2 = 0) WHERE tok <> '' GROUP BY tok),
+tc AS (
+  SELECT tok, count(*) AS cc FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+    FROM documents WHERE doc_id % 2 = 1) WHERE tok <> '' GROUP BY tok),
+j AS (
+  SELECT coalesce(cb, 0) AS cb, coalesce(cc, 0) AS cc
+  FROM tb FULL OUTER JOIN tc USING (tok)),
+tot AS (
+  SELECT CAST(sum(cb) AS BIGINT) AS nb, CAST(sum(cc) AS BIGINT) AS nc,
+         CAST(count(*) AS BIGINT) AS v
+  FROM j)
+SELECT nb AS n_base, nc AS n_cur, v AS v_union,
+       CAST(sum(CASE WHEN cb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS new_types,
+       round(sum(CASE WHEN cb = 0 THEN cc ELSE 0 END) * 1.0 / nc, 6)
+         AS oov_rate,
+       round(sum(((cb + 0.5) / (nb + 0.5 * v))
+                 * ln(((cb + 0.5) / (nb + 0.5 * v))
+                      / ((cc + 0.5) / (nc + 0.5 * v)))), 6)
+         AS kl_base_cur,
+       round(sum(((cc + 0.5) / (nc + 0.5 * v))
+                 * ln(((cc + 0.5) / (nc + 0.5 * v))
+                      / ((cb + 0.5) / (nb + 0.5 * v)))), 6)
+         AS kl_cur_base
+FROM j, tot GROUP BY nb, nc, v
+"""
+
+
 def q_docs_classifier_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-engine k-fold cross-validation (text.logistic_cv): 3 md5-
     assigned folds, each training the deterministic gradient loop
@@ -10096,7 +10144,9 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          folds — component-keyed md5 coin under a recursive-closure
 #          oracle) displaced docs_lm_score; embed_matryoshka_check
 #          (prefix-truncation neighbor-recall QA) displaced
-#          docs_heavy_tokens.
+#          docs_heavy_tokens; docs_vocab_divergence (smoothed unigram
+#          KL both ways + OOV mass — token-level domain shift)
+#          displaced docs_decontaminate.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10126,7 +10176,8 @@ DRIVER_PRIORITY: list[str] = [
     # so the last names yield their slots to new operators)
     "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
     "docs_chunks", "docs_classifier_score", "docs_collocations",
-    "docs_decontaminate", "docs_epoch_shuffle",
+    "docs_epoch_shuffle",
+    "docs_vocab_divergence",         # r13 new: token-level domain shift
     "embed_matryoshka_check",       # r13 new: truncation recall QA
     "docs_cv_leakage_safe",         # r13 new: dup-aware CV folds
     "docs_classifier_cv",           # r13 new: k-fold CV in-engine
@@ -10240,6 +10291,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_classifier_score": q_docs_classifier_score,
     "docs_classifier_train": q_docs_classifier_train,
     "docs_classifier_cv": q_docs_classifier_cv,
+    "docs_vocab_divergence": q_docs_vocab_divergence,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10464,6 +10516,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_classifier_score": ORACLE_DOCS_CLASSIFIER_SCORE,
     "docs_classifier_train": ORACLE_DOCS_CLASSIFIER_TRAIN,
     "docs_classifier_cv": ORACLE_DOCS_CLASSIFIER_CV,
+    "docs_vocab_divergence": ORACLE_DOCS_VOCAB_DIVERGENCE,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

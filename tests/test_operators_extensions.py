@@ -2707,6 +2707,36 @@ class TestLogisticTrain:
         assert min(pos) > max(neg)
 
 
+class TestVocabDivergence:
+    def test_hand_computed_kl_and_oov(self, spark):
+        import math
+        base = spark.createDataFrame([(1, "a a b")], "id int, text string")
+        cur = spark.createDataFrame([(2, "a c")], "id int, text string")
+        row = text.vocab_divergence(base, cur, "text").first()
+        # union vocab {a, b, c}: cb = (2, 1, 0), cc = (1, 0, 1)
+        assert row["n_base"] == 3 and row["n_cur"] == 2
+        assert row["v_union"] == 3 and row["new_types"] == 1
+        assert row["oov_rate"] == pytest.approx(0.5)  # token 'c' mass
+        nb, nc, v, a = 3, 2, 3, 0.5
+        p = [(c + a) / (nb + a * v) for c in (2, 1, 0)]
+        q = [(c + a) / (nc + a * v) for c in (1, 0, 1)]
+        kl_bc = sum(pi * math.log(pi / qi) for pi, qi in zip(p, q))
+        kl_cb = sum(qi * math.log(qi / pi) for pi, qi in zip(p, q))
+        assert row["kl_base_cur"] == pytest.approx(kl_bc, abs=1e-6)
+        assert row["kl_cur_base"] == pytest.approx(kl_cb, abs=1e-6)
+
+    def test_identical_corpora_zero_divergence(self, spark):
+        df = spark.createDataFrame([(1, "x y z x")], "id int, text string")
+        row = text.vocab_divergence(df, df, "text").first()
+        assert row["kl_base_cur"] == 0.0 and row["kl_cur_base"] == 0.0
+        assert row["new_types"] == 0 and row["oov_rate"] == 0.0
+
+    def test_alpha_guard(self, spark):
+        df = spark.createDataFrame([(1, "x")], "id int, text string")
+        with pytest.raises(ValueError, match="alpha"):
+            text.vocab_divergence(df, df, "text", alpha=0.0)
+
+
 class TestLeakageSafeKfold:
     def test_zero_cross_fold_pairs_and_singletons(self, spark):
         from spark_expectations_spark.operators import sampling

@@ -132,6 +132,16 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "intersection/size counts of the posting-list join — no scan "
         "column exists to push to (dedup_jaccard's own adjudicated "
         "shape); the signature joins are id-keyed equi-joins",
+    ("docs_vocab_divergence", "single-partition-exchange"):
+        "the final KL fold is ONE row grouped on the broadcast 1-row "
+        "totals keys over the vocab-sized joined count table — "
+        "vocab-scale, never corpus; both token counts before it are "
+        "fully parallel map-side-combined groupBys",
+    ("docs_vocab_divergence", "filter-not-pushed"):
+        "the doc_id % 2 halves split is a modulo EXPRESSION predicate "
+        "(parquet pushes only plain comparisons — the "
+        "lineitem_price_jsd adjudication); the empty-token filter "
+        "tests the computed split array",
 }
 
 
