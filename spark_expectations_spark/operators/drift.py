@@ -810,10 +810,21 @@ def ks_pvalue(
     lam = F.when(ne > 0,
                  (F.sqrt(ne) + F.lit(0.12)
                   + F.lit(0.11) / F.sqrt(ne)) * d)
-    s = F.lit(0.0)
-    for j in range(1, terms + 1):
-        term = F.exp(F.lit(-2.0 * j * j) * lam * lam)
-        s = s + (term if j % 2 == 1 else -term)
+    # the series is a fold over sequence(1..terms), NOT an unrolled
+    # 50-term expression tree: unrolled, λ inlines ~2×terms times and
+    # the generated projection code grows past the JVM's 64 KB method
+    # limit (measured: whole-stage codegen compile fails and the whole
+    # stage falls back to interpreted eval). The fold keeps the
+    # expression O(1) size with BIT-IDENTICAL arithmetic — same
+    # left-associated summation order, and −2.0·j² is an exact double
+    # product either way — so the SQL oracles are unaffected.
+    def _series_step(acc, j):
+        jj = (j * j).cast("double")
+        term = F.exp(F.lit(-2.0) * jj * lam * lam)
+        return acc + F.when(j % 2 == 1, term).otherwise(-term)
+
+    s = F.aggregate(F.sequence(F.lit(1), F.lit(terms)), F.lit(0.0),
+                    _series_step)
     # λ = 0 (D = 0) is the series' one degenerate point: every term is
     # 1 and an even truncation sums to 0 — the true Q_KS(0⁺) is 1.
     # NULL inputs (e.g. ks_by_segment's one-sided segments) pass

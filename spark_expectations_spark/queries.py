@@ -6140,9 +6140,17 @@ def q_lineitem_ks_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = li.filter(F.col("l_orderkey") % 2 == 0)
     cur = li.filter(F.col("l_orderkey") % 2 == 1)
     d = drift.ks_statistic(base, cur, "l_extendedprice", _KS_EDGES)
+    # p is defined over the RAW statistic (the oracle's l): attach it
+    # via withColumn BEFORE the display rounding. Putting ks_pvalue in
+    # the same select as the rounded "ks" alias is a resolution trap —
+    # a plain column reference there binds to the child's raw ks, but
+    # inside ks_pvalue's lambda fold the same name resolved to the
+    # LATERAL alias (the rounded value), silently shifting p by 7e-7.
+    d = d.withColumn("p_value",
+                     drift.ks_pvalue("ks", "n_base", "n_cur"))
     return d.select(
         (F.round("ks", 8) + F.lit(0.0)).alias("ks"), "n_base", "n_cur",
-        drift.ks_pvalue("ks", "n_base", "n_cur").alias("p_value"))
+        "p_value")
 
 
 def _oracle_lineitem_ks_pvalue(terms: int = 50) -> str:
