@@ -400,15 +400,34 @@ def vocab_divergence(
     one final vocab-sized agg. Intermediates are vocab-sized, never
     corpus-sized; no window.
     """
+    return vocab_divergence_from_counts(
+        token_counts(base, text_col, "cb"),
+        token_counts(cur, text_col, "cc"), alpha=alpha)
+
+
+def token_counts(df: DataFrame, text_col: str,
+                 out: str = "c") -> DataFrame:
+    """(tok, count) table over a corpus — one map-side-combined
+    groupBy; the shared count side of :func:`vocab_divergence` and the
+    streaming vocabulary state."""
+    return (df.select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias(out)))
+
+
+def vocab_divergence_from_counts(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """The counts-level core of :func:`vocab_divergence`: takes two
+    ``(tok, cb)`` / ``(tok, cc)`` tables (from :func:`token_counts`,
+    or a persisted/merged streaming vocabulary state) and emits the
+    same one-row report — so yesterday's counts diverge against
+    today's without re-tokenizing yesterday."""
     if alpha <= 0.0:
         raise ValueError("alpha must be > 0 (smoothing keeps KL finite)")
-
-    def counts(df: DataFrame, out: str) -> DataFrame:
-        return (df.select(F.explode(_tokens(F.col(text_col)))
-                          .alias("tok"))
-                .groupBy("tok").agg(F.count(F.lit(1)).alias(out)))
-
-    j = (counts(base, "cb").join(counts(cur, "cc"), "tok", "full_outer")
+    j = (base_counts.join(cur_counts, "tok", "full_outer")
          .select(F.coalesce("cb", F.lit(0)).alias("cb"),
                  F.coalesce("cc", F.lit(0)).alias("cc")))
     tot = j.agg(F.sum("cb").alias("nb"), F.sum("cc").alias("nc"),

@@ -696,6 +696,58 @@ def compact_quantile_state(spark, state_path: str, out_path: str,
      .parquet(out_path))
 
 
+def incremental_vocab_state(
+    state_path: str,
+    text_col: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating a corpus TOKEN-COUNT table on
+    disk — the streaming reference side for
+    :func:`vocab_divergence_from_state`: each micro-batch writes its
+    own (tok, c) counts under its ``_batch_id`` partition with dynamic
+    overwrite (retry replaces, read-time SUM re-merges — exactly-once,
+    the quantile/moments-state recipe). The persisted vocabulary grows
+    with distinct types, not rows, and lets any later batch ask "how
+    far has the token distribution walked from everything seen so
+    far" without rescanning the stream."""
+    from ..operators.text import _tokens
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df
+         .select(F.explode(_tokens(F.col(text_col))).alias("tok"))
+         .groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def vocab_divergence_from_state(
+    spark,
+    state_path: str,
+    cur: DataFrame,
+    text_col: str,
+    *,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """:func:`~..operators.text.vocab_divergence` with the BASE side
+    read from an :func:`incremental_vocab_state` dir instead of raw
+    documents — the drift_from_snapshot pattern for vocabulary: merge
+    the per-batch counts (SUM over ``_batch_id``), then run the same
+    smoothed-KL/OOV report against ``cur``. Answers equal a batch
+    vocab_divergence over the concatenated stream history (pinned by
+    test)."""
+    from ..operators.text import (token_counts,
+                                  vocab_divergence_from_counts)
+
+    base_counts = (spark.read.parquet(state_path)
+                   .groupBy("tok").agg(F.sum("c").alias("cb")))
+    return vocab_divergence_from_counts(
+        base_counts, token_counts(cur, text_col, "cc"), alpha=alpha)
+
+
 def incremental_moments_state(
     state_path: str,
     value_col: str,

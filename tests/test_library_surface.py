@@ -372,6 +372,28 @@ class TestStreamingDQ:
             spark, compacted, [0.0, 0.5, 1.0]).collect()}
         assert via_compact == direct
 
+    def test_incremental_vocab_state_matches_batch(self, spark, tmp_path):
+        """Streaming vocabulary counts accumulated across batches (with
+        a replay) must diverge against a current frame exactly like a
+        batch vocab_divergence over the concatenated raw batches."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import text as text_ops
+        state = str(tmp_path / "vocab_state")
+        step = st.incremental_vocab_state(state, "text")
+        b1 = spark.createDataFrame([(1, "a a b"), (2, "c d")],
+                                   "id int, text string")
+        b2 = spark.createDataFrame([(3, "a e")], "id int, text string")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                         # retry replaces, not adds
+        cur = spark.createDataFrame([(9, "a z z")], "id int, text string")
+        via_state = st.vocab_divergence_from_state(
+            spark, state, cur, "text").first()
+        direct = text_ops.vocab_divergence(b1.union(b2), cur,
+                                           "text").first()
+        assert via_state.asDict() == direct.asDict()
+        assert via_state["new_types"] == 1  # 'z'
+
     def test_incremental_moments_state_stats(self, spark, tmp_path):
         from spark_expectations_spark import streaming as st
         state = str(tmp_path / "mom_state")
