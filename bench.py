@@ -262,6 +262,10 @@ BENCH_QUERIES = [
     # token-level domain-shift report (two map-side-combined token
     # counts + a vocab-sized full-outer join + the 1-row KL fold)
     "docs_vocab_divergence",
+    # DataFrame-model-state trainer (per step: margin join + doc
+    # groupBy + gradient groupBy + weight-update join — the join-mode
+    # cost profile vs docs_classifier_train's literal-array profile)
+    "docs_classifier_train_dist",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

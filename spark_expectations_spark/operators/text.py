@@ -715,11 +715,10 @@ def hashed_linear_score(
 #: Hard cap on ``dim`` for :func:`logistic_train` — the per-iteration
 #: weight vector is embedded in the plan as a literal array (the
 #: lloyd_kmeans broadcast-codebook device), so the plan grows O(dim).
-#: 2^16 doubles ≈ 512 KiB of literals per iteration; past that the
-#: model side belongs in a bucket-keyed broadcast-join frame (the
-#: hashed_linear_score inference shape), which trades one doc-keyed
-#: shuffle per iteration for unbounded dim — not implemented until a
-#: pipeline needs >65k hashed features.
+#: 2^16 doubles ≈ 512 KiB of literals per iteration; past that use
+#: :func:`logistic_train_distributed`, whose model state lives in a
+#: bucket-keyed DataFrame (joins/aggregations only — unbounded dim at
+#: the cost of doc-keyed shuffles per step).
 LOGISTIC_TRAIN_MAX_DIM = 1 << 16
 
 
@@ -905,6 +904,113 @@ def _logistic_fit(feats: DataFrame, n_train: int, *, dim, iterations,
             if j >= 0:
                 w[j] -= lr * g / n_train
     return w, bias, losses
+
+
+def logistic_train_distributed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    *,
+    dim: int = 1 << 21,
+    iterations: int = 3,
+    lr: float = 0.5,
+    normalize: bool = True,
+) -> DataFrame:
+    """:func:`logistic_train` with the MODEL STATE living in a
+    DataFrame instead of the driver — the path past
+    :data:`LOGISTIC_TRAIN_MAX_DIM` for fastText-scale hashed models
+    (2M+ buckets), where a literal-array weight vector can ride
+    neither the plan nor the driver comfortably. Same arithmetic, same
+    hashing, same zero init and fixed steps; the weight table is only
+    ever touched by joins and aggregations:
+
+    per step — (1) margin: the sparse (id, y, j, x) frame joins the
+    weight table on the bucket (AQE broadcasts while the model is
+    small; a shuffle join when it is not) and groupBy(id) sums
+    ``z = Σ x·w``; (2) residual/log-loss: one doc-keyed projection,
+    whose 1-row loss/bias-gradient agg is the only per-step collect
+    (two scalars — the model never visits the driver); (3) update:
+    gradient groupBy(bucket) full-outer-joins the weight table,
+    ``w −= lr·g/n``, behind a ``localCheckpoint`` lineage cut (the
+    pagerank rank-vector discipline).
+
+    Returns the same contract as :func:`logistic_train` — ``(bucket,
+    weight, bias, n_train, losses)`` — except only buckets some token
+    hashed into appear (absent buckets are implicitly 0.0; with
+    dim = 2²¹ a dense frame would be mostly zeros).
+    ``fit.select("bucket", "weight")`` feeds
+    :func:`hashed_linear_score` unchanged.
+
+    Output-parity note: z sums floats in shuffle order rather than the
+    literal path's bucket-sorted fold order, so weights agree with
+    :func:`logistic_train` to float-summation noise (~1e-15 relative;
+    differential pinned by test), not bit-for-bit.
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    from .dedup import hash48_md5
+
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(label_col).cast("double").alias("_y"),
+        F.explode(_tokens(F.col(text_col))).alias("_tok"))
+    counts = (toks
+              .withColumn("_j", (hash48_md5(F.col("_tok")) % F.lit(dim))
+                          .cast("long"))
+              .groupBy("_id", "_y", "_j")
+              .agg(F.count(F.lit(1)).alias("_c")))
+    ntok = counts.groupBy("_id").agg(F.sum("_c").alias("_n"))
+    sparse = (counts.join(ntok, "_id")
+              .select("_id", "_y", "_j",
+                      ((F.col("_c") / F.col("_n")) if normalize
+                       else F.col("_c").cast("double")).alias("_x"))
+              .localCheckpoint(eager=False))
+    n_train = sparse.select("_id").distinct().count()
+    if n_train == 0:
+        raise ValueError(
+            "logistic_train_distributed: no documents with tokens")
+
+    weights = spark.createDataFrame([], "_j long, _w double")
+    bias = 0.0
+    losses: list = []
+    for _ in range(iterations):
+        z = (sparse.join(weights, "_j", "left")
+             .groupBy("_id", "_y")
+             .agg((F.sum(F.col("_x") * F.coalesce("_w", F.lit(0.0)))
+                   + F.lit(float(bias))).alias("_z")))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_z")))
+        scored = z.select(
+            "_id", (p - F.col("_y")).alias("_r"),
+            (-(F.col("_y") * F.log(p)
+               + (F.lit(1.0) - F.col("_y"))
+               * F.log(F.lit(1.0) - p))).alias("_l"))
+        scored = scored.localCheckpoint(eager=False)
+        head = scored.agg(F.sum("_l").alias("l"),
+                          F.sum("_r").alias("r")).first()
+        losses.append(head["l"] / n_train)
+        grad = (sparse.join(scored.select("_id", "_r"), "_id")
+                .groupBy("_j")
+                .agg(F.sum(F.col("_r") * F.col("_x")).alias("_g")))
+        weights = (weights.join(grad, "_j", "full_outer")
+                   .select("_j",
+                           (F.coalesce("_w", F.lit(0.0))
+                            - F.lit(float(lr))
+                            * F.coalesce("_g", F.lit(0.0))
+                            / F.lit(float(n_train))).alias("_w"))
+                   .localCheckpoint(eager=False))
+        bias -= lr * head["r"] / n_train
+
+    return (weights
+            .select(F.col("_j").cast("int").alias("bucket"),
+                    F.col("_w").alias("weight"))
+            .withColumn("bias", F.lit(float(bias)))
+            .withColumn("n_train", F.lit(int(n_train)).cast("long"))
+            .withColumn("losses",
+                        F.array(*[F.lit(float(v)) for v in losses])))
 
 
 def logistic_cv(

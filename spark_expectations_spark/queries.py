@@ -4151,6 +4151,51 @@ FROM w{iters} w, b{iters}, m, {tail_from}
 ORACLE_DOCS_CLASSIFIER_TRAIN = _oracle_docs_classifier_train()
 
 
+def q_docs_classifier_train_dist(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The DISTRIBUTED-model-state trainer
+    (text.logistic_train_distributed) on docs_classifier_train's exact
+    configuration: same hashing, labels, steps, and lr, but the weight
+    vector lives in a DataFrame touched only by joins/aggregations —
+    the path past LOGISTIC_TRAIN_MAX_DIM for fastText-scale models.
+    Output is the sparse view of the same fit (only buckets some token
+    hashed into; dense zeros omitted), agreeing with the literal path
+    to float-summation noise — the shared 9dp rounding absorbs it, so
+    the oracle is the docs_classifier_train replay restricted to
+    observed buckets."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    labeled = docs.withColumn(
+        "_label", (F.col("n_chars") >= 300).cast("double"))
+    fit = text_ops.logistic_train_distributed(
+        labeled, "doc_id", "text", "_label", dim=32, iterations=3,
+        lr=5.0)
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0))  # noqa: E731
+    return fit.select(
+        F.col("bucket").cast("long").alias("bucket"),
+        r9(F.col("weight")).alias("weight"),
+        r9(F.col("bias")).alias("bias"),
+        F.col("n_train"),
+        r9(F.element_at("losses", 1)).alias("loss_1"),
+        r9(F.element_at("losses", 2)).alias("loss_2"),
+        r9(F.element_at("losses", 3)).alias("loss_3"))
+
+
+def _oracle_docs_classifier_train_dist() -> str:
+    """docs_classifier_train's full unrolled replay, with the final
+    weight rows restricted to buckets observed in the corpus (the
+    sparse model-state contract)."""
+    base = _oracle_docs_classifier_train()
+    return base.replace(
+        "FROM w3 w, b3, m, l1, l2, l3\n",
+        "FROM w3 w, b3, m, l1, l2, l3\n"
+        "WHERE w.j IN (SELECT DISTINCT j FROM cnt)\n")
+
+
+ORACLE_DOCS_CLASSIFIER_TRAIN_DIST = _oracle_docs_classifier_train_dist()
+
+
 def q_docs_vocab_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-level domain-shift report (text.vocab_divergence) between
     the deterministic document halves (doc_id parity — the drift-family
@@ -10154,7 +10199,11 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          (prefix-truncation neighbor-recall QA) displaced
 #          docs_heavy_tokens; docs_vocab_divergence (smoothed unigram
 #          KL both ways + OOV mass — token-level domain shift)
-#          displaced docs_decontaminate.
+#          displaced docs_decontaminate;
+#          docs_classifier_train_dist (the DataFrame-model-state
+#          trainer past LOGISTIC_TRAIN_MAX_DIM, sharing the
+#          classifier_train oracle restricted to observed buckets)
+#          displaced docs_epoch_shuffle.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10184,8 +10233,8 @@ DRIVER_PRIORITY: list[str] = [
     # so the last names yield their slots to new operators)
     "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
     "docs_chunks", "docs_classifier_score", "docs_collocations",
-    "docs_epoch_shuffle",
-    "docs_vocab_divergence",         # r13 new: token-level domain shift
+    "docs_classifier_train_dist",   # r13 new: DataFrame-state trainer
+    "docs_vocab_divergence",        # r13 new: token-level domain shift
     "embed_matryoshka_check",       # r13 new: truncation recall QA
     "docs_cv_leakage_safe",         # r13 new: dup-aware CV folds
     "docs_classifier_cv",           # r13 new: k-fold CV in-engine
@@ -10298,6 +10347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_percentile_gate": q_docs_percentile_gate,
     "docs_classifier_score": q_docs_classifier_score,
     "docs_classifier_train": q_docs_classifier_train,
+    "docs_classifier_train_dist": q_docs_classifier_train_dist,
     "docs_classifier_cv": q_docs_classifier_cv,
     "docs_vocab_divergence": q_docs_vocab_divergence,
     "ann_ivf_recall": q_ann_ivf_recall,
@@ -10523,6 +10573,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_percentile_gate": ORACLE_DOCS_PERCENTILE_GATE,
     "docs_classifier_score": ORACLE_DOCS_CLASSIFIER_SCORE,
     "docs_classifier_train": ORACLE_DOCS_CLASSIFIER_TRAIN,
+    "docs_classifier_train_dist": ORACLE_DOCS_CLASSIFIER_TRAIN_DIST,
     "docs_classifier_cv": ORACLE_DOCS_CLASSIFIER_CV,
     "docs_vocab_divergence": ORACLE_DOCS_VOCAB_DIVERGENCE,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,

@@ -2707,6 +2707,42 @@ class TestLogisticTrain:
         assert min(pos) > max(neg)
 
 
+class TestLogisticTrainDistributed:
+    def test_matches_literal_path(self, spark):
+        """The DataFrame-model-state loop must reproduce the literal
+        path's fit to float-summation noise — same arithmetic, only
+        the z/gradient summation ORDER differs."""
+        df = spark.createDataFrame(TestLogisticTrain.FIX,
+                                   "id int, text string, y int")
+        lit = text.logistic_train(df, "id", "text", "y", dim=16,
+                                  iterations=3, lr=2.0)
+        dist = text.logistic_train_distributed(df, "id", "text", "y",
+                                               dim=16, iterations=3,
+                                               lr=2.0)
+        a = {r["bucket"]: r["weight"] for r in lit.collect()}
+        b = {r["bucket"]: r["weight"] for r in dist.collect()}
+        # sparse contract: only touched buckets appear, none unknown
+        assert set(b) <= set(a)
+        for j in a:
+            assert a[j] == pytest.approx(b.get(j, 0.0), abs=1e-12), j
+        la, lb = lit.first(), dist.first()
+        assert la["bias"] == pytest.approx(lb["bias"], abs=1e-12)
+        assert la["n_train"] == lb["n_train"]
+        assert list(la["losses"]) == pytest.approx(
+            list(lb["losses"]), abs=1e-12)
+        # untouched buckets on the literal side are exactly zero
+        assert all(a[j] == 0.0 for j in set(a) - set(b))
+
+    def test_guards(self, spark):
+        df = spark.createDataFrame([(1, "", 1)], "id int, text string, y int")
+        with pytest.raises(ValueError, match="no documents"):
+            text.logistic_train_distributed(df, "id", "text", "y", dim=8)
+        df2 = spark.createDataFrame([(1, "x", 1)], "id int, text string, y int")
+        with pytest.raises(ValueError, match="iterations"):
+            text.logistic_train_distributed(df2, "id", "text", "y",
+                                            dim=8, iterations=0)
+
+
 class TestVocabDivergence:
     def test_hand_computed_kl_and_oov(self, spark):
         import math
