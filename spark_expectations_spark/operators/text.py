@@ -733,6 +733,7 @@ def logistic_train(
     lr: float = 0.5,
     normalize: bool = True,
     init: Optional[DataFrame] = None,
+    l2: float = 0.0,
 ) -> DataFrame:
     """Train the quality-filter classifier IN-ENGINE — deterministic
     full-batch logistic regression over the same hashed bag-of-words
@@ -814,7 +815,7 @@ def logistic_train(
     w, bias, losses = _logistic_fit(feats, n_train, dim=dim,
                                     iterations=iterations, lr=lr,
                                     normalize=normalize,
-                                    init_w=w0, init_bias=b0)
+                                    init_w=w0, init_bias=b0, l2=l2)
 
     rows = [(j, float(w[j])) for j in range(dim)]
     out = spark.createDataFrame(rows, "bucket int, weight double")
@@ -862,10 +863,14 @@ def _logistic_z(w: list, bias: float, normalize: bool):
 
 
 def _logistic_fit(feats: DataFrame, n_train: int, *, dim, iterations,
-                  lr, normalize, init_w=None, init_bias=0.0) -> tuple:
+                  lr, normalize, init_w=None, init_bias=0.0,
+                  l2=0.0) -> tuple:
     """The gradient loop of :func:`logistic_train` over a featurized
     frame: per step ONE sentinel-tagged map-side-combined groupBy
     (bucket −1 = loss, −2 = bias gradient) collecting dim+2 rows.
+    ``l2`` adds ridge shrinkage to the weight update (w −= lr·(g/n +
+    l2·w); the bias is conventionally unpenalized) — driver-side
+    arithmetic over the already-collected gradient, zero extra plan.
     Returns (weights, bias, losses)."""
     w = list(init_w) if init_w is not None else [0.0] * dim
     bias = float(init_bias)
@@ -900,9 +905,15 @@ def _logistic_fit(feats: DataFrame, n_train: int, *, dim, iterations,
         gmap = {row["j"]: row["g"] for row in grad}
         losses.append(gmap.get(-1, 0.0) / n_train)
         bias -= lr * gmap.get(-2, 0.0) / n_train
-        for j, g in gmap.items():
-            if j >= 0:
-                w[j] -= lr * g / n_train
+        if l2:
+            # ridge shrinkage touches EVERY weight, not just buckets
+            # with data gradient this step
+            for j in range(dim):
+                w[j] -= lr * (gmap.get(j, 0.0) / n_train + l2 * w[j])
+        else:
+            for j, g in gmap.items():
+                if j >= 0:
+                    w[j] -= lr * g / n_train
     return w, bias, losses
 
 
@@ -916,6 +927,7 @@ def logistic_train_distributed(
     iterations: int = 3,
     lr: float = 0.5,
     normalize: bool = True,
+    l2: float = 0.0,
 ) -> DataFrame:
     """:func:`logistic_train` with the MODEL STATE living in a
     DataFrame instead of the driver — the path past
@@ -999,8 +1011,11 @@ def logistic_train_distributed(
                    .select("_j",
                            (F.coalesce("_w", F.lit(0.0))
                             - F.lit(float(lr))
-                            * F.coalesce("_g", F.lit(0.0))
-                            / F.lit(float(n_train))).alias("_w"))
+                            * (F.coalesce("_g", F.lit(0.0))
+                               / F.lit(float(n_train))
+                               + F.lit(float(l2))
+                               * F.coalesce("_w", F.lit(0.0))))
+                           .alias("_w"))
                    .localCheckpoint(eager=False))
         bias -= lr * head["r"] / n_train
 
@@ -1025,6 +1040,7 @@ def logistic_cv(
     k: int = 3,
     normalize: bool = True,
     salt: str = "cv",
+    l2: float = 0.0,
 ) -> DataFrame:
     """K-fold cross-validation of :func:`logistic_train` — model
     selection stays in-engine: folds come from
@@ -1062,7 +1078,7 @@ def logistic_cv(
         n_train = sum(n for g, n in sizes.items() if g != f)
         w, bias, losses = _logistic_fit(train, n_train, dim=dim,
                                         iterations=iterations, lr=lr,
-                                        normalize=normalize)
+                                        normalize=normalize, l2=l2)
         z = _logistic_z(w, bias, normalize)
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
         vl = (feats.filter(F.col("_fold") == f)

