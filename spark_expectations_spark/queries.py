@@ -10204,6 +10204,18 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          trainer past LOGISTIC_TRAIN_MAX_DIM, sharing the
 #          classifier_train oracle restricted to observed buckets)
 #          displaced docs_epoch_shuffle.
+#          r14 re-gate front: every r13-new entry gated THIS round
+#          (zero late-wave debt at pin time); the stalest cohort is
+#          the remaining r9-gated entries — the 6 fills kept above
+#          (dedup_lsh_quality, docs_bigram_lm, docs_ccnet_buckets,
+#          docs_chunks, docs_classifier_score, docs_collocations)
+#          rotate out for the ~31 r9-gated entries NOT in this
+#          rotation (docs_decontaminate, docs_epoch_shuffle,
+#          docs_heavy_tokens, docs_lm_score, docs_source_dup_matrix,
+#          docs_strip_boilerplate, docs_token_ids,
+#          docs_weighted_sample, embed_mean_pool, events_asof_*,
+#          events_ffill/gapfill/hourly/sliding/time_split, ... —
+#          recompute the histogram from CORRECTNESS_r13).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
