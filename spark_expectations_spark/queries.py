@@ -10216,45 +10216,69 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          docs_weighted_sample, embed_mean_pool, events_asof_*,
 #          events_ffill/gapfill/hourly/sliding/time_split, ... —
 #          recompute the histogram from CORRECTNESS_r13).
+#   r14:   5 dq_* flagship + the FULL 31-entry r9-stale cohort from
+#          the r13 verdict task 1 (last-gate histogram recomputed from
+#          CORRECTNESS_r1..r13 this round and it matches the verdict
+#          key-for-key: 31 @ r9, 45 @ r10, 45 @ r11, 45 @ r12,
+#          50 @ r13; the only never-gated names are the 7 declared
+#          rows-only by construction): docs_decontaminate,
+#          docs_epoch_shuffle, docs_heavy_tokens, docs_lm_score,
+#          docs_source_dup_matrix, docs_strip_boilerplate,
+#          docs_token_ids, docs_weighted_sample, embed_mean_pool,
+#          embed_norm_outliers, embed_quantize, events_asof_purchase,
+#          events_ffill, events_gapfill, events_hourly,
+#          events_sliding, events_time_split, lineitem_correlations,
+#          tpch_q4ish/q5ish/q8ish/q10ish/q11ish/q13ish/q14ish/q16ish/
+#          q18ish/q19ish/q21ish, users_scd2, window_running_total
+#          + 14 fills from the r10-gated cohort (now next-stalest),
+#          chosen risk-first: the set-similarity/linkage family whose
+#          candidate generation changes this round (r13 verdict
+#          task 4 — docs_set_jaccard_join gets the PPJoin positional
+#          + suffix filters, so it MUST re-gate; docs_weighted_cosine,
+#          part_blocking_quality, part_fuzzy_probe, part_fuzzy_qgram,
+#          part_fuzzy_matches, part_fs_scores share that machinery),
+#          the lint-warn entries being adjudicated (docs_calibration,
+#          docs_calibration_ece), and the iterative k-means family
+#          (embed_kmeans, embed_cluster_qa, ann_ivf_kmeans,
+#          embed_whiten_check) + dedup_exact. r14-new operators take
+#          fill slots as they land, displacing the BOTTOM fill first,
+#          per the r11 convention; displacement is recorded inline
+#          below as it happens.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # r12 late-wave operators — landed after the r12 rotation was
-    # pinned; never hard-gated (r12 verdict task 1 — gate FIRST)
-    "events_drift_fdr",             # per-segment chi2 drift + BH FDR
-    "lineitem_ks_pvalue",           # closed-form KS p-value
-    "lineitem_ks_by_flag_fdr",      # per-segment KS fleet + FDR
-    "docs_conformal_threshold",     # split-conformal exact order stats
-    "docs_frame_plan",              # frame-budget sampling plan
-    "docs_chunk_plan",              # audio window/hop chunk plan
-    "docs_isotonic_by_source",      # per-group independent PAV fits
-    "docs_decontaminate_screened",  # Bloom sketch-then-confirm decon
-    "docs_decontaminate_spans",     # span-level decon salvage
-    # the r8-gated cohort (20 — last hard gate was r8)
-    "tpch_q3", "tpch_q6", "tpch_q2ish", "tpch_q7ish", "tpch_q9ish",
-    "tpch_q12ish", "tpch_q15ish", "tpch_q17ish", "tpch_q20ish",
-    "tpch_q22ish", "docs_mixture_resample", "docs_temperature_resample",
-    "docs_token_budget", "docs_percentile_gate", "orders_status_chi2",
-    "docs_winsorize", "orders_snapshot_diff", "docs_train_split",
-    "orders_status_drift", "lineitem_price_drift",
-    # fills from the r9-gated cohort (next-stalest value-oracled);
-    # r13-new operators take fill slots as they land, displacing the
-    # BOTTOM fill first (the list below is ordered stalest-risk first,
-    # so the last names yield their slots to new operators)
-    "dedup_lsh_quality", "docs_bigram_lm", "docs_ccnet_buckets",
-    "docs_chunks", "docs_classifier_score", "docs_collocations",
-    "docs_classifier_train_dist",   # r13 new: DataFrame-state trainer
-    "docs_vocab_divergence",        # r13 new: token-level domain shift
-    "embed_matryoshka_check",       # r13 new: truncation recall QA
-    "docs_cv_leakage_safe",         # r13 new: dup-aware CV folds
-    "docs_classifier_cv",           # r13 new: k-fold CV in-engine
-    "events_agg_rollup",            # r13 new: additive moments rollup
-    "docs_minhash_jaccard",         # r13 new: MinHash estimate audit
-    "events_quantile_rollup",       # r13 new: mergeable quantile cells
-    "events_quantile_merge_check",  # r13 new: merge==direct parity
-    "docs_classifier_train",        # r13 new: in-engine logistic reg
+    # the r9-gated cohort (31 — last hard gate was r9; r13 verdict
+    # task 1, list verified against the recomputed histogram)
+    "tpch_q4ish", "tpch_q5ish", "tpch_q8ish", "tpch_q10ish",
+    "tpch_q11ish", "tpch_q13ish", "tpch_q14ish", "tpch_q16ish",
+    "tpch_q18ish", "tpch_q19ish", "tpch_q21ish",
+    "events_asof_purchase", "events_ffill", "events_gapfill",
+    "events_hourly", "events_sliding", "events_time_split",
+    "embed_mean_pool", "embed_norm_outliers", "embed_quantize",
+    "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
+    "docs_lm_score", "docs_source_dup_matrix",
+    "docs_strip_boilerplate", "docs_token_ids", "docs_weighted_sample",
+    "lineitem_correlations", "users_scd2", "window_running_total",
+    # fills from the r10-gated cohort (next-stalest value-oracled),
+    # risk-first; r14-new operators take fill slots as they land,
+    # displacing the BOTTOM fill first (the list is ordered
+    # stalest-risk first, so the last names yield their slots)
+    "docs_set_jaccard_join",        # task 4 changes its candidate gen
+    "docs_weighted_cosine",         # shares the prefix-filter machinery
+    "part_blocking_quality",        # lint warn + cert-bench outlier
+    "part_fuzzy_probe",             # lint warn
+    "part_fuzzy_qgram",
+    "part_fuzzy_matches",
+    "part_fs_scores",
+    "docs_calibration",             # lint warn
+    "docs_calibration_ece",         # lint warn
+    "embed_kmeans",                 # iterative — highest replay risk
+    "embed_cluster_qa",
+    "ann_ivf_kmeans",
+    "embed_whiten_check",
+    "dedup_exact",
 ]
 
 

@@ -142,6 +142,52 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "(parquet pushes only plain comparisons — the "
         "lineitem_price_jsd adjudication); the empty-token filter "
         "tests the computed split array",
+    # --- r13 verdict №2: the 9 warns the linter grew this round ---
+    ("docs_phash_dups", "filter-not-pushed"):
+        "the Hamming verify (bit_count(xor) <= radius) and band keys "
+        "predicate on the COMPUTED md5-derived phash columns — no "
+        "scan column exists to push to; the corpus is scanned once, "
+        "column-pruned to (doc_id, text)",
+    ("part_fuzzy_disjunctive", "filter-not-pushed"):
+        "the p_partkey % 20 slice is a modulo EXPRESSION predicate "
+        "(unpushable by parquet capability — the lineitem_price_jsd "
+        "adjudication) and the distance <= 1 verify tests COMPUTED "
+        "levenshtein over concatenated keys; one scan per side",
+    ("docs_calibration", "filter-not-pushed"):
+        "the drop rule (score NOT NULL, 0 <= score <= 1) tests the "
+        "COMPUTED when-chain fixture column that does not exist in "
+        "the parquet schema (docs_label_agreement's shape); the "
+        "corpus is scanned exactly once into a 10-key groupBy",
+    ("docs_calibration_ece", "filter-not-pushed"):
+        "same computed-fixture drop rule as docs_calibration — the "
+        "score column is a when-chain over doc_id, not a scan column",
+    ("docs_calibration_ece", "single-partition-exchange"):
+        "the ECE/MCE fold collapses the 10-row (n_bins-cardinality) "
+        "bin table to the 1-row metrics frame — bins-scale by "
+        "construction; the corpus-scale bin groupBy and the Brier "
+        "scan agg are both fully parallel map-side-combined",
+    ("docs_set_jaccard_join", "filter-not-pushed"):
+        "prefix-rank bounds, positional/suffix filters, and the "
+        "jaccard >= t verify all predicate on COMPUTED shingle "
+        "arrays, df ranks, and join counts (docs_weighted_cosine's "
+        "adjudicated shape); the only scan-side filter "
+        "(size(split(text)) >= 8) is over a derived split. Corpus "
+        "read once, candidate space pruned by the prefix filter",
+    ("part_blocking_quality", "filter-not-pushed"):
+        "the deterministic 20% sample gate is an md5-hex-prefix "
+        "EXPRESSION over the cast key (unpushable by parquet "
+        "capability) and the truth verify tests computed "
+        "levenshtein; both inputs are scanned once each",
+    ("part_blocking_quality", "single-partition-exchange"):
+        "the report's final frame assembles SEVEN scalar counters "
+        "(n_left/n_right/candidates/truth/caught + two ratios) into "
+        "one row — 1-row folds of sample-scale counts; the "
+        "candidate/truth counts themselves aggregate in parallel",
+    ("part_fuzzy_probe", "filter-not-pushed"):
+        "the probe sample (p_partkey % 10 = 0) is a modulo "
+        "EXPRESSION predicate (lineitem_price_jsd adjudication) and "
+        "the distance verify tests computed levenshtein; the index "
+        "and probe sides are each scanned once",
 }
 
 
