@@ -18,6 +18,7 @@ from typing import Any, Callable, Dict, Optional, Union
 
 from pyspark.sql import DataFrame
 
+from .connect import AnyDataFrame
 from .core.engine import DQEngine
 from .core.rules import RuleSet, _as_bool
 from .core.state import DQConfig, WriterOptions
@@ -82,7 +83,10 @@ class SparkExpectations:
     """
 
     product_id: str
-    rules_df: DataFrame
+    #: classic OR Connect frame — the reference's type-alias union
+    #: (core/expectations.py:43-72); see connect.py for the support
+    #: matrix of what degrades (softly) under Connect
+    rules_df: AnyDataFrame
     stats_table: str
     stats_table_writer: Optional[WrappedDataFrameWriter] = None
     target_and_error_table_writer: Optional[WrappedDataFrameWriter] = None
@@ -193,7 +197,7 @@ class SparkExpectations:
             table_name=target_table, params=params)
         engine = DQEngine(cfg)
 
-        def deco(func: Callable[..., DataFrame]):
+        def deco(func: Callable[..., AnyDataFrame]):
             @functools.wraps(func)
             def wrapper(*args, **kwargs):
                 df = func(*args, **kwargs)

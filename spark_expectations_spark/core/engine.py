@@ -28,6 +28,7 @@ from typing import Callable, Mapping, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 
+from ..connect import AnyDataFrame, AnySparkSession
 from ..operators import agg_dq, query_dq, row_dq
 from ..sinks import writer
 from .rules import AGG_DQ, QUERY_DQ, ROW_DQ, RuleSet
@@ -41,8 +42,12 @@ class DQEngine:
         self.config = config
 
     # ------------------------------------------------------------------ api
-    def run(self, df: DataFrame, rules: RuleSet,
-            spark: Optional[SparkSession] = None) -> DQResult:
+    def run(self, df: AnyDataFrame, rules: RuleSet,
+            spark: Optional[AnySparkSession] = None) -> DQResult:
+        # classic OR Connect frame/session (the reference's union,
+        # core/expectations.py:43-72) — the engine path is pure
+        # DataFrame API; JVM-dependent extras degrade per connect.py's
+        # support matrix
         cfg = self.config
         spark = spark or df.sparkSession
         hub = cfg.notifications

@@ -4,7 +4,10 @@ The reference ships email/Slack/Teams/Zoom/PagerDuty plugins behind pluggy
 (notifications/plugins/*, ~50-200 LoC each of vendor HTTP). Here the seam
 is a plain protocol: anything callable with (event, payload). Built-ins are
 console/collecting/webhook (webhook gated on urllib availability — no
-external deps). Vendor channels are deployment concerns, not engine code.
+external deps), plus channel-NATIVE payload formatters with reference
+parity (slack_payload/teams_payload/zoom_payload/pagerduty_payload and
+their notifier constructors) so a migrating user's Teams webhook gets a
+card, not generic JSON; transport stays the one stdlib webhook POST.
 
 Trigger semantics re-expressed from
 notifications/push/spark_expectations_notify.py:42-388: on_start,
@@ -45,20 +48,31 @@ class CollectingNotifier:
 
 def webhook_notifier(url: str, *, timeout: float = 10.0,
                      headers: dict[str, str] | None = None,
-                     secret_resolver: Any = None) -> Notifier:
+                     secret_resolver: Any = None,
+                     formatter: Callable[[Event, dict[str, Any]],
+                                         dict[str, Any] | None] | None = None,
+                     ) -> Notifier:
     """POST JSON to a webhook (Slack/Teams-style). Uses stdlib urllib.
     ``headers`` carries channel auth (e.g. Zoom's Authorization token —
     reference notifications/plugins/zoom.py). ``url`` and header values
     may be ``secret://`` refs resolved through ``secret_resolver``
     (secrets.py seam) at send time, so plaintext tokens never sit in
-    config."""
+    config. ``formatter`` maps (event, payload) to the channel-native
+    body — :func:`slack_payload`, :func:`teams_payload`,
+    :func:`pagerduty_payload` below — defaulting to the generic
+    ``{"event": ..., **payload}`` JSON; a formatter returning ``None``
+    suppresses the send (PagerDuty's failure-only gate)."""
 
     def notify(event: Event, payload: dict[str, Any]) -> None:
         import urllib.request
 
         from .secrets import resolve_options, resolve_value
 
-        body = json.dumps({"event": event, **payload}, default=str).encode()
+        doc = (formatter(event, payload) if formatter is not None
+               else {"event": event, **payload})
+        if doc is None:
+            return
+        body = json.dumps(doc, default=str).encode()
         req = urllib.request.Request(
             resolve_value(url, secret_resolver), data=body,
             headers={"Content-Type": "application/json",
@@ -264,6 +278,99 @@ def text_notifier(
              body)
 
     return notify
+
+
+# ---------------------------------------------------------------------------
+# Channel-native payload formatters (reference notifications/plugins/
+# slack.py, teams.py, zoom.py, pagerduty.py). Pure functions over the
+# (event, payload) the hub emits — golden-dict testable with no HTTP —
+# wired through webhook_notifier's ``formatter`` seam.
+# ---------------------------------------------------------------------------
+
+def slack_payload(event: Event, payload: dict[str, Any]) -> dict[str, Any]:
+    """Slack incoming-webhook body (reference slack.py:36-38): a single
+    ``text`` field carrying the formatted message block."""
+    return {"text": format_notification_text(event, payload)}
+
+
+def teams_payload(event: Event, payload: dict[str, Any]) -> dict[str, Any]:
+    """Teams webhook card (reference teams.py:38-48): fixed title and
+    theme color plus the message with newlines doubled (Teams renders
+    single newlines as spaces)."""
+    text = format_notification_text(event, payload).replace("\n", "\n\n")
+    return {"title": "SE Notification", "themeColor": "008000",
+            "text": text}
+
+
+#: Zoom's chat webhook takes the same card shape as Teams (reference
+#: zoom.py:38-48) — auth differs (a Bearer token header), not the body.
+zoom_payload = teams_payload
+
+#: Events that open a PagerDuty incident (reference pagerduty.py
+#: _is_failure_notification: job failures and threshold breaches page;
+#: start/completion/ignored-rule digests explicitly do not).
+_PAGERDUTY_EVENTS = frozenset({"failure", "error_threshold",
+                               "rule_threshold"})
+
+
+def pagerduty_payload(event: Event, payload: dict[str, Any],
+                      routing_key: str) -> dict[str, Any] | None:
+    """PagerDuty Events-API-v2 trigger (reference pagerduty.py:139-155):
+    incident summary + a (product, table)-keyed dedup_key so repeated
+    failures of the same run target consolidate into one incident.
+    Returns ``None`` for non-failure events — the reference's
+    failure-only gate, expressed on the event enum instead of message
+    regexes."""
+    if event not in _PAGERDUTY_EVENTS:
+        return None
+    product = payload.get("product_id", "unknown_product")
+    table = payload.get("table_name", "unknown_table")
+    return {
+        "routing_key": routing_key,
+        "dedup_key": f"spark_expectations_{product}_{table}_failure",
+        "event_action": "trigger",
+        "payload": {
+            "summary": format_notification_text(event, payload),
+            "source": "Spark Expectations",
+            "severity": "error",
+        },
+    }
+
+
+def slack_notifier(url: str, **kw: Any) -> Notifier:
+    """Slack incoming-webhook notifier (reference plugins/slack.py)."""
+    return webhook_notifier(url, formatter=slack_payload, **kw)
+
+
+def teams_notifier(url: str, **kw: Any) -> Notifier:
+    """Teams webhook notifier (reference plugins/teams.py)."""
+    return webhook_notifier(url, formatter=teams_payload, **kw)
+
+
+def zoom_notifier(url: str, token: str, *, secret_resolver: Any = None,
+                  **kw: Any) -> Notifier:
+    """Zoom chat-webhook notifier (reference plugins/zoom.py): Teams'
+    card shape plus a Bearer token header. ``token`` may be a
+    ``secret://`` ref resolved at send time."""
+    return webhook_notifier(
+        url, formatter=zoom_payload, secret_resolver=secret_resolver,
+        headers={"Authorization": f"Bearer {token}"}, **kw)
+
+
+def pagerduty_notifier(url: str, routing_key: str, *,
+                       secret_resolver: Any = None, **kw: Any) -> Notifier:
+    """PagerDuty Events-API notifier (reference plugins/pagerduty.py).
+    ``routing_key`` (the integration key) may be a ``secret://`` ref —
+    resolved at send time, never stored in the payload closure."""
+
+    def fmt(event: Event, payload: dict[str, Any]) -> dict[str, Any] | None:
+        from .secrets import resolve_value
+
+        return pagerduty_payload(
+            event, payload, resolve_value(routing_key, secret_resolver))
+
+    return webhook_notifier(
+        url, formatter=fmt, secret_resolver=secret_resolver, **kw)
 
 
 def email_notifier(

@@ -70,9 +70,10 @@ def _run_with_timeout(spark: SparkSession, fn, timeout_s: float, desc: str):
     import threading
     import uuid
 
-    try:
-        sc = spark.sparkContext
-    except Exception:  # Spark Connect: no job-group API on the client
+    from ..connect import spark_context
+
+    sc = spark_context(spark)
+    if sc is None:  # Spark Connect: no job-group API on the client
         return fn(), False
     gid = f"se-querydq-{uuid.uuid4().hex[:12]}"
     # snapshot the caller's thread-local job-group properties BEFORE

@@ -53,10 +53,12 @@ def _broadcast_or_capture(spark, payload):
     serialized task; same semantics, loses only the torrent distribution
     optimization). Returns a zero-arg accessor usable inside the worker
     closure."""
-    try:
-        b = spark.sparkContext.broadcast(payload)
-    except Exception:  # Spark Connect / no JVM-side context
+    from ..connect import spark_context
+
+    sc = spark_context(spark)
+    if sc is None:  # Spark Connect / no JVM-side context
         return lambda: payload
+    b = sc.broadcast(payload)
     return lambda: b.value
 
 

@@ -118,10 +118,16 @@ def whole_stage_codegen_spans(df: DataFrame, *, execute: bool = True) -> int:
         # sized frame would OOM the driver this module exists to protect
         for _ in df.toLocalIterator():
             pass
-    txt = df._jdf.queryExecution().executedPlan().toString()
-    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", txt))
-    if ids:
-        return len(ids)
+    from ..connect import jvm_query_execution
+
+    qe = jvm_query_execution(df)
+    if qe is not None:
+        txt = qe.executedPlan().toString()
+        ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", txt))
+        if ids:
+            return len(ids)
+    # Spark Connect (no JVM handle) or a not-yet-finalized plan: the
+    # codegen explain's subtree count
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees",
                   plan_text(df, "codegen"))
     return int(m.group(1)) if m else 0
@@ -130,8 +136,16 @@ def whole_stage_codegen_spans(df: DataFrame, *, execute: bool = True) -> int:
 def estimated_size_bytes(df: DataFrame) -> int:
     """Catalyst's optimized-plan size estimate (file sizes for scans).
     Plan-time only — no job, unlike ``df.rdd.getNumPartitions()`` which
-    costs ~1s of RDD-conversion overhead per call."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    costs ~1s of RDD-conversion overhead per call. Raises RuntimeError
+    under Spark Connect (no JVM handle — see connect.py's matrix);
+    size-gated callers catch and skip their optimization."""
+    from ..connect import jvm_query_execution
+
+    qe = jvm_query_execution(df)
+    if qe is None:
+        raise RuntimeError("no JVM plan handle (Spark Connect) — "
+                           "size estimate unavailable")
+    return int(qe.optimizedPlan().stats().sizeInBytes())
 
 
 def fan_out(df: DataFrame, min_partitions: int = 0,
@@ -191,10 +205,12 @@ def execution_metrics(df: DataFrame, *, execute: bool = True) -> dict:
     if execute:
         for _ in df.toLocalIterator():
             pass
-    try:
-        root = df._jdf.queryExecution().executedPlan()
-    except Exception:   # Spark Connect: no JVM handle
+    from ..connect import jvm_query_execution
+
+    qe = jvm_query_execution(df)
+    if qe is None:      # Spark Connect: no JVM handle
         return {}
+    root = qe.executedPlan()
     totals: dict = {}
 
     def walk(node) -> None:
@@ -352,6 +368,94 @@ def _bnlj_scalar_build_ids(txt: str) -> set[int]:
     return out
 
 
+def _parse_tree_and_details(
+        txt: str) -> tuple[list[tuple[int, str, int]], dict[int, str]]:
+    """Parse a formatted explain into ``(tree, details)``: ``tree`` is
+    ``[(depth, name, node_id)]`` in print order (main plan first, then
+    any subquery trees); ``details`` maps node id to its details block
+    text. Both empty on simple-mode text — callers fall back to their
+    coarse whole-text heuristics."""
+    lines = txt.splitlines()
+    tree: list[tuple[int, str, int]] = []
+    for ln in lines:
+        m = re.match(r"^([:\s|+\-*]*)\(?\s*([A-Za-z][A-Za-z0-9_ ]*?)"
+                     r"\s*\((\d+)\)\s*$", ln)
+        if m is None:
+            continue
+        prefix = m.group(1)
+        marker = max(prefix.rfind("+-"), prefix.rfind(":-"))
+        depth = marker if marker >= 0 else 0
+        tree.append((depth, m.group(2).strip(), int(m.group(3))))
+    details: dict[int, str] = {}
+    cur_id: int | None = None
+    block: list[str] = []
+    for ln in lines:
+        h = re.match(r"^\((\d+)\)\s+\S+", ln)
+        if h:
+            if cur_id is not None:
+                details[cur_id] = "\n".join(block)
+            cur_id, block = int(h.group(1)), [ln]
+            continue
+        if cur_id is not None:
+            block.append(ln)
+    if cur_id is not None:
+        details[cur_id] = "\n".join(block)
+    return tree, details
+
+
+#: Wrapper nodes between a Filter and the parquet scan it guards (the
+#: codegen/columnar plumbing — never re-shape rows).
+_SCAN_WRAPPERS = ("ColumnarToRow", "InputAdapter", "WholeStageCodegen")
+
+
+def _strip_null_checks(cond: str) -> str:
+    """Remove every ``isnotnull(...)`` / ``isnull(...)`` atom —
+    balanced-paren aware, so null checks on DERIVED expressions
+    (``isnotnull(((n_chars % 5) + 1))``, the null-propagation guard
+    Spark plants for computed join/group keys) strip too; a regex with
+    ``[^)]*`` stops at the first ``)`` and leaves a fake residual.
+    What remains after stripping is the filter's actual value
+    predicate (or nothing)."""
+    out: list[str] = []
+    i, n = 0, len(cond)
+    while i < n:
+        m = re.compile(r"is(not)?null\(").match(cond, i)
+        if m is None:
+            out.append(cond[i])
+            i += 1
+            continue
+        depth, j = 1, m.end()
+        while j < n and depth:
+            if cond[j] == "(":
+                depth += 1
+            elif cond[j] == ")":
+                depth -= 1
+            j += 1
+        i = j
+    return "".join(out).strip(" ()ANDORandor")
+
+
+def _filter_over_scan_pairs(
+        tree: list[tuple[int, str, int]]) -> list[tuple[int, int]]:
+    """(filter_id, scan_id) for every Filter node sitting DIRECTLY on a
+    parquet scan (through columnar wrappers only). Filters higher in
+    the plan — post-join residuals, HAVING predicates on computed
+    columns — are exactly the ones Catalyst could NOT legally push, so
+    they are not pushdown findings at all."""
+    out: list[tuple[int, int]] = []
+    for i, (depth, name, nid) in enumerate(tree):
+        if not name.startswith("Filter"):
+            continue
+        j = i + 1
+        while (j < len(tree) and tree[j][0] > depth
+               and any(tree[j][1].startswith(w) for w in _SCAN_WRAPPERS)):
+            j += 1
+        if (j < len(tree) and tree[j][0] > depth
+                and tree[j][1].startswith("Scan parquet")):
+            out.append((nid, tree[j][2]))
+    return out
+
+
 def plan_lint(df: DataFrame) -> list[dict]:
     """Audit a DataFrame's physical plan for the anti-patterns that are
     invisible at sf0.01 and fatal at 100 TB, BEFORE running it. Returns
@@ -375,12 +479,18 @@ def plan_lint(df: DataFrame) -> list[dict]:
       (``ArrowEvalPython`` / ``MapInPandas`` report as info).
     * ``single-partition-exchange`` (warn) — ``Exchange
       SinglePartition``: a global sort / un-partitioned window /
-      global limit moves EVERY row to one task. Fine for a one-row agg
-      frame, a cliff for a corpus.
-    * ``filter-not-pushed`` (warn) — a ``Filter`` node exists but the
-      file scan reports ``PushedFilters: []``: the predicate (often
-      wrapped in a cast or function) evaluates AFTER full I/O instead
-      of skipping row groups.
+      global limit moves EVERY row to one task. The one PROVABLE
+      exception demotes to info (``scalar-reduce-exchange``): an
+      exchange whose parent is a keyless aggregate is the final reduce
+      of an ungrouped agg and carries one partial row per partition.
+    * ``filter-not-pushed`` (warn) — a ``Filter`` sitting DIRECTLY on
+      a parquet scan has a residual value condition while THAT scan's
+      ``PushedFilters`` holds only null checks: the predicate (often
+      wrapped in a cast, function, or arithmetic expression) evaluates
+      AFTER full I/O instead of skipping row groups. Paired per scan —
+      a different table's pushed dim filter no longer masks or
+      triggers findings; filters above joins/aggregates are Catalyst's
+      residuals, not pushdown misses, and are not flagged.
     * ``shuffles`` (info) — exchange count; ``python-arrow`` (info) —
       Arrow-batched Python stages; ``scan-columns`` (info) — columns
       actually read (pruning check by eyeball).
@@ -436,35 +546,104 @@ def plan_lint(df: DataFrame) -> list[dict]:
             f"{n_row_udf} BatchEvalPython stage(s): row-at-a-time "
             "Python UDF on the data path; use built-ins or a Pandas "
             "UDF")
-    # simple mode prints "Exchange SinglePartition"; formatted mode
-    # puts it in the node's Arguments line
-    n_single = len(re.findall(
-        r"Exchange SinglePartition|Arguments: SinglePartition", txt))
-    if n_single:
+    tree, node_details = _parse_tree_and_details(txt)
+    keyless_aggs = {nid for nid, blk in node_details.items()
+                    if "Aggregate" in blk.splitlines()[0]
+                    and re.search(r"^Keys:\s*\[\s*\]", blk, re.M)}
+    # single-partition exchanges, PER NODE: the final reduce of an
+    # ungrouped aggregate (exchange's parent is a keyless aggregate)
+    # carries one partial-agg row per upstream partition — the correct,
+    # unavoidable scalar-fold plan — and demotes to info
+    # (scalar-reduce-exchange). Anything else (global sort, an
+    # un-partitioned window, repartition(1)) stays warn: the plan alone
+    # cannot bound the row count funnelled into the one task.
+    single_ids = [nid for nid, blk in node_details.items()
+                  if blk.splitlines()[0].split()[1].startswith("Exchange")
+                  and "SinglePartition" in blk]
+    if tree and single_ids:
+        idx_of = {nid: i for i, (_, _, nid) in enumerate(tree)}
+        for nid in sorted(single_ids):
+            i = idx_of.get(nid)
+            parent = None
+            if i is not None:
+                d = tree[i][0]
+                for j in range(i - 1, -1, -1):
+                    if tree[j][0] < d:
+                        if any(tree[j][1].startswith(w) for w in
+                               ("AQEShuffleRead", *_SCAN_WRAPPERS)):
+                            d = tree[j][0]
+                            continue
+                        parent = tree[j]
+                        break
+            if parent is not None and parent[2] in keyless_aggs:
+                add("scalar-reduce-exchange", "info",
+                    f"Exchange SinglePartition ({nid}) feeds the "
+                    "keyless (1-row) final aggregate — the scalar "
+                    "reduce of a map-side-combined ungrouped agg")
+            else:
+                who = parent[1] if parent is not None else "?"
+                add("single-partition-exchange", "warn",
+                    f"Exchange SinglePartition ({nid}) under {who}: a "
+                    "global sort/window/limit funnels all rows into "
+                    "one task")
+    elif re.search(r"Exchange SinglePartition|Arguments: SinglePartition",
+                   txt):
+        # simple-mode text (no node ids) — coarse count, all warn
+        n_single = len(re.findall(
+            r"Exchange SinglePartition|Arguments: SinglePartition", txt))
         add("single-partition-exchange", "warn",
             f"{n_single} Exchange SinglePartition node(s): a global "
             "sort/window/limit funnels all rows into one task")
-    # a filter "pushed" as only IsNotNull/IsNull residuals is the
-    # signature of a value predicate that did NOT push (cast/function
-    # wrapped) — Spark always pushes the implied null check. Guard: the
-    # post-scan Filter must itself contain a non-null-check atom, else
-    # a plain .isNotNull() filter (fully pushed) would false-positive
-    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
-    conds = re.findall(r"Condition : (.+)", txt)
-    value_filter = any(
-        re.sub(r"isnotnull\([^)]*\)|isnull\([^)]*\)", "", c)
-        .strip(" ()ANDORandor")
-        for c in conds)
-    if value_filter and "Scan parquet" in txt and any(
-            not p.strip()
-            or all(re.match(r"\s*Is(Not)?Null\(", f)
-                   for f in p.split(","))
-            for p in pushed):
-        add("filter-not-pushed", "warn",
-            "Filter node present but a parquet scan pushed no value "
-            "predicate (only null checks) — the predicate evaluates "
-            "after full I/O; avoid wrapping the column in casts or "
-            "functions")
+    # filter pushdown, PER SCAN: pair each Filter node with the parquet
+    # scan DIRECTLY under it and compare that filter's own residual
+    # condition against that scan's own PushedFilters. (The previous
+    # whole-text heuristic warned whenever ANY value predicate existed
+    # alongside ANY null-check-only scan — so a fact table scanned with
+    # join-key null filters flagged a query whose dim filter pushed
+    # perfectly.) A pushed value predicate shows up in PushedFilters;
+    # "pushed" lists holding only Is(Not)Null entries mean the scan
+    # skipped nothing, so a residual value condition — cast/function/
+    # expression-wrapped, or a plain comparison the format could not
+    # take — evaluates after full I/O.
+    if tree:
+        for fid, sid in _filter_over_scan_pairs(tree):
+            cond_m = re.search(r"Condition : (.+)",
+                               node_details.get(fid, ""))
+            if cond_m is None:
+                continue
+            residual = _strip_null_checks(cond_m.group(1))
+            if not residual:
+                continue
+            pushed_m = re.search(r"PushedFilters: \[([^\]]*)\]",
+                                 node_details.get(sid, ""))
+            if pushed_m is None:
+                continue
+            entries = [e for e in pushed_m.group(1).split(",") if e.strip()]
+            if any(not re.match(r"\s*Is(Not)?Null\(", e) for e in entries):
+                continue  # a value predicate DID push for this scan
+            add("filter-not-pushed", "warn",
+                f"Filter ({fid}) over scan ({sid}) pushed no value "
+                f"predicate — {cond_m.group(1)[:120]} evaluates after "
+                "full I/O; avoid wrapping the column in casts or "
+                "functions")
+    else:
+        # simple-mode fallback: the coarse whole-text heuristic
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", txt)
+        conds = re.findall(r"Condition : (.+)", txt)
+        value_filter = any(
+            re.sub(r"isnotnull\([^)]*\)|isnull\([^)]*\)", "", c)
+            .strip(" ()ANDORandor")
+            for c in conds)
+        if value_filter and "Scan parquet" in txt and any(
+                not p.strip()
+                or all(re.match(r"\s*Is(Not)?Null\(", f)
+                       for f in p.split(","))
+                for p in pushed):
+            add("filter-not-pushed", "warn",
+                "Filter node present but a parquet scan pushed no value "
+                "predicate (only null checks) — the predicate evaluates "
+                "after full I/O; avoid wrapping the column in casts or "
+                "functions")
     n_arrow = len(re.findall(
         r"ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", txt))
     if n_arrow:

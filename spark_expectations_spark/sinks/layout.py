@@ -37,14 +37,15 @@ def _hadoop_fs(spark: SparkSession, path: str):
     works for local, HDFS, and s3a URIs alike. Raises a clear error
     under Spark Connect (no JVM handle there; pointer flips need a
     driver-side filesystem client)."""
-    try:
-        jvm = spark.sparkContext._jvm
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-    except Exception as exc:  # Spark Connect: no sparkContext/_jvm
+    from ..connect import spark_context
+
+    sc = spark_context(spark)
+    if sc is None:  # Spark Connect: no sparkContext/_jvm
         raise NotImplementedError(
             "versioned publish needs driver-side Hadoop FS access (a "
-            "classic SparkSession); not available under Spark Connect"
-        ) from exc
+            "classic SparkSession); not available under Spark Connect")
+    jvm = sc._jvm
+    conf = sc._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path)
     return jpath.getFileSystem(conf), jvm.org.apache.hadoop.fs.Path
 

@@ -781,13 +781,20 @@ class TestSparkConnectStyle:
     no-repartition; similarity broadcasts degrade to closure capture)."""
 
     ALLOWED = {
-        "plans/__init__.py",        # estimated_size_bytes + fan_out (guarded try/except)
-        "operators/similarity.py",  # _broadcast_or_capture (guarded try/except)
-        "operators/query_dq.py",    # _run_with_timeout job-group watchdog
-                                    # (guarded try/except; Connect runs
-                                    # without a budget)
-        "sinks/layout.py",          # _hadoop_fs pointer-flip client
-                                    # (guarded try/except raising a
+        "connect.py",               # THE seam: jvm_query_execution /
+                                    # spark_context return None under
+                                    # Connect; every other site routes
+                                    # through these two accessors
+        "plans/__init__.py",        # fan_out partition probe (guarded
+                                    # try/except around .rdd; size +
+                                    # metrics route through connect.py)
+        "operators/similarity.py",  # _broadcast_or_capture via
+                                    # connect.spark_context
+        "operators/query_dq.py",    # _run_with_timeout job-group
+                                    # watchdog via connect.spark_context
+                                    # (Connect runs without a budget)
+        "sinks/layout.py",          # _hadoop_fs pointer-flip client via
+                                    # connect.spark_context (raises a
                                     # clear NotImplementedError under
                                     # Connect)
     }
@@ -1544,6 +1551,116 @@ class TestNotificationFormatting:
         n("failure", {**self.PAYLOAD, "error": "boom"})
         assert out and out[0][0].endswith("failure: p1/t1")
         assert "error: boom" in out[0][1]
+
+
+class TestChannelPayloadFormatters:
+    """Golden-dict parity with the reference's channel plugins
+    (notifications/plugins/{slack,teams,zoom,pagerduty}.py): field
+    names, fixed title/color/source values, newline handling, and
+    PagerDuty's failure-only + dedup-key contracts."""
+
+    PAYLOAD = TestNotificationFormatting.PAYLOAD
+
+    def test_slack_payload_is_single_text_field(self):
+        from spark_expectations_spark.notifications import slack_payload
+        doc = slack_payload("completion", self.PAYLOAD)
+        assert set(doc) == {"text"}
+        assert doc["text"].startswith("Spark expectations run completed")
+        assert "product_id: p1" in doc["text"]
+
+    def test_teams_payload_card_fields_and_newline_doubling(self):
+        from spark_expectations_spark.notifications import teams_payload
+        doc = teams_payload("failure", {**self.PAYLOAD, "error": "boom"})
+        assert set(doc) == {"title", "themeColor", "text"}
+        assert doc["title"] == "SE Notification"
+        assert doc["themeColor"] == "008000"
+        assert "\n\n" in doc["text"] and "\n\n\n" not in doc["text"]
+        assert "error: boom" in doc["text"]
+
+    def test_zoom_payload_shares_teams_card(self):
+        from spark_expectations_spark.notifications import (
+            teams_payload, zoom_payload,
+        )
+        assert zoom_payload("start", self.PAYLOAD) == teams_payload(
+            "start", self.PAYLOAD)
+
+    def test_pagerduty_triggers_only_on_failure_events(self):
+        from spark_expectations_spark.notifications import pagerduty_payload
+        for ev in ("start", "completion", "ignored_rules"):
+            assert pagerduty_payload(ev, self.PAYLOAD, "rk") is None
+        doc = pagerduty_payload("failure", self.PAYLOAD, "rk")
+        assert doc["routing_key"] == "rk"
+        assert doc["event_action"] == "trigger"
+        assert doc["dedup_key"] == "spark_expectations_p1_t1_failure"
+        assert doc["payload"]["source"] == "Spark Expectations"
+        assert doc["payload"]["severity"] == "error"
+        assert "run FAILED" in doc["payload"]["summary"]
+
+    def test_pagerduty_threshold_events_page_with_same_dedup_key(self):
+        from spark_expectations_spark.notifications import pagerduty_payload
+        a = pagerduty_payload(
+            "error_threshold", {**self.PAYLOAD, "threshold_pct": 5.0}, "rk")
+        b = pagerduty_payload(
+            "rule_threshold",
+            {**self.PAYLOAD, "breaches": [
+                {"rule": "gt1", "failed_count": 9, "threshold_pct": 5}]},
+            "rk")
+        assert a["dedup_key"] == b["dedup_key"]
+        assert "breach: rule=gt1" in b["payload"]["summary"]
+
+    def test_channel_notifiers_post_formatted_bodies(self, monkeypatch):
+        import json
+        import urllib.request
+
+        from spark_expectations_spark import notifications as no
+
+        posts = []
+
+        def fake_urlopen(req, timeout=None):
+            posts.append((req.full_url, json.loads(req.data.decode()),
+                          req.headers.get("Authorization")))
+            class R:  # noqa: N801 - minimal response stub
+                pass
+            return R()
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        no.slack_notifier("https://h/slack")("completion", self.PAYLOAD)
+        no.teams_notifier("https://h/teams")("completion", self.PAYLOAD)
+        no.zoom_notifier("https://h/zoom", "tok")(
+            "completion", self.PAYLOAD)
+        pd = no.pagerduty_notifier("https://h/pd", "rk")
+        pd("completion", self.PAYLOAD)   # gated: no post
+        pd("failure", {**self.PAYLOAD, "error": "boom"})
+        assert [p[0] for p in posts] == [
+            "https://h/slack", "https://h/teams", "https://h/zoom",
+            "https://h/pd"]
+        assert set(posts[0][1]) == {"text"}
+        assert posts[1][1]["title"] == "SE Notification"
+        assert posts[2][2] == "Bearer tok"
+        assert posts[3][1]["event_action"] == "trigger"
+
+    def test_pagerduty_routing_key_resolves_through_secrets(
+            self, monkeypatch):
+        import json
+        import urllib.request
+
+        from spark_expectations_spark import notifications as no
+        from spark_expectations_spark.secrets import DictSecretResolver
+
+        posts = []
+
+        def fake_urlopen(req, timeout=None):
+            posts.append(json.loads(req.data.decode()))
+            class R:  # noqa: N801 - minimal response stub
+                pass
+            return R()
+
+        monkeypatch.setattr(urllib.request, "urlopen", fake_urlopen)
+        n = no.pagerduty_notifier(
+            "https://h/pd", "secret://pd_key",
+            secret_resolver=DictSecretResolver({"pd_key": "RK9"}))
+        n("failure", {**self.PAYLOAD, "error": "x"})
+        assert posts and posts[0]["routing_key"] == "RK9"
 
 
 class TestPriorityGating:
