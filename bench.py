@@ -281,6 +281,23 @@ CANARY_QUERIES = [
     "events_hourly",
 ]
 
+# Stage-heavy anchor (r14, the cert-outlier adjudication): the five
+# small canaries are few-stage queries, so they under-correct for
+# background-load windows where SCHEDULING overhead inflates — tasks
+# queue behind foreign load, and entries built from many tiny-frame
+# stages (self-join chains, multi-aggregate report assembly) pay that
+# per stage. The r13 "cert-bench outliers" (part_blocking_quality &
+# co, 1.3-2.2× canary-NORMALIZED vs r12 on byte-identical code and
+# row-count-identical data, while few-stage controls sat at
+# 0.94-1.20×) were exactly this class; the same query swung 8.1s→2.1s
+# between identical sessions minutes apart under load-average-4
+# background load (SCALE.md, round-14 ledger). These two entries —
+# code-frozen since r10/r12 — are summed from the regular BENCH
+# timings (not re-timed) into `stageheavy_anchor`; normalize
+# stage-heavy round-over-round comparisons by ITS ratio, not the
+# small-canary total.
+STAGEHEAVY_ANCHOR = ["part_blocking_quality", "dedup_jaccard"]
+
 
 def _engine_full_run(spark, sf_dir: str) -> float:
     """Full 5-stage DQ run (row + agg + query rules, stats assembled)."""
@@ -450,6 +467,8 @@ def main() -> None:
         "canary": canary,
         "canary_first": canary_first,
         "canary_last": canary_last,
+        "stageheavy_anchor": round(
+            sum(timings.get(n, 0.0) for n in STAGEHEAVY_ANCHOR), 3),
         "sf": sf_val,
     }, separators=(",", ":")))
     summary_queries = {
