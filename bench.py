@@ -259,6 +259,7 @@ BENCH_QUERIES = [
     # join shape with a kfold projection instead of a split one;
     # embed_matryoshka_check likewise: ann_topk's broadcast-query
     # corpus scan repeated per prefix width plus KB-scale recall joins
+    #
     # token-level domain-shift report (two map-side-combined token
     # counts + a vocab-sized full-outer join + the 1-row KL fold)
     "docs_vocab_divergence",

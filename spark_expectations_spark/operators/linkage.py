@@ -374,6 +374,7 @@ def set_similarity_join(
     right_set: str,
     *,
     threshold: float = 0.8,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """Set-similarity join with PPJoin-family prefix filtering (Xiao et
     al. 2008 / Chaudhuri et al. SSJoin): pairs whose token SETS have
@@ -383,6 +384,22 @@ def set_similarity_join(
     ``(left_id, right_id, n_common, jaccard)``, one row per pair. The
     token-set sibling of :func:`blocked_fuzzy_join`'s edit-distance
     join — shingle sets, word sets, q-gram sets all fit.
+
+    ``hash_tokens=True`` runs the whole pipeline in the md5-60 token
+    image (``conv(substr(md5(tok), 1, 15), 16, 10)`` — the repo's
+    md5_48/phash convention, replayable in SQL engines): the hash is
+    computed ONCE per exploded token as a plain codegen row expression
+    (never a per-element array lambda), and every downstream stage —
+    the vocab aggregation, the rank windows, the prefix equi-join, the
+    carried verify arrays, ``array_intersect`` — operates on 8-byte
+    longs instead of shingle strings. Same-session exact-equivalence
+    A/B at sf0.1: 4.75 s → 3.11 s, dominated by the candidate join
+    shuffling ~2.5× narrower array rows (SCALE.md round-14 ledger).
+    Semantics: token equality becomes hash equality — two distinct
+    tokens colliding in 60 bits would merge (P ≈ vocab²/2^61; ~4e-10
+    at a 30k-shingle vocab, still negligible at billion-token
+    vocabularies). Prefer it for long tokens (shingles); leave False
+    when tokens are short or exact string semantics are contractual.
 
     Candidate generation is the PREFIX FILTER, not all-pairs: under a
     global token order (document frequency asc, token asc — computed
@@ -398,15 +415,21 @@ def set_similarity_join(
     true pair always passes, so per-meet pruning never loses a pair).
 
     Scale shape: one token-keyed aggregation (vocab-sized output) + an
-    id-keyed window to rank each row's tokens (the rare-gram machinery
-    of ``prefix_filter=True``), then ONE equi-join on prefix tokens
-    with the length predicate inline, map-side exact verify
-    (``array_intersect`` on the carried arrays — integer |A∩B| and
-    |A∪B| = sa + sb - |A∩B|, so the Jaccard compare is cross-engine
-    exact), and a pair-dedup shuffle over MATCHES only
-    (verify-then-dedup, as in blocked_fuzzy_join). Candidate rows carry
-    both token arrays; the prefix+length filters keep that stream
-    narrow — for corpora where even filtered candidates are wide,
+    id-keyed window per side that, in ONE sort, ranks each row's
+    tokens AND carries the row's size and full df-sorted token array
+    (``count``/``collect_list`` over the unbounded frame of the same
+    window spec — Spark evaluates all three functions in a single
+    Window operator). Then ONE equi-join on prefix tokens with the
+    length predicate inline, map-side exact verify (``array_intersect``
+    on the carried arrays — integer |A∩B| and |A∪B| = sa + sb - |A∩B|,
+    so the Jaccard compare is cross-engine exact), and a pair-dedup
+    shuffle over MATCHES only (verify-then-dedup, as in
+    blocked_fuzzy_join). The window-carried arrays replaced the r10
+    shape's join-back-to-corpus per side (two corpus-scale shuffles
+    gone; same-session exact-equivalence A/B at sf0.1: 4.42 s → 3.41 s,
+    SCALE.md round-14 ledger). Candidate rows carry both token arrays;
+    the prefix+length+positional filters keep that stream narrow — for
+    corpora where even filtered candidates are wide,
     ``operators.dedup.jaccard_pairs`` is the posting-list
     (arrays-never-join) self-join alternative.
 
@@ -416,7 +439,7 @@ def set_similarity_join(
     the persist saves re-running the double corpus explode +
     aggregation (persist-all 6.75 s / no-persist 8.20 s /
     freq-only 5.63 s — SCALE.md). The corpus-sized normalized (id,
-    set, size) frames do NOT persist: their three consuming branches
+    set, size) frames do NOT persist: their consuming branches
     share identical subtrees that exchange reuse deduplicates, and at
     100 TB materializing set-carrying corpus frames is the
     memory/disk-pressure loss a map-only recompute avoids."""
@@ -428,36 +451,51 @@ def set_similarity_join(
     la = F.array_distinct(F.col(left_set))
     ra = F.array_distinct(F.col(right_set))
     L = (left.select(F.col(left_id).alias("__lid"), la.alias("__la"))
-         .filter(F.col("__la").isNotNull() & (F.size("__la") > 0))
-         .withColumn("__sa", F.size("__la")))
+         .filter(F.col("__la").isNotNull() & (F.size("__la") > 0)))
     R = (right.select(F.col(right_id).alias("__rid"), ra.alias("__ra"))
-         .filter(F.col("__ra").isNotNull() & (F.size("__ra") > 0))
-         .withColumn("__sb", F.size("__ra")))
+         .filter(F.col("__ra").isNotNull() & (F.size("__ra") > 0)))
     ltok = L.select("__lid", F.explode("__la").alias("__tok"))
     rtok = R.select("__rid", F.explode("__ra").alias("__tok"))
+    if hash_tokens:
+        # md5-60 image on the EXPLODED rows — a codegen row expression
+        # evaluated once per token (array-lambda hashing would run the
+        # interpreted HOF path per element; see _word_shingles3's note)
+        h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10) \
+            .cast("long")
+        ltok = ltok.select("__lid", h.alias("__tok"))
+        rtok = rtok.select("__rid", h.alias("__tok"))
     # vocab-sized and consumed by both prefix-rank joins — persist so
     # the double corpus explode + aggregation runs once (the one frame
     # the sf0.1 A/B showed is worth pinning; see the docstring)
     freq = (ltok.select("__tok").unionByName(rtok.select("__tok"))
             .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
             .persist(StorageLevel.MEMORY_AND_DISK))
+    # rank + size + df-sorted array from ONE window sort per side: the
+    # unbounded-frame count/collect_list share wl/wr's partitioning and
+    # ordering, so no join back to L/R is needed to recover the row's
+    # set for the verify (the collect_list rebuilds it, df-sorted —
+    # array_intersect is order-independent, so the verify is unchanged)
     wl = Window.partitionBy("__lid").orderBy("__df", "__tok")
+    wl_all = wl.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
     wr = Window.partitionBy("__rid").orderBy("__df", "__tok")
+    wr_all = wr.rowsBetween(Window.unboundedPreceding,
+                            Window.unboundedFollowing)
+    # prefix bound: rank <= s - ceil(t*s) + 1
     lpre = (ltok.join(freq, "__tok")
-            .withColumn("__rk", F.row_number().over(wl)))
+            .select("__lid", "__tok",
+                    F.row_number().over(wl).alias("__rka"),
+                    F.count(F.lit(1)).over(wl_all).alias("__sa"),
+                    F.collect_list("__tok").over(wl_all).alias("__la"))
+            .filter(F.col("__rka")
+                    <= F.col("__sa") - F.ceil(F.lit(t) * F.col("__sa")) + 1))
     rpre = (rtok.join(freq, "__tok")
-            .withColumn("__rk", F.row_number().over(wr)))
-    # prefix bound: rank <= s - ceil(t*s) + 1 (needs the row's set size)
-    lpre = (lpre.join(L, "__lid")
-            .filter(F.col("__rk")
-                    <= F.col("__sa") - F.ceil(F.lit(t) * F.col("__sa")) + 1)
-            .select("__lid", "__la", "__sa", "__tok",
-                    F.col("__rk").alias("__rka")))
-    rpre = (rpre.join(R, "__rid")
-            .filter(F.col("__rk")
-                    <= F.col("__sb") - F.ceil(F.lit(t) * F.col("__sb")) + 1)
-            .select("__rid", "__ra", "__sb", "__tok",
-                    F.col("__rk").alias("__rkb")))
+            .select("__rid", "__tok",
+                    F.row_number().over(wr).alias("__rkb"),
+                    F.count(F.lit(1)).over(wr_all).alias("__sb"),
+                    F.collect_list("__tok").over(wr_all).alias("__ra"))
+            .filter(F.col("__rkb")
+                    <= F.col("__sb") - F.ceil(F.lit(t) * F.col("__sb")) + 1))
     length_ok = ((F.col("__sa") >= F.lit(t) * F.col("__sb"))
                  & (F.col("__sb") >= F.lit(t) * F.col("__sa")))
     # PPJoin POSITIONAL filter: a meet on ranks (pa, pb) can reach at

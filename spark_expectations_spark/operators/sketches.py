@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -190,6 +190,15 @@ def histogram_quantiles(
     if any(q < 0.0 or q > 1.0 for q in qs):
         raise ValueError("quantiles must be in [0, 1]")
     gc = list(group_cols)
+    # mirror quantile_histogram's partition_cols guard: the read-off
+    # shares the frame with its own working columns, and a group column
+    # named 'q' would otherwise fail with a confusing duplicate-column
+    # error deep in the explode (ADVICE r13)
+    if any(c in ("q", "est", "bin", "n", "lo", "hi",
+                 "_cum", "_tot", "_t", "_rk") for c in gc):
+        raise ValueError(
+            "group_cols may not be named q/est/bin/n/lo/hi or any of "
+            "the read-off's working columns (_cum/_tot/_t/_rk)")
     w = (Window.partitionBy(*gc) if gc else Window.partitionBy()) \
         .orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     wt = (Window.partitionBy(*gc) if gc
@@ -213,6 +222,99 @@ def histogram_quantiles(
     return first.select(
         *gc, "q",
         (F.col("lo") + (F.col("hi") - F.col("lo")) * frac).alias("est"))
+
+
+def quantile_histogram_edge_report(
+    sketch_df: DataFrame,
+    edges: Sequence[float],
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Edge-drift report over a :func:`quantile_histogram` cell table:
+    how much mass has fallen OUTSIDE the chosen grid. The sketch
+    answers every interior quantile within bin width, but values below
+    ``edges[0]`` pool in bin 0 and values ``>= edges[-1]`` pool in the
+    last bin — if the data drifts past the grid those end bins grow
+    and quantile estimates near the tails degrade to the (exact)
+    ``lo``/``hi`` interpolation over one wide bin. One row per group:
+    ``(n_total, n_below, n_above, below_frac, above_frac, observed_lo,
+    observed_hi, edge_lo, edge_hi)`` — ``observed_*`` are the EXACT
+    global min/max recovered from the cells, so the report also says
+    where a re-edged grid (:func:`quantile_histogram_rebin`) should
+    end. Group-cardinality aggregation over the KB-scale cell table —
+    no raw data."""
+    if len(edges) < 1:
+        raise ValueError("need at least one bin edge")
+    gc = list(group_cols)
+    last_bin = len(edges)
+    agg = (sketch_df.groupBy(*gc).agg(
+        F.sum("n").alias("n_total"),
+        F.sum(F.when(F.col("bin") == 0, F.col("n")).otherwise(0))
+        .alias("n_below"),
+        F.sum(F.when(F.col("bin") == last_bin, F.col("n")).otherwise(0))
+        .alias("n_above"),
+        F.min("lo").alias("observed_lo"),
+        F.max("hi").alias("observed_hi")))
+    return agg.select(
+        *gc, "n_total", "n_below", "n_above",
+        (F.col("n_below") / F.col("n_total")).alias("below_frac"),
+        (F.col("n_above") / F.col("n_total")).alias("above_frac"),
+        "observed_lo", "observed_hi",
+        F.lit(float(edges[0])).alias("edge_lo"),
+        F.lit(float(edges[-1])).alias("edge_hi"))
+
+
+def quantile_histogram_rebin(
+    sketch_df: DataFrame,
+    new_edges: Sequence[float],
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Rebuild a :func:`quantile_histogram` cell table on a NEW edge
+    grid without raw data — the re-edge answer to a grown end bin
+    (:func:`quantile_histogram_edge_report`). A cell moves wholly into
+    the new bin that contains its exact ``[lo, hi]`` span; the result
+    is then CELL FOR CELL equal to a direct build over the raw rows
+    with ``new_edges``, because every row in the cell shares the
+    cell's new bin. Exactness is therefore preservable exactly when no
+    new edge cuts through a cell's occupied span — new grids made of
+    (a subset of) the old edges plus any edges outside each cell's
+    observed ``[lo, hi]`` qualify; an edge through a cell's interior
+    does not, and this function RAISES (listing the straddling count)
+    rather than silently approximating — re-edge at old-edge
+    boundaries, or rebuild from raw data for a finer interior grid.
+
+    Input should be a merged (one row per group+bin) table —
+    :func:`quantile_histogram_merge` first; the check-and-move is one
+    pass over the KB-scale cells."""
+    if len(new_edges) < 1:
+        raise ValueError("need at least one bin edge")
+    es = [float(e) for e in new_edges]
+    if sorted(es) != es or len(set(es)) != len(es):
+        raise ValueError("edges must be strictly increasing")
+    gc = list(group_cols)
+    arr = F.array(*[F.lit(e) for e in es])
+
+    def nb(col: str) -> Column:
+        return F.aggregate(
+            arr, F.lit(0),
+            lambda acc, e: acc + F.when(F.col(col) >= e, 1).otherwise(0))
+
+    binned = (sketch_df
+              .withColumn("_nb_lo", nb("lo"))
+              .withColumn("_nb_hi", nb("hi")))
+    n_straddle = binned.filter(
+        F.col("_nb_lo") != F.col("_nb_hi")).count()
+    if n_straddle:
+        raise ValueError(
+            f"{n_straddle} cell(s) straddle a new edge (an edge cuts "
+            "through their exact [lo, hi] span) — exact re-binning is "
+            "impossible; keep old-edge boundaries or rebuild from raw "
+            "data")
+    return (binned
+            .groupBy(*gc, F.col("_nb_lo").alias("bin"))
+            .agg(F.sum("n").alias("n"), F.min("lo").alias("lo"),
+                 F.max("hi").alias("hi")))
 
 
 def moments_sketch(

@@ -424,7 +424,18 @@ def vocab_divergence_from_counts(
     ``(tok, cb)`` / ``(tok, cc)`` tables (from :func:`token_counts`,
     or a persisted/merged streaming vocabulary state) and emits the
     same one-row report — so yesterday's counts diverge against
-    today's without re-tokenizing yesterday."""
+    today's without re-tokenizing yesterday.
+
+    Degenerate inputs (defined, not accidental): a side with ZERO
+    total tokens still smooths to a valid distribution (uniform over
+    the union vocab), so both KL columns stay finite; ``oov_rate`` is
+    deliberately NULL when the current side is empty (an OOV *rate*
+    over zero tokens has no value — the explicit ``when`` guard below)
+    and ``new_types`` counts union-vocab types as usual. When BOTH
+    count tables are empty the report is an EMPTY frame (no vocab, no
+    row) rather than a row of NULLs — callers joining the report
+    should treat no-row as "nothing to compare", the same contract as
+    an empty drift report."""
     if alpha <= 0.0:
         raise ValueError("alpha must be > 0 (smoothing keeps KL finite)")
     j = (base_counts.join(cur_counts, "tok", "full_outer")
@@ -446,7 +457,8 @@ def vocab_divergence_from_counts(
             .select(F.col("nb").alias("n_base"),
                     F.col("nc").alias("n_cur"),
                     F.col("v").alias("v_union"), "new_types",
-                    F.round(F.col("_oovc") / F.col("nc"), 6)
+                    F.when(F.col("nc") > 0,
+                           F.round(F.col("_oovc") / F.col("nc"), 6))
                     .alias("oov_rate"),
                     F.round("_kl_bc", 6).alias("kl_base_cur"),
                     F.round("_kl_cb", 6).alias("kl_cur_base")))

@@ -4187,10 +4187,17 @@ def _oracle_docs_classifier_train_dist() -> str:
     weight rows restricted to buckets observed in the corpus (the
     sparse model-state contract)."""
     base = _oracle_docs_classifier_train()
+    tail = "FROM w3 w, b3, m, l1, l2, l3\n"
+    # exact-string surgery on generated SQL is brittle: if the base
+    # oracle's tail drifts, .replace() silently no-ops and the gate
+    # fails later with a confusing dense-vs-sparse row mismatch —
+    # fail HERE, at import time, instead (ADVICE r13)
+    if base.count(tail) != 1:
+        raise AssertionError(
+            "docs_classifier_train oracle tail changed — update "
+            "_oracle_docs_classifier_train_dist's WHERE-clause splice")
     return base.replace(
-        "FROM w3 w, b3, m, l1, l2, l3\n",
-        "FROM w3 w, b3, m, l1, l2, l3\n"
-        "WHERE w.j IN (SELECT DISTINCT j FROM cnt)\n")
+        tail, tail + "WHERE w.j IN (SELECT DISTINCT j FROM cnt)\n")
 
 
 ORACLE_DOCS_CLASSIFIER_TRAIN_DIST = _oracle_docs_classifier_train_dist()
@@ -9089,10 +9096,18 @@ def q_docs_set_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     at ~1 per doc. Candidates come from the prefix filter (each row's
     s - ceil(0.6·s) + 1 rarest shingles under the global df order), the
     verify is an exact integer |A∩B| — jaccard = int/int division is
-    bit-identical cross-engine, so the output needs no rounding. The
-    oracle reproduces shingling, df ranks, prefix bounds, and the
-    verify exactly (its length filter is implied by jaccard >= t, so
-    skipping it changes nothing)."""
+    bit-identical cross-engine, so the output needs no rounding.
+    Runs with hash_tokens=True (r14): the pipeline operates in the
+    md5-60 shingle image — 8-byte longs through the vocab agg, rank
+    windows, candidate join, and verify arrays instead of ~20-char
+    shingle strings. The oracle stays in STRING space: hash equality
+    equals string equality absent 60-bit collisions (P ≈ 4e-10 at this
+    30k-shingle vocab), and a collision would surface as a value-hash
+    mismatch at the gate — the right failure mode. The oracle
+    reproduces shingling, df ranks, prefix bounds, and the verify
+    exactly (its length filter is implied by jaccard >= t, so skipping
+    it changes nothing; its candidate set need not equal the engine's
+    — both are supersets of the true pairs and both verify exactly)."""
     docs = load(spark, sf_dir, "documents", spread=True)
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
 
@@ -9103,7 +9118,8 @@ def q_docs_set_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select((F.col("doc_id") + 1000000).alias("rid"),
                     _word_shingles3(tw_words).alias("sb")))
     out = linkage.set_similarity_join(
-        base, twin, "lid", "sa", "rid", "sb", threshold=0.6)
+        base, twin, "lid", "sa", "rid", "sb", threshold=0.6,
+        hash_tokens=True)
     return out.select("lid", "rid", "n_common", "jaccard")
 
 

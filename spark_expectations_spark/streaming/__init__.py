@@ -696,6 +696,53 @@ def compact_quantile_state(spark, state_path: str, out_path: str,
      .parquet(out_path))
 
 
+def quantile_state_edge_report(
+    spark,
+    state_path: str,
+    edges: Sequence[float],
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Edge-drift report over an :func:`incremental_quantile_state` dir
+    (r13 verdict task 7): merged end-bin mass + the exact observed
+    lo/hi — how much of the accumulated stream has drifted outside the
+    fixed grid, and where a re-edged grid should end. Group-cardinality
+    output; reads only the KB-scale cells."""
+    from ..operators.sketches import (quantile_histogram_edge_report,
+                                      quantile_histogram_merge)
+
+    merged = quantile_histogram_merge(spark.read.parquet(state_path),
+                                      group_cols)
+    return quantile_histogram_edge_report(merged, edges,
+                                          group_cols=group_cols)
+
+
+def reedge_quantile_state(spark, state_path: str, out_path: str,
+                          new_edges: Sequence[float],
+                          group_cols: Sequence[str] = ()) -> None:
+    """Re-edge an :func:`incremental_quantile_state` dir onto a new
+    grid — the compaction that answers a grown end bin
+    (:func:`quantile_state_edge_report`): merge, re-bin each cell
+    wholly into the new bin containing its exact ``[lo, hi]`` span
+    (``sketches.quantile_histogram_rebin`` — RAISES if a new edge cuts
+    a cell's occupied interior, where exactness is not preservable),
+    and write as batch partition 0 at ``out_path``. Counts ADD, so the
+    same caveat as :func:`compact_quantile_state`: re-edge only after
+    the stream has stopped writing to ``state_path``, or a straddling
+    replayed batch would double-count across the two paths."""
+    from ..operators.sketches import (quantile_histogram_merge,
+                                      quantile_histogram_rebin)
+
+    merged = quantile_histogram_merge(spark.read.parquet(state_path),
+                                      group_cols)
+    (quantile_histogram_rebin(merged, new_edges, group_cols=group_cols)
+     .withColumn("_batch_id", F.lit(0))
+     .write.mode("overwrite")
+     .partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+
+
 def incremental_vocab_state(
     state_path: str,
     text_col: str,

@@ -372,6 +372,48 @@ class TestStreamingDQ:
             spark, compacted, [0.0, 0.5, 1.0]).collect()}
         assert via_compact == direct
 
+    def test_quantile_state_edge_report_and_reedge_parity(
+            self, spark, tmp_path):
+        """r13 verdict task 7: the edge-drift report exposes end-bin
+        mass + exact observed lo/hi, and re-edge compaction onto a
+        wider grid answers CELL FOR CELL like a direct build over the
+        raw union with the new edges; an edge through a cell's
+        occupied interior raises instead of approximating."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import sketches
+        state = str(tmp_path / "qh_state2")
+        edges = [10.0, 20.0, 30.0]
+        step = st.incremental_quantile_state(state, "v", edges)
+        b1 = spark.createDataFrame(
+            [(float(i),) for i in range(0, 25)], "v double")
+        b2 = spark.createDataFrame(          # drifted past the grid
+            [(float(i),) for i in range(30, 80)], "v double")
+        step(b1, 0)
+        step(b2, 1)
+        rep = st.quantile_state_edge_report(spark, state, edges).first()
+        assert rep["n_total"] == 75 and rep["n_below"] == 10
+        assert rep["n_above"] == 50          # 30..79 pool in the end bin
+        assert rep["above_frac"] == pytest.approx(50 / 75)
+        assert rep["observed_lo"] == 0.0 and rep["observed_hi"] == 79.0
+        assert rep["edge_lo"] == 10.0 and rep["edge_hi"] == 30.0
+        # re-edge onto old edges + new ones OUTSIDE occupied interiors:
+        # 80 splits nothing (beyond observed_hi); 30 stays; 10/20 kept
+        reedged = str(tmp_path / "qh_reedge")
+        new_edges = [10.0, 20.0, 30.0, 80.0]
+        st.reedge_quantile_state(spark, state, reedged, new_edges)
+        cdf = spark.read.parquet(reedged)
+        assert cdf.select("_batch_id").distinct().count() == 1
+        direct = sketches.quantile_histogram(b1.union(b2), "v", new_edges)
+        got = {r["bin"]: (r["n"], r["lo"], r["hi"])
+               for r in cdf.select("bin", "n", "lo", "hi").collect()}
+        want = {r["bin"]: (r["n"], r["lo"], r["hi"])
+                for r in direct.collect()}
+        assert got == want                   # cell-for-cell parity
+        # an edge cutting the occupied [30, 79] end-bin interior raises
+        with pytest.raises(ValueError, match="straddle"):
+            st.reedge_quantile_state(
+                spark, state, str(tmp_path / "bad"), [10.0, 50.0])
+
     def test_incremental_vocab_state_matches_batch(self, spark, tmp_path):
         """Streaming vocabulary counts accumulated across batches (with
         a replay) must diverge against a current frame exactly like a

@@ -2792,6 +2792,19 @@ class TestVocabDivergence:
         with pytest.raises(ValueError, match="alpha"):
             text.vocab_divergence(df, df, "text", alpha=0.0)
 
+    def test_empty_current_side_defined_degeneration(self, spark):
+        """ADVICE r13: an empty cur side must yield a DELIBERATE NULL
+        oov_rate (rate over zero tokens is undefined) with both KL
+        columns still finite; empty BOTH sides yields an empty frame,
+        not a NULL row."""
+        base = spark.createDataFrame([(1, "a a b")], "id int, text string")
+        empty = spark.createDataFrame([], "id int, text string")
+        row = text.vocab_divergence(base, empty, "text").first()
+        assert row["n_cur"] == 0 and row["oov_rate"] is None
+        assert row["kl_base_cur"] is not None
+        assert row["kl_cur_base"] is not None
+        assert text.vocab_divergence(empty, empty, "text").count() == 0
+
 
 class TestLeakageSafeKfold:
     def test_zero_cross_fold_pairs_and_singletons(self, spark):
@@ -5266,6 +5279,13 @@ class TestSetSimilarityJoin:
         strict = linkage.set_similarity_join(
             L, R, "lid", "ls", "rid", "rs", threshold=0.75)
         assert [(r["lid"], r["rid"]) for r in strict.collect()] == [(1, 10)]
+        # hash_tokens runs the same pipeline in the md5-60 token image
+        # (longs, not strings) — identical output absent collisions
+        hashed = {(r["lid"], r["rid"]): (r["n_common"], r["jaccard"])
+                  for r in linkage.set_similarity_join(
+                      L, R, "lid", "ls", "rid", "rs",
+                      threshold=0.5, hash_tokens=True).collect()}
+        assert hashed == got
 
     def test_duplicate_tokens_are_set_semantics(self, spark):
         from spark_expectations_spark.operators import linkage
@@ -7270,6 +7290,13 @@ class TestQuantileHistogram:
             sketches.histogram_quantiles(sk, [])
         with pytest.raises(ValueError, match="quantile"):
             sketches.histogram_quantiles(sk, [1.5])
+        # ADVICE r13: the read-off mirrors the builder's reserved-name
+        # guard — a group column named 'q' (or a working column) must
+        # raise clearly, not fail as a duplicate column mid-plan
+        with pytest.raises(ValueError, match="group_cols"):
+            sketches.histogram_quantiles(sk, [0.5], group_cols=("q",))
+        with pytest.raises(ValueError, match="group_cols"):
+            sketches.histogram_quantiles(sk, [0.5], group_cols=("_cum",))
 
 
 class TestMomentsSketch:

@@ -67,6 +67,11 @@ def _tier(spark, sf_dir: str, entries) -> dict:
     run against FIXED sf0.1 data — the canaries anchor HOST speed, so
     they must not scale with the tier under measurement."""
     _warm(spark, sf_dir)
+    # re-warm the canaries' own tables too: on a second tier the sf0.1
+    # page-cache residue from the previous pass is stale, and a cold
+    # canary_first would bias the host-drift normalization (ADVICE r13)
+    if sf_dir != CANARY_DIR:
+        _warm(spark, CANARY_DIR)
     first = {n: _time_query(spark, n, CANARY_DIR) for n in CANARY_QUERIES}
     times = {}
     for n in entries:
