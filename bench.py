@@ -267,6 +267,12 @@ BENCH_QUERIES = [
     # groupBy + gradient groupBy + weight-update join — the join-mode
     # cost profile vs docs_classifier_train's literal-array profile)
     "docs_classifier_train_dist",
+    # Kaplan-Meier churn curves (distinct-acts scan + per-user
+    # min/max groupBy + two time-cardinality cumulative windows)
+    "events_survival",
+    # docs_stratified_metrics is deliberately unbenched per the
+    # sibling rule: docs_calibration's one stratum-keyed groupBy shape
+    # with Wilson arithmetic on the 20-row output frame
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -899,3 +899,71 @@ def ks_by_segment(
                         F.max(gap)).alias("ks"),
                  F.max("_tb").alias("n_base"),
                  F.max("_tc").alias("n_cur")))
+
+
+def survival_curve(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival estimate over per-subject
+    ``(duration, event)`` rows — the time-to-event statistic behind
+    churn/retention curves (how long do users stay active, how long do
+    documents survive refresh cycles), computed without any per-subject
+    driver loop. ``event_col`` is 1 when the terminal event was
+    OBSERVED at ``duration`` and 0 when the subject was CENSORED there
+    (still alive when observation ended — the censoring arithmetic is
+    what separates K-M from a naive survival fraction). Returns one row
+    per (group, distinct duration):
+
+        (t, n_risk, n_event, n_censored, survival)
+
+    with ``survival = Π_{u <= t} (1 − d_u / n_u)`` over event times —
+    the classic estimator (Kaplan & Meier 1958).
+
+    Scale shape: ONE (group, t) groupBy collapses subjects to
+    time-cardinality rows, then two group-partitioned cumulative
+    windows over those rows: at-risk counts come from the DESCENDING
+    cumulative total (n_t = subjects with duration >= t) and the
+    product from exp(Σ ln(1 − d/n)) ASCENDING — logs instead of a
+    product aggregate so the whole curve stays in codegen; the one
+    ln(0) hazard (d == n at the last time) is handled by an explicit
+    cumulative extinction flag rather than propagating -inf. Output is
+    (groups × distinct durations)-cardinality; subjects never shuffle
+    after the first groupBy. Windows partition by group — single-task
+    only for an ungrouped corpus-wide curve over very many distinct
+    durations (bucket durations first in that case).
+
+    Float contract: survival is exp/ln double arithmetic — round to
+    9dp (+0.0) for cross-engine comparison, the repo's standing
+    convention."""
+    gc = list(group_cols)
+    if any(c in ("t", "n_risk", "n_event", "n_censored", "survival")
+           for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    d = F.col(event_col).cast("int")
+    per_t = (df.select(*gc, F.col(duration_col).alias("t"), d.alias("_e"))
+             .groupBy(*gc, "t")
+             .agg(F.sum("_e").alias("n_event"),
+                  F.sum(1 - F.col("_e")).alias("n_censored")))
+    w_desc = (Window.partitionBy(*gc).orderBy(F.col("t").desc())
+              .rowsBetween(Window.unboundedPreceding, 0))
+    w_asc = (Window.partitionBy(*gc).orderBy("t")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    at_risk = per_t.withColumn(
+        "n_risk", F.sum(F.col("n_event") + F.col("n_censored")).over(w_desc))
+    # hazard logs only where the group survives the time step; a step
+    # with d == n extinguishes the curve from there on (flag, not -inf)
+    ln_term = F.when(F.col("n_event") < F.col("n_risk"),
+                     F.log(1.0 - F.col("n_event") / F.col("n_risk"))) \
+        .otherwise(F.lit(0.0))
+    extinct = F.max((F.col("n_event") == F.col("n_risk")).cast("int")) \
+        .over(w_asc)
+    surv = F.when(extinct == 1, F.lit(0.0)) \
+        .otherwise(F.exp(F.sum(ln_term).over(w_asc)))
+    return (at_risk
+            .withColumn("survival", surv)
+            .select(*gc, "t", "n_risk", "n_event", "n_censored",
+                    "survival"))

@@ -893,11 +893,20 @@ def weighted_cosine_join(
             .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")))
     wpre = (Window.partitionBy("__lid").orderBy("__df", "__tok")
             .rowsBetween(Window.unboundedPreceding, -1))
+    # the row's FULL norm rides the same window sort (unbounded frame)
+    # instead of joining lnorm back onto the corpus-token stream — the
+    # freq join is inner but lossless here (freq is built from lw∪rw,
+    # so every lw token has a df row), making the window total equal
+    # to lnorm's __na exactly (the set_similarity_join r14 device)
+    w_all = (Window.partitionBy("__lid").orderBy("__df", "__tok")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
     lpre = (lw.join(freq, "__tok")
-            .withColumn("__pre", F.coalesce(F.sum("__w2").over(wpre),
-                                            F.lit(0.0)))
-            .join(lnorm, "__lid")
-            .filter(F.col("__pre") <= (1.0 - t2) * F.col("__na"))
+            .select("__lid", "__tok",
+                    F.coalesce(F.sum("__w2").over(wpre),
+                               F.lit(0.0)).alias("__pre"),
+                    F.sum("__w2").over(w_all).alias("__naw"))
+            .filter(F.col("__pre") <= (1.0 - t2) * F.col("__naw"))
             .select("__lid", "__tok"))
     cand = (lpre.join(rt, "__tok")
             .select("__lid", "__rid").distinct())

@@ -1146,6 +1146,82 @@ def calibration_report(
             .withColumn("gap", F.col("frac_pos") - F.col("avg_score")))
 
 
+def stratified_classification_report(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    strata_cols: tuple[str, ...] | list[str],
+    *,
+    threshold: float = 0.5,
+    z: float = 1.959963985,
+) -> DataFrame:
+    """Per-stratum thresholded classifier metrics with Wilson interval
+    bounds — the "is the quality filter fair across sources" QA that a
+    pooled AUC hides: a classifier can look calibrated overall while
+    systematically rejecting one source. Rows follow the calibration
+    drop rule (NULL score/label and out-of-[0, 1] scores drop); a row
+    predicts positive when ``score >= threshold``. Per stratum the
+    report emits the confusion counts ``(n, tp, fp, fn, tn)``, the
+    derived ``precision``/``recall``/``f1`` (NULL where undefined —
+    zero predicted or zero actual positives — rather than a fake 0),
+    and Wilson 95% score-interval bounds on precision and recall
+    (``z`` = the normal quantile; Wilson rather than normal-approx
+    because small strata with extreme rates are exactly where the
+    naive interval collapses to nonsense):
+
+        (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)
+
+    Scale shape: ONE map-side-combined groupBy over the strata key —
+    four conditional count aggregates ride the scan projection; every
+    derived column is closed-form arithmetic on the stratum-cardinality
+    frame. Float contract: round to 9dp (+0.0) for cross-engine
+    comparison (sqrt/division only — no transcendental asymmetry)."""
+    gc = list(strata_cols)
+    if not gc:
+        raise ValueError("strata_cols must name at least one column")
+    reserved = ("n", "tp", "fp", "fn", "tn", "precision", "recall",
+                "f1", "precision_lo", "precision_hi", "recall_lo",
+                "recall_hi")
+    if any(c in reserved for c in gc):
+        raise ValueError("strata_cols collide with the output columns")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    pred = (s >= F.lit(float(threshold))).cast("int")
+    agg = (df.filter(s.isNotNull() & y.isNotNull()
+                     & (s >= 0.0) & (s <= 1.0))
+           .groupBy(*gc)
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(pred * y).alias("tp"),
+                F.sum(pred * (1 - y)).alias("fp"),
+                F.sum((1 - pred) * y).alias("fn"),
+                F.sum((1 - pred) * (1 - y)).alias("tn")))
+
+    def wilson(p, n):
+        # gate on n > 0 explicitly: ANSI mode raises DIVIDE_BY_ZERO
+        # eagerly even when the paired rate is already NULL
+        zz = float(z) * float(z)
+        center = p + F.lit(zz) / (2 * n)
+        margin = F.lit(float(z)) * F.sqrt(
+            p * (1 - p) / n + F.lit(zz) / (4 * n * n))
+        denom = 1 + F.lit(zz) / n
+        return (F.when(n > 0, (center - margin) / denom),
+                F.when(n > 0, (center + margin) / denom))
+
+    npred = (F.col("tp") + F.col("fp")).cast("double")
+    nact = (F.col("tp") + F.col("fn")).cast("double")
+    prec = F.when(npred > 0, F.col("tp") / npred)
+    rec = F.when(nact > 0, F.col("tp") / nact)
+    p_lo, p_hi = wilson(prec, npred)
+    r_lo, r_hi = wilson(rec, nact)
+    f1 = F.when((npred > 0) & (nact > 0) & (prec + rec > 0),
+                2 * prec * rec / (prec + rec))
+    return agg.select(
+        *gc, "n", "tp", "fp", "fn", "tn",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+        p_lo.alias("precision_lo"), p_hi.alias("precision_hi"),
+        r_lo.alias("recall_lo"), r_hi.alias("recall_hi"))
+
+
 def expected_calibration_error(
     df: DataFrame,
     score_col: str,

@@ -9997,6 +9997,158 @@ SELECT query_id, neighbor_id, rank, round(adc, 4) AS adc FROM (
 ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 
 
+def q_events_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn curves per cohort bucket
+    (drift.survival_curve): each user becomes one (duration, event)
+    subject — duration = days between first and last activity, event
+    observed (churned) when the last activity predates the corpus's
+    final day, censored otherwise (still active when observation
+    ended) — grouped into three first-seen-day cohort buckets. The
+    product-limit estimate runs as time-cardinality cumulative windows
+    (exp/ln, extinction-flagged), never a per-user loop; survival is
+    9dp-rounded (+0.0) per the float convention, the counts are exact
+    integers. The oracle replays the subject build and both cumulative
+    windows verbatim."""
+    from .operators import drift
+
+    ev = load(spark, sf_dir, "events")
+    day = (F.expr(f"ts div {_NS_PER_DAY}")).alias("day")
+    acts = ev.select("user_id", day).distinct()
+    u = acts.groupBy("user_id").agg(F.min("day").alias("fd"),
+                                    F.max("day").alias("ld"))
+    dmax = acts.agg(F.max("day").alias("dmax"))
+    subj = (u.crossJoin(F.broadcast(dmax))
+            .select((F.col("fd") % 3).alias("cohort_bucket"),
+                    (F.col("ld") - F.col("fd")).alias("duration"),
+                    (F.col("ld") < F.col("dmax")).cast("int")
+                    .alias("event")))
+    out = drift.survival_curve(subj, "duration", "event",
+                               group_cols=("cohort_bucket",))
+    return out.select(
+        "cohort_bucket", "t", "n_risk", "n_event", "n_censored",
+        (F.round("survival", 9) + F.lit(0.0)).alias("survival"))
+
+
+ORACLE_EVENTS_SURVIVAL = f"""
+WITH acts AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // {_NS_PER_DAY} AS day
+  FROM events),
+u AS (SELECT user_id, min(day) AS fd, max(day) AS ld
+      FROM acts GROUP BY user_id),
+subj AS (
+  SELECT fd % 3 AS cohort_bucket, ld - fd AS t,
+         CASE WHEN ld < (SELECT max(day) FROM acts) THEN 1 ELSE 0 END
+           AS e
+  FROM u),
+per_t AS (
+  SELECT cohort_bucket, t, CAST(sum(e) AS BIGINT) AS n_event,
+         CAST(sum(1 - e) AS BIGINT) AS n_censored
+  FROM subj GROUP BY cohort_bucket, t),
+r AS (
+  SELECT *, sum(n_event + n_censored) OVER (
+      PARTITION BY cohort_bucket ORDER BY t DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM per_t),
+s AS (
+  SELECT *,
+         max(CASE WHEN n_event = n_risk THEN 1 ELSE 0 END) OVER w
+           AS extinct,
+         sum(CASE WHEN n_event < n_risk
+                  THEN ln(1.0 - n_event * 1.0 / n_risk)
+                  ELSE 0.0 END) OVER w AS lsum
+  FROM r
+  WINDOW w AS (PARTITION BY cohort_bucket ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+SELECT cohort_bucket, t, CAST(n_risk AS BIGINT) AS n_risk, n_event,
+       n_censored,
+       round(CASE WHEN extinct = 1 THEN 0.0 ELSE exp(lsum) END, 9)
+         + 0.0 AS survival
+FROM s
+"""
+
+
+def q_docs_stratified_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source thresholded classifier QA with Wilson bounds
+    (text.stratified_classification_report) over the deterministic
+    calibration fixture: confusion counts, precision/recall/F1, and
+    Wilson 95% intervals on precision and recall per source — the
+    fairness sweep a pooled AUC hides (docs_score_auc's blind spot).
+    ONE stratum-keyed groupBy; every derived column is closed-form
+    sqrt/division on the 20-row stratum frame, 9dp (+0.0)."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    pct = (F.col("doc_id") * 37) % 101
+    score = F.when(F.col("doc_id") % 97 == 0, F.lit(None).cast("double")) \
+        .when(F.col("doc_id") % 89 == 0, F.lit(1.5)) \
+        .when(F.col("doc_id") % 83 == 0, F.lit(-0.25)) \
+        .otherwise(pct / F.lit(100.0))
+    label = ((F.col("doc_id") * 61) % 100 < pct).cast("int")
+    frame = docs.select("source", score.alias("score"),
+                        label.alias("label"))
+    rep = text_ops.stratified_classification_report(
+        frame, "score", "label", ("source",), threshold=0.5)
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return rep.select(
+        "source", "n", "tp", "fp", "fn", "tn",
+        r9("precision"), r9("recall"), r9("f1"),
+        r9("precision_lo"), r9("precision_hi"),
+        r9("recall_lo"), r9("recall_hi"))
+
+
+ORACLE_DOCS_STRATIFIED_METRICS = f"""
+WITH scored AS (
+  SELECT source,
+         CASE WHEN doc_id % 97 = 0 THEN NULL
+              WHEN doc_id % 89 = 0 THEN 1.5
+              WHEN doc_id % 83 = 0 THEN -0.25
+              ELSE ((doc_id * 37) % 101) / 100.0 END AS score,
+         CASE WHEN (doc_id * 61) % 100 < (doc_id * 37) % 101
+              THEN 1 ELSE 0 END AS label
+  FROM documents),
+ok AS (
+  SELECT source, label,
+         CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM scored WHERE score IS NOT NULL AND score >= 0 AND score <= 1),
+c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(pred * label) AS BIGINT) AS tp,
+         CAST(sum(pred * (1 - label)) AS BIGINT) AS fp,
+         CAST(sum((1 - pred) * label) AS BIGINT) AS fn,
+         CAST(sum((1 - pred) * (1 - label)) AS BIGINT) AS tn
+  FROM ok GROUP BY source),
+m AS (
+  SELECT *,
+         CASE WHEN tp + fp > 0 THEN tp * 1.0 / (tp + fp) END AS prec,
+         CASE WHEN tp + fn > 0 THEN tp * 1.0 / (tp + fn) END AS rec,
+         (tp + fp) * 1.0 AS npred, (tp + fn) * 1.0 AS nact
+  FROM c)
+SELECT source, n, tp, fp, fn, tn,
+       round(prec, 9) + 0.0 AS precision,
+       round(rec, 9) + 0.0 AS recall,
+       round(CASE WHEN npred > 0 AND nact > 0 AND prec + rec > 0
+                  THEN 2 * prec * rec / (prec + rec) END, 9) + 0.0
+         AS f1,
+       round((prec + 3.84145882249708 / (2 * npred)
+              - 1.959963985 * sqrt(prec * (1 - prec) / npred
+                              + 3.84145882249708 / (4 * npred * npred)))
+             / (1 + 3.84145882249708 / npred), 9) + 0.0 AS precision_lo,
+       round((prec + 3.84145882249708 / (2 * npred)
+              + 1.959963985 * sqrt(prec * (1 - prec) / npred
+                              + 3.84145882249708 / (4 * npred * npred)))
+             / (1 + 3.84145882249708 / npred), 9) + 0.0 AS precision_hi,
+       round((rec + 3.84145882249708 / (2 * nact)
+              - 1.959963985 * sqrt(rec * (1 - rec) / nact
+                              + 3.84145882249708 / (4 * nact * nact)))
+             / (1 + 3.84145882249708 / nact), 9) + 0.0 AS recall_lo,
+       round((rec + 3.84145882249708 / (2 * nact)
+              + 1.959963985 * sqrt(rec * (1 - rec) / nact
+                              + 3.84145882249708 / (4 * nact * nact)))
+             / (1 + 3.84145882249708 / nact), 9) + 0.0 AS recall_hi
+FROM m
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10259,7 +10411,12 @@ ORACLE_EMBED_IVF_PQ = _oracle_embed_ivf_pq()
 #          embed_whiten_check) + dedup_exact. r14-new operators take
 #          fill slots as they land, displacing the BOTTOM fill first,
 #          per the r11 convention; displacement is recorded inline
-#          below as it happens.
+#          below as it happens: events_survival (Kaplan-Meier churn
+#          curves under a full cumulative-window value oracle)
+#          displaced dedup_exact, and docs_stratified_metrics
+#          (per-source confusion counts + Wilson interval QA)
+#          displaced embed_whiten_check (both displaced entries were
+#          r10-green one round ago).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10293,8 +10450,8 @@ DRIVER_PRIORITY: list[str] = [
     "embed_kmeans",                 # iterative — highest replay risk
     "embed_cluster_qa",
     "ann_ivf_kmeans",
-    "embed_whiten_check",
-    "dedup_exact",
+    "events_survival",           # r14 new: Kaplan-Meier churn curves
+    "docs_stratified_metrics",   # r14 new: per-source Wilson QA
 ]
 
 
@@ -10402,6 +10559,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_classifier_train_dist": q_docs_classifier_train_dist,
     "docs_classifier_cv": q_docs_classifier_cv,
     "docs_vocab_divergence": q_docs_vocab_divergence,
+    "events_survival": q_events_survival,
+    "docs_stratified_metrics": q_docs_stratified_metrics,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10628,6 +10787,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_classifier_train_dist": ORACLE_DOCS_CLASSIFIER_TRAIN_DIST,
     "docs_classifier_cv": ORACLE_DOCS_CLASSIFIER_CV,
     "docs_vocab_divergence": ORACLE_DOCS_VOCAB_DIVERGENCE,
+    "events_survival": ORACLE_EVENTS_SURVIVAL,
+    "docs_stratified_metrics": ORACLE_DOCS_STRATIFIED_METRICS,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

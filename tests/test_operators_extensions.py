@@ -6818,6 +6818,110 @@ class TestReciprocalRankFusion:
             sim.reciprocal_rank_fusion(bad)
 
 
+class TestSurvivalCurve:
+    """Kaplan-Meier product-limit estimator: textbook worked example,
+    censoring between deaths, extinction at the last time, per-group
+    independence."""
+
+    def _subjects(self, spark):
+        # classic 6-subject example: deaths at 1, 3 (x2), 5; censored
+        # at 2 and 4
+        return spark.createDataFrame(
+            [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)],
+            "duration int, event int")
+
+    def test_textbook_curve(self, spark):
+        from spark_expectations_spark.operators import drift
+        rows = {r["t"]: r for r in drift.survival_curve(
+            self._subjects(spark), "duration", "event").collect()}
+        assert rows[1]["n_risk"] == 6 and rows[1]["n_event"] == 1
+        assert rows[1]["survival"] == pytest.approx(5 / 6)
+        # censoring at t=2 leaves the curve flat but shrinks the risk set
+        assert rows[2]["n_risk"] == 5 and rows[2]["n_event"] == 0
+        assert rows[2]["survival"] == pytest.approx(5 / 6)
+        assert rows[3]["n_risk"] == 4 and rows[3]["n_event"] == 2
+        assert rows[3]["survival"] == pytest.approx(5 / 6 * 2 / 4)
+        assert rows[4]["survival"] == pytest.approx(5 / 12)
+        # the lone survivor dies at t=5: extinction, exactly 0.0
+        assert rows[5]["n_risk"] == 1 and rows[5]["survival"] == 0.0
+
+    def test_groups_are_independent(self, spark):
+        from spark_expectations_spark.operators import drift
+        a = [(g, t, e) for g in ("x", "y")
+             for t, e in [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)]]
+        df = spark.createDataFrame(a, "g string, duration int, event int")
+        out = drift.survival_curve(df, "duration", "event",
+                                   group_cols=("g",)).collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["g"], {})[r["t"]] = r["survival"]
+        assert by_g["x"] == by_g["y"]
+        assert by_g["x"][3] == pytest.approx(5 / 12)
+
+    def test_all_censored_stays_at_one(self, spark):
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame([(2, 0), (4, 0)],
+                                   "duration int, event int")
+        rows = {r["t"]: r["survival"] for r in drift.survival_curve(
+            df, "duration", "event").collect()}
+        assert rows == {2: 1.0, 4: 1.0}
+
+    def test_reserved_name_guard(self, spark):
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame([(1, 1, "a")],
+                                   "duration int, event int, t string")
+        with pytest.raises(ValueError, match="group_cols"):
+            drift.survival_curve(df, "duration", "event",
+                                 group_cols=("t",))
+
+
+class TestStratifiedClassificationReport:
+    """Per-stratum confusion counts + Wilson bounds: hand-computed
+    values, NULL-where-undefined metrics, the calibration drop rule."""
+
+    def test_hand_computed_counts_and_wilson(self, spark):
+        import math
+
+        from spark_expectations_spark.operators import text
+        # stratum "a": scores/labels -> pred at 0.5:
+        #   (0.9, 1) tp, (0.8, 0) fp, (0.2, 1) fn, (0.1, 0) tn
+        rows = [("a", 0.9, 1), ("a", 0.8, 0), ("a", 0.2, 1), ("a", 0.1, 0)]
+        df = spark.createDataFrame(rows, "s string, score double, label int")
+        r = text.stratified_classification_report(
+            df, "score", "label", ("s",)).first()
+        assert (r["n"], r["tp"], r["fp"], r["fn"], r["tn"]) == (4, 1, 1, 1, 1)
+        assert r["precision"] == pytest.approx(0.5)
+        assert r["recall"] == pytest.approx(0.5)
+        assert r["f1"] == pytest.approx(0.5)
+        z = 1.959963985
+        n, p = 2.0, 0.5
+        lo = ((p + z * z / (2 * n)
+               - z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+              / (1 + z * z / n))
+        assert r["precision_lo"] == pytest.approx(lo)
+        assert r["recall_lo"] == pytest.approx(lo)
+        assert 0.0 <= r["precision_lo"] < 0.5 < r["precision_hi"] <= 1.0
+
+    def test_undefined_metrics_are_null_and_drop_rule(self, spark):
+        from spark_expectations_spark.operators import text
+        rows = [("neg", 0.1, 0), ("neg", 0.2, 0),      # no pred-pos, no actual-pos
+                ("bad", 1.5, 1), ("bad", None, 0),     # dropped entirely
+                ("bad", 0.9, 1)]
+        df = spark.createDataFrame(rows, "s string, score double, label int")
+        out = {r["s"]: r for r in text.stratified_classification_report(
+            df, "score", "label", ("s",)).collect()}
+        assert out["neg"]["precision"] is None       # tp+fp == 0
+        assert out["neg"]["recall"] is None          # tp+fn == 0
+        assert out["neg"]["f1"] is None
+        assert out["bad"]["n"] == 1                  # drop rule applied
+        with pytest.raises(ValueError, match="strata_cols"):
+            text.stratified_classification_report(
+                df, "score", "label", ())
+        with pytest.raises(ValueError, match="collide"):
+            text.stratified_classification_report(
+                df.withColumnRenamed("s", "tp"), "score", "label", ("tp",))
+
+
 class TestRocAuc:
     def test_hand_computed_with_ties(self, spark):
         """scores (label): 0.1(-), 0.4(+), 0.4(-), 0.8(+).

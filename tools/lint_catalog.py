@@ -10,7 +10,7 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (r14): 223/223 queries 0 errors;
+build) is present. Last full run (r14): 225/225 queries 0 errors;
 50 warn pairs, EVERY one carrying a standing adjudication below —
 enforced by tests/test_lint_adjudications.py over the
 tools/lint_warns.json snapshot this tool writes on full-catalog runs
@@ -118,13 +118,6 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
     ("docs_calibration_ece", "filter-not-pushed"):
         "same computed-fixture drop rule as docs_calibration — the "
         "score column is a when-chain over doc_id, not a scan column",
-    ("docs_set_jaccard_join", "filter-not-pushed"):
-        "prefix-rank bounds, positional/suffix filters, and the "
-        "jaccard >= t verify all predicate on COMPUTED shingle "
-        "arrays, df ranks, and join counts (docs_weighted_cosine's "
-        "adjudicated shape); the only scan-side filter "
-        "(size(split(text)) >= 8) is over a derived split. Corpus "
-        "read once, candidate space pruned by the prefix filter",
     ("part_blocking_quality", "filter-not-pushed"):
         "the deterministic 20% sample gate is an md5-hex-prefix "
         "EXPRESSION over the cast key (unpushable by parquet "
@@ -185,6 +178,10 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
     # computed when-chain fixture columns (docs_calibration's shape):
     # the predicate tests a column that does not exist in the parquet
     # schema
+    ("docs_stratified_metrics", "filter-not-pushed"):
+        "the drop rule tests the COMPUTED when-chain score fixture "
+        "(docs_calibration's adjudicated shape); one corpus scan into "
+        "a 20-key stratum groupBy",
     ("docs_isotonic_by_source", "filter-not-pushed"):
         "the drop rule tests the COMPUTED when-chain score fixture "
         "(docs_calibration's adjudicated shape); per-source PAV runs "
