@@ -272,7 +272,9 @@ BENCH_QUERIES = [
     "events_survival",
     # docs_stratified_metrics is deliberately unbenched per the
     # sibling rule: docs_calibration's one stratum-keyed groupBy shape
-    # with Wilson arithmetic on the 20-row output frame
+    # with Wilson arithmetic on the 20-row output frame;
+    # events_twa likewise: events_sliding's user-partitioned window +
+    # one map-side-combined groupBy, no new shape
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

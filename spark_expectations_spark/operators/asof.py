@@ -136,3 +136,50 @@ def range_join(
     joined = p.join(i, cond, "inner").where(
         (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
     return joined.drop(bucket)
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: Sequence[str],
+) -> DataFrame:
+    """Per-group time-weighted average over IRREGULARLY sampled values
+    — the metric a plain ``avg`` gets wrong whenever sampling density
+    correlates with the value (a sensor that reports more often when
+    busy, a price that ticks on volatility): each sample holds until
+    the group's next sample (zero-order hold) and is weighted by its
+    holding duration. Returns one row per group:
+
+        (n_intervals, span_ns, twa)
+
+    with ``twa = Σ v_i·Δt_i / Σ Δt_i`` over consecutive sample pairs —
+    the time unit cancels in the ratio, so Δt stays in the EXACT
+    integer nanoseconds of ``ts_col`` (the events-table convention)
+    and ``span_ns = Σ Δt_i`` is an exact long, not a rounded float.
+    A group's LAST sample has no successor and contributes no interval
+    — groups with a single sample therefore emit no row (an average
+    over zero duration has no value); groups needing an
+    observation-end convention should append a closing row first.
+
+    Scale shape: one group-partitioned ``lead`` window (the sort is
+    per group) + ONE map-side-combined groupBy — samples shuffle once,
+    keyed by group. Float contract: only ``twa`` is floating (a ratio
+    of double sums); round it to 9dp (+0.0) for cross-engine
+    comparison."""
+    gc = list(group_cols)
+    if not gc:
+        raise ValueError("group_cols must name at least one column "
+                         "(an ungrouped TWA is a single-task sort)")
+    if any(c in ("n_intervals", "span_ns", "twa") for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    w = Window.partitionBy(*gc).orderBy(ts_col)
+    dt = F.lead(ts_col).over(w) - F.col(ts_col)
+    v = F.col(value_col).cast("double")
+    stepped = (df.select(*gc, v.alias("_v"), dt.alias("_dt"))
+               .filter(F.col("_dt").isNotNull()))
+    return (stepped.groupBy(*gc)
+            .agg(F.count(F.lit(1)).alias("n_intervals"),
+                 F.sum("_dt").alias("span_ns"),
+                 (F.sum(F.col("_v") * F.col("_dt").cast("double"))
+                  / F.sum(F.col("_dt").cast("double"))).alias("twa")))

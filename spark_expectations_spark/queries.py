@@ -10149,6 +10149,36 @@ FROM m
 """
 
 
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value
+    (asof.time_weighted_mean): zero-order-hold weighting over the
+    irregular event stream — the engagement metric a plain avg skews
+    toward bursty users. Ratio unit-cancels so durations stay exact
+    integer ns (span_ns is an exact long; only twa is floating, 9dp).
+    No (user, ts) ties in the corpus, so the lead ordering is total.
+    Oracle replays the lead window and the ratio verbatim."""
+    from .operators import asof
+
+    ev = load(spark, sf_dir, "events")
+    out = asof.time_weighted_mean(ev, "ts", "value", ("user_id",))
+    return out.select(
+        "user_id", "n_intervals", "span_ns",
+        (F.round("twa", 9) + F.lit(0.0)).alias("twa"))
+
+
+ORACLE_EVENTS_TWA = """
+WITH s AS (
+  SELECT user_id, CAST(value AS DOUBLE) AS v,
+         lead(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+           - epoch_ns(ts) AS dt
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(dt) AS BIGINT) AS span_ns,
+       round(sum(v * dt) / sum(CAST(dt AS DOUBLE)), 9) + 0.0 AS twa
+FROM s WHERE dt IS NOT NULL GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10413,10 +10443,11 @@ FROM m
 #          per the r11 convention; displacement is recorded inline
 #          below as it happens: events_survival (Kaplan-Meier churn
 #          curves under a full cumulative-window value oracle)
-#          displaced dedup_exact, and docs_stratified_metrics
-#          (per-source confusion counts + Wilson interval QA)
-#          displaced embed_whiten_check (both displaced entries were
-#          r10-green one round ago).
+#          displaced dedup_exact, docs_stratified_metrics (per-source
+#          confusion counts + Wilson interval QA) displaced
+#          embed_whiten_check, and events_twa (per-user time-weighted
+#          averages, exact-ns spans) displaced ann_ivf_kmeans (all
+#          displaced entries were r10-green one round ago).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10449,7 +10480,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_calibration_ece",         # lint warn
     "embed_kmeans",                 # iterative — highest replay risk
     "embed_cluster_qa",
-    "ann_ivf_kmeans",
+    "events_twa",                # r14 new: time-weighted averages
     "events_survival",           # r14 new: Kaplan-Meier churn curves
     "docs_stratified_metrics",   # r14 new: per-source Wilson QA
 ]
@@ -10561,6 +10592,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_vocab_divergence": q_docs_vocab_divergence,
     "events_survival": q_events_survival,
     "docs_stratified_metrics": q_docs_stratified_metrics,
+    "events_twa": q_events_twa,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10789,6 +10821,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_vocab_divergence": ORACLE_DOCS_VOCAB_DIVERGENCE,
     "events_survival": ORACLE_EVENTS_SURVIVAL,
     "docs_stratified_metrics": ORACLE_DOCS_STRATIFIED_METRICS,
+    "events_twa": ORACLE_EVENTS_TWA,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

@@ -1328,6 +1328,39 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestTimeWeightedMean:
+    """Zero-order-hold TWA: hand-computed weighting, the plain-avg
+    divergence it exists to fix, single-sample drop, guards."""
+
+    def test_hand_computed_hold_weighting(self, spark):
+        from spark_expectations_spark.operators import asof
+        # user a: value 10 held for 1ns, then 20 held for 3ns
+        #   twa = (10*1 + 20*3) / 4 = 17.5 ; plain avg of samples would
+        #   be (10+20+0)/3 = 10 — the bursty-sampling skew
+        rows = [("a", 0, 10.0), ("a", 1, 20.0), ("a", 4, 0.0),
+                ("b", 0, 5.0), ("b", 10, 7.0),
+                ("solo", 3, 99.0)]
+        df = spark.createDataFrame(rows, "u string, ts long, value double")
+        out = {r["u"]: r for r in asof.time_weighted_mean(
+            df, "ts", "value", ("u",)).collect()}
+        assert out["a"]["n_intervals"] == 2
+        assert out["a"]["span_ns"] == 4
+        assert out["a"]["twa"] == pytest.approx(17.5)
+        assert out["b"]["twa"] == pytest.approx(5.0)   # 5 held the span
+        assert out["b"]["span_ns"] == 10
+        assert "solo" not in out                       # no interval
+
+    def test_guards(self, spark):
+        from spark_expectations_spark.operators import asof
+        df = spark.createDataFrame([("a", 0, 1.0)],
+                                   "u string, ts long, value double")
+        with pytest.raises(ValueError, match="group_cols"):
+            asof.time_weighted_mean(df, "ts", "value", ())
+        with pytest.raises(ValueError, match="collide"):
+            asof.time_weighted_mean(
+                df.withColumnRenamed("u", "twa"), "ts", "value", ("twa",))
+
+
 class TestAsofRange:
     def test_asof_backward_matches_merge_asof(self, spark):
         import pandas as pd
