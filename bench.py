@@ -274,7 +274,9 @@ BENCH_QUERIES = [
     # sibling rule: docs_calibration's one stratum-keyed groupBy shape
     # with Wilson arithmetic on the 20-row output frame;
     # events_twa likewise: events_sliding's user-partitioned window +
-    # one map-side-combined groupBy, no new shape
+    # one map-side-combined groupBy, no new shape;
+    # customer_kanonymity likewise: dq_counts' one-groupBy-one-fold
+    # shape over the QI tuple
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

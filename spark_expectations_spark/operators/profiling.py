@@ -931,3 +931,66 @@ def conformal_threshold(
             .select(*gc, "n", "k",
                     F.when(F.col("k") <= F.col("n"), F.col("__s"))
                     .cast("double").alias("threshold")))
+
+
+def k_anonymity_report(
+    df: DataFrame,
+    qi_cols: Sequence[str],
+    *,
+    k: int = 5,
+    sensitive_col: Optional[str] = None,
+    l: int = 2,
+) -> DataFrame:
+    """Re-identification audit over quasi-identifier columns — the
+    compliance gate before a table (or a training corpus's metadata)
+    ships: a row is k-ANONYMOUS when at least ``k`` rows share its
+    full quasi-identifier combination (Sweeney 2002), so small QI
+    groups are the linkable ones. With ``sensitive_col`` the report
+    adds l-DIVERSITY (Machanavajjhala 2007): a k-anonymous group still
+    leaks when everyone in it shares the same sensitive value, so
+    groups also need >= ``l`` DISTINCT sensitive values. Returns ONE
+    row:
+
+        (n_rows, n_groups, min_group_size, n_rows_below_k,
+         frac_rows_below_k [, min_l, n_groups_below_l,
+         n_rows_in_groups_below_l])
+
+    NULL quasi-identifier values form their own groups (NULL is itself
+    a linkable value — dropping those rows would hide exactly the
+    outliers the audit exists to find).
+
+    Scale shape: ONE map-side-combined groupBy over the QI tuple
+    (count + optional distinct-sensitive count), then a
+    group-cardinality fold to the report row — the corpus never
+    shuffles twice. Companion: the per-group risky-combination detail
+    is the grouped frame itself; this report is the gate, not the
+    drill-down."""
+    gc = list(qi_cols)
+    if not gc:
+        raise ValueError("qi_cols must name at least one column")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    if sensitive_col is not None:
+        if l < 1:
+            raise ValueError("l must be >= 1")
+        aggs.append(F.countDistinct(sensitive_col).alias("_l"))
+    groups = df.groupBy(*gc).agg(*aggs)
+    outs = [
+        F.sum("_n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("_n").alias("min_group_size"),
+        F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+        .alias("n_rows_below_k"),
+        (F.sum(F.when(F.col("_n") < k, F.col("_n")).otherwise(0))
+         / F.sum("_n")).alias("frac_rows_below_k"),
+    ]
+    if sensitive_col is not None:
+        outs += [
+            F.min("_l").alias("min_l"),
+            F.sum(F.when(F.col("_l") < l, 1).otherwise(0))
+            .alias("n_groups_below_l"),
+            F.sum(F.when(F.col("_l") < l, F.col("_n")).otherwise(0))
+            .alias("n_rows_in_groups_below_l"),
+        ]
+    return groups.agg(*outs)

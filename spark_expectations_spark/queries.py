@@ -10179,6 +10179,52 @@ FROM s WHERE dt IS NOT NULL GROUP BY user_id
 """
 
 
+def q_customer_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-identification audit (profiling.k_anonymity_report) over
+    customer quasi-identifiers (nation, market segment, account-balance
+    thousile) with l-diversity on the balance-sign sensitive value —
+    the privacy gate a training corpus's metadata table runs before
+    shipping. Every output is an exact integer or int/int division —
+    bit-identical cross-engine, no rounding."""
+    from .operators import profiling
+
+    cu = load(spark, sf_dir, "customer")
+    frame = cu.select(
+        "c_nationkey", "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_k"),
+        (F.col("c_acctbal") < 0).cast("int").alias("in_debt"))
+    return profiling.k_anonymity_report(
+        frame, ("c_nationkey", "c_mktsegment", "bal_k"),
+        k=5, sensitive_col="in_debt", l=2)
+
+
+ORACLE_CUSTOMER_KANONYMITY = """
+WITH f AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_k,
+         CASE WHEN c_acctbal < 0 THEN 1 ELSE 0 END AS in_debt
+  FROM customer),
+g AS (
+  SELECT c_nationkey, c_mktsegment, bal_k,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(count(DISTINCT in_debt) AS BIGINT) AS ld
+  FROM f GROUP BY 1, 2, 3)
+SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       min(n) AS min_group_size,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_below_k,
+       sum(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / sum(n)
+         AS frac_rows_below_k,
+       min(ld) AS min_l,
+       CAST(sum(CASE WHEN ld < 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_groups_below_l,
+       CAST(sum(CASE WHEN ld < 2 THEN n ELSE 0 END) AS BIGINT)
+         AS n_rows_in_groups_below_l
+FROM g
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10445,9 +10491,11 @@ FROM s WHERE dt IS NOT NULL GROUP BY user_id
 #          curves under a full cumulative-window value oracle)
 #          displaced dedup_exact, docs_stratified_metrics (per-source
 #          confusion counts + Wilson interval QA) displaced
-#          embed_whiten_check, and events_twa (per-user time-weighted
-#          averages, exact-ns spans) displaced ann_ivf_kmeans (all
-#          displaced entries were r10-green one round ago).
+#          embed_whiten_check, events_twa (per-user time-weighted
+#          averages, exact-ns spans) displaced ann_ivf_kmeans, and
+#          customer_kanonymity (k-anonymity/l-diversity privacy audit)
+#          displaced embed_cluster_qa (all displaced entries were
+#          r10-green one round ago).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10479,7 +10527,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_calibration",             # lint warn
     "docs_calibration_ece",         # lint warn
     "embed_kmeans",                 # iterative — highest replay risk
-    "embed_cluster_qa",
+    "customer_kanonymity",       # r14 new: k-anonymity/l-diversity
     "events_twa",                # r14 new: time-weighted averages
     "events_survival",           # r14 new: Kaplan-Meier churn curves
     "docs_stratified_metrics",   # r14 new: per-source Wilson QA
@@ -10593,6 +10641,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_survival": q_events_survival,
     "docs_stratified_metrics": q_docs_stratified_metrics,
     "events_twa": q_events_twa,
+    "customer_kanonymity": q_customer_kanonymity,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10822,6 +10871,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_survival": ORACLE_EVENTS_SURVIVAL,
     "docs_stratified_metrics": ORACLE_DOCS_STRATIFIED_METRICS,
     "events_twa": ORACLE_EVENTS_TWA,
+    "customer_kanonymity": ORACLE_CUSTOMER_KANONYMITY,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

@@ -1328,6 +1328,50 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestKAnonymityReport:
+    """k-anonymity/l-diversity audit: hand-computed group structure,
+    the l-diversity leak a pure-k audit misses, NULL-QI semantics."""
+
+    def test_hand_computed_k_and_l(self, spark):
+        from spark_expectations_spark.operators import profiling
+        # QI groups: (a,1)x5 (safe, sensitive diverse), (a,2)x2 (below
+        # k, sensitive CONSTANT -> also below l), (b,1)x1 (below k)
+        rows = ([("a", 1, i % 2) for i in range(5)]
+                + [("a", 2, 0), ("a", 2, 0)]
+                + [("b", 1, 1)])
+        df = spark.createDataFrame(rows, "q1 string, q2 int, s int")
+        r = profiling.k_anonymity_report(
+            df, ("q1", "q2"), k=3, sensitive_col="s", l=2).first()
+        assert (r["n_rows"], r["n_groups"], r["min_group_size"]) == (8, 3, 1)
+        assert r["n_rows_below_k"] == 3
+        assert r["frac_rows_below_k"] == pytest.approx(3 / 8)
+        assert r["min_l"] == 1
+        assert r["n_groups_below_l"] == 2      # (a,2) and the singleton
+        assert r["n_rows_in_groups_below_l"] == 3
+
+    def test_null_qi_forms_its_own_group(self, spark):
+        from spark_expectations_spark.operators import profiling
+        rows = [("x",), (None,), (None,)]
+        df = spark.createDataFrame(rows, "q string")
+        r = profiling.k_anonymity_report(df, ("q",), k=2).first()
+        # NULLs group together (2 rows); "x" is the k-violating singleton
+        assert r["n_groups"] == 2 and r["n_rows_below_k"] == 1
+
+    def test_guards_and_k_only_shape(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([("x", 0)], "q string, s int")
+        with pytest.raises(ValueError, match="qi_cols"):
+            profiling.k_anonymity_report(df, ())
+        with pytest.raises(ValueError, match="k must"):
+            profiling.k_anonymity_report(df, ("q",), k=0)
+        with pytest.raises(ValueError, match="l must"):
+            profiling.k_anonymity_report(df, ("q",), sensitive_col="s",
+                                         l=0)
+        cols = profiling.k_anonymity_report(df, ("q",), k=2).columns
+        assert "min_l" not in cols             # l-columns only with a
+                                               # sensitive column
+
+
 class TestTimeWeightedMean:
     """Zero-order-hold TWA: hand-computed weighting, the plain-avg
     divergence it exists to fix, single-sample drop, guards."""
