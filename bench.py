@@ -276,7 +276,9 @@ BENCH_QUERIES = [
     # events_twa likewise: events_sliding's user-partitioned window +
     # one map-side-combined groupBy, no new shape;
     # customer_kanonymity likewise: dq_counts' one-groupBy-one-fold
-    # shape over the QI tuple
+    # shape over the QI tuple;
+    # orders_schema_drift likewise: two whole-table null-count aggs
+    # (dq_counts' one-pass shape per side) + a literal-array explode
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -994,3 +994,60 @@ def k_anonymity_report(
             .alias("n_rows_in_groups_below_l"),
         ]
     return groups.agg(*outs)
+
+
+def schema_drift_report(
+    base: DataFrame,
+    cur: DataFrame,
+) -> DataFrame:
+    """Schema + null-rate drift between two snapshots of a table — the
+    day-2 companion to row-level ``snapshot_diff`` and
+    distribution-level ``drift_report``: upstream producers rename,
+    retype, and stop populating columns long before values drift.
+    One row per column in EITHER schema:
+
+        (column, status, type_base, type_cur, type_changed,
+         null_frac_base, null_frac_cur, null_frac_delta)
+
+    ``status`` ∈ added/removed/common (relative to base → cur); types
+    are Spark simpleString forms; null fractions are exact
+    int-count/int-count doubles (NULL for the side a column is absent
+    from). Column names compare case-sensitively — a case-only rename
+    reports as removed + added, which IS a producer change worth
+    seeing.
+
+    Scale shape: ONE whole-table aggregate per side (every column's
+    null count rides the same map-side-combined pass), exploded into
+    the column-cardinality report row set by a literal array — the
+    schema comparison itself is plan-time driver metadata, no data
+    moves for it."""
+    tb = {f.name: f.dataType.simpleString() for f in base.schema.fields}
+    tc = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
+
+    def null_fracs(df: DataFrame, names) -> DataFrame:
+        return df.agg(*[
+            F.avg(F.col(n).isNull().cast("int")).alias(n)
+            for n in names])
+
+    nb = null_fracs(base, tb)
+    nc = null_fracs(cur, tc)
+    cols = sorted(set(tb) | set(tc))
+    entries = F.array(*[
+        F.struct(
+            F.lit(n).alias("column"),
+            F.lit("common" if n in tb and n in tc
+                  else "removed" if n in tb else "added").alias("status"),
+            F.lit(tb.get(n)).cast("string").alias("type_base"),
+            F.lit(tc.get(n)).cast("string").alias("type_cur"),
+            F.lit(n in tb and n in tc
+                  and tb[n] != tc[n]).alias("type_changed"),
+            (F.col(f"b.{n}") if n in tb
+             else F.lit(None).cast("double")).alias("null_frac_base"),
+            (F.col(f"c.{n}") if n in tc
+             else F.lit(None).cast("double")).alias("null_frac_cur"))
+        for n in cols])
+    row = nb.alias("b").crossJoin(F.broadcast(nc.alias("c")))
+    return (row.select(F.explode(entries).alias("e"))
+            .select("e.*")
+            .withColumn("null_frac_delta",
+                        F.col("null_frac_cur") - F.col("null_frac_base")))

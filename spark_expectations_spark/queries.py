@@ -10225,6 +10225,64 @@ FROM g
 """
 
 
+def q_orders_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema + null-rate drift between two deterministic snapshot
+    shapes of orders (profiling.schema_drift_report): the v2 snapshot
+    drops o_custkey, adds a derived priority_rank, RETYPES
+    o_totalprice to string, and nulls o_orderstatus on a different
+    modulo —
+    the producer changes row/distribution diffs cannot see. Null
+    fractions are exact int/int doubles; the delta is one IEEE
+    subtraction of them — bit-identical cross-engine, no rounding."""
+    from .operators import profiling
+
+    od = load(spark, sf_dir, "orders")
+    base = od.select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        F.when(F.col("o_orderkey") % 7 == 0, None)
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"))
+    cur = od.select(
+        "o_orderkey",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        F.when(F.col("o_orderkey") % 3 == 0, None)
+        .otherwise(F.col("o_orderstatus")).alias("o_orderstatus"),
+        F.length("o_orderpriority").alias("priority_rank"))
+    return profiling.schema_drift_report(base, cur)
+
+
+ORACLE_ORDERS_SCHEMA_DRIFT = """
+WITH b AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey % 7 = 0 THEN 1 ELSE 0 END) AS st_null
+  FROM orders),
+c AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END) AS st_null
+  FROM orders)
+SELECT * FROM (
+  SELECT 'o_custkey' AS column, 'removed' AS status,
+         'bigint' AS type_base, CAST(NULL AS VARCHAR) AS type_cur,
+         false AS type_changed, 0.0 AS null_frac_base,
+         CAST(NULL AS DOUBLE) AS null_frac_cur,
+         CAST(NULL AS DOUBLE) AS null_frac_delta
+  UNION ALL
+  SELECT 'o_orderstatus', 'common', 'string', 'string', false,
+         (SELECT st_null * 1.0 / n FROM b),
+         (SELECT st_null * 1.0 / n FROM c),
+         (SELECT st_null * 1.0 / n FROM c)
+           - (SELECT st_null * 1.0 / n FROM b)
+  UNION ALL
+  SELECT 'o_orderkey', 'common', 'bigint', 'bigint', false,
+         0.0, 0.0, 0.0
+  UNION ALL
+  SELECT 'o_totalprice', 'common', 'double', 'string', true,
+         0.0, 0.0, 0.0
+  UNION ALL
+  SELECT 'priority_rank', 'added', NULL, 'int', false,
+         NULL, 0.0, NULL)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10494,8 +10552,9 @@ FROM g
 #          embed_whiten_check, events_twa (per-user time-weighted
 #          averages, exact-ns spans) displaced ann_ivf_kmeans, and
 #          customer_kanonymity (k-anonymity/l-diversity privacy audit)
-#          displaced embed_cluster_qa (all displaced entries were
-#          r10-green one round ago).
+#          displaced embed_cluster_qa, and orders_schema_drift
+#          (schema/null-rate snapshot drift) displaced embed_kmeans
+#          (all displaced entries were r10-green one round ago).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10526,7 +10585,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fs_scores",
     "docs_calibration",             # lint warn
     "docs_calibration_ece",         # lint warn
-    "embed_kmeans",                 # iterative — highest replay risk
+    "orders_schema_drift",       # r14 new: schema/null-rate drift
     "customer_kanonymity",       # r14 new: k-anonymity/l-diversity
     "events_twa",                # r14 new: time-weighted averages
     "events_survival",           # r14 new: Kaplan-Meier churn curves
@@ -10642,6 +10701,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_stratified_metrics": q_docs_stratified_metrics,
     "events_twa": q_events_twa,
     "customer_kanonymity": q_customer_kanonymity,
+    "orders_schema_drift": q_orders_schema_drift,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10872,6 +10932,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_stratified_metrics": ORACLE_DOCS_STRATIFIED_METRICS,
     "events_twa": ORACLE_EVENTS_TWA,
     "customer_kanonymity": ORACLE_CUSTOMER_KANONYMITY,
+    "orders_schema_drift": ORACLE_ORDERS_SCHEMA_DRIFT,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

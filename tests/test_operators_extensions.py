@@ -1328,6 +1328,40 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestSchemaDriftReport:
+    """Schema/null-rate drift: added, removed, retyped, and
+    null-delta rows; identical snapshots report no drift."""
+
+    def test_added_removed_retyped_and_null_delta(self, spark):
+        from spark_expectations_spark.operators import profiling
+        base = spark.createDataFrame(
+            [(1, 1.0, "x"), (2, 2.0, None)],
+            "id long, price double, tag string")
+        cur = spark.createDataFrame(
+            [(1, "1.0", 7), (2, None, 8)],
+            "id long, price string, rank int")
+        rows = {r["column"]: r for r in profiling.schema_drift_report(
+            base, cur).collect()}
+        assert rows["rank"]["status"] == "added"
+        assert rows["rank"]["type_base"] is None
+        assert rows["tag"]["status"] == "removed"
+        assert rows["tag"]["null_frac_cur"] is None
+        p = rows["price"]
+        assert (p["status"], p["type_changed"]) == ("common", True)
+        assert (p["type_base"], p["type_cur"]) == ("double", "string")
+        assert p["null_frac_base"] == 0.0
+        assert p["null_frac_cur"] == pytest.approx(0.5)
+        assert p["null_frac_delta"] == pytest.approx(0.5)
+        assert rows["id"]["type_changed"] is False
+
+    def test_identical_snapshots_no_drift(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        out = profiling.schema_drift_report(df, df).collect()
+        assert all(r["status"] == "common" and not r["type_changed"]
+                   and r["null_frac_delta"] == 0.0 for r in out)
+
+
 class TestKAnonymityReport:
     """k-anonymity/l-diversity audit: hand-computed group structure,
     the l-diversity leak a pure-k audit misses, NULL-QI semantics."""
