@@ -279,6 +279,10 @@ BENCH_QUERIES = [
     # shape over the QI tuple;
     # orders_schema_drift likewise: two whole-table null-count aggs
     # (dq_counts' one-pass shape per side) + a literal-array explode
+    #
+    # Heaps-law vocabulary growth (explode + first-occurrence min
+    # groupBy + checkpoint folds + a 5-row cumulative window)
+    "docs_vocab_growth",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -414,6 +414,71 @@ def token_counts(df: DataFrame, text_col: str,
             .groupBy("tok").agg(F.count(F.lit(1)).alias(out)))
 
 
+def vocab_growth_curve(
+    df: DataFrame,
+    order_col: str,
+    text_col: str,
+    checkpoints: Sequence,
+) -> DataFrame:
+    """Heaps-law vocabulary growth audit: distinct-type and total-token
+    counts over growing corpus PREFIXES (documents ordered by
+    ``order_col``, cut at each checkpoint) — the diversity signal that
+    says whether more data is still buying new vocabulary or the
+    corpus has started repeating itself (a flat curve at the tail is a
+    dedup/contamination smell; Heaps' law predicts V ≈ K·nᵝ, β≈0.5-0.7
+    for natural text). Returns one row per checkpoint:
+
+        (checkpoint, n_docs, n_tokens, vocab, type_token_ratio)
+
+    all CUMULATIVE over docs with ``order_col <= checkpoint``; every
+    value is an exact integer (or int/int ratio), so the curve is
+    value-oracle-able.
+
+    Scale shape: no per-prefix rescans — each token type collapses to
+    its FIRST document (one explode + min groupBy), first-seen orders
+    fold into checkpoint buckets (literal-array fold, pure codegen),
+    and the cumulative counts are a checkpoint-cardinality window.
+    Corpus tokens shuffle once, keyed by type."""
+    cps = sorted(checkpoints)
+    if not cps:
+        raise ValueError("need at least one checkpoint")
+    arr = F.array(*[F.lit(c) for c in cps])
+    # bucket index = number of checkpoints STRICTLY below the value →
+    # a doc/type at order o belongs to every checkpoint >= o, i.e. its
+    # first bucket is the smallest checkpoint >= o
+    bucket = F.aggregate(
+        arr, F.lit(0),
+        lambda acc, c: acc + F.when(F.col("_o") > c, 1).otherwise(0))
+    toks = (df.select(F.col(order_col).alias("_d"),
+                      F.explode(_tokens(F.col(text_col))).alias("tok")))
+    first = toks.groupBy("tok").agg(F.min("_d").alias("_o"))
+    w = (Window.orderBy("_b")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    vocab_by_b = (first.filter(bucket < len(cps))
+                  .groupBy(bucket.alias("_b"))
+                  .agg(F.count(F.lit(1)).alias("_v")))
+    docs_by_b = (df.select(F.col(order_col).alias("_o"),
+                           token_count(F.col(text_col)).alias("_nt"))
+                 .filter(bucket < len(cps))
+                 .groupBy(bucket.alias("_b"))
+                 .agg(F.count(F.lit(1)).alias("_nd"),
+                      F.sum("_nt").alias("_t")))
+    grid = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("_b"), F.lit(c).alias("checkpoint"))
+        for i, c in enumerate(cps)])).alias("g")
+    base = (df.sparkSession.range(1).select(grid).select("g.*")
+            .join(vocab_by_b, "_b", "left")
+            .join(docs_by_b, "_b", "left"))
+    return (base
+            .withColumn("n_docs", F.sum(F.coalesce("_nd", F.lit(0))).over(w))
+            .withColumn("n_tokens", F.sum(F.coalesce("_t", F.lit(0))).over(w))
+            .withColumn("vocab", F.sum(F.coalesce("_v", F.lit(0))).over(w))
+            .select("checkpoint", "n_docs", "n_tokens", "vocab",
+                    F.when(F.col("n_tokens") > 0,
+                           F.col("vocab") / F.col("n_tokens"))
+                    .alias("type_token_ratio")))
+
+
 def vocab_divergence_from_counts(
     base_counts: DataFrame,
     cur_counts: DataFrame,

@@ -10283,6 +10283,70 @@ SELECT * FROM (
 """
 
 
+def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth audit (text.vocab_growth_curve):
+    cumulative distinct types, token totals, and type/token ratio over
+    doc_id-ordered corpus prefixes at 5 deterministic checkpoints —
+    the is-more-data-still-buying-vocabulary signal. Exact integers +
+    one int/int ratio; the oracle replays first-occurrence folding and
+    the cumulative window."""
+    from .operators import text as text_ops
+
+    docs = load(spark, sf_dir, "documents")
+    n = docs.count()          # checkpoint grid: 5 even doc_id cuts
+    cps = [max(1, (n * i) // 5) * 1 for i in range(1, 6)]
+    out = text_ops.vocab_growth_curve(docs, "doc_id", "text", cps)
+    return out.select(
+        "checkpoint", "n_docs", "n_tokens", "vocab",
+        (F.round("type_token_ratio", 9) + F.lit(0.0))
+        .alias("type_token_ratio"))
+
+
+ORACLE_DOCS_VOCAB_GROWTH = r"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+cps AS (
+  SELECT CAST(greatest(1, (n.n * i) // 5) AS BIGINT) AS checkpoint,
+         row_number() OVER (ORDER BY i) AS b
+  FROM n, UNNEST(range(1, 6)) AS t(i)),
+toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
+           AS tok
+  FROM documents),
+first_seen AS (
+  SELECT tok, min(doc_id) AS o FROM toks WHERE tok <> ''
+  GROUP BY tok),
+vocab_by_b AS (SELECT b, CAST(count(*) AS BIGINT) AS v FROM (
+  SELECT f.tok, min(c.b) AS b
+  FROM first_seen f JOIN cps c ON f.o <= c.checkpoint
+  GROUP BY f.tok) GROUP BY b),
+doc_tok AS (
+  SELECT doc_id, count(*) AS nt FROM toks WHERE tok <> ''
+  GROUP BY doc_id),
+docs_by_b AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS nd, CAST(sum(nt) AS BIGINT) AS t
+  FROM (
+    SELECT d.doc_id, coalesce(dt.nt, 0) AS nt, min(c.b) AS b
+    FROM documents d
+    LEFT JOIN doc_tok dt USING (doc_id)
+    JOIN cps c ON d.doc_id <= c.checkpoint
+    GROUP BY d.doc_id, dt.nt)
+  GROUP BY b)
+SELECT c.checkpoint,
+       CAST(sum(coalesce(db.nd, 0)) OVER w AS BIGINT) AS n_docs,
+       CAST(sum(coalesce(db.t, 0)) OVER w AS BIGINT) AS n_tokens,
+       CAST(sum(coalesce(vb2.v, 0)) OVER w AS BIGINT) AS vocab,
+       round(CASE WHEN sum(coalesce(db.t, 0)) OVER w > 0
+                  THEN sum(coalesce(vb2.v, 0)) OVER w * 1.0
+                       / sum(coalesce(db.t, 0)) OVER w END, 9) + 0.0
+         AS type_token_ratio
+FROM cps c
+LEFT JOIN vocab_by_b vb2 USING (b)
+LEFT JOIN docs_by_b db USING (b)
+WINDOW w AS (ORDER BY c.b ROWS BETWEEN UNBOUNDED PRECEDING
+             AND CURRENT ROW)
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10552,9 +10616,12 @@ SELECT * FROM (
 #          embed_whiten_check, events_twa (per-user time-weighted
 #          averages, exact-ns spans) displaced ann_ivf_kmeans, and
 #          customer_kanonymity (k-anonymity/l-diversity privacy audit)
-#          displaced embed_cluster_qa, and orders_schema_drift
-#          (schema/null-rate snapshot drift) displaced embed_kmeans
-#          (all displaced entries were r10-green one round ago).
+#          displaced embed_cluster_qa, orders_schema_drift
+#          (schema/null-rate snapshot drift) displaced embed_kmeans,
+#          and docs_vocab_growth (Heaps-law vocabulary growth audit)
+#          displaced docs_calibration_ece (all displaced entries were
+#          r10-green one round ago; calibration_ece's lint warns are
+#          r14-adjudicated and its fixture code did not change).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10584,7 +10651,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fuzzy_matches",
     "part_fs_scores",
     "docs_calibration",             # lint warn
-    "docs_calibration_ece",         # lint warn
+    "docs_vocab_growth",         # r14 new: Heaps-law growth audit
     "orders_schema_drift",       # r14 new: schema/null-rate drift
     "customer_kanonymity",       # r14 new: k-anonymity/l-diversity
     "events_twa",                # r14 new: time-weighted averages
@@ -10702,6 +10769,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_twa": q_events_twa,
     "customer_kanonymity": q_customer_kanonymity,
     "orders_schema_drift": q_orders_schema_drift,
+    "docs_vocab_growth": q_docs_vocab_growth,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -10933,6 +11001,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_twa": ORACLE_EVENTS_TWA,
     "customer_kanonymity": ORACLE_CUSTOMER_KANONYMITY,
     "orders_schema_drift": ORACLE_ORDERS_SCHEMA_DRIFT,
+    "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

@@ -1328,6 +1328,39 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestVocabGrowthCurve:
+    """Heaps-law growth audit: hand-built curve with a repeated-vocab
+    flat tail, checkpoint-boundary inclusion, guards."""
+
+    def test_growth_and_flat_tail(self, spark):
+        from spark_expectations_spark.operators import text
+        rows = [(1, "a b"), (2, "b c"), (3, "a b"), (4, "c a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["checkpoint"]: r for r in text.vocab_growth_curve(
+            df, "doc_id", "text", [1, 2, 4]).collect()}
+        assert (out[1]["n_docs"], out[1]["n_tokens"], out[1]["vocab"]) \
+            == (1, 2, 2)
+        assert (out[2]["n_docs"], out[2]["n_tokens"], out[2]["vocab"]) \
+            == (2, 4, 3)
+        # docs 3-4 add tokens but NO new types: the flat tail
+        assert (out[4]["n_docs"], out[4]["n_tokens"], out[4]["vocab"]) \
+            == (4, 9, 3)
+        assert out[4]["type_token_ratio"] == pytest.approx(3 / 9)
+
+    def test_checkpoint_boundary_is_inclusive(self, spark):
+        from spark_expectations_spark.operators import text
+        df = spark.createDataFrame([(5, "x y")], "doc_id long, text string")
+        out = {r["checkpoint"]: r["vocab"] for r in text.vocab_growth_curve(
+            df, "doc_id", "text", [4, 5]).collect()}
+        assert out == {4: 0, 5: 2}
+
+    def test_empty_checkpoints_guard(self, spark):
+        from spark_expectations_spark.operators import text
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="checkpoint"):
+            text.vocab_growth_curve(df, "doc_id", "text", [])
+
+
 class TestSchemaDriftReport:
     """Schema/null-rate drift: added, removed, retyped, and
     null-delta rows; identical snapshots report no drift."""

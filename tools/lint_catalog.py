@@ -10,7 +10,7 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (r14): 228/228 queries 0 errors;
+build) is present. Last full run (r14): 229/229 queries 0 errors;
 50 warn pairs, EVERY one carrying a standing adjudication below —
 enforced by tests/test_lint_adjudications.py over the
 tools/lint_warns.json snapshot this tool writes on full-catalog runs
@@ -233,6 +233,10 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
     # single-partition exchanges over PROVABLY small frames the plan
     # alone cannot bound (windows/sorts over bins/segments/ranks —
     # the corpus-scale aggregations before them are parallel)
+    ("docs_vocab_growth", "single-partition-exchange"):
+        "the cumulative curve window orders the CHECKPOINT-cardinality "
+        "frame (5 rows); the corpus-scale first-occurrence groupBy and "
+        "per-doc token counts before it are fully parallel",
     ("docs_isotonic_check", "single-partition-exchange"):
         "the PAV pool window runs on the DISTINCT-score frame (the "
         "fixture's 101 score values); the corpus-scale (score, n, "
