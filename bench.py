@@ -283,6 +283,9 @@ BENCH_QUERIES = [
     # Heaps-law vocabulary growth (explode + first-occurrence min
     # groupBy + checkpoint folds + a 5-row cumulative window)
     "docs_vocab_growth",
+    # per-segment CUSUM change-point scan (one (segment, day) groupBy
+    # + segment-partitioned cumulative/argmax windows)
+    "events_change_point",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -967,3 +967,80 @@ def survival_curve(
             .withColumn("survival", surv)
             .select(*gc, "t", "n_risk", "n_event", "n_censored",
                     "survival"))
+
+
+def cusum_change_point(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """WHERE did the metric shift — the temporal member of the drift
+    family (PSI/KS/chi² say whether two snapshots differ; this finds
+    the change point inside ONE series): per group, buckets ordered by
+    ``bucket_col`` carry the per-bucket mean of ``value_col``, and the
+    standardized CUSUM statistic
+
+        T_k = |Σ_{i<=k} (x_i − x̄)| · sqrt(n / (k · (n − k)))
+
+    is maximized over split points k ∈ 1..n−1 — the classic
+    mean-shift scan (Page 1954 / Pettitt's MacNeill form). Returns one
+    row per group:
+
+        (n_buckets, change_at, tmax, mean_left, mean_right)
+
+    where ``change_at`` is the LAST bucket of the left segment (ties
+    break to the earliest bucket, deterministically) and the two means
+    are the bucket-mean averages either side of it. Groups with fewer
+    than 2 buckets yield NULL change_at/tmax (no split exists).
+
+    Scale shape: ONE (group, bucket) groupBy collapses the corpus to
+    bucket-cardinality rows; everything after — the centered cumulative
+    sum, the statistic, the argmax rank — is group-partitioned windows
+    over those rows. Float contract: tmax/means are double sums over
+    bucket means — round to 9dp (+0.0) cross-engine."""
+    gc = list(group_cols)
+    if any(c in ("n_buckets", "change_at", "tmax", "mean_left",
+                 "mean_right") for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    per_b = (df.groupBy(*gc, F.col(bucket_col).alias("_b"))
+             .agg(F.avg(F.col(value_col).cast("double")).alias("_x")))
+    wg = Window.partitionBy(*gc)
+    w_asc = wg.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
+    stats = (per_b
+             .withColumn("_n", F.count(F.lit(1)).over(wg))
+             .withColumn("_xbar", F.avg("_x").over(wg))
+             .withColumn("_k", F.row_number().over(wg.orderBy("_b")))
+             # Σx − k·x̄, NOT Σ(x − x̄): the same floating expression
+             # an SQL replay writes, so the two engines round the same
+             # way instead of 9dp-close
+             .withColumn("_s", F.sum("_x").over(w_asc)
+                         - F.col("_k") * F.col("_xbar"))
+             .withColumn("_cml", F.avg("_x").over(w_asc)))
+    cand = (stats.filter(F.col("_k") < F.col("_n"))
+            .withColumn("_t", F.abs(F.col("_s")) * F.sqrt(
+                F.col("_n") / (F.col("_k") * (F.col("_n") - F.col("_k")))))
+            )
+    pick = Window.partitionBy(*gc).orderBy(F.col("_t").desc(), "_b")
+    best = (cand.withColumn("_rk", F.row_number().over(pick))
+            .filter(F.col("_rk") == 1))
+    mean_right = ((F.col("_n") * F.col("_xbar")
+                   - F.col("_k") * F.col("_cml"))
+                  / (F.col("_n") - F.col("_k")))
+    picked = best.select(
+        *gc, F.col("_n").alias("n_buckets"),
+        F.col("_b").alias("change_at"), F.col("_t").alias("tmax"),
+        F.col("_cml").alias("mean_left"), mean_right.alias("mean_right"))
+    # groups too small to split (n < 2) never reach `cand`; re-attach
+    # them with NULL results so the fleet report stays total
+    bt = per_b.schema["_b"].dataType
+    singles = (per_b.groupBy(*gc)
+               .agg(F.count(F.lit(1)).alias("n_buckets"))
+               .filter(F.col("n_buckets") < 2)
+               .select(*gc, "n_buckets",
+                       F.lit(None).cast(bt).alias("change_at"),
+                       F.lit(None).cast("double").alias("tmax"),
+                       F.lit(None).cast("double").alias("mean_left"),
+                       F.lit(None).cast("double").alias("mean_right")))
+    return picked.unionByName(singles)

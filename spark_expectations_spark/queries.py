@@ -10347,6 +10347,68 @@ WINDOW w AS (ORDER BY c.b ROWS BETWEEN UNBOUNDED PRECEDING
 """
 
 
+def q_events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM change-point scan
+    (drift.cusum_change_point) over daily value means, with a
+    deterministic level shift INJECTED into the purchase segment at
+    day 15 (value + 50 from that day on) so the detector has a true
+    positive to find while the other segments report their natural
+    argmax. change_at/n_buckets are exact integers; tmax and the two
+    segment means are 9dp (+0.0). The oracle replays the bucket agg,
+    the centered cumulative sum, the standardized statistic, and the
+    earliest-argmax pick verbatim."""
+    from .operators import drift
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    val = (F.col("value")
+           + F.when((day >= 15) & (F.col("event_type") == "purchase"),
+                    F.lit(50.0)).otherwise(F.lit(0.0)))
+    frame = ev.select("event_type", day.alias("day"), val.alias("v"))
+    out = drift.cusum_change_point(frame, "day", "v",
+                                   group_cols=("event_type",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("event_type", "n_buckets", "change_at",
+                      r9("tmax"), r9("mean_left"), r9("mean_right"))
+
+
+ORACLE_EVENTS_CHANGE_POINT = f"""
+WITH f AS (
+  SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day,
+         value + CASE WHEN epoch_ns(ts) // {_NS_PER_DAY} >= 15
+                       AND event_type = 'purchase'
+                      THEN 50.0 ELSE 0.0 END AS v
+  FROM events),
+per_b AS (
+  SELECT event_type, day AS b, avg(v) AS x
+  FROM f GROUP BY event_type, day),
+st AS (
+  SELECT *,
+         CAST(count(*) OVER g AS BIGINT) AS n,
+         avg(x) OVER g AS xbar,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY b)
+              AS BIGINT) AS k,
+         sum(x) OVER w AS sx,
+         avg(x) OVER w AS cml
+  FROM per_b
+  WINDOW g AS (PARTITION BY event_type),
+         w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cand AS (
+  SELECT *, abs(sx - k * xbar) * sqrt(n * 1.0 / (k * (n - k))) AS t
+  FROM st WHERE k < n),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY t DESC, b) AS rk
+  FROM cand)
+SELECT event_type, n AS n_buckets, b AS change_at,
+       round(t, 9) + 0.0 AS tmax,
+       round(cml, 9) + 0.0 AS mean_left,
+       round((n * xbar - k * cml) / (n - k), 9) + 0.0 AS mean_right
+FROM best WHERE rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10618,9 +10680,11 @@ WINDOW w AS (ORDER BY c.b ROWS BETWEEN UNBOUNDED PRECEDING
 #          customer_kanonymity (k-anonymity/l-diversity privacy audit)
 #          displaced embed_cluster_qa, orders_schema_drift
 #          (schema/null-rate snapshot drift) displaced embed_kmeans,
-#          and docs_vocab_growth (Heaps-law vocabulary growth audit)
-#          displaced docs_calibration_ece (all displaced entries were
-#          r10-green one round ago; calibration_ece's lint warns are
+#          docs_vocab_growth (Heaps-law vocabulary growth audit)
+#          displaced docs_calibration_ece, and events_change_point
+#          (per-segment CUSUM mean-shift scan) displaced
+#          docs_calibration (all displaced entries were r10-green one
+#          round ago; the calibration pair's lint warns are
 #          r14-adjudicated and its fixture code did not change).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
@@ -10650,7 +10714,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fuzzy_qgram",
     "part_fuzzy_matches",
     "part_fs_scores",
-    "docs_calibration",             # lint warn
+    "events_change_point",       # r14 new: CUSUM change point
     "docs_vocab_growth",         # r14 new: Heaps-law growth audit
     "orders_schema_drift",       # r14 new: schema/null-rate drift
     "customer_kanonymity",       # r14 new: k-anonymity/l-diversity
@@ -10770,6 +10834,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_kanonymity": q_customer_kanonymity,
     "orders_schema_drift": q_orders_schema_drift,
     "docs_vocab_growth": q_docs_vocab_growth,
+    "events_change_point": q_events_change_point,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -11002,6 +11067,7 @@ ORACLES: dict[str, Optional[str]] = {
     "customer_kanonymity": ORACLE_CUSTOMER_KANONYMITY,
     "orders_schema_drift": ORACLE_ORDERS_SCHEMA_DRIFT,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
+    "events_change_point": ORACLE_EVENTS_CHANGE_POINT,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

@@ -1328,6 +1328,55 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestCusumChangePoint:
+    """Standardized CUSUM mean-shift scan: a planted shift is found at
+    the right bucket, a flat series has small tmax, singletons yield
+    NULL, tie-break is earliest."""
+
+    def test_planted_shift_found(self, spark):
+        from spark_expectations_spark.operators import drift
+        # buckets 1..10, mean 0 for 1-5 and 10 for 6-10 -> change at 5
+        rows = [(b, 0.0 if b <= 5 else 10.0) for b in range(1, 11)]
+        df = spark.createDataFrame(rows, "day int, v double")
+        r = drift.cusum_change_point(df, "day", "v").first()
+        assert r["n_buckets"] == 10 and r["change_at"] == 5
+        assert r["mean_left"] == pytest.approx(0.0)
+        assert r["mean_right"] == pytest.approx(10.0)
+        assert r["tmax"] == pytest.approx(
+            abs(5 * 0.0 - 5 * 5.0) * (10 / (5 * 5)) ** 0.5)
+
+    def test_flat_series_small_stat_and_groups(self, spark):
+        from spark_expectations_spark.operators import drift
+        rows = ([("flat", b, 1.0) for b in range(1, 9)]
+                + [("shift", b, 0.0 if b <= 3 else 4.0)
+                   for b in range(1, 9)]
+                + [("solo", 1, 9.9)])
+        df = spark.createDataFrame(rows, "g string, day int, v double")
+        out = {r["g"]: r for r in drift.cusum_change_point(
+            df, "day", "v", group_cols=("g",)).collect()}
+        assert out["flat"]["tmax"] == pytest.approx(0.0)
+        assert out["shift"]["change_at"] == 3
+        assert out["solo"]["n_buckets"] == 1
+        assert out["solo"]["change_at"] is None
+        assert out["solo"]["tmax"] is None
+
+    def test_tie_breaks_to_earliest_bucket(self, spark):
+        from spark_expectations_spark.operators import drift
+        # symmetric bump: T is equal at k=1 and k=3 -> earliest wins
+        rows = [(1, 0.0), (2, 3.0), (3, 3.0), (4, 0.0)]
+        df = spark.createDataFrame(rows, "day int, v double")
+        r = drift.cusum_change_point(df, "day", "v").first()
+        assert r["change_at"] == 1
+
+    def test_reserved_name_guard(self, spark):
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame([(1, 1.0, "x")],
+                                   "day int, v double, tmax string")
+        with pytest.raises(ValueError, match="group_cols"):
+            drift.cusum_change_point(df, "day", "v",
+                                     group_cols=("tmax",))
+
+
 class TestVocabGrowthCurve:
     """Heaps-law growth audit: hand-built curve with a repeated-vocab
     flat tail, checkpoint-boundary inclusion, guards."""
