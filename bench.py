@@ -286,6 +286,9 @@ BENCH_QUERIES = [
     # per-segment CUSUM change-point scan (one (segment, day) groupBy
     # + segment-partitioned cumulative/argmax windows)
     "events_change_point",
+    # orders_benford is deliberately unbenched per the sibling rule:
+    # orders_status_chi2's fold-bucket + chi2-series shape with a
+    # digit key instead of a status key
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

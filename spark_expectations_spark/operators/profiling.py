@@ -1051,3 +1051,78 @@ def schema_drift_report(
             .select("e.*")
             .withColumn("null_frac_delta",
                         F.col("null_frac_cur") - F.col("null_frac_base")))
+
+
+#: Benford first-digit probabilities log10(1 + 1/d), written as exact
+#: double literals so Spark and any SQL replay aggregate over
+#: IDENTICAL constants (repr round-trips the IEEE value).
+BENFORD_P = (0.3010299956639812, 0.17609125905568124,
+             0.12493873660829993, 0.09691001300805642,
+             0.07918124604762482, 0.06694678963061322,
+             0.05799194697768673, 0.05115252244738129,
+             0.04575749056067514)
+
+
+def benford_report(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Benford's-law first-digit audit — the classic fabricated-or-
+    truncated-numbers smell test for naturally occurring magnitudes
+    (amounts, populations, file sizes): the first significant digit of
+    honest multi-order-of-magnitude data follows
+    ``P(d) = log10(1 + 1/d)``, and hand-entered, capped, or
+    synthesized values do not. One row per group:
+
+        (n, chi2, p_value, worst_digit, worst_abs_gap)
+
+    chi² against the Benford expectation over digits 1-9 (8 degrees of
+    freedom — even, so the portable closed-form p-value applies),
+    plus the digit with the largest absolute frequency gap.
+
+    Digit extraction is EXACT, not floating: the first character of
+    the integer part rendered as a string (integer-to-decimal is
+    bit-identical in every engine), so there is no log10-at-a-
+    power-of-ten boundary hazard. Rows with ``|value| < 1`` or NULL
+    are dropped by contract (their first significant digit lives in
+    the fraction; Benford audits magnitudes) — an audit over such data
+    should rescale first.
+
+    Scale shape: the digit fold rides the scan projection into ONE
+    map-side-combined (group, digit) groupBy; chi² and the worst-gap
+    pick are digit-cardinality folds. Float contract: chi2/p/gap are
+    arithmetic over exact counts and the literal probabilities —
+    round 9dp (+0.0)."""
+    from .drift import chi2_pvalue
+
+    gc = list(group_cols)
+    if any(c in ("n", "chi2", "p_value", "worst_digit", "worst_abs_gap")
+           for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    v = F.abs(F.col(value_col).cast("double"))
+    digit = F.substring(
+        F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
+    per_d = (df.filter(F.col(value_col).isNotNull() & (v >= 1.0))
+             .groupBy(*gc, digit.alias("_d"))
+             .agg(F.count(F.lit(1)).alias("_c")))
+    n = F.sum("_c")
+    terms_chi2 = []
+    terms_gap = []
+    for d, p in zip(range(1, 10), BENFORD_P):
+        obs = F.sum(F.when(F.col("_d") == d, F.col("_c")).otherwise(0))
+        terms_chi2.append(
+            (obs - n * F.lit(p)) * (obs - n * F.lit(p)) / (n * F.lit(p)))
+        terms_gap.append(F.struct(
+            F.abs(obs / n - F.lit(p)).alias("gap"),
+            F.lit(d).alias("d")))
+    chi2 = sum(terms_chi2[1:], terms_chi2[0])
+    worst = F.greatest(*terms_gap)
+    return (per_d.groupBy(*gc)
+            .agg(n.alias("n"), chi2.alias("chi2"),
+                 worst.getField("d").alias("worst_digit"),
+                 worst.getField("gap").alias("worst_abs_gap"))
+            .select(*gc, "n", "chi2",
+                    chi2_pvalue("chi2", F.lit(8)).alias("p_value"),
+                    "worst_digit", "worst_abs_gap"))

@@ -10409,6 +10409,77 @@ FROM best WHERE rk = 1
 """
 
 
+def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit (profiling.benford_report) of order
+    totals per priority class — the fabricated/truncated-numbers smell
+    test. The synthetic uniform-ish prices are NOT Benford, so the
+    audit reports enormous chi² and p ≈ 0 — the correct verdict for
+    synthetic data, and exactly what the operator exists to say.
+    Digit extraction is exact string-of-integer-part; chi²/gaps are
+    arithmetic over exact counts and shared literal probabilities,
+    9dp (+0.0)."""
+    from .operators import profiling
+
+    od = load(spark, sf_dir, "orders")
+    out = profiling.benford_report(od, "o_totalprice",
+                                   group_cols=("o_orderpriority",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("o_orderpriority", "n", r9("chi2"), "p_value",
+                      "worst_digit", r9("worst_abs_gap"))
+
+
+ORACLE_ORDERS_BENFORD = """
+WITH bp(d, p) AS (VALUES
+         (1, 0.3010299956639812),
+         (2, 0.17609125905568124),
+         (3, 0.12493873660829993),
+         (4, 0.09691001300805642),
+         (5, 0.07918124604762482),
+         (6, 0.06694678963061322),
+         (7, 0.05799194697768673),
+         (8, 0.05115252244738129),
+         (9, 0.04575749056067514)),
+f AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS d
+  FROM orders
+  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1.0),
+cnt AS (
+  SELECT o_orderpriority, d, CAST(count(*) AS BIGINT) AS c
+  FROM f GROUP BY o_orderpriority, d),
+tot AS (
+  SELECT o_orderpriority, CAST(sum(c) AS BIGINT) AS n
+  FROM cnt GROUP BY o_orderpriority),
+gaps AS (
+  SELECT t.o_orderpriority, t.n, bp.d,
+         CAST(bp.p AS DOUBLE) AS p,
+         coalesce(c.c, 0) AS obs,
+         (coalesce(c.c, 0) - t.n * CAST(bp.p AS DOUBLE))
+           * (coalesce(c.c, 0) - t.n * CAST(bp.p AS DOUBLE))
+           / (t.n * CAST(bp.p AS DOUBLE)) AS term,
+         abs(coalesce(c.c, 0) * 1.0 / t.n - CAST(bp.p AS DOUBLE)) AS gap
+  FROM tot t CROSS JOIN bp
+  LEFT JOIN cnt c ON c.o_orderpriority = t.o_orderpriority
+                 AND c.d = bp.d),
+agg AS (
+  SELECT o_orderpriority, n, sum(term) AS chi2
+  FROM gaps GROUP BY o_orderpriority, n),
+w AS (
+  SELECT o_orderpriority, d AS worst_digit, gap AS worst_abs_gap,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY gap DESC, d DESC) AS rk
+  FROM gaps)
+SELECT a.o_orderpriority, a.n, round(a.chi2, 9) + 0.0 AS chi2,
+       round(exp(-a.chi2 / 2) * (1 + (a.chi2 / 2)
+             + (a.chi2 / 2) * (a.chi2 / 2) / 2
+             + (a.chi2 / 2) * (a.chi2 / 2) * (a.chi2 / 2) / 6), 9)
+         + 0.0 AS p_value,
+       w.worst_digit, round(w.worst_abs_gap, 9) + 0.0 AS worst_abs_gap
+FROM agg a JOIN w ON a.o_orderpriority = w.o_orderpriority AND w.rk = 1
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10681,11 +10752,12 @@ FROM best WHERE rk = 1
 #          displaced embed_cluster_qa, orders_schema_drift
 #          (schema/null-rate snapshot drift) displaced embed_kmeans,
 #          docs_vocab_growth (Heaps-law vocabulary growth audit)
-#          displaced docs_calibration_ece, and events_change_point
+#          displaced docs_calibration_ece, events_change_point
 #          (per-segment CUSUM mean-shift scan) displaced
-#          docs_calibration (all displaced entries were r10-green one
-#          round ago; the calibration pair's lint warns are
-#          r14-adjudicated and its fixture code did not change).
+#          docs_calibration, and orders_benford (Benford first-digit
+#          audit) displaced part_fs_scores (all displaced entries were
+#          r10-green one round ago; the calibration pair's lint warns
+#          are r14-adjudicated and its fixture code did not change).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10713,7 +10785,7 @@ DRIVER_PRIORITY: list[str] = [
     "part_fuzzy_probe",             # lint warn
     "part_fuzzy_qgram",
     "part_fuzzy_matches",
-    "part_fs_scores",
+    "orders_benford",            # r14 new: Benford digit audit
     "events_change_point",       # r14 new: CUSUM change point
     "docs_vocab_growth",         # r14 new: Heaps-law growth audit
     "orders_schema_drift",       # r14 new: schema/null-rate drift
@@ -10835,6 +10907,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_schema_drift": q_orders_schema_drift,
     "docs_vocab_growth": q_docs_vocab_growth,
     "events_change_point": q_events_change_point,
+    "orders_benford": q_orders_benford,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -11068,6 +11141,7 @@ ORACLES: dict[str, Optional[str]] = {
     "orders_schema_drift": ORACLE_ORDERS_SCHEMA_DRIFT,
     "docs_vocab_growth": ORACLE_DOCS_VOCAB_GROWTH,
     "events_change_point": ORACLE_EVENTS_CHANGE_POINT,
+    "orders_benford": ORACLE_ORDERS_BENFORD,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

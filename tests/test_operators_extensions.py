@@ -1328,6 +1328,52 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestBenfordReport:
+    """Benford audit: a log-uniform fixture passes, uniform data
+    fails, the magnitude drop rule, reserved-name guard."""
+
+    def test_benford_consistent_sample_low_chi2(self, spark):
+        from spark_expectations_spark.operators import profiling
+        # ~log-uniform magnitudes follow Benford: build a deterministic
+        # sample whose first-digit histogram matches log10(1+1/d)
+        # closely by construction (counts proportional to the probs)
+        rows = []
+        for d, p in zip(range(1, 10), profiling.BENFORD_P):
+            rows += [(float(d) * 10,)] * round(p * 1000)
+        df = spark.createDataFrame(rows, "v double")
+        r = profiling.benford_report(df, "v").first()
+        assert r["n"] == len(rows)
+        assert r["chi2"] < 1.0                 # near-perfect fit
+        assert r["p_value"] > 0.99
+        assert r["worst_abs_gap"] < 0.001
+
+    def test_uniform_data_flagged(self, spark):
+        from spark_expectations_spark.operators import profiling
+        # uniform 100..999 -> every first digit ~equally likely: the
+        # audit must reject hard (digit 1 under-represented vs 30.1%)
+        df = spark.range(100, 1000).selectExpr("CAST(id AS DOUBLE) v")
+        r = profiling.benford_report(df, "v").first()
+        assert r["chi2"] > 100
+        assert r["p_value"] == 0.0
+        assert r["worst_digit"] == 1
+
+    def test_magnitude_drop_rule_and_groups(self, spark):
+        from spark_expectations_spark.operators import profiling
+        rows = [("a", 0.5), ("a", None), ("a", 12.0), ("a", -3.0),
+                ("b", 7.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["g"]: r for r in profiling.benford_report(
+            df, "v", group_cols=("g",)).collect()}
+        assert out["a"]["n"] == 2              # 0.5 and NULL dropped
+        assert out["b"]["n"] == 1
+
+    def test_reserved_name_guard(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(1.0, "x")], "v double, chi2 string")
+        with pytest.raises(ValueError, match="group_cols"):
+            profiling.benford_report(df, "v", group_cols=("chi2",))
+
+
 class TestCusumChangePoint:
     """Standardized CUSUM mean-shift scan: a planted shift is found at
     the right bucket, a flat series has small tmax, singletons yield

@@ -10,7 +10,7 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (r14): 230/230 queries 0 errors;
+build) is present. Last full run (r14): 231/231 queries 0 errors;
 50 warn pairs, EVERY one carrying a standing adjudication below —
 enforced by tests/test_lint_adjudications.py over the
 tools/lint_warns.json snapshot this tool writes on full-catalog runs
@@ -233,6 +233,11 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
     # single-partition exchanges over PROVABLY small frames the plan
     # alone cannot bound (windows/sorts over bins/segments/ranks —
     # the corpus-scale aggregations before them are parallel)
+    ("orders_benford", "filter-not-pushed"):
+        "the magnitude gate (abs(value) >= 1) is a function-wrapped "
+        "predicate by the operator's documented contract — parquet "
+        "pushes plain comparisons only; one scan into a (group, "
+        "digit) groupBy",
     ("docs_vocab_growth", "single-partition-exchange"):
         "the cumulative curve window orders the CHECKPOINT-cardinality "
         "frame (5 rows); the corpus-scale first-occurrence groupBy and "
