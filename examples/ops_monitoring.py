@@ -1,0 +1,100 @@
+"""Day-2 operations monitoring, end to end, over the round-14
+analytics operators: detect producer schema changes between snapshots
+(schema_drift_report), locate WHEN a metric shifted (CUSUM change
+point), measure engagement with time-weighted averages and
+Kaplan-Meier churn curves, audit numeric plausibility (Benford first
+digits) and re-identification risk (k-anonymity / l-diversity), and
+watch whether more data still buys vocabulary (Heaps-law growth).
+Every step is a declarative DataFrame transform; only
+group/bucket-cardinality frames reach the driver.
+
+    python examples/ops_monitoring.py [sf_dir]
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from spark_expectations_spark.operators import asof, drift, profiling
+from spark_expectations_spark.operators import text as T
+
+_NS_PER_DAY = 86_400_000_000_000
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (SparkSession.builder.master("local[4]")
+             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.ui.enabled", "false").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cu = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.unix_micros(F.col("ts").cast("timestamp")) * 1000)
+
+    # 1. producer watch: did the upstream schema or null profile move?
+    v2 = od.drop("o_custkey").withColumn(
+        "o_totalprice", F.col("o_totalprice").cast("string"))
+    sd = profiling.schema_drift_report(od, v2)
+    changed = sd.filter("status <> 'common' OR type_changed").count()
+    print(f"schema drift: {changed} column(s) changed")
+
+    # 2. WHEN did the purchase value level shift? (planted for demo —
+    # epoch day 19723 is the generator's fixed 2024-01-01 start)
+    day = (F.col("ts") / _NS_PER_DAY).cast("long")
+    shifted = ev.select(
+        "event_type", day.alias("day"),
+        (F.col("value")
+         + F.when(day - 19723 >= 15, 25.0).otherwise(0.0)).alias("v"))
+    cp = drift.cusum_change_point(shifted, "day", "v",
+                                  group_cols=("event_type",))
+    row = cp.orderBy(F.desc("tmax")).first()
+    print(f"change point: {row['event_type']} shifted at day "
+          f"{row['change_at']} (t={row['tmax']:.2f})")
+
+    # 3. engagement: time-weighted value + churn curves per cohort
+    twa = asof.time_weighted_mean(ev, "ts", "value", ("user_id",))
+    print(f"median-ish TWA sample: {twa.limit(3).collect()}")
+    acts = ev.select("user_id", day.alias("day")).distinct()
+    u = acts.groupBy("user_id").agg(F.min("day").alias("fd"),
+                                    F.max("day").alias("ld"))
+    dmax = acts.agg(F.max("day").alias("dmax"))
+    subj = (u.crossJoin(F.broadcast(dmax))
+            .select((F.col("fd") % 3).alias("cohort"),
+                    (F.col("ld") - F.col("fd")).alias("dur"),
+                    (F.col("ld") < F.col("dmax")).cast("int").alias("e")))
+    km = drift.survival_curve(subj, "dur", "e", group_cols=("cohort",))
+    print(f"churn curve rows: {km.count()}")
+
+    # 4. plausibility + privacy gates before the table ships
+    ben = profiling.benford_report(
+        od, "o_totalprice", group_cols=("o_orderpriority",)).first()
+    print(f"benford: chi2={ben['chi2']:.1f} p={ben['p_value']} "
+          f"(synthetic uniform prices correctly rejected)")
+    ka = profiling.k_anonymity_report(
+        cu.select("c_nationkey", "c_mktsegment",
+                  F.floor(F.col("c_acctbal") / 1000).alias("bal_k")),
+        ("c_nationkey", "c_mktsegment", "bal_k"), k=5).first()
+    print(f"k-anonymity: {ka['n_rows_below_k']}/{ka['n_rows']} rows "
+          f"linkable below k=5")
+
+    # 5. corpus diversity: is more data still buying vocabulary?
+    n = docs.count()
+    growth = T.vocab_growth_curve(
+        docs, "doc_id", "text",
+        [max(1, n * i // 4) for i in range(1, 5)])
+    for r in growth.collect():
+        print(f"  docs<={r['checkpoint']}: vocab={r['vocab']} "
+              f"ttr={r['type_token_ratio']:.4f}")
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

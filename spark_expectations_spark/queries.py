@@ -10350,19 +10350,22 @@ WINDOW w AS (ORDER BY c.b ROWS BETWEEN UNBOUNDED PRECEDING
 def q_events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM change-point scan
     (drift.cusum_change_point) over daily value means, with a
-    deterministic level shift INJECTED into the purchase segment at
-    day 15 (value + 50 from that day on) so the detector has a true
-    positive to find while the other segments report their natural
-    argmax. change_at/n_buckets are exact integers; tmax and the two
-    segment means are 9dp (+0.0). The oracle replays the bucket agg,
-    the centered cumulative sum, the standardized statistic, and the
+    deterministic level shift INJECTED into the purchase segment from
+    relative day 15 on (epoch day 19723 is the generator's fixed
+    2024-01-01 corpus start, so rel_day = day − 19723 is
+    scale-independent) — the detector has a true positive to find
+    while the other segments report their natural argmax.
+    change_at/n_buckets are exact integers; tmax and the two segment
+    means are 9dp (+0.0). The oracle replays the bucket agg, the
+    cumulative sum, the standardized statistic, and the
     earliest-argmax pick verbatim."""
     from .operators import drift
 
     ev = load(spark, sf_dir, "events")
     day = F.expr(f"ts div {_NS_PER_DAY}")
     val = (F.col("value")
-           + F.when((day >= 15) & (F.col("event_type") == "purchase"),
+           + F.when((day - 19723 >= 15)
+                    & (F.col("event_type") == "purchase"),
                     F.lit(50.0)).otherwise(F.lit(0.0)))
     frame = ev.select("event_type", day.alias("day"), val.alias("v"))
     out = drift.cusum_change_point(frame, "day", "v",
@@ -10375,7 +10378,7 @@ def q_events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_EVENTS_CHANGE_POINT = f"""
 WITH f AS (
   SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day,
-         value + CASE WHEN epoch_ns(ts) // {_NS_PER_DAY} >= 15
+         value + CASE WHEN epoch_ns(ts) // {_NS_PER_DAY} - 19723 >= 15
                        AND event_type = 'purchase'
                       THEN 50.0 ELSE 0.0 END AS v
   FROM events),
