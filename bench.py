@@ -288,7 +288,9 @@ BENCH_QUERIES = [
     "events_change_point",
     # orders_benford is deliberately unbenched per the sibling rule:
     # orders_status_chi2's fold-bucket + chi2-series shape with a
-    # digit key instead of a status key
+    # digit key instead of a status key;
+    # docs_simhash_hamming likewise: dedup_simhash_md5's signature
+    # build (benched via dedup_minhash family) + one id-keyed join
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has
