@@ -856,3 +856,105 @@ class TestConnectedComponentsProperty:
         got = {r["node"]: r["component"]
                for r in graph.connected_components(df).collect()}
         assert got == want
+
+
+class TestSurvivalDifferential:
+    """drift.survival_curve vs a pure-Python Kaplan-Meier reference on
+    arbitrary (duration, event) samples — censoring patterns, repeated
+    times, extinction included by generation."""
+
+    @given(subjects=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=8),
+                  st.integers(min_value=0, max_value=1)),
+        min_size=1, max_size=25))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pure_python_km(self, spark, subjects):
+        from spark_expectations_spark.operators import drift
+
+        df = spark.createDataFrame(subjects, "duration int, event int")
+        got = {r["t"]: r for r in drift.survival_curve(
+            df, "duration", "event").collect()}
+
+        times = sorted({t for t, _ in subjects})
+        s, out = 1.0, {}
+        for t in times:
+            n = sum(1 for d, _ in subjects if d >= t)
+            dth = sum(1 for d, e in subjects if d == t and e == 1)
+            c = sum(1 for d, e in subjects if d == t and e == 0)
+            s = 0.0 if dth == n else s * (1.0 - dth / n)
+            out[t] = (n, dth, c, s)
+        assert set(got) == set(out)
+        for t, (n, dth, c, s) in out.items():
+            r = got[t]
+            assert (r["n_risk"], r["n_event"], r["n_censored"]) == (n, dth, c)
+            assert r["survival"] == pytest.approx(s, abs=1e-9)
+
+
+class TestTwaDifferential:
+    """asof.time_weighted_mean vs a pure-Python zero-order-hold
+    reference on arbitrary per-group samples with distinct timestamps."""
+
+    @given(samples=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),     # group
+                  st.integers(min_value=0, max_value=10**6),  # ts
+                  st.floats(min_value=-100, max_value=100,
+                            allow_nan=False, width=32)),
+        min_size=1, max_size=30,
+        unique_by=lambda r: (r[0], r[1])))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pure_python_hold(self, spark, samples):
+        from spark_expectations_spark.operators import asof
+
+        df = spark.createDataFrame(
+            [(str(g), t, float(v)) for g, t, v in samples],
+            "g string, ts long, v double")
+        got = {r["g"]: r for r in asof.time_weighted_mean(
+            df, "ts", "v", ("g",)).collect()}
+
+        by_g = {}
+        for g, t, v in samples:
+            by_g.setdefault(str(g), []).append((t, float(v)))
+        for g, rows in by_g.items():
+            rows.sort()
+            pairs = [(v, rows[i + 1][0] - t)
+                     for i, (t, v) in enumerate(rows[:-1])]
+            if not pairs:
+                assert g not in got
+                continue
+            span = sum(dt for _, dt in pairs)
+            twa = sum(v * dt for v, dt in pairs) / span
+            r = got[g]
+            assert r["n_intervals"] == len(pairs)
+            assert r["span_ns"] == span
+            assert r["twa"] == pytest.approx(twa, rel=1e-9)
+
+
+class TestCusumDifferential:
+    """drift.cusum_change_point vs a pure-Python scan on arbitrary
+    bucket series (>= 2 buckets so a split exists)."""
+
+    @given(series=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False,
+                  width=32),
+        min_size=2, max_size=20))
+    @settings(max_examples=10, deadline=None)
+    def test_matches_pure_python_scan(self, spark, series):
+        from spark_expectations_spark.operators import drift
+
+        xs = [float(v) for v in series]
+        df = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(xs)], "b int, v double")
+        r = drift.cusum_change_point(df, "b", "v").first()
+
+        n = len(xs)
+        xbar = sum(xs) / n
+        best = None
+        run = 0.0
+        for k in range(1, n):
+            run += xs[k - 1]
+            t = abs(run - k * xbar) * (n / (k * (n - k))) ** 0.5
+            if best is None or t > best[0] + 1e-12:
+                best = (t, k - 1)   # bucket ids are 0-based here
+        assert r["n_buckets"] == n
+        assert r["change_at"] == best[1]
+        assert r["tmax"] == pytest.approx(best[0], abs=1e-9)
