@@ -11,7 +11,7 @@ warn tier is printed for review — deliberate broadcast cross joins
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
 build) is present. Last full run (r14): 232/232 queries 0 errors;
-52 warn pairs, EVERY one carrying a standing adjudication below —
+53 warn pairs, EVERY one carrying a standing adjudication below —
 enforced by tests/test_lint_adjudications.py over the
 tools/lint_warns.json snapshot this tool writes on full-catalog runs
 (a new bare warn fails the suite). The r14 drop from 134 to 50 pairs
