@@ -827,6 +827,7 @@ def weighted_cosine_join(
     weights: DataFrame,
     *,
     threshold: float = 0.8,
+    hash_tokens: bool = False,
 ) -> DataFrame:
     """Weighted set-similarity join — cosine over token weights
     (Bayardo et al. WWW'07 all-pairs similarity search, the
@@ -838,6 +839,17 @@ def weighted_cosine_join(
     weights, anything positive; tokens absent from it contribute
     nothing (weight 0). Returns ``(left_id, right_id, n_common, dot,
     cosine)``.
+
+    ``hash_tokens=True`` runs the pipeline in the md5-60 token image
+    (:func:`set_similarity_join`'s r14 device) — available for parity,
+    but MEASURED to LOSE here (same-session exact-equivalence A/B at
+    sf0.1: 3.46 s strings vs 4.19 s hashed): this operator is
+    posting-list shaped, so tokens appear only as equi-join keys —
+    which Spark hashes for the shuffle anyway — and never as carried
+    verify arrays, leaving nothing for the narrower longs to save
+    while the md5 evaluation over two corpus-token streams is pure
+    added cost. Prefer it only when the weights table's token strings
+    are very long AND it is reused across many joins pre-hashed.
 
     Candidate generation is the weighted PREFIX filter: under the
     global token order (document frequency asc, token asc), a row
@@ -885,6 +897,21 @@ def weighted_cosine_join(
     rt = (right.select(F.col(right_id).alias("__rid"),
                        F.explode(F.array_distinct(F.col(right_set)))
                        .alias("__tok")))
+    if hash_tokens:
+        # md5-60 token image (set_similarity_join's r14 device): the
+        # weight table, both token streams, the df aggregation, the
+        # prefix window, and BOTH verify joins run on 8-byte longs
+        # instead of token strings — the hash is a codegen row
+        # expression on already-exploded rows. A 60-bit collision
+        # would merge two tokens; the weights side aggregates by
+        # hashed key (max) so even that stays deterministic
+        # (P ≈ vocab²/2^61 — see set_similarity_join).
+        h = F.conv(F.substring(F.md5(F.col("__tok")), 1, 15), 16, 10) \
+            .cast("long")
+        lt = lt.select("__lid", h.alias("__tok"))
+        rt = rt.select("__rid", h.alias("__tok"))
+        w2 = (w2.select(h.alias("__tok"), "__w2")
+              .groupBy("__tok").agg(F.max("__w2").alias("__w2")))
     lw = lt.join(w2, "__tok")
     rw = rt.join(w2, "__tok")
     lnorm = lw.groupBy("__lid").agg(F.sum("__w2").alias("__na"))

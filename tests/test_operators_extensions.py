@@ -5582,6 +5582,30 @@ class TestSetSimilarityJoin:
         assert not rules
 
 
+class TestWeightedCosineHashMode:
+    def test_hash_tokens_identical_results(self, spark):
+        """hash_tokens runs the weighted join in the md5-60 token
+        image — identical output absent collisions (kept as an option
+        even though the sf0.1 A/B showed it LOSES for this
+        posting-list shape; see the operator docstring)."""
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame(
+            [(1, ["aa", "bb", "cc"]), (2, ["xx", "yy"])],
+            "lid int, ls array<string>")
+        R = spark.createDataFrame(
+            [(10, ["aa", "bb", "zz"]), (11, ["xx", "yy"])],
+            "rid int, rs array<string>")
+        w = spark.createDataFrame(
+            [("aa", 2.0), ("bb", 1.0), ("cc", 1.0), ("xx", 3.0),
+             ("yy", 1.0), ("zz", 1.0)], "token string, weight double")
+        plain = sorted(map(tuple, linkage.weighted_cosine_join(
+            L, R, "lid", "ls", "rid", "rs", w, threshold=0.5).collect()))
+        hashed = sorted(map(tuple, linkage.weighted_cosine_join(
+            L, R, "lid", "ls", "rid", "rs", w, threshold=0.5,
+            hash_tokens=True).collect()))
+        assert plain == hashed and plain
+
+
 class TestSortedNeighborhoodPairs:
     def test_window_pairs_with_tie_break_and_null_skip(self, spark):
         """Ranks follow (normalized key, id); each record pairs with
