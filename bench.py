@@ -290,7 +290,9 @@ BENCH_QUERIES = [
     # orders_status_chi2's fold-bucket + chi2-series shape with a
     # digit key instead of a status key;
     # docs_simhash_hamming likewise: dedup_simhash_md5's signature
-    # build (benched via dedup_minhash family) + one id-keyed join
+    # build (benched via dedup_minhash family) + one id-keyed join;
+    # docs_quantile_bin likewise: window_rank's group-partitioned
+    # rank window + one groupBy, no new shape
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -10567,6 +10567,37 @@ FROM bsig b JOIN tsig t USING (doc_id) JOIN sets s USING (doc_id)
 ORACLE_DOCS_SIMHASH_HAMMING = _oracle_docs_simhash_hamming()
 
 
+def q_docs_quantile_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source equi-frequency binning of document length
+    (profiling.quantile_discretize, 4 ntile buckets): true order-stat
+    edges per source — the feature-binning step before length becomes
+    a stratification key. Bin multisets are engine-determined even
+    under boundary ties (see the operator docstring), so n/lo/hi are
+    exact and mean needs only the 9dp float convention. The oracle is
+    the same ntile window in SQL."""
+    from .operators import profiling
+
+    docs = load(spark, sf_dir, "documents")
+    out = profiling.quantile_discretize(
+        docs, "n_chars", n_bins=4, group_cols=("source",))
+    return out.select(
+        "source", "bin", "n", "lo", "hi",
+        (F.round("mean", 9) + F.lit(0.0)).alias("mean"))
+
+
+ORACLE_DOCS_QUANTILE_BIN = """
+WITH b AS (
+  SELECT source, CAST(n_chars AS DOUBLE) AS v,
+         ntile(4) OVER (PARTITION BY source ORDER BY CAST(n_chars AS
+                        DOUBLE)) AS bin
+  FROM documents WHERE n_chars IS NOT NULL)
+SELECT source, bin, CAST(count(*) AS BIGINT) AS n,
+       min(v) AS lo, max(v) AS hi,
+       round(avg(v), 9) + 0.0 AS mean
+FROM b GROUP BY source, bin
+"""
+
+
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The per-round correctness harness samples the
 # FIRST 50 entries of __spark_entry__.queries(); rounds 1-4 shipped the
@@ -10842,11 +10873,13 @@ ORACLE_DOCS_SIMHASH_HAMMING = _oracle_docs_simhash_hamming()
 #          displaced docs_calibration_ece, events_change_point
 #          (per-segment CUSUM mean-shift scan) displaced
 #          docs_calibration, orders_benford (Benford first-digit
-#          audit) displaced part_fs_scores, and docs_simhash_hamming
+#          audit) displaced part_fs_scores, docs_simhash_hamming
 #          (SimHash Hamming-vs-exact audit) displaced
-#          part_fuzzy_matches (all displaced entries were r10-green
-#          one round ago; the calibration pair's lint warns are
-#          r14-adjudicated and its fixture code did not change).
+#          part_fuzzy_matches, and docs_quantile_bin (exact ntile
+#          equi-frequency binning) displaced part_fuzzy_qgram (all
+#          displaced entries were r10-green one round ago; the
+#          calibration pair's lint warns are r14-adjudicated and its
+#          fixture code did not change).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10872,7 +10905,7 @@ DRIVER_PRIORITY: list[str] = [
     "docs_weighted_cosine",         # shares the prefix-filter machinery
     "part_blocking_quality",        # lint warn + cert-bench outlier
     "part_fuzzy_probe",             # lint warn
-    "part_fuzzy_qgram",
+    "docs_quantile_bin",         # r14 new: exact ntile binning
     "docs_simhash_hamming",      # r14 new: SimHash exactness audit
     "orders_benford",            # r14 new: Benford digit audit
     "events_change_point",       # r14 new: CUSUM change point
@@ -10998,6 +11031,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_change_point": q_events_change_point,
     "orders_benford": q_orders_benford,
     "docs_simhash_hamming": q_docs_simhash_hamming,
+    "docs_quantile_bin": q_docs_quantile_bin,
     "ann_ivf_recall": q_ann_ivf_recall,
     "dedup_containment": q_dedup_containment,
     "docs_dup_shingles": q_docs_dup_shingles,
@@ -11233,6 +11267,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_change_point": ORACLE_EVENTS_CHANGE_POINT,
     "orders_benford": ORACLE_ORDERS_BENFORD,
     "docs_simhash_hamming": ORACLE_DOCS_SIMHASH_HAMMING,
+    "docs_quantile_bin": ORACLE_DOCS_QUANTILE_BIN,
     "ann_ivf_recall": ORACLE_ANN_IVF_RECALL,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "docs_dup_shingles": ORACLE_DOCS_DUP_SHINGLES,

@@ -1328,6 +1328,49 @@ class TestSkew:
         assert stats[0]["k"] is None and abs(stats[0]["share"] - 0.7) < 1e-6
 
 
+class TestQuantileDiscretize:
+    """Exact ntile binning: even and uneven splits, boundary-tie
+    determinism, NULL drop, guards."""
+
+    def test_even_split_edges(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame([(float(i),) for i in range(1, 9)],
+                                   "v double")
+        out = {r["bin"]: r for r in profiling.quantile_discretize(
+            df, "v", n_bins=4).collect()}
+        assert {b: (r["n"], r["lo"], r["hi"]) for b, r in out.items()} \
+            == {1: (2, 1.0, 2.0), 2: (2, 3.0, 4.0),
+                3: (2, 5.0, 6.0), 4: (2, 7.0, 8.0)}
+        assert out[1]["mean"] == pytest.approx(1.5)
+
+    def test_uneven_and_ties_deterministic(self, spark):
+        from spark_expectations_spark.operators import profiling
+        # 5 rows, 2 bins -> sizes 3+2; the tie value 2.0 straddles the
+        # boundary but the bin MULTISETS are determined
+        df = spark.createDataFrame(
+            [(1.0,), (2.0,), (2.0,), (2.0,), (9.0,)], "v double")
+        out = {r["bin"]: (r["n"], r["lo"], r["hi"])
+               for r in profiling.quantile_discretize(
+                   df, "v", n_bins=2).collect()}
+        assert out == {1: (3, 1.0, 2.0), 2: (2, 2.0, 9.0)}
+
+    def test_groups_null_drop_and_guards(self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", None), ("a", 3.0), ("b", 5.0)],
+            "g string, v double")
+        out = {(r["g"], r["bin"]): r["n"]
+               for r in profiling.quantile_discretize(
+                   df, "v", n_bins=2, group_cols=("g",)).collect()}
+        assert out == {("a", 1): 1, ("a", 2): 1, ("b", 1): 1}
+        with pytest.raises(ValueError, match="n_bins"):
+            profiling.quantile_discretize(df, "v", n_bins=0)
+        with pytest.raises(ValueError, match="collide"):
+            profiling.quantile_discretize(
+                df.withColumnRenamed("g", "bin"), "v",
+                group_cols=("bin",))
+
+
 class TestBenfordReport:
     """Benford audit: a log-uniform fixture passes, uniform data
     fails, the magnitude drop rule, reserved-name guard."""
