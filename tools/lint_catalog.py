@@ -10,7 +10,7 @@ warn tier is printed for review — deliberate broadcast cross joins
     python tools/lint_catalog.py [sf_dir] [query ...]
 
 Exit code 1 when any ERROR-tier finding (or a query that fails to
-build) is present. Last full run (r14): 233/233 queries 0 errors (snapshot refreshed at 232; docs_quantile_bin lints clean);
+build) is present. Last full run (r14): 233/233 queries 0 errors;
 53 warn pairs, EVERY one carrying a standing adjudication below —
 enforced by tests/test_lint_adjudications.py over the
 tools/lint_warns.json snapshot this tool writes on full-catalog runs
