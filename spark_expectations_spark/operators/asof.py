@@ -161,6 +161,12 @@ def time_weighted_mean(
     — groups with a single sample therefore emit no row (an average
     over zero duration has no value); groups needing an
     observation-end convention should append a closing row first.
+    TIED timestamps within a group make the hold assignment among the
+    tied samples ORDER-DEPENDENT (one of them gets the nonzero span to
+    the next distinct timestamp) — disambiguate upstream (drop dups or
+    add a deterministic epsilon) when a source can emit same-instant
+    samples; the span and interval count stay deterministic either
+    way, only which tied VALUE holds varies.
 
     Scale shape: one group-partitioned ``lead`` window (the sort is
     per group) + ONE map-side-combined groupBy — samples shuffle once,

@@ -1025,8 +1025,10 @@ def schema_drift_report(
     tc = {f.name: f.dataType.simpleString() for f in cur.schema.fields}
 
     def null_fracs(df: DataFrame, names) -> DataFrame:
+        # backtick-quote: producer schemas carry dots and spaces, and
+        # an unquoted F.col would read them as struct-field paths
         return df.agg(*[
-            F.avg(F.col(n).isNull().cast("int")).alias(n)
+            F.avg(F.col(f"`{n}`").isNull().cast("int")).alias(n)
             for n in names])
 
     nb = null_fracs(base, tb)
@@ -1041,9 +1043,9 @@ def schema_drift_report(
             F.lit(tc.get(n)).cast("string").alias("type_cur"),
             F.lit(n in tb and n in tc
                   and tb[n] != tc[n]).alias("type_changed"),
-            (F.col(f"b.{n}") if n in tb
+            (F.col(f"b.`{n}`") if n in tb
              else F.lit(None).cast("double")).alias("null_frac_base"),
-            (F.col(f"c.{n}") if n in tc
+            (F.col(f"c.`{n}`") if n in tc
              else F.lit(None).cast("double")).alias("null_frac_cur"))
         for n in cols])
     row = nb.alias("b").crossJoin(F.broadcast(nc.alias("c")))

@@ -1532,6 +1532,18 @@ class TestSchemaDriftReport:
         assert all(r["status"] == "common" and not r["type_changed"]
                    and r["null_frac_delta"] == 0.0 for r in out)
 
+    def test_column_names_needing_quoting(self, spark):
+        """Producer schemas carry dots and spaces — the null-frac agg
+        must treat them as column NAMES, not struct-field paths."""
+        from spark_expectations_spark.operators import profiling
+        df = (spark.createDataFrame([(1, "x")], "a long, b string")
+              .withColumnRenamed("a", "weird.name")
+              .withColumnRenamed("b", "with space"))
+        rows = {r["column"]: r for r in profiling.schema_drift_report(
+            df, df).collect()}
+        assert set(rows) == {"weird.name", "with space"}
+        assert rows["weird.name"]["null_frac_delta"] == 0.0
+
 
 class TestKAnonymityReport:
     """k-anonymity/l-diversity audit: hand-computed group structure,
