@@ -10880,41 +10880,58 @@ FROM b GROUP BY source, bin
 #          displaced entries were r10-green one round ago; the
 #          calibration pair's lint warns are r14-adjudicated and its
 #          fixture code did not change).
+#   r15:   5 dq_* flagship + the FULL 41-entry r10-stale cohort from
+#          the r14 verdict task 1 (last-gate histogram recomputed from
+#          CORRECTNESS_r1..r14 this round and it matches the verdict
+#          key-for-key: 41 @ r10, 45 @ r11, 45 @ r12, 45 @ r13,
+#          50 @ r14; the lone r3 name, embed_near_dups_blocked, is the
+#          entry folded into embed_near_dups/_bcast in r4 — see the
+#          r12/r13 notes above). The cohort includes the 9 entries the
+#          r14 displacement pushed out (dedup_exact, embed_whiten_check,
+#          ann_ivf_kmeans, embed_cluster_qa, embed_kmeans,
+#          docs_calibration, docs_calibration_ece, part_fs_scores,
+#          part_fuzzy_matches). + 4 fills from the r11-gated cohort
+#          (next-stalest), chosen risk-first: customer_part_hits and
+#          docs_fold_pack (two of the five r14 cert-bench deltas the
+#          verdict's task 2 re-measures — a hard gate on top of the
+#          re-measure), part_copurchase_triangles (the 1.33× watch
+#          item from the r13 outlier set), embed_pca_check (r13
+#          outlier history; eigendecomposition fixture).
+#          r15-new operators take fill slots as they land, displacing
+#          the BOTTOM fill first, per the r11 convention; displacement
+#          is recorded inline below as it happens (only the 4 fill
+#          slots are displaceable — the 41-entry cohort is pinned by
+#          the verdict; r15-new entries beyond 4 gate locally and lead
+#          the r16 re-gate front as late-wave debt).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # the r9-gated cohort (31 — last hard gate was r9; r13 verdict
+    # the r10-gated cohort (41 — last hard gate was r10; r14 verdict
     # task 1, list verified against the recomputed histogram)
-    "tpch_q4ish", "tpch_q5ish", "tpch_q8ish", "tpch_q10ish",
-    "tpch_q11ish", "tpch_q13ish", "tpch_q14ish", "tpch_q16ish",
-    "tpch_q18ish", "tpch_q19ish", "tpch_q21ish",
-    "events_asof_purchase", "events_ffill", "events_gapfill",
-    "events_hourly", "events_sliding", "events_time_split",
-    "embed_mean_pool", "embed_norm_outliers", "embed_quantize",
-    "docs_decontaminate", "docs_epoch_shuffle", "docs_heavy_tokens",
-    "docs_lm_score", "docs_source_dup_matrix",
-    "docs_strip_boilerplate", "docs_token_ids", "docs_weighted_sample",
-    "lineitem_correlations", "users_scd2", "window_running_total",
-    # fills from the r10-gated cohort (next-stalest value-oracled),
-    # risk-first; r14-new operators take fill slots as they land,
+    "ann_ivf_kmeans", "cube_orders", "dedup_exact",
+    "dedup_minhash_md5", "dedup_simhash_md5", "docs_c4_filter",
+    "docs_calibration", "docs_calibration_ece", "docs_dup_spans",
+    "docs_gopher_gate", "docs_kfold", "docs_label_agreement",
+    "docs_label_alpha", "docs_mad_outliers", "docs_minhash_index",
+    "docs_normalize", "docs_readability", "docs_split_leakage",
+    "docs_token_entropy", "docs_zipf", "embed_cluster_qa",
+    "embed_hard_negatives", "embed_kmeans", "embed_kmeans_sampled",
+    "embed_rms_outliers", "embed_whiten_check",
+    "events_cohort_retention", "events_funnel", "events_json",
+    "events_session_windows", "events_top_paths", "lineitem_price_ks",
+    "orders_basket_lift", "part_brand_topk", "part_fs_scores",
+    "part_fuzzy_matches", "part_fuzzy_qgram", "pivot_order_status",
+    "rollup_orders", "set_ops_nations", "text_stats",
+    # fills from the r11-gated cohort (next-stalest value-oracled),
+    # risk-first; r15-new operators take fill slots as they land,
     # displacing the BOTTOM fill first (the list is ordered
     # stalest-risk first, so the last names yield their slots)
-    "docs_set_jaccard_join",        # task 4 changes its candidate gen
-    "docs_weighted_cosine",         # shares the prefix-filter machinery
-    "part_blocking_quality",        # lint warn + cert-bench outlier
-    "part_fuzzy_probe",             # lint warn
-    "docs_quantile_bin",         # r14 new: exact ntile binning
-    "docs_simhash_hamming",      # r14 new: SimHash exactness audit
-    "orders_benford",            # r14 new: Benford digit audit
-    "events_change_point",       # r14 new: CUSUM change point
-    "docs_vocab_growth",         # r14 new: Heaps-law growth audit
-    "orders_schema_drift",       # r14 new: schema/null-rate drift
-    "customer_kanonymity",       # r14 new: k-anonymity/l-diversity
-    "events_twa",                # r14 new: time-weighted averages
-    "events_survival",           # r14 new: Kaplan-Meier churn curves
-    "docs_stratified_metrics",   # r14 new: per-source Wilson QA
+    "customer_part_hits",           # r14 cert-bench delta (task 2)
+    "docs_fold_pack",               # r14 cert-bench delta (task 2)
+    "part_copurchase_triangles",    # 1.33x watch item (r13 outliers)
+    "embed_pca_check",              # r13 outlier history (eigen twin)
 ]
 
 
