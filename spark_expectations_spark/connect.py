@@ -37,9 +37,22 @@ similarity broadcast        closure capture instead of ``sc.broadcast``
 from __future__ import annotations
 
 import importlib
+import logging
 from typing import Any, Optional, Union
 
 from pyspark import sql as _sql
+
+_log = logging.getLogger(__name__)
+_logged_sites: set[str] = set()
+
+
+def _debug_once(site: str, exc: BaseException) -> None:
+    """Log the first Connect-degradation per seam at debug so a
+    misrouted failure leaves a trace without spamming per-call."""
+    if site not in _logged_sites:
+        _logged_sites.add(site)
+        _log.debug("%s unavailable (treating as Spark Connect): %r",
+                   site, exc)
 
 
 def is_connect_supported() -> bool:
@@ -85,19 +98,30 @@ def jvm_query_execution(df: Any) -> Optional[Any]:
     ``None`` when the frame has no JVM handle (Spark Connect). Callers
     own their degraded path — returning an estimate of 0, an empty
     metrics dict, skipping a size-gated optimization — and the matrix
-    above documents each."""
+    above documents each.
+
+    Only ``AttributeError`` is treated as "running under Connect"
+    (Connect's ``__getattr__`` raises ``PySparkAttributeError``, an
+    ``AttributeError`` subclass, for ``_jdf``); anything else — a
+    stopped SparkContext, a py4j transport error — is a REAL failure
+    and propagates instead of silently degrading the caller."""
     try:
         return df._jdf.queryExecution()
-    except Exception:
+    except AttributeError as exc:
+        _debug_once("df._jdf.queryExecution", exc)
         return None
 
 
 def spark_context(spark: Any) -> Optional[Any]:
     """THE session JVM escape: ``spark.sparkContext`` or ``None`` under
-    Connect (the property raises there). Used for job-group timeouts,
-    explicit broadcasts, and Hadoop FS access — each caller's fallback
-    is listed in the matrix above."""
+    Connect (the property raises ``PySparkAttributeError`` there —
+    connect/session.py's ``__getattr__`` JVM_ATTRIBUTE_NOT_SUPPORTED
+    list). Used for job-group timeouts, explicit broadcasts, and Hadoop
+    FS access — each caller's fallback is listed in the matrix above.
+    Non-AttributeError failures propagate (same contract as
+    :func:`jvm_query_execution`)."""
     try:
         return spark.sparkContext
-    except Exception:
+    except AttributeError as exc:
+        _debug_once("spark.sparkContext", exc)
         return None

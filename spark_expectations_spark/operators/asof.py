@@ -20,6 +20,7 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_join(
@@ -157,6 +158,9 @@ def time_weighted_mean(
     the time unit cancels in the ratio, so Δt stays in the EXACT
     integer nanoseconds of ``ts_col`` (the events-table convention)
     and ``span_ns = Σ Δt_i`` is an exact long, not a rounded float.
+    ``ts_col`` must be an integral-ns long (or int/short) — a
+    ``TimestampType`` is normalized to ns via ``unix_micros·1000``
+    (µs precision, exactly representable); any other type raises.
     A group's LAST sample has no successor and contributes no interval
     — groups with a single sample therefore emit no row (an average
     over zero duration has no value); groups needing an
@@ -179,10 +183,25 @@ def time_weighted_mean(
                          "(an ungrouped TWA is a single-task sort)")
     if any(c in ("n_intervals", "span_ns", "twa") for c in gc):
         raise ValueError("group_cols collide with the output columns")
-    w = Window.partitionBy(*gc).orderBy(ts_col)
-    dt = F.lead(ts_col).over(w) - F.col(ts_col)
+    # the exact-ns span arithmetic needs an integral ts: lead(ts)-ts
+    # on a TimestampType is a day-time INTERVAL, which breaks the
+    # sum/ratio below (or silently changes units). Normalize
+    # timestamps to ns via unix_micros, and reject anything else.
+    ts_type = df.schema[ts_col].dataType
+    if isinstance(ts_type, T.TimestampType):
+        ts = (F.unix_micros(F.col(ts_col)) * F.lit(1000)).alias("_ts")
+    elif isinstance(ts_type, (T.LongType, T.IntegerType, T.ShortType)):
+        ts = F.col(ts_col).cast("long").alias("_ts")
+    else:
+        raise TypeError(
+            f"ts_col {ts_col!r} must be an integer-nanosecond long or "
+            f"a TimestampType (got {ts_type.simpleString()}); cast "
+            "upstream — the span contract is exact integer ns")
+    w = Window.partitionBy(*gc).orderBy("_ts")
+    dt = F.lead("_ts").over(w) - F.col("_ts")
     v = F.col(value_col).cast("double")
-    stepped = (df.select(*gc, v.alias("_v"), dt.alias("_dt"))
+    stepped = (df.select(*gc, ts, v.alias("_v"))
+               .select(*gc, F.col("_v"), dt.alias("_dt"))
                .filter(F.col("_dt").isNotNull()))
     return (stepped.groupBy(*gc)
             .agg(F.count(F.lit(1)).alias("n_intervals"),

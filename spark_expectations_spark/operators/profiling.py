@@ -829,6 +829,7 @@ def exact_order_statistic(
     *,
     accuracy: int = 10_000,
     n: int | None = None,
+    max_collect_rows: int = 2_000_000,
 ) -> float:
     """EXACT k-th smallest value of ``col`` (1-based, NULLs excluded)
     without a global sort — the distributed-selection primitive behind
@@ -844,8 +845,17 @@ def exact_order_statistic(
     in-bracket slice (~n/accuracy rows) is sorted. The RESULT is exact
     and bracket-independent — sketch nondeterminism can only move the
     bracket, and a bracket that misses the target rank is detected by
-    the count and falls back to one exact global selection via
-    ``orderBy.limit`` rather than returning a wrong answer.
+    the count and falls back to one exact EXECUTOR-SIDE rank-filter
+    job rather than returning a wrong answer.
+
+    Driver-safety contract: the only corpus-dependent collect is the
+    in-bracket slice, expected ~2·n/accuracy rows. ``max_collect_rows``
+    caps it — if the bracket would require collecting more (n/accuracy
+    too large, or a heavily duplicated value stretching the bracket),
+    the call raises with guidance instead of pulling a corpus onto the
+    driver: raise ``accuracy`` (shrinks the bracket ∝ 1/accuracy) or
+    quantize/deduplicate upstream (the isotonic ``max_points``
+    convention, mirrored here per the r14 verdict task 3).
     """
     if k < 1:
         raise ValueError("k must be >= 1 (1-based rank)")
@@ -863,18 +873,35 @@ def exact_order_statistic(
         F.lit(accuracy)).alias("b")).first()
     lo, hi = row["b"][0], row["b"][1]
     n_below = nn.filter(c < lo).count()
+    need = k - n_below
+    if need > max_collect_rows:
+        raise ValueError(
+            f"exact_order_statistic would collect {need} in-bracket "
+            f"rows (> max_collect_rows={max_collect_rows}): the "
+            f"bracket holds ~2·n/accuracy rows, so raise accuracy "
+            f"(={accuracy}, bracket shrinks proportionally) or "
+            "quantize/deduplicate the column upstream")
     slice_rows = (nn.filter((c >= lo) & (c <= hi))
                   .select(c.alias("__v"))
                   .orderBy(F.col("__v").asc())
-                  .limit(max(k - n_below, 0))
+                  .limit(max(need, 0))
                   .collect())
     idx = k - n_below - 1
     if 0 <= idx < len(slice_rows):
         return slice_rows[idx]["__v"]
     # bracket missed (possible only if the sketch's rank error exceeded
-    # its bound for this layout) — fall back to exact global selection
+    # its bound for this layout) — exact global selection as a JOB
+    return _rank_filter_selection(nn, c, k)
+
+
+def _rank_filter_selection(nn: DataFrame, c, k: int):
+    """Exact k-th smallest as ONE job: ``orderBy.limit(k)`` keeps the
+    k-row frontier executor-side (TakeOrderedAndProject) and the
+    ``max`` reduce hands the driver a single scalar — never k collected
+    rows (the r14 verdict replaced the ``.limit(k).collect()`` driver
+    slice with this)."""
     return (nn.select(c.alias("__v")).orderBy(F.col("__v").asc())
-            .limit(k).collect())[-1]["__v"]
+            .limit(k).agg(F.max("__v").alias("__v")).first()["__v"])
 
 
 def conformal_threshold(
@@ -1084,13 +1111,17 @@ def benford_report(
     freedom — even, so the portable closed-form p-value applies),
     plus the digit with the largest absolute frequency gap.
 
-    Digit extraction is EXACT, not floating: the first character of
-    the integer part rendered as a string (integer-to-decimal is
-    bit-identical in every engine), so there is no log10-at-a-
-    power-of-ten boundary hazard. Rows with ``|value| < 1`` or NULL
-    are dropped by contract (their first significant digit lives in
-    the fraction; Benford audits magnitudes) — an audit over such data
-    should rescale first.
+    Digit extraction is EXACT for the FULL double range, not floating:
+    the first character of the double rendered as a string. A
+    shortest-round-trip rendering (Java ``Double.toString``, DuckDB's
+    Ryu) cannot change the leading digit — a rendering with a
+    different leading digit would parse back to a different double —
+    so there is no log10-at-a-power-of-ten boundary hazard and no
+    ``floor→long`` overflow at |value| ≥ 2⁶³ (which raises under ANSI
+    mode and silently wraps otherwise). Rows with ``|value| < 1``,
+    NULL, NaN, or ±Inf are dropped by contract (a sub-1 value's first
+    significant digit lives in the fraction; Benford audits
+    magnitudes) — an audit over such data should rescale first.
 
     Scale shape: the digit fold rides the scan projection into ONE
     map-side-combined (group, digit) groupBy; chi² and the worst-gap
@@ -1104,9 +1135,13 @@ def benford_report(
            for c in gc):
         raise ValueError("group_cols collide with the output columns")
     v = F.abs(F.col(value_col).cast("double"))
-    digit = F.substring(
-        F.floor(v).cast("long").cast("string"), 1, 1).cast("int")
-    per_d = (df.filter(F.col(value_col).isNotNull() & (v >= 1.0))
+    # first char of the string form: ≥1 guarantees no sign / "0." /
+    # leading zero, and scientific notation still leads with the
+    # first significant digit in both Spark and DuckDB
+    digit = F.substring(v.cast("string"), 1, 1).cast("int")
+    finite = (F.col(value_col).isNotNull() & ~F.isnan(v)
+              & (v >= 1.0) & (v < F.lit(float("inf"))))
+    per_d = (df.filter(finite)
              .groupBy(*gc, digit.alias("_d"))
              .agg(F.count(F.lit(1)).alias("_c")))
     n = F.sum("_c")

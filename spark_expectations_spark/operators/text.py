@@ -438,8 +438,12 @@ def vocab_growth_curve(
     its FIRST document (one explode + min groupBy), first-seen orders
     fold into checkpoint buckets (literal-array fold, pure codegen),
     and the cumulative counts are a checkpoint-cardinality window.
-    Corpus tokens shuffle once, keyed by type."""
-    cps = sorted(checkpoints)
+    Corpus tokens shuffle once, keyed by type.
+
+    Duplicate checkpoints collapse to one output row (a grid like
+    ``max(1, n*i//5)`` collides at small n; the prefix they name is
+    the same prefix, so the row would be an exact duplicate)."""
+    cps = sorted(set(checkpoints))
     if not cps:
         raise ValueError("need at least one checkpoint")
     arr = F.array(*[F.lit(c) for c in cps])

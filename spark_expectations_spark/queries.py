@@ -10305,9 +10305,13 @@ def q_docs_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_DOCS_VOCAB_GROWTH = r"""
 WITH n AS (SELECT count(*) AS n FROM documents),
 cps AS (
-  SELECT CAST(greatest(1, (n.n * i) // 5) AS BIGINT) AS checkpoint,
-         row_number() OVER (ORDER BY i) AS b
-  FROM n, UNNEST(range(1, 6)) AS t(i)),
+  -- DISTINCT mirrors the engine's sorted(set(checkpoints)) collapse
+  -- (the grid collides at small n); the grid is monotone in i, so
+  -- ordering by checkpoint preserves the bucket order
+  SELECT checkpoint, row_number() OVER (ORDER BY checkpoint) AS b
+  FROM (SELECT DISTINCT CAST(greatest(1, (n.n * i) // 5) AS BIGINT)
+          AS checkpoint
+        FROM n, UNNEST(range(1, 6)) AS t(i))),
 toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+'))
            AS tok
@@ -10443,11 +10447,14 @@ WITH bp(d, p) AS (VALUES
          (8, 0.05115252244738129),
          (9, 0.04575749056067514)),
 f AS (
+  -- first char of the shortest-round-trip double rendering = first
+  -- significant digit (mirrors the engine; no floor->long overflow)
   SELECT o_orderpriority,
-         CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
-                          AS VARCHAR), 1, 1) AS INT) AS d
+         CAST(substr(CAST(abs(CAST(o_totalprice AS DOUBLE)) AS VARCHAR),
+                     1, 1) AS INT) AS d
   FROM orders
-  WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1.0),
+  WHERE o_totalprice IS NOT NULL
+    AND isfinite(o_totalprice) AND abs(o_totalprice) >= 1.0),
 cnt AS (
   SELECT o_orderpriority, d, CAST(count(*) AS BIGINT) AS c
   FROM f GROUP BY o_orderpriority, d),

@@ -30,7 +30,12 @@ class _FakeConnectDataFrame:
 class _FakeConnectSession:
     @property
     def sparkContext(self):  # noqa: N802 - mirrors the real property
-        raise Exception("sparkContext is not supported in Spark Connect")
+        # the real client raises PySparkAttributeError (an
+        # AttributeError subclass) via __getattr__'s
+        # JVM_ATTRIBUTE_NOT_SUPPORTED list — mirror that exactly
+        raise AttributeError(
+            "[JVM_ATTRIBUTE_NOT_SUPPORTED] sparkContext is not "
+            "supported in Spark Connect")
 
 
 _FakeConnectDataFrame.__module__ = "pyspark.sql.connect.dataframe"
@@ -70,6 +75,28 @@ class TestConnectDeclaration:
         qe = connect.jvm_query_execution(df)
         assert qe is not None and "Range" in qe.optimizedPlan().toString()
         assert connect.spark_context(spark) is spark.sparkContext
+
+    def test_non_connect_failures_propagate(self):
+        """Only AttributeError reads as 'running under Connect' — a
+        stopped context / py4j transport error must surface, not
+        silently degrade the watchdog/broadcast/size-gate callers
+        (ADVICE r14)."""
+        import pytest as _pytest
+
+        class _BrokenSession:
+            @property
+            def sparkContext(self):  # noqa: N802
+                raise RuntimeError("SparkContext was shut down")
+
+        class _BrokenFrame:
+            @property
+            def _jdf(self):
+                raise RuntimeError("Py4JNetworkError: connection lost")
+
+        with _pytest.raises(RuntimeError, match="shut down"):
+            connect.spark_context(_BrokenSession())
+        with _pytest.raises(RuntimeError, match="connection lost"):
+            connect.jvm_query_execution(_BrokenFrame())
 
 
 class TestConnectDegradation:

@@ -977,6 +977,32 @@ class TestConformalThreshold:
         with _pytest.raises(ValueError, match="exceeds"):
             profiling.exact_order_statistic(df, "s", 99)
 
+    def test_collect_cap_raises_with_guidance(self, spark):
+        """A bracket that would pull more than max_collect_rows onto
+        the driver raises BEFORE collecting (r14 verdict task 3) —
+        accuracy=2 makes the bracket the whole corpus, so need=k."""
+        from spark_expectations_spark.operators import profiling
+        df = spark.range(1, 101).selectExpr("cast(id as double) as s")
+        with pytest.raises(ValueError, match="max_collect_rows"):
+            profiling.exact_order_statistic(
+                df, "s", 50, accuracy=2, max_collect_rows=10)
+        # the same rank under the default cap stays exact
+        assert profiling.exact_order_statistic(
+            df, "s", 50, accuracy=2) == 50.0
+
+    def test_rank_filter_fallback_is_exact_and_scalar(self, spark):
+        """The bracket-miss fallback is a rank-filter JOB returning one
+        scalar (never a k-row driver collect); exact on ties and
+        endpoints."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(v,) for v in [3.0, 1.0, 2.0, 2.0, 5.0, 4.0]], "s double")
+        sel = profiling._rank_filter_selection
+        assert sel(df, F.col("s"), 1) == 1.0
+        assert sel(df, F.col("s"), 3) == 2.0   # tie at rank 2-3
+        assert sel(df, F.col("s"), 6) == 5.0
+
 
 class TestKeySkewReport:
     def test_uniform_vs_hot_key(self, spark):
@@ -1416,6 +1442,48 @@ class TestBenfordReport:
         with pytest.raises(ValueError, match="group_cols"):
             profiling.benford_report(df, "v", group_cols=("chi2",))
 
+    def test_huge_magnitudes_and_nonfinite(self, spark):
+        """Digit extraction is exact past 2⁶³ (the old floor→long cast
+        wrapped there, ADVICE r14) and NaN/±Inf rows are dropped. A
+        single-row group's worst_digit IS its extracted digit (the
+        |1−p_d| gap at the observed digit dominates every p_other)."""
+        from spark_expectations_spark.operators import profiling
+        rows = [("big9", 9.4e18),      # > 2^63 ≈ 9.223e18
+                ("big1", 1.23e19), ("big2", 2.5e20),
+                ("max", 1.7976931348623157e308),
+                ("inf", float("inf")), ("nan", float("nan")),
+                ("neg", -8.8e21), ("mid", 123456.0)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        out = {r["g"]: r for r in profiling.benford_report(
+            df, "v", group_cols=("g",)).collect()}
+        assert out["big9"]["worst_digit"] == 9
+        assert out["big1"]["worst_digit"] == 1
+        assert out["big2"]["worst_digit"] == 2
+        assert out["max"]["worst_digit"] == 1
+        assert out["neg"]["worst_digit"] == 8
+        assert out["mid"]["worst_digit"] == 1
+        assert "inf" not in out and "nan" not in out
+
+    def test_digit_extraction_matches_duckdb(self, spark):
+        """The string-form first digit agrees with the oracle's DuckDB
+        expression across magnitudes 10⁻¹..10³⁰⁸-ish — shortest-round-
+        trip rendering leads with the same significant digit in both
+        engines (positional AND scientific ranges)."""
+        import duckdb
+        vals = [1.0, 9.999, 123.456, 99999.0, 1e7, 1.23e8, 7.77e15,
+                9.4e18, 1.23e19, 2.5e20, 6.02e23, 1.7976931348623157e308]
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        from pyspark.sql import functions as F
+        sp = [r["d"] for r in df.select(
+            F.substring(F.abs(F.col("v")).cast("string"), 1, 1)
+            .cast("int").alias("d")).collect()]
+        con = duckdb.connect()
+        dk = [con.execute(
+            "SELECT CAST(substr(CAST(abs(CAST(? AS DOUBLE)) AS VARCHAR),"
+            " 1, 1) AS INT)", [v]).fetchone()[0] for v in vals]
+        expect = [1, 9, 1, 9, 1, 1, 7, 9, 1, 2, 6, 1]
+        assert sp == dk == expect
+
 
 class TestCusumChangePoint:
     """Standardized CUSUM mean-shift scan: a planted shift is found at
@@ -1497,6 +1565,23 @@ class TestVocabGrowthCurve:
         df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         with pytest.raises(ValueError, match="checkpoint"):
             text.vocab_growth_curve(df, "doc_id", "text", [])
+
+    def test_duplicate_checkpoints_collapse(self, spark):
+        """A colliding grid (max(1, n·i//5) at small n) emits ONE row
+        per distinct checkpoint — the duplicate prefix is the same
+        prefix (ADVICE r14); values match the dedup'd grid's."""
+        from spark_expectations_spark.operators import text
+        rows = [(1, "a b"), (2, "b c"), (3, "a b")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = text.vocab_growth_curve(
+            df, "doc_id", "text", [1, 1, 2, 3, 3]).collect()
+        assert sorted(r["checkpoint"] for r in got) == [1, 2, 3]
+        clean = {r["checkpoint"]: r for r in text.vocab_growth_curve(
+            df, "doc_id", "text", [1, 2, 3]).collect()}
+        for r in got:
+            c = clean[r["checkpoint"]]
+            assert (r["n_docs"], r["n_tokens"], r["vocab"]) == \
+                (c["n_docs"], c["n_tokens"], c["vocab"])
 
 
 class TestSchemaDriftReport:
@@ -1620,6 +1705,41 @@ class TestTimeWeightedMean:
         with pytest.raises(ValueError, match="collide"):
             asof.time_weighted_mean(
                 df.withColumnRenamed("u", "twa"), "ts", "value", ("twa",))
+        # non-integral, non-timestamp ts raises instead of producing
+        # interval arithmetic with silently different units (ADVICE r14)
+        with pytest.raises(TypeError, match="integer-nanosecond"):
+            asof.time_weighted_mean(
+                df.withColumn("ts", df.ts.cast("string")),
+                "ts", "value", ("u",))
+        with pytest.raises(TypeError, match="integer-nanosecond"):
+            asof.time_weighted_mean(
+                df.withColumn("ts", df.ts.cast("double")),
+                "ts", "value", ("u",))
+
+    def test_timestamp_type_normalizes_to_ns(self, spark):
+        """A TimestampType ts_col gives the SAME result as its
+        integer-ns twin: unix_micros·1000 is exact at µs precision, so
+        spans scale by 1000 and the twa ratio is unit-invariant."""
+        from pyspark.sql import functions as F
+        from spark_expectations_spark.operators import asof
+        rows = [("a", 0, 10.0), ("a", 1_000_000, 20.0),
+                ("a", 4_000_000, 0.0), ("b", 0, 5.0),
+                ("b", 10_000_000, 7.0)]
+        base = spark.createDataFrame(rows, "u string, us long, value double")
+        as_ts = base.select(
+            "u", F.timestamp_micros(F.col("us")).alias("ts"), "value")
+        as_ns = base.select(
+            "u", (F.col("us") * 1000).alias("ts"), "value")
+        got_ts = {r["u"]: r for r in asof.time_weighted_mean(
+            as_ts, "ts", "value", ("u",)).collect()}
+        got_ns = {r["u"]: r for r in asof.time_weighted_mean(
+            as_ns, "ts", "value", ("u",)).collect()}
+        assert set(got_ts) == set(got_ns) == {"a", "b"}
+        for u in got_ns:
+            assert got_ts[u]["span_ns"] == got_ns[u]["span_ns"]
+            assert got_ts[u]["n_intervals"] == got_ns[u]["n_intervals"]
+            assert got_ts[u]["twa"] == pytest.approx(got_ns[u]["twa"])
+        assert got_ts["a"]["twa"] == pytest.approx(17.5)
 
 
 class TestAsofRange:

@@ -30,8 +30,12 @@ otherwise (ADVICE r9).
 from __future__ import annotations
 
 import sys
+from pathlib import Path
 
-sys.path.insert(0, ".")
+# anchor to the repo root so the linter (and its snapshot) behave the
+# same regardless of the caller's cwd
+_REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(_REPO_ROOT))
 
 from pyspark.sql import SparkSession  # noqa: E402
 
@@ -280,7 +284,7 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
 #: KNOWN_BENIGN entry, so a new unadjudicated warn fails the suite the
 #: next time the full linter runs (the round ritual) instead of
 #: sitting silently in the lint output.
-SNAPSHOT_PATH = "tools/lint_warns.json"
+SNAPSHOT_PATH = str(Path(__file__).resolve().parent / "lint_warns.json")
 
 
 def main() -> int:
