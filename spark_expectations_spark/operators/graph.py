@@ -236,9 +236,15 @@ def hits(
     iteration TWO edge-keyed joins + TWO keyed map-side-combined sums,
     with ``localCheckpoint`` lineage cuts per round — the pagerank
     shape run once in each direction, with ZERO driver actions inside
-    the loop. The final normalization is two 1-row aggregates
-    cross-joined into the output projection (broadcast by size), still
-    no driver action. Nothing is nodes².
+    the loop. The score vectors stay SPARSE inside the loop (only
+    nodes a sum reached): a zero score contributes zero to the next
+    round's edge-join sums, so re-densifying per round would be two
+    extra node-keyed joins per iteration buying nothing (the r15
+    cert-delta adjudication cut them); nodes the propagation never
+    reaches take their 0 via ONE left-join densify at the output. The
+    final normalization is two 1-row aggregates cross-joined into the
+    output projection (broadcast by size), still no driver action.
+    Nothing is nodes².
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -252,7 +258,7 @@ def hits(
     if n_nodes == 0:
         raise ValueError("hits: empty edge list")
     hubs = nodes.select("node", F.lit(1.0 / n_nodes).alias("__h"))
-    auths = nodes.select("node", F.lit(0.0).alias("__a"))
+    auths = hubs.limit(0).select("node", F.col("__h").alias("__a"))
 
     def _rescale(frame: DataFrame, col: str) -> DataFrame:
         tot = frame.agg(F.sum(col).alias("__t"))
@@ -264,19 +270,15 @@ def hits(
                 .localCheckpoint(eager=False))
 
     for it in range(iterations):
-        a_raw = (e.join(hubs, e["__src"] == hubs["node"])
+        # sparse: only nodes a sum reaches carry a row — zeros add
+        # nothing to the next round's sums, so no per-round densify
+        auths = (e.join(hubs, e["__src"] == hubs["node"])
                  .groupBy(F.col("__dst").alias("node"))
-                 .agg(F.sum("__h").alias("__a")))
-        auths = (nodes.join(a_raw, "node", "left")
-                 .select("node",
-                         F.coalesce("__a", F.lit(0.0)).alias("__a"))
+                 .agg(F.sum("__h").alias("__a"))
                  .localCheckpoint(eager=False))
-        h_raw = (e.join(auths, e["__dst"] == auths["node"])
-                 .groupBy(F.col("__src").alias("node"))
-                 .agg(F.sum("__a").alias("__h")))
-        hubs = (nodes.join(h_raw, "node", "left")
-                .select("node",
-                        F.coalesce("__h", F.lit(0.0)).alias("__h"))
+        hubs = (e.join(auths, e["__dst"] == auths["node"])
+                .groupBy(F.col("__src").alias("node"))
+                .agg(F.sum("__a").alias("__h"))
                 .localCheckpoint(eager=False))
         # magnitude control: λ_max^10 of growth fits float64 easily;
         # plan-side rescale (identity on the direction) every 10th
@@ -292,16 +294,20 @@ def hits(
     # per-round convention's `or 1.0` guard did.
     h_tot = hubs.agg(F.sum("__h").alias("__ht"))
     a_tot = auths.agg(F.sum("__a").alias("__at"))
-    return (hubs.join(auths, "node")
+    return (nodes.join(hubs, "node", "left").join(auths, "node", "left")
             .crossJoin(h_tot).crossJoin(a_tot)
             .select("node",
-                    (F.round(F.col("__h")
-                             / F.when(F.col("__ht") != 0.0, F.col("__ht"))
+                    (F.round(F.coalesce("__h", F.lit(0.0))
+                             / F.when(F.col("__ht").isNotNull()
+                                      & (F.col("__ht") != 0.0),
+                                      F.col("__ht"))
                              .otherwise(F.lit(1.0)),
                              score_digits) + F.lit(0.0))
                     .alias("hub"),
-                    (F.round(F.col("__a")
-                             / F.when(F.col("__at") != 0.0, F.col("__at"))
+                    (F.round(F.coalesce("__a", F.lit(0.0))
+                             / F.when(F.col("__at").isNotNull()
+                                      & (F.col("__at") != 0.0),
+                                      F.col("__at"))
                              .otherwise(F.lit(1.0)),
                              score_digits) + F.lit(0.0))
                     .alias("authority")))
