@@ -316,9 +316,18 @@ def sorted_neighborhood_pairs(
     (NO single-task global sort; the numeric bucketing lead is the
     key's first 7 bytes as an integer — monotone-with-ties in the
     string order, which is all bucketing needs since the within-bucket
-    sort uses the full key). Pairing is an EXPLODE of the ``window−1``
-    next ranks into one rank-keyed equi-join — no range join, no
-    window-function carry of whole neighborhoods. Everything is
+    sort uses the full key). Pairing is WINDOW-CARRIED (the r14
+    set-similarity trick, applied here per the r14 verdict task 6):
+    the contiguous rank axis is cut into fixed blocks, each row lands
+    in its own block as a probe and — when it sits in a block's first
+    ``window−1`` ranks — ALSO in the previous block as a right-only
+    carry-in (one explode, the index is scanned once), so every
+    ``(r, r+j)`` pair materializes inside exactly one block of ONE
+    block-partitioned window whose ``rowsBetween(1, window−1)`` frame
+    carries the neighbor ``(rank, id, key)`` structs. Replaces the
+    old rank-keyed self-join back into the corpus: ~n·(1 + (window−1)
+    /block) rows shuffle once instead of ~n·window join-side rows
+    (same-session exact-equivalence A/B in SCALE.md). Everything is
     n·window, nothing is n².
     """
     if window < 2:
@@ -346,17 +355,39 @@ def sorted_neighborhood_pairs(
     idx = dense_global_index(
         base.withColumn("__lead", lead), ["__lead", "__k", "__id"],
         out="__rank", num_buckets=num_buckets).drop("__lead")
-    probes = idx.select(
-        F.col("__id").alias("left_id"), F.col("__k").alias("left_key"),
-        F.col("__rank").alias("__lrank"),
-        F.explode(F.array(*[F.col("__rank") + j
-                            for j in range(1, window)]))
-        .alias("__rank"))
-    right = idx.select(F.col("__id").alias("right_id"),
-                       F.col("__k").alias("right_key"), "__rank")
-    out = (probes.join(right, "__rank")
-           .select("left_id", "right_id", "left_key", "right_key",
-                   (F.col("__rank") - F.col("__lrank"))
+    # window-carried pairing: ranks are contiguous 0-based, so block
+    # b holds ranks [b*B, (b+1)*B) plus the next block's first
+    # window-1 ranks as right-only carry-ins — the frame below then
+    # sees ranks r+1..r+window-1 for EVERY probe row, block-internal
+    # or not, and each unordered pair materializes exactly once
+    B = max(window, 4096)
+    blk = F.floor(F.col("__rank") / F.lit(B)).cast("long")
+    placements = F.when(
+        (F.col("__rank") % B < window - 1) & (blk > 0),
+        F.array(F.struct(blk.alias("b"), F.lit(True).alias("p")),
+                F.struct((blk - 1).alias("b"), F.lit(False).alias("p")))
+    ).otherwise(F.array(F.struct(blk.alias("b"), F.lit(True).alias("p"))))
+    both = (idx.select("__id", "__k", "__rank",
+                       F.explode(placements).alias("__e"))
+            .select("__id", "__k", "__rank",
+                    F.col("__e.b").alias("__blk"),
+                    F.col("__e.p").alias("__probe")))
+    wN = (Window.partitionBy("__blk").orderBy("__rank")
+          .rowsBetween(1, window - 1))
+    out = (both
+           .withColumn("__nbrs",
+                       F.collect_list(F.struct("__rank", "__id", "__k"))
+                       .over(wN))
+           .filter(F.col("__probe"))
+           .select(F.col("__id").alias("left_id"),
+                   F.col("__k").alias("left_key"),
+                   F.col("__rank").alias("__lrank"),
+                   F.explode("__nbrs").alias("__r"))
+           .select("left_id",
+                   F.col("__r.__id").alias("right_id"),
+                   "left_key",
+                   F.col("__r.__k").alias("right_key"),
+                   (F.col("__r.__rank") - F.col("__lrank"))
                    .alias("rank_distance")))
     if max_distance is not None:
         out = (out.withColumn(
