@@ -293,6 +293,11 @@ BENCH_QUERIES = [
     # build (benched via dedup_minhash family) + one id-keyed join;
     # docs_quantile_bin likewise: window_rank's group-partitioned
     # rank window + one groupBy, no new shape
+    #
+    # round-15 operators: the multimodal extraction path under a full
+    # value oracle (Arrow-batched md5-pixel dHash mapInPandas + codegen
+    # format sniffing + one id-keyed join of hash output to metadata)
+    "docs_media_phash_exact",
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -8393,6 +8393,109 @@ WHERE bit_count(xor(a.phash, b.phash)) <= 4
 """
 
 
+def q_docs_media_phash_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal EXTRACTION path under a full value oracle (r14
+    verdict task 4): synthetic media bytes are generated IN-CATALOG as
+    ASCII (a real magic prefix by doc_id%4 — GIF87a, RIFF····WEBP,
+    %PDF, ····ftyp — then an id:text payload), so the oracle holds the
+    exact same bytes and replays byte-for-byte:
+
+    * ``detect_format``/``riff_kind`` sniffing (codegen substring
+      logic) against the planted container truth,
+    * ``attach_media_metadata``'s byte size,
+    * ``perceptual_hash``'s Arrow-batched dHash over the deterministic
+      md5-pixel fake decoder (multimodal._fake_pixels): DuckDB's md5
+      accepts NUL/control chars in VARCHAR, so the 5-block md5 pixel
+      grid (seed || counter_le32), the 8×9 neighbor comparisons, and
+      the MSB-first signed-64 bit pack are all replayed exactly in
+      SQL — the first VALUE oracle over the mapInPandas extraction
+      itself (docs_phash_dups oracles only the banding over planted
+      hashes).
+
+    Scale shape: bytes ride one projection (no shuffle) into the
+    Arrow batches; the only exchange is the id-keyed join of the
+    hash output back to the metadata row (both sides id-partitioned)."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    magic = (F.when(F.col("doc_id") % 4 == 0, F.lit("GIF87a"))
+             .when(F.col("doc_id") % 4 == 1, F.lit("RIFF0000WEBP"))
+             .when(F.col("doc_id") % 4 == 2, F.lit("%PDF-1.7"))
+             .otherwise(F.lit("AAAAftypisom")))
+    payload = F.concat(F.col("doc_id").cast("string"), F.lit(":"),
+                       F.coalesce(F.substring("text", 1, 24), F.lit("")))
+    media = docs.select(
+        "doc_id",
+        F.encode(F.concat(magic, F.lit("|"), payload), "UTF-8")
+        .alias("media_bytes"))
+    meta = (multimodal.attach_media_metadata(media, "media_bytes",
+                                             "application/octet-stream")
+            .select("doc_id",
+                    multimodal.detect_format(F.col("media_bytes"))
+                    .alias("fmt"),
+                    multimodal.riff_kind(F.col("media_bytes"))
+                    .alias("riff"),
+                    F.col("media_size_bytes").cast("long")
+                    .alias("size_bytes")))
+    hashed = multimodal.perceptual_hash(
+        media, id_col="doc_id", binary_col="media_bytes", codec="fake")
+    return (meta.join(hashed, "doc_id")
+            .select("doc_id", "fmt", "riff", "size_bytes", "phash"))
+
+
+def _phash_byte_sql(j: str) -> str:
+    """DuckDB expression for md5-pixel byte ``j`` (0-based) of the
+    synthetic media string ``s``: block j//16 of md5(s || counter_le32),
+    hex pair j%16 — the exact _fake_pixels layout."""
+    block = (f"CASE ({j}) // 16 WHEN 0 THEN h0 WHEN 1 THEN h1 "
+             "WHEN 2 THEN h2 WHEN 3 THEN h3 ELSE h4 END")
+    return (f"CAST(('0x' || substr({block}, (({j}) % 16) * 2 + 1, 2)) "
+            "AS INT)")
+
+
+ORACLE_DOCS_MEDIA_PHASH_EXACT = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 4 WHEN 0 THEN 'GIF87a' WHEN 1 THEN 'RIFF0000WEBP'
+              WHEN 2 THEN '%PDF-1.7' ELSE 'AAAAftypisom' END
+           || '|' || CAST(doc_id AS VARCHAR) || ':'
+           || coalesce(substr(text, 1, 24), '') AS s
+  FROM documents),
+h AS (
+  SELECT doc_id, s,
+         md5(s || chr(0) || chr(0) || chr(0) || chr(0)) AS h0,
+         md5(s || chr(1) || chr(0) || chr(0) || chr(0)) AS h1,
+         md5(s || chr(2) || chr(0) || chr(0) || chr(0)) AS h2,
+         md5(s || chr(3) || chr(0) || chr(0) || chr(0)) AS h3,
+         md5(s || chr(4) || chr(0) || chr(0) || chr(0)) AS h4
+  FROM m),
+bits AS (
+  SELECT doc_id, bp,
+         CASE WHEN {_phash_byte_sql('(bp // 8) * 9 + (bp % 8) + 1')}
+                 > {_phash_byte_sql('(bp // 8) * 9 + (bp % 8)')}
+              THEN 1 ELSE 0 END AS bit
+  FROM h, UNNEST(range(64)) AS t(bp)),
+ph AS (
+  -- MSB-first pack with the signed-64 wrap: bit 0 is the 2^63 term,
+  -- folded in as the BIGINT minimum; bits 1..63 sum exactly in BIGINT
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bp > 0 THEN bit * (CAST(1 AS BIGINT)
+                                               << (63 - bp))
+                       ELSE 0 END) AS BIGINT)
+         + CAST(sum(CASE WHEN bp = 0 AND bit = 1
+                         THEN -9223372036854775808 ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM bits GROUP BY doc_id)
+SELECT m.doc_id,
+       CASE m.doc_id % 4 WHEN 0 THEN 'gif' WHEN 1 THEN 'riff'
+            WHEN 2 THEN 'pdf' ELSE 'mp4' END AS fmt,
+       CASE WHEN m.doc_id % 4 = 1 THEN 'webp' END AS riff,
+       CAST(strlen(m.s) AS BIGINT) AS size_bytes,
+       ph.phash
+FROM m JOIN ph ON ph.doc_id = m.doc_id
+"""
+
+
 def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (sampling.interleave_sources): the
     reading order for a 3:2:1-ish mix over the five sources — stride
@@ -10909,7 +11012,11 @@ FROM b GROUP BY source, bin
 #          is recorded inline below as it happens (only the 4 fill
 #          slots are displaceable — the 41-entry cohort is pinned by
 #          the verdict; r15-new entries beyond 4 gate locally and lead
-#          the r16 re-gate front as late-wave debt).
+#          the r16 re-gate front as late-wave debt):
+#          docs_media_phash_exact (the multimodal extraction path —
+#          detect_format/riff_kind/attach sizes + the mapInPandas
+#          md5-pixel dHash — under a full byte-replay value oracle,
+#          r14 verdict task 4) displaced embed_pca_check.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -10938,7 +11045,7 @@ DRIVER_PRIORITY: list[str] = [
     "customer_part_hits",           # r14 cert-bench delta (task 2)
     "docs_fold_pack",               # r14 cert-bench delta (task 2)
     "part_copurchase_triangles",    # 1.33x watch item (r13 outliers)
-    "embed_pca_check",              # r13 outlier history (eigen twin)
+    "docs_media_phash_exact",    # r15 new: multimodal dHash oracle
 ]
 
 
@@ -11165,6 +11272,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_padding_waste": q_docs_padding_waste,
     "docs_curriculum": q_docs_curriculum,
     "docs_phash_dups": q_docs_phash_dups,
+    "docs_media_phash_exact": q_docs_media_phash_exact,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -11397,6 +11505,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_padding_waste": ORACLE_DOCS_PADDING_WASTE,
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
+    "docs_media_phash_exact": ORACLE_DOCS_MEDIA_PHASH_EXACT,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,
