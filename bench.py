@@ -298,6 +298,9 @@ BENCH_QUERIES = [
     # value oracle (Arrow-batched md5-pixel dHash mapInPandas + codegen
     # format sniffing + one id-keyed join of hash output to metadata)
     "docs_media_phash_exact",
+    # events_cusum_merge_check is deliberately unbenched per the
+    # sibling rule: events_change_point's bucket-collapse + scan plan
+    # run twice (halved + direct) plus a group-cardinality join
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

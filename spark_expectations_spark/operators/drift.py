@@ -943,11 +943,41 @@ def survival_curve(
     if any(c in ("t", "n_risk", "n_event", "n_censored", "survival")
            for c in gc):
         raise ValueError("group_cols collide with the output columns")
+    return survival_from_time_counts(
+        survival_time_counts(df, duration_col, event_col,
+                             group_cols=gc), group_cols=gc)
+
+
+def survival_time_counts(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """The ADDITIVE half of :func:`survival_curve`: per-(group, t)
+    event/censor counts ``(group..., t, n_event, n_censored)``. Counts
+    from disjoint subject batches SUM to the union's counts exactly
+    (each subject contributes one row), which is what makes the K-M
+    curve day-2 incremental — see
+    ``streaming.incremental_survival_state``."""
+    gc = list(group_cols)
     d = F.col(event_col).cast("int")
-    per_t = (df.select(*gc, F.col(duration_col).alias("t"), d.alias("_e"))
-             .groupBy(*gc, "t")
-             .agg(F.sum("_e").alias("n_event"),
-                  F.sum(1 - F.col("_e")).alias("n_censored")))
+    return (df.select(*gc, F.col(duration_col).alias("t"), d.alias("_e"))
+            .groupBy(*gc, "t")
+            .agg(F.sum("_e").alias("n_event"),
+                 F.sum(1 - F.col("_e")).alias("n_censored")))
+
+
+def survival_from_time_counts(
+    per_t: DataFrame,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """The window half of :func:`survival_curve`, over a
+    :func:`survival_time_counts` frame (or any exact re-sum of such
+    frames — the merge is associative integer addition)."""
+    gc = list(group_cols)
     w_desc = (Window.partitionBy(*gc).orderBy(F.col("t").desc())
               .rowsBetween(Window.unboundedPreceding, 0))
     w_asc = (Window.partitionBy(*gc).orderBy("t")
@@ -1004,8 +1034,42 @@ def cusum_change_point(
     if any(c in ("n_buckets", "change_at", "tmax", "mean_left",
                  "mean_right") for c in gc):
         raise ValueError("group_cols collide with the output columns")
-    per_b = (df.groupBy(*gc, F.col(bucket_col).alias("_b"))
-             .agg(F.avg(F.col(value_col).cast("double")).alias("_x")))
+    return cusum_from_bucket_stats(
+        cusum_bucket_stats(df, bucket_col, value_col, group_cols=gc),
+        group_cols=gc)
+
+
+def cusum_bucket_stats(
+    df: DataFrame,
+    bucket_col: str,
+    value_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """The ADDITIVE half of :func:`cusum_change_point`: per-(group,
+    bucket) value sums and non-null counts ``(group..., _b, _sv,
+    _nv)``. Sums/counts from disjoint row batches ADD to the union's
+    exactly, so the bucket means — and therefore the whole scan — are
+    day-2 incremental (``streaming.incremental_cusum_state``)."""
+    gc = list(group_cols)
+    v = F.col(value_col).cast("double")
+    return (df.groupBy(*gc, F.col(bucket_col).alias("_b"))
+            .agg(F.sum(v).alias("_sv"), F.count(v).alias("_nv")))
+
+
+def cusum_from_bucket_stats(
+    per: DataFrame,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """The scan half of :func:`cusum_change_point`, over a
+    :func:`cusum_bucket_stats` frame (or an exact SUM re-merge of
+    such frames). Bucket mean = _sv/_nv — the same sum/count division
+    ``avg`` performs, so the one-shot and merged paths agree."""
+    gc = list(group_cols)
+    per_b = (per.filter(F.col("_nv") > 0)
+             .select(*gc, "_b",
+                     (F.col("_sv") / F.col("_nv")).alias("_x")))
     wg = Window.partitionBy(*gc)
     w_asc = wg.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     stats = (per_b

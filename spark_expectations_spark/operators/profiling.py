@@ -1082,6 +1082,66 @@ def schema_drift_report(
                         F.col("null_frac_cur") - F.col("null_frac_base")))
 
 
+def null_profile_snapshot(df: DataFrame) -> DataFrame:
+    """The ADDITIVE half of :func:`schema_drift_report`: one row per
+    column — ``(column, dtype, n_rows, n_nulls)`` — from ONE
+    whole-table aggregate (every column's null count rides the same
+    map-side-combined pass, the report's own scan shape). Counts from
+    disjoint row batches SUM to the union's exactly, so day-2 runs
+    never rescan history (``streaming.incremental_null_profile_state``);
+    ``dtype`` is the Spark simpleString, constant across batches of
+    one producer version."""
+    names = [f.name for f in df.schema.fields]
+    types = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    row = df.agg(
+        F.count(F.lit(1)).alias("__nrows"),
+        *[F.sum(F.col(f"`{n}`").isNull().cast("long")).alias(f"__nn_{i}")
+          for i, n in enumerate(names)])
+    entries = F.array(*[
+        F.struct(F.lit(n).alias("column"),
+                 F.lit(types[n]).alias("dtype"),
+                 F.col("__nrows").cast("long").alias("n_rows"),
+                 F.coalesce(F.col(f"__nn_{i}"), F.lit(0)).cast("long")
+                 .alias("n_nulls"))
+        for i, n in enumerate(names)])
+    return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+def schema_drift_from_profiles(
+    base_prof: DataFrame,
+    cur_prof: DataFrame,
+) -> DataFrame:
+    """:func:`schema_drift_report` computed from two
+    :func:`null_profile_snapshot` frames (or exact SUM re-merges of
+    them) instead of two live tables — the day-2 path: yesterday's
+    profile is column-cardinality state, so today's drift check scans
+    only today's rows. Same output contract as the report
+    (added/removed/common, type_changed, exact-ratio null fractions;
+    a zero-row side's fractions are NULL like ``avg`` over no rows)."""
+    b = base_prof.select(
+        "column", F.col("dtype").alias("type_base"),
+        F.col("n_rows").alias("_nrb"), F.col("n_nulls").alias("_nnb"))
+    c = cur_prof.select(
+        "column", F.col("dtype").alias("type_cur"),
+        F.col("n_rows").alias("_nrc"), F.col("n_nulls").alias("_nnc"))
+    j = b.join(c, "column", "full_outer")
+    frac_b = F.when(F.col("_nrb") > 0,
+                    F.col("_nnb") / F.col("_nrb")).cast("double")
+    frac_c = F.when(F.col("_nrc") > 0,
+                    F.col("_nnc") / F.col("_nrc")).cast("double")
+    status = (F.when(F.col("type_base").isNull(), F.lit("added"))
+              .when(F.col("type_cur").isNull(), F.lit("removed"))
+              .otherwise(F.lit("common")))
+    return (j.select(
+        "column", status.alias("status"), "type_base", "type_cur",
+        (F.col("type_base").isNotNull() & F.col("type_cur").isNotNull()
+         & (F.col("type_base") != F.col("type_cur")))
+        .alias("type_changed"),
+        frac_b.alias("null_frac_base"), frac_c.alias("null_frac_cur"))
+        .withColumn("null_frac_delta",
+                    F.col("null_frac_cur") - F.col("null_frac_base")))
+
+
 #: Benford first-digit probabilities log10(1 + 1/d), written as exact
 #: double literals so Spark and any SQL replay aggregate over
 #: IDENTICAL constants (repr round-trips the IEEE value).
@@ -1134,6 +1194,23 @@ def benford_report(
     if any(c in ("n", "chi2", "p_value", "worst_digit", "worst_abs_gap")
            for c in gc):
         raise ValueError("group_cols collide with the output columns")
+    return benford_from_counts(
+        benford_digit_counts(df, value_col, group_cols=gc),
+        group_cols=gc)
+
+
+def benford_digit_counts(
+    df: DataFrame,
+    value_col: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The ADDITIVE half of :func:`benford_report`: per-(group, first
+    digit) row counts ``(group..., _d, _c)`` under the report's drop
+    contract (NULL/NaN/±Inf/|v|<1 excluded). Counts from disjoint row
+    batches SUM to the union's exactly — the day-2 seam
+    (``streaming.incremental_benford_state``)."""
+    gc = list(group_cols)
     v = F.abs(F.col(value_col).cast("double"))
     # first char of the string form: ≥1 guarantees no sign / "0." /
     # leading zero, and scientific notation still leads with the
@@ -1141,9 +1218,23 @@ def benford_report(
     digit = F.substring(v.cast("string"), 1, 1).cast("int")
     finite = (F.col(value_col).isNotNull() & ~F.isnan(v)
               & (v >= 1.0) & (v < F.lit(float("inf"))))
-    per_d = (df.filter(finite)
-             .groupBy(*gc, digit.alias("_d"))
-             .agg(F.count(F.lit(1)).alias("_c")))
+    return (df.filter(finite)
+            .groupBy(*gc, digit.alias("_d"))
+            .agg(F.count(F.lit(1)).alias("_c")))
+
+
+def benford_from_counts(
+    per_d: DataFrame,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """The chi²/worst-gap fold of :func:`benford_report`, over a
+    :func:`benford_digit_counts` frame (or an exact SUM re-merge —
+    integer counts make the merged report bit-identical to the
+    one-shot)."""
+    from .drift import chi2_pvalue
+
+    gc = list(group_cols)
     n = F.sum("_c")
     terms_chi2 = []
     terms_gap = []

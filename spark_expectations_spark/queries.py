@@ -10519,6 +10519,99 @@ FROM best WHERE rk = 1
 """
 
 
+def q_events_cusum_merge_check(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """CUSUM's day-2 mergeability proven end to end (the
+    events_quantile_merge_check pattern applied to the r14 verdict
+    task 5 seam): the corpus splits into two disjoint halves by
+    user_id parity, each half collapses to additive
+    ``cusum_bucket_stats`` (the exact frame
+    ``streaming.incremental_cusum_state`` persists per batch), the
+    halves SUM-merge, and the scan over the merged stats meets the
+    one-shot ``cusum_change_point`` in a full-outer join — any bucket
+    where the merge loses a sum or a count shifts a mean/argmax and
+    breaks the hash. The oracle runs the scan once and emits it as
+    both sides."""
+    from .operators import drift
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    frame = ev.select("event_type", "user_id", day.alias("day"),
+                      F.col("value").alias("v"))
+    gc = ("event_type",)
+    halves = [frame.filter(F.col("user_id") % 2 == i) for i in (0, 1)]
+    stats = [drift.cusum_bucket_stats(h, "day", "v", group_cols=gc)
+             for h in halves]
+    merged_stats = (stats[0].unionByName(stats[1])
+                    .groupBy("event_type", "_b")
+                    .agg(F.sum("_sv").alias("_sv"),
+                         F.sum("_nv").alias("_nv")))
+    r9 = lambda c, n: (F.round(c, 9) + F.lit(0.0)).alias(n)  # noqa: E731
+    merged = drift.cusum_from_bucket_stats(merged_stats, group_cols=gc) \
+        .select("event_type",
+                F.col("n_buckets").alias("n_buckets_merged"),
+                F.col("change_at").alias("change_at_merged"),
+                r9(F.col("tmax"), "tmax_merged"),
+                r9(F.col("mean_left"), "mean_left_merged"),
+                r9(F.col("mean_right"), "mean_right_merged"))
+    direct = drift.cusum_change_point(frame, "day", "v", group_cols=gc) \
+        .select("event_type",
+                F.col("n_buckets").alias("n_buckets_direct"),
+                F.col("change_at").alias("change_at_direct"),
+                r9(F.col("tmax"), "tmax_direct"),
+                r9(F.col("mean_left"), "mean_left_direct"),
+                r9(F.col("mean_right"), "mean_right_direct"))
+    return (merged.join(direct, ["event_type"], "full_outer")
+            .select("event_type",
+                    "n_buckets_merged", "n_buckets_direct",
+                    "change_at_merged", "change_at_direct",
+                    "tmax_merged", "tmax_direct",
+                    "mean_left_merged", "mean_left_direct",
+                    "mean_right_merged", "mean_right_direct"))
+
+
+ORACLE_EVENTS_CUSUM_MERGE_CHECK = f"""
+WITH f AS (
+  SELECT event_type, epoch_ns(ts) // {_NS_PER_DAY} AS day, value AS v
+  FROM events),
+per_b AS (
+  SELECT event_type, day AS b, avg(v) AS x
+  FROM f GROUP BY event_type, day),
+st AS (
+  SELECT *,
+         CAST(count(*) OVER g AS BIGINT) AS n,
+         avg(x) OVER g AS xbar,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY b)
+              AS BIGINT) AS k,
+         sum(x) OVER w AS sx,
+         avg(x) OVER w AS cml
+  FROM per_b
+  WINDOW g AS (PARTITION BY event_type),
+         w AS (PARTITION BY event_type ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+cand AS (
+  SELECT *, abs(sx - k * xbar) * sqrt(n * 1.0 / (k * (n - k))) AS t
+  FROM st WHERE k < n),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY t DESC, b) AS rk
+  FROM cand),
+r AS (
+  SELECT event_type, n AS n_buckets, b AS change_at,
+         round(t, 9) + 0.0 AS tmax,
+         round(cml, 9) + 0.0 AS mean_left,
+         round((n * xbar - k * cml) / (n - k), 9) + 0.0 AS mean_right
+  FROM best WHERE rk = 1)
+SELECT event_type,
+       n_buckets AS n_buckets_merged, n_buckets AS n_buckets_direct,
+       change_at AS change_at_merged, change_at AS change_at_direct,
+       tmax AS tmax_merged, tmax AS tmax_direct,
+       mean_left AS mean_left_merged, mean_left AS mean_left_direct,
+       mean_right AS mean_right_merged, mean_right AS mean_right_direct
+FROM r
+"""
+
+
 def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (profiling.benford_report) of order
     totals per priority class — the fabricated/truncated-numbers smell
@@ -11016,7 +11109,23 @@ FROM b GROUP BY source, bin
 #          docs_media_phash_exact (the multimodal extraction path —
 #          detect_format/riff_kind/attach sizes + the mapInPandas
 #          md5-pixel dHash — under a full byte-replay value oracle,
-#          r14 verdict task 4) displaced embed_pca_check.
+#          r14 verdict task 4) displaced embed_pca_check;
+#          part_sorted_neighborhood (its pairing was REWORKED this
+#          round — window-carried blocks replacing the rank-keyed
+#          self-join, r14 verdict task 6 — and changed-implementation
+#          entries outrank unchanged re-gate fills per the r5 rotation
+#          principle) displaced part_copurchase_triangles (r11-green,
+#          code unchanged; its 1.33× watch reading was adjudicated to
+#          the stage-heavy noise class in SCALE.md this round);
+#          events_cusum_merge_check (two disjoint batch halves'
+#          cusum_bucket_stats SUM-merged in-plan, then the scan — the
+#          r14 verdict task 5 day-2 seam under a full value oracle)
+#          displaced docs_fold_pack (r11-green, unchanged; its cert
+#          delta resolved to 1.10× anchor-normalized in SCALE.md).
+#          customer_part_hits stays pinned: its HITS loop went sparse
+#          this round (changed implementation). Further r15-new
+#          operators gate locally at both scales and lead the r16
+#          front (late-wave convention).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -11042,10 +11151,10 @@ DRIVER_PRIORITY: list[str] = [
     # risk-first; r15-new operators take fill slots as they land,
     # displacing the BOTTOM fill first (the list is ordered
     # stalest-risk first, so the last names yield their slots)
-    "customer_part_hits",           # r14 cert-bench delta (task 2)
-    "docs_fold_pack",               # r14 cert-bench delta (task 2)
-    "part_copurchase_triangles",    # 1.33x watch item (r13 outliers)
+    "customer_part_hits",           # impl changed r15 (sparse HITS)
+    "part_sorted_neighborhood",     # impl changed r15 (window-carry)
     "docs_media_phash_exact",    # r15 new: multimodal dHash oracle
+    "events_cusum_merge_check",  # r15 new: day-2 CUSUM merge parity
 ]
 
 
@@ -11273,6 +11382,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum": q_docs_curriculum,
     "docs_phash_dups": q_docs_phash_dups,
     "docs_media_phash_exact": q_docs_media_phash_exact,
+    "events_cusum_merge_check": q_events_cusum_merge_check,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -11506,6 +11616,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "docs_media_phash_exact": ORACLE_DOCS_MEDIA_PHASH_EXACT,
+    "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,

@@ -836,6 +836,177 @@ def moments_state_stats(
         moments_merge(spark.read.parquet(state_path), group_cols))
 
 
+def incremental_survival_state(
+    state_path: str,
+    duration_col: str,
+    event_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating Kaplan-Meier sufficient
+    statistics on disk — per-batch ``(group..., t, n_event,
+    n_censored)`` counts (:func:`~..operators.drift
+    .survival_time_counts`) under the ``_batch_id`` dynamic-overwrite
+    exactly-once recipe. Each SUBJECT must arrive in exactly one batch
+    (counts are per subject); read the curve back via
+    :func:`survival_from_state` — bit-identical to the one-shot over
+    the union, integer counts merge exactly (r14 verdict task 5: the
+    drift family's day-2 seam, matching the dedup convention)."""
+    from ..operators.drift import survival_time_counts
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (survival_time_counts(batch_df, duration_col, event_col,
+                              group_cols=group_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def survival_from_state(
+    spark,
+    state_path: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_survival_state` dir (SUM per
+    (group, t)) and run the K-M windows — the day-2 curve without
+    rescanning any prior batch's subjects."""
+    from ..operators.drift import survival_from_time_counts
+
+    gc = list(group_cols)
+    merged = (spark.read.parquet(state_path)
+              .groupBy(*gc, "t")
+              .agg(F.sum("n_event").alias("n_event"),
+                   F.sum("n_censored").alias("n_censored")))
+    return survival_from_time_counts(merged, group_cols=gc)
+
+
+def incremental_cusum_state(
+    state_path: str,
+    bucket_col: str,
+    value_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating CUSUM sufficient statistics on
+    disk — per-batch ``(group..., _b, _sv, _nv)`` bucket sums/counts
+    (:func:`~..operators.drift.cusum_bucket_stats`), ``_batch_id``
+    dynamic overwrite. A day's rows may split across batches freely
+    (sums add); read the change-point scan back via
+    :func:`cusum_from_state`."""
+    from ..operators.drift import cusum_bucket_stats
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (cusum_bucket_stats(batch_df, bucket_col, value_col,
+                            group_cols=group_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def cusum_from_state(
+    spark,
+    state_path: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_cusum_state` dir (SUM per (group,
+    bucket)) and run the mean-shift scan over the merged bucket means
+    — scans state, not history."""
+    from ..operators.drift import cusum_from_bucket_stats
+
+    gc = list(group_cols)
+    merged = (spark.read.parquet(state_path)
+              .groupBy(*gc, "_b")
+              .agg(F.sum("_sv").alias("_sv"), F.sum("_nv").alias("_nv")))
+    return cusum_from_bucket_stats(merged, group_cols=gc)
+
+
+def incremental_benford_state(
+    state_path: str,
+    value_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating Benford first-digit counts on
+    disk (:func:`~..operators.profiling.benford_digit_counts`,
+    ``_batch_id`` dynamic overwrite); read the audit back via
+    :func:`benford_from_state` — integer counts merge exactly, so the
+    day-2 report is bit-identical to the one-shot over the union."""
+    from ..operators.profiling import benford_digit_counts
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (benford_digit_counts(batch_df, value_col,
+                              group_cols=group_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def benford_from_state(
+    spark,
+    state_path: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_benford_state` dir (SUM per (group,
+    digit)) and run the chi²/worst-gap fold."""
+    from ..operators.profiling import benford_from_counts
+
+    gc = list(group_cols)
+    merged = (spark.read.parquet(state_path)
+              .groupBy(*gc, "_d")
+              .agg(F.sum("_c").alias("_c")))
+    return benford_from_counts(merged, group_cols=gc)
+
+
+def incremental_null_profile_state(
+    state_path: str,
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating a
+    :func:`~..operators.profiling.null_profile_snapshot` (per-column
+    row/null counts + dtype) on disk, ``_batch_id`` dynamic overwrite
+    — the day-2 seam for schema/null-rate drift: yesterday's profile
+    is column-cardinality state, so today's
+    :func:`~..operators.profiling.schema_drift_from_profiles` check
+    scans only today's rows."""
+    from ..operators.profiling import null_profile_snapshot
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (null_profile_snapshot(batch_df)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def null_profile_from_state(spark, state_path: str) -> DataFrame:
+    """Merge an :func:`incremental_null_profile_state` dir to one row
+    per column (SUM counts; dtype is constant per producer version —
+    MAX picks it deterministically if a retype lands mid-stream, and
+    the drift report against the next snapshot flags the retype)."""
+    return (spark.read.parquet(state_path)
+            .groupBy("column")
+            .agg(F.max("dtype").alias("dtype"),
+                 F.sum("n_rows").alias("n_rows"),
+                 F.sum("n_nulls").alias("n_nulls")))
+
+
 def compact_bitmap_state(spark, state_path: str, out_path: str,
                          group_cols: list) -> None:
     """Compact an :func:`incremental_bitmap_distinct` state dir — after

@@ -455,6 +455,130 @@ class TestStreamingDQ:
             (1 + 9 + 25) / 3 - 9.0)
         assert (got["b"]["lo"], got["b"]["hi"]) == (10.0, 20.0)
 
+    def test_incremental_survival_state_matches_one_shot(
+            self, spark, tmp_path):
+        """r14 verdict task 5: two subject batches accumulated through
+        the day-2 seam produce the SAME K-M curve as the one-shot over
+        the union — integer time counts merge exactly — without
+        rescanning batch 1."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import drift
+        state = str(tmp_path / "km_state")
+        step = st.incremental_survival_state(state, "dur", "e",
+                                             group_cols=("cohort",))
+        b1 = spark.createDataFrame(
+            [("a", 1, 1), ("a", 2, 0), ("a", 2, 1), ("b", 1, 1)],
+            "cohort string, dur int, e int")
+        b2 = spark.createDataFrame(
+            [("a", 3, 1), ("b", 1, 0), ("b", 2, 1)],
+            "cohort string, dur int, e int")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                        # replay replaces, not adds
+        key = lambda r: (r["cohort"], r["t"])  # noqa: E731
+        got = {key(r): r for r in st.survival_from_state(
+            spark, state, group_cols=("cohort",)).collect()}
+        want = {key(r): r for r in drift.survival_curve(
+            b1.union(b2), "dur", "e", group_cols=("cohort",)).collect()}
+        assert set(got) == set(want)
+        for k in want:
+            for c in ("n_risk", "n_event", "n_censored"):
+                assert got[k][c] == want[k][c], (k, c)
+            assert got[k]["survival"] == pytest.approx(
+                want[k]["survival"]), k
+
+    def test_incremental_cusum_state_matches_one_shot(
+            self, spark, tmp_path):
+        """Bucket sums/counts accumulated per batch (a day's rows may
+        straddle batches) re-merge to the one-shot change-point scan."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import drift
+        state = str(tmp_path / "cusum_state")
+        step = st.incremental_cusum_state(state, "day", "v",
+                                          group_cols=("g",))
+        rows1 = [("s", d, 1.0 + (25.0 if d >= 4 else 0.0))
+                 for d in range(1, 7)]
+        rows2 = [("s", d, 3.0 + (25.0 if d >= 4 else 0.0))
+                 for d in range(1, 7)] + [("flat", d, 2.0)
+                                          for d in range(1, 5)]
+        b1 = spark.createDataFrame(rows1, "g string, day int, v double")
+        b2 = spark.createDataFrame(rows2, "g string, day int, v double")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                        # replay
+        got = {r["g"]: r for r in st.cusum_from_state(
+            spark, state, group_cols=("g",)).collect()}
+        want = {r["g"]: r for r in drift.cusum_change_point(
+            b1.union(b2), "day", "v", group_cols=("g",)).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g]["n_buckets"] == want[g]["n_buckets"]
+            assert got[g]["change_at"] == want[g]["change_at"]
+            for c in ("tmax", "mean_left", "mean_right"):
+                if want[g][c] is None:
+                    assert got[g][c] is None
+                else:
+                    assert got[g][c] == pytest.approx(want[g][c]), (g, c)
+        assert want["s"]["change_at"] == 3  # the planted shift found
+
+    def test_incremental_benford_state_matches_one_shot(
+            self, spark, tmp_path):
+        """Digit counts merge exactly → the day-2 Benford audit is
+        bit-identical to the one-shot over the union."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import profiling
+        state = str(tmp_path / "ben_state")
+        step = st.incremental_benford_state(state, "v",
+                                            group_cols=("g",))
+        b1 = spark.createDataFrame(
+            [("a", float(v)) for v in (12, 13, 25, 0.5, 900)]
+            + [("b", 7.0)], "g string, v double")
+        b2 = spark.createDataFrame(
+            [("a", float(v)) for v in (14, 31, 170)], "g string, v double")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                        # replay
+        got = {r["g"]: r for r in st.benford_from_state(
+            spark, state, group_cols=("g",)).collect()}
+        want = {r["g"]: r for r in profiling.benford_report(
+            b1.union(b2), "v", group_cols=("g",)).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            assert got[g].asDict() == want[g].asDict(), g
+        assert want["a"]["n"] == 7        # 0.5 dropped by contract
+
+    def test_incremental_null_profile_schema_drift(self, spark, tmp_path):
+        """Per-column row/null counts accumulated per batch merge into
+        a profile whose drift report equals schema_drift_report over
+        the live union — and a later producer version drifts against
+        the STORED profile without rescanning day 1."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import profiling
+        state = str(tmp_path / "np_state")
+        step = st.incremental_null_profile_state(state)
+        b1 = spark.createDataFrame(
+            [(1, 1.0, "x"), (2, None, None)],
+            "id long, price double, tag string")
+        b2 = spark.createDataFrame(
+            [(3, None, "y")], "id long, price double, tag string")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                        # replay
+        prof = st.null_profile_from_state(spark, state)
+        v2 = spark.createDataFrame(
+            [(4, "s", 7)], "id long, price string, rank int")
+        got = {r["column"]: r for r in profiling.schema_drift_from_profiles(
+            prof, profiling.null_profile_snapshot(v2)).collect()}
+        want = {r["column"]: r for r in profiling.schema_drift_report(
+            b1.union(b2), v2).collect()}
+        assert set(got) == set(want)
+        for c in want:
+            assert got[c].asDict() == want[c].asDict(), c
+        assert got["price"]["type_changed"] is True
+        assert got["price"]["null_frac_base"] == pytest.approx(2 / 3)
+        assert got["rank"]["status"] == "added"
+        assert got["tag"]["status"] == "removed"
+
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)
         must REPLACE its own output, not append a second copy — the
