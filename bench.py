@@ -301,6 +301,13 @@ BENCH_QUERIES = [
     # events_cusum_merge_check is deliberately unbenched per the
     # sibling rule: events_change_point's bucket-collapse + scan plan
     # run twice (halved + direct) plus a group-cardinality join
+    #
+    # Mann-Whitney rank-sum (one (group, value) groupBy collapse +
+    # group-partitioned cumulative rank window + one group fold)
+    "docs_mannwhitney",
+    # orders_theilsen is deliberately unbenched per the sibling rule:
+    # the CUSUM per-day collapse + a KB-scale in-group pair self-join
+    # and two bucket-cardinality median windows, no corpus-scale shape
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -1108,3 +1108,188 @@ def cusum_from_bucket_stats(
                        F.lit(None).cast("double").alias("mean_left"),
                        F.lit(None).cast("double").alias("mean_right")))
     return picked.unionByName(singles)
+
+
+#: Abramowitz & Stegun 7.1.26 erf-polynomial constants, written as the
+#: exact double literals BOTH engines aggregate over (the BENFORD_P
+#: convention): p(x) below approximates the two-sided normal tail
+#: 2·(1−Φ(|z|)) with |error| ≤ 1.5e-7 — and, because Spark and any SQL
+#: replay evaluate the SAME polynomial, the two engines agree to far
+#: tighter than the 9dp compare even where the approximation itself is
+#: loose.
+_AS_ERF = (0.254829592, -0.284496736, 1.421413741,
+           -1.453152027, 1.061405429)
+_AS_P = 0.3275911
+
+
+def normal_two_sided_p(z) -> "F.Column":
+    """Two-sided normal tail 2·(1−Φ(|z|)) via the A&S 7.1.26 erf
+    polynomial — pure +·/exp column arithmetic, so it runs in codegen
+    and replays identically in SQL engines (no erf builtin needed on
+    either side). ``z`` is any numeric column expression."""
+    x = F.abs(z.cast("double"))
+    y = x / F.lit(2.0 ** 0.5)
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(_AS_P) * y)
+    poly = (F.lit(_AS_ERF[0]) * t + F.lit(_AS_ERF[1]) * t * t
+            + F.lit(_AS_ERF[2]) * t * t * t
+            + F.lit(_AS_ERF[3]) * t * t * t * t
+            + F.lit(_AS_ERF[4]) * t * t * t * t * t)
+    return poly * F.exp(-x * x / F.lit(2.0))
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Two-sided Mann-Whitney U (Wilcoxon rank-sum) per group — the
+    nonparametric "did treatment shift the distribution" test the
+    drift family lacked: KS asks about the worst CDF gap, chi² about
+    bucket frequencies; rank-sum asks whether one labeled SIDE
+    stochastically dominates the other, with no distributional
+    assumption and exact average-rank tie handling. ``side_col`` is
+    0/1 (1 = treatment); NULL values/sides are excluded. Returns one
+    row per group:
+
+        (n1, n2, u, z, p_value)
+
+    where ``u`` is side-1's U statistic (R₁ − n₁(n₁+1)/2 over
+    average ranks), ``z`` its tie-corrected normal standardization
+
+        z = (U − n₁n₂/2) / sqrt(n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
+
+    (no continuity correction — both engines compute the identical
+    expression, which matters more here than the ±0.5 refinement;
+    scipy's default differs by that correction), and ``p_value`` the
+    :func:`normal_two_sided_p` polynomial tail. Degenerate groups
+    (either side empty, or every value tied so σ = 0) return NULL
+    z/p. The normal approximation needs n₁, n₂ ≳ 8 — at smaller n use
+    an exact-permutation tool; this operator is for corpus-scale
+    segments.
+
+    Scale shape: ONE (group, value) groupBy collapses the corpus to
+    distinct-value rows carrying per-side counts; average ranks come
+    from a group-partitioned cumulative window over those rows (ranks
+    of a tie block = count-before + (t+1)/2, exactly the average of
+    its row_numbers); the test statistic is one group fold. Rows
+    shuffle once. Float contract: u/z/p are double arithmetic over
+    exact integer counts — round 9dp (+0.0) cross-engine."""
+    gc = list(group_cols)
+    if any(c in ("n1", "n2", "u", "z", "p_value") for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    v = F.col(value_col).cast("double")
+    s = F.col(side_col).cast("int")
+    base = (df.select(*gc, v.alias("_v"), s.alias("_s"))
+            .filter(F.col("_v").isNotNull() & F.col("_s").isin(0, 1)))
+    per_v = (base.groupBy(*gc, "_v")
+             .agg(F.count(F.lit(1)).alias("_t"),
+                  F.sum("_s").alias("_t1")))
+    w_prev = (Window.partitionBy(*gc).orderBy("_v")
+              .rowsBetween(Window.unboundedPreceding, -1))
+    ranked = per_v.withColumn(
+        "_rbar",
+        F.coalesce(F.sum("_t").over(w_prev), F.lit(0)).cast("double")
+        + (F.col("_t") + 1) / 2.0)
+    agg = (ranked.groupBy(*gc)
+           .agg(F.sum("_t1").alias("_n1"),
+                F.sum(F.col("_t") - F.col("_t1")).alias("_n2"),
+                F.sum(F.col("_t1") * F.col("_rbar")).alias("_r1"),
+                F.sum(F.col("_t") * F.col("_t") * F.col("_t")
+                      - F.col("_t")).alias("_ties")))
+    n1, n2 = F.col("_n1"), F.col("_n2")
+    n = n1 + n2
+    u = F.col("_r1") - n1 * (n1 + 1) / F.lit(2.0)
+    var = (n1 * n2 / F.lit(12.0)
+           * ((n + 1) - F.col("_ties") / (n * (n - 1))))
+    sigma = F.sqrt(var)
+    z = F.when((n1 > 0) & (n2 > 0) & (sigma > 0),
+               (u - n1 * n2 / F.lit(2.0)) / sigma)
+    return agg.select(
+        *gc, n1.alias("n1"), n2.alias("n2"),
+        F.when((n1 > 0) & (n2 > 0), u).alias("u"),
+        z.alias("z"),
+        F.when(z.isNotNull(),
+               normal_two_sided_p(z)).alias("p_value"))
+
+
+def theilsen_trend(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Theil-Sen robust trend per group — the slope a level shift or a
+    few wild outliers cannot drag (breakdown point ~29%, vs 0% for
+    OLS): slope = the EXACT median of all pairwise slopes
+    (y_j − y_i)/(x_j − x_i) over points with distinct x, intercept =
+    the exact median of (y − slope·x) over the points. Returns one row
+    per group:
+
+        (n_points, n_pairs, slope, intercept)
+
+    with NULL slope/intercept when fewer than 2 distinct x (no pair
+    exists). Even-count medians average the two middle values (the
+    repo's exact-median convention). Ties among equal slopes make the
+    middle ELEMENT order-arbitrary but its VALUE identical, so the
+    result is deterministic and oracle-checkable.
+
+    Scale shape: pairwise slopes are quadratic IN THE GROUP — feed
+    bucket-collapsed series (the CUSUM convention: one groupBy to
+    per-(group, bucket) means first), where groups are
+    bucket-cardinality (days, weeks) and the in-group pair join is
+    KB-scale. The pair generation is one group-keyed self-join, the
+    two medians are group-partitioned rank windows; nothing is
+    corpus². Float contract: slope/intercept are double arithmetic —
+    round 9dp (+0.0) cross-engine."""
+    gc = list(group_cols)
+    if any(c in ("n_points", "n_pairs", "slope", "intercept")
+           for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = (df.select(*gc, x.alias("_x"), y.alias("_y"))
+           .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+    a = pts.select(*gc, F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
+    b = pts.select(*gc, F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
+    pairs = (a.join(b, gc) if gc else a.crossJoin(b)) \
+        .filter(F.col("_xa") < F.col("_xb")) \
+        .select(*gc, ((F.col("_yb") - F.col("_ya"))
+                      / (F.col("_xb") - F.col("_xa"))).alias("_m"))
+
+    def _median(frame: DataFrame, col: str, out: str) -> DataFrame:
+        wg = Window.partitionBy(*gc)
+        wr = wg.orderBy(col)
+        ranked = (frame
+                  .withColumn("_cnt", F.count(F.lit(1)).over(wg))
+                  .withColumn("_rk", F.row_number().over(wr)))
+        # odd cnt: the single middle 2·rk == cnt+1; even cnt: average
+        # the two middles 2·rk ∈ {cnt, cnt+2} — all-integer predicates
+        return (ranked.filter(
+            ((F.col("_cnt") % 2 == 1)
+             & (F.col("_rk") * 2 == F.col("_cnt") + 1))
+            | ((F.col("_cnt") % 2 == 0)
+               & ((F.col("_rk") * 2 == F.col("_cnt"))
+                  | (F.col("_rk") * 2 == F.col("_cnt") + 2))))
+            .groupBy(*gc)
+            .agg(F.avg(col).alias(out),
+                 F.max("_cnt").alias(f"__n_{out}")))
+
+    slopes = _median(pairs, "_m", "slope")
+    resid = (pts.join(slopes.select(*gc, "slope"), gc)
+             if gc else pts.crossJoin(slopes.select("slope"))) \
+        .select(*gc, (F.col("_y") - F.col("slope") * F.col("_x"))
+                .alias("_r"))
+    inter = _median(resid, "_r", "intercept")
+    counts = pts.groupBy(*gc).agg(F.count(F.lit(1)).alias("n_points"))
+    out = (counts
+           .join(slopes, gc, "left") if gc
+           else counts.crossJoin(slopes))
+    out = out.join(inter, gc, "left") if gc else out.crossJoin(inter)
+    return out.select(
+        *gc, "n_points",
+        F.coalesce(F.col("__n_slope"), F.lit(0)).cast("long")
+        .alias("n_pairs"),
+        "slope", "intercept")

@@ -10612,6 +10612,144 @@ FROM r
 """
 
 
+def q_docs_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum per language (drift.mann_whitney_u):
+    does the odd-numbered source half produce longer documents than
+    the even half? Average-rank tie handling over the (lang, n_chars)
+    collapse, tie-corrected normal z, and the A&S-polynomial two-sided
+    p — every float is the SAME expression shape in both engines, so
+    9dp (+0.0) rounding compares exactly."""
+    from .operators import drift
+
+    docs = load(spark, sf_dir, "documents")
+    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
+    frame = docs.select("lang", F.col("n_chars").alias("v"), side)
+    out = drift.mann_whitney_u(frame, "v", "side", group_cols=("lang",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("lang", "n1", "n2", r9("u"), r9("z"),
+                      r9("p_value"))
+
+
+ORACLE_DOCS_MANNWHITNEY = """
+WITH base AS (
+  SELECT lang, CAST(n_chars AS DOUBLE) AS v,
+         CAST(substr(source, 4) AS INT) % 2 AS s
+  FROM documents WHERE n_chars IS NOT NULL),
+per_v AS (
+  SELECT lang, v, CAST(count(*) AS BIGINT) AS t,
+         CAST(sum(s) AS BIGINT) AS t1
+  FROM base GROUP BY lang, v),
+ranked AS (
+  SELECT *, coalesce(CAST(sum(t) OVER (
+             PARTITION BY lang ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS DOUBLE), 0.0) + (t + 1) / 2.0 AS rbar
+  FROM per_v),
+agg AS (
+  SELECT lang,
+         CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(t - t1) AS BIGINT) AS n2,
+         sum(t1 * rbar) AS r1,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties
+  FROM ranked GROUP BY lang),
+stat AS (
+  SELECT lang, n1, n2,
+         r1 - n1 * (n1 + 1) / 2.0 AS u,
+         sqrt(n1 * n2 / 12.0
+              * (((n1 + n2) + 1)
+                 - ties / ((n1 + n2) * (n1 + n2 - 1)))) AS sigma
+  FROM agg),
+zs AS (
+  SELECT lang, n1, n2, u,
+         CASE WHEN n1 > 0 AND n2 > 0 AND sigma > 0
+              THEN (u - n1 * n2 / 2.0) / sigma END AS z
+  FROM stat),
+tt AS (
+  -- A&S 7.1.26: t = 1/(1 + p·|z|/sqrt(2)), the engine's expression
+  SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS w
+  FROM zs)
+SELECT lang, n1, n2,
+       round(CASE WHEN n1 > 0 AND n2 > 0 THEN u END, 9) + 0.0 AS u,
+       round(z, 9) + 0.0 AS z,
+       round(CASE WHEN z IS NOT NULL THEN
+               (0.254829592 * w + -0.284496736 * w * w
+                + 1.421413741 * w * w * w
+                + -1.453152027 * w * w * w * w
+                + 1.061405429 * w * w * w * w * w)
+               * exp(-abs(z) * abs(z) / 2.0) END, 9) + 0.0 AS p_value
+FROM tt
+"""
+
+
+def q_orders_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily-price trend per order priority
+    (drift.theilsen_trend over the CUSUM-style per-day mean collapse):
+    the slope a promo-day outlier cannot drag, with the exact-median
+    pair scan replayed verbatim in SQL (pair slopes, odd/even middle
+    pick, residual median intercept)."""
+    from .operators import drift
+
+    od = load(spark, sf_dir, "orders")
+    # o_orderdate is TIMESTAMP_NTZ — date-diff days are tz-free and
+    # identical in both engines (no unix_micros session-tz shift)
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date")).cast("long")
+    per_day = (od.groupBy("o_orderpriority", day.alias("day"))
+               .agg(F.avg("o_totalprice").alias("m")))
+    out = drift.theilsen_trend(per_day, "day", "m",
+                               group_cols=("o_orderpriority",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("o_orderpriority", "n_points", "n_pairs",
+                      r9("slope"), r9("intercept"))
+
+
+ORACLE_ORDERS_THEILSEN = """
+WITH per_day AS (
+  SELECT o_orderpriority AS pri,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS DOUBLE)
+           AS x,
+         avg(o_totalprice) AS y
+  FROM orders
+  GROUP BY o_orderpriority, CAST(o_orderdate AS DATE) - DATE '1970-01-01'),
+pairs AS (
+  SELECT a.pri, (b.y - a.y) / (b.x - a.x) AS m
+  FROM per_day a JOIN per_day b ON a.pri = b.pri AND a.x < b.x),
+pm AS (
+  SELECT pri, m, count(*) OVER (PARTITION BY pri) AS cnt,
+         row_number() OVER (PARTITION BY pri ORDER BY m) AS rk
+  FROM pairs),
+slope AS (
+  SELECT pri, avg(m) AS slope, CAST(max(cnt) AS BIGINT) AS n_pairs
+  FROM pm
+  WHERE (cnt % 2 = 1 AND rk * 2 = cnt + 1)
+     OR (cnt % 2 = 0 AND (rk * 2 = cnt OR rk * 2 = cnt + 2))
+  GROUP BY pri),
+resid AS (
+  SELECT p.pri, p.y - s.slope * p.x AS r
+  FROM per_day p JOIN slope s ON s.pri = p.pri),
+rm AS (
+  SELECT pri, r, count(*) OVER (PARTITION BY pri) AS cnt,
+         row_number() OVER (PARTITION BY pri ORDER BY r) AS rk
+  FROM resid),
+inter AS (
+  SELECT pri, avg(r) AS intercept
+  FROM rm
+  WHERE (cnt % 2 = 1 AND rk * 2 = cnt + 1)
+     OR (cnt % 2 = 0 AND (rk * 2 = cnt OR rk * 2 = cnt + 2))
+  GROUP BY pri),
+counts AS (
+  SELECT pri, CAST(count(*) AS BIGINT) AS n_points
+  FROM per_day GROUP BY pri)
+SELECT c.pri AS o_orderpriority, c.n_points,
+       coalesce(s.n_pairs, 0) AS n_pairs,
+       round(s.slope, 9) + 0.0 AS slope,
+       round(i.intercept, 9) + 0.0 AS intercept
+FROM counts c
+LEFT JOIN slope s ON s.pri = c.pri
+LEFT JOIN inter i ON i.pri = c.pri
+"""
+
+
 def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (profiling.benford_report) of order
     totals per priority class — the fabricated/truncated-numbers smell
@@ -11125,7 +11263,10 @@ FROM b GROUP BY source, bin
 #          customer_part_hits stays pinned: its HITS loop went sparse
 #          this round (changed implementation). Further r15-new
 #          operators gate locally at both scales and lead the r16
-#          front (late-wave convention).
+#          front (late-wave convention): docs_mannwhitney (rank-sum
+#          test, A&S-polynomial p) and orders_theilsen (robust trend)
+#          are that debt — both locally value-gated sf0.001 AND sf0.01
+#          this round; the r16 rotation MUST lead with them.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -11383,6 +11524,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_phash_dups": q_docs_phash_dups,
     "docs_media_phash_exact": q_docs_media_phash_exact,
     "events_cusum_merge_check": q_events_cusum_merge_check,
+    "docs_mannwhitney": q_docs_mannwhitney,
+    "orders_theilsen": q_orders_theilsen,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -11617,6 +11760,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "docs_media_phash_exact": ORACLE_DOCS_MEDIA_PHASH_EXACT,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
+    "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
+    "orders_theilsen": ORACLE_ORDERS_THEILSEN,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,

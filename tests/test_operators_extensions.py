@@ -8093,3 +8093,105 @@ class TestBloomFilter:
         got = sketches.bloom_might_contain(
             empty, keys, "k", n_bits=256, k=2).first()
         assert got["might_contain"] is False
+
+
+class TestMannWhitneyU:
+    """Rank-sum test: hand-computed U/z/p with ties, degenerate sides,
+    and the A&S polynomial against the true normal tail."""
+
+    def test_hand_computed_with_ties(self, spark):
+        import math
+        from spark_expectations_spark.operators import drift
+        rows = [("g", 1.0, 0), ("g", 2.0, 0), ("g", 2.0, 0),
+                ("g", 5.0, 0), ("g", 2.0, 1), ("g", 3.0, 1),
+                ("g", 7.0, 1), ("g", 8.0, 1), ("g", 9.0, 1)]
+        df = spark.createDataFrame(rows, "s string, v double, side int")
+        r = drift.mann_whitney_u(df, "v", "side",
+                                 group_cols=("s",)).first()
+        # sorted: 1 | 2,2,2 (avg rank 3) | 3,5,7,8,9 → R₁ = 3+5+7+8+9
+        # U = 32 − 5·6/2 = 17; ties Σ(t³−t) = 24
+        assert (r["n1"], r["n2"]) == (5, 4)
+        assert r["u"] == pytest.approx(17.0)
+        z = 7.0 / math.sqrt((5 * 4 / 12) * (10 - 24 / 72))
+        assert r["z"] == pytest.approx(z)
+        # A&S polynomial within its 1.5e-7 bound of the true tail
+        # (scipy-free reference: 2·(1−Φ(1.744)) ≈ 0.081167)
+        assert r["p_value"] == pytest.approx(0.0811668, abs=5e-6)
+
+    def test_degenerate_sides_and_guards(self, spark):
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame(
+            [("a", 1.0, 0), ("a", 2.0, 0),      # side 1 empty
+             ("b", 3.0, 0), ("b", 3.0, 1),      # all values tied: σ=0
+             ("c", None, 1), ("c", 4.0, 2)],    # NULL v / side ∉ {0,1}
+            "s string, v double, side int")
+        out = {r["s"]: r for r in drift.mann_whitney_u(
+            df, "v", "side", group_cols=("s",)).collect()}
+        assert out["a"]["z"] is None and out["a"]["p_value"] is None
+        assert out["a"]["u"] is None
+        assert out["b"]["z"] is None            # tie-corrected σ = 0
+        assert "c" not in out                   # nothing valid remains
+        with pytest.raises(ValueError, match="collide"):
+            drift.mann_whitney_u(
+                df.withColumnRenamed("s", "z"), "v", "side",
+                group_cols=("z",))
+
+    def test_shift_detected_direction(self, spark):
+        """A planted +shift on side 1 yields positive z and a small p;
+        identical distributions yield z ≈ 0."""
+        from spark_expectations_spark.operators import drift
+        rows = ([("s", float(i % 17), 0) for i in range(60)]
+                + [("s", float(i % 17) + 8.0, 1) for i in range(60)]
+                + [("n", float(i % 17), i % 2) for i in range(120)])
+        df = spark.createDataFrame(rows, "g string, v double, side int")
+        out = {r["g"]: r for r in drift.mann_whitney_u(
+            df, "v", "side", group_cols=("g",)).collect()}
+        assert out["s"]["z"] > 5 and out["s"]["p_value"] < 1e-6
+        assert abs(out["n"]["z"]) < 0.5 and out["n"]["p_value"] > 0.5
+
+
+class TestTheilSenTrend:
+    """Robust trend: outlier immunity, tied-x exclusion, even-count
+    medians, single-point groups."""
+
+    def test_outlier_immune_slope_and_intercept(self, spark):
+        from spark_expectations_spark.operators import drift
+        pts = [("g", 0.0, 1.0), ("g", 1.0, 3.0), ("g", 2.0, 5.0),
+               ("g", 3.0, 7.0), ("g", 4.0, 100.0), ("h", 1.0, 5.0)]
+        df = spark.createDataFrame(pts, "s string, x double, y double")
+        out = {r["s"]: r for r in drift.theilsen_trend(
+            df, "x", "y", group_cols=("s",)).collect()}
+        g = out["g"]
+        # 6 clean pairwise slopes of 2 outvote the 4 outlier pairs;
+        # residual median of [1,1,1,1,92] = 1
+        assert (g["n_points"], g["n_pairs"]) == (5, 10)
+        assert g["slope"] == pytest.approx(2.0)
+        assert g["intercept"] == pytest.approx(1.0)
+        h = out["h"]
+        assert (h["n_points"], h["n_pairs"]) == (1, 0)
+        assert h["slope"] is None and h["intercept"] is None
+
+    def test_tied_x_excluded_and_odd_median(self, spark):
+        from spark_expectations_spark.operators import drift
+        pts = [("g", 0.0, 0.0), ("g", 1.0, 1.0), ("g", 1.0, 9.0),
+               ("g", 2.0, 4.0)]
+        df = spark.createDataFrame(pts, "s string, x double, y double")
+        r = drift.theilsen_trend(df, "x", "y", group_cols=("s",)).first()
+        # pairs with distinct x only: slopes sorted [-5, 1, 2, 3, 9]
+        assert r["n_pairs"] == 5
+        assert r["slope"] == pytest.approx(2.0)
+
+    def test_even_pair_count_averages_middles(self, spark):
+        from spark_expectations_spark.operators import drift
+        # 4 points, all x distinct → 6 pairs (even): median = avg of
+        # the 3rd and 4th sorted slopes
+        pts = [(0.0, 0.0), (1.0, 1.0), (2.0, 4.0), (3.0, 9.0)]
+        df = spark.createDataFrame(pts, "x double, y double")
+        r = drift.theilsen_trend(df, "x", "y").first()
+        # slopes: 1, 2, 3, 3, 4, 5 → median (3+3)/2 = 3
+        assert r["n_pairs"] == 6
+        assert r["slope"] == pytest.approx(3.0)
+        with pytest.raises(ValueError, match="collide"):
+            drift.theilsen_trend(
+                df.withColumn("slope", F.lit("x")), "x", "y",
+                group_cols=("slope",))
