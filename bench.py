@@ -307,7 +307,9 @@ BENCH_QUERIES = [
     "docs_mannwhitney",
     # orders_theilsen is deliberately unbenched per the sibling rule:
     # the CUSUM per-day collapse + a KB-scale in-group pair self-join
-    # and two bucket-cardinality median windows, no corpus-scale shape
+    # and two bucket-cardinality median windows, no corpus-scale shape;
+    # events_kendall_tau likewise: the same collapse + pair-join shape
+    # with a sign fold instead of medians
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -1153,10 +1153,14 @@ def mann_whitney_u(
     0/1 (1 = treatment); NULL values/sides are excluded. Returns one
     row per group:
 
-        (n1, n2, u, z, p_value)
+        (n1, n2, u, cliffs_delta, z, p_value)
 
     where ``u`` is side-1's U statistic (R₁ − n₁(n₁+1)/2 over
-    average ranks), ``z`` its tie-corrected normal standardization
+    average ranks), ``cliffs_delta = 2U/(n₁n₂) − 1`` the
+    ordinal effect size in [−1, 1] (P(x₁ > x₂) − P(x₂ > x₁), ties
+    splitting — the "how big", where z/p only say "how sure"; ±0.147/
+    0.33/0.474 are the conventional small/medium/large bands), ``z``
+    the U statistic's tie-corrected normal standardization
 
         z = (U − n₁n₂/2) / sqrt(n₁n₂/12 · ((n+1) − Σ(t³−t)/(n(n−1))))
 
@@ -1177,7 +1181,8 @@ def mann_whitney_u(
     shuffle once. Float contract: u/z/p are double arithmetic over
     exact integer counts — round 9dp (+0.0) cross-engine."""
     gc = list(group_cols)
-    if any(c in ("n1", "n2", "u", "z", "p_value") for c in gc):
+    if any(c in ("n1", "n2", "u", "cliffs_delta", "z", "p_value")
+           for c in gc):
         raise ValueError("group_cols collide with the output columns")
     v = F.col(value_col).cast("double")
     s = F.col(side_col).cast("int")
@@ -1209,6 +1214,8 @@ def mann_whitney_u(
     return agg.select(
         *gc, n1.alias("n1"), n2.alias("n2"),
         F.when((n1 > 0) & (n2 > 0), u).alias("u"),
+        F.when((n1 > 0) & (n2 > 0),
+               F.lit(2.0) * u / (n1 * n2) - 1).alias("cliffs_delta"),
         z.alias("z"),
         F.when(z.isNotNull(),
                normal_two_sided_p(z)).alias("p_value"))
@@ -1293,3 +1300,86 @@ def theilsen_trend(
         F.coalesce(F.col("__n_slope"), F.lit(0)).cast("long")
         .alias("n_pairs"),
         "slope", "intercept")
+
+
+def kendall_tau(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Kendall's tau-b rank correlation per group — the monotonic-
+    association companion to :func:`theilsen_trend` (Theil-Sen says
+    how steep; tau says how CONSISTENTLY one variable rises with the
+    other, outlier-proof because only order matters):
+
+        tau_b = (C − D) / sqrt((n₀ − T_x)(n₀ − T_y))
+
+    over all unordered point pairs, where C/D count concordant/
+    discordant pairs (strict agreement/disagreement in both orders),
+    n₀ = n(n−1)/2, and T_x/T_y = Σ t(t−1)/2 over tie blocks of each
+    variable (the tie correction that keeps tau in [−1, 1] on tied
+    data). Returns one row per group:
+
+        (n_points, n_pairs, concordant, discordant, tau_b)
+
+    with NULL tau_b when either tie-corrected denominator term is 0
+    (a constant variable has no order to correlate). NULL x/y rows
+    are excluded.
+
+    Scale shape: the theilsen convention — feed bucket-collapsed
+    series (one groupBy to per-(group, bucket) means first); pairs
+    are one group-keyed self-join over bucket-cardinality rows
+    (deterministically ordered by a (x, y)-sorted row_number so each
+    unordered pair counts once), tie blocks are two value-collapse
+    groupBys, and the fold is group-cardinality joins. Nothing is
+    corpus². Float contract: tau_b is double arithmetic over exact
+    integer counts — round 9dp (+0.0) cross-engine."""
+    gc = list(group_cols)
+    if any(c in ("n_points", "n_pairs", "concordant", "discordant",
+                 "tau_b") for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = (df.select(*gc, x.alias("_x"), y.alias("_y"))
+           .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+    w = Window.partitionBy(*gc).orderBy("_x", "_y")
+    idx = pts.withColumn("_i", F.row_number().over(w))
+    a = idx.select(*gc, F.col("_x").alias("_xa"),
+                   F.col("_y").alias("_ya"), F.col("_i").alias("_ia"))
+    b = idx.select(*gc, F.col("_x").alias("_xb"),
+                   F.col("_y").alias("_yb"), F.col("_i").alias("_ib"))
+    pairs = (a.join(b, gc) if gc else a.crossJoin(b)) \
+        .filter(F.col("_ia") < F.col("_ib"))
+    sgn = (F.signum(F.col("_xb") - F.col("_xa"))
+           * F.signum(F.col("_yb") - F.col("_ya")))
+    per_pair = (pairs.groupBy(*gc)
+                .agg(F.count(F.lit(1)).alias("n_pairs"),
+                     F.sum((sgn > 0).cast("long")).alias("concordant"),
+                     F.sum((sgn < 0).cast("long")).alias("discordant")))
+    tx = (pts.groupBy(*gc, "_x").agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy(*gc)
+          .agg((F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+               .cast("long").alias("_tx")))
+    ty = (pts.groupBy(*gc, "_y").agg(F.count(F.lit(1)).alias("_t"))
+          .groupBy(*gc)
+          .agg((F.sum(F.col("_t") * (F.col("_t") - 1)) / 2)
+               .cast("long").alias("_ty")))
+    counts = pts.groupBy(*gc).agg(F.count(F.lit(1)).alias("n_points"))
+    out = counts
+    for frame in (per_pair, tx, ty):
+        out = (out.join(frame, gc, "left") if gc
+               else out.crossJoin(frame))
+    n0 = F.coalesce(F.col("n_pairs"), F.lit(0))
+    denom_x = n0 - F.coalesce(F.col("_tx"), F.lit(0))
+    denom_y = n0 - F.coalesce(F.col("_ty"), F.lit(0))
+    tau = F.when(
+        (denom_x > 0) & (denom_y > 0),
+        (F.col("concordant") - F.col("discordant"))
+        / F.sqrt(denom_x.cast("double") * denom_y.cast("double")))
+    return out.select(
+        *gc, "n_points", n0.alias("n_pairs"),
+        F.coalesce(F.col("concordant"), F.lit(0)).alias("concordant"),
+        F.coalesce(F.col("discordant"), F.lit(0)).alias("discordant"),
+        tau.alias("tau_b"))

@@ -10626,8 +10626,8 @@ def q_docs_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame = docs.select("lang", F.col("n_chars").alias("v"), side)
     out = drift.mann_whitney_u(frame, "v", "side", group_cols=("lang",))
     r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
-    return out.select("lang", "n1", "n2", r9("u"), r9("z"),
-                      r9("p_value"))
+    return out.select("lang", "n1", "n2", r9("u"), r9("cliffs_delta"),
+                      r9("z"), r9("p_value"))
 
 
 ORACLE_DOCS_MANNWHITNEY = """
@@ -10670,6 +10670,9 @@ tt AS (
   FROM zs)
 SELECT lang, n1, n2,
        round(CASE WHEN n1 > 0 AND n2 > 0 THEN u END, 9) + 0.0 AS u,
+       round(CASE WHEN n1 > 0 AND n2 > 0
+                  THEN 2.0 * u / (n1 * n2) - 1 END, 9) + 0.0
+         AS cliffs_delta,
        round(z, 9) + 0.0 AS z,
        round(CASE WHEN z IS NOT NULL THEN
                (0.254829592 * w + -0.284496736 * w * w
@@ -10747,6 +10750,74 @@ SELECT c.pri AS o_orderpriority, c.n_points,
 FROM counts c
 LEFT JOIN slope s ON s.pri = c.pri
 LEFT JOIN inter i ON i.pri = c.pri
+"""
+
+
+def q_events_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b per event type (drift.kendall_tau) between day
+    and daily mean value over the CUSUM-style bucket collapse — the
+    monotonic-trend-consistency companion to orders_theilsen. The
+    oracle replays the (x, y)-ordered pairing, the sign fold, and
+    both tie corrections verbatim; tau is exact-integer arithmetic
+    under one sqrt, 9dp (+0.0)."""
+    from .operators import drift
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    per_day = (ev.groupBy("event_type", day.alias("day"))
+               .agg(F.avg("value").alias("m")))
+    out = drift.kendall_tau(per_day, "day", "m",
+                            group_cols=("event_type",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("event_type", "n_points", "n_pairs",
+                      "concordant", "discordant", r9("tau_b"))
+
+
+ORACLE_EVENTS_KENDALL_TAU = f"""
+WITH per_day AS (
+  SELECT event_type AS g,
+         CAST(epoch_ns(ts) // {_NS_PER_DAY} AS DOUBLE) AS x,
+         avg(value) AS y
+  FROM events GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}),
+idx AS (
+  SELECT *, row_number() OVER (PARTITION BY g ORDER BY x, y) AS i
+  FROM per_day),
+pairs AS (
+  SELECT a.g,
+         sign(b.x - a.x) * sign(b.y - a.y) AS s
+  FROM idx a JOIN idx b ON a.g = b.g AND a.i < b.i),
+pp AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS concordant,
+         CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS discordant
+  FROM pairs GROUP BY g),
+tx AS (
+  SELECT g, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS tx
+  FROM (SELECT g, x, count(*) AS t FROM per_day GROUP BY g, x)
+  GROUP BY g),
+ty AS (
+  SELECT g, CAST(sum(t * (t - 1)) // 2 AS BIGINT) AS ty
+  FROM (SELECT g, y, count(*) AS t FROM per_day GROUP BY g, y)
+  GROUP BY g),
+counts AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_points
+  FROM per_day GROUP BY g)
+SELECT c.g AS event_type, c.n_points,
+       coalesce(p.n_pairs, 0) AS n_pairs,
+       coalesce(p.concordant, 0) AS concordant,
+       coalesce(p.discordant, 0) AS discordant,
+       round(CASE WHEN coalesce(p.n_pairs, 0) - coalesce(tx.tx, 0) > 0
+                   AND coalesce(p.n_pairs, 0) - coalesce(ty.ty, 0) > 0
+                  THEN (p.concordant - p.discordant)
+                       / sqrt(CAST(p.n_pairs - tx.tx AS DOUBLE)
+                              * CAST(p.n_pairs - ty.ty AS DOUBLE))
+             END, 9) + 0.0 AS tau_b
+FROM counts c
+LEFT JOIN pp p ON p.g = c.g
+LEFT JOIN tx ON tx.g = c.g
+LEFT JOIN ty ON ty.g = c.g
 """
 
 
@@ -11264,9 +11335,11 @@ FROM b GROUP BY source, bin
 #          this round (changed implementation). Further r15-new
 #          operators gate locally at both scales and lead the r16
 #          front (late-wave convention): docs_mannwhitney (rank-sum
-#          test, A&S-polynomial p) and orders_theilsen (robust trend)
-#          are that debt — both locally value-gated sf0.001 AND sf0.01
-#          this round; the r16 rotation MUST lead with them.
+#          test + Cliff's delta, A&S-polynomial p), orders_theilsen
+#          (robust trend), and events_kendall_tau (tau-b rank
+#          correlation) are that debt — all locally value-gated
+#          sf0.001 AND sf0.01 this round; the r16 rotation MUST lead
+#          with them.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -11526,6 +11599,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "orders_theilsen": q_orders_theilsen,
+    "events_kendall_tau": q_events_kendall_tau,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -11762,6 +11836,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "orders_theilsen": ORACLE_ORDERS_THEILSEN,
+    "events_kendall_tau": ORACLE_EVENTS_KENDALL_TAU,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,

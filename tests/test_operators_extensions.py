@@ -8112,6 +8112,8 @@ class TestMannWhitneyU:
         # U = 32 − 5·6/2 = 17; ties Σ(t³−t) = 24
         assert (r["n1"], r["n2"]) == (5, 4)
         assert r["u"] == pytest.approx(17.0)
+        # Cliff's delta = 2U/(n1·n2) − 1 = 34/20 − 1
+        assert r["cliffs_delta"] == pytest.approx(0.7)
         z = 7.0 / math.sqrt((5 * 4 / 12) * (10 - 24 / 72))
         assert r["z"] == pytest.approx(z)
         # A&S polynomial within its 1.5e-7 bound of the true tail
@@ -8195,3 +8197,39 @@ class TestTheilSenTrend:
             drift.theilsen_trend(
                 df.withColumn("slope", F.lit("x")), "x", "y",
                 group_cols=("slope",))
+
+
+class TestKendallTau:
+    """tau-b: hand-computed pair fold with tie blocks, degenerate
+    groups, perfect monotone."""
+
+    def test_hand_computed_with_ties(self, spark):
+        import math
+        from spark_expectations_spark.operators import drift
+        pts = [("g", 1.0, 1.0), ("g", 2.0, 3.0), ("g", 3.0, 2.0),
+               ("g", 4.0, 4.0), ("g", 4.0, 5.0),
+               ("solo", 1.0, 9.0),
+               ("const", 1.0, 5.0), ("const", 2.0, 5.0)]
+        df = spark.createDataFrame(pts, "s string, x double, y double")
+        out = {r["s"]: r for r in drift.kendall_tau(
+            df, "x", "y", group_cols=("s",)).collect()}
+        g = out["g"]
+        # 10 pairs: 8 concordant, 1 discordant, 1 x-tie; Tx=1, Ty=0
+        assert (g["n_points"], g["n_pairs"]) == (5, 10)
+        assert (g["concordant"], g["discordant"]) == (8, 1)
+        assert g["tau_b"] == pytest.approx(7 / math.sqrt(90))
+        assert out["solo"]["tau_b"] is None
+        assert out["solo"]["n_pairs"] == 0
+        assert out["const"]["tau_b"] is None      # constant y
+        with pytest.raises(ValueError, match="collide"):
+            drift.kendall_tau(df.withColumnRenamed("s", "tau_b"),
+                              "x", "y", group_cols=("tau_b",))
+
+    def test_perfect_monotone_and_reverse(self, spark):
+        from spark_expectations_spark.operators import drift
+        mono = spark.createDataFrame(
+            [(float(i), float(i * i)) for i in range(6)],
+            "x double, y double")
+        assert drift.kendall_tau(mono, "x", "y").first()["tau_b"] == 1.0
+        rev = mono.withColumn("y", -F.col("y"))
+        assert drift.kendall_tau(rev, "x", "y").first()["tau_b"] == -1.0
