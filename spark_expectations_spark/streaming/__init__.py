@@ -1007,6 +1007,37 @@ def null_profile_from_state(spark, state_path: str) -> DataFrame:
                  F.sum("n_nulls").alias("n_nulls")))
 
 
+def compact_additive_state(
+    spark,
+    state_path: str,
+    out_path: str,
+    key_cols: Sequence[str],
+    sum_cols: Sequence[str],
+    *,
+    carry_cols: Sequence[str] = (),
+) -> None:
+    """Compact ANY additive-count state dir (the survival/cusum/
+    benford/null-profile family — and any future state whose merge is
+    SUM per key) to one row per key, written to ``out_path`` as batch
+    partition 0 (swap-not-overwrite, the :func:`compact_histogram_state`
+    recipe). ``carry_cols`` are key-constant passengers (e.g. the null
+    profile's ``dtype``) taken by MAX. Counts ADD, so — exactly like
+    every additive compactor here and unlike the idempotent bitmap OR
+    — compact only after the stream has stopped writing to
+    ``state_path``, or a straddling replayed batch would double-count
+    across the two paths. Readers accept the compacted dir unchanged
+    (their merge is the same SUM)."""
+    state = spark.read.parquet(state_path)
+    (state.groupBy(*key_cols)
+     .agg(*[F.max(c).alias(c) for c in carry_cols],
+          *[F.sum(c).alias(c) for c in sum_cols])
+     .withColumn("_batch_id", F.lit(0))
+     .write.mode("overwrite")
+     .partitionBy("_batch_id")
+     .option("partitionOverwriteMode", "dynamic")
+     .parquet(out_path))
+
+
 def compact_bitmap_state(spark, state_path: str, out_path: str,
                          group_cols: list) -> None:
     """Compact an :func:`incremental_bitmap_distinct` state dir — after

@@ -579,6 +579,46 @@ class TestStreamingDQ:
         assert got["rank"]["status"] == "added"
         assert got["tag"]["status"] == "removed"
 
+    def test_compact_additive_state_preserves_answers(
+            self, spark, tmp_path):
+        """The generic additive compactor collapses a thousand-batch
+        state dir to one partition; every reader answers identically
+        off the compacted dir (its merge is the same SUM)."""
+        from spark_expectations_spark import streaming as st
+        state = str(tmp_path / "ben_state2")
+        step = st.incremental_benford_state(state, "v", group_cols=("g",))
+        b1 = spark.createDataFrame(
+            [("a", 12.0), ("a", 25.0), ("b", 7.0)], "g string, v double")
+        b2 = spark.createDataFrame(
+            [("a", 14.0), ("a", 170.0)], "g string, v double")
+        step(b1, 0)
+        step(b2, 1)
+        before = {r["g"]: r for r in st.benford_from_state(
+            spark, state, group_cols=("g",)).collect()}
+        compacted = str(tmp_path / "ben_compact")
+        st.compact_additive_state(spark, state, compacted,
+                                  ("g", "_d"), ("_c",))
+        cdf = spark.read.parquet(compacted)
+        assert cdf.select("_batch_id").distinct().count() == 1
+        after = {r["g"]: r for r in st.benford_from_state(
+            spark, compacted, group_cols=("g",)).collect()}
+        assert {g: r.asDict() for g, r in after.items()} \
+            == {g: r.asDict() for g, r in before.items()}
+        # carry_cols path: the null profile keeps dtype by MAX
+        prof_state = str(tmp_path / "np_state2")
+        pstep = st.incremental_null_profile_state(prof_state)
+        pstep(b1, 0)
+        pstep(b2, 1)
+        pcompact = str(tmp_path / "np_compact")
+        st.compact_additive_state(spark, prof_state, pcompact,
+                                  ("column",), ("n_rows", "n_nulls"),
+                                  carry_cols=("dtype",))
+        a = {r["column"]: r.asDict() for r in
+             st.null_profile_from_state(spark, pcompact).collect()}
+        b = {r["column"]: r.asDict() for r in
+             st.null_profile_from_state(spark, prof_state).collect()}
+        assert a == b
+
     def test_corpus_append_dedup_retry_is_idempotent(self, spark, tmp_path):
         """A replayed batch (foreachBatch retry after a mid-batch failure)
         must REPLACE its own output, not append a second copy — the
