@@ -79,6 +79,17 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "the remaining crosses are 1-row aggregate folds",
     # --- r12 verdict №2: the 7 standing warn-tier findings, annotated
     # so the linter output reads zero unexplained findings ---
+    ("events_cusum_merge_check", "filter-not-pushed"):
+        "the half-split predicates (user_id % 2 = i) are modulo "
+        "arithmetic parquet cannot push, per scan of the two halves; "
+        "the _nv > 0 guard in cusum_from_bucket_stats tests a "
+        "post-aggregate column that has no scan to push into — the "
+        "corpus is scanned three times BY DESIGN (two halves + the "
+        "direct twin; that duplication IS the merge check)",
+    ("docs_mannwhitney", "filter-not-pushed"):
+        "the side filter tests a COMPUTED column (substr(source) cast "
+        "% 2) that does not exist in the parquet schema — unpushable "
+        "by construction; the n_chars null-drop rides the same scan",
     ("docs_label_agreement", "filter-not-pushed"):
         "the NULL-drop filter tests rater_b, a COMPUTED when-chain "
         "column (the deterministic disagreement/NULL injection) that "
