@@ -309,7 +309,11 @@ BENCH_QUERIES = [
     # the CUSUM per-day collapse + a KB-scale in-group pair self-join
     # and two bucket-cardinality median windows, no corpus-scale shape;
     # events_kendall_tau likewise: the same collapse + pair-join shape
-    # with a sign fold instead of medians
+    # with a sign fold instead of medians;
+    # orders_ca_trend likewise: orders_status_chi2's count-collapse +
+    # scalar fold with a score weighting;
+    # events_spearman likewise: docs_mannwhitney's value-collapse rank
+    # windows over a bucket-cardinality series + one Pearson fold
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -1383,3 +1383,130 @@ def kendall_tau(
         F.coalesce(F.col("concordant"), F.lit(0)).alias("concordant"),
         F.coalesce(F.col("discordant"), F.lit(0)).alias("discordant"),
         tau.alias("tau_b"))
+
+
+def cochran_armitage_trend(
+    df: DataFrame,
+    bucket_col: str,
+    flag_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Cochran-Armitage trend test per group — is a RATE drifting
+    monotonically across ordered buckets (failure share by week,
+    positive-label share by ingestion day)? chi² over the same table
+    ignores the order and wastes its power on non-monotone wiggles;
+    this weights each bucket by its value and asks specifically for a
+    linear trend in proportions. ``flag_col`` is 0/1; buckets are
+    scored by ``bucket_col``'s numeric value. Returns one row per
+    group:
+
+        (n, n_flag, n_buckets, slope_sign, z, p_value)
+
+    with ``T = Σ w_i·r_i`` over per-bucket flag counts r_i and scores
+    w_i = bucket value,
+
+        z = (T − p̄·Σ w_i·n_i)
+            / sqrt(p̄(1−p̄)·(Σ w_i²·n_i − (Σ w_i·n_i)²/N))
+
+    (the standard conditional-variance form; Armitage 1955),
+    ``slope_sign`` ∈ {−1, 0, 1} the direction, and ``p_value`` the
+    :func:`normal_two_sided_p` polynomial tail. Degenerate groups
+    (all-flag or no-flag p̄(1−p̄)=0, or a single bucket making the
+    variance 0) return NULL z/p. NULL buckets/flags are excluded.
+
+    Scale shape: ONE (group, bucket) groupBy collapses the corpus to
+    bucket-cardinality count rows; the statistic is one group fold
+    over exact integer counts and double scores. Float contract:
+    z/p round 9dp (+0.0)."""
+    gc = list(group_cols)
+    if any(c in ("n", "n_flag", "n_buckets", "slope_sign", "z",
+                 "p_value") for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    w = F.col(bucket_col).cast("double")
+    r = F.col(flag_col).cast("int")
+    base = (df.select(*gc, w.alias("_w"), r.alias("_r"))
+            .filter(F.col("_w").isNotNull() & F.col("_r").isin(0, 1)))
+    per_b = (base.groupBy(*gc, "_w")
+             .agg(F.count(F.lit(1)).alias("_n"),
+                  F.sum("_r").alias("_rf")))
+    agg = (per_b.groupBy(*gc)
+           .agg(F.sum("_n").alias("_N"),
+                F.sum("_rf").alias("_R"),
+                F.count(F.lit(1)).alias("n_buckets"),
+                F.sum(F.col("_w") * F.col("_rf")).alias("_T"),
+                F.sum(F.col("_w") * F.col("_n")).alias("_sw"),
+                F.sum(F.col("_w") * F.col("_w") * F.col("_n"))
+                .alias("_sww")))
+    N, R = F.col("_N"), F.col("_R")
+    pbar = R / N
+    num = F.col("_T") - pbar * F.col("_sw")
+    var = (pbar * (1 - pbar)
+           * (F.col("_sww") - F.col("_sw") * F.col("_sw") / N))
+    z = F.when(var > 0, num / F.sqrt(var))
+    return agg.select(
+        *gc, N.alias("n"), R.alias("n_flag"), "n_buckets",
+        F.when(z.isNotNull(), F.signum(num).cast("int"))
+        .alias("slope_sign"),
+        z.alias("z"),
+        F.when(z.isNotNull(), normal_two_sided_p(z)).alias("p_value"))
+
+
+def spearman_rho(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Spearman rank correlation per group — Pearson over AVERAGE
+    ranks (the exact tie-handling definition, not the 6Σd²/n³ shortcut
+    that breaks on ties), completing the rank trio with
+    :func:`kendall_tau` (tau counts pair inversions, rho measures
+    rank-linear association; rho reacts faster to a few large rank
+    displacements). Returns one row per group:
+
+        (n_points, rho)
+
+    NULL rho when either variable is constant (zero rank variance).
+    NULL x/y rows are excluded.
+
+    Scale shape: two value-collapse groupBys (distinct x, distinct y)
+    + cumulative windows assign average ranks without per-row
+    row_numbers at corpus scale... for grouped bucket series (the
+    intended domain, like theilsen/tau) the frames are bucket-
+    cardinality throughout; the final Pearson is one group fold.
+    Float contract: rho rounds 9dp (+0.0)."""
+    gc = list(group_cols)
+    if any(c in ("n_points", "rho") for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    pts = (df.select(*gc, x.alias("_x"), y.alias("_y"))
+           .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+
+    def avg_ranks(frame: DataFrame, col: str, out: str) -> DataFrame:
+        per_v = (frame.groupBy(*gc, col)
+                 .agg(F.count(F.lit(1)).alias("_t")))
+        w_prev = (Window.partitionBy(*gc).orderBy(col)
+                  .rowsBetween(Window.unboundedPreceding, -1))
+        return per_v.withColumn(
+            out,
+            F.coalesce(F.sum("_t").over(w_prev), F.lit(0))
+            .cast("double") + (F.col("_t") + 1) / 2.0).drop("_t")
+
+    rx = avg_ranks(pts, "_x", "_rx")
+    ry = avg_ranks(pts, "_y", "_ry")
+    ranked = pts.join(rx, gc + ["_x"]).join(ry, gc + ["_y"])
+    agg = (ranked.groupBy(*gc)
+           .agg(F.count(F.lit(1)).alias("n_points"),
+                F.sum("_rx").alias("_sx"), F.sum("_ry").alias("_sy"),
+                F.sum(F.col("_rx") * F.col("_ry")).alias("_sxy"),
+                F.sum(F.col("_rx") * F.col("_rx")).alias("_sxx"),
+                F.sum(F.col("_ry") * F.col("_ry")).alias("_syy")))
+    n = F.col("n_points").cast("double")
+    cov = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n
+    vx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n
+    vy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
+    return agg.select(*gc, "n_points", rho.alias("rho"))

@@ -10821,6 +10821,132 @@ LEFT JOIN ty ON ty.g = c.g
 """
 
 
+def q_orders_ca_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test per priority
+    (drift.cochran_armitage_trend): is the share of fulfilled ('F')
+    orders trending across 30-day windows? The ordered-bucket rate
+    drift chi² cannot see. Exact integer count folds + the shared
+    A&S-polynomial tail; z/p 9dp (+0.0)."""
+    from .operators import drift
+
+    od = load(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date"))
+    frame = od.select(
+        "o_orderpriority",
+        F.floor(day / 30).cast("long").alias("w30"),
+        (F.col("o_orderstatus") == "F").cast("int").alias("flag"))
+    out = drift.cochran_armitage_trend(frame, "w30", "flag",
+                                       group_cols=("o_orderpriority",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("o_orderpriority", "n", "n_flag", "n_buckets",
+                      "slope_sign", r9("z"), r9("p_value"))
+
+
+ORACLE_ORDERS_CA_TREND = """
+WITH base AS (
+  SELECT o_orderpriority AS g,
+         CAST((CAST(o_orderdate AS DATE) - DATE '1970-01-01') // 30
+              AS DOUBLE) AS w,
+         CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS r
+  FROM orders),
+per_b AS (
+  SELECT g, w, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(r) AS BIGINT) AS rf
+  FROM base GROUP BY g, w),
+agg AS (
+  SELECT g, CAST(sum(n) AS BIGINT) AS nn,
+         CAST(sum(rf) AS BIGINT) AS rr,
+         CAST(count(*) AS BIGINT) AS n_buckets,
+         sum(w * rf) AS t, sum(w * n) AS sw, sum(w * w * n) AS sww
+  FROM per_b GROUP BY g),
+st AS (
+  SELECT g, nn, rr, n_buckets,
+         t - (rr * 1.0 / nn) * sw AS num,
+         (rr * 1.0 / nn) * (1 - rr * 1.0 / nn)
+           * (sww - sw * sw / nn) AS var
+  FROM agg),
+zs AS (
+  SELECT g, nn, rr, n_buckets, num,
+         CASE WHEN var > 0 THEN num / sqrt(var) END AS z
+  FROM st),
+tt AS (
+  SELECT *, 1.0 / (1.0 + 0.3275911 * (abs(z) / sqrt(2.0))) AS u
+  FROM zs)
+SELECT g AS o_orderpriority, nn AS n, rr AS n_flag, n_buckets,
+       CASE WHEN z IS NOT NULL
+            THEN CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1
+                           ELSE 0 END AS INT) END AS slope_sign,
+       round(z, 9) + 0.0 AS z,
+       round(CASE WHEN z IS NOT NULL THEN
+               (0.254829592 * u + -0.284496736 * u * u
+                + 1.421413741 * u * u * u
+                + -1.453152027 * u * u * u * u
+                + 1.061405429 * u * u * u * u * u)
+               * exp(-abs(z) * abs(z) / 2.0) END, 9) + 0.0 AS p_value
+FROM tt
+"""
+
+
+def q_events_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho per event type (drift.spearman_rho) between day
+    and daily mean value over the bucket collapse — the rank-linear
+    member of the trend trio (theilsen slope, kendall consistency,
+    spearman rank correlation). Average-rank ties replayed exactly;
+    rho 9dp (+0.0)."""
+    from .operators import drift
+
+    ev = load(spark, sf_dir, "events")
+    day = F.expr(f"ts div {_NS_PER_DAY}")
+    per_day = (ev.groupBy("event_type", day.alias("day"))
+               .agg(F.avg("value").alias("m")))
+    out = drift.spearman_rho(per_day, "day", "m",
+                             group_cols=("event_type",))
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("event_type", "n_points", r9("rho"))
+
+
+ORACLE_EVENTS_SPEARMAN = f"""
+WITH per_day AS (
+  SELECT event_type AS g,
+         CAST(epoch_ns(ts) // {_NS_PER_DAY} AS DOUBLE) AS x,
+         avg(value) AS y
+  FROM events GROUP BY event_type, epoch_ns(ts) // {_NS_PER_DAY}),
+rx AS (
+  SELECT g, x,
+         coalesce(CAST(sum(t) OVER (PARTITION BY g ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS DOUBLE), 0.0) + (t + 1) / 2.0 AS r
+  FROM (SELECT g, x, CAST(count(*) AS BIGINT) AS t
+        FROM per_day GROUP BY g, x)),
+ry AS (
+  SELECT g, y,
+         coalesce(CAST(sum(t) OVER (PARTITION BY g ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             AS DOUBLE), 0.0) + (t + 1) / 2.0 AS r
+  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+        FROM per_day GROUP BY g, y)),
+ranked AS (
+  SELECT p.g, rx.r AS a, ry.r AS b
+  FROM per_day p
+  JOIN rx ON rx.g = p.g AND rx.x = p.x
+  JOIN ry ON ry.g = p.g AND ry.y = p.y),
+agg AS (
+  SELECT g, CAST(count(*) AS BIGINT) AS n_points,
+         sum(a) AS sx, sum(b) AS sy, sum(a * b) AS sxy,
+         sum(a * a) AS sxx, sum(b * b) AS syy
+  FROM ranked GROUP BY g)
+SELECT g AS event_type, n_points,
+       round(CASE WHEN sxx - sx * sx / CAST(n_points AS DOUBLE) > 0
+                   AND syy - sy * sy / CAST(n_points AS DOUBLE) > 0
+                  THEN (sxy - sx * sy / CAST(n_points AS DOUBLE))
+                       / sqrt((sxx - sx * sx / CAST(n_points AS DOUBLE))
+                              * (syy - sy * sy / CAST(n_points AS DOUBLE)))
+             END, 9) + 0.0 AS rho
+FROM agg
+"""
+
+
 def q_orders_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benford first-digit audit (profiling.benford_report) of order
     totals per priority class — the fabricated/truncated-numbers smell
@@ -11336,10 +11462,11 @@ FROM b GROUP BY source, bin
 #          operators gate locally at both scales and lead the r16
 #          front (late-wave convention): docs_mannwhitney (rank-sum
 #          test + Cliff's delta, A&S-polynomial p), orders_theilsen
-#          (robust trend), and events_kendall_tau (tau-b rank
-#          correlation) are that debt — all locally value-gated
-#          sf0.001 AND sf0.01 this round; the r16 rotation MUST lead
-#          with them.
+#          (robust trend), events_kendall_tau (tau-b rank
+#          correlation), orders_ca_trend (Cochran-Armitage rate
+#          trend), and events_spearman (average-rank Spearman rho)
+#          are that debt — all locally value-gated sf0.001 AND sf0.01
+#          this round; the r16 rotation MUST lead with them.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -11600,6 +11727,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_mannwhitney": q_docs_mannwhitney,
     "orders_theilsen": q_orders_theilsen,
     "events_kendall_tau": q_events_kendall_tau,
+    "orders_ca_trend": q_orders_ca_trend,
+    "events_spearman": q_events_spearman,
     "lineitem_grouped_dq": q_lineitem_grouped_dq,
     "lineitem_grouped_dq_target": q_lineitem_grouped_dq_target,
     "part_fuzzy_matches": q_part_fuzzy_matches,
@@ -11837,6 +11966,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "orders_theilsen": ORACLE_ORDERS_THEILSEN,
     "events_kendall_tau": ORACLE_EVENTS_KENDALL_TAU,
+    "orders_ca_trend": ORACLE_ORDERS_CA_TREND,
+    "events_spearman": ORACLE_EVENTS_SPEARMAN,
     "lineitem_grouped_dq": ORACLE_LINEITEM_GROUPED_DQ,
     "lineitem_grouped_dq_target": ORACLE_LINEITEM_GROUPED_DQ_TARGET,
     "part_fuzzy_matches": ORACLE_PART_FUZZY_MATCHES,

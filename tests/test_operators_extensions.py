@@ -8233,3 +8233,69 @@ class TestKendallTau:
         assert drift.kendall_tau(mono, "x", "y").first()["tau_b"] == 1.0
         rev = mono.withColumn("y", -F.col("y"))
         assert drift.kendall_tau(rev, "x", "y").first()["tau_b"] == -1.0
+
+
+class TestCochranArmitageTrend:
+    """Ordered-bucket rate trend: hand-computed z/p, direction sign,
+    degenerate all-flag group."""
+
+    def test_hand_computed_rising_rate(self, spark):
+        import math
+        from spark_expectations_spark.operators import drift
+        rows = []
+        for w, r in [(1, 1), (2, 5), (3, 9)]:
+            rows += [("g", w, 1)] * r + [("g", w, 0)] * (10 - r)
+        rows += [("z", 1, 1), ("z", 2, 1)]        # all-flag: p̄(1−p̄)=0
+        df = spark.createDataFrame(rows, "s string, b int, f int")
+        out = {x["s"]: x for x in drift.cochran_armitage_trend(
+            df, "b", "f", group_cols=("s",)).collect()}
+        g = out["g"]
+        # N=30 R=15 T=38 Σwn=60 Σw²n=140 → z = 8/√5
+        assert (g["n"], g["n_flag"], g["n_buckets"]) == (30, 15, 3)
+        assert g["z"] == pytest.approx(8 / math.sqrt(5))
+        assert g["slope_sign"] == 1
+        assert g["p_value"] < 0.001
+        assert out["z"]["z"] is None and out["z"]["slope_sign"] is None
+
+    def test_falling_rate_and_guard(self, spark):
+        from spark_expectations_spark.operators import drift
+        rows = ([("g", 1, 1)] * 9 + [("g", 1, 0)]
+                + [("g", 2, 1)] + [("g", 2, 0)] * 9)
+        df = spark.createDataFrame(rows, "s string, b int, f int")
+        r = drift.cochran_armitage_trend(
+            df, "b", "f", group_cols=("s",)).first()
+        assert r["slope_sign"] == -1 and r["z"] < -3
+        with pytest.raises(ValueError, match="collide"):
+            drift.cochran_armitage_trend(
+                df.withColumnRenamed("s", "z"), "b", "f",
+                group_cols=("z",))
+
+
+class TestSpearmanRho:
+    """Average-rank Spearman: shortcut-formula parity on distinct
+    ranks, exact tie handling, constant-variable NULL."""
+
+    def test_distinct_ranks_match_shortcut(self, spark):
+        from spark_expectations_spark.operators import drift
+        pts = [("g", 1.0, 2.0), ("g", 2.0, 1.0), ("g", 3.0, 4.0),
+               ("g", 4.0, 3.0), ("g", 5.0, 5.0),
+               ("c", 1.0, 7.0), ("c", 2.0, 7.0)]
+        df = spark.createDataFrame(pts, "s string, x double, y double")
+        out = {r["s"]: r for r in drift.spearman_rho(
+            df, "x", "y", group_cols=("s",)).collect()}
+        # d = [-1,1,-1,1,0] → 1 − 6·4/120 = 0.8
+        assert out["g"]["rho"] == pytest.approx(0.8)
+        assert out["c"]["rho"] is None            # constant y
+
+    def test_tie_blocks_use_average_ranks(self, spark):
+        import math
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame(
+            [(1.0, 1.0), (1.0, 2.0), (2.0, 3.0)], "x double, y double")
+        r = drift.spearman_rho(df, "x", "y").first()
+        # rx=[1.5,1.5,3], ry=[1,2,3] → 1.5/√3
+        assert r["rho"] == pytest.approx(1.5 / math.sqrt(3.0))
+        assert r["n_points"] == 3
+        with pytest.raises(ValueError, match="collide"):
+            drift.spearman_rho(df.withColumn("rho", F.lit(1)),
+                               "x", "y", group_cols=("rho",))
