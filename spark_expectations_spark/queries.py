@@ -8496,6 +8496,82 @@ FROM m JOIN ph ON ph.doc_id = m.doc_id
 """
 
 
+def q_docs_media_wav_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio half of the multimodal extraction oracle
+    (multimodal.wav_header_info): canonical 44-byte WAV headers are
+    ASSEMBLED in-catalog (little-endian fields derived from doc_id,
+    payload from the text prefix) so the oracle knows every field by
+    formula, and every 7th doc gets GIF bytes instead to pin the
+    NULL-struct path. The parser is pure hex/substring/conv codegen —
+    no UDF — and data_ok cross-checks the parsed data_size against
+    the actual byte length, proving the LE field extraction
+    round-trips."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+
+    def le_hex(col, nbytes: int):
+        h = F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+        return F.concat(*[F.substring(h, (nbytes - 1 - i) * 2 + 1, 2)
+                          for i in range(nbytes)])
+
+    channels = (1 + F.col("doc_id") % 2).cast("int")
+    rate = (8000 + (F.col("doc_id") % 5) * 4000).cast("long")
+    block_align = (channels * 2).cast("int")          # 16-bit PCM
+    byte_rate = (rate * block_align).cast("long")
+    payload = F.encode(F.coalesce(F.substring("text", 1, 16),
+                                  F.lit("")), "UTF-8")
+    data_size = F.length(payload).cast("long")
+    wav_hex = F.concat(
+        F.lit("52494646"), le_hex(36 + data_size, 4),   # RIFF, size
+        F.lit("57415645"), F.lit("666d7420"),           # WAVE, 'fmt '
+        F.lit("10000000"), F.lit("0100"),               # size 16, PCM
+        le_hex(channels, 2), le_hex(rate, 4),
+        le_hex(byte_rate, 4), le_hex(block_align, 2),
+        F.lit("1000"),                                  # 16 bits LE
+        F.lit("64617461"), le_hex(data_size, 4),        # 'data', size
+        F.lower(F.hex(payload)))
+    gif_hex = F.concat(F.lit("47494638"), F.lower(F.hex(payload)))
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 7 == 0, gif_hex)
+                .otherwise(wav_hex)).alias("media_bytes"))
+    p = multimodal.wav_header_info(F.col("media_bytes"))
+    return media.select(
+        "doc_id",
+        p["audio_format"].alias("audio_format"),
+        p["channels"].alias("channels"),
+        p["sample_rate"].alias("sample_rate"),
+        p["byte_rate"].alias("byte_rate"),
+        p["block_align"].alias("block_align"),
+        p["bits_per_sample"].alias("bits_per_sample"),
+        p["data_size"].alias("data_size"),
+        (p["data_size"] == F.length("media_bytes") - 44)
+        .alias("data_ok"))
+
+
+ORACLE_DOCS_MEDIA_WAV_INFO = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 7 <> 0 AS is_wav,
+         CAST(1 + doc_id % 2 AS INT) AS ch,
+         CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS rate,
+         CAST(strlen(coalesce(substr(text, 1, 16), '')) AS BIGINT)
+           AS dsz
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN is_wav THEN 1 END AS audio_format,
+       CASE WHEN is_wav THEN ch END AS channels,
+       CASE WHEN is_wav THEN rate END AS sample_rate,
+       CASE WHEN is_wav THEN rate * ch * 2 END AS byte_rate,
+       CASE WHEN is_wav THEN CAST(ch * 2 AS INT) END AS block_align,
+       CASE WHEN is_wav THEN 16 END AS bits_per_sample,
+       CASE WHEN is_wav THEN dsz END AS data_size,
+       CASE WHEN is_wav THEN TRUE END AS data_ok
+FROM f
+"""
+
+
 def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (sampling.interleave_sources): the
     reading order for a 3:2:1-ish mix over the five sources — stride
@@ -11464,9 +11540,11 @@ FROM b GROUP BY source, bin
 #          test + Cliff's delta, A&S-polynomial p), orders_theilsen
 #          (robust trend), events_kendall_tau (tau-b rank
 #          correlation), orders_ca_trend (Cochran-Armitage rate
-#          trend), and events_spearman (average-rank Spearman rho)
-#          are that debt — all locally value-gated sf0.001 AND sf0.01
-#          this round; the r16 rotation MUST lead with them.
+#          trend), events_spearman (average-rank Spearman rho), and
+#          docs_media_wav_info (codegen RIFF/WAVE header parsing under
+#          an assembled-header oracle) are that debt — all locally
+#          value-gated sf0.001 AND sf0.01 this round; the r16 rotation
+#          MUST lead with them.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -11723,6 +11801,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_curriculum": q_docs_curriculum,
     "docs_phash_dups": q_docs_phash_dups,
     "docs_media_phash_exact": q_docs_media_phash_exact,
+    "docs_media_wav_info": q_docs_media_wav_info,
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "orders_theilsen": q_orders_theilsen,
@@ -11962,6 +12041,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_curriculum": ORACLE_DOCS_CURRICULUM,
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "docs_media_phash_exact": ORACLE_DOCS_MEDIA_PHASH_EXACT,
+    "docs_media_wav_info": ORACLE_DOCS_MEDIA_WAV_INFO,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "orders_theilsen": ORACLE_ORDERS_THEILSEN,

@@ -8299,3 +8299,42 @@ class TestSpearmanRho:
         with pytest.raises(ValueError, match="collide"):
             drift.spearman_rho(df.withColumn("rho", F.lit(1)),
                                "x", "y", group_cols=("rho",))
+
+
+class TestWavHeaderInfo:
+    """Codegen RIFF/WAVE parsing: a hand-built canonical header
+    round-trips every LE field; malformed layouts yield NULL structs."""
+
+    def _wav(self, channels=2, rate=44100, bits=16, data=b"abcd"):
+        import struct as st
+        ba = channels * bits // 8
+        return (b"RIFF" + st.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + st.pack("<IHHIIHH", 16, 1, channels, rate,
+                                    rate * ba, ba, bits)
+                + b"data" + st.pack("<I", len(data)) + data)
+
+    def test_round_trip_and_malformed(self, spark):
+        from pyspark.sql import functions as SF
+        from spark_expectations_spark.operators import multimodal
+        rows = [(1, self._wav()),
+                (2, self._wav(channels=1, rate=8000, data=b"xy")),
+                (3, b"GIF87a123"),                  # wrong container
+                (4, self._wav()[:20]),              # truncated
+                (5, None),                          # NULL bytes
+                # extensible format (fmt size 18): canonical layout
+                # breaks -> NULL struct, not garbage fields
+                (6, self._wav().replace(b"fmt \x10", b"fmt \x12", 1))]
+        df = spark.createDataFrame(rows, "id int, b binary")
+        p = multimodal.wav_header_info(SF.col("b"))
+        out = {r["id"]: r["w"] for r in df.select("id", p.alias("w"))
+               .collect()}
+        w1 = out[1]
+        assert (w1["audio_format"], w1["channels"], w1["sample_rate"],
+                w1["byte_rate"], w1["block_align"],
+                w1["bits_per_sample"], w1["data_size"]) == \
+            (1, 2, 44100, 176400, 4, 16, 4)
+        w2 = out[2]
+        assert (w2["channels"], w2["sample_rate"], w2["byte_rate"],
+                w2["data_size"]) == (1, 8000, 16000, 2)
+        for bad in (3, 4, 5, 6):
+            assert out[bad] is None, bad
