@@ -86,6 +86,11 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "post-aggregate column that has no scan to push into — the "
         "corpus is scanned three times BY DESIGN (two halves + the "
         "direct twin; that duplication IS the merge check)",
+    ("orders_ca_trend", "filter-not-pushed"):
+        "the guard filter tests COMPUTED columns (w30 = date-diff//30 "
+        "and the status flag cast) that do not exist in the parquet "
+        "schema — unpushable by construction; the corpus is scanned "
+        "exactly once into one bucket-cardinality groupBy",
     ("docs_mannwhitney", "filter-not-pushed"):
         "the side filter tests a COMPUTED column (substr(source) cast "
         "% 2) that does not exist in the parquet schema — unpushable "
