@@ -1150,7 +1150,8 @@ def mann_whitney_u(
     bucket frequencies; rank-sum asks whether one labeled SIDE
     stochastically dominates the other, with no distributional
     assumption and exact average-rank tie handling. ``side_col`` is
-    0/1 (1 = treatment); NULL values/sides are excluded. Returns one
+    0/1 (1 = treatment); NULL/NaN values and out-of-domain sides are
+    excluded (NaN has no rank — engines disagree on its sort slot). Returns one
     row per group:
 
         (n1, n2, u, cliffs_delta, z, p_value)
@@ -1187,7 +1188,8 @@ def mann_whitney_u(
     v = F.col(value_col).cast("double")
     s = F.col(side_col).cast("int")
     base = (df.select(*gc, v.alias("_v"), s.alias("_s"))
-            .filter(F.col("_v").isNotNull() & F.col("_s").isin(0, 1)))
+            .filter(F.col("_v").isNotNull() & ~F.isnan("_v")
+                    & F.col("_s").isin(0, 1)))
     per_v = (base.groupBy(*gc, "_v")
              .agg(F.count(F.lit(1)).alias("_t"),
                   F.sum("_s").alias("_t1")))
@@ -1239,7 +1241,8 @@ def theilsen_trend(
 
     with NULL slope/intercept when fewer than 2 distinct x (no pair
     exists). Even-count medians average the two middle values (the
-    repo's exact-median convention). Ties among equal slopes make the
+    repo's exact-median convention). NULL/NaN x/y rows are excluded
+    (NaN orders differently across engines). Ties among equal slopes make the
     middle ELEMENT order-arbitrary but its VALUE identical, so the
     result is deterministic and oracle-checkable.
 
@@ -1258,7 +1261,8 @@ def theilsen_trend(
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     pts = (df.select(*gc, x.alias("_x"), y.alias("_y"))
-           .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+           .filter(F.col("_x").isNotNull() & ~F.isnan("_x")
+                   & F.col("_y").isNotNull() & ~F.isnan("_y")))
     a = pts.select(*gc, F.col("_x").alias("_xa"), F.col("_y").alias("_ya"))
     b = pts.select(*gc, F.col("_x").alias("_xb"), F.col("_y").alias("_yb"))
     pairs = (a.join(b, gc) if gc else a.crossJoin(b)) \
@@ -1343,7 +1347,8 @@ def kendall_tau(
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     pts = (df.select(*gc, x.alias("_x"), y.alias("_y"))
-           .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+           .filter(F.col("_x").isNotNull() & ~F.isnan("_x")
+                   & F.col("_y").isNotNull() & ~F.isnan("_y")))
     w = Window.partitionBy(*gc).orderBy("_x", "_y")
     idx = pts.withColumn("_i", F.row_number().over(w))
     a = idx.select(*gc, F.col("_x").alias("_xa"),
@@ -1426,7 +1431,8 @@ def cochran_armitage_trend(
     w = F.col(bucket_col).cast("double")
     r = F.col(flag_col).cast("int")
     base = (df.select(*gc, w.alias("_w"), r.alias("_r"))
-            .filter(F.col("_w").isNotNull() & F.col("_r").isin(0, 1)))
+            .filter(F.col("_w").isNotNull() & ~F.isnan("_w")
+                    & F.col("_r").isin(0, 1)))
     per_b = (base.groupBy(*gc, "_w")
              .agg(F.count(F.lit(1)).alias("_n"),
                   F.sum("_r").alias("_rf")))
@@ -1483,7 +1489,8 @@ def spearman_rho(
     x = F.col(x_col).cast("double")
     y = F.col(y_col).cast("double")
     pts = (df.select(*gc, x.alias("_x"), y.alias("_y"))
-           .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull()))
+           .filter(F.col("_x").isNotNull() & ~F.isnan("_x")
+                   & F.col("_y").isNotNull() & ~F.isnan("_y")))
 
     def avg_ranks(frame: DataFrame, col: str, out: str) -> DataFrame:
         per_v = (frame.groupBy(*gc, col)

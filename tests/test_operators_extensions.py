@@ -8338,3 +8338,27 @@ class TestWavHeaderInfo:
                 w2["data_size"]) == (1, 8000, 16000, 2)
         for bad in (3, 4, 5, 6):
             assert out[bad] is None, bad
+
+
+class TestRankOpsNanContract:
+    """NaN values are dropped like NULL across the r15 rank/trend
+    family — engines disagree on NaN's sort slot, so letting it rank
+    would break the oracle contract."""
+
+    def test_nan_dropped_everywhere(self, spark):
+        from spark_expectations_spark.operators import drift
+        nan = float("nan")
+        mw = spark.createDataFrame(
+            [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1), (nan, 1)],
+            "v double, side int")
+        r = drift.mann_whitney_u(mw, "v", "side").first()
+        assert (r["n1"], r["n2"]) == (2, 2)       # NaN row gone
+        xy = spark.createDataFrame(
+            [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (nan, 9.0), (4.0, nan)],
+            "x double, y double")
+        assert drift.theilsen_trend(xy, "x", "y").first()["n_points"] == 3
+        assert drift.kendall_tau(xy, "x", "y").first()["n_points"] == 3
+        assert drift.spearman_rho(xy, "x", "y").first()["n_points"] == 3
+        ca = spark.createDataFrame(
+            [(1.0, 1), (1.0, 0), (2.0, 1), (nan, 1)], "b double, f int")
+        assert drift.cochran_armitage_trend(ca, "b", "f").first()["n"] == 3
