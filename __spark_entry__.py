@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (241 queries, 234 with DuckDB
+catalog from spark_expectations_spark.queries (242 queries, 235 with DuckDB
 oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
 whose md5_48 twins carry full value oracles — the HLL-sketch
 events_distinct_rollup, approximate by construction with an exact

@@ -316,7 +316,9 @@ BENCH_QUERIES = [
     # windows over a bucket-cardinality series + one Pearson fold;
     # docs_media_wav_info likewise: docs_media_phash_exact's synthetic-
     # bytes projection with a codegen header parse instead of the
-    # Arrow dHash stage (strictly less work)
+    # Arrow dHash stage (strictly less work);
+    # docs_brier likewise: docs_calibration_ece's bin-fold + scalar
+    # shape with three more fold terms
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

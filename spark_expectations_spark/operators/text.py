@@ -1215,6 +1215,74 @@ def calibration_report(
             .withColumn("gap", F.col("frac_pos") - F.col("avg_score")))
 
 
+def brier_decomposition(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score — the one-row
+    verdict on WHY a probabilistic quality filter scores the way it
+    does, where :func:`calibration_report` shows the per-bin shape and
+    ECE collapses only the calibration axis:
+
+        (n, brier, reliability, resolution, uncertainty, residual)
+
+    * ``brier`` — exact mean (score − label)², computed row-level (not
+      off the bins),
+    * ``reliability`` — Σ n_k(f̄_k − ō_k)²/N over the same
+      equal-width clamped bins as the report (lower = better
+      calibrated),
+    * ``resolution`` — Σ n_k(ō_k − ō)²/N (higher = the filter
+      actually separates; a useless-but-calibrated constant forecast
+      has 0),
+    * ``uncertainty`` — ō(1 − ō), the irreducible base-rate term,
+    * ``residual`` — brier − (reliability − resolution + uncertainty):
+      the exact identity holds only for forecasts constant within
+      bins, so the residual is the within-bin forecast variance —
+      report it rather than pretend the identity closed (it shrinks
+      with n_bins; a large residual means the bins are too coarse to
+      read the other terms literally).
+
+    Drop rule shared with the calibration family: NULL score/label and
+    out-of-[0, 1] scores drop. Scale shape: ONE map-side-combined
+    groupBy on the n_bins-cardinality key carrying (n, Σs, Σy,
+    Σ(s−y)²), then KB-scale folds (a 1-row total cross-joined into the
+    bin frame). Float contract: all five stats are double sums over
+    exact counts — round 9dp (+0.0) cross-engine."""
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(F.floor(s * n_bins), F.lit(n_bins - 1)).cast("int")
+    per = (df.filter(s.isNotNull() & y.isNotNull()
+                     & (s >= 0.0) & (s <= 1.0))
+           .groupBy(b.alias("_b"))
+           .agg(F.count(F.lit(1)).alias("_n"),
+                F.sum(s).alias("_ss"), F.sum(y).alias("_sy"),
+                F.sum((s - y) * (s - y)).alias("_sq")))
+    tot = per.agg(F.sum("_n").alias("_tot_n"),
+                  F.sum("_sy").alias("_tot_sy"),
+                  F.sum("_sq").alias("_tot_sq"))
+    joined = per.crossJoin(F.broadcast(tot))
+    fbar = F.col("_ss") / F.col("_n")
+    obar_k = F.col("_sy") / F.col("_n")
+    obar = F.col("_tot_sy") / F.col("_tot_n")
+    out = (joined.groupBy()
+           .agg(F.max("_tot_n").alias("n"),
+                (F.max("_tot_sq") / F.max("_tot_n")).alias("brier"),
+                (F.sum(F.col("_n") * (fbar - obar_k) * (fbar - obar_k))
+                 / F.max("_tot_n")).alias("reliability"),
+                (F.sum(F.col("_n") * (obar_k - obar) * (obar_k - obar))
+                 / F.max("_tot_n")).alias("resolution"),
+                F.max(obar * (1 - obar)).alias("uncertainty")))
+    return out.select(
+        "n", "brier", "reliability", "resolution", "uncertainty",
+        (F.col("brier") - (F.col("reliability") - F.col("resolution")
+                           + F.col("uncertainty"))).alias("residual"))
+
+
 def stratified_classification_report(
     df: DataFrame,
     score_col: str,

@@ -9210,6 +9210,55 @@ FROM ok GROUP BY bin
 """
 
 
+def q_docs_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy Brier decomposition (text.brier_decomposition) over the
+    shared calibration fixture: one row (n, brier, reliability,
+    resolution, uncertainty, residual) — WHY the filter scores as it
+    does, with the within-bin-variance residual reported instead of
+    pretending the binned identity closed. Same drop rule as the
+    calibration pair; all five stats are double sums over exact
+    counts, replayed fold-for-fold in SQL; 9dp (+0.0)."""
+    out = text.brier_decomposition(
+        _calibration_frame(spark, sf_dir), "score", "label", n_bins=10)
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("n", r9("brier"), r9("reliability"),
+                      r9("resolution"), r9("uncertainty"),
+                      r9("residual"))
+
+
+ORACLE_DOCS_BRIER = f"""
+WITH scored AS ({_CALIB_FIXTURE_SQL}),
+ok AS (
+  SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin,
+         score, CAST(label AS DOUBLE) AS y
+  FROM scored
+  WHERE score IS NOT NULL AND score >= 0 AND score <= 1),
+bins AS (
+  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         sum(score) AS ss, sum(y) AS sy,
+         sum((score - y) * (score - y)) AS sq
+  FROM ok GROUP BY bin),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nn, sum(sy) AS sy_t, sum(sq) AS sq_t
+  FROM bins),
+folds AS (
+  SELECT max(t.nn) AS n,
+         max(t.sq_t) / max(t.nn) AS brier,
+         sum(b.n * (b.ss / b.n - b.sy / b.n)
+                 * (b.ss / b.n - b.sy / b.n)) / max(t.nn) AS rel,
+         sum(b.n * (b.sy / b.n - t.sy_t / t.nn)
+                 * (b.sy / b.n - t.sy_t / t.nn)) / max(t.nn) AS res,
+         max((t.sy_t / t.nn) * (1 - t.sy_t / t.nn)) AS unc
+  FROM bins b CROSS JOIN tot t)
+SELECT n, round(brier, 9) + 0.0 AS brier,
+       round(rel, 9) + 0.0 AS reliability,
+       round(res, 9) + 0.0 AS resolution,
+       round(unc, 9) + 0.0 AS uncertainty,
+       round(brier - (rel - res + unc), 9) + 0.0 AS residual
+FROM folds
+"""
+
+
 def q_docs_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar calibration metrics (text.expected_calibration_error):
     one row (n, ece, mce, brier) — Naeini-style binned ECE
@@ -11542,7 +11591,8 @@ FROM b GROUP BY source, bin
 #          correlation), orders_ca_trend (Cochran-Armitage rate
 #          trend), events_spearman (average-rank Spearman rho), and
 #          docs_media_wav_info (codegen RIFF/WAVE header parsing under
-#          an assembled-header oracle) are that debt — all locally
+#          an assembled-header oracle), and docs_brier (Murphy Brier
+#          decomposition) are that debt — all locally
 #          value-gated sf0.001 AND sf0.01 this round; the r16 rotation
 #          MUST lead with them.
 # ---------------------------------------------------------------------------
@@ -11815,6 +11865,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "part_fuzzy_disjunctive": q_part_fuzzy_disjunctive,
     "docs_calibration": q_docs_calibration,
     "docs_calibration_ece": q_docs_calibration_ece,
+    "docs_brier": q_docs_brier,
     "docs_set_jaccard_join": q_docs_set_jaccard_join,
     "part_blocking_quality": q_part_blocking_quality,
     "part_fuzzy_probe": q_part_fuzzy_probe,
@@ -12055,6 +12106,7 @@ ORACLES: dict[str, Optional[str]] = {
     "part_fuzzy_disjunctive": ORACLE_PART_FUZZY_DISJUNCTIVE,
     "docs_calibration": ORACLE_DOCS_CALIBRATION,
     "docs_calibration_ece": ORACLE_DOCS_CALIBRATION_ECE,
+    "docs_brier": ORACLE_DOCS_BRIER,
     "docs_set_jaccard_join": ORACLE_DOCS_SET_JACCARD_JOIN,
     "part_blocking_quality": ORACLE_PART_BLOCKING_QUALITY,
     "part_fuzzy_probe": ORACLE_PART_FUZZY_PROBE,

@@ -8362,3 +8362,42 @@ class TestRankOpsNanContract:
         ca = spark.createDataFrame(
             [(1.0, 1), (1.0, 0), (2.0, 1), (nan, 1)], "b double, f int")
         assert drift.cochran_armitage_trend(ca, "b", "f").first()["n"] == 3
+
+
+class TestBrierDecomposition:
+    """Murphy decomposition: hand-computed terms on a 2-bin fixture,
+    the constant-forecast zero-resolution case, the residual identity,
+    and the shared drop rule."""
+
+    def test_hand_computed_two_bins(self, spark):
+        from spark_expectations_spark.operators import text
+        # bin 0 (scores <.5): s=[.2,.2], y=[0,1]; bin 1: s=[.8], y=[1]
+        rows = [(0.2, 0), (0.2, 1), (0.8, 1),
+                (None, 1), (1.5, 0), (-0.1, 1)]   # dropped by contract
+        df = spark.createDataFrame(rows, "score double, label int")
+        r = text.brier_decomposition(df, "score", "label",
+                                     n_bins=2).first()
+        # brier = (.04 + .64 + .04)/3 = .24 ; obar = 2/3
+        # rel = (2(.2-.5)^2 + 1(.8-1)^2)/3 = (.18+.04)/3
+        # res = (2(.5-2/3)^2 + 1(1-2/3)^2)/3 = (.0556+.1111)/3
+        # unc = 2/9
+        assert r["n"] == 3
+        assert r["brier"] == pytest.approx(0.24)
+        assert r["reliability"] == pytest.approx(0.22 / 3)
+        assert r["resolution"] == pytest.approx(
+            (2 * (1 / 6) ** 2 + (1 / 3) ** 2) / 3)
+        assert r["uncertainty"] == pytest.approx(2 / 9)
+        assert r["residual"] == pytest.approx(
+            r["brier"] - (r["reliability"] - r["resolution"]
+                          + r["uncertainty"]))
+
+    def test_constant_forecast_has_zero_resolution(self, spark):
+        from spark_expectations_spark.operators import text
+        rows = [(0.5, i % 2) for i in range(10)]
+        df = spark.createDataFrame(rows, "score double, label int")
+        r = text.brier_decomposition(df, "score", "label").first()
+        assert r["resolution"] == pytest.approx(0.0)
+        assert r["uncertainty"] == pytest.approx(0.25)
+        assert r["brier"] == pytest.approx(0.25)
+        # single-valued bins -> the identity closes exactly
+        assert r["residual"] == pytest.approx(0.0)

@@ -86,6 +86,16 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "post-aggregate column that has no scan to push into — the "
         "corpus is scanned three times BY DESIGN (two halves + the "
         "direct twin; that duplication IS the merge check)",
+    ("orders_theilsen", "filter-not-pushed"):
+        "the NULL/NaN drop tests the per-day MEAN, a post-aggregate "
+        "column with no scan to push into; pairs/medians then run on "
+        "the bucket-cardinality collapse only",
+    ("events_kendall_tau", "filter-not-pushed"):
+        "same post-aggregate NULL/NaN drop as orders_theilsen (the "
+        "per-day mean collapse feeds the pair fold)",
+    ("events_spearman", "filter-not-pushed"):
+        "same post-aggregate NULL/NaN drop as orders_theilsen (the "
+        "per-day mean collapse feeds the rank windows)",
     ("orders_ca_trend", "filter-not-pushed"):
         "the guard filter tests COMPUTED columns (w30 = date-diff//30 "
         "and the status flag cast) that do not exist in the parquet "
@@ -130,6 +140,11 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "(unpushable by parquet capability — the lineitem_price_jsd "
         "adjudication) and the distance <= 1 verify tests COMPUTED "
         "levenshtein over concatenated keys; one scan per side",
+    ("docs_brier", "filter-not-pushed"):
+        "same COMPUTED when-chain fixture drop rule as "
+        "docs_calibration (score NOT NULL, 0 <= score <= 1 on a "
+        "column that does not exist in the parquet schema); one "
+        "corpus scan into a 10-key groupBy + KB-scale folds",
     ("docs_calibration", "filter-not-pushed"):
         "the drop rule (score NOT NULL, 0 <= score <= 1) tests the "
         "COMPUTED when-chain fixture column that does not exist in "
