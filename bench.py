@@ -4,6 +4,9 @@ seconds) followed by ONE short summary JSON line LAST:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 The summary line stays under the driver's ~2000-char tail-capture window
 (BENCH_r08 was unparseable because the 90-query single line overflowed it).
+The COMPLETE per-query map is also persisted to BENCH_latest_full.json
+next to this script (r15 verdict task 3) so cross-round aggregates are
+reproducible from the committed artifact, not just the captured tail.
 
 SELECTION POLICY (r10 verdict task 3 — what is benched and what is
 deliberately not): BENCH_QUERIES carries every operator family's
@@ -513,7 +516,7 @@ def main() -> None:
     # then a short summary line LAST whose tail always survives capture.
     # The summary keeps the `queries` key contract with the graded pair
     # (engine vs hand-written) plus the slowest entries that fit.
-    print(json.dumps({
+    detail = {
         "metric": "headline_queries_detail",
         "unit": "sec",
         "queries": timings,
@@ -523,7 +526,23 @@ def main() -> None:
         "stageheavy_anchor": round(
             sum(timings.get(n, 0.0) for n in STAGEHEAVY_ANCHOR), 3),
         "sf": sf_val,
-    }, separators=(",", ":")))
+    }
+    print(json.dumps(detail, separators=(",", ":")))
+    # r15 verdict task 3: the committed BENCH_r{N}.json artifacts were
+    # truncated to the entries that fit the tail window, which made
+    # cross-round aggregate claims unverifiable from the repo. Persist
+    # the COMPLETE per-query map (plus canary/anchor blocks) as a
+    # first-class file the judge can parse as one object; the round's
+    # cert artifact (BENCH_r{N}_cert.json) is a copy of this file.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_latest_full.json")
+    try:
+        with open(full_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+        print(f"# full per-query map -> {full_path}", file=sys.stderr)
+    except OSError as exc:  # read-only checkout: the printed line remains
+        print(f"# could not persist full map: {exc}", file=sys.stderr)
     summary_queries = {
         k: timings[k] for k in ("dq_engine_full_run", "dq_handwritten_run")
         if k in timings
@@ -550,6 +569,7 @@ def main() -> None:
         "n_queries": len(timings),
         "canary_ratio": canary["ratio"],
         "canary_total": canary["total"],
+        "full_map": "BENCH_latest_full.json",
         "sf": sf_val,
     }, separators=(",", ":")))
     spark.stop()
