@@ -3,19 +3,19 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (242 queries, 235 with DuckDB
-oracles; rows-only: the xxhash64-based dedup_minhash/dedup_simhash —
-whose md5_48 twins carry full value oracles — the HLL-sketch
-events_distinct_rollup, approximate by construction with an exact
-countDistinct twin events_distinct_rollup_exact that IS value-checked,
-embed_whiten and embed_pca, whose eigendecompositions have no SQL
-twin and are pytest-verified against known covariance fixtures and a
-numpy differential (both have value-checked invariant twins:
-embed_whiten_check and embed_pca_check), and docs_bpe,
-whose learned BPE merge table has no SQL twin and is pinned by
-differential tests against a pure-Python reference implementation, and
-docs_compression_ratio, whose zlib call has no SQL twin and is pinned
-by a same-library byte-for-byte differential).
+catalog from spark_expectations_spark.queries (240 queries, 236 with DuckDB
+oracles; rows-only: embed_whiten and embed_pca, whose
+eigendecompositions have no SQL twin and are pytest-verified against
+known covariance fixtures and a numpy differential (both have
+value-checked invariant twins: embed_whiten_check and embed_pca_check),
+docs_bpe, whose learned BPE merge table has no SQL twin and is pinned
+by differential tests against a pure-Python reference implementation,
+and docs_compression_ratio, whose zlib call has no SQL twin and is
+pinned by a same-library byte-for-byte differential. r16 audit: the
+xxhash64 dedup_minhash/dedup_simhash twins were retired — their md5_48
+twins value-oracle the identical pipeline — and events_distinct_rollup
+now carries a real oracle: exact per-type countDistinct plus a
+deterministic hll_ok acceptance bound on the merged-sketch estimate).
 tests/test_driver_contract.py asserts these counts stay in sync.
 
 Ordering: the driver harness samples the FIRST 50 queries, so

@@ -19,7 +19,7 @@ shape appears at least once. Excluded, by rule:
   re-time the same exchanges on the same tables and would only add
   noise surface.
 - rows-only twins and sibling configurations of a benched operator
-  (dedup_minhash_md5/simhash_md5/xxhash twins, embed_whiten vs its
+  (simhash_md5 vs the benched minhash_md5 family, embed_whiten vs its
   benched _check, ann_ivf vs benched ann_ivf_recall/ann_ivf_kmeans,
   docs_label_alpha_ordinal vs the benched interval metric): the timed
   plan is identical up to one projection/metric table.
@@ -58,7 +58,12 @@ BENCH_QUERIES = [
     "dq_row_errors", "dq_counts", "dq_agg_results",
     "tpch_q1", "tpch_q3", "tpch_q5ish", "tpch_q6", "tpch_q10ish",
     "tpch_q18ish",
-    "window_rank", "dedup_exact", "dedup_jaccard", "dedup_minhash",
+    # r16: dedup_minhash (xxhash64 twin) retired from the catalog per
+    # the r15 oracle-ability audit; the md5_48 twin is the benched
+    # MinHash representative from r16 on (K=16/bands=4 vs the retired
+    # entry's K=64/16 — cross-round comparisons for this row restart
+    # at r16).
+    "window_rank", "dedup_exact", "dedup_jaccard", "dedup_minhash_md5",
     "embed_near_dups", "ann_topk", "text_stats", "text_quality",
     "events_hourly", "events_sessions", "docs_clean_corpus",
     "docs_pack_streams", "users_scd2", "orders_snapshot_diff",

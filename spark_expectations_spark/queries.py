@@ -903,24 +903,16 @@ FROM ranked WHERE rk = 1
 """
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidates with estimated Jaccard. xxhash64 has
-    no DuckDB twin → rows-only check; q_dedup_jaccard is the exact-oracle
-    ground truth this approximates, and q_dedup_minhash_md5 runs the same
-    pipeline under a portable hash family with a full value oracle."""
-    docs = load(spark, sf_dir, "documents")
-    pairs = dedup.minhash_dedup_pairs(
-        docs, "doc_id", "text", n=3, num_hashes=64, bands=16, threshold=0.3)
-    return pairs.select("id_a", "id_b", F.round("est_jaccard", 4).alias("est_jaccard"))
-
-
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming <= 3 of 64 bits; 4-block pigeonhole
-    is exact at this radius). xxhash64-based → rows-only check;
-    q_dedup_simhash_md5 is the oracle-checked portable-hash twin."""
-    docs = load(spark, sf_dir, "documents")
-    sigs = dedup.simhash_signatures(docs, "doc_id", "text")
-    return dedup.simhash_near_pairs(sigs, "doc_id", max_hamming=3, blocks=4)
+# r16 (VERDICT r15 task 4): the former dedup_minhash / dedup_simhash
+# catalog entries (the xxhash64-family twins of the *_md5 entries below)
+# are RETIRED from the driver surface. xxhash64 has no DuckDB twin, so
+# they could only ever be rows-only checks, while the md5_48 twins run
+# the IDENTICAL pipeline (minhash_dedup_pairs / simhash_signatures +
+# simhash_near_pairs) under a portable hash family with full value
+# oracles. The xxhash64 production mode itself remains first-class in
+# operators/dedup.py (`hash_family="xxhash64"`, the default) and is
+# pinned equal-candidates vs md5_48 in
+# tests/test_operators_extensions.py:207-266.
 
 
 def q_dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4860,8 +4852,17 @@ def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type HLL user sketches, then rolled up to per-type totals by
     UNIONING sketches — the coarsening never re-reads raw events. At
     100 TB the daily sketch table is what you persist; every later
-    distinct question is a merge over KB-sized binaries. Approximate by
-    construction → rows-only check (deterministic for fixed input)."""
+    distinct question is a merge over KB-sized binaries.
+
+    r16 (VERDICT r15 task 4 — oracle-ability audit): previously
+    rows-only because the HLL estimate is engine-specific. Reworked to a
+    value-oracled acceptance form: the exact per-type distinct count
+    (SQL-replayable) joined with a deterministic ``hll_ok`` bound — the
+    merged-sketch estimate must land within ±20% of exact (lgK=12 HLL
+    rse is ~1.6%, so the band is ~12 sigma; deterministic for fixed
+    input). A broken sketch/union path flips the boolean and fails the
+    driver hash, so the sketch-merge path is now inside the hard gate
+    rather than rows-only."""
     from .operators import sketches
 
     ev = load(spark, sf_dir, "events")
@@ -4870,10 +4871,31 @@ def q_events_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = sketches.hll_by_group(
         ev.withColumn("day", day), ["day", "event_type"], "user_id",
         estimate_out=None)
-    return (
+    merged = (
         sketches.hll_rollup(daily, ["event_type"])
         .select("event_type", "approx_distinct")
     )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"))
+    return (
+        exact.join(F.broadcast(merged), "event_type")
+        .select(
+            "event_type",
+            "n_users",
+            ((F.col("approx_distinct") >= F.col("n_users") * F.lit(0.8))
+             & (F.col("approx_distinct") <= F.col("n_users") * F.lit(1.2))
+             ).alias("hll_ok"),
+        )
+    )
+
+
+ORACLE_EVENTS_DISTINCT_ROLLUP = """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       TRUE AS hll_ok
+FROM events
+GROUP BY event_type
+"""
 
 
 def q_events_distinct_rollup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11270,9 +11292,9 @@ FROM b GROUP BY source, bin
 # everything whose implementation changed this round, then the
 # highest-risk value-oracled operators the driver has never seen.
 # Rotate per round so the whole catalog cycles through the hard gate.
-# (Declared rows-only entries — dedup_minhash/dedup_simhash xxhash64
-# twins, events_distinct_rollup — are deliberately kept OUT of the top
-# 50 so all 50 driver rows carry full value oracles.)
+# (Declared rows-only entries — embed_whiten/embed_pca/docs_bpe/
+# docs_compression_ratio after the r16 audit — are deliberately kept
+# OUT of the top 50 so all 50 driver rows carry full value oracles.)
 #
 # ROTATION LOG — the graded sample is repo-curated (ADVICE r5 flagged
 # this), so the per-round selection is recorded here for the harness
@@ -11673,8 +11695,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_canonical": q_dedup_canonical,
     "dedup_canonical_centrality": q_dedup_canonical_centrality,
     "docs_dedup_pipeline": q_docs_dedup_pipeline,
-    "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "dedup_minhash_md5": q_dedup_minhash_md5,
     "dedup_lsh_quality": q_dedup_lsh_quality,
     "docs_minhash_index": q_docs_minhash_index,
@@ -11998,6 +12018,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_tfidf_terms": ORACLE_DOCS_TFIDF_TERMS,
     "docs_bm25_terms": ORACLE_DOCS_BM25_TERMS,
     "docs_pack_streams": ORACLE_DOCS_PACK_STREAMS,
+    "events_distinct_rollup": ORACLE_EVENTS_DISTINCT_ROLLUP,
     "events_distinct_rollup_exact": ORACLE_EVENTS_DISTINCT_ROLLUP_EXACT,
     "orders_snapshot_diff": ORACLE_ORDERS_SNAPSHOT_DIFF,
     "users_scd2": ORACLE_USERS_SCD2,

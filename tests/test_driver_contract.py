@@ -34,10 +34,12 @@ class TestDriverContract:
         """The no-oracle set is a deliberate, named list — a new catalog
         entry silently lacking an oracle is a gate hole, not a choice."""
         mod = _entry_module()
+        # r16 oracle-ability audit (VERDICT r15 task 4): dedup_minhash /
+        # dedup_simhash (xxhash64 twins) RETIRED — the md5_48 twins
+        # value-oracle the identical pipeline; events_distinct_rollup
+        # reworked to exact-count + deterministic hll_ok bound and now
+        # carries a real oracle. The four below are the irreducible set.
         declared_rows_only = {
-            "dedup_minhash",            # xxhash64 — no DuckDB twin; md5 twin checked
-            "dedup_simhash",            # xxhash64 — same
-            "events_distinct_rollup",   # HLL approximate; exact twin checked
             "embed_whiten",             # numpy eigendecomposition — no SQL
                                         # twin; TestWhiten pins cov == I
             "embed_pca",                # same eig; TestPcaProject pins the
