@@ -568,3 +568,88 @@ def wav_header_info(binary: Column) -> Column:
         _le_int(h, 34, 2).cast("int").alias("bits_per_sample"),
         _le_int(h, 40, 4).alias("data_size"))
     return F.when(binary.isNotNull() & canonical, fields)
+
+
+def _be_int(hex_col: Column, byte_pos: int, n_bytes: int) -> Column:
+    """Big-endian unsigned int from ``n_bytes`` bytes at 0-based
+    ``byte_pos`` of a hex-string column — the hex substring IS the
+    big-endian digits, one ``conv``; pure codegen."""
+    return (F.conv(F.substring(hex_col, byte_pos * 2 + 1, n_bytes * 2),
+                   16, 10).cast("long"))
+
+
+def png_header_info(binary: Column) -> Column:
+    """Parse the PNG signature + IHDR chunk into a typed struct — the
+    image sibling of :func:`wav_header_info` (r15 verdict task 5: the
+    codegen-column pattern extended to the fixed-offset image headers;
+    hex/substring/conv expressions only, no library, no UDF, runs
+    inside codegen at scan speed):
+
+        (width, height, bit_depth, color_type, interlace)
+
+    IHDR is mandatory-first per the PNG spec, so every valid PNG has
+    width/height as big-endian u32 at bytes 16/20 and the three config
+    bytes at 24/25/28 (compression=0 and filter=0 at 26/27 are the
+    only legal values and are checked, not emitted). Rows that are not
+    PNG (wrong signature, first chunk not a 13-byte IHDR) parse to a
+    NULL struct rather than garbage — route those through
+    :func:`detect_format` first.
+
+    Scan-side uses: dimension distribution reports before the
+    (env-gated) decode stage, row_dq rules like ``width*height <=
+    max_pixels`` (decompression-bomb guard) or ``bit_depth = 8``, and
+    mislabeled-upload checks against a claimed mime column."""
+    h = F.lower(F.hex(F.substring(binary, 1, 29)))
+    canonical = (
+        (F.substring(h, 1, 16) == "89504e470d0a1a0a")  # signature
+        & (_be_int(h, 8, 4) == 13)                     # IHDR length
+        & (F.substring(h, 25, 8) == "49484452")        # 'IHDR'
+        & (_be_int(h, 26, 1) == 0)                     # compression
+        & (_be_int(h, 27, 1) == 0))                    # filter
+    fields = F.struct(
+        _be_int(h, 16, 4).alias("width"),
+        _be_int(h, 20, 4).alias("height"),
+        _be_int(h, 24, 1).cast("int").alias("bit_depth"),
+        _be_int(h, 25, 1).cast("int").alias("color_type"),
+        _be_int(h, 28, 1).cast("int").alias("interlace"))
+    return F.when(binary.isNotNull() & canonical, fields)
+
+
+def gif_header_info(binary: Column) -> Column:
+    """Parse the GIF header + logical screen descriptor into a typed
+    struct — same pure-codegen pattern as :func:`png_header_info`:
+
+        (version, width, height, gct_flag, color_resolution,
+         gct_colors, bg_index)
+
+    The 13-byte prefix is fixed-layout for every GIF: 'GIF' + version
+    ('87a'/'89a'), little-endian u16 width/height, then the packed
+    byte (global-color-table flag at bit 7, color resolution at bits
+    4-6, GCT size exponent at bits 0-2 — ``gct_colors`` is the decoded
+    2^(n+1) entry count, 0 when no table) and the background color
+    index (only meaningful with a GCT; NULL otherwise, matching the
+    spec's 'should be 0' advice without trusting it). Non-GIF rows →
+    NULL struct. The bit fields decode with div/mod arithmetic —
+    exactly reproducible in any SQL engine, which is what makes the
+    catalog entry value-oracle-able."""
+    h = F.lower(F.hex(F.substring(binary, 1, 13)))
+    version = F.when(F.substring(h, 7, 6) == "383761", F.lit("87a")) \
+               .when(F.substring(h, 7, 6) == "383961", F.lit("89a"))
+    canonical = (F.substring(h, 1, 6) == "474946") & version.isNotNull()
+    packed = _be_int(h, 10, 1)
+    gct_flag = (packed >= 128)
+    # 2^(exp+1) via pow — exact in double for exp <= 7, and shiftleft
+    # needs a literal shift amount so it can't take the decoded column
+    gct_colors = F.when(
+        gct_flag,
+        F.pow(F.lit(2.0), (packed % 8) + 1).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    fields = F.struct(
+        version.alias("version"),
+        _le_int(h, 6, 2).alias("width"),
+        _le_int(h, 8, 2).alias("height"),
+        gct_flag.alias("gct_flag"),
+        ((packed % 128 / 16).cast("int") + 1).alias("color_resolution"),
+        gct_colors.alias("gct_colors"),
+        F.when(gct_flag, _be_int(h, 11, 1).cast("int")).alias("bg_index"))
+    return F.when(binary.isNotNull() & canonical, fields)

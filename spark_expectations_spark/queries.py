@@ -8594,6 +8594,157 @@ FROM f
 """
 
 
+def q_docs_media_png_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image half of the multimodal extraction oracle
+    (multimodal.png_header_info, r15 verdict task 5): full PNG
+    signature + IHDR chunks are ASSEMBLED in-catalog (big-endian
+    width/height and the three config bytes derived from doc_id by
+    formula, a real 0xdeadbeef CRC filler the parser must ignore, text
+    prefix as payload) so the oracle knows every field without parsing
+    a byte; every 7th doc gets GIF bytes instead to pin the
+    NULL-struct path. The parser is pure hex/substring/conv codegen —
+    no UDF, no shuffle: one projection over the scan."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+
+    def be_hex(col, nbytes: int):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    width = 16 + F.col("doc_id") % 640
+    height = 16 + F.col("doc_id") % 480
+    color_type = (F.when(F.col("doc_id") % 3 == 0, 0)
+                  .when(F.col("doc_id") % 3 == 1, 2)
+                  .otherwise(6))
+    interlace = F.col("doc_id") % 2
+    payload = F.encode(F.coalesce(F.substring("text", 1, 16),
+                                  F.lit("")), "UTF-8")
+    png_hex = F.concat(
+        F.lit("89504e470d0a1a0a"),              # signature
+        F.lit("0000000d"), F.lit("49484452"),   # IHDR length + tag
+        be_hex(width, 4), be_hex(height, 4),
+        F.lit("08"), be_hex(color_type, 1),     # bit depth 8, type
+        F.lit("0000"), be_hex(interlace, 1),    # compr, filter, ilace
+        F.lit("deadbeef"),                      # CRC (unchecked)
+        F.lower(F.hex(payload)))
+    gif_hex = F.concat(F.lit("474946383961"), F.lower(F.hex(payload)))
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 7 == 0, gif_hex)
+                .otherwise(png_hex)).alias("media_bytes"))
+    p = multimodal.png_header_info(F.col("media_bytes"))
+    return media.select(
+        "doc_id",
+        p["width"].alias("width"),
+        p["height"].alias("height"),
+        p["bit_depth"].alias("bit_depth"),
+        p["color_type"].alias("color_type"),
+        p["interlace"].alias("interlace"),
+        (p["width"] * p["height"] <= F.lit(1_000_000))
+        .alias("bomb_ok"))
+
+
+ORACLE_DOCS_MEDIA_PNG_INFO = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 7 <> 0 AS is_png,
+         CAST(16 + doc_id % 640 AS BIGINT) AS w,
+         CAST(16 + doc_id % 480 AS BIGINT) AS h
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN is_png THEN w END AS width,
+       CASE WHEN is_png THEN h END AS height,
+       CASE WHEN is_png THEN 8 END AS bit_depth,
+       CASE WHEN is_png THEN CAST(CASE doc_id % 3 WHEN 0 THEN 0
+                 WHEN 1 THEN 2 ELSE 6 END AS INT) END AS color_type,
+       CASE WHEN is_png THEN CAST(doc_id % 2 AS INT) END AS interlace,
+       CASE WHEN is_png THEN w * h <= 1000000 END AS bomb_ok
+FROM f
+"""
+
+
+def q_docs_media_gif_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF logical-screen-descriptor extraction under a full value
+    oracle (multimodal.gif_header_info): headers assembled in-catalog —
+    version alternates 87a/89a, little-endian u16 dimensions, and the
+    PACKED byte (GCT flag at bit 7, color resolution at bits 4-6, GCT
+    size exponent at bits 0-2) built from doc_id by formula, so the
+    div/mod bit-field decode is checked against the planted truth
+    exactly; every 7th doc gets PNG bytes to pin the NULL-struct path.
+    Pure codegen, one projection, no shuffle."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+
+    def be_hex(col, nbytes: int):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    def le_hex(col, nbytes: int):
+        hh = F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+        return F.concat(*[F.substring(hh, (nbytes - 1 - i) * 2 + 1, 2)
+                          for i in range(nbytes)])
+
+    version_hex = (F.when(F.col("doc_id") % 2 == 0, F.lit("383761"))
+                   .otherwise(F.lit("383961")))
+    width = 1 + F.col("doc_id") % 320
+    height = 1 + F.col("doc_id") % 200
+    packed = ((F.col("doc_id") % 2) * 128        # GCT flag
+              + (F.col("doc_id") % 8) * 16       # color res bits
+              + F.col("doc_id") % 8)             # GCT size exponent
+    payload = F.encode(F.coalesce(F.substring("text", 1, 16),
+                                  F.lit("")), "UTF-8")
+    gif_hex = F.concat(
+        F.lit("474946"), version_hex,
+        le_hex(width, 2), le_hex(height, 2),
+        be_hex(packed, 1), be_hex(F.col("doc_id") % 256, 1),
+        F.lit("00"),                             # aspect ratio
+        F.lower(F.hex(payload)))
+    png_hex = F.concat(F.lit("89504e470d0a1a0a"),
+                       F.lower(F.hex(payload)))
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 7 == 0, png_hex)
+                .otherwise(gif_hex)).alias("media_bytes"))
+    p = multimodal.gif_header_info(F.col("media_bytes"))
+    return media.select(
+        "doc_id",
+        p["version"].alias("version"),
+        p["width"].alias("width"),
+        p["height"].alias("height"),
+        p["gct_flag"].alias("gct_flag"),
+        p["color_resolution"].alias("color_resolution"),
+        p["gct_colors"].alias("gct_colors"),
+        p["bg_index"].alias("bg_index"))
+
+
+ORACLE_DOCS_MEDIA_GIF_INFO = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 7 <> 0 AS is_gif,
+         doc_id % 2 = 1 AS has_gct
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN is_gif THEN
+            CASE WHEN doc_id % 2 = 0 THEN '87a' ELSE '89a' END
+       END AS version,
+       CASE WHEN is_gif THEN CAST(1 + doc_id % 320 AS BIGINT) END
+         AS width,
+       CASE WHEN is_gif THEN CAST(1 + doc_id % 200 AS BIGINT) END
+         AS height,
+       CASE WHEN is_gif THEN has_gct END AS gct_flag,
+       CASE WHEN is_gif THEN CAST(doc_id % 8 + 1 AS INT) END
+         AS color_resolution,
+       CASE WHEN is_gif THEN
+            CASE WHEN has_gct
+                 THEN CAST(2 * power(2, doc_id % 8) AS BIGINT)
+                 ELSE 0 END
+       END AS gct_colors,
+       CASE WHEN is_gif AND has_gct THEN CAST(doc_id % 256 AS INT) END
+         AS bg_index
+FROM f
+"""
+
+
 def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (sampling.interleave_sources): the
     reading order for a 3:2:1-ish mix over the five sources — stride
@@ -11872,6 +12023,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_phash_dups": q_docs_phash_dups,
     "docs_media_phash_exact": q_docs_media_phash_exact,
     "docs_media_wav_info": q_docs_media_wav_info,
+    "docs_media_png_info": q_docs_media_png_info,
+    "docs_media_gif_info": q_docs_media_gif_info,
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "orders_theilsen": q_orders_theilsen,
@@ -12114,6 +12267,8 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_phash_dups": ORACLE_DOCS_PHASH_DUPS,
     "docs_media_phash_exact": ORACLE_DOCS_MEDIA_PHASH_EXACT,
     "docs_media_wav_info": ORACLE_DOCS_MEDIA_WAV_INFO,
+    "docs_media_png_info": ORACLE_DOCS_MEDIA_PNG_INFO,
+    "docs_media_gif_info": ORACLE_DOCS_MEDIA_GIF_INFO,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "orders_theilsen": ORACLE_ORDERS_THEILSEN,

@@ -8340,6 +8340,73 @@ class TestWavHeaderInfo:
             assert out[bad] is None, bad
 
 
+class TestPngGifHeaderInfo:
+    """r15 verdict task 5: the WAV codegen pattern extended to PNG
+    IHDR and GIF logical-screen headers — hand-built real headers
+    round-trip every field; wrong magic / wrong first chunk / NULL
+    bytes yield NULL structs."""
+
+    def _png(self, w=640, h=480, depth=8, ctype=6, interlace=0):
+        import struct as st
+        return (b"\x89PNG\r\n\x1a\n" + st.pack(">I", 13) + b"IHDR"
+                + st.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                          interlace)
+                + b"\xde\xad\xbe\xef" + b"payload")
+
+    def _gif(self, version=b"89a", w=320, h=200, packed=0xf7, bg=5):
+        import struct as st
+        return (b"GIF" + version + st.pack("<HH", w, h)
+                + bytes([packed, bg, 0]) + b"payload")
+
+    def test_png_round_trip_and_malformed(self, spark):
+        from pyspark.sql import functions as SF
+        from spark_expectations_spark.operators import multimodal
+        rows = [(1, self._png()),
+                (2, self._png(w=1, h=2, depth=16, ctype=0, interlace=1)),
+                (3, self._gif()),                   # wrong container
+                (4, self._png()[:12]),              # truncated
+                (5, None),
+                # first chunk not IHDR (acTL first would be APNG-bad)
+                (6, self._png().replace(b"IHDR", b"acTL", 1))]
+        df = spark.createDataFrame(rows, "id int, b binary")
+        p = multimodal.png_header_info(SF.col("b"))
+        out = {r["id"]: r["s"] for r in df.select("id", p.alias("s"))
+               .collect()}
+        assert (out[1]["width"], out[1]["height"], out[1]["bit_depth"],
+                out[1]["color_type"], out[1]["interlace"]) == \
+            (640, 480, 8, 6, 0)
+        assert (out[2]["width"], out[2]["height"], out[2]["bit_depth"],
+                out[2]["color_type"], out[2]["interlace"]) == \
+            (1, 2, 16, 0, 1)
+        for bad in (3, 4, 5, 6):
+            assert out[bad] is None, bad
+
+    def test_gif_round_trip_and_malformed(self, spark):
+        from pyspark.sql import functions as SF
+        from spark_expectations_spark.operators import multimodal
+        rows = [(1, self._gif()),                   # 0xf7: GCT, res 8,
+                                                    # 2^8 colors
+                (2, self._gif(version=b"87a", w=1, h=65535, packed=0x00,
+                              bg=9)),               # no GCT -> bg NULL
+                (3, self._png()),                   # wrong container
+                (4, self._gif(version=b"88a")),     # unknown version
+                (5, None)]
+        df = spark.createDataFrame(rows, "id int, b binary")
+        p = multimodal.gif_header_info(SF.col("b"))
+        out = {r["id"]: r["s"] for r in df.select("id", p.alias("s"))
+               .collect()}
+        g1 = out[1]
+        assert (g1["version"], g1["width"], g1["height"], g1["gct_flag"],
+                g1["color_resolution"], g1["gct_colors"],
+                g1["bg_index"]) == ("89a", 320, 200, True, 8, 256, 5)
+        g2 = out[2]
+        assert (g2["version"], g2["width"], g2["height"], g2["gct_flag"],
+                g2["color_resolution"], g2["gct_colors"],
+                g2["bg_index"]) == ("87a", 1, 65535, False, 1, 0, None)
+        for bad in (3, 4, 5):
+            assert out[bad] is None, bad
+
+
 class TestRankOpsNanContract:
     """NaN values are dropped like NULL across the r15 rank/trend
     family — engines disagree on NaN's sort slot, so letting it rank
