@@ -329,7 +329,10 @@ BENCH_QUERIES = [
     # same synthetic-bytes projection + codegen parse shape as
     # wav_info, shuffle-free by construction;
     # docs_brier likewise: docs_calibration_ece's bin-fold + scalar
-    # shape with three more fold terms
+    # shape with three more fold terms;
+    # docs_rank_merge_check (r16) likewise: docs_mannwhitney's
+    # collapse+window+fold run twice (halved + direct) — the same
+    # plan shape, no new exchange kind
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

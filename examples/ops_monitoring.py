@@ -137,6 +137,40 @@ def main() -> None:
                                  group_cols=("cohort",))
     print(f"day-2 churn curve rows (from state): {km2.count()}")
 
+    # r16: the rank/trend family's additive halves. Mann-Whitney and
+    # Cochran-Armitage reduce over per-(group, value/bucket) integer
+    # counts that SUM-merge exactly, so they get the same day-2 seam.
+    # Kendall tau, Spearman rho and Theil-Sen do NOT: tau needs pair
+    # concordance across batches, rho needs global average ranks of
+    # raw rows, Theil-Sen the median of cross-batch pairwise slopes —
+    # none reduce to additive per-bucket statistics, so they are
+    # deliberately one-shot (recompute over the union, or feed them
+    # bucket-collapsed series that ARE the accumulated state).
+    rank_step = st.incremental_rank_state(
+        f"{state_root}/rank", "v", "is_shift", group_cols=("event_type",))
+    labeled = shifted.withColumn(
+        "is_shift", (F.col("day") > F.lit(row["change_at"])).cast("int"))
+    rank_step(labeled.filter(F.col("day") % 2 == 0), 0)
+    rank_step(labeled.filter(F.col("day") % 2 == 1), 1)
+    mw2 = (st.mann_whitney_from_state(spark, f"{state_root}/rank",
+                                      group_cols=("event_type",))
+           .orderBy(F.desc_nulls_last("z")).first())
+    print(f"day-2 rank test (from state): {mw2['event_type']} "
+          f"cliffs_delta={mw2['cliffs_delta']:.3f} — the shifted days "
+          f"dominate without rescanning day 1")
+
+    trend_step = st.incremental_trend_state(
+        f"{state_root}/trend", "day", "is_shift",
+        group_cols=("event_type",))
+    trend_step(labeled.filter(F.col("day") % 2 == 0), 0)
+    trend_step(labeled.filter(F.col("day") % 2 == 1), 1)
+    ca2 = (st.cochran_armitage_from_state(spark, f"{state_root}/trend",
+                                          group_cols=("event_type",))
+           .first())
+    print(f"day-2 trend test (from state): {ca2['event_type']} "
+          f"slope_sign={ca2['slope_sign']} over {ca2['n_buckets']} "
+          f"scored buckets")
+
     prof_step = st.incremental_null_profile_state(f"{state_root}/prof")
     prof_step(od, 0)                                   # day-1 profile
     sd2 = profiling.schema_drift_from_profiles(

@@ -1181,6 +1181,28 @@ def mann_whitney_u(
     its row_numbers); the test statistic is one group fold. Rows
     shuffle once. Float contract: u/z/p are double arithmetic over
     exact integer counts — round 9dp (+0.0) cross-engine."""
+    per_v = rank_value_counts(df, value_col, side_col,
+                              group_cols=group_cols)
+    return mann_whitney_from_value_counts(per_v, group_cols=group_cols)
+
+
+def rank_value_counts(
+    df: DataFrame,
+    value_col: str,
+    side_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Mann-Whitney sufficient statistics: per-(group, value) rows
+    ``(_v, _t, _t1)`` — total count and side-1 count at each distinct
+    value. These are ADDITIVE (integer counts SUM-merge exactly, a
+    value's rows may split across batches freely), which is what makes
+    the rank test day-2 incremental: persist these per batch
+    (:func:`~..streaming.incremental_rank_state`) and finish with
+    :func:`mann_whitney_from_value_counts` over the SUM-merged rows —
+    bit-identical to the one-shot over the union (r15 verdict task 6:
+    the CUSUM ``cusum_bucket_stats`` convention applied to the rank
+    family)."""
     gc = list(group_cols)
     if any(c in ("n1", "n2", "u", "cliffs_delta", "z", "p_value")
            for c in gc):
@@ -1190,9 +1212,25 @@ def mann_whitney_u(
     base = (df.select(*gc, v.alias("_v"), s.alias("_s"))
             .filter(F.col("_v").isNotNull() & ~F.isnan("_v")
                     & F.col("_s").isin(0, 1)))
-    per_v = (base.groupBy(*gc, "_v")
-             .agg(F.count(F.lit(1)).alias("_t"),
-                  F.sum("_s").alias("_t1")))
+    return (base.groupBy(*gc, "_v")
+            .agg(F.count(F.lit(1)).alias("_t"),
+                 F.sum("_s").alias("_t1")))
+
+
+def mann_whitney_from_value_counts(
+    per_v: DataFrame,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Finish :func:`mann_whitney_u` from
+    :func:`rank_value_counts`-shaped rows (``_v, _t, _t1`` per group).
+    Re-collapses per (group, _v) first so SUM-mergeable state dirs —
+    where a value's counts may arrive in several pieces — feed in
+    directly; the average-rank window and the one-row fold are exactly
+    the one-shot path."""
+    gc = list(group_cols)
+    per_v = (per_v.groupBy(*gc, "_v")
+             .agg(F.sum("_t").alias("_t"), F.sum("_t1").alias("_t1")))
     w_prev = (Window.partitionBy(*gc).orderBy("_v")
               .rowsBetween(Window.unboundedPreceding, -1))
     ranked = per_v.withColumn(
@@ -1424,6 +1462,27 @@ def cochran_armitage_trend(
     bucket-cardinality count rows; the statistic is one group fold
     over exact integer counts and double scores. Float contract:
     z/p round 9dp (+0.0)."""
+    per_b = trend_bucket_counts(df, bucket_col, flag_col,
+                                group_cols=group_cols)
+    return cochran_armitage_from_bucket_counts(per_b,
+                                               group_cols=group_cols)
+
+
+def trend_bucket_counts(
+    df: DataFrame,
+    bucket_col: str,
+    flag_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Cochran-Armitage sufficient statistics: per-(group, bucket
+    score) rows ``(_w, _n, _rf)`` — total and flagged counts per
+    scored bucket. ADDITIVE (SUM-merge exactly; a bucket's rows may
+    split across batches), so the trend test gets the same day-2 seam
+    as CUSUM: persist per batch via
+    :func:`~..streaming.incremental_trend_state`, finish with
+    :func:`cochran_armitage_from_bucket_counts` (r15 verdict task
+    6)."""
     gc = list(group_cols)
     if any(c in ("n", "n_flag", "n_buckets", "slope_sign", "z",
                  "p_value") for c in gc):
@@ -1433,9 +1492,22 @@ def cochran_armitage_trend(
     base = (df.select(*gc, w.alias("_w"), r.alias("_r"))
             .filter(F.col("_w").isNotNull() & ~F.isnan("_w")
                     & F.col("_r").isin(0, 1)))
-    per_b = (base.groupBy(*gc, "_w")
-             .agg(F.count(F.lit(1)).alias("_n"),
-                  F.sum("_r").alias("_rf")))
+    return (base.groupBy(*gc, "_w")
+            .agg(F.count(F.lit(1)).alias("_n"),
+                 F.sum("_r").alias("_rf")))
+
+
+def cochran_armitage_from_bucket_counts(
+    per_b: DataFrame,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Finish :func:`cochran_armitage_trend` from
+    :func:`trend_bucket_counts`-shaped rows; re-collapses per (group,
+    _w) first so SUM-mergeable state dirs feed in directly."""
+    gc = list(group_cols)
+    per_b = (per_b.groupBy(*gc, "_w")
+             .agg(F.sum("_n").alias("_n"), F.sum("_rf").alias("_rf")))
     agg = (per_b.groupBy(*gc)
            .agg(F.sum("_n").alias("_N"),
                 F.sum("_rf").alias("_R"),

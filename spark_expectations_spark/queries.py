@@ -10982,6 +10982,70 @@ FROM tt
 """
 
 
+def q_docs_rank_merge_check(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Mann-Whitney's day-2 mergeability proven end to end (r15
+    verdict task 6, the events_cusum_merge_check pattern applied to
+    the rank family): the corpus splits into two disjoint halves by
+    doc_id parity — so the SAME (lang, n_chars) value bucket gets
+    counts from BOTH halves — each half collapses to additive
+    ``rank_value_counts`` (the exact frame
+    ``streaming.incremental_rank_state`` persists per batch), the
+    halves union, and ``mann_whitney_from_value_counts``'s internal
+    SUM re-collapse must reproduce the one-shot ``mann_whitney_u``
+    exactly: any lost count shifts a rank, U, and the tie term. The
+    oracle runs the test once and emits it as both sides."""
+    from .operators import drift
+
+    docs = load(spark, sf_dir, "documents")
+    side = (F.substring("source", 4, 10).cast("int") % 2).alias("side")
+    frame = docs.select("doc_id", "lang", F.col("n_chars").alias("v"),
+                        side)
+    gc = ("lang",)
+    halves = [frame.filter(F.col("doc_id") % 2 == i) for i in (0, 1)]
+    stats = [drift.rank_value_counts(h, "v", "side", group_cols=gc)
+             for h in halves]
+    r9 = lambda c, n: (F.round(c, 9) + F.lit(0.0)).alias(n)  # noqa: E731
+    merged = drift.mann_whitney_from_value_counts(
+        stats[0].unionByName(stats[1]), group_cols=gc) \
+        .select("lang",
+                F.col("n1").alias("n1_merged"),
+                F.col("n2").alias("n2_merged"),
+                r9(F.col("u"), "u_merged"),
+                r9(F.col("cliffs_delta"), "cliffs_delta_merged"),
+                r9(F.col("z"), "z_merged"),
+                r9(F.col("p_value"), "p_value_merged"))
+    direct = drift.mann_whitney_u(frame, "v", "side", group_cols=gc) \
+        .select("lang",
+                F.col("n1").alias("n1_direct"),
+                F.col("n2").alias("n2_direct"),
+                r9(F.col("u"), "u_direct"),
+                r9(F.col("cliffs_delta"), "cliffs_delta_direct"),
+                r9(F.col("z"), "z_direct"),
+                r9(F.col("p_value"), "p_value_direct"))
+    return (merged.join(direct, ["lang"], "full_outer")
+            .select("lang", "n1_merged", "n1_direct",
+                    "n2_merged", "n2_direct", "u_merged", "u_direct",
+                    "cliffs_delta_merged", "cliffs_delta_direct",
+                    "z_merged", "z_direct",
+                    "p_value_merged", "p_value_direct"))
+
+
+# the merge identity's oracle IS the one-shot test emitted twice —
+# nesting the proven docs_mannwhitney oracle keeps the two literally
+# in sync
+ORACLE_DOCS_RANK_MERGE_CHECK = f"""
+SELECT lang, n1 AS n1_merged, n1 AS n1_direct,
+       n2 AS n2_merged, n2 AS n2_direct,
+       u AS u_merged, u AS u_direct,
+       cliffs_delta AS cliffs_delta_merged,
+       cliffs_delta AS cliffs_delta_direct,
+       z AS z_merged, z AS z_direct,
+       p_value AS p_value_merged, p_value AS p_value_direct
+FROM ({ORACLE_DOCS_MANNWHITNEY}) r
+"""
+
+
 def q_orders_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Theil-Sen robust daily-price trend per order priority
     (drift.theilsen_trend over the CUSUM-style per-day mean collapse):
@@ -12027,6 +12091,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_gif_info": q_docs_media_gif_info,
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
+    "docs_rank_merge_check": q_docs_rank_merge_check,
     "orders_theilsen": q_orders_theilsen,
     "events_kendall_tau": q_events_kendall_tau,
     "orders_ca_trend": q_orders_ca_trend,
@@ -12271,6 +12336,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_media_gif_info": ORACLE_DOCS_MEDIA_GIF_INFO,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
+    "docs_rank_merge_check": ORACLE_DOCS_RANK_MERGE_CHECK,
     "orders_theilsen": ORACLE_ORDERS_THEILSEN,
     "events_kendall_tau": ORACLE_EVENTS_KENDALL_TAU,
     "orders_ca_trend": ORACLE_ORDERS_CA_TREND,

@@ -1007,6 +1007,94 @@ def null_profile_from_state(spark, state_path: str) -> DataFrame:
                  F.sum("n_nulls").alias("n_nulls")))
 
 
+def incremental_rank_state(
+    state_path: str,
+    value_col: str,
+    side_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating Mann-Whitney sufficient
+    statistics on disk — per-batch ``(group..., _v, _t, _t1)``
+    value-bucket counts (:func:`~..operators.drift.rank_value_counts`)
+    under the ``_batch_id`` dynamic-overwrite exactly-once recipe. A
+    value's rows may split across batches freely (integer counts SUM);
+    read the test back via :func:`mann_whitney_from_state` —
+    bit-identical to the one-shot over the union (r15 verdict task 6:
+    the rank family joins the drift day-2 seam; Kendall/Spearman/
+    Theil-Sen are NOT additive — their statistics need cross-batch
+    pair/rank structure that per-batch buckets cannot carry — so they
+    deliberately have no state wrappers, see examples/
+    ops_monitoring.py)."""
+    from ..operators.drift import rank_value_counts
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (rank_value_counts(batch_df, value_col, side_col,
+                           group_cols=group_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def mann_whitney_from_state(
+    spark,
+    state_path: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_rank_state` dir (SUM per (group,
+    value) — done inside the finisher) and run the average-rank window
+    + fold — the day-2 rank test without rescanning prior batches."""
+    from ..operators.drift import mann_whitney_from_value_counts
+
+    return mann_whitney_from_value_counts(
+        spark.read.parquet(state_path), group_cols=list(group_cols))
+
+
+def incremental_trend_state(
+    state_path: str,
+    bucket_col: str,
+    flag_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch step accumulating Cochran-Armitage sufficient
+    statistics on disk — per-batch ``(group..., _w, _n, _rf)`` scored-
+    bucket counts (:func:`~..operators.drift.trend_bucket_counts`),
+    ``_batch_id`` dynamic overwrite. Buckets split across batches
+    freely; read back via :func:`cochran_armitage_from_state`."""
+    from ..operators.drift import trend_bucket_counts
+
+    def step(batch_df: DataFrame, batch_id: int) -> None:
+        (trend_bucket_counts(batch_df, bucket_col, flag_col,
+                             group_cols=group_cols)
+         .withColumn("_batch_id", F.lit(batch_id))
+         .write.mode("overwrite")
+         .partitionBy("_batch_id")
+         .option("partitionOverwriteMode", "dynamic")
+         .parquet(state_path))
+
+    return step
+
+
+def cochran_armitage_from_state(
+    spark,
+    state_path: str,
+    *,
+    group_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge an :func:`incremental_trend_state` dir and run the trend
+    fold — scans state, not history."""
+    from ..operators.drift import cochran_armitage_from_bucket_counts
+
+    return cochran_armitage_from_bucket_counts(
+        spark.read.parquet(state_path), group_cols=list(group_cols))
+
+
 def compact_additive_state(
     spark,
     state_path: str,

@@ -521,6 +521,78 @@ class TestStreamingDQ:
                     assert got[g][c] == pytest.approx(want[g][c]), (g, c)
         assert want["s"]["change_at"] == 3  # the planted shift found
 
+    def test_incremental_rank_state_matches_one_shot(
+            self, spark, tmp_path):
+        """r15 verdict task 6: Mann-Whitney value-bucket counts
+        accumulated per batch (the SAME value straddles both batches,
+        proving the re-collapse) SUM-merge to the one-shot test over
+        the union, replay-safe."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import drift
+        state = str(tmp_path / "rank_state")
+        step = st.incremental_rank_state(state, "v", "side",
+                                         group_cols=("g",))
+        b1 = spark.createDataFrame(
+            [("a", 1.0, 0), ("a", 2.0, 0), ("a", 2.0, 1), ("a", 5.0, 1),
+             ("b", 1.0, 0), ("b", 9.0, 1)],
+            "g string, v double, side int")
+        b2 = spark.createDataFrame(
+            [("a", 2.0, 1), ("a", 7.0, 1), ("a", 3.0, 0),
+             ("b", 2.0, 0), ("b", 8.0, 1)],
+            "g string, v double, side int")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                        # replay replaces, not adds
+        got = {r["g"]: r for r in st.mann_whitney_from_state(
+            spark, state, group_cols=("g",)).collect()}
+        want = {r["g"]: r for r in drift.mann_whitney_u(
+            b1.union(b2), "v", "side", group_cols=("g",)).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            assert (got[g]["n1"], got[g]["n2"]) == \
+                (want[g]["n1"], want[g]["n2"]), g
+            for c in ("u", "cliffs_delta", "z", "p_value"):
+                if want[g][c] is None:
+                    assert got[g][c] is None, (g, c)
+                else:
+                    assert got[g][c] == pytest.approx(want[g][c]), (g, c)
+
+    def test_incremental_trend_state_matches_one_shot(
+            self, spark, tmp_path):
+        """Cochran-Armitage scored-bucket counts straddling batches
+        SUM-merge to the one-shot trend test, replay-safe."""
+        from spark_expectations_spark import streaming as st
+        from spark_expectations_spark.operators import drift
+        state = str(tmp_path / "trend_state")
+        step = st.incremental_trend_state(state, "week", "bad",
+                                          group_cols=("g",))
+        rows1 = [("up", w, 1 if i < w else 0)
+                 for w in range(1, 5) for i in range(4)]
+        rows2 = [("up", w, 1 if i < w else 0)
+                 for w in range(1, 5) for i in range(2)] + \
+                [("flat", w, i % 2) for w in range(1, 4) for i in range(4)]
+        b1 = spark.createDataFrame(rows1, "g string, week int, bad int")
+        b2 = spark.createDataFrame(rows2, "g string, week int, bad int")
+        step(b1, 0)
+        step(b2, 1)
+        step(b2, 1)                        # replay
+        got = {r["g"]: r for r in st.cochran_armitage_from_state(
+            spark, state, group_cols=("g",)).collect()}
+        want = {r["g"]: r for r in drift.cochran_armitage_trend(
+            b1.union(b2), "week", "bad", group_cols=("g",)).collect()}
+        assert set(got) == set(want)
+        for g in want:
+            assert (got[g]["n"], got[g]["n_flag"], got[g]["n_buckets"],
+                    got[g]["slope_sign"]) == \
+                (want[g]["n"], want[g]["n_flag"], want[g]["n_buckets"],
+                 want[g]["slope_sign"]), g
+            for c in ("z", "p_value"):
+                if want[g][c] is None:
+                    assert got[g][c] is None, (g, c)
+                else:
+                    assert got[g][c] == pytest.approx(want[g][c]), (g, c)
+        assert want["up"]["slope_sign"] == 1   # the planted trend
+
     def test_incremental_benford_state_matches_one_shot(
             self, spark, tmp_path):
         """Digit counts merge exactly → the day-2 Benford audit is
