@@ -653,3 +653,72 @@ def gif_header_info(binary: Column) -> Column:
         gct_colors.alias("gct_colors"),
         F.when(gct_flag, _be_int(h, 11, 1).cast("int")).alias("bg_index"))
     return F.when(binary.isNotNull() & canonical, fields)
+
+
+def jpeg_sof_info(binary: Column, *, max_segments: int = 8,
+                  scan_bytes: int = 512) -> Column:
+    """Parse JPEG frame dimensions by WALKING the segment chain
+    JVM-side — the variable-offset sibling of :func:`png_header_info`
+    (PNG/GIF/WAV fields sit at fixed offsets; JPEG's SOF marker floats
+    behind APP/COM/table segments whose lengths are data). The walk is
+    an ``aggregate`` fold over ``sequence(1, max_segments)`` carrying
+    a ``(offset, sof_offset)`` state struct: each step reads the
+    2-byte marker and big-endian segment length at the current offset
+    and advances ``offset + 2 + length`` until it lands on a
+    start-of-frame marker (SOF0 baseline / SOF1 extended / SOF2
+    progressive):
+
+        (sof_kind, precision, height, width, components)
+
+    The fold keeps the expression tree LINEAR in ``max_segments``
+    (an unrolled chain would re-embed the offset expression ~5× per
+    step — exponential nodes); it is a Spark higher-order function,
+    so the whole parse stays JVM-side with zero Python — same
+    scan-speed class as the fixed-offset parsers.
+
+    Rows that are not JPEG, or whose SOF is not reached within
+    ``max_segments`` steps (camera files can carry dozens of metadata
+    segments — raise the bound or route those to a decode stage) or
+    ``scan_bytes`` bytes, parse to a NULL struct rather than garbage.
+    Standalone markers without a length field (RST/TEM) never appear
+    before SOF in a legal stream, so the fixed ``2 + length`` advance
+    is exact for the walk this parser performs.
+
+    Use it scan-side for dimension reports, decompression-bomb row_dq
+    rules (``height*width`` caps) and progressive-vs-baseline routing
+    before the (env-gated) decoder."""
+    h = F.lower(F.hex(F.substring(binary, 1, scan_bytes)))
+    is_jpeg = F.substring(h, 1, 4) == "ffd8"
+
+    def _step(state: Column, _i: Column) -> Column:
+        off = state["off"]
+        marker = F.substring(h, (off * 2 + 1).cast("int"), 4)
+        is_sof = marker.isin("ffc0", "ffc1", "ffc2")
+        valid = (F.substring(marker, 1, 2) == "ff") & (marker != "ffff")
+        seg_len = F.conv(F.substring(h, (off * 2 + 5).cast("int"), 4),
+                         16, 10).cast("long")
+        new_off = (F.when(state["sof"].isNotNull() | is_sof, off)
+                   .when(valid, off + 2 + seg_len)
+                   .otherwise(F.lit(scan_bytes).cast("long")))
+        new_sof = F.coalesce(state["sof"], F.when(is_sof, off))
+        return F.struct(new_off.alias("off"), new_sof.alias("sof"))
+
+    init = F.struct(F.lit(2).cast("long").alias("off"),
+                    F.lit(None).cast("long").alias("sof"))
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_segments)), init, _step)
+    sof = state["sof"]
+    kind_hex = F.substring(h, (sof * 2 + 1).cast("int"), 4)
+    fields = F.struct(
+        F.when(kind_hex == "ffc0", "baseline")
+         .when(kind_hex == "ffc1", "extended")
+         .otherwise("progressive").alias("sof_kind"),
+        F.conv(F.substring(h, ((sof + 4) * 2 + 1).cast("int"), 2),
+               16, 10).cast("int").alias("precision"),
+        F.conv(F.substring(h, ((sof + 5) * 2 + 1).cast("int"), 4),
+               16, 10).cast("long").alias("height"),
+        F.conv(F.substring(h, ((sof + 7) * 2 + 1).cast("int"), 4),
+               16, 10).cast("long").alias("width"),
+        F.conv(F.substring(h, ((sof + 9) * 2 + 1).cast("int"), 2),
+               16, 10).cast("int").alias("components"))
+    return F.when(binary.isNotNull() & is_jpeg & sof.isNotNull(), fields)

@@ -8745,6 +8745,80 @@ FROM f
 """
 
 
+def q_docs_media_jpeg_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VARIABLE-offset half of the codegen media-header family
+    (multimodal.jpeg_sof_info): JPEGs are assembled in-catalog with a
+    doc-dependent NUMBER of APP0 segments (0–3) of doc-dependent
+    LENGTHS, so the aggregate-fold segment walker must actually chase
+    the chain — every SOF lands at a different byte offset — before
+    reading the frame fields, all known to the oracle by formula.
+    Every 7th doc gets PNG bytes to pin the NULL path; SOF kind cycles
+    baseline/extended/progressive. Pure higher-order-function codegen:
+    one projection, no UDF, no shuffle."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+
+    def be_hex(col, nbytes: int):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    app_len = 5 + F.col("doc_id") % 11          # payload bytes
+    app_seg = F.concat(F.lit("ffe0"), be_hex(app_len + 2, 2),
+                       F.expr("repeat('4a', CAST(5 + doc_id % 11 AS INT))"))
+    n_app = F.col("doc_id") % 4
+    apps = (F.when(n_app == 0, F.lit(""))
+            .when(n_app == 1, app_seg)
+            .when(n_app == 2, F.concat(app_seg, app_seg))
+            .otherwise(F.concat(app_seg, app_seg, app_seg)))
+    comps = 1 + F.col("doc_id") % 3
+    kind = (F.when(F.col("doc_id") % 3 == 0, F.lit("ffc0"))
+            .when(F.col("doc_id") % 3 == 1, F.lit("ffc1"))
+            .otherwise(F.lit("ffc2")))
+    height = 16 + F.col("doc_id") % 2000
+    width = 16 + F.col("doc_id") % 3000
+    sof = F.concat(
+        kind, be_hex(8 + comps * 3, 2), F.lit("08"),
+        be_hex(height, 2), be_hex(width, 2), be_hex(comps, 1),
+        F.expr("repeat('011100', CAST(1 + doc_id % 3 AS INT))"))
+    payload = F.lower(F.hex(F.encode(
+        F.coalesce(F.substring("text", 1, 16), F.lit("")), "UTF-8")))
+    jpeg_hex = F.concat(F.lit("ffd8"), apps, sof,
+                        F.lit("ffda0004 0000".replace(" ", "")), payload)
+    png_hex = F.concat(F.lit("89504e470d0a1a0a"), payload)
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 7 == 0, png_hex)
+                .otherwise(jpeg_hex)).alias("media_bytes"))
+    p = multimodal.jpeg_sof_info(F.col("media_bytes"))
+    return media.select(
+        "doc_id",
+        p["sof_kind"].alias("sof_kind"),
+        p["precision"].alias("precision"),
+        p["height"].alias("height"),
+        p["width"].alias("width"),
+        p["components"].alias("components"))
+
+
+ORACLE_DOCS_MEDIA_JPEG_INFO = """
+WITH f AS (
+  SELECT doc_id, doc_id % 7 <> 0 AS is_jpeg
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN is_jpeg THEN
+            CASE doc_id % 3 WHEN 0 THEN 'baseline'
+                 WHEN 1 THEN 'extended' ELSE 'progressive' END
+       END AS sof_kind,
+       CASE WHEN is_jpeg THEN 8 END AS precision,
+       CASE WHEN is_jpeg THEN CAST(16 + doc_id % 2000 AS BIGINT) END
+         AS height,
+       CASE WHEN is_jpeg THEN CAST(16 + doc_id % 3000 AS BIGINT) END
+         AS width,
+       CASE WHEN is_jpeg THEN CAST(1 + doc_id % 3 AS INT) END
+         AS components
+FROM f
+"""
+
+
 def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (sampling.interleave_sources): the
     reading order for a 3:2:1-ish mix over the five sources — stride
@@ -11832,35 +11906,70 @@ FROM b GROUP BY source, bin
 #          decomposition) are that debt — all locally
 #          value-gated sf0.001 AND sf0.01 this round; the r16 rotation
 #          MUST lead with them.
+#   r16:   5 dq_* flagship + the SEVEN r15 late-wave entries (verdict
+#          task 1, never driver-gated: docs_mannwhitney,
+#          orders_theilsen, events_kendall_tau, orders_ca_trend,
+#          events_spearman, docs_media_wav_info, docs_brier) + FOUR
+#          r16-new/impl-changed (docs_media_png_info /
+#          docs_media_gif_info — the codegen header-parser family
+#          extended per verdict task 5; docs_rank_merge_check — the
+#          rank family's day-2 SUM-merge identity, task 6;
+#          events_distinct_rollup — reworked under its FIRST value
+#          oracle in the rows-only audit, task 4) + 34 of the
+#          44-entry r11-stale cohort risk-first (histogram recomputed
+#          from CORRECTNESS_r1..r15; the 10 stable single-pass
+#          text/regex entries named above the list wait for r17 and
+#          lead that front together with any r16 late-wave debt).
+#          Retired this round (oracle-ability audit, task 4):
+#          dedup_minhash / dedup_simhash — xxhash64 twins whose
+#          md5_48 siblings value-oracle the identical pipeline.
+#          Displacement: docs_media_jpeg_info (r16-new — the JPEG SOF
+#          segment walker as an aggregate fold, variable-offset
+#          header parsing) displaced docs_interleave (bottom fill,
+#          r11-green, code unchanged; leads r17 with the other 10).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # the r10-gated cohort (41 — last hard gate was r10; r14 verdict
-    # task 1, list verified against the recomputed histogram)
-    "ann_ivf_kmeans", "cube_orders", "dedup_exact",
-    "dedup_minhash_md5", "dedup_simhash_md5", "docs_c4_filter",
-    "docs_calibration", "docs_calibration_ece", "docs_dup_spans",
-    "docs_gopher_gate", "docs_kfold", "docs_label_agreement",
-    "docs_label_alpha", "docs_mad_outliers", "docs_minhash_index",
-    "docs_normalize", "docs_readability", "docs_split_leakage",
-    "docs_token_entropy", "docs_zipf", "embed_cluster_qa",
-    "embed_hard_negatives", "embed_kmeans", "embed_kmeans_sampled",
-    "embed_rms_outliers", "embed_whiten_check",
-    "events_cohort_retention", "events_funnel", "events_json",
-    "events_session_windows", "events_top_paths", "lineitem_price_ks",
-    "orders_basket_lift", "part_brand_topk", "part_fs_scores",
-    "part_fuzzy_matches", "part_fuzzy_qgram", "pivot_order_status",
-    "rollup_orders", "set_ops_nations", "text_stats",
-    # fills from the r11-gated cohort (next-stalest value-oracled),
-    # risk-first; r15-new operators take fill slots as they land,
-    # displacing the BOTTOM fill first (the list is ordered
-    # stalest-risk first, so the last names yield their slots)
-    "customer_part_hits",           # impl changed r15 (sparse HITS)
-    "part_sorted_neighborhood",     # impl changed r15 (window-carry)
-    "docs_media_phash_exact",    # r15 new: multimodal dHash oracle
-    "events_cusum_merge_check",  # r15 new: day-2 CUSUM merge parity
+    # the SEVEN r15 late-wave entries the driver has never gated
+    # (r15 verdict task 1 — locally gated both scales, but the driver
+    # gate is the one signal the builder can't produce)
+    "docs_mannwhitney", "orders_theilsen", "events_kendall_tau",
+    "orders_ca_trend", "events_spearman", "docs_media_wav_info",
+    "docs_brier",
+    # r16-new / impl-changed entries (gate the same round they land)
+    "docs_media_png_info",       # r16 new: PNG IHDR codegen parser
+    "docs_media_gif_info",       # r16 new: GIF screen-descriptor parser
+    "docs_rank_merge_check",     # r16 new: rank-family day-2 merge
+    "events_distinct_rollup",    # r16 impl change: first real oracle
+                                 # (exact counts + hll_ok bound)
+    "docs_media_jpeg_info",      # r16 new: JPEG SOF aggregate-fold
+                                 # walker (displaced docs_interleave,
+                                 # the bottom fill, per convention)
+    # 34 of the 44-entry r11-stale cohort (verdict task 1; histogram
+    # recomputed from CORRECTNESS_r1..r15 this round: 44 @ r11, 44 @
+    # r12, 45 @ r13, 45 @ r14, 50 @ r15 + the late-wave/new names
+    # above), risk-first: iterative ANN/PQ + Arrow stages, graph
+    # chains, linkage, sketch families before single-fold metrics.
+    # The 10 left for r17 are the stable single-pass text/regex
+    # entries (window_rank, docs_strip_html, docs_url_stats,
+    # text_langid, text_quality, text_repetition, text_pii_redact,
+    # docs_padding_waste, docs_span_removal, docs_source_qnorm).
+    "embed_ivf_pq", "embed_pq", "embed_mmr_topk",
+    "embed_near_dups_bcast", "embed_pca_check", "ann_ivf",
+    "ann_ivf_recall", "ann_topk", "docs_fold_pack", "docs_phash_dups",
+    "docs_paragraph_dedup", "docs_global_index", "docs_rouge_overlap",
+    "part_copurchase_rank", "part_copurchase_rank_weighted",
+    "part_copurchase_triangles", "part_rank_fusion",
+    "part_fuzzy_disjunctive", "lineitem_grouped_dq",
+    "lineitem_grouped_dq_target", "lineitem_drift_report",
+    "lineitem_drift_verdict", "lineitem_price_jsd",
+    "lineitem_cms_counts", "events_bitmap_distinct",
+    "events_markov_transitions", "events_seasonality",
+    "docs_isotonic_check", "docs_label_alpha_interval",
+    "docs_label_alpha_ordinal", "docs_bootstrap_ci", "docs_score_auc",
+    "docs_curriculum",
 ]
 
 
@@ -12089,6 +12198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_wav_info": q_docs_media_wav_info,
     "docs_media_png_info": q_docs_media_png_info,
     "docs_media_gif_info": q_docs_media_gif_info,
+    "docs_media_jpeg_info": q_docs_media_jpeg_info,
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "docs_rank_merge_check": q_docs_rank_merge_check,
@@ -12334,6 +12444,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_media_wav_info": ORACLE_DOCS_MEDIA_WAV_INFO,
     "docs_media_png_info": ORACLE_DOCS_MEDIA_PNG_INFO,
     "docs_media_gif_info": ORACLE_DOCS_MEDIA_GIF_INFO,
+    "docs_media_jpeg_info": ORACLE_DOCS_MEDIA_JPEG_INFO,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "docs_rank_merge_check": ORACLE_DOCS_RANK_MERGE_CHECK,

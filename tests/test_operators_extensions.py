@@ -8407,6 +8407,50 @@ class TestPngGifHeaderInfo:
             assert out[bad] is None, bad
 
 
+class TestJpegSofInfo:
+    """r16: the aggregate-fold segment walker — SOF fields round-trip
+    across variable APP-segment prefixes; non-JPEG, beyond-bound SOF,
+    invalid markers and NULL bytes yield NULL structs."""
+
+    def _jpeg(self, h=480, w=640, kind=0xC0, n_app=1, prec=8, comps=3):
+        import struct as st
+        b = b"\xff\xd8"
+        for i in range(n_app):
+            payload = b"JFIF" + bytes(10 + i)   # varying lengths
+            b += b"\xff\xe0" + st.pack(">H", 2 + len(payload)) + payload
+        sof = (st.pack(">BHHB", prec, h, w, comps)
+               + b"\x01\x11\x00" * comps)
+        b += bytes([0xFF, kind]) + st.pack(">H", 2 + len(sof)) + sof
+        return b + b"\xff\xda\x00\x04\x00\x00" + b"entropy"
+
+    def test_walker_round_trip_and_malformed(self, spark):
+        from pyspark.sql import functions as SF
+        from spark_expectations_spark.operators import multimodal
+        rows = [(1, self._jpeg()),
+                (2, self._jpeg(h=1, w=65535, kind=0xC2, n_app=3,
+                               prec=12, comps=1)),
+                (3, b"\x89PNGxxxx"),            # wrong container
+                (4, self._jpeg(n_app=9)),       # SOF past max_segments
+                (5, None),
+                (6, b"\xff\xd8\xff\xff\x00\x04ab")]  # invalid marker
+        df = spark.createDataFrame(rows, "id int, b binary")
+        p = multimodal.jpeg_sof_info(SF.col("b"))
+        out = {r["id"]: r["s"] for r in df.select("id", p.alias("s"))
+               .collect()}
+        assert (out[1]["sof_kind"], out[1]["precision"],
+                out[1]["height"], out[1]["width"],
+                out[1]["components"]) == ("baseline", 8, 480, 640, 3)
+        assert (out[2]["sof_kind"], out[2]["precision"],
+                out[2]["height"], out[2]["width"],
+                out[2]["components"]) == ("progressive", 12, 1, 65535, 1)
+        for bad in (3, 4, 5, 6):
+            assert out[bad] is None, bad
+        # raising the bound reaches the deep SOF row 4 could not
+        deep = multimodal.jpeg_sof_info(SF.col("b"), max_segments=12)
+        got = df.filter("id = 4").select(deep.alias("s")).first()["s"]
+        assert got["height"] == 480 and got["width"] == 640
+
+
 class TestRankOpsNanContract:
     """NaN values are dropped like NULL across the r15 rank/trend
     family — engines disagree on NaN's sort slot, so letting it rank
