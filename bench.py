@@ -326,9 +326,10 @@ BENCH_QUERIES = [
     # bytes projection with a codegen header parse instead of the
     # Arrow dHash stage (strictly less work);
     # docs_media_png_info / docs_media_gif_info /
-    # docs_media_jpeg_info (r16) likewise: the same synthetic-bytes
-    # projection + codegen parse shape as wav_info (jpeg adds the
-    # aggregate fold, still one shuffle-free projection);
+    # docs_media_jpeg_info / docs_media_mp4_info (r16) likewise: the
+    # same synthetic-bytes projection + codegen parse shape as
+    # wav_info (jpeg/mp4 add the aggregate fold, still one
+    # shuffle-free projection);
     # docs_brier likewise: docs_calibration_ece's bin-fold + scalar
     # shape with three more fold terms;
     # docs_rank_merge_check (r16) likewise: docs_mannwhitney's

@@ -722,3 +722,64 @@ def jpeg_sof_info(binary: Column, *, max_segments: int = 8,
         F.conv(F.substring(h, ((sof + 9) * 2 + 1).cast("int"), 2),
                16, 10).cast("int").alias("components"))
     return F.when(binary.isNotNull() & is_jpeg & sof.isNotNull(), fields)
+
+
+def mp4_box_info(binary: Column, *, max_boxes: int = 8,
+                 scan_bytes: int = 256) -> Column:
+    """Walk an MP4/ISO-BMFF file's top-level box chain JVM-side — the
+    video sibling of :func:`jpeg_sof_info`, same aggregate-fold
+    pattern (ISO-BMFF is a flat sequence of ``[u32 BE size][4-byte
+    type]`` boxes; nothing sits at a global fixed offset except the
+    mandatory leading ``ftyp``):
+
+        (major_brand, minor_version, n_boxes, moov_size, mdat_size)
+
+    ``major_brand``/``minor_version`` come from the ``ftyp`` payload;
+    ``n_boxes`` counts top-level boxes whose headers fall inside
+    ``scan_bytes``; ``moov_size``/``mdat_size`` record the byte size
+    of the first metadata/media-data box met (NULL when not reached —
+    streaming-optimized files put ``moov`` first, download-optimized
+    ones last; at 100 TB that NULL *is* the signal for "needs a
+    range-read plan, not a prefix scan"). Extended 64-bit sizes
+    (size==1) and to-EOF sizes (size==0) stop the walk conservatively
+    rather than mis-stride. Non-MP4 rows (no leading ftyp) → NULL
+    struct. Pure higher-order-function codegen, zero Python."""
+    h = F.lower(F.hex(F.substring(binary, 1, scan_bytes)))
+    # leading ftyp with a sane 32-bit size (>= 16 bytes: header +
+    # brand + minor) — a size==1 extended-size leader would shift the
+    # brand field, so it NULLs out rather than reading garbage
+    is_mp4 = ((F.substring(h, 9, 8) == "66747970")
+              & (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+                 >= 16))
+
+    def _step(state: Column, _i: Column) -> Column:
+        off = state["off"]
+        size = F.conv(F.substring(h, (off * 2 + 1).cast("int"), 8),
+                      16, 10).cast("long")
+        btype = F.substring(h, (off * 2 + 9).cast("int"), 8)
+        ok = size.isNotNull() & (size >= 8)
+        return F.struct(
+            F.when(ok, off + size)
+             .otherwise(F.lit(scan_bytes).cast("long")).alias("off"),
+            F.when(ok, state["n"] + 1).otherwise(state["n"]).alias("n"),
+            F.coalesce(state["moov"],
+                       F.when(ok & (btype == "6d6f6f76"), size))
+             .alias("moov"),
+            F.coalesce(state["mdat"],
+                       F.when(ok & (btype == "6d646174"), size))
+             .alias("mdat"))
+
+    init = F.struct(F.lit(0).cast("long").alias("off"),
+                    F.lit(0).cast("long").alias("n"),
+                    F.lit(None).cast("long").alias("moov"),
+                    F.lit(None).cast("long").alias("mdat"))
+    state = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_boxes)), init, _step)
+    fields = F.struct(
+        F.decode(F.unhex(F.substring(h, 17, 8)), "UTF-8")
+         .alias("major_brand"),
+        _be_int(h, 12, 4).alias("minor_version"),
+        state["n"].alias("n_boxes"),
+        state["moov"].alias("moov_size"),
+        state["mdat"].alias("mdat_size"))
+    return F.when(binary.isNotNull() & is_mp4, fields)

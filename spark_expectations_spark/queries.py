@@ -8819,6 +8819,77 @@ FROM f
 """
 
 
+def q_docs_media_mp4_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video container in the codegen header family
+    (multimodal.mp4_box_info): ISO-BMFF files assembled in-catalog —
+    ftyp (brand/minor by formula), an OPTIONAL free box on even docs
+    (so n_boxes varies and the fold must actually count), a moov of
+    doc-dependent size, then mdat carrying the text payload — and the
+    aggregate-fold box walker must recover every size from the u32
+    headers alone. Every 7th doc gets GIF bytes for the NULL path.
+    One shuffle-free projection, zero Python."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+
+    def be_hex(col, nbytes: int):
+        return F.lpad(F.lower(F.hex(col)), nbytes * 2, "0")
+
+    brand_hex = (F.when(F.col("doc_id") % 2 == 0, F.lit("69736f6d"))
+                 .otherwise(F.lit("6d703432")))       # isom / mp42
+    minor = F.col("doc_id") % 100
+    ftyp = F.concat(F.lit("00000018"), F.lit("66747970"),
+                    brand_hex, be_hex(minor, 4),
+                    F.lit("69736f6d61766331"))        # compat brands
+    free = F.when(F.col("doc_id") % 2 == 0,
+                  F.concat(F.lit("00000014"), F.lit("66726565"),
+                           F.lit("00" * 12))).otherwise(F.lit(""))
+    moov_pad = F.col("doc_id") % 48
+    moov = F.concat(be_hex(moov_pad + 8, 4), F.lit("6d6f6f76"),
+                    F.expr("repeat('00', CAST(doc_id % 48 AS INT))"))
+    payload = F.lower(F.hex(F.encode(
+        F.coalesce(F.substring("text", 1, 16), F.lit("")), "UTF-8")))
+    mdat = F.concat(be_hex((F.length(payload) / 2 + 8).cast("long"), 4),
+                    F.lit("6d646174"), payload)
+    gif_hex = F.concat(F.lit("474946383961"), payload)
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 7 == 0, gif_hex)
+                .otherwise(F.concat(ftyp, free, moov, mdat)))
+        .alias("media_bytes"))
+    p = multimodal.mp4_box_info(F.col("media_bytes"))
+    return media.select(
+        "doc_id",
+        p["major_brand"].alias("major_brand"),
+        p["minor_version"].alias("minor_version"),
+        p["n_boxes"].alias("n_boxes"),
+        p["moov_size"].alias("moov_size"),
+        p["mdat_size"].alias("mdat_size"))
+
+
+ORACLE_DOCS_MEDIA_MP4_INFO = """
+WITH f AS (
+  SELECT doc_id, doc_id % 7 <> 0 AS is_mp4,
+         CAST(strlen(coalesce(substr(text, 1, 16), '')) AS BIGINT)
+           AS psz
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN is_mp4 THEN
+            CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END
+       END AS major_brand,
+       CASE WHEN is_mp4 THEN CAST(doc_id % 100 AS BIGINT) END
+         AS minor_version,
+       CASE WHEN is_mp4 THEN
+            CASE WHEN doc_id % 2 = 0 THEN CAST(4 AS BIGINT)
+                 ELSE CAST(3 AS BIGINT) END
+       END AS n_boxes,
+       CASE WHEN is_mp4 THEN CAST(8 + doc_id % 48 AS BIGINT) END
+         AS moov_size,
+       CASE WHEN is_mp4 THEN 8 + psz END AS mdat_size
+FROM f
+"""
+
+
 def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (sampling.interleave_sources): the
     reading order for a 3:2:1-ish mix over the five sources — stride
@@ -11926,7 +11997,10 @@ FROM b GROUP BY source, bin
 #          Displacement: docs_media_jpeg_info (r16-new — the JPEG SOF
 #          segment walker as an aggregate fold, variable-offset
 #          header parsing) displaced docs_interleave (bottom fill,
-#          r11-green, code unchanged; leads r17 with the other 10).
+#          r11-green, code unchanged; leads r17 with the other 10);
+#          docs_media_mp4_info (r16-new — the ISO-BMFF top-level box
+#          walker, same fold pattern) displaced docs_curriculum
+#          (r11-green, unchanged; r17 front).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -11947,6 +12021,8 @@ DRIVER_PRIORITY: list[str] = [
     "docs_media_jpeg_info",      # r16 new: JPEG SOF aggregate-fold
                                  # walker (displaced docs_interleave,
                                  # the bottom fill, per convention)
+    "docs_media_mp4_info",       # r16 new: ISO-BMFF box walker
+                                 # (displaced docs_curriculum)
     # 34 of the 44-entry r11-stale cohort (verdict task 1; histogram
     # recomputed from CORRECTNESS_r1..r15 this round: 44 @ r11, 44 @
     # r12, 45 @ r13, 45 @ r14, 50 @ r15 + the late-wave/new names
@@ -11969,7 +12045,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_markov_transitions", "events_seasonality",
     "docs_isotonic_check", "docs_label_alpha_interval",
     "docs_label_alpha_ordinal", "docs_bootstrap_ci", "docs_score_auc",
-    "docs_curriculum",
 ]
 
 
@@ -12199,6 +12274,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_png_info": q_docs_media_png_info,
     "docs_media_gif_info": q_docs_media_gif_info,
     "docs_media_jpeg_info": q_docs_media_jpeg_info,
+    "docs_media_mp4_info": q_docs_media_mp4_info,
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "docs_rank_merge_check": q_docs_rank_merge_check,
@@ -12445,6 +12521,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_media_png_info": ORACLE_DOCS_MEDIA_PNG_INFO,
     "docs_media_gif_info": ORACLE_DOCS_MEDIA_GIF_INFO,
     "docs_media_jpeg_info": ORACLE_DOCS_MEDIA_JPEG_INFO,
+    "docs_media_mp4_info": ORACLE_DOCS_MEDIA_MP4_INFO,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "docs_rank_merge_check": ORACLE_DOCS_RANK_MERGE_CHECK,

@@ -8451,6 +8451,58 @@ class TestJpegSofInfo:
         assert got["height"] == 480 and got["width"] == 640
 
 
+class TestMp4BoxInfo:
+    """r16: the ISO-BMFF box walker — brand/minor/box-count/sizes
+    round-trip over a hand-built chain; non-MP4, NULL bytes and a
+    bogus-size leader yield NULL structs; truncation after ftyp
+    leaves moov/mdat NULL (the range-read routing signal)."""
+
+    def _box(self, btype, payload=b""):
+        import struct as st
+        return st.pack(">I", 8 + len(payload)) + btype + payload
+
+    def _mp4(self, brand=b"isom", minor=512, free=True, moov_pad=20,
+             mdat=b"AV"):
+        import struct as st
+        b = self._box(b"ftyp",
+                      brand + st.pack(">I", minor) + b"isomavc1")
+        if free:
+            b += self._box(b"free", b"\x00" * 12)
+        b += self._box(b"moov", b"\x00" * moov_pad)
+        return b + self._box(b"mdat", mdat)
+
+    def test_walker_round_trip_and_malformed(self, spark):
+        import struct as st
+        from pyspark.sql import functions as SF
+        from spark_expectations_spark.operators import multimodal
+        rows = [(1, self._mp4()),
+                (2, self._mp4(brand=b"mp42", minor=0, free=False,
+                              moov_pad=4, mdat=b"x" * 9)),
+                (3, b"GIF89a1234"),              # wrong container
+                (4, None),
+                # extended-size (size==1) leader would shift the brand
+                # field -> NULL struct, not a garbage brand
+                (5, st.pack(">I", 1) + b"ftyp1234"),
+                (6, self._mp4()[:20])]           # truncated after ftyp
+        df = spark.createDataFrame(rows, "id int, b binary")
+        p = multimodal.mp4_box_info(SF.col("b"))
+        out = {r["id"]: r["s"] for r in df.select("id", p.alias("s"))
+               .collect()}
+        m1 = out[1]
+        assert (m1["major_brand"], m1["minor_version"], m1["n_boxes"],
+                m1["moov_size"], m1["mdat_size"]) == \
+            ("isom", 512, 4, 28, 10)
+        m2 = out[2]
+        assert (m2["major_brand"], m2["minor_version"], m2["n_boxes"],
+                m2["moov_size"], m2["mdat_size"]) == \
+            ("mp42", 0, 3, 12, 17)
+        for bad in (3, 4, 5):
+            assert out[bad] is None, bad
+        m6 = out[6]
+        assert m6["n_boxes"] == 1 and m6["moov_size"] is None \
+            and m6["mdat_size"] is None
+
+
 class TestRankOpsNanContract:
     """NaN values are dropped like NULL across the r15 rank/trend
     family — engines disagree on NaN's sort slot, so letting it rank

@@ -105,6 +105,11 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
         "the side filter tests a COMPUTED column (substr(source) cast "
         "% 2) that does not exist in the parquet schema — unpushable "
         "by construction; the n_chars null-drop rides the same scan",
+    ("docs_rank_merge_check", "filter-not-pushed"):
+        "the same computed side filter as docs_mannwhitney (its merge "
+        "twin runs the identical collapse on doc_id-parity halves — "
+        "the parity split is a modulo EXPRESSION predicate, the "
+        "lineitem_price_jsd precedent); each half rides one scan",
     ("docs_label_agreement", "filter-not-pushed"):
         "the NULL-drop filter tests rater_b, a COMPUTED when-chain "
         "column (the deterministic disagreement/NULL injection) that "
