@@ -948,13 +948,22 @@ class TestCusumDifferential:
 
         n = len(xs)
         xbar = sum(xs) / n
-        best = None
+        ts = {}
         run = 0.0
         for k in range(1, n):
             run += xs[k - 1]
-            t = abs(run - k * xbar) * (n / (k * (n - k))) ** 0.5
-            if best is None or t > best[0] + 1e-12:
-                best = (t, k - 1)   # bucket ids are 0-based here
+            # bucket ids are 0-based here
+            ts[k - 1] = abs(run - k * xbar) * (n / (k * (n - k))) ** 0.5
+        tbest = max(ts.values())
         assert r["n_buckets"] == n
-        assert r["change_at"] == best[1]
-        assert r["tmax"] == pytest.approx(best[0], abs=1e-9)
+        # argmax is only well-defined up to float noise: an exact
+        # mathematical tie (hypothesis found [0.0, 1.0, 0.0] — both
+        # splits give t = √1.5/3) rounds differently per candidate, so
+        # the engine's exact-double argmax may legally land on either
+        # side. Require the CHOSEN bucket to be a near-max; require
+        # the exact bucket only when the max is unique beyond noise.
+        assert ts[r["change_at"]] == pytest.approx(tbest, abs=1e-9)
+        contenders = [b for b, t in ts.items() if t > tbest - 1e-9]
+        if len(contenders) == 1:
+            assert r["change_at"] == contenders[0]
+        assert r["tmax"] == pytest.approx(tbest, abs=1e-9)
