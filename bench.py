@@ -334,7 +334,10 @@ BENCH_QUERIES = [
     # shape with three more fold terms;
     # docs_rank_merge_check (r16) likewise: docs_mannwhitney's
     # collapse+window+fold run twice (halved + direct) — the same
-    # plan shape, no new exchange kind
+    # plan shape, no new exchange kind;
+    # orders_priority_status_effects (r16) likewise:
+    # orders_status_chi2's corpus collapse with margin windows over
+    # the 15-cell frame instead of the chi2 series fold
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

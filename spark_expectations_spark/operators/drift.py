@@ -1530,6 +1530,82 @@ def cochran_armitage_from_bucket_counts(
         F.when(z.isNotNull(), normal_two_sided_p(z)).alias("p_value"))
 
 
+def contingency_effects(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    *,
+    group_cols: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Contingency-table EFFECT analysis per group — the follow-up
+    question after :func:`chi2_categorical` says "these two
+    categoricals are associated": HOW strongly, and WHICH cells drive
+    it. One row per observed (row, col) cell:
+
+        (row_cat, col_cat, n, expected, std_residual, cramers_v)
+
+    ``expected`` is the independence expectation row_tot·col_tot/N;
+    ``std_residual`` the ADJUSTED standardized residual
+    (n − e)/sqrt(e·(1 − row_tot/N)·(1 − col_tot/N)) — Agresti's form,
+    asymptotically N(0,1) under independence, so |r| > 2–3 names the
+    driving cells (the plain Pearson residual under-disperses in
+    small tables and over-flags big margins); ``cramers_v`` the
+    table-level effect size sqrt(chi²/(N·min(r−1, c−1))) in [0, 1],
+    repeated on every cell row (NULL for degenerate 1×c / r×1
+    tables). Use it in drift triage: chi² fires → rank cells by
+    |std_residual| to find WHERE the mix shifted; V says whether the
+    association is worth acting on at all (χ² grows linearly with N —
+    at corpus scale everything is "significant"; V is N-free).
+
+    NULL categories fold to '__null__' (the chi2_categorical
+    convention — a null-rate shift IS a mix shift).
+
+    Scale shape: ONE (group, row, col) groupBy collapses the corpus
+    to cell-cardinality rows; margins/N/chi² are group-partitioned
+    windows over that cell frame and the r×c distinct counts one
+    cells-frame aggregate joined back broadcast — nothing after the
+    collapse touches corpus-sized data. Float contract: expected /
+    std_residual / cramers_v are double arithmetic over exact integer
+    counts — round 9dp (+0.0) cross-engine."""
+    gc = list(group_cols)
+    out_cols = ("row_cat", "col_cat", "n", "expected", "std_residual",
+                "cramers_v")
+    if any(c in out_cols for c in gc):
+        raise ValueError("group_cols collide with the output columns")
+    rnorm = F.coalesce(F.col(row_col).cast("string"), F.lit("__null__"))
+    cnorm = F.coalesce(F.col(col_col).cast("string"), F.lit("__null__"))
+    cells = (df.groupBy(*gc, rnorm.alias("row_cat"),
+                        cnorm.alias("col_cat"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    wg = Window.partitionBy(*gc) if gc else Window.partitionBy()
+    wr = Window.partitionBy(*gc, "row_cat")
+    wc = Window.partitionBy(*gc, "col_cat")
+    withm = (cells
+             .withColumn("_rt", F.sum("n").over(wr))
+             .withColumn("_ct", F.sum("n").over(wc))
+             .withColumn("_N", F.sum("n").over(wg)))
+    e = F.col("_rt") * F.col("_ct") / F.col("_N")
+    withm = withm.withColumn("_e", e).withColumn(
+        "_chi2", F.sum(F.pow(F.col("n") - F.col("_e"), 2)
+                       / F.col("_e")).over(wg))
+    dims = (cells.groupBy(*gc)
+            .agg(F.countDistinct("row_cat").alias("_r"),
+                 F.countDistinct("col_cat").alias("_c")))
+    j = (withm.join(F.broadcast(dims), gc) if gc
+         else withm.crossJoin(F.broadcast(dims)))
+    mindim = F.least(F.col("_r"), F.col("_c")) - 1
+    denom = F.sqrt(F.col("_e") * (1 - F.col("_rt") / F.col("_N"))
+                   * (1 - F.col("_ct") / F.col("_N")))
+    return j.select(
+        *gc, "row_cat", "col_cat", "n",
+        F.col("_e").alias("expected"),
+        F.when(denom > 0, (F.col("n") - F.col("_e")) / denom)
+        .alias("std_residual"),
+        F.when(mindim > 0,
+               F.sqrt(F.col("_chi2") / (F.col("_N") * mindim)))
+        .alias("cramers_v"))
+
+
 def spearman_rho(
     df: DataFrame,
     x_col: str,

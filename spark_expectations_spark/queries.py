@@ -11127,6 +11127,61 @@ FROM tt
 """
 
 
+def q_orders_priority_status_effects(spark: SparkSession,
+                                     sf_dir: str) -> DataFrame:
+    """Contingency effect analysis (drift.contingency_effects) over
+    the orders priority × status table — the "which cells drive the
+    association, and is it big enough to care" follow-up to
+    orders_status_chi2: adjusted standardized residuals per cell
+    (Agresti's N(0,1) form) + the N-free Cramér's V repeated per row.
+    One corpus collapse to the 5×3 cell frame; margins/chi² are
+    windows over those 15 rows. All floats share the exact expression
+    shape with the SQL twin (rt·ct/N, (n−e)/sqrt(e(1−rt/N)(1−ct/N)),
+    sqrt(chi²/(N·min(r−1,c−1)))) — 9dp (+0.0) comparable."""
+    from .operators import drift
+
+    od = load(spark, sf_dir, "orders")
+    out = drift.contingency_effects(od, "o_orderpriority",
+                                    "o_orderstatus")
+    r9 = lambda c: (F.round(c, 9) + F.lit(0.0)).alias(c)  # noqa: E731
+    return out.select("row_cat", "col_cat", "n", r9("expected"),
+                      r9("std_residual"), r9("cramers_v"))
+
+
+ORACLE_ORDERS_PRIORITY_STATUS_EFFECTS = """
+WITH cells AS (
+  SELECT coalesce(CAST(o_orderpriority AS VARCHAR), '__null__')
+           AS row_cat,
+         coalesce(CAST(o_orderstatus AS VARCHAR), '__null__')
+           AS col_cat,
+         CAST(count(*) AS BIGINT) AS n
+  FROM orders GROUP BY 1, 2),
+m AS (
+  SELECT *,
+         CAST(sum(n) OVER (PARTITION BY row_cat) AS BIGINT) AS rt,
+         CAST(sum(n) OVER (PARTITION BY col_cat) AS BIGINT) AS ct,
+         CAST(sum(n) OVER () AS BIGINT) AS nn
+  FROM cells),
+e AS (SELECT *, rt * ct / nn AS ex FROM m),
+c2 AS (
+  SELECT *,
+         sum(power(n - ex, 2) / ex) OVER () AS chi2,
+         (SELECT count(DISTINCT row_cat) FROM cells) AS r,
+         (SELECT count(DISTINCT col_cat) FROM cells) AS c
+  FROM e)
+SELECT row_cat, col_cat, n,
+       round(ex, 9) + 0.0 AS expected,
+       round(CASE WHEN sqrt(ex * (1 - rt / nn) * (1 - ct / nn)) > 0
+                  THEN (n - ex)
+                       / sqrt(ex * (1 - rt / nn) * (1 - ct / nn))
+             END, 9) + 0.0 AS std_residual,
+       round(CASE WHEN least(r, c) - 1 > 0
+                  THEN sqrt(chi2 / (nn * (least(r, c) - 1)))
+             END, 9) + 0.0 AS cramers_v
+FROM c2
+"""
+
+
 def q_docs_rank_merge_check(spark: SparkSession,
                             sf_dir: str) -> DataFrame:
     """Mann-Whitney's day-2 mergeability proven end to end (r15
@@ -12000,6 +12055,10 @@ FROM b GROUP BY source, bin
 #          r11-green, code unchanged; leads r17 with the other 10);
 #          docs_media_mp4_info (r16-new — the ISO-BMFF top-level box
 #          walker, same fold pattern) displaced docs_curriculum
+#          (r11-green, unchanged; r17 front);
+#          orders_priority_status_effects (r16-new — adjusted
+#          standardized residuals + Cramér's V over the priority ×
+#          status contingency cells) displaced docs_score_auc
 #          (r11-green, unchanged; r17 front).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
@@ -12023,6 +12082,8 @@ DRIVER_PRIORITY: list[str] = [
                                  # the bottom fill, per convention)
     "docs_media_mp4_info",       # r16 new: ISO-BMFF box walker
                                  # (displaced docs_curriculum)
+    "orders_priority_status_effects",  # r16 new: contingency effect
+                                 # analysis (displaced docs_score_auc)
     # 34 of the 44-entry r11-stale cohort (verdict task 1; histogram
     # recomputed from CORRECTNESS_r1..r15 this round: 44 @ r11, 44 @
     # r12, 45 @ r13, 45 @ r14, 50 @ r15 + the late-wave/new names
@@ -12044,7 +12105,7 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_cms_counts", "events_bitmap_distinct",
     "events_markov_transitions", "events_seasonality",
     "docs_isotonic_check", "docs_label_alpha_interval",
-    "docs_label_alpha_ordinal", "docs_bootstrap_ci", "docs_score_auc",
+    "docs_label_alpha_ordinal", "docs_bootstrap_ci",
 ]
 
 
@@ -12278,6 +12339,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "docs_rank_merge_check": q_docs_rank_merge_check,
+    "orders_priority_status_effects": q_orders_priority_status_effects,
     "orders_theilsen": q_orders_theilsen,
     "events_kendall_tau": q_events_kendall_tau,
     "orders_ca_trend": q_orders_ca_trend,
@@ -12525,6 +12587,7 @@ ORACLES: dict[str, Optional[str]] = {
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "docs_rank_merge_check": ORACLE_DOCS_RANK_MERGE_CHECK,
+    "orders_priority_status_effects": ORACLE_ORDERS_PRIORITY_STATUS_EFFECTS,
     "orders_theilsen": ORACLE_ORDERS_THEILSEN,
     "events_kendall_tau": ORACLE_EVENTS_KENDALL_TAU,
     "orders_ca_trend": ORACLE_ORDERS_CA_TREND,

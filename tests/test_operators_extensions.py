@@ -8503,6 +8503,51 @@ class TestMp4BoxInfo:
             and m6["mdat_size"] is None
 
 
+class TestContingencyEffects:
+    """r16: adjusted standardized residuals + Cramér's V on a
+    hand-computed 2×2 table; NULL folding and the degenerate-table
+    NULL-V path."""
+
+    def test_hand_computed_2x2(self, spark):
+        import math
+        from spark_expectations_spark.operators import drift
+        rows = ([("A", "X")] * 10 + [("A", "Y")] * 20
+                + [("B", "X")] * 30 + [("B", "Y")] * 40)
+        df = spark.createDataFrame(rows, "r string, c string")
+        out = {(x["row_cat"], x["col_cat"]): x
+               for x in drift.contingency_effects(df, "r", "c").collect()}
+        # margins: rt(A)=30 rt(B)=70 ct(X)=40 ct(Y)=60 N=100
+        ax = out[("A", "X")]
+        assert ax["n"] == 10 and ax["expected"] == pytest.approx(12.0)
+        # (10-12)/sqrt(12*(1-0.3)*(1-0.4))
+        assert ax["std_residual"] == pytest.approx(
+            -2 / math.sqrt(12 * 0.7 * 0.6))
+        chi2 = 4 / 12 + 4 / 18 + 4 / 28 + 4 / 42
+        for cell in out.values():
+            assert cell["cramers_v"] == pytest.approx(
+                math.sqrt(chi2 / 100))
+        # in a 2x2 every cell's |residual| is identical
+        assert abs(out[("B", "Y")]["std_residual"]) == pytest.approx(
+            abs(ax["std_residual"]))
+
+    def test_null_folds_and_degenerate_table(self, spark):
+        from spark_expectations_spark.operators import drift
+        df = spark.createDataFrame(
+            [("A", None), ("A", "X"), (None, "X")], "r string, c string")
+        out = {(x["row_cat"], x["col_cat"])
+               for x in drift.contingency_effects(df, "r", "c").collect()}
+        assert ("A", "__null__") in out and ("__null__", "X") in out
+        # single row category -> min(r-1, c-1) == 0 -> V is NULL
+        one = spark.createDataFrame(
+            [("A", "X"), ("A", "Y")], "r string, c string")
+        got = drift.contingency_effects(one, "r", "c").collect()
+        assert all(x["cramers_v"] is None for x in got)
+        with pytest.raises(ValueError, match="collide"):
+            drift.contingency_effects(
+                df.withColumn("n", F.lit(1)), "r", "c",
+                group_cols=("n",))
+
+
 class TestRankOpsNanContract:
     """NaN values are dropped like NULL across the r15 rank/trend
     family — engines disagree on NaN's sort slot, so letting it rank

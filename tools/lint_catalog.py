@@ -312,6 +312,11 @@ KNOWN_BENIGN: dict[tuple[str, str], str] = {
     ("lineitem_price_ks", "single-partition-exchange"):
         "same bins-cardinality cumulative-CDF window as "
         "lineitem_ks_pvalue",
+    ("orders_priority_status_effects", "single-partition-exchange"):
+        "the global N/chi² margins are windows over the r×c CELL "
+        "frame (15 rows here; cells-cardinality by construction — "
+        "the corpus collapses in the one (row,col) groupBy before "
+        "any window runs), the CUSUM bucket-frame convention",
 }
 
 
