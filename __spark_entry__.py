@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship end-to-end DQ run (row + agg + query
 rules on sf0.001 lineitem) through DQEngine and returns the per-rule
 outcome frame. ``queries()``/``oracle_sql()`` expose the full operator
-catalog from spark_expectations_spark.queries (246 queries, 242 with DuckDB
+catalog from spark_expectations_spark.queries (247 queries, 243 with DuckDB
 oracles; rows-only: embed_whiten and embed_pca, whose
 eigendecompositions have no SQL twin and are pytest-verified against
 known covariance fixtures and a numpy differential (both have

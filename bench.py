@@ -337,7 +337,10 @@ BENCH_QUERIES = [
     # plan shape, no new exchange kind;
     # orders_priority_status_effects (r16) likewise:
     # orders_status_chi2's corpus collapse with margin windows over
-    # the 15-cell frame instead of the chi2 series fold
+    # the 15-cell frame instead of the chi2 series fold;
+    # docs_media_bmp_phash (r16) likewise: docs_media_phash_exact's
+    # synthetic-bytes projection + Arrow dHash stage with the real
+    # numpy BMP decode swapped in for the md5 fake (same batch shape)
 ]
 
 # Canary protocol (r11 verdict task 4): five entries whose code has

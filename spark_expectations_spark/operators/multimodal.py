@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side architecture is real and tested — typed schema, Arrow-batched
-``mapInPandas`` pipelines, partition sizing — while the actual media codecs
-are stubbed (no image/audio libraries in this container): ``decode_fn``
-defaults to a deterministic fake and raises ``NotImplementedError`` when a
-real codec is requested. Swap ``decode_fn`` for a Pillow/torchaudio-backed
-callable in a real deployment; nothing else changes.
+``mapInPandas`` pipelines, partition sizing — and so is a growing slice of
+the decode itself: uncompressed BMP decodes for REAL here
+(:func:`decode_bmp`, pure numpy — r16), and the five container header
+parsers (WAV/PNG/GIF/JPEG/MP4) extract metadata in pure codegen columns.
+Only COMPRESSED codecs are probe-gated: ``decode_fn`` defaults to a
+deterministic fake and raises ``NotImplementedError`` when a compressed
+codec is requested without Pillow/torchaudio present. Swap ``decode_fn``
+for a library-backed callable in a real deployment; nothing else changes.
 
 Design for 100 TB of media:
 * media bytes ride in a ``binary`` column; metadata (mime, width, ...) in a
@@ -181,6 +184,57 @@ def probe_pixel_decoder(h: int, w: int) -> Optional[Callable]:
     return decode
 
 
+def decode_bmp(data: bytes):
+    """REAL image decoding with zero external libraries (r16): BMP is
+    the one mainstream raster format whose pixel data is UNCOMPRESSED,
+    so a full decoder is header parsing + numpy reshapes — no Pillow,
+    no codec stubs. Returns an (h, w) float grayscale array
+    (0.299R + 0.587G + 0.114B, the ITU-R 601 luma) from a 24- or
+    32-bpp uncompressed BMP, handling row padding to 4-byte strides
+    and both bottom-up (positive height — the common case; rows are
+    stored last-row-first and flipped here) and top-down (negative
+    height) layouts. Raises ValueError on anything else (wrong magic,
+    RLE/bitfields compression, paletted 1/4/8-bpp, truncated pixel
+    array) — callers that must not fail route through
+    :func:`detect_format` first or rely on
+    :func:`perceptual_hash`'s NULL-on-undecodable contract.
+
+    This makes the decode→dHash path REAL end to end in this
+    environment: compressed codecs (JPEG/PNG) remain probe-gated
+    behind Pillow, but the pixel math, resampling, bit layout and
+    banding downstream all run against genuine image bytes."""
+    import numpy as np
+
+    if data is None or len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP (no 'BM' magic / too short)")
+    off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("unsupported BMP header (pre-BITMAPINFOHEADER)")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp != 0:
+        raise ValueError(f"unsupported BMP compression {comp}")
+    if bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP bpp {bpp} (paletted)")
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    npx = bpp // 8
+    stride = (w * npx + 3) // 4 * 4
+    if len(data) < off + stride * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(data, dtype=np.uint8, offset=off,
+                         count=stride * h).reshape(h, stride)
+    px = rows[:, :w * npx].reshape(h, w, npx).astype(float)
+    # BMP stores BGR(A)
+    gray = 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
+    return gray if top_down else gray[::-1]
+
+
 def perceptual_hash(
     df: DataFrame,
     *,
@@ -210,9 +264,14 @@ def perceptual_hash(
     if decode_fn is None:
         if codec == "image":
             decode_fn = probe_pixel_decoder(H, W)
+        elif codec == "bmp":
+            # REAL pixel decode, no library needed (r16) — undecodable
+            # rows yield a NULL hash rather than failing the job
+            decode_fn = decode_bmp
         elif codec != "fake":
             raise NotImplementedError(
-                f"codec {codec!r}: pass decode_fn or use 'image'/'fake'")
+                f"codec {codec!r}: pass decode_fn or use "
+                "'image'/'bmp'/'fake'")
         if decode_fn is None:
             decode_fn = lambda b: _fake_pixels(b, H, W)  # noqa: E731
 
@@ -224,7 +283,13 @@ def perceptual_hash(
     def _dhash(b) -> Optional[int]:
         if b is None:
             return None
-        px = np.asarray(decode_fn(bytes(b)), dtype=float)
+        try:
+            arr = decode_fn(bytes(b))
+        except ValueError:
+            return None    # undecodable bytes → NULL hash, job survives
+        if arr is None:
+            return None
+        px = np.asarray(arr, dtype=float)
         if px.shape != (H, W):     # decoder returned another size —
             # nearest-neighbor resample so ANY pixel source works
             ys = (np.arange(H) * px.shape[0] // H)

@@ -8890,6 +8890,72 @@ FROM f
 """
 
 
+def q_docs_media_bmp_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decoding under a full value oracle (r16 — the step
+    past docs_media_phash_exact's md5-FAKE pixel grid): genuine 24-bpp
+    bottom-up BMPs are assembled in-catalog — a real 54-byte header
+    and a 9×8 pixel array with 4-byte row strides, gray value
+    (doc_id·31 + row·17 + col·7) mod 256 — and
+    multimodal.perceptual_hash(codec='bmp') runs the LIBRARY-FREE
+    numpy decoder (multimodal.decode_bmp: header parse, stride slice,
+    bottom-up flip, BGR luma) before the dHash. Equal B=G=R channels
+    make the luma exactly ordinal in the formula value, so every one
+    of the 64 neighbor-comparison bits is an integer comparison DuckDB
+    replays verbatim; the MSB-first signed-64 pack reuses the proven
+    phash_exact oracle shape. Every 7th doc gets GIF bytes → the
+    NULL-on-undecodable contract, also under the oracle.
+
+    Scale shape: bytes ride one projection into the Arrow batches;
+    the only exchange is the id-keyed join of hash output back to the
+    projection (both sides id-partitioned) — same as phash_exact."""
+    from .operators import multimodal
+
+    docs = load(spark, sf_dir, "documents")
+    hdr = ("424d1601000000000000360000002800000009000000080000000100"
+           "180000000000e000000000000000000000000000000000000000")
+    # bottom-up file rows: byte i of the 8×28-stride body → file row
+    # i div 28 (= image row 7 − that), 3 bytes per pixel, byte 27 pad
+    pixel_hex = F.expr(
+        "array_join(transform(sequence(0, 223), i -> "
+        "CASE WHEN i % 28 = 27 THEN '00' "
+        "ELSE lpad(lower(hex((doc_id * 31 + (7 - i div 28) * 17 "
+        "+ ((i % 28) div 3) * 7) % 256)), 2, '0') END), '')")
+    bmp_hex = F.concat(F.lit(hdr), pixel_hex)
+    gif_hex = F.concat(F.lit("474946383961"),
+                       F.lower(F.hex(F.encode(
+                           F.coalesce(F.substring("text", 1, 8),
+                                      F.lit("")), "UTF-8"))))
+    media = docs.select(
+        "doc_id",
+        F.unhex(F.when(F.col("doc_id") % 7 == 0, gif_hex)
+                .otherwise(bmp_hex)).alias("media_bytes"))
+    return multimodal.perceptual_hash(
+        media, id_col="doc_id", binary_col="media_bytes", codec="bmp")
+
+
+ORACLE_DOCS_MEDIA_BMP_PHASH = """
+WITH bits AS (
+  SELECT doc_id, bp,
+         CASE WHEN (doc_id * 31 + (bp // 8) * 17 + ((bp % 8) + 1) * 7)
+                   % 256
+                 > (doc_id * 31 + (bp // 8) * 17 + (bp % 8) * 7) % 256
+              THEN 1 ELSE 0 END AS bit
+  FROM documents, UNNEST(range(64)) AS t(bp)
+  WHERE doc_id % 7 <> 0),
+ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN bp > 0 THEN bit * (CAST(1 AS BIGINT)
+                                               << (63 - bp))
+                       ELSE 0 END) AS BIGINT)
+         + CAST(sum(CASE WHEN bp = 0 AND bit = 1
+                         THEN -9223372036854775808 ELSE 0 END) AS BIGINT)
+           AS phash
+  FROM bits GROUP BY doc_id)
+SELECT d.doc_id, ph.phash
+FROM documents d LEFT JOIN ph ON ph.doc_id = d.doc_id
+"""
+
+
 def q_docs_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted source interleave (sampling.interleave_sources): the
     reading order for a 3:2:1-ish mix over the five sources — stride
@@ -12059,7 +12125,11 @@ FROM b GROUP BY source, bin
 #          orders_priority_status_effects (r16-new — adjusted
 #          standardized residuals + Cramér's V over the priority ×
 #          status contingency cells) displaced docs_score_auc
-#          (r11-green, unchanged; r17 front).
+#          (r11-green, unchanged; r17 front);
+#          docs_media_bmp_phash (r16-new — REAL numpy BMP decode
+#          feeding the dHash, the first genuine-pixel value oracle)
+#          displaced docs_bootstrap_ci (r11-green, unchanged; r17
+#          front).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
@@ -12084,6 +12154,9 @@ DRIVER_PRIORITY: list[str] = [
                                  # (displaced docs_curriculum)
     "orders_priority_status_effects",  # r16 new: contingency effect
                                  # analysis (displaced docs_score_auc)
+    "docs_media_bmp_phash",      # r16 new: REAL library-free BMP
+                                 # decode under the dHash oracle
+                                 # (displaced docs_bootstrap_ci)
     # 34 of the 44-entry r11-stale cohort (verdict task 1; histogram
     # recomputed from CORRECTNESS_r1..r15 this round: 44 @ r11, 44 @
     # r12, 45 @ r13, 45 @ r14, 50 @ r15 + the late-wave/new names
@@ -12105,7 +12178,7 @@ DRIVER_PRIORITY: list[str] = [
     "lineitem_cms_counts", "events_bitmap_distinct",
     "events_markov_transitions", "events_seasonality",
     "docs_isotonic_check", "docs_label_alpha_interval",
-    "docs_label_alpha_ordinal", "docs_bootstrap_ci",
+    "docs_label_alpha_ordinal",
 ]
 
 
@@ -12336,6 +12409,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "docs_media_gif_info": q_docs_media_gif_info,
     "docs_media_jpeg_info": q_docs_media_jpeg_info,
     "docs_media_mp4_info": q_docs_media_mp4_info,
+    "docs_media_bmp_phash": q_docs_media_bmp_phash,
     "events_cusum_merge_check": q_events_cusum_merge_check,
     "docs_mannwhitney": q_docs_mannwhitney,
     "docs_rank_merge_check": q_docs_rank_merge_check,
@@ -12584,6 +12658,7 @@ ORACLES: dict[str, Optional[str]] = {
     "docs_media_gif_info": ORACLE_DOCS_MEDIA_GIF_INFO,
     "docs_media_jpeg_info": ORACLE_DOCS_MEDIA_JPEG_INFO,
     "docs_media_mp4_info": ORACLE_DOCS_MEDIA_MP4_INFO,
+    "docs_media_bmp_phash": ORACLE_DOCS_MEDIA_BMP_PHASH,
     "events_cusum_merge_check": ORACLE_EVENTS_CUSUM_MERGE_CHECK,
     "docs_mannwhitney": ORACLE_DOCS_MANNWHITNEY,
     "docs_rank_merge_check": ORACLE_DOCS_RANK_MERGE_CHECK,

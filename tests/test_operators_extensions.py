@@ -8503,6 +8503,85 @@ class TestMp4BoxInfo:
             and m6["mdat_size"] is None
 
 
+class TestBmpDecode:
+    """r16: REAL library-free image decoding — hand-built 24/32-bpp
+    BMPs round-trip pixel-exact through decode_bmp (row padding,
+    bottom-up flip, top-down, BGR order), the dHash path yields the
+    hash of the KNOWN pixels, and undecodable bytes → NULL hash."""
+
+    @staticmethod
+    def _bmp(grid, bpp=24, top_down=False):
+        """grid: rows of (b, g, r) tuples (or grayscale ints)."""
+        import struct as st
+        h, w = len(grid), len(grid[0])
+        npx = bpp // 8
+        stride = (w * npx + 3) // 4 * 4
+        off = 54
+        body = b""
+        file_rows = grid if top_down else grid[::-1]
+        for row in file_rows:
+            rb = b""
+            for p in row:
+                b_, g, r = (p, p, p) if isinstance(p, int) else p
+                rb += bytes([b_, g, r] + ([0] if npx == 4 else []))
+            body += rb + b"\x00" * (stride - len(rb))
+        hh = -h if top_down else h
+        return (b"BM" + st.pack("<I", off + len(body)) + b"\x00" * 4
+                + st.pack("<I", off)
+                + st.pack("<iiiHHIIiiII", 40, w, hh, 1, bpp, 0,
+                          len(body), 0, 0, 0, 0))[:54] + body
+
+    def test_decode_exact_layouts(self):
+        import numpy as np
+        from spark_expectations_spark.operators import multimodal as mm
+        grid = [[10, 20, 30, 40], [50, 60, 70, 80], [90, 100, 110, 120]]
+        for bpp in (24, 32):
+            for td in (False, True):
+                got = mm.decode_bmp(self._bmp(grid, bpp=bpp,
+                                              top_down=td))
+                assert got.shape == (3, 4), (bpp, td)
+                assert np.allclose(got, np.array(grid, dtype=float)), \
+                    (bpp, td)
+        # BGR order: pure-blue pixel -> 0.114, pure-red -> 0.299
+        got = mm.decode_bmp(self._bmp([[(255, 0, 0), (0, 0, 255)]]))
+        assert got[0, 0] == pytest.approx(0.114 * 255)
+        assert got[0, 1] == pytest.approx(0.299 * 255)
+
+    def test_rejects_unsupported(self):
+        import pytest as pt
+        from spark_expectations_spark.operators import multimodal as mm
+        good = self._bmp([[1, 2], [3, 4]])
+        for bad, msg in [
+                (b"GIF89a" + bytes(60), "magic"),
+                (good[:30], "magic"),          # too short
+                (good[:14] + b"\x0c\x00\x00\x00" + good[18:], "header"),
+                (good[:30] + b"\x01" + good[31:], "compression"),
+                (good[:60], "truncated")]:   # full header, cut body
+            with pt.raises(ValueError, match=msg):
+                mm.decode_bmp(bad)
+
+    def test_dhash_over_real_pixels(self, spark):
+        from pyspark.sql import functions as SF
+        from spark_expectations_spark.operators import multimodal as mm
+        # 8 rows x 9 cols of known grayscale -> bits are pure integer
+        # comparisons; alternating up/down staircase per row
+        grid = [[(r * 13 + c * 7) % 256 for c in range(9)]
+                for r in range(8)]
+        want = 0
+        for r in range(8):
+            for c in range(8):
+                want = (want << 1) | int(grid[r][c + 1] > grid[r][c])
+        if want >= 1 << 63:
+            want -= 1 << 64
+        rows = [(1, self._bmp(grid)), (2, b"GIF89a not an image"),
+                (3, None)]
+        df = spark.createDataFrame(rows, "id long, b binary")
+        out = {r["id"]: r["phash"] for r in mm.perceptual_hash(
+            df, id_col="id", binary_col="b", codec="bmp").collect()}
+        assert out[1] == want
+        assert out[2] is None and out[3] is None
+
+
 class TestContingencyEffects:
     """r16: adjusted standardized residuals + Cramér's V on a
     hand-computed 2×2 table; NULL folding and the degenerate-table
