@@ -169,6 +169,34 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
+def posting_list_pairs(frame: DataFrame, ids_col: str = "ids") -> DataFrame:
+    """``(id_a, id_b)`` for every in-list pair ``(ids[i], ids[j>i])`` of
+    each row's sorted ``ids`` array — the posting-list/bucket pair
+    expansion shared by :func:`_pair_intersections`,
+    :func:`lsh_candidate_pairs` and the fingerprint branch of the
+    catalog's ensemble-dedup entry.
+
+    Implemented as TWO chained generators (``posexplode`` + ``explode``
+    of a positional ``slice``), which run in whole-stage codegen and
+    STREAM the k² pairs of a k-doc bucket. The previous formulation —
+    ``explode(flatten(transform(ids, (a, i) -> transform(slice(...),
+    b -> struct(a, b)))))`` — evaluated the nested lambdas through the
+    higher-order-function interpreter (CodegenFallback: per row, per
+    element) and materialized the ENTIRE k²-struct pair array in task
+    memory before the explode saw it; a hot shingle shared by 1k docs
+    built a 500k-struct array per row. Same pair set, same id_a < id_b
+    order guarantee (lists arrive sorted); r16 ledger has the A/B.
+    """
+    return (
+        frame
+        .select(F.col(ids_col).alias("__ids"),
+                F.posexplode(ids_col).alias("__i", "id_a"))
+        .select("id_a",
+                F.explode(F.slice(F.col("__ids"), F.col("__i") + F.lit(2),
+                                  F.size(F.col("__ids")))).alias("id_b"))
+    )
+
+
 def explode_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) pairs, one row per distinct shingle per document.
 
@@ -262,15 +290,8 @@ def _pair_intersections(
         # (estimated jaccard becomes a lower bound). The 100 TB knob
         # promised in SCALE.md — free here: len(posting list) == df.
         postings = postings.filter(F.size("ids") <= max_shingle_df)
-    pair = F.explode(F.flatten(F.transform(
-        F.col("ids"),
-        lambda a, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-        ),
-    ))).alias("p")
     inter = (
-        postings.select(pair).select("p.id_a", "p.id_b")
+        posting_list_pairs(postings)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -786,22 +807,28 @@ def cross_source_dup_matrix(
     )
     grouped = per.groupBy("fp").agg(
         F.array_sort(F.collect_list(F.struct("source", "cnt"))).alias("sc"))
-    pair = F.explode(F.flatten(F.transform(
-        F.col("sc"),
-        lambda a, i: F.transform(
-            F.slice(F.col("sc"), i + 1, F.size(F.col("sc"))),
-            lambda b: F.struct(
-                a["source"].alias("source_a"),
-                b["source"].alias("source_b"),
-                F.when(a["source"] == b["source"],
-                       F.shiftright(a["cnt"] * (a["cnt"] - F.lit(1)), 1))
-                 .otherwise(a["cnt"] * b["cnt"])
-                 .cast("long").alias("pairs"),
-            ),
-        ),
-    ))).alias("p")
+    # two chained codegen generators instead of the nested-HOF flatten
+    # (the posting_list_pairs rationale); slice starts AT element i so
+    # the within-source self-pair (C(cnt,2)) is kept
+    a, b = F.col("__a"), F.col("__b")
+    pairs = (
+        grouped
+        .select(F.col("sc").alias("__sc"),
+                F.posexplode("sc").alias("__i", "__a"))
+        .select("__a",
+                F.explode(F.slice(F.col("__sc"), F.col("__i") + F.lit(1),
+                                  F.size(F.col("__sc")))).alias("__b"))
+        .select(
+            a["source"].alias("source_a"),
+            b["source"].alias("source_b"),
+            F.when(a["source"] == b["source"],
+                   F.shiftright(a["cnt"] * (a["cnt"] - F.lit(1)), 1))
+             .otherwise(a["cnt"] * b["cnt"])
+             .cast("long").alias("pairs"),
+        )
+    )
     return (
-        grouped.select(pair).select("p.*")
+        pairs
         .groupBy("source_a", "source_b")
         .agg(F.sum("pairs").alias("n_dup_pairs"),
              F.sum((F.col("pairs") > 0).cast("long")).alias("n_shared_fps"))
@@ -929,14 +956,7 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     # sorted ids -> pairing (ids[i], ids[j>i]) already satisfies id_a < id_b
-    pair = F.explode(F.flatten(F.transform(
-        F.col("ids"),
-        lambda a, i: F.transform(
-            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-        ),
-    ))).alias("p")
-    return buckets.select(pair).select("p.id_a", "p.id_b").distinct()
+    return posting_list_pairs(buckets).distinct()
 
 
 def minhash_dedup_pairs(
@@ -1076,9 +1096,17 @@ def connected_components(
     is the MINIMUM id in the component — deterministic, so downstream
     "keep doc_id == component" is a stable keep-one policy.
     """
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    sym = edges.union(edges.select(F.col("dst").alias("src"),
-                                   F.col("src").alias("dst")))
+    # one-pass symmetrize (r16): the union-of-swapped-selects form
+    # planted the WHOLE pair-construction subtree twice — for the
+    # ensemble-dedup entry that is the full shingle/posting pipeline —
+    # and the checkpoint materialized both copies; a single codegen
+    # explode emits both directions from one execution (guide §2.4)
+    sym = (pairs
+           .select(F.explode(F.array(
+               F.struct(F.col(id_a).alias("src"), F.col(id_b).alias("dst")),
+               F.struct(F.col(id_b).alias("src"), F.col(id_a).alias("dst")),
+           )).alias("__e"))
+           .select("__e.src", "__e.dst"))
     sym = sym.localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("node"))

@@ -23,7 +23,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank", "hits", "triangle_counts",
-           "connected_components"]
+           "connected_components", "symmetrize_edges"]
+
+
+def symmetrize_edges(pairs: DataFrame, a: str, b: str,
+                     carry: tuple = ()) -> DataFrame:
+    """Both directions of an undirected pair list in ONE pass — emits
+    ``(src, dst, *carry)`` rows ``(a→b)`` and ``(b→a)`` per input pair
+    via a single codegen ``explode(array(struct, struct))`` generator.
+
+    The idiomatic alternative — ``pairs.select(a→src, b→dst)
+    .unionByName(pairs.select(b→src, a→dst))`` — plants the WHOLE
+    upstream subtree twice in the plan; when the pairs come from an
+    expensive construction (a co-occurrence self-join + distinct, the
+    copurchase-graph shape), only the part below the distinct's
+    exchange is deduplicated by ReuseExchange, and the post-shuffle
+    aggregate + projection still execute once per branch (r16, guide
+    §2.4). Row multiset is identical to the union form."""
+    fwd = F.struct(F.col(a).alias("src"), F.col(b).alias("dst"),
+                   *[F.col(c).alias(c) for c in carry])
+    rev = F.struct(F.col(b).alias("src"), F.col(a).alias("dst"),
+                   *[F.col(c).alias(c) for c in carry])
+    return (pairs.select(F.explode(F.array(fwd, rev)).alias("__e"))
+            .select("__e.src", "__e.dst",
+                    *[f"__e.{c}" for c in carry]))
 
 
 def pagerank(
@@ -83,7 +106,10 @@ def pagerank(
     edge construction (a co-occurrence self-join, say) re-executes
     once per consumer (measured 10.2 s → 3.9 s at sf0.1 on exactly
     that fixture; GraphX makes the same trade by caching the edge
-    RDD). Nodes/out-degrees computed once (two edge-keyed aggs); each
+    RDD). The (node, out-degree) table is ONE stacked union +
+    map-side-combined groupBy (r16 — was nodes-distinct + degree agg +
+    left join: three exchanges and an extra checkpoint), with n_nodes
+    and the static dangling probe folded into one 1-row head job; each
     iteration is ONE src-keyed join of the rank vector onto the edge
     list + ONE dst-keyed sum (both map-side combined) + a 1-row
     dangling-mass fold; ``localCheckpoint`` cuts the rank vector's
@@ -110,18 +136,32 @@ def pagerank(
             raise ValueError(
                 "pagerank: NULL or non-positive edge weight — a silent "
                 "drop would re-route rank mass; clean the edge list")
-    nodes = (e.select(F.col("__src").alias("node"))
-             .unionByName(e.select(F.col("__dst").alias("node")))
-             .distinct()
-             .localCheckpoint(eager=False))
-    n_nodes = nodes.count()
+    # (node, out-degree) in ONE stacked groupBy (r16, guide §2.4): the
+    # former nodes-distinct ∪-exchange + src-keyed degree agg + node-keyed
+    # left join (three exchanges, two checkpoints, and a separate
+    # nodes.count() job) collapses to one union + one map-side-combined
+    # aggregate — dst-only (dangling) nodes surface as NULL-weight rows
+    # whose sum is NULL → coalesce 0, exactly the old left-join zero.
+    # Degree VALUES are bit-identical: F.sum skips the NULL rows, and
+    # the per-group float order was never pinned before either (integer
+    # / 1.0 weights sum exactly regardless).
+    stacked = (e.select(F.col("__src").alias("node"),
+                        F.col("__w").alias("__wo"))
+               .unionByName(e.select(F.col("__dst").alias("node"),
+                                     F.lit(None).cast("double")
+                                     .alias("__wo"))))
+    nd = (stacked.groupBy("node")
+          .agg(F.coalesce(F.sum("__wo"), F.lit(0.0)).alias("__deg"))
+          .localCheckpoint(eager=False))
+    # n_nodes + the dangling probe in ONE 1-row job (was: a count job on
+    # nodes + a limit(1).count() probe on nd)
+    head = nd.agg(F.count(F.lit(1)).alias("__n"),
+                  F.max((F.col("__deg") == 0.0).cast("int"))
+                  .alias("__dang")).first()
+    n_nodes = head["__n"]
     if n_nodes == 0:
         raise ValueError("pagerank: empty edge list")
-    outdeg = e.groupBy("__src").agg(F.sum("__w").alias("__deg"))
-    # (node, deg) with 0 for dangling — left join once, reused per round
-    nd = (nodes.join(outdeg, nodes["node"] == outdeg["__src"], "left")
-          .select("node", F.coalesce("__deg", F.lit(0.0)).alias("__deg"))
-          .localCheckpoint(eager=False))
+    nodes = nd.select("node")
     d = float(damping)
     base = (1.0 - d) / n_nodes
     personalized = seeds is not None
@@ -156,8 +196,9 @@ def pagerank(
     # the dangling SET is static (deg == 0); when it is empty the
     # per-round mass is identically 0 and the per-iteration 1-row
     # fold (a full pass over the rank vector) can be skipped — the
-    # common case for symmetrized / co-occurrence graphs
-    has_dangling = nd.filter(F.col("__deg") == 0).limit(1).count() > 0
+    # common case for symmetrized / co-occurrence graphs. The probe
+    # rode along in the single head aggregate above (r16).
+    has_dangling = bool(head["__dang"])
     if personalized:
         ranks = nd.select("node", "__deg", "__p",
                           F.col("__p").alias("__r"))

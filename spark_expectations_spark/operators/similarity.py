@@ -1604,6 +1604,16 @@ def _corpus_moments(df: DataFrame, vec_col: str):
              .mapInPandas(_partials,
                           "n long, d long, s array<double>, "
                           "xtx array<double>").collect())
+    return _reduce_moment_parts(parts)
+
+
+def _reduce_moment_parts(parts):
+    """Driver-side reduce of (n, d, Σx, XᵀX) moment partials to
+    (n, μ, population covariance) — shared by :func:`_corpus_moments`
+    and :func:`_transformed_moments` so the two passes can never
+    drift in summation semantics."""
+    import numpy as np
+
     if not parts:
         raise ValueError("whiten: no non-NULL vectors in input")
     dims = {p["d"] for p in parts}
@@ -1619,6 +1629,60 @@ def _corpus_moments(df: DataFrame, vec_col: str):
     mu = s / n
     cov = xtx / n - np.outer(mu, mu)
     return n, mu, cov
+
+
+def _transformed_moments(df: DataFrame, vec_col: str, mu, w):
+    """Corpus (n, mean, population covariance) of the TRANSFORMED
+    column ``(x − μ)·W`` from ONE Arrow-batched ``mapInPandas`` pass —
+    the fused twin of ``_apply_whitening`` + ``_corpus_moments`` for
+    the check operators (:func:`whiten_check` / :func:`pca_check`).
+
+    r16 (guide §4.1): the unfused chain ran TWO chained Python evals in
+    one stage — every task held two Python workers (the warmed pool
+    covers one per core, so the second eval cold-spawned a worker —
+    ~2 s/task of off-CPU wait in the job profile: 68 task-s at 1.6
+    cpu-s) and paid JVM→PY→JVM→PY→JVM Arrow transits for the full
+    whitened corpus plus every carried-through column. Fused, the
+    whitened vectors never leave Python, only ``vec_col`` is shipped,
+    and each task runs one worker. Batch boundaries, per-batch float
+    ops and the driver reduce are identical to the unfused chain, so
+    the moments are bit-identical (the oracle-equality contract)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans import fan_out
+
+    get_mw = _broadcast_or_capture(df.sparkSession, (mu, w))
+
+    def _partials(it):
+        mu_b, w_b = get_mw()
+        for pdf in it:
+            vs = pdf[vec_col].dropna()
+            if not len(vs):
+                continue
+            try:
+                x = np.stack(vs.to_numpy()).astype(np.float64)
+            except ValueError as exc:
+                raise ValueError(
+                    "whiten: embedding lengths differ within the corpus "
+                    "(ragged vectors)") from exc
+            if x.shape[1] != len(mu_b):
+                raise ValueError(
+                    "whiten: embedding length differs from the "
+                    "corpus dimension (ragged vectors)")
+            z = (x - mu_b) @ w_b
+            yield pd.DataFrame({
+                "n": [int(z.shape[0])],
+                "d": [int(z.shape[1])],
+                "s": [z.sum(axis=0).tolist()],
+                "xtx": [(z.T @ z).ravel().tolist()],
+            })
+
+    parts = (fan_out(df.select(vec_col))
+             .mapInPandas(_partials,
+                          "n long, d long, s array<double>, "
+                          "xtx array<double>").collect())
+    return _reduce_moment_parts(parts)
 
 
 def whiten(
@@ -1773,10 +1837,13 @@ def whiten_check(
       at the rounding precision (eps=1e-6 floors eigenvalues ≥1e-3 of
       typical embedding variance, so λ/(λ+eps) ≈ 1 to ≪ 0.5·10^-3).
 
-    Scale shape: two moment passes (raw + whitened; each one map-only
-    mapInPandas job reducing dims-scale partials) around the whiten
-    transform — zero shuffles; the d-row report is dims-scale,
-    assembled driver-side like a BPE vocab or PQ codebook."""
+    Scale shape: two moment passes (raw, then a FUSED whiten+moments
+    pass — each one map-only mapInPandas job reducing dims-scale
+    partials; the whitened vectors never re-cross the Python boundary,
+    r16) — zero shuffles; the d-row report is dims-scale, assembled
+    driver-side like a BPE vocab or PQ codebook. The applied math is
+    the same ``(x − μ)·W`` as :func:`whiten`; the transform CODE path
+    itself is separately gated by the embed_whiten entry and pytest."""
     import numpy as np
 
     spark = df.sparkSession
@@ -1784,8 +1851,9 @@ def whiten_check(
     sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
     lam, u = np.linalg.eigh(cov)
     w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + eps))) @ u.T
-    whitened = _apply_whitening(df, mu, w, vec_col, "__w")
-    _, mean_w, cov_w = _corpus_moments(whitened, "__w")
+    # r16: fused transform+moments pass (see _transformed_moments) —
+    # one Python eval instead of two chained ones, vec_col only
+    _, mean_w, cov_w = _transformed_moments(df, vec_col, mu, w)
     d = len(mu)
     dev = np.abs(cov_w - np.eye(d))
     offdiag = dev.copy()
@@ -1824,8 +1892,9 @@ def pca_check(
       pca_project consumes (a SQL engine recomputes these exactly from
       the parquet, gating the partials/reduce machinery), and
     - for ``pos < n_components``, invariants of the PROJECTED corpus
-      (re-measured by a SECOND distributed moments pass over the
-      projection output, gating the broadcast BLAS transform), all
+      (re-measured by a SECOND distributed moments pass applying the
+      same ``(x − μ)·C`` math — fused with the moments since r16; the
+      pca_project code path itself is gated by embed_pca + pytest), all
       mathematically forced to 0 at the rounding precision:
       ``mean_dev`` = |mean(proj_pos)| (projection of centered data has
       exact zero mean), ``offdiag_max`` = max_{j≠pos} |cov(proj_pos,
@@ -1836,10 +1905,11 @@ def pca_check(
       the schema stays one-row-per-dimension like whiten_check so the
       raw-moment gate covers every input dimension.
 
-    Scale shape: two moment passes (raw + projected; each one map-only
-    Arrow mapInPandas job reducing dims-scale partials) around the
-    pca_project transform — zero shuffles; the d-row report is
-    dims-scale, assembled driver-side like a BPE vocab or PQ codebook.
+    Scale shape: two moment passes (raw, then a FUSED project+moments
+    pass — each one map-only Arrow mapInPandas job reducing dims-scale
+    partials; projected vectors never re-cross the Python boundary,
+    r16) — zero shuffles; the d-row report is dims-scale, assembled
+    driver-side like a BPE vocab or PQ codebook.
     """
     import numpy as np
 
@@ -1847,8 +1917,9 @@ def pca_check(
     _, mu, cov = _corpus_moments(df, vec_col)
     sd = np.sqrt(np.maximum(np.diag(cov), 0.0))
     comps = _pca_components(cov, n_components)
-    projected = _apply_whitening(df, mu, comps, vec_col, "__p")
-    _, mean_p, cov_p = _corpus_moments(projected, "__p")
+    # r16: fused transform+moments pass (see _transformed_moments) —
+    # one Python eval instead of two chained ones, vec_col only
+    _, mean_p, cov_p = _transformed_moments(df, vec_col, mu, comps)
     d = len(mu)
     m = len(mean_p)
     var_p = np.diag(cov_p)

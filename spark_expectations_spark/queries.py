@@ -829,14 +829,7 @@ def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .select(F.explode(F.flatten(F.transform(
-            F.col("ids"),
-            lambda a, i: F.transform(
-                F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        ))).alias("p"))
-        .select("p.id_a", "p.id_b")
+        .transform(dedup.posting_list_pairs)
     )
     pairs = sim.unionByName(fps).distinct()
     kept = dedup.canonical_per_cluster(docs, pairs, "doc_id",
@@ -6643,10 +6636,9 @@ def q_part_copurchase_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("a.pk") < F.col("b.pk"))
              .select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
              .distinct())
-    edges = (pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-             .unionByName(
-                 pairs.select(F.col("pb").alias("src"),
-                              F.col("pa").alias("dst"))))
+    # one-pass symmetrize (r16): the unionByName form executed the
+    # post-shuffle half of the self-join+distinct once per direction
+    edges = graph.symmetrize_edges(pairs, "pa", "pb")
     out = graph.pagerank(edges, iterations=3)
     return out.select(F.col("node").alias("partkey"), "rank")
 
@@ -6699,10 +6691,7 @@ def q_part_ppr_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("a.pk") < F.col("b.pk"))
              .select(F.col("a.pk").alias("pa"), F.col("b.pk").alias("pb"))
              .distinct())
-    edges = (pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-             .unionByName(
-                 pairs.select(F.col("pb").alias("src"),
-                              F.col("pa").alias("dst"))))
+    edges = graph.symmetrize_edges(pairs, "pa", "pb")
     seeds = (load(spark, sf_dir, "part")
              .filter(F.col("p_brand") == "Brand#11")
              .select(F.col("p_partkey").alias("node")))
@@ -6765,11 +6754,7 @@ def q_part_copurchase_rank_weighted(spark: SparkSession,
                      F.col("b.pk").alias("pb"))
              .distinct()
              .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("w")))
-    edges = (pairs.select(F.col("pa").alias("src"),
-                          F.col("pb").alias("dst"), "w")
-             .unionByName(
-                 pairs.select(F.col("pb").alias("src"),
-                              F.col("pa").alias("dst"), "w")))
+    edges = graph.symmetrize_edges(pairs, "pa", "pb", carry=("w",))
     out = graph.pagerank(edges, weight="w", iterations=3)
     return out.select(F.col("node").alias("partkey"), "rank")
 
