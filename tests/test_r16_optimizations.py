@@ -1,0 +1,109 @@
+"""Focused equivalence tests for the r16 optimization rewrites.
+
+Each test pins a rewritten internal against its pre-r16 formulation on
+randomized inputs — the optimization contract is BIT-identical results
+(the driver re-oracles every catalog entry), so these assert exact
+equality, not tolerances.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_expectations_spark.operators import dedup, graph, similarity
+
+
+def _old_pair_expr():
+    """The pre-r16 nested-HOF pair expansion, kept here as the
+    equivalence reference for posting_list_pairs."""
+    return F.explode(F.flatten(F.transform(
+        F.col("ids"),
+        lambda a, i: F.transform(
+            F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+            lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+        ),
+    )))
+
+
+class TestPostingListPairs:
+    def test_matches_nested_hof_on_random_lists(self, spark):
+        rng = random.Random(7)
+        rows = [(i, sorted(rng.sample(range(500), rng.randint(2, 30))))
+                for i in range(80)]
+        df = spark.createDataFrame(rows, "k int, ids array<int>")
+        old = sorted(
+            tuple(r) for r in
+            df.select(_old_pair_expr().alias("p")).select("p.*").collect())
+        new = sorted(tuple(r) for r in dedup.posting_list_pairs(df).collect())
+        assert new == old and len(new) > 100
+
+    def test_singleton_and_empty_lists_emit_nothing(self, spark):
+        df = spark.createDataFrame(
+            [(1, [5]), (2, []), (3, [7, 9])], "k int, ids array<int>")
+        got = sorted(tuple(r)
+                     for r in dedup.posting_list_pairs(df).collect())
+        assert got == [(7, 9)]
+
+    def test_string_ids_preserved(self, spark):
+        df = spark.createDataFrame([(1, ["a", "b", "c"])],
+                                   "k int, ids array<string>")
+        got = sorted(tuple(r)
+                     for r in dedup.posting_list_pairs(df).collect())
+        assert got == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+class TestSymmetrizeEdges:
+    def test_matches_union_form(self, spark):
+        rng = random.Random(3)
+        rows = [(rng.randint(0, 50), rng.randint(51, 99), rng.randint(1, 9))
+                for _ in range(200)]
+        pairs = spark.createDataFrame(rows, "pa long, pb long, w long")
+        union_form = (
+            pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"),
+                         "w")
+            .unionByName(pairs.select(F.col("pb").alias("src"),
+                                      F.col("pa").alias("dst"), "w")))
+        old = sorted(tuple(r) for r in union_form.collect())
+        new = sorted(tuple(r) for r in
+                     graph.symmetrize_edges(pairs, "pa", "pb",
+                                            carry=("w",)).collect())
+        assert new == old and len(new) == 400
+
+    def test_no_carry_columns(self, spark):
+        pairs = spark.createDataFrame([(1, 2)], "pa long, pb long")
+        got = sorted(tuple(r) for r in
+                     graph.symmetrize_edges(pairs, "pa", "pb").collect())
+        assert got == [(1, 2), (2, 1)]
+
+
+class TestTransformedMoments:
+    def test_bit_identical_to_unfused_chain(self, spark):
+        import numpy as np
+
+        rng = random.Random(11)
+        dim = 6
+        rows = [(i, [rng.uniform(-2, 2) for _ in range(dim)])
+                for i in range(300)] + [(999, None)]
+        df = spark.createDataFrame(rows, "vec_id long, emb array<double>")
+        _, mu, cov = similarity._corpus_moments(df, "emb")
+        lam, u = np.linalg.eigh(cov)
+        w = (u * (1.0 / np.sqrt(np.maximum(lam, 0.0) + 1e-6))) @ u.T
+        # unfused pre-r16 chain
+        whitened = similarity._apply_whitening(df, mu, w, "emb", "__w")
+        n_old, mean_old, cov_old = similarity._corpus_moments(whitened, "__w")
+        # fused r16 pass
+        n_new, mean_new, cov_new = similarity._transformed_moments(
+            df, "emb", mu, w)
+        assert n_new == n_old == 300
+        assert np.array_equal(mean_new, mean_old)
+        assert np.array_equal(cov_new, cov_old)
+
+    def test_ragged_vectors_fail_loudly(self, spark):
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0]), (2, [1.0, 2.0, 3.0])],
+            "vec_id long, emb array<double>")
+        import numpy as np
+        with pytest.raises(Exception, match="ragged"):
+            similarity._transformed_moments(
+                df, "emb", np.zeros(2), np.eye(2))
