@@ -540,6 +540,72 @@ def _l2_assigned(frame: DataFrame, cents) -> DataFrame:
                     F.col("__best")["d"].alias("__dist")))
 
 
+def _lloyd_pass_arrow(vecs: DataFrame, cents, *, measure: bool):
+    """One Lloyd assignment pass as a single Arrow-batched
+    ``mapInPandas`` job emitting per-batch per-centroid partials —
+    ``(cid, n, s[dim])`` sums for the update step, ``(cid, n, wcss)``
+    for the final measure step — reduced driver-side (k×dim floats per
+    batch, model-scale, never corpus rows).
+
+    r16 (guide §4.2, the product_quantize_arrow precedent made the
+    default): the previous pass evaluated a k×dim ``transform`` +
+    ``aggregate`` distance fold per row. Higher-order functions are
+    CodegenFallback — measured ~3.7 ms/row interpreted at k=8, d=64 —
+    and each iteration then paid a groupBy shuffle + collect. Here the
+    distances are one vectorized ``((x−c)²).sum`` per batch (BLAS
+    speed), assignment is ``argmin`` (first-min = lowest cid, the HOF
+    fold's tie rule), and the shuffle is gone entirely — partials come
+    straight back in the collect. Float semantics: inputs upcast to
+    float64 exactly like the old ``transform(cast)``; distance/series
+    sums use numpy's pairwise order where the old fold was
+    left-to-right — the same class of reordering the DuckDB oracle
+    already absorbs (its SUM order is unspecified), far below the
+    4-digit output rounding, and assignment can differ only on an
+    EXACT squared-distance tie between distinct centroids, where both
+    rules pick the lowest cid."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans import fan_out
+
+    c = np.asarray(cents, dtype=np.float64)
+
+    def _partials(it):
+        for pdf in it:
+            col = pdf["__v"].dropna()
+            if not len(col):
+                continue
+            x = np.stack(col.to_numpy()).astype(np.float64)
+            d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+            cid = d.argmin(axis=1)
+            rows = []
+            for ci in np.unique(cid):
+                m = cid == ci
+                if measure:
+                    rows.append((int(ci), int(m.sum()),
+                                 float(d[m, ci].sum())))
+                else:
+                    rows.append((int(ci), int(m.sum()),
+                                 x[m].sum(axis=0).tolist()))
+            yield pd.DataFrame(rows, columns=["cid", "n", "agg"])
+
+    schema = ("cid int, n long, agg double" if measure
+              else "cid int, n long, agg array<double>")
+    parts = (fan_out(vecs.select("__v"))
+             .mapInPandas(_partials, schema).collect())
+    out: dict = {}
+    for p in parts:
+        ci = p["cid"]
+        if measure:
+            n0, w0 = out.get(ci, (0, 0.0))
+            out[ci] = (n0 + p["n"], w0 + p["agg"])
+        else:
+            n0, s0 = out.get(ci, (0, None))
+            s = np.asarray(p["agg"], dtype=np.float64)
+            out[ci] = (n0 + p["n"], s if s0 is None else s0 + s)
+    return out
+
+
 def lloyd_kmeans(
     corpus: DataFrame,
     *,
@@ -569,14 +635,14 @@ def lloyd_kmeans(
     the final-assignment cluster size and within-cluster sum of
     squared L2 distances.
 
-    Scale shape (100 TB): each iteration is ONE map-only assignment
-    pass — the k-centroid codebook is collapsed to a broadcast 1-row
-    array-of-structs (k·dim doubles, model-scale) and the argmin is a
-    ``transform`` + ``aggregate`` fold, no row blowup, no window —
-    feeding ONE dim-wide aggregation (map-side partial sums, k-row
-    result). The only collects are k×dim model frames, never corpus
-    rows; distance/update arithmetic is all float64 so a DuckDB
-    re-derivation lands within rounding of the same centroids.
+    Scale shape (100 TB): each iteration is ONE map-only Arrow pass
+    (:func:`_lloyd_pass_arrow`) — vectorized squared-L2 against the
+    k×dim driver-side codebook, argmin assignment, and per-batch
+    per-centroid partial sums, reduced driver-side. ZERO shuffles per
+    iteration (the r16 rewrite also removed the old groupBy exchange);
+    the only collects are k×dim model partials, never corpus rows;
+    arithmetic is all float64 so a DuckDB re-derivation lands within
+    rounding of the same centroids.
 
     ``sample_fraction`` is the 100 TB training mode: seeds and the
     Lloyd updates run on a ``sampling.deterministic_sample`` of the
@@ -591,12 +657,14 @@ def lloyd_kmeans(
         raise ValueError("k must be >= 1")
     if iterations < 0:
         raise ValueError("iterations must be >= 0")
+    # raw vector column through — the Arrow pass upcasts per batch
+    # (float32 → float64 is exact, the same values the old
+    # transform(cast) produced) and ships half the bytes
     vecs = (corpus
             .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
                     & F.col(id_col).isNotNull())
             .select(F.col(id_col).alias("__id"),
-                    F.transform(F.col(vec_col),
-                                lambda x: x.cast("double")).alias("__v")))
+                    F.col(vec_col).alias("__v")))
     train = vecs
     if sample_fraction is not None:
         from .sampling import deterministic_sample
@@ -604,36 +672,24 @@ def lloyd_kmeans(
     seed_rows = train.orderBy("__id").limit(k).collect()
     if not seed_rows:
         raise ValueError("corpus has no usable vectors")
-    cents: list[list[float]] = [list(r["__v"]) for r in seed_rows]
+    cents: list[list[float]] = [[float(x) for x in r["__v"]]
+                                for r in seed_rows]
     dim = len(cents[0])
 
     spark = corpus.sparkSession
 
-    def _assigned(frame):
-        return _l2_assigned(frame, cents).select(
-            "__v", "__cid", "__dist")
-
     for _ in range(iterations):
-        stats = (_assigned(train)
-                 .groupBy("__cid")
-                 .agg(F.count(F.lit(1)).alias("__n"),
-                      *[F.sum(F.element_at("__v", i + 1)).alias(f"__s{i}")
-                        for i in range(dim)])
-                 .collect())
-        by_cid = {r["__cid"]: r for r in stats}
+        stats = _lloyd_pass_arrow(train, cents, measure=False)
         cents = [
-            [by_cid[cid][f"__s{i}"] / by_cid[cid]["__n"] for i in range(dim)]
-            if cid in by_cid else cvec          # emptied: keep previous
+            (stats[cid][1] / stats[cid][0]).tolist()
+            if cid in stats else cvec           # emptied: keep previous
             for cid, cvec in enumerate(cents)]
 
-    final = {r["__cid"]: r for r in
-             (_assigned(vecs).groupBy("__cid")
-              .agg(F.count(F.lit(1)).alias("__n"),
-                   F.sum("__dist").alias("__wcss")).collect())}
+    final = _lloyd_pass_arrow(vecs, cents, measure=True)
     rows = [(cid, pos,
              float(round(cvec[pos], coord_digits)) + 0.0,
-             int(final[cid]["__n"]) if cid in final else 0,
-             (float(round(final[cid]["__wcss"], wcss_digits)) + 0.0)
+             int(final[cid][0]) if cid in final else 0,
+             (float(round(final[cid][1], wcss_digits)) + 0.0)
              if cid in final else 0.0)
             for cid, cvec in enumerate(cents) for pos in range(dim)]
     return spark.createDataFrame(
