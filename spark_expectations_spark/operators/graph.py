@@ -205,6 +205,18 @@ def pagerank(
     else:
         ranks = nd.select("node", "__deg",
                           F.lit(1.0 / n_nodes).alias("__r"))
+    # r16: the per-round lineage cut is only REQUIRED when the loop
+    # runs a per-round driver action (the dangling fold) — each action
+    # would otherwise re-execute every prior round (quadratic). With no
+    # dangling nodes the rank chain is strictly linear (each round's
+    # frame has exactly one consumer, the next round), so skipping the
+    # cut fuses ALL rounds into the single final job instead of paying
+    # an AQE stage-materialization + driver round trip per iteration —
+    # the family's profile showed those sequential per-round jobs, not
+    # task work, dominating the wall clock. Plan size stays linear in
+    # iterations (e and nd are checkpointed above the loop).
+    cut_per_round = has_dangling
+
     for _ in range(iterations):
         dangling = (ranks.filter(F.col("__deg") == 0)
                     .agg(F.coalesce(F.sum("__r"), F.lit(0.0))
@@ -222,16 +234,16 @@ def pagerank(
                               + F.lit(d) * (F.coalesce("__s", F.lit(0.0))
                                             + F.lit(dangling)
                                             * F.col("__p")))
-                             .alias("__r"))
-                     .localCheckpoint(eager=False))
+                             .alias("__r")))
         else:
             ranks = (nd.join(summed, "node", "left")
                      .select("node", "__deg",
                              (F.lit(base)
                               + F.lit(d) * (F.coalesce("__s", F.lit(0.0))
                                             + F.lit(dangling / n_nodes)))
-                             .alias("__r"))
-                     .localCheckpoint(eager=False))
+                             .alias("__r")))
+        if cut_per_round:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node",
         (F.round("__r", rank_digits) + F.lit(0.0)).alias("rank"))
@@ -310,6 +322,12 @@ def hits(
                          .otherwise(F.lit(1.0))).alias(col))
                 .localCheckpoint(eager=False))
 
+    # r16 note: the pagerank-style "skip the per-round cut" experiment
+    # was tried here and REVERTED — hits' final assembly consumes both
+    # vectors twice (totals + join) and each round's auths feeds the
+    # same round's hubs, so deferring cuts re-executed chains
+    # (measured 3.4 s → 5.8-21 s across cut placements); the per-round
+    # checkpoint is the right shape for this two-sided loop.
     for it in range(iterations):
         # sparse: only nodes a sum reaches carry a row — zeros add
         # nothing to the next round's sums, so no per-round densify

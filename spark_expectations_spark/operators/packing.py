@@ -221,11 +221,11 @@ def fold_pack(
     L = F.col(len_col).cast("long")
     base = df.select(F.col(id_col).alias("__id"), L.alias("__len"))
     # ONE pre-aggregation answers the NULL guard, the pairable count
-    # (so no second count over the ranked frame), and whether the
-    # overflow branch needs its own ranking pass at all — separate
-    # jobs for each cost more wall-clock than the packing itself at
-    # small SF (measured 5.9 s → 4.6 s at sf0.1, where the overflow
-    # branch still fires; an overflow-free corpus saves two more jobs)
+    # (so no second count over the ranked frame), and whether an
+    # overflow branch exists at all — separate jobs for each cost more
+    # wall-clock than the packing itself at small SF (measured
+    # 5.9 s → 4.6 s at sf0.1 when first folded; r16 then collapsed the
+    # two subset rankings into one global ranking below)
     stats = base.agg(
         F.sum(F.col("__len").isNull().cast("int")).alias("__nulls"),
         F.sum((F.col("__len") > capacity).cast("int")).alias("__nover"),
@@ -235,11 +235,27 @@ def fold_pack(
             "fold_pack: NULL length — packing needs every document "
             "measured; filter or fix upstream")
     n_over = int(stats["__nover"] or 0)
-    over = base.filter(F.col("__len") > capacity)
-    ok = (base.filter(F.col("__len") <= capacity)
-          .withColumn("__neg", -F.col("__len")))
-    ranked = dense_global_index(ok, ["__neg", "__id"], out="__r",
-                                num_buckets=num_buckets).drop("__neg")
+    # ONE global ranking over the whole corpus (r16): every overflow
+    # doc is strictly longer than every packable doc, so under the
+    # (−len, id) key the overflow docs occupy global ranks
+    # 0..n_over−1 and the packable docs n_over..n−1 — both branches'
+    # dense subset ranks fall out by subtraction, which halves the
+    # ranking passes (each dense_global_index costs a percentile job,
+    # a bucket-count collect, and a bucket shuffle). Threshold
+    # placement changes (full-corpus percentiles), but that only
+    # affects bucket balance — the rank, and hence every pack id, is
+    # exact and identical (dense_global_index's documented contract).
+    ranked_all = dense_global_index(
+        base.withColumn("__neg", -F.col("__len")),
+        ["__neg", "__id"], out="__ra",
+        num_buckets=num_buckets).drop("__neg")
+    if n_over:
+        # two consumers below — cut so the bucket shuffle + per-bucket
+        # sorts run once (the r11 multi-consumer persist rule)
+        ranked_all = ranked_all.localCheckpoint(eager=False)
+    ranked = (ranked_all.filter(F.col("__len") <= capacity)
+              .withColumn("__r", F.col("__ra") - F.lit(n_over))
+              .drop("__ra"))
     n = int(stats["__nall"]) - n_over
     pk = F.least(F.col("__r"), F.lit(n - 1) - F.col("__r"))
     p = ranked.withColumn("__pk", pk)
@@ -260,10 +276,9 @@ def fold_pack(
                    .alias("pack_size"),
                   F.lit(False).alias("overflow")))
     if n_over == 0:
-        return paired          # skip the overflow ranking jobs entirely
-    over_ranked = dense_global_index(
-        over.withColumn("__neg", -F.col("__len")),
-        ["__neg", "__id"], out="__ro", num_buckets=num_buckets)
+        return paired          # no overflow branch at all
+    over_ranked = (ranked_all.filter(F.col("__len") > capacity)
+                   .withColumn("__ro", F.col("__ra")))
     overflowed = over_ranked.select(
         F.col("__id").alias(id_col),
         F.col("__len").alias("length"),
