@@ -566,7 +566,6 @@ def _lloyd_pass_arrow(vecs: DataFrame, cents, *, measure: bool):
     import numpy as np
     import pandas as pd
 
-    from ..plans import fan_out
 
     c = np.asarray(cents, dtype=np.float64)
 
@@ -591,7 +590,15 @@ def _lloyd_pass_arrow(vecs: DataFrame, cents, *, measure: bool):
 
     schema = ("cid int, n long, agg double" if measure
               else "cid int, n long, agg array<double>")
-    parts = (fan_out(vecs.select("__v"))
+    # no fan_out here (r16): the per-batch work is a vectorized BLAS
+    # distance matrix — microseconds for any batch a <2 GB input can
+    # produce — so a round-robin exchange to 32 partitions only
+    # multiplied the fixed per-task Python cost (measured 8-9 task-s
+    # per pass at 62 rows/task vs <0.5 on the scan's own partitions).
+    # At scale the scan arrives in many partitions and parallelism is
+    # free; fan_out stays on the genuinely CPU-per-row paths
+    # (shingling, q-grams).
+    parts = (vecs.select("__v")
              .mapInPandas(_partials, schema).collect())
     out: dict = {}
     for p in parts:
@@ -742,57 +749,73 @@ def kmeans_cluster_qa(
     numerator and denominator; NULL when the cluster has no labeled
     member). Emptied centroids still get a row (n = 0, NULL metrics).
 
-    Scale shape: one broadcast of the k-row codebook collapsed to a
-    1-row array-of-structs, a map-only (d1, cid, d2) fold per vector —
-    min and runner-up in ONE pass over the k distances — then a k-row
-    groupBy plus (with labels) a (k × labels)-row count; no window
-    over corpus rows, no join against corpus-sized frames."""
+    Scale shape: the k-row codebook rides driver-side (k×dim doubles,
+    model-scale) into ONE map-only Arrow pass — vectorized distance
+    matrix per batch, min + runner-up by argmin/partition (r16; was an
+    interpreted per-row HOF fold) — then a k-row groupBy plus (with
+    labels) a (k × labels)-row count; no window over corpus rows, no
+    join against corpus-sized frames."""
+    import numpy as np
+    import pandas as pd
+
+
     cb = (centroids_from_long(centroids_long)
           .select(F.col("centroid_id").alias("cid"),
                   F.col("centroid").alias("cvec")))
-    cents_row = cb.agg(
-        F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
-    vecd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    base_cols = [F.col(id_col).alias("__id"), vecd.alias("__v")]
+    base_cols = [F.col(vec_col).alias("__v")]
     if label_col:
         base_cols.append(F.col(label_col).alias("__lbl"))
     vecs = (corpus
             .filter(F.col(vec_col).isNotNull() & (F.size(vec_col) > 0)
                     & F.col(id_col).isNotNull())
             .select(*base_cols))
-    dists = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            F.aggregate(
-                F.zip_with(F.col("__v"), c["cvec"],
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x).alias("d"),
-            c["cid"].alias("cid")))
-    first = F.element_at(dists, 1)
-    init = F.struct(first["d"].alias("d1"), first["cid"].alias("c1"),
-                    F.lit(float("inf")).alias("d2"))
-    fold = F.aggregate(
-        F.slice(dists, 2, F.greatest(F.size(dists) - 1, F.lit(0))),
-        init,
-        lambda acc, x: F.when(
-            (x["d"] < acc["d1"])
-            | ((x["d"] == acc["d1"]) & (x["cid"] < acc["c1"])),
-            F.struct(x["d"].alias("d1"), x["cid"].alias("c1"),
-                     acc["d1"].alias("d2"))
-        ).otherwise(
-            F.struct(acc["d1"].alias("d1"), acc["c1"].alias("c1"),
-                     F.least(acc["d2"], x["d"]).alias("d2"))))
-    a = F.sqrt(F.col("__f")["d1"])
-    b = F.sqrt(F.col("__f")["d2"])
-    sil = F.when(F.greatest(a, b) == 0, F.lit(0.0)) \
-           .otherwise((b - a) / F.greatest(a, b))
-    assigned_cols = [F.col("__f")["c1"].alias("__cid"),
-                     a.alias("__a"), sil.alias("__s")]
+    # r16 (guide §4.2, the _lloyd_pass_arrow shape): the per-row
+    # (d1, cid, d2) HOF fold over the broadcast codebook ran
+    # interpreted (CodegenFallback). The k-row codebook is collected
+    # sorted by cid — k×dim doubles, model-scale — and the min +
+    # runner-up come from one vectorized distance matrix per batch
+    # (argmin first-win over cid-sorted rows == the fold's
+    # ties→lowest-cid rule; np.partition's index-1 element is the
+    # exact second-smallest, tied values included, matching the fold's
+    # d2). k=1 keeps d2 = +inf, so silhouette degenerates to the same
+    # NaN the fold produced. Only the per-row (cid, a, sil[, label])
+    # tuple returns to the JVM — the downstream k-row groupBys and the
+    # purity window are unchanged.
+    cb_rows = cb.orderBy("cid").collect()
+    cids = [r["cid"] for r in cb_rows]
+    cmat = np.asarray([list(r["cvec"]) for r in cb_rows],
+                      dtype=np.float64)
+    cid_t = cb.schema["cid"].dataType.simpleString()
+    schema = f"__cid {cid_t}, __a double, __s double"
     if label_col:
-        assigned_cols.append(F.col("__lbl"))
-    assigned = (vecs.crossJoin(F.broadcast(cents_row))
-                .withColumn("__f", fold)
-                .select(*assigned_cols))
+        lbl_t = vecs.schema["__lbl"].dataType.simpleString()
+        schema += f", __lbl {lbl_t}"
+
+    def _qa_rows(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+            d = ((x[:, None, :] - cmat[None, :, :]) ** 2).sum(-1)
+            c1 = d.argmin(axis=1)
+            a = np.sqrt(d[np.arange(len(d)), c1])
+            if d.shape[1] > 1:
+                b = np.sqrt(np.partition(d, 1, axis=1)[:, 1])
+            else:
+                b = np.full(len(d), np.inf)
+            mx = np.maximum(a, b)
+            with np.errstate(invalid="ignore"):
+                s = np.where(mx == 0, 0.0, (b - a) / mx)
+            out = pd.DataFrame({
+                "__cid": [cids[i] for i in c1],
+                "__a": a, "__s": s})
+            if label_col:
+                out["__lbl"] = pdf["__lbl"].to_numpy()
+            yield out
+
+    # no fan_out (r16): vectorized per-batch work — see
+    # _lloyd_pass_arrow's note on the per-task Python overhead
+    assigned = vecs.mapInPandas(_qa_rows, schema)
     st = (assigned.groupBy("__cid")
           .agg(F.count(F.lit(1)).alias("__n"),
                F.avg("__a").alias("__ai"),
