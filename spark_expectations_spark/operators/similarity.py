@@ -854,39 +854,56 @@ def assign_centroids(
     centroid_id). At scale, write the result partitioned by centroid_id
     so probe queries prune partitions.
 
-    Plan shape: the k-row codebook is collapsed to ONE array-of-structs
-    row and broadcast, and the argmax is a codegen ``aggregate`` fold
-    over that array — a map-only stage with no row multiplication, no
-    sort, and no window (the previous crossJoin × window form cost a
-    k× row blowup plus a per-row WindowExec sort). Cost O(n·k·dim),
-    shuffle zero.
+    Plan shape (r16): the k-row codebook is collected driver-side
+    (k×dim doubles, model-scale) sorted by centroid_id under Spark's
+    own ordering (so string labels tie-break exactly as the engine
+    would), and the assignment is ONE map-only Arrow pass — a
+    vectorized cosine matrix per batch with ``argmax`` (first-max over
+    cid-sorted rows == ties → lowest centroid_id). The previous
+    broadcast-codebook ``aggregate`` fold evaluated the k cosines per
+    row through the HOF interpreter (CodegenFallback); the matrix
+    product is the same O(n·k·dim) at BLAS speed. Cost O(n·k·dim),
+    shuffle zero; NULL vectors keep a NULL centroid_id.
     """
-    cents_row = centroids.agg(F.collect_list(F.struct(
-        F.col("centroid_id").alias("cid"),
-        F.col("centroid").alias("cvec"),
-        _norm(F.col("centroid")).alias("cn"))).alias("__cents"))
-    vec = F.col(vec_col)
-    vn = _norm(vec)
-    # each cosine evaluated exactly once (transform), then an argmax
-    # fold over the precomputed (sim, cid) structs — comparison-based,
-    # so centroid ids of ANY orderable type work (string labels
-    # included, unlike a negate-the-id struct-max trick)
-    sims = F.transform(
-        F.col("__cents"),
-        lambda c: F.struct(
-            (_dot(vec, c["cvec"]) / (vn * c["cn"])).alias("s"),
-            c["cid"].alias("cid")))
-    best = F.aggregate(
-        F.slice(sims, 2, F.greatest(F.size(sims) - 1, F.lit(0))),
-        F.element_at(sims, 1),
-        lambda acc, x: F.when(
-            (x["s"] > acc["s"])
-            | ((x["s"] == acc["s"]) & (x["cid"] < acc["cid"])),
-            x).otherwise(acc))
-    return (
-        corpus.crossJoin(F.broadcast(cents_row))
-        .select(*corpus.columns, best["cid"].alias("centroid_id"))
-    )
+    import numpy as np
+    import pandas as pd
+
+    cb_rows = (centroids
+               .select("centroid_id", "centroid")
+               .orderBy("centroid_id").collect())
+    if not cb_rows:
+        # empty codebook: every row keeps a NULL centroid_id (the old
+        # fold's element_at-on-empty semantics)
+        cid_t0 = centroids.schema["centroid_id"].dataType
+        return corpus.withColumn(
+            "centroid_id", F.lit(None).cast(cid_t0))
+    cids = [r["centroid_id"] for r in cb_rows]
+    cmat = np.asarray([list(r["centroid"]) for r in cb_rows],
+                      dtype=np.float64)
+    cn = np.sqrt((cmat * cmat).sum(axis=1))
+    cid_t = centroids.schema["centroid_id"].dataType.simpleString()
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}"
+                       for f in corpus.schema.fields)
+    out_schema = f"{fields}, centroid_id {cid_t}"
+
+    def _assign(it):
+        for pdf in it:
+            col = pdf[vec_col]
+            mask = col.notna().to_numpy()
+            out = np.empty(len(pdf), dtype=object)
+            if mask.any():
+                x = np.stack(col[mask].to_numpy()).astype(np.float64)
+                vn = np.sqrt((x * x).sum(axis=1))
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    s = (x @ cmat.T) / (vn[:, None] * cn[None, :])
+                best = s.argmax(axis=1)
+                out[mask] = [cids[i] for i in best]
+            pdf = pdf.copy()
+            pdf["centroid_id"] = pd.Series(out, index=pdf.index,
+                                           dtype=object)
+            yield pdf
+
+    return corpus.mapInPandas(_assign, out_schema)
 
 
 def ivf_topk(

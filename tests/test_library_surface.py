@@ -1343,17 +1343,20 @@ class TestPlanShapes:
         assert plans.num_shuffles(df) == 1
 
     def test_assign_centroids_no_window_no_blowup(self, spark):
-        """Centroid assignment is a map-only argmax fold: no WindowExec,
-        no per-row sort; the only join is the broadcast of the ONE-row
-        collapsed codebook (the r03-era crossJoin × row_number form cost
-        a k× row multiplication plus a window sort per row)."""
+        """Centroid assignment is ONE map-only Arrow pass against the
+        driver-side codebook (r16 — vectorized cosine matrix + argmax;
+        the r03-era crossJoin × row_number form cost a k× row
+        multiplication plus a window sort per row, and the broadcast
+        HOF-fold form it replaced ran the k cosines interpreted per
+        row): no WindowExec, no join of ANY kind, no exchange."""
         from spark_expectations_spark.operators import similarity
         emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
         cents = similarity.train_centroids_df(emb, by_col="label")
         df = similarity.assign_centroids(emb, cents)
         txt = plans.plan_text(df, "simple")
         assert "Window" not in txt
-        assert plans.has_broadcast_join(df) or "BroadcastNestedLoopJoin" in txt
+        assert "Join" not in txt and "Exchange" not in txt
+        assert "MapInPandas" in txt or "ArrowEvalPython" in txt
 
     def test_semdedup_scan_fed_grouped_map(self, spark):
         """semdedup never collects the corpus: per-cell pair search is a
