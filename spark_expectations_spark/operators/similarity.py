@@ -510,9 +510,11 @@ def _l2_assigned(frame: DataFrame, cents) -> DataFrame:
     k·dim literals, which made every k-means iteration recompile a
     500-node expression tree); squared-L2 to every centroid evaluated
     once (transform), then an argmin fold with ties -> lowest
-    centroid_id. Adds ``__cid`` and ``__dist``; shuffle zero. Shared by
-    lloyd_kmeans's update/measure passes and the streaming
-    embedding-drift monitor."""
+    centroid_id. Adds ``__cid`` and ``__dist``; shuffle zero. Since
+    r16 this is the STREAMING monitors' path only (no collect at
+    wiring time, plan-side codebook — what foreachBatch wants);
+    lloyd_kmeans's batch passes moved to :func:`_lloyd_pass_arrow`
+    (vectorized partials)."""
     spark = frame.sparkSession
     cents_row = spark.createDataFrame(
         [(cid, list(cvec)) for cid, cvec in enumerate(cents)],
