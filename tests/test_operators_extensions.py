@@ -796,20 +796,45 @@ class TestTwoPhaseQuotaSelection:
         (phase-1 job + both kept branches). With persist_input
         (default) the bucketed frame is cached, so the returned plan
         reads InMemoryTableScan, phase 1 having materialized it; the
-        cache is released when the result is garbage-collected."""
+        cache is released when the result is garbage-collected.
+
+        The persistent-RDD count is SESSION-GLOBAL and releases ride
+        the asynchronous ContextCleaner, so earlier tests' pending
+        unpersists can land mid-test under host load (one r16 full-run
+        flake): every count assertion polls to its expected value with
+        a deadline instead of reading one racy snapshot."""
         import gc
+        import time as _time
         from spark_expectations_spark import plans
         from spark_expectations_spark.operators import sampling
 
         def n_cached():
             return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
 
+        def settle(expected, deadline=10.0):
+            t0 = _time.time()
+            while n_cached() != expected and _time.time() - t0 < deadline:
+                gc.collect()
+                _time.sleep(0.2)
+            return n_cached()
+
+        def drain():  # wait until pending async releases stop landing
+            gc.collect()
+            prev, t0 = n_cached(), _time.time()
+            while _time.time() - t0 < 10.0:
+                _time.sleep(0.5)
+                cur = n_cached()
+                if cur == prev:
+                    return cur
+                prev = cur
+            return prev
+
         df = spark.createDataFrame(
             [(i, "ab"[i % 2], 1 + i % 7) for i in range(400)],
             "id long, g string, tok int")
-        base = n_cached()
+        base = drain()  # let earlier tests' pending releases land first
         out = sampling.token_budget_sample(df, "g", "id", "tok", budget=50)
-        assert n_cached() == base + 1
+        assert settle(base + 1) == base + 1
         txt = plans.plan_text(out, "simple")
         assert "InMemoryTableScan" in txt
         # plain / persisted variants agree
@@ -819,11 +844,11 @@ class TestTwoPhaseQuotaSelection:
             sorted(map(tuple, plain.collect()))
         del out, txt
         gc.collect()
-        assert n_cached() == base  # released on GC
+        assert settle(base) == base  # released on GC
 
         out2 = sampling.mixture_resample(
             df, "id", "g", {"a": 600000, "b": 400000})
-        assert n_cached() == base + 1
+        assert settle(base + 1) == base + 1
         assert "InMemoryTableScan" in plans.plan_text(out2, "simple")
         plain2 = sampling.mixture_resample(
             df, "id", "g", {"a": 600000, "b": 400000}, persist_input=False)
@@ -831,7 +856,7 @@ class TestTwoPhaseQuotaSelection:
             sorted(map(tuple, plain2.collect()))
         del out2
         gc.collect()
-        assert n_cached() == base
+        assert settle(base) == base
 
     def test_release_input_cache_is_explicit_and_idempotent(self, spark):
         """ADVICE r6: GC release is nondeterministic and a derived
