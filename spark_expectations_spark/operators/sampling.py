@@ -845,6 +845,7 @@ def quantile_buckets(
     out: str = "bucket",
     exact: bool = True,
     relative_error: float = 1e-4,
+    persist_input: bool = False,
 ) -> DataFrame:
     """Per-group quantile bucketing — the CCNet recipe (Wenzek et al.
     2019, arXiv:1911.00359): split each language's documents into
@@ -875,6 +876,21 @@ def quantile_buckets(
         raise ValueError("need len(labels) == len(qs) + 1")
     if list(qs) != sorted(qs):
         raise ValueError("qs must be ascending")
+    if persist_input:
+        # ``df`` is consumed twice (the threshold aggregate, then the
+        # bucket join); when it is a COMPUTED frame — e.g. CCNet's
+        # LM-scored corpus — the whole scoring subtree would otherwise
+        # run twice. A lazy persist suffices: the threshold broadcast
+        # materializes first and populates the cache, the bucket join
+        # then reads it. Leave False (default) when ``df`` is a plain
+        # source scan — re-reading parquet is cheaper than caching it.
+        # SESSION-lifetime cache (not release-on-gc): the common
+        # ``quantile_buckets(df).select(...)`` shape drops the pinned
+        # frame before the action runs, which released the cache
+        # exactly when it was needed (r16, measured on semdedup's
+        # identical shape). clearCache()/session stop releases it.
+        from pyspark.storagelevel import StorageLevel
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # one array-valued percentile: ALL thresholds from a single
     # aggregation buffer instead of len(qs) independent ones
     thr = (df.groupBy(group_col)

@@ -1531,9 +1531,23 @@ def semdedup(
 
     Returns the kept rows: all original columns + ``centroid_id``.
     """
+    from pyspark.storagelevel import StorageLevel
+
     cents = centroids if centroids is not None else train_centroids_df(
         df, vec_col=vec_col, by_col=by_col, num_centroids=num_centroids)
-    assigned = assign_centroids(df, cents, vec_col=vec_col)
+    # `assigned` feeds BOTH the pair search (groupBy exchange) and the
+    # keep side of the anti-join; without a persist the full scan +
+    # Arrow assignment pass ran twice (r16 profile: two ~10-15 task-s
+    # jobs per warm run). A LAZY persist is enough — the first
+    # consumer's materialization populates the cache exactly once
+    # (accumulator-proven in the r16 ledger). Deliberately NOT
+    # release-on-gc: the common ``semdedup(df).select(...)`` shape
+    # drops the pinned frame before the action runs, and the cache
+    # died exactly when it was needed (measured — the anti-join side
+    # re-read the exchange). Session-lifetime cache like term_weights'
+    # tf: released by spark.catalog.clearCache() or session stop.
+    assigned = (assign_centroids(df, cents, vec_col=vec_col)
+                .persist(StorageLevel.MEMORY_AND_DISK))
     pairs = semdedup_pairs(
         assigned, cents, id_col=id_col, vec_col=vec_col,
         threshold=threshold, chunk=chunk)

@@ -683,6 +683,10 @@ def term_weights(
     from ..plans import fan_out
     from .dedup import tokens_col
 
+    if scheme not in ("tfidf", "bm25"):
+        # validate BEFORE building the plan: the late branch raise
+        # left a marked-but-never-computed persist behind (r16)
+        raise ValueError(f"unknown scheme {scheme!r}")
     toks = fan_out(df.select(id_col, text_col)).select(
         F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("term"))
     # (doc, term, tf) feeds THREE subtrees (document frequency, corpus

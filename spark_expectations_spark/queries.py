@@ -4447,7 +4447,8 @@ def q_docs_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = sampling.quantile_buckets(
         scored, "lang", "score",
-        qs=(0.25, 0.75), labels=("tail", "middle", "head"))
+        qs=(0.25, 0.75), labels=("tail", "middle", "head"),
+        persist_input=True)
     return b.select("doc_id", "lang", "score", "bucket")
 
 

@@ -107,3 +107,86 @@ class TestTransformedMoments:
         with pytest.raises(Exception, match="ragged"):
             similarity._transformed_moments(
                 df, "emb", np.zeros(2), np.eye(2))
+
+
+class TestSingleMaterialization:
+    """r16 batch 2: multi-consumer subtrees that had NO persist are
+    now lazily persisted (semdedup's assignment pass, ccnet's scored
+    frame via quantile_buckets(persist_input=True)) — without one the
+    subtree is planted once per consumer and computed that many times
+    (measured: two ~5 task-s assignment jobs per warm embed_semdedup
+    run). A LAZY persist computes it exactly once (accumulator-proven
+    in OPTIMIZATION_r16.md — the eager-populate variant was tried and
+    reverted as pure overhead)."""
+
+    def test_term_weights_reads_cache_and_values_stable(self, spark):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import text
+
+        df = spark.createDataFrame(
+            [(i, f"tok{i % 5} tok{i % 3} shared") for i in range(60)],
+            "doc_id long, text string")
+        out = text.term_weights(df, "doc_id", "text", min_df=2)
+        # every consumer subtree reads the materialized (doc, term, tf)
+        # cache, never the tokenize+explode pipeline
+        assert "InMemoryTableScan" in plans.plan_text(out, "simple")
+        rows = {(r.doc_id, r.term): (r.tf, round(r.weight, 9))
+                for r in out.collect()}
+        # hand-check one cell: doc 0 has terms tok0, tok0, shared ->
+        # tf(tok0)=2; every doc carries "shared" (df=60)
+        assert rows[(0, "tok0")][0] == 2
+        assert all((d, "shared") in rows for d in range(60))
+        spark.catalog.clearCache()
+
+    def test_term_weights_unknown_scheme_raises_before_persist(self, spark):
+        from spark_expectations_spark.operators import text
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        base = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+        with pytest.raises(ValueError, match="unknown scheme"):
+            text.term_weights(df, "doc_id", "text", scheme="nope")
+        # validation fires before the plan is built — the late branch
+        # raise left a marked-but-never-computed persist behind
+        assert spark.sparkContext._jsc.sc().getPersistentRDDs().size() \
+            == base
+
+    def test_quantile_buckets_persist_input_parity(self, spark):
+        from spark_expectations_spark.operators import sampling
+
+        rng = random.Random(5)
+        df = spark.createDataFrame(
+            [(i, "ab"[i % 2], rng.randint(-100, 100)) for i in range(300)],
+            "id long, g string, score long")
+        plain = sampling.quantile_buckets(df, "g", "score")
+        cached = sampling.quantile_buckets(df, "g", "score",
+                                           persist_input=True)
+        assert sorted(map(tuple, plain.collect())) == \
+            sorted(map(tuple, cached.collect()))
+        spark.catalog.clearCache()
+
+    def test_semdedup_reads_assignment_cache(self, spark):
+        from spark_expectations_spark import plans
+        from spark_expectations_spark.operators import similarity
+
+        rng = random.Random(9)
+        rows = [(i, i % 4, [rng.uniform(-1, 1) for _ in range(8)])
+                for i in range(120)]
+        # plant exact duplicates so the removal side is non-empty
+        rows += [(1000 + i, i % 4, rows[i][2]) for i in range(10)]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label long, embedding array<double>")
+        cents = similarity.train_centroids_df(
+            df, vec_col="embedding", by_col="label")
+        kept = similarity.semdedup(
+            df, id_col="vec_id", vec_col="embedding",
+            threshold=0.999999, centroids=cents)
+        txt = plans.plan_text(kept, "simple")
+        # both consumers (pair search + anti-join keep side) read the
+        # single materialized assignment pass
+        assert "InMemoryTableScan" in txt
+        kept_ids = {r.vec_id for r in kept.collect()}
+        # exact duplicates: the higher id of each planted pair is gone
+        assert all(1000 + i not in kept_ids for i in range(10))
+        assert all(i in kept_ids for i in range(10))
+        spark.catalog.clearCache()
+
