@@ -276,8 +276,13 @@ def _pair_intersections(
     # per-doc shingle counts from the cached index (shingles are distinct
     # per doc by construction) — no second shingling pass. Sizes are
     # computed BEFORE any stop-shingle filter so the denominators stay
-    # exact.
-    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+    # exact. Persisted (r16): the sa/sb join sides below each plant
+    # this aggregation again — the stage profile showed twin ~20 task-s
+    # stages computing identical (id, count) outputs; the frame is one
+    # narrow row per document, the cheapest dup in the plan to cut.
+    # Session-lifetime like `ex` above (same derive-and-drop caveat).
+    sizes = (ex.groupBy(id_col).agg(F.count("*").alias("n_shingles"))
+             .persist(StorageLevel.MEMORY_AND_DISK))
     postings = (
         ex.groupBy("shingle")
         .agg(F.sort_array(F.collect_list(F.col(id_col))).alias("ids"))
