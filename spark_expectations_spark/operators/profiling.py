@@ -315,6 +315,15 @@ def krippendorff_alpha(
     ul = (df.filter(u.isNotNull() & lab.isNotNull())
           .groupBy(u.alias("__u"), lab.alias("__l"))
           .agg(F.count(F.lit(1)).alias("__c")))
+    return _alpha_nominal_from_ul(ul)
+
+
+def _alpha_nominal_from_ul(ul: DataFrame) -> DataFrame:
+    """Nominal-metric alpha from a prebuilt ``(__u, __l, __c)`` count
+    frame — split out so the CI path can feed the SAME (persisted)
+    frame to the point estimate instead of re-deriving it from the
+    raw ratings (r16: the un-shared point plan planted the ratings
+    scan 10×)."""
     per_unit = (ul.groupBy("__u")
                 .agg(F.sum("__c").alias("__m"),
                      F.sum(F.col("__c") * F.col("__c")).alias("__s2"))
@@ -328,17 +337,9 @@ def krippendorff_alpha(
             .groupBy("__l").agg(F.sum("__c").alias("__nl")))
     tot = marg.agg(F.sum("__nl").alias("__n"),
                    F.sum(F.col("__nl") * F.col("__nl")).alias("__s2l"))
-    out = do.crossJoin(F.broadcast(tot))
     d_e = ((F.col("__n") * F.col("__n") - F.col("__s2l")).cast("double")
            / (F.col("__n") - 1))
-    return out.select(
-        F.coalesce("n_units", F.lit(0)).alias("n_units"),
-        F.coalesce("n_ratings", F.lit(0)).alias("n_ratings"),
-        F.coalesce("d_o", F.lit(0.0)).alias("d_o"),
-        d_e.alias("d_e"),
-        F.when(d_e > 0.0,
-               F.lit(1.0) - F.coalesce("d_o", F.lit(0.0)) / d_e)
-         .alias("alpha"))
+    return _alpha_final(do, tot, d_e)
 
 
 def _alpha_final(do, tot, d_e) -> DataFrame:
@@ -369,6 +370,13 @@ def _alpha_interval(df: DataFrame, unit_col: str,
                      F.sum(v).alias("__s1"),
                      F.sum(v * v).alias("__s2"))
                 .filter(F.col("__m") >= 2))
+    return _alpha_interval_from_pu(per_unit)
+
+
+def _alpha_interval_from_pu(per_unit: DataFrame) -> DataFrame:
+    """Interval-metric alpha from a prebuilt per-unit moments frame
+    ``(__u, __m, __s1, __s2)`` (extra columns ignored) — the CI path
+    feeds its persisted frame here (see :func:`_alpha_nominal_from_ul`)."""
     do = per_unit.agg(
         F.count(F.lit(1)).alias("n_units"),
         F.sum("__m").alias("n_ratings"),
@@ -395,6 +403,13 @@ def _alpha_ordinal(df: DataFrame, unit_col: str,
     ul = (df.filter(u.isNotNull() & v.isNotNull())
           .groupBy(u.alias("__u"), v.alias("__v"))
           .agg(F.count(F.lit(1)).alias("__c")))
+    return _alpha_ordinal_from_ul(ul)
+
+
+def _alpha_ordinal_from_ul(ul: DataFrame) -> DataFrame:
+    """Ordinal-metric alpha from a prebuilt ``(__u, __v, __c)`` count
+    frame (see :func:`_alpha_nominal_from_ul` for why the split
+    exists)."""
     per_unit = (ul.groupBy("__u")
                 .agg(F.sum("__c").alias("__m"))
                 .filter(F.col("__m") >= 2))
@@ -456,13 +471,16 @@ def _alpha_with_ci(df: DataFrame, unit_col: str, label_col: str, *,
     alpha_b = 1 − D_o^b/D_e^b with every pairable unit weighted by its
     deterministic Poisson(1) draw; the labels×B marginal table and the
     (ordinal) δ² table are collected driver-side (both model-scale,
-    like bootstrap_ci's replica means)."""
+    like bootstrap_ci's replica means).
+
+    The point estimate, the weighted D_o aggregate, and the replica
+    marginals ride ONE driver action (see :func:`_alpha_ci_replicas`
+    for the fusion and the measured adjudication); the ordinal metric
+    adds one model-scale collect for its δ² table."""
     if replicas < 2:
         raise ValueError("replicas must be >= 2")
     if not 0.0 < ci_alpha < 1.0:
         raise ValueError("ci_alpha must be in (0, 1)")
-    point = krippendorff_alpha(df, unit_col, label_col,
-                               metric=metric).first()
     u = F.col(unit_col)
     B = replicas
     wt_sum = lambda expr: [  # noqa: E731
@@ -482,108 +500,16 @@ def _alpha_with_ci(df: DataFrame, unit_col: str, label_col: str, *,
                         F.lit(2.0) * (F.col("__m") * F.col("__s2")
                                       - F.col("__s1") * F.col("__s1"))
                         / (F.col("__m") - 1)))
-        puw = _with_poisson_weights(
-            per_unit, "__u", B, salt,
-            keep=["__mass", "__m", "__s1", "__s2"])
-        aggs = (wt_sum("__mass")
-                + [F.expr(f"sum(__wt{b} * __m)").alias(f"__n{b}")
-                   for b in range(B)]
-                + [F.expr(f"sum(__wt{b} * __s1)").alias(f"__t1{b}")
-                   for b in range(B)]
-                + [F.expr(f"sum(__wt{b} * __s2)").alias(f"__t2{b}")
-                   for b in range(B)])
-        row = puw.agg(*aggs).first()
-        alphas = []
-        for b in range(B):
-            n_b = row[f"__n{b}"]
-            if n_b is None or n_b < 2:
-                continue
-            de = 2.0 * (n_b * row[f"__t2{b}"]
-                        - row[f"__t1{b}"] * row[f"__t1{b}"]) / (n_b - 1)
-            if de <= 0:
-                continue
-            alphas.append(1.0 - (row[f"__a{b}"] or 0.0) / de)
+        base = per_unit
     else:
-        # nominal and ordinal share the (unit, value) count frame and
-        # the per-replica label marginals; they differ in the per-unit
-        # pair mass and in how D_e folds over the marginals.
         val = (F.col(label_col).cast("string") if metric == "nominal"
                else F.col(label_col).cast("double"))
         ul = (df.filter(u.isNotNull() & val.isNotNull())
               .groupBy(u.alias("__u"), val.alias("__v"))
               .agg(F.count(F.lit(1)).alias("__c")))
-        per_unit = (ul.groupBy("__u")
-                    .agg(F.sum("__c").alias("__m"),
-                         F.sum(F.col("__c") * F.col("__c"))
-                          .alias("__s2"))
-                    .filter(F.col("__m") >= 2))
-        ulp = ul.join(per_unit.select("__u"), "__u", "left_semi")
-        d2_map = {}
-        if metric == "nominal":
-            pu = per_unit.withColumn(
-                "__mass",
-                (F.col("__m") * F.col("__m") - F.col("__s2"))
-                .cast("double") / (F.col("__m") - 1))
-        else:
-            # ordinal: fixed full-sample δ² table + per-unit pair mass
-            marg = ulp.groupBy("__v").agg(F.sum("__c").alias("__nl"))
-            wcum = (Window.orderBy("__v")
-                    .rowsBetween(Window.unboundedPreceding, 0))
-            cum = marg.withColumn("__cum", F.sum("__nl").over(wcum))
-            a = cum.select(F.col("__v").alias("__va"),
-                           F.col("__nl").alias("__na"),
-                           F.col("__cum").alias("__ca"))
-            bb = cum.select(F.col("__v").alias("__vb"),
-                            F.col("__nl").alias("__nb"),
-                            F.col("__cum").alias("__cb"))
-            delta = (F.col("__cb") - F.col("__ca") + F.col("__na")
-                     - (F.col("__na") + F.col("__nb")) / 2)
-            d2 = (a.join(bb, F.col("__va") < F.col("__vb"))
-                  .select("__va", "__vb", (delta * delta).alias("__d2"))
-                  .localCheckpoint(eager=False))
-            d2_map = {(r["__va"], r["__vb"]): r["__d2"]
-                      for r in d2.collect()}
-            pairs = (ulp.alias("x").join(ulp.alias("y"), "__u")
-                     .filter(F.col("x.__v") < F.col("y.__v"))
-                     .select(F.col("__u"),
-                             F.col("x.__v").alias("__va"),
-                             F.col("y.__v").alias("__vb"),
-                             (F.lit(2.0) * F.col("x.__c")
-                              * F.col("y.__c")).alias("__cc"))
-                     .join(F.broadcast(d2), ["__va", "__vb"]))
-            mass = (pairs.groupBy("__u")
-                    .agg(F.sum(F.col("__cc") * F.col("__d2"))
-                         .alias("__pm")))
-            pu = (per_unit.join(mass, "__u", "left")
-                  .withColumn("__mass",
-                              F.coalesce("__pm", F.lit(0.0))
-                              / (F.col("__m") - 1)))
-        puw = _with_poisson_weights(pu, "__u", B, salt,
-                                    keep=["__mass"])
-        do_row = puw.agg(*wt_sum("__mass")).first()
-        ulw = _with_poisson_weights(ulp, "__u", B, salt,
-                                    keep=["__v", "__c"])
-        lrows = (ulw.groupBy("__v")
-                 .agg(*[F.expr(f"sum(__wt{b} * __c)").alias(f"__n{b}")
-                        for b in range(B)])
-                 .collect())
-        alphas = []
-        for b in range(B):
-            nl = [(r["__v"], r[f"__n{b}"] or 0) for r in lrows]
-            n_b = sum(c for _, c in nl)
-            if n_b < 2:
-                continue
-            if metric == "nominal":
-                de = float(n_b * n_b - sum(c * c for _, c in nl)) \
-                    / (n_b - 1)
-            else:
-                nl.sort(key=lambda t: t[0])  # δ² keys are (va < vb)
-                de = sum(2.0 * ca * cb * d2_map[(va, vb)]
-                         for i, (va, ca) in enumerate(nl)
-                         for vb, cb in nl[i + 1:]) / (n_b - 1)
-            if de <= 0:
-                continue
-            alphas.append(1.0 - (do_row[f"__a{b}"] or 0.0) / de)
+        base = ul
+    alphas, point = _alpha_ci_replicas(
+        metric=metric, base=base, B=B, salt=salt, wt_sum=wt_sum)
 
     if len(alphas) < 2:
         raise ValueError(
@@ -604,6 +530,139 @@ def _alpha_with_ci(df: DataFrame, unit_col: str, label_col: str, *,
         [out], "n_units long, n_ratings long, d_o double, d_e double, "
                "alpha double, se double, ci_lo double, ci_hi double, "
                "replicas int")
+
+
+def _alpha_ci_replicas(*, metric: str, base: DataFrame, B: int,
+                       salt: str, wt_sum):
+    """Point estimate + replica alphas for :func:`_alpha_with_ci`.
+
+    The point estimate's 1-row frame and the weighted-D_o 1-row
+    aggregate are crossJoined (broadcast) onto the replica-marginals
+    frame so ALL of them ride ONE collect: as three separate driver
+    actions each paid its own chain of sequential AQE stage-jobs
+    (~21 jobs per call at the r16 profile) while recomputing the
+    shared subtrees — which runtime exchange reuse already dedups
+    WITHIN one action, and measurably does not pay for materializing
+    across actions (persist/localCheckpoint variants both LOST the
+    r16 A/B: 6.4 s / 4.4 s vs 3.6 s baseline — the cache machinery
+    costs more than re-deriving the units-scale frames)."""
+    if metric == "interval":
+        per_unit = base
+        pointdf = _alpha_interval_from_pu(per_unit)
+        puw = _with_poisson_weights(
+            per_unit, "__u", B, salt,
+            keep=["__mass", "__m", "__s1", "__s2"])
+        aggs = (wt_sum("__mass")
+                + [F.expr(f"sum(__wt{b} * __m)").alias(f"__n{b}")
+                   for b in range(B)]
+                + [F.expr(f"sum(__wt{b} * __s1)").alias(f"__t1{b}")
+                   for b in range(B)]
+                + [F.expr(f"sum(__wt{b} * __s2)").alias(f"__t2{b}")
+                   for b in range(B)])
+        row = (puw.agg(*aggs)
+               .crossJoin(F.broadcast(pointdf)).first())
+        point = row
+        alphas = []
+        for b in range(B):
+            n_b = row[f"__n{b}"]
+            if n_b is None or n_b < 2:
+                continue
+            de = 2.0 * (n_b * row[f"__t2{b}"]
+                        - row[f"__t1{b}"] * row[f"__t1{b}"]) / (n_b - 1)
+            if de <= 0:
+                continue
+            alphas.append(1.0 - (row[f"__a{b}"] or 0.0) / de)
+        return alphas, point
+
+    # nominal and ordinal share the (unit, value) count frame and
+    # the per-replica label marginals; they differ in the per-unit
+    # pair mass and in how D_e folds over the marginals.
+    ul = base
+    if metric == "nominal":
+        pointdf = _alpha_nominal_from_ul(
+            ul.select(F.col("__u"), F.col("__v").alias("__l"),
+                      F.col("__c")))
+    else:
+        pointdf = _alpha_ordinal_from_ul(ul)
+    per_unit = (ul.groupBy("__u")
+                .agg(F.sum("__c").alias("__m"),
+                     F.sum(F.col("__c") * F.col("__c"))
+                      .alias("__s2"))
+                .filter(F.col("__m") >= 2))
+    ulp = ul.join(per_unit.select("__u"), "__u", "left_semi")
+    d2_map = {}
+    if metric == "nominal":
+        pu = per_unit.withColumn(
+            "__mass",
+            (F.col("__m") * F.col("__m") - F.col("__s2"))
+            .cast("double") / (F.col("__m") - 1))
+    else:
+        # ordinal: fixed full-sample δ² table + per-unit pair mass
+        marg = ulp.groupBy("__v").agg(F.sum("__c").alias("__nl"))
+        wcum = (Window.orderBy("__v")
+                .rowsBetween(Window.unboundedPreceding, 0))
+        cum = marg.withColumn("__cum", F.sum("__nl").over(wcum))
+        a = cum.select(F.col("__v").alias("__va"),
+                       F.col("__nl").alias("__na"),
+                       F.col("__cum").alias("__ca"))
+        bb = cum.select(F.col("__v").alias("__vb"),
+                        F.col("__nl").alias("__nb"),
+                        F.col("__cum").alias("__cb"))
+        delta = (F.col("__cb") - F.col("__ca") + F.col("__na")
+                 - (F.col("__na") + F.col("__nb")) / 2)
+        d2 = (a.join(bb, F.col("__va") < F.col("__vb"))
+              .select("__va", "__vb", (delta * delta).alias("__d2"))
+              .localCheckpoint(eager=False))
+        d2_map = {(r["__va"], r["__vb"]): r["__d2"]
+                  for r in d2.collect()}
+        pairs = (ulp.alias("x").join(ulp.alias("y"), "__u")
+                 .filter(F.col("x.__v") < F.col("y.__v"))
+                 .select(F.col("__u"),
+                         F.col("x.__v").alias("__va"),
+                         F.col("y.__v").alias("__vb"),
+                         (F.lit(2.0) * F.col("x.__c")
+                          * F.col("y.__c")).alias("__cc"))
+                 .join(F.broadcast(d2), ["__va", "__vb"]))
+        mass = (pairs.groupBy("__u")
+                .agg(F.sum(F.col("__cc") * F.col("__d2"))
+                     .alias("__pm")))
+        pu = (per_unit.join(mass, "__u", "left")
+              .withColumn("__mass",
+                          F.coalesce("__pm", F.lit(0.0))
+                          / (F.col("__m") - 1)))
+    puw = _with_poisson_weights(pu, "__u", B, salt,
+                                keep=["__mass"])
+    ulw = _with_poisson_weights(ulp, "__u", B, salt,
+                                keep=["__v", "__c"])
+    lrows = (ulw.groupBy("__v")
+             .agg(*[F.expr(f"sum(__wt{b} * __c)").alias(f"__n{b}")
+                    for b in range(B)])
+             .crossJoin(F.broadcast(puw.agg(*wt_sum("__mass"))))
+             .crossJoin(F.broadcast(pointdf))
+             .collect())
+    if not lrows:
+        # no pairable labels at all: the caller's <2-replica guard is
+        # the contractual error for this case
+        return [], None
+    point = do_row = lrows[0]
+    alphas = []
+    for b in range(B):
+        nl = [(r["__v"], r[f"__n{b}"] or 0) for r in lrows]
+        n_b = sum(c for _, c in nl)
+        if n_b < 2:
+            continue
+        if metric == "nominal":
+            de = float(n_b * n_b - sum(c * c for _, c in nl)) \
+                / (n_b - 1)
+        else:
+            nl.sort(key=lambda t: t[0])  # δ² keys are (va < vb)
+            de = sum(2.0 * ca * cb * d2_map[(va, vb)]
+                     for i, (va, ca) in enumerate(nl)
+                     for vb, cb in nl[i + 1:]) / (n_b - 1)
+        if de <= 0:
+            continue
+        alphas.append(1.0 - (do_row[f"__a{b}"] or 0.0) / de)
+    return alphas, point
 
 
 #: Poisson(1) CDF thresholds for k = 0..8 (e^-1 · Σ 1/i!), written as

@@ -190,3 +190,47 @@ class TestSingleMaterialization:
         assert all(i in kept_ids for i in range(10))
         spark.catalog.clearCache()
 
+
+
+class TestAlphaCiFusedAction:
+    """krippendorff_alpha(ci=True) r16 rework: the point estimate and
+    the weighted-D_o aggregate ride the replica-marginals collect as
+    broadcast crossJoins — one driver action instead of three. The
+    value contract (point == plain run, deterministic replicas) is
+    covered by TestKrippendorffAlpha; these pin the rework's edges."""
+
+    def test_empty_input_keeps_the_replica_error(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        empty = spark.createDataFrame([], "unit long, label string")
+        with _pytest.raises(ValueError, match="non-degenerate"):
+            profiling.krippendorff_alpha(empty, "unit", "label",
+                                         ci=True, replicas=8)
+
+    def test_all_null_labels_keep_the_replica_error(self, spark):
+        import pytest as _pytest
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(1, None), (1, None), (2, None)], "unit long, label string")
+        with _pytest.raises(ValueError, match="non-degenerate"):
+            profiling.krippendorff_alpha(df, "unit", "label",
+                                         ci=True, replicas=8)
+
+    def test_point_columns_survive_the_crossjoin_for_all_metrics(
+            self, spark):
+        from spark_expectations_spark.operators import profiling
+        df = spark.createDataFrame(
+            [(u, r, float(v)) for u in range(1, 13)
+             for r, v in enumerate([u % 3 + 1, u % 3 + 1, (u % 4) + 1])],
+            "unit long, rater int, rating double")
+        for m in ("nominal", "interval", "ordinal"):
+            got = profiling.krippendorff_alpha(
+                df, "unit", "rating", metric=m, ci=True,
+                replicas=8).first()
+            plain = profiling.krippendorff_alpha(
+                df, "unit", "rating", metric=m).first()
+            assert got["alpha"] == plain["alpha"], m
+            assert got["d_o"] == plain["d_o"], m
+            assert got["d_e"] == plain["d_e"], m
+            assert got["n_units"] == plain["n_units"], m
+            assert got["n_ratings"] == plain["n_ratings"], m
