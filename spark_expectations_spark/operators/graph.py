@@ -391,14 +391,15 @@ def triangle_counts(
     Schank-Wagner — what every distributed triangle system uses):
     canonicalize to (lo, hi) distinct edges, then ORIENT each edge
     from the lower-(degree, id) endpoint to the higher. Every node's
-    out-degree in that orientation is O(sqrt(m)), so the wedge
-    self-join (two out-edges of one node) generates
-    Σ outdeg² = O(m^1.5) candidate wedges instead of the Σ degree²
-    blowup a naive wedge join pays on hub nodes; one semi-join against
-    the oriented edges closes them. Each triangle materializes exactly
-    once (at its lowest-order vertex) and explodes to its 3 member
-    nodes for the per-node count. All joins are node-keyed
-    equi-joins; counts are exact integers — bit-identical
+    out-degree in that orientation is O(sqrt(m)), so expanding each
+    node's sorted out-list into its in-list pairs (the posting-list
+    two-Generate shape, r16 — one groupBy instead of the previous
+    two-exchange wedge self-join) generates Σ outdeg² = O(m^1.5)
+    candidate wedges instead of the Σ degree² blowup a naive wedge
+    join pays on hub nodes; one semi-join against the canonical edges
+    closes them. Each triangle materializes exactly once (at its
+    lowest-order vertex) and explodes to its 3 member nodes for the
+    per-node count. Counts are exact integers — bit-identical
     cross-engine.
     """
     e_raw = edges.select(F.col(src).alias("__a"), F.col(dst).alias("__b"))
@@ -407,8 +408,9 @@ def triangle_counts(
                    F.greatest("__a", "__b").alias("__hi"))
            .distinct()
            .localCheckpoint(eager=False))
-    deg = (und.select(F.col("__lo").alias("node"))
-           .unionByName(und.select(F.col("__hi").alias("node")))
+    # one-pass endpoint explode (r16 — the CC-symmetrize precedent):
+    # the unionByName form re-read the und subtree once per endpoint
+    deg = (und.select(F.explode(F.array("__lo", "__hi")).alias("node"))
            .groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
            .localCheckpoint(eager=False))
     dl = deg.select(F.col("node").alias("__lo"),
@@ -423,21 +425,31 @@ def triangle_counts(
            .select(F.when(lo_first, F.col("__lo"))
                    .otherwise(F.col("__hi")).alias("__u"),
                    F.when(lo_first, F.col("__hi"))
-                   .otherwise(F.col("__lo")).alias("__v"))
-           .localCheckpoint(eager=False))
-    w1 = ori.select(F.col("__u"), F.col("__v").alias("__x"))
-    w2 = ori.select(F.col("__u"), F.col("__v").alias("__y"))
-    wedges = (w1.join(w2, "__u")
-              .filter(F.col("__x") < F.col("__y")))
+                   .otherwise(F.col("__lo")).alias("__v")))
+    # wedges: key-carried posting-list expansion (r16 — the
+    # posting_list_pairs shape with __u carried through). The old
+    # w1×w2 self-join shuffled ori twice (the two projections hash to
+    # DIFFERENT exchanges, so exchange reuse could not unify them) and
+    # sort-merged k² candidates; ONE groupBy builds each node's sorted
+    # out-list (O(sqrt m) long by the orientation bound — the same
+    # bound that kept the join safe) and two chained codegen Generates
+    # stream exactly the __x < __y pairs. Sorted ascending ==
+    # the join's `<` for every orderable node type.
+    adj = ori.groupBy("__u").agg(
+        F.sort_array(F.collect_list("__v")).alias("__vs"))
+    wedges = (adj.select("__u", F.col("__vs"),
+                         F.posexplode("__vs").alias("__i", "__x"))
+              .select("__u", "__x",
+                      F.explode(F.slice(F.col("__vs"), F.col("__i") + F.lit(2),
+                                        F.size(F.col("__vs")))).alias("__y")))
     # close the wedge: the (x, y) edge exists in the canonical
     # undirected set (membership is orientation-free)
     tri = wedges.join(
         und.select(F.col("__lo").alias("__x"),
                    F.col("__hi").alias("__y")),
         ["__x", "__y"], "left_semi")
-    members = (tri.select(F.col("__u").alias("node"))
-               .unionByName(tri.select(F.col("__x").alias("node")))
-               .unionByName(tri.select(F.col("__y").alias("node"))))
+    members = tri.select(
+        F.explode(F.array("__u", "__x", "__y")).alias("node"))
     per_node = members.groupBy("node").agg(
         F.count(F.lit(1)).alias("triangles"))
     dd = F.col("degree").cast("double")
