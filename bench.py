@@ -2,6 +2,18 @@
 local[$SPARK_GRAFT_CPUS]. Prints a full-detail JSON line (all per-query
 seconds) followed by ONE short summary JSON line LAST:
 {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+TIMED ACTION (changed r16, guide §1.4): each query is materialized
+through the NOOP SINK (`df.write.format("noop")`), which computes
+every column of every row. Earlier rounds timed `df.count()`, which
+lets Catalyst prune columns AND eliminate provably-redundant
+subtrees — the r16 audit found 8 entries whose counted plan dropped
+most of the algorithm (part_copurchase_triangles lost all 7 joins —
+true cost ~14× the counted number; the pagerank family lost the whole
+rank loop once r16's gated lineage cut made it fully lazy; see
+OPTIMIZATION_r16.md "count() elimination"). Numbers before/after the
+r16 protocol boundary are NOT directly comparable; the ledger carries
+a dual capture of the boundary run.
 The summary line stays under the driver's ~2000-char tail-capture window
 (BENCH_r08 was unparseable because the 90-query single line overflowed it).
 The COMPLETE per-query map is also persisted to BENCH_latest_full.json
@@ -476,7 +488,7 @@ def main() -> None:
     # is what a 100 TB comparison should measure
     def _time_query(name: str) -> float:
         fn = QUERIES[name]
-        best, n, runs = None, 0, 0
+        best, runs = None, 0
         # min of 3 runs for EVERY query: the shared host shows ±50%
         # noise spikes, and round-over-round comparisons on sub-second
         # queries were dominated by that noise (three phantom
@@ -485,14 +497,24 @@ def main() -> None:
         while runs < 3:
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()
+            # r16 MEASUREMENT FIX (guide §1.4): the timed action is the
+            # noop sink, NOT df.count(). count() lets Catalyst prune
+            # whole subtrees behind provably-unique outer joins — the
+            # r16 audit (OPTIMIZATION_r16.md "count() elimination")
+            # found 8 entries whose counted plan dropped most of the
+            # algorithm (part_copurchase_triangles: all 7 joins, true
+            # cost ~14× the counted one; the pagerank family: the whole
+            # rank loop once the r16 lineage-cut gating made it lazy).
+            # Rounds ≤ r16-close numbers are count-based — compare
+            # across the boundary only via the ledger's dual capture.
+            df.write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             runs += 1
             # each run is timed standalone: drop any intra-query persists
             # so one run's cache doesn't pressure the next one's memory
             spark.catalog.clearCache()
-        print(f"# {name}: {n} rows in {round(best, 3)}s (warm of {runs})",
+        print(f"# {name}: {round(best, 3)}s (noop sink, warm of {runs})",
               file=sys.stderr)
         return round(best, 3)
 

@@ -68,7 +68,10 @@ def main() -> int:
         best = None
         for _ in range(3):
             t0 = time.time()
-            fn(spark, sf_dir).count()
+            # r16 measurement fix: noop sink, mirroring bench.py
+            # (count() prunes subtrees — guide §1.4)
+            fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite").save()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
             spark.catalog.clearCache()

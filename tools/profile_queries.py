@@ -1,7 +1,7 @@
 """Per-query time breakdown: driver (plan/codegen) vs executor work.
 
 For each named query, runs bench.py's protocol (same session profile,
-same warmers, noop-equivalent count action) but additionally splits the
+same warmers, same noop-sink action) but additionally splits the
 wall clock into:
 
 * ``build_s``   — Python DSL + Catalyst analysis (constructing the DF)
@@ -97,7 +97,10 @@ def main() -> int:
             t0 = time.time()
             df = fn(spark, sf_dir)
             t1 = time.time()
-            n = df.count()
+            # r16 measurement fix: noop sink, mirroring bench.py
+            # (count() prunes subtrees — guide §1.4)
+            df.write.format("noop").mode("overwrite").save()
+            n = -1
             t2 = time.time()
             sc.setJobGroup(None, None)
             rec = {"query": name, "rows": n,
