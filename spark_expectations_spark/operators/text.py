@@ -2472,12 +2472,18 @@ def ngram_overlap(
 
     Scale shape: relational multiset intersection, NOT a per-row
     quadratic HOF fold (interpreted array lambdas are O(L²) per row —
-    minutes per partition on book-length docs): one projection builds
-    both gram arrays, each side explodes to an (id, gram) count
-    (map-side combined), one (id, gram)-keyed inner join takes the
-    per-gram ``least``, one id-keyed re-agg sums the matches. Every
-    shuffle is id/gram-keyed and bounded by document length; nothing
-    is corpus².
+    minutes per partition on book-length docs): ONE projection builds
+    both gram arrays and a tagged map-explode streams both sides
+    through a single (id, gram) count with conditional per-side sums
+    (map-side combined), then one id-keyed re-agg takes
+    ``Σ least(count_ref, count_cand)`` over grams present on BOTH
+    sides. The r16 rework: the previous shape planted the gram-build
+    projection THREE times (sizes + per-side counts) and paid an
+    (id, gram) join; now the heavy gram build runs once, the side
+    counts never join (conditional aggregation), and the sizes frame
+    re-tokenizes only (``n_grams == max(0, n_tokens - (n-1))`` by
+    construction — no gram strings needed). Every shuffle is
+    id/gram-keyed and bounded by document length; nothing is corpus².
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -2492,15 +2498,32 @@ def ngram_overlap(
         F.col(id_col).alias("__id"),
         _word_ngrams(words(ref_col), n).alias("__rg"),
         _word_ngrams(words(cand_col), n).alias("__cg"))
-    sizes = base.select("__id", F.size("__rg").alias("__nr"),
-                        F.size("__cg").alias("__nc"))
-    rg = (base.select("__id", F.explode("__rg").alias("__g"))
-          .groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__cr")))
-    cg = (base.select("__id", F.explode("__cg").alias("__g"))
-          .groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__cc")))
-    match = (rg.join(cg, ["__id", "__g"])
-             .groupBy("__id")
-             .agg(F.sum(F.least("__cr", "__cc")).alias("__m")))
+    # size(_word_ngrams(ws, n)) == greatest(size(ws) - (n-1), 0) by
+    # construction (zip_with of equal-length slices) — computing it
+    # from the token arrays skips the gram-string build entirely
+    sizes = df.select(
+        F.col(id_col).alias("__id"),
+        F.greatest(F.size(words(ref_col)) - (n - 1),
+                   F.lit(0)).alias("__nr"),
+        F.greatest(F.size(words(cand_col)) - (n - 1),
+                   F.lit(0)).alias("__nc"))
+    # both sides through ONE codegen Generate chain: explode the
+    # tagged {r: rg, c: cg} map, then each side's gram array
+    grams = (base
+             .select("__id",
+                     F.explode(F.create_map(
+                         F.lit("r"), F.col("__rg"),
+                         F.lit("c"), F.col("__cg"))).alias("__s", "__a"))
+             .select("__id", "__s", F.explode("__a").alias("__g")))
+    counts = grams.groupBy("__id", "__g").agg(
+        F.sum(F.when(F.col("__s") == "r", 1).otherwise(0)).alias("__cr"),
+        F.sum(F.when(F.col("__s") == "c", 1).otherwise(0)).alias("__cc"))
+    # grams on one side only contribute 0 — identical to the old
+    # inner join that dropped them before sum(least(...))
+    match = (counts.groupBy("__id")
+             .agg(F.sum(F.when((F.col("__cr") > 0) & (F.col("__cc") > 0),
+                               F.least("__cr", "__cc"))
+                        .otherwise(F.lit(0).cast("long"))).alias("__m")))
     m = F.coalesce(F.col("__m"), F.lit(0)).cast("double")
     nr, nc = F.col("__nr"), F.col("__nc")
     return (sizes.join(match, "__id", "left")

@@ -234,3 +234,86 @@ class TestAlphaCiFusedAction:
             assert got["d_e"] == plain["d_e"], m
             assert got["n_units"] == plain["n_units"], m
             assert got["n_ratings"] == plain["n_ratings"], m
+
+
+class TestNgramOverlapSinglePass:
+    """The r16 ngram_overlap rework (one tagged map-explode + conditional
+    per-side counts, token-arithmetic sizes) against the pre-r16 shape
+    (3x-planted gram-build base, per-side counts, (id, gram) inner
+    join). The contract is bit-identical rows."""
+
+    @staticmethod
+    def _old_ngram_overlap(df, id_col, ref_col, cand_col, *, n=2):
+        from spark_expectations_spark.operators.text import _word_ngrams
+
+        def words(c):
+            return F.filter(
+                F.split(F.trim(F.lower(F.coalesce(F.col(c), F.lit("")))),
+                        r"\s+"),
+                lambda t: t != "")
+
+        base = df.select(
+            F.col(id_col).alias("__id"),
+            _word_ngrams(words(ref_col), n).alias("__rg"),
+            _word_ngrams(words(cand_col), n).alias("__cg"))
+        sizes = base.select("__id", F.size("__rg").alias("__nr"),
+                            F.size("__cg").alias("__nc"))
+        rg = (base.select("__id", F.explode("__rg").alias("__g"))
+              .groupBy("__id", "__g")
+              .agg(F.count(F.lit(1)).alias("__cr")))
+        cg = (base.select("__id", F.explode("__cg").alias("__g"))
+              .groupBy("__id", "__g")
+              .agg(F.count(F.lit(1)).alias("__cc")))
+        match = (rg.join(cg, ["__id", "__g"])
+                 .groupBy("__id")
+                 .agg(F.sum(F.least("__cr", "__cc")).alias("__m")))
+        m = F.coalesce(F.col("__m"), F.lit(0)).cast("double")
+        nr, nc = F.col("__nr"), F.col("__nc")
+        return (sizes.join(match, "__id", "left")
+                .select(
+                    F.col("__id").alias(id_col),
+                    nr.alias("n_ref_ngrams"),
+                    nc.alias("n_cand_ngrams"),
+                    F.coalesce(F.col("__m"), F.lit(0)).alias("n_match"),
+                    F.when(nc > 0, m / nc).alias("precision"),
+                    F.when(nr > 0, m / nr).alias("recall"),
+                    F.when(nr + nc > 0,
+                           F.lit(2.0) * m / (nr + nc)).alias("f1")))
+
+    def _fixture(self, spark, seed=11, rows=120):
+        import random as _random
+        rng = _random.Random(seed)
+        vocab = ["a", "b", "cat", "dog", "the", "zz", "b"]
+        data = []
+        for i in range(rows):
+            ref = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+            cand = " ".join(rng.choices(vocab, k=rng.randint(0, 12)))
+            if i % 17 == 0:
+                ref = None
+            if i % 23 == 0:
+                cand = ""
+            data.append((i, ref, cand))
+        return spark.createDataFrame(data,
+                                     "id long, ref string, cand string")
+
+    def test_matches_old_shape_bit_identical(self, spark):
+        from spark_expectations_spark.operators import text as T
+        df = self._fixture(spark)
+        for n in (1, 2, 3):
+            new = T.ngram_overlap(df, "id", "ref", "cand", n=n)
+            old = self._old_ngram_overlap(df, "id", "ref", "cand", n=n)
+            assert new.schema == old.schema, n
+            new_rows = sorted(map(tuple, new.collect()))
+            old_rows = sorted(map(tuple, old.collect()))
+            assert new_rows == old_rows, n
+            assert any(r[3] > 0 for r in new_rows)   # matches happen
+            assert any(r[1] == 0 for r in new_rows)  # empty sides happen
+
+    def test_no_join_feeds_the_match_count(self, spark):
+        """The match aggregate must come from conditional sums over ONE
+        gram stream, not an (id, gram) self-join."""
+        from spark_expectations_spark.operators import text as T
+        df = self._fixture(spark, seed=5, rows=10)
+        plan = T.ngram_overlap(df, "id", "ref", "cand")._jdf \
+            .queryExecution().optimizedPlan().toString()
+        assert plan.lower().count("join") <= 1  # only the sizes left-join
