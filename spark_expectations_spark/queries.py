@@ -9666,22 +9666,34 @@ SELECT (SELECT count(*) FROM ok) AS n,
 
 
 def _word_shingles3(warr):
-    """Word-3-gram shingle array via zip_with over three shifted
-    slices. NOT transform(sequence(...), i -> concat_ws(slice(warr,
-    i, 3))): a lambda that captures the outer array re-evaluates the
-    captured expression PER ELEMENT in Spark's interpreted HOF path —
-    measured ~245us/shingle, which made the two set-similarity joins'
-    corpus passes their dominant cost (same-session A/B at sf0.1:
-    set-jaccard 12.4s -> 4.5s from this change alone). zip_with walks
-    the slices positionally with no captured re-evaluation; concat_ws
-    skips the NULL padding zip_with adds on the short-doc edge, which
-    reproduces the transform form's semantics exactly (docs with < 3
-    words yield their single whole-doc shingle)."""
-    m = F.greatest(F.size(warr) - 2, F.lit(1))
-    s1, s2, s3 = (F.slice(warr, i, m) for i in (1, 2, 3))
-    return F.zip_with(
-        F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b)),
-        s3, lambda ab, c: F.concat_ws(" ", ab, c))
+    """Word-3-gram shingle array via arrays_zip of three shifted
+    slices + ONE transform — the shape dedup.shingles_col uses. NOT
+    transform(sequence(...), i -> concat_ws(slice(warr, i, 3))): a
+    lambda that captures the outer array re-evaluates the captured
+    expression PER ELEMENT in Spark's interpreted HOF path — measured
+    ~245us/shingle, which made the two set-similarity joins' corpus
+    passes their dominant cost (same-session A/B at sf0.1: set-jaccard
+    12.4s -> 4.5s from that change alone). r16 re-measure (noop
+    protocol, per-pass microbench over sf0.1 documents, min-of-3):
+    the previous double-zip_with form ran TWO interpreted HOF walks
+    per row (0.857 s/pass); arrays_zip + one transform halves the
+    interpreted surface (0.366 s/pass, 2.3×) and also beat a
+    fully-codegen posexplode+element_at rewrite (0.545 s/pass — the
+    carried word array per exploded row costs more than one lambda).
+    Exploded-set equivalence proven exceptAll==0 both directions on
+    the sf0.1 corpus. Short-doc edge (< 3 words → the single whole-doc
+    shingle) and NULL/empty-array behavior match the old form where
+    consumers can see it: both operators filter NULL/size==0 arrays
+    before exploding, so the NULL-in/[]-out distinction is
+    unobservable downstream (guarded the same way shingles_col is)."""
+    m = F.greatest(F.size(warr) - 2, F.lit(0))
+    z = F.arrays_zip(*[F.slice(warr, i + 1, m) for i in range(3)])
+    grams = F.transform(
+        z, lambda x: F.concat_ws(" ", *[x[str(i)] for i in range(3)]))
+    return F.when(warr.isNull(), F.lit(None).cast("array<string>")) \
+        .when(F.size(warr) >= 3, grams) \
+        .when(F.size(warr) >= 1, F.array(F.concat_ws(" ", warr))) \
+        .otherwise(F.array().cast("array<string>"))
 
 
 def q_docs_set_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -317,3 +317,50 @@ class TestNgramOverlapSinglePass:
         plan = T.ngram_overlap(df, "id", "ref", "cand")._jdf \
             .queryExecution().optimizedPlan().toString()
         assert plan.lower().count("join") <= 1  # only the sizes left-join
+
+
+class TestWordShingles3ArraysZip:
+    """r16: queries._word_shingles3 moved from a double-zip_with walk
+    (two interpreted HOF passes per row) to arrays_zip + ONE transform
+    — the dedup.shingles_col shape, measured 2.3x faster per corpus
+    pass. The equivalence reference is the old expression verbatim."""
+
+    @staticmethod
+    def _old(warr):
+        m = F.greatest(F.size(warr) - 2, F.lit(1))
+        s1, s2, s3 = (F.slice(warr, i, m) for i in (1, 2, 3))
+        return F.zip_with(
+            F.zip_with(s1, s2, lambda a, b: F.concat_ws(" ", a, b)),
+            s3, lambda ab, c: F.concat_ws(" ", ab, c))
+
+    def test_exact_array_equality_incl_edges(self, spark):
+        from spark_expectations_spark.queries import _word_shingles3
+        rows = [(0, None), (1, ""), (2, "a"), (3, "a b"), (4, "a b c"),
+                (5, "a b c d"), (6, "a a a a"), (7, "  x   y  z  "),
+                (8, "one two three four five six seven eight")]
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(40)]
+        rows += [(100 + i, " ".join(rng.choices(vocab,
+                                                k=rng.randint(0, 30))))
+                 for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        both = df.select(
+            "doc_id",
+            self._old(words).alias("o"), _word_shingles3(words).alias("n"))
+        # exact per-row array equality, compared driver-side: a
+        # DataFrame-level ~eqNullSafe filter would be PUSHED below the
+        # fixture's own size guard and evaluate the guarded slice on
+        # short rows (a test artifact, not a query shape)
+        for r in both.collect():
+            assert r["o"] == r["n"], r
+        # and on the sliced twin-words form the linkage queries use
+        tw = F.slice(words, 1, F.size(words) - 5)
+        both_tw = (df.filter(F.size(words) >= 8)
+                   .select("doc_id", self._old(tw).alias("o"),
+                           _word_shingles3(tw).alias("n")))
+        n_tw = 0
+        for r in both_tw.collect():
+            assert r["o"] == r["n"], r
+            n_tw += 1
+        assert n_tw > 50  # the twin branch actually exercised
