@@ -226,7 +226,9 @@ def chi2_categorical(
         ).first()
     finally:
         both.unpersist()
-    return baseline.sparkSession.createDataFrame(
+    from ..plans import local_frame
+    return local_frame(
+        baseline.sparkSession,
         [row], "chi2 double, dof bigint, n_baseline bigint, "
                "n_current bigint, n_categories bigint")
 

@@ -122,9 +122,10 @@ def key_candidates(
     out = [(c, int(row[f"_d_{c}"]), int(n),
             bool(n > 0 and abs(row[f"_d_{c}"] - n) <= 2 * rsd * n))
            for c in cols]
-    return spark.createDataFrame(
-        out, "column string, approx_distinct long, n_rows long, "
-             "candidate_key boolean")
+    from ..plans import local_frame
+    return local_frame(
+        spark, out, "column string, approx_distinct long, n_rows long, "
+                    "candidate_key boolean")
 
 
 def fk_containment(
@@ -172,8 +173,9 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     out = [(a, b, row[f"__c_{i}_{j}"])
            for i, a in enumerate(cols)
            for j, b in enumerate(cols) if i < j]
-    return df.sparkSession.createDataFrame(
-        out, "col_a string, col_b string, corr double")
+    from ..plans import local_frame
+    return local_frame(
+        df.sparkSession, out, "col_a string, col_b string, corr double")
 
 
 def cohens_kappa(
@@ -526,7 +528,9 @@ def _alpha_with_ci(df: DataFrame, unit_col: str, label_col: str, *,
            float(round(alphas[lo_idx], digits)) + 0.0,
            float(round(alphas[used - 1 - lo_idx], digits)) + 0.0,
            used)
-    return df.sparkSession.createDataFrame(
+    from ..plans import local_frame
+    return local_frame(
+        df.sparkSession,
         [out], "n_units long, n_ratings long, d_o double, d_e double, "
                "alpha double, se double, ci_lo double, ci_hi double, "
                "replicas int")
@@ -806,7 +810,9 @@ def bootstrap_ci(
                float(round(means[lo_idx], digits)) + 0.0,
                float(round(means[bb - 1 - lo_idx], digits)) + 0.0,
                int(bb))
-    return df.sparkSession.createDataFrame(
+    from ..plans import local_frame
+    return local_frame(
+        df.sparkSession,
         [out_row], "n long, mean double, se double, ci_lo double, "
                    "ci_hi double, replicas int")
 
@@ -1001,8 +1007,9 @@ def conformal_threshold(
         thr = (float(exact_order_statistic(nn, score_col, k, n=n))
                if k <= n else None)
         spark = df.sparkSession
-        return spark.createDataFrame(
-            [(int(n), int(k), thr)],
+        from ..plans import local_frame
+        return local_frame(
+            spark, [(int(n), int(k), thr)],
             "n long, k long, threshold double")
     gc = list(group_cols)
     w = Window.partitionBy(*gc).orderBy(s.asc())

@@ -471,9 +471,12 @@ def mixture_resample(
     from pyspark.sql.types import StructField as _SF
     from pyspark.sql.types import StructType as _ST
     # weights frame keyed by the df's OWN source type (an int source
-    # column must not crash against a hardcoded string schema)
-    wdf = spark.createDataFrame(
-        [(s, int(w)) for s, w in weights.items()],
+    # column must not crash against a hardcoded string schema).
+    # local_frame, not createDataFrame: a literal relation spares every
+    # consuming job a Python-RDD scan stage (r16, plans.local_frame)
+    from .. import plans as _plans
+    wdf = _plans.local_frame(
+        spark, [(s, int(w)) for s, w in weights.items()],
         _ST([_SF(source_col, df.schema[source_col].dataType),
              _SF("__w", _Long())]))
     # NULL keys hash to bucket -1: they sorted FIRST in the reference
@@ -528,7 +531,7 @@ def mixture_resample(
                              - F.coalesce("__tbefore", F.lit(0)),
                              F.lit(0)).alias("__rem"))).collect()
     from pyspark.sql.types import LongType, StructField, StructType
-    plan = spark.createDataFrame(plan_rows, StructType([
+    plan = _plans.local_frame(spark, plan_rows, StructType([
         StructField(source_col, df.schema[source_col].dataType),
         StructField("__tb", LongType()),
         StructField("__rem", LongType())]))
@@ -963,8 +966,9 @@ def token_budget_sample(
         from pyspark.sql.types import LongType as _Long
         from pyspark.sql.types import StructField as _SF
         from pyspark.sql.types import StructType as _ST
-        bdf = spark.createDataFrame(
-            [(g, int(b)) for g, b in budgets.items()],
+        from .. import plans as _plans
+        bdf = _plans.local_frame(
+            spark, [(g, int(b)) for g, b in budgets.items()],
             _ST([_SF(group_col, df.schema[group_col].dataType),
                  _SF("__budget", _Long())]))
         df = df.join(F.broadcast(bdf), group_col)
@@ -1008,7 +1012,8 @@ def token_budget_sample(
                          F.coalesce("__off", F.lit(0)).alias("__off"))
                  ).collect()
     from pyspark.sql.types import LongType, StructField, StructType
-    plan = df.sparkSession.createDataFrame(plan_rows, StructType([
+    from .. import plans as _plans
+    plan = _plans.local_frame(df.sparkSession, plan_rows, StructType([
         StructField(group_col, df.schema[group_col].dataType),
         StructField("__bud", LongType()),
         StructField("__tb", LongType()),

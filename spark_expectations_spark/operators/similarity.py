@@ -516,8 +516,9 @@ def _l2_assigned(frame: DataFrame, cents) -> DataFrame:
     lloyd_kmeans's batch passes moved to :func:`_lloyd_pass_arrow`
     (vectorized partials)."""
     spark = frame.sparkSession
-    cents_row = spark.createDataFrame(
-        [(cid, list(cvec)) for cid, cvec in enumerate(cents)],
+    from ..plans import local_frame
+    cents_row = local_frame(
+        spark, [(cid, list(cvec)) for cid, cvec in enumerate(cents)],
         "cid int, cvec array<double>",
     ).agg(F.collect_list(F.struct("cid", "cvec")).alias("__cents"))
     dists = F.transform(
@@ -701,9 +702,10 @@ def lloyd_kmeans(
              (float(round(final[cid][1], wcss_digits)) + 0.0)
              if cid in final else 0.0)
             for cid, cvec in enumerate(cents) for pos in range(dim)]
-    return spark.createDataFrame(
-        rows, "centroid_id int, pos int, coord double, "
-              "n_assigned bigint, wcss double")
+    from ..plans import local_frame
+    return local_frame(
+        spark, rows, "centroid_id int, pos int, coord double, "
+                     "n_assigned bigint, wcss double")
 
 
 def centroids_from_long(centroids_long: DataFrame) -> DataFrame:
@@ -1979,9 +1981,10 @@ def whiten_check(
              float(round(offdiag[i].max(), cov_digits)) + 0.0,
              float(round(abs(mean_w[i]), mu_digits)) + 0.0)
             for i in range(d)]
-    return spark.createDataFrame(
-        rows, "pos int, mu double, sd double, diag_dev double, "
-              "offdiag_max double, mean_dev double")
+    from ..plans import local_frame
+    return local_frame(
+        spark, rows, "pos int, mu double, sd double, diag_dev double, "
+                     "offdiag_max double, mean_dev double")
 
 
 def pca_check(
@@ -2054,9 +2057,10 @@ def pca_check(
                      float(round(mu[i], mu_digits)) + 0.0,
                      float(round(sd[i], mu_digits)) + 0.0,
                      mean_dev, off_max, order_dev))
-    return spark.createDataFrame(
-        rows, "pos int, mu double, sd double, mean_dev double, "
-              "offdiag_max double, order_dev double")
+    from ..plans import local_frame
+    return local_frame(
+        spark, rows, "pos int, mu double, sd double, mean_dev double, "
+                     "offdiag_max double, order_dev double")
 
 
 def mmr_topk(

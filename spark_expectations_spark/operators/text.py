@@ -903,7 +903,8 @@ def logistic_train(
                                     init_w=w0, init_bias=b0, l2=l2)
 
     rows = [(j, float(w[j])) for j in range(dim)]
-    out = spark.createDataFrame(rows, "bucket int, weight double")
+    from ..plans import local_frame
+    out = local_frame(spark, rows, "bucket int, weight double")
     return (out
             .withColumn("bias", F.lit(float(bias)))
             .withColumn("n_train", F.lit(int(n_train)).cast("long"))
@@ -1723,8 +1724,9 @@ def build_vocab(
         F.row_number().over(Window.orderBy(*order)) + len(specials) - 1)
     if not specials:
         return ranked.select("token", "count", "token_id")
-    spec = df.sparkSession.createDataFrame(
-        [(s, 0, i) for i, s in enumerate(specials)],
+    from ..plans import local_frame
+    spec = local_frame(
+        df.sparkSession, [(s, 0, i) for i, s in enumerate(specials)],
         "token string, count bigint, token_id int")
     return spec.unionByName(ranked.select("token", "count", "token_id"))
 
@@ -2773,8 +2775,9 @@ def isotonic_calibrate(
             rows += [(g, float(r["__s"]), float(v))
                      for r, v in zip(grp, fitted)]
         gtype = dict(df.dtypes)[group_col]
-        mapping = spark.createDataFrame(
-            rows, f"__g {gtype}, __s double, __cal double")
+        from ..plans import local_frame
+        mapping = local_frame(
+            spark, rows, f"__g {gtype}, __s double, __cal double")
         cond = (F.col(group_col).eqNullSafe(F.col("__g"))
                 & x.eqNullSafe(F.col("__s")))
         return (df.join(F.broadcast(mapping), cond, "left")

@@ -178,6 +178,61 @@ def fan_out(df: DataFrame, min_partitions: int = 0,
     return df.repartition(target)
 
 
+#: literal-relation size cap for local_frame — see its docstring for
+#: the A/B that set it (128 keeps every measured win, excludes every
+#: measured regression with ~3x margin on each side)
+_LOCAL_FRAME_MAX_LITERALS = 128
+
+
+def local_frame(spark, rows, schema) -> DataFrame:
+    """Driver-computed rows → DataFrame as a pure-JVM literal relation.
+
+    ``spark.createDataFrame(rows)`` plans a *Python RDD scan*: every
+    job that consumes the frame (including each broadcast build) runs
+    a defaultParallelism-task stage whose tasks pay a Python-worker
+    round trip to deserialize a handful of rows — measured ~0.2 s of
+    zero-cpu executorRunTime per consuming action at local[32]
+    (r16 ledger, guide §4: the boundary itself is the cost). This
+    builds the same rows as ``explode(array(struct(lit(...))))`` —
+    evaluated inside Catalyst, no Python stage, no scan tasks.
+
+    Contract: ``rows`` are tuples of plain Python scalars (None ok)
+    matching ``schema`` (a StructType); values are cast to the
+    declared field types, so exactness follows ``Column.cast``
+    semantics exactly like ``createDataFrame``'s verifySchema path.
+
+    SIZE CAP (measured, r16): the literal tree is rows × cols Cast/
+    Literal nodes that EVERY analyzer/optimizer rule re-traverses — at
+    a few hundred literals the planning cost exceeds the Python-RDD
+    scan it saves (the subset A/B that set this bound: a 512-row
+    centroid table sent embed_kmeans 1.7 → 12.4 s and a ~500-row PAV
+    mapping sent docs_isotonic_by_source 0.9 → 25.4 s, while ≤ ~100-
+    literal spec frames all won). Above ``_LOCAL_FRAME_MAX_LITERALS``
+    this silently falls back to ``createDataFrame`` — identical rows
+    either way.
+    """
+    from pyspark.sql import functions as F
+
+    if isinstance(schema, str):
+        from pyspark.sql.types import StructType as _ST
+        schema = _ST.fromDDL(schema)
+    fields = list(schema.fields)
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields])
+    if len(rows) * len(fields) > _LOCAL_FRAME_MAX_LITERALS:
+        return spark.createDataFrame(
+            [tuple(r) for r in rows], schema)
+    structs = [
+        F.struct(*[F.lit(v).cast(f.dataType).alias(f.name)
+                   for f, v in zip(fields, row)])
+        for row in rows
+    ]
+    return (spark.range(1)
+            .select(F.explode(F.array(*structs)).alias("__r"))
+            .select("__r.*"))
+
+
 def has_partial_aggregation(df: DataFrame) -> bool:
     """True if a HashAggregate with partial mode precedes the exchange
     (map-side combine)."""

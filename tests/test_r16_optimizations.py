@@ -364,3 +364,45 @@ class TestWordShingles3ArraysZip:
             assert r["o"] == r["n"], r
             n_tw += 1
         assert n_tw > 50  # the twin branch actually exercised
+
+
+class TestLocalFrame:
+    """r16: plans.local_frame — driver-rows spec tables as literal
+    relations (no Python-RDD scan stage) with the measured size cap."""
+
+    def test_matches_createdataframe(self, spark):
+        from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                       StructField, StructType)
+        from spark_expectations_spark.plans import local_frame
+        schema = StructType([StructField("s", StringType()),
+                             StructField("n", LongType()),
+                             StructField("x", DoubleType())])
+        rows = [("a", 1, 0.5), (None, 2, float("nan")), ("c", None, None)]
+        lit_df = local_frame(spark, rows, schema)
+        ref_df = spark.createDataFrame(rows, schema)
+        assert lit_df.schema == ref_df.schema
+        got = sorted(map(tuple, lit_df.collect()),
+                     key=lambda t: (t[0] is None, str(t)))
+        want = sorted(map(tuple, ref_df.collect()),
+                      key=lambda t: (t[0] is None, str(t)))
+        assert repr(got) == repr(want)  # repr: NaN == NaN comparison
+
+    def test_no_python_scan_under_cap(self, spark):
+        from spark_expectations_spark.plans import local_frame
+        df = local_frame(spark, [("a", 1)], "k string, v long")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" not in plan and "Scan" not in plan.replace(
+            "LocalTableScan", "").replace("RowDataSourceScan", "SCAN_OK")
+
+    def test_falls_back_above_cap(self, spark):
+        from spark_expectations_spark import plans
+        rows = [(str(i), i) for i in range(200)]  # 400 literals > cap
+        df = plans.local_frame(spark, rows, "k string, v long")
+        assert df.count() == 200
+        assert sorted(map(tuple, df.collect()))[:2] == [("0", 0), ("1", 1)]
+
+    def test_empty_rows_keep_schema(self, spark):
+        from spark_expectations_spark.plans import local_frame
+        df = local_frame(spark, [], "k string, v long")
+        assert df.count() == 0
+        assert [f.name for f in df.schema.fields] == ["k", "v"]
