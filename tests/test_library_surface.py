@@ -1453,7 +1453,11 @@ class TestPlanShapes:
         txt = plans.plan_text(pairs, "simple")
         assert not any("Join" in line and "shingle" in line
                        for line in txt.splitlines())
-        assert plans.num_shuffles(pairs) <= 4
+        # budget 5 = the 4 algorithmic exchanges + posting_list_pairs'
+        # deliberate expansion-spread repartition (r16: keeps the k²
+        # pair Generate at shuffle parallelism instead of the handful
+        # of byte-coalesced partitions AQE leaves on the bucket frame)
+        assert plans.num_shuffles(pairs) <= 5
         assert "CartesianProduct" not in txt
 
     def test_jaccard_no_forced_broadcast_of_sizes(self, spark):
@@ -1481,7 +1485,10 @@ class TestPlanShapes:
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
                                           num_hashes=16, bands=4)
-        assert plans.num_shuffles(pairs) <= 5
+        # budget 6 = the 5 algorithmic exchanges + posting_list_pairs'
+        # deliberate expansion-spread repartition (r16 — see the
+        # jaccard posting-list test above)
+        assert plans.num_shuffles(pairs) <= 6
         txt = plans.plan_text(pairs, "simple")
         assert not any("Join" in line and "band_" in line
                        for line in txt.splitlines())
