@@ -811,13 +811,41 @@ def dense_global_index(
     qs = [i / num_buckets for i in range(1, num_buckets)]
     thresholds = df.select(
         F.percentile_approx(lead, qs, 10_000).alias("t")).first()["t"]
-    bucket = F.lit(0)
-    seen = set()
+    seen = []
+    dedup = set()
     for t in (thresholds or []):
-        if t is None or t in seen:     # constant/low-cardinality keys
+        if t is None or t in dedup:    # constant/low-cardinality keys
             continue
-        seen.add(t)
-        bucket = bucket + (lead > F.lit(t)).cast("int")
+        dedup.add(t)
+        seen.append(t)
+    # bucket = Σ (lead > tᵢ) over the deduped thresholds. Built as ONE
+    # SQL string when the thresholds are plain ints/floats: the
+    # previous per-threshold Column loop issued ~6 py4j round trips
+    # per threshold (~1500 for the default 256 buckets ≈ seconds of
+    # pure driver chatter per call — r16 cProfile of docs_fold_pack:
+    # 13,450 round trips / 3.1 s inside this function). The SQL form
+    # is the SAME codegen indicator-sum; a float's repr() round-trips
+    # through Spark's decimal/exponent literal parsing to the
+    # identical double. Non-numeric lead keys (timestamps) keep the
+    # Column loop.
+    def _num_sql(v):
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return None
+        if isinstance(v, int):
+            return f"{v}L"
+        import math
+        return f"CAST({v!r} AS DOUBLE)" if math.isfinite(v) else None
+    lead_sql = "`" + key_cols[0].replace("`", "``") + "`"
+    parts = [_num_sql(t) for t in seen]
+    if not seen:
+        bucket = F.lit(0)
+    elif all(p is not None for p in parts):
+        bucket = F.expr(" + ".join(
+            f"CAST(({lead_sql} > {p}) AS INT)" for p in parts))
+    else:
+        bucket = F.lit(0)
+        for t in seen:
+            bucket = bucket + (lead > F.lit(t)).cast("int")
     # NULL lead keys: (NULL > t) folds to 0 via cast-sum? It folds to
     # NULL — pin them to bucket 0 explicitly (they sort first in ASC)
     d = df.withColumn("__b", F.when(lead.isNull(), 0).otherwise(bucket))
@@ -828,9 +856,12 @@ def dense_global_index(
     for b in sorted(counts):
         offsets[b] = acc
         acc += counts[b]
-    off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-        F.col("__b"))
+    # offset lookup as ONE map literal (int keys/values by
+    # construction), not 2·buckets F.lit round trips
+    off = F.expr(
+        "element_at(map(" + ", ".join(
+            f"{int(b)}, {int(o)}L" for b, o in offsets.items())
+        + "), __b)")
     w = Window.partitionBy("__b").orderBy(
         *[F.col(c).asc() for c in key_cols])
     return (d.withColumn(out, (off + F.row_number().over(w) - 1)

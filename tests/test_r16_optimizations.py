@@ -406,3 +406,38 @@ class TestLocalFrame:
         df = local_frame(spark, [], "k string, v long")
         assert df.count() == 0
         assert [f.name for f in df.schema.fields] == ["k", "v"]
+
+
+class TestDenseGlobalIndexSqlBucket:
+    """r16: dense_global_index builds its threshold-indicator sum and
+    offset map as ONE SQL string each (the per-threshold Column loop
+    cost ~6 py4j round trips per threshold — seconds of driver chatter
+    at the default 256 buckets). Pin the ids against the semantics on
+    float, int, and NULL-carrying keys."""
+
+    def _ids(self, spark, rows, schema, key_cols, nb):
+        from spark_expectations_spark.operators.sampling import (
+            dense_global_index)
+        df = spark.createDataFrame(rows, schema)
+        out = dense_global_index(df, key_cols, num_buckets=nb)
+        got = {tuple(r[k] for k in key_cols): r["global_id"]
+               for r in out.collect()}
+        ordered = sorted(got, key=lambda t: tuple(
+            (v is not None, v) for v in t))
+        assert [got[k] for k in ordered] == list(range(len(ordered)))
+
+    def test_float_keys(self, spark):
+        rng = random.Random(3)
+        rows = [(rng.random() * 100, i) for i in range(500)]
+        self._ids(spark, rows, "score double, id long",
+                  ["score", "id"], 16)
+
+    def test_int_keys_with_ties_and_nulls(self, spark):
+        rng = random.Random(4)
+        rows = [(rng.randint(0, 40), i) for i in range(300)]
+        rows += [(None, 9000 + i) for i in range(5)]
+        self._ids(spark, rows, "score int, id long", ["score", "id"], 8)
+
+    def test_constant_key_single_bucket(self, spark):
+        rows = [(7, i) for i in range(50)]
+        self._ids(spark, rows, "score int, id long", ["score", "id"], 4)
