@@ -494,12 +494,23 @@ def train_centroids_df(
     key = F.col(by_col) if by_col else F.pmod(F.xxhash64(vec_col), F.lit(num_centroids))
     dim_df = corpus.select(F.size(vec_col).alias("d")).limit(1)
     dim = dim_df.first()["d"]
+    # the dim per-dimension sums and the mean array build as TWO SQL
+    # strings (r16): the per-dimension Column listcomps issued ~900
+    # py4j round trips at dim=64 — pure driver chatter repeated per
+    # call (embed_ivf_pq profile). Identical aggregates after parsing:
+    # array(sum(element_at(v, i))…) is the same sum set, and each
+    # CAST(s / n AS FLOAT) division is unchanged.
+    vec_sql = "`" + vec_col.replace("`", "``") + "`"
+    sums_sql = ", ".join(
+        f"sum(element_at({vec_sql}, {i + 1}))" for i in range(dim))
     sums = corpus.groupBy(key.alias("centroid_id")).agg(
-        *[F.sum(F.element_at(F.col(vec_col), i + 1)).alias(f"s{i}") for i in range(dim)],
+        F.expr(f"array({sums_sql})").alias("__ss"),
         F.count("*").alias("n"),
     )
-    centroid = F.array(*[(F.col(f"s{i}") / F.col("n")).cast("float") for i in range(dim)])
-    return sums.select("centroid_id", centroid.alias("centroid"))
+    return sums.select(
+        "centroid_id",
+        F.expr("transform(__ss, s -> CAST(s / n AS FLOAT))")
+        .alias("centroid"))
 
 
 def _l2_assigned(frame: DataFrame, cents) -> DataFrame:
@@ -1088,18 +1099,28 @@ def product_quantize(
     summed it is the vector's total squared reconstruction error).
     """
     dsub = len(codebooks[0][0])
-    d = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # each book's k-distance array is built as ONE SQL string: the
+    # previous per-codeword Column loop issued ~14 py4j round trips per
+    # codeword (m·k·(dsub lits + HOF wrappers) ≈ thousands of round
+    # trips ≈ seconds of driver latency per call — r16 cProfile of
+    # embed_ivf_pq: 17.6k round trips). The parsed tree is the
+    # IDENTICAL zip_with/aggregate expression — a float's repr()
+    # round-trips through the double literal to the same value — so
+    # codes, ties, and the oracle are untouched.
+    vec_sql = "`" + vec_col.replace("`", "``") + "`"
+    d_sql = f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
     codes = []
     mins = []
     for j, book in enumerate(codebooks):
-        sub = F.slice(d, j * dsub + 1, dsub)
-        dists = F.array(*[
-            F.aggregate(
-                F.zip_with(sub,
-                           F.array(*[F.lit(float(c)) for c in cw]),
-                           lambda a, b: (a - b) * (a - b)),
-                F.lit(0.0), lambda acc, x: acc + x)
-            for cw in book])
+        sub_sql = f"slice({d_sql}, {j * dsub + 1}, {dsub})"
+        terms = []
+        for cw in book:
+            arr = ", ".join(f"{float(c)!r}D" for c in cw)
+            terms.append(
+                f"aggregate(zip_with({sub_sql}, array({arr}), "
+                f"(a, b) -> (a - b) * (a - b)), 0.0D, "
+                f"(acc, x) -> acc + x)")
+        dists = F.expr("array(" + ", ".join(terms) + ")")
         codes.append(
             (F.array_position(dists, F.array_min(dists)) - 1).cast("int"))
         mins.append(F.array_min(dists))
@@ -1228,6 +1249,27 @@ def pq_query_lut(
     left-to-right folds (the :func:`product_quantize` bit-exactness
     contract, so a DuckDB oracle reproduces every entry)."""
     dsub = len(codebooks[0][0])
+    if isinstance(vec, str):
+        # column-NAME fast path (r16): the whole m·k-entry LUT builds
+        # as ONE SQL string — the per-codeword Column loop cost ~14
+        # py4j round trips per codeword (embed_ivf_pq profiled at
+        # 17.6k round trips of pure driver chatter; same fix as
+        # product_quantize). The parsed tree is the identical
+        # zip_with/aggregate fold — float repr round-trips to the
+        # same double — so every LUT entry and the oracle are
+        # untouched. Column inputs keep the generic path below.
+        vec_sql = "`" + vec.replace("`", "``") + "`"
+        d_sql = f"transform({vec_sql}, x -> CAST(x AS DOUBLE))"
+        terms = []
+        for j, book in enumerate(codebooks):
+            sub_sql = f"slice({d_sql}, {j * dsub + 1}, {dsub})"
+            for cw in book:
+                arr = ", ".join(f"{float(c)!r}D" for c in cw)
+                terms.append(
+                    f"aggregate(zip_with({sub_sql}, array({arr}), "
+                    f"(a, b) -> (a - b) * (a - b)), 0.0D, "
+                    f"(acc, x) -> acc + x)")
+        return F.expr("array(" + ", ".join(terms) + ")")
     d = F.transform(vec, lambda x: x.cast("double"))
     entries = []
     for j, book in enumerate(codebooks):
@@ -1289,7 +1331,7 @@ def ivf_pq_topk(
          .select(F.col(id_col).alias("query_id"),
                  F.col(vec_col).alias("__qv"))
          .withColumn("__qn", _norm(F.col("__qv")))
-         .withColumn("__lut", pq_query_lut(F.col("__qv"), codebooks)))
+         .withColumn("__lut", pq_query_lut("__qv", codebooks)))
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "__csim",
         _dot(F.col("__qv"), F.col("centroid"))
