@@ -707,11 +707,44 @@ def chi2_pvalue(
     """
     if max_dof < 2:
         raise ValueError("max_dof must be >= 2")
+    import math
+
+    def _sql_ref(c):
+        # string column names (every caller) build the CASE chain as
+        # ONE SQL string: the Column-op loop issued ~1.5k py4j round
+        # trips at max_dof=40 (events_drift_fdr profiled at 9.3k
+        # round trips / 1.3s of build inside this function — r16).
+        # The parsed tree is the identical when-chain / pow-sum; a
+        # float's repr round-trips to the same double.
+        if isinstance(c, str):
+            return "`" + c.replace("`", "``") + "`"
+        if isinstance(c, int):
+            return str(c)
+        return None
+
+    x_sql, d_sql = _sql_ref(chi2_col), _sql_ref(dof_col)
+    if x_sql is not None and d_sql is not None:
+        def dl(v):
+            return f"CAST({float(v)!r} AS DOUBLE)"
+        half = f"({x_sql} / {dl(2.0)})"
+        whens = []
+        # descending order == the Column loop's nesting (outermost
+        # when is the LAST dof); conditions are disjoint anyway
+        for dof in range(max_dof - (max_dof % 2), 1, -2):
+            m = dof // 2
+            s = dl(0.0)
+            for jj in range(m):
+                s = (f"({s} + pow({half}, {dl(jj)})"
+                     f" / {dl(math.factorial(jj))})")
+            whens.append(
+                f"WHEN {d_sql} = {dof} THEN (exp(- {half}) * {s})")
+        expr = F.expr("CASE " + " ".join(whens)
+                      + " ELSE CAST(NULL AS DOUBLE) END")
+        return F.round(expr, digits) + F.lit(0.0)
     x = F.col(chi2_col) if isinstance(chi2_col, str) else chi2_col
     d = F.col(dof_col) if isinstance(dof_col, str) else dof_col
     half = x / F.lit(2.0)
     expr = F.lit(None).cast("double")
-    import math
     for dof in range(2, max_dof + 1, 2):
         m = dof // 2
         s = F.lit(0.0)

@@ -1318,7 +1318,7 @@ def benford_from_counts(
                  worst.getField("d").alias("worst_digit"),
                  worst.getField("gap").alias("worst_abs_gap"))
             .select(*gc, "n", "chi2",
-                    chi2_pvalue("chi2", F.lit(8)).alias("p_value"),
+                    chi2_pvalue("chi2", 8).alias("p_value"),
                     "worst_digit", "worst_abs_gap"))
 
 

@@ -441,3 +441,39 @@ class TestDenseGlobalIndexSqlBucket:
     def test_constant_key_single_bucket(self, spark):
         rows = [(7, i) for i in range(50)]
         self._ids(spark, rows, "score int, id long", ["score", "id"], 4)
+
+
+class TestChi2PvalueSqlCase:
+    """r16: chi2_pvalue builds its even-dof CASE chain as one SQL
+    string for string/int column refs (the Column-op loop cost ~1.5k
+    py4j round trips at max_dof=40). Pin bit-equality against the
+    Column-loop reference across the dof range and the edges."""
+
+    @staticmethod
+    def _ref(chi2_col, dof_col, *, max_dof=40, digits=9):
+        import math
+        x = F.col(chi2_col) if isinstance(chi2_col, str) else chi2_col
+        d = F.col(dof_col) if isinstance(dof_col, str) else dof_col
+        half = x / F.lit(2.0)
+        expr = F.lit(None).cast("double")
+        for dof in range(2, max_dof + 1, 2):
+            s = F.lit(0.0)
+            for jj in range(dof // 2):
+                s = s + F.pow(half, F.lit(float(jj))) \
+                    / F.lit(float(math.factorial(jj)))
+            expr = F.when(d == dof, F.exp(-half) * s).otherwise(expr)
+        return F.round(expr, digits) + F.lit(0.0)
+
+    def test_bit_equal_to_column_loop(self, spark):
+        from spark_expectations_spark.operators.drift import chi2_pvalue
+        rng = random.Random(11)
+        rows = [(rng.random() * 80.0,
+                 rng.choice([1, 2, 3, 4, 6, 8, 20, 38, 40, 41, 42, 0]))
+                for _ in range(1500)] + [(0.0, 2), (None, 4), (5.0, None)]
+        df = spark.createDataFrame(rows, "chi2 double, dof int")
+        both = df.select(self._ref("chi2", "dof").alias("o"),
+                         chi2_pvalue("chi2", "dof").alias("n"),
+                         self._ref("chi2", F.lit(8)).alias("o8"),
+                         chi2_pvalue("chi2", 8).alias("n8"))
+        assert both.filter(~F.col("o").eqNullSafe(F.col("n"))).count() == 0
+        assert both.filter(~F.col("o8").eqNullSafe(F.col("n8"))).count() == 0
