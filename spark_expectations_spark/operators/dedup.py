@@ -913,10 +913,21 @@ def minhash_signatures(
     ex = explode_shingles(df, id_col, text_col, n).select(
         id_col, first.alias("sh")
     )
-    aggs = [
-        F.min(_seeded_hash(F.col("sh"), i, hash_family)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    # the K min-hash aggregates build as SQL strings (r16): the
+    # Column form of _seeded_hash costs ~12 py4j round trips per hash
+    # function — ~2.5k per LSH pipeline build (dedup_lsh_quality
+    # profiled at 4.6k round trips). The parsed trees are the
+    # identical seeded-hash expressions (same literals, same casts),
+    # so signatures and every oracle are unchanged.
+    if hash_family == "xxhash64":
+        def h_sql(i):
+            return f"xxhash64(sh, {i})"
+    else:
+        def h_sql(i):
+            return (f"CAST(conv(substring(md5(concat_ws(':', '{i}', "
+                    f"CAST(sh AS STRING))), 1, 12), 16, 10) AS BIGINT)")
+    aggs = [F.expr(f"min({h_sql(i)})").alias(f"h{i}")
+            for i in range(num_hashes)]
     return ex.groupBy(id_col).agg(*aggs)
 
 

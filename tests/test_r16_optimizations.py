@@ -477,3 +477,32 @@ class TestChi2PvalueSqlCase:
                          chi2_pvalue("chi2", 8).alias("n8"))
         assert both.filter(~F.col("o").eqNullSafe(F.col("n"))).count() == 0
         assert both.filter(~F.col("o8").eqNullSafe(F.col("n8"))).count() == 0
+
+
+class TestMinhashSignaturesSqlAggs:
+    """r16: minhash_signatures builds its K seeded-hash aggregates as
+    SQL strings (the Column loop cost ~12 py4j round trips per hash).
+    Pin signature equality against the Column-loop reference for both
+    hash families."""
+
+    def test_bit_equal_both_families(self, spark):
+        from spark_expectations_spark.operators import dedup as D
+        rows = [(i, f"doc {i % 7} text {' '.join(str(j) for j in range(i % 9))}")
+                for i in range(60)] + [(100, None), (101, "")]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+
+        def ref(df, fam, k=8):
+            first = F.xxhash64("shingle") if fam == "xxhash64" \
+                else D.hash48_md5(F.col("shingle"))
+            ex = D.explode_shingles(df, "doc_id", "text", 3).select(
+                "doc_id", first.alias("sh"))
+            aggs = [F.min(D._seeded_hash(F.col("sh"), i, fam)).alias(f"h{i}")
+                    for i in range(k)]
+            return ex.groupBy("doc_id").agg(*aggs)
+
+        for fam in ("xxhash64", "md5_48"):
+            o = sorted(map(tuple, ref(df, fam).collect()))
+            n = sorted(map(tuple, D.minhash_signatures(
+                df, "doc_id", "text", n=3, num_hashes=8,
+                hash_family=fam).collect()))
+            assert o == n, fam
