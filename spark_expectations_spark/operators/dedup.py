@@ -200,9 +200,18 @@ def posting_list_pairs(frame: DataFrame, ids_col: str = "ids") -> DataFrame:
     the O(buckets) exchange is noise against the Σk² it parallelizes.
     """
     shuf = int(frame.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Salt the spread key with the INPUT partition id (r16 advice): in
+    # LSH banding the same duplicate group collides in several bands,
+    # yielding multiple rows with IDENTICAL ids arrays — hashed on the
+    # list alone they all land in one partition, re-serializing the
+    # heaviest k² expansions. The upstream (band, bucket) groupBy
+    # already scatters those twins across input partitions, so
+    # spark_partition_id() spreads them; it is deterministic under
+    # task retry (a recomputed map task keeps its partition id), unlike
+    # a rand() salt (SPARK-38388 class).
     return (
         frame
-        .repartition(shuf, ids_col)
+        .repartition(shuf, F.col(ids_col), F.spark_partition_id())
         .select(F.col(ids_col).alias("__ids"),
                 F.posexplode(ids_col).alias("__i", "id_a"))
         .select("id_a",

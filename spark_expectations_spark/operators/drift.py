@@ -741,8 +741,19 @@ def chi2_pvalue(
         expr = F.expr("CASE " + " ".join(whens)
                       + " ELSE CAST(NULL AS DOUBLE) END")
         return F.round(expr, digits) + F.lit(0.0)
-    x = F.col(chi2_col) if isinstance(chi2_col, str) else chi2_col
-    d = F.col(dof_col) if isinstance(dof_col, str) else dof_col
+    # int/float inputs must become literal Columns here: the SQL fast
+    # path above only fires when BOTH refs are str/int, so a (Column
+    # chi2, int dof) mix lands in this loop where a plain-int ``d``
+    # would make ``d == dof`` a Python bool and F.when raise TypeError
+    def _as_col(c):
+        if isinstance(c, str):
+            return F.col(c)
+        if isinstance(c, (int, float)) and not isinstance(c, bool):
+            return F.lit(c)
+        return c
+
+    x = _as_col(chi2_col)
+    d = _as_col(dof_col)
     half = x / F.lit(2.0)
     expr = F.lit(None).cast("double")
     for dof in range(2, max_dof + 1, 2):

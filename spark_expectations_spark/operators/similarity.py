@@ -1068,6 +1068,24 @@ def pq_codebooks(
             for _ in range(m)]
 
 
+def _dbl_sql(c) -> str:
+    """SQL double literal for one codeword component. Finite values use
+    repr (round-trips to the identical double); non-finite values —
+    nan/inf from a degenerate codebook — would render as ``nanD``/
+    ``infD`` and raise ParseException at plan time, so they emit the
+    string-cast spelling Spark parses to the same IEEE value the old
+    ``F.lit(float(c))`` path produced (r16 advice)."""
+    import math
+
+    v = float(c)
+    if math.isfinite(v):
+        return f"{v!r}D"
+    if math.isnan(v):
+        return "CAST('NaN' AS DOUBLE)"
+    return ("CAST('Infinity' AS DOUBLE)" if v > 0
+            else "CAST('-Infinity' AS DOUBLE)")
+
+
 def product_quantize(
     df: DataFrame,
     *,
@@ -1115,7 +1133,7 @@ def product_quantize(
         sub_sql = f"slice({d_sql}, {j * dsub + 1}, {dsub})"
         terms = []
         for cw in book:
-            arr = ", ".join(f"{float(c)!r}D" for c in cw)
+            arr = ", ".join(_dbl_sql(c) for c in cw)
             terms.append(
                 f"aggregate(zip_with({sub_sql}, array({arr}), "
                 f"(a, b) -> (a - b) * (a - b)), 0.0D, "
@@ -1264,7 +1282,7 @@ def pq_query_lut(
         for j, book in enumerate(codebooks):
             sub_sql = f"slice({d_sql}, {j * dsub + 1}, {dsub})"
             for cw in book:
-                arr = ", ".join(f"{float(c)!r}D" for c in cw)
+                arr = ", ".join(_dbl_sql(c) for c in cw)
                 terms.append(
                     f"aggregate(zip_with({sub_sql}, array({arr}), "
                     f"(a, b) -> (a - b) * (a - b)), 0.0D, "

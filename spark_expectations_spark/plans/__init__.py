@@ -220,7 +220,15 @@ def local_frame(spark, rows, schema) -> DataFrame:
     if not rows:
         return spark.range(0).select(
             *[F.lit(None).cast(f.dataType).alias(f.name) for f in fields])
-    if len(rows) * len(fields) > _LOCAL_FRAME_MAX_LITERALS:
+    # count COLLECTION payloads toward the cap: an array-typed cell
+    # expands to one Literal/Cast node per element, so a "64 rows x 2
+    # cols" centroid frame with dim-512 vectors is really ~32k literal
+    # nodes — exactly the analyzer-retraversal blow-up the cap was
+    # measured to prevent (the docstring's 512-row A/B: 1.7 -> 12.4 s)
+    n_literals = sum(
+        (len(v) if isinstance(v, (list, tuple, dict)) else 1)
+        for row in rows for v in row)
+    if n_literals > _LOCAL_FRAME_MAX_LITERALS:
         return spark.createDataFrame(
             [tuple(r) for r in rows], schema)
     structs = [

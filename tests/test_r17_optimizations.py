@@ -1,0 +1,111 @@
+"""Focused tests for the r17 optimization round.
+
+First block: the four r16-advice robustness fixes (local_frame array
+payload cap, chi2_pvalue int-dof Column path, non-finite PQ codeword
+literals, posting_list_pairs hot-twin salt). Later blocks pin the
+equivalence of this round's rewrites — the optimization contract is
+BIT-identical results (the driver re-oracles every catalog entry), so
+asserts are exact equality, not tolerances.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from spark_expectations_spark.operators import dedup, drift, similarity
+from spark_expectations_spark.plans import local_frame, plan_text
+
+
+class TestLocalFrameArrayCap:
+    def test_array_payload_counts_toward_cap(self, spark):
+        # 64 rows x 2 cols passes the old rows*cols cap, but each cell's
+        # dim-64 vector is 64 literal nodes -> must route to
+        # createDataFrame (no literal relation in the plan)
+        rows = [(i, [float(i)] * 64) for i in range(64)]
+        df = local_frame(spark, rows, "cid int, vec array<double>")
+        txt = plan_text(df)
+        assert "Scan ExistingRDD" in txt or "LocalTableScan" in txt
+        got = df.orderBy("cid").collect()
+        assert len(got) == 64 and got[3]["vec"] == [3.0] * 64
+
+    def test_small_scalar_frame_still_literal(self, spark):
+        rows = [(i, float(i) / 2) for i in range(10)]
+        df = local_frame(spark, rows, "k int, v double")
+        # the literal-relation path plans no Python RDD scan
+        assert "Scan ExistingRDD" not in plan_text(df)
+        assert df.count() == 10
+
+    def test_small_array_frame_under_cap_stays_literal(self, spark):
+        rows = [(i, [float(i), 1.0]) for i in range(8)]  # 8*(1+2)=24
+        df = local_frame(spark, rows, "k int, v array<double>")
+        assert "Scan ExistingRDD" not in plan_text(df)
+        assert df.orderBy("k").collect()[2]["v"] == [2.0, 1.0]
+
+
+class TestChi2PvalueIntDof:
+    def test_column_chi2_with_int_dof(self, spark):
+        # Column chi2 + int dof used to fall into the Column loop with a
+        # plain-int d, raising TypeError from F.when(bool, ...)
+        df = spark.createDataFrame([(2.0,), (10.0,)], "x double")
+        got = [r["p"] for r in
+               df.select(drift.chi2_pvalue(F.col("x") * 1.0, 8)
+                         .alias("p")).collect()]
+        # survival of chi2 at dof 8: exp(-x/2) * sum_{j<4} (x/2)^j / j!
+        for x, p in zip([2.0, 10.0], got):
+            h = x / 2.0
+            want = math.exp(-h) * sum(h ** j / math.factorial(j)
+                                      for j in range(4))
+            assert p == pytest.approx(want, abs=1e-9)
+
+    def test_matches_sql_fast_path(self, spark):
+        df = spark.createDataFrame([(3.5, 4), (7.0, 6)], "x double, d int")
+        fast = [r["p"] for r in
+                df.select(drift.chi2_pvalue("x", "d").alias("p")).collect()]
+        slow = [r["p"] for r in
+                df.select(drift.chi2_pvalue(F.col("x"), F.col("d"))
+                          .alias("p")).collect()]
+        assert fast == slow
+
+
+class TestNonFiniteCodewords:
+    def test_product_quantize_nan_codeword_plans_and_runs(self, spark):
+        books = [[[float("nan"), 1.0], [0.0, 0.0]],
+                 [[float("inf"), 0.0], [2.0, float("-inf")]]]
+        df = spark.createDataFrame([(1, [0.5, 0.5, 1.0, 1.0])],
+                                   "id int, embedding array<double>")
+        out = similarity.product_quantize(df, codebooks=books).collect()
+        # nan distances lose argmin to the finite codeword; codes exist
+        assert out[0]["pq_codes"] is not None
+        assert len(out[0]["pq_codes"]) == 2
+        assert out[0]["pq_codes"][0] == 1  # nan book: codeword 1 wins
+
+    def test_pq_query_lut_nan_entries(self, spark):
+        books = [[[float("nan")], [1.0]]]
+        df = spark.createDataFrame([([2.0],)], "q array<double>")
+        got = df.select(similarity.pq_query_lut("q", books)
+                        .alias("lut")).collect()[0]["lut"]
+        assert math.isnan(got[0]) and got[1] == 1.0
+
+    def test_dbl_sql_spellings(self):
+        assert similarity._dbl_sql(1.5) == "1.5D"
+        assert similarity._dbl_sql(float("nan")) == "CAST('NaN' AS DOUBLE)"
+        assert similarity._dbl_sql(float("inf")) == \
+            "CAST('Infinity' AS DOUBLE)"
+        assert similarity._dbl_sql(float("-inf")) == \
+            "CAST('-Infinity' AS DOUBLE)"
+
+
+class TestPostingListPairsSalt:
+    def test_identical_hot_lists_unchanged_pairs(self, spark):
+        # several rows carrying the SAME ids array (the LSH multi-band
+        # collision shape) must still expand to the same multiset of
+        # pairs after the salted repartition
+        ids = list(range(12))
+        df = spark.createDataFrame([(b, ids) for b in range(5)],
+                                   "band int, ids array<int>")
+        got = sorted(tuple(r)
+                     for r in dedup.posting_list_pairs(df).collect())
+        one = sorted((a, b) for i, a in enumerate(ids)
+                     for b in ids[i + 1:])
+        assert got == sorted(one * 5)
