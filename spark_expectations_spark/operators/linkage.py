@@ -873,14 +873,13 @@ def weighted_cosine_join(
 
     ``hash_tokens=True`` runs the pipeline in the md5-60 token image
     (:func:`set_similarity_join`'s r14 device) — available for parity,
-    but MEASURED to LOSE here (same-session exact-equivalence A/B at
-    sf0.1: 3.46 s strings vs 4.19 s hashed): this operator is
-    posting-list shaped, so tokens appear only as equi-join keys —
-    which Spark hashes for the shuffle anyway — and never as carried
-    verify arrays, leaving nothing for the narrower longs to save
-    while the md5 evaluation over two corpus-token streams is pure
-    added cost. Prefer it only when the weights table's token strings
-    are very long AND it is reused across many joins pre-hashed.
+    but MEASURED to LOSE under the r16 posting-list shape (same-session
+    exact-equivalence A/B at sf0.1: 3.46 s strings vs 4.19 s hashed):
+    the md5 evaluation over two corpus-token streams cost more than
+    the narrower join keys saved. The r17 carried-array verify changes
+    the trade — tokens now ride the verify arrays — so re-measure
+    before flipping it; prefer it only when tokens are very long
+    (shingles) AND the weights table is reused pre-hashed.
 
     Candidate generation is the weighted PREFIX filter: under the
     global token order (document frequency asc, token asc), a row
@@ -896,13 +895,17 @@ def weighted_cosine_join(
     pruning and the verify are bit-identical across engines; the only
     sqrt is the output cosine.
 
-    Scale shape: everything is relational — no per-row maps, no
-    collect_list state. One vocab-sized weight join per side, a
-    token-keyed df aggregation, per-id norm aggregates, the prefix
-    window, ONE candidate equi-join (kept-prefix × full), pair-dedup
-    BEFORE the verify (the verify here costs two id-keyed joins + a
-    pair groupBy, so unlike the levenshtein path it is cheaper to
-    dedup first), then ``dot² >= t²·‖A‖²·‖B‖²`` as the exact gate.
+    Scale shape: one vocab-sized weight join per side, a token-keyed
+    df aggregation, ONE groupBy per side building the id's norm AND
+    its sorted (token, w2) struct array together, the prefix window,
+    ONE candidate equi-join (kept-prefix × full), pair-dedup BEFORE
+    the verify, then two id-keyed joins attach the carried arrays ONCE
+    PER PAIR and the verify runs map-side on the pair row —
+    ``array_intersect`` + a w2 fold, ``dot² >= t²·‖A‖²·‖B‖²`` as the
+    exact gate (r17; the previous verify re-joined the pairs into both
+    corpus-token streams and paid a (rid, tok) sort-merge + pair
+    groupBy that the r16 decomposition measured at 31.6 of the
+    operator's 35.4 cpu-s).
     NOTHING here persists (r10 verdict task 4 — measured, not
     assumed): the weighted token frames feed the norm, prefix, and
     verify branches, but those branches share identical subtrees that
@@ -945,8 +948,40 @@ def weighted_cosine_join(
               .groupBy("__tok").agg(F.max("__w2").alias("__w2")))
     lw = lt.join(w2, "__tok")
     rw = rt.join(w2, "__tok")
-    lnorm = lw.groupBy("__lid").agg(F.sum("__w2").alias("__na"))
-    rnorm = rw.groupBy("__rid").agg(F.sum("__w2").alias("__nb"))
+    # per-id norm AND carried weighted-token array from ONE groupBy per
+    # side (r17, guide §2.4/§3 — the carried-array verify the r16
+    # decomposition deferred): the old verify joined the candidate
+    # pairs back into BOTH corpus-token streams (cand ⋈ lw by id, then
+    # ⋈ rw by (rid, tok) — a corpus-wide sort-merge — then a pair
+    # groupBy), which the r16 stage decomposition priced at 31.6 of
+    # the operator's 35.4 cpu-s. Carrying each id's weighted tokens as
+    # one sorted array makes the verify a MAP-SIDE array_intersect +
+    # fold on the pair row: the (rid, tok) join, the pair groupBy, and
+    # the two separate norm joins all disappear.
+    #
+    # ENCODING, load-bearing: each element is the STRING
+    # ``tok <0x01> w2`` — NOT a (tok, w2) struct. array_intersect only
+    # takes its codegen hash-set path for types with proper equals
+    # (atomic types); struct elements fall back to the interpreted
+    # O(|A|·|B|) ordering scan, which a same-window A/B measured at
+    # 49.8 s vs the string form's sub-old baseline (8× WORSE than the
+    # verify join it replaces). Equal tokens carry equal w2 (both
+    # sides read the same weights table) so string equality is token
+    # equality; the w2 suffix parses back exactly (Java double
+    # toString/parse round-trip), and substring_index from the END
+    # keeps a separator inside a token harmless. sort_array fixes the
+    # collect_list order, so the verify fold is deterministic
+    # left-to-right (the old groupBy SUM was order-nondeterministic;
+    # with the documented exactly-representable weights both are
+    # exact).
+    enc = F.concat(F.col("__tok").cast("string"), F.lit("\x01"),
+                   F.col("__w2").cast("string"))
+    larr = lw.groupBy("__lid").agg(
+        F.sum("__w2").alias("__na"),
+        F.sort_array(F.collect_list(enc)).alias("__lset"))
+    rarr = rw.groupBy("__rid").agg(
+        F.sum("__w2").alias("__nb"),
+        F.sort_array(F.collect_list(enc)).alias("__rset"))
     freq = (lw.select("__tok").unionByName(rw.select("__tok"))
             .groupBy("__tok").agg(F.count(F.lit(1)).alias("__df")))
     wpre = (Window.partitionBy("__lid").orderBy("__df", "__tok")
@@ -968,18 +1003,26 @@ def weighted_cosine_join(
             .select("__lid", "__tok"))
     cand = (lpre.join(rt, "__tok")
             .select("__lid", "__rid").distinct())
-    dot = (cand.join(lw, "__lid")
-           .join(rw.withColumnRenamed("__w2", "__w2b"),
-                 ["__rid", "__tok"])
-           .groupBy("__lid", "__rid")
-           .agg(F.count(F.lit(1)).alias("n_common"),
-                F.sum("__w2").alias("__dot")))
-    out = (dot.join(lnorm, "__lid").join(rnorm, "__rid")
+    # map-side verify on the pair row: the encoded-string intersection
+    # IS the token intersection (see the encoding note above), dot is
+    # a deterministic fold parsing each element's w2 suffix back. A
+    # candidate pair always shares its meeting prefix token, so the
+    # intersection is never empty and the inner larr/rarr joins lose
+    # nothing (every cand lid ∈ lw; every cand rid matched a weighted
+    # token, hence ∈ rw).
+    inter = F.array_intersect("__lset", "__rset")
+    out = (cand.join(larr, "__lid").join(rarr, "__rid")
+           .withColumn("__int", inter)
+           .withColumn("__dot",
+                       F.aggregate(
+                           "__int", F.lit(0.0),
+                           lambda acc, x: acc + F.substring_index(
+                               x, "\x01", -1).cast("double")))
            .filter(F.col("__dot") * F.col("__dot")
                    >= F.lit(t2) * F.col("__na") * F.col("__nb"))
            .select(F.col("__lid").alias(left_id),
                    F.col("__rid").alias(right_id),
-                   "n_common",
+                   F.size("__int").alias("n_common"),
                    F.col("__dot").alias("dot"),
                    (F.col("__dot")
                     / F.sqrt(F.col("__na") * F.col("__nb")))

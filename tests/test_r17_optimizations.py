@@ -96,6 +96,62 @@ class TestNonFiniteCodewords:
             "CAST('-Infinity' AS DOUBLE)"
 
 
+class TestWeightedCosineCarriedVerify:
+    """r17: weighted_cosine_join's verify moved from a (rid, tok)
+    re-join + pair groupBy to a map-side intersect over carried
+    string-encoded (tok, w2) arrays. Pins the encoding's edge cases."""
+
+    def _run(self, spark, lrows, rrows, wrows, threshold=0.5):
+        from spark_expectations_spark.operators import linkage
+        L = spark.createDataFrame(lrows, "lid int, sa array<string>")
+        R = spark.createDataFrame(rrows, "rid int, sb array<string>")
+        W = spark.createDataFrame(wrows, "token string, weight double")
+        return linkage.weighted_cosine_join(
+            L, R, "lid", "sa", "rid", "sb", W, threshold=threshold)
+
+    def test_matches_reference_dot(self, spark):
+        # weights with non-trivial double reprs (parse-back must be
+        # exact) and a token CONTAINING the \x01 separator
+        sep_tok = "a\x01b"
+        wrows = [("x", 0.1), ("y", 3.7), (sep_tok, 2.5), ("z", 1.0)]
+        lrows = [(1, ["x", "y", sep_tok]), (2, ["z"])]
+        rrows = [(10, ["x", "y", sep_tok, "z"]), (11, ["y"])]
+        got = {(r["lid"], r["rid"]): (r["n_common"], r["dot"], r["cosine"])
+               for r in self._run(spark, lrows, rrows, wrows).collect()}
+        import math
+        w = dict(wrows)
+
+        def ref(la, ra):
+            common = set(la) & set(ra) & set(w)
+            dot = sum(w[t] ** 2 for t in sorted(common))
+            na = sum(w[t] ** 2 for t in la if t in w)
+            nb = sum(w[t] ** 2 for t in ra if t in w)
+            return common, dot, na, nb
+
+        for (lid, la) in lrows:
+            for (rid, ra) in rrows:
+                common, dot, na, nb = ref(la, ra)
+                expect = dot * dot >= 0.25 * na * nb and common
+                if expect:
+                    assert (lid, rid) in got, (lid, rid)
+                    n, d, c = got[(lid, rid)]
+                    assert n == len(common)
+                    assert d == pytest.approx(dot, rel=1e-12)
+                    assert c == pytest.approx(
+                        dot / math.sqrt(na * nb), rel=1e-12)
+                else:
+                    assert (lid, rid) not in got
+
+    def test_pair_per_match_no_duplicates(self, spark):
+        # a pair meeting on several prefix tokens must emit ONE row
+        wrows = [("a", 5.0), ("b", 5.0), ("c", 5.0)]
+        lrows = [(1, ["a", "b", "c"])]
+        rrows = [(9, ["a", "b", "c"])]
+        out = self._run(spark, lrows, rrows, wrows, threshold=0.9).collect()
+        assert len(out) == 1 and out[0]["n_common"] == 3
+        assert out[0]["cosine"] == pytest.approx(1.0)
+
+
 class TestPostingListPairsSalt:
     def test_identical_hot_lists_unchanged_pairs(self, spark):
         # several rows carrying the SAME ids array (the LSH multi-band
