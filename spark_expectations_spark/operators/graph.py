@@ -417,11 +417,21 @@ def triangle_counts(
                     F.col("degree").alias("__dlo"))
     dh = deg.select(F.col("node").alias("__hi"),
                     F.col("degree").alias("__dhi"))
-    # orient low-(degree, id) -> high-(degree, id)
+    # orient low-(degree, id) -> high-(degree, id). Degree-(<2) PRUNE
+    # first (r17, guide §2/§3): an edge with a degree-1 endpoint can
+    # close no wedge — every triangle vertex has degree >= 2 inside
+    # its triangle — so those edges leave the orientation, the
+    # adjacency build, the k² wedge expansion AND the closing
+    # semi-join's probe stream entirely. Orientation order and the
+    # output keep the ORIGINAL degrees (the order just needs to be
+    # total; pruned nodes resurface with triangles = 0 through the
+    # final left join), and the O(sqrt m) out-degree bound only
+    # tightens on the subgraph.
     lo_first = ((F.col("__dlo") < F.col("__dhi"))
                 | ((F.col("__dlo") == F.col("__dhi"))
                    & (F.col("__lo") < F.col("__hi"))))
     ori = (und.join(dl, "__lo").join(dh, "__hi")
+           .filter((F.col("__dlo") >= 2) & (F.col("__dhi") >= 2))
            .select(F.when(lo_first, F.col("__lo"))
                    .otherwise(F.col("__hi")).alias("__u"),
                    F.when(lo_first, F.col("__hi"))
@@ -435,22 +445,22 @@ def triangle_counts(
     # bound that kept the join safe) and two chained codegen Generates
     # stream exactly the __x < __y pairs. Sorted ascending ==
     # the join's `<` for every orderable node type.
-    adj = ori.groupBy("__u").agg(
+    # Spread the expansion to the session's shuffle parallelism: AQE
+    # right-sizes plain groupBy exchanges by BYTES, but the Generate
+    # below EXPANDS k² per row, so a byte-coalesced handful of
+    # partitions serializes the O(m^1.5) wedge work (measured at
+    # sf0.1: the expansion stage ran 11 cpu-s on 4 AQE-coalesced
+    # tasks; paired A/B with the explicit spread: 5.42 → 4.81 s
+    # min-of-4). r17: the spread moved BEFORE the groupBy — an
+    # explicit repartition(n, __u) pins a user-specified partitioning
+    # AQE will not coalesce, and the groupBy on the same key at the
+    # same count reuses it, so the former groupBy-exchange +
+    # repartition-exchange pair collapses to ONE exchange (guide
+    # §2.4: two operations keyed the same way share one exchange).
+    # collect_list has no map-side partial reduction to lose.
+    _shuf = int(ori.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    adj = ori.repartition(_shuf, "__u").groupBy("__u").agg(
         F.sort_array(F.collect_list("__v")).alias("__vs"))
-    # Spread the adjacency table to the session's shuffle parallelism
-    # before the wedge expansion: AQE right-sizes the groupBy exchange
-    # by BYTES, but the Generate below EXPANDS k² per row, so a
-    # byte-coalesced handful of partitions serializes the O(m^1.5)
-    # wedge work (measured at sf0.1: the expansion stage ran 11 cpu-s
-    # on 4 AQE-coalesced tasks; paired A/B with the explicit spread:
-    # 5.42 → 4.81 s min-of-4). Hash-keyed by __u (unique per row —
-    # uniform, no round-robin pre-sort) at the configured
-    # shuffle-partition count, i.e. exactly "don't byte-coalesce THIS
-    # exchange" — scale-adaptive through scale_confs, and at real
-    # scale the extra O(m) exchange is noise against the k² stage it
-    # parallelizes.
-    _shuf = int(adj.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    adj = adj.repartition(_shuf, "__u")
     wedges = (adj.select("__u", F.col("__vs"),
                          F.posexplode("__vs").alias("__i", "__x"))
               .select("__u", "__x",

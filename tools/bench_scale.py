@@ -44,7 +44,13 @@ def _time_query(spark, name: str, sf_dir: str) -> float:
     best = None
     for _ in range(3):
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        # r17: noop sink, matching bench.py's r16 protocol fix (guide
+        # §1.4) — count() let Catalyst prune whole subtrees (the r16
+        # audit: part_copurchase_triangles' counted plan dropped all 7
+        # joins), which would invalidate scale ratios for exactly the
+        # rewritten entries this tool exists to measure. SCALE_r13-r15
+        # artifacts are count-protocol; compare r17 tiers only to r17.
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.time() - t0
         best = dt if best is None else min(best, dt)
         spark.catalog.clearCache()
