@@ -423,13 +423,17 @@ def set_similarity_join(
     output-identical, but the window's unbounded-frame projection
     copies each id's FULL df-sorted array onto every one of its k
     token rows (O(k²) bytes per id through WindowExec), while the
-    groupBy builds the array once (O(k)). Measured crossover: the
-    window wins at small k (the r16 A/B: window 3.65 s vs groupBy
-    4.53 s at the catalog's k ≈ 30–130) and loses as k grows — the
-    r17 synthetic-k sweep in OPTIMIZATION_r17.md locates the flip.
-    Default False — flip it when ids carry thousands of tokens (long
-    documents shingled without pre-hashing, q-gram sets of long
-    strings).
+    groupBy builds the array once (O(k)). Measured crossover (r17
+    sweep, OPTIMIZATION_r17.md): on the real catalog entry (mixed
+    k ≈ 30–130, md5-60 longs) the window wins 1.25× (the r16 A/B);
+    on uniform string-token synthetics the groupBy already wins
+    1.41× at k = 64, 1.80× at k = 256, and 1.28× at k = 1024
+    (broadcast disabled — at k ≥ 1024 the planner underestimates the
+    array-carrying prefix rows and mis-broadcasts a >200 MB relation
+    under either shape; disable auto-broadcast or pre-hash tokens
+    there). Default False — flip it when ids carry hundreds+ of
+    tokens (long documents shingled without pre-hashing, q-gram sets
+    of long strings).
 
     ``hash_tokens=True`` runs the whole pipeline in the md5-60 token
     image (``conv(substr(md5(tok), 1, 15), 16, 10)`` — the repo's

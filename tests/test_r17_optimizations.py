@@ -152,6 +152,35 @@ class TestWeightedCosineCarriedVerify:
         assert out[0]["cosine"] == pytest.approx(1.0)
 
 
+class TestSetSimilarityLargeSetsGate:
+    """r17: set_similarity_join's large_sets flag swaps the prefix
+    WINDOW for the groupBy-carried-array shape — must be
+    output-identical (same ranks, same carried arrays, same verify)."""
+
+    def _pairs(self, spark, large, hash_tokens=False):
+        from spark_expectations_spark.operators import linkage
+        rows_l = [(i, [f"t{j}" for j in range(i, i + 8)])
+                  for i in range(30)]
+        rows_r = [(100 + i, [f"t{j}" for j in range(i + 2, i + 10)])
+                  for i in range(30)]
+        L = spark.createDataFrame(rows_l, "lid int, sa array<string>")
+        R = spark.createDataFrame(rows_r, "rid int, sb array<string>")
+        out = linkage.set_similarity_join(
+            L, R, "lid", "sa", "rid", "sb", threshold=0.5,
+            hash_tokens=hash_tokens, large_sets=large)
+        return sorted(tuple(r) for r in out.collect())
+
+    def test_gate_output_identical(self, spark):
+        a = self._pairs(spark, large=False)
+        b = self._pairs(spark, large=True)
+        assert a == b and len(a) > 10
+
+    def test_gate_output_identical_hashed(self, spark):
+        a = self._pairs(spark, large=False, hash_tokens=True)
+        b = self._pairs(spark, large=True, hash_tokens=True)
+        assert a == b and len(a) > 10
+
+
 class TestPostingListPairsSalt:
     def test_identical_hot_lists_unchanged_pairs(self, spark):
         # several rows carrying the SAME ids array (the LSH multi-band
