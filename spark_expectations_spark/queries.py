@@ -12128,55 +12128,52 @@ FROM b GROUP BY source, bin
 #          feeding the dHash, the first genuine-pixel value oracle)
 #          displaced docs_bootstrap_ci (r11-green, unchanged; r17
 #          front).
+#   r17:   5 dq_* flagship + 5 implementation-changed this round
+#          (docs_weighted_cosine — carried-array verify;
+#          docs_set_jaccard_join — _prefix_rows refactor;
+#          part_copurchase_triangles — degree prune + pinned spread;
+#          dedup_jaccard / dedup_lsh_quality — posting-list salt) +
+#          the FULL 14-entry r11-stale cohort (the 10 single-pass
+#          text/regex entries the r16 log queued for r17 plus its 4
+#          bottom-fill displacements) + 26 of the r12-stale cohort
+#          risk-first (dedup/graph/embedding pipelines and sketch
+#          rollups before single-fold metrics). Stale front after
+#          this round moves to the remaining ~5 r12 entries
+#          (anti_join_orders, array_agg_statuses, docs_clean_corpus,
+#          docs_pack_streams, events_* r12 leftovers) + the r13 wave.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: list[str] = [
     # flagship engine queries — always first
     "dq_row_errors", "dq_row_summary", "dq_counts", "dq_agg_results",
     "dq_query_results",
-    # the SEVEN r15 late-wave entries the driver has never gated
-    # (r15 verdict task 1 — locally gated both scales, but the driver
-    # gate is the one signal the builder can't produce)
-    "docs_mannwhitney", "orders_theilsen", "events_kendall_tau",
-    "orders_ca_trend", "events_spearman", "docs_media_wav_info",
-    "docs_brier",
-    # r16-new / impl-changed entries (gate the same round they land)
-    "docs_media_png_info",       # r16 new: PNG IHDR codegen parser
-    "docs_media_gif_info",       # r16 new: GIF screen-descriptor parser
-    "docs_rank_merge_check",     # r16 new: rank-family day-2 merge
-    "events_distinct_rollup",    # r16 impl change: first real oracle
-                                 # (exact counts + hll_ok bound)
-    "docs_media_jpeg_info",      # r16 new: JPEG SOF aggregate-fold
-                                 # walker (displaced docs_interleave,
-                                 # the bottom fill, per convention)
-    "docs_media_mp4_info",       # r16 new: ISO-BMFF box walker
-                                 # (displaced docs_curriculum)
-    "orders_priority_status_effects",  # r16 new: contingency effect
-                                 # analysis (displaced docs_score_auc)
-    "docs_media_bmp_phash",      # r16 new: REAL library-free BMP
-                                 # decode under the dHash oracle
-                                 # (displaced docs_bootstrap_ci)
-    # 34 of the 44-entry r11-stale cohort (verdict task 1; histogram
-    # recomputed from CORRECTNESS_r1..r15 this round: 44 @ r11, 44 @
-    # r12, 45 @ r13, 45 @ r14, 50 @ r15 + the late-wave/new names
-    # above), risk-first: iterative ANN/PQ + Arrow stages, graph
-    # chains, linkage, sketch families before single-fold metrics.
-    # The 10 left for r17 are the stable single-pass text/regex
-    # entries (window_rank, docs_strip_html, docs_url_stats,
-    # text_langid, text_quality, text_repetition, text_pii_redact,
-    # docs_padding_waste, docs_span_removal, docs_source_qnorm).
-    "embed_ivf_pq", "embed_pq", "embed_mmr_topk",
-    "embed_near_dups_bcast", "embed_pca_check", "ann_ivf",
-    "ann_ivf_recall", "ann_topk", "docs_fold_pack", "docs_phash_dups",
-    "docs_paragraph_dedup", "docs_global_index", "docs_rouge_overlap",
-    "part_copurchase_rank", "part_copurchase_rank_weighted",
-    "part_copurchase_triangles", "part_rank_fusion",
-    "part_fuzzy_disjunctive", "lineitem_grouped_dq",
-    "lineitem_grouped_dq_target", "lineitem_drift_report",
-    "lineitem_drift_verdict", "lineitem_price_jsd",
-    "lineitem_cms_counts", "events_bitmap_distinct",
-    "events_markov_transitions", "events_seasonality",
-    "docs_isotonic_check", "docs_label_alpha_interval",
-    "docs_label_alpha_ordinal",
+    # r17 implementation-changed entries (gate the same round they
+    # change): the carried-array weighted-cosine verify, the
+    # _prefix_rows refactor under set_similarity_join, the triangle
+    # degree-prune + pinned spread, and the posting-list salt
+    # (dedup_jaccard + the LSH report that drives the same machinery)
+    "docs_weighted_cosine", "docs_set_jaccard_join",
+    "part_copurchase_triangles", "dedup_jaccard", "dedup_lsh_quality",
+    # the FULL r11-stale cohort (14 entries, the oldest in the
+    # CORRECTNESS_r1..r16 histogram): the 10 stable single-pass
+    # text/regex entries named by the r16 rotation log as leading r17,
+    # plus the 4 bottom-fill displacements from r16
+    "window_rank", "docs_strip_html", "docs_url_stats", "text_langid",
+    "text_quality", "text_repetition", "text_pii_redact",
+    "docs_padding_waste", "docs_span_removal", "docs_source_qnorm",
+    "docs_bootstrap_ci", "docs_curriculum", "docs_interleave",
+    "docs_score_auc",
+    # 26 of the r12-stale cohort, risk-first: dedup/graph/embedding
+    # pipelines and sketch rollups before single-fold metrics
+    "dedup_canonical", "dedup_canonical_centrality", "dedup_clusters",
+    "dedup_containment", "dedup_fingerprint", "docs_cc_largestar",
+    "docs_dedup_pipeline", "embed_semdedup", "embed_near_dups",
+    "embed_standardize", "docs_bm25_terms", "docs_tfidf_terms",
+    "docs_incremental_dedup", "docs_nfd_pack",
+    "docs_source_qnorm_bucketed", "docs_weighted_topk",
+    "events_cms_daily_rollup", "events_distinct_rollup_exact",
+    "events_hourly_anomalies", "docs_dsir_weights", "docs_group_sample",
+    "docs_ngram_novelty", "docs_dup_shingles", "docs_corpus_report",
+    "docs_line_stats", "docs_label_alpha_ci",
 ]
 
 
