@@ -169,7 +169,8 @@ def shingles_col(text: Column, n: int = 3) -> Column:
     )
 
 
-def posting_list_pairs(frame: DataFrame, ids_col: str = "ids") -> DataFrame:
+def posting_list_pairs(frame: DataFrame, ids_col: str = "ids",
+                       salt_cols=None) -> DataFrame:
     """``(id_a, id_b)`` for every in-list pair ``(ids[i], ids[j>i])`` of
     each row's sorted ``ids`` array — the posting-list/bucket pair
     expansion shared by :func:`_pair_intersections`,
@@ -194,24 +195,31 @@ def posting_list_pairs(frame: DataFrame, ids_col: str = "ids") -> DataFrame:
     stage (measured at sf0.1 on dedup_jaccard: 18.5 cpu-s on 4 tasks;
     same disease and cure as graph.triangle_counts' wedge stage — the
     paired A/Bs live in the r16 ledger). Hash-keyed on the list column
-    (distinct lists → uniform, no round-robin pre-sort) at the
+    plus the caller's ``salt_cols`` (the bucket-key columns — band
+    hash, shingle, fingerprint — so IDENTICAL ids arrays from
+    different buckets spread instead of colliding, r17) at the
     CONFIGURED shuffle-partition count — i.e. "don't byte-coalesce
     THIS exchange" — which scale_confs derives from cluster size, and
     the O(buckets) exchange is noise against the Σk² it parallelizes.
     """
     shuf = int(frame.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    # Salt the spread key with the INPUT partition id (r16 advice): in
-    # LSH banding the same duplicate group collides in several bands,
-    # yielding multiple rows with IDENTICAL ids arrays — hashed on the
-    # list alone they all land in one partition, re-serializing the
-    # heaviest k² expansions. The upstream (band, bucket) groupBy
-    # already scatters those twins across input partitions, so
-    # spark_partition_id() spreads them; it is deterministic under
-    # task retry (a recomputed map task keeps its partition id), unlike
-    # a rand() salt (SPARK-38388 class).
+    # Salt the spread key with the caller's BUCKET KEY columns (r16
+    # advice, r17 form): in LSH banding the same duplicate group
+    # collides in several bands, yielding multiple rows with IDENTICAL
+    # ids arrays — hashed on the list alone they all land in one
+    # partition, re-serializing the heaviest k² expansions. Salting
+    # with the caller's distinguishing columns (band hash, shingle,
+    # fingerprint — whatever keyed the bucket groupBy) spreads the
+    # twins. A DATA column, deliberately NOT spark_partition_id():
+    # that expression is planner-nondeterministic, which blocked
+    # ReuseExchange on the twin consumers of this expansion and
+    # re-planned two extra shuffles (caught by the plan-shape suite),
+    # and rand()-class salts re-deal rows under task retry
+    # (SPARK-38388).
+    keys = [F.col(ids_col)] + [F.col(c) for c in (salt_cols or ())]
     return (
         frame
-        .repartition(shuf, F.col(ids_col), F.spark_partition_id())
+        .repartition(shuf, *keys)
         .select(F.col(ids_col).alias("__ids"),
                 F.posexplode(ids_col).alias("__i", "id_a"))
         .select("id_a",
@@ -319,7 +327,7 @@ def _pair_intersections(
         # promised in SCALE.md — free here: len(posting list) == df.
         postings = postings.filter(F.size("ids") <= max_shingle_df)
     inter = (
-        posting_list_pairs(postings)
+        posting_list_pairs(postings, salt_cols=["shingle"])
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
@@ -995,7 +1003,8 @@ def lsh_candidate_pairs(
         .filter(F.size("ids") >= 2)
     )
     # sorted ids -> pairing (ids[i], ids[j>i]) already satisfies id_a < id_b
-    return posting_list_pairs(buckets).distinct()
+    return posting_list_pairs(
+        buckets, salt_cols=["band_idx", "band_hash"]).distinct()
 
 
 def minhash_dedup_pairs(

@@ -829,7 +829,8 @@ def q_docs_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .transform(dedup.posting_list_pairs)
+        .transform(lambda d: dedup.posting_list_pairs(
+            d, salt_cols=["fp"]))
     )
     pairs = sim.unionByName(fps).distinct()
     kept = dedup.canonical_per_cluster(docs, pairs, "doc_id",

@@ -189,8 +189,8 @@ class TestPostingListPairsSalt:
         ids = list(range(12))
         df = spark.createDataFrame([(b, ids) for b in range(5)],
                                    "band int, ids array<int>")
-        got = sorted(tuple(r)
-                     for r in dedup.posting_list_pairs(df).collect())
+        got = sorted(tuple(r) for r in dedup.posting_list_pairs(
+            df, salt_cols=["band"]).collect())
         one = sorted((a, b) for i, a in enumerate(ids)
                      for b in ids[i + 1:])
         assert got == sorted(one * 5)
