@@ -1447,6 +1447,14 @@ class TestPlanShapes:
         """The inverted index is one groupBy(shingle) + pair explode —
         no shingle-keyed join node anywhere in the plan."""
         from spark_expectations_spark.operators import dedup
+        # this asserts the UNCACHED plan shape: any earlier test that
+        # merely BUILDS a jaccard-family frame registers its
+        # session-lifetime persists with the CacheManager, and the
+        # InMemoryRelation substitution then carries the cached
+        # subtree's own exchanges into this plan's count (5 -> 7; seen
+        # when the driver-priority rotation put dedup_jaccard into the
+        # contract test's cohort)
+        spark.catalog.clearCache()
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         pairs = dedup.jaccard_pairs(docs, "doc_id", "text", n=3,
                                     threshold=0.15)
@@ -1482,6 +1490,10 @@ class TestPlanShapes:
         build, counted once per branch by EXPLAIN) dropped 7 → 5, and no
         join on (band_idx, band_hash) remains in the plan."""
         from spark_expectations_spark.operators import dedup
+        # uncached plan shape (see the jaccard posting-list test above:
+        # an earlier test building an LSH-family frame registers its
+        # session persists and inflates this count via InMemoryRelation)
+        spark.catalog.clearCache()
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
         pairs = dedup.minhash_dedup_pairs(docs, "doc_id", "text", n=3,
                                           num_hashes=16, bands=4)
